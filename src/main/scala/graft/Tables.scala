@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.catalog.{HashComponent, RangeComponent}
+import graft.table.GraftTable
+
+/**
+ * Engine-table definitions over the driver's testdata (FIXTURES.md): PK +
+ * hash/range partition spec per table, mirroring the reference's TPC-H
+ * fixtures (benchmarks/tpch/tpch-schemas.h — lineitem keyed on
+ * l_orderkey+l_linenumber).
+ *
+ * Registration is zero-copy: the raw Parquet becomes the v1 base fileset of
+ * a graft table; mutations commit deltas beside the metadata.
+ */
+object Tables {
+
+  case class Spec(keys: Seq[String], hash: Seq[HashComponent],
+      range: Option[RangeComponent] = None, nonUnique: Boolean = false)
+
+  val specs: Map[String, Spec] = Map(
+    "region"     -> Spec(Seq("r_regionkey"), Seq(HashComponent(Seq("r_regionkey"), 2))),
+    "nation"     -> Spec(Seq("n_nationkey"), Seq(HashComponent(Seq("n_nationkey"), 2))),
+    "customer"   -> Spec(Seq("c_custkey"), Seq(HashComponent(Seq("c_custkey"), 4))),
+    "supplier"   -> Spec(Seq("s_suppkey"), Seq(HashComponent(Seq("s_suppkey"), 2))),
+    "part"       -> Spec(Seq("p_partkey"), Seq(HashComponent(Seq("p_partkey"), 4))),
+    "orders"     -> Spec(Seq("o_orderkey"), Seq(HashComponent(Seq("o_orderkey"), 4)),
+      Some(RangeComponent("o_orderdate", "year"))),
+    // The driver's lineitem has duplicate (l_orderkey, l_linenumber) pairs —
+    // a non-unique PK, which the reference backs with a hidden
+    // auto_incrementing_id key column (ColumnSchema.java:529 nonUniqueKey()).
+    "lineitem"   -> Spec(Seq("l_orderkey", "l_linenumber"),
+      Seq(HashComponent(Seq("l_orderkey"), 8)), nonUnique = true),
+    "events"     -> Spec(Seq("event_id"), Seq(HashComponent(Seq("event_id"), 4))),
+    "documents"  -> Spec(Seq("doc_id"), Seq(HashComponent(Seq("doc_id"), 4))),
+    "embeddings" -> Spec(Seq("vec_id"), Seq(HashComponent(Seq("vec_id"), 4))))
+
+  private val cache = TrieMap[(String, String), GraftTable]()
+
+  private def cacheRoot(sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-cache/$tag"
+  }
+
+  /** Shared read-only engine table for scan queries — registered once per
+    * JVM per (sfDir, table). */
+  def readonly(spark: SparkSession, sfDir: String, table: String): GraftTable =
+    cache.getOrElseUpdate((sfDir, table), {
+      val loc = s"${cacheRoot(sfDir)}/$table"
+      synchronized {
+        if (GraftTable.exists(loc)) GraftTable.load(spark, loc)
+        else registerAt(spark, sfDir, table, loc)
+      }
+    })
+
+  /** Fresh, private engine table for mutation queries — each call gets its
+    * own metadata dir so scripted op sequences start from the raw snapshot. */
+  def scratch(spark: SparkSession, sfDir: String, table: String): GraftTable = {
+    val loc = Files.createTempDirectory(s"graft-$table-").toString
+    registerAt(spark, sfDir, table, loc)
+  }
+
+  private def registerAt(spark: SparkSession, sfDir: String, table: String,
+      loc: String): GraftTable = {
+    val spec = specs.getOrElse(table,
+      throw new IllegalArgumentException(s"unknown fixture table $table"))
+    Files.createDirectories(Paths.get(loc))
+    GraftTable.register(spark, loc, table, s"$sfDir/$table.parquet",
+      spec.keys, spec.hash, spec.range, spec.nonUnique)
+  }
+
+  /** Raw parquet read (what the DuckDB oracle sees). */
+  def raw(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** Scan through the engine read path. */
+  def scan(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    readonly(spark, sfDir, table).scan()
+}

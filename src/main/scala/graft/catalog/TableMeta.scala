@@ -1,0 +1,137 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.types.{DataType, StructField, StructType, Metadata => SqlMetadata}
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+/**
+ * Column metadata with an immutable integer id, mirroring the reference's
+ * id-based schema system (reference: common/schema.h:723, id_mapping.h;
+ * ColumnSchemaPB common/common.proto:134-177). `physName` is the name the
+ * column has inside data files (fixed at column creation); `name` is the
+ * current logical name (renames only touch `name`, so old files stay
+ * readable — the analog of GetMappedReadProjection, common/schema.cc).
+ */
+case class ColumnMeta(
+    id: Int,
+    name: String,
+    physName: String,
+    dataTypeJson: String,
+    nullable: Boolean,
+    isKey: Boolean,
+    defaultValue: Option[String] = None,
+    comment: Option[String] = None,
+    isAutoInc: Boolean = false) {
+  def dataType: DataType = DataType.fromJson(dataTypeJson)
+  def toField: StructField = StructField(name, dataType, nullable)
+}
+
+/** One hash-bucket partition component over key columns
+  * (reference: PartitionSchemaPB common/common.proto:355-398). */
+case class HashComponent(cols: Seq[String], buckets: Int)
+
+/** Optional range component; granularity "year"|"month"|"day"|"value"
+  * (reference: range partitioning, common/partition.h:169,268). */
+case class RangeComponent(col: String, granularity: String)
+
+/**
+ * One data file tracked by a snapshot.
+ *  - kind: "base" (full rows) | "delta" (rows + _op column: UPSERT|DELETE)
+ *  - seq:  commit sequence the file was written at (MVCC analog of the
+ *          hybrid-time mutation stamp, tablet/mvcc.h:45-111 — later seq wins)
+ *  - colIds: ids of the table columns present in the file, in file order
+ *  - bucket / rangeKey: partition coordinates if written partitioned
+ */
+case class DataFileMeta(
+    path: String,
+    kind: String,
+    seq: Long,
+    rows: Long,
+    colIds: Seq[Int],
+    bucket: Option[Int] = None,
+    rangeKey: Option[String] = None)
+
+/**
+ * Full table state at one version. Each commit writes a complete new
+ * TableMeta as `_graft/v<version>.json` + atomically swings
+ * `_graft/_current.json` — a snapshot per version gives time-travel reads
+ * (READ_AT_SNAPSHOT, common/common.proto:268-326) for free.
+ */
+case class TableMeta(
+    name: String,
+    location: String,
+    version: Long,
+    timestampMs: Long,
+    operation: String,
+    columns: Seq[ColumnMeta],
+    nextColId: Int,
+    hash: Seq[HashComponent],
+    range: Option[RangeComponent],
+    retiredPhysNames: Seq[String],
+    baseFiles: Seq[DataFileMeta],
+    deltaFiles: Seq[DataFileMeta]) {
+
+  def schema: StructType = StructType(columns.map(_.toField))
+  /** Full key, including the hidden auto-increment column of non-unique-PK
+    * tables (reference: Schema.java:44-48 `auto_incrementing_id`). */
+  def keyCols: Seq[String] = columns.filter(_.isKey).map(_.name)
+  /** User-declared (possibly non-unique) key columns. */
+  def userKeyCols: Seq[String] = columns.filter(c => c.isKey && !c.isAutoInc).map(_.name)
+  def visibleColumns: Seq[ColumnMeta] = columns.filterNot(_.isAutoInc)
+  def hasAutoInc: Boolean = columns.exists(_.isAutoInc)
+  def column(name: String): ColumnMeta =
+    columns.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $name in table ${this.name}"))
+}
+
+object TableMeta {
+  implicit val formats: Formats = Serialization.formats(NoTypeHints)
+
+  def metaDir(location: String) = Paths.get(location, "_graft")
+  private def versionFile(location: String, v: Long) = metaDir(location).resolve(s"v$v.json")
+  private def currentFile(location: String) = metaDir(location).resolve("_current.json")
+
+  def write(meta: TableMeta): Unit = {
+    Files.createDirectories(metaDir(meta.location))
+    val vf = versionFile(meta.location, meta.version)
+    Files.write(vf, Serialization.writePretty(meta).getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    // Atomic pointer swing = our single-writer commit protocol (the Spark
+    // analog of the reference's Raft-replicated metadata commit).
+    val tmp = metaDir(meta.location).resolve(s"_current.json.tmp${meta.version}")
+    Files.write(tmp, s"""{"version":${meta.version}}""".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, currentFile(meta.location), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def currentVersion(location: String): Long = {
+    val s = new String(Files.readAllBytes(currentFile(location)), StandardCharsets.UTF_8)
+    """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(s"corrupt _current.json at $location"))
+  }
+
+  def read(location: String, version: Long): TableMeta = {
+    val s = new String(Files.readAllBytes(versionFile(location, version)), StandardCharsets.UTF_8)
+    Serialization.read[TableMeta](s)
+  }
+
+  def readCurrent(location: String): TableMeta = read(location, currentVersion(location))
+
+  def exists(location: String): Boolean = Files.exists(currentFile(location))
+
+  /** Highest version whose commit timestamp is <= tsMs
+    * (snapshotTimestampMs read option, kudu-spark DefaultSource.scala:74). */
+  def versionAtTimestamp(location: String, tsMs: Long): Long = {
+    val cur = currentVersion(location)
+    val versions = (1L to cur).flatMap { v =>
+      if (Files.exists(versionFile(location, v))) Some(read(location, v)) else None
+    }
+    versions.filter(_.timestampMs <= tsMs).map(_.version).sorted.lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no snapshot at or before ts=$tsMs for $location"))
+  }
+}

@@ -1,0 +1,542 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog._
+
+/** Thrown when INSERT hits an existing PK or strict UPDATE/DELETE misses one
+  * (reference: row_operations.proto:34-63 — non-IGNORE ops error). */
+class PrimaryKeyException(msg: String) extends RuntimeException(msg)
+
+/**
+ * A PK-managed, mutable, snapshot-versioned table on Parquet — the
+ * Spark-native re-expression of the reference's tablet storage
+ * (MemRowSet/DiskRowSet + deltas, tablet/diskrowset.h, tablet/delta_store.h).
+ *
+ * Layout under `location`:
+ *   _graft/v<N>.json   full metadata snapshot per commit (MVCC versions)
+ *   data/c<N>_base/    columnar base files (hash/range partition dirs _b=/_r=)
+ *   data/c<N>_delta/   delta files: full rows + _op (U|D) + _seq columns
+ *
+ * Invariant: every base file's seq < every live delta file's seq — all
+ * mutations (including INSERT after the initial load) commit as deltas, so
+ * merge-on-read is: base ANTI-JOIN delta-keys ∪ latest-delta-rows. With small
+ * deltas this broadcasts, keeping the base scan shuffle-free and
+ * pushdown-friendly (the analog of DeltaApplier, tablet/delta_applier.h:52).
+ * Compaction rewrites base and clears deltas (tablet/compaction.cc analog).
+ */
+class GraftTable private[table] (val spark: SparkSession, val location: String) {
+  import GraftTable._
+
+  def meta: TableMeta = TableMeta.readCurrent(location)
+  def name: String = meta.name
+  def schema: StructType = meta.schema
+  def keyCols: Seq[String] = meta.keyCols
+  def currentVersion: Long = TableMeta.currentVersion(location)
+
+  // ---------------------------------------------------------------- read
+
+  /** Snapshot scan at `version` (None = latest). READ_AT_SNAPSHOT semantics
+    * (common/common.proto:268-326). The hidden auto-increment key column of
+    * non-unique-PK tables is projected away; use [[scanWithHidden]] to see it. */
+  def scan(version: Option[Long] = None): DataFrame = {
+    val m = version.map(TableMeta.read(location, _)).getOrElse(meta)
+    val full = scanMeta(m)
+    if (m.hasAutoInc) full.select(m.visibleColumns.map(c => col(c.name)): _*) else full
+  }
+
+  def scan(): DataFrame = scan(None)
+
+  /** Scan including the hidden `auto_incrementing_id` column — needed to
+    * address individual rows of a non-unique-PK table for UPDATE/DELETE
+    * (reference: ColumnSchema.java:529 nonUniqueKey()). */
+  def scanWithHidden(version: Option[Long] = None): DataFrame = {
+    val m = version.map(TableMeta.read(location, _)).getOrElse(meta)
+    scanMeta(m)
+  }
+
+  /** Time-travel by wall-clock ms (kudu.snapshotTimestampMs read option,
+    * kudu-spark DefaultSource.scala:74). */
+  def scanAtTimestamp(tsMs: Long): DataFrame =
+    scan(Some(TableMeta.versionAtTimestamp(location, tsMs)))
+
+  private def scanMeta(m: TableMeta): DataFrame = {
+    val base = readFileGroup(m, m.baseFiles, delta = false)
+    if (m.deltaFiles.isEmpty) base
+    else {
+      val deltas = readFileGroup(m, m.deltaFiles, delta = true)
+      val keys = m.keyCols.map(col)
+      val w = Window.partitionBy(keys: _*).orderBy(col(SeqCol).desc)
+      val dLatest = deltas.withColumn(RnCol, row_number().over(w))
+        .filter(col(RnCol) === 1).drop(RnCol)
+      val deltaBytes = m.deltaFiles.map(f => fileSize(f.path)).sum
+      val dKeys0 = dLatest.select(m.keyCols.map(col): _*)
+      val dKeys = if (deltaBytes < BroadcastDeltaBytes) broadcast(dKeys0) else dKeys0
+      val live = base.join(dKeys, m.keyCols, "left_anti")
+      val upserts = dLatest.filter(col(OpCol) =!= lit(OpDelete))
+        .select(m.columns.map(c => col(c.name).cast(c.dataType)): _*)
+      live.unionByName(upserts)
+    }
+  }
+
+  /** Reads a set of files, remapping physical→current logical names per
+    * schema generation (GetMappedReadProjection analog, common/schema.cc) and
+    * filling later-added columns with their defaults. */
+  private def readFileGroup(m: TableMeta, files: Seq[DataFileMeta], delta: Boolean): DataFrame = {
+    if (files.isEmpty) {
+      val s = if (delta) deltaStruct(m) else m.schema
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
+    val groups = files.groupBy(_.colIds)
+    val dfs = groups.map { case (colIds, fs) =>
+      val raw = spark.read.parquet(fs.map(_.path): _*)
+      val present = colIds.toSet
+      val dataCols = m.columns.map { c =>
+        if (present.contains(c.id)) col(c.physName).cast(c.dataType).as(c.name)
+        else defaultLit(c).as(c.name)
+      }
+      val extra = if (delta) Seq(col(OpCol), col(SeqCol)) else Nil
+      raw.select(dataCols ++ extra: _*)
+    }
+    dfs.reduce(_ unionByName _)
+  }
+
+  private def deltaStruct(m: TableMeta): StructType =
+    StructType(m.schema.fields.map(_.copy(nullable = true)) ++
+      Seq(StructField(OpCol, StringType), StructField(SeqCol, LongType)))
+
+  /**
+   * Diff scan: logical changes between snapshot v1 (exclusive) and v2
+   * (inclusive) — latest state of each changed PK plus a `_deleted` flag
+   * (reference: SetDiffScan client/client.h:3150, virtual IS_DELETED column
+   * common/common.proto:60, ghost-row dedup in MergeIterator
+   * generic_iterators.cc:440-467). Computed as a PK full-outer diff of the two
+   * snapshots, so it is correct across compactions.
+   */
+  def changes(v1: Long, v2: Long): DataFrame = {
+    val m = TableMeta.read(location, v2) // diff in v2's schema
+    val keys = m.keyCols
+    val valueStruct = struct(m.columns.map(c => col(c.name)): _*)
+    val a = scanWithHidden(Some(v1)).select(keys.map(col) :+ valueStruct.as("_av"): _*)
+    val b = scanWithHidden(Some(v2)).select(keys.map(col) :+ valueStruct.as("_bv"): _*)
+    val j = a.join(b, keys, "full_outer")
+    val changed = j.filter(!(col("_av") <=> col("_bv")))
+    val pick = when(col("_bv").isNull, col("_av")).otherwise(col("_bv"))
+    changed.select(
+      m.visibleColumns.map(c => pick.getField(c.name).as(c.name)) :+
+        col("_bv").isNull.as(DeletedCol): _*)
+  }
+
+  // --------------------------------------------------------------- write
+
+  /** INSERT: error if any PK already exists (W1, tablet/tablet.cc:836
+    * InsertOrUpsertUnlocked error path; presence check BulkCheckPresence
+    * :1148 → here a batch anti/semi-join). */
+  def insert(df: DataFrame): Unit = insertImpl(df, ignore = false)
+
+  /** INSERT_IGNORE: silently skip rows whose PK exists (W2). */
+  def insertIgnore(df: DataFrame): Unit = insertImpl(df, ignore = true)
+
+  private def insertImpl(df: DataFrame, ignore: Boolean): Unit = {
+    val m = meta
+    val keys = m.keyCols
+    val batch = conform(m, assignAutoInc(m, df))
+    if (m.hasAutoInc && !df.columns.contains(AutoIncName)) {
+      // Non-unique PK: duplicates are the point; every row gets a fresh id.
+      commitDelta(m, batch.withColumn(OpCol, lit(OpUpsert)),
+        if (ignore) "insert_ignore" else "insert")
+      return
+    }
+    if (!ignore) {
+      val dupIn = batch.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+      if (dupIn.limit(1).count() > 0)
+        throw new PrimaryKeyException(s"duplicate keys within INSERT batch on ${m.name}")
+      val existing = scanMeta(m).select(keys.map(col): _*)
+      val clash = batch.join(existing, keys, "left_semi")
+      if (clash.limit(1).count() > 0) {
+        val sample = clash.select(keys.map(col): _*).limit(3).collect().mkString(",")
+        throw new PrimaryKeyException(s"INSERT key already present in ${m.name}: $sample")
+      }
+      commitDelta(m, batch.withColumn(OpCol, lit(OpUpsert)), "insert")
+    } else {
+      val existing = scanMeta(m).select(keys.map(col): _*)
+      val fresh = batch.dropDuplicates(keys).join(existing, keys, "left_anti")
+      commitDelta(m, fresh.withColumn(OpCol, lit(OpUpsert)), "insert_ignore")
+    }
+  }
+
+  /** UPSERT: insert-or-replace by PK (W3 — the Spark sink's default op,
+    * kudu-spark DefaultSource.scala:270-272). */
+  def upsert(df: DataFrame): Unit = {
+    val m = meta
+    require(!m.hasAutoInc || df.columns.contains(AutoIncName),
+      s"UPSERT on non-unique-PK table ${m.name} must carry $AutoIncName " +
+        "(from scanWithHidden) to address individual rows")
+    val batch = conform(m, df).dropDuplicates(m.keyCols)
+    commitDelta(m, batch.withColumn(OpCol, lit(OpUpsert)), "upsert")
+  }
+
+  /** UPDATE / UPDATE_IGNORE: mutate existing rows; `df` carries the PK plus
+    * any subset of non-key columns to set (W4, KuduContext.updateRows:319).
+    * Missing PKs error unless ignore. */
+  def update(df: DataFrame, ignore: Boolean = false): Unit = {
+    val m = meta
+    val keys = m.keyCols
+    val setCols = df.columns.filterNot(keys.contains).toSeq
+    require(setCols.nonEmpty, "UPDATE batch must set at least one non-key column")
+    val updates = df.dropDuplicates(keys)
+    val existing = scanMeta(m)
+    if (!ignore) {
+      val missing = updates.join(existing.select(keys.map(col): _*), keys, "left_anti")
+      if (missing.limit(1).count() > 0)
+        throw new PrimaryKeyException(s"UPDATE key not found in ${m.name}")
+    }
+    val u = updates.select(updates.columns.map(c =>
+      if (keys.contains(c)) col(c) else col(c).as(s"_set_$c")): _*)
+    val merged = existing.join(u, keys, "inner").select(
+      m.columns.map { c =>
+        if (setCols.contains(c.name)) col(s"_set_${c.name}").cast(c.dataType).as(c.name)
+        else col(c.name)
+      }: _*)
+    commitDelta(m, merged.withColumn(OpCol, lit(OpUpsert)),
+      if (ignore) "update_ignore" else "update")
+  }
+
+  /** SQL-style UPDATE ... SET ... WHERE — materializes the updated rows. */
+  def updateWhere(condition: Column, set: Map[String, Column]): Unit = {
+    val m = meta
+    val updated = scanMeta(m).filter(condition).select(
+      m.columns.map { c =>
+        set.get(c.name).map(_.cast(c.dataType).as(c.name)).getOrElse(col(c.name))
+      }: _*)
+    commitDelta(m, updated.withColumn(OpCol, lit(OpUpsert)), "update")
+  }
+
+  /** DELETE / DELETE_IGNORE by PK (W5, KuduContext.deleteRows:355);
+    * tombstone delta rows. */
+  def delete(keysDf: DataFrame, ignore: Boolean = false): Unit = {
+    val m = meta
+    val keys = m.keyCols
+    val k = keysDf.select(keys.map(col): _*).dropDuplicates(keys)
+    if (!ignore) {
+      val missing = k.join(scanMeta(m).select(keys.map(col): _*), keys, "left_anti")
+      if (missing.limit(1).count() > 0)
+        throw new PrimaryKeyException(s"DELETE key not found in ${m.name}")
+    }
+    val tombstones = k.select(m.columns.map { c =>
+      if (keys.contains(c.name)) col(c.name) else lit(null).cast(c.dataType).as(c.name)
+    }: _*)
+    commitDelta(m, tombstones.withColumn(OpCol, lit(OpDelete)),
+      if (ignore) "delete_ignore" else "delete")
+  }
+
+  /** DELETE WHERE — resolves matching PKs at current snapshot then deletes. */
+  def deleteWhere(condition: Column): Unit = {
+    val m = meta
+    val keys = scanMeta(m).filter(condition).select(m.keyCols.map(col): _*)
+    val tombstones = keys.select(m.columns.map { c =>
+      if (m.keyCols.contains(c.name)) col(c.name)
+      else lit(null).cast(c.dataType).as(c.name)
+    }: _*)
+    commitDelta(m, tombstones.withColumn(OpCol, lit(OpDelete)), "delete")
+  }
+
+  // ---------------------------------------------------------- maintenance
+
+  /** Merge deltas into a fresh hash/range-partitioned, PK-sorted base and
+    * clear the delta set (minor+major delta compaction + rowset merge analog,
+    * tablet/compaction.cc, tablet/delta_compaction.cc). */
+  def compact(): Unit = {
+    val m = meta
+    val v = m.version + 1
+    val snapshot = scanMeta(m)
+    val files = writeBase(m, snapshot, v)
+    TableMeta.write(m.copy(version = v, timestampMs = now(), operation = "compact",
+      baseFiles = files, deltaFiles = Nil))
+  }
+
+  // ------------------------------------------------------ schema evolution
+
+  /** ADD_COLUMN (D2, master/master.proto:795-802). Old files readable; the
+    * new column is filled from `default` on read. */
+  def addColumn(colName: String, dataType: DataType, nullable: Boolean = true,
+      default: Option[String] = None): Unit = {
+    val m = meta
+    require(!m.columns.exists(_.name == colName), s"column exists: $colName")
+    val used = m.columns.map(_.physName).toSet ++ m.retiredPhysNames
+    val phys = if (used.contains(colName)) s"${colName}_cid${m.nextColId}" else colName
+    val cm = ColumnMeta(m.nextColId, colName, phys, dataType.json, nullable,
+      isKey = false, defaultValue = default)
+    bumpMeta(m.copy(columns = m.columns :+ cm, nextColId = m.nextColId + 1), "add_column")
+  }
+
+  /** RENAME_COLUMN — logical name only; files keep the physical name, so no
+    * rewrite (the point of id-based schemas, common/schema.h:723). */
+  def renameColumn(from: String, to: String): Unit = {
+    val m = meta
+    require(m.columns.exists(_.name == from), s"no such column: $from")
+    require(!m.columns.exists(_.name == to), s"column exists: $to")
+    bumpMeta(m.copy(columns = m.columns.map(c =>
+      if (c.name == from) c.copy(name = to) else c)), "rename_column")
+  }
+
+  /** DROP_COLUMN — metadata-only; physName is retired so a later add of the
+    * same name can't resurrect old file data. */
+  def dropColumn(colName: String): Unit = {
+    val m = meta
+    val cm = m.column(colName)
+    require(!cm.isKey, s"cannot drop key column $colName")
+    bumpMeta(m.copy(columns = m.columns.filterNot(_.name == colName),
+      retiredPhysNames = m.retiredPhysNames :+ cm.physName), "drop_column")
+  }
+
+  private def bumpMeta(m: TableMeta, op: String): Unit =
+    TableMeta.write(m.copy(version = m.version + 1, timestampMs = now(), operation = op))
+
+  // ------------------------------------------------------------- helpers
+
+  /** Assigns hidden auto-increment ids to an incoming batch that lacks them
+    * (per-user-key sequence continuing past the current max — the analog of
+    * per-tablet assignment, integration-tests/auto_incrementing-itest.cc). */
+  private def assignAutoInc(m: TableMeta, df: DataFrame): DataFrame = {
+    if (!m.hasAutoInc || df.columns.contains(AutoIncName)) return df
+    val userKeys = m.userKeyCols
+    val maxes = scanMeta(m)
+      .groupBy(userKeys.map(col): _*)
+      .agg(max(col(AutoIncName)).as("_graft_maxid"))
+    val orderCols = df.columns.filterNot(userKeys.contains).map(col).toSeq
+    val w = Window.partitionBy(userKeys.map(col): _*)
+      .orderBy((if (orderCols.nonEmpty) orderCols else Seq(lit(1))): _*)
+    df.join(maxes, userKeys, "left")
+      .withColumn(AutoIncName,
+        coalesce(col("_graft_maxid"), lit(0L)) + row_number().over(w))
+      .drop("_graft_maxid")
+  }
+
+  /** Casts/raises a batch to exactly the current schema (write defaults
+    * applied for absent columns — ColumnSchemaPB write_default). */
+  private def conform(m: TableMeta, df: DataFrame): DataFrame = {
+    val cols = m.columns.map { c =>
+      if (df.columns.contains(c.name)) col(c.name).cast(c.dataType).as(c.name)
+      else defaultLit(c).as(c.name)
+    }
+    df.select(cols: _*)
+  }
+
+  private def commitDelta(m: TableMeta, rows: DataFrame, op: String): Unit = {
+    val v = m.version + 1
+    val dir = Paths.get(location, "data", s"c${v}_delta").toString
+    val out = rows.withColumn(SeqCol, lit(v))
+    val physCols = m.columns.map(c => col(c.name).cast(c.dataType).as(c.physName)) ++
+      Seq(col(OpCol), col(SeqCol))
+    // Deltas stay small between compactions; a few sorted files keep the
+    // merge-on-read broadcast cheap. Sort by PK for row-group stats.
+    out.select(physCols: _*)
+      .repartition(DeltaWritePartitions)
+      .sortWithinPartitions(m.columns.filter(_.isKey).map(c => col(c.physName)): _*)
+      .write.mode("overwrite").parquet(dir)
+    val files = listParquet(dir).map { p =>
+      DataFileMeta(p, "delta", v, -1L, m.columns.map(_.id))
+    }
+    TableMeta.write(m.copy(version = v, timestampMs = now(), operation = op,
+      deltaFiles = m.deltaFiles ++ files))
+  }
+
+  /** Writes `df` as the base fileset for commit `v`: hash-bucket (+ range)
+    * partition dirs, PK-sorted within each file — one writer per "tablet"
+    * (KuduContext.repartitionRows:464-509 analog). */
+  private[table] def writeBase(m: TableMeta, df: DataFrame, v: Long): Seq[DataFileMeta] = {
+    val dir = Paths.get(location, "data", s"c${v}_base").toString
+    val physCols = m.columns.map(c => col(c.name).cast(c.dataType).as(c.physName))
+    var out = df.select(physCols: _*)
+    val partCols = ArrayBuffer[String]()
+    if (m.hash.nonEmpty) {
+      out = out.withColumn(BucketCol, bucketExpr(m, n => col(m.column(n).physName)))
+      partCols += BucketCol
+    }
+    m.range.foreach { r =>
+      out = out.withColumn(RangeCol, rangeKeyExpr(r, col(m.column(r.col).physName)))
+      partCols += RangeCol
+    }
+    val keysPhys = m.columns.filter(_.isKey).map(c => col(c.physName))
+    val writer =
+      if (partCols.nonEmpty)
+        out.repartition(partCols.toSeq.map(col): _*)
+          .sortWithinPartitions(partCols.toSeq.map(col) ++ keysPhys: _*)
+          .write.partitionBy(partCols.toSeq: _*)
+      else out.sort(keysPhys: _*).write
+    writer.mode("overwrite").parquet(dir)
+    listParquet(dir).map { p =>
+      DataFileMeta(p, "base", v, -1L, m.columns.map(_.id),
+        bucket = partFromPath(p, BucketCol).map(_.toInt),
+        rangeKey = partFromPath(p, RangeCol))
+    }
+  }
+}
+
+object GraftTable {
+  /** Hidden key column backing non-unique PKs (Schema.java:44-48). */
+  val AutoIncName = "auto_incrementing_id"
+  val OpCol = "_graft_op"
+  val SeqCol = "_graft_seq"
+  val RnCol = "_graft_rn"
+  val BucketCol = "_b"
+  val RangeCol = "_r"
+  val DeletedCol = "_deleted"
+  val OpUpsert = "U"
+  val OpDelete = "D"
+  /** Delta filesets below this total size are broadcast in merge-on-read. */
+  val BroadcastDeltaBytes: Long = 256L * 1024 * 1024
+  val DeltaWritePartitions = 4
+
+  private[table] def now(): Long = System.currentTimeMillis()
+
+  /** Read-default for a column absent from a file or write batch
+    * (ColumnSchemaPB read_default_value, common/common.proto:134-177). */
+  private[table] def defaultLit(c: ColumnMeta): Column =
+    c.defaultValue match {
+      case Some(v) => lit(v).cast(c.dataType)
+      case None    => lit(null).cast(c.dataType)
+    }
+
+  /** Multi-level hash-bucket id: fold over hash components
+    * (PartitionSchema::EncodeKey analog, common/partition.cc). */
+  def bucketExpr(m: TableMeta, resolve: String => Column): Column =
+    m.hash.foldLeft(lit(0)) { (acc, hc) =>
+      acc * hc.buckets + pmod(hash(hc.cols.map(resolve): _*), lit(hc.buckets))
+    }
+
+  def totalBuckets(m: TableMeta): Int = m.hash.map(_.buckets).product
+
+  def rangeKeyExpr(r: RangeComponent, c: Column): Column = r.granularity match {
+    case "year"  => coalesce(date_format(c, "yyyy"), lit("__null"))
+    case "month" => coalesce(date_format(c, "yyyy-MM"), lit("__null"))
+    case "day"   => coalesce(date_format(c, "yyyy-MM-dd"), lit("__null"))
+    case _       => coalesce(c.cast(StringType), lit("__null"))
+  }
+
+  private def partFromPath(p: String, partCol: String): Option[String] =
+    s"/$partCol=([^/]+)/".r.findFirstMatchIn(p).map(_.group(1))
+
+  private[table] def listParquet(dir: String): Seq[String] = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return Nil
+    val out = ArrayBuffer[String]()
+    Files.walk(root).iterator().asScala.foreach { p =>
+      val s = p.toString
+      if (s.endsWith(".parquet") && Files.isRegularFile(p)) out += s
+    }
+    out.toSeq.sorted
+  }
+
+  private[table] def fileSize(p: String): Long =
+    try Files.size(Paths.get(p)) catch { case _: Exception => 0L }
+
+  /** CreateTable (D1, master/catalog_manager.h:671; KuduContext.createTable
+    * :221): defines schema+PK+partitioning, optionally bulk-loads `data` as
+    * the initial base fileset. */
+  private def buildColumns(schema: StructType, keys: Seq[String],
+      nonUniqueKey: Boolean): Seq[ColumnMeta] = {
+    // PK columns first, non-nullable, as the reference requires
+    // (common/schema.h: key is a non-nullable prefix). A non-unique key gets
+    // the hidden auto_incrementing_id appended (common/schema.h:263-264).
+    val ordered = keys.map(k => schema(k)) ++ schema.fields.filterNot(f => keys.contains(f.name))
+    val base = ordered.zipWithIndex.map { case (f, i) =>
+      ColumnMeta(i, f.name, f.name, f.dataType.json,
+        nullable = f.nullable && !keys.contains(f.name), isKey = keys.contains(f.name))
+    }
+    if (!nonUniqueKey) base.toSeq
+    else {
+      val visible = base.toSeq
+      val auto = ColumnMeta(visible.length, AutoIncName, AutoIncName, LongType.json,
+        nullable = false, isKey = true, isAutoInc = true)
+      // keys (incl hidden) first, then non-keys
+      val (ks, nks) = visible.partition(_.isKey)
+      ks ++ Seq(auto) ++ nks
+    }
+  }
+
+  /** Deterministic initial auto-id assignment for a bulk load: per-user-key
+    * sequence ordered by the remaining columns. */
+  private def withInitialAutoIds(columns: Seq[ColumnMeta], df: DataFrame): DataFrame = {
+    val userKeys = columns.filter(c => c.isKey && !c.isAutoInc).map(_.name)
+    val others = df.columns.filterNot(userKeys.contains).map(col).toSeq
+    val w = Window.partitionBy(userKeys.map(col): _*)
+      .orderBy((if (others.nonEmpty) others else Seq(lit(1))): _*)
+    df.withColumn(AutoIncName, row_number().over(w).cast(LongType))
+  }
+
+  def create(
+      spark: SparkSession,
+      location: String,
+      name: String,
+      schema: StructType,
+      keys: Seq[String],
+      hash: Seq[HashComponent] = Nil,
+      range: Option[RangeComponent] = None,
+      data: Option[DataFrame] = None,
+      nonUniqueKey: Boolean = false): GraftTable = {
+    require(keys.nonEmpty, "primary key required")
+    keys.foreach(k => require(schema.fieldNames.contains(k), s"key column $k not in schema"))
+    val columns = buildColumns(schema, keys, nonUniqueKey)
+    val m0 = TableMeta(name, location, 1L, now(), "create",
+      columns, columns.length, hash, range, Nil, Nil, Nil)
+    val t = new GraftTable(spark, location)
+    val withData = data match {
+      case Some(df0) =>
+        val df = if (nonUniqueKey) withInitialAutoIds(columns, df0) else df0
+        val conformed = df.select(columns.map(c =>
+          col(c.name).cast(c.dataType).as(c.name)): _*)
+        m0.copy(baseFiles = t.writeBase(m0, conformed, 1L))
+      case None => m0
+    }
+    TableMeta.write(withData)
+    t
+  }
+
+  /**
+   * Zero-copy registration of existing Parquet as an engine table: the raw
+   * files become the v1 base fileset (no rewrite — the analog of an external
+   * table handoff). Mutations from here on commit as deltas beside the
+   * metadata at `location`; the raw files are never touched.
+   */
+  def register(
+      spark: SparkSession,
+      location: String,
+      name: String,
+      rawParquetPath: String,
+      keys: Seq[String],
+      hash: Seq[HashComponent] = Nil,
+      range: Option[RangeComponent] = None,
+      nonUniqueKey: Boolean = false): GraftTable = {
+    val rawDf = spark.read.parquet(rawParquetPath)
+    if (nonUniqueKey)
+      // Hidden ids must exist physically → materialize the base once.
+      return create(spark, location, name, rawDf.schema, keys, hash, range,
+        data = Some(rawDf), nonUniqueKey = true)
+    val schema = rawDf.schema
+    val columns = buildColumns(schema, keys, nonUniqueKey = false)
+    val raw = Paths.get(rawParquetPath)
+    val files =
+      (if (Files.isDirectory(raw)) listParquet(rawParquetPath) else Seq(rawParquetPath))
+        .map(p => DataFileMeta(p, "base", 1L, -1L, columns.map(_.id)))
+    val m = TableMeta(name, location, 1L, now(), "register",
+      columns, columns.length, hash, range, Nil, files, Nil)
+    TableMeta.write(m)
+    new GraftTable(spark, location)
+  }
+
+  def load(spark: SparkSession, location: String): GraftTable = {
+    require(TableMeta.exists(location), s"no graft table at $location")
+    new GraftTable(spark, location)
+  }
+
+  def exists(location: String): Boolean = TableMeta.exists(location)
+}

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.HashComponent
+import graft.table.{GraftTable, PrimaryKeyException}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-spec-").toString
+
+  private def kv(rows: (Int, String)*): DataFrame =
+    rows.toDF("k", "v")
+
+  private def newKv(rows: (Int, String)*): GraftTable =
+    GraftTable.create(spark, tmp(), "kv",
+      StructType(Seq(StructField("k", IntegerType, false), StructField("v", StringType))),
+      keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), 2)),
+      data = if (rows.isEmpty) None else Some(kv(rows: _*)))
+
+  private def asMap(t: GraftTable): Map[Int, String] =
+    t.scan().collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+
+  test("create + bulk load + scan") {
+    val t = newKv(1 -> "a", 2 -> "b", 3 -> "c")
+    assert(asMap(t) == Map(1 -> "a", 2 -> "b", 3 -> "c"))
+    assert(t.currentVersion == 1L)
+  }
+
+  test("insert errors on existing PK; insertIgnore skips") {
+    val t = newKv(1 -> "a")
+    t.insert(kv(2 -> "b"))
+    assert(asMap(t) == Map(1 -> "a", 2 -> "b"))
+    intercept[PrimaryKeyException] { t.insert(kv(2 -> "x")) }
+    t.insertIgnore(kv(2 -> "x", 3 -> "c"))
+    assert(asMap(t) == Map(1 -> "a", 2 -> "b", 3 -> "c"))
+  }
+
+  test("upsert replaces; delete tombstones; re-insert after delete") {
+    val t = newKv(1 -> "a", 2 -> "b")
+    t.upsert(kv(2 -> "B", 3 -> "C"))
+    assert(asMap(t) == Map(1 -> "a", 2 -> "B", 3 -> "C"))
+    t.delete(Seq(2).toDF("k"))
+    assert(asMap(t) == Map(1 -> "a", 3 -> "C"))
+    intercept[PrimaryKeyException] { t.delete(Seq(2).toDF("k")) }
+    t.delete(Seq(2).toDF("k"), ignore = true)
+    t.insert(kv(2 -> "b2")) // re-insert after delete must win over tombstone
+    assert(asMap(t) == Map(1 -> "a", 2 -> "b2", 3 -> "C"))
+  }
+
+  test("update strict vs ignore; updateWhere") {
+    val t = newKv(1 -> "a", 2 -> "b")
+    t.update(kv(1 -> "A"))
+    assert(asMap(t) == Map(1 -> "A", 2 -> "b"))
+    intercept[PrimaryKeyException] { t.update(kv(9 -> "x")) }
+    t.update(kv(9 -> "x", 2 -> "B"), ignore = true)
+    assert(asMap(t) == Map(1 -> "A", 2 -> "B"))
+    t.updateWhere($"k" === 1, Map("v" -> lower($"v")))
+    assert(asMap(t) == Map(1 -> "a", 2 -> "B"))
+  }
+
+  test("snapshot time-travel + compaction preserves state and versions") {
+    val t = newKv(1 -> "a", 2 -> "b")
+    val v1 = t.currentVersion
+    t.upsert(kv(1 -> "A2"))
+    t.deleteWhere($"k" === 2)
+    val v3 = t.currentVersion
+    assert(asMap(t) == Map(1 -> "A2"))
+    // historical read
+    val hist = t.scan(Some(v1)).collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(hist == Map(1 -> "a", 2 -> "b"))
+    t.compact()
+    assert(asMap(t) == Map(1 -> "A2"))
+    assert(t.meta.deltaFiles.isEmpty)
+    // diff scan v1 -> v3: k=1 changed, k=2 deleted
+    val ch = t.changes(v1, v3).collect()
+      .map(r => r.getInt(0) -> r.getBoolean(r.length - 1)).toMap
+    assert(ch == Map(1 -> false, 2 -> true))
+  }
+
+  test("schema evolution: add/rename/drop with old files readable") {
+    val t = newKv(1 -> "a")
+    t.addColumn("tier", StringType, nullable = false, default = Some("basic"))
+    t.renameColumn("v", "val")
+    val rows = t.scan().select("k", "val", "tier").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet ==
+      Set((1, "a", "basic")))
+    t.upsert(Seq((2, "b", "gold")).toDF("k", "val", "tier"))
+    t.dropColumn("tier")
+    assert(t.scan().columns.toSeq == Seq("k", "val"))
+    assert(t.scan().collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+      Map(1 -> "a", 2 -> "b"))
+    // re-adding a dropped name must not resurrect old data
+    t.addColumn("tier", StringType, default = Some("fresh"))
+    val again = t.scan().collect().map(r => (r.getInt(0), r.getString(2))).toMap
+    assert(again == Map(1 -> "fresh", 2 -> "fresh"))
+  }
+
+  test("register existing parquet zero-copy and mutate via deltas") {
+    val dir = tmp()
+    kv(1 -> "a", 2 -> "b").write.parquet(s"$dir/raw")
+    val t = GraftTable.register(spark, s"$dir/meta", "kv", s"$dir/raw", Seq("k"))
+    assert(asMap(t) == Map(1 -> "a", 2 -> "b"))
+    t.upsert(kv(2 -> "B"))
+    assert(asMap(t) == Map(1 -> "a", 2 -> "B"))
+    // raw files untouched
+    assert(spark.read.parquet(s"$dir/raw").count() == 2)
+  }
+}
