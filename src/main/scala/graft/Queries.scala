@@ -1,0 +1,424 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog.HashComponent
+import graft.table.{GraftTable, PrimaryKeyException}
+
+/** Row type for the events streaming replay (Q18/Q26). */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/**
+ * The §2.6 declared correctness queries (SURVEY.md): each entry returns a
+ * DataFrame whose rows/columns hash-match the DuckDB oracle SQL in
+ * [[Queries.oracleSql]] over the same raw parquet tables. Scan queries go
+ * through the engine read path (Tables.readonly → GraftTable.scan); mutation
+ * queries script their ops on a fresh scratch table.
+ */
+object Queries {
+  private val streamSeq = new AtomicInteger(0)
+
+  private def tmpLoc(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // Shorthand used throughout.
+  private def scan(s: SparkSession, dir: String, t: String): DataFrame =
+    Tables.scan(s, dir, t)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scan-side operators -------------------------------------------
+    "q1_scan_project" -> ((s, dir) => {
+      scan(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q2_mor_upsert_delete" -> ((s, dir) => {
+      // Merge-on-read correctness: upsert a deterministic sample with
+      // l_quantity+100, delete l_orderkey%97=0, scan (S3/S6).
+      val t = Tables.scratch(s, dir, "lineitem")
+      val mod = t.scanWithHidden().filter(col("l_orderkey") % 100 === 1)
+        .withColumn("l_quantity", col("l_quantity") + 100)
+      t.upsert(mod)
+      t.deleteWhere(col("l_orderkey") % 97 === 0)
+      t.scan().orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q3_pushdown_agg" -> ((s, dir) => {
+      scan(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast("decimal(28,2)")).as("sum_price"))
+    }),
+
+    "q4_pk_range" -> ((s, dir) => {
+      scan(s, dir, "orders")
+        .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000)
+        .orderBy("o_orderkey")
+    }),
+
+    "q5_limit" -> ((s, dir) => {
+      scan(s, dir, "orders").select("o_orderkey").orderBy("o_orderkey").limit(100)
+    }),
+
+    "q6_count_only" -> ((s, dir) => {
+      scan(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q7_diff_scan" -> ((s, dir) => {
+      // Diff scan (S11): changed rows between two snapshots as (pk, _deleted).
+      val t = Tables.scratch(s, dir, "orders")
+      val v1 = t.currentVersion
+      t.upsert(t.scan().filter(col("o_orderkey") % 50 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000))
+      t.deleteWhere(col("o_orderkey") % 97 === 0)
+      t.changes(v1, t.currentVersion)
+        .select(col("o_orderkey"), col("_deleted")).orderBy("o_orderkey")
+    }),
+
+    "q8_null_pred" -> ((s, dir) => {
+      scan(s, dir, "events").agg(
+        count(when(col("props").isNull, lit(1))).as("null_cnt"),
+        count(col("props")).as("notnull_cnt"))
+    }),
+
+    "q9_in_list" -> ((s, dir) => {
+      scan(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q10_semi_join" -> ((s, dir) => {
+      // Bloom-filter predicate analog (P5): broadcast build side → semi join
+      // runtime-filters the probe scan.
+      val parts = scan(s, dir, "part").filter(col("p_size") === 5)
+        .select(col("p_partkey").as("l_partkey"))
+      scan(s, dir, "lineitem")
+        .join(broadcast(parts), Seq("l_partkey"), "left_semi")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q11_contradiction" -> ((s, dir) => {
+      // Contradictory predicates fold to an empty relation (P6) — Catalyst
+      // BooleanSimplification + PropagateEmptyRelation, no scan.
+      scan(s, dir, "orders")
+        .filter(col("o_orderkey") < 10 && col("o_orderkey") > 20)
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q12_prefix" -> ((s, dir) => {
+      scan(s, dir, "part").filter(col("p_name").startsWith("sma"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ---- write/DDL operators -------------------------------------------
+    "q13_create_insert" -> ((s, dir) => {
+      val raw = Tables.raw(s, dir, "region")
+      val t = GraftTable.create(s, tmpLoc("graft-q13-"), "region_q13",
+        raw.schema, Seq("r_regionkey"), Seq(HashComponent(Seq("r_regionkey"), 2)))
+      t.insert(raw)
+      val dupRejected =
+        try { t.insert(raw.limit(1)); false }
+        catch { case _: PrimaryKeyException => true }
+      if (!dupRejected)
+        throw new IllegalStateException("INSERT of existing PK must fail (W1)")
+      t.scan().orderBy("r_regionkey")
+    }),
+
+    "q14_insert_ignore" -> ((s, dir) => {
+      val t = Tables.scratch(s, dir, "region")
+      val modified = Tables.raw(s, dir, "region").withColumn("r_name",
+        when(col("r_regionkey") <= 1, upper(col("r_name"))).otherwise(col("r_name")))
+      t.insertIgnore(modified) // every PK exists → table unchanged
+      t.scan().orderBy("r_regionkey")
+    }),
+
+    "q15_upsert" -> ((s, dir) => {
+      val t = Tables.scratch(s, dir, "nation")
+      t.upsert(t.scan().filter(col("n_nationkey") % 5 === 0)
+        .withColumn("n_name", concat(col("n_name"), lit("_x"))))
+      t.scan().orderBy("n_nationkey")
+    }),
+
+    "q16_update" -> ((s, dir) => {
+      val t = Tables.scratch(s, dir, "customer")
+      t.updateWhere(col("c_nationkey") === 7,
+        Map("c_acctbal" -> (col("c_acctbal") * 1.1)))
+      t.scan().orderBy("c_custkey")
+    }),
+
+    "q17_delete" -> ((s, dir) => {
+      val t = Tables.scratch(s, dir, "orders")
+      t.deleteWhere(col("o_orderstatus") === "F")
+      t.scan().orderBy("o_orderkey")
+    }),
+
+    "q18_stream_upsert" -> ((s, dir) => {
+      // Streaming upsert sink (W8, KuduSink analog): replay events in 10
+      // micro-batches; batch b carries class-b rows plus overwrites of
+      // class-(b-1) rows with value+1000 — last write wins per event_id.
+      import s.implicits._
+      val raw = Tables.raw(s, dir, "events")
+      val t = GraftTable.create(s, tmpLoc("graft-q18-"), "events_q18",
+        raw.schema, Seq("event_id"), Seq(HashComponent(Seq("event_id"), 4)))
+      val all = raw.as[Ev].collect()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ms = MemoryStream[Ev]
+      val q = ms.toDF().writeStream
+        .outputMode("update")
+        .foreachBatch((batch: DataFrame, _: Long) => t.upsert(batch))
+        .start()
+      try {
+        for (b <- 0 until 10) {
+          val fresh = all.filter(_.event_id % 10 == b)
+          val overwrite =
+            if (b == 0) Array.empty[Ev]
+            else all.filter(_.event_id % 10 == b - 1).map(e => e.copy(value = e.value + 1000))
+          ms.addData(fresh ++ overwrite)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      t.scan().orderBy("event_id")
+    }),
+
+    "q19_schema_evolution" -> ((s, dir) => {
+      val t = Tables.scratch(s, dir, "customer")
+      t.addColumn("c_tier", StringType, nullable = false, default = Some("basic"))
+      t.renameColumn("c_name", "c_fullname")
+      t.dropColumn("c_acctbal")
+      t.scan().orderBy("c_custkey")
+    }),
+
+    // ---- relational pass-through over engine tables --------------------
+    "q20_join_agg" -> ((s, dir) => {
+      val cust = scan(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = scan(s, dir, "orders")
+        .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      val li = scan(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")).cast("decimal(38,6)").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    }),
+
+    "q21_tpch_q1" -> ((s, dir) => {
+      val dec2 = (c: String) => col(c).cast("decimal(28,2)")
+      val li = scan(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2("l_quantity")).as("sum_qty"),
+          sum(dec2("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(28,6)")).as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).cast("decimal(28,6)")).as("sum_charge"),
+          (sum(dec2("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec2("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(col("l_discount").cast("decimal(28,4)")).cast("double")
+            / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q22_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+      scan(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q23_set_ops" -> ((s, dir) => {
+      val o = scan(s, dir, "orders")
+      val a = o.filter(col("o_orderkey").between(0, 1000)).select("o_orderkey")
+      val b = o.filter(col("o_orderkey").between(500, 1500)).select("o_orderkey")
+      a.intersect(b).withColumn("tag", lit("i"))
+        .unionByName(a.except(b).withColumn("tag", lit("e")))
+        .orderBy("tag", "o_orderkey")
+    }),
+
+    "q24_rollup" -> ((s, dir) => {
+      scan(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q25_scalar" -> ((s, dir) => {
+      scan(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        floor(col("o_totalprice")).as("price_floor"),
+        abs(col("o_totalprice") - 1000.0).as("price_dist"),
+        substring(col("o_orderpriority"), 1, 3).as("prio3"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q25_array" -> ((s, dir) => {
+      scan(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_val"),
+        col("label"))
+        .orderBy("vec_id")
+    }),
+
+    "q26_stream_window" -> ((s, dir) => {
+      // Tumbling 1-hour counts per event_type with a 15-min watermark
+      // (Structured Streaming; chronological replay → nothing late-dropped;
+      // a far-future sentinel batch flushes the last windows in append mode).
+      import s.implicits._
+      val all = Tables.raw(s, dir, "events").as[Ev].collect().sortBy(_.ts.getTime)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ms = MemoryStream[Ev]
+      val sinkName = s"graft_q26_sink_${streamSeq.incrementAndGet()}"
+      val q = ms.toDF()
+        .withWatermark("ts", "15 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .count()
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .start()
+      try {
+        val chunk = math.max(1, all.length / 10)
+        all.grouped(chunk).foreach { batch => ms.addData(batch.toSeq); q.processAllAvailable() }
+        val lastTs = new java.sql.Timestamp(all.last.ts.getTime + 2 * 3600 * 1000)
+        ms.addData(Ev(-1L, lastTs, -1L, "zz_sentinel", 0.0, null))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sinkName)
+        .filter(col("event_type") =!= "zz_sentinel")
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("count").as("cnt"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    "q27_approx_distinct" -> ((s, dir) => {
+      // HLL sketch vs exact: emit the exact count (hash-matched against the
+      // oracle) plus a boolean asserting the sketch landed within 2%.
+      scan(s, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("cnt_d"),
+          approx_count_distinct(col("l_partkey"), 0.005).as("approx"))
+        .select(col("cnt_d"),
+          (abs(col("approx") - col("cnt_d")).cast("double") / col("cnt_d") <= 0.02)
+            .as("approx_ok"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q2_mor_upsert_delete" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+        "CASE WHEN l_orderkey % 100 = 1 THEN l_quantity + 100 ELSE l_quantity END AS l_quantity, " +
+        "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate " +
+        "FROM lineitem WHERE l_orderkey % 97 <> 0 ORDER BY l_orderkey, l_linenumber"),
+    "q3_pushdown_agg" ->
+      ("SELECT count(*) AS cnt, sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS sum_price " +
+        "FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'"),
+    "q4_pk_range" ->
+      "SELECT * FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000 ORDER BY o_orderkey",
+    "q5_limit" ->
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q6_count_only" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "q7_diff_scan" ->
+      ("SELECT o_orderkey, false AS _deleted FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 97 <> 0 " +
+        "UNION ALL SELECT o_orderkey, true AS _deleted FROM orders WHERE o_orderkey % 97 = 0 " +
+        "ORDER BY o_orderkey"),
+    "q8_null_pred" ->
+      ("SELECT count(CASE WHEN props IS NULL THEN 1 END) AS null_cnt, " +
+        "count(props) AS notnull_cnt FROM events"),
+    "q9_in_list" ->
+      "SELECT count(*) AS cnt FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')",
+    "q10_semi_join" ->
+      "SELECT count(*) AS cnt FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 5)",
+    "q11_contradiction" ->
+      "SELECT count(*) AS cnt FROM orders WHERE o_orderkey < 10 AND o_orderkey > 20",
+    "q12_prefix" ->
+      "SELECT count(*) AS cnt FROM part WHERE p_name LIKE 'sma%'",
+    "q13_create_insert" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q14_insert_ignore" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q15_upsert" ->
+      ("SELECT n_nationkey, CASE WHEN n_nationkey % 5 = 0 THEN n_name || '_x' ELSE n_name END AS n_name, " +
+        "n_regionkey FROM nation ORDER BY n_nationkey"),
+    "q16_update" ->
+      ("SELECT c_custkey, c_name, c_nationkey, " +
+        "CASE WHEN c_nationkey = 7 THEN c_acctbal * 1.1 ELSE c_acctbal END AS c_acctbal, " +
+        "c_mktsegment FROM customer ORDER BY c_custkey"),
+    "q17_delete" ->
+      "SELECT * FROM orders WHERE o_orderstatus <> 'F' ORDER BY o_orderkey",
+    "q18_stream_upsert" ->
+      ("SELECT event_id, ts, user_id, event_type, " +
+        "CASE WHEN event_id % 10 <> 9 THEN value + 1000 ELSE value END AS value, props " +
+        "FROM events ORDER BY event_id"),
+    "q19_schema_evolution" ->
+      ("SELECT c_custkey, c_name AS c_fullname, c_nationkey, c_mktsegment, 'basic' AS c_tier " +
+        "FROM customer ORDER BY c_custkey"),
+    "q20_join_agg" ->
+      ("SELECT l_orderkey, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS revenue, o_orderdate " +
+        "FROM customer, orders, lineitem " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "q21_tpch_q1" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "sum(CAST(l_quantity AS DECIMAL(28,2))) AS sum_qty, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS sum_base_price, " +
+        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS sum_disc_price, " +
+        "sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS sum_charge, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_price, " +
+        "CAST(sum(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_disc, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q22_window" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, CAST(rn AS INTEGER) AS rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn " +
+        "FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "q23_set_ops" ->
+      ("SELECT o_orderkey, 'i' AS tag FROM (" +
+        "SELECT o_orderkey FROM orders WHERE o_orderkey BETWEEN 0 AND 1000 " +
+        "INTERSECT SELECT o_orderkey FROM orders WHERE o_orderkey BETWEEN 500 AND 1500) ti " +
+        "UNION ALL SELECT o_orderkey, 'e' AS tag FROM (" +
+        "SELECT o_orderkey FROM orders WHERE o_orderkey BETWEEN 0 AND 1000 " +
+        "EXCEPT SELECT o_orderkey FROM orders WHERE o_orderkey BETWEEN 500 AND 1500) te " +
+        "ORDER BY tag, o_orderkey"),
+    "q24_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem " +
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "q25_scalar" ->
+      ("SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year, " +
+        "CAST(month(o_orderdate) AS INTEGER) AS o_month, " +
+        "CAST(floor(o_totalprice) AS BIGINT) AS price_floor, " +
+        "abs(o_totalprice - 1000.0) AS price_dist, " +
+        "substr(o_orderpriority, 1, 3) AS prio3 FROM orders ORDER BY o_orderkey"),
+    "q25_array" ->
+      ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, " +
+        "embedding[1] AS first_val, label FROM embeddings ORDER BY vec_id"),
+    "q26_stream_window" ->
+      ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt " +
+        "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
+    "q27_approx_distinct" ->
+      "SELECT count(DISTINCT l_partkey) AS cnt_d, true AS approx_ok FROM lineitem")
+}

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.catalog.{HashComponent, RangeComponent}
 import graft.table.GraftTable
@@ -69,13 +70,26 @@ object Tables {
     val spec = specs.getOrElse(table,
       throw new IllegalArgumentException(s"unknown fixture table $table"))
     Files.createDirectories(Paths.get(loc))
-    GraftTable.register(spark, loc, table, s"$sfDir/$table.parquet",
-      spec.keys, spec.hash, spec.range, spec.nonUnique)
+    if (table == "events")
+      // events.parquet carries TIMESTAMP(NANOS), unreadable as-is by Spark's
+      // vectorized reader → materialize a converted base instead of zero-copy.
+      GraftTable.create(spark, loc, table, raw(spark, sfDir, table).schema,
+        spec.keys, spec.hash, spec.range, data = Some(raw(spark, sfDir, table)))
+    else
+      GraftTable.register(spark, loc, table, s"$sfDir/$table.parquet",
+        spec.keys, spec.hash, spec.range, spec.nonUnique)
   }
 
-  /** Raw parquet read (what the DuckDB oracle sees). */
-  def raw(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+  /** Raw parquet read (what the DuckDB oracle sees). The events table's
+    * nanosecond timestamps are converted to Spark's microsecond TimestampType
+    * with integer division (matching DuckDB's ns→µs truncation). */
+  def raw(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    if (table == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$table.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$sfDir/$table.parquet")
+  }
 
   /** Scan through the engine read path. */
   def scan(spark: SparkSession, sfDir: String, table: String): DataFrame =
