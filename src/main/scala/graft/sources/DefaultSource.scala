@@ -1,0 +1,167 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.{HashComponent, RangeComponent, TableMeta}
+import graft.table.GraftTable
+
+/**
+ * `spark.read.format("graft")` / `df.write.format("graft")` — the DataSource
+ * surface, shaped after the reference's own Spark connector
+ * (kudu-spark DefaultSource.scala:85 DataSourceRegister "kudu";
+ * KuduRelation :305 BaseRelation with PrunedFilteredScan with
+ * InsertableRelation; KuduSink :538 StreamSinkProvider).
+ *
+ * Options:
+ *   graft.table.path        table location (required)
+ *   graft.operation         write op: upsert (default) | insert |
+ *                           insert-ignore (mirrors kudu.operation :73)
+ *   graft.primaryKey        comma-separated PK cols (create on first write)
+ *   graft.hash.columns / graft.hash.buckets     hash partitioning (create)
+ *   graft.range.column / graft.range.granularity  range partitioning (create)
+ *   graft.snapshotVersion   time-travel read at a version
+ *   graft.snapshotTimestampMs  time-travel read at a wall clock
+ *                           (mirrors kudu.snapshotTimestampMs :74)
+ */
+class DefaultSource extends RelationProvider with CreatableRelationProvider
+    with StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("graft.table.path",
+      parameters.getOrElse("path",
+        throw new IllegalArgumentException("graft.table.path option required")))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val loc = path(parameters)
+    val version: Option[Long] =
+      parameters.get("graft.snapshotVersion").map(_.toLong).orElse(
+        parameters.get("graft.snapshotTimestampMs")
+          .map(ts => TableMeta.versionAtTimestamp(loc, ts.toLong)))
+    GraftRelation(sqlContext, loc, version)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val loc = path(parameters)
+    val spark = sqlContext.sparkSession
+    val table =
+      if (GraftTable.exists(loc)) GraftTable.load(spark, loc)
+      else {
+        val keys = parameters.getOrElse("graft.primaryKey",
+          throw new IllegalArgumentException(
+            "graft.primaryKey required to create a new table"))
+          .split(",").map(_.trim).toSeq
+        val hash = (parameters.get("graft.hash.columns"),
+          parameters.get("graft.hash.buckets")) match {
+          case (Some(cs), Some(b)) =>
+            Seq(HashComponent(cs.split(",").map(_.trim).toSeq, b.toInt))
+          case _ => Nil
+        }
+        val range = parameters.get("graft.range.column").map(c =>
+          RangeComponent(c, parameters.getOrElse("graft.range.granularity", "year")))
+        return GraftRelation(sqlContext,
+          GraftTable.create(spark, loc, loc.split('/').last, data.schema,
+            keys, hash, range, data = Some(data)).location, None)
+      }
+    (mode, parameters.getOrElse("graft.operation", "upsert")) match {
+      case (SaveMode.Overwrite, _) =>
+        table.deleteWhere(lit(true)); table.upsert(data)
+      case (_, "insert") => table.insert(data)
+      case (_, "insert-ignore") => table.insertIgnore(data)
+      case (_, "upsert") => table.upsert(data)
+      case (_, op) => throw new IllegalArgumentException(s"unknown graft.operation: $op")
+    }
+    GraftRelation(sqlContext, loc, None)
+  }
+
+  /** Streaming upsert sink — one delta commit per micro-batch, at-least-once
+    * (KuduSink semantics, DefaultSource.scala:538-555). */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val table = GraftTable.load(sqlContext.sparkSession, path(parameters))
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // The incoming DataFrame is a streaming plan; materialize rows first.
+        val rows = data.collect()
+        val batch = sqlContext.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), data.schema)
+        table.upsert(batch)
+      }
+    }
+  }
+}
+
+/**
+ * PrunedFilteredScan relation: Catalyst hands down required columns +
+ * filters (KuduRelation.buildScan, DefaultSource.scala:374-384); we prune
+ * partitions/files from the filters, push the rest into the Parquet scans,
+ * and report unhandled filters for Spark to re-evaluate
+ * (unhandledFilters parity, DefaultSource.scala:516-523).
+ */
+case class GraftRelation(sqlContext: SQLContext, location: String,
+    version: Option[Long]) extends BaseRelation
+    with PrunedFilteredScan with InsertableRelation {
+
+  private def spark: SparkSession = sqlContext.sparkSession
+  private lazy val table = GraftTable.load(spark, location)
+  private lazy val metaAtVersion =
+    version.map(TableMeta.read(location, _)).getOrElse(table.meta)
+
+  override def schema: StructType =
+    StructType(metaAtVersion.visibleColumns.map(_.toField))
+
+  /** Table stats drive Catalyst's broadcast-join selection (the analog of
+    * the reference reporting on-disk size, DefaultSource.scala:329-352). */
+  override def sizeInBytes: Long = {
+    val m = metaAtVersion
+    (m.baseFiles ++ m.deltaFiles)
+      .map(f => GraftTable.fileSize(f.path)).sum max 1L
+  }
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val pruned = table.scanPruned(filters.toSeq, version)
+    val filtered = filters.flatMap(GraftRelation.toColumn)
+      .foldLeft(pruned)((df, c) => df.filter(c))
+    val projected =
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(requiredColumns.map(col).toSeq: _*)
+    projected.rdd
+  }
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filter(f => GraftRelation.toColumn(f).isEmpty)
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    if (overwrite) table.deleteWhere(lit(true))
+    table.upsert(data)
+  }
+}
+
+object GraftRelation {
+  /** Spark Filter → Column, for the subset the engine pushes (conjunctions
+    * of comparison/IN/NULL/prefix — the same set the reference converts,
+    * DefaultSource.scala:392-421; Or is not pushed, :516-523). */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === v)
+    case GreaterThan(a, v) => Some(col(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case LessThan(a, v) => Some(col(a) < v)
+    case LessThanOrEqual(a, v) => Some(col(a) <= v)
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case _ => None
+  }
+}

@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.DataType
+
+import graft.catalog.{DataFileMeta, HashComponent, TableMeta}
+
+/**
+ * Metadata-time partition pruning for graft tables — the Spark-native
+ * re-expression of the reference's PartitionPruner
+ * (common/partition_pruner.cc:478 Init, :181 PruneHashComponent,
+ * :651 ShouldPrune): equality/IN predicates over a hash component's columns
+ * prune hash buckets; range predicates over the range column prune range
+ * partitions. Pure metadata — no Catalyst rule needed because the relation
+ * controls its own file listing (SURVEY.md §4).
+ */
+object PartitionPruner {
+
+  /** Files surviving the filters (files without partition coordinates — e.g.
+    * zero-copy registered bases — are always kept). */
+  def pruneFiles(m: TableMeta, files: Seq[DataFileMeta], filters: Seq[Filter]): Seq[DataFileMeta] = {
+    val buckets = candidateBuckets(m, filters)
+    val (loYear, hiYear) = rangeKeyBounds(m, filters)
+    files.filter { f =>
+      val bucketOk = (buckets, f.bucket) match {
+        case (Some(keep), Some(b)) => keep.contains(b)
+        case _ => true
+      }
+      val rangeOk = f.rangeKey match {
+        case Some(rk) if rk != "__null" =>
+          loYear.forall(rk >= _) && hiYear.forall(rk <= _)
+        case _ => true
+      }
+      bucketOk && rangeOk
+    }
+  }
+
+  /**
+   * Combined bucket ids implied by the filters, or None when any hash
+   * component is unconstrained (then no bucket pruning — mirroring
+   * PruneHashComponent: pruning needs equality/IN on every column of the
+   * component).
+   */
+  def candidateBuckets(m: TableMeta, filters: Seq[Filter]): Option[Set[Int]] = {
+    if (m.hash.isEmpty) return None
+    val perComponent: Seq[Option[Set[Int]]] = m.hash.map { hc =>
+      val valueSets: Seq[Option[Seq[Any]]] = hc.cols.map(c => eqValues(c, filters))
+      if (valueSets.exists(_.isEmpty)) None
+      else {
+        // cross product of per-column values → component bucket set
+        val combos = valueSets.map(_.get).foldLeft(Seq(Seq.empty[Any])) {
+          (acc, vs) => acc.flatMap(prefix => vs.map(prefix :+ _))
+        }
+        Some(combos.map(vals => componentBucket(m, hc, vals)).toSet)
+      }
+    }
+    if (perComponent.exists(_.isEmpty)) None
+    else Some(
+      // fold matches GraftTable.bucketExpr: acc * buckets + component bucket
+      m.hash.zip(perComponent.map(_.get)).foldLeft(Set(0)) {
+        case (acc, (hc, compBuckets)) =>
+          for (a <- acc; b <- compBuckets) yield a * hc.buckets + b
+      })
+  }
+
+  /** Equality/IN values for a column from the filter conjunction. */
+  private def eqValues(colName: String, filters: Seq[Filter]): Option[Seq[Any]] =
+    filters.collectFirst {
+      case EqualTo(`colName`, v) => Seq(v)
+      case In(`colName`, vs) => vs.toSeq
+    }
+
+  /** Must match GraftTable.bucketExpr / functions.hash: Murmur3 (seed 42)
+    * over the column values cast to their table types, pmod buckets. */
+  private def componentBucket(m: TableMeta, hc: HashComponent, vals: Seq[Any]): Int = {
+    val lits = hc.cols.zip(vals).map { case (c, v) =>
+      val dt: DataType = m.column(c).dataType
+      Literal.create(Cast(Literal(v), dt, Some("UTC")).eval(null), dt)
+    }
+    val h = new Murmur3Hash(lits).eval(null).asInstanceOf[Int]
+    ((h % hc.buckets) + hc.buckets) % hc.buckets
+  }
+
+  /** [lo, hi] bounds on the range key (year-granularity) from range-column
+    * predicates; None = unbounded. */
+  private def rangeKeyBounds(m: TableMeta, filters: Seq[Filter]): (Option[String], Option[String]) =
+    m.range match {
+      case Some(r) if r.granularity == "year" =>
+        var lo: Option[String] = None
+        var hi: Option[String] = None
+        def yearOf(v: Any): Option[String] = v match {
+          case t: java.sql.Timestamp => Some(f"${t.toLocalDateTime.getYear}%04d")
+          case d: java.sql.Date => Some(f"${d.toLocalDate.getYear}%04d")
+          case i: java.time.Instant =>
+            Some(f"${i.atZone(java.time.ZoneOffset.UTC).getYear}%04d")
+          case _ => None
+        }
+        filters.foreach {
+          case GreaterThan(c, v) if c == r.col => yearOf(v).foreach(y => lo = Some(lo.fold(y)(l => if (l > y) l else y)))
+          case GreaterThanOrEqual(c, v) if c == r.col => yearOf(v).foreach(y => lo = Some(lo.fold(y)(l => if (l > y) l else y)))
+          case LessThan(c, v) if c == r.col => yearOf(v).foreach(y => hi = Some(hi.fold(y)(h => if (h < y) h else y)))
+          case LessThanOrEqual(c, v) if c == r.col => yearOf(v).foreach(y => hi = Some(hi.fold(y)(h => if (h < y) h else y)))
+          case EqualTo(c, v) if c == r.col =>
+            yearOf(v).foreach { y => lo = Some(y); hi = Some(y) }
+          case _ =>
+        }
+        (lo, hi)
+      case _ => (None, None)
+    }
+}

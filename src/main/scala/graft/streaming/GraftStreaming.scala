@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.Row
+
+import graft.table.GraftTable
+
+/**
+ * Streaming surface of the engine — the Spark-native analog of the
+ * reference's streaming pieces:
+ *
+ *  - [[upsertSink]]: at-least-once upsert sink, one delta commit per
+ *    micro-batch (reference: KuduSink, kudu-spark DefaultSource.scala:538-555;
+ *    W8 in SURVEY.md §2.3). Exactly mirrors the connector's default
+ *    operation (upsert, DefaultSource.scala:270-272).
+ *  - [[changeStream]]: an incremental change-log source that streams delta
+ *    commits as they land (reference: diff scans feeding incremental backup,
+ *    KuduBackupRDD.scala:78-80; replication java/kudu-replication). Each row
+ *    carries the row image plus `_op` (U|D) and `_seq` (commit version).
+ */
+object GraftStreaming {
+
+  /** Attach an upsert-per-micro-batch sink to a streaming DataFrame. The
+    * caller starts/stops the returned writer. */
+  def upsertSink(stream: DataFrame, table: GraftTable): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch((batch: DataFrame, _: Long) => table.upsert(batch))
+
+  /** Convenience: start the sink immediately. */
+  def startUpsertSink(stream: DataFrame, table: GraftTable): StreamingQuery =
+    upsertSink(stream, table).start()
+
+  /**
+   * Change-log stream of a graft table: a file stream over the table's delta
+   * commit directories. New mutation commits (upsert/update/delete/insert
+   * deltas) appear as new files and are emitted incrementally — the
+   * streaming equivalent of repeated diff scans. Base-only commits
+   * (initial load, compaction) do not re-emit rows, matching diff-scan
+   * semantics (logical changes only).
+   *
+   * Schema: all physical table columns (nullable) + `_graft_op` + `_graft_seq`.
+   */
+  def changeStream(spark: SparkSession, table: GraftTable): DataFrame = {
+    val m = table.meta
+    val fields = m.columns.map(c =>
+      StructField(c.physName, c.dataType, nullable = true)) ++ Seq(
+      StructField(GraftTable.OpCol, StringType, nullable = false),
+      StructField(GraftTable.SeqCol, LongType, nullable = false))
+    spark.readStream
+      .schema(StructType(fields))
+      .option("maxFilesPerTrigger", "64")
+      .parquet(s"${table.location}/data/c*_delta")
+  }
+}

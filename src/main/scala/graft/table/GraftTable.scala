@@ -67,16 +67,32 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   def scanAtTimestamp(tsMs: Long): DataFrame =
     scan(Some(TableMeta.versionAtTimestamp(location, tsMs)))
 
-  private def scanMeta(m: TableMeta): DataFrame = {
-    val base = readFileGroup(m, m.baseFiles, delta = false)
-    if (m.deltaFiles.isEmpty) base
+  /** Partition-pruned scan for the DataSource path: equality/IN filters on
+    * hash columns prune bucket files, range filters prune range partitions
+    * (SURVEY.md §4 — metadata-time pruning inside the relation). Filters are
+    * NOT applied to rows here; the caller re-applies them. */
+  def scanPruned(filters: Seq[org.apache.spark.sql.sources.Filter],
+      version: Option[Long] = None): DataFrame = {
+    val m = version.map(TableMeta.read(location, _)).getOrElse(meta)
+    val keepBase = graft.sources.PartitionPruner.pruneFiles(m, m.baseFiles, filters)
+    val full = scanFiles(m, keepBase, m.deltaFiles)
+    if (m.hasAutoInc) full.select(m.visibleColumns.map(c => col(c.name)): _*) else full
+  }
+
+  private def scanMeta(m: TableMeta): DataFrame =
+    scanFiles(m, m.baseFiles, m.deltaFiles)
+
+  private def scanFiles(m: TableMeta, baseFiles: Seq[DataFileMeta],
+      deltaFiles: Seq[DataFileMeta]): DataFrame = {
+    val base = readFileGroup(m, baseFiles, delta = false)
+    if (deltaFiles.isEmpty) base
     else {
-      val deltas = readFileGroup(m, m.deltaFiles, delta = true)
+      val deltas = readFileGroup(m, deltaFiles, delta = true)
       val keys = m.keyCols.map(col)
       val w = Window.partitionBy(keys: _*).orderBy(col(SeqCol).desc)
       val dLatest = deltas.withColumn(RnCol, row_number().over(w))
         .filter(col(RnCol) === 1).drop(RnCol)
-      val deltaBytes = m.deltaFiles.map(f => fileSize(f.path)).sum
+      val deltaBytes = deltaFiles.map(f => fileSize(f.path)).sum
       val dKeys0 = dLatest.select(m.keyCols.map(col): _*)
       val dKeys = if (deltaBytes < BroadcastDeltaBytes) broadcast(dKeys0) else dKeys0
       val live = base.join(dKeys, m.keyCols, "left_anti")
@@ -436,7 +452,7 @@ object GraftTable {
     out.toSeq.sorted
   }
 
-  private[table] def fileSize(p: String): Long =
+  def fileSize(p: String): Long =
     try Files.size(Paths.get(p)) catch { case _: Exception => 0L }
 
   /** CreateTable (D1, master/catalog_manager.h:671; KuduContext.createTable

@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{HashComponent, RangeComponent}
+import graft.table.GraftTable
+
+/**
+ * Ecosystem operations mirroring the reference's tools layer (SURVEY.md §2.5):
+ *  - [[copyTable]]   `kudu table copy` (tools/table_scanner.cc:823-1045, E2)
+ *  - [[loadgen]]     `kudu perf loadgen` / DistributedDataGenerator
+ *                    (tools/tool_action_perf.cc:37-94, E4)
+ *  - [[importCsv]] / [[exportCsv]] / [[importParquet]] / [[exportParquet]]
+ *                    ImportExportFiles (kudu-spark-tools, E5)
+ *  - [[backup]] / [[restore]]  full backup to parquet + restore
+ *                    (kudu-backup/.../KuduBackup.scala:36-110, E3; incremental
+ *                    backup = GraftTable.changes / GraftStreaming.changeStream)
+ */
+object GraftTools {
+
+  /** Copy a table's current snapshot into a new graft table (same schema,
+    * PK, and partitioning; write-type = bulk load). */
+  def copyTable(spark: SparkSession, src: GraftTable, destLocation: String): GraftTable = {
+    val m = src.meta
+    GraftTable.create(spark, destLocation, m.name,
+      org.apache.spark.sql.types.StructType(m.visibleColumns.map(_.toField)),
+      m.userKeyCols, m.hash, m.range,
+      data = Some(src.scan()), nonUniqueKey = m.hasAutoInc)
+  }
+
+  /** Deterministic data generator on `spark.range` — sequential or
+    * pseudo-random (hash-scrambled) rows, as the reference's loadgen modes. */
+  def loadgen(spark: SparkSession, rows: Long, random: Boolean = false): DataFrame = {
+    val base = spark.range(rows).toDF("id")
+    if (!random)
+      base.select(col("id"), col("id").cast("string").as("payload"))
+    else
+      base.select(
+        col("id"),
+        abs(xxhash64(col("id"))).cast("string").as("payload"))
+  }
+
+  def importCsv(spark: SparkSession, csvPath: String, table: GraftTable): Unit =
+    table.upsert(spark.read.option("header", "true")
+      .schema(org.apache.spark.sql.types.StructType(table.meta.visibleColumns.map(_.toField)))
+      .csv(csvPath))
+
+  def exportCsv(table: GraftTable, outPath: String): Unit =
+    table.scan().write.option("header", "true").mode("overwrite").csv(outPath)
+
+  def importParquet(spark: SparkSession, path: String, table: GraftTable): Unit =
+    table.upsert(spark.read.parquet(path))
+
+  def exportParquet(table: GraftTable, outPath: String): Unit =
+    table.scan().write.mode("overwrite").parquet(outPath)
+
+  /** Full backup: snapshot export to plain parquet (our storage IS parquet,
+    * so backup = materialized snapshot; E3). */
+  def backup(table: GraftTable, outPath: String, version: Option[Long] = None): Unit =
+    table.scan(version).write.mode("overwrite").parquet(outPath)
+
+  /** Restore a backup into a fresh table. */
+  def restore(spark: SparkSession, backupPath: String, destLocation: String,
+      keys: Seq[String], hash: Seq[HashComponent] = Nil,
+      range: Option[RangeComponent] = None): GraftTable = {
+    val df = spark.read.parquet(backupPath)
+    GraftTable.create(spark, destLocation, destLocation.split('/').last,
+      df.schema, keys, hash, range, data = Some(df))
+  }
+}

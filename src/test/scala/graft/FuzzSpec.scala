@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.HashComponent
+import graft.table.{GraftTable, PrimaryKeyException}
+
+/**
+ * Randomized op-sequence test against an in-memory model — mirrors the
+ * reference's fuzz-itest.cc (random INSERT/UPSERT/UPDATE/DELETE/COMPACT over
+ * a tiny keyspace, TestOpType :122-163, RunFuzzCase :761, keyspace ~5-50
+ * :78), including reads at historical snapshots (READ_AT_SNAPSHOT) and diff
+ * scans between snapshot pairs.
+ */
+class FuzzSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val Keyspace = 8
+
+  private def runCase(seed: Long, nOps: Int): Unit = {
+    val rnd = new Random(seed)
+    val loc = Files.createTempDirectory(s"graft-fuzz-$seed-").toString
+    val t = GraftTable.create(spark, loc, "kv",
+      StructType(Seq(StructField("k", IntegerType, false), StructField("v", IntegerType))),
+      keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), 2)))
+    val model = mutable.Map[Int, Option[Int]]()
+    // recorded snapshots: version -> model copy
+    val snaps = mutable.ArrayBuffer[(Long, Map[Int, Option[Int]])]()
+
+    def df(k: Int, v: Int) = Seq((k, v)).toDF("k", "v")
+    def keysDf(k: Int) = Seq(k).toDF("k")
+
+    for (i <- 0 until nOps) {
+      val k = rnd.nextInt(Keyspace)
+      val v = rnd.nextInt(1000)
+      rnd.nextInt(9) match {
+        case 0 => // INSERT: errors if present
+          if (model.contains(k)) intercept[PrimaryKeyException](t.insert(df(k, v)))
+          else { t.insert(df(k, v)); model(k) = Some(v) }
+        case 1 => // INSERT_IGNORE
+          t.insertIgnore(df(k, v))
+          if (!model.contains(k)) model(k) = Some(v)
+        case 2 => // UPSERT
+          t.upsert(df(k, v)); model(k) = Some(v)
+        case 3 => // UPDATE: errors if missing
+          if (!model.contains(k)) intercept[PrimaryKeyException](t.update(df(k, v)))
+          else { t.update(df(k, v)); model(k) = Some(v) }
+        case 4 => // UPDATE_IGNORE
+          t.update(df(k, v), ignore = true)
+          if (model.contains(k)) model(k) = Some(v)
+        case 5 => // DELETE: errors if missing
+          if (!model.contains(k)) intercept[PrimaryKeyException](t.delete(keysDf(k)))
+          else { t.delete(keysDf(k)); model.remove(k) }
+        case 6 => // DELETE_IGNORE
+          t.delete(keysDf(k), ignore = true); model.remove(k)
+        case 7 => // COMPACT (no logical change)
+          t.compact()
+        case 8 => // SNAPSHOT: remember version + model state
+          snaps += ((t.currentVersion, model.toMap))
+      }
+    }
+
+    def stateOf(df: org.apache.spark.sql.DataFrame): Map[Int, Option[Int]] =
+      df.collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+
+    assert(stateOf(t.scan()) == model.toMap, s"final state mismatch seed=$seed")
+    snaps.foreach { case (ver, m) =>
+      assert(stateOf(t.scan(Some(ver))) == m, s"snapshot v$ver mismatch seed=$seed")
+    }
+    // diff scan between first and last snapshot equals model diff
+    if (snaps.size >= 2) {
+      val (v1, m1) = snaps.head
+      val (v2, m2) = snaps.last
+      val expected =
+        (m2.keySet ++ m1.keySet).flatMap { k =>
+          (m1.get(k), m2.get(k)) match {
+            case (a, b) if a == b => None
+            case (_, Some(_)) => Some(k -> false) // changed/new
+            case (Some(_), None) => Some(k -> true) // deleted
+            case _ => None
+          }
+        }.toMap
+      val got = t.changes(v1, v2).select(col("k"), col("_deleted"))
+        .collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+      assert(got == expected, s"diff v$v1->v$v2 mismatch seed=$seed")
+    }
+  }
+
+  test("random op sequences match the in-memory model (seed 1)") { runCase(1L, 40) }
+  test("random op sequences match the in-memory model (seed 2)") { runCase(2L, 40) }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{HashComponent, RangeComponent}
+import graft.table.GraftTable
+import graft.tools.GraftTools
+
+/** DataSource ("graft" format), partition pruning, streaming, and tools. */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def mkTable(): (String, GraftTable) = {
+    val loc = tmp("graft-src-")
+    val data = (1 to 100).map(i => (i.toLong, s"n$i", i % 10)).toDF("id", "name", "grp")
+    val t = GraftTable.create(spark, loc, "t", data.schema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 4)), data = Some(data))
+    (loc, t)
+  }
+
+  test("format('graft') read/write/upsert/snapshot") {
+    val (loc, _) = mkTable()
+    val df = spark.read.format("graft").option("graft.table.path", loc).load()
+    assert(df.count() == 100)
+    assert(df.filter(col("id") === 5).select("name").as[String].head() == "n5")
+    Seq((5L, "changed", 0)).toDF("id", "name", "grp")
+      .write.format("graft").option("graft.table.path", loc).mode("append").save()
+    val df2 = spark.read.format("graft").option("graft.table.path", loc).load()
+    assert(df2.filter(col("id") === 5).select("name").as[String].head() == "changed")
+    val v1 = spark.read.format("graft").option("graft.table.path", loc)
+      .option("graft.snapshotVersion", "1").load()
+    assert(v1.filter(col("id") === 5).select("name").as[String].head() == "n5")
+  }
+
+  test("format('graft') create-on-write with options") {
+    val loc = tmp("graft-src-create-")
+    (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .write.format("graft")
+      .option("graft.table.path", loc)
+      .option("graft.primaryKey", "k")
+      .option("graft.hash.columns", "k").option("graft.hash.buckets", "2")
+      .save()
+    assert(GraftTable.load(spark, loc).scan().count() == 10)
+  }
+
+  test("hash-bucket and range-partition file pruning") {
+    val (_, t) = mkTable()
+    assert(t.scanPruned(Nil).inputFiles.length == 4)
+    assert(t.scanPruned(Seq(EqualTo("id", 42L))).inputFiles.length == 1)
+    val in3 = t.scanPruned(Seq(In("id", Array(1L, 2L, 3L)))).inputFiles.length
+    assert(in3 <= 3 && in3 >= 1)
+    // pruned scan still contains the looked-up row
+    assert(t.scanPruned(Seq(EqualTo("id", 42L))).filter(col("id") === 42).count() == 1)
+    // range pruning
+    val oloc = tmp("graft-src-range-")
+    val odata = (1 to 100).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(s"${1995 + i % 5}-06-01 00:00:00"))).toDF("id", "d")
+    val ot = GraftTable.create(spark, oloc, "o", odata.schema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 2)), Some(RangeComponent("d", "year")), data = Some(odata))
+    val all = ot.scanPruned(Nil).inputFiles.length
+    val one = ot.scanPruned(Seq(
+      GreaterThanOrEqual("d", java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
+      LessThanOrEqual("d", java.sql.Timestamp.valueOf("1996-12-31 00:00:00")))).inputFiles.length
+    assert(all == 10 && one == 2, s"all=$all one=$one")
+  }
+
+  test("filter pushdown reaches parquet in the DataFrame scan path") {
+    val (_, t) = mkTable()
+    val plan = t.scan().filter(col("id") === 42).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,42)]"), plan)
+  }
+
+  test("tools: copy/loadgen/export+import csv/backup+restore") {
+    val (_, t) = mkTable()
+    val copy = GraftTools.copyTable(spark, t, tmp("graft-copy-"))
+    assert(copy.scan().count() == 100)
+    assert(GraftTools.loadgen(spark, 1000).count() == 1000)
+    val csvDir = tmp("graft-csv-") + "/out"
+    GraftTools.exportCsv(t, csvDir)
+    val t2 = GraftTable.create(spark, tmp("graft-csv-imp-"), "t2",
+      t.scan().schema, Seq("id"), Seq(HashComponent(Seq("id"), 2)))
+    GraftTools.importCsv(spark, csvDir, t2)
+    assert(t2.scan().count() == 100)
+    val bdir = tmp("graft-bak-") + "/b1"
+    GraftTools.backup(t, bdir)
+    val restored = GraftTools.restore(spark, bdir, tmp("graft-restore-"), Seq("id"))
+    assert(restored.scan().count() == 100)
+  }
+
+  test("streaming: change stream emits delta commits with ops") {
+    val (loc, t) = mkTable()
+    t.upsert(Seq((1L, "x", 0)).toDF("id", "name", "grp"))
+    t.deleteWhere(col("id") === 2)
+    val cs = graft.streaming.GraftStreaming.changeStream(spark, t)
+    val name = s"cs_spec_${System.nanoTime()}"
+    val q = cs.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val ops = spark.table(name).groupBy("_graft_op").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops == Map("U" -> 1, "D" -> 1), ops.toString)
+  }
+}

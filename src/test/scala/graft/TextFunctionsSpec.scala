@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+
+/** Sanity of the dedup/similarity column builders. */
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and once"), // near-dup of 1
+    (3L, "completely different words entirely unrelated content here now")
+  ).toDF("id", "text")
+
+  test("jaccard of shingle sets separates near-dups from unrelated") {
+    val sh = docs.select(col("id"), shingles(col("text")).as("s"))
+    val pairs = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"), jaccard(col("a.s"), col("b.s")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) > 0.6)
+    assert(pairs((1L, 3L)) == 0.0)
+  }
+
+  test("minhash agreement approximates jaccard; identical texts agree fully") {
+    val sh = docs.select(col("id"), shingles(col("text")).as("s"))
+      .withColumn("sig", minhashSignature(col("s"), 96))
+    val sigs = sh.select("id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(1L))
+    val agree12 = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b } / 96.0
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b } / 96.0
+    assert(agree12 > 0.4, s"agree12=$agree12")
+    assert(agree13 < 0.1, s"agree13=$agree13")
+  }
+
+  test("simhash: identical → distance 0, near-dup close, unrelated far") {
+    val sh = docs.select(col("id"), simhash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(1L)) == 0)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+  }
+
+  test("cosine: orthogonal 0, identical 1") {
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(2.0f, 0.0f))
+    ).toDF("id", "v").select(col("id"), toDouble(col("v")).as("v"))
+    val c = vs.as("a").join(vs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"), cosine(col("a.v"), col("b.v")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(c((1L, 2L))) < 1e-12)
+    assert(math.abs(c((1L, 3L)) - 1.0) < 1e-12)
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val fp = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("id", "text")
+      .select(col("id"), fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+}
