@@ -28,19 +28,43 @@ object Pipeline {
   private val CosineT = 0.45
   private val SimhashMaxHamming = 8
 
+  private def parallelism(s: SparkSession): Int =
+    s.sparkContext.defaultParallelism
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.scan(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.scan(s, dir, "embeddings")
 
-  /** Shingle sets per doc (cached shape shared by the dedup ops). */
+  /** Shingle sets per doc (cached shape shared by the dedup ops). The
+    * repartition spreads the interpreted higher-order-function work — the
+    * documents table is one small file, which would otherwise hash on a
+    * single task. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), shingles(col("text")).as("sh"))
+    docs(s, dir).repartition(parallelism(s))
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+
+  /**
+   * doc_id → minhash signature, computed ONCE and cached: the 96-hash
+   * signature is the expensive expression, and it feeds band explosion,
+   * both sides of the candidate self-join, and the estimate join — without
+   * the cache Spark would re-evaluate it per consumer.
+   */
+  private def cachedSignatures(s: SparkSession, dir: String): DataFrame = {
+    // Persist the per-shingle hashes BEFORE deriving the 96 seeded variants:
+    // the cache is a materialization barrier, so CollapseProject cannot
+    // inline the string-hashing back into the k-times-evaluated lambda
+    // (higher-order functions are interpreted — re-hashing strings k× per
+    // row is the difference between seconds and minutes at 5k docs).
+    val hs = docShingles(s, dir)
+      .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hs.select(col("doc_id"), minhashSignature(col("hs"), MinhashK).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** LSH candidate pairs (id_a < id_b) from minhash band buckets. */
-  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sig = docShingles(s, dir)
-      .select(col("doc_id"), col("sh"), minhashSignature(col("sh"), MinhashK).as("sig"))
+  private def lshCandidates(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"),
         posexplode(bandHashes(col("sig"), Bands, Rows)).as(Seq("band", "bh")))
     bands.as("a").join(bands.as("b"),
@@ -48,6 +72,14 @@ object Pipeline {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+  }
+
+  /** vec_id → L2-normalized double vector, so the O(n²) pair stage is a dot
+    * product only (norms computed once per vector, not per pair). */
+  private def normalizedVecs(s: SparkSession, dir: String): DataFrame = {
+    val v = toDouble(col("embedding"))
+    embs(s, dir).select(col("vec_id"),
+      zip_with(v, array_repeat(l2norm(v), 64), (x, n) => x / n).as("v"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -65,7 +97,7 @@ object Pipeline {
     "p2_dedup_ngram" -> ((s, dir) => {
       // Near-dup pairs by exact word-3-gram Jaccard >= 0.8, LSH-prefiltered.
       val sh = docShingles(s, dir)
-      lshCandidates(s, dir)
+      lshCandidates(cachedSignatures(s, dir))
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
         .filter(jaccard(col("sh_a"), col("sh_b")) >= JaccardT)
@@ -75,9 +107,8 @@ object Pipeline {
 
     "p3_dedup_minhash" -> ((s, dir) => {
       // MinHash signature agreement (Jaccard estimate) on LSH candidates.
-      val sig = docShingles(s, dir)
-        .select(col("doc_id"), minhashSignature(col("sh"), MinhashK).as("sig"))
-      lshCandidates(s, dir)
+      val sig = cachedSignatures(s, dir)
+      lshCandidates(sig)
         .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
         .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
         .withColumn("est_j", minhashAgreement(col("sig_a"), col("sig_b")))
@@ -92,8 +123,15 @@ object Pipeline {
       // distance<=8 only probabilistically, so full cross within blocks of
       // the two prefix halves — here: plain join, small n; scale path =
       // multi-index blocking).
-      val sh = docs(s, dir).select(col("doc_id"), simhash(col("text")).as("sh"))
-      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      // Same materialization-barrier trick as cachedSignatures: word hashes
+      // cached once, then the 64-bit vote fold runs over longs only.
+      val wh = docs(s, dir).repartition(parallelism(s))
+        .select(col("doc_id"), wordHashes(col("text")).as("wh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sh = wh.select(col("doc_id"), simhashOf(col("wh")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.repartition(parallelism(s)).as("a")
+        .join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
         .withColumn("dist", hamming64(col("a.sh"), col("b.sh")))
         .filter(col("dist") <= SimhashMaxHamming)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -103,24 +141,29 @@ object Pipeline {
 
     "p5_dedup_embed" -> ((s, dir) => {
       // Embedding cosine near-dup pairs (threshold 0.45 — the data's planted
-      // separation). Brute-force at test SF; the LSH-bucketed variant below
-      // is the scale path.
-      val e = embs(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .filter(cosine(col("a.v"), col("b.v")) >= CosineT)
+      // separation). Vectors are L2-normalized once, so the O(n²) pair stage
+      // is a single dot product. Brute-force at test SF; the LSH-bucketed
+      // variant below is the scale path.
+      // Repartition the probe side: nested-loop pair-join parallelism equals
+      // stream-side partition count (a single input file would run 1 task).
+      val e = normalizedVecs(s, dir)
+      e.repartition(parallelism(s)).as("a")
+        .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .filter(dot(col("a.v"), col("b.v")) >= CosineT)
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
         .orderBy("id_a", "id_b")
     }),
 
     "p6_ann_topk" -> ((s, dir) => {
-      // Brute-force cosine top-10 for query vectors vec_id < 8.
-      val e = embs(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      // Brute-force cosine top-10 for query vectors vec_id < 8
+      // (pre-normalized → dot product per pair).
+      val e = normalizedVecs(s, dir)
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("c").desc, col("neighbor_id"))
-      q.join(e, col("query_id") =!= col("vec_id"))
-        .withColumn("c", cosine(col("qv"), col("v")))
+      q.join(e.repartition(parallelism(s)), col("query_id") =!= col("vec_id"))
+        .withColumn("c", dot(col("qv"), col("v")))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("c"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)

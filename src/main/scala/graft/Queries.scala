@@ -29,6 +29,15 @@ object Queries {
   private def tmpLoc(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Temporarily override shuffle parallelism (streaming micro-batches over
+    * small replays drown in per-task overhead at the default). */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   // Shorthand used throughout.
   private def scan(s: SparkSession, dir: String, t: String): DataFrame =
     Tables.scan(s, dir, t)
@@ -172,20 +181,22 @@ object Queries {
       val all = raw.as[Ev].collect()
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val ms = MemoryStream[Ev]
-      val q = ms.toDF().writeStream
-        .outputMode("update")
-        .foreachBatch((batch: DataFrame, _: Long) => t.upsert(batch))
-        .start()
-      try {
-        for (b <- 0 until 10) {
-          val fresh = all.filter(_.event_id % 10 == b)
-          val overwrite =
-            if (b == 0) Array.empty[Ev]
-            else all.filter(_.event_id % 10 == b - 1).map(e => e.copy(value = e.value + 1000))
-          ms.addData(fresh ++ overwrite)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      withShufflePartitions(s, 8) { // micro-batches are small; 32 state tasks/batch is overhead
+        val q = ms.toDF().writeStream
+          .outputMode("update")
+          .foreachBatch((batch: DataFrame, _: Long) => t.upsert(batch))
+          .start()
+        try {
+          for (b <- 0 until 10) {
+            val fresh = all.filter(_.event_id % 10 == b)
+            val overwrite =
+              if (b == 0) Array.empty[Ev]
+              else all.filter(_.event_id % 10 == b - 1).map(e => e.copy(value = e.value + 1000))
+            ms.addData(fresh ++ overwrite)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       t.scan().orderBy("event_id")
     }),
 
@@ -289,19 +300,21 @@ object Queries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val ms = MemoryStream[Ev]
       val sinkName = s"graft_q26_sink_${streamSeq.incrementAndGet()}"
-      val q = ms.toDF()
-        .withWatermark("ts", "15 minutes")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .count()
-        .writeStream.format("memory").queryName(sinkName).outputMode("append")
-        .start()
-      try {
-        val chunk = math.max(1, all.length / 10)
-        all.grouped(chunk).foreach { batch => ms.addData(batch.toSeq); q.processAllAvailable() }
-        val lastTs = new java.sql.Timestamp(all.last.ts.getTime + 2 * 3600 * 1000)
-        ms.addData(Ev(-1L, lastTs, -1L, "zz_sentinel", 0.0, null))
-        q.processAllAvailable()
-      } finally q.stop()
+      withShufflePartitions(s, 8) { // per-batch state-store task count dominates
+        val q = ms.toDF()
+          .withWatermark("ts", "15 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .count()
+          .writeStream.format("memory").queryName(sinkName).outputMode("append")
+          .start()
+        try {
+          val chunk = math.max(1, all.length / 10)
+          all.grouped(chunk).foreach { batch => ms.addData(batch.toSeq); q.processAllAvailable() }
+          val lastTs = new java.sql.Timestamp(all.last.ts.getTime + 2 * 3600 * 1000)
+          ms.addData(Ev(-1L, lastTs, -1L, "zz_sentinel", 0.0, null))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table(sinkName)
         .filter(col("event_type") =!= "zz_sentinel")
         .select(col("window.start").as("window_start"), col("event_type"),

@@ -24,7 +24,8 @@ case class ColumnMeta(
     isKey: Boolean,
     defaultValue: Option[String] = None,
     comment: Option[String] = None,
-    isAutoInc: Boolean = false) {
+    isAutoInc: Boolean = false,
+    immutable: Boolean = false) {
   def dataType: DataType = DataType.fromJson(dataTypeJson)
   def toField: StructField = StructField(name, dataType, nullable)
 }

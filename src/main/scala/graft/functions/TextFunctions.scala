@@ -30,14 +30,21 @@ object TextFunctions {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** One 64-bit hash per shingle. Materialize this in its own projection
+    * before [[minhashSignature]] so each *string* is hashed exactly once;
+    * the k seeded variants then derive from cheap fixed-width long hashes. */
+  def shingleHashes(shingleSet: Column): Column =
+    transform(shingleSet, s => xxhash64(s))
+
   /**
-   * MinHash signature: k 64-bit min-hashes of the shingle set, seeded by
-   * suffixing the shingle with the hash index (avoids 64-bit multiply
-   * overflow under ANSI mode). k = bands * rowsPerBand.
+   * MinHash signature: k 64-bit min-hashes over pre-hashed shingles
+   * ([[shingleHashes]]), seed mixed in via a second xxhash64 argument
+   * (multiplicative seeding would overflow under ANSI mode).
+   * k = bands * rowsPerBand.
    */
-  def minhashSignature(shingleSet: Column, k: Int): Column =
+  def minhashSignature(hashedShingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleSet, s => xxhash64(s, i))))
+      i => array_min(transform(hashedShingles, h => xxhash64(h, i))))
 
   /** LSH band hashes of a minhash signature: bands entries, each hashing
     * `rows` consecutive signature slots. Equal band hash ⇒ candidate pair. */
@@ -50,12 +57,16 @@ object TextFunctions {
     aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / size(sigA)
 
+  /** One 64-bit hash per word — materialize before [[simhashOf]] (same
+    * hash-once reasoning as [[shingleHashes]]). */
+  def wordHashes(text: Column): Column =
+    transform(words(text), w => xxhash64(w))
+
   /**
-   * 64-bit SimHash over the word multiset: per bit, majority vote of each
+   * 64-bit SimHash over pre-hashed words: per bit, majority vote of each
    * word-hash's bit. Near-duplicates have small Hamming distance.
    */
-  def simhash(text: Column): Column = {
-    val hashes = transform(words(text), w => xxhash64(w))
+  def simhashOf(hashes: Column): Column =
     aggregate(
       sequence(lit(0), lit(63)),
       lit(0L),
@@ -64,7 +75,10 @@ object TextFunctions {
           (a, h) => a + when(call_function("getbit", h, bit) === 1, 1).otherwise(-1))
         acc + when(votes > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))
       })
-  }
+
+  /** Convenience single-expression simhash (prefer the two-projection form
+    * `wordHashes` → `simhashOf` in hot paths). */
+  def simhash(text: Column): Column = simhashOf(wordHashes(text))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -189,14 +189,51 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   }
 
   /** UPSERT: insert-or-replace by PK (W3 — the Spark sink's default op,
-    * kudu-spark DefaultSource.scala:270-272). */
-  def upsert(df: DataFrame): Unit = {
+    * kudu-spark DefaultSource.scala:270-272). Writing a different value to an
+    * `immutable` column errors (ColumnSchemaPB immutable,
+    * common/common.proto:134-177). */
+  def upsert(df: DataFrame): Unit = upsertImpl(df, ignoreImmutable = false)
+
+  /** UPSERT_IGNORE: like upsert, but changes to immutable columns are
+    * silently dropped instead of erroring (W6, row_operations.proto:43). */
+  def upsertIgnore(df: DataFrame): Unit = upsertImpl(df, ignoreImmutable = true)
+
+  private def upsertImpl(df: DataFrame, ignoreImmutable: Boolean): Unit = {
     val m = meta
     require(!m.hasAutoInc || df.columns.contains(AutoIncName),
       s"UPSERT on non-unique-PK table ${m.name} must carry $AutoIncName " +
         "(from scanWithHidden) to address individual rows")
-    val batch = conform(m, df).dropDuplicates(m.keyCols)
+    var batch = conform(m, df).dropDuplicates(m.keyCols)
+    val immutables = m.columns.filter(c => c.immutable && !c.isKey)
+    if (immutables.nonEmpty) {
+      val existing = scanMeta(m)
+      val exCols = m.keyCols.map(col) ++
+        immutables.map(c => col(c.name).as(s"_graft_cur_${c.name}"))
+      val joined = batch.join(existing.select(exCols: _*), m.keyCols, "left")
+      if (!ignoreImmutable) {
+        val violated = immutables.map(c =>
+          col(s"_graft_cur_${c.name}").isNotNull &&
+            !(col(c.name) <=> col(s"_graft_cur_${c.name}"))).reduce(_ || _)
+        if (joined.filter(violated).limit(1).count() > 0)
+          throw new PrimaryKeyException(
+            s"UPSERT would modify immutable column(s) on ${m.name}; use upsertIgnore")
+      }
+      // keep the current value for immutable columns of existing rows
+      batch = joined.select(m.columns.map { c =>
+        if (c.immutable && !c.isKey)
+          coalesce(col(s"_graft_cur_${c.name}"), col(c.name)).as(c.name)
+        else col(c.name)
+      }: _*)
+    }
     commitDelta(m, batch.withColumn(OpCol, lit(OpUpsert)), "upsert")
+  }
+
+  /** Marks a column immutable (settable via ALTER, D2). */
+  def setImmutable(colName: String, immutable: Boolean = true): Unit = {
+    val m = meta
+    require(m.columns.exists(_.name == colName), s"no such column: $colName")
+    bumpMeta(m.copy(columns = m.columns.map(c =>
+      if (c.name == colName) c.copy(immutable = immutable) else c)), "alter_column")
   }
 
   /** UPDATE / UPDATE_IGNORE: mutate existing rows; `df` carries the PK plus
@@ -315,6 +352,16 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
 
   private def bumpMeta(m: TableMeta, op: String): Unit =
     TableMeta.write(m.copy(version = m.version + 1, timestampMs = now(), operation = op))
+
+  /** Key→partition-id column for this table's spec — the client-side
+    * Partitioner analog (D6, client/client.h:3572 KuduPartitioner). Apply to
+    * any DataFrame carrying the hash columns. */
+  def partitionIdColumn(): Column = bucketExpr(meta, col)
+
+  /** Registers the current snapshot as a temp view so `spark.sql` works over
+    * the engine table (the `kudu table scan` SQL surface, E1). */
+  def createOrReplaceView(viewName: String): Unit =
+    scan().createOrReplaceTempView(viewName)
 
   // ------------------------------------------------------------- helpers
 
@@ -555,4 +602,14 @@ object GraftTable {
   }
 
   def exists(location: String): Boolean = TableMeta.exists(location)
+
+  /** Drop table: delete metadata + data (D3, catalog_manager.h:701). Only
+    * files under `location` are touched, so zero-copy registered raw data
+    * survives. */
+  def drop(location: String): Unit = {
+    if (!TableMeta.exists(location)) return
+    val root = Paths.get(location)
+    Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+  }
 }

@@ -60,6 +60,22 @@ object GraftTools {
   def backup(table: GraftTable, outPath: String, version: Option[Long] = None): Unit =
     table.scan(version).write.mode("overwrite").parquet(outPath)
 
+  /** One-shot replication: apply all changes between the destination's
+    * recorded source version and the source's head (E6, java/kudu-replication
+    * — continuous mode = GraftStreaming.changeStream → upsertSink relay). */
+  def replicate(src: GraftTable, dest: GraftTable, sinceVersion: Long): Long = {
+    val head = src.currentVersion
+    if (head > sinceVersion) {
+      val delta = src.changes(sinceVersion, head)
+      val deletes = delta.filter(col("_deleted")).drop("_deleted")
+      val upserts = delta.filter(!col("_deleted")).drop("_deleted")
+      if (upserts.limit(1).count() > 0) dest.upsert(upserts)
+      if (deletes.limit(1).count() > 0)
+        dest.delete(deletes.select(dest.meta.userKeyCols.map(col): _*), ignore = true)
+    }
+    head
+  }
+
   /** Restore a backup into a fresh table. */
   def restore(spark: SparkSession, backupPath: String, destLocation: String,
       keys: Seq[String], hash: Seq[HashComponent] = Nil,
