@@ -100,8 +100,14 @@ object TextFunctions {
     * accumulate in double with identical left-to-right order). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd native dot product (see expressions.DotProduct) — identical
+    * left-to-right double accumulation to the composed zip_with/aggregate
+    * form, so oracle arithmetic is unchanged, but it runs as a primitive
+    * loop inside whole-stage codegen instead of interpreted lambdas. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    toColumn(graft.functions.expressions.DotProduct(toExpression(a), toExpression(b)))
+  }
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 
