@@ -547,7 +547,12 @@ object GraftTable {
       data: Option[DataFrame] = None,
       nonUniqueKey: Boolean = false): GraftTable = {
     require(keys.nonEmpty, "primary key required")
-    keys.foreach(k => require(schema.fieldNames.contains(k), s"key column $k not in schema"))
+    keys.foreach { k =>
+      require(schema.fieldNames.contains(k), s"key column $k not in schema")
+      // arrays/maps/structs cannot be key columns (SparkUtil.scala:136-139)
+      require(!Seq("array", "map", "struct").contains(schema(k).dataType.typeName),
+        s"key column $k must be an atomic type, got ${schema(k).dataType.catalogString}")
+    }
     val columns = buildColumns(schema, keys, nonUniqueKey)
     val m0 = TableMeta(name, location, 1L, now(), "create",
       columns, columns.length, hash, range, Nil, Nil, Nil)

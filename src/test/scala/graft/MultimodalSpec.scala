@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def packed = Multimodal.pack(
+    Seq((1L, "hello world"), (2L, "a" * 1000)).toDF("id", "data"),
+    "id", "data", "text/plain")
+
+  test("pack: binary payload + typed metadata struct") {
+    val rows = packed.collect()
+    assert(packed.schema("payload").dataType.typeName == "binary")
+    val metaFields = packed.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(metaFields == Multimodal.MetaType.fields.map(f => (f.name, f.dataType)).toSeq)
+    val m = rows.find(_.getLong(0) == 2L).get.getStruct(2)
+    assert(m.getAs[String]("mime") == "text/plain")
+    assert(m.getAs[Int]("n_bytes") == 1000)
+    assert(m.getAs[String]("content_sha").length == 64)
+  }
+
+  test("extractFeatures: mapPartitions batch decode with fixed-dim output") {
+    val feats = Multimodal.extractFeatures(packed, dim = 16)
+    assert(feats.schema("feature").dataType.typeName == "array")
+    val byId = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(byId(1L).length == 16 && byId(2L).length == 16)
+    // deterministic: same payload → same features
+    val again = Multimodal.extractFeatures(packed, dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(byId == again)
+    // no shuffle: feature extraction preserves partitioning
+    val plan = Multimodal.extractFeatures(packed, 16).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("sampleFrames: strided fixed-size binary windows") {
+    val frames = Multimodal.sampleFrames(packed, frameBytes = 256, stride = 2).collect()
+    // id=2 payload is 1000 bytes → 4 frames, stride 2 keeps frames 0 and 2
+    val f2 = frames.filter(_.getLong(0) == 2L)
+    assert(f2.length == 2)
+    assert(f2.map(_.getInt(1)).toSet == Set(0, 1)) // posexplode renumbers kept frames
+    assert(f2.head.getAs[Array[Byte]](2).length == 256)
+  }
+}
