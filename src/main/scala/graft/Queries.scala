@@ -181,7 +181,8 @@ object Queries {
       val all = raw.as[Ev].collect()
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val ms = MemoryStream[Ev]
-      withShufflePartitions(s, 8) { // micro-batches are small; 32 state tasks/batch is overhead
+      val q18p = sys.props.getOrElse("graft.q18.partitions", "4").toInt
+      withShufflePartitions(s, q18p) { // micro-batches are small; 32 tasks/batch is overhead
         val q = ms.toDF().writeStream
           .outputMode("update")
           .foreachBatch((batch: DataFrame, _: Long) => t.upsert(batch))
@@ -300,7 +301,9 @@ object Queries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val ms = MemoryStream[Ev]
       val sinkName = s"graft_q26_sink_${streamSeq.incrementAndGet()}"
-      withShufflePartitions(s, 8) { // per-batch state-store task count dominates
+      // ~3600 state keys total → 2 partitions; 8+ drowns in per-task overhead
+      val q26p = sys.props.getOrElse("graft.q26.partitions", "2").toInt
+      withShufflePartitions(s, q26p) { // per-batch state-store task count dominates
         val q = ms.toDF()
           .withWatermark("ts", "15 minutes")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
