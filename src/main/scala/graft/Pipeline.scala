@@ -191,6 +191,43 @@ object Pipeline {
         .orderBy("query_id", "rank")
     }),
 
+    "p13_ann_ivf" -> ((s, dir) => {
+      // IVF-style ANN (the second scale path besides hyperplane LSH): a
+      // KMeans coarse quantizer (16 cells, fixed seed) assigns every vector
+      // to a cell; each query probes its 2 nearest cells and ranks top-3 by
+      // cosine within them — the candidate set is ~2/16 of the data instead
+      // of all of it. Approximate by design → rows-only check; the output
+      // size (3 × 32 queries) is deterministic regardless of clustering.
+      import s.implicits._
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = normalizedVecs(s, dir)
+        .withColumn("fv", array_to_vector(col("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
+        .setFeaturesCol("fv").fit(e)
+      val assigned = model.transform(e)
+        .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+      val cents = model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray) }.toDF("cell", "cv")
+      val q = assigned.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wCell = Window.partitionBy(col("query_id")).orderBy(col("cd").desc, col("cell"))
+      val probeCells = q.crossJoin(broadcast(cents))
+        .withColumn("cd", dot(col("qv"), toDouble(col("cv"))))
+        .withColumn("cr", row_number().over(wCell)).filter(col("cr") <= 2)
+        .select("query_id", "qv", "cell")
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("neighbor_id"))
+      probeCells.join(assigned, "cell")
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("c", dot(col("qv"), col("v")))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("c"))
+        .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     "p8_text_stats" -> ((s, dir) => {
       // Quality-scoring stats: word/char counts, stopword ratio, punct count.
       val w = words(col("text"))

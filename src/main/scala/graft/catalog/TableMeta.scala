@@ -98,6 +98,12 @@ object TableMeta {
   def write(meta: TableMeta): Unit = {
     Files.createDirectories(metaDir(meta.location))
     val vf = versionFile(meta.location, meta.version)
+    // Optimistic single-writer guard: two writers racing to commit the same
+    // next version — the second one fails instead of silently clobbering
+    // (the engine's commit unit is one snapshot version, SURVEY.md §7.3(c)).
+    if (meta.version > 1 && Files.exists(vf))
+      throw new IllegalStateException(
+        s"concurrent commit detected: version ${meta.version} already exists at ${meta.location}")
     Files.write(vf, Serialization.writePretty(meta).getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     // Atomic pointer swing = our single-writer commit protocol (the Spark
