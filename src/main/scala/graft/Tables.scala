@@ -58,11 +58,13 @@ object Tables {
       }
     })
 
-  /** Fresh, private engine table for mutation queries — each call gets its
-    * own metadata dir so scripted op sequences start from the raw snapshot. */
+  /** Fresh, private engine table for mutation queries — a zero-copy FORK of
+    * the shared readonly table: same base files, own delta/metadata dir, so
+    * scripted op sequences start from the raw snapshot without
+    * re-materializing large bases (non-unique lineitem, converted events). */
   def scratch(spark: SparkSession, sfDir: String, table: String): GraftTable = {
     val loc = Files.createTempDirectory(s"graft-$table-").toString
-    registerAt(spark, sfDir, table, loc)
+    GraftTable.fork(spark, readonly(spark, sfDir, table), loc)
   }
 
   private def registerAt(spark: SparkSession, sfDir: String, table: String,

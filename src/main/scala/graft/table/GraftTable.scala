@@ -303,6 +303,24 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
 
   // ---------------------------------------------------------- maintenance
 
+  /**
+   * Maintenance policy: compact when the delta set is worth folding —
+   * delta:base size ratio or delta file count over threshold (the greedy
+   * analog of the reference's budgeted compaction policy,
+   * tablet/compaction_policy.h:50-60 PickRowSets; SURVEY.md §4 "rewrite file
+   * groups when delta:base ratio or file-count exceeds thresholds").
+   * Returns true if a compaction ran.
+   */
+  def maintain(maxDeltaRatio: Double = 0.2, maxDeltaFiles: Int = 64): Boolean = {
+    val m = meta
+    if (m.deltaFiles.isEmpty) return false
+    val deltaBytes = m.deltaFiles.map(f => fileSize(f.path)).sum.toDouble
+    val baseBytes = m.baseFiles.map(f => fileSize(f.path)).sum.toDouble max 1.0
+    if (deltaBytes / baseBytes > maxDeltaRatio || m.deltaFiles.size > maxDeltaFiles) {
+      compact(); true
+    } else false
+  }
+
   /** Merge deltas into a fresh hash/range-partitioned, PK-sorted base and
     * clear the delta set (minor+major delta compaction + rowset merge analog,
     * tablet/compaction.cc, tablet/delta_compaction.cc). */
@@ -607,6 +625,18 @@ object GraftTable {
   }
 
   def exists(location: String): Boolean = TableMeta.exists(location)
+
+  /**
+   * Fork: a new table whose base fileset IS the source's current snapshot
+   * files (zero-copy). Mutations on the fork commit deltas under the new
+   * location; the source is never touched. The cheap way to get a private
+   * mutable view of a large table (scripted tests, what-if pipelines).
+   */
+  def fork(spark: SparkSession, src: GraftTable, newLocation: String): GraftTable = {
+    val m = src.meta
+    TableMeta.write(m.copy(location = newLocation, operation = "fork"))
+    new GraftTable(spark, newLocation)
+  }
 
   /** Drop table: delete metadata + data (D3, catalog_manager.h:701). Only
     * files under `location` are touched, so zero-copy registered raw data

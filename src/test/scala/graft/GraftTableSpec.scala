@@ -118,6 +118,20 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == Map(1 -> "fresh", 2 -> "fresh"))
   }
 
+  test("fork: zero-copy private view; mutations stay local; maintain() compacts") {
+    val t = newKv(1 -> "a", 2 -> "b")
+    val fork = GraftTable.fork(spark, t, tmp())
+    fork.upsert(kv(1 -> "FORKED"))
+    fork.delete(Seq(2).toDF("k"))
+    assert(asMap(fork) == Map(1 -> "FORKED"))
+    assert(asMap(t) == Map(1 -> "a", 2 -> "b")) // source untouched
+    // maintain: small base + nonempty deltas → ratio trips → compaction
+    assert(fork.maintain(maxDeltaRatio = 0.01))
+    assert(fork.meta.deltaFiles.isEmpty)
+    assert(asMap(fork) == Map(1 -> "FORKED"))
+    assert(!fork.maintain()) // nothing left to fold
+  }
+
   test("register existing parquet zero-copy and mutate via deltas") {
     val dir = tmp()
     kv(1 -> "a", 2 -> "b").write.parquet(s"$dir/raw")
