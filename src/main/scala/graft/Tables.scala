@@ -42,19 +42,33 @@ object Tables {
 
   private val cache = TrieMap[(String, String), GraftTable]()
 
+  /** Bump when the metadata format changes — stale on-disk caches from an
+    * older build are then simply ignored instead of mis-loaded. */
+  private val CacheFormatVersion = 2
+
   private def cacheRoot(sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-cache/$tag"
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-cache-v$CacheFormatVersion/$tag"
   }
 
   /** Shared read-only engine table for scan queries — registered once per
-    * JVM per (sfDir, table). */
+    * JVM per (sfDir, table); the on-disk registration survives across JVMs.
+    * Any load failure (corrupt/stale cache) falls back to re-registration. */
   def readonly(spark: SparkSession, sfDir: String, table: String): GraftTable =
     cache.getOrElseUpdate((sfDir, table), {
       val loc = s"${cacheRoot(sfDir)}/$table"
       synchronized {
-        if (GraftTable.exists(loc)) GraftTable.load(spark, loc)
-        else registerAt(spark, sfDir, table, loc)
+        val loaded =
+          if (GraftTable.exists(loc))
+            try {
+              val t = GraftTable.load(spark, loc)
+              t.meta // force a parse; throws on stale format
+              Some(t)
+            } catch {
+              case _: Exception => GraftTable.drop(loc); None
+            }
+          else None
+        loaded.getOrElse(registerAt(spark, sfDir, table, loc))
       }
     })
 
