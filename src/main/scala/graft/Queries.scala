@@ -181,8 +181,9 @@ object Queries {
       val all = raw.as[Ev].collect()
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val ms = MemoryStream[Ev]
+      s.conf.set("graft.delta.writePartitions", "1") // one file per micro-batch commit
       val q18p = sys.props.getOrElse("graft.q18.partitions", "4").toInt
-      withShufflePartitions(s, q18p) { // micro-batches are small; 32 tasks/batch is overhead
+      try withShufflePartitions(s, q18p) { // micro-batches are small; 32 tasks/batch is overhead
         val q = ms.toDF().writeStream
           .outputMode("update")
           .foreachBatch((batch: DataFrame, _: Long) => t.upsert(batch))
@@ -197,7 +198,7 @@ object Queries {
             q.processAllAvailable()
           }
         } finally q.stop()
-      }
+      } finally s.conf.unset("graft.delta.writePartitions")
       t.scan().orderBy("event_id")
     }),
 

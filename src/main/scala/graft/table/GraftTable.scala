@@ -419,8 +419,12 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       Seq(col(OpCol), col(SeqCol))
     // Deltas stay small between compactions; a few sorted files keep the
     // merge-on-read broadcast cheap. Sort by PK for row-group stats.
+    // graft.delta.writePartitions tunes file count (streaming sinks commit
+    // many small batches → 1 file each).
+    val deltaParts = spark.conf.getOption("graft.delta.writePartitions")
+      .map(_.toInt).getOrElse(DeltaWritePartitions)
     out.select(physCols: _*)
-      .repartition(DeltaWritePartitions)
+      .repartition(deltaParts)
       .sortWithinPartitions(m.columns.filter(_.isKey).map(c => col(c.physName)): _*)
       .write.mode("overwrite").parquet(dir)
     val files = listParquet(dir).map { p =>
@@ -447,12 +451,21 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       partCols += RangeCol
     }
     val keysPhys = m.columns.filter(_.isKey).map(c => col(c.physName))
-    val writer =
+    val writer0 =
       if (partCols.nonEmpty)
         out.repartition(partCols.toSeq.map(col): _*)
           .sortWithinPartitions(partCols.toSeq.map(col) ++ keysPhys: _*)
           .write.partitionBy(partCols.toSeq: _*)
       else out.sort(keysPhys: _*).write
+    // Parquet bloom filters on key columns: the base-file analog of the
+    // reference's per-rowset bloom files for PK presence checks/point
+    // lookups (cfile/bloomfile.cc, tablet/diskrowset.cc:115-154). parquet-mr
+    // adaptively skips the bloom when a column ends up fully
+    // dictionary-encoded — the dictionary already gives exact row-group
+    // filtering there, so only high-entropy key columns pay for a bloom.
+    val writer = m.columns.filter(_.isKey).foldLeft(writer0) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#${c.physName}", "true")
+    }
     writer.mode("overwrite").parquet(dir)
     listParquet(dir).map { p =>
       DataFileMeta(p, "base", v, -1L, m.columns.map(_.id),

@@ -96,4 +96,5 @@ class FuzzSpec extends AnyFunSuite {
 
   test("random op sequences match the in-memory model (seed 1)") { runCase(1L, 40) }
   test("random op sequences match the in-memory model (seed 2)") { runCase(2L, 40) }
+  test("random op sequences match the in-memory model (seed 7)") { runCase(7L, 50) }
 }
