@@ -43,6 +43,31 @@ object GraftStreaming {
    *
    * Schema: all physical table columns (nullable) + `_graft_op` + `_graft_seq`.
    */
+  /**
+   * Continuous replication (E6, java/kudu-replication): tails the source's
+   * change stream and applies each micro-batch op-aware to the destination —
+   * upserts replayed as upserts, delete tombstones as ignore-deletes.
+   * At-least-once; both ops are idempotent per (PK, row image), so replays
+   * converge.
+   */
+  def startReplication(spark: SparkSession, src: GraftTable, dest: GraftTable): StreamingQuery = {
+    val m = src.meta
+    changeStream(spark, src).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // physical → logical names for the destination API
+        val logical = batch.select(
+          m.columns.map(c => batch(c.physName).as(c.name)) :+ batch(GraftTable.OpCol): _*)
+        val ups = logical.filter(logical(GraftTable.OpCol) === GraftTable.OpUpsert)
+          .drop(GraftTable.OpCol)
+        val dels = logical.filter(logical(GraftTable.OpCol) === GraftTable.OpDelete)
+          .select(m.keyCols.map(logical(_)): _*)
+        if (!ups.isEmpty) dest.upsert(ups)
+        if (!dels.isEmpty) dest.delete(dels, ignore = true)
+      }
+      .start()
+  }
+
   def changeStream(spark: SparkSession, table: GraftTable): DataFrame = {
     val m = table.meta
     val fields = m.columns.map(c =>

@@ -94,6 +94,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(restored.scan().count() == 100)
   }
 
+  test("streaming: continuous replication applies upserts and deletes") {
+    val (loc, src) = mkTable()
+    val dest = GraftTools.copyTable(spark, src, tmp("graft-repl-dest-"))
+    val q = graft.streaming.GraftStreaming.startReplication(spark, src, dest)
+    try {
+      src.upsert(Seq((1L, "live", 0)).toDF("id", "name", "grp"))
+      src.deleteWhere(col("id") === 2)
+      q.processAllAvailable()
+      val got = dest.scan().filter(col("id") <= 2).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "live"), got.toString)
+      // second wave while the stream is live
+      src.upsert(Seq((3L, "wave2", 0)).toDF("id", "name", "grp"))
+      q.processAllAvailable()
+      assert(dest.scan().filter(col("id") === 3).select("name").as[String].head() == "wave2")
+    } finally q.stop()
+  }
+
   test("streaming: change stream emits delta commits with ops") {
     val (loc, t) = mkTable()
     t.upsert(Seq((1L, "x", 0)).toDF("id", "name", "grp"))
