@@ -463,7 +463,10 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // adaptively skips the bloom when a column ends up fully
     // dictionary-encoded — the dictionary already gives exact row-group
     // filtering there, so only high-entropy key columns pay for a bloom.
-    val writer = m.columns.filter(_.isKey).foldLeft(writer0) { (w, c) =>
+    val writer = m.columns.filter(_.isKey).foldLeft(
+      // adaptive sizing: without it every bloom is the 1MB max regardless of
+      // NDV, which dwarfs small files (and the delta:base maintenance ratio)
+      writer0.option("parquet.bloom.filter.adaptive.enabled", "true")) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#${c.physName}", "true")
     }
     writer.mode("overwrite").parquet(dir)

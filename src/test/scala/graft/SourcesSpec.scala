@@ -37,6 +37,11 @@ class SourcesSpec extends AnyFunSuite {
     val v1 = spark.read.format("graft").option("graft.table.path", loc)
       .option("graft.snapshotVersion", "1").load()
     assert(v1.filter(col("id") === 5).select("name").as[String].head() == "n5")
+    // time-travel by wall clock (kudu.snapshotTimestampMs analog)
+    val ts1 = graft.catalog.TableMeta.read(loc, 1L).timestampMs
+    val atTs = spark.read.format("graft").option("graft.table.path", loc)
+      .option("graft.snapshotTimestampMs", ts1.toString).load()
+    assert(atTs.filter(col("id") === 5).select("name").as[String].head() == "n5")
   }
 
   test("format('graft') create-on-write with options") {
