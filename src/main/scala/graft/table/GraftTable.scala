@@ -150,6 +150,43 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         col("_bv").isNull.as(DeletedCol): _*)
   }
 
+  /**
+   * Incremental diff scan from delta files alone — the fast CDC path when no
+   * compaction separates (v1, v2]: reads ONLY the delta commits in range
+   * instead of rescanning two full snapshots (what the reference's diff scan
+   * does physically: mutations since the start timestamp, ghost rows
+   * deduped — generic_iterators.cc:440-467). Falls back to the logical
+   * [[changes]] when the base filesets differ (a compaction intervened).
+   *
+   * Semantics: latest mutated state per key + `_deleted`. Matches Kudu's
+   * physical diff: an upsert writing an unchanged value IS emitted (it is a
+   * mutation); a row inserted and deleted entirely within the window is NOT
+   * (ghost dedup via an existence check against v1).
+   */
+  def changesSince(v1: Long, v2: Long): DataFrame = {
+    val m1 = TableMeta.read(location, v1)
+    val m2 = TableMeta.read(location, v2)
+    if (m1.baseFiles.map(_.path).toSet != m2.baseFiles.map(_.path).toSet)
+      return changes(v1, v2) // compaction in range → logical diff
+    val inRange = m2.deltaFiles.filter(f => f.seq > v1 && f.seq <= v2)
+    if (inRange.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(m2.visibleColumns.map(_.toField.copy(nullable = true)) :+
+          StructField(DeletedCol, BooleanType, nullable = false)))
+    val deltas = readFileGroup(m2, inRange, delta = true)
+    val w = Window.partitionBy(m2.keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+    val latest = deltas.withColumn(RnCol, row_number().over(w))
+      .filter(col(RnCol) === 1)
+    // ghost dedup: only emit deletes for keys that existed at v1
+    val v1Keys = scanWithHidden(Some(v1)).select(m2.keyCols.map(col): _*)
+    val dels = latest.filter(col(OpCol) === OpDelete)
+      .join(v1Keys, m2.keyCols, "left_semi")
+    val ups = latest.filter(col(OpCol) =!= OpDelete)
+    ups.unionByName(dels)
+      .select(m2.visibleColumns.map(c => col(c.name)) :+
+        (col(OpCol) === OpDelete).as(DeletedCol): _*)
+  }
+
   // --------------------------------------------------------------- write
 
   /** INSERT: error if any PK already exists (W1, tablet/tablet.cc:836

@@ -118,6 +118,27 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == Map(1 -> "fresh", 2 -> "fresh"))
   }
 
+  test("changesSince: delta-only diff with ghost dedup; falls back across compaction") {
+    val t = newKv(1 -> "a", 2 -> "b")
+    val v1 = t.currentVersion
+    t.upsert(kv(1 -> "A"))       // change
+    t.insert(kv(3 -> "c"))       // new
+    t.delete(Seq(2).toDF("k"))   // delete existing
+    t.insert(kv(9 -> "ghost"))   // insert...
+    t.delete(Seq(9).toDF("k"))   // ...and delete within window → ghost, not emitted
+    val v2 = t.currentVersion
+    val fast = t.changesSince(v1, v2).collect()
+      .map(r => r.getInt(0) -> r.getBoolean(r.length - 1)).toMap
+    assert(fast == Map(1 -> false, 3 -> false, 2 -> true), fast.toString)
+    // empty range
+    assert(t.changesSince(v2, v2).count() == 0)
+    // compaction in range → logical fallback, same answer
+    t.compact()
+    val afterCompact = t.changesSince(v1, t.currentVersion).collect()
+      .map(r => r.getInt(0) -> r.getBoolean(r.length - 1)).toMap
+    assert(afterCompact == Map(1 -> false, 3 -> false, 2 -> true), afterCompact.toString)
+  }
+
   test("fork: zero-copy private view; mutations stay local; maintain() compacts") {
     val t = newKv(1 -> "a", 2 -> "b")
     val fork = GraftTable.fork(spark, t, tmp())
