@@ -82,9 +82,40 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   private def scanMeta(m: TableMeta): DataFrame =
     scanFiles(m, m.baseFiles, m.deltaFiles)
 
+  /**
+   * Catalyst-integrated scan: the base fileset is served through a custom
+   * [[graft.sources.GraftFileIndex]], so filters the optimizer pushes to the
+   * scan prune hash-bucket/range files automatically — no explicit
+   * `scanPruned` call needed in the DataFrame path. Falls back to [[scan]]
+   * when the base spans schema generations or carries renamed hash columns
+   * (the index prunes on physical names).
+   */
+  def scanIndexed(version: Option[Long] = None): DataFrame = {
+    val m = version.map(TableMeta.read(location, _)).getOrElse(meta)
+    val groups = m.baseFiles.groupBy(_.colIds)
+    val hashColsRenamed = m.hash.flatMap(_.cols)
+      .exists(c => m.columns.find(_.name == c).exists(cm => cm.physName != cm.name))
+    if (groups.size != 1 || hashColsRenamed) return scan(version)
+    val present = groups.keys.head.toSet
+    val physFields = m.columns.filter(c => present.contains(c.id))
+      .map(c => StructField(c.physName, c.dataType, nullable = true))
+    val index = new graft.sources.GraftFileIndex(spark, m, m.baseFiles)
+    val raw = org.apache.spark.sql.GraftSqlBridge
+      .ofFileIndex(spark, index, StructType(physFields))
+    val base = raw.select(m.columns.map { c =>
+      if (present.contains(c.id)) col(c.physName).cast(c.dataType).as(c.name)
+      else defaultLit(c).as(c.name)
+    }: _*)
+    val full = morCombine(m, base, m.deltaFiles)
+    if (m.hasAutoInc) full.select(m.visibleColumns.map(c => col(c.name)): _*) else full
+  }
+
   private def scanFiles(m: TableMeta, baseFiles: Seq[DataFileMeta],
+      deltaFiles: Seq[DataFileMeta]): DataFrame =
+    morCombine(m, readFileGroup(m, baseFiles, delta = false), deltaFiles)
+
+  private def morCombine(m: TableMeta, base: DataFrame,
       deltaFiles: Seq[DataFileMeta]): DataFrame = {
-    val base = readFileGroup(m, baseFiles, delta = false)
     if (deltaFiles.isEmpty) base
     else {
       val deltas = readFileGroup(m, deltaFiles, delta = true)

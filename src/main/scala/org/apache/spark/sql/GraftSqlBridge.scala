@@ -12,4 +12,28 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Catalyst data filter → public sources.Filter (for metadata pruning). */
+  def translateFilter(e: Expression): Option[sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = false)
+
+  /** DataFrame over a HadoopFsRelation built on a custom FileIndex — the
+    * extension-library path to metadata-controlled file listings. */
+  def ofFileIndex(
+      session: SparkSession,
+      index: org.apache.spark.sql.execution.datasources.FileIndex,
+      dataSchema: types.StructType): DataFrame = {
+    val spark = session.asInstanceOf[classic.SparkSession]
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = index,
+      partitionSchema = types.StructType(Nil),
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
+    classic.Dataset.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
+  }
 }

@@ -36,6 +36,32 @@ class PruningExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("scanIndexed: Catalyst-pushed filters prune files automatically") {
+    val data = (1 to 1000).map(i => (i.toLong, s"n$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, tmp("graft-idx-"), "t", data.schema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 8)), data = Some(data))
+    def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    assert(numFiles(t.scanIndexed()) == 8)
+    assert(numFiles(t.scanIndexed().filter(col("id") === 42)) == 1)
+    assert(numFiles(t.scanIndexed().filter(col("id").isin(1L, 2L, 3L))) == 3)
+    // merge-on-read correctness on top of the indexed base
+    t.upsert(Seq((42L, "X")).toDF("id", "v"))
+    t.deleteWhere(col("id") === 100)
+    assert(t.scanIndexed().orderBy("id").collect().toSeq ==
+      t.scan().orderBy("id").collect().toSeq)
+    // schema evolution → multiple generations → silent fallback, still correct
+    t.addColumn("extra", org.apache.spark.sql.types.StringType, default = Some("d"))
+    t.upsert(Seq((2000L, "new", "e")).toDF("id", "v", "extra"))
+    t.compact() // compaction writes a fresh single-generation base again
+    assert(t.scanIndexed().filter(col("id") === 2000).count() == 1)
+  }
+
   test("scanAtTimestamp picks the right snapshot") {
     val t = GraftTable.create(spark, tmp("graft-ts-"), "ts",
       Seq((1, "a")).toDF("k", "v").schema, Seq("k"),
