@@ -65,7 +65,8 @@ object Queries {
       scan(s, dir, "lineitem")
         .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F")
         .agg(count(lit(1)).as("cnt"),
-          sum(col("l_extendedprice").cast("decimal(28,2)")).as("sum_price"))
+          sum(col("l_extendedprice").cast("decimal(28,2)"))
+            .cast("double").as("sum_price"))
     }),
 
     "q4_pk_range" -> ((s, dir) => {
@@ -221,7 +222,7 @@ object Queries {
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(28,6)")).cast("decimal(38,6)").as("revenue"))
+          .cast("decimal(28,6)")).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -233,12 +234,12 @@ object Queries {
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec2("l_quantity")).as("sum_qty"),
-          sum(dec2("l_extendedprice")).as("sum_base_price"),
+          sum(dec2("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec2("l_extendedprice")).cast("double").as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(28,6)")).as("sum_disc_price"),
+            .cast("decimal(28,6)")).cast("double").as("sum_disc_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * (lit(1) + col("l_tax"))).cast("decimal(28,6)")).as("sum_charge"),
+            * (lit(1) + col("l_tax"))).cast("decimal(28,6)")).cast("double").as("sum_charge"),
           (sum(dec2("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
           (sum(dec2("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
           (sum(col("l_discount").cast("decimal(28,4)")).cast("double")
@@ -346,7 +347,7 @@ object Queries {
         "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate " +
         "FROM lineitem WHERE l_orderkey % 97 <> 0 ORDER BY l_orderkey, l_linenumber"),
     "q3_pushdown_agg" ->
-      ("SELECT count(*) AS cnt, sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS sum_price " +
+      ("SELECT count(*) AS cnt, CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price " +
         "FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'"),
     "q4_pk_range" ->
       "SELECT * FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000 ORDER BY o_orderkey",
@@ -390,17 +391,17 @@ object Queries {
       ("SELECT c_custkey, c_name AS c_fullname, c_nationkey, c_mktsegment, 'basic' AS c_tier " +
         "FROM customer ORDER BY c_custkey"),
     "q20_join_agg" ->
-      ("SELECT l_orderkey, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS revenue, o_orderdate " +
+      ("SELECT l_orderkey, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue, o_orderdate " +
         "FROM customer, orders, lineitem " +
         "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey " +
         "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
         "GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10"),
     "q21_tpch_q1" ->
       ("SELECT l_returnflag, l_linestatus, " +
-        "sum(CAST(l_quantity AS DECIMAL(28,2))) AS sum_qty, " +
-        "sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS sum_base_price, " +
-        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS sum_disc_price, " +
-        "sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS sum_charge, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_qty, " +
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_price, " +
         "CAST(sum(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_disc, " +
