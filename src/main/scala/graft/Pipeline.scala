@@ -27,6 +27,8 @@ object Pipeline {
   private val JaccardT = 0.8
   private val CosineT = 0.45
   private val SimhashMaxHamming = 8
+  private val LshTables = 4
+  private val LshPlanes = 6
 
   private def parallelism(s: SparkSession): Int =
     s.sparkContext.defaultParallelism
@@ -82,6 +84,44 @@ object Pipeline {
       zip_with(v, array_repeat(l2norm(v), 64), (x, n) => x / n).as("v"))
   }
 
+  /**
+   * KMeans-trained coarse-quantizer IVF (library API, same plan shape as
+   * the p13 medoid-sampled query — the quantizer is the only difference).
+   * Not a declared query because iterative KMeans isn't reproducible in the
+   * SQL oracle; covered by its own spec instead.
+   */
+  def ivfKMeansTopK(s: SparkSession, dir: String, k: Int = 16,
+      nProbe: Int = 2, topK: Int = 3): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = normalizedVecs(s, dir)
+      .withColumn("fv", array_to_vector(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("fv").fit(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }.toDF("cell", "cv")
+    val q = assigned.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wCell = Window.partitionBy(col("query_id")).orderBy(col("cd").desc, col("cell"))
+    val probeCells = q.crossJoin(broadcast(cents))
+      .withColumn("cd", dot(col("qv"), toDouble(col("cv"))))
+      .withColumn("cr", row_number().over(wCell)).filter(col("cr") <= nProbe)
+      .select("query_id", "qv", "cell")
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("neighbor_id"))
+    probeCells.join(assigned, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("c", dot(col("qv"), col("v")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("c"))
+      .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_dedup_exact" -> ((s, dir) => {
       // Exact dedup: keep the lowest doc_id per identical text (hash-groupBy;
@@ -107,6 +147,11 @@ object Pipeline {
 
     "p3_dedup_minhash" -> ((s, dir) => {
       // MinHash signature agreement (Jaccard estimate) on LSH candidates.
+      // Oracle-exact: the banding has GUARANTEED recall at this threshold —
+      // est_j >= 0.7 means <= 28 of 96 slots disagree, and 28 mismatches
+      // can break at most 28 of the 32 bands, so at least one band always
+      // matches. The LSH output therefore equals the O(n²)-over-signatures
+      // answer the oracle computes, deterministically (not just w.h.p.).
       val sig = cachedSignatures(s, dir)
       lshCandidates(sig)
         .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
@@ -172,19 +217,31 @@ object Pipeline {
     }),
 
     "p7_ann_lsh" -> ((s, dir) => {
-      // Hyperplane-LSH bucketed ANN (scale path): candidates share a 12-bit
-      // bucket; top-3 per query within its bucket. Approximate by design →
-      // rows-only check (no oracle).
+      // Multi-table hyperplane-LSH ANN (scale path): 4 independent 6-bit
+      // bucketings; a vector is a candidate for a query if they share ANY
+      // table's bucket (union-of-tables is the standard recall lever);
+      // top-3 per query by exact cosine over the candidate set. The oracle
+      // replicates the identical approximation — the hyperplanes are
+      // build-time dyadic constants inlined into the SQL — so the result is
+      // hash-checkable even though the operator is approximate vs. p6.
       val e = embs(s, dir).select(col("vec_id"),
-        toDouble(col("embedding")).as("v"))
-        .withColumn("bucket", hyperplaneBucket(col("v"), dim = 64, planes = 12))
-      val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("bucket").as("qb")).filter(col("query_id") < 32)
+          toDouble(col("embedding")).as("v"))
+        .withColumn("bks",
+          hyperplaneBuckets(col("v"), dim = 64, tables = LshTables, planes = LshPlanes))
+      val flat = e.select(col("vec_id"), col("v"),
+        posexplode(col("bks")).as(Seq("t", "bk")))
+      val q = flat.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("t").as("qt"), col("bk").as("qbk"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("c").desc, col("neighbor_id"))
-      q.join(e, col("qb") === col("bucket") && col("query_id") =!= col("vec_id"))
+      q.join(flat.repartition(parallelism(s), col("t"), col("bk")),
+          col("qt") === col("t") && col("qbk") === col("bk") &&
+            col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("qv"),
+          col("vec_id").as("neighbor_id"), col("v"))
+        .dropDuplicates("query_id", "neighbor_id")
         .withColumn("c", cosine(col("qv"), col("v")))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("c"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("query_id", "neighbor_id", "rank")
@@ -193,29 +250,32 @@ object Pipeline {
 
     "p13_ann_ivf" -> ((s, dir) => {
       // IVF-style ANN (the second scale path besides hyperplane LSH): a
-      // KMeans coarse quantizer (16 cells, fixed seed) assigns every vector
-      // to a cell; each query probes its 2 nearest cells and ranks top-3 by
-      // cosine within them — the candidate set is ~2/16 of the data instead
-      // of all of it. Approximate by design → rows-only check; the output
-      // size (3 × 32 queries) is deterministic regardless of clustering.
-      import s.implicits._
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
+      // coarse quantizer assigns every vector to its nearest centroid cell;
+      // each query probes its 2 nearest cells and ranks top-3 by cosine
+      // within them — the candidate set is ~2/k of the data instead of all
+      // of it. Centroids here are a deterministic medoid sample
+      // (vec_id % 31 == 5 → n/31 cells, k scaling with √n̄-ish), which the
+      // oracle replicates exactly in SQL; the KMeans-trained quantizer
+      // variant is [[ivfKMeansTopK]] (same plan shape, centroids fit
+      // instead of sampled).
       val e = normalizedVecs(s, dir)
-        .withColumn("fv", array_to_vector(col("v")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
-        .setFeaturesCol("fv").fit(e)
-      val assigned = model.transform(e)
-        .select(col("vec_id"), col("v"), col("prediction").as("cell"))
-      val cents = model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray) }.toDF("cell", "cv")
-      val q = assigned.filter(col("vec_id") < 32)
+      val cents = e.filter(col("vec_id") % 31 === 5)
+        .select(col("vec_id").as("cell"), col("v").as("cv"))
+      val wAsg = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d").desc, col("cell"))
+      val assigned = e.repartition(parallelism(s))
+        .crossJoin(broadcast(cents))
+        .withColumn("d", dot(col("v"), col("cv")))
+        .withColumn("r", row_number().over(wAsg)).filter(col("r") === 1)
+        .select("vec_id", "v", "cell")
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("d").desc, col("cell"))
+      val probeCells = e.filter(col("vec_id") < 32)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val wCell = Window.partitionBy(col("query_id")).orderBy(col("cd").desc, col("cell"))
-      val probeCells = q.crossJoin(broadcast(cents))
-        .withColumn("cd", dot(col("qv"), toDouble(col("cv"))))
-        .withColumn("cr", row_number().over(wCell)).filter(col("cr") <= 2)
+        .crossJoin(broadcast(cents))
+        .withColumn("d", dot(col("qv"), col("cv")))
+        .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
         .select("query_id", "qv", "cell")
       val wRank = Window.partitionBy(col("query_id"))
         .orderBy(col("c").desc, col("neighbor_id"))
@@ -299,6 +359,31 @@ object Pipeline {
       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       |    ELSE list_distinct(w) END AS s FROM t)""".stripMargin
 
+  /** SQL for [[TextFunctions.polyhash]] applied to expression `e`. */
+  private def polyhashSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(acc, c) -> (acc * 131 + c) % 1000000007)"
+
+  /** SQL for [[TextFunctions.affine]]: (A(i)*h + B(i)) mod P with i = `i`. */
+  private def affineSql(h: String, i: String): String =
+    s"(((2654435761 * (($i) + 1)) % 1000000007) * ($h) + " +
+      s"(2246822519 * (($i) + 1)) % 1000000007) % 1000000007"
+
+  /** The per-table LSH bucket expression over a double-list column `v` —
+    * the identical hyperplanes as [[TextFunctions.hyperplaneBuckets]],
+    * inlined as exact dyadic literals (k/2^53 - 0.5 round-trips through
+    * SQL text losslessly). */
+  private def lshBucketSql(v: String, table: Int): String = {
+    val ks = graft.functions.TextFunctions.hyperplaneKs(
+      dim = 64, tables = LshTables, planes = LshPlanes)
+    (0 until LshPlanes).map { p =>
+      val lits = graft.functions.TextFunctions.planeKsToVec(ks(table)(p))
+        .map(d => java.lang.Double.toString(d)).mkString(", ")
+      s"(CASE WHEN list_dot_product($v, [$lits]) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "p1_dedup_exact" ->
       ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents " +
@@ -308,6 +393,57 @@ object Pipeline {
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
         "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8 " +
         "ORDER BY id_a, id_b"),
+    "p3_dedup_minhash" ->
+      (shingleSqlCte + ",\n" +
+        s"hs AS (SELECT doc_id, list_transform(s, x -> ${polyhashSql("x")}) AS h FROM sh),\n" +
+        s"sig AS (SELECT doc_id, list_transform(generate_series(0, 95), " +
+        s"i -> list_min(list_transform(h, x -> ${affineSql("x", "i")}))) AS sg FROM hs),\n" +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(list_reduce(list_prepend(0, list_transform(generate_series(1, 96), " +
+        "k -> CASE WHEN a.sg[k] = b.sg[k] THEN 1 ELSE 0 END)), (x, y) -> x + y) AS DOUBLE) / 96 AS est_j " +
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, est_j FROM pairs WHERE est_j >= 0.7 ORDER BY id_a, id_b"),
+    "p4_dedup_simhash" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),\n" +
+        s"hs AS (SELECT doc_id, list_transform(w, x -> ${polyhashSql("x")}) AS h FROM t),\n" +
+        "sh AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(0, 63), j -> " +
+        "CASE WHEN list_reduce(list_prepend(0, list_transform(h, x -> " +
+        s"CASE WHEN (${affineSql("x", "j + 101")}) % 2 = 1 THEN 1 ELSE -1 END)), (p, q) -> p + q) > 0 " +
+        "THEN (CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(1 AS BIGINT) << j END) " +
+        "ELSE CAST(0 AS BIGINT) END)), (a, b) -> a | b) AS s FROM hs) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS dist " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.s, b.s)) <= 8 " +
+        "ORDER BY id_a, id_b"),
+    "p7_ann_lsh" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n" +
+        "b AS (SELECT vec_id, v, " +
+        (0 until LshTables).map(t => s"(${lshBucketSql("v", t)}) AS b$t").mkString(", ") +
+        " FROM e),\n" +
+        "q AS (SELECT vec_id AS query_id, v AS qv, b0 AS qb0, b1 AS qb1, b2 AS qb2, b3 AS qb3 FROM b WHERE vec_id < 32),\n" +
+        "cand AS (SELECT DISTINCT query_id, qv, b.vec_id AS neighbor_id, b.v " +
+        "FROM q JOIN b ON (q.qb0 = b.b0 OR q.qb1 = b.b1 OR q.qb2 = b.b2 OR q.qb3 = b.b3) " +
+        "AND query_id <> b.vec_id),\n" +
+        "p AS (SELECT query_id, neighbor_id, " +
+        "list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS c FROM cand) " +
+        "SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank FROM (" +
+        "SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn FROM p) " +
+        "WHERE rn <= 3 ORDER BY query_id, rank"),
+    "p13_ann_ivf" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 FROM embeddings),\n" +
+        "n AS (SELECT vec_id, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e),\n" +
+        "c AS (SELECT vec_id AS cell, v AS cv FROM n WHERE vec_id % 31 = 5),\n" +
+        "asg AS (SELECT vec_id, v, cell FROM (" +
+        "SELECT n.vec_id, n.v, c.cell, row_number() OVER (PARTITION BY n.vec_id " +
+        "ORDER BY list_dot_product(n.v, c.cv) DESC, c.cell) AS rn FROM n CROSS JOIN c) WHERE rn = 1),\n" +
+        "probe AS (SELECT query_id, qv, cell FROM (" +
+        "SELECT n.vec_id AS query_id, n.v AS qv, c.cell, row_number() OVER (PARTITION BY n.vec_id " +
+        "ORDER BY list_dot_product(n.v, c.cv) DESC, c.cell) AS rn FROM n CROSS JOIN c WHERE n.vec_id < 32) WHERE rn <= 2),\n" +
+        "p AS (SELECT query_id, a.vec_id AS neighbor_id, list_dot_product(qv, a.v) AS c " +
+        "FROM probe JOIN asg a USING (cell) WHERE query_id <> a.vec_id) " +
+        "SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank FROM (" +
+        "SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn FROM p) " +
+        "WHERE rn <= 3 ORDER BY query_id, rank"),
     "p5_dedup_embed" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) " +
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b ON a.vec_id < b.vec_id " +

@@ -29,6 +29,16 @@ object Queries {
   private def tmpLoc(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Streaming checkpoint dir on tmpfs when available: offset/commit logs
+    * fsync per micro-batch, which on the overlay filesystem costs a large
+    * slice of the fixed per-batch latency. */
+  private def ckptLoc(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, prefix).toString
+    else tmpLoc(prefix)
+  }
+
   /** Temporarily override shuffle parallelism (streaming micro-batches over
     * small replays drown in per-task overhead at the default). */
   private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
@@ -183,10 +193,12 @@ object Queries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val ms = MemoryStream[Ev]
       s.conf.set("graft.delta.writePartitions", "1") // one file per micro-batch commit
-      val q18p = sys.props.getOrElse("graft.q18.partitions", "4").toInt
+      // 20k-row micro-batches: one task end-to-end beats any parallelism.
+      val q18p = sys.props.getOrElse("graft.q18.partitions", "1").toInt
       try withShufflePartitions(s, q18p) { // micro-batches are small; 32 tasks/batch is overhead
         val q = ms.toDF().writeStream
           .outputMode("update")
+          .option("checkpointLocation", ckptLoc("graft-q18-ckpt-"))
           .foreachBatch((batch: DataFrame, _: Long) => t.upsert(batch))
           .start()
         try {
@@ -305,12 +317,22 @@ object Queries {
       val sinkName = s"graft_q26_sink_${streamSeq.incrementAndGet()}"
       // ~3600 state keys total → 2 partitions; 8+ drowns in per-task overhead
       val q26p = sys.props.getOrElse("graft.q26.partitions", "2").toInt
-      withShufflePartitions(s, q26p) { // per-batch state-store task count dominates
+      // With no-data micro-batches on, every chunk runs a SECOND (empty)
+      // batch just to advance the watermark — double the fixed per-batch
+      // cost for nothing during a chronological replay. Turn them off and
+      // flush the final windows with two far-future sentinels instead (the
+      // first advances max event time, the second applies the new watermark
+      // and emits).
+      val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val ndPrev = s.conf.get(ndKey)
+      s.conf.set(ndKey, "false")
+      try withShufflePartitions(s, q26p) { // per-batch state-store task count dominates
         val q = ms.toDF()
           .withWatermark("ts", "15 minutes")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .count()
           .writeStream.format("memory").queryName(sinkName).outputMode("append")
+          .option("checkpointLocation", ckptLoc("graft-q26-ckpt-"))
           .start()
         try {
           val chunk = math.max(1, all.length / 10)
@@ -318,8 +340,11 @@ object Queries {
           val lastTs = new java.sql.Timestamp(all.last.ts.getTime + 2 * 3600 * 1000)
           ms.addData(Ev(-1L, lastTs, -1L, "zz_sentinel", 0.0, null))
           q.processAllAvailable()
+          ms.addData(Ev(-2L, new java.sql.Timestamp(lastTs.getTime + 3600 * 1000),
+            -1L, "zz_sentinel", 0.0, null))
+          q.processAllAvailable()
         } finally q.stop()
-      }
+      } finally s.conf.set(ndKey, ndPrev)
       s.table(sinkName)
         .filter(col("event_type") =!= "zz_sentinel")
         .select(col("window.start").as("window_start"), col("event_type"),

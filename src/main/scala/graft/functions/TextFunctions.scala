@@ -30,21 +30,40 @@ object TextFunctions {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** One 64-bit hash per shingle. Materialize this in its own projection
-    * before [[minhashSignature]] so each *string* is hashed exactly once;
-    * the k seeded variants then derive from cheap fixed-width long hashes. */
+  /** Deterministic polynomial string hash in [0, 1e9+7) — codegen'd
+    * primitive loop, reproducible in plain SQL for the oracle (see
+    * [[graft.functions.expressions.PolyHash64]]). */
+  def polyhash(s: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    toColumn(graft.functions.expressions.PolyHash64(toExpression(s)))
+  }
+
+  /** Modulus shared by every derived hash family. */
+  val HashP = 1000000007L
+
+  /** Affine reseed family over [[polyhash]] values: (A(i)*h + B(i)) mod P.
+    * A,B < P and h < P, so the products stay < 2^60 (ANSI-safe on Spark,
+    * overflow-check-safe on DuckDB int64). */
+  def affineA(i: Column): Column = (lit(2654435761L) * (i + 1)) % HashP
+  def affineB(i: Column): Column = (lit(2246822519L) * (i + 1)) % HashP
+  def affine(h: Column, i: Column): Column =
+    (affineA(i) * h + affineB(i)) % HashP
+
+  /** One deterministic hash per shingle. Materialize this in its own
+    * projection before [[minhashSignature]] so each *string* is hashed
+    * exactly once; the k seeded variants then derive from cheap affine
+    * transforms over longs. */
   def shingleHashes(shingleSet: Column): Column =
-    transform(shingleSet, s => xxhash64(s))
+    transform(shingleSet, s => polyhash(s))
 
   /**
-   * MinHash signature: k 64-bit min-hashes over pre-hashed shingles
-   * ([[shingleHashes]]), seed mixed in via a second xxhash64 argument
-   * (multiplicative seeding would overflow under ANSI mode).
-   * k = bands * rowsPerBand.
+   * MinHash signature: k min-hashes over pre-hashed shingles
+   * ([[shingleHashes]]), slot i drawn from the affine family
+   * (A(i)*h + B(i)) mod p. k = bands * rowsPerBand.
    */
   def minhashSignature(hashedShingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(hashedShingles, h => xxhash64(h, i))))
+      i => array_min(transform(hashedShingles, h => affine(h, i))))
 
   /** LSH band hashes of a minhash signature: bands entries, each hashing
     * `rows` consecutive signature slots. Equal band hash ⇒ candidate pair. */
@@ -57,14 +76,20 @@ object TextFunctions {
     aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / size(sigA)
 
-  /** One 64-bit hash per word — materialize before [[simhashOf]] (same
-    * hash-once reasoning as [[shingleHashes]]). */
+  /** One deterministic hash per word — materialize before [[simhashOf]]
+    * (same hash-once reasoning as [[shingleHashes]]). */
   def wordHashes(text: Column): Column =
-    transform(words(text), w => xxhash64(w))
+    transform(words(text), w => polyhash(w))
+
+  /** Offset that decorrelates the SimHash bit family from the MinHash
+    * slot family (both draw from the same affine reseed). */
+  val SimhashSeedOffset = 101
 
   /**
-   * 64-bit SimHash over pre-hashed words: per bit, majority vote of each
-   * word-hash's bit. Near-duplicates have small Hamming distance.
+   * 64-bit SimHash over pre-hashed words: bit j is the majority vote of
+   * the parity of affine_{j+offset}(word hash). Near-duplicates have small
+   * Hamming distance. Bits combine with OR (bit 63 = Long.MinValue — an
+   * additive fold would overflow under ANSI).
    */
   def simhashOf(hashes: Column): Column =
     aggregate(
@@ -72,8 +97,11 @@ object TextFunctions {
       lit(0L),
       (acc, bit) => {
         val votes = aggregate(hashes, lit(0),
-          (a, h) => a + when(call_function("getbit", h, bit) === 1, 1).otherwise(-1))
-        acc + when(votes > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))
+          (a, h) => a + when(affine(h, bit + SimhashSeedOffset) % 2 === 1, 1)
+            .otherwise(-1))
+        acc.bitwiseOR(
+          when(votes > 0, call_function("shiftleft", lit(1L), bit))
+            .otherwise(lit(0L)))
       })
 
   /** Convenience single-expression simhash (prefer the two-projection form
@@ -115,22 +143,41 @@ object TextFunctions {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
   /**
-   * Random-hyperplane LSH bucket id: `planes` sign bits of projections onto
-   * deterministic pseudo-random hyperplanes (seeded LCG, no runtime RNG).
-   * Vectors in the same bucket are ANN candidates — the scale path that
-   * avoids the O(n²) pairwise join.
+   * Random-hyperplane LSH, multi-table: `tables` independent bucket ids per
+   * vector, each the `planes` sign bits of projections onto deterministic
+   * pseudo-random hyperplanes (seeded LCG, no runtime RNG — the planes are
+   * build-time constants, so the identical hyperplanes can be inlined into
+   * the DuckDB oracle SQL as exact dyadic literals). Vectors sharing any
+   * table's bucket are ANN candidates — multi-table union is the standard
+   * recall lever that a single bucketing lacks.
    */
-  def hyperplaneBucket(v: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
-    def lcg(x: Long): Long = x * 6364136223846793005L + 1442695040888963407L
-    val planeVecs: Seq[Array[Double]] = (0 until planes).map { p =>
-      var s = lcg(seed + p)
-      Array.fill(dim) { s = lcg(s); (s >>> 11).toDouble / (1L << 53).toDouble - 0.5 }
-    }
-    (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, lit(planeVecs(p)), (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
-    }.reduce(_ + _)
+  def hyperplaneBuckets(v: Column, dim: Int, tables: Int, planes: Int,
+      seed: Long = 42L): Column = {
+    val ks = hyperplaneKs(dim, tables, planes, seed)
+    array((0 until tables).map { t =>
+      (0 until planes).map { p =>
+        when(dot(v, lit(planeKsToVec(ks(t)(p)))) >= 0, shiftleft(lit(1), p))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
   }
+
+  /** Raw 53-bit LCG draws for every (table, plane, dim) hyperplane
+    * component — the shared source for both the Spark literal planes and
+    * the oracle SQL literals. */
+  def hyperplaneKs(dim: Int, tables: Int, planes: Int,
+      seed: Long = 42L): IndexedSeq[IndexedSeq[Array[Long]]] = {
+    def lcg(x: Long): Long = x * 6364136223846793005L + 1442695040888963407L
+    (0 until tables).map { t =>
+      (0 until planes).map { p =>
+        var s = lcg(seed + t * planes + p)
+        Array.fill(dim) { s = lcg(s); s >>> 11 }
+      }
+    }
+  }
+
+  /** k/2^53 - 0.5 — exactly representable (a dyadic rational with < 53
+    * mantissa bits), so the same literal parses to the same double in SQL. */
+  def planeKsToVec(ks: Array[Long]): Array[Double] =
+    ks.map(k => k.toDouble / (1L << 53).toDouble - 0.5)
 }

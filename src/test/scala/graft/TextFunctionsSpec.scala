@@ -27,7 +27,7 @@ class TextFunctionsSpec extends AnyFunSuite {
 
   test("minhash agreement approximates jaccard; identical texts agree fully") {
     val sh = docs.select(col("id"), shingles(col("text")).as("s"))
-      .withColumn("sig", minhashSignature(col("s"), 96))
+      .withColumn("sig", minhashSignature(shingleHashes(col("s")), 96))
     val sigs = sh.select("id", "sig").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(1L) == sigs(1L))
@@ -62,5 +62,23 @@ class TextFunctionsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(3L))
+  }
+
+  test("polyhash matches the reference fold (the SQL-oracle contract)") {
+    // Same fold DuckDB computes via list_reduce over unicode code points —
+    // the cross-engine agreement every minhash/simhash oracle rests on.
+    val got = Seq(Tuple1("abc xy")).toDF("s")
+      .select(polyhash(col("s"))).head().getLong(0)
+    assert(got == 294588010L, s"codegen path: $got")
+    assert(graft.functions.expressions.PolyHash64.hash("abc xy") == 294588010L)
+    assert(graft.functions.expressions.PolyHash64.hash("") == 0L)
+  }
+
+  test("hyperplane plane components are dyadic (round-trip through SQL text)") {
+    for {
+      tbl <- hyperplaneKs(dim = 8, tables = 2, planes = 3)
+      plane <- tbl
+      d <- planeKsToVec(plane)
+    } assert(java.lang.Double.parseDouble(java.lang.Double.toString(d)) == d)
   }
 }
