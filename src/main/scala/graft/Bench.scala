@@ -39,6 +39,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    Pipeline.releaseCaches() // no cached RDDs may outlive the run
     spark.stop()
   }
 }

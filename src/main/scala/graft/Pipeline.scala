@@ -13,11 +13,14 @@ import graft.functions.TextFunctions._
  * (brute-force + hyperplane-LSH ANN), and text analysis (language-ID,
  * quality stats, token counts, fingerprinting).
  *
- * Scale design: every near-dup op is LSH-prefiltered (candidates from band
- * buckets, not an O(n²) self-join), so the expensive exact verification runs
- * only on candidate pairs — the layout that survives 100 TB. The DuckDB
- * oracles compute the exact O(n²) answer, which the LSH path must reproduce
- * (32 bands × 3 rows ⇒ pair-miss probability at j≥0.8 is ~1e-10).
+ * Scale design: every near-dup op is candidate-prefiltered (minhash-LSH
+ * bands, simhash multi-index blocks, or hyperplane-LSH buckets — never an
+ * O(n²) self-join), so the expensive exact verification runs only on
+ * candidate pairs — the layout that survives 100 TB. Where the prefilter has
+ * provably exact recall (p2/p3 banding at the declared thresholds, p4 block
+ * pigeonhole) the DuckDB oracle computes the exact O(n²) answer; where it is
+ * genuinely approximate (p5/p7/p13) the oracle replicates the identical
+ * bucketing constants so the result is still hash-checked exactly.
  */
 object Pipeline {
 
@@ -29,9 +32,33 @@ object Pipeline {
   private val SimhashMaxHamming = 8
   private val LshTables = 4
   private val LshPlanes = 6
+  // p5's own bucket family: fewer planes (coarser buckets) × more tables —
+  // per-pair recall at cosine>=0.45 is 1-(1-(1-acos(.45)/π)^4)^16 ≈ 96%,
+  // vs ~27% for the 4×6 ANN family (ANN only needs SOME near neighbors;
+  // dedup needs nearly ALL pairs).
+  private val DedupTables = 16
+  private val DedupPlanes = 4
 
   private def parallelism(s: SparkSession): Int =
     s.sparkContext.defaultParallelism
+
+  /** Caches created by pipeline queries, released by [[releaseCaches]] once
+    * the caller has materialized its results (Verify/Bench call it at end of
+    * run) — long-lived sessions must not accumulate executor memory. */
+  private val persisted = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  private def persistTracked(df: DataFrame): DataFrame = persisted.synchronized {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted += p
+    p
+  }
+
+  /** Unpersist every cache created by pipeline queries. Safe to call while
+    * other queries run — Spark recomputes an unpersisted plan lazily. */
+  def releaseCaches(): Unit = persisted.synchronized {
+    persisted.foreach(_.unpersist(blocking = false))
+    persisted.clear()
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.scan(s, dir, "documents")
@@ -58,11 +85,10 @@ object Pipeline {
     // inline the string-hashing back into the k-times-evaluated lambda
     // (higher-order functions are interpreted — re-hashing strings k× per
     // row is the difference between seconds and minutes at 5k docs).
-    val hs = docShingles(s, dir)
-      .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    hs.select(col("doc_id"), minhashSignature(col("hs"), MinhashK).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hs = persistTracked(docShingles(s, dir)
+      .select(col("doc_id"), shingleHashes(col("sh")).as("hs")))
+    persistTracked(
+      hs.select(col("doc_id"), minhashSignature(col("hs"), MinhashK).as("sig")))
   }
 
   /** LSH candidate pairs (id_a < id_b) from minhash band buckets. */
@@ -95,9 +121,8 @@ object Pipeline {
     import s.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val e = normalizedVecs(s, dir)
-      .withColumn("fv", array_to_vector(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = persistTracked(normalizedVecs(s, dir)
+      .withColumn("fv", array_to_vector(col("v"))))
     val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
       .setFeaturesCol("fv").fit(e)
     val assigned = model.transform(e)
@@ -163,39 +188,66 @@ object Pipeline {
     }),
 
     "p4_dedup_simhash" -> ((s, dir) => {
-      // 64-bit SimHash; near-dups = Hamming distance <= 8. Self-join on the
-      // 8-bit prefix blocks the O(n²) (same-prefix requirement is implied at
-      // distance<=8 only probabilistically, so full cross within blocks of
-      // the two prefix halves — here: plain join, small n; scale path =
-      // multi-index blocking).
+      // 64-bit SimHash; near-dups = Hamming distance <= 8. Multi-index
+      // blocking (the scale path): split the 64 bits into 9 contiguous
+      // blocks — a pair at distance <= 8 has differing bits in at most 8
+      // blocks, so it agrees EXACTLY on at least one block (pigeonhole).
+      // The equi-join on (block index, block value) therefore has perfect
+      // recall vs the all-pairs join while shuffling only same-block groups;
+      // candidates then verify with the full Hamming check. The oracle stays
+      // the exact O(n²) answer, which this plan reproduces deterministically.
       // Same materialization-barrier trick as cachedSignatures: word hashes
       // cached once, then the 64-bit vote fold runs over longs only.
-      val wh = docs(s, dir).repartition(parallelism(s))
-        .select(col("doc_id"), wordHashes(col("text")).as("wh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sh = wh.select(col("doc_id"), simhashOf(col("wh")).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sh.repartition(parallelism(s)).as("a")
-        .join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .withColumn("dist", hamming64(col("a.sh"), col("b.sh")))
-        .filter(col("dist") <= SimhashMaxHamming)
+      val wh = persistTracked(docs(s, dir).repartition(parallelism(s))
+        .select(col("doc_id"), wordHashes(col("text")).as("wh")))
+      val sh = persistTracked(
+        wh.select(col("doc_id"), simhashOf(col("wh")).as("sh")))
+      val nBlocks = SimhashMaxHamming + 1 // 9 blocks of 7-8 bits each
+      val blockVals = array((0 until nBlocks).map { b =>
+        val lo = b * 64 / nBlocks
+        val width = (b + 1) * 64 / nBlocks - lo
+        shiftrightunsigned(col("sh"), lo).bitwiseAND(lit((1L << width) - 1))
+      }: _*)
+      val blocks = sh.select(col("doc_id"), col("sh"),
+        posexplode(blockVals).as(Seq("blk", "bv")))
+      blocks.as("a").join(blocks.as("b"),
+          col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("dist").cast("int").as("dist"))
+          col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("dist", hamming64(col("sh_a"), col("sh_b")))
+        .filter(col("dist") <= SimhashMaxHamming)
+        .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
         .orderBy("id_a", "id_b")
     }),
 
     "p5_dedup_embed" -> ((s, dir) => {
-      // Embedding cosine near-dup pairs (threshold 0.45 — the data's planted
-      // separation). Vectors are L2-normalized once, so the O(n²) pair stage
-      // is a single dot product. Brute-force at test SF; the LSH-bucketed
-      // variant below is the scale path.
-      // Repartition the probe side: nested-loop pair-join parallelism equals
-      // stream-side partition count (a single input file would run 1 task).
-      val e = normalizedVecs(s, dir)
-      e.repartition(parallelism(s)).as("a")
-        .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .filter(dot(col("a.v"), col("b.v")) >= CosineT)
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      // Embedding cosine near-dup pairs (threshold 0.45). Scale path
+      // (replacing the round-2 all-pairs join): hyperplane-LSH bucket
+      // prefilter — candidates are pairs sharing ANY of the 4 tables' 6-bit
+      // buckets (identical constants to p7) — then exact cosine verification
+      // on candidates only, an equi-join instead of a cartesian product.
+      // The oracle replicates the identical bucketing (hyperplanes are
+      // build-time dyadic constants inlined into the SQL), so the
+      // approximate operator is still hash-checked exactly. Recall is the
+      // standard LSH tables×planes tradeoff (see [[DedupTables]]) and rises
+      // further with the threshold — at the production-typical cosine>=0.9
+      // this 16×4 family recalls 1-(1-0.856^4)^16 ≈ 99.9995% of pairs.
+      val e = embs(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("bks",
+          hyperplaneBuckets(col("v"), dim = 64, tables = DedupTables, planes = DedupPlanes))
+      val flat = e.select(col("vec_id"), col("v"),
+          posexplode(col("bks")).as(Seq("t", "bk")))
+        .repartition(parallelism(s), col("t"), col("bk"))
+      flat.as("a").join(flat.as("b"),
+          col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          col("a.v").as("va"), col("b.v").as("vb"))
+        .dropDuplicates("id_a", "id_b")
+        .filter(cosine(col("va"), col("vb")) >= CosineT)
+        .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     }),
 
@@ -252,22 +304,32 @@ object Pipeline {
       // IVF-style ANN (the second scale path besides hyperplane LSH): a
       // coarse quantizer assigns every vector to its nearest centroid cell;
       // each query probes its 2 nearest cells and ranks top-3 by cosine
-      // within them — the candidate set is ~2/k of the data instead of all
-      // of it. Centroids here are a deterministic medoid sample
-      // (vec_id % 31 == 5 → n/31 cells, k scaling with √n̄-ish), which the
-      // oracle replicates exactly in SQL; the KMeans-trained quantizer
+      // within them. Centroids are a deterministic medoid sample with the
+      // modulus DERIVED FROM n: M = max(⌈√n⌉, ⌈n/4096⌉), so the cell count
+      // n/M ≈ min(√n, 4096) is sublinear and the centroid broadcast stays
+      // bounded at any scale (the round-2 fixed modulus grew cells — and
+      // the broadcast — linearly in n). The oracle replicates the same M in
+      // SQL (both engines use IEEE-double sqrt). Assignment aggregates with
+      // max_by — a map-side-combinable partial aggregate — instead of a
+      // row_number window, so the n×cells cross product is reduced on the
+      // map side rather than shuffled whole. The KMeans-trained quantizer
       // variant is [[ivfKMeansTopK]] (same plan shape, centroids fit
       // instead of sampled).
-      val e = normalizedVecs(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cents = e.filter(col("vec_id") % 31 === 5)
+      val e = persistTracked(normalizedVecs(s, dir))
+      val n = e.count()
+      val mMod = math.max(1L, math.max(
+        math.ceil(math.sqrt(n.toDouble)).toLong,
+        math.ceil(n / 4096.0).toLong))
+      val cents = e.filter(col("vec_id") % mMod === lit(5L % mMod))
         .select(col("vec_id").as("cell"), col("v").as("cv"))
-      val wAsg = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d").desc, col("cell"))
       val assigned = e.repartition(parallelism(s))
         .crossJoin(broadcast(cents))
         .withColumn("d", dot(col("v"), col("cv")))
-        .withColumn("r", row_number().over(wAsg)).filter(col("r") === 1)
+        .groupBy(col("vec_id"))
+        // max of (d, -cell) = best d, then lowest cell — same tie-break as
+        // the oracle's row_number() ORDER BY d DESC, cell.
+        .agg(max_by(col("cell"), struct(col("d"), (-col("cell")).cast("double"))).as("cell"),
+          first(col("v")).as("v"))
         .select("vec_id", "v", "cell")
       val wProbe = Window.partitionBy(col("query_id"))
         .orderBy(col("d").desc, col("cell"))
@@ -359,10 +421,16 @@ object Pipeline {
       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       |    ELSE list_distinct(w) END AS s FROM t)""".stripMargin
 
-  /** SQL for [[TextFunctions.polyhash]] applied to expression `e`. */
+  /** SQL for [[TextFunctions.polyhash]] applied to expression `e`.
+    * Empty-token edge (verified): both engines split consecutive/trailing
+    * spaces into "" tokens, but DuckDB `string_split('','')` yields [''] and
+    * `unicode('')` is -1, where Spark's codepoint fold over "" is empty →
+    * hash 0. `greatest(unicode(c), 0)` is the identity for every real
+    * character (codepoints >= 1) and maps the DuckDB '' artifact to a 0
+    * contribution, making polyhash('') = 0 on both engines. */
   private def polyhashSql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"list_transform(string_split($e, ''), c -> CAST(greatest(unicode(c), 0) AS BIGINT))), " +
       s"(acc, c) -> (acc * 131 + c) % 1000000007)"
 
   /** SQL for [[TextFunctions.affine]]: (A(i)*h + B(i)) mod P with i = `i`. */
@@ -373,11 +441,21 @@ object Pipeline {
   /** The per-table LSH bucket expression over a double-list column `v` —
     * the identical hyperplanes as [[TextFunctions.hyperplaneBuckets]],
     * inlined as exact dyadic literals (k/2^53 - 0.5 round-trips through
-    * SQL text losslessly). */
-  private def lshBucketSql(v: String, table: Int): String = {
+    * SQL text losslessly).
+    *
+    * ASSUMPTION (load-bearing for p5/p7/p13 hash equality): DuckDB's
+    * list_dot_product accumulates doubles strictly left-to-right, the same
+    * order as the codegen'd [[graft.functions.expressions.DotProduct]] loop.
+    * The bucket bit is sign(dot) — a knife edge if either engine ever
+    * switches to SIMD/pairwise summation. Verified empirically each round by
+    * the hash compare itself; if it breaks, move buckets to integer-exact
+    * arithmetic (fixed-point plane components, integer dot products) like
+    * the minhash path. */
+  private def lshBucketSql(v: String, table: Int,
+      tables: Int = LshTables, planes: Int = LshPlanes): String = {
     val ks = graft.functions.TextFunctions.hyperplaneKs(
-      dim = 64, tables = LshTables, planes = LshPlanes)
-    (0 until LshPlanes).map { p =>
+      dim = 64, tables = tables, planes = planes)
+    (0 until planes).map { p =>
       val lits = graft.functions.TextFunctions.planeKsToVec(ks(table)(p))
         .map(d => java.lang.Double.toString(d)).mkString(", ")
       s"(CASE WHEN list_dot_product($v, [$lits]) >= 0 THEN ${1 << p} ELSE 0 END)"
@@ -432,7 +510,9 @@ object Pipeline {
     "p13_ann_ivf" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 FROM embeddings),\n" +
         "n AS (SELECT vec_id, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e),\n" +
-        "c AS (SELECT vec_id AS cell, v AS cv FROM n WHERE vec_id % 31 = 5),\n" +
+        "mm AS (SELECT greatest(CAST(ceil(sqrt(count(*))) AS BIGINT), " +
+        "CAST(ceil(count(*) / 4096.0) AS BIGINT), CAST(1 AS BIGINT)) AS m FROM embeddings),\n" +
+        "c AS (SELECT vec_id AS cell, v AS cv FROM n, mm WHERE vec_id % mm.m = 5 % mm.m),\n" +
         "asg AS (SELECT vec_id, v, cell FROM (" +
         "SELECT n.vec_id, n.v, c.cell, row_number() OVER (PARTITION BY n.vec_id " +
         "ORDER BY list_dot_product(n.v, c.cv) DESC, c.cell) AS rn FROM n CROSS JOIN c) WHERE rn = 1),\n" +
@@ -445,8 +525,15 @@ object Pipeline {
         "SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn FROM p) " +
         "WHERE rn <= 3 ORDER BY query_id, rank"),
     "p5_dedup_embed" ->
-      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) " +
-        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n" +
+        "b AS (SELECT vec_id, v, " +
+        (0 until DedupTables).map(t =>
+          s"(${lshBucketSql("v", t, DedupTables, DedupPlanes)}) AS b$t").mkString(", ") +
+        " FROM e)\n" +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM b a JOIN b b ON a.vec_id < b.vec_id " +
+        "AND (" +
+        (0 until DedupTables).map(t => s"a.b$t = b.b$t").mkString(" OR ") +
+        ") " +
         "WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45 " +
         "ORDER BY id_a, id_b"),
     "p6_ann_topk" ->

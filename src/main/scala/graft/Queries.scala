@@ -31,12 +31,22 @@ object Queries {
 
   /** Streaming checkpoint dir on tmpfs when available: offset/commit logs
     * fsync per micro-batch, which on the overlay filesystem costs a large
-    * slice of the fixed per-batch latency. */
+    * slice of the fixed per-batch latency. Callers delete it via [[rmrf]]
+    * after stopping the query — durability is explicitly not needed for the
+    * replay harness, and leaked tmpfs dirs are RAM on long-lived hosts. */
   private def ckptLoc(prefix: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (Files.isDirectory(shm) && Files.isWritable(shm))
       Files.createTempDirectory(shm, prefix).toString
     else tmpLoc(prefix)
+  }
+
+  private def rmrf(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    if (Files.exists(root))
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
   }
 
   /** Temporarily override shuffle parallelism (streaming micro-batches over
@@ -100,7 +110,9 @@ object Queries {
       t.upsert(t.scan().filter(col("o_orderkey") % 50 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1000))
       t.deleteWhere(col("o_orderkey") % 97 === 0)
-      t.changes(v1, t.currentVersion)
+      // changesSince = the delta-only fast path (no compaction separates the
+      // two versions here, so it never falls back to the two-snapshot diff).
+      t.changesSince(v1, t.currentVersion)
         .select(col("o_orderkey"), col("_deleted")).orderBy("o_orderkey")
     }),
 
@@ -195,10 +207,11 @@ object Queries {
       s.conf.set("graft.delta.writePartitions", "1") // one file per micro-batch commit
       // 20k-row micro-batches: one task end-to-end beats any parallelism.
       val q18p = sys.props.getOrElse("graft.q18.partitions", "1").toInt
+      val ckpt = ckptLoc("graft-q18-ckpt-")
       try withShufflePartitions(s, q18p) { // micro-batches are small; 32 tasks/batch is overhead
         val q = ms.toDF().writeStream
           .outputMode("update")
-          .option("checkpointLocation", ckptLoc("graft-q18-ckpt-"))
+          .option("checkpointLocation", ckpt)
           .foreachBatch((batch: DataFrame, _: Long) => t.upsert(batch))
           .start()
         try {
@@ -211,7 +224,10 @@ object Queries {
             q.processAllAvailable()
           }
         } finally q.stop()
-      } finally s.conf.unset("graft.delta.writePartitions")
+      } finally {
+        s.conf.unset("graft.delta.writePartitions")
+        rmrf(ckpt)
+      }
       t.scan().orderBy("event_id")
     }),
 
@@ -326,13 +342,14 @@ object Queries {
       val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
       val ndPrev = s.conf.get(ndKey)
       s.conf.set(ndKey, "false")
+      val ckpt = ckptLoc("graft-q26-ckpt-")
       try withShufflePartitions(s, q26p) { // per-batch state-store task count dominates
         val q = ms.toDF()
           .withWatermark("ts", "15 minutes")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .count()
           .writeStream.format("memory").queryName(sinkName).outputMode("append")
-          .option("checkpointLocation", ckptLoc("graft-q26-ckpt-"))
+          .option("checkpointLocation", ckpt)
           .start()
         try {
           val chunk = math.max(1, all.length / 10)
@@ -344,7 +361,10 @@ object Queries {
             -1L, "zz_sentinel", 0.0, null))
           q.processAllAvailable()
         } finally q.stop()
-      } finally s.conf.set(ndKey, ndPrev)
+      } finally {
+        s.conf.set(ndKey, ndPrev)
+        rmrf(ckpt)
+      }
       s.table(sinkName)
         .filter(col("event_type") =!= "zz_sentinel")
         .select(col("window.start").as("window_start"), col("event_type"),
