@@ -372,6 +372,16 @@ object Queries {
         .orderBy("window_start", "event_type")
     }),
 
+    "q29_point_lookup" -> ((s, dir) => {
+      // PK point lookup through the indexed read path: the custom FileIndex
+      // prunes to the single hash-bucket file group from table METADATA
+      // before any file opens (explain shows numFiles = total/buckets), then
+      // the pushed predicate + parquet row-group stats + the key bloom
+      // filter narrow inside it — the engine's analog of a Kudu primary-key
+      // point get served by a single tablet.
+      scan(s, dir, "customer").filter(col("c_custkey") === 42)
+    }),
+
     "q27_approx_distinct" -> ((s, dir) => {
       // HLL sketch vs exact: emit the exact count (hash-matched against the
       // oracle) plus a boolean asserting the sketch landed within 2%.
@@ -483,5 +493,7 @@ object Queries {
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt " +
         "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
     "q27_approx_distinct" ->
-      "SELECT count(DISTINCT l_partkey) AS cnt_d, true AS approx_ok FROM lineitem")
+      "SELECT count(DISTINCT l_partkey) AS cnt_d, true AS approx_ok FROM lineitem",
+    "q29_point_lookup" ->
+      "SELECT * FROM customer WHERE c_custkey = 42")
 }

@@ -44,7 +44,7 @@ object Tables {
 
   /** Bump when the metadata format changes — stale on-disk caches from an
     * older build are then simply ignored instead of mis-loaded. */
-  private val CacheFormatVersion = 2
+  private val CacheFormatVersion = 3
 
   private def cacheRoot(sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
@@ -86,14 +86,17 @@ object Tables {
     val spec = specs.getOrElse(table,
       throw new IllegalArgumentException(s"unknown fixture table $table"))
     Files.createDirectories(Paths.get(loc))
-    if (table == "events")
-      // events.parquet carries TIMESTAMP(NANOS), unreadable as-is by Spark's
-      // vectorized reader → materialize a converted base instead of zero-copy.
-      GraftTable.create(spark, loc, table, raw(spark, sfDir, table).schema,
-        spec.keys, spec.hash, spec.range, data = Some(raw(spark, sfDir, table)))
-    else
-      GraftTable.register(spark, loc, table, s"$sfDir/$table.parquet",
-        spec.keys, spec.hash, spec.range, spec.nonUnique)
+    // Materialize a hash/range-partitioned base (create, not zero-copy
+    // register): partition coordinates in the fileset are what let
+    // scanIndexed / the write-path presence pruning skip whole files, so
+    // every declared query exercises the pruned read path — the bulk-load
+    // analog, paid once per (sfDir, table) and reused across JVMs.
+    // Zero-copy registration remains the API for external parquet handoffs
+    // (GraftTable.register; events additionally needs its TIMESTAMP(NANOS)
+    // column converted, which raw() does).
+    GraftTable.create(spark, loc, table, raw(spark, sfDir, table).schema,
+      spec.keys, spec.hash, spec.range, data = Some(raw(spark, sfDir, table)),
+      nonUniqueKey = spec.nonUnique)
   }
 
   /** Raw parquet read (what the DuckDB oracle sees). The events table's
@@ -107,7 +110,9 @@ object Tables {
     } else spark.read.parquet(s"$sfDir/$table.parquet")
   }
 
-  /** Scan through the engine read path. */
+  /** Scan through the engine's Catalyst-integrated read path: filters the
+    * optimizer pushes down prune hash-bucket/range files from table metadata
+    * before any file opens (GraftFileIndex). */
   def scan(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    readonly(spark, sfDir, table).scan()
+    readonly(spark, sfDir, table).scanIndexed()
 }

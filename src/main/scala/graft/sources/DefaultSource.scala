@@ -83,17 +83,18 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
   }
 
   /** Streaming upsert sink — one delta commit per micro-batch, at-least-once
-    * (KuduSink semantics, DefaultSource.scala:538-555). */
+    * (KuduSink semantics, DefaultSource.scala:538-555). Rows never touch the
+    * driver: the micro-batch's executed plan is re-wrapped as a batch
+    * DataFrame from its InternalRow RDD (the same executor-side re-wrap
+    * Spark's own ForeachBatchSink does), then committed as a delta. */
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
     val table = GraftTable.load(sqlContext.sparkSession, path(parameters))
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
-        // The incoming DataFrame is a streaming plan; materialize rows first.
-        val rows = data.collect()
-        val batch = sqlContext.sparkSession.createDataFrame(
-          java.util.Arrays.asList(rows: _*), data.schema)
+        val batch = org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(
+          sqlContext.sparkSession, data.queryExecution.toRdd, data.schema)
         table.upsert(batch)
       }
     }

@@ -83,6 +83,56 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     scanFiles(m, m.baseFiles, m.deltaFiles)
 
   /**
+   * Table snapshot pruned to what can possibly match `batch` on `joinKeys`
+   * — the presence-check scan of the write path (the Spark analog of the
+   * reference's per-rowset bloom presence probe, tablet/tablet.cc:1148
+   * BulkCheckPresence). One small aggregate over the batch (bounded by the
+   * bucket count) computes the batch's hash-bucket set and leading-PK
+   * min/max; base files outside those buckets are never opened, and the key
+   * range predicate lets parquet row-group stats + the key bloom filters
+   * skip inside surviving files — instead of a full scan + shuffle of the
+   * table per mutation batch.
+   *
+   * Correctness: bucket pruning applies only when every hash column is a
+   * join key (then equal join keys ⇒ equal bucket); the range predicate
+   * applies only to the leading join key. Rows outside either cannot match
+   * any batch row, so semi/anti/inner joins on `joinKeys` are unaffected.
+   * Delta files are never pruned (no partition coordinates; small between
+   * compactions).
+   */
+  private def scanForBatch(m: TableMeta, batch: DataFrame,
+      joinKeys: Seq[String]): DataFrame = {
+    val hashCols = m.hash.flatMap(_.cols)
+    val canBucket = m.hash.nonEmpty &&
+      hashCols.forall(c => joinKeys.contains(c) && batch.columns.contains(c)) &&
+      m.baseFiles.exists(_.bucket.isDefined)
+    val leadKey = m.keyCols.headOption
+      .filter(k => joinKeys.contains(k) && batch.columns.contains(k))
+    if (!canBucket && leadKey.isEmpty) return scanMeta(m)
+    // cast to table types first: murmur3(5:int) != murmur3(5:long), and a
+    // raw caller batch may carry narrower key types than the table
+    def typed(n: String): Column = col(n).cast(m.column(n).dataType)
+    val probe = batch.groupBy().agg(
+      (if (canBucket) collect_set(bucketExpr(m, typed)) else collect_set(lit(0)))
+        .as("_graft_pb"),
+      leadKey.map(k => min(typed(k))).getOrElse(lit(null)).as("_graft_klo"),
+      leadKey.map(k => max(typed(k))).getOrElse(lit(null)).as("_graft_khi"))
+      .collect()(0)
+    val keepBase =
+      if (!canBucket) m.baseFiles
+      else {
+        val buckets = probe.getSeq[Int](0).toSet
+        m.baseFiles.filter(f => f.bucket.forall(buckets.contains))
+      }
+    val scanned = scanFiles(m, keepBase, m.deltaFiles)
+    leadKey match {
+      case Some(k) if probe.get(1) != null =>
+        scanned.filter(col(k) >= lit(probe.get(1)) && col(k) <= lit(probe.get(2)))
+      case _ => scanned
+    }
+  }
+
+  /**
    * Catalyst-integrated scan: the base fileset is served through a custom
    * [[graft.sources.GraftFileIndex]], so filters the optimizer pushes to the
    * scan prune hash-bucket/range files automatically — no explicit
@@ -242,7 +292,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       val dupIn = batch.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
       if (dupIn.limit(1).count() > 0)
         throw new PrimaryKeyException(s"duplicate keys within INSERT batch on ${m.name}")
-      val existing = scanMeta(m).select(keys.map(col): _*)
+      val existing = scanForBatch(m, batch, keys).select(keys.map(col): _*)
       val clash = batch.join(existing, keys, "left_semi")
       if (clash.limit(1).count() > 0) {
         val sample = clash.select(keys.map(col): _*).limit(3).collect().mkString(",")
@@ -250,7 +300,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       }
       commitDelta(m, batch.withColumn(OpCol, lit(OpUpsert)), "insert")
     } else {
-      val existing = scanMeta(m).select(keys.map(col): _*)
+      val existing = scanForBatch(m, batch, keys).select(keys.map(col): _*)
       val fresh = batch.dropDuplicates(keys).join(existing, keys, "left_anti")
       commitDelta(m, fresh.withColumn(OpCol, lit(OpUpsert)), "insert_ignore")
     }
@@ -274,7 +324,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     var batch = conform(m, df).dropDuplicates(m.keyCols)
     val immutables = m.columns.filter(c => c.immutable && !c.isKey)
     if (immutables.nonEmpty) {
-      val existing = scanMeta(m)
+      val existing = scanForBatch(m, batch, m.keyCols)
       val exCols = m.keyCols.map(col) ++
         immutables.map(c => col(c.name).as(s"_graft_cur_${c.name}"))
       val joined = batch.join(existing.select(exCols: _*), m.keyCols, "left")
@@ -313,7 +363,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     val setCols = df.columns.filterNot(keys.contains).toSeq
     require(setCols.nonEmpty, "UPDATE batch must set at least one non-key column")
     val updates = df.dropDuplicates(keys)
-    val existing = scanMeta(m)
+    val existing = scanForBatch(m, updates, keys)
     if (!ignore) {
       val missing = updates.join(existing.select(keys.map(col): _*), keys, "left_anti")
       if (missing.limit(1).count() > 0)
@@ -347,7 +397,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     val keys = m.keyCols
     val k = keysDf.select(keys.map(col): _*).dropDuplicates(keys)
     if (!ignore) {
-      val missing = k.join(scanMeta(m).select(keys.map(col): _*), keys, "left_anti")
+      val missing = k.join(
+        scanForBatch(m, k, keys).select(keys.map(col): _*), keys, "left_anti")
       if (missing.limit(1).count() > 0)
         throw new PrimaryKeyException(s"DELETE key not found in ${m.name}")
     }
@@ -457,7 +508,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   private def assignAutoInc(m: TableMeta, df: DataFrame): DataFrame = {
     if (!m.hasAutoInc || df.columns.contains(AutoIncName)) return df
     val userKeys = m.userKeyCols
-    val maxes = scanMeta(m)
+    // the max-id lookup joins on the user key — prune it like a presence check
+    val maxes = scanForBatch(m, df, userKeys)
       .groupBy(userKeys.map(col): _*)
       .agg(max(col(AutoIncName)).as("_graft_maxid"))
     val orderCols = df.columns.filterNot(userKeys.contains).map(col).toSeq

@@ -18,6 +18,17 @@ object GraftSqlBridge {
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = false)
 
+  /** Re-wrap an already-executed plan's InternalRow RDD as a batch
+    * DataFrame WITHOUT moving rows to the driver — the standard pattern for
+    * streaming Sinks (the incoming micro-batch DataFrame carries a streaming
+    * plan that batch writers refuse; its toRdd stays on the executors). */
+  def internalCreateDataFrame(
+      session: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: types.StructType): DataFrame =
+    session.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** DataFrame over a HadoopFsRelation built on a custom FileIndex — the
     * extension-library path to metadata-controlled file listings. */
   def ofFileIndex(

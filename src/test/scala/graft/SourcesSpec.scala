@@ -117,6 +117,29 @@ class SourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: writeStream.format('graft') upserts executor-side per micro-batch") {
+    val (loc, t) = mkTable()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Int)]
+    val ckpt = tmp("graft-sink-ckpt-")
+    val q = ms.toDF().toDF("id", "name", "grp")
+      .writeStream.format("graft")
+      .option("graft.table.path", loc)
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .start()
+    try {
+      ms.addData((1L, "batch1", 0), (101L, "new1", 1))
+      q.processAllAvailable()
+      ms.addData((1L, "batch2", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = t.scan().filter(col("id") === 1 || col("id") === 101)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "batch2", 101L -> "new1"), got.toString)
+    assert(t.scan().count() == 101) // 100 original + 1 new key
+  }
+
   test("streaming: change stream emits delta commits with ops") {
     val (loc, t) = mkTable()
     t.upsert(Seq((1L, "x", 0)).toDF("id", "name", "grp"))
