@@ -32,12 +32,16 @@ object Pipeline {
   private val SimhashMaxHamming = 8
   private val LshTables = 4
   private val LshPlanes = 6
-  // p5's own bucket family: fewer planes (coarser buckets) × more tables —
-  // per-pair recall at cosine>=0.45 is 1-(1-(1-acos(.45)/π)^4)^16 ≈ 96%,
-  // vs ~27% for the 4×6 ANN family (ANN only needs SOME near neighbors;
-  // dedup needs nearly ALL pairs).
+  // p5's own bucket family — more tables than the ANN family because dedup
+  // needs nearly ALL pairs, not just SOME near neighbors. Sizing rule:
+  // candidate volume ≈ tables × n²/2^planes and per-pair recall =
+  // 1-(1-p₁^planes)^tables with p₁ = 1-acos(τ)/π; 16×6 gives n²/4
+  // candidates and 71% recall at the data's τ=0.45 (p₁=.6485), 99.97% at
+  // the production-typical τ=0.9 (p₁=.856). At larger n, grow planes ~log n
+  // (constant bucket occupancy) and tables ~p₁^-planes — the standard
+  // n^(1+ρ) LSH schedule, ρ = ln(1/p₁)/ln 2 ≈ 0.62 at τ=0.45.
   private val DedupTables = 16
-  private val DedupPlanes = 4
+  private val DedupPlanes = 6
 
   private def parallelism(s: SparkSession): Int =
     s.sparkContext.defaultParallelism
@@ -233,19 +237,25 @@ object Pipeline {
       // approximate operator is still hash-checked exactly. Recall is the
       // standard LSH tables×planes tradeoff (see [[DedupTables]]) and rises
       // further with the threshold — at the production-typical cosine>=0.9
-      // this 16×4 family recalls 1-(1-0.856^4)^16 ≈ 99.9995% of pairs.
+      // this 16×6 family recalls 1-(1-0.856^6)^16 ≈ 99.97% of pairs.
       val e = embs(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
         .withColumn("bks",
           hyperplaneBuckets(col("v"), dim = 64, tables = DedupTables, planes = DedupPlanes))
-      val flat = e.select(col("vec_id"), col("v"),
-          posexplode(col("bks")).as(Seq("t", "bk")))
+      // candidate generation stays NARROW (id, table, bucket — 24 bytes/row):
+      // dedup the id-pairs first, then fetch the two vectors by equi-join
+      // for the exact verify — shuffling 1 KB of vector payload per raw
+      // candidate through the distinct would dominate the query.
+      val flat = e.select(col("vec_id"), posexplode(col("bks")).as(Seq("t", "bk")))
         .repartition(parallelism(s), col("t"), col("bk"))
-      flat.as("a").join(flat.as("b"),
+      val cand = flat.as("a").join(flat.as("b"),
           col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
             col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          col("a.v").as("va"), col("b.v").as("vb"))
-        .dropDuplicates("id_a", "id_b")
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .distinct()
+      val ev = e.select(col("vec_id"), col("v"))
+      cand
+        .join(ev.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+        .join(ev.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
         .filter(cosine(col("va"), col("vb")) >= CosineT)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")

@@ -14,12 +14,28 @@ object TextFunctions {
   /** Whitespace tokens. */
   def words(text: Column): Column = split(text, " ")
 
+  private def native(e: org.apache.spark.sql.catalyst.expressions.Expression): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.toColumn
+    toColumn(e)
+  }
+  private def asExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.GraftSqlBridge.toExpression
+    toExpression(c)
+  }
+
   /**
    * Distinct word n-gram shingles (default n=3); unigram fallback for texts
    * shorter than n words. The shingle-set is the dedup unit for MinHash /
-   * Jaccard near-dup detection.
+   * Jaccard near-dup detection. Single-pass native kernel
+   * ([[graft.functions.expressions.WordNGrams]]); [[shinglesComposed]] is
+   * the value-identical functions-only form it replaced.
    */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    native(graft.functions.expressions.WordNGrams(asExpr(text), n))
+
+  /** Composed-higher-order-function form of [[shingles]] (kept as the
+    * equivalence test oracle — each lambda layer evaluates interpreted). */
+  def shinglesComposed(text: Column, n: Int = 3): Column = {
     val w = words(text)
     val grams = transform(sequence(lit(1), size(w) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))
@@ -52,16 +68,23 @@ object TextFunctions {
   /** One deterministic hash per shingle. Materialize this in its own
     * projection before [[minhashSignature]] so each *string* is hashed
     * exactly once; the k seeded variants then derive from cheap affine
-    * transforms over longs. */
+    * transforms over longs. Native single-pass kernel
+    * ([[graft.functions.expressions.PolyHashArray]]). */
   def shingleHashes(shingleSet: Column): Column =
-    transform(shingleSet, s => polyhash(s))
+    native(graft.functions.expressions.PolyHashArray(asExpr(shingleSet)))
 
   /**
    * MinHash signature: k min-hashes over pre-hashed shingles
    * ([[shingleHashes]]), slot i drawn from the affine family
-   * (A(i)*h + B(i)) mod p. k = bands * rowsPerBand.
+   * (A(i)*h + B(i)) mod p. k = bands * rowsPerBand. Native one-pass kernel
+   * ([[graft.functions.expressions.MinHashSig]]); [[minhashSignatureComposed]]
+   * is the value-identical functions-only form it replaced.
    */
   def minhashSignature(hashedShingles: Column, k: Int): Column =
+    native(graft.functions.expressions.MinHashSig(asExpr(hashedShingles), k))
+
+  /** Composed form of [[minhashSignature]] (equivalence test oracle). */
+  def minhashSignatureComposed(hashedShingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(hashedShingles, h => affine(h, i))))
 
@@ -79,7 +102,7 @@ object TextFunctions {
   /** One deterministic hash per word — materialize before [[simhashOf]]
     * (same hash-once reasoning as [[shingleHashes]]). */
   def wordHashes(text: Column): Column =
-    transform(words(text), w => polyhash(w))
+    native(graft.functions.expressions.PolyHashArray(asExpr(words(text))))
 
   /** Offset that decorrelates the SimHash bit family from the MinHash
     * slot family (both draw from the same affine reseed). */
@@ -88,10 +111,17 @@ object TextFunctions {
   /**
    * 64-bit SimHash over pre-hashed words: bit j is the majority vote of
    * the parity of affine_{j+offset}(word hash). Near-duplicates have small
-   * Hamming distance. Bits combine with OR (bit 63 = Long.MinValue — an
-   * additive fold would overflow under ANSI).
+   * Hamming distance. Native one-pass kernel
+   * ([[graft.functions.expressions.SimHash64]]); [[simhashOfComposed]] is
+   * the value-identical functions-only form it replaced.
    */
   def simhashOf(hashes: Column): Column =
+    native(graft.functions.expressions.SimHash64(asExpr(hashes)))
+
+  /** Composed form of [[simhashOf]] (equivalence test oracle). Bits combine
+    * with OR (bit 63 = Long.MinValue — an additive fold would overflow
+    * under ANSI). */
+  def simhashOfComposed(hashes: Column): Column =
     aggregate(
       sequence(lit(0), lit(63)),
       lit(0L),

@@ -74,6 +74,32 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(graft.functions.expressions.PolyHash64.hash("") == 0L)
   }
 
+  test("native kernels are value-identical to the composed forms") {
+    // The DuckDB oracles replicate the composed arithmetic, so the native
+    // one-pass kernels (WordNGrams/PolyHashArray/MinHashSig/SimHash64) must
+    // be exact drop-ins — checked on real fixture docs plus edge shapes
+    // (short text → unigram fallback, repeated shingles, multiple spaces).
+    val edge = Seq((100L, "one"), (101L, "two words"), (102L, "a b a b a b"),
+      (103L, "x  double  space")).toDF("id", "text")
+    val all = docs.toDF("id", "text").unionByName(edge)
+      .unionByName(Tables.raw(spark, "/root/testdata/sf0.001", "documents")
+        .select(col("doc_id").as("id"), col("text")))
+    val cmp = all.select(
+      col("id"),
+      shingles(col("text")).as("sh_n"),
+      shinglesComposed(col("text")).as("sh_c"),
+      simhashOf(wordHashes(col("text"))).as("sim_n"),
+      simhashOfComposed(transform(words(col("text")), w => polyhash(w))).as("sim_c"),
+      minhashSignature(shingleHashes(shinglesComposed(col("text"))), 96).as("sig_n"),
+      minhashSignatureComposed(
+        transform(shinglesComposed(col("text")), s => polyhash(s)), 96).as("sig_c"))
+    val bad = cmp.filter(
+      !(col("sh_n") === col("sh_c")) ||
+        col("sim_n") =!= col("sim_c") ||
+        !(col("sig_n") === col("sig_c")))
+    assert(bad.count() == 0, bad.select("id").limit(5).collect().mkString(","))
+  }
+
   test("hyperplane plane components are dyadic (round-trip through SQL text)") {
     for {
       tbl <- hyperplaneKs(dim = 8, tables = 2, planes = 3)
