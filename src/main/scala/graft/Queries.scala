@@ -372,6 +372,27 @@ object Queries {
         .orderBy("window_start", "event_type")
     }),
 
+    "q28_range_drop" -> ((s, dir) => {
+      // ADD/DROP RANGE PARTITION (the D2 retention pattern,
+      // AlterTableOptions.java:362-394): drop the 1995 range — metadata-only,
+      // its base file group leaves the fileset without being read — then
+      // verify a write into the dropped range errors (non-covered range),
+      // re-add the range, and upsert one 1995 order back.
+      val t = Tables.scratch(s, dir, "orders")
+      val first1995 = Tables.raw(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .orderBy("o_orderkey").limit(1)
+      t.dropRangePartition("1995")
+      val rejected =
+        try { t.upsert(first1995); false }
+        catch { case _: PrimaryKeyException => true }
+      if (!rejected)
+        throw new IllegalStateException("write to a dropped range must fail (D2)")
+      t.addRangePartition("1995")
+      t.upsert(first1995)
+      t.scan().orderBy("o_orderkey")
+    }),
+
     "q29_point_lookup" -> ((s, dir) => {
       // PK point lookup through the indexed read path: the custom FileIndex
       // prunes to the single hash-bucket file group from table METADATA
@@ -494,6 +515,11 @@ object Queries {
         "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
     "q27_approx_distinct" ->
       "SELECT count(DISTINCT l_partkey) AS cnt_d, true AS approx_ok FROM lineitem",
+    "q28_range_drop" ->
+      ("SELECT * FROM orders WHERE year(o_orderdate) <> 1995 " +
+        "UNION ALL SELECT * FROM orders WHERE o_orderkey = " +
+        "(SELECT min(o_orderkey) FROM orders WHERE year(o_orderdate) = 1995) " +
+        "ORDER BY o_orderkey"),
     "q29_point_lookup" ->
       "SELECT * FROM customer WHERE c_custkey = 42")
 }

@@ -38,6 +38,12 @@ case class HashComponent(cols: Seq[String], buckets: Int)
   * (reference: range partitioning, common/partition.h:169,268). */
 case class RangeComponent(col: String, granularity: String)
 
+/** A DROP RANGE PARTITION record: rows of `key` written at a commit
+  * <= `version` are dead (reference: AlterTableOptions.java:362-394 —
+  * dropping a range discards its data). Kept until a compaction rewrites
+  * the base without the dropped rows. */
+case class RangeDrop(key: String, version: Long)
+
 /**
  * One data file tracked by a snapshot.
  *  - kind: "base" (full rows) | "delta" (rows + _op column: UPSERT|DELETE)
@@ -73,7 +79,10 @@ case class TableMeta(
     range: Option[RangeComponent],
     retiredPhysNames: Seq[String],
     baseFiles: Seq[DataFileMeta],
-    deltaFiles: Seq[DataFileMeta]) {
+    deltaFiles: Seq[DataFileMeta],
+    // Option-typed so metadata written by older builds reads as None.
+    droppedRanges: Option[Seq[RangeDrop]] = None,
+    uncoveredRanges: Option[Seq[String]] = None) {
 
   def schema: StructType = StructType(columns.map(_.toField))
   /** Full key, including the hidden auto-increment column of non-unique-PK
@@ -86,6 +95,10 @@ case class TableMeta(
   def column(name: String): ColumnMeta =
     columns.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"no such column: $name in table ${this.name}"))
+  /** Range-drop records still masking rows (cleared by compaction). */
+  def rangeDrops: Seq[RangeDrop] = droppedRanges.getOrElse(Nil)
+  /** Range keys currently dropped and not re-added — writes to them error. */
+  def uncovered: Seq[String] = uncoveredRanges.getOrElse(Nil)
 }
 
 object TableMeta {

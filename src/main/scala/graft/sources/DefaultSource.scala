@@ -27,6 +27,10 @@ import graft.table.GraftTable
  *   graft.snapshotVersion   time-travel read at a version
  *   graft.snapshotTimestampMs  time-travel read at a wall clock
  *                           (mirrors kudu.snapshotTimestampMs :74)
+ *   graft.handleSchemaDrift when "true", a write batch carrying columns the
+ *                           table lacks auto-adds them as nullable before
+ *                           the operation (mirrors kudu.handleSchemaDrift,
+ *                           kudu-spark DefaultSource.scala:61-72,231)
  */
 class DefaultSource extends RelationProvider with CreatableRelationProvider
     with StreamSinkProvider with DataSourceRegister {
@@ -71,6 +75,12 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
           GraftTable.create(spark, loc, loc.split('/').last, data.schema,
             keys, hash, range, data = Some(data)).location, None)
       }
+    if (parameters.get("graft.handleSchemaDrift").exists(_.toBoolean)) {
+      val known = table.meta.columns.map(_.name).toSet
+      data.schema.fields.filterNot(f => known.contains(f.name)).foreach { f =>
+        table.addColumn(f.name, f.dataType, nullable = true)
+      }
+    }
     (mode, parameters.getOrElse("graft.operation", "upsert")) match {
       case (SaveMode.Overwrite, _) =>
         table.deleteWhere(lit(true)); table.upsert(data)

@@ -164,11 +164,12 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       deltaFiles: Seq[DataFileMeta]): DataFrame =
     morCombine(m, readFileGroup(m, baseFiles, delta = false), deltaFiles)
 
-  private def morCombine(m: TableMeta, base: DataFrame,
+  private def morCombine(m: TableMeta, base0: DataFrame,
       deltaFiles: Seq[DataFileMeta]): DataFrame = {
+    val base = dropMaskBase(m, base0)
     if (deltaFiles.isEmpty) base
     else {
-      val deltas = readFileGroup(m, deltaFiles, delta = true)
+      val deltas = dropMaskDelta(m, readFileGroup(m, deltaFiles, delta = true))
       val keys = m.keyCols.map(col)
       val w = Window.partitionBy(keys: _*).orderBy(col(SeqCol).desc)
       val dLatest = deltas.withColumn(RnCol, row_number().over(w))
@@ -448,8 +449,10 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     val v = m.version + 1
     val snapshot = scanMeta(m)
     val files = writeBase(m, snapshot, v)
+    // the rewritten base has no dropped-range rows → the masks retire
+    // (uncovered ranges stay uncovered for writes)
     TableMeta.write(m.copy(version = v, timestampMs = now(), operation = "compact",
-      baseFiles = files, deltaFiles = Nil))
+      baseFiles = files, deltaFiles = Nil, droppedRanges = None))
   }
 
   // ------------------------------------------------------ schema evolution
@@ -489,6 +492,82 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
 
   private def bumpMeta(m: TableMeta, op: String): Unit =
     TableMeta.write(m.copy(version = m.version + 1, timestampMs = now(), operation = op))
+
+  /**
+   * DROP RANGE PARTITION (the other half of D2 — reference:
+   * AlterTableOptions.java:362-394 dropRangePartition, master.proto
+   * AlterTableRequestPB.DROP_RANGE_PARTITION). Metadata-only, the
+   * time-series retention fast path: base files carrying the range's
+   * partition coordinate leave the fileset without being read, delta rows
+   * in the range written at or before this version are masked at read time
+   * (made physical by the next compaction), and the range becomes
+   * non-covered — writes touching it error until [[addRangePartition]]
+   * re-covers it (the master's non-covered-range error).
+   */
+  def dropRangePartition(rangeKey: String): Unit = {
+    val m = meta
+    require(m.range.isDefined, s"table ${m.name} has no range component")
+    require(!m.uncovered.contains(rangeKey), s"range $rangeKey already dropped")
+    TableMeta.write(m.copy(version = m.version + 1, timestampMs = now(),
+      operation = "drop_range_partition",
+      baseFiles = m.baseFiles.filterNot(_.rangeKey.contains(rangeKey)),
+      droppedRanges = Some(m.rangeDrops :+ RangeDrop(rangeKey, m.version)),
+      uncoveredRanges = Some(m.uncovered :+ rangeKey)))
+  }
+
+  /** ADD RANGE PARTITION — re-covers a previously dropped range so writes
+    * land again (granularity tables auto-cover all other ranges, so only a
+    * dropped range needs explicit re-adding; AlterTableOptions.java:321). */
+  def addRangePartition(rangeKey: String): Unit = {
+    val m = meta
+    require(m.range.isDefined, s"table ${m.name} has no range component")
+    require(m.uncovered.contains(rangeKey),
+      s"range $rangeKey is already covered (granularity ranges auto-cover on write)")
+    TableMeta.write(m.copy(version = m.version + 1, timestampMs = now(),
+      operation = "add_range_partition",
+      uncoveredRanges = Some(m.uncovered.filterNot(_ == rangeKey))))
+  }
+
+  /** Row mask for dropped ranges over a base scan. Base files never
+    * postdate a live drop record (compaction — the only later base write —
+    * clears the records), so the mask is unconditional on base rows; files
+    * with the dropped coordinate were already removed from the fileset and
+    * this only affects coordinate-less (zero-copy registered) bases. */
+  private def dropMaskBase(m: TableMeta, base: DataFrame): DataFrame =
+    (m.rangeDrops, m.range) match {
+      case (drops, Some(r)) if drops.nonEmpty =>
+        val rk = rangeKeyExpr(r, col(r.col))
+        base.filter(!rk.isin(drops.map(_.key): _*))
+      case _ => base
+    }
+
+  /** Seq-aware mask for dropped ranges over delta rows: a delta row in a
+    * dropped range is dead only if written at or before the drop (rows
+    * upserted after a re-add are live). */
+  private def dropMaskDelta(m: TableMeta, deltas: DataFrame): DataFrame =
+    (m.rangeDrops, m.range) match {
+      case (drops, Some(r)) if drops.nonEmpty =>
+        val rk = rangeKeyExpr(r, col(r.col))
+        drops.foldLeft(deltas) { (df, d) =>
+          df.filter(!(rk === lit(d.key) && col(SeqCol) <= lit(d.version)))
+        }
+      case _ => deltas
+    }
+
+  /** Errors when a write batch touches a non-covered (dropped, un-re-added)
+    * range (reference: non-covered-range row error, row_operations). */
+  private def requireCovered(m: TableMeta, rows: DataFrame): Unit = {
+    val unc = m.uncovered
+    m.range match {
+      case Some(r) if unc.nonEmpty && rows.columns.contains(r.col) =>
+        val bad = rows.filter(rangeKeyExpr(r, col(r.col)).isin(unc: _*))
+        if (bad.limit(1).count() > 0)
+          throw new PrimaryKeyException(
+            s"write touches non-covered range partition(s) ${unc.mkString(",")} " +
+              s"of ${m.name}; addRangePartition first")
+      case _ =>
+    }
+  }
 
   /** Key→partition-id column for this table's spec — the client-side
     * Partitioner analog (D6, client/client.h:3572 KuduPartitioner). Apply to
@@ -532,6 +611,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   }
 
   private def commitDelta(m: TableMeta, rows: DataFrame, op: String): Unit = {
+    requireCovered(m, rows)
     val v = m.version + 1
     val dir = Paths.get(location, "data", s"c${v}_delta").toString
     val out = rows.withColumn(SeqCol, lit(v))

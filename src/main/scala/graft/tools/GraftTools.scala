@@ -60,6 +60,40 @@ object GraftTools {
   def backup(table: GraftTable, outPath: String, version: Option[Long] = None): Unit =
     table.scan(version).write.mode("overwrite").parquet(outPath)
 
+  /**
+   * Incremental backup (E3 — the reference exports diff-scan rows with a
+   * RowAction per row, kudu-backup KuduBackup.scala:36-110 +
+   * RowAction.scala:18-30): the logical changes in (fromVersion, head]
+   * land as parquet rows carrying `_action` (UPSERT | DELETE) for ordered
+   * replay by [[restoreChain]]. Returns head — the next increment's
+   * fromVersion, forming the backup chain.
+   */
+  def backupIncremental(table: GraftTable, outPath: String, fromVersion: Long): Long = {
+    val head = table.currentVersion
+    table.changes(fromVersion, head)
+      .withColumn("_action", when(col("_deleted"), "DELETE").otherwise("UPSERT"))
+      .drop("_deleted")
+      .write.mode("overwrite").parquet(outPath)
+    head
+  }
+
+  /** Restore a full backup then replay each incremental IN ORDER — upserts
+    * as upserts, deletes as ignore-deletes (RowAction replay,
+    * kudu-backup KuduRestore.scala). */
+  def restoreChain(spark: SparkSession, fullBackupPath: String,
+      incrementPaths: Seq[String], destLocation: String, keys: Seq[String],
+      hash: Seq[HashComponent] = Nil, range: Option[RangeComponent] = None): GraftTable = {
+    val t = restore(spark, fullBackupPath, destLocation, keys, hash, range)
+    incrementPaths.foreach { p =>
+      val inc = spark.read.parquet(p)
+      val ups = inc.filter(col("_action") === "UPSERT").drop("_action")
+      val dels = inc.filter(col("_action") === "DELETE").drop("_action")
+      if (!ups.isEmpty) t.upsert(ups)
+      if (!dels.isEmpty) t.delete(dels.select(t.meta.userKeyCols.map(col): _*), ignore = true)
+    }
+    t
+  }
+
   /** One-shot replication: apply all changes between the destination's
     * recorded source version and the source's head (E6, java/kudu-replication
     * — continuous mode = GraftStreaming.changeStream → upsertSink relay). */

@@ -163,4 +163,39 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // raw files untouched
     assert(spark.read.parquet(s"$dir/raw").count() == 2)
   }
+
+  test("range partition drop/add lifecycle (D2)") {
+    import graft.catalog.RangeComponent
+    def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
+    val data = Seq((1L, ts(1995), "a95"), (2L, ts(1996), "b96"),
+      (3L, ts(1997), "c97"), (4L, ts(1996), "d96")).toDF("id", "d", "v")
+    val t = GraftTable.create(spark, tmp(), "rp", data.schema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 2)), Some(RangeComponent("d", "year")),
+      data = Some(data))
+    val filesBefore = t.meta.baseFiles.length
+    val v1 = t.currentVersion
+
+    t.dropRangePartition("1996")
+    // metadata-only: 1996 file group left the fileset, rows gone from scans
+    assert(t.meta.baseFiles.length < filesBefore)
+    assert(t.scan().select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // time travel to before the drop still sees 1996
+    assert(t.scan(Some(v1)).count() == 4)
+    // writes into the non-covered range error; other ranges still writable
+    intercept[PrimaryKeyException] { t.upsert(Seq((5L, ts(1996), "x")).toDF("id", "d", "v")) }
+    t.upsert(Seq((6L, ts(1997), "y")).toDF("id", "d", "v"))
+
+    t.addRangePartition("1996")
+    t.upsert(Seq((7L, ts(1996), "z")).toDF("id", "d", "v"))
+    // re-added range accepts new rows; pre-drop 1996 rows stay dead
+    assert(t.scan().select("id").as[Long].collect().toSet == Set(1L, 3L, 6L, 7L))
+
+    // compaction materializes the drop and retires the mask records
+    t.compact()
+    assert(t.meta.rangeDrops.isEmpty)
+    assert(t.scan().select("id").as[Long].collect().toSet == Set(1L, 3L, 6L, 7L))
+    // a second drop of the same (re-added) range removes the new row too
+    t.dropRangePartition("1996")
+    assert(t.scan().select("id").as[Long].collect().toSet == Set(1L, 3L, 6L))
+  }
 }

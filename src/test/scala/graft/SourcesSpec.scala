@@ -99,6 +99,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(restored.scan().count() == 100)
   }
 
+  test("write with graft.handleSchemaDrift auto-adds unknown columns") {
+    val (loc, t) = mkTable()
+    Seq((200L, "n200", 1, 3.5)).toDF("id", "name", "grp", "score")
+      .write.format("graft").option("graft.table.path", loc)
+      .option("graft.handleSchemaDrift", "true").mode("append").save()
+    val df = spark.read.format("graft").option("graft.table.path", loc).load()
+    assert(df.columns.contains("score"))
+    assert(df.filter(col("id") === 200).select("score").as[Double].head() == 3.5)
+    // pre-drift rows read the new column as null
+    assert(df.filter(col("id") === 1).select("score").head().isNullAt(0))
+    assert(df.count() == 101)
+  }
+
+  test("incremental backup chain restores to the live state") {
+    val (_, t) = mkTable()
+    val bdir = tmp("graft-chain-")
+    GraftTools.backup(t, s"$bdir/full")
+    val v0 = t.currentVersion
+    t.upsert(Seq((1L, "inc1", 0)).toDF("id", "name", "grp"))
+    t.deleteWhere(col("id") === 50)
+    val v1 = GraftTools.backupIncremental(t, s"$bdir/inc1", v0)
+    t.upsert(Seq((101L, "new", 9)).toDF("id", "name", "grp"))
+    t.deleteWhere(col("id") === 1) // delete a key upserted in the previous increment
+    GraftTools.backupIncremental(t, s"$bdir/inc2", v1)
+    val restored = GraftTools.restoreChain(spark, s"$bdir/full",
+      Seq(s"$bdir/inc1", s"$bdir/inc2"), tmp("graft-chain-dest-"),
+      Seq("id"), Seq(graft.catalog.HashComponent(Seq("id"), 2)))
+    assert(restored.scan().orderBy("id").collect().toSeq ==
+      t.scan().orderBy("id").collect().toSeq)
+  }
+
   test("streaming: continuous replication applies upserts and deletes") {
     val (loc, src) = mkTable()
     val dest = GraftTools.copyTable(spark, src, tmp("graft-repl-dest-"))
