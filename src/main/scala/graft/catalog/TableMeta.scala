@@ -25,7 +25,14 @@ case class ColumnMeta(
     defaultValue: Option[String] = None,
     comment: Option[String] = None,
     isAutoInc: Boolean = false,
-    immutable: Boolean = false) {
+    immutable: Boolean = false,
+    // VARCHAR(n) length attribute (ColumnSchemaPB type_attributes.length,
+    // common/common.proto:127) — enforced on write for string columns.
+    varcharLength: Option[Int] = None,
+    // Per-column storage attribute (ColumnSchemaPB encoding,
+    // common/common.proto:90-100), mapped to the parquet writer's
+    // per-column dictionary toggle: "dictionary" | "plain".
+    encoding: Option[String] = None) {
   def dataType: DataType = DataType.fromJson(dataTypeJson)
   def toField: StructField = StructField(name, dataType, nullable)
 }
@@ -82,7 +89,11 @@ case class TableMeta(
     deltaFiles: Seq[DataFileMeta],
     // Option-typed so metadata written by older builds reads as None.
     droppedRanges: Option[Seq[RangeDrop]] = None,
-    uncoveredRanges: Option[Seq[String]] = None) {
+    uncoveredRanges: Option[Seq[String]] = None,
+    // Table-default parquet codec for base writes (ColumnSchemaPB
+    // compression analog; parquet-mr codecs are per-file, so the
+    // per-column half of the reference attribute maps to `encoding`).
+    compressionCodec: Option[String] = None) {
 
   def schema: StructType = StructType(columns.map(_.toField))
   /** Full key, including the hidden auto-increment column of non-unique-PK

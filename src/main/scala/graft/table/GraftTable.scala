@@ -355,6 +355,53 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       if (c.name == colName) c.copy(immutable = immutable) else c)), "alter_column")
   }
 
+  /** VARCHAR(n) length attribute on a string column (ColumnSchemaPB
+    * type_attributes.length, common/common.proto:127): enforced on every
+    * subsequent write; existing rows are validated once here. */
+  def setVarcharLength(colName: String, length: Int): Unit = {
+    val m = meta
+    val cm = m.column(colName)
+    require(cm.dataType == StringType, s"$colName is not a string column")
+    require(length > 0, "varchar length must be positive")
+    val over = scanMeta(m).filter(org.apache.spark.sql.functions.length(col(colName)) > length)
+    if (over.limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"existing rows of ${m.name}.$colName exceed varchar($length)")
+    bumpMeta(m.copy(columns = m.columns.map(c =>
+      if (c.name == colName) c.copy(varcharLength = Some(length)) else c)), "alter_column")
+  }
+
+  /** Per-column storage encoding attribute (common/common.proto:90-100):
+    * "dictionary" | "plain", applied to base writes as the parquet
+    * per-column dictionary toggle. */
+  def setColumnEncoding(colName: String, enc: String): Unit = {
+    val m = meta
+    require(m.columns.exists(_.name == colName), s"no such column: $colName")
+    require(Seq("dictionary", "plain").contains(enc), s"unknown encoding $enc")
+    bumpMeta(m.copy(columns = m.columns.map(c =>
+      if (c.name == colName) c.copy(encoding = Some(enc)) else c)), "alter_column")
+  }
+
+  /** Table-default parquet codec for base rewrites (compression attribute
+    * analog; parquet codecs are per-file). */
+  def setCompression(codec: String): Unit =
+    bumpMeta(meta.copy(compressionCodec = Some(codec)), "alter_table")
+
+  /** Errors when a write batch violates a VARCHAR(n) attribute (the
+    * reference rejects over-length VARCHAR writes per row). */
+  private def requireVarcharFits(m: TableMeta, rows: DataFrame): Unit = {
+    val limited = m.columns.filter(c =>
+      c.varcharLength.isDefined && rows.columns.contains(c.name))
+    if (limited.isEmpty) return
+    val over = limited.map(c =>
+      org.apache.spark.sql.functions.length(col(c.name)) > c.varcharLength.get)
+      .reduce(_ || _)
+    if (rows.filter(over).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"write exceeds varchar length on ${m.name} (" +
+          limited.map(c => s"${c.name} varchar(${c.varcharLength.get})").mkString(", ") + ")")
+  }
+
   /** UPDATE / UPDATE_IGNORE: mutate existing rows; `df` carries the PK plus
     * any subset of non-key columns to set (W4, KuduContext.updateRows:319).
     * Missing PKs error unless ignore. */
@@ -612,6 +659,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
 
   private def commitDelta(m: TableMeta, rows: DataFrame, op: String): Unit = {
     requireCovered(m, rows)
+    requireVarcharFits(m, rows)
     val v = m.version + 1
     val dir = Paths.get(location, "data", s"c${v}_delta").toString
     val out = rows.withColumn(SeqCol, lit(v))
@@ -663,12 +711,19 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // adaptively skips the bloom when a column ends up fully
     // dictionary-encoded — the dictionary already gives exact row-group
     // filtering there, so only high-entropy key columns pay for a bloom.
-    val writer = m.columns.filter(_.isKey).foldLeft(
+    val withBlooms = m.columns.filter(_.isKey).foldLeft(
       // adaptive sizing: without it every bloom is the 1MB max regardless of
       // NDV, which dwarfs small files (and the delta:base maintenance ratio)
       writer0.option("parquet.bloom.filter.adaptive.enabled", "true")) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#${c.physName}", "true")
     }
+    // per-column encoding attribute → parquet dictionary toggle; table
+    // codec attribute → file codec (common/common.proto:90-100 analog)
+    val withEnc = m.columns.filter(_.encoding.isDefined).foldLeft(withBlooms) { (w, c) =>
+      w.option(s"parquet.enable.dictionary#${c.physName}",
+        (c.encoding.get == "dictionary").toString)
+    }
+    val writer = m.compressionCodec.fold(withEnc)(cc => withEnc.option("compression", cc))
     writer.mode("overwrite").parquet(dir)
     listParquet(dir).map { p =>
       DataFileMeta(p, "base", v, -1L, m.columns.map(_.id),
@@ -837,7 +892,40 @@ object GraftTable {
 
   def load(spark: SparkSession, location: String): GraftTable = {
     require(TableMeta.exists(location), s"no graft table at $location")
+    require(!isTrashed(location),
+      s"table at $location is soft-deleted; recall() it or let it purge")
     new GraftTable(spark, location)
+  }
+
+  private def trashFile(location: String) =
+    TableMeta.metaDir(location).resolve("_trash.json")
+
+  /**
+   * Soft-delete with a reserve window (reference: catalog_manager.h:701,723
+   * soft_deleted tables with reserve_seconds, recallable until the window
+   * expires). The table keeps its data but refuses loads; [[recall]]
+   * restores it, [[purgeIfExpired]] hard-drops it once the window passes.
+   */
+  def softDrop(location: String, reserveMs: Long = 7L * 24 * 3600 * 1000): Unit = {
+    require(TableMeta.exists(location), s"no graft table at $location")
+    Files.write(trashFile(location),
+      s"""{"trashedAtMs":${now()},"reserveMs":$reserveMs}""".getBytes("UTF-8"))
+  }
+
+  def isTrashed(location: String): Boolean = Files.exists(trashFile(location))
+
+  /** Un-trash a soft-deleted table (recall_deleted_table analog). */
+  def recall(location: String): Unit = Files.deleteIfExists(trashFile(location))
+
+  /** Hard-drop a trashed table whose reserve window has passed. Returns
+    * true if it purged. */
+  def purgeIfExpired(location: String, nowMs: Long = now()): Boolean = {
+    if (!isTrashed(location)) return false
+    val s = new String(Files.readAllBytes(trashFile(location)), "UTF-8")
+    def field(n: String): Long =
+      (n + """"\s*:\s*(\d+)""").r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+    if (nowMs >= field("trashedAtMs") + field("reserveMs")) { drop(location); true }
+    else false
   }
 
   def exists(location: String): Boolean = TableMeta.exists(location)

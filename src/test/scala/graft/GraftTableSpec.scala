@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -162,6 +163,51 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asMap(t) == Map(1 -> "a", 2 -> "B"))
     // raw files untouched
     assert(spark.read.parquet(s"$dir/raw").count() == 2)
+  }
+
+  test("varchar length attribute enforced on write (and on set)") {
+    val t = newKv(1 -> "a")
+    t.setVarcharLength("v", 5)
+    t.upsert(kv(2 -> "fits"))
+    intercept[IllegalArgumentException] { t.upsert(kv(3 -> "waytoolong")) }
+    assert(asMap(t) == Map(1 -> "a", 2 -> "fits"))
+    // setting a length existing rows violate is rejected
+    val t2 = newKv(1 -> "longvalue")
+    intercept[IllegalArgumentException] { t2.setVarcharLength("v", 3) }
+  }
+
+  test("per-column encoding + table codec reach the parquet footer") {
+    val t = newKv((1 to 50).map(i => i -> s"v${i % 3}"): _*)
+    t.setColumnEncoding("v", "plain")
+    t.setCompression("gzip")
+    t.compact() // rewrites the base under the new attributes
+    val file = t.meta.baseFiles.head.path
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      val vCol = cols.find(_.getPath.toDotString == "v").get
+      assert(!vCol.getEncodings.asScala.exists(_.toString.contains("DICTIONARY")),
+        vCol.getEncodings.toString)
+      assert(vCol.getCodec.toString.toLowerCase == "gzip", vCol.getCodec.toString)
+      val kCol = cols.find(_.getPath.toDotString == "k").get
+      assert(kCol.getCodec.toString.toLowerCase == "gzip")
+    } finally reader.close()
+  }
+
+  test("soft-delete with reserve window: refuse load, recall, purge") {
+    val t = newKv(1 -> "a")
+    val loc = t.location
+    GraftTable.softDrop(loc, reserveMs = 3600 * 1000)
+    intercept[IllegalArgumentException] { GraftTable.load(spark, loc) }
+    assert(!GraftTable.purgeIfExpired(loc)) // window not passed
+    GraftTable.recall(loc)
+    assert(asMap(GraftTable.load(spark, loc)) == Map(1 -> "a"))
+    GraftTable.softDrop(loc, reserveMs = 10)
+    assert(GraftTable.purgeIfExpired(loc, nowMs = System.currentTimeMillis() + 60 * 1000))
+    assert(!GraftTable.exists(loc))
   }
 
   test("range partition drop/add lifecycle (D2)") {
