@@ -81,19 +81,14 @@ object Pipeline {
    * doc_id → minhash signature, computed ONCE and cached: the 96-hash
    * signature is the expensive expression, and it feeds band explosion,
    * both sides of the candidate self-join, and the estimate join — without
-   * the cache Spark would re-evaluate it per consumer.
+   * the cache Spark would re-evaluate it per consumer. (One persist: the
+   * native MinHashSig(PolyHashArray(...)) kernel hashes each shingle once
+   * per row in a single pass — the round-2 two-stage persist barrier
+   * guarded against interpreted lambdas re-hashing strings k×.)
    */
-  private def cachedSignatures(s: SparkSession, dir: String): DataFrame = {
-    // Persist the per-shingle hashes BEFORE deriving the 96 seeded variants:
-    // the cache is a materialization barrier, so CollapseProject cannot
-    // inline the string-hashing back into the k-times-evaluated lambda
-    // (higher-order functions are interpreted — re-hashing strings k× per
-    // row is the difference between seconds and minutes at 5k docs).
-    val hs = persistTracked(docShingles(s, dir)
-      .select(col("doc_id"), shingleHashes(col("sh")).as("hs")))
-    persistTracked(
-      hs.select(col("doc_id"), minhashSignature(col("hs"), MinhashK).as("sig")))
-  }
+  private def cachedSignatures(s: SparkSession, dir: String): DataFrame =
+    persistTracked(docShingles(s, dir).select(col("doc_id"),
+      minhashSignature(shingleHashes(col("sh")), MinhashK).as("sig")))
 
   /** LSH candidate pairs (id_a < id_b) from minhash band buckets. */
   private def lshCandidates(sig: DataFrame): DataFrame = {
@@ -200,12 +195,12 @@ object Pipeline {
       // recall vs the all-pairs join while shuffling only same-block groups;
       // candidates then verify with the full Hamming check. The oracle stays
       // the exact O(n²) answer, which this plan reproduces deterministically.
-      // Same materialization-barrier trick as cachedSignatures: word hashes
-      // cached once, then the 64-bit vote fold runs over longs only.
-      val wh = persistTracked(docs(s, dir).repartition(parallelism(s))
-        .select(col("doc_id"), wordHashes(col("text")).as("wh")))
-      val sh = persistTracked(
-        wh.select(col("doc_id"), simhashOf(col("wh")).as("sh")))
+      // One persist: the native SimHash64(PolyHashArray(...)) kernel
+      // evaluates each row in a single pass (the round-2 two-stage persist
+      // existed to stop interpreted lambdas re-hashing strings 64×), and
+      // the cache only serves the blocks self-join below.
+      val sh = persistTracked(docs(s, dir).repartition(parallelism(s))
+        .select(col("doc_id"), simhashOf(wordHashes(col("text"))).as("sh")))
       val nBlocks = SimhashMaxHamming + 1 // 9 blocks of 7-8 bits each
       val blockVals = array((0 until nBlocks).map { b =>
         val lo = b * 64 / nBlocks

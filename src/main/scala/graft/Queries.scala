@@ -257,21 +257,28 @@ object Queries {
     }),
 
     "q21_tpch_q1" -> ((s, dir) => {
+      // Money aggregates: sum in DECIMAL (order-independent), cast to
+      // double, then round(…, 2|4) — once a sum's unscaled value passes
+      // 2^53 the decimal→double conversions of the two engines can differ
+      // by 1 ulp, and the rounding makes the hash compare robust to that
+      // (Spark HALF_UP and DuckDB half-away-from-zero agree on doubles:
+      // both see the same binary value, and binary midpoints round
+      // identically under either rule for the same sign).
       val dec2 = (c: String) => col(c).cast("decimal(28,2)")
       val li = scan(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec2("l_quantity")).cast("double").as("sum_qty"),
-          sum(dec2("l_extendedprice")).cast("double").as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(28,6)")).cast("double").as("sum_disc_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * (lit(1) + col("l_tax"))).cast("decimal(28,6)")).cast("double").as("sum_charge"),
-          (sum(dec2("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
-          (sum(dec2("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
-          (sum(col("l_discount").cast("decimal(28,4)")).cast("double")
-            / count(lit(1))).as("avg_disc"),
+          round(sum(dec2("l_quantity")).cast("double"), 2).as("sum_qty"),
+          round(sum(dec2("l_extendedprice")).cast("double"), 2).as("sum_base_price"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(28,6)")).cast("double"), 2).as("sum_disc_price"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).cast("decimal(28,6)")).cast("double"), 2).as("sum_charge"),
+          round(sum(dec2("l_quantity")).cast("double") / count(lit(1)), 4).as("avg_qty"),
+          round(sum(dec2("l_extendedprice")).cast("double") / count(lit(1)), 4).as("avg_price"),
+          round(sum(col("l_discount").cast("decimal(28,4)")).cast("double")
+            / count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -474,13 +481,13 @@ object Queries {
         "GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10"),
     "q21_tpch_q1" ->
       ("SELECT l_returnflag, l_linestatus, " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price, " +
-        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price, " +
-        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge, " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_qty, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_price, " +
-        "CAST(sum(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_disc, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_qty, " +
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_base_price, " +
+        "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_disc_price, " +
+        "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_charge, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*), 4) AS avg_qty, " +
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / count(*), 4) AS avg_price, " +
+        "round(CAST(sum(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / count(*), 4) AS avg_disc, " +
         "count(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),

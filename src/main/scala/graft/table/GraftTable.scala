@@ -102,6 +102,11 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
    */
   private def scanForBatch(m: TableMeta, batch: DataFrame,
       joinKeys: Seq[String]): DataFrame = {
+    // Cost gate: the probe is one extra Spark job over the batch; it only
+    // pays when the full scan it can avoid is substantial. Small tables
+    // take the plain scan (local fixtures sit here; a 100 TB table never).
+    if (m.baseFiles.map(f => fileSize(f.path)).sum < PresencePruneMinBytes)
+      return scanMeta(m)
     val hashCols = m.hash.flatMap(_.cols)
     val canBucket = m.hash.nonEmpty &&
       hashCols.forall(c => joinKeys.contains(c) && batch.columns.contains(c)) &&
@@ -746,6 +751,9 @@ object GraftTable {
   val OpDelete = "D"
   /** Delta filesets below this total size are broadcast in merge-on-read. */
   val BroadcastDeltaBytes: Long = 256L * 1024 * 1024
+  /** Base filesets below this size skip the presence-check prune probe —
+    * scanning them outright is cheaper than the extra probe job. */
+  val PresencePruneMinBytes: Long = 64L * 1024 * 1024
   val DeltaWritePartitions = 4
 
   private[table] def now(): Long = System.currentTimeMillis()
