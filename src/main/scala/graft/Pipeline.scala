@@ -355,6 +355,48 @@ object Pipeline {
         .orderBy("query_id", "rank")
     }),
 
+    "p14_dedup_cluster" -> ((s, dir) => {
+      // Connected-component dedup clustering — the step after pair
+      // detection in a real pipeline: near-dup pairs (p3's minhash graph,
+      // est_j >= 0.7) union into components and every doc gets
+      // cluster_id = the smallest doc_id in its component (the canonical
+      // survivor; doc_id == cluster_id ⇒ keep). Deterministic iterative
+      // min-label propagation, one equi-join + partial-agg per round,
+      // converging in component-diameter rounds — near-dup components are
+      // tiny (pairs/triples), so 2-3 rounds; at web scale swap in the
+      // large-star/small-star variant for log-diameter convergence. The
+      // oracle computes the same fixpoint as a recursive-CTE transitive
+      // closure.
+      val sig = cachedSignatures(s, dir)
+      val edges = lshCandidates(sig)
+        .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= 0.7)
+        .select(col("id_a"), col("id_b"))
+      val sym = persistTracked(edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
+      var labels = docs(s, dir).select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 25) {
+        val viaEdges = sym.join(labels, sym("src") === labels("id"))
+          .select(col("dst").as("id"), col("lbl"))
+        val next = labels.unionByName(viaEdges)
+          .groupBy("id").agg(min(col("lbl")).as("lbl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+          .filter(col("lbl") =!= col("prev")).count()
+        labels.unpersist(blocking = false)
+        labels = next
+        rounds += 1
+      }
+      val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
+      persisted.synchronized { persisted += labels } // release with the run
+      out
+    }),
+
     "p8_text_stats" -> ((s, dir) => {
       // Quality-scoring stats: word/char counts, stopword ratio, punct count.
       val w = words(col("text"))
@@ -426,6 +468,19 @@ object Pipeline {
       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       |    ELSE list_distinct(w) END AS s FROM t)""".stripMargin
 
+  /** The minhash signature + candidate-pair CTEs shared by the p3 and p14
+    * oracles (appended after [[shingleSqlCte]]): `pairs(id_a, id_b, est_j)`
+    * over the exact O(n²) signature comparison. */
+  private lazy val minhashPairCtes: String =
+    ",\n" +
+      s"hs AS (SELECT doc_id, list_transform(s, x -> ${polyhashSql("x")}) AS h FROM sh),\n" +
+      s"sig AS (SELECT doc_id, list_transform(generate_series(0, 95), " +
+      s"i -> list_min(list_transform(h, x -> ${affineSql("x", "i")}))) AS sg FROM hs),\n" +
+      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(list_reduce(list_prepend(0, list_transform(generate_series(1, 96), " +
+      "k -> CASE WHEN a.sg[k] = b.sg[k] THEN 1 ELSE 0 END)), (x, y) -> x + y) AS DOUBLE) / 96 AS est_j " +
+      "FROM sig a JOIN sig b ON a.doc_id < b.doc_id)"
+
   /** SQL for [[TextFunctions.polyhash]] applied to expression `e`.
     * Empty-token edge (verified): both engines split consecutive/trailing
     * spaces into "" tokens, but DuckDB `string_split('','')` yields [''] and
@@ -477,15 +532,19 @@ object Pipeline {
         "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8 " +
         "ORDER BY id_a, id_b"),
     "p3_dedup_minhash" ->
-      (shingleSqlCte + ",\n" +
-        s"hs AS (SELECT doc_id, list_transform(s, x -> ${polyhashSql("x")}) AS h FROM sh),\n" +
-        s"sig AS (SELECT doc_id, list_transform(generate_series(0, 95), " +
-        s"i -> list_min(list_transform(h, x -> ${affineSql("x", "i")}))) AS sg FROM hs),\n" +
-        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "CAST(list_reduce(list_prepend(0, list_transform(generate_series(1, 96), " +
-        "k -> CASE WHEN a.sg[k] = b.sg[k] THEN 1 ELSE 0 END)), (x, y) -> x + y) AS DOUBLE) / 96 AS est_j " +
-        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id) " +
-        "SELECT id_a, id_b, est_j FROM pairs WHERE est_j >= 0.7 ORDER BY id_a, id_b"),
+      (shingleSqlCte + minhashPairCtes +
+        " SELECT id_a, id_b, est_j FROM pairs WHERE est_j >= 0.7 ORDER BY id_a, id_b"),
+    "p14_dedup_cluster" ->
+      // transitive closure of the symmetric near-dup graph (recursive CTE);
+      // cluster_id = min reachable doc_id — the same fixpoint the Spark
+      // min-label propagation converges to
+      ("WITH RECURSIVE " + shingleSqlCte.stripPrefix("WITH ") + minhashPairCtes + ",\n" +
+        "edges AS (SELECT id_a, id_b FROM pairs WHERE est_j >= 0.7),\n" +
+        "sym AS (SELECT id_a AS src, id_b AS dst FROM edges " +
+        "UNION ALL SELECT id_b, id_a FROM edges),\n" +
+        "reach AS (SELECT doc_id AS id, doc_id AS lbl FROM documents " +
+        "UNION SELECT r.id, s.dst FROM reach r JOIN sym s ON s.src = r.lbl) " +
+        "SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
     "p4_dedup_simhash" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),\n" +
         s"hs AS (SELECT doc_id, list_transform(w, x -> ${polyhashSql("x")}) AS h FROM t),\n" +
