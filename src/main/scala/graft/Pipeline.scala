@@ -373,28 +373,41 @@ object Pipeline {
         .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
         .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= 0.7)
         .select(col("id_a"), col("id_b"))
-      val sym = persistTracked(edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
-      var labels = docs(s, dir).select(col("doc_id").as("id"), col("doc_id").as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 25) {
-        val viaEdges = sym.join(labels, sym("src") === labels("id"))
-          .select(col("dst").as("id"), col("lbl"))
-        val next = labels.unionByName(viaEdges)
-          .groupBy("id").agg(min(col("lbl")).as("lbl"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-          .filter(col("lbl") =!= col("prev")).count()
-        labels.unpersist(blocking = false)
-        labels = next
-        rounds += 1
-      }
-      val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      // both edge directions in ONE pass over the (uncached) verify
+      // pipeline — a plain two-select union would evaluate it twice
+      val sym = persistTracked(edges.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+      // propagate over the edge-induced subgraph only — isolated docs (the
+      // overwhelming majority) never change label and rejoin at the end;
+      // the per-round working set is O(near-dup docs), not O(corpus)
+      var labels = persistTracked(sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // tiny per-round state
+      try {
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 25) {
+          // carry the old label as `prev` through the aggregation (null on
+          // neighbor rows; min ignores nulls) so the convergence count
+          // needs no extra join over the round's output
+          val viaEdges = sym.join(labels, sym("src") === labels("id"))
+            .select(col("dst").as("id"), col("lbl"),
+              lit(null).cast("long").as("prev"))
+          val next = persistTracked(labels.withColumn("prev", col("lbl"))
+            .unionByName(viaEdges)
+            .groupBy("id").agg(min(col("lbl")).as("lbl"), min(col("prev")).as("prev")))
+          changed = next.filter(col("lbl") =!= col("prev")).count()
+          labels = next.select("id", "lbl")
+          rounds += 1
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      docs(s, dir).select(col("doc_id"))
+        .join(labels, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
         .orderBy("doc_id")
-      persisted.synchronized { persisted += labels } // release with the run
-      out
     }),
 
     "p8_text_stats" -> ((s, dir) => {

@@ -93,7 +93,12 @@ case class TableMeta(
     // Table-default parquet codec for base writes (ColumnSchemaPB
     // compression analog; parquet-mr codecs are per-file, so the
     // per-column half of the reference attribute maps to `encoding`).
-    compressionCodec: Option[String] = None) {
+    compressionCodec: Option[String] = None,
+    // Per-range custom hash schema (common/partition.h:268; settable only
+    // when the range has no base files, i.e. at range-(re)add time, like
+    // the reference's AddRangePartition-with-custom-hash-schema): range
+    // key → bucket count overriding the single hash component's count.
+    rangeHashBuckets: Option[Map[String, Int]] = None) {
 
   def schema: StructType = StructType(columns.map(_.toField))
   /** Full key, including the hidden auto-increment column of non-unique-PK
@@ -110,6 +115,8 @@ case class TableMeta(
   def rangeDrops: Seq[RangeDrop] = droppedRanges.getOrElse(Nil)
   /** Range keys currently dropped and not re-added — writes to them error. */
   def uncovered: Seq[String] = uncoveredRanges.getOrElse(Nil)
+  /** Per-range hash bucket-count overrides (empty = uniform hash schema). */
+  def rangeHashBucketsMap: Map[String, Int] = rangeHashBuckets.getOrElse(Map.empty)
 }
 
 object TableMeta {

@@ -18,12 +18,22 @@ import graft.catalog.{DataFileMeta, HashComponent, TableMeta}
 object PartitionPruner {
 
   /** Files surviving the filters (files without partition coordinates — e.g.
-    * zero-copy registered bases — are always kept). */
+    * zero-copy registered bases — are always kept). A file in a range with
+    * a custom hash schema (per-range bucket-count override) is judged
+    * against the candidate set computed with ITS modulus — bucket ids are
+    * only comparable within one range's schema. */
   def pruneFiles(m: TableMeta, files: Seq[DataFileMeta], filters: Seq[Filter]): Seq[DataFileMeta] = {
-    val buckets = candidateBuckets(m, filters)
+    val defaultBuckets = candidateBuckets(m, filters)
+    val overrides = m.rangeHashBucketsMap
+    val overrideSets: Map[String, Option[Set[Int]]] =
+      overrides.map { case (rk, b) =>
+        rk -> candidateBuckets(m.copy(hash = m.hash.map(_.copy(buckets = b))), filters)
+      }
     val (loYear, hiYear) = rangeKeyBounds(m, filters)
     files.filter { f =>
-      val bucketOk = (buckets, f.bucket) match {
+      val keepSet = f.rangeKey.filter(overrides.contains)
+        .map(overrideSets).getOrElse(defaultBuckets)
+      val bucketOk = (keepSet, f.bucket) match {
         case (Some(keep), Some(b)) => keep.contains(b)
         case _ => true
       }

@@ -108,7 +108,10 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     if (m.baseFiles.map(f => fileSize(f.path)).sum < PresencePruneMinBytes)
       return scanMeta(m)
     val hashCols = m.hash.flatMap(_.cols)
-    val canBucket = m.hash.nonEmpty &&
+    // per-range hash overrides make the bucket id range-dependent; the
+    // range column is not a join key, so bucket pruning is off there
+    // (lead-key range pruning still applies)
+    val canBucket = m.hash.nonEmpty && m.rangeHashBucketsMap.isEmpty &&
       hashCols.forall(c => joinKeys.contains(c) && batch.columns.contains(c)) &&
       m.baseFiles.exists(_.bucket.isDefined)
     val leadKey = m.keyCols.headOption
@@ -569,15 +572,29 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
 
   /** ADD RANGE PARTITION — re-covers a previously dropped range so writes
     * land again (granularity tables auto-cover all other ranges, so only a
-    * dropped range needs explicit re-adding; AlterTableOptions.java:321). */
-  def addRangePartition(rangeKey: String): Unit = {
+    * dropped range needs explicit re-adding; AlterTableOptions.java:321).
+    * `hashBuckets` optionally gives the re-added range its own hash bucket
+    * count (per-range custom hash schema, common/partition.h:268 — the
+    * reference likewise fixes it at range-add time); the layout
+    * materializes at the next compaction. */
+  def addRangePartition(rangeKey: String, hashBuckets: Option[Int] = None): Unit = {
     val m = meta
     require(m.range.isDefined, s"table ${m.name} has no range component")
     require(m.uncovered.contains(rangeKey),
       s"range $rangeKey is already covered (granularity ranges auto-cover on write)")
+    hashBuckets.foreach { b =>
+      require(m.hash.size == 1,
+        "per-range hash schemas support a single hash component")
+      require(b > 0, "bucket count must be positive")
+      require(!m.baseFiles.exists(_.rangeKey.contains(rangeKey)),
+        s"range $rangeKey still has base files; its hash schema is fixed")
+    }
     TableMeta.write(m.copy(version = m.version + 1, timestampMs = now(),
       operation = "add_range_partition",
-      uncoveredRanges = Some(m.uncovered.filterNot(_ == rangeKey))))
+      uncoveredRanges = Some(m.uncovered.filterNot(_ == rangeKey)),
+      rangeHashBuckets = hashBuckets
+        .map(b => m.rangeHashBucketsMap + (rangeKey -> b))
+        .orElse(m.rangeHashBuckets)))
   }
 
   /** Row mask for dropped ranges over a base scan. Base files never
@@ -676,8 +693,13 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // many small batches → 1 file each).
     val deltaParts = spark.conf.getOption("graft.delta.writePartitions")
       .map(_.toInt).getOrElse(DeltaWritePartitions)
-    out.select(physCols: _*)
-      .repartition(deltaParts)
+    val projected = out.select(physCols: _*)
+    // single-file commits (streaming sinks) coalesce instead of adding a
+    // whole extra shuffle — the upstream dedup shuffle already bounded the
+    // partition count, and a micro-batch is small by construction
+    val parted =
+      if (deltaParts == 1) projected.coalesce(1) else projected.repartition(deltaParts)
+    parted
       .sortWithinPartitions(m.columns.filter(_.isKey).map(c => col(c.physName)): _*)
       .write.mode("overwrite").parquet(dir)
     val files = listParquet(dir).map { p =>
@@ -767,11 +789,25 @@ object GraftTable {
     }
 
   /** Multi-level hash-bucket id: fold over hash components
-    * (PartitionSchema::EncodeKey analog, common/partition.cc). */
-  def bucketExpr(m: TableMeta, resolve: String => Column): Column =
-    m.hash.foldLeft(lit(0)) { (acc, hc) =>
+    * (PartitionSchema::EncodeKey analog, common/partition.cc). With
+    * per-range overrides (rangeHashBuckets), the single component's modulus
+    * is chosen by the row's range key — the expression then also needs the
+    * range column resolvable. */
+  def bucketExpr(m: TableMeta, resolve: String => Column): Column = {
+    val default = m.hash.foldLeft(lit(0)) { (acc, hc) =>
       acc * hc.buckets + pmod(hash(hc.cols.map(resolve): _*), lit(hc.buckets))
     }
+    val ovs = m.rangeHashBucketsMap
+    (m.range, m.hash) match {
+      case (Some(r), Seq(hc)) if ovs.nonEmpty =>
+        val h = hash(hc.cols.map(resolve): _*)
+        val rk = rangeKeyExpr(r, resolve(r.col))
+        ovs.toSeq.sortBy(_._1).foldRight(default) { case ((k, b), els) =>
+          when(rk === lit(k), pmod(h, lit(b))).otherwise(els)
+        }
+      case _ => default
+    }
+  }
 
   def totalBuckets(m: TableMeta): Int = m.hash.map(_.buckets).product
 

@@ -5,6 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.EqualTo
 import org.apache.spark.sql.types._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -208,6 +209,35 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftTable.softDrop(loc, reserveMs = 10)
     assert(GraftTable.purgeIfExpired(loc, nowMs = System.currentTimeMillis() + 60 * 1000))
     assert(!GraftTable.exists(loc))
+  }
+
+  test("per-range custom hash schema: re-added range gets its own bucket count") {
+    import graft.catalog.RangeComponent
+    def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
+    val data = (1 to 100).map(i => (i.toLong, ts(1995 + i % 2), s"v$i"))
+      .toDF("id", "d", "v")
+    val t = GraftTable.create(spark, tmp(), "prh", data.schema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 2)), Some(RangeComponent("d", "year")),
+      data = Some(data))
+    t.dropRangePartition("1996")
+    t.addRangePartition("1996", hashBuckets = Some(4))
+    // reload 1996 under the new schema and materialize the layout
+    t.upsert((1 to 100).filter(_ % 2 == 1).map(i => (i.toLong, ts(1996), s"n$i"))
+      .toDF("id", "d", "v"))
+    t.compact()
+    val m = t.meta
+    def bucketsOf(rk: String) =
+      m.baseFiles.filter(_.rangeKey.contains(rk)).flatMap(_.bucket).distinct.sorted
+    assert(bucketsOf("1995") == Seq(0, 1), bucketsOf("1995").toString)
+    assert(bucketsOf("1996") == Seq(0, 1, 2, 3), bucketsOf("1996").toString)
+    // point lookup prunes per-range with each range's own modulus:
+    // one candidate file among 1995's two buckets + one among 1996's four
+    val pruned = t.scanPruned(Seq(EqualTo("id", 7L))).inputFiles
+    assert(pruned.length == 2, pruned.mkString(","))
+    assert(t.scanPruned(Seq(EqualTo("id", 7L))).filter(col("id") === 7L).count() == 1)
+    // row content correct across mixed schemas
+    assert(t.scan().count() == 100)
+    assert(t.scan().filter(col("v").startsWith("n")).count() == 50)
   }
 
   test("range partition drop/add lifecycle (D2)") {
