@@ -298,13 +298,20 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       return
     }
     if (!ignore) {
-      val dupIn = batch.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
-      if (dupIn.limit(1).count() > 0)
-        throw new PrimaryKeyException(s"duplicate keys within INSERT batch on ${m.name}")
+      // one pass answers both preconditions (duplicate keys inside the
+      // batch; keys already present in the table) — error-message samples
+      // are fetched by a second job only on the failure path
       val existing = scanForBatch(m, batch, keys).select(keys.map(col): _*)
-      val clash = batch.join(existing, keys, "left_semi")
-      if (clash.limit(1).count() > 0) {
-        val sample = clash.select(keys.map(col): _*).limit(3).collect().mkString(",")
+      val stats = batch.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_graft_cnt"))
+        .join(existing.withColumn("_graft_ex", lit(1)), keys, "left")
+        .agg(max(col("_graft_cnt")).as("maxdup"), count(col("_graft_ex")).as("nclash"))
+        .collect()(0)
+      val maxdup = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+      if (maxdup > 1)
+        throw new PrimaryKeyException(s"duplicate keys within INSERT batch on ${m.name}")
+      if (stats.getLong(1) > 0) {
+        val sample = batch.join(existing, keys, "left_semi")
+          .select(keys.map(col): _*).limit(3).collect().mkString(",")
         throw new PrimaryKeyException(s"INSERT key already present in ${m.name}: $sample")
       }
       commitDelta(m, batch.withColumn(OpCol, lit(OpUpsert)), "insert")
