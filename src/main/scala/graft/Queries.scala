@@ -415,6 +415,27 @@ object Queries {
       scan(s, dir, "customer").filter(col("c_custkey") === 42)
     }),
 
+    "q30_colocated_join" -> ((s, dir) => {
+      // Storage-partitioned join through the DSv2 catalog (SPARK-37375):
+      // documents and embeddings are both hash(4)-bucketed on their key, so
+      // the doc_id = vec_id join aligns the reported bucket key-groups and
+      // plans with ZERO join shuffles — the co-located PK-PK join posture
+      // (shuffle-freedom is asserted by StoragePartitionedJoinSpec; here
+      // the result itself is the gate).
+      Tables.readonly(s, dir, "documents")
+      Tables.readonly(s, dir, "embeddings")
+      s.conf.set("spark.sql.catalog.graft_fix",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_fix.warehouse", Tables.cacheRoot(dir))
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val d = s.table("graft_fix.documents")
+      val e = s.table("graft_fix.embeddings")
+      d.join(e, d("doc_id") === e("vec_id"))
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          size(col("embedding")).as("dim"), col("label"))
+        .orderBy("doc_id")
+    }),
+
     "q27_approx_distinct" -> ((s, dir) => {
       // HLL sketch vs exact: emit the exact count (hash-matched against the
       // oracle) plus a boolean asserting the sketch landed within 2%.
@@ -533,5 +554,9 @@ object Queries {
         "(SELECT min(o_orderkey) FROM orders WHERE year(o_orderdate) = 1995) " +
         "ORDER BY o_orderkey"),
     "q29_point_lookup" ->
-      "SELECT * FROM customer WHERE c_custkey = 42")
+      "SELECT * FROM customer WHERE c_custkey = 42",
+    "q30_colocated_join" ->
+      ("SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, " +
+        "CAST(len(embedding) AS INTEGER) AS dim, label " +
+        "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"))
 }

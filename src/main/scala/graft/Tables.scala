@@ -46,7 +46,9 @@ object Tables {
     * older build are then simply ignored instead of mis-loaded. */
   private val CacheFormatVersion = 3
 
-  private def cacheRoot(sfDir: String): String = {
+  /** The fixture warehouse for `sfDir` — also what the DSv2 catalog mounts
+    * (spark.sql.catalog.<name>.warehouse) for storage-partitioned joins. */
+  def cacheRoot(sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-cache-v$CacheFormatVersion/$tag"
   }

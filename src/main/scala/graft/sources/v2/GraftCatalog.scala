@@ -1,0 +1,213 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.TableMeta
+import graft.table.GraftTable
+
+/**
+ * DataSource V2 catalog over graft tables — the read path that unlocks
+ * STORAGE-PARTITIONED JOINS (SPARK-37375): each table reports its hash
+ * layout as a `bucket(n, key)` KeyGroupedPartitioning with one input
+ * partition per bucket, so a PK-PK join of two co-partitioned graft tables
+ * plans with ZERO shuffle exchanges — the 100 TB join posture the DSv1
+ * `PrunedFilteredScan` path cannot express. (The reference's Spark
+ * connector has no analog; this mirrors what its tablet-server locality
+ * gives scans natively.)
+ *
+ * Register: `spark.sql.catalog.<name> = graft.sources.v2.GraftCatalog`,
+ * `spark.sql.catalog.<name>.warehouse = <dir of graft table dirs>`, then
+ * `spark.table("<name>.<table>")`. Joins additionally need
+ * `spark.sql.sources.v2.bucketing.enabled=true`.
+ *
+ * v1 scope: BATCH_READ over the compacted base fileset — tables with
+ * pending deltas must `compact()` first (the merge-on-read overlay is a
+ * DSv1/DataFrame-path feature); writes go through the engine API or the
+ * DSv1 "graft" format.
+ */
+class GraftCatalog extends TableCatalog with FunctionCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.warehouse is required"))
+  }
+
+  override def name(): String = catalogName
+
+  private def locationFor(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(s"$warehouse/", "/", "")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = java.nio.file.Paths.get((s"$warehouse" +: namespace.toSeq).mkString("/"))
+    if (!java.nio.file.Files.isDirectory(dir)) return Array.empty
+    java.nio.file.Files.list(dir).iterator().asScala
+      .filter(p => GraftTable.exists(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val loc = locationFor(ident)
+    if (!GraftTable.exists(loc)) throw new NoSuchTableException(ident)
+    new GraftV2Table(TableMeta.readCurrent(loc))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "create graft tables via GraftTable.create or the DSv1 'graft' format")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("alter via the GraftTable API")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val loc = locationFor(ident)
+    val existed = GraftTable.exists(loc)
+    if (existed) GraftTable.drop(loc)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename not supported")
+
+  // ---- FunctionCatalog: resolves the `bucket` transform the tables report
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction = ident.name() match {
+    case "bucket" => GraftBucketFunction
+    case other => throw new NoSuchFunctionException(ident)
+  }
+}
+
+/** `bucket(n, key)` — murmur3(seed 42) pmod n, the exact arithmetic of
+  * [[GraftTable.bucketExpr]]/`functions.hash`, so the reported partition
+  * ids and the function Spark may evaluate agree. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String = "graft hash-bucket id: pmod(murmur3_seed42(key), n)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets, key), got ${inputType.catalogString}")
+    new GraftBoundBucket(inputType.fields(1).dataType)
+  }
+}
+
+class GraftBoundBucket(keyType: DataType) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = s"graft.bucket(${keyType.catalogString})"
+  override def isResultNullable: Boolean = false
+
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    val v = input.get(1, keyType)
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(v, keyType, 42L).toInt
+    ((h % n) + n) % n
+  }
+}
+
+/** Read-only V2 table over a graft snapshot's base fileset. */
+class GraftV2Table(meta: TableMeta) extends Table with SupportsRead {
+  require(meta.deltaFiles.isEmpty,
+    s"graft V2 reads serve compacted tables; ${meta.name} has " +
+      s"${meta.deltaFiles.size} pending delta files — compact() first " +
+      "or read through the DSv1 'graft' format (merge-on-read)")
+
+  override def name(): String = meta.name
+  override def schema(): StructType =
+    StructType(meta.visibleColumns.map(_.toField))
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def partitioning(): Array[Transform] = meta.hash match {
+    case Seq(hc) if hc.cols.size == 1 && meta.rangeHashBucketsMap.isEmpty =>
+      Array(Expressions.bucket(hc.buckets, hc.cols.head))
+    case _ => Array.empty // multi-component/per-range layouts: no report
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(meta)
+}
+
+class GraftScanBuilder(meta: TableMeta) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var requiredSchema: StructType =
+    StructType(meta.visibleColumns.map(_.toField))
+  private var filters: Array[Filter] = Array.empty
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs // parquet row-group evaluation is best-effort → Spark re-evaluates all
+  }
+  override def pushedFilters(): Array[Filter] = filters
+
+  override def pruneColumns(required: StructType): Unit = {
+    val keep = required.fieldNames.toSet
+    requiredSchema = StructType(
+      StructType(meta.visibleColumns.map(_.toField)).filter(f => keep.contains(f.name)))
+  }
+
+  override def build(): Scan = new GraftV2Scan(meta, requiredSchema, filters)
+}
+
+class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
+    filters: Array[Filter]) extends Scan with Batch
+    with SupportsReportPartitioning {
+
+  private def spark = SparkSession.active
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft ${meta.name} (buckets=${GraftTable.totalBuckets(meta)})"
+
+  override def outputPartitioning(): Partitioning = meta.hash match {
+    case Seq(hc) if hc.cols.size == 1 && meta.rangeHashBucketsMap.isEmpty =>
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(hc.buckets, hc.cols.head)), hc.buckets)
+    case _ =>
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        planInputPartitions().length)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // one input partition per hash bucket = the SPJ grouping unit. Files
+    // without a bucket coordinate would break the key grouping → the table
+    // constructor already restricted us to compacted (coordinate-carrying)
+    // bases; a coordinate-less fileset reports a single unkeyed partition.
+    val files = graft.sources.PartitionPruner.pruneFiles(meta, meta.baseFiles, filters.toSeq)
+    if (files.exists(_.bucket.isEmpty))
+      return Array(org.apache.spark.sql.GraftSqlBridge.filePartition(0, files.map(_.path), None))
+    files.groupBy(_.bucket.get).toSeq.sortBy(_._1).map { case (b, fs) =>
+      org.apache.spark.sql.GraftSqlBridge.filePartition(b, fs.map(_.path), Some(b))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
+      spark, StructType(meta.visibleColumns.map(_.toField)), requiredSchema, filters)
+}

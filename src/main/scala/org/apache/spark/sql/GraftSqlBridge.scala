@@ -9,6 +9,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
  * extension libraries reach the classic converters through a same-package
  * shim — the established pattern for DataSource/extension projects).
  */
+/** A FilePartition that also reports its hash-bucket id as the partition
+  * key — the unit Spark's storage-partitioned join groups on. */
+class GraftKeyedFilePartition(
+    index: Int,
+    files: Array[execution.datasources.PartitionedFile],
+    bucket: Int)
+  extends execution.datasources.FilePartition(index, files)
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): catalyst.InternalRow =
+    new catalyst.expressions.GenericInternalRow(Array[Any](bucket))
+}
+
 object GraftSqlBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
@@ -28,6 +40,75 @@ object GraftSqlBridge {
       schema: types.StructType): DataFrame =
     session.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** One DSv2 input partition over `paths`, optionally keyed by a hash
+    * bucket id for storage-partitioned joins (HasPartitionKey is how a V2
+    * scan tells Spark which key-group a split belongs to). */
+  def filePartition(index: Int, paths: Seq[String],
+      key: Option[Int]): execution.datasources.FilePartition = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val files = paths.map { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val status = path.getFileSystem(conf).getFileStatus(path)
+      execution.datasources.PartitionedFile(
+        catalyst.InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPath(path),
+        0L, status.getLen, Array.empty[String],
+        status.getModificationTime, status.getLen,
+        Map.empty)
+    }.toArray
+    key match {
+      case Some(k) => new GraftKeyedFilePartition(index, files, k)
+      case None => execution.datasources.FilePartition(index, files)
+    }
+  }
+
+  /** The stock vectorized parquet reader factory, reused for the graft V2
+    * batch scan (the standard extension move — file formats are not
+    * re-implemented per source). */
+  def parquetReaderFactory(
+      session: SparkSession,
+      dataSchema: types.StructType,
+      readSchema: types.StructType,
+      filters: Array[sources.Filter])
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    import execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
+    import org.apache.spark.sql.internal.SQLConf
+    val spark = session.asInstanceOf[classic.SparkSession]
+    val sqlConf = spark.sessionState.conf
+    val hconf = spark.sessionState.newHadoopConf()
+    // the conf plumbing ParquetScan.createReaderFactory performs before
+    // handing the broadcast conf to the factory
+    hconf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    hconf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readSchema.json)
+    hconf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, readSchema.json)
+    hconf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+    hconf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      sqlConf.nestedSchemaPruningEnabled)
+    hconf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
+    ParquetWriteSupport.setSchema(readSchema, hconf)
+    hconf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+      sqlConf.isParquetBinaryAsString)
+    hconf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      sqlConf.isParquetINT96AsTimestamp)
+    hconf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.legacyParquetNanosAsLong)
+    hconf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+    val broadcastConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hconf))
+    new execution.datasources.v2.parquet.ParquetPartitionReaderFactory(
+      spark.sessionState.conf,
+      broadcastConf,
+      dataSchema,
+      readSchema,
+      types.StructType(Nil), // no dir-derived partition columns
+      filters,
+      None,
+      new execution.datasources.parquet.ParquetOptions(
+        Map.empty[String, String], spark.sessionState.conf))
+  }
 
   /** DataFrame over a HadoopFsRelation built on a custom FileIndex — the
     * extension-library path to metadata-controlled file listings. */

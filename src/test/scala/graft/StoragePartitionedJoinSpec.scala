@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.HashComponent
+import graft.table.GraftTable
+
+/**
+ * DSv2 catalog + storage-partitioned joins: two graft tables hash-bucketed
+ * the same way join WITHOUT any shuffle exchange — each side reports its
+ * bucket layout as a KeyGroupedPartitioning and Spark aligns the key
+ * groups (SPARK-37375). This is the 100 TB PK-PK join posture: co-located
+ * join work, zero data movement.
+ */
+class StoragePartitionedJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mkWarehouse(): String = {
+    val wh = Files.createTempDirectory("graft-wh-").toString
+    def mk(name: String, n: Int, payload: String): Unit = {
+      val df = (1 to n).map(i => (i.toLong, s"$payload$i")).toDF("k", "v")
+      GraftTable.create(spark, s"$wh/$name", name, df.schema, Seq("k"),
+        Seq(HashComponent(Seq("k"), 4)), data = Some(df))
+    }
+    mk("t1", 100, "a")
+    mk("t2", 80, "b")
+    wh
+  }
+
+  test("co-partitioned PK-PK join plans with zero shuffle exchanges") {
+    val wh = mkWarehouse()
+    spark.conf.set("spark.sql.catalog.gspj", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspj.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("gspj.t1").join(spark.table("gspj.t2"), "k")
+        .select(col("k"), col("gspj.t1.v").as("v1"), col("gspj.t2.v").as("v2"))
+      val rows = joined.collect()
+      assert(rows.length == 80)
+      assert(rows.map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+        .apply(7L) == ("a7", "b7"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free SPJ plan, got:\n$plan")
+      assert(plan.contains("BatchScan"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
+  test("fixture documents-embeddings join (q30's shape) is shuffle-free") {
+    val dir = "/root/testdata/sf0.001"
+    Tables.readonly(spark, dir, "documents")
+    Tables.readonly(spark, dir, "embeddings")
+    spark.conf.set("spark.sql.catalog.gfix", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfix.warehouse", Tables.cacheRoot(dir))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val d = spark.table("gfix.documents")
+      val e = spark.table("gfix.embeddings")
+      val j = d.join(e, d("doc_id") === e("vec_id")).select(d("doc_id"), e("label"))
+      val expected = Tables.raw(spark, dir, "documents").select("doc_id")
+        .join(Tables.raw(spark, dir, "embeddings"),
+          col("doc_id") === col("vec_id")).count()
+      assert(j.count() == expected)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free fixture join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
+  test("V2 reads: filters push down and pending deltas are refused") {
+    val wh = mkWarehouse()
+    spark.conf.set("spark.sql.catalog.gspj2", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspj2.warehouse", wh)
+    assert(spark.table("gspj2.t1").filter(col("k") === 5).count() == 1)
+    assert(spark.table("gspj2.t1").count() == 100)
+    // mutate → deltas pending → V2 read refuses with a pointer to compact()
+    val t = GraftTable.load(spark, s"$wh/t1")
+    t.upsert(Seq((5L, "changed")).toDF("k", "v"))
+    val e = intercept[Exception] {
+      spark.read.table("gspj2.t1").count()
+    }
+    assert(e.getMessage.contains("compact"), e.getMessage)
+    // after compaction the V2 read serves the merged state
+    t.compact()
+    assert(spark.table("gspj2.t1").filter(col("k") === 5)
+      .select("v").as[String].head() == "changed")
+  }
+}
