@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, Reducer, ReducibleFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
@@ -113,7 +113,8 @@ object GraftBucketFunction extends UnboundFunction {
   }
 }
 
-class GraftBoundBucket(keyType: DataType) extends ScalarFunction[Integer] {
+class GraftBoundBucket(keyType: DataType) extends ScalarFunction[Integer]
+    with ReducibleFunction[Integer, Integer] with Serializable {
   override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
@@ -127,6 +128,24 @@ class GraftBoundBucket(keyType: DataType) extends ScalarFunction[Integer] {
       .hash(v, keyType, 42L).toInt
     ((h % n) + n) % n
   }
+
+  /** Mismatched bucket counts still co-partition when one divides the
+    * other: pmod(h, kn) mod n == pmod(h, n), so the finer side's bucket id
+    * reduces to the coarser space exactly (e.g. lineitem(8) ⋈ orders(4)).
+    * Null = this side needs no reduction (Spark asks both sides). */
+  override def reducer(thisNumBuckets: Int,
+      otherFunction: ReducibleFunction[_, _],
+      otherNumBuckets: Int): Reducer[Integer, Integer] =
+    otherFunction match {
+      case _: GraftBoundBucket
+        if thisNumBuckets > otherNumBuckets && thisNumBuckets % otherNumBuckets == 0 =>
+        new GraftBucketReducer(otherNumBuckets)
+      case _ => null
+    }
+}
+
+class GraftBucketReducer(n: Int) extends Reducer[Integer, Integer] with Serializable {
+  override def reduce(bucket: Integer): Integer = ((bucket % n) + n) % n
 }
 
 /** Read-only V2 table over a graft snapshot's base fileset. */

@@ -51,6 +51,34 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
 
+  test("mismatched-but-divisible bucket counts co-partition via the reducer") {
+    // lineitem(8 buckets) ⋈ orders(4 buckets) shape: pmod(h,8) reduces to
+    // pmod(h,4) exactly, so the finer side's key groups fold onto the
+    // coarser side's and the join still plans shuffle-free.
+    val wh = Files.createTempDirectory("graft-wh2-").toString
+    def mk(name: String, buckets: Int, n: Int, payload: String): Unit = {
+      val df = (1 to n).map(i => (i.toLong, s"$payload$i")).toDF("k", "v")
+      GraftTable.create(spark, s"$wh/$name", name, df.schema, Seq("k"),
+        Seq(HashComponent(Seq("k"), buckets)), data = Some(df))
+    }
+    mk("fine", 8, 120, "f")
+    mk("coarse", 4, 90, "c")
+    spark.conf.set("spark.sql.catalog.gred", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gred.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val f = spark.table("gred.fine")
+      val c = spark.table("gred.coarse")
+      val j = f.join(c, f("k") === c("k")).select(f("k"), c("v"))
+      assert(j.count() == 90)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected reduced SPJ plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
   test("fixture documents-embeddings join (q30's shape) is shuffle-free") {
     val dir = "/root/testdata/sf0.001"
     Tables.readonly(spark, dir, "documents")
