@@ -101,6 +101,20 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
 
+  test("group-by on the bucket key aggregates without a shuffle") {
+    // KeyGroupedPartitioning satisfies the aggregation's clustered
+    // distribution, so the partial/final exchange disappears too — at
+    // 100 TB a per-key rollup over a graft table is shuffle-free.
+    val wh = mkWarehouse()
+    spark.conf.set("spark.sql.catalog.gagg", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gagg.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val agg = spark.table("gagg.t1").groupBy("k").agg(count(lit(1)).as("c"))
+    assert(agg.count() == 100)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free aggregation:\n$plan")
+  }
+
   test("V2 reads: filters push down and pending deltas are refused") {
     val wh = mkWarehouse()
     spark.conf.set("spark.sql.catalog.gspj2", classOf[graft.sources.v2.GraftCatalog].getName)
