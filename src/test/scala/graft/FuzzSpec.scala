@@ -97,4 +97,79 @@ class FuzzSpec extends AnyFunSuite {
   test("random op sequences match the in-memory model (seed 1)") { runCase(1L, 40) }
   test("random op sequences match the in-memory model (seed 2)") { runCase(2L, 40) }
   test("random op sequences match the in-memory model (seed 7)") { runCase(7L, 50) }
+
+  /** Range-partitioned variant: the op stream also drops and re-adds range
+    * partitions (the D2 retention ops) — rows of a dropped range vanish,
+    * writes into a non-covered range error until the range is re-added, and
+    * historical snapshots still see the pre-drop state. */
+  private def runRangeCase(seed: Long, nOps: Int): Unit = {
+    import graft.catalog.RangeComponent
+    val rnd = new Random(seed)
+    val years = Seq(1995, 1996, 1997)
+    def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
+    val loc = Files.createTempDirectory(s"graft-fuzz-r-$seed-").toString
+    val t = GraftTable.create(spark, loc, "kvr",
+      StructType(Seq(StructField("k", IntegerType, false),
+        StructField("d", TimestampType), StructField("v", IntegerType))),
+      keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), 2)),
+      range = Some(RangeComponent("d", "year")))
+    // k -> (year, v)
+    val model = mutable.Map[Int, (Int, Int)]()
+    val uncovered = mutable.Set[Int]()
+    val snaps = mutable.ArrayBuffer[(Long, Map[Int, (Int, Int)])]()
+
+    def df(k: Int, y: Int, v: Int) = Seq((k, ts(y), v)).toDF("k", "d", "v")
+
+    for (_ <- 0 until nOps) {
+      val k = rnd.nextInt(Keyspace)
+      val y = years(rnd.nextInt(years.length))
+      val v = rnd.nextInt(1000)
+      rnd.nextInt(8) match {
+        case 0 => // UPSERT (errors when the row's range is not covered)
+          if (uncovered.contains(y)) intercept[PrimaryKeyException](t.upsert(df(k, y, v)))
+          else { t.upsert(df(k, y, v)); model(k) = (y, v) }
+        case 1 => // INSERT
+          if (model.contains(k) || uncovered.contains(y))
+            intercept[PrimaryKeyException](t.insert(df(k, y, v)))
+          else { t.insert(df(k, y, v)); model(k) = (y, v) }
+        case 2 => // DELETE (strict; tombstones carry no range value)
+          if (!model.contains(k)) intercept[PrimaryKeyException](t.delete(Seq(k).toDF("k")))
+          else { t.delete(Seq(k).toDF("k")); model.remove(k) }
+        case 3 => // DROP RANGE PARTITION of a covered year
+          val candidates = years.filterNot(uncovered.contains)
+          if (candidates.nonEmpty) {
+            val dy = candidates(rnd.nextInt(candidates.length))
+            t.dropRangePartition(dy.toString)
+            uncovered += dy
+            model.filterInPlace { case (_, (yy, _)) => yy != dy }
+          }
+        case 4 => // ADD RANGE PARTITION back (sometimes with its own buckets)
+          if (uncovered.nonEmpty) {
+            val ay = uncovered.toSeq.sorted.apply(rnd.nextInt(uncovered.size))
+            t.addRangePartition(ay.toString,
+              if (rnd.nextBoolean()) Some(4) else None)
+            uncovered -= ay
+          }
+        case 5 => t.compact()
+        case 6 => snaps += ((t.currentVersion, model.toMap))
+        case 7 => // UPDATE_IGNORE of v only (keeps the stored range value)
+          if (model.contains(k)) {
+            t.update(Seq((k, v)).toDF("k", "v"), ignore = true)
+            model(k) = (model(k)._1, v)
+          } else t.update(Seq((k, v)).toDF("k", "v"), ignore = true)
+      }
+    }
+
+    def stateOf(d: org.apache.spark.sql.DataFrame): Map[Int, (Int, Int)] =
+      d.collect().map(r => r.getInt(0) ->
+        (r.getTimestamp(1).toLocalDateTime.getYear, r.getInt(2))).toMap
+
+    assert(stateOf(t.scan()) == model.toMap, s"final state mismatch seed=$seed")
+    snaps.foreach { case (ver, m) =>
+      assert(stateOf(t.scan(Some(ver))) == m, s"snapshot v$ver mismatch seed=$seed")
+    }
+  }
+
+  test("random ops with range drop/add match the model (seed 11)") { runRangeCase(11L, 45) }
+  test("random ops with range drop/add match the model (seed 23)") { runRangeCase(23L, 45) }
 }
