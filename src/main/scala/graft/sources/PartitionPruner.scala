@@ -99,20 +99,36 @@ object PartitionPruner {
       case Some(r) if r.granularity == "year" =>
         var lo: Option[String] = None
         var hi: Option[String] = None
-        def yearOf(v: Any): Option[String] = v match {
-          case t: java.sql.Timestamp => Some(f"${t.toLocalDateTime.getYear}%04d")
-          case d: java.sql.Date => Some(f"${d.toLocalDate.getYear}%04d")
+        def yearOf(v: Any): Option[Int] = v match {
+          case t: java.sql.Timestamp => Some(t.toLocalDateTime.getYear)
+          case d: java.sql.Date => Some(d.toLocalDate.getYear)
           case i: java.time.Instant =>
-            Some(f"${i.atZone(java.time.ZoneOffset.UTC).getYear}%04d")
+            Some(i.atZone(java.time.ZoneOffset.UTC).getYear)
           case _ => None
         }
+        // `col < <exactly Jan 1 00:00>` excludes the whole boundary year —
+        // the common retention/as-of shape (`o_orderdate < '1998-01-01'`)
+        // then prunes the 1998 partition instead of conservatively keeping it
+        def isYearStart(v: Any): Boolean = v match {
+          case t: java.sql.Timestamp =>
+            val dt = t.toLocalDateTime
+            dt.getDayOfYear == 1 && dt.toLocalTime == java.time.LocalTime.MIDNIGHT
+          case d: java.sql.Date => d.toLocalDate.getDayOfYear == 1
+          case i: java.time.Instant =>
+            val dt = i.atZone(java.time.ZoneOffset.UTC)
+            dt.getDayOfYear == 1 && dt.toLocalTime == java.time.LocalTime.MIDNIGHT
+          case _ => false
+        }
+        def fmt(y: Int): String = f"$y%04d"
         filters.foreach {
-          case GreaterThan(c, v) if c == r.col => yearOf(v).foreach(y => lo = Some(lo.fold(y)(l => if (l > y) l else y)))
-          case GreaterThanOrEqual(c, v) if c == r.col => yearOf(v).foreach(y => lo = Some(lo.fold(y)(l => if (l > y) l else y)))
-          case LessThan(c, v) if c == r.col => yearOf(v).foreach(y => hi = Some(hi.fold(y)(h => if (h < y) h else y)))
-          case LessThanOrEqual(c, v) if c == r.col => yearOf(v).foreach(y => hi = Some(hi.fold(y)(h => if (h < y) h else y)))
+          case GreaterThan(c, v) if c == r.col => yearOf(v).map(fmt).foreach(y => lo = Some(lo.fold(y)(l => if (l > y) l else y)))
+          case GreaterThanOrEqual(c, v) if c == r.col => yearOf(v).map(fmt).foreach(y => lo = Some(lo.fold(y)(l => if (l > y) l else y)))
+          case LessThan(c, v) if c == r.col =>
+            yearOf(v).map(yy => fmt(if (isYearStart(v)) yy - 1 else yy))
+              .foreach(y => hi = Some(hi.fold(y)(h => if (h < y) h else y)))
+          case LessThanOrEqual(c, v) if c == r.col => yearOf(v).map(fmt).foreach(y => hi = Some(hi.fold(y)(h => if (h < y) h else y)))
           case EqualTo(c, v) if c == r.col =>
-            yearOf(v).foreach { y => lo = Some(y); hi = Some(y) }
+            yearOf(v).map(fmt).foreach { y => lo = Some(y); hi = Some(y) }
           case _ =>
         }
         (lo, hi)

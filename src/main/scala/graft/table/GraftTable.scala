@@ -256,8 +256,12 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   def changesSince(v1: Long, v2: Long): DataFrame = {
     val m1 = TableMeta.read(location, v1)
     val m2 = TableMeta.read(location, v2)
-    if (m1.baseFiles.map(_.path).toSet != m2.baseFiles.map(_.path).toSet)
-      return changes(v1, v2) // compaction in range → logical diff
+    if (m1.baseFiles.map(_.path).toSet != m2.baseFiles.map(_.path).toSet ||
+        m1.rangeDrops != m2.rangeDrops)
+      // compaction or a range-partition drop in range → logical diff (a
+      // drop is a mass delete the delta files don't record; the snapshot
+      // diff emits its rows as _deleted)
+      return changes(v1, v2)
     val inRange = m2.deltaFiles.filter(f => f.seq > v1 && f.seq <= v2)
     if (inRange.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -266,6 +266,17 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // re-added range accepts new rows; pre-drop 1996 rows stay dead
     assert(t.scan().select("id").as[Long].collect().toSet == Set(1L, 3L, 6L, 7L))
 
+    // a drop inside a CDC window → changesSince falls back to the logical
+    // diff, which emits the dropped-then-unrestored rows as deleted
+    val afterAdd = t.currentVersion
+    t.dropRangePartition("1997")
+    val cdc = t.changesSince(afterAdd, t.currentVersion).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.length - 1)).toMap
+    assert(cdc == Map(3L -> true, 6L -> true), cdc.toString)
+    t.addRangePartition("1997")
+    t.upsert(Seq((3L, ts(1997), "c97")).toDF("id", "d", "v"))
+    t.upsert(Seq((6L, ts(1997), "y")).toDF("id", "d", "v"))
+
     // compaction materializes the drop and retires the mask records
     t.compact()
     assert(t.meta.rangeDrops.isEmpty)

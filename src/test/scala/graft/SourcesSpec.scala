@@ -74,6 +74,15 @@ class SourcesSpec extends AnyFunSuite {
       GreaterThanOrEqual("d", java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
       LessThanOrEqual("d", java.sql.Timestamp.valueOf("1996-12-31 00:00:00")))).inputFiles.length
     assert(all == 10 && one == 2, s"all=$all one=$one")
+    // exclusive year-start bound excludes the boundary year's partition
+    // (data years 1995-1999 → `< 1997-01-01` keeps 1995+1996 = 4 files)
+    val excl = ot.scanPruned(Seq(
+      LessThan("d", java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))).inputFiles.length
+    assert(excl == 4, s"excl=$excl")
+    // ...but one tick past the boundary keeps 1997 too
+    val incl = ot.scanPruned(Seq(
+      LessThan("d", java.sql.Timestamp.valueOf("1997-01-01 00:00:01")))).inputFiles.length
+    assert(incl == 6, s"incl=$incl")
   }
 
   test("filter pushdown reaches parquet in the DataFrame scan path") {
