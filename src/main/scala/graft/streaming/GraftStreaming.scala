@@ -77,6 +77,7 @@ object GraftStreaming {
     spark.readStream
       .schema(StructType(fields))
       .option("maxFilesPerTrigger", "64")
-      .parquet(s"${table.location}/data/c*_delta")
+      // delta dirs carry a per-commit-attempt unique suffix
+      .parquet(s"${table.location}/data/c*_delta*")
   }
 }

@@ -22,8 +22,9 @@ class PrimaryKeyException(msg: String) extends RuntimeException(msg)
  *
  * Layout under `location`:
  *   _graft/v<N>.json   full metadata snapshot per commit (MVCC versions)
- *   data/c<N>_base/    columnar base files (hash/range partition dirs _b=/_r=)
- *   data/c<N>_delta/   delta files: full rows + _op (U|D) + _seq columns
+ *   data/c<N>_base_<id>/   columnar base files (hash/range partition dirs _b=/_r=)
+ *   data/c<N>_delta_<id>/  delta files: full rows + _op (U|D) + _seq columns
+ *   (<id> = per-commit-attempt nonce, so racing writers never share a path)
  *
  * Invariant: every base file's seq < every live delta file's seq — all
  * mutations (including INSERT after the initial load) commit as deltas, so
@@ -487,6 +488,37 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     commitDelta(m, tombstones.withColumn(OpCol, lit(OpDelete)), "delete")
   }
 
+  /**
+   * Multi-row transaction, scoped (W9): every op staged in `body` commits
+   * as ONE delta fileset under ONE snapshot version — readers see all of
+   * it or none of it, and a failure anywhere (validation or conflict)
+   * commits nothing. Conflict detection is the engine's optimistic
+   * version guard: if another writer committed since the transaction
+   * began, the commit aborts with IllegalStateException.
+   *
+   * Scope vs the reference (client/client.h:429-531, src/kudu/
+   * transactions/): Kudu v1 transactions are INSERT-only sessions with a
+   * two-phase commit across tablet servers; this is single-writer
+   * multi-op atomicity (inserts, upserts, deletes) with the restriction
+   * that a transaction touches each primary key at most once — within
+   * one commit there is no op ordering, so multiple writes to one key
+   * would be ambiguous, and the engine rejects them instead.
+   */
+  def transaction(body: GraftTxn => Unit): Unit = {
+    val txn = new GraftTxn(this, meta)
+    body(txn)
+    txn.commit()
+  }
+
+  private[table] def txnCommit(m: TableMeta, rows: DataFrame): Unit =
+    commitDelta(m, rows, "txn")
+
+  private[table] def txnConform(m: TableMeta, df: DataFrame): DataFrame =
+    conform(m, assignAutoInc(m, df))
+
+  private[table] def txnPresence(m: TableMeta, batch: DataFrame): DataFrame =
+    scanForBatch(m, batch, m.keyCols).select(m.keyCols.map(col): _*)
+
   // ---------------------------------------------------------- maintenance
 
   /**
@@ -694,7 +726,13 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     requireCovered(m, rows)
     requireVarcharFits(m, rows)
     val v = m.version + 1
-    val dir = Paths.get(location, "data", s"c${v}_delta").toString
+    // Unique dir per commit ATTEMPT: two writers racing to version v must
+    // not share a data path, or the loser's file write would clobber the
+    // winner's committed files before the metadata guard aborts it. The
+    // loser's orphan dir is removed below; metadata records explicit file
+    // paths, so the suffix is otherwise invisible.
+    val dir = Paths.get(location, "data",
+      s"c${v}_delta_${java.util.UUID.randomUUID().toString.take(8)}").toString
     val out = rows.withColumn(SeqCol, lit(v))
     val physCols = m.columns.map(c => col(c.name).cast(c.dataType).as(c.physName)) ++
       Seq(col(OpCol), col(SeqCol))
@@ -716,15 +754,26 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     val files = listParquet(dir).map { p =>
       DataFileMeta(p, "delta", v, -1L, m.columns.map(_.id))
     }
-    TableMeta.write(m.copy(version = v, timestampMs = now(), operation = op,
+    try TableMeta.write(m.copy(version = v, timestampMs = now(), operation = op,
       deltaFiles = m.deltaFiles ++ files))
+    catch {
+      case e: Throwable => // commit lost the race → remove the orphan fileset
+        try {
+          Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+        } catch { case _: Exception => }
+        throw e
+    }
   }
 
   /** Writes `df` as the base fileset for commit `v`: hash-bucket (+ range)
     * partition dirs, PK-sorted within each file — one writer per "tablet"
     * (KuduContext.repartitionRows:464-509 analog). */
   private[table] def writeBase(m: TableMeta, df: DataFrame, v: Long): Seq[DataFileMeta] = {
-    val dir = Paths.get(location, "data", s"c${v}_base").toString
+    // unique per attempt — same clobber-avoidance as commitDelta (racing
+    // compactions must not share a data path)
+    val dir = Paths.get(location, "data",
+      s"c${v}_base_${java.util.UUID.randomUUID().toString.take(8)}").toString
     val physCols = m.columns.map(c => col(c.name).cast(c.dataType).as(c.physName))
     var out = df.select(physCols: _*)
     val partCols = ArrayBuffer[String]()

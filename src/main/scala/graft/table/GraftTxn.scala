@@ -1,0 +1,81 @@
+package graft.table
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.TableMeta
+
+/**
+ * Staging handle for [[GraftTable.transaction]] — ops accumulate as
+ * delta-shaped rows and commit together (one fileset, one version). All
+ * validation (strict-insert presence, strict-delete existence, the
+ * one-op-per-key rule) runs at commit time against the transaction-start
+ * snapshot, so a transaction reads a consistent MVCC view and writes
+ * atomically — the engine analog of the reference's transactional session
+ * (client/client.h:429-531), minus the multi-writer two-phase commit.
+ */
+class GraftTxn private[table] (t: GraftTable, m: TableMeta) {
+  import GraftTable._
+
+  // (opCode, conformed rows, strict) — strict inserts/deletes validate at commit
+  private val staged = ArrayBuffer[(String, DataFrame, Boolean)]()
+  private var committed = false
+
+  private def stage(op: String, rows: DataFrame, strict: Boolean): Unit = {
+    require(!committed, "transaction already committed")
+    staged += ((op, rows, strict))
+  }
+
+  /** Strict INSERT: at commit, errors if any key already exists. */
+  def insert(df: DataFrame): Unit =
+    stage(OpUpsert, t.txnConform(m, df), strict = true)
+
+  /** UPSERT (insert-or-replace). */
+  def upsert(df: DataFrame): Unit =
+    stage(OpUpsert, t.txnConform(m, df), strict = false)
+
+  /** Strict DELETE by PK: at commit, errors if any key is missing. */
+  def delete(keysDf: DataFrame): Unit = {
+    val keys = m.keyCols
+    val tombstones = keysDf.select(keys.map(col): _*).select(m.columns.map { c =>
+      if (keys.contains(c.name)) col(c.name).cast(c.dataType).as(c.name)
+      else lit(null).cast(c.dataType).as(c.name)
+    }: _*)
+    stage(OpDelete, tombstones, strict = true)
+  }
+
+  private[table] def commit(): Unit = {
+    require(!committed, "transaction already committed")
+    committed = true
+    if (staged.isEmpty) return
+    val keys = m.keyCols
+    val all = staged.map { case (op, rows, _) => rows.withColumn(OpCol, lit(op)) }
+      .reduce(_ unionByName _)
+    // one op per key per transaction: ops within a commit share a sequence
+    // number, so a second write to the same key would have no defined order
+    val dup = all.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+    if (dup.limit(1).count() > 0)
+      throw new PrimaryKeyException(
+        s"transaction touches a primary key more than once on ${m.name}")
+    // strict-op validation against the txn-start snapshot, one pass each way
+    val strictInserts = staged.collect { case (OpUpsert, rows, true) => rows }
+    if (strictInserts.nonEmpty) {
+      val batch = strictInserts.reduce(_ unionByName _)
+      val clash = batch.join(t.txnPresence(m, batch), keys, "left_semi")
+      if (clash.limit(1).count() > 0)
+        throw new PrimaryKeyException(s"transactional INSERT key already present in ${m.name}")
+    }
+    val strictDeletes = staged.collect { case (OpDelete, rows, true) => rows }
+    if (strictDeletes.nonEmpty) {
+      val batch = strictDeletes.reduce(_ unionByName _)
+      val missing = batch.join(t.txnPresence(m, batch), keys, "left_anti")
+      if (missing.limit(1).count() > 0)
+        throw new PrimaryKeyException(s"transactional DELETE key not found in ${m.name}")
+    }
+    // single delta commit = the atomic unit; the optimistic version guard
+    // in TableMeta.write aborts if another writer committed since `m`
+    t.txnCommit(m, all)
+  }
+}

@@ -166,6 +166,40 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$dir/raw").count() == 2)
   }
 
+  test("multi-op transaction commits atomically (W9, scoped)") {
+    val t = newKv(1 -> "a", 2 -> "b", 3 -> "c")
+    val v0 = t.currentVersion
+    t.transaction { txn =>
+      txn.insert(kv(4 -> "d"))
+      txn.upsert(kv(1 -> "A"))
+      txn.delete(Seq(2).toDF("k"))
+    }
+    assert(t.currentVersion == v0 + 1) // three ops, ONE snapshot version
+    assert(asMap(t) == Map(1 -> "A", 3 -> "c", 4 -> "d"))
+    // all-or-nothing: one failing strict op aborts every staged op
+    intercept[PrimaryKeyException] {
+      t.transaction { txn =>
+        txn.upsert(kv(5 -> "never"))
+        txn.insert(kv(1 -> "clash")) // key exists → whole txn aborts
+      }
+    }
+    assert(asMap(t) == Map(1 -> "A", 3 -> "c", 4 -> "d"))
+    assert(t.currentVersion == v0 + 1)
+    // a transaction touches each key at most once
+    intercept[PrimaryKeyException] {
+      t.transaction { txn => txn.upsert(kv(6 -> "x")); txn.upsert(kv(6 -> "y")) }
+    }
+    // optimistic conflict detection: a racer committing mid-transaction
+    // aborts the commit; the racer's write survives, the txn's does not
+    intercept[IllegalStateException] {
+      t.transaction { txn =>
+        txn.upsert(kv(7 -> "stale"))
+        t.upsert(kv(8 -> "racer"))
+      }
+    }
+    assert(!asMap(t).contains(7) && asMap(t)(8) == "racer")
+  }
+
   test("varchar length attribute enforced on write (and on set)") {
     val t = newKv(1 -> "a")
     t.setVarcharLength("v", 5)
