@@ -62,7 +62,17 @@ object Pipeline {
   def releaseCaches(): Unit = persisted.synchronized {
     persisted.foreach(_.unpersist(blocking = false))
     persisted.clear()
+    sigMemo.synchronized(sigMemo.clear())
   }
+
+  /** Persist `df` behind a LogicalRDD leaf, so consumers' logical plans stay
+    * O(1)-sized regardless of the producing lineage. Iterative queries (p14)
+    * otherwise nest every prior round's full plan — incl. the 96-hash minhash
+    * expression trees — inside each round's InMemoryRelation, and the
+    * driver-side analysis/canonicalization walk grows quadratically in
+    * rounds (measured: a 510-row cached count cost 4-5 s at round 3). */
+  private def leafCached(s: SparkSession, df: DataFrame): DataFrame =
+    persistTracked(s.createDataFrame(df.rdd, df.schema))
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.scan(s, dir, "documents")
@@ -86,20 +96,43 @@ object Pipeline {
    * per row in a single pass — the round-2 two-stage persist barrier
    * guarded against interpreted lambdas re-hashing strings k×.)
    */
-  private def cachedSignatures(s: SparkSession, dir: String): DataFrame =
-    persistTracked(docShingles(s, dir).select(col("doc_id"),
-      minhashSignature(shingleHashes(col("sh")), MinhashK).as("sig")))
+  private val sigMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
-  /** LSH candidate pairs (id_a < id_b) from minhash band buckets. */
-  private def lshCandidates(sig: DataFrame): DataFrame = {
-    val bands = sig.select(col("doc_id"),
-        posexplode(bandHashes(col("sig"), Bands, Rows)).as(Seq("band", "bh")))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-  }
+  private def cachedSignatures(s: SparkSession, dir: String): DataFrame =
+    sigMemo.synchronized {
+      val perDir = Option(sigMemo.get(s)).getOrElse {
+        val m = scala.collection.mutable.Map[String, DataFrame]()
+        sigMemo.put(s, m); m
+      }
+      // memoized per (session, dir): p2, p3 and p14 all consume the same
+      // signatures, and the leaf wrap keeps the 96-hash expression tree out
+      // of every downstream plan (one analysis, not one per consumer)
+      perDir.getOrElseUpdate(dir, leafCached(s,
+        docShingles(s, dir).select(col("doc_id"),
+          minhashSignature(shingleHashes(col("sh")), MinhashK).as("sig"))))
+    }
+
+  /** LSH candidate pairs (id_a < id_b) from minhash band buckets — memoized
+    * per (session, dir) like the signatures: p2, p3 and p14 share one
+    * materialization of the band self-join. */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    sigMemo.synchronized {
+      val perDir = Option(sigMemo.get(s)).getOrElse {
+        val m = scala.collection.mutable.Map[String, DataFrame]()
+        sigMemo.put(s, m); m
+      }
+      perDir.getOrElseUpdate(dir + "#cand", {
+        val sig = cachedSignatures(s, dir)
+        val bands = sig.select(col("doc_id"),
+            posexplode(bandHashes(col("sig"), Bands, Rows)).as(Seq("band", "bh")))
+        leafCached(s, bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct())
+      })
+    }
 
   /** vec_id → L2-normalized double vector, so the O(n²) pair stage is a dot
     * product only (norms computed once per vector, not per pair). */
@@ -161,7 +194,7 @@ object Pipeline {
     "p2_dedup_ngram" -> ((s, dir) => {
       // Near-dup pairs by exact word-3-gram Jaccard >= 0.8, LSH-prefiltered.
       val sh = docShingles(s, dir)
-      lshCandidates(cachedSignatures(s, dir))
+      lshCandidates(s, dir)
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
         .filter(jaccard(col("sh_a"), col("sh_b")) >= JaccardT)
@@ -177,7 +210,7 @@ object Pipeline {
       // matches. The LSH output therefore equals the O(n²)-over-signatures
       // answer the oracle computes, deterministically (not just w.h.p.).
       val sig = cachedSignatures(s, dir)
-      lshCandidates(sig)
+      lshCandidates(s, dir)
         .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
         .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
         .withColumn("est_j", minhashAgreement(col("sig_a"), col("sig_b")))
@@ -368,21 +401,23 @@ object Pipeline {
       // oracle computes the same fixpoint as a recursive-CTE transitive
       // closure.
       val sig = cachedSignatures(s, dir)
-      val edges = lshCandidates(sig)
+      val edges = lshCandidates(s, dir)
         .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
         .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
         .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= 0.7)
         .select(col("id_a"), col("id_b"))
       // both edge directions in ONE pass over the (uncached) verify
-      // pipeline — a plain two-select union would evaluate it twice
-      val sym = persistTracked(edges.select(explode(array(
+      // pipeline — a plain two-select union would evaluate it twice; the
+      // leaf wrap stops the candidate-join lineage from re-entering every
+      // round's plan below
+      val sym = leafCached(s, edges.select(explode(array(
           struct(col("id_a").as("src"), col("id_b").as("dst")),
           struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst")))
       // propagate over the edge-induced subgraph only — isolated docs (the
       // overwhelming majority) never change label and rejoin at the end;
       // the per-round working set is O(near-dup docs), not O(corpus)
-      var labels = persistTracked(sym.select(col("src").as("id")).distinct()
+      var labels = leafCached(s, sym.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl")))
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8") // tiny per-round state
@@ -396,7 +431,7 @@ object Pipeline {
           val viaEdges = sym.join(labels, sym("src") === labels("id"))
             .select(col("dst").as("id"), col("lbl"),
               lit(null).cast("long").as("prev"))
-          val next = persistTracked(labels.withColumn("prev", col("lbl"))
+          val next = leafCached(s, labels.withColumn("prev", col("lbl"))
             .unionByName(viaEdges)
             .groupBy("id").agg(min(col("lbl")).as("lbl"), min(col("prev")).as("prev")))
           changed = next.filter(col("lbl") =!= col("prev")).count()
