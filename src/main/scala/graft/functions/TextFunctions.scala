@@ -183,6 +183,16 @@ object TextFunctions {
    */
   def hyperplaneBuckets(v: Column, dim: Int, tables: Int, planes: Int,
       seed: Long = 42L): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    toColumn(graft.functions.expressions.HyperplaneBucketsExpr(
+      toExpression(v), dim, tables, planes, seed))
+  }
+
+  /** The composed-functions form of [[hyperplaneBuckets]] — tables×planes
+    * DotProduct nodes over literal planes. Kept as the executable spec the
+    * native kernel is asserted value-identical against. */
+  def hyperplaneBucketsComposed(v: Column, dim: Int, tables: Int, planes: Int,
+      seed: Long = 42L): Column = {
     val ks = hyperplaneKs(dim, tables, planes, seed)
     array((0 until tables).map { t =>
       (0 until planes).map { p =>

@@ -186,6 +186,69 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 /**
+ * Array<Double> vector → per-table hyperplane-LSH bucket ids in ONE pass:
+ * all `tables`×`planes` projections against a precomputed plane matrix,
+ * sign bits packed per table. Value-identical to the composed form in
+ * [[graft.functions.TextFunctions.hyperplaneBuckets]] (same LCG-derived
+ * planes via hyperplaneKs, same left-to-right double accumulation as
+ * [[DotProduct]], bit p set iff projection >= 0) — the composed form built
+ * tables×planes separate DotProduct nodes each carrying a dim-element
+ * literal, an expression tree large enough to dominate plan compile and
+ * codegen time (p5: 16×6×64 = 6144 inlined literal terms).
+ */
+case class HyperplaneBucketsExpr(child: Expression, dim: Int, tables: Int,
+    planes: Int, seed: Long) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_hyperplane_buckets expects array<double>, got ${dt.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val mat: Array[Array[Double]] = {
+    val ks = graft.functions.TextFunctions.hyperplaneKs(dim, tables, planes, seed)
+    Array.tabulate(tables * planes) { i =>
+      graft.functions.TextFunctions.planeKsToVec(ks(i / planes)(i % planes))
+    }
+  }
+
+  def compute(input: ArrayData): ArrayData = {
+    val n = math.min(input.numElements(), dim)
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var p = 0
+      while (p < planes) {
+        val w = mat(t * planes + p)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += input.getDouble(i) * w(i); i += 1 }
+        if (s >= 0) bucket |= (1 << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hyperplaneBuckets", this,
+      classOf[HyperplaneBucketsExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketsExpr =
+    copy(child = newChild)
+}
+
+/**
  * String → distinct word n-gram shingles in one pass — the kernel under the
  * dedup operators (the composed form chains split/sequence/transform/
  * concat_ws/array_distinct, each an interpreted lambda layer). Semantics

@@ -100,6 +100,16 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(bad.count() == 0, bad.select("id").limit(5).collect().mkString(","))
   }
 
+  test("native hyperplane-bucket kernel matches the composed form") {
+    val e = Tables.raw(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val cmp = e.select(col("vec_id"),
+      hyperplaneBuckets(col("v"), dim = 64, tables = 16, planes = 6).as("n"),
+      hyperplaneBucketsComposed(col("v"), dim = 64, tables = 16, planes = 6).as("c"))
+    val bad = cmp.filter(!(col("n") === col("c")))
+    assert(bad.count() == 0, bad.select("vec_id").limit(5).collect().mkString(","))
+  }
+
   test("hyperplane plane components are dyadic (round-trip through SQL text)") {
     for {
       tbl <- hyperplaneKs(dim = 8, tables = 2, planes = 3)
