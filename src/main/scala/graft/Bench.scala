@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // k >= 3 iterations per query, report the MEDIAN: a single shared-session
+    // iteration cannot distinguish a regression from JIT/GC/AQE noise (round-4
+    // bench saw unchanged-code queries move 3x run-to-run).
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,15 +30,30 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $dt%8.2f s")
-      name -> dt
+      (System.nanoTime() - t0) / 1e9
     }
+    def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double) = {
+      val times = (1 to iters).map(_ => runOnce(name, fn)).sorted
+      val med = times(times.size / 2)
+      System.err.println(f"[bench] $name%-22s med $med%8.2f s  (runs: " +
+        times.map(t => f"$t%.2f").mkString(" ") + ")")
+      name -> med
+    }
+    // The pipeline caches (memoized minhash signatures/candidates) are
+    // consumed only by the p* block; release them before the q* block so
+    // MEMORY_AND_DISK frames held to end-of-run don't pressure the q*
+    // measurements (the round-4 bench held everything until exit).
+    val (pBlock, qBlock) = selected.partition(_._1.startsWith("p"))
+    val pResults = pBlock.map { case (n, f) => runQuery(n, f) }
+    Pipeline.releaseCaches()
+    val qResults = qBlock.map { case (n, f) => runQuery(n, f) }
+    val results = pResults ++ qResults
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -70,9 +70,14 @@ object Pipeline {
     * otherwise nest every prior round's full plan — incl. the 96-hash minhash
     * expression trees — inside each round's InMemoryRelation, and the
     * driver-side analysis/canonicalization walk grows quadratically in
-    * rounds (measured: a 510-row cached count cost 4-5 s at round 3). */
+    * rounds (measured: a 510-row cached count cost 4-5 s at round 3).
+    * The wrap stays in InternalRow form (`queryExecution.toRdd`, the same
+    * executor-side re-wrap the streaming sink uses) — `df.rdd` would
+    * deserialize every row to an external GenericRow and re-encode it on
+    * each consumption. */
   private def leafCached(s: SparkSession, df: DataFrame): DataFrame =
-    persistTracked(s.createDataFrame(df.rdd, df.schema))
+    persistTracked(org.apache.spark.sql.GraftSqlBridge
+      .internalCreateDataFrame(s, df.queryExecution.toRdd, df.schema))
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.scan(s, dir, "documents")
