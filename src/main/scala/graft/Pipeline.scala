@@ -265,9 +265,10 @@ object Pipeline {
       // prefilter — candidates are pairs sharing ANY of the 4 tables' 6-bit
       // buckets (identical constants to p7) — then exact cosine verification
       // on candidates only, an equi-join instead of a cartesian product.
-      // The oracle replicates the identical bucketing (hyperplanes are
-      // build-time dyadic constants inlined into the SQL), so the
-      // approximate operator is still hash-checked exactly. Recall is the
+      // The oracle replicates the identical bucketing (integer-exact:
+      // fixed-point quantized vectors against integer hyperplane literals
+      // inlined into the SQL), so the approximate operator is still
+      // hash-checked exactly. Recall is the
       // standard LSH tables×planes tradeoff (see [[DedupTables]]) and rises
       // further with the threshold — at the production-typical cosine>=0.9
       // this 16×6 family recalls 1-(1-0.856^6)^16 ≈ 99.97% of pairs.
@@ -316,9 +317,10 @@ object Pipeline {
       // bucketings; a vector is a candidate for a query if they share ANY
       // table's bucket (union-of-tables is the standard recall lever);
       // top-3 per query by exact cosine over the candidate set. The oracle
-      // replicates the identical approximation — the hyperplanes are
-      // build-time dyadic constants inlined into the SQL — so the result is
-      // hash-checkable even though the operator is approximate vs. p6.
+      // replicates the identical approximation — integer-exact bucketing
+      // over fixed-point quantized vectors, the integer hyperplanes inlined
+      // into the SQL — so the result is hash-checkable even though the
+      // operator is approximate vs. p6.
       val e = embs(s, dir).select(col("vec_id"),
           toDouble(col("embedding")).as("v"))
         .withColumn("bks",
@@ -551,27 +553,27 @@ object Pipeline {
     s"(((2654435761 * (($i) + 1)) % 1000000007) * ($h) + " +
       s"(2246822519 * (($i) + 1)) % 1000000007) % 1000000007"
 
-  /** The per-table LSH bucket expression over a double-list column `v` —
-    * the identical hyperplanes as [[TextFunctions.hyperplaneBuckets]],
-    * inlined as exact dyadic literals (k/2^53 - 0.5 round-trips through
-    * SQL text losslessly).
-    *
-    * ASSUMPTION (load-bearing for p5/p7/p13 hash equality): DuckDB's
-    * list_dot_product accumulates doubles strictly left-to-right, the same
-    * order as the codegen'd [[graft.functions.expressions.DotProduct]] loop.
-    * The bucket bit is sign(dot) — a knife edge if either engine ever
-    * switches to SIMD/pairwise summation. Verified empirically each round by
-    * the hash compare itself; if it breaks, move buckets to integer-exact
-    * arithmetic (fixed-point plane components, integer dot products) like
-    * the minhash path. */
-  private def lshBucketSql(v: String, table: Int,
+  /** Quantized-vector SQL for hyperplane bucketing: floor(x·2^20) per
+    * element — the scale is a power of two so the multiply is exact, making
+    * the integer sequence identical in Spark and DuckDB. */
+  private def quantSql(v: String): String =
+    s"list_transform($v, x -> CAST(floor(x * 1048576.0) AS BIGINT))"
+
+  /** The per-table LSH bucket expression over a quantized (BIGINT-list)
+    * column `q` — the identical integer hyperplanes as
+    * [[TextFunctions.hyperplaneBuckets]], inlined as integer literals.
+    * INTEGER-EXACT: bucket bit = sign of an int64 dot product, so hash
+    * equality does not depend on either engine's float summation order
+    * (p13's RANKING dots remain double — documented there). */
+  private def lshBucketSql(q: String, table: Int,
       tables: Int = LshTables, planes: Int = LshPlanes): String = {
     val ks = graft.functions.TextFunctions.hyperplaneKs(
       dim = 64, tables = tables, planes = planes)
     (0 until planes).map { p =>
-      val lits = graft.functions.TextFunctions.planeKsToVec(ks(table)(p))
-        .map(d => java.lang.Double.toString(d)).mkString(", ")
-      s"(CASE WHEN list_dot_product($v, [$lits]) >= 0 THEN ${1 << p} ELSE 0 END)"
+      val lits = graft.functions.TextFunctions.planeKsToInts(ks(table)(p))
+        .mkString(", ")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+        s"i -> ($q)[i] * ([$lits])[i])) >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
   }
 
@@ -612,9 +614,10 @@ object Pipeline {
         "ORDER BY id_a, id_b"),
     "p7_ann_lsh" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n" +
+        s"eq AS (SELECT vec_id, v, ${quantSql("v")} AS qz FROM e),\n" +
         "b AS (SELECT vec_id, v, " +
-        (0 until LshTables).map(t => s"(${lshBucketSql("v", t)}) AS b$t").mkString(", ") +
-        " FROM e),\n" +
+        (0 until LshTables).map(t => s"(${lshBucketSql("qz", t)}) AS b$t").mkString(", ") +
+        " FROM eq),\n" +
         "q AS (SELECT vec_id AS query_id, v AS qv, b0 AS qb0, b1 AS qb1, b2 AS qb2, b3 AS qb3 FROM b WHERE vec_id < 32),\n" +
         "cand AS (SELECT DISTINCT query_id, qv, b.vec_id AS neighbor_id, b.v " +
         "FROM q JOIN b ON (q.qb0 = b.b0 OR q.qb1 = b.b1 OR q.qb2 = b.b2 OR q.qb3 = b.b3) " +
@@ -643,10 +646,11 @@ object Pipeline {
         "WHERE rn <= 3 ORDER BY query_id, rank"),
     "p5_dedup_embed" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n" +
+        s"eq AS (SELECT vec_id, v, ${quantSql("v")} AS qz FROM e),\n" +
         "b AS (SELECT vec_id, v, " +
         (0 until DedupTables).map(t =>
-          s"(${lshBucketSql("v", t, DedupTables, DedupPlanes)}) AS b$t").mkString(", ") +
-        " FROM e)\n" +
+          s"(${lshBucketSql("qz", t, DedupTables, DedupPlanes)}) AS b$t").mkString(", ") +
+        " FROM eq)\n" +
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM b a JOIN b b ON a.vec_id < b.vec_id " +
         "AND (" +
         (0 until DedupTables).map(t => s"a.b$t = b.b$t").mkString(" OR ") +

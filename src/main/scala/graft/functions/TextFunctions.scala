@@ -172,14 +172,22 @@ object TextFunctions {
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Fixed-point quantization scale for hyperplane bucketing (2^20): the
+    * scale is a power of two, so `x * QuantScale` is an exact double op and
+    * `floor` of it is engine-independent — the quantized vector is the same
+    * integer sequence in Spark and in the SQL oracle. */
+  val QuantScale: Double = (1L << 20).toDouble
+
   /**
    * Random-hyperplane LSH, multi-table: `tables` independent bucket ids per
    * vector, each the `planes` sign bits of projections onto deterministic
    * pseudo-random hyperplanes (seeded LCG, no runtime RNG — the planes are
-   * build-time constants, so the identical hyperplanes can be inlined into
-   * the DuckDB oracle SQL as exact dyadic literals). Vectors sharing any
-   * table's bucket are ANN candidates — multi-table union is the standard
-   * recall lever that a single bucketing lacks.
+   * build-time integer constants inlined into the DuckDB oracle SQL).
+   * INTEGER-EXACT: vector quantized to fixed point (floor(x·2^20)), integer
+   * plane components, int64 dot products — the bucket sign bit cannot
+   * depend on floating-point summation order in either engine. Vectors
+   * sharing any table's bucket are ANN candidates — multi-table union is
+   * the standard recall lever that a single bucketing lacks.
    */
   def hyperplaneBuckets(v: Column, dim: Int, tables: Int, planes: Int,
       seed: Long = 42L): Column = {
@@ -188,16 +196,19 @@ object TextFunctions {
       toExpression(v), dim, tables, planes, seed))
   }
 
-  /** The composed-functions form of [[hyperplaneBuckets]] — tables×planes
-    * DotProduct nodes over literal planes. Kept as the executable spec the
-    * native kernel is asserted value-identical against. */
+  /** The composed-functions form of [[hyperplaneBuckets]] — per plane, an
+    * integer dot of the quantized vector against a literal integer plane.
+    * Kept as the executable spec the native kernel is asserted
+    * value-identical against. */
   def hyperplaneBucketsComposed(v: Column, dim: Int, tables: Int, planes: Int,
       seed: Long = 42L): Column = {
     val ks = hyperplaneKs(dim, tables, planes, seed)
+    val q = transform(v, x => floor(x * QuantScale))
     array((0 until tables).map { t =>
       (0 until planes).map { p =>
-        when(dot(v, lit(planeKsToVec(ks(t)(p)))) >= 0, shiftleft(lit(1), p))
-          .otherwise(lit(0))
+        val d = aggregate(zip_with(q, lit(planeKsToInts(ks(t)(p))), (x, w) => x * w),
+          lit(0L), (acc, x) => acc + x)
+        when(d >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
       }.reduce(_ + _)
     }: _*)
   }
@@ -216,8 +227,9 @@ object TextFunctions {
     }
   }
 
-  /** k/2^53 - 0.5 — exactly representable (a dyadic rational with < 53
-    * mantissa bits), so the same literal parses to the same double in SQL. */
-  def planeKsToVec(ks: Array[Long]): Array[Double] =
-    ks.map(k => k.toDouble / (1L << 53).toDouble - 0.5)
+  /** Integer plane components: the top 20 of the 53 LCG bits, centered —
+    * values in [-2^19, 2^19), small enough that a dim-64 integer dot
+    * against a 2^20-quantized unit-scale vector stays far inside int64. */
+  def planeKsToInts(ks: Array[Long]): Array[Long] =
+    ks.map(k => (k >>> 33) - (1L << 19))
 }

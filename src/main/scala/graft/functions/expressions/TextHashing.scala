@@ -188,13 +188,17 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 /**
  * Array<Double> vector → per-table hyperplane-LSH bucket ids in ONE pass:
  * all `tables`×`planes` projections against a precomputed plane matrix,
- * sign bits packed per table. Value-identical to the composed form in
- * [[graft.functions.TextFunctions.hyperplaneBuckets]] (same LCG-derived
- * planes via hyperplaneKs, same left-to-right double accumulation as
- * [[DotProduct]], bit p set iff projection >= 0) — the composed form built
- * tables×planes separate DotProduct nodes each carrying a dim-element
- * literal, an expression tree large enough to dominate plan compile and
- * codegen time (p5: 16×6×64 = 6144 inlined literal terms).
+ * sign bits packed per table. INTEGER-EXACT: the vector is quantized once
+ * to fixed point (floor(x·2^20) — the scale is a power of two, so the
+ * multiply is exact and floor is deterministic IEEE), the plane components
+ * are integers in [-2^19, 2^19), and the projection is an int64 dot product
+ * — no floating-point summation anywhere, so the bucket bit cannot flip if
+ * an engine changes its summation order (the round-4 knife edge: the
+ * double-dot formulation assumed DuckDB's list_dot_product accumulates
+ * strictly left-to-right). Magnitude bound: |q|≤2^20·max|x|, |c|<2^19, so a
+ * dim-64 sum stays < 2^46·max|x| — exact in int64 for any |x| < 2^17.
+ * Value-identical to the composed form in
+ * [[graft.functions.TextFunctions.hyperplaneBucketsComposed]].
  */
 case class HyperplaneBucketsExpr(child: Expression, dim: Int, tables: Int,
     planes: Int, seed: Long) extends UnaryExpression {
@@ -207,15 +211,22 @@ case class HyperplaneBucketsExpr(child: Expression, dim: Int, tables: Int,
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
-  @transient private lazy val mat: Array[Array[Double]] = {
+  @transient private lazy val mat: Array[Array[Long]] = {
     val ks = graft.functions.TextFunctions.hyperplaneKs(dim, tables, planes, seed)
     Array.tabulate(tables * planes) { i =>
-      graft.functions.TextFunctions.planeKsToVec(ks(i / planes)(i % planes))
+      graft.functions.TextFunctions.planeKsToInts(ks(i / planes)(i % planes))
     }
   }
 
   def compute(input: ArrayData): ArrayData = {
     val n = math.min(input.numElements(), dim)
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      q(i) = math.floor(input.getDouble(i) *
+        graft.functions.TextFunctions.QuantScale).toLong
+      i += 1
+    }
     val out = new Array[Any](tables)
     var t = 0
     while (t < tables) {
@@ -223,9 +234,9 @@ case class HyperplaneBucketsExpr(child: Expression, dim: Int, tables: Int,
       var p = 0
       while (p < planes) {
         val w = mat(t * planes + p)
-        var s = 0.0
-        var i = 0
-        while (i < n) { s += input.getDouble(i) * w(i); i += 1 }
+        var s = 0L
+        i = 0
+        while (i < n) { s += q(i) * w(i); i += 1 }
         if (s >= 0) bucket |= (1 << p)
         p += 1
       }

@@ -110,11 +110,14 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(bad.count() == 0, bad.select("vec_id").limit(5).collect().mkString(","))
   }
 
-  test("hyperplane plane components are dyadic (round-trip through SQL text)") {
+  test("hyperplane plane components are bounded integers (int64-exact dot)") {
+    // |c| < 2^19 and |q| <= 2^20 for unit-scale vectors → a dim-64 dot is
+    // < 2^45, far inside int64: the bucket sign bit is exact arithmetic in
+    // both engines, independent of any float summation order.
     for {
       tbl <- hyperplaneKs(dim = 8, tables = 2, planes = 3)
       plane <- tbl
-      d <- planeKsToVec(plane)
-    } assert(java.lang.Double.parseDouble(java.lang.Double.toString(d)) == d)
+      c <- planeKsToInts(plane)
+    } assert(c >= -(1L << 19) && c < (1L << 19))
   }
 }
