@@ -22,6 +22,10 @@ case class ColumnMeta(
     dataTypeJson: String,
     nullable: Boolean,
     isKey: Boolean,
+    // READ default (ColumnSchemaPB read_default_value,
+    // common/common.proto:134-177): fills the column when reading files
+    // written before it existed. Fixed at column-add time — ALTERing the
+    // default must not rewrite history, so this never changes.
     defaultValue: Option[String] = None,
     comment: Option[String] = None,
     isAutoInc: Boolean = false,
@@ -32,9 +36,20 @@ case class ColumnMeta(
     // Per-column storage attribute (ColumnSchemaPB encoding,
     // common/common.proto:90-100), mapped to the parquet writer's
     // per-column dictionary toggle: "dictionary" | "plain".
-    encoding: Option[String] = None) {
+    encoding: Option[String] = None,
+    // WRITE default (ColumnSchemaPB write_default_value): fills the column
+    // when a write batch omits it. hasWriteDefault = Some(true) means the
+    // write default was ALTERed after column add and `writeDefault`
+    // (None = NULL) overrides `defaultValue` for writes only — old files
+    // keep reading the original read default. Option-typed so metadata
+    // written by older builds reads as unset.
+    writeDefault: Option[String] = None,
+    hasWriteDefault: Option[Boolean] = None) {
   def dataType: DataType = DataType.fromJson(dataTypeJson)
   def toField: StructField = StructField(name, dataType, nullable)
+  /** The default applied to writes that omit this column. */
+  def effectiveWriteDefault: Option[String] =
+    if (hasWriteDefault.contains(true)) writeDefault else defaultValue
 }
 
 /** One hash-bucket partition component over key columns
@@ -153,7 +168,12 @@ object TableMeta {
       .getOrElse(throw new IllegalStateException(s"corrupt _current.json at $location"))
   }
 
+  /** Version-file reads performed (test instrumentation: the time-travel
+    * lookup must stay O(log versions), not O(versions)). */
+  val versionFileReads = new java.util.concurrent.atomic.AtomicLong()
+
   def read(location: String, version: Long): TableMeta = {
+    versionFileReads.incrementAndGet()
     val s = new String(Files.readAllBytes(versionFile(location, version)), StandardCharsets.UTF_8)
     Serialization.read[TableMeta](s)
   }
@@ -163,13 +183,36 @@ object TableMeta {
   def exists(location: String): Boolean = Files.exists(currentFile(location))
 
   /** Highest version whose commit timestamp is <= tsMs
-    * (snapshotTimestampMs read option, kudu-spark DefaultSource.scala:74). */
+    * (snapshotTimestampMs read option, kudu-spark DefaultSource.scala:74).
+    * Commit timestamps are non-decreasing in version (single-writer commit
+    * protocol stamps wall clock at write), so this binary-searches the
+    * version files — ceil(log2 n)+1 file reads, not O(versions); a
+    * long-lived table with 10^4 commits pays ~15 driver-side JSON reads
+    * instead of 10^4. Falls back to a linear scan if the version chain has
+    * gaps (a version file manually removed). */
   def versionAtTimestamp(location: String, tsMs: Long): Long = {
     val cur = currentVersion(location)
-    val versions = (1L to cur).flatMap { v =>
-      if (Files.exists(versionFile(location, v))) Some(read(location, v)) else None
+    def linear(): Long = {
+      val versions = (1L to cur).flatMap { v =>
+        if (Files.exists(versionFile(location, v))) Some(read(location, v)) else None
+      }
+      versions.filter(_.timestampMs <= tsMs).map(_.version).sorted.lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no snapshot at or before ts=$tsMs for $location"))
     }
-    versions.filter(_.timestampMs <= tsMs).map(_.version).sorted.lastOption.getOrElse(
-      throw new IllegalArgumentException(s"no snapshot at or before ts=$tsMs for $location"))
+    try {
+      var lo = 1L
+      var hi = cur
+      var ans = -1L
+      while (lo <= hi) {
+        val mid = lo + (hi - lo) / 2
+        if (read(location, mid).timestampMs <= tsMs) { ans = mid; lo = mid + 1 }
+        else hi = mid - 1
+      }
+      if (ans < 0)
+        throw new IllegalArgumentException(s"no snapshot at or before ts=$tsMs for $location")
+      ans
+    } catch {
+      case _: java.nio.file.NoSuchFileException => linear()
+    }
   }
 }

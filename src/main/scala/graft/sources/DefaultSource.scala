@@ -31,6 +31,9 @@ import graft.table.GraftTable
  *                           table lacks auto-adds them as nullable before
  *                           the operation (mirrors kudu.handleSchemaDrift,
  *                           kudu-spark DefaultSource.scala:61-72,231)
+ *   graft.upsert.orderCol   streaming sink: column defining last-wins when a
+ *                           micro-batch carries several writes to one key
+ *                           (without it, intra-batch duplicate keys error)
  */
 class DefaultSource extends RelationProvider with CreatableRelationProvider
     with StreamSinkProvider with DataSourceRegister {
@@ -101,11 +104,20 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       partitionColumns: Seq[String], outputMode: OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
     val table = GraftTable.load(sqlContext.sparkSession, path(parameters))
+    // graft.upsert.orderCol: a micro-batch may carry several writes to one
+    // key (e.g. a CDC stream); the option names the column defining
+    // last-wins. Without it, duplicate keys in one micro-batch error —
+    // commits are unordered sets, so an arbitrary winner would be
+    // nondeterministic.
+    val orderCol = parameters.get("graft.upsert.orderCol")
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val batch = org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(
           sqlContext.sparkSession, data.queryExecution.toRdd, data.schema)
-        table.upsert(batch)
+        orderCol match {
+          case Some(oc) => table.upsert(batch, oc)
+          case None => table.upsert(batch)
+        }
       }
     }
   }

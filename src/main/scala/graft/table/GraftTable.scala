@@ -330,19 +330,48 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   /** UPSERT: insert-or-replace by PK (W3 — the Spark sink's default op,
     * kudu-spark DefaultSource.scala:270-272). Writing a different value to an
     * `immutable` column errors (ColumnSchemaPB immutable,
-    * common/common.proto:134-177). */
-  def upsert(df: DataFrame): Unit = upsertImpl(df, ignoreImmutable = false)
+    * common/common.proto:134-177).
+    *
+    * Duplicate keys WITHIN one batch error at write time: the ops of one
+    * commit are unordered (a DataFrame is a set — there is no session order
+    * to make "last" meaningful, unlike the reference's ordered sessions,
+    * row_operations.proto), so an arbitrary winner would be
+    * nondeterministic. Use the [[upsert(df:DataFrame,lastWinsBy:String)*]]
+    * overload to define last-wins by an explicit ordering column. */
+  def upsert(df: DataFrame): Unit = upsertImpl(df, ignoreImmutable = false, None)
+
+  /** UPSERT with defined intra-batch conflict resolution: when several rows
+    * of `df` share a PK, the row with the HIGHEST `lastWinsBy` value wins
+    * (remaining columns break exact ties deterministically). The analog of
+    * the reference's apply-in-session-order for a batch that carries its
+    * own order (e.g. a CDC sequence number). */
+  def upsert(df: DataFrame, lastWinsBy: String): Unit =
+    upsertImpl(df, ignoreImmutable = false, Some(lastWinsBy))
 
   /** UPSERT_IGNORE: like upsert, but changes to immutable columns are
     * silently dropped instead of erroring (W6, row_operations.proto:43). */
-  def upsertIgnore(df: DataFrame): Unit = upsertImpl(df, ignoreImmutable = true)
+  def upsertIgnore(df: DataFrame): Unit = upsertImpl(df, ignoreImmutable = true, None)
 
-  private def upsertImpl(df: DataFrame, ignoreImmutable: Boolean): Unit = {
+  private def upsertImpl(df: DataFrame, ignoreImmutable: Boolean,
+      lastWinsBy: Option[String]): Unit = {
     val m = meta
     require(!m.hasAutoInc || df.columns.contains(AutoIncName),
       s"UPSERT on non-unique-PK table ${m.name} must carry $AutoIncName " +
         "(from scanWithHidden) to address individual rows")
-    var batch = conform(m, df).dropDuplicates(m.keyCols)
+    val deduped = lastWinsBy match {
+      case Some(oc) =>
+        require(df.columns.contains(oc), s"lastWinsBy column $oc not in batch")
+        // deterministic last-wins: highest ordering value per key; the
+        // remaining columns break exact ordering ties so equal-order
+        // duplicates still resolve identically on every run
+        val others = df.columns.filterNot(c => m.keyCols.contains(c) || c == oc)
+          .map(c => col(c).desc).toSeq
+        val w = Window.partitionBy(m.keyCols.map(col): _*)
+          .orderBy(col(oc).desc +: others: _*)
+        df.withColumn(RnCol, row_number().over(w)).filter(col(RnCol) === 1).drop(RnCol)
+      case None => df
+    }
+    var batch = conform(m, deduped)
     val immutables = m.columns.filter(c => c.immutable && !c.isKey)
     if (immutables.nonEmpty) {
       val existing = scanForBatch(m, batch, m.keyCols)
@@ -364,7 +393,23 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         else col(c.name)
       }: _*)
     }
-    commitDelta(m, batch.withColumn(OpCol, lit(OpUpsert)), "upsert")
+    commitDelta(m, batch.withColumn(OpCol, lit(OpUpsert)), "upsert",
+      guardDupKeys = lastWinsBy.isEmpty)
+  }
+
+  /** ALTER ... CHANGE DEFAULT: changes the WRITE default only (the
+    * reference's AlterTableOptions.changeDefault; common/common.proto
+    * :134-177 keeps read_default_value and write_default_value separate).
+    * Files written before the column existed keep reading the original
+    * read default — no history rewrite; writes from now on that omit the
+    * column fill with `default` (None = NULL, i.e. removeDefault). */
+  def changeDefault(colName: String, default: Option[String]): Unit = {
+    val m = meta
+    require(m.columns.exists(_.name == colName), s"no such column: $colName")
+    bumpMeta(m.copy(columns = m.columns.map(c =>
+      if (c.name == colName)
+        c.copy(writeDefault = default, hasWriteDefault = Some(true))
+      else c)), "alter_column")
   }
 
   /** Marks a column immutable (settable via ALTER, D2). */
@@ -712,17 +757,20 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       .drop("_graft_maxid")
   }
 
-  /** Casts/raises a batch to exactly the current schema (write defaults
-    * applied for absent columns — ColumnSchemaPB write_default). */
+  /** Casts/raises a batch to exactly the current schema (WRITE defaults
+    * applied for absent columns — ColumnSchemaPB write_default_value; the
+    * read default fills old FILES, the write default fills new ROWS, and
+    * [[changeDefault]] moves only the latter). */
   private def conform(m: TableMeta, df: DataFrame): DataFrame = {
     val cols = m.columns.map { c =>
       if (df.columns.contains(c.name)) col(c.name).cast(c.dataType).as(c.name)
-      else defaultLit(c).as(c.name)
+      else writeDefaultLit(c).as(c.name)
     }
     df.select(cols: _*)
   }
 
-  private def commitDelta(m: TableMeta, rows: DataFrame, op: String): Unit = {
+  private def commitDelta(m: TableMeta, rows: DataFrame, op: String,
+      guardDupKeys: Boolean = false): Unit = {
     requireCovered(m, rows)
     requireVarcharFits(m, rows)
     val v = m.version + 1
@@ -733,7 +781,24 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // paths, so the suffix is otherwise invisible.
     val dir = Paths.get(location, "data",
       s"c${v}_delta_${java.util.UUID.randomUUID().toString.take(8)}").toString
-    val out = rows.withColumn(SeqCol, lit(v))
+    val out0 = rows.withColumn(SeqCol, lit(v))
+    // Intra-batch duplicate-key guard, evaluated INSIDE the write job (a
+    // window count piggybacked on the commit's own shuffle — no extra Spark
+    // job per mutation): a duplicate key fails the write before any
+    // metadata commits. Attached to SeqCol, which is always materialized,
+    // so column pruning cannot drop the check.
+    val out = if (guardDupKeys) {
+      val w = Window.partitionBy(m.keyCols.map(col): _*)
+      out0.withColumn(SeqCol,
+        when(count(lit(1)).over(w) > 1,
+          raise_error(concat(
+            lit(s"duplicate key within one $op batch on ${m.name}: ("),
+            concat_ws(",", m.keyCols.map(c => col(c).cast("string")): _*),
+            lit(") — ops within one commit are unordered; " +
+              "use upsert(df, lastWinsBy = <orderCol>) for defined last-wins")))
+            .cast(LongType))
+          .otherwise(col(SeqCol)))
+    } else out0
     val physCols = m.columns.map(c => col(c.name).cast(c.dataType).as(c.physName)) ++
       Seq(col(OpCol), col(SeqCol))
     // Deltas stay small between compactions; a few sorted files keep the
@@ -840,10 +905,20 @@ object GraftTable {
 
   private[table] def now(): Long = System.currentTimeMillis()
 
-  /** Read-default for a column absent from a file or write batch
+  /** READ-default for a column absent from a data file — fixed at
+    * column-add time, so files written before the column existed keep
+    * their original fill even after the write default is ALTERed
     * (ColumnSchemaPB read_default_value, common/common.proto:134-177). */
   private[table] def defaultLit(c: ColumnMeta): Column =
     c.defaultValue match {
+      case Some(v) => lit(v).cast(c.dataType)
+      case None    => lit(null).cast(c.dataType)
+    }
+
+  /** WRITE-default for a column absent from a write batch
+    * (ColumnSchemaPB write_default_value — the ALTERable one). */
+  private[table] def writeDefaultLit(c: ColumnMeta): Column =
+    c.effectiveWriteDefault match {
       case Some(v) => lit(v).cast(c.dataType)
       case None    => lit(null).cast(c.dataType)
     }

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{HashComponent, TableMeta}
+import graft.table.GraftTable
+
+/**
+ * Round-5 table semantics: deterministic intra-batch duplicate handling on
+ * UPSERT, O(log n) time-travel version lookup, and the read-default vs
+ * write-default split (reference: common/common.proto:134-177 keeps
+ * read_default_value and write_default_value separate;
+ * AlterTableOptions.changeDefault alters only the latter).
+ */
+class TableSemanticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-sem-").toString
+
+  private def kv(rows: (Int, String)*): DataFrame = rows.toDF("k", "v")
+
+  private def newKv(rows: (Int, String)*): GraftTable =
+    GraftTable.create(spark, tmp(), "kv",
+      StructType(Seq(StructField("k", IntegerType, false), StructField("v", StringType))),
+      keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), 2)),
+      data = if (rows.isEmpty) None else Some(kv(rows: _*)))
+
+  private def asMap(t: GraftTable): Map[Int, String] =
+    t.scan().collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+
+  // ---- intra-batch duplicate keys on upsert ---------------------------
+
+  test("upsert rejects duplicate keys within one batch (unordered commit)") {
+    val t = newKv(1 -> "a")
+    val dupBatch = kv(2 -> "x", 2 -> "y", 3 -> "c")
+    val e = intercept[Exception] { t.upsert(dupBatch) }
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(ex => Option(ex.getMessage).toSeq ++ messages(ex.getCause))
+    assert(messages(e).exists(_.contains("duplicate key within one upsert batch")),
+      s"unexpected error: $e")
+    // nothing committed — the failed write must not leave partial state
+    assert(asMap(t) == Map(1 -> "a"))
+    assert(t.currentVersion == 1L)
+  }
+
+  test("upsert(lastWinsBy) resolves duplicates by the ordering column") {
+    val t = newKv(1 -> "a")
+    val batch = Seq((2, "old", 10L), (2, "new", 20L), (3, "c", 1L))
+      .toDF("k", "v", "op_seq")
+    t.upsert(batch, lastWinsBy = "op_seq")
+    assert(asMap(t) == Map(1 -> "a", 2 -> "new", 3 -> "c"))
+    // equal ordering values: remaining columns break the tie deterministically
+    val tie = Seq((5, "p", 7L), (5, "q", 7L)).toDF("k", "v", "op_seq")
+    t.upsert(tie, lastWinsBy = "op_seq")
+    val first = asMap(t)(5)
+    assert(first == "q") // desc order on v breaks the tie: "q" > "p"
+    t.upsert(tie.orderBy(rand()), lastWinsBy = "op_seq")
+    assert(asMap(t)(5) == first)
+  }
+
+  // ---- O(log n) time-travel lookup ------------------------------------
+
+  test("versionAtTimestamp binary-searches version files") {
+    val loc = tmp()
+    val n = 100
+    val base = TableMeta("vt", loc, 1L, 1000L, "create",
+      Seq(graft.catalog.ColumnMeta(0, "k", "k", IntegerType.json,
+        nullable = false, isKey = true)),
+      1, Nil, None, Nil, Nil, Nil)
+    (1 to n).foreach { v =>
+      TableMeta.write(base.copy(version = v.toLong, timestampMs = 1000L * v))
+    }
+    TableMeta.versionFileReads.set(0L)
+    val v = TableMeta.versionAtTimestamp(loc, 1000L * 37 + 1)
+    assert(v == 37L)
+    val reads = TableMeta.versionFileReads.get()
+    val bound = (math.log(n.toDouble) / math.log(2.0)).ceil.toLong + 1
+    assert(reads <= bound, s"$reads version-file reads for $n versions (bound $bound)")
+    // boundaries
+    assert(TableMeta.versionAtTimestamp(loc, 1000L * n + 999) == n.toLong)
+    intercept[IllegalArgumentException] { TableMeta.versionAtTimestamp(loc, 999L) }
+  }
+
+  // ---- read-default vs write-default ----------------------------------
+
+  test("changeDefault alters writes only; old files keep the read default") {
+    val t = newKv(1 -> "a", 2 -> "b")
+    // add a column with default d1: rows in files predating the column read d1
+    t.addColumn("tier", StringType, nullable = false, default = Some("basic"))
+    assert(t.scan().select("tier").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("basic"))
+    // ALTER the default to d2: history must NOT rewrite
+    t.changeDefault("tier", Some("gold"))
+    val byK = (df: DataFrame) =>
+      df.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(byK(t.scan().select("k", "tier")) == Map(1 -> "basic", 2 -> "basic"))
+    // a new write omitting the column fills with the NEW write default
+    t.insert(Seq((3, "c")).toDF("k", "v"))
+    assert(byK(t.scan().select("k", "tier"))
+      == Map(1 -> "basic", 2 -> "basic", 3 -> "gold"))
+    // compaction materializes what each row READS — values must not change
+    t.compact()
+    assert(byK(t.scan().select("k", "tier"))
+      == Map(1 -> "basic", 2 -> "basic", 3 -> "gold"))
+    // removeDefault: subsequent absent-column writes get NULL
+    t.changeDefault("tier", None)
+    t.upsert(Seq((4, "d")).toDF("k", "v"))
+    val r4 = t.scan().filter(col("k") === 4).select("tier").collect()(0)
+    assert(r4.isNullAt(0))
+  }
+}
