@@ -56,15 +56,38 @@ case class ColumnMeta(
   * (reference: PartitionSchemaPB common/common.proto:355-398). */
 case class HashComponent(cols: Seq[String], buckets: Int)
 
-/** Optional range component; granularity "year"|"month"|"day"|"value"
-  * (reference: range partitioning, common/partition.h:169,268). */
-case class RangeComponent(col: String, granularity: String)
+/** One explicit range partition [lower, upper) over the range column —
+  * `None` = unbounded end; values stored in external string form, cast to
+  * the column type on use. `key` names the partition (the `_r=<key>` file
+  * coordinate). The reference's PartialRow bounds
+  * (CreateTableOptions.addRangePartition, AlterTableOptions.java:321-394;
+  * common/partition.h:169). */
+case class RangeBound(key: String, lower: Option[String], upper: Option[String])
+
+/** Optional range component. Two modes:
+  *  - granularity "year"|"month"|"day"|"value": every value derives its own
+  *    range key (auto-covering — the time-series convenience layout);
+  *  - explicit `bounds`: only the listed [lower, upper) intervals are
+  *    covered — unequal widths are the point (a "2020-and-earlier" cold
+  *    range next to monthly hot ranges); writes outside every bound error
+  *    (the reference's non-covered-range semantics, common/partition.h:169).
+  */
+case class RangeComponent(col: String, granularity: String,
+    bounds: Option[Seq[RangeBound]] = None) {
+  def isBounds: Boolean = bounds.isDefined
+  def boundsList: Seq[RangeBound] = bounds.getOrElse(Nil)
+}
 
 /** A DROP RANGE PARTITION record: rows of `key` written at a commit
   * <= `version` are dead (reference: AlterTableOptions.java:362-394 —
   * dropping a range discards its data). Kept until a compaction rewrites
-  * the base without the dropped rows. */
-case class RangeDrop(key: String, version: Long)
+  * the base without the dropped rows. Bounds-mode drops (`bounded`)
+  * remember the dropped interval — the bound leaves the covering list at
+  * drop time, so masking must use the interval itself, not the (now
+  * unmapped) key. */
+case class RangeDrop(key: String, version: Long,
+    lower: Option[String] = None, upper: Option[String] = None,
+    bounded: Option[Boolean] = None)
 
 /**
  * One data file tracked by a snapshot.

@@ -30,6 +30,7 @@ object PartitionPruner {
         rk -> candidateBuckets(m.copy(hash = m.hash.map(_.copy(buckets = b))), filters)
       }
     val (loYear, hiYear) = rangeKeyBounds(m, filters)
+    val boundsMode = m.range.exists(_.isBounds)
     files.filter { f =>
       val keepSet = f.rangeKey.filter(overrides.contains)
         .map(overrideSets).getOrElse(defaultBuckets)
@@ -39,10 +40,42 @@ object PartitionPruner {
       }
       val rangeOk = f.rangeKey match {
         case Some(rk) if rk != "__null" =>
-          loYear.forall(rk >= _) && hiYear.forall(rk <= _)
+          if (boundsMode) boundSatisfiable(m, rk, filters)
+          else loYear.forall(rk >= _) && hiYear.forall(rk <= _)
         case _ => true
       }
       bucketOk && rangeOk
+    }
+  }
+
+  /** Bounds-mode range pruning: keep the file iff its bound's [lower,
+    * upper) interval can intersect the filters on the range column.
+    * Conservative on open endpoints (a kept-but-empty file only costs a
+    * scan; a wrongly pruned one costs correctness). */
+  private def boundSatisfiable(m: TableMeta, rangeKey: String,
+      filters: Seq[Filter]): Boolean = {
+    val r = m.range.get
+    val b = r.boundsList.find(_.key == rangeKey).getOrElse(return true)
+    val dt: DataType = m.column(r.col).dataType
+    def ext(v: Any): Any = Cast(Literal(v), dt, Some("UTC")).eval(null)
+    def lt(a: Any, c: Any): Boolean =
+      org.apache.spark.sql.catalyst.expressions.LessThan(
+        Literal.create(a, dt), Literal.create(c, dt)).eval(null).asInstanceOf[Boolean]
+    def le(a: Any, c: Any): Boolean = !lt(c, a)
+    val lo = b.lower.map(ext)
+    val up = b.upper.map(ext)
+    filters.forall {
+      case EqualTo(c, v) if c == r.col =>
+        val cv = ext(v); lo.forall(l => le(l, cv)) && up.forall(u => lt(cv, u))
+      case In(c, vs) if c == r.col =>
+        vs.exists { v =>
+          val cv = ext(v); lo.forall(l => le(l, cv)) && up.forall(u => lt(cv, u))
+        }
+      case LessThan(c, v) if c == r.col => lo.forall(l => lt(l, ext(v)))
+      case LessThanOrEqual(c, v) if c == r.col => lo.forall(l => le(l, ext(v)))
+      case GreaterThan(c, v) if c == r.col => up.forall(u => lt(ext(v), u))
+      case GreaterThanOrEqual(c, v) if c == r.col => up.forall(u => lt(ext(v), u))
+      case _ => true
     }
   }
 

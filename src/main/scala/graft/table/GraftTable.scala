@@ -685,6 +685,17 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         .orElse(m.rangeHashBuckets)))
   }
 
+  /** The rows a drop record kills, as a predicate over the range column.
+    * Bounds-mode drops use the remembered interval (the key left the
+    * covering list at drop time); granularity drops match the derived key. */
+  private def dropRowPred(m: TableMeta, r: RangeComponent, d: RangeDrop): Column = {
+    val dt = m.column(r.col).dataType
+    if (d.bounded.contains(true))
+      boundContains(RangeBound(d.key, d.lower, d.upper), col(r.col), dt) &&
+        col(r.col).isNotNull
+    else rangeKeyExpr(r, col(r.col), dt) === lit(d.key)
+  }
+
   /** Row mask for dropped ranges over a base scan. Base files never
     * postdate a live drop record (compaction — the only later base write —
     * clears the records), so the mask is unconditional on base rows; files
@@ -693,8 +704,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   private def dropMaskBase(m: TableMeta, base: DataFrame): DataFrame =
     (m.rangeDrops, m.range) match {
       case (drops, Some(r)) if drops.nonEmpty =>
-        val rk = rangeKeyExpr(r, col(r.col))
-        base.filter(!rk.isin(drops.map(_.key): _*))
+        base.filter(!drops.map(d => dropRowPred(m, r, d)).reduce(_ || _))
       case _ => base
     }
 
@@ -704,26 +714,80 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   private def dropMaskDelta(m: TableMeta, deltas: DataFrame): DataFrame =
     (m.rangeDrops, m.range) match {
       case (drops, Some(r)) if drops.nonEmpty =>
-        val rk = rangeKeyExpr(r, col(r.col))
         drops.foldLeft(deltas) { (df, d) =>
-          df.filter(!(rk === lit(d.key) && col(SeqCol) <= lit(d.version)))
+          df.filter(!(dropRowPred(m, r, d) && col(SeqCol) <= lit(d.version)))
         }
       case _ => deltas
     }
 
-  /** Errors when a write batch touches a non-covered (dropped, un-re-added)
-    * range (reference: non-covered-range row error, row_operations). */
-  private def requireCovered(m: TableMeta, rows: DataFrame): Unit = {
+  /** Errors when a write batch touches a non-covered range: a granularity
+    * range that was dropped and not re-added, or — in bounds mode — any
+    * value outside every declared [lower, upper) bound (reference:
+    * non-covered-range row error, row_operations). */
+  private[table] def requireCovered(m: TableMeta, rows: DataFrame): Unit = {
     val unc = m.uncovered
     m.range match {
+      case Some(r) if r.isBounds && rows.columns.contains(r.col) =>
+        val rk = rangeKeyExpr(r, col(r.col), m.column(r.col).dataType)
+        if (rows.filter(rk === lit(UncoveredKey)).limit(1).count() > 0)
+          throw new PrimaryKeyException(
+            s"write touches a range not covered by any declared bound of " +
+              s"${m.name} (bounds: ${r.boundsList.map(_.key).mkString(",")}); " +
+              "addRangeBound first")
       case Some(r) if unc.nonEmpty && rows.columns.contains(r.col) =>
-        val bad = rows.filter(rangeKeyExpr(r, col(r.col)).isin(unc: _*))
+        val bad = rows.filter(
+          rangeKeyExpr(r, col(r.col), m.column(r.col).dataType).isin(unc: _*))
         if (bad.limit(1).count() > 0)
           throw new PrimaryKeyException(
             s"write touches non-covered range partition(s) ${unc.mkString(",")} " +
               s"of ${m.name}; addRangePartition first")
       case _ =>
     }
+  }
+
+  /** ADD RANGE PARTITION with explicit [lower, upper) bounds (bounds-mode
+    * tables; CreateTableOptions.addRangePartition /
+    * AlterTableOptions.java:321-361 analog). The new bound must not overlap
+    * any existing one. */
+  def addRangeBound(key: String, lower: Option[String], upper: Option[String]): Unit = {
+    val m = meta
+    val r = m.range.getOrElse(
+      throw new IllegalArgumentException(s"table ${m.name} has no range component"))
+    require(r.isBounds, s"table ${m.name} uses granularity ranges; use addRangePartition")
+    require(!r.boundsList.exists(_.key == key), s"range bound $key already exists")
+    (lower, upper) match {
+      case (Some(l), Some(u)) =>
+        require(ltVals(m.column(r.col).dataType, l, u), s"empty range bound: [$l, $u)")
+      case _ =>
+    }
+    val nb = RangeBound(key, lower, upper)
+    val dt = m.column(r.col).dataType
+    r.boundsList.find(b => boundsOverlap(dt, b, nb)).foreach { clash =>
+      throw new IllegalArgumentException(
+        s"range bound $key overlaps existing bound ${clash.key}")
+    }
+    TableMeta.write(m.copy(version = m.version + 1, timestampMs = now(),
+      operation = "add_range_partition",
+      range = Some(r.copy(bounds = Some(r.boundsList :+ nb)))))
+  }
+
+  /** DROP RANGE PARTITION by bound key (bounds-mode tables): metadata-only —
+    * base files with the coordinate leave the fileset unread, delta rows in
+    * the interval written at or before this version are masked, and the
+    * interval becomes non-covered until a bound covering it is re-added. */
+  def dropRangeBound(key: String): Unit = {
+    val m = meta
+    val r = m.range.getOrElse(
+      throw new IllegalArgumentException(s"table ${m.name} has no range component"))
+    require(r.isBounds, s"table ${m.name} uses granularity ranges; use dropRangePartition")
+    val b = r.boundsList.find(_.key == key).getOrElse(
+      throw new IllegalArgumentException(s"no such range bound: $key"))
+    TableMeta.write(m.copy(version = m.version + 1, timestampMs = now(),
+      operation = "drop_range_partition",
+      baseFiles = m.baseFiles.filterNot(_.rangeKey.contains(key)),
+      range = Some(r.copy(bounds = Some(r.boundsList.filterNot(_.key == key)))),
+      droppedRanges = Some(m.rangeDrops :+
+        RangeDrop(key, m.version, b.lower, b.upper, bounded = Some(true)))))
   }
 
   /** Key→partition-id column for this table's spec — the client-side
@@ -847,7 +911,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       partCols += BucketCol
     }
     m.range.foreach { r =>
-      out = out.withColumn(RangeCol, rangeKeyExpr(r, col(m.column(r.col).physName)))
+      out = out.withColumn(RangeCol,
+        rangeKeyExpr(r, col(m.column(r.col).physName), m.column(r.col).dataType))
       partCols += RangeCol
     }
     val keysPhys = m.columns.filter(_.isKey).map(c => col(c.physName))
@@ -936,7 +1001,7 @@ object GraftTable {
     (m.range, m.hash) match {
       case (Some(r), Seq(hc)) if ovs.nonEmpty =>
         val h = hash(hc.cols.map(resolve): _*)
-        val rk = rangeKeyExpr(r, resolve(r.col))
+        val rk = rangeKeyExpr(r, resolve(r.col), m.column(r.col).dataType)
         ovs.toSeq.sortBy(_._1).foldRight(default) { case ((k, b), els) =>
           when(rk === lit(k), pmod(h, lit(b))).otherwise(els)
         }
@@ -946,11 +1011,53 @@ object GraftTable {
 
   def totalBuckets(m: TableMeta): Int = m.hash.map(_.buckets).product
 
-  def rangeKeyExpr(r: RangeComponent, c: Column): Column = r.granularity match {
-    case "year"  => coalesce(date_format(c, "yyyy"), lit("__null"))
-    case "month" => coalesce(date_format(c, "yyyy-MM"), lit("__null"))
-    case "day"   => coalesce(date_format(c, "yyyy-MM-dd"), lit("__null"))
-    case _       => coalesce(c.cast(StringType), lit("__null"))
+  /** Range key of a dropped bound no longer in the covering list. */
+  val UncoveredKey = "__uncovered"
+
+  /** Value → range-partition key. Bounds mode maps a value to the covering
+    * [lower, upper) bound's key ([[UncoveredKey]] when no bound covers it);
+    * granularity mode derives the key from the value. `dt` is the range
+    * column's type — bound endpoints are stored as strings and cast to it,
+    * so comparisons run in the column's own type (never a lossy string or
+    * double coercion). */
+  def rangeKeyExpr(r: RangeComponent, c: Column, dt: DataType): Column =
+    r.bounds match {
+      case Some(bs) =>
+        val mapped = bs.foldRight(lit(UncoveredKey): Column) { (b, els) =>
+          when(boundContains(b, c, dt), lit(b.key)).otherwise(els)
+        }
+        when(c.isNull, lit("__null")).otherwise(mapped)
+      case None => r.granularity match {
+        case "year"  => coalesce(date_format(c, "yyyy"), lit("__null"))
+        case "month" => coalesce(date_format(c, "yyyy-MM"), lit("__null"))
+        case "day"   => coalesce(date_format(c, "yyyy-MM-dd"), lit("__null"))
+        case _       => coalesce(c.cast(StringType), lit("__null"))
+      }
+    }
+
+  /** value ∈ [lower, upper) for a bound, in the range column's type. */
+  private[graft] def boundContains(b: RangeBound, c: Column, dt: DataType): Column = {
+    val lowOk = b.lower.map(v => c >= lit(v).cast(dt)).getOrElse(lit(true))
+    val upOk = b.upper.map(v => c < lit(v).cast(dt)).getOrElse(lit(true))
+    lowOk && upOk
+  }
+
+  /** Driver-side comparison of two external values in the range column's
+    * type (Catalyst cast + comparison, so timestamps/dates/numerics all
+    * compare in their own domain). */
+  private[graft] def ltVals(dt: DataType, a: String, b: String): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, LessThan, Literal}
+    def v(s: String) = Literal.create(Cast(Literal(s), dt, Some("UTC")).eval(null), dt)
+    LessThan(v(a), v(b)).eval(null).asInstanceOf[Boolean]
+  }
+
+  /** Do two [lower, upper) bounds overlap? (None = unbounded end.) */
+  private[graft] def boundsOverlap(dt: DataType, a: RangeBound, b: RangeBound): Boolean = {
+    def below(x: RangeBound, y: RangeBound): Boolean = (x.upper, y.lower) match {
+      case (Some(u), Some(l)) => !ltVals(dt, l, u) // u <= l
+      case _ => false
+    }
+    !below(a, b) && !below(b, a)
   }
 
   private def partFromPath(p: String, partCol: String): Option[String] =
@@ -1030,6 +1137,9 @@ object GraftTable {
         val df = if (nonUniqueKey) withInitialAutoIds(columns, df0) else df0
         val conformed = df.select(columns.map(c =>
           col(c.name).cast(c.dataType).as(c.name)): _*)
+        // bounds-mode tables: the initial load must be fully covered, or
+        // rows would silently land in an __uncovered coordinate
+        if (range.exists(_.isBounds)) t.requireCovered(m0, conformed)
         m0.copy(baseFiles = t.writeBase(m0, conformed, 1L))
       case None => m0
     }
