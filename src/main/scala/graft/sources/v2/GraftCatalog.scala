@@ -195,20 +195,42 @@ class GraftScanBuilder(meta: TableMeta) extends ScanBuilder
 
 class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     filters: Array[Filter]) extends Scan with Batch
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
   private def spark = SparkSession.active
+
+  /** Filters arriving AFTER plan time (dynamic partition pruning: Spark
+    * evaluates the dimension side of a join, then hands the fact scan an
+    * IN filter over the join key). The reference's analog is scan-side
+    * predicates applied per-tablet at scan open
+    * (common/column_predicate.h:143-148). */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  /** The columns runtime IN filters can prune on: hash-bucket columns
+    * (bucket pruning) and the range column (bound/granularity pruning) —
+    * exactly what [[graft.sources.PartitionPruner]] understands. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    (meta.hash.flatMap(_.cols) ++ meta.range.map(_.col).toSeq)
+      .distinct.map(Expressions.column).toArray
+
+  override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft ${meta.name} (buckets=${GraftTable.totalBuckets(meta)})"
 
-  override def outputPartitioning(): Partitioning = meta.hash match {
+  private def keyGrouped: Option[Int] = meta.hash match {
     case Seq(hc) if hc.cols.size == 1 && meta.rangeHashBucketsMap.isEmpty =>
+      Some(hc.buckets)
+    case _ => None
+  }
+
+  override def outputPartitioning(): Partitioning = keyGrouped match {
+    case Some(buckets) =>
       new KeyGroupedPartitioning(
-        Array(Expressions.bucket(hc.buckets, hc.cols.head)), hc.buckets)
-    case _ =>
+        Array(Expressions.bucket(buckets, meta.hash.head.cols.head)), buckets)
+    case None =>
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
         planInputPartitions().length)
   }
@@ -218,12 +240,26 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     // without a bucket coordinate would break the key grouping → the table
     // constructor already restricted us to compacted (coordinate-carrying)
     // bases; a coordinate-less fileset reports a single unkeyed partition.
-    val files = graft.sources.PartitionPruner.pruneFiles(meta, meta.baseFiles, filters.toSeq)
+    val effective = filters.toSeq ++ runtimeFilters
+    val files = graft.sources.PartitionPruner.pruneFiles(meta, meta.baseFiles, effective)
     if (files.exists(_.bucket.isEmpty))
       return Array(org.apache.spark.sql.GraftSqlBridge.filePartition(0, files.map(_.path), None))
-    files.groupBy(_.bucket.get).toSeq.sortBy(_._1).map { case (b, fs) =>
-      org.apache.spark.sql.GraftSqlBridge.filePartition(b, fs.map(_.path), Some(b))
-    }.toArray
+    keyGrouped match {
+      case Some(buckets) =>
+        // preserve the reported key grouping under pruning: one partition
+        // per bucket ALWAYS (pruned buckets become empty partitions), so a
+        // storage-partitioned join's group layout survives runtime
+        // filtering while the pruned buckets' files are never opened.
+        val byBucket = files.groupBy(_.bucket.get)
+        (0 until buckets).map { b =>
+          org.apache.spark.sql.GraftSqlBridge.filePartition(
+            b, byBucket.getOrElse(b, Nil).map(_.path), Some(b))
+        }.toArray
+      case None =>
+        files.groupBy(_.bucket.get).toSeq.sortBy(_._1).map { case (b, fs) =>
+          org.apache.spark.sql.GraftSqlBridge.filePartition(b, fs.map(_.path), Some(b))
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

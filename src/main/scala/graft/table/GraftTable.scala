@@ -584,6 +584,15 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     } else false
   }
 
+  /** Compact only if deltas are pending — the convenience gate before a
+    * DSv2 catalog read: the V2 batch path serves compacted bases only (no
+    * merge-on-read overlay there), so fold deltas first. Returns this
+    * table, so `Tables.readonly(...).compactForV2()` chains. */
+  def compactForV2(): GraftTable = {
+    if (meta.deltaFiles.nonEmpty) compact()
+    this
+  }
+
   /** Merge deltas into a fresh hash/range-partitioned, PK-sorted base and
     * clear the delta set (minor+major delta compaction + rowset merge analog,
     * tablet/compaction.cc, tablet/delta_compaction.cc). */

@@ -128,9 +128,61 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
       spark.read.table("gspj2.t1").count()
     }
     assert(e.getMessage.contains("compact"), e.getMessage)
-    // after compaction the V2 read serves the merged state
-    t.compact()
+    // compactForV2 is the convenience gate: compacts iff deltas pending
+    t.compactForV2()
+    assert(t.meta.deltaFiles.isEmpty)
+    val vBefore = t.currentVersion
+    t.compactForV2() // no deltas → no-op, no new version
+    assert(t.currentVersion == vBefore)
     assert(spark.table("gspj2.t1").filter(col("k") === 5)
       .select("v").as[String].head() == "changed")
+  }
+
+  test("runtime IN filters prune input files but preserve the key groups") {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val wh = mkWarehouse()
+    val meta = graft.catalog.TableMeta.readCurrent(s"$wh/t1")
+    val scan = new graft.sources.v2.GraftScanBuilder(meta).build()
+      .asInstanceOf[graft.sources.v2.GraftV2Scan]
+    // the scan advertises its prunable columns for dynamic filtering
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("k"))
+    val before = scan.planInputPartitions()
+    def nFiles(ps: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      ps.map(_.asInstanceOf[FilePartition].files.length).sum
+    assert(before.length == 4)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array(7L))))
+    val after = scan.planInputPartitions()
+    // SPJ contract: one partition per bucket SURVIVES runtime filtering
+    // (pruned buckets go empty), so a storage-partitioned join's group
+    // layout is unchanged while 3 of 4 buckets' files are never opened
+    assert(after.length == 4)
+    assert(nFiles(after) < nFiles(before), s"${nFiles(after)} vs ${nFiles(before)}")
+    assert(after.count(_.asInstanceOf[FilePartition].files.nonEmpty) == 1)
+  }
+
+  test("dimension-filtered join dynamically prunes the fact-side V2 scan") {
+    val wh = mkWarehouse()
+    spark.conf.set("spark.sql.catalog.gdpp", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdpp.warehouse", wh)
+    val confs = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "100")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = Seq((7L, "keep"), (8L, "keep"), (9L, "drop"))
+        .toDF("k", "tag")
+      val fact = spark.table("gdpp.t1")
+      val j = fact.join(dim.filter(col("tag") === "keep"), "k")
+        .select(col("k"), col("v"))
+      val rows = j.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows == Map(7L -> "a7", 8L -> "a8"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning") ||
+        plan.contains("RuntimeFilters: ["),
+        s"expected a runtime filter on the fact scan:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 }
