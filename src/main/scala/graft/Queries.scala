@@ -198,10 +198,10 @@ object Queries {
       // micro-batches; batch b carries class-b rows plus overwrites of
       // class-(b-1) rows with value+1000 — last write wins per event_id.
       import s.implicits._
+      import scala.jdk.CollectionConverters._
       val raw = Tables.raw(s, dir, "events")
       val t = GraftTable.create(s, tmpLoc("graft-q18-"), "events_q18",
         raw.schema, Seq("event_id"), Seq(HashComponent(Seq("event_id"), 4)))
-      val all = raw.as[Ev].collect()
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val ms = MemoryStream[Ev]
       s.conf.set("graft.delta.writePartitions", "1") // one file per micro-batch commit
@@ -215,14 +215,31 @@ object Queries {
           .foreachBatch((batch: DataFrame, _: Long) => t.upsert(batch))
           .start()
         try {
-          for (b <- 0 until 10) {
-            val fresh = all.filter(_.event_id % 10 == b)
+          // Replay sorted by (class, id) through toLocalIterator: the
+          // driver holds at most TWO classes (current batch + previous for
+          // the overwrite derivation), not the whole table — the bounded
+          // harness shape that survives a 100x events table.
+          val it = raw.orderBy(pmod(col("event_id"), lit(10)), col("event_id"))
+            .as[Ev].toLocalIterator().asScala
+          var prev = Array.empty[Ev]
+          val buf = scala.collection.mutable.ArrayBuffer[Ev]()
+          def flush(b: Int): Unit = {
+            val fresh = buf.toArray
             val overwrite =
               if (b == 0) Array.empty[Ev]
-              else all.filter(_.event_id % 10 == b - 1).map(e => e.copy(value = e.value + 1000))
+              else prev.map(e => e.copy(value = e.value + 1000))
             ms.addData(fresh ++ overwrite)
             q.processAllAvailable()
+            prev = fresh
+            buf.clear()
           }
+          var cls = 0
+          it.foreach { e =>
+            val c = (e.event_id % 10).toInt
+            while (cls < c) { flush(cls); cls += 1 }
+            buf += e
+          }
+          while (cls < 10) { flush(cls); cls += 1 }
         } finally q.stop()
       } finally {
         s.conf.unset("graft.delta.writePartitions")
@@ -334,7 +351,9 @@ object Queries {
       // (Structured Streaming; chronological replay → nothing late-dropped;
       // a far-future sentinel batch flushes the last windows in append mode).
       import s.implicits._
-      val all = Tables.raw(s, dir, "events").as[Ev].collect().sortBy(_.ts.getTime)
+      import scala.jdk.CollectionConverters._
+      val raw = Tables.raw(s, dir, "events")
+      val total = raw.count()
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val ms = MemoryStream[Ev]
       val sinkName = s"graft_q26_sink_${streamSeq.incrementAndGet()}"
@@ -363,10 +382,18 @@ object Queries {
           // exercise append-mode emission mid-stream; per-micro-batch fixed
           // cost (state store + commit log) is the dominant term, so the
           // chunk count is the knob — the final windowed counts are
-          // identical for any chunking of a chronological replay.
-          val chunk = math.max(1, all.length / 6)
-          all.grouped(chunk).foreach { batch => ms.addData(batch.toSeq); q.processAllAvailable() }
-          val lastTs = new java.sql.Timestamp(all.last.ts.getTime + 2 * 3600 * 1000)
+          // identical for any chunking of a chronological replay. The
+          // sorted replay streams through toLocalIterator: the driver
+          // holds ONE chunk, not the table (bounded at 100x the data).
+          val chunk = math.max(1L, total / 6).toInt
+          var maxTs = 0L
+          Tables.raw(s, dir, "events").orderBy("ts").as[Ev]
+            .toLocalIterator().asScala.grouped(chunk).foreach { batch =>
+              maxTs = batch.last.ts.getTime
+              ms.addData(batch)
+              q.processAllAvailable()
+            }
+          val lastTs = new java.sql.Timestamp(maxTs + 2 * 3600 * 1000)
           ms.addData(Ev(-1L, lastTs, -1L, "zz_sentinel", 0.0, null))
           q.processAllAvailable()
           ms.addData(Ev(-2L, new java.sql.Timestamp(lastTs.getTime + 3600 * 1000),

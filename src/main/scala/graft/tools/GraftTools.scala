@@ -19,6 +19,63 @@ import graft.table.GraftTable
  */
 object GraftTools {
 
+  /**
+   * `kudu table scan` JSON predicate grammar (E1 —
+   * tools/table_scanner.cc:113-131): a structured predicate surface that
+   * needs no SQL parser on the caller's side.
+   *  - Comparison: `["<=" | "<" | "=" | ">" | ">=", column, value]`
+   *  - InList:     `["IN", column, [v1, v2, ...]]`
+   *  - IsNull:     `["NULL", column]` / `["NOTNULL", column]`
+   *  - Conjunction: `["AND", pred, pred, ...]` (the only combiner, as in
+   *    the reference)
+   * Returns the filter as a Column; [[scanTable]] applies it through the
+   * engine read path, where Catalyst pushes it into partition/file pruning
+   * and the parquet scans like any other predicate.
+   */
+  def parsePredicates(json: String): org.apache.spark.sql.Column = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def scalaVal(v: JValue): Any = v match {
+      case JString(s) => s
+      case JInt(i) => i.longValue
+      case JLong(l) => l
+      case JDouble(d) => d
+      case JDecimal(d) => d.doubleValue
+      case JBool(b) => b
+      case other => throw new IllegalArgumentException(s"unsupported literal: $other")
+    }
+    def build(v: JValue): org.apache.spark.sql.Column = v match {
+      case JArray(JString("AND") :: preds) if preds.nonEmpty =>
+        preds.map(build).reduce(_ && _)
+      case JArray(List(JString("NULL"), JString(c))) => col(c).isNull
+      case JArray(List(JString("NOTNULL"), JString(c))) => col(c).isNotNull
+      case JArray(List(JString("IN"), JString(c), JArray(vs))) =>
+        col(c).isin(vs.map(scalaVal): _*)
+      case JArray(List(JString(op), JString(c), value)) =>
+        val l = lit(scalaVal(value))
+        op match {
+          case "="  => col(c) === l
+          case "<"  => col(c) < l
+          case "<=" => col(c) <= l
+          case ">"  => col(c) > l
+          case ">=" => col(c) >= l
+          case other => throw new IllegalArgumentException(s"unknown operator: $other")
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unparseable predicate: $other")
+    }
+    build(JsonMethods.parse(json))
+  }
+
+  /** `kudu table scan`: project + filter a table through the engine read
+    * path using the JSON predicate grammar (E1). */
+  def scanTable(table: GraftTable, predicatesJson: Option[String] = None,
+      columns: Seq[String] = Nil): DataFrame = {
+    val base = table.scanIndexed()
+    val filtered = predicatesJson.fold(base)(j => base.filter(parsePredicates(j)))
+    if (columns.isEmpty) filtered else filtered.select(columns.map(col): _*)
+  }
+
   /** Copy a table's current snapshot into a new graft table (same schema,
     * PK, and partitioning; write-type = bulk load). */
   def copyTable(spark: SparkSession, src: GraftTable, destLocation: String): GraftTable = {

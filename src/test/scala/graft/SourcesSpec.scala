@@ -108,6 +108,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(restored.scan().count() == 100)
   }
 
+  test("tools: `table scan` JSON predicate grammar (E1)") {
+    val (_, t) = mkTable() // ids 1..100, name = "n$i"
+    // comparison + conjunction
+    assert(GraftTools.scanTable(t,
+      Some("""["AND", [">=", "id", 10], ["<", "id", 20]]""")).count() == 10)
+    // single comparison, string value
+    assert(GraftTools.scanTable(t, Some("""["=", "name", "n42"]""")).count() == 1)
+    // IN list
+    assert(GraftTools.scanTable(t,
+      Some("""["IN", "id", [1, 2, 3, 999]]""")).count() == 3)
+    // NULL / NOTNULL
+    assert(GraftTools.scanTable(t, Some("""["NOTNULL", "name"]""")).count() == 100)
+    assert(GraftTools.scanTable(t, Some("""["NULL", "name"]""")).count() == 0)
+    // projection
+    assert(GraftTools.scanTable(t, Some("""[">", "id", 95]"""), Seq("id"))
+      .columns.toSeq == Seq("id"))
+    // malformed input errors, matching the tool's strictness
+    intercept[IllegalArgumentException] {
+      GraftTools.parsePredicates("""["OR", ["=", "id", 1], ["=", "id", 2]]""")
+    }
+    intercept[IllegalArgumentException] {
+      GraftTools.parsePredicates("""["~", "id", 1]""")
+    }
+  }
+
   test("write with graft.handleSchemaDrift auto-adds unknown columns") {
     val (loc, t) = mkTable()
     Seq((200L, "n200", 1, 3.5)).toDF("id", "name", "grp", "score")
