@@ -9,7 +9,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.catalog.HashComponent
+import graft.catalog.{HashComponent, RangeBound, RangeComponent}
 import graft.table.{GraftTable, PrimaryKeyException}
 
 /** Row type for the events streaming replay (Q18/Q26). */
@@ -432,6 +432,34 @@ object Queries {
       t.scan().orderBy("o_orderkey")
     }),
 
+    "q31_range_bounds" -> ((s, dir) => {
+      // Explicit [lower, upper) range bounds (D2's other half —
+      // CreateTableOptions.addRangePartition, AlterTableOptions.java:321-394):
+      // unequal widths (open-ended early/late around a two-year mid), drop
+      // the mid bound (metadata-only file-group removal), verify a write
+      // into the now-uncovered interval errors, re-cover 1995 with a
+      // NARROWER bound, and upsert the earliest 1995 order back.
+      val raw = Tables.raw(s, dir, "orders")
+      val t = GraftTable.create(s, tmpLoc("graft-q31-"), "orders_q31",
+        raw.schema, Seq("o_orderkey"), Seq(HashComponent(Seq("o_orderkey"), 4)),
+        range = Some(RangeComponent("o_orderdate", "value", bounds = Some(Seq(
+          RangeBound("early", None, Some("1995-01-01 00:00:00")),
+          RangeBound("mid", Some("1995-01-01 00:00:00"), Some("1997-01-01 00:00:00")),
+          RangeBound("late", Some("1997-01-01 00:00:00"), None))))),
+        data = Some(raw))
+      t.dropRangeBound("mid")
+      val first1995 = raw.filter(year(col("o_orderdate")) === 1995)
+        .orderBy("o_orderkey").limit(1)
+      val rejected =
+        try { t.upsert(first1995); false }
+        catch { case _: PrimaryKeyException => true }
+      if (!rejected)
+        throw new IllegalStateException("write into a dropped bound must fail (D2)")
+      t.addRangeBound("y1995", Some("1995-01-01 00:00:00"), Some("1996-01-01 00:00:00"))
+      t.upsert(first1995)
+      t.scan().orderBy("o_orderkey")
+    }),
+
     "q29_point_lookup" -> ((s, dir) => {
       // PK point lookup through the indexed read path: the custom FileIndex
       // prunes to the single hash-bucket file group from table METADATA
@@ -582,6 +610,12 @@ object Queries {
         "ORDER BY o_orderkey"),
     "q29_point_lookup" ->
       "SELECT * FROM customer WHERE c_custkey = 42",
+    "q31_range_bounds" ->
+      ("SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00' " +
+        "OR o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+        "UNION ALL SELECT * FROM orders WHERE o_orderkey = " +
+        "(SELECT min(o_orderkey) FROM orders WHERE year(o_orderdate) = 1995) " +
+        "ORDER BY o_orderkey"),
     "q30_colocated_join" ->
       ("SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, " +
         "CAST(len(embedding) AS INTEGER) AS dim, label " +
