@@ -469,13 +469,14 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
 
   /** UPDATE / UPDATE_IGNORE: mutate existing rows; `df` carries the PK plus
     * any subset of non-key columns to set (W4, KuduContext.updateRows:319).
-    * Missing PKs error unless ignore. */
+    * Missing PKs error unless ignore. Duplicate keys within one batch error
+    * at write time (same unordered-commit reasoning as [[upsert]]). */
   def update(df: DataFrame, ignore: Boolean = false): Unit = {
     val m = meta
     val keys = m.keyCols
     val setCols = df.columns.filterNot(keys.contains).toSeq
     require(setCols.nonEmpty, "UPDATE batch must set at least one non-key column")
-    val updates = df.dropDuplicates(keys)
+    val updates = df
     val existing = scanForBatch(m, updates, keys)
     if (!ignore) {
       val missing = updates.join(existing.select(keys.map(col): _*), keys, "left_anti")
@@ -490,7 +491,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         else col(c.name)
       }: _*)
     commitDelta(m, merged.withColumn(OpCol, lit(OpUpsert)),
-      if (ignore) "update_ignore" else "update")
+      if (ignore) "update_ignore" else "update", guardDupKeys = true)
   }
 
   /** SQL-style UPDATE ... SET ... WHERE — materializes the updated rows. */

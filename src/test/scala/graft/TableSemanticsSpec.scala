@@ -64,6 +64,19 @@ class TableSemanticsSpec extends AnyFunSuite {
     assert(asMap(t)(5) == first)
   }
 
+  test("update rejects duplicate keys within one batch") {
+    val t = newKv(1 -> "a", 2 -> "b")
+    val e = intercept[Exception] {
+      t.update(Seq((1, "x"), (1, "y")).toDF("k", "v"))
+    }
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(ex => Option(ex.getMessage).toSeq ++ messages(ex.getCause))
+    assert(messages(e).exists(_.contains("duplicate key within one update")), s"$e")
+    assert(asMap(t) == Map(1 -> "a", 2 -> "b"))
+    t.update(Seq((1, "x")).toDF("k", "v"))
+    assert(asMap(t) == Map(1 -> "x", 2 -> "b"))
+  }
+
   // ---- O(log n) time-travel lookup ------------------------------------
 
   test("versionAtTimestamp binary-searches version files") {
