@@ -258,10 +258,13 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     val m1 = TableMeta.read(location, v1)
     val m2 = TableMeta.read(location, v2)
     if (m1.baseFiles.map(_.path).toSet != m2.baseFiles.map(_.path).toSet ||
+        !m1.deltaFiles.map(_.path).toSet.subsetOf(m2.deltaFiles.map(_.path).toSet) ||
         m1.rangeDrops != m2.rangeDrops)
-      // compaction or a range-partition drop in range → logical diff (a
-      // drop is a mass delete the delta files don't record; the snapshot
-      // diff emits its rows as _deleted)
+      // compaction, a minor delta fold (v1's delta files no longer all
+      // live — their per-commit history was collapsed), or a
+      // range-partition drop in range → logical diff (a drop is a mass
+      // delete the delta files don't record; the snapshot diff emits its
+      // rows as _deleted)
       return changes(v1, v2)
     val inRange = m2.deltaFiles.filter(f => f.seq > v1 && f.seq <= v2)
     if (inRange.isEmpty)
@@ -580,9 +583,58 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     if (m.deltaFiles.isEmpty) return false
     val deltaBytes = m.deltaFiles.map(f => fileSize(f.path)).sum.toDouble
     val baseBytes = m.baseFiles.map(f => fileSize(f.path)).sum.toDouble max 1.0
-    if (deltaBytes / baseBytes > maxDeltaRatio || m.deltaFiles.size > maxDeltaFiles) {
-      compact(); true
+    if (deltaBytes / baseBytes > maxDeltaRatio) { compact(); true }
+    else if (m.deltaFiles.size > maxDeltaFiles) {
+      // many SMALL files (streaming micro-batch commits): the minor fold is
+      // O(delta bytes); the full rewrite is O(base bytes) — at scale the
+      // difference is the whole table
+      compactDeltas(); true
     } else false
+  }
+
+  /**
+   * MINOR delta compaction (reference: tablet/delta_compaction.cc — fold
+   * many small delta files into one without touching the base): collapses
+   * the live delta set to latest-per-key and rewrites it as a single delta
+   * fileset. Each surviving row KEEPS its original `_graft_seq`, so
+   * merge-on-read and CDC window semantics are unchanged — only the file
+   * count drops. This is the streaming-sink remedy at scale: 10^4
+   * micro-batch commits leave 10^4 one-file deltas, and folding them is
+   * O(delta bytes), not the O(base bytes) of a full [[compact]].
+   */
+  def compactDeltas(): Unit = {
+    val m = meta
+    if (m.deltaFiles.size <= 1) return
+    val deltas = dropMaskDelta(m, readFileGroup(m, m.deltaFiles, delta = true))
+    val w = Window.partitionBy(m.keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+    val latest = deltas.withColumn(RnCol, row_number().over(w))
+      .filter(col(RnCol) === 1).drop(RnCol)
+    val v = m.version + 1
+    val dir = Paths.get(location, "data",
+      s"c${v}_deltamerge_${java.util.UUID.randomUUID().toString.take(8)}").toString
+    val physCols = m.columns.map(c => col(c.name).cast(c.dataType).as(c.physName)) ++
+      Seq(col(OpCol), col(SeqCol))
+    latest.select(physCols: _*)
+      .repartition(DeltaWritePartitions)
+      .sortWithinPartitions(m.columns.filter(_.isKey).map(c => col(c.physName)): _*)
+      .write.mode("overwrite").parquet(dir)
+    // the merged fileset's manifest seq is the HIGHEST folded commit — CDC
+    // range selection (changesSince file filter) stays conservative and the
+    // row-level _graft_seq filter inside it restores exactness
+    val maxSeq = m.deltaFiles.map(_.seq).max
+    val files = listParquet(dir).map { p =>
+      DataFileMeta(p, "delta", maxSeq, -1L, m.columns.map(_.id))
+    }
+    try TableMeta.write(m.copy(version = v, timestampMs = now(),
+      operation = "compact_deltas", deltaFiles = files))
+    catch {
+      case e: Throwable =>
+        try {
+          Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+        } catch { case _: Exception => }
+        throw e
+    }
   }
 
   /** Compact only if deltas are pending — the convenience gate before a
