@@ -247,15 +247,18 @@ object Pipeline {
       }: _*)
       val blocks = sh.select(col("doc_id"), col("sh"),
         posexplode(blockVals).as(Seq("blk", "bv")))
+      // Hamming-verify INSIDE the join (codegen'd xor+popcount on each
+      // same-block collision) so only true near-dup pairs — not every block
+      // collision — reach the dedup shuffle. Block collisions grow ~9n²/2^7
+      // while true pairs stay near-linear; filtering after the distinct
+      // would shuffle the whole collision set with both signatures attached.
       blocks.as("a").join(blocks.as("b"),
           col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
+            col("a.doc_id") < col("b.doc_id") &&
+            hamming64(col("a.sh"), col("b.sh")) <= SimhashMaxHamming)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+          hamming64(col("a.sh"), col("b.sh")).cast("int").as("dist"))
         .dropDuplicates("id_a", "id_b")
-        .withColumn("dist", hamming64(col("sh_a"), col("sh_b")))
-        .filter(col("dist") <= SimhashMaxHamming)
-        .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
         .orderBy("id_a", "id_b")
     }),
 
