@@ -15,6 +15,12 @@ import org.json4s.jackson.Serialization
  * current logical name (renames only touch `name`, so old files stay
  * readable — the analog of GetMappedReadProjection, common/schema.cc).
  */
+/** A prior physical generation of a column whose type was widened: data
+  * files written before the widen carry `physName` with `dataTypeJson`;
+  * the read path casts them up to the current logical type (the same
+  * id-remap machinery that serves renamed/added columns). */
+case class PriorGen(id: Int, physName: String, dataTypeJson: String)
+
 case class ColumnMeta(
     id: Int,
     name: String,
@@ -44,8 +50,12 @@ case class ColumnMeta(
     // keep reading the original read default. Option-typed so metadata
     // written by older builds reads as unset.
     writeDefault: Option[String] = None,
-    hasWriteDefault: Option[Boolean] = None) {
+    hasWriteDefault: Option[Boolean] = None,
+    // Prior (id, physName, type) generations from ALTER type-widening —
+    // oldest first. Option-typed so metadata from older builds reads unset.
+    priorGens: Option[Seq[PriorGen]] = None) {
   def dataType: DataType = DataType.fromJson(dataTypeJson)
+  def priorGenerations: Seq[PriorGen] = priorGens.getOrElse(Nil)
   def toField: StructField = StructField(name, dataType, nullable)
   /** The default applied to writes that omit this column. */
   def effectiveWriteDefault: Option[String] =

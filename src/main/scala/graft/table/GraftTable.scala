@@ -156,14 +156,16 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       .exists(c => m.columns.find(_.name == c).exists(cm => cm.physName != cm.name))
     if (groups.size != 1 || hashColsRenamed) return scan(version)
     val present = groups.keys.head.toSet
-    val physFields = m.columns.filter(c => present.contains(c.id))
-      .map(c => StructField(c.physName, c.dataType, nullable = true))
+    val physFields = m.columns.flatMap(c => physGenOf(c, present))
+      .map { case (n, t) => StructField(n, t, nullable = true) }
     val index = new graft.sources.GraftFileIndex(spark, m, m.baseFiles)
     val raw = org.apache.spark.sql.GraftSqlBridge
       .ofFileIndex(spark, index, StructType(physFields))
     val base = raw.select(m.columns.map { c =>
-      if (present.contains(c.id)) col(c.physName).cast(c.dataType).as(c.name)
-      else defaultLit(c).as(c.name)
+      physGenOf(c, present) match {
+        case Some((n, _)) => col(n).cast(c.dataType).as(c.name)
+        case None         => defaultLit(c).as(c.name)
+      }
     }: _*)
     val full = morCombine(m, base, m.deltaFiles)
     if (m.hasAutoInc) full.select(m.visibleColumns.map(c => col(c.name)): _*) else full
@@ -206,14 +208,26 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       val raw = spark.read.parquet(fs.map(_.path): _*)
       val present = colIds.toSet
       val dataCols = m.columns.map { c =>
-        if (present.contains(c.id)) col(c.physName).cast(c.dataType).as(c.name)
-        else defaultLit(c).as(c.name)
+        physGenOf(c, present) match {
+          case Some((n, _)) => col(n).cast(c.dataType).as(c.name)
+          case None         => defaultLit(c).as(c.name)
+        }
       }
       val extra = if (delta) Seq(col(OpCol), col(SeqCol)) else Nil
       raw.select(dataCols ++ extra: _*)
     }
     dfs.reduce(_ unionByName _)
   }
+
+  /** The physical (name, type) under which column `c` appears in a file
+    * group carrying `present` column ids: the current generation, or — for
+    * files written before an ALTER type-widening — the newest prior
+    * generation present (cast up to `c.dataType` by callers). */
+  private def physGenOf(c: ColumnMeta, present: Set[Int]): Option[(String, DataType)] =
+    if (present.contains(c.id)) Some((c.physName, c.dataType))
+    else c.priorGenerations.reverseIterator
+      .find(g => present.contains(g.id))
+      .map(g => (g.physName, DataType.fromJson(g.dataTypeJson)))
 
   private def deltaStruct(m: TableMeta): StructType =
     StructType(m.schema.fields.map(_.copy(nullable = true)) ++
@@ -230,7 +244,10 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   def changes(v1: Long, v2: Long): DataFrame = {
     val m = TableMeta.read(location, v2) // diff in v2's schema
     val keys = m.keyCols
-    val valueStruct = struct(m.columns.map(c => col(c.name)): _*)
+    // cast each field to v2's type: v1 may predate an ALTER type-widening,
+    // and the struct equality below needs both sides in one type
+    val valueStruct = struct(m.columns.map(c =>
+      col(c.name).cast(c.dataType).as(c.name)): _*)
     val a = scanWithHidden(Some(v1)).select(keys.map(col) :+ valueStruct.as("_av"): _*)
     val b = scanWithHidden(Some(v2)).select(keys.map(col) :+ valueStruct.as("_bv"): _*)
     val j = a.join(b, keys, "full_outer")
@@ -693,6 +710,60 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     require(!cm.isKey, s"cannot drop key column $colName")
     bumpMeta(m.copy(columns = m.columns.filterNot(_.name == colName),
       retiredPhysNames = m.retiredPhysNames :+ cm.physName), "drop_column")
+  }
+
+  /** ALTER column type, widening only (INT8→…→INT64, FLOAT→DOUBLE, int→
+    * DOUBLE, DECIMAL precision growth). Metadata-only: the column gets a new
+    * id + physical name, files written before the widen keep their narrow
+    * physical type and are cast up at read via the prior-generation remap
+    * ([[physGenOf]]) — the same id-based machinery that serves renames/adds
+    * (common/schema.cc GetMappedReadProjection; the reference itself forbids
+    * type ALTER, master.cc AlterTable — this engine widens losslessly
+    * instead, the operation a long-lived training-data pipeline actually
+    * needs when a counter outgrows INT32). Key / hash / range columns are
+    * rejected: their bytes feed partition hashing and range keys, which must
+    * stay stable across the fileset. */
+  def widenColumnType(colName: String, to: DataType): Unit = {
+    val m = meta
+    val cm = m.column(colName)
+    val from = cm.dataType
+    require(!cm.isKey, s"cannot widen key column $colName")
+    require(!m.hash.exists(_.cols.contains(colName)),
+      s"cannot widen hash-partition column $colName")
+    require(!m.range.exists(_.col == colName),
+      s"cannot widen range-partition column $colName")
+    require(widens(from, to),
+      s"not a lossless widening: ${from.simpleString} -> ${to.simpleString}")
+    val used = m.columns.map(_.physName).toSet ++ m.retiredPhysNames
+    val phys0 = s"${colName}_cid${m.nextColId}"
+    val phys = if (used.contains(phys0)) s"${phys0}_w" else phys0
+    val widened = cm.copy(id = m.nextColId, physName = phys,
+      dataTypeJson = to.json,
+      priorGens = Some(cm.priorGenerations :+
+        PriorGen(cm.id, cm.physName, cm.dataTypeJson)))
+    bumpMeta(m.copy(
+      columns = m.columns.map(c => if (c.name == colName) widened else c),
+      nextColId = m.nextColId + 1,
+      retiredPhysNames = m.retiredPhysNames :+ cm.physName), "widen_column_type")
+  }
+
+  /** Lossless type widenings (every `from` value is exactly representable
+    * in `to`): the integer chain, FLOAT→DOUBLE, 32-bit-or-narrower ints →
+    * DOUBLE (53-bit mantissa), and DECIMAL growth that does not shrink
+    * scale or integer digits. */
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType | DoubleType)  => true
+    case (ShortType, IntegerType | LongType | DoubleType)             => true
+    case (IntegerType, LongType | DoubleType)                         => true
+    case (FloatType, DoubleType)                                      => true
+    case (a: DecimalType, b: DecimalType) =>
+      b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale &&
+        (b.precision > a.precision || b.scale > a.scale)
+    case (ByteType, b: DecimalType)    => b.precision - b.scale >= 3
+    case (ShortType, b: DecimalType)   => b.precision - b.scale >= 5
+    case (IntegerType, b: DecimalType) => b.precision - b.scale >= 10
+    case (LongType, b: DecimalType)    => b.precision - b.scale >= 19
+    case _ => false
   }
 
   private def bumpMeta(m: TableMeta, op: String): Unit =
