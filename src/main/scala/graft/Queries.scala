@@ -491,6 +491,30 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "q32_skew_agg" -> ((s, dir) => {
+      // Skewed fact-dimension join: every third lineitem row collapses onto
+      // ONE hot join key (orderkey 1) — the manufactured analog of a web
+      // corpus where a handful of hosts carry a third of the pages. The
+      // declared query gates the RESULT; the mitigation posture is
+      // two-fold and asserted by SkewJoinSpec: (a) AQE skew-join splits the
+      // hot partition at runtime (local SF is far below the 256 MB default
+      // threshold, so the spec lowers it to show the split), (b) the salted
+      // join (functions.SkewJoin.saltedEquiJoin) spreads the hot key
+      // pre-shuffle for when one KEY — not one partition — is hot, which
+      // AQE cannot split inside a sort-merge group.
+      val l = scan(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 3 === 0, lit(1L))
+          .otherwise(col("l_orderkey")).as("jk"),
+        col("l_quantity"))
+      val o = scan(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      l.join(o, col("jk") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity").cast("decimal(28,2)")).cast("double"), 2)
+            .as("sum_qty"))
+        .orderBy("o_year")
+    }),
+
     "q27_approx_distinct" -> ((s, dir) => {
       // HLL sketch vs exact: emit the exact count (hash-matched against the
       // oracle) plus a boolean asserting the sketch landed within 2%.
@@ -619,5 +643,11 @@ object Queries {
     "q30_colocated_join" ->
       ("SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, " +
         "CAST(len(embedding) AS INTEGER) AS dim, label " +
-        "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"))
+        "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"),
+    "q32_skew_agg" ->
+      ("SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n_rows, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_qty " +
+        "FROM (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_orderkey END AS jk, " +
+        "l_quantity FROM lineitem) l JOIN orders ON jk = o_orderkey " +
+        "GROUP BY 1 ORDER BY o_year"))
 }
