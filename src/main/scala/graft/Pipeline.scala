@@ -398,6 +398,63 @@ object Pipeline {
         .orderBy("query_id", "rank")
     }),
 
+    "p15_ann_ivfpq" -> ((s, dir) => {
+      // IVF-PQ-lite (the memory-scale path past p13's IVF): vectors store
+      // only (cell id, 64 × int8 residual codes) — 65 bytes instead of 512
+      // — and queries rank by the quantized reconstruction
+      // score = qz·cz + (qz·rz)·2^14, where qz/cz are the 2^20 fixed-point
+      // query/centroid vectors and rz = clamp(floor(64·(v−c)), ±127) is the
+      // residual code (scale 2^20/64 = 2^14 re-aligns it). At 100 TB this
+      // is what makes the index RAM-resident: 8× compression with the
+      // centroid broadcast unchanged. INTEGER-EXACT end to end — cell
+      // assignment, probe choice and ranking are all int64 dots (max
+      // |score| < 2^47), so unlike classic ADC there is no float-summation
+      // knife edge and the DuckDB oracle hash-matches exactly. A trained
+      // codebook (k-means per subspace) would beat the scalar quantizer on
+      // recall; it is not oracle-reproducible, so this uses the
+      // deterministic scalar variant (same tradeoff as p13 vs ivfKMeansTopK).
+      val quant = (c: Column) =>
+        transform(c, x => floor(x * graft.functions.TextFunctions.QuantScale).cast("long"))
+      val idot = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      val e = persistTracked(normalizedVecs(s, dir).withColumn("z", quant(col("v"))))
+      val n = e.count()
+      val mMod = math.max(1L, math.max(
+        math.ceil(math.sqrt(n.toDouble)).toLong,
+        math.ceil(n / 4096.0).toLong))
+      val cents = e.filter(col("vec_id") % mMod === lit(5L % mMod))
+        .select(col("vec_id").as("cell"), col("v").as("cv"), col("z").as("cz"))
+      // assign: best cell by integer dot (map-side max_by, as p13)
+      val assigned = e.repartition(parallelism(s))
+        .crossJoin(broadcast(cents))
+        .withColumn("d", idot(col("z"), col("cz")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cell"), col("cv")), struct(col("d"), -col("cell"))).as("best"),
+          first(col("v")).as("v"))
+      // the stored index rows: cell + int8 residual codes ONLY (no vector)
+      val codes = assigned.select(col("vec_id"), col("best.cell").as("cell"),
+        zip_with(col("v"), col("best.cv"), (x, c) =>
+          greatest(lit(-127.0), least(lit(127.0), floor((x - c) * 64.0))).cast("long"))
+          .as("code"))
+      val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cell"))
+      val probeCells = e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("z").as("qz"))
+        .crossJoin(broadcast(cents.select(col("cell"), col("cz"))))
+        .withColumn("d", idot(col("qz"), col("cz")))
+        .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
+        .select("query_id", "qz", "cell", "cz")
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      probeCells.join(codes, "cell")
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("score",
+          idot(col("qz"), col("cz")) + idot(col("qz"), col("code")) * lit(16384L))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"))
+        .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= 3)
+        .select("query_id", "neighbor_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     "p14_dedup_cluster" -> ((s, dir) => {
       // Connected-component dedup clustering — the step after pair
       // detection in a real pipeline: near-dup pairs (p3's minhash graph,
@@ -580,7 +637,34 @@ object Pipeline {
     }.mkString(" + ")
   }
 
+  /** Int64 dot product over two BIGINT lists in DuckDB SQL (list_sum yields
+    * HUGEINT on BIGINT input — cast back so schemas match Spark's LONG). */
+  private def idotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, 64), i -> ($a)[i] * ($b)[i])) AS BIGINT)"
+
   val oracleSql: Map[String, String] = Map(
+    "p15_ann_ivfpq" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 FROM embeddings),\n" +
+        "n AS (SELECT vec_id, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e),\n" +
+        s"z AS (SELECT vec_id, v, ${quantSql("v")} AS z FROM n),\n" +
+        "mm AS (SELECT greatest(CAST(ceil(sqrt(count(*))) AS BIGINT), " +
+        "CAST(ceil(count(*) / 4096.0) AS BIGINT), CAST(1 AS BIGINT)) AS m FROM embeddings),\n" +
+        "c AS (SELECT vec_id AS cell, v AS cv, z AS cz FROM z, mm WHERE vec_id % mm.m = 5 % mm.m),\n" +
+        "asg AS (SELECT vec_id, v, cell, cv FROM (" +
+        s"SELECT z.vec_id, z.v, c.cell, c.cv, row_number() OVER (PARTITION BY z.vec_id " +
+        s"ORDER BY ${idotSql("z.z", "c.cz")} DESC, c.cell) AS rn FROM z CROSS JOIN c) WHERE rn = 1),\n" +
+        "codes AS (SELECT vec_id, cell, list_transform(generate_series(1, 64), " +
+        "i -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), " +
+        "CAST(floor((v[i] - cv[i]) * 64.0) AS BIGINT)))) AS code FROM asg),\n" +
+        "probe AS (SELECT query_id, qz, cell, cz FROM (" +
+        s"SELECT z.vec_id AS query_id, z.z AS qz, c.cell, c.cz, row_number() OVER (PARTITION BY z.vec_id " +
+        s"ORDER BY ${idotSql("z.z", "c.cz")} DESC, c.cell) AS rn FROM z CROSS JOIN c WHERE z.vec_id < 32) WHERE rn <= 2),\n" +
+        "p AS (SELECT query_id, codes.vec_id AS neighbor_id, " +
+        s"${idotSql("probe.qz", "probe.cz")} + ${idotSql("probe.qz", "codes.code")} * 16384 AS score " +
+        "FROM probe JOIN codes USING (cell) WHERE query_id <> codes.vec_id) " +
+        "SELECT query_id, neighbor_id, CAST(score AS BIGINT) AS score, CAST(rn AS INTEGER) AS rank FROM (" +
+        "SELECT query_id, neighbor_id, score, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM p) " +
+        "WHERE rn <= 3 ORDER BY query_id, rank"),
     "p1_dedup_exact" ->
       ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents " +
         "GROUP BY text ORDER BY keep_id"),
