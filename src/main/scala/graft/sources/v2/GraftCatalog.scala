@@ -34,10 +34,11 @@ import graft.table.GraftTable
  * `spark.table("<name>.<table>")`. Joins additionally need
  * `spark.sql.sources.v2.bucketing.enabled=true`.
  *
- * v1 scope: BATCH_READ over the compacted base fileset — tables with
- * pending deltas must `compact()` first (the merge-on-read overlay is a
- * DSv1/DataFrame-path feature); writes go through the engine API or the
- * DSv1 "graft" format.
+ * Scope: BATCH_READ over the base fileset, with a per-bucket merge-on-read
+ * delta overlay (MorOverlay.scala) when the table has a single-column hash
+ * layout and the delta set fits the broadcast bound — other delta-carrying
+ * layouts must `compact()` first (compactForV2 is the convenience gate).
+ * Writes go through the engine API or the DSv1 "graft" format.
  */
 class GraftCatalog extends TableCatalog with FunctionCatalog {
 
@@ -148,11 +149,15 @@ class GraftBucketReducer(n: Int) extends Reducer[Integer, Integer] with Serializ
   override def reduce(bucket: Integer): Integer = ((bucket % n) + n) % n
 }
 
-/** Read-only V2 table over a graft snapshot's base fileset. */
+/** Read-only V2 table over a graft snapshot: the compacted base fileset,
+  * plus a merge-on-read delta overlay (MorOverlay.scala) when the layout
+  * supports per-bucket routing and the delta fileset is broadcast-sized. */
 class GraftV2Table(meta: TableMeta) extends Table with SupportsRead {
-  require(meta.deltaFiles.isEmpty,
-    s"graft V2 reads serve compacted tables; ${meta.name} has " +
-      s"${meta.deltaFiles.size} pending delta files — compact() first " +
+  require(meta.deltaFiles.isEmpty || GraftV2Scan.morOverlayable(meta),
+    s"graft V2 reads need a compacted base or an overlay-able delta set; " +
+      s"${meta.name} has ${meta.deltaFiles.size} pending delta files and " +
+      "(multi-component hash, pending range drops, or deltas past the " +
+      "broadcast bound) — compact() first " +
       "or read through the DSv1 'graft' format (merge-on-read)")
 
   override def name(): String = meta.name
@@ -262,7 +267,66 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
-      spark, StructType(meta.visibleColumns.map(_.toField)), requiredSchema, filters)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    if (meta.deltaFiles.isEmpty)
+      return org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
+        spark, StructType(meta.visibleColumns.map(_.toField)), requiredSchema, filters)
+    // merge-on-read overlay: read the required columns PLUS any key columns
+    // the projection pruned (needed to match base rows against delta keys),
+    // broadcast the latest delta state, and let each bucket's reader apply
+    // it (MorOverlay.scala). Pushed filters are all re-evaluated by Spark
+    // above this scan (pushFilters returns every filter as unhandled), so
+    // delta-emitted rows meet the query's predicates like base rows do.
+    val m = meta
+    val internalFields = requiredSchema.fields ++
+      (m.keyCols ++ m.hash.flatMap(_.cols)).distinct
+        .filterNot(requiredSchema.fieldNames.contains)
+        .map(k => m.column(k).toField)
+    val internalSchema = StructType(internalFields)
+    val identity = internalFields.length == requiredSchema.fields.length
+    val types = internalFields.map(_.dataType)
+    val keyIdx = m.keyCols.map(k => internalSchema.fieldIndex(k)).toArray
+    val outIdx = requiredSchema.fieldNames.map(internalSchema.fieldIndex)
+    val hashIdx = internalSchema.fieldIndex(m.hash.head.cols.head)
+    val buckets = m.hash.head.buckets
+    val tbl = GraftTable.load(spark, m.location)
+    val sel = tbl.latestDeltas(m, m.deltaFiles)
+      .select((internalSchema.fieldNames.toSeq :+ GraftTable.OpCol)
+        .map(org.apache.spark.sql.functions.col): _*)
+    val opIdx = internalFields.length
+    val rows = sel.queryExecution.toRdd.map(_.copy()).collect()
+    val dead = new java.util.HashSet[Seq[Any]]()
+    val ups = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Array[Any]]]()
+    rows.foreach { r =>
+      dead.add(keyIdx.toSeq.map(i => r.get(i, types(i))))
+      if (r.getUTF8String(opIdx).toString != GraftTable.OpDelete) {
+        val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(r.get(hashIdx, types(hashIdx)), types(hashIdx), 42L).toInt
+        val b = ((h % buckets) + buckets) % buckets
+        ups.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer()) +=
+          types.indices.map(i => r.get(i, types(i))).toArray
+      }
+    }
+    val info = spark.sparkContext.broadcast(MorOverlayInfo(
+      types, keyIdx, outIdx, identity, dead,
+      ups.map { case (b, a) => b -> a.toArray }.toMap))
+    val inner = org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
+      spark, m.schema, internalSchema, filters)
+    new MorOverlayReaderFactory(inner, info)
+  }
+}
+
+object GraftV2Scan {
+  /** Whether a delta-carrying table can serve the V2 merge-on-read overlay:
+    * single single-column hash component (upserts route to one bucket with
+    * the writer's own arithmetic), no pending range-drop masks, and a
+    * delta fileset inside the broadcast bound. */
+  def morOverlayable(meta: TableMeta): Boolean =
+    (meta.hash match {
+      case Seq(hc) => hc.cols.size == 1 && meta.rangeHashBucketsMap.isEmpty
+      case _ => false
+    }) &&
+      meta.rangeDrops.isEmpty &&
+      meta.deltaFiles.map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f.path))).sum <
+        GraftTable.BroadcastDeltaBytes
 }

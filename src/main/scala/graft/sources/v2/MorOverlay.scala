@@ -1,0 +1,89 @@
+package graft.sources.v2
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.types.DataType
+
+/**
+ * Merge-on-read overlay for the DSv2 batch scan: the per-partition analog
+ * of the DSv1 path's "base ANTI-JOIN delta-keys ∪ latest-delta-rows"
+ * (reference: DeltaApplier, tablet/delta_applier.h:52 — deltas applied over
+ * each rowset at read). The latest delta state is broadcast (the delta
+ * fileset is bounded by BroadcastDeltaBytes before this path is taken);
+ * each bucket's reader suppresses base rows whose key carries a delta and
+ * appends the bucket's own upsert rows — routed by the SAME murmur3-pmod
+ * arithmetic the writer bucketed with, so the reported key grouping (and
+ * any storage-partitioned join built on it) stays exact.
+ *
+ * @param types    column types of the INTERNAL read schema (the required
+ *                 columns plus any key columns pruned out of the projection)
+ * @param keyIdx   positions of the key columns in the internal schema
+ * @param outIdx   positions of the caller's required columns in the internal
+ *                 schema (identity when no key column had to be re-added)
+ * @param dead     keys carrying any delta (upsert or tombstone) — base rows
+ *                 with these keys are superseded
+ * @param upserts  latest non-delete delta rows (internal-schema order),
+ *                 grouped by hash bucket
+ */
+case class MorOverlayInfo(
+    types: Array[DataType],
+    keyIdx: Array[Int],
+    outIdx: Array[Int],
+    identity: Boolean,
+    dead: java.util.HashSet[Seq[Any]],
+    upserts: Map[Int, Array[Array[Any]]])
+
+class MorOverlayReaderFactory(
+    inner: PartitionReaderFactory,
+    info: Broadcast[MorOverlayInfo]) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val bucket = p match {
+      case k: org.apache.spark.sql.GraftKeyedFilePartition => k.partitionKey().getInt(0)
+      case _ => -1 // coordinate-less single partition: owns every upsert
+    }
+    new MorOverlayReader(inner.createReader(p), info.value, bucket)
+  }
+}
+
+class MorOverlayReader(
+    inner: PartitionReader[InternalRow],
+    info: MorOverlayInfo,
+    bucket: Int) extends PartitionReader[InternalRow] {
+
+  private var current: InternalRow = _
+  private val upIter: Iterator[Array[Any]] =
+    if (bucket >= 0) info.upserts.getOrElse(bucket, Array.empty[Array[Any]]).iterator
+    else info.upserts.valuesIterator.flatten
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val row = inner.get()
+      val key: Seq[Any] =
+        info.keyIdx.toSeq.map(i => row.get(i, info.types(i)))
+      if (!info.dead.contains(key)) {
+        current =
+          if (info.identity) row
+          else {
+            // the key columns were pruned out of the caller's projection:
+            // copy (the inner UnsafeRow buffer is reused) and re-project
+            val c = row.copy()
+            new GenericInternalRow(
+              info.outIdx.map(i => c.get(i, info.types(i))))
+          }
+        return true
+      }
+    }
+    if (upIter.hasNext) {
+      val a = upIter.next()
+      current = new GenericInternalRow(info.outIdx.map(i => a(i)))
+      return true
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
+}

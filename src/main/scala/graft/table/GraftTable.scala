@@ -180,11 +180,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     val base = dropMaskBase(m, base0)
     if (deltaFiles.isEmpty) base
     else {
-      val deltas = dropMaskDelta(m, readFileGroup(m, deltaFiles, delta = true))
-      val keys = m.keyCols.map(col)
-      val w = Window.partitionBy(keys: _*).orderBy(col(SeqCol).desc)
-      val dLatest = deltas.withColumn(RnCol, row_number().over(w))
-        .filter(col(RnCol) === 1).drop(RnCol)
+      val dLatest = latestDeltas(m, deltaFiles)
       val deltaBytes = deltaFiles.map(f => fileSize(f.path)).sum
       val dKeys0 = dLatest.select(m.keyCols.map(col): _*)
       val dKeys = if (deltaBytes < BroadcastDeltaBytes) broadcast(dKeys0) else dKeys0
@@ -194,6 +190,21 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       live.unionByName(upserts)
     }
   }
+
+  /** Latest delta state per key (all table columns + the op/seq columns),
+    * after drop-range masking — the per-key winner the merge-on-read
+    * overlay applies over the base (also consumed by the DSv2 overlay
+    * reader, sources/v2/MorOverlay.scala). */
+  private[graft] def latestDeltas(m: TableMeta, deltaFiles: Seq[DataFileMeta]): DataFrame = {
+    val deltas = dropMaskDelta(m, readFileGroup(m, deltaFiles, delta = true))
+    val w = Window.partitionBy(m.keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+    deltas.withColumn(RnCol, row_number().over(w))
+      .filter(col(RnCol) === 1).drop(RnCol)
+  }
+
+  /** Total bytes of the pending delta fileset. */
+  private[graft] def deltaBytes(m: TableMeta): Long =
+    m.deltaFiles.map(f => fileSize(f.path)).sum
 
   /** Reads a set of files, remapping physical→current logical names per
     * schema generation (GetMappedReadProjection analog, common/schema.cc) and

@@ -115,19 +115,31 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"expected shuffle-free aggregation:\n$plan")
   }
 
-  test("V2 reads: filters push down and pending deltas are refused") {
+  test("V2 reads: filters push down; pending deltas serve through the MOR overlay") {
     val wh = mkWarehouse()
     spark.conf.set("spark.sql.catalog.gspj2", classOf[graft.sources.v2.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.gspj2.warehouse", wh)
     assert(spark.table("gspj2.t1").filter(col("k") === 5).count() == 1)
     assert(spark.table("gspj2.t1").count() == 100)
-    // mutate → deltas pending → V2 read refuses with a pointer to compact()
+    // mutate → deltas pending → the V2 scan applies the merge-on-read
+    // overlay per bucket (update + insert + delete, no compact needed)
     val t = GraftTable.load(spark, s"$wh/t1")
-    t.upsert(Seq((5L, "changed")).toDF("k", "v"))
-    val e = intercept[Exception] {
-      spark.read.table("gspj2.t1").count()
-    }
-    assert(e.getMessage.contains("compact"), e.getMessage)
+    t.upsert(Seq((5L, "changed"), (101L, "new")).toDF("k", "v"))
+    t.delete(Seq(Tuple1(7L)).toDF("k"))
+    val merged = spark.table("gspj2.t1").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged.size == 100) // 100 base - 1 delete + 1 insert
+    assert(merged(5L) == "changed")
+    assert(merged(101L) == "new")
+    assert(!merged.contains(7L))
+    // a projection WITHOUT the key column still merges correctly (the
+    // overlay re-adds the key internally and re-projects)
+    val vs = spark.table("gspj2.t1").select("v").as[String].collect()
+    assert(vs.count(_ == "changed") == 1 && vs.count(_ == "new") == 1)
+    assert(vs.length == 100 && !vs.contains("a7"))
+    // filters evaluate over delta-emitted rows like base rows
+    assert(spark.table("gspj2.t1").filter(col("k") === 101L)
+      .select("v").as[String].head() == "new")
     // compactForV2 is the convenience gate: compacts iff deltas pending
     t.compactForV2()
     assert(t.meta.deltaFiles.isEmpty)
@@ -136,6 +148,41 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(t.currentVersion == vBefore)
     assert(spark.table("gspj2.t1").filter(col("k") === 5)
       .select("v").as[String].head() == "changed")
+  }
+
+  test("SPJ key groups survive the MOR overlay (join with pending deltas)") {
+    val wh = mkWarehouse()
+    spark.conf.set("spark.sql.catalog.gmor", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmor.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val t = GraftTable.load(spark, s"$wh/t1")
+    t.upsert(Seq((3L, "edited"), (200L, "fresh")).toDF("k", "v"))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("gmor.t1").join(spark.table("gmor.t2"), "k")
+        .select(col("k"), col("gmor.t1.v").as("v1"))
+      val rows = j.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.size == 80 && rows(3L) == "edited")
+      // the overlay routes upserts into their exact bucket, so the
+      // key-grouped join still plans with zero shuffles
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free MOR SPJ:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
+  test("non-overlayable delta sets are still refused with the compact pointer") {
+    // two hash components → upserts cannot be routed by the single-column
+    // bucket arithmetic → the scan must refuse rather than serve wrong rows
+    val wh = Files.createTempDirectory("graft-wh3-").toString
+    val df = (1 to 50).map(i => (i.toLong, i.toLong * 7, s"x$i")).toDF("a", "b", "v")
+    val t = GraftTable.create(spark, s"$wh/multi", "multi", df.schema, Seq("a", "b"),
+      Seq(HashComponent(Seq("a"), 2), HashComponent(Seq("b"), 2)), data = Some(df))
+    t.upsert(Seq((1L, 7L, "y1")).toDF("a", "b", "v"))
+    spark.conf.set("spark.sql.catalog.gref", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gref.warehouse", wh)
+    val e = intercept[Exception] { spark.table("gref.multi").count() }
+    assert(e.getMessage.contains("compact"), e.getMessage)
   }
 
   test("runtime IN filters prune input files but preserve the key groups") {
