@@ -152,7 +152,8 @@ class GraftBucketReducer(n: Int) extends Reducer[Integer, Integer] with Serializ
 /** Read-only V2 table over a graft snapshot: the compacted base fileset,
   * plus a merge-on-read delta overlay (MorOverlay.scala) when the layout
   * supports per-bucket routing and the delta fileset is broadcast-sized. */
-class GraftV2Table(meta: TableMeta) extends Table with SupportsRead {
+class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
+    with SupportsWrite {
   require(meta.deltaFiles.isEmpty || GraftV2Scan.morOverlayable(meta),
     s"graft V2 reads need a compacted base or an overlay-able delta set; " +
       s"${meta.name} has ${meta.deltaFiles.size} pending delta files and " +
@@ -164,7 +165,40 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead {
   override def schema(): StructType =
     StructType(meta.visibleColumns.map(_.toField))
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  /** V2 writes through the V1 fallback (the established bridge for engines
+    * whose commit unit is a table-level operation): INSERT INTO /
+    * writeTo(...).append() runs the same engine ops as the DSv1 "graft"
+    * format — upsert by default, `graft.operation` = insert | insert-ignore
+    * | upsert to choose (mirrors kudu.operation, kudu-spark
+    * DefaultSource.scala:73). */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                require(!overwrite,
+                  "INSERT OVERWRITE is not supported; use the engine API " +
+                    "(deleteWhere + upsert) for replace semantics")
+                val t = GraftTable.load(SparkSession.active, meta.location)
+                info.options.getOrDefault("graft.operation", "upsert") match {
+                  case "insert"        => t.insert(data)
+                  case "insert-ignore" => t.insertIgnore(data)
+                  case "upsert"        => t.upsert(data)
+                  case op => throw new IllegalArgumentException(
+                    s"unknown graft.operation: $op")
+                }
+              }
+            }
+        }
+    }
 
   override def partitioning(): Array[Transform] = meta.hash match {
     case Seq(hc) if hc.cols.size == 1 && meta.rangeHashBucketsMap.isEmpty =>

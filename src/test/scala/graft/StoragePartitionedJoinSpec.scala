@@ -171,6 +171,28 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
 
+  test("V2 writes: INSERT INTO / writeTo append run engine ops (V1 fallback)") {
+    val wh = mkWarehouse()
+    spark.conf.set("spark.sql.catalog.gw", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gw.warehouse", wh)
+    // SQL INSERT INTO → default upsert (new key appended, existing replaced)
+    spark.sql("INSERT INTO gw.t1 VALUES (101, 'sqlnew'), (5, 'sqlupd')")
+    // DataFrame writeTo append with an explicit operation
+    Seq((102L, "dfnew")).toDF("k", "v").writeTo("gw.t1")
+      .option("graft.operation", "insert").append()
+    val m = spark.table("gw.t1").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.size == 102 && m(101L) == "sqlnew" && m(5L) == "sqlupd" && m(102L) == "dfnew")
+    // strict insert on an existing key errors through the same surface
+    val e = intercept[Exception] {
+      Seq((5L, "dup")).toDF("k", "v").writeTo("gw.t1")
+        .option("graft.operation", "insert").append()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ msgs(t.getCause))
+    assert(msgs(e).exists(_.contains("already present")), e.toString)
+  }
+
   test("non-overlayable delta sets are still refused with the compact pointer") {
     // two hash components → upserts cannot be routed by the single-column
     // bucket arithmetic → the scan must refuse rather than serve wrong rows
