@@ -160,6 +160,20 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
       "(multi-component hash, pending range drops, or deltas past the " +
       "broadcast bound) — compact() first " +
       "or read through the DSv1 'graft' format (merge-on-read)")
+  // The V2 parquet factory reads files by LOGICAL column name; a renamed or
+  // type-widened column lives in files under its physical name/type, and a
+  // column added later with a non-null read default is absent from old
+  // files — both would silently read wrong values here, so refuse instead.
+  // Absent-with-default heals via compact() (the rewrite materializes
+  // defaults); renamed/widened columns need the DSv1 id-remap read path.
+  require(meta.columns.forall { c =>
+      c.physName == c.name &&
+        (c.defaultValue.isEmpty || meta.baseFiles.forall(_.colIds.contains(c.id)))
+    },
+    s"graft V2 reads serve physical==logical column layouts only; " +
+      s"${meta.name} has renamed/widened or defaulted-absent columns — " +
+      "read through the DSv1 'graft' format (id-remap), or compact() to " +
+      "materialize absent defaults")
 
   override def name(): String = meta.name
   override def schema(): StructType =

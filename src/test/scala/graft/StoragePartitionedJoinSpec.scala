@@ -193,6 +193,26 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("already present")), e.toString)
   }
 
+  test("renamed and widened columns are refused by V2 (need the DSv1 remap)") {
+    // the V2 parquet factory reads by logical name — a renamed/widened
+    // column lives in files under its physical name and would silently
+    // read null; the table must refuse, not mis-serve
+    val wh = Files.createTempDirectory("graft-wh4-").toString
+    val df = (1 to 10).map(i => (i.toLong, i)).toDF("k", "n")
+    val t = GraftTable.create(spark, s"$wh/ren", "ren", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    t.renameColumn("n", "m")
+    spark.conf.set("spark.sql.catalog.gren", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gren.warehouse", wh)
+    val e1 = intercept[Exception] { spark.table("gren.ren").count() }
+    assert(e1.getMessage.contains("DSv1"), e1.getMessage)
+    val t2 = GraftTable.create(spark, s"$wh/wid", "wid", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    t2.widenColumnType("n", org.apache.spark.sql.types.LongType)
+    val e2 = intercept[Exception] { spark.table("gren.wid").count() }
+    assert(e2.getMessage.contains("DSv1"), e2.getMessage)
+  }
+
   test("non-overlayable delta sets are still refused with the compact pointer") {
     // two hash components → upserts cannot be routed by the single-column
     // bucket arithmetic → the scan must refuse rather than serve wrong rows
