@@ -172,4 +172,119 @@ class FuzzSpec extends AnyFunSuite {
 
   test("random ops with range drop/add match the model (seed 11)") { runRangeCase(11L, 45) }
   test("random ops with range drop/add match the model (seed 23)") { runRangeCase(23L, 45) }
+
+  /** Schema-evolution variant: mutations interleave with ALTERs — type
+    * widening (INT→BIGINT→DECIMAL), renames, column add (with/without read
+    * default), column drop, compaction — against a column-ID-based model
+    * (the same identity scheme the engine uses), including reads at
+    * historical snapshots spanning the ALTERs. */
+  private def runSchemaCase(seed: Long, nOps: Int): Unit = {
+    val rnd = new Random(seed)
+    val loc = Files.createTempDirectory(s"graft-fuzz-s-$seed-").toString
+    val t = GraftTable.create(spark, loc, "kvs",
+      StructType(Seq(StructField("k", IntegerType, false),
+        StructField("c0", IntegerType))),
+      keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), 2)))
+
+    case class MCol(id: Int, var name: String, var stage: Int, default: Option[Long])
+    def sparkType(stage: Int): DataType = stage match {
+      case 0 => IntegerType
+      case 1 => LongType
+      case _ => DecimalType(38, 0)
+    }
+    def mkValue(stage: Int, v: Long): Any = stage match {
+      case 0 => v.toInt
+      case 1 => v
+      case _ => new java.math.BigDecimal(v)
+    }
+
+    val cols = mutable.ArrayBuffer(MCol(0, "c0", 0, None))
+    var nextId = 1
+    var renameSeq = 0
+    // k -> (column id -> value); column ids are the stable identity, names churn
+    val rows = mutable.Map[Int, mutable.Map[Int, Option[Long]]]()
+    val snaps = mutable.ArrayBuffer[(Long, List[(Int, String)], Map[Int, Map[Int, Option[Long]]])]()
+
+    def upsert(k: Int): Unit = {
+      val vals = cols.map(c => c -> rnd.nextInt(1000).toLong).toSeq
+      val schema = StructType(StructField("k", IntegerType, false) +:
+        cols.map(c => StructField(c.name, sparkType(c.stage))).toSeq)
+      val row = org.apache.spark.sql.Row.fromSeq(
+        k +: vals.map { case (c, v) => mkValue(c.stage, v) })
+      t.upsert(spark.createDataFrame(java.util.List.of(row), schema))
+      val m = rows.getOrElseUpdate(k, mutable.Map())
+      vals.foreach { case (c, v) => m(c.id) = Some(v) }
+    }
+
+    for (_ <- 0 until nOps) {
+      val k = rnd.nextInt(Keyspace)
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 => upsert(k)
+        case 3 => // DELETE_IGNORE
+          t.delete(Seq(k).toDF("k"), ignore = true); rows.remove(k)
+        case 4 => // WIDEN a widenable column
+          val ws = cols.filter(_.stage < 2)
+          if (ws.nonEmpty) {
+            val c = ws(rnd.nextInt(ws.size))
+            c.stage += 1
+            t.widenColumnType(c.name, sparkType(c.stage))
+          }
+        case 5 => // RENAME
+          val c = cols(rnd.nextInt(cols.size))
+          renameSeq += 1
+          val nn = s"r${renameSeq}_${c.id}"
+          t.renameColumn(c.name, nn); c.name = nn
+        case 6 => // ADD column, sometimes with a read default
+          val dflt = if (rnd.nextBoolean()) Some(rnd.nextInt(100).toLong) else None
+          val name = s"c$nextId"
+          t.addColumn(name, IntegerType, default = dflt.map(_.toString))
+          cols += MCol(nextId, name, 0, dflt)
+          // existing rows read the ADD-time default for the new column
+          rows.values.foreach(m => m(nextId) = dflt)
+          nextId += 1
+        case 7 => // DROP a non-last value column
+          if (cols.size > 1) {
+            val c = cols.remove(rnd.nextInt(cols.size))
+            t.dropColumn(c.name)
+          }
+        case 8 => t.compact()
+        case 9 => snaps += ((t.currentVersion,
+          cols.map(c => (c.id, c.name)).toList,
+          rows.map { case (kk, m) => kk -> m.toMap }.toMap))
+      }
+    }
+
+    def toLongOpt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.get(i) match {
+        case x: Int => x.toLong
+        case x: Long => x
+        case d: java.math.BigDecimal => d.longValueExact
+        case other => fail(s"unexpected value type: $other")
+      })
+
+    def checkState(df: org.apache.spark.sql.DataFrame,
+        colsAt: List[(Int, String)],
+        exp: Map[Int, Map[Int, Option[Long]]], tag: String): Unit = {
+      val schema = df.schema
+      val got = df.collect().map { r =>
+        val kk = r.getInt(schema.fieldIndex("k"))
+        kk -> colsAt.map { case (cid, name) =>
+          cid -> toLongOpt(r, schema.fieldIndex(name))
+        }.toMap
+      }.toMap
+      val want = exp.map { case (kk, m) =>
+        kk -> colsAt.map { case (cid, _) => cid -> m.getOrElse(cid, None) }.toMap
+      }
+      assert(got == want, s"$tag mismatch seed=$seed")
+    }
+
+    checkState(t.scan(), cols.map(c => (c.id, c.name)).toList,
+      rows.map { case (kk, m) => kk -> m.toMap }.toMap, "final")
+    snaps.foreach { case (ver, colsAt, exp) =>
+      checkState(t.scan(Some(ver)), colsAt, exp, s"snapshot v$ver")
+    }
+  }
+
+  test("random ops with schema evolution match the model (seed 31)") { runSchemaCase(31L, 50) }
+  test("random ops with schema evolution match the model (seed 47)") { runSchemaCase(47L, 50) }
 }
