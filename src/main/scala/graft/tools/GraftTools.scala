@@ -175,4 +175,78 @@ object GraftTools {
     GraftTable.create(spark, destLocation, destLocation.split('/').last,
       df.schema, keys, hash, range, data = Some(df))
   }
+
+  /**
+   * Consistency check — the `kudu cluster ksck` analog for this engine's
+   * storage (tools/ksck.cc: verify master/tablet metadata against on-disk
+   * state). Audits one table location and returns human-readable issues
+   * (empty = healthy):
+   *  - the current pointer resolves to an existing, parseable snapshot;
+   *  - every base/delta file referenced by the CURRENT snapshot exists;
+   *  - file partition coordinates (`_b=`/`_r=` path segments) agree with
+   *    the manifest's bucket/rangeKey fields (a mismatch would silently
+   *    break pruning);
+   *  - no commit sequence exceeds the current version;
+   *  - orphan data files referenced by NO snapshot version (crash residue
+   *    from a lost commit race — wasted space, never read);
+   *  - gaps in the version chain (time-travel falls back to a linear scan
+   *    over what remains).
+   */
+  def fsck(location: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.catalog.TableMeta
+    val issues = scala.collection.mutable.ArrayBuffer[String]()
+    if (!TableMeta.exists(location)) return Seq(s"no graft table at $location")
+    val cur =
+      try TableMeta.currentVersion(location)
+      catch { case e: Exception => return Seq(s"corrupt current pointer: ${e.getMessage}") }
+    val m =
+      try TableMeta.readCurrent(location)
+      catch { case e: Exception => return Seq(s"unreadable current snapshot v$cur: ${e.getMessage}") }
+
+    def coord(path: String, key: String): Option[String] =
+      path.split('/').collectFirst {
+        case seg if seg.startsWith(s"$key=") => seg.drop(key.length + 1)
+      }
+    (m.baseFiles ++ m.deltaFiles).foreach { f =>
+      if (!Files.exists(Paths.get(f.path)))
+        issues += s"missing ${f.kind} file (v${f.seq}): ${f.path}"
+      else {
+        val pathBucket = coord(f.path, "_b").map(_.toInt)
+        if (f.bucket.isDefined && pathBucket.isDefined && f.bucket != pathBucket)
+          issues += s"bucket mismatch: manifest ${f.bucket.get} vs path ${pathBucket.get}: ${f.path}"
+        val pathRange = coord(f.path, "_r")
+        if (f.rangeKey.isDefined && pathRange.isDefined && f.rangeKey != pathRange)
+          issues += s"range mismatch: manifest ${f.rangeKey.get} vs path ${pathRange.get}: ${f.path}"
+      }
+      if (f.seq > cur)
+        issues += s"file from the future: seq ${f.seq} > current v$cur: ${f.path}"
+    }
+
+    // every snapshot version's references, for orphan detection + chain audit
+    val metaDir = TableMeta.metaDir(location)
+    val versions = Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+\\.json") => s.drop(1).dropRight(5).toLong }
+      .toSeq.sorted
+    (1L to cur).filterNot(versions.contains).foreach { v =>
+      issues += s"version chain gap: v$v missing (time travel degrades to linear scan)"
+    }
+    val referenced = versions.flatMap { v =>
+      try {
+        val vm = TableMeta.read(location, v)
+        (vm.baseFiles ++ vm.deltaFiles).map(f => Paths.get(f.path).normalize.toString)
+      } catch { case e: Exception => issues += s"unreadable snapshot v$v: ${e.getMessage}"; Nil }
+    }.toSet
+    val dataDir = Paths.get(location, "data")
+    if (Files.isDirectory(dataDir)) {
+      Files.walk(dataDir).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(_.normalize.toString)
+        .filterNot(referenced.contains)
+        .foreach(p => issues += s"orphan data file (no snapshot references it): $p")
+    }
+    issues.toSeq
+  }
 }

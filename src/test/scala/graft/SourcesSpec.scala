@@ -108,6 +108,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(restored.scan().count() == 100)
   }
 
+  test("tools: fsck finds missing files, coordinate mismatches and orphans") {
+    val (loc, t) = mkTable()
+    t.upsert(Seq((5L, "x", 0)).toDF("id", "name", "grp"))
+    assert(GraftTools.fsck(loc).isEmpty, GraftTools.fsck(loc).mkString("; "))
+    // orphan: crash residue from a lost commit race — referenced by nothing
+    val orphan = java.nio.file.Paths.get(loc, "data", "c9_base_dead", "part-0.parquet")
+    java.nio.file.Files.createDirectories(orphan.getParent)
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    val i1 = GraftTools.fsck(loc)
+    assert(i1.exists(_.contains("orphan")), i1.mkString("; "))
+    java.nio.file.Files.delete(orphan)
+    // missing: a referenced base file vanishes out from under the manifest
+    val victim = t.meta.baseFiles.head.path
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(victim))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(victim))
+    val i2 = GraftTools.fsck(loc)
+    assert(i2.exists(_.contains("missing base file")), i2.mkString("; "))
+    java.nio.file.Files.write(java.nio.file.Paths.get(victim), bytes)
+    assert(GraftTools.fsck(loc).isEmpty)
+  }
+
   test("tools: `table scan` JSON predicate grammar (E1)") {
     val (_, t) = mkTable() // ids 1..100, name = "n$i"
     // comparison + conjunction
