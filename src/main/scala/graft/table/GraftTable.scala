@@ -713,6 +713,23 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       if (c.name == from) c.copy(name = to) else c)), "rename_column")
   }
 
+  /** RENAME TABLE — logical name only, the storage location is the
+    * table's identity (reference: `kudu table rename_table`,
+    * AlterTableOptions.RenameTable). */
+  def renameTable(newName: String): Unit = {
+    require(newName.nonEmpty, "table name must be non-empty")
+    bumpMeta(meta.copy(name = newName), "rename_table")
+  }
+
+  /** ALTER column comment (reference: `kudu table column_set_comment`;
+    * ColumnSchemaPB.comment, common/common.proto:134-177). None clears. */
+  def setComment(colName: String, comment: Option[String]): Unit = {
+    val m = meta
+    m.column(colName) // existence check
+    bumpMeta(m.copy(columns = m.columns.map(c =>
+      if (c.name == colName) c.copy(comment = comment) else c)), "set_comment")
+  }
+
   /** DROP_COLUMN — metadata-only; physName is retired so a later add of the
     * same name can't resurrect old file data. */
   def dropColumn(colName: String): Unit = {

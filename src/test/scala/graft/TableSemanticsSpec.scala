@@ -127,4 +127,19 @@ class TableSemanticsSpec extends AnyFunSuite {
     val r4 = t.scan().filter(col("k") === 4).select("tier").collect()(0)
     assert(r4.isNullAt(0))
   }
+
+  test("renameTable and setComment are metadata-only ALTERs") {
+    val t = newKv(1 -> "a")
+    val v0 = t.currentVersion
+    t.renameTable("kv_renamed")
+    assert(t.meta.name == "kv_renamed")
+    t.setComment("v", Some("the value column"))
+    assert(t.meta.column("v").comment.contains("the value column"))
+    t.setComment("v", None)
+    assert(t.meta.column("v").comment.isEmpty)
+    intercept[IllegalArgumentException] { t.setComment("nope", Some("x")) }
+    // data untouched; history keeps the old name
+    assert(asMap(t) == Map(1 -> "a"))
+    assert(graft.catalog.TableMeta.read(t.location, v0).name == "kv")
+  }
 }
