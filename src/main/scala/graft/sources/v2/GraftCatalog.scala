@@ -154,26 +154,32 @@ class GraftBucketReducer(n: Int) extends Reducer[Integer, Integer] with Serializ
   * supports per-bucket routing and the delta fileset is broadcast-sized. */
 class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
     with SupportsWrite {
-  require(meta.deltaFiles.isEmpty || GraftV2Scan.morOverlayable(meta),
-    s"graft V2 reads need a compacted base or an overlay-able delta set; " +
-      s"${meta.name} has ${meta.deltaFiles.size} pending delta files and " +
-      "(multi-component hash, pending range drops, or deltas past the " +
-      "broadcast bound) — compact() first " +
-      "or read through the DSv1 'graft' format (merge-on-read)")
-  // The V2 parquet factory reads files by LOGICAL column name; a renamed or
-  // type-widened column lives in files under its physical name/type, and a
-  // column added later with a non-null read default is absent from old
-  // files — both would silently read wrong values here, so refuse instead.
-  // Absent-with-default heals via compact() (the rewrite materializes
-  // defaults); renamed/widened columns need the DSv1 id-remap read path.
-  require(meta.columns.forall { c =>
-      c.physName == c.name &&
-        (c.defaultValue.isEmpty || meta.baseFiles.forall(_.colIds.contains(c.id)))
-    },
-    s"graft V2 reads serve physical==logical column layouts only; " +
-      s"${meta.name} has renamed/widened or defaulted-absent columns — " +
-      "read through the DSv1 'graft' format (id-remap), or compact() to " +
-      "materialize absent defaults")
+
+  /** READ-path preconditions only — checked in [[newScanBuilder]], not at
+    * table resolution, so the WRITE path (which delegates to the engine's
+    * own layout-agnostic ops) stays available on any table. */
+  private def checkReadable(): Unit = {
+    require(meta.deltaFiles.isEmpty || GraftV2Scan.morOverlayable(meta),
+      s"graft V2 reads need a compacted base or an overlay-able delta set; " +
+        s"${meta.name} has ${meta.deltaFiles.size} pending delta files and " +
+        "(multi-component hash, pending range drops, or deltas past the " +
+        "broadcast bound) — compact() first " +
+        "or read through the DSv1 'graft' format (merge-on-read)")
+    // The V2 parquet factory reads files by LOGICAL column name; a renamed
+    // or type-widened column lives in files under its physical name/type,
+    // and a column added later with a non-null read default is absent from
+    // old files — both would silently read wrong values here, so refuse.
+    // Absent-with-default heals via compact() (the rewrite materializes
+    // defaults); renamed/widened columns need the DSv1 id-remap read path.
+    require(meta.columns.forall { c =>
+        c.physName == c.name &&
+          (c.defaultValue.isEmpty || meta.baseFiles.forall(_.colIds.contains(c.id)))
+      },
+      s"graft V2 reads serve physical==logical column layouts only; " +
+        s"${meta.name} has renamed/widened or defaulted-absent columns — " +
+        "read through the DSv1 'graft' format (id-remap), or compact() to " +
+        "materialize absent defaults")
+  }
 
   override def name(): String = meta.name
   override def schema(): StructType =
@@ -220,8 +226,10 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
     case _ => Array.empty // multi-component/per-range layouts: no report
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    checkReadable()
     new GraftScanBuilder(meta)
+  }
 }
 
 class GraftScanBuilder(meta: TableMeta) extends ScanBuilder
@@ -346,7 +354,7 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     val dead = new java.util.HashSet[Seq[Any]]()
     val ups = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Array[Any]]]()
     rows.foreach { r =>
-      dead.add(keyIdx.toSeq.map(i => r.get(i, types(i))))
+      dead.add(MorOverlay.keyOf(r, keyIdx, types))
       if (r.getUTF8String(opIdx).toString != GraftTable.OpDelete) {
         val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
           .hash(r.get(hashIdx, types(hashIdx)), types(hashIdx), 42L).toInt
@@ -375,6 +383,5 @@ object GraftV2Scan {
       case _ => false
     }) &&
       meta.rangeDrops.isEmpty &&
-      meta.deltaFiles.map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f.path))).sum <
-        GraftTable.BroadcastDeltaBytes
+      GraftTable.deltaBytes(meta.deltaFiles) < GraftTable.BroadcastDeltaBytes
 }

@@ -48,12 +48,34 @@ class MorOverlayReaderFactory(
   }
 }
 
+object MorOverlay {
+  /** Key tuple with VALUE semantics: binary key columns come out of
+    * InternalRow as Array[Byte], whose equals/hashCode are by reference —
+    * wrap them so the dead-set probe compares contents. Used by both the
+    * driver-side set construction and the per-row reader probe. */
+  def keyOf(row: InternalRow, idx: Array[Int],
+      types: Array[DataType]): Seq[Any] = {
+    val a = new Array[Any](idx.length)
+    var i = 0
+    while (i < idx.length) {
+      // types is indexed by ROW position (idx(i)), not by key ordinal
+      a(i) = row.get(idx(i), types(idx(i))) match {
+        case b: Array[Byte] => b.toSeq
+        case v => v
+      }
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+  }
+}
+
 class MorOverlayReader(
     inner: PartitionReader[InternalRow],
     info: MorOverlayInfo,
     bucket: Int) extends PartitionReader[InternalRow] {
 
   private var current: InternalRow = _
+  private val noDead = info.dead.isEmpty // insert-only delta sets skip the probe
   private val upIter: Iterator[Array[Any]] =
     if (bucket >= 0) info.upserts.getOrElse(bucket, Array.empty[Array[Any]]).iterator
     else info.upserts.valuesIterator.flatten
@@ -61,9 +83,8 @@ class MorOverlayReader(
   override def next(): Boolean = {
     while (inner.next()) {
       val row = inner.get()
-      val key: Seq[Any] =
-        info.keyIdx.toSeq.map(i => row.get(i, info.types(i)))
-      if (!info.dead.contains(key)) {
+      if (noDead ||
+          !info.dead.contains(MorOverlay.keyOf(row, info.keyIdx, info.types))) {
         current =
           if (info.identity) row
           else {

@@ -181,9 +181,9 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     if (deltaFiles.isEmpty) base
     else {
       val dLatest = latestDeltas(m, deltaFiles)
-      val deltaBytes = deltaFiles.map(f => fileSize(f.path)).sum
+      val dBytes = GraftTable.deltaBytes(deltaFiles)
       val dKeys0 = dLatest.select(m.keyCols.map(col): _*)
-      val dKeys = if (deltaBytes < BroadcastDeltaBytes) broadcast(dKeys0) else dKeys0
+      val dKeys = if (dBytes < BroadcastDeltaBytes) broadcast(dKeys0) else dKeys0
       val live = base.join(dKeys, m.keyCols, "left_anti")
       val upserts = dLatest.filter(col(OpCol) =!= lit(OpDelete))
         .select(m.columns.map(c => col(c.name).cast(c.dataType)): _*)
@@ -201,10 +201,6 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     deltas.withColumn(RnCol, row_number().over(w))
       .filter(col(RnCol) === 1).drop(RnCol)
   }
-
-  /** Total bytes of the pending delta fileset. */
-  private[graft] def deltaBytes(m: TableMeta): Long =
-    m.deltaFiles.map(f => fileSize(f.path)).sum
 
   /** Reads a set of files, remapping physical→current logical names per
     * schema generation (GetMappedReadProjection analog, common/schema.cc) and
@@ -666,9 +662,11 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   }
 
   /** Compact only if deltas are pending — the convenience gate before a
-    * DSv2 catalog read: the V2 batch path serves compacted bases only (no
-    * merge-on-read overlay there), so fold deltas first. Returns this
-    * table, so `Tables.readonly(...).compactForV2()` chains. */
+    * DSv2 catalog read on a layout the V2 merge-on-read overlay cannot
+    * serve (multi-component hash, pending range drops, deltas past the
+    * broadcast bound, renamed/widened columns — see
+    * sources/v2/MorOverlay.scala for what the overlay does handle).
+    * Returns this table, so `Tables.readonly(...).compactForV2()` chains. */
   def compactForV2(): GraftTable = {
     if (meta.deltaFiles.nonEmpty) compact()
     this
@@ -1237,6 +1235,11 @@ object GraftTable {
 
   def fileSize(p: String): Long =
     try Files.size(Paths.get(p)) catch { case _: Exception => 0L }
+
+  /** Total on-disk bytes of a fileset (missing files count 0 — sizing is
+    * advisory; the read itself reports the missing file). */
+  def deltaBytes(files: Seq[DataFileMeta]): Long =
+    files.map(f => fileSize(f.path)).sum
 
   /** CreateTable (D1, master/catalog_manager.h:671; KuduContext.createTable
     * :221): defines schema+PK+partitioning, optionally bulk-loads `data` as

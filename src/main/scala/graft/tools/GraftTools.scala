@@ -213,7 +213,11 @@ object GraftTools {
       if (!Files.exists(Paths.get(f.path)))
         issues += s"missing ${f.kind} file (v${f.seq}): ${f.path}"
       else {
-        val pathBucket = coord(f.path, "_b").map(_.toInt)
+        // a malformed coordinate is itself a finding, not a crash
+        val rawBucket = coord(f.path, "_b")
+        val pathBucket = rawBucket.flatMap(_.toIntOption)
+        if (rawBucket.isDefined && pathBucket.isEmpty)
+          issues += s"malformed bucket coordinate '${rawBucket.get}': ${f.path}"
         if (f.bucket.isDefined && pathBucket.isDefined && f.bucket != pathBucket)
           issues += s"bucket mismatch: manifest ${f.bucket.get} vs path ${pathBucket.get}: ${f.path}"
         val pathRange = coord(f.path, "_r")
@@ -226,10 +230,12 @@ object GraftTools {
 
     // every snapshot version's references, for orphan detection + chain audit
     val metaDir = TableMeta.metaDir(location)
-    val versions = Files.list(metaDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d+\\.json") => s.drop(1).dropRight(5).toLong }
-      .toSeq.sorted
+    val versions = scala.util.Using.resource(Files.list(metaDir)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("v\\d+\\.json") => s.drop(1).dropRight(5).toLong }
+        .toSeq.sorted
+    }
     (1L to cur).filterNot(versions.contains).foreach { v =>
       issues += s"version chain gap: v$v missing (time travel degrades to linear scan)"
     }
@@ -241,11 +247,13 @@ object GraftTools {
     }.toSet
     val dataDir = Paths.get(location, "data")
     if (Files.isDirectory(dataDir)) {
-      Files.walk(dataDir).iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .map(_.normalize.toString)
-        .filterNot(referenced.contains)
-        .foreach(p => issues += s"orphan data file (no snapshot references it): $p")
+      scala.util.Using.resource(Files.walk(dataDir)) { stream =>
+        stream.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .map(_.normalize.toString)
+          .filterNot(referenced.contains)
+          .foreach(p => issues += s"orphan data file (no snapshot references it): $p")
+      }
     }
     issues.toSeq
   }

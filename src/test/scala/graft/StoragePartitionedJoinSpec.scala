@@ -225,6 +225,27 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.gref.warehouse", wh)
     val e = intercept[Exception] { spark.table("gref.multi").count() }
     assert(e.getMessage.contains("compact"), e.getMessage)
+    // the READ refusal must not block V2 WRITES: the write path delegates
+    // to the engine's layout-agnostic ops, so repeated INSERT INTO works
+    // even while the table stays V2-unreadable
+    spark.sql("INSERT INTO gref.multi VALUES (100, 700, 'w1')")
+    spark.sql("INSERT INTO gref.multi VALUES (101, 707, 'w2')")
+    assert(t.scan().filter(col("a") >= 100).count() == 2)
+  }
+
+  test("MOR overlay compares binary keys by content, not reference") {
+    val wh = Files.createTempDirectory("graft-wh5-").toString
+    val df = Seq((Array[Byte](1, 2), "a"), (Array[Byte](3, 4), "b"),
+      (Array[Byte](5, 6), "c")).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/bin", "bin", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    t.upsert(Seq((Array[Byte](1, 2), "changed")).toDF("k", "v"))
+    t.delete(Seq(Tuple1(Array[Byte](3, 4))).toDF("k"))
+    spark.conf.set("spark.sql.catalog.gbin", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbin.warehouse", wh)
+    val got = spark.table("gbin.bin").collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq -> r.getString(1)).toMap
+    assert(got == Map(Seq[Byte](1, 2) -> "changed", Seq[Byte](5, 6) -> "c"), got)
   }
 
   test("runtime IN filters prune input files but preserve the key groups") {
