@@ -71,13 +71,61 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     new GraftV2Table(TableMeta.readCurrent(loc))
   }
 
+  /** CREATE TABLE through SQL: `PARTITIONED BY (bucket(n, col))` maps to
+    * the engine's hash component; the primary key comes from the
+    * `graft.keys` table property (comma-separated), defaulting to the
+    * bucket columns — the same convention as the reference's SQL
+    * integration (`kudu.primary-key-columns`). */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "create graft tables via GraftTable.create or the DSv1 'graft' format")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val loc = locationFor(ident)
+    require(!GraftTable.exists(loc), s"table already exists: $ident")
+    val hash = partitions.toSeq.map { t =>
+      require(t.name == "bucket",
+        s"only bucket(n, col) transforms are supported, got: $t")
+      val n = t.arguments.head.describe.toInt
+      val cols = t.arguments.tail.map(_.describe.stripPrefix("`").stripSuffix("`"))
+      graft.catalog.HashComponent(cols.toSeq, n)
+    }
+    val keys = Option(properties.get("graft.keys"))
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(hash.flatMap(_.cols).distinct)
+    require(keys.nonEmpty,
+      "primary key required: PARTITIONED BY (bucket(n, col)) or TBLPROPERTIES ('graft.keys'='c1,c2')")
+    GraftTable.create(SparkSession.active, loc, ident.name(), schema, keys, hash)
+    new GraftV2Table(TableMeta.readCurrent(loc))
+  }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("alter via the GraftTable API")
+  /** ALTER TABLE through SQL — TableChanges map onto the engine's
+    * column-id ALTERs (add/rename/drop/widen/comment). Unsupported shapes
+    * (key/partition changes, position moves) error rather than mis-apply. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val loc = locationFor(ident)
+    if (!GraftTable.exists(loc)) throw new NoSuchTableException(ident)
+    val t = GraftTable.load(SparkSession.active, loc)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1, "nested columns are not supported")
+        t.addColumn(a.fieldNames.head, a.dataType, a.isNullable)
+        Option(a.comment).foreach(c => t.setComment(a.fieldNames.head, Some(c)))
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1, "nested columns are not supported")
+        t.renameColumn(r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1, "nested columns are not supported")
+        t.dropColumn(d.fieldNames.head)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1, "nested columns are not supported")
+        t.widenColumnType(u.fieldNames.head, u.newDataType)
+      case c: TableChange.UpdateColumnComment =>
+        require(c.fieldNames.length == 1, "nested columns are not supported")
+        t.setComment(c.fieldNames.head, Option(c.newComment))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported ALTER for graft tables: $other")
+    }
+    new GraftV2Table(TableMeta.readCurrent(loc))
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val loc = locationFor(ident)

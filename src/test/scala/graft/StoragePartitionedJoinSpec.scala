@@ -233,6 +233,35 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(t.scan().filter(col("a") >= 100).count() == 2)
   }
 
+  test("V2 DDL: CREATE TABLE and ALTER TABLE map onto engine ops") {
+    val wh = Files.createTempDirectory("graft-wh6-").toString
+    spark.conf.set("spark.sql.catalog.gddl", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gddl.warehouse", wh)
+    spark.sql("CREATE TABLE gddl.nt (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gddl.nt VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE gddl.nt ADD COLUMN n INT")
+    spark.sql("INSERT INTO gddl.nt VALUES (3, 'c', 30)")
+    val rows = spark.table("gddl.nt").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2))).toMap
+    assert(rows == Map(1L -> ("a", -1), 2L -> ("b", -1), 3L -> ("c", 30)))
+    spark.sql("ALTER TABLE gddl.nt ALTER COLUMN n COMMENT 'counter'")
+    val t = GraftTable.load(spark, s"$wh/nt")
+    assert(t.meta.column("n").comment.contains("counter"))
+    assert(t.meta.keyCols == Seq("k") && t.meta.hash.head.buckets == 4)
+    // widening through SQL lands, and the V2 read guard then points the
+    // reader at the DSv1 remap path (physName != name after a widen)
+    spark.sql("ALTER TABLE gddl.nt ALTER COLUMN n TYPE BIGINT")
+    assert(t.meta.column("n").dataType == org.apache.spark.sql.types.LongType)
+    val e = intercept[Exception] { spark.table("gddl.nt").count() }
+    assert(e.getMessage.contains("DSv1"), e.getMessage)
+    assert(t.scan().count() == 3) // the engine path reads through the remap
+    // unsupported shapes refuse rather than mis-apply
+    val e2 = intercept[Exception] { spark.sql("ALTER TABLE gddl.nt DROP COLUMN k") }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ msgs(t.getCause))
+    assert(msgs(e2).exists(_.contains("key")), e2.toString)
+  }
+
   test("MOR overlay compares binary keys by content, not reference") {
     val wh = Files.createTempDirectory("graft-wh5-").toString
     val df = Seq((Array[Byte](1, 2), "a"), (Array[Byte](3, 4), "b"),
