@@ -72,6 +72,16 @@ class FuzzSpec extends AnyFunSuite {
       df.collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
 
     assert(stateOf(t.scan()) == model.toMap, s"final state mismatch seed=$seed")
+    // the DSv2 catalog's merge-on-read overlay must agree with the DSv1
+    // scan on the same random end state (per-bucket delta routing)
+    val whName = java.nio.file.Paths.get(loc).getFileName.toString
+    val catName = s"gfuzz$seed"
+    spark.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse",
+      java.nio.file.Paths.get(loc).getParent.toString)
+    assert(stateOf(spark.table(s"$catName.`$whName`")) == model.toMap,
+      s"V2 overlay mismatch seed=$seed")
     snaps.foreach { case (ver, m) =>
       assert(stateOf(t.scan(Some(ver))) == m, s"snapshot v$ver mismatch seed=$seed")
     }
