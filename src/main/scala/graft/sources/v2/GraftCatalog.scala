@@ -233,7 +233,8 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
   override def schema(): StructType =
     StructType(meta.visibleColumns.map(_.toField))
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   /** V2 writes through the V1 fallback (the established bridge for engines
     * whose commit unit is a table-level operation): INSERT INTO /
@@ -244,7 +245,14 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // set by Spark's V2Writes when the plan is INSERT OVERWRITE with a
+      // true-literal delete expression (plain overwrite)
+      private var doTruncate = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        doTruncate = true; this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation
@@ -252,11 +260,13 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
             new org.apache.spark.sql.sources.InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame,
                   overwrite: Boolean): Unit = {
-                require(!overwrite,
-                  "INSERT OVERWRITE is not supported; use the engine API " +
-                    "(deleteWhere + upsert) for replace semantics")
                 val t = GraftTable.load(SparkSession.active, meta.location)
-                info.options.getOrDefault("graft.operation", "upsert") match {
+                if (doTruncate || overwrite) {
+                  // INSERT OVERWRITE = truncate-then-upsert, the same
+                  // semantics as the DSv1 format's SaveMode.Overwrite
+                  t.deleteWhere(org.apache.spark.sql.functions.lit(true))
+                  t.upsert(data)
+                } else info.options.getOrDefault("graft.operation", "upsert") match {
                   case "insert"        => t.insert(data)
                   case "insert-ignore" => t.insertIgnore(data)
                   case "upsert"        => t.upsert(data)

@@ -183,6 +183,13 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     val m = spark.table("gw.t1").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(m.size == 102 && m(101L) == "sqlnew" && m(5L) == "sqlupd" && m(102L) == "dfnew")
+    // INSERT OVERWRITE truncates then upserts (DSv1 SaveMode.Overwrite)
+    spark.sql("INSERT OVERWRITE gw.t1 VALUES (7, 'only')")
+    val after = spark.table("gw.t1").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == Map(7L -> "only"), after)
+    spark.sql("INSERT INTO gw.t1 VALUES (5, 'back')") // table stays writable
+    assert(spark.table("gw.t1").count() == 2)
     // strict insert on an existing key errors through the same surface
     val e = intercept[Exception] {
       Seq((5L, "dup")).toDF("k", "v").writeTo("gw.t1")
