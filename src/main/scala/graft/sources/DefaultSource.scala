@@ -85,8 +85,7 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       }
     }
     (mode, parameters.getOrElse("graft.operation", "upsert")) match {
-      case (SaveMode.Overwrite, _) =>
-        table.deleteWhere(lit(true)); table.upsert(data)
+      case (SaveMode.Overwrite, _) => table.overwrite(data)
       case (_, "insert") => table.insert(data)
       case (_, "insert-ignore") => table.insertIgnore(data)
       case (_, "upsert") => table.upsert(data)

@@ -79,7 +79,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val loc = locationFor(ident)
-    require(!GraftTable.exists(loc), s"table already exists: $ident")
+    if (GraftTable.exists(loc))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    // reserved properties this catalog cannot honor must error, not be
+    // silently dropped (a LOCATION the user asked for would otherwise
+    // land the data under the warehouse with no warning)
+    Seq("location", "external").foreach { p =>
+      require(!properties.containsKey(p),
+        s"graft tables live under the catalog warehouse; '$p' is not supported")
+    }
     val hash = partitions.toSeq.map { t =>
       require(t.name == "bucket",
         s"only bucket(n, col) transforms are supported, got: $t")
@@ -98,31 +107,62 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   /** ALTER TABLE through SQL — TableChanges map onto the engine's
     * column-id ALTERs (add/rename/drop/widen/comment). Unsupported shapes
-    * (key/partition changes, position moves) error rather than mis-apply. */
+    * (key/partition changes, position moves, nested columns) error rather
+    * than mis-apply, and every change is VALIDATED against the current
+    * schema before ANY is applied — each engine ALTER is its own commit,
+    * so a mid-list failure would otherwise leave earlier changes applied
+    * while the statement reports failure. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val loc = locationFor(ident)
     if (!GraftTable.exists(loc)) throw new NoSuchTableException(ident)
     val t = GraftTable.load(SparkSession.active, loc)
+    val m = t.meta
+    // pass 1: validate everything against a simulated column-name set
+    val names = scala.collection.mutable.Set[String](m.columns.map(_.name): _*)
+    def one(fieldNames: Array[String]): String = {
+      require(fieldNames.length == 1, "nested columns are not supported")
+      fieldNames.head
+    }
+    def existing(n: String): String = {
+      require(names.contains(n), s"no such column: $n"); n
+    }
     changes.foreach {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1, "nested columns are not supported")
-        t.addColumn(a.fieldNames.head, a.dataType, a.isNullable)
-        Option(a.comment).foreach(c => t.setComment(a.fieldNames.head, Some(c)))
+        val n = one(a.fieldNames)
+        require(a.position == null, "column position (FIRST/AFTER) is not supported")
+        require(a.isNullable, "non-nullable ADD COLUMN needs a default; " +
+          "use the engine API addColumn(default = ...)")
+        require(!names.contains(n), s"column exists: $n")
+        names += n
       case r: TableChange.RenameColumn =>
-        require(r.fieldNames.length == 1, "nested columns are not supported")
-        t.renameColumn(r.fieldNames.head, r.newName)
+        val n = existing(one(r.fieldNames))
+        require(!names.contains(r.newName), s"column exists: ${r.newName}")
+        names -= n; names += r.newName
       case d: TableChange.DeleteColumn =>
-        require(d.fieldNames.length == 1, "nested columns are not supported")
-        t.dropColumn(d.fieldNames.head)
-      case u: TableChange.UpdateColumnType =>
-        require(u.fieldNames.length == 1, "nested columns are not supported")
-        t.widenColumnType(u.fieldNames.head, u.newDataType)
-      case c: TableChange.UpdateColumnComment =>
-        require(c.fieldNames.length == 1, "nested columns are not supported")
-        t.setComment(c.fieldNames.head, Option(c.newComment))
+        val n = existing(one(d.fieldNames))
+        require(!m.keyCols.contains(n) && !m.hash.exists(_.cols.contains(n)) &&
+          !m.range.exists(_.col == n), s"cannot drop key/partition column $n")
+        names -= n
+      case u: TableChange.UpdateColumnType => existing(one(u.fieldNames))
+      case c: TableChange.UpdateColumnComment => existing(one(c.fieldNames))
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER for graft tables: $other")
+    }
+    // pass 2: apply (widen legality is still engine-checked; a widen
+    // failure can only be the FIRST engine error for its column since
+    // pass 1 guaranteed structural validity)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        t.addColumn(a.fieldNames.head, a.dataType, a.isNullable)
+        Option(a.comment).foreach(c => t.setComment(a.fieldNames.head, Some(c)))
+      case r: TableChange.RenameColumn => t.renameColumn(r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn => t.dropColumn(d.fieldNames.head)
+      case u: TableChange.UpdateColumnType =>
+        t.widenColumnType(u.fieldNames.head, u.newDataType)
+      case c: TableChange.UpdateColumnComment =>
+        t.setComment(c.fieldNames.head, Option(c.newComment))
+      case _ => ()
     }
     new GraftV2Table(TableMeta.readCurrent(loc))
   }
@@ -262,10 +302,9 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
                   overwrite: Boolean): Unit = {
                 val t = GraftTable.load(SparkSession.active, meta.location)
                 if (doTruncate || overwrite) {
-                  // INSERT OVERWRITE = truncate-then-upsert, the same
-                  // semantics as the DSv1 format's SaveMode.Overwrite
-                  t.deleteWhere(org.apache.spark.sql.functions.lit(true))
-                  t.upsert(data)
+                  // one atomic commit (tombstones + upserts together) —
+                  // shared with the DSv1 format's SaveMode.Overwrite
+                  t.overwrite(data)
                 } else info.options.getOrDefault("graft.operation", "upsert") match {
                   case "insert"        => t.insert(data)
                   case "insert-ignore" => t.insertIgnore(data)

@@ -550,6 +550,27 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       if (ignore) "delete_ignore" else "delete")
   }
 
+  /** OVERWRITE: replace the table's live rows with `df` in ONE atomic
+    * commit — tombstones for current keys absent from the batch plus
+    * upserts for the batch, a single delta fileset under a single snapshot
+    * version. Unlike deleteWhere + upsert, a failure anywhere commits
+    * nothing (the two-commit form can leave the table truncated when the
+    * second step fails). SaveMode.Overwrite and SQL INSERT OVERWRITE both
+    * map here. Pre-overwrite snapshots stay readable via time travel. */
+  def overwrite(df: DataFrame): Unit = {
+    val m = meta
+    val batch = conform(m, assignAutoInc(m, df))
+    val newKeys = batch.select(m.keyCols.map(col): _*)
+    val gone = scanMeta(m).select(m.keyCols.map(col): _*)
+      .join(newKeys, m.keyCols, "left_anti")
+    val tombstones = gone.select(m.columns.map { c =>
+      if (m.keyCols.contains(c.name)) col(c.name)
+      else lit(null).cast(c.dataType).as(c.name)
+    }: _*).withColumn(OpCol, lit(OpDelete))
+    commitDelta(m, batch.withColumn(OpCol, lit(OpUpsert)).unionByName(tombstones),
+      "overwrite", guardDupKeys = true)
+  }
+
   /** DELETE WHERE — resolves matching PKs at current snapshot then deletes. */
   def deleteWhere(condition: Column): Unit = {
     val m = meta
@@ -694,6 +715,11 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       default: Option[String] = None): Unit = {
     val m = meta
     require(!m.columns.exists(_.name == colName), s"column exists: $colName")
+    // rows written before the add read the default; without one a
+    // non-nullable column would read NULL, contradicting its own schema
+    // (the reference likewise requires a default for non-nullable adds)
+    require(nullable || default.isDefined,
+      s"non-nullable column $colName requires a default (existing rows must read something)")
     val used = m.columns.map(_.physName).toSet ++ m.retiredPhysNames
     val phys = if (used.contains(colName)) s"${colName}_cid${m.nextColId}" else colName
     val cm = ColumnMeta(m.nextColId, colName, phys, dataType.json, nullable,
@@ -702,13 +728,19 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   }
 
   /** RENAME_COLUMN — logical name only; files keep the physical name, so no
-    * rewrite (the point of id-based schemas, common/schema.h:723). */
+    * rewrite (the point of id-based schemas, common/schema.h:723). Hash and
+    * range component references follow the rename (they store column NAMES;
+    * the physical layout is unchanged since bucketing resolves through the
+    * column's physName, which a rename never touches). */
   def renameColumn(from: String, to: String): Unit = {
     val m = meta
     require(m.columns.exists(_.name == from), s"no such column: $from")
     require(!m.columns.exists(_.name == to), s"column exists: $to")
-    bumpMeta(m.copy(columns = m.columns.map(c =>
-      if (c.name == from) c.copy(name = to) else c)), "rename_column")
+    bumpMeta(m.copy(
+      columns = m.columns.map(c => if (c.name == from) c.copy(name = to) else c),
+      hash = m.hash.map(hc => hc.copy(cols = hc.cols.map(c => if (c == from) to else c))),
+      range = m.range.map(r => if (r.col == from) r.copy(col = to) else r)),
+      "rename_column")
   }
 
   /** RENAME TABLE — logical name only, the storage location is the
@@ -734,6 +766,10 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     val m = meta
     val cm = m.column(colName)
     require(!cm.isKey, s"cannot drop key column $colName")
+    require(!m.hash.exists(_.cols.contains(colName)),
+      s"cannot drop hash-partition column $colName")
+    require(!m.range.exists(_.col == colName),
+      s"cannot drop range-partition column $colName")
     bumpMeta(m.copy(columns = m.columns.filterNot(_.name == colName),
       retiredPhysNames = m.retiredPhysNames :+ cm.physName), "drop_column")
   }

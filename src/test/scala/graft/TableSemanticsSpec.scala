@@ -128,6 +128,45 @@ class TableSemanticsSpec extends AnyFunSuite {
     assert(r4.isNullAt(0))
   }
 
+  test("partition-column ALTERs: rename follows references, drop refuses") {
+    val data = Seq((1, "a", 10), (2, "b", 20)).toDF("k", "v", "g")
+    val t = GraftTable.create(spark, tmp(), "pt",
+      StructType(Seq(StructField("k", IntegerType, false),
+        StructField("v", StringType), StructField("g", IntegerType))),
+      keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), 2)), data = Some(data))
+    // rename the hash column: references follow, layout unchanged, table
+    // stays fully functional (write + scan + compact)
+    t.renameColumn("k", "id")
+    assert(t.meta.hash.head.cols == Seq("id"))
+    t.upsert(Seq((3, "c", 30)).toDF("id", "v", "g"))
+    assert(t.scan().count() == 3)
+    t.compact()
+    assert(t.scan().filter(col("id") === 3).count() == 1)
+    // dropping a hash (or key) column refuses rather than desyncing
+    intercept[IllegalArgumentException] { t.dropColumn("id") }
+  }
+
+  test("overwrite is one atomic commit; failed overwrite leaves state intact") {
+    val t = newKv(1 -> "a", 2 -> "b")
+    t.overwrite(kv(2 -> "B", 9 -> "z"))
+    assert(asMap(t) == Map(2 -> "B", 9 -> "z"))
+    val vAfter = t.currentVersion
+    // duplicate keys in the batch error AND nothing commits — the
+    // two-step deleteWhere+upsert form would have truncated first
+    intercept[Exception] { t.overwrite(kv(5 -> "x", 5 -> "y")) }
+    assert(t.currentVersion == vAfter)
+    assert(asMap(t) == Map(2 -> "B", 9 -> "z"))
+  }
+
+  test("non-nullable column add requires a default") {
+    val t = newKv(1 -> "a")
+    intercept[IllegalArgumentException] {
+      t.addColumn("n", IntegerType, nullable = false)
+    }
+    t.addColumn("n", IntegerType, nullable = false, default = Some("7"))
+    assert(t.scan().select("n").collect().map(_.getInt(0)).toSeq == Seq(7))
+  }
+
   test("renameTable and setComment are metadata-only ALTERs") {
     val t = newKv(1 -> "a")
     val v0 = t.currentVersion
