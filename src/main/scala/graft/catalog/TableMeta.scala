@@ -180,11 +180,20 @@ object TableMeta {
     // Optimistic single-writer guard: two writers racing to commit the same
     // next version — the second one fails instead of silently clobbering
     // (the engine's commit unit is one snapshot version, SURVEY.md §7.3(c)).
-    if (meta.version > 1 && Files.exists(vf))
-      throw new IllegalStateException(
-        s"concurrent commit detected: version ${meta.version} already exists at ${meta.location}")
-    Files.write(vf, Serialization.writePretty(meta).getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    // CREATE_NEW makes check-and-write one atomic filesystem operation, so
+    // concurrent committers cannot both pass an existence check (the loser
+    // gets FileAlreadyExistsException and its _current swing never happens).
+    val bytes = Serialization.writePretty(meta).getBytes(StandardCharsets.UTF_8)
+    try {
+      if (meta.version > 1)
+        Files.write(vf, bytes, StandardOpenOption.CREATE_NEW)
+      else // v1 = table creation; CreateTable has its own exists/overwrite policy
+        Files.write(vf, bytes, StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent commit detected: version ${meta.version} already exists at ${meta.location}")
+    }
     // Atomic pointer swing = our single-writer commit protocol (the Spark
     // analog of the reference's Raft-replicated metadata commit).
     val tmp = metaDir(meta.location).resolve(s"_current.json.tmp${meta.version}")

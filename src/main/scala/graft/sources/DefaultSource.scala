@@ -163,8 +163,11 @@ case class GraftRelation(sqlContext: SQLContext, location: String,
     filters.filter(f => GraftRelation.toColumn(f).isEmpty)
 
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-    if (overwrite) table.deleteWhere(lit(true))
-    table.upsert(data)
+    // overwrite goes through the single-version atomic replace: a
+    // mid-statement failure leaves the pre-statement snapshot intact
+    // (never truncate-then-die; same path as SaveMode.Overwrite above).
+    if (overwrite) table.overwrite(data)
+    else table.upsert(data)
   }
 }
 

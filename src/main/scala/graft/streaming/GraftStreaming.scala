@@ -77,7 +77,10 @@ object GraftStreaming {
     spark.readStream
       .schema(StructType(fields))
       .option("maxFilesPerTrigger", "64")
-      // delta dirs carry a per-commit-attempt unique suffix
-      .parquet(s"${table.location}/data/c*_delta*")
+      // delta dirs carry a per-commit-attempt unique suffix. The glob must
+      // match only original c<v>_delta_<id> filesets, NOT c<v>_deltamerge_<id>
+      // compaction outputs — a minor fold rewrites latest-per-key rows and
+      // would otherwise re-emit the entire delta set into the change stream.
+      .parquet(s"${table.location}/data/c*_delta_*")
   }
 }
