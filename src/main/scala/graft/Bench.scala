@@ -39,9 +39,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double) = {
-      val times = (1 to iters).map(_ => runOnce(name, fn)).sorted
-      val med = times(times.size / 2)
-      System.err.println(f"[bench] $name%-22s med $med%8.2f s  (runs: " +
+      def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.size / 2) }
+      var times = (1 to iters).map(_ => runOnce(name, fn))
+      // Short queries have a noise floor of several x at k=3 (JIT, GC, AQE
+      // re-plans swamp the signal — r05->r06 saw 3-5x median swings on
+      // identical binaries). Escalate those to k>=7 and drop the first
+      // (cold: codegen + plan warmup) run so the median stabilizes;
+      // expensive queries keep k=3 (their signal already dominates the
+      // noise). Threshold 1.5s so queries straddling 1s can't flip between
+      // k=3 and k=7 across rounds.
+      if (median(times) < 1.5 && iters < 7)
+        times = (times ++ (times.size to 7).map(_ => runOnce(name, fn))).drop(1)
+      val med = median(times)
+      System.err.println(f"[bench] $name%-22s med $med%8.2f s  min ${times.min}%.2f  (runs: " +
         times.map(t => f"$t%.2f").mkString(" ") + ")")
       name -> med
     }

@@ -72,7 +72,16 @@ case class HashComponent(cols: Seq[String], buckets: Int)
   * coordinate). The reference's PartialRow bounds
   * (CreateTableOptions.addRangePartition, AlterTableOptions.java:321-394;
   * common/partition.h:169). */
-case class RangeBound(key: String, lower: Option[String], upper: Option[String])
+case class RangeBound(key: String, lower: Option[String], upper: Option[String],
+    // Tuple endpoints for multi-column range components (composite encoded
+    // bounds, common/partition.h:169): one external-form value per range
+    // column, compared tuple-lexicographically. Single-column tables keep
+    // using lower/upper; older metadata reads these as None.
+    lowers: Option[Seq[String]] = None, uppers: Option[Seq[String]] = None) {
+  /** Endpoint as a tuple regardless of arity (None = unbounded end). */
+  def lowerTuple: Option[Seq[String]] = lowers.orElse(lower.map(Seq(_)))
+  def upperTuple: Option[Seq[String]] = uppers.orElse(upper.map(Seq(_)))
+}
 
 /** Optional range component. Two modes:
   *  - granularity "year"|"month"|"day"|"value": every value derives its own
@@ -83,9 +92,19 @@ case class RangeBound(key: String, lower: Option[String], upper: Option[String])
   *    (the reference's non-covered-range semantics, common/partition.h:169).
   */
 case class RangeComponent(col: String, granularity: String,
-    bounds: Option[Seq[RangeBound]] = None) {
+    bounds: Option[Seq[RangeBound]] = None,
+    // Additional range-key columns after `col`, making the component span
+    // a multi-column tuple `(col, moreCols...)` with lexicographic bounds
+    // (PartitionSchemaPB range_schema, common/common.proto:355-398;
+    // common/partition.h:169). Multi-column components require bounds
+    // mode — granularity key derivation is single-column by construction.
+    // Option-typed so metadata written by older builds reads as None.
+    moreCols: Option[Seq[String]] = None) {
   def isBounds: Boolean = bounds.isDefined
   def boundsList: Seq[RangeBound] = bounds.getOrElse(Nil)
+  /** All range-key columns in lexicographic significance order. */
+  def columns: Seq[String] = col +: moreCols.getOrElse(Nil)
+  def isMulti: Boolean = moreCols.exists(_.nonEmpty)
 }
 
 /** A DROP RANGE PARTITION record: rows of `key` written at a commit
@@ -97,7 +116,12 @@ case class RangeComponent(col: String, granularity: String,
   * unmapped) key. */
 case class RangeDrop(key: String, version: Long,
     lower: Option[String] = None, upper: Option[String] = None,
-    bounded: Option[Boolean] = None)
+    bounded: Option[Boolean] = None,
+    // Tuple interval for multi-column range components (see RangeBound).
+    lowers: Option[Seq[String]] = None, uppers: Option[Seq[String]] = None) {
+  def lowerTuple: Option[Seq[String]] = lowers.orElse(lower.map(Seq(_)))
+  def upperTuple: Option[Seq[String]] = uppers.orElse(upper.map(Seq(_)))
+}
 
 /**
  * One data file tracked by a snapshot.
@@ -201,6 +225,33 @@ object TableMeta {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, currentFile(meta.location), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Rewrite every snapshot's absolute paths after a directory move
+    * (ALTER TABLE ... RENAME: the engine moves the table dir, then all
+    * version metadata must swap the old location prefix for the new one,
+    * keeping time travel over pre-rename snapshots working). Runs on the
+    * already-moved directory; bounded driver-side work, one JSON rewrite
+    * per version. */
+  def relocate(from: String, to: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    def swap(p: String): String =
+      if (p == from) to
+      else if (p.startsWith(from + "/")) to + p.substring(from.length)
+      else p
+    val vfs = scala.util.Using.resource(Files.list(metaDir(to))) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d+\\.json")).toSeq
+    }
+    vfs.foreach { vf =>
+      val m = Serialization.read[TableMeta](
+        new String(Files.readAllBytes(vf), StandardCharsets.UTF_8))
+      val moved = m.copy(location = swap(m.location),
+        baseFiles = m.baseFiles.map(f => f.copy(path = swap(f.path))),
+        deltaFiles = m.deltaFiles.map(f => f.copy(path = swap(f.path))))
+      Files.write(vf, Serialization.writePretty(moved).getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
   }
 
   def currentVersion(location: String): Long = {

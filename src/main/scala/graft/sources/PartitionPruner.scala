@@ -62,19 +62,31 @@ object PartitionPruner {
       org.apache.spark.sql.catalyst.expressions.LessThan(
         Literal.create(a, dt), Literal.create(c, dt)).eval(null).asInstanceOf[Boolean]
     def le(a: Any, c: Any): Boolean = !lt(c, a)
-    val lo = b.lower.map(ext)
-    val up = b.upper.map(ext)
+    // Prune on the FIRST range column (the most significant tuple
+    // position): a multi-column bound [(l1,l2..), (u1,u2..)) projects to
+    // [l1, u1] on the first column — CLOSED at u1, because a row with
+    // first-col == u1 can still fall inside the bound when its remaining
+    // tuple positions compare below (u2..). Single-column bounds keep the
+    // half-open [l1, u1) interval. Later-column predicates are not used
+    // for pruning (conservative: kept files only cost a scan).
+    val multi = r.isMulti
+    val lo = b.lowerTuple.map(t => ext(t.head))
+    val up = b.upperTuple.map(t => ext(t.head))
+    def upOk(cv: Any): Boolean =
+      up.forall(u => if (multi) le(cv, u) else lt(cv, u))
     filters.forall {
       case EqualTo(c, v) if c == r.col =>
-        val cv = ext(v); lo.forall(l => le(l, cv)) && up.forall(u => lt(cv, u))
+        val cv = ext(v); lo.forall(l => le(l, cv)) && upOk(cv)
       case In(c, vs) if c == r.col =>
         vs.exists { v =>
-          val cv = ext(v); lo.forall(l => le(l, cv)) && up.forall(u => lt(cv, u))
+          val cv = ext(v); lo.forall(l => le(l, cv)) && upOk(cv)
         }
       case LessThan(c, v) if c == r.col => lo.forall(l => lt(l, ext(v)))
       case LessThanOrEqual(c, v) if c == r.col => lo.forall(l => le(l, ext(v)))
+      // GT: a multi bound's closed u1 still needs u1 > v (col1 == u1 > v)
       case GreaterThan(c, v) if c == r.col => up.forall(u => lt(ext(v), u))
-      case GreaterThanOrEqual(c, v) if c == r.col => up.forall(u => lt(ext(v), u))
+      case GreaterThanOrEqual(c, v) if c == r.col =>
+        up.forall(u => if (multi) le(ext(v), u) else lt(ext(v), u))
       case _ => true
     }
   }

@@ -141,7 +141,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       case d: TableChange.DeleteColumn =>
         val n = existing(one(d.fieldNames))
         require(!m.keyCols.contains(n) && !m.hash.exists(_.cols.contains(n)) &&
-          !m.range.exists(_.col == n), s"cannot drop key/partition column $n")
+          !m.range.exists(_.columns.contains(n)), s"cannot drop key/partition column $n")
         names -= n
       case u: TableChange.UpdateColumnType => existing(one(u.fieldNames))
       case c: TableChange.UpdateColumnComment => existing(one(c.fieldNames))
@@ -174,8 +174,29 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     existed
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("rename not supported")
+  /** ALTER TABLE ... RENAME TO — engine logical rename + atomic directory
+    * move + per-version path relocation, so pre-rename snapshots stay
+    * time-travelable at the new identity (reference:
+    * AlterTableOptions.java RenameTable; master/catalog_manager.h:726).
+    * Cross-namespace moves refuse: namespaces are warehouse directories
+    * and a cross-directory move is not atomic on every filesystem. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!oldIdent.namespace().sameElements(newIdent.namespace()))
+      throw new UnsupportedOperationException(
+        s"cross-namespace rename not supported: ${oldIdent.namespace().mkString(".")} -> " +
+          newIdent.namespace().mkString("."))
+    val oldLoc = locationFor(oldIdent)
+    val newLoc = locationFor(newIdent)
+    if (!GraftTable.exists(oldLoc)) throw new NoSuchTableException(oldIdent)
+    if (GraftTable.exists(newLoc))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (newIdent.namespace() :+ newIdent.name()).toSeq)
+    GraftTable.load(SparkSession.active, oldLoc).renameTable(newIdent.name())
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(oldLoc), java.nio.file.Paths.get(newLoc),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    TableMeta.relocate(oldLoc, newLoc)
+  }
 
   // ---- FunctionCatalog: resolves the `bucket` transform the tables report
 
@@ -250,8 +271,8 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
     require(meta.deltaFiles.isEmpty || GraftV2Scan.morOverlayable(meta),
       s"graft V2 reads need a compacted base or an overlay-able delta set; " +
         s"${meta.name} has ${meta.deltaFiles.size} pending delta files and " +
-        "(multi-component hash, pending range drops, or deltas past the " +
-        "broadcast bound) — compact() first " +
+        "(no hash layout, per-range hash overrides, pending range drops, " +
+        "or deltas past the broadcast bound) — compact() first " +
         "or read through the DSv1 'graft' format (merge-on-read)")
     // The V2 parquet factory reads files by LOGICAL column name; a renamed
     // or type-widened column lives in files under its physical name/type,
@@ -368,7 +389,7 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     * (bucket pruning) and the range column (bound/granularity pruning) —
     * exactly what [[graft.sources.PartitionPruner]] understands. */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    (meta.hash.flatMap(_.cols) ++ meta.range.map(_.col).toSeq)
+    (meta.hash.flatMap(_.cols) ++ meta.range.toSeq.flatMap(_.columns))
       .distinct.map(Expressions.column).toArray
 
   override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
@@ -440,8 +461,13 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     val types = internalFields.map(_.dataType)
     val keyIdx = m.keyCols.map(k => internalSchema.fieldIndex(k)).toArray
     val outIdx = requiredSchema.fieldNames.map(internalSchema.fieldIndex)
-    val hashIdx = internalSchema.fieldIndex(m.hash.head.cols.head)
-    val buckets = m.hash.head.buckets
+    // composite bucket arithmetic — the exact fold of GraftTable.bucketExpr
+    // (acc * buckets + pmod(murmur3_seed42(cols...), buckets) per hash
+    // component), so upserts route to the same partition the writer's file
+    // coordinates use, for any multi-component / multi-column hash layout
+    val hashSpecs: Array[(Array[Int], Int)] =
+      m.hash.map(hc =>
+        (hc.cols.map(internalSchema.fieldIndex).toArray, hc.buckets)).toArray
     val tbl = GraftTable.load(spark, m.location)
     val sel = tbl.latestDeltas(m, m.deltaFiles)
       .select((internalSchema.fieldNames.toSeq :+ GraftTable.OpCol)
@@ -453,9 +479,17 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     rows.foreach { r =>
       dead.add(MorOverlay.keyOf(r, keyIdx, types))
       if (r.getUTF8String(opIdx).toString != GraftTable.OpDelete) {
-        val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-          .hash(r.get(hashIdx, types(hashIdx)), types(hashIdx), 42L).toInt
-        val b = ((h % buckets) + buckets) % buckets
+        var b = 0
+        hashSpecs.foreach { case (idxs, nb) =>
+          // multi-column components chain murmur3 with the running hash as
+          // seed — HashExpression's own eval order, so it matches hash(...)
+          var h = 42
+          idxs.foreach { i =>
+            h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+              .hash(r.get(i, types(i)), types(i), h.toLong).toInt
+          }
+          b = b * nb + (((h % nb) + nb) % nb)
+        }
         ups.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer()) +=
           types.indices.map(i => r.get(i, types(i))).toArray
       }
@@ -471,14 +505,13 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
 
 object GraftV2Scan {
   /** Whether a delta-carrying table can serve the V2 merge-on-read overlay:
-    * single single-column hash component (upserts route to one bucket with
-    * the writer's own arithmetic), no pending range-drop masks, and a
-    * delta fileset inside the broadcast bound. */
+    * any uniform hash layout (upserts route by the composite bucket id with
+    * the writer's own arithmetic — multi-component and multi-column
+    * components included), no per-range hash overrides (bucket ids are only
+    * comparable within one range's schema), no pending range-drop masks,
+    * and a delta fileset inside the broadcast bound. */
   def morOverlayable(meta: TableMeta): Boolean =
-    (meta.hash match {
-      case Seq(hc) => hc.cols.size == 1 && meta.rangeHashBucketsMap.isEmpty
-      case _ => false
-    }) &&
+    meta.hash.nonEmpty && meta.rangeHashBucketsMap.isEmpty &&
       meta.rangeDrops.isEmpty &&
       GraftTable.deltaBytes(meta.deltaFiles) < GraftTable.BroadcastDeltaBytes
 }

@@ -739,7 +739,10 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     bumpMeta(m.copy(
       columns = m.columns.map(c => if (c.name == from) c.copy(name = to) else c),
       hash = m.hash.map(hc => hc.copy(cols = hc.cols.map(c => if (c == from) to else c))),
-      range = m.range.map(r => if (r.col == from) r.copy(col = to) else r)),
+      range = m.range.map { r =>
+        val r2 = if (r.col == from) r.copy(col = to) else r
+        r2.copy(moreCols = r2.moreCols.map(_.map(c => if (c == from) to else c)))
+      }),
       "rename_column")
   }
 
@@ -768,7 +771,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     require(!cm.isKey, s"cannot drop key column $colName")
     require(!m.hash.exists(_.cols.contains(colName)),
       s"cannot drop hash-partition column $colName")
-    require(!m.range.exists(_.col == colName),
+    require(!m.range.exists(_.columns.contains(colName)),
       s"cannot drop range-partition column $colName")
     bumpMeta(m.copy(columns = m.columns.filterNot(_.name == colName),
       retiredPhysNames = m.retiredPhysNames :+ cm.physName), "drop_column")
@@ -792,7 +795,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     require(!cm.isKey, s"cannot widen key column $colName")
     require(!m.hash.exists(_.cols.contains(colName)),
       s"cannot widen hash-partition column $colName")
-    require(!m.range.exists(_.col == colName),
+    require(!m.range.exists(_.columns.contains(colName)),
       s"cannot widen range-partition column $colName")
     require(widens(from, to),
       s"not a lossless widening: ${from.simpleString} -> ${to.simpleString}")
@@ -884,11 +887,12 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     * Bounds-mode drops use the remembered interval (the key left the
     * covering list at drop time); granularity drops match the derived key. */
   private def dropRowPred(m: TableMeta, r: RangeComponent, d: RangeDrop): Column = {
-    val dt = m.column(r.col).dataType
-    if (d.bounded.contains(true))
-      boundContains(RangeBound(d.key, d.lower, d.upper), col(r.col), dt) &&
-        col(r.col).isNotNull
-    else rangeKeyExpr(r, col(r.col), dt) === lit(d.key)
+    if (d.bounded.contains(true)) {
+      val cs = r.columns.map(col)
+      val dts = r.columns.map(m.column(_).dataType)
+      boundContainsT(d.lowerTuple, d.upperTuple, cs, dts) &&
+        cs.map(_.isNotNull).reduce(_ && _)
+    } else rangeKeyExprM(m, r, col) === lit(d.key)
   }
 
   /** Row mask for dropped ranges over a base scan. Base files never
@@ -922,16 +926,15 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   private[table] def requireCovered(m: TableMeta, rows: DataFrame): Unit = {
     val unc = m.uncovered
     m.range match {
-      case Some(r) if r.isBounds && rows.columns.contains(r.col) =>
-        val rk = rangeKeyExpr(r, col(r.col), m.column(r.col).dataType)
+      case Some(r) if r.isBounds && r.columns.forall(rows.columns.contains) =>
+        val rk = rangeKeyExprM(m, r, col)
         if (rows.filter(rk === lit(UncoveredKey)).limit(1).count() > 0)
           throw new PrimaryKeyException(
             s"write touches a range not covered by any declared bound of " +
               s"${m.name} (bounds: ${r.boundsList.map(_.key).mkString(",")}); " +
               "addRangeBound first")
-      case Some(r) if unc.nonEmpty && rows.columns.contains(r.col) =>
-        val bad = rows.filter(
-          rangeKeyExpr(r, col(r.col), m.column(r.col).dataType).isin(unc: _*))
+      case Some(r) if unc.nonEmpty && r.columns.forall(rows.columns.contains) =>
+        val bad = rows.filter(rangeKeyExprM(m, r, col).isin(unc: _*))
         if (bad.limit(1).count() > 0)
           throw new PrimaryKeyException(
             s"write touches non-covered range partition(s) ${unc.mkString(",")} " +
@@ -944,20 +947,34 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     * tables; CreateTableOptions.addRangePartition /
     * AlterTableOptions.java:321-361 analog). The new bound must not overlap
     * any existing one. */
-  def addRangeBound(key: String, lower: Option[String], upper: Option[String]): Unit = {
+  def addRangeBound(key: String, lower: Option[String], upper: Option[String]): Unit =
+    addRangeBoundT(key, lower.map(Seq(_)), upper.map(Seq(_)))
+
+  /** ADD RANGE PARTITION with tuple-lexicographic [lower, upper) bounds —
+    * the multi-column form (composite encoded bounds, common/partition.h:169).
+    * Single-column tables may use either entry point. */
+  def addRangeBoundT(key: String, lowers: Option[Seq[String]],
+      uppers: Option[Seq[String]]): Unit = {
     val m = meta
     val r = m.range.getOrElse(
       throw new IllegalArgumentException(s"table ${m.name} has no range component"))
     require(r.isBounds, s"table ${m.name} uses granularity ranges; use addRangePartition")
     require(!r.boundsList.exists(_.key == key), s"range bound $key already exists")
-    (lower, upper) match {
+    val dts = r.columns.map(m.column(_).dataType)
+    (lowers.toSeq ++ uppers.toSeq).foreach { t =>
+      require(t.length == r.columns.length,
+        s"bound tuple arity ${t.length} != range columns ${r.columns.mkString("(", ",", ")")}")
+    }
+    (lowers, uppers) match {
       case (Some(l), Some(u)) =>
-        require(ltVals(m.column(r.col).dataType, l, u), s"empty range bound: [$l, $u)")
+        require(ltValsT(dts, l, u),
+          s"empty range bound: [${l.mkString(",")}, ${u.mkString(",")})")
       case _ =>
     }
-    val nb = RangeBound(key, lower, upper)
-    val dt = m.column(r.col).dataType
-    r.boundsList.find(b => boundsOverlap(dt, b, nb)).foreach { clash =>
+    val nb =
+      if (r.isMulti) RangeBound(key, None, None, lowers = lowers, uppers = uppers)
+      else RangeBound(key, lowers.map(_.head), uppers.map(_.head))
+    r.boundsList.find(b => boundsOverlapT(dts, b, nb)).foreach { clash =>
       throw new IllegalArgumentException(
         s"range bound $key overlaps existing bound ${clash.key}")
     }
@@ -982,7 +999,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       baseFiles = m.baseFiles.filterNot(_.rangeKey.contains(key)),
       range = Some(r.copy(bounds = Some(r.boundsList.filterNot(_.key == key)))),
       droppedRanges = Some(m.rangeDrops :+
-        RangeDrop(key, m.version, b.lower, b.upper, bounded = Some(true)))))
+        RangeDrop(key, m.version, b.lower, b.upper, bounded = Some(true),
+          lowers = b.lowers, uppers = b.uppers))))
   }
 
   /** Key→partition-id column for this table's spec — the client-side
@@ -1107,7 +1125,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     }
     m.range.foreach { r =>
       out = out.withColumn(RangeCol,
-        rangeKeyExpr(r, col(m.column(r.col).physName), m.column(r.col).dataType))
+        rangeKeyExprM(m, r, n => col(m.column(n).physName)))
       partCols += RangeCol
     }
     val keysPhys = m.columns.filter(_.isKey).map(c => col(c.physName))
@@ -1196,7 +1214,7 @@ object GraftTable {
     (m.range, m.hash) match {
       case (Some(r), Seq(hc)) if ovs.nonEmpty =>
         val h = hash(hc.cols.map(resolve): _*)
-        val rk = rangeKeyExpr(r, resolve(r.col), m.column(r.col).dataType)
+        val rk = rangeKeyExprM(m, r, resolve)
         ovs.toSeq.sortBy(_._1).foldRight(default) { case ((k, b), els) =>
           when(rk === lit(k), pmod(h, lit(b))).otherwise(els)
         }
@@ -1236,6 +1254,66 @@ object GraftTable {
     val upOk = b.upper.map(v => c < lit(v).cast(dt)).getOrElse(lit(true))
     lowOk && upOk
   }
+
+  /** (c1..cn) >= (v1..vn) tuple-lexicographically, each compared in its
+    * column's own type. Built right-to-left: ci > vi || (ci == vi && rest). */
+  private[graft] def lexGe(cs: Seq[Column], dts: Seq[DataType], vals: Seq[String]): Column = {
+    val vlits = dts.zip(vals).map { case (dt, v) => lit(v).cast(dt) }
+    cs.zip(vlits).init.foldRight(cs.last >= vlits.last: Column) {
+      case ((c, v), rest) => (c > v) || (c === v && rest)
+    }
+  }
+
+  /** (c1..cn) < (v1..vn) tuple-lexicographically. */
+  private[graft] def lexLt(cs: Seq[Column], dts: Seq[DataType], vals: Seq[String]): Column = {
+    val vlits = dts.zip(vals).map { case (dt, v) => lit(v).cast(dt) }
+    cs.zip(vlits).init.foldRight(cs.last < vlits.last: Column) {
+      case ((c, v), rest) => (c < v) || (c === v && rest)
+    }
+  }
+
+  /** tuple ∈ [lowerTuple, upperTuple) for a (possibly multi-column) bound. */
+  private[graft] def boundContainsT(lowerT: Option[Seq[String]], upperT: Option[Seq[String]],
+      cs: Seq[Column], dts: Seq[DataType]): Column = {
+    val lowOk = lowerT.map(ls => lexGe(cs, dts, ls)).getOrElse(lit(true))
+    val upOk = upperT.map(us => lexLt(cs, dts, us)).getOrElse(lit(true))
+    lowOk && upOk
+  }
+
+  /** Driver-side tuple-lexicographic a < b in the range columns' types. */
+  private[graft] def ltValsT(dts: Seq[DataType], a: Seq[String], b: Seq[String]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      if (ltVals(dts(i), a(i), b(i))) return true
+      if (ltVals(dts(i), b(i), a(i))) return false
+      i += 1
+    }
+    false // equal tuples
+  }
+
+  /** Do two tuple [lower, upper) bounds overlap? (None = unbounded end.) */
+  private[graft] def boundsOverlapT(dts: Seq[DataType], a: RangeBound, b: RangeBound): Boolean = {
+    def below(x: RangeBound, y: RangeBound): Boolean = (x.upperTuple, y.lowerTuple) match {
+      case (Some(u), Some(l)) => !ltValsT(dts, l, u) // u <= l
+      case _ => false
+    }
+    !below(a, b) && !below(b, a)
+  }
+
+  /** General range-key expression: single-column components delegate to
+    * [[rangeKeyExpr]]; multi-column (bounds-mode) components map the value
+    * tuple to the covering bound's key by lexicographic containment. A NULL
+    * in any range column maps to the "__null" partition. */
+  def rangeKeyExprM(m: TableMeta, r: RangeComponent, resolve: String => Column): Column =
+    if (!r.isMulti) rangeKeyExpr(r, resolve(r.col), m.column(r.col).dataType)
+    else {
+      val cs = r.columns.map(resolve)
+      val dts = r.columns.map(m.column(_).dataType)
+      val mapped = r.boundsList.foldRight(lit(UncoveredKey): Column) { (b, els) =>
+        when(boundContainsT(b.lowerTuple, b.upperTuple, cs, dts), lit(b.key)).otherwise(els)
+      }
+      when(cs.map(_.isNull).reduce(_ || _), lit("__null")).otherwise(mapped)
+    }
 
   /** Driver-side comparison of two external values in the range column's
     * type (Catalyst cast + comparison, so timestamps/dates/numerics all
@@ -1327,6 +1405,19 @@ object GraftTable {
       // arrays/maps/structs cannot be key columns (SparkUtil.scala:136-139)
       require(!Seq("array", "map", "struct").contains(schema(k).dataType.typeName),
         s"key column $k must be an atomic type, got ${schema(k).dataType.catalogString}")
+    }
+    range.foreach { r =>
+      r.columns.foreach(c => require(schema.fieldNames.contains(c),
+        s"range column $c not in schema"))
+      require(!r.isMulti || r.isBounds,
+        "multi-column range components require explicit bounds " +
+          "(granularity key derivation is single-column)")
+      r.boundsList.foreach { b =>
+        (b.lowerTuple.toSeq ++ b.upperTuple.toSeq).foreach(t =>
+          require(t.length == r.columns.length,
+            s"bound ${b.key} tuple arity ${t.length} != range columns " +
+              r.columns.mkString("(", ",", ")")))
+      }
     }
     val columns = buildColumns(schema, keys, nonUniqueKey)
     val m0 = TableMeta(name, location, 1L, now(), "create",

@@ -25,12 +25,13 @@ class FuzzSpec extends AnyFunSuite {
 
   private val Keyspace = 8
 
-  private def runCase(seed: Long, nOps: Int): Unit = {
+  private def runCase(seed: Long, nOps: Int,
+      hash: Seq[HashComponent] = Seq(HashComponent(Seq("k"), 2))): Unit = {
     val rnd = new Random(seed)
     val loc = Files.createTempDirectory(s"graft-fuzz-$seed-").toString
     val t = GraftTable.create(spark, loc, "kv",
       StructType(Seq(StructField("k", IntegerType, false), StructField("v", IntegerType))),
-      keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), 2)))
+      keys = Seq("k"), hash = hash)
     val model = mutable.Map[Int, Option[Int]]()
     // recorded snapshots: version -> model copy
     val snaps = mutable.ArrayBuffer[(Long, Map[Int, Option[Int]])]()
@@ -107,6 +108,9 @@ class FuzzSpec extends AnyFunSuite {
   test("random op sequences match the in-memory model (seed 1)") { runCase(1L, 40) }
   test("random op sequences match the in-memory model (seed 2)") { runCase(2L, 40) }
   test("random op sequences match the in-memory model (seed 7)") { runCase(7L, 50) }
+  test("two-component hash layout: same model, composite V2 overlay routing") {
+    runCase(11L, 40, hash = Seq(HashComponent(Seq("k"), 2), HashComponent(Seq("k"), 3)))
+  }
 
   /** Range-partitioned variant: the op stream also drops and re-adds range
     * partitions (the D2 retention ops) — rows of a dropped range vanish,

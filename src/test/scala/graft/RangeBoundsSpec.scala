@@ -139,6 +139,81 @@ class RangeBoundsSpec extends AnyFunSuite {
     intercept[PrimaryKeyException] { t.upsert(data((10, 1200L, "gap"))) }
   }
 
+  test("multi-column (month, tenant) range: tuple bounds partition, prune, cover") {
+    // (month, tenant) time-series key: composite lexicographic bounds
+    // (common/partition.h:169; PartitionSchemaPB common/common.proto:355-398)
+    def mk(loc: String, rows: Seq[(Int, String, Int, String)]): GraftTable =
+      GraftTable.create(spark, loc, "mt",
+        StructType(Seq(StructField("id", IntegerType, false),
+          StructField("month", StringType), StructField("tenant", IntegerType),
+          StructField("v", StringType))),
+        keys = Seq("id"), hash = Seq(HashComponent(Seq("id"), 2)),
+        range = Some(RangeComponent("month", "value",
+          moreCols = Some(Seq("tenant")),
+          bounds = Some(Seq(
+            RangeBound("m1_small", None, None,
+              lowers = Some(Seq("2024-01", "0")), uppers = Some(Seq("2024-01", "100"))),
+            RangeBound("m1_big", None, None,
+              lowers = Some(Seq("2024-01", "100")), uppers = Some(Seq("2024-02", "0"))),
+            RangeBound("m2", None, None,
+              lowers = Some(Seq("2024-02", "0")), uppers = Some(Seq("2024-03", "0"))))))),
+        data = if (rows.isEmpty) None else Some(rows.toDF("id", "month", "tenant", "v")))
+    val t = mk(tmp(), Seq(
+      (1, "2024-01", 5, "a"), (2, "2024-01", 99, "b"),   // m1_small
+      (3, "2024-01", 150, "c"),                          // m1_big
+      (4, "2024-02", 7, "d"), (5, "2024-02", 9000, "e")))// m2
+    // tuple-lexicographic routing to file coordinates
+    val byKey = t.meta.baseFiles.flatMap(_.rangeKey).toSet
+    assert(byKey == Set("m1_small", "m1_big", "m2"))
+    assert(t.meta.baseFiles.forall(f => f.path.contains(s"_r=${f.rangeKey.get}")))
+    // first-column pruning against file paths: month='2024-02' cannot live
+    // in m1_small ([.., (2024-01,100)) has closed first-col upper 2024-01)
+    val m = t.meta
+    def prunedKeys(fs: org.apache.spark.sql.sources.Filter*): Set[String] =
+      PartitionPruner.pruneFiles(m, m.baseFiles, fs).flatMap(_.rangeKey).toSet
+    assert(prunedKeys(EqualTo("month", "2024-02")) == Set("m1_big", "m2"))
+    assert(prunedKeys(LessThan("month", "2024-01")) == Set())
+    assert(prunedKeys(GreaterThanOrEqual("month", "2024-02")) == Set("m1_big", "m2"))
+    // engine read path agrees
+    assert(t.scan().filter(col("month") === "2024-01").count() == 3)
+    assert(t.scanPruned(Seq(EqualTo("month", "2024-02"))).inputFiles.length
+      <= m.baseFiles.count(f => Set("m1_big", "m2").contains(f.rangeKey.get)))
+    // non-covered tuple writes error: before every bound / after every bound
+    val bad1 = Seq((9, "2023-12", 5, "early")).toDF("id", "month", "tenant", "v")
+    val e1 = intercept[PrimaryKeyException] { t.upsert(bad1) }
+    assert(e1.getMessage.contains("not covered"))
+    val bad2 = Seq((9, "2024-03", 0, "late")).toDF("id", "month", "tenant", "v")
+    intercept[PrimaryKeyException] { t.upsert(bad2) }
+    // covered writes land in the right partition
+    t.upsert(Seq((6, "2024-01", 100, "edge")).toDF("id", "month", "tenant", "v"))
+    assert(t.scan().filter(col("id") === 6).select("v").as[String].head() == "edge")
+    // drop a tuple bound: rows die, interval non-covered, tuple re-add works
+    t.dropRangeBound("m1_big")
+    assert(t.scan().select("id").collect().map(_.getInt(0)).toSet == Set(1, 2, 4, 5))
+    intercept[PrimaryKeyException] {
+      t.upsert(Seq((7, "2024-01", 200, "x")).toDF("id", "month", "tenant", "v"))
+    }
+    t.addRangeBoundT("m1_big2",
+      Some(Seq("2024-01", "100")), Some(Seq("2024-02", "0")))
+    t.upsert(Seq((7, "2024-01", 200, "x")).toDF("id", "month", "tenant", "v"))
+    assert(t.scan().select("id").collect().map(_.getInt(0)).toSet == Set(1, 2, 4, 5, 7))
+    // overlapping tuple bound rejected; arity mismatch rejected
+    intercept[IllegalArgumentException] {
+      t.addRangeBoundT("clash", Some(Seq("2024-01", "50")), Some(Seq("2024-01", "60")))
+    }
+    intercept[IllegalArgumentException] {
+      t.addRangeBoundT("badarity", Some(Seq("2024-05")), Some(Seq("2024-06")))
+    }
+    // multi-column components refuse granularity mode at create
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmp(), "mtg",
+        StructType(Seq(StructField("id", IntegerType, false),
+          StructField("month", StringType), StructField("tenant", IntegerType))),
+        keys = Seq("id"),
+        range = Some(RangeComponent("month", "value", moreCols = Some(Seq("tenant")))))
+    }
+  }
+
   test("timestamp-typed bounds compare in the column's own domain") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val t = GraftTable.create(spark, tmp(), "rbt",

@@ -220,24 +220,59 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("DSv1"), e2.getMessage)
   }
 
-  test("non-overlayable delta sets are still refused with the compact pointer") {
-    // two hash components → upserts cannot be routed by the single-column
-    // bucket arithmetic → the scan must refuse rather than serve wrong rows
+  test("multi-component hash layouts serve deltas through the MOR overlay") {
+    // two hash components: upserts route by the COMPOSITE bucket id
+    // (GraftTable.bucketExpr's fold), so the overlay works on this layout
     val wh = Files.createTempDirectory("graft-wh3-").toString
     val df = (1 to 50).map(i => (i.toLong, i.toLong * 7, s"x$i")).toDF("a", "b", "v")
     val t = GraftTable.create(spark, s"$wh/multi", "multi", df.schema, Seq("a", "b"),
       Seq(HashComponent(Seq("a"), 2), HashComponent(Seq("b"), 2)), data = Some(df))
-    t.upsert(Seq((1L, 7L, "y1")).toDF("a", "b", "v"))
+    t.upsert(Seq((1L, 7L, "y1"), (51L, 357L, "new")).toDF("a", "b", "v"))
+    t.delete(Seq((2L, 14L)).toDF("a", "b"))
     spark.conf.set("spark.sql.catalog.gref", classOf[graft.sources.v2.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.gref.warehouse", wh)
-    val e = intercept[Exception] { spark.table("gref.multi").count() }
+    val v2 = spark.table("gref.multi").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(v2.size == 50) // 50 - 1 delete + 1 insert
+    assert(v2((1L, 7L)) == "y1" && v2((51L, 357L)) == "new")
+    assert(!v2.contains((2L, 14L)))
+    // and the overlay agrees with the engine's own MOR read
+    val v1 = t.scan().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(v2 == v1)
+    // a multi-COLUMN component routes the same way
+    val df2 = (1 to 30).map(i => (i.toLong, s"t${i % 3}", s"x$i")).toDF("a", "b", "v")
+    val t2 = GraftTable.create(spark, s"$wh/mcol", "mcol", df2.schema, Seq("a", "b"),
+      Seq(HashComponent(Seq("a", "b"), 4)), data = Some(df2))
+    t2.upsert(Seq((1L, "t1", "updated")).toDF("a", "b", "v"))
+    val mc = spark.table("gref.mcol").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(mc((1L, "t1")) == "updated" && mc.size == 30)
+  }
+
+  test("non-overlayable delta sets are still refused with the compact pointer") {
+    // a pending range-drop mask cannot be applied by the overlay → the
+    // scan must refuse rather than serve dropped rows
+    val wh = Files.createTempDirectory("graft-wh3b-").toString
+    val df = (1 to 40).map(i => (i.toLong, i.toLong, s"x$i")).toDF("k", "ts", "v")
+    val t = GraftTable.create(spark, s"$wh/rdrop", "rdrop", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)),
+      range = Some(graft.catalog.RangeComponent("ts", "value", bounds = Some(Seq(
+        graft.catalog.RangeBound("low", None, Some("20")),
+        graft.catalog.RangeBound("high", Some("20"), None))))),
+      data = Some(df))
+    t.upsert(Seq((1L, 1L, "y1")).toDF("k", "ts", "v"))
+    t.dropRangeBound("low")
+    spark.conf.set("spark.sql.catalog.gref2", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gref2.warehouse", wh)
+    val e = intercept[Exception] { spark.table("gref2.rdrop").count() }
     assert(e.getMessage.contains("compact"), e.getMessage)
     // the READ refusal must not block V2 WRITES: the write path delegates
     // to the engine's layout-agnostic ops, so repeated INSERT INTO works
     // even while the table stays V2-unreadable
-    spark.sql("INSERT INTO gref.multi VALUES (100, 700, 'w1')")
-    spark.sql("INSERT INTO gref.multi VALUES (101, 707, 'w2')")
-    assert(t.scan().filter(col("a") >= 100).count() == 2)
+    spark.sql("INSERT INTO gref2.rdrop VALUES (100, 700, 'w1')")
+    spark.sql("INSERT INTO gref2.rdrop VALUES (101, 707, 'w2')")
+    assert(t.scan().filter(col("k") >= 100).count() == 2)
   }
 
   test("V2 DDL: CREATE TABLE and ALTER TABLE map onto engine ops") {
@@ -267,6 +302,44 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     def msgs(x: Throwable): Seq[String] =
       Option(x).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ msgs(t.getCause))
     assert(msgs(e2).exists(_.contains("key")), e2.toString)
+  }
+
+  test("V2 DDL: ALTER TABLE RENAME moves the table, snapshots stay readable") {
+    val wh = Files.createTempDirectory("graft-wh7-").toString
+    spark.conf.set("spark.sql.catalog.grn", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grn.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    def mk(name: String, n: Int, payload: String): Unit = {
+      val df = (1 to n).map(i => (i.toLong, s"$payload$i")).toDF("k", "v")
+      GraftTable.create(spark, s"$wh/$name", name, df.schema, Seq("k"),
+        Seq(HashComponent(Seq("k"), 4)), data = Some(df))
+    }
+    mk("before", 100, "a")
+    mk("other", 80, "b")
+    // a second version so the rename must relocate a multi-version chain
+    GraftTable.load(spark, s"$wh/before")
+      .upsert(Seq((1L, "A1")).toDF("k", "v"))
+    spark.sql("ALTER TABLE grn.before RENAME TO after")
+    // old identity is gone; new identity scans current AND time-travels
+    intercept[Exception] { spark.table("grn.before").count() }
+    assert(spark.table("grn.after").count() == 100)
+    val t = GraftTable.load(spark, s"$wh/after")
+    assert(t.meta.name == "after")
+    assert(t.scan().filter(col("k") === 1).select("v").as[String].head() == "A1")
+    assert(t.scan(Some(1L)).filter(col("k") === 1).select("v").as[String].head() == "a1")
+    assert(graft.tools.GraftTools.fsck(s"$wh/after").isEmpty)
+    // SPJ posture survives the rename: co-partitioned join stays shuffle-free
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("grn.after").join(spark.table("grn.other"), "k")
+      assert(j.count() == 80)
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    // cross-namespace moves refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE grn.after RENAME TO ns2.moved")
+    }
   }
 
   test("MOR overlay compares binary keys by content, not reference") {
