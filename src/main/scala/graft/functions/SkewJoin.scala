@@ -25,21 +25,36 @@ object SkewJoin {
 
   /**
    * Join `left` and `right` on `keys`, salting the left side `salts` ways.
-   * The salt is derived from a hash of ALL left columns — deterministic
-   * under task retries (no rand()); fully identical left rows share a salt,
-   * which only affects spread, never correctness.
+   * The salt hashes all left columns PLUS a per-partition row index
+   * (monotonically_increasing_id), so even mass-duplicated IDENTICAL
+   * hot-key rows spread across salt groups — the pathological input a
+   * pure column hash lands in one bucket. Any salt assignment is correct
+   * (the right side carries every salt value), so the row index being
+   * layout-dependent affects spread only, never results; within one
+   * execution it is stable under task retries (a retried task re-derives
+   * the same ids from the same input split).
+   *
+   * `saltOn` overrides the derivation with an explicit expression (e.g. a
+   * known-uniform column) — pass it when the left row set is narrow enough
+   * that hashing every column is measurable at scale.
    */
   def saltedEquiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      salts: Int, joinType: String = "inner"): DataFrame = {
+      salts: Int, joinType: String = "inner",
+      saltOn: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(salts > 0, "salts must be positive")
     val jt = joinType.toLowerCase.replace("_", "")
     require(Seq("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
       s"unsupported join type for salted join: $joinType " +
         "(right-preserving types would duplicate unmatched right rows per salt)")
-    val l = left.withColumn(SaltCol,
-      pmod(hash(left.columns.map(col): _*), lit(salts)))
+    val l = left.withColumn(SaltCol, saltExpr(left, salts, saltOn))
     val r = right.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ SaltCol, joinType).drop(SaltCol)
   }
+
+  /** The left-side salt derivation (exposed for spread tests). */
+  private[graft] def saltExpr(left: DataFrame, salts: Int,
+      saltOn: Option[org.apache.spark.sql.Column] = None): org.apache.spark.sql.Column =
+    saltOn.map(c => pmod(hash(c), lit(salts))).getOrElse(
+      pmod(hash(left.columns.map(col) :+ monotonically_increasing_id(): _*), lit(salts)))
 }

@@ -257,4 +257,58 @@ object GraftTools {
     }
     issues.toSeq
   }
+
+  /** Repair sweep for fsck's orphan findings: deletes data files referenced
+    * by NO snapshot version — the crash residue of a lost commit race (the
+    * loser of the atomic commit guard wrote its fileset, then its metadata
+    * write threw; see TableMeta.write). Only exact orphans are touched —
+    * anything any snapshot references, and non-parquet files, are left
+    * alone. Empty fileset directories left behind are removed too. Returns
+    * the deleted paths. */
+  def fsckRepair(location: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.catalog.TableMeta
+    if (!TableMeta.exists(location)) return Nil
+    val metaDir = TableMeta.metaDir(location)
+    val versions = scala.util.Using.resource(Files.list(metaDir)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("v\\d+\\.json") => s.drop(1).dropRight(5).toLong }
+        .toSeq
+    }
+    val referenced = versions.flatMap { v =>
+      try {
+        val vm = TableMeta.read(location, v)
+        (vm.baseFiles ++ vm.deltaFiles).map(f => Paths.get(f.path).normalize.toString)
+      } catch { case _: Exception => Nil } // unreadable snapshot: delete nothing of it
+    }.toSet
+    val dataDir = Paths.get(location, "data")
+    if (!Files.isDirectory(dataDir)) return Nil
+    val orphans = scala.util.Using.resource(Files.walk(dataDir)) { stream =>
+      stream.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .filter(p => !referenced.contains(p.normalize.toString))
+        .toSeq
+    }
+    orphans.foreach(Files.deleteIfExists(_))
+    // sweep directories the deletes left holding only writer sidecar junk
+    // (_SUCCESS, .crc) or nothing — deepest first
+    def sidecar(p: java.nio.file.Path): Boolean = {
+      val n = p.getFileName.toString
+      n == "_SUCCESS" || n.endsWith(".crc")
+    }
+    scala.util.Using.resource(Files.walk(dataDir)) { stream =>
+      stream.iterator().asScala.toSeq
+    }.sortBy(-_.getNameCount).foreach { p =>
+      if (p != dataDir && Files.isDirectory(p)) {
+        val children = scala.util.Using.resource(Files.list(p))(_.iterator().asScala.toSeq)
+        if (children.forall(c => Files.isRegularFile(c) && sidecar(c))) {
+          children.foreach(Files.deleteIfExists(_))
+          Files.deleteIfExists(p)
+        }
+      }
+    }
+    orphans.map(_.toString)
+  }
 }

@@ -3,6 +3,8 @@ package graft
 import java.nio.file.Files
 import java.util.concurrent.CyclicBarrier
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -74,6 +76,40 @@ class AtomicitySpec extends AnyFunSuite {
       assert(t.currentVersion == v1)
       assert(t.scan().count() == 5)
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("lost-commit residue: fsck names exactly the orphans, repair sweeps them") {
+    val loc = tmp()
+    val t = mkTable(loc)
+    t.upsert(Seq((1L, "delta1")).toDF("id", "name"))
+    val before = t.scan().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // simulate the loser of a commit race: its fileset reached the data dir
+    // but its metadata write lost the CREATE_NEW race and never landed
+    val dataDir = java.nio.file.Paths.get(loc, "data")
+    val srcDelta = Files.list(dataDir).iterator().asScala
+      .find(_.getFileName.toString.contains("_delta_")).get
+    val orphanDir = dataDir.resolve("c99_delta_lostrace")
+    Files.walk(srcDelta).iterator().asScala.toSeq.foreach { p =>
+      val dest = orphanDir.resolve(srcDelta.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dest)
+      else Files.copy(p, dest)
+    }
+    val orphanFiles = Files.walk(orphanDir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+    assert(orphanFiles.nonEmpty)
+    // fsck reports each orphan file and nothing else
+    val issues = graft.tools.GraftTools.fsck(loc)
+    val orphanIssues = issues.filter(_.startsWith("orphan data file"))
+    assert(orphanIssues.size == orphanFiles.size, issues.mkString("\n"))
+    assert(orphanFiles.forall(f => orphanIssues.exists(_.contains(f))))
+    assert(issues.size == orphanIssues.size, s"unexpected extra issues: $issues")
+    // repair deletes exactly the orphans (and their emptied dirs)...
+    val deleted = graft.tools.GraftTools.fsckRepair(loc)
+    assert(deleted.toSet == orphanFiles)
+    assert(!Files.exists(orphanDir))
+    // ...after which fsck is clean and the table is untouched
+    assert(graft.tools.GraftTools.fsck(loc).isEmpty)
+    assert(t.scan().collect().map(r => r.getLong(0) -> r.getString(1)).toMap == before)
   }
 
   test("changeStream: a delta fold re-emits nothing") {

@@ -93,6 +93,29 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(out === Set((1L, "a", Some(10L)), (2L, "b", Some(20L)), (999L, "miss", None)))
   }
 
+  test("identical hot-key rows spread across salts (row-index tiebreaker)") {
+    val salts = 16
+    // 10^5 byte-identical rows: a pure column hash puts ALL of them in one
+    // salt group, defeating the spread exactly on the worst input
+    val dup = spark.range(100000L).select(lit(1L).as("k"), lit("same").as("x"))
+    val groups = dup.select(SkewJoin.saltExpr(dup, salts).as("s"))
+      .groupBy("s").count().collect()
+    assert(groups.length >= salts / 2,
+      s"expected >= ${salts / 2} distinct salt groups, got ${groups.length}")
+    // and no group holds more than ~2x its fair share
+    val maxShare = groups.map(_.getLong(1)).max.toDouble / 100000
+    assert(maxShare < 2.0 / salts * 2, s"max salt share $maxShare too hot")
+    // correctness unchanged on the duplicated input
+    val right = Seq((1L, 10L)).toDF("k", "w")
+    val joined = SkewJoin.saltedEquiJoin(dup, right, Seq("k"), salts)
+    assert(joined.count() == 100000L)
+    // explicit saltOn override drives the derivation
+    val explicitGroups = dup
+      .select(SkewJoin.saltExpr(dup, salts, Some(lit(42))).as("s"))
+      .distinct().count()
+    assert(explicitGroups == 1) // constant expression → one group, by request
+  }
+
   test("salted left_anti and left_semi; right-preserving types rejected") {
     val left = Seq((1L, "a"), (3L, "c")).toDF("k", "x")
     val right = Seq((1L, 10L)).toDF("k", "w")
