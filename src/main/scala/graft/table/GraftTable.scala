@@ -330,23 +330,28 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       return
     }
     if (!ignore) {
-      // one pass answers both preconditions (duplicate keys inside the
-      // batch; keys already present in the table) — error-message samples
-      // are fetched by a second job only on the failure path
+      // both preconditions (keys already present in the table; duplicate
+      // keys inside the batch) are evaluated INSIDE the commit's own write
+      // job — present keys raise_error out of a left join against the
+      // pruned presence scan, intra-batch dups use commitDelta's window
+      // guard — so an INSERT costs one Spark job, not a stats job plus a
+      // commit job per mutation batch. The per-row error message carries
+      // the clashing key itself (no second sample-fetch job).
       val existing = scanForBatch(m, batch, keys).select(keys.map(col): _*)
-      val stats = batch.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_graft_cnt"))
-        .join(existing.withColumn("_graft_ex", lit(1)), keys, "left")
-        .agg(max(col("_graft_cnt")).as("maxdup"), count(col("_graft_ex")).as("nclash"))
-        .collect()(0)
-      val maxdup = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-      if (maxdup > 1)
-        throw new PrimaryKeyException(s"duplicate keys within INSERT batch on ${m.name}")
-      if (stats.getLong(1) > 0) {
-        val sample = batch.join(existing, keys, "left_semi")
-          .select(keys.map(col): _*).limit(3).collect().mkString(",")
-        throw new PrimaryKeyException(s"INSERT key already present in ${m.name}: $sample")
-      }
-      commitDelta(m, batch.withColumn(OpCol, lit(OpUpsert)), "insert")
+        .withColumn("_graft_ex", lit(1))
+      val keyDt = m.column(keys.head).dataType
+      val guarded = batch.join(existing, keys, "left")
+        .withColumn(keys.head,
+          when(col("_graft_ex").isNotNull,
+            raise_error(concat(
+              lit(s"INSERT key already present in ${m.name}: ("),
+              concat_ws(",", keys.map(c => col(c).cast("string")): _*),
+              lit(")"))).cast(keyDt))
+            .otherwise(col(keys.head)))
+        .drop("_graft_ex")
+      try commitDelta(m, guarded.withColumn(OpCol, lit(OpUpsert)), "insert",
+        guardDupKeys = true)
+      catch { case e: Throwable => throw asPkError(e) }
     } else {
       val existing = scanForBatch(m, batch, keys).select(keys.map(col): _*)
       val fresh = batch.dropDuplicates(keys).join(existing, keys, "left_anti")
@@ -1046,6 +1051,24 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     df.select(cols: _*)
   }
 
+  /** Surfaces an in-job PK guard (raise_error inside the commit's write
+    * job) as the engine's typed PrimaryKeyException: Spark wraps the raised
+    * message in SparkException layers, so walk the cause chain for it. Any
+    * other failure rethrows untouched. */
+  private def asPkError(e: Throwable): Throwable = {
+    var t: Throwable = e
+    while (t != null) {
+      val msg = Option(t.getMessage).getOrElse("")
+      if (msg.contains("already present in") || msg.contains("duplicate key within"))
+        return new PrimaryKeyException(
+          msg.linesIterator.find(l =>
+            l.contains("already present in") || l.contains("duplicate key within"))
+            .getOrElse(msg))
+      t = t.getCause
+    }
+    e
+  }
+
   private def commitDelta(m: TableMeta, rows: DataFrame, op: String,
       guardDupKeys: Boolean = false): Unit = {
     requireCovered(m, rows)
@@ -1090,19 +1113,23 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // partition count, and a micro-batch is small by construction
     val parted =
       if (deltaParts == 1) projected.coalesce(1) else projected.repartition(deltaParts)
-    parted
-      .sortWithinPartitions(m.columns.filter(_.isKey).map(c => col(c.physName)): _*)
-      .write.mode("overwrite").parquet(dir)
-    val files = listParquet(dir).map { p =>
-      DataFileMeta(p, "delta", v, -1L, m.columns.map(_.id))
-    }
-    try TableMeta.write(m.copy(version = v, timestampMs = now(), operation = op,
-      deltaFiles = m.deltaFiles ++ files))
-    catch {
-      case e: Throwable => // commit lost the race → remove the orphan fileset
+    try {
+      parted
+        .sortWithinPartitions(m.columns.filter(_.isKey).map(c => col(c.physName)): _*)
+        .write.mode("overwrite").parquet(dir)
+      val files = listParquet(dir).map { p =>
+        DataFileMeta(p, "delta", v, -1L, m.columns.map(_.id))
+      }
+      TableMeta.write(m.copy(version = v, timestampMs = now(), operation = op,
+        deltaFiles = m.deltaFiles ++ files))
+    } catch {
+      case e: Throwable =>
+        // failed write job (e.g. an in-job PK guard fired) or a lost
+        // metadata race → remove the attempt's fileset; nothing committed
         try {
-          Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(Files.deleteIfExists(_))
+          if (Files.exists(Paths.get(dir)))
+            Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(Files.deleteIfExists(_))
         } catch { case _: Exception => }
         throw e
     }
