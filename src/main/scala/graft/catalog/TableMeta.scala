@@ -43,6 +43,12 @@ case class ColumnMeta(
     // common/common.proto:90-100), mapped to the parquet writer's
     // per-column dictionary toggle: "dictionary" | "plain".
     encoding: Option[String] = None,
+    // Per-column compression attribute (ColumnSchemaPB compression,
+    // common/common.proto:90-100). Parquet-mr codecs are per FILE, so the
+    // writer resolves all declared column codecs to one file codec (see
+    // GraftTable.effectiveCodec); the attribute itself is per-column API
+    // parity and survives metadata round trips.
+    compression: Option[String] = None,
     // WRITE default (ColumnSchemaPB write_default_value): fills the column
     // when a write batch omits it. hasWriteDefault = Some(true) means the
     // write default was ALTERed after column add and `writeDefault`

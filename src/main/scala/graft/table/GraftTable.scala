@@ -481,8 +481,25 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
 
   /** Table-default parquet codec for base rewrites (compression attribute
     * analog; parquet codecs are per-file). */
-  def setCompression(codec: String): Unit =
+  def setCompression(codec: String): Unit = {
+    require(GraftTable.CodecStrength.contains(codec), s"unknown codec $codec " +
+      s"(supported: ${GraftTable.CodecStrength.keys.mkString(", ")})")
     bumpMeta(meta.copy(compressionCodec = Some(codec)), "alter_table")
+  }
+
+  /** Per-column compression attribute (ColumnSchemaPB compression,
+    * common/common.proto:90-100). Parquet codecs apply per FILE, so column
+    * requests resolve to one file codec: all-agree → that codec; mixed →
+    * the strongest requested (a column that asked for compression must not
+    * end up uncompressed); none → the table default. `None` clears. */
+  def setColumnCompression(colName: String, codec: Option[String]): Unit = {
+    val m = meta
+    require(m.columns.exists(_.name == colName), s"no such column: $colName")
+    codec.foreach(cc => require(GraftTable.CodecStrength.contains(cc),
+      s"unknown codec $cc (supported: ${GraftTable.CodecStrength.keys.mkString(", ")})"))
+    bumpMeta(m.copy(columns = m.columns.map(c =>
+      if (c.name == colName) c.copy(compression = codec) else c)), "alter_column")
+  }
 
   /** Errors when a write batch violates a VARCHAR(n) attribute (the
     * reference rejects over-length VARCHAR writes per row). */
@@ -1114,9 +1131,11 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     val parted =
       if (deltaParts == 1) projected.coalesce(1) else projected.repartition(deltaParts)
     try {
-      parted
+      val w0 = parted
         .sortWithinPartitions(m.columns.filter(_.isKey).map(c => col(c.physName)): _*)
-        .write.mode("overwrite").parquet(dir)
+        .write
+      GraftTable.effectiveCodec(m).fold(w0)(cc => w0.option("compression", cc))
+        .mode("overwrite").parquet(dir)
       val files = listParquet(dir).map { p =>
         DataFileMeta(p, "delta", v, -1L, m.columns.map(_.id))
       }
@@ -1180,7 +1199,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       w.option(s"parquet.enable.dictionary#${c.physName}",
         (c.encoding.get == "dictionary").toString)
     }
-    val writer = m.compressionCodec.fold(withEnc)(cc => withEnc.option("compression", cc))
+    val writer = effectiveCodec(m).fold(withEnc)(cc => withEnc.option("compression", cc))
     writer.mode("overwrite").parquet(dir)
     listParquet(dir).map { p =>
       DataFileMeta(p, "base", v, -1L, m.columns.map(_.id),
@@ -1193,6 +1212,20 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
 object GraftTable {
   /** Hidden key column backing non-unique PKs (Schema.java:44-48). */
   val AutoIncName = "auto_incrementing_id"
+
+  /** Supported parquet codecs, by compression strength (resolution order
+    * for mixed per-column requests — see [[GraftTable.setColumnCompression]]). */
+  val CodecStrength: Map[String, Int] = Map(
+    "uncompressed" -> 0, "lz4" -> 1, "snappy" -> 2, "gzip" -> 3, "zstd" -> 4)
+
+  /** File codec for a base write: per-column compression attributes resolve
+    * to the strongest requested (parquet-mr codecs are per file); absent
+    * any, the table default; absent that, the Spark session default. */
+  def effectiveCodec(m: TableMeta): Option[String] = {
+    val requested = m.columns.flatMap(_.compression).distinct
+    if (requested.nonEmpty) Some(requested.maxBy(CodecStrength))
+    else m.compressionCodec
+  }
   val OpCol = "_graft_op"
   val SeqCol = "_graft_seq"
   val RnCol = "_graft_rn"

@@ -232,6 +232,44 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally reader.close()
   }
 
+  test("per-column compression attribute: strongest request wins the file") {
+    val t = newKv((1 to 50).map(i => i -> s"value$i"): _*)
+    t.setColumnCompression("v", Some("zstd"))
+    t.setColumnCompression("k", Some("snappy"))
+    assert(t.meta.column("v").compression.contains("zstd"))
+    // mixed requests resolve to the strongest (parquet codecs are per file)
+    t.compact()
+    val file = t.meta.baseFiles.head.path
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      assert(cols.forall(_.getCodec.toString.toLowerCase == "zstd"),
+        cols.map(_.getCodec).mkString(","))
+    } finally reader.close()
+    // deltas honor the resolved codec too
+    t.upsert(kv(1 -> "changed"))
+    assert(asMap(t)(1) == "changed")
+    // clearing the attributes falls back to the table default
+    t.setColumnCompression("v", None)
+    t.setColumnCompression("k", None)
+    t.setCompression("gzip")
+    t.compact()
+    val f2 = t.meta.baseFiles.head.path
+    val r2 = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f2), conf))
+    try {
+      assert(r2.getFooter.getBlocks.get(0).getColumns.asScala
+        .forall(_.getCodec.toString.toLowerCase == "gzip"))
+    } finally r2.close()
+    // validation: unknown codec / unknown column refuse
+    intercept[IllegalArgumentException] { t.setColumnCompression("v", Some("brotli9")) }
+    intercept[IllegalArgumentException] { t.setColumnCompression("nope", Some("zstd")) }
+  }
+
   test("soft-delete with reserve window: refuse load, recall, purge") {
     val t = newKv(1 -> "a")
     val loc = t.location
