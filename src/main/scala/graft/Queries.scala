@@ -515,6 +515,37 @@ object Queries {
         .orderBy("o_year")
     }),
 
+    "q33_ordered_scan" -> ((s, dir) => {
+      // Ordered scan (S12): globally PK-ordered rows with a rank column, so
+      // the hash compare verifies the ORDER end-to-end (a mis-ordered scan
+      // mis-assigns ranks), not just the row set. Fault tolerance is
+      // delegated to Spark's deterministic file splits + task retry — a
+      // re-executed task re-reads the same sorted base slice, the scanner
+      // resume analog of the reference's ordered fault-tolerant scan.
+      val t = Tables.readonly(s, dir, "supplier")
+      t.scan().withColumn("rn",
+        row_number().over(Window.orderBy(col("s_suppkey"))))
+        .orderBy("s_suppkey")
+    }),
+
+    "q34_columnar_agg" -> ((s, dir) => {
+      // Columnar serialization (S13): the DSv2 catalog read path serves
+      // vectorized parquet ColumnarBatches (StoragePartitionedJoinSpec
+      // asserts ColumnarToRow in the plan); the declared query gates the
+      // results of an aggregate over that columnar scan.
+      Tables.readonly(s, dir, "part")
+      s.conf.set("spark.sql.catalog.graft_fix",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_fix.warehouse", Tables.cacheRoot(dir))
+      s.table("graft_fix.part")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("p_retailprice").cast("decimal(28,2)")).cast("double"), 2)
+            .as("sum_price"),
+          max(col("p_size")).as("max_size"))
+        .orderBy("p_brand")
+    }),
+
     "q27_approx_distinct" -> ((s, dir) => {
       // HLL sketch vs exact: emit the exact count (hash-matched against the
       // oracle) plus a boolean asserting the sketch landed within 2%.
@@ -649,5 +680,12 @@ object Queries {
         "round(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_qty " +
         "FROM (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_orderkey END AS jk, " +
         "l_quantity FROM lineitem) l JOIN orders ON jk = o_orderkey " +
-        "GROUP BY 1 ORDER BY o_year"))
+        "GROUP BY 1 ORDER BY o_year"),
+    "q33_ordered_scan" ->
+      ("SELECT s.*, CAST(row_number() OVER (ORDER BY s_suppkey) AS INTEGER) AS rn " +
+        "FROM supplier s ORDER BY s_suppkey"),
+    "q34_columnar_agg" ->
+      ("SELECT p_brand, count(*) AS n, " +
+        "round(CAST(sum(CAST(p_retailprice AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_price, " +
+        "max(p_size) AS max_size FROM part GROUP BY 1 ORDER BY p_brand"))
 }

@@ -275,6 +275,21 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(t.scan().filter(col("k") >= 100).count() == 2)
   }
 
+  test("V2 delta-free scans serve vectorized ColumnarBatches (S13)") {
+    val wh = Files.createTempDirectory("graft-wh8-").toString
+    val df = (1 to 200).map(i => (i.toLong, s"v$i", i % 7)).toDF("k", "v", "g")
+    GraftTable.create(spark, s"$wh/colb", "colb", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 4)), data = Some(df))
+    spark.conf.set("spark.sql.catalog.gcol", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcol.warehouse", wh)
+    val q = spark.table("gcol.colb").groupBy("g").count()
+    assert(q.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap.values.sum == 200)
+    // the scan produced ColumnarBatches: Spark inserts a ColumnarToRow
+    // transition above any columnar-capable source it actually drives
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"expected a columnar scan:\n$plan")
+  }
+
   test("V2 DDL: CREATE TABLE and ALTER TABLE map onto engine ops") {
     val wh = Files.createTempDirectory("graft-wh6-").toString
     spark.conf.set("spark.sql.catalog.gddl", classOf[graft.sources.v2.GraftCatalog].getName)
