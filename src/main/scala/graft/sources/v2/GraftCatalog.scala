@@ -338,11 +338,10 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
         }
     }
 
-  override def partitioning(): Array[Transform] = meta.hash match {
-    case Seq(hc) if hc.cols.size == 1 && meta.rangeHashBucketsMap.isEmpty =>
-      Array(Expressions.bucket(hc.buckets, hc.cols.head))
-    case _ => Array.empty // multi-component/per-range layouts: no report
-  }
+  override def partitioning(): Array[Transform] =
+    GraftV2Scan.keyGroupedComponents(meta)
+      .map(_.map(hc => Expressions.bucket(hc.buckets, hc.cols.head)).toArray)
+      .getOrElse(Array.empty) // multi-col-component/per-range layouts: no report
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     checkReadable()
@@ -399,44 +398,46 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
   override def description(): String =
     s"graft ${meta.name} (buckets=${GraftTable.totalBuckets(meta)})"
 
-  private def keyGrouped: Option[Int] = meta.hash match {
-    case Seq(hc) if hc.cols.size == 1 && meta.rangeHashBucketsMap.isEmpty =>
-      Some(hc.buckets)
-    case _ => None
-  }
+  private def keyGrouped: Option[Seq[graft.catalog.HashComponent]] =
+    GraftV2Scan.keyGroupedComponents(meta)
 
   override def outputPartitioning(): Partitioning = keyGrouped match {
-    case Some(buckets) =>
+    case Some(comps) =>
       new KeyGroupedPartitioning(
-        Array(Expressions.bucket(buckets, meta.hash.head.cols.head)), buckets)
+        comps.map(hc => Expressions.bucket(hc.buckets, hc.cols.head)).toArray,
+        GraftTable.totalBuckets(meta))
     case None =>
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
         planInputPartitions().length)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // one input partition per hash bucket = the SPJ grouping unit. Files
-    // without a bucket coordinate would break the key grouping → the table
-    // constructor already restricted us to compacted (coordinate-carrying)
-    // bases; a coordinate-less fileset reports a single unkeyed partition.
+    // one input partition per (composite) hash bucket = the SPJ grouping
+    // unit, keyed by the per-component bucket ids (one key field per
+    // reported bucket transform). Files without a bucket coordinate would
+    // break the key grouping → the table constructor already restricted us
+    // to compacted (coordinate-carrying) bases; a coordinate-less fileset
+    // reports a single unkeyed partition.
     val effective = filters.toSeq ++ runtimeFilters
     val files = graft.sources.PartitionPruner.pruneFiles(meta, meta.baseFiles, effective)
     if (files.exists(_.bucket.isEmpty))
       return Array(org.apache.spark.sql.GraftSqlBridge.filePartition(0, files.map(_.path), None))
     keyGrouped match {
-      case Some(buckets) =>
+      case Some(comps) =>
         // preserve the reported key grouping under pruning: one partition
         // per bucket ALWAYS (pruned buckets become empty partitions), so a
         // storage-partitioned join's group layout survives runtime
         // filtering while the pruned buckets' files are never opened.
         val byBucket = files.groupBy(_.bucket.get)
-        (0 until buckets).map { b =>
+        (0 until GraftTable.totalBuckets(meta)).map { b =>
           org.apache.spark.sql.GraftSqlBridge.filePartition(
-            b, byBucket.getOrElse(b, Nil).map(_.path), Some(b))
+            b, byBucket.getOrElse(b, Nil).map(_.path),
+            Some((GraftV2Scan.decodeComposite(comps, b), b)))
         }.toArray
       case None =>
         files.groupBy(_.bucket.get).toSeq.sortBy(_._1).map { case (b, fs) =>
-          org.apache.spark.sql.GraftSqlBridge.filePartition(b, fs.map(_.path), Some(b))
+          org.apache.spark.sql.GraftSqlBridge.filePartition(
+            b, fs.map(_.path), Some((Seq(b), b)))
         }.toArray
     }
   }
@@ -504,6 +505,24 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
 }
 
 object GraftV2Scan {
+  /** Components reportable as a KeyGroupedPartitioning (one `bucket(n,
+    * col)` transform per component): every component single-column (the
+    * V2 bucket function binds (numBuckets, key) pairs) and no per-range
+    * hash overrides (bucket ids are only comparable within one range's
+    * modulus). Multi-component layouts report one transform each — two
+    * co-partitioned composite-keyed tables then join shuffle-free. */
+  def keyGroupedComponents(meta: TableMeta): Option[Seq[graft.catalog.HashComponent]] =
+    if (meta.hash.nonEmpty && meta.hash.forall(_.cols.size == 1) &&
+        meta.rangeHashBucketsMap.isEmpty) Some(meta.hash)
+    else None
+
+  /** Composite bucket id → per-component ids (inverse of the bucketExpr
+    * fold `acc * n_i + b_i`, decoded right-to-left). */
+  def decodeComposite(comps: Seq[graft.catalog.HashComponent], composite: Int): Seq[Int] =
+    comps.foldRight((composite, List.empty[Int])) {
+      case (hc, (rem, acc)) => (rem / hc.buckets, (rem % hc.buckets) :: acc)
+    }._2
+
   /** Whether a delta-carrying table can serve the V2 merge-on-read overlay:
     * any uniform hash layout (upserts route by the composite bucket id with
     * the writer's own arithmetic — multi-component and multi-column

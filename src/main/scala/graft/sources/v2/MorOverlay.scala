@@ -41,7 +41,9 @@ class MorOverlayReaderFactory(
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val bucket = p match {
-      case k: org.apache.spark.sql.GraftKeyedFilePartition => k.partitionKey().getInt(0)
+      // the COMPOSITE id (upserts are routed by the full bucketExpr fold);
+      // partitionKey() carries the decoded per-component ids for SPJ
+      case k: org.apache.spark.sql.GraftKeyedFilePartition => k.compositeBucket
       case _ => -1 // coordinate-less single partition: owns every upsert
     }
     new MorOverlayReader(inner.createReader(p), info.value, bucket)

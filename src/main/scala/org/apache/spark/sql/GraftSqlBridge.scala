@@ -9,16 +9,22 @@ import org.apache.spark.sql.classic.ExpressionUtils
  * extension libraries reach the classic converters through a same-package
  * shim — the established pattern for DataSource/extension projects).
  */
-/** A FilePartition that also reports its hash-bucket id as the partition
-  * key — the unit Spark's storage-partitioned join groups on. */
+/** A FilePartition that also reports its hash-bucket ids as the partition
+  * key — the unit Spark's storage-partitioned join groups on. Multi-
+  * component hash layouts report one key field per component (the
+  * composite id decoded back into per-component bucket ids, matching the
+  * one-bucket-transform-per-component KeyGroupedPartitioning); the
+  * composite id itself stays available for per-bucket delta routing. */
 class GraftKeyedFilePartition(
     index: Int,
     files: Array[execution.datasources.PartitionedFile],
-    bucket: Int)
+    val bucketIds: Array[Int],
+    val compositeBucket: Int)
   extends execution.datasources.FilePartition(index, files)
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): catalyst.InternalRow =
-    new catalyst.expressions.GenericInternalRow(Array[Any](bucket))
+    new catalyst.expressions.GenericInternalRow(
+      bucketIds.map(b => b: Any))
 }
 
 object GraftSqlBridge {
@@ -41,11 +47,13 @@ object GraftSqlBridge {
     session.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
 
-  /** One DSv2 input partition over `paths`, optionally keyed by a hash
-    * bucket id for storage-partitioned joins (HasPartitionKey is how a V2
-    * scan tells Spark which key-group a split belongs to). */
+  /** One DSv2 input partition over `paths`, optionally keyed by hash
+    * bucket ids for storage-partitioned joins (HasPartitionKey is how a V2
+    * scan tells Spark which key-group a split belongs to). `key` carries
+    * (per-component bucket ids, composite id); single-component layouts
+    * pass one id that is both. */
   def filePartition(index: Int, paths: Seq[String],
-      key: Option[Int]): execution.datasources.FilePartition = {
+      key: Option[(Seq[Int], Int)]): execution.datasources.FilePartition = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val files = paths.map { p =>
       val path = new org.apache.hadoop.fs.Path(p)
@@ -58,7 +66,8 @@ object GraftSqlBridge {
         Map.empty)
     }.toArray
     key match {
-      case Some(k) => new GraftKeyedFilePartition(index, files, k)
+      case Some((ids, composite)) =>
+        new GraftKeyedFilePartition(index, files, ids.toArray, composite)
       case None => execution.datasources.FilePartition(index, files)
     }
   }

@@ -275,6 +275,37 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(t.scan().filter(col("k") >= 100).count() == 2)
   }
 
+  test("multi-component layouts co-partition: composite-keyed SPJ, no shuffle") {
+    // both tables hash (a: 2 buckets) x (b: 3 buckets): the scan reports one
+    // bucket transform per component and the (a, b) join aligns 6 key groups
+    val wh = Files.createTempDirectory("graft-wh9-").toString
+    def mk(name: String, n: Int, payload: String): GraftTable = {
+      val df = (1 to n).map(i => (i.toLong, i.toLong * 3, s"$payload$i")).toDF("a", "b", "v")
+      GraftTable.create(spark, s"$wh/$name", name, df.schema, Seq("a", "b"),
+        Seq(HashComponent(Seq("a"), 2), HashComponent(Seq("b"), 3)), data = Some(df))
+    }
+    mk("mc1", 120, "x")
+    val t2 = mk("mc2", 90, "y")
+    spark.conf.set("spark.sql.catalog.gmc", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmc.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("gmc.mc1").join(spark.table("gmc.mc2"), Seq("a", "b"))
+      assert(j.count() == 90)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected composite-keyed SPJ:\n$plan")
+      // the grouping survives a pending-delta MOR overlay on one side
+      t2.upsert(Seq((1L, 3L, "updated")).toDF("a", "b", "v"))
+      val j2 = spark.table("gmc.mc1").join(spark.table("gmc.mc2"), Seq("a", "b"))
+      val rows = j2.collect()
+      assert(rows.length == 90)
+      assert(rows.find(r => r.getLong(0) == 1L).get.getString(3) == "updated")
+      assert(!j2.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
   test("V2 delta-free scans serve vectorized ColumnarBatches (S13)") {
     val wh = Files.createTempDirectory("graft-wh8-").toString
     val df = (1 to 200).map(i => (i.toLong, s"v$i", i % 7)).toDF("k", "v", "g")
