@@ -145,6 +145,28 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         names -= n
       case u: TableChange.UpdateColumnType => existing(one(u.fieldNames))
       case c: TableChange.UpdateColumnComment => existing(one(c.fieldNames))
+      case p: TableChange.SetProperty =>
+        // storage-attribute properties map onto engine ALTERs; anything
+        // else would be silently-dropped metadata → refuse
+        p.property match {
+          case "graft.compression" =>
+            require(GraftTable.CodecStrength.contains(p.value),
+              s"unknown codec ${p.value}")
+          case k if k.startsWith("graft.compression.") =>
+            existing(k.stripPrefix("graft.compression."))
+            require(GraftTable.CodecStrength.contains(p.value),
+              s"unknown codec ${p.value}")
+          case k if k.startsWith("graft.encoding.") =>
+            existing(k.stripPrefix("graft.encoding."))
+            require(Seq("dictionary", "plain").contains(p.value),
+              s"unknown encoding ${p.value}")
+          case other => throw new UnsupportedOperationException(
+            s"unsupported table property for graft tables: $other")
+        }
+      case p: TableChange.RemoveProperty =>
+        require(p.property.startsWith("graft.compression."),
+          s"only per-column compression attributes can be unset, not ${p.property}")
+        existing(p.property.stripPrefix("graft.compression."))
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER for graft tables: $other")
@@ -162,6 +184,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         t.widenColumnType(u.fieldNames.head, u.newDataType)
       case c: TableChange.UpdateColumnComment =>
         t.setComment(c.fieldNames.head, Option(c.newComment))
+      case p: TableChange.SetProperty =>
+        p.property match {
+          case "graft.compression" => t.setCompression(p.value)
+          case k if k.startsWith("graft.compression.") =>
+            t.setColumnCompression(k.stripPrefix("graft.compression."), Some(p.value))
+          case k if k.startsWith("graft.encoding.") =>
+            t.setColumnEncoding(k.stripPrefix("graft.encoding."), p.value)
+          case _ => ()
+        }
+      case p: TableChange.RemoveProperty =>
+        t.setColumnCompression(p.property.stripPrefix("graft.compression."), None)
       case _ => ()
     }
     new GraftV2Table(TableMeta.readCurrent(loc))

@@ -343,11 +343,23 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     val e = intercept[Exception] { spark.table("gddl.nt").count() }
     assert(e.getMessage.contains("DSv1"), e.getMessage)
     assert(t.scan().count() == 3) // the engine path reads through the remap
+    // storage-attribute TBLPROPERTIES map onto engine ALTERs
+    spark.sql("ALTER TABLE gddl.nt SET TBLPROPERTIES (" +
+      "'graft.compression'='gzip', 'graft.compression.v'='zstd', " +
+      "'graft.encoding.v'='plain')")
+    assert(t.meta.compressionCodec.contains("gzip"))
+    assert(t.meta.column("v").compression.contains("zstd"))
+    assert(t.meta.column("v").encoding.contains("plain"))
+    spark.sql("ALTER TABLE gddl.nt UNSET TBLPROPERTIES ('graft.compression.v')")
+    assert(t.meta.column("v").compression.isEmpty)
     // unsupported shapes refuse rather than mis-apply
     val e2 = intercept[Exception] { spark.sql("ALTER TABLE gddl.nt DROP COLUMN k") }
     def msgs(x: Throwable): Seq[String] =
       Option(x).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ msgs(t.getCause))
     assert(msgs(e2).exists(_.contains("key")), e2.toString)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gddl.nt SET TBLPROPERTIES ('random.prop'='x')")
+    }
   }
 
   test("V2 DDL: ALTER TABLE RENAME moves the table, snapshots stay readable") {
