@@ -34,11 +34,12 @@ import graft.table.GraftTable
  * `spark.table("<name>.<table>")`. Joins additionally need
  * `spark.sql.sources.v2.bucketing.enabled=true`.
  *
- * Scope: BATCH_READ over the base fileset, with a per-bucket merge-on-read
- * delta overlay (MorOverlay.scala) when the table has a single-column hash
- * layout and the delta set fits the broadcast bound — other delta-carrying
- * layouts must `compact()` first (compactForV2 is the convenience gate).
- * Writes go through the engine API or the DSv1 "graft" format.
+ * Scope: BATCH_READ over the base fileset, with a per-partition
+ * merge-on-read delta overlay (MorOverlay.scala) when the table has a hash
+ * layout (per-range bucket-count overrides included) and the delta set
+ * fits the broadcast bound — hash-less delta-carrying layouts must
+ * `compact()` first (compactForV2 is the convenience gate). Writes go
+ * through the engine API or the DSv1 "graft" format.
  */
 class GraftCatalog extends TableCatalog with FunctionCatalog {
 
@@ -304,8 +305,8 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
     require(meta.deltaFiles.isEmpty || GraftV2Scan.morOverlayable(meta),
       s"graft V2 reads need a compacted base or an overlay-able delta set; " +
         s"${meta.name} has ${meta.deltaFiles.size} pending delta files and " +
-        "(no hash layout, per-range hash overrides, pending range drops, " +
-        "or deltas past the broadcast bound) — compact() first " +
+        "(no hash layout, pending range drops, or deltas past the " +
+        "broadcast bound) — compact() first " +
         "or read through the DSv1 'graft' format (merge-on-read)")
     // The V2 parquet factory reads files by LOGICAL column name; a renamed
     // or type-widened column lives in files under its physical name/type,
@@ -468,9 +469,22 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
             Some((GraftV2Scan.decodeComposite(comps, b), b)))
         }.toArray
       case None =>
-        files.groupBy(_.bucket.get).toSeq.sortBy(_._1).map { case (b, fs) =>
-          org.apache.spark.sql.GraftSqlBridge.filePartition(
-            b, fs.map(_.path), Some((Seq(b), b)))
+        // No key grouping is reported here (multi-column hash components,
+        // or per-range hash overrides) — splits only need to (a) cover
+        // every file once and (b) own each delta route exactly once. With
+        // per-range overrides a bucket id is only meaningful within its
+        // range's modulus, so the grouping unit (= the delta route) is the
+        // (rangeKey, bucket) pair; uniform layouts group by the composite
+        // bucket alone, keeping a bucket that spans ranges one route.
+        val groups = GraftV2Scan.routeGroups(meta, files)
+        if (groups.isEmpty && meta.deltaFiles.nonEmpty)
+          // empty (or fully-pruned) base with pending deltas: one empty
+          // split still runs, so the fallback-routed delta rows are emitted
+          return Array(org.apache.spark.sql.GraftSqlBridge.routedFilePartition(
+            0, Nil, GraftV2Scan.OrphanRoute))
+        groups.zipWithIndex.map { case ((route, fs), i) =>
+          org.apache.spark.sql.GraftSqlBridge.routedFilePartition(
+            i, fs.map(_.path), route)
         }.toArray
     }
   }
@@ -495,36 +509,48 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     val types = internalFields.map(_.dataType)
     val keyIdx = m.keyCols.map(k => internalSchema.fieldIndex(k)).toArray
     val outIdx = requiredSchema.fieldNames.map(internalSchema.fieldIndex)
-    // composite bucket arithmetic — the exact fold of GraftTable.bucketExpr
-    // (acc * buckets + pmod(murmur3_seed42(cols...), buckets) per hash
-    // component), so upserts route to the same partition the writer's file
-    // coordinates use, for any multi-component / multi-column hash layout
-    val hashSpecs: Array[(Array[Int], Int)] =
-      m.hash.map(hc =>
-        (hc.cols.map(internalSchema.fieldIndex).toArray, hc.buckets)).toArray
+    // Delta routing: each upsert row is tagged with its owning split's
+    // route key using the TABLE'S OWN partition expressions — bucketExpr
+    // (which already folds per-range bucket-count overrides in), plus the
+    // range-key expression when overrides make the bucket id
+    // range-relative. The writer partitioned the base files with these
+    // same expressions, so route strings agree by construction for any
+    // multi-component / multi-column / per-range-override hash layout.
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val resolve: String => org.apache.spark.sql.Column = col
+    val routeCol = (m.range, m.rangeHashBucketsMap) match {
+      case (Some(r), ovs) if ovs.nonEmpty =>
+        concat(GraftTable.rangeKeyExprM(m, r, resolve), lit("#"),
+          GraftTable.bucketExpr(m, resolve).cast("string"))
+      case _ => GraftTable.bucketExpr(m, resolve).cast("string")
+    }
+    // Routes no planned split owns (a bucket or range carrying deltas but
+    // no base files, or one pruned away) fold into the first planned
+    // route: some split must emit those rows, and every filter is
+    // re-evaluated above this scan, so rows of a pruned-away route still
+    // drop correctly.
+    val owned: Set[String] = keyGrouped match {
+      case Some(_) => (0 until GraftTable.totalBuckets(m)).map(_.toString).toSet
+      case None =>
+        GraftV2Scan.routeGroups(m, graft.sources.PartitionPruner.pruneFiles(
+          m, m.baseFiles, filters.toSeq ++ runtimeFilters)).map(_._1).toSet
+    }
+    val fallback = owned.toSeq.sorted.headOption.getOrElse(GraftV2Scan.OrphanRoute)
     val tbl = GraftTable.load(spark, m.location)
     val sel = tbl.latestDeltas(m, m.deltaFiles)
-      .select((internalSchema.fieldNames.toSeq :+ GraftTable.OpCol)
-        .map(org.apache.spark.sql.functions.col): _*)
+      .select(internalSchema.fieldNames.toSeq.map(col) ++
+        Seq(col(GraftTable.OpCol), routeCol): _*)
     val opIdx = internalFields.length
+    val routeIdx = opIdx + 1
     val rows = sel.queryExecution.toRdd.map(_.copy()).collect()
     val dead = new java.util.HashSet[Seq[Any]]()
-    val ups = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Array[Any]]]()
+    val ups = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[Array[Any]]]()
     rows.foreach { r =>
       dead.add(MorOverlay.keyOf(r, keyIdx, types))
       if (r.getUTF8String(opIdx).toString != GraftTable.OpDelete) {
-        var b = 0
-        hashSpecs.foreach { case (idxs, nb) =>
-          // multi-column components chain murmur3 with the running hash as
-          // seed — HashExpression's own eval order, so it matches hash(...)
-          var h = 42
-          idxs.foreach { i =>
-            h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-              .hash(r.get(i, types(i)), types(i), h.toLong).toInt
-          }
-          b = b * nb + (((h % nb) + nb) % nb)
-        }
-        ups.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer()) +=
+        val r0 = r.getUTF8String(routeIdx).toString
+        val route = if (owned.contains(r0)) r0 else fallback
+        ups.getOrElseUpdate(route, scala.collection.mutable.ArrayBuffer()) +=
           types.indices.map(i => r.get(i, types(i))).toArray
       }
     }
@@ -556,14 +582,31 @@ object GraftV2Scan {
       case (hc, (rem, acc)) => (rem / hc.buckets, (rem % hc.buckets) :: acc)
     }._2
 
+  /** Delta-route key of a base file under `meta`'s layout — the grouping
+    * unit for splits that report no key grouping. Uniform layouts key by
+    * the composite bucket; per-range hash overrides key by the
+    * (rangeKey, bucket) pair, since a bucket id is only comparable within
+    * its own range's modulus. Must agree with the route column the MOR
+    * reader factory computes over the delta frame (both derive from
+    * bucketExpr / rangeKeyExprM — the writer's own partition expressions). */
+  def routeOf(meta: TableMeta, f: graft.catalog.DataFileMeta): String =
+    if (meta.rangeHashBucketsMap.isEmpty) f.bucket.get.toString
+    else s"${f.rangeKey.getOrElse("")}#${f.bucket.get}"
+
+  def routeGroups(meta: TableMeta, files: Seq[graft.catalog.DataFileMeta])
+      : Seq[(String, Seq[graft.catalog.DataFileMeta])] =
+    files.groupBy(routeOf(meta, _)).toSeq.sortBy(_._1)
+
+  /** Route of the single empty split planned when a delta-carrying table
+    * has no (unpruned) base files at all — it drains every upsert. */
+  val OrphanRoute = "__orphans"
+
   /** Whether a delta-carrying table can serve the V2 merge-on-read overlay:
-    * any uniform hash layout (upserts route by the composite bucket id with
-    * the writer's own arithmetic — multi-component and multi-column
-    * components included), no per-range hash overrides (bucket ids are only
-    * comparable within one range's schema), no pending range-drop masks,
-    * and a delta fileset inside the broadcast bound. */
+    * any hash layout — multi-component, multi-column components, and
+    * per-range bucket-count overrides included (upserts route by the
+    * writer's own partition expressions) — with no pending range-drop
+    * masks and a delta fileset inside the broadcast bound. */
   def morOverlayable(meta: TableMeta): Boolean =
-    meta.hash.nonEmpty && meta.rangeHashBucketsMap.isEmpty &&
-      meta.rangeDrops.isEmpty &&
+    meta.hash.nonEmpty && meta.rangeDrops.isEmpty &&
       GraftTable.deltaBytes(meta.deltaFiles) < GraftTable.BroadcastDeltaBytes
 }

@@ -25,7 +25,8 @@ import org.apache.spark.sql.types.DataType
  * @param dead     keys carrying any delta (upsert or tombstone) — base rows
  *                 with these keys are superseded
  * @param upserts  latest non-delete delta rows (internal-schema order),
- *                 grouped by hash bucket
+ *                 grouped by partition route (composite hash bucket as a
+ *                 string, or "rangeKey#bucket" under per-range overrides)
  */
 case class MorOverlayInfo(
     types: Array[DataType],
@@ -33,20 +34,22 @@ case class MorOverlayInfo(
     outIdx: Array[Int],
     identity: Boolean,
     dead: java.util.HashSet[Seq[Any]],
-    upserts: Map[Int, Array[Array[Any]]])
+    upserts: Map[String, Array[Array[Any]]])
 
 class MorOverlayReaderFactory(
     inner: PartitionReaderFactory,
     info: Broadcast[MorOverlayInfo]) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val bucket = p match {
+    val route = p match {
       // the COMPOSITE id (upserts are routed by the full bucketExpr fold);
       // partitionKey() carries the decoded per-component ids for SPJ
-      case k: org.apache.spark.sql.GraftKeyedFilePartition => k.compositeBucket
-      case _ => -1 // coordinate-less single partition: owns every upsert
+      case k: org.apache.spark.sql.GraftKeyedFilePartition => k.compositeBucket.toString
+      // unreported-grouping layouts: the planner stamped the owned route
+      case r: org.apache.spark.sql.GraftRoutedFilePartition => r.route
+      case _ => null // coordinate-less single partition: owns every upsert
     }
-    new MorOverlayReader(inner.createReader(p), info.value, bucket)
+    new MorOverlayReader(inner.createReader(p), info.value, route)
   }
 }
 
@@ -74,12 +77,12 @@ object MorOverlay {
 class MorOverlayReader(
     inner: PartitionReader[InternalRow],
     info: MorOverlayInfo,
-    bucket: Int) extends PartitionReader[InternalRow] {
+    route: String) extends PartitionReader[InternalRow] {
 
   private var current: InternalRow = _
   private val noDead = info.dead.isEmpty // insert-only delta sets skip the probe
   private val upIter: Iterator[Array[Any]] =
-    if (bucket >= 0) info.upserts.getOrElse(bucket, Array.empty[Array[Any]]).iterator
+    if (route != null) info.upserts.getOrElse(route, Array.empty[Array[Any]]).iterator
     else info.upserts.valuesIterator.flatten
 
   override def next(): Boolean = {

@@ -27,6 +27,17 @@ class GraftKeyedFilePartition(
       bucketIds.map(b => b: Any))
 }
 
+/** A FilePartition carrying an opaque delta-route key, for layouts that
+  * report no key grouping (multi-column hash components; per-range hash
+  * overrides, where a bucket id is only meaningful within its own range's
+  * modulus): the route tells the merge-on-read overlay which upsert rows
+  * this split owns, without claiming any partition key toward Spark. */
+class GraftRoutedFilePartition(
+    index: Int,
+    files: Array[execution.datasources.PartitionedFile],
+    val route: String)
+  extends execution.datasources.FilePartition(index, files)
+
 object GraftSqlBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
@@ -53,9 +64,24 @@ object GraftSqlBridge {
     * (per-component bucket ids, composite id); single-component layouts
     * pass one id that is both. */
   def filePartition(index: Int, paths: Seq[String],
-      key: Option[(Seq[Int], Int)]): execution.datasources.FilePartition = {
+      key: Option[(Seq[Int], Int)]): execution.datasources.FilePartition =
+    key match {
+      case Some((ids, composite)) =>
+        new GraftKeyedFilePartition(index, partitionedFiles(paths), ids.toArray, composite)
+      case None => execution.datasources.FilePartition(index, partitionedFiles(paths))
+    }
+
+  /** One DSv2 input partition owning the delta-route `route` (see
+    * [[GraftRoutedFilePartition]]); `paths` may be empty — an empty split
+    * still runs a task, so its routed delta rows are emitted. */
+  def routedFilePartition(index: Int, paths: Seq[String],
+      route: String): execution.datasources.FilePartition =
+    new GraftRoutedFilePartition(index, partitionedFiles(paths), route)
+
+  private def partitionedFiles(
+      paths: Seq[String]): Array[execution.datasources.PartitionedFile] = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val files = paths.map { p =>
+    paths.map { p =>
       val path = new org.apache.hadoop.fs.Path(p)
       val status = path.getFileSystem(conf).getFileStatus(path)
       execution.datasources.PartitionedFile(
@@ -65,11 +91,6 @@ object GraftSqlBridge {
         status.getModificationTime, status.getLen,
         Map.empty)
     }.toArray
-    key match {
-      case Some((ids, composite)) =>
-        new GraftKeyedFilePartition(index, files, ids.toArray, composite)
-      case None => execution.datasources.FilePartition(index, files)
-    }
   }
 
   /** The stock vectorized parquet reader factory, reused for the graft V2

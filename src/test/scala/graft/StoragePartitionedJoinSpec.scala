@@ -250,6 +250,59 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(mc((1L, "t1")) == "updated" && mc.size == 30)
   }
 
+  test("per-range hash overrides serve deltas through the MOR overlay") {
+    // a re-added range with its own bucket count: bucket ids are only
+    // comparable within one range's modulus, so the overlay routes by the
+    // (rangeKey, bucket) pair — planner and reader both derive it from the
+    // writer's own partition expressions
+    val wh = Files.createTempDirectory("graft-wh10-").toString
+    def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
+    val df = (1 to 100).map(i => (i.toLong, ts(1995 + i % 2), s"x$i")).toDF("id", "d", "v")
+    val t = GraftTable.create(spark, s"$wh/prh", "prh", df.schema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 2)),
+      range = Some(graft.catalog.RangeComponent("d", "year")), data = Some(df))
+    t.dropRangePartition("1996")
+    t.addRangePartition("1996", hashBuckets = Some(4))
+    t.upsert((1 to 100).filter(_ % 2 == 1).map(i => (i.toLong, ts(1996), s"n$i"))
+      .toDF("id", "d", "v"))
+    t.compact() // materialize both hash schemas into the base
+    // pending deltas over the mixed layout: an update in each range, an
+    // insert, a delete, and an upsert into a range with NO base files at
+    // all (1997 auto-covers on write) — the last has no owning split and
+    // must fold into the fallback route
+    t.upsert(Seq((2L, ts(1995), "u95"), (1L, ts(1996), "u96"),
+      (201L, ts(1995), "new"), (301L, ts(1997), "o97")).toDF("id", "d", "v"))
+    t.delete(Seq(Tuple1(4L)).toDF("id"))
+    spark.conf.set("spark.sql.catalog.gprh", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gprh.warehouse", wh)
+    val v2df = spark.table("gprh.prh")
+    // one split per (rangeKey, bucket) group: 2 for 1995 + 4 for 1996
+    assert(v2df.rdd.getNumPartitions ==
+      graft.sources.v2.GraftV2Scan.routeGroups(t.meta, t.meta.baseFiles).size)
+    assert(v2df.rdd.getNumPartitions == 6)
+    val v2 = v2df.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val v1 = t.scan().collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(v2 == v1)
+    assert(v2(2L) == "u95" && v2(1L) == "u96" && v2(201L) == "new")
+    assert(v2(301L) == "o97" && !v2.contains(4L) && v2.size == 101)
+  }
+
+  test("delta-only tables (no base files yet) read through the V2 overlay") {
+    // a fresh multi-column-component table with only delta commits plans a
+    // single empty orphan split that emits every upsert
+    val wh = Files.createTempDirectory("graft-wh11-").toString
+    val schema = Seq((1L, "t0", "x")).toDF("a", "b", "v").schema
+    val t = GraftTable.create(spark, s"$wh/fresh", "fresh", schema, Seq("a", "b"),
+      Seq(HashComponent(Seq("a", "b"), 4)))
+    t.insert((1 to 20).map(i => (i.toLong, s"t${i % 3}", s"x$i")).toDF("a", "b", "v"))
+    t.upsert(Seq((1L, "t1", "updated")).toDF("a", "b", "v"))
+    spark.conf.set("spark.sql.catalog.gfr", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfr.warehouse", wh)
+    val rows = spark.table("gfr.fresh").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(rows.size == 20 && rows((1L, "t1")) == "updated")
+  }
+
   test("non-overlayable delta sets are still refused with the compact pointer") {
     // a pending range-drop mask cannot be applied by the overlay → the
     // scan must refuse rather than serve dropped rows
