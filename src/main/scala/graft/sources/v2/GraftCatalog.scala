@@ -35,11 +35,12 @@ import graft.table.GraftTable
  * `spark.sql.sources.v2.bucketing.enabled=true`.
  *
  * Scope: BATCH_READ over the base fileset, with a per-partition
- * merge-on-read delta overlay (MorOverlay.scala) when the table has a hash
- * layout (per-range bucket-count overrides included) and the delta set
- * fits the broadcast bound — hash-less delta-carrying layouts must
- * `compact()` first (compactForV2 is the convenience gate). Writes go
- * through the engine API or the DSv1 "graft" format.
+ * merge-on-read delta overlay (MorOverlay.scala) for ANY layout — hash
+ * (per-range bucket-count overrides included), range-only, or
+ * unpartitioned — whenever the delta set fits the broadcast bound;
+ * past the bound (or under a pending range-drop mask) `compact()` first
+ * (compactForV2 is the convenience gate). Writes go through the engine
+ * API or the DSv1 "graft" format.
  */
 class GraftCatalog extends TableCatalog with FunctionCatalog {
 
@@ -294,7 +295,7 @@ class GraftBucketReducer(n: Int) extends Reducer[Integer, Integer] with Serializ
 
 /** Read-only V2 table over a graft snapshot: the compacted base fileset,
   * plus a merge-on-read delta overlay (MorOverlay.scala) when the layout
-  * supports per-bucket routing and the delta fileset is broadcast-sized. */
+  * is broadcast-sized (per-split routing works on any layout). */
 class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
     with SupportsWrite {
 
@@ -305,8 +306,8 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
     require(meta.deltaFiles.isEmpty || GraftV2Scan.morOverlayable(meta),
       s"graft V2 reads need a compacted base or an overlay-able delta set; " +
         s"${meta.name} has ${meta.deltaFiles.size} pending delta files and " +
-        "(no hash layout, pending range drops, or deltas past the " +
-        "broadcast bound) — compact() first " +
+        "(pending range drops, or deltas past the broadcast bound) — " +
+        "compact() first " +
         "or read through the DSv1 'graft' format (merge-on-read)")
     // The V2 parquet factory reads files by LOGICAL column name; a renamed
     // or type-widened column lives in files under its physical name/type,
@@ -454,9 +455,13 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     // reports a single unkeyed partition.
     val effective = filters.toSeq ++ runtimeFilters
     val files = graft.sources.PartitionPruner.pruneFiles(meta, meta.baseFiles, effective)
-    if (files.exists(_.bucket.isEmpty))
-      return Array(org.apache.spark.sql.GraftSqlBridge.filePartition(0, files.map(_.path), None))
     keyGrouped match {
+      case Some(_) if files.exists(_.bucket.isEmpty) =>
+        // a reported key grouping cannot place coordinate-less files into
+        // key groups — serve them as one unkeyed split (which then owns
+        // every delta row)
+        Array(org.apache.spark.sql.GraftSqlBridge.filePartition(
+          0, files.map(_.path), None))
       case Some(comps) =>
         // preserve the reported key grouping under pruning: one partition
         // per bucket ALWAYS (pruned buckets become empty partitions), so a
@@ -518,11 +523,14 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     // multi-component / multi-column / per-range-override hash layout.
     import org.apache.spark.sql.functions.{col, concat, lit}
     val resolve: String => org.apache.spark.sql.Column = col
-    val routeCol = (m.range, m.rangeHashBucketsMap) match {
-      case (Some(r), ovs) if ovs.nonEmpty =>
+    val routeCol = (m.hash.nonEmpty, m.range) match {
+      case (true, Some(r)) if m.rangeHashBucketsMap.nonEmpty =>
         concat(GraftTable.rangeKeyExprM(m, r, resolve), lit("#"),
           GraftTable.bucketExpr(m, resolve).cast("string"))
-      case _ => GraftTable.bucketExpr(m, resolve).cast("string")
+      case (true, _) => GraftTable.bucketExpr(m, resolve).cast("string")
+      case (false, Some(r)) =>
+        concat(lit("r:"), GraftTable.rangeKeyExprM(m, r, resolve))
+      case (false, None) => lit(GraftV2Scan.OrphanRoute) // unpartitioned
     }
     // Routes no planned split owns (a bucket or range carrying deltas but
     // no base files, or one pruned away) fold into the first planned
@@ -582,31 +590,45 @@ object GraftV2Scan {
       case (hc, (rem, acc)) => (rem / hc.buckets, (rem % hc.buckets) :: acc)
     }._2
 
-  /** Delta-route key of a base file under `meta`'s layout — the grouping
-    * unit for splits that report no key grouping. Uniform layouts key by
-    * the composite bucket; per-range hash overrides key by the
-    * (rangeKey, bucket) pair, since a bucket id is only comparable within
-    * its own range's modulus. Must agree with the route column the MOR
-    * reader factory computes over the delta frame (both derive from
+  /** Delta-route key of a coordinate-carrying base file under `meta`'s
+    * layout — the grouping unit for splits that report no key grouping.
+    * Uniform hash layouts key by the composite bucket; per-range hash
+    * overrides key by the (rangeKey, bucket) pair, since a bucket id is
+    * only comparable within its own range's modulus; hash-less range
+    * layouts key by the range alone. Must agree with the route column the
+    * MOR reader factory computes over the delta frame (both derive from
     * bucketExpr / rangeKeyExprM — the writer's own partition expressions). */
   def routeOf(meta: TableMeta, f: graft.catalog.DataFileMeta): String =
-    if (meta.rangeHashBucketsMap.isEmpty) f.bucket.get.toString
-    else s"${f.rangeKey.getOrElse("")}#${f.bucket.get}"
+    f.bucket match {
+      case Some(b) =>
+        if (meta.rangeHashBucketsMap.isEmpty) b.toString
+        else s"${f.rangeKey.getOrElse("")}#$b"
+      case None => s"r:${f.rangeKey.get}"
+    }
 
   def routeGroups(meta: TableMeta, files: Seq[graft.catalog.DataFileMeta])
-      : Seq[(String, Seq[graft.catalog.DataFileMeta])] =
-    files.groupBy(routeOf(meta, _)).toSeq.sortBy(_._1)
+      : Seq[(String, Seq[graft.catalog.DataFileMeta])] = {
+    // Coordinate-less files (zero-copy registered bases): one split per
+    // file keeps the scan parallel; the synthetic routes never match a
+    // delta row's computed route, so their upserts fold into the fallback
+    // split. Order is the (stable) manifest order, so the planner and the
+    // reader factory derive the same route set.
+    val (coord, bare) = files.partition(f => f.bucket.isDefined || f.rangeKey.isDefined)
+    coord.groupBy(routeOf(meta, _)).toSeq.sortBy(_._1) ++
+      bare.zipWithIndex.map { case (f, i) => (s"f:$i", Seq(f)) }
+  }
 
   /** Route of the single empty split planned when a delta-carrying table
     * has no (unpruned) base files at all — it drains every upsert. */
   val OrphanRoute = "__orphans"
 
-  /** Whether a delta-carrying table can serve the V2 merge-on-read overlay:
-    * any hash layout — multi-component, multi-column components, and
-    * per-range bucket-count overrides included (upserts route by the
-    * writer's own partition expressions) — with no pending range-drop
-    * masks and a delta fileset inside the broadcast bound. */
+  /** Whether a delta-carrying table can serve the V2 merge-on-read
+    * overlay: ANY layout — hash (multi-component, multi-column components,
+    * per-range bucket-count overrides), range-only, or unpartitioned
+    * (upserts route by the writer's own partition expressions; routes no
+    * split owns fold into the fallback split) — with no pending
+    * range-drop masks and a delta fileset inside the broadcast bound. */
   def morOverlayable(meta: TableMeta): Boolean =
-    meta.hash.nonEmpty && meta.rangeDrops.isEmpty &&
+    meta.rangeDrops.isEmpty &&
       GraftTable.deltaBytes(meta.deltaFiles) < GraftTable.BroadcastDeltaBytes
 }

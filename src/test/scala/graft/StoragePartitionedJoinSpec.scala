@@ -303,6 +303,37 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(rows.size == 20 && rows((1L, "t1")) == "updated")
   }
 
+  test("hash-less layouts read through the V2 overlay with parallel splits") {
+    val wh = Files.createTempDirectory("graft-wh12-").toString
+    def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
+    // range-only (no hash component): one split per range — not one
+    // serial whole-table task — and per-range delta routing
+    val df = (1 to 60).map(i => (i.toLong, ts(1995 + i % 3), s"x$i")).toDF("id", "d", "v")
+    val t = GraftTable.create(spark, s"$wh/ronly", "ronly", df.schema, Seq("id"),
+      range = Some(graft.catalog.RangeComponent("d", "year")), data = Some(df))
+    // an update, plus an upsert into a range with no base files (1999
+    // auto-covers on write) that must fold into the fallback split
+    t.upsert(Seq((3L, ts(1995), "u95"), (100L, ts(1999), "o99")).toDF("id", "d", "v"))
+    t.delete(Seq(Tuple1(6L)).toDF("id"))
+    spark.conf.set("spark.sql.catalog.ghl", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ghl.warehouse", wh)
+    val v2df = spark.table("ghl.ronly")
+    assert(v2df.rdd.getNumPartitions == 3, s"${v2df.rdd.getNumPartitions}")
+    val v2 = v2df.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val v1 = t.scan().collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(v2 == v1)
+    assert(v2(3L) == "u95" && v2(100L) == "o99" && !v2.contains(6L) && v2.size == 60)
+    // fully unpartitioned (no hash, no range): per-file splits, deltas
+    // fold into the first split
+    val df2 = (1 to 30).map(i => (i.toLong, s"p$i")).toDF("k", "v")
+    val t2 = GraftTable.create(spark, s"$wh/plain", "plain", df2.schema, Seq("k"),
+      data = Some(df2))
+    t2.upsert(Seq((1L, "u1"), (31L, "new")).toDF("k", "v"))
+    val m = spark.table("ghl.plain").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.size == 31 && m(1L) == "u1" && m(31L) == "new")
+  }
+
   test("non-overlayable delta sets are still refused with the compact pointer") {
     // a pending range-drop mask cannot be applied by the overlay → the
     // scan must refuse rather than serve dropped rows
