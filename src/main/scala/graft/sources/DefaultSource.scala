@@ -172,11 +172,14 @@ case class GraftRelation(sqlContext: SQLContext, location: String,
 }
 
 object GraftRelation {
-  /** Spark Filter → Column, for the subset the engine pushes (conjunctions
-    * of comparison/IN/NULL/prefix — the same set the reference converts,
-    * DefaultSource.scala:392-421; Or is not pushed, :516-523). */
+  /** Spark Filter → Column, for the subset the engine evaluates itself
+    * (the reference converts the comparison/IN/NULL/prefix conjunctions,
+    * DefaultSource.scala:392-421; Or/Not/contains are extra surface the
+    * SQL DELETE path wants — metadata pruning still only consumes the
+    * conjunctive shapes and ignores the rest). */
   def toColumn(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === v)
+    case EqualNullSafe(a, v) => Some(col(a) <=> v)
     case GreaterThan(a, v) => Some(col(a) > v)
     case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
     case LessThan(a, v) => Some(col(a) < v)
@@ -185,8 +188,15 @@ object GraftRelation {
     case IsNull(a) => Some(col(a).isNull)
     case IsNotNull(a) => Some(col(a).isNotNull)
     case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case StringEndsWith(a, s) => Some(col(a).endsWith(s))
+    case StringContains(a, s) => Some(col(a).contains(s))
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
     case And(l, r) =>
       for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
     case _ => None
   }
 }

@@ -73,6 +73,32 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     new GraftV2Table(TableMeta.readCurrent(loc))
   }
 
+  /** SQL time travel (READ_AT_SNAPSHOT, common/common.proto:268-326): each
+    * commit wrote an immutable snapshot, so `VERSION AS OF <v>` is just a
+    * read of that version's metadata — no state reconstruction. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val loc = locationFor(ident)
+    if (!GraftTable.exists(loc)) throw new NoSuchTableException(ident)
+    require(version.nonEmpty && version.forall(_.isDigit),
+      s"graft version identifiers are numeric snapshot versions, got '$version'")
+    try new GraftV2Table(TableMeta.read(loc, version.toLong))
+    catch {
+      case _: java.nio.file.NoSuchFileException =>
+        throw new IllegalArgumentException(
+          s"no snapshot version $version for ${ident.name()}")
+    }
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands the instant in MICROseconds; resolve
+    * the highest version committed at or before it (O(log versions)
+    * binary search over the chain — TableMeta.versionAtTimestamp). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val loc = locationFor(ident)
+    if (!GraftTable.exists(loc)) throw new NoSuchTableException(ident)
+    new GraftV2Table(TableMeta.read(loc,
+      TableMeta.versionAtTimestamp(loc, timestamp / 1000L)))
+  }
+
   /** CREATE TABLE through SQL: `PARTITIONED BY (bucket(n, col))` maps to
     * the engine's hash component; the primary key comes from the
     * `graft.keys` table property (comma-separated), defaulting to the
@@ -297,7 +323,34 @@ class GraftBucketReducer(n: Int) extends Reducer[Integer, Integer] with Serializ
   * plus a merge-on-read delta overlay (MorOverlay.scala) when the layout
   * is broadcast-sized (per-split routing works on any layout). */
 class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
-    with SupportsWrite {
+    with SupportsWrite with SupportsDelete with TruncatableTable {
+
+  /** SQL `DELETE FROM` — metadata-only here; the engine resolves matching
+    * PKs at the current snapshot and commits tombstone deltas (the
+    * reference's session DELETE path). Only predicates the engine can
+    * evaluate are accepted (Spark checks canDeleteWhere first and errors
+    * cleanly on the rest — no partial deletes). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => graft.sources.GraftRelation.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val t = GraftTable.load(SparkSession.active, meta.location)
+    t.deleteWhere(filters.flatMap(graft.sources.GraftRelation.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true)))
+  }
+
+  /** SQL `TRUNCATE TABLE` — one atomic overwrite commit with an empty
+    * batch (tombstones for every live key in a single snapshot version;
+    * time travel to prior versions still sees the data). */
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    val t = GraftTable.load(spark, meta.location)
+    t.overwrite(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(meta.visibleColumns.map(_.toField))))
+    true
+  }
 
   /** READ-path preconditions only — checked in [[newScanBuilder]], not at
     * table resolution, so the WRITE path (which delegates to the engine's

@@ -334,6 +334,51 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(m.size == 31 && m(1L) == "u1" && m(31L) == "new")
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF read snapshots") {
+    val wh = Files.createTempDirectory("graft-wh13-").toString
+    val df = (1 to 20).map(i => (i.toLong, s"a$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/tt", "tt", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    Thread.sleep(15) // distinct commit timestamps for the AS OF lookup
+    t.upsert(Seq((1L, "updated"), (21L, "new")).toDF("k", "v"))
+    val tsV2 = t.meta.timestampMs
+    Thread.sleep(15)
+    t.delete(Seq(Tuple1(2L)).toDF("k"))
+    spark.conf.set("spark.sql.catalog.gtt", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtt.warehouse", wh)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val v1 = asMap(spark.sql("SELECT * FROM gtt.tt VERSION AS OF 1"))
+    assert(v1.size == 20 && v1(1L) == "a1" && !v1.contains(21L))
+    val v2 = asMap(spark.sql("SELECT * FROM gtt.tt VERSION AS OF 2"))
+    assert(v2.size == 21 && v2(1L) == "updated" && v2(21L) == "new" && v2.contains(2L))
+    val cur = asMap(spark.table("gtt.tt"))
+    assert(cur.size == 20 && !cur.contains(2L))
+    // timestamp travel resolves the highest version committed at or before
+    val ts = asMap(spark.sql(s"SELECT * FROM gtt.tt TIMESTAMP AS OF timestamp_millis(${tsV2}L)"))
+    assert(ts == v2)
+    intercept[Exception] { spark.sql("SELECT * FROM gtt.tt VERSION AS OF 99").count() }
+  }
+
+  test("SQL DELETE FROM and TRUNCATE TABLE run engine commits") {
+    val wh = Files.createTempDirectory("graft-wh14-").toString
+    val df = (1 to 40).map(i => (i.toLong, i % 4, s"d$i")).toDF("k", "g", "v")
+    val t = GraftTable.create(spark, s"$wh/del", "del", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    spark.conf.set("spark.sql.catalog.gdel", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdel.warehouse", wh)
+    // disjunctive predicate: g==1 kills 10 rows, k>38 kills 2 more
+    spark.sql("DELETE FROM gdel.del WHERE g = 1 OR k > 38")
+    assert(t.scan().count() == 28)
+    assert(t.scan().filter(col("g") === 1).count() == 0)
+    assert(spark.table("gdel.del").count() == 28)
+    val vBefore = t.currentVersion
+    spark.sql("TRUNCATE TABLE gdel.del")
+    assert(t.scan().count() == 0 && spark.table("gdel.del").count() == 0)
+    // truncation is one snapshot commit: time travel still sees the rows
+    assert(t.scan(Some(vBefore)).count() == 28)
+  }
+
   test("non-overlayable delta sets are still refused with the compact pointer") {
     // a pending range-drop mask cannot be applied by the overlay → the
     // scan must refuse rather than serve dropped rows
