@@ -323,7 +323,26 @@ class GraftBucketReducer(n: Int) extends Reducer[Integer, Integer] with Serializ
   * plus a merge-on-read delta overlay (MorOverlay.scala) when the layout
   * is broadcast-sized (per-split routing works on any layout). */
 class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
-    with SupportsWrite with SupportsDelete with TruncatableTable {
+    with SupportsWrite with SupportsDelete with TruncatableTable
+    with SupportsRowLevelOperations {
+
+  /** SQL UPDATE / MERGE INTO / subquery DELETE — delta-based row-level
+    * operations writing the engine's native tombstone/upsert delta files
+    * executor-side (RowLevelOps.scala). Rows are addressed by primary
+    * key, so non-unique-PK tables (hidden auto-increment id outside the
+    * SQL-visible schema) refuse. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!meta.hasAutoInc,
+      s"row-level SQL DML needs a unique primary key; ${meta.name} is a " +
+        "non-unique-PK table (hidden auto_incrementing_id) — use the " +
+        "engine API (update/delete by full key including the hidden id)")
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new GraftRowLevelOperation(GraftV2Table.this, meta, info.command)
+    }
+  }
 
   /** SQL `DELETE FROM` — metadata-only here; the engine resolves matching
     * PKs at the current snapshot and commits tombstone deltas (the

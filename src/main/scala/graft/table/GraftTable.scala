@@ -197,7 +197,11 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     * reader, sources/v2/MorOverlay.scala). */
   private[graft] def latestDeltas(m: TableMeta, deltaFiles: Seq[DataFileMeta]): DataFrame = {
     val deltas = dropMaskDelta(m, readFileGroup(m, deltaFiles, delta = true))
-    val w = Window.partitionBy(m.keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+    // OpCol breaks same-seq ties deterministically ("U" > "D": the upsert
+    // wins) — reachable only when one commit carries both a tombstone and
+    // an upsert for a key (SQL MERGE deleting key A while inserting A)
+    val w = Window.partitionBy(m.keyCols.map(col): _*)
+      .orderBy(col(SeqCol).desc, col(OpCol).desc)
     deltas.withColumn(RnCol, row_number().over(w))
       .filter(col(RnCol) === 1).drop(RnCol)
   }
@@ -296,7 +300,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         StructType(m2.visibleColumns.map(_.toField.copy(nullable = true)) :+
           StructField(DeletedCol, BooleanType, nullable = false)))
     val deltas = readFileGroup(m2, inRange, delta = true)
-    val w = Window.partitionBy(m2.keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+    val w = Window.partitionBy(m2.keyCols.map(col): _*)
+      .orderBy(col(SeqCol).desc, col(OpCol).desc) // same tie-break as latestDeltas
     val latest = deltas.withColumn(RnCol, row_number().over(w))
       .filter(col(RnCol) === 1)
     // ghost dedup: only emit deletes for keys that existed at v1
@@ -673,7 +678,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     val m = meta
     if (m.deltaFiles.size <= 1) return
     val deltas = dropMaskDelta(m, readFileGroup(m, m.deltaFiles, delta = true))
-    val w = Window.partitionBy(m.keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+    val w = Window.partitionBy(m.keyCols.map(col): _*)
+      .orderBy(col(SeqCol).desc, col(OpCol).desc) // same tie-break as latestDeltas
     val latest = deltas.withColumn(RnCol, row_number().over(w))
       .filter(col(RnCol) === 1).drop(RnCol)
     val v = m.version + 1
@@ -1152,6 +1158,26 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         } catch { case _: Exception => }
         throw e
     }
+  }
+
+  /** Commits delta files ALREADY WRITTEN under `dir` as one snapshot
+    * version — the V2 row-level-operations path (SQL UPDATE/MERGE) streams
+    * its executor-side writers straight into the attempt directory, then
+    * calls this with the version it stamped into the rows' SeqCol. The
+    * CREATE_NEW metadata guard aborts the loser of a concurrent race; the
+    * caller sweeps the attempt directory on any failure. */
+  private[graft] def commitPrewrittenDeltas(expectedVersion: Long, dir: String,
+      op: String): Unit = {
+    val m = meta
+    require(m.version + 1 == expectedVersion,
+      s"concurrent commit on ${m.name}: expected to write version " +
+        s"$expectedVersion but the table is at ${m.version}")
+    val files = listParquet(dir).map { p =>
+      DataFileMeta(p, "delta", expectedVersion, -1L, m.columns.map(_.id))
+    }
+    if (files.isEmpty) return // nothing matched — no version churn
+    TableMeta.write(m.copy(version = expectedVersion, timestampMs = now(),
+      operation = op, deltaFiles = m.deltaFiles ++ files))
   }
 
   /** Writes `df` as the base fileset for commit `v`: hash-bucket (+ range)

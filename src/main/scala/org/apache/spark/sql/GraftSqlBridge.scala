@@ -140,6 +140,58 @@ object GraftSqlBridge {
         Map.empty[String, String], spark.sessionState.conf))
   }
 
+  /** Hadoop conf prepared for executor-side [[openParquetRowWriter]] calls
+    * over rows of `schema` — the conf plumbing ParquetFileFormat
+    * .prepareWrite performs before handing writers to tasks (the session's
+    * newHadoopConf already carries the SQL conf entries ParquetWriteSupport
+    * reads: legacy format, timestamp type, field ids). */
+  def parquetWriterConf(session: SparkSession, schema: types.StructType,
+      codec: Option[String]): org.apache.spark.util.SerializableConfiguration = {
+    import execution.datasources.parquet.{ParquetOptions, ParquetWriteSupport}
+    import org.apache.spark.sql.internal.SQLConf
+    val spark = session.asInstanceOf[classic.SparkSession]
+    val sqlConf = spark.sessionState.conf
+    val hconf = spark.sessionState.newHadoopConf()
+    hconf.set(org.apache.parquet.hadoop.ParquetOutputFormat.WRITE_SUPPORT_CLASS,
+      classOf[ParquetWriteSupport].getName)
+    ParquetWriteSupport.setSchema(schema, hconf)
+    // ParquetWriteSupport.init asserts these are EXPLICITLY present (the
+    // session's newHadoopConf only carries overridden entries, not
+    // defaults) — same list ParquetFileFormat.prepareWrite pins
+    hconf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sqlConf.writeLegacyParquetFormat.toString)
+    hconf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sqlConf.parquetOutputTimestampType.toString)
+    hconf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sqlConf.parquetFieldIdWriteEnabled.toString)
+    hconf.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled.toString)
+    hconf.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.legacyParquetNanosAsLong.toString)
+    hconf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    val opts = new ParquetOptions(
+      codec.map(c => Map("compression" -> c)).getOrElse(Map.empty),
+      spark.sessionState.conf)
+    hconf.set(org.apache.parquet.hadoop.ParquetOutputFormat.COMPRESSION,
+      opts.compressionCodecClassName)
+    new org.apache.spark.util.SerializableConfiguration(hconf)
+  }
+
+  /** One executor-side parquet writer at `path` (OutputWriter: write
+    * InternalRows, then close) — the stock ParquetOutputWriter under a
+    * synthetic task attempt, for writers that live outside a Spark
+    * FileFormat write job (the V2 row-level-operations delta path). */
+  def openParquetRowWriter(path: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : execution.datasources.OutputWriter = {
+    import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID("graft", 0), TaskType.MAP, 0), 0)
+    new execution.datasources.parquet.ParquetOutputWriter(path,
+      new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(conf, attempt))
+  }
+
   /** DataFrame over a HadoopFsRelation built on a custom FileIndex — the
     * extension-library path to metadata-controlled file listings. */
   def ofFileIndex(

@@ -379,6 +379,37 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(t.scan(Some(vBefore)).count() == 28)
   }
 
+  test("SQL UPDATE and MERGE INTO write native delta commits") {
+    val wh = Files.createTempDirectory("graft-wh15-").toString
+    val df = (1 to 30).map(i => (i.toLong, i % 3, s"v$i")).toDF("k", "g", "v")
+    val t = GraftTable.create(spark, s"$wh/dml", "dml", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    spark.conf.set("spark.sql.catalog.gdml", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+    spark.sql("UPDATE gdml.dml SET v = concat(v, '!') WHERE g = 1")
+    val m1 = t.scan().collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m1(1L) == "v1!" && m1(4L) == "v4!" && m1(2L) == "v2" && m1.size == 30)
+    // MERGE with delete, update, and insert actions in one statement —
+    // one atomic delta commit
+    val vBefore = t.currentVersion
+    Seq((1L, "m1", false), (2L, "na", true), (31L, "m31", false))
+      .toDF("k", "nv", "del").createOrReplaceTempView("src")
+    spark.sql("""MERGE INTO gdml.dml t USING src s ON t.k = s.k
+      WHEN MATCHED AND s.del THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.nv
+      WHEN NOT MATCHED THEN INSERT (k, g, v) VALUES (s.k, 9, s.nv)""")
+    assert(t.currentVersion == vBefore + 1)
+    val m2 = t.scan().collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m2(1L) == "m1" && !m2.contains(2L) && m2(31L) == "m31" && m2.size == 30)
+    // a subquery DELETE cannot go the metadata route — it takes the
+    // row-level plan through the same delta writers
+    spark.sql("DELETE FROM gdml.dml WHERE k IN (SELECT k FROM src WHERE NOT del)")
+    val m3 = t.scan().collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(!m3.contains(1L) && !m3.contains(31L) && m3.size == 28)
+    // the V2 read serves the row-level deltas through the MOR overlay
+    assert(spark.table("gdml.dml").count() == 28)
+  }
+
   test("non-overlayable delta sets are still refused with the compact pointer") {
     // a pending range-drop mask cannot be applied by the overlay → the
     // scan must refuse rather than serve dropped rows
