@@ -546,6 +546,36 @@ object Queries {
         .orderBy("p_brand")
     }),
 
+    "q35_sql_merge" -> ((s, dir) => {
+      // SQL MERGE INTO via delta-based row-level operations
+      // (sources/v2/RowLevelOps.scala): one statement deletes key 3,
+      // renames keys < 10, and inserts key 99 — one atomic delta commit,
+      // written executor-side. The final scan hash-checks all three
+      // action kinds against the oracle.
+      val raw = Tables.raw(s, dir, "nation")
+      val loc = tmpLoc("graft-q35-")
+      val t = GraftTable.create(s, loc, "nation_q35", raw.schema,
+        Seq("n_nationkey"), Seq(HashComponent(Seq("n_nationkey"), 2)),
+        data = Some(raw))
+      val f = new java.io.File(loc)
+      s.conf.set("spark.sql.catalog.gq35",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq35.warehouse", f.getParent)
+      raw.filter(col("n_nationkey") < 10)
+        .select(col("n_nationkey").as("k"),
+          concat(col("n_name"), lit("_m")).as("nm"))
+        .unionByName(raw.limit(1).select(
+          (col("n_nationkey") * 0 + 99).as("k"), lit("NEWLAND").as("nm")))
+        .createOrReplaceTempView("q35_src")
+      s.sql(s"""MERGE INTO gq35.`${f.getName}` t USING q35_src s
+        ON t.n_nationkey = s.k
+        WHEN MATCHED AND s.k = 3 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET n_name = s.nm
+        WHEN NOT MATCHED THEN
+          INSERT (n_nationkey, n_name, n_regionkey) VALUES (s.k, s.nm, 0)""")
+      t.scan().orderBy("n_nationkey")
+    }),
+
     "q27_approx_distinct" -> ((s, dir) => {
       // HLL sketch vs exact: emit the exact count (hash-matched against the
       // oracle) plus a boolean asserting the sketch landed within 2%.
@@ -687,5 +717,11 @@ object Queries {
     "q34_columnar_agg" ->
       ("SELECT p_brand, count(*) AS n, " +
         "round(CAST(sum(CAST(p_retailprice AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_price, " +
-        "max(p_size) AS max_size FROM part GROUP BY 1 ORDER BY p_brand"))
+        "max(p_size) AS max_size FROM part GROUP BY 1 ORDER BY p_brand"),
+    "q35_sql_merge" ->
+      ("SELECT n_nationkey, " +
+        "CASE WHEN n_nationkey < 10 THEN n_name || '_m' ELSE n_name END AS n_name, " +
+        "n_regionkey FROM nation WHERE n_nationkey <> 3 " +
+        "UNION ALL SELECT CAST(99 AS INTEGER), 'NEWLAND', CAST(0 AS INTEGER) " +
+        "ORDER BY n_nationkey"))
 }
