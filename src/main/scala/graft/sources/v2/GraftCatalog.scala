@@ -235,6 +235,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     existed
   }
 
+  /** DROP TABLE ... PURGE — same immediate removal (graft's soft-delete
+    * trash with a reserve window is opt-in via GraftTable.softDrop, like
+    * the reference's reserve_seconds; SQL DROP is immediate either way). */
+  override def purgeTable(ident: Identifier): Boolean = dropTable(ident)
+
   /** ALTER TABLE ... RENAME TO — engine logical rename + atomic directory
     * move + per-version path relocation, so pre-rename snapshots stay
     * time-travelable at the new identity (reference:
@@ -324,7 +329,88 @@ class GraftBucketReducer(n: Int) extends Reducer[Integer, Integer] with Serializ
   * is broadcast-sized (per-split routing works on any layout). */
 class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
     with SupportsWrite with SupportsDelete with TruncatableTable
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsPartitionManagement {
+
+  // ---- SQL range-partition lifecycle (SupportsPartitionManagement):
+  // ALTER TABLE ADD/DROP PARTITION (<rangeCol>='<key>') and SHOW
+  // PARTITIONS map onto the engine's range ops — the reference's
+  // AlterTableOptions add/drop range partition reached through SQL.
+  // Partition identifiers are RANGE KEYS ("1996", a bounds key), one
+  // string field named after the range column. Multi-column range
+  // components keep their tuple-bounds API engine-side.
+
+  private def rangeComp: graft.catalog.RangeComponent = {
+    val r = meta.range.getOrElse(throw new UnsupportedOperationException(
+      s"${meta.name} has no range component — partition DDL applies to " +
+        "range-partitioned tables"))
+    require(!r.isMulti, "partition DDL on multi-column range components " +
+      "is not supported through SQL; use the engine API (addRangeBoundT)")
+    r
+  }
+
+  override def partitionSchema(): StructType =
+    StructType(Seq(org.apache.spark.sql.types.StructField(
+      rangeComp.col, org.apache.spark.sql.types.StringType)))
+
+  /** Bounds-mode tables list their covered bounds; granularity-mode tables
+    * list the range keys with materialized base files (granularity ranges
+    * auto-cover on write, so the universe is unbounded — files ARE the
+    * partition list, the same answer the reference's ListTablets gives). */
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    val r = rangeComp
+    val m = TableMeta.readCurrent(meta.location)
+    val keys =
+      if (r.isBounds) r.boundsList.map(_.key)
+      else (m.baseFiles ++ m.deltaFiles).flatMap(_.rangeKey).distinct.sorted
+    val want = if (names.nonEmpty && ident.numFields > 0)
+      Some(ident.getUTF8String(0).toString) else None
+    keys.filter(k => want.forall(_ == k))
+      .map(k => new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(k))))
+      .toArray
+  }
+
+  /** ADD PARTITION — re-covers a dropped range (granularity mode, with an
+    * optional per-range hash override via the 'graft.hash.buckets'
+    * partition property) or adds a new bound interval (bounds mode, with
+    * 'lower'/'upper' properties). */
+  override def createPartition(ident: InternalRow,
+      props: util.Map[String, String]): Unit = {
+    val r = rangeComp
+    val key = ident.getUTF8String(0).toString
+    val t = GraftTable.load(SparkSession.active, meta.location)
+    if (r.isBounds)
+      t.addRangeBound(key, Option(props.get("lower")), Option(props.get("upper")))
+    else t.addRangePartition(key,
+      Option(props.get("graft.hash.buckets")).map(_.toInt))
+  }
+
+  /** DROP PARTITION — the engine's metadata-only retention drop: the
+    * fileset leaves the manifest, rows vanish from scans, time travel to
+    * pre-drop versions still sees them. */
+  override def dropPartition(ident: InternalRow): Boolean = {
+    val key = ident.getUTF8String(0).toString
+    val t = GraftTable.load(SparkSession.active, meta.location)
+    try {
+      if (rangeComp.isBounds) t.dropRangeBound(key) else t.dropRangePartition(key)
+      true
+    } catch { case _: IllegalArgumentException => false } // no such partition
+  }
+
+  override def loadPartitionMetadata(ident: InternalRow): util.Map[String, String] = {
+    val key = ident.getUTF8String(0).toString
+    val m = TableMeta.readCurrent(meta.location)
+    val files = m.baseFiles.count(_.rangeKey.contains(key))
+    val base = Map("numFiles" -> files.toString) ++
+      m.rangeHashBucketsMap.get(key).map("graft.hash.buckets" -> _.toString)
+    base.asJava
+  }
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      props: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft range partitions carry no replaceable metadata")
 
   /** SQL UPDATE / MERGE INTO / subquery DELETE — delta-based row-level
     * operations writing the engine's native tombstone/upsert delta files

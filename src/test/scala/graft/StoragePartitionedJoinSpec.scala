@@ -410,6 +410,31 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(spark.table("gdml.dml").count() == 28)
   }
 
+  test("SQL ADD/DROP PARTITION and SHOW PARTITIONS drive the range lifecycle") {
+    val wh = Files.createTempDirectory("graft-wh16-").toString
+    def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
+    val df = (1 to 40).map(i => (i.toLong, ts(1995 + i % 2), s"x$i")).toDF("id", "d", "v")
+    val t = GraftTable.create(spark, s"$wh/pm", "pm", df.schema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 2)),
+      range = Some(graft.catalog.RangeComponent("d", "year")), data = Some(df))
+    spark.conf.set("spark.sql.catalog.gpm", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gpm.warehouse", wh)
+    def parts() = spark.sql("SHOW PARTITIONS gpm.pm").collect().map(_.getString(0)).sorted.toSeq
+    assert(parts() == Seq("d=1995", "d=1996"), parts().toString)
+    // DROP is the engine's metadata-only retention drop
+    val vBefore = t.currentVersion
+    spark.sql("ALTER TABLE gpm.pm DROP PARTITION (d='1996')")
+    assert(t.scan().count() == 20 && parts() == Seq("d=1995"))
+    assert(t.scan(Some(vBefore)).count() == 40) // time travel sees the drop's past
+    // re-ADD re-covers the range; new writes land in it again
+    spark.sql("ALTER TABLE gpm.pm ADD PARTITION (d='1996')")
+    t.upsert(Seq((100L, ts(1996), "re")).toDF("id", "d", "v"))
+    assert(t.scan().count() == 21)
+    intercept[Exception] { // dropping a never-covered range errors
+      spark.sql("ALTER TABLE gpm.pm DROP PARTITION (d='2099')")
+    }
+  }
+
   test("non-overlayable delta sets are still refused with the compact pointer") {
     // a pending range-drop mask cannot be applied by the overlay → the
     // scan must refuse rather than serve dropped rows
