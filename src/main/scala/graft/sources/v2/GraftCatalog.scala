@@ -487,8 +487,8 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
   override def schema(): StructType =
     StructType(meta.visibleColumns.map(_.toField))
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** V2 writes through the V1 fallback (the established bridge for engines
     * whose commit unit is a table-level operation): INSERT INTO /
@@ -538,11 +538,13 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     checkReadable()
-    new GraftScanBuilder(meta)
+    new GraftScanBuilder(meta, options)
   }
 }
 
-class GraftScanBuilder(meta: TableMeta) extends ScanBuilder
+class GraftScanBuilder(meta: TableMeta,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var requiredSchema: StructType =
@@ -561,12 +563,20 @@ class GraftScanBuilder(meta: TableMeta) extends ScanBuilder
       StructType(meta.visibleColumns.map(_.toField)).filter(f => keep.contains(f.name)))
   }
 
-  override def build(): Scan = new GraftV2Scan(meta, requiredSchema, filters)
+  override def build(): Scan = new GraftV2Scan(meta, requiredSchema, filters,
+    Option(options.get("graft.startingVersion")).map(_.toLong))
 }
 
 class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
-    filters: Array[Filter]) extends Scan with Batch
+    filters: Array[Filter],
+    startingVersion: Option[Long] = None) extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
+
+  /** Streaming read: tail committed mutation versions as micro-batches
+    * (GraftMicroBatchStream.scala). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(meta, requiredSchema, startingVersion)
 
   private def spark = SparkSession.active
 

@@ -435,6 +435,37 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("readStream.table tails committed mutation versions") {
+    val wh = Files.createTempDirectory("graft-wh17-").toString
+    val df = (1 to 10).map(i => (i.toLong, s"a$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/st", "st", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    spark.conf.set("spark.sql.catalog.gms", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gms.warehouse", wh)
+    val seen = scala.collection.mutable.Map[Long, String]()
+    val q = spark.readStream.table("gms.st").writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt17-").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect()
+        seen.synchronized { rows.foreach(r => seen(r.getLong(0)) = r.getString(1)) }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.isEmpty)) // initial-load rows are base, not deltas
+      t.upsert(Seq((1L, "u1"), (11L, "n11")).toDF("k", "v"))
+      t.delete(Seq(Tuple1(2L)).toDF("k")) // tombstones are filtered out
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toMap) == Map(1L -> "u1", 11L -> "n11"))
+      // a compaction fold re-emits nothing (deltamerge filesets excluded)
+      t.compactDeltas()
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.size) == 2)
+    } finally q.stop()
+  }
+
   test("non-overlayable delta sets are still refused with the compact pointer") {
     // a pending range-drop mask cannot be applied by the overlay → the
     // scan must refuse rather than serve dropped rows
