@@ -576,6 +576,26 @@ object Queries {
       t.scan().orderBy("n_nationkey")
     }),
 
+    "q36_time_travel" -> ((s, dir) => {
+      // SQL time travel (READ_AT_SNAPSHOT): mutate every row across two
+      // commits, then read `VERSION AS OF 1` through the catalog — the
+      // hash compare proves the v1 snapshot is byte-identical to the
+      // original load, untouched by the later upsert and delete.
+      val raw = Tables.raw(s, dir, "supplier")
+      val loc = tmpLoc("graft-q36-")
+      val t = GraftTable.create(s, loc, "supplier_q36", raw.schema,
+        Seq("s_suppkey"), Seq(HashComponent(Seq("s_suppkey"), 2)),
+        data = Some(raw))
+      t.upsert(raw.withColumn("s_name", concat(col("s_name"), lit("_mut"))))
+      t.deleteWhere(col("s_suppkey") % 2 === 0)
+      val f = new java.io.File(loc)
+      s.conf.set("spark.sql.catalog.gq36",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq36.warehouse", f.getParent)
+      s.sql(s"SELECT * FROM gq36.`${f.getName}` VERSION AS OF 1 " +
+        "ORDER BY s_suppkey")
+    }),
+
     "q27_approx_distinct" -> ((s, dir) => {
       // HLL sketch vs exact: emit the exact count (hash-matched against the
       // oracle) plus a boolean asserting the sketch landed within 2%.
@@ -723,5 +743,7 @@ object Queries {
         "CASE WHEN n_nationkey < 10 THEN n_name || '_m' ELSE n_name END AS n_name, " +
         "n_regionkey FROM nation WHERE n_nationkey <> 3 " +
         "UNION ALL SELECT CAST(99 AS INTEGER), 'NEWLAND', CAST(0 AS INTEGER) " +
-        "ORDER BY n_nationkey"))
+        "ORDER BY n_nationkey"),
+    "q36_time_travel" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey")
 }
