@@ -570,13 +570,32 @@ class GraftScanBuilder(meta: TableMeta,
 class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     filters: Array[Filter],
     startingVersion: Option[Long] = None) extends Scan with Batch
-    with SupportsReportPartitioning with SupportsRuntimeFiltering {
+    with SupportsReportPartitioning with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   /** Streaming read: tail committed mutation versions as micro-batches
     * (GraftMicroBatchStream.scala). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(meta, requiredSchema, startingVersion)
+
+  /** On-disk size of the PRUNED fileset + pending deltas — the stats that
+    * let Catalyst auto-broadcast a small (or well-filtered) graft side of
+    * a join, the V2 analog of the DSv1 relation's sizeInBytes (reference
+    * reports on-disk size the same way, kudu-spark
+    * DefaultSource.scala:329-352). */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val files = graft.sources.PartitionPruner.pruneFiles(
+      meta, meta.baseFiles, filters.toSeq ++ runtimeFilters)
+    val bytes = (files ++ meta.deltaFiles)
+      .map(f => GraftTable.fileSize(f.path)).sum max 1L
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   private def spark = SparkSession.active
 

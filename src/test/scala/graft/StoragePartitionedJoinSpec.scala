@@ -466,6 +466,20 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("V2 scans report statistics: small dimensions auto-broadcast") {
+    // without SupportsReportStatistics a V2 relation sizes at
+    // defaultSizeInBytes (max) and can never auto-broadcast; with the
+    // pruned-fileset size reported, Catalyst picks the broadcast join on
+    // its own — the 100 TB fact ⋈ small dim posture with no hints
+    val wh = mkWarehouse()
+    spark.conf.set("spark.sql.catalog.gst", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gst.warehouse", wh)
+    val j = spark.table("gst.t1").join(spark.table("gst.t2"), "k")
+    assert(j.count() == 80)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("non-overlayable delta sets are still refused with the compact pointer") {
     // a pending range-drop mask cannot be applied by the overlay → the
     // scan must refuse rather than serve dropped rows
