@@ -36,9 +36,24 @@ import graft.table.GraftTable
  *                           (without it, intra-batch duplicate keys error)
  */
 class DefaultSource extends RelationProvider with CreatableRelationProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** Streaming CDC source: `spark.readStream.format("graft").option("path",
+    * loc)` tails COMMITTED mutation versions (GraftStreaming.changeStream
+    * is the convenience wrapper). Schema: physical columns + op + seq. */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("graft-changes", graft.streaming.GraftStreaming.changeSchema(
+      graft.catalog.TableMeta.readCurrent(path(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new graft.streaming.GraftChangeSource(sqlContext.sparkSession, path(parameters))
 
   private def path(parameters: Map[String, String]): String =
     parameters.getOrElse("graft.table.path",

@@ -68,19 +68,72 @@ object GraftStreaming {
       .start()
   }
 
-  def changeStream(spark: SparkSession, table: GraftTable): DataFrame = {
-    val m = table.meta
+  def changeStream(spark: SparkSession, table: GraftTable): DataFrame =
+    spark.readStream.format("graft").option("path", table.location).load()
+
+  /** The change feed's schema: all physical columns (nullable) + op + seq. */
+  def changeSchema(m: graft.catalog.TableMeta): StructType = {
     val fields = m.columns.map(c =>
       StructField(c.physName, c.dataType, nullable = true)) ++ Seq(
       StructField(GraftTable.OpCol, StringType, nullable = false),
       StructField(GraftTable.SeqCol, LongType, nullable = false))
-    spark.readStream
-      .schema(StructType(fields))
-      .option("maxFilesPerTrigger", "64")
-      // delta dirs carry a per-commit-attempt unique suffix. The glob must
-      // match only original c<v>_delta_<id> filesets, NOT c<v>_deltamerge_<id>
-      // compaction outputs — a minor fold rewrites latest-per-key rows and
-      // would otherwise re-emit the entire delta set into the change stream.
-      .parquet(s"${table.location}/data/c*_delta_*")
+    StructType(fields)
   }
+}
+
+/**
+ * V1 streaming Source behind [[GraftStreaming.changeStream]]: offsets are
+ * COMMITTED snapshot versions, and a micro-batch is exactly the delta
+ * filesets of versions (start, end] — version metadata is immutable, so a
+ * recovered batch replans identically, and files from commit attempts
+ * that lost the metadata race (or aborted mid-write, e.g. an in-job PK
+ * guard) are never emitted. The directory-glob file stream this replaces
+ * could observe an attempt directory before its commit failed and stream
+ * phantom rows. `c*_deltamerge_*` compaction rewrites are excluded — a
+ * minor fold re-emits nothing (logical changes only, diff-scan
+ * semantics). A fresh stream starts from version 0: the full committed
+ * delta history (initial-load base files are not deltas).
+ */
+class GraftChangeSource(spark: SparkSession, location: String)
+    extends org.apache.spark.sql.execution.streaming.Source {
+
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+  import graft.catalog.TableMeta
+
+  override def schema: StructType =
+    GraftStreaming.changeSchema(TableMeta.readCurrent(location))
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
+    Some(LongOffset(TableMeta.currentVersion(location)))
+
+  private def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case l: LongOffset => l.offset
+      case other => other.json.trim.toLong
+    }
+
+  override def getBatch(
+      start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
+    val v0 = start.map(versionOf).getOrElse(0L)
+    val v1 = versionOf(end)
+    val paths = (v0 + 1 to v1).flatMap { v =>
+      // each version's own delta files are the ones stamped seq == v
+      TableMeta.read(location, v).deltaFiles
+        .filter(f => f.seq == v && !f.path.contains("_deltamerge_"))
+        .map(_.path)
+    }
+    val s = schema
+    val batch =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+      else spark.read.schema(s).parquet(paths: _*)
+    // a V1 Source must hand back a streaming-tagged DataFrame; the rows
+    // stay on the executors (toRdd is the lazy executed plan)
+    org.apache.spark.sql.GraftSqlBridge.internalCreateStreamingDataFrame(
+      spark, batch.queryExecution.toRdd, s)
+  }
+
+  override def commit(end: org.apache.spark.sql.execution.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }

@@ -58,6 +58,15 @@ object GraftSqlBridge {
     session.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
 
+  /** Streaming-tagged variant: what a V1 streaming Source's getBatch must
+    * return (MicroBatchExecution asserts isStreaming on the batch plan). */
+  def internalCreateStreamingDataFrame(
+      session: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: types.StructType): DataFrame =
+    session.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
   /** One DSv2 input partition over `paths`, optionally keyed by hash
     * bucket ids for storage-partitioned joins (HasPartitionKey is how a V2
     * scan tells Spark which key-group a split belongs to). `key` carries

@@ -127,4 +127,26 @@ class AtomicitySpec extends AnyFunSuite {
     assert(spark.table(name).count() == 2)
     assert(spark.table(name).filter(col(GraftTable.OpCol) === "U").count() == 2)
   }
+
+  test("changeStream: uncommitted attempt files are never emitted") {
+    // a commit attempt that lost the metadata race (or died mid-write)
+    // leaves parquet files on disk with NO metadata commit — the change
+    // stream is version-driven, so those phantom rows never stream (the
+    // old directory-glob source could observe them before the sweep)
+    val loc = tmp()
+    val t = mkTable(loc)
+    t.upsert(Seq((1L, "real")).toDF("id", "name"))
+    val phantomDir = java.nio.file.Paths.get(loc, "data", "c99_delta_phantom")
+    Seq((7L, "phantom")).toDF("id", "name")
+      .withColumn(GraftTable.OpCol, lit("U"))
+      .withColumn(GraftTable.SeqCol, lit(99L))
+      .write.parquet(phantomDir.toString)
+    val cs = graft.streaming.GraftStreaming.changeStream(spark, t)
+    val name = s"cs_phantom_${System.nanoTime()}"
+    val q = cs.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table(name).count() == 1) // the committed upsert only
+    assert(spark.table(name).filter(col("id") === 7L).count() == 0)
+  }
 }
