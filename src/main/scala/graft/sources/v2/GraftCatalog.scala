@@ -589,11 +589,18 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
       meta, meta.baseFiles, filters.toSeq ++ runtimeFilters)
     val bytes = (files ++ meta.deltaFiles)
       .map(f => GraftTable.fileSize(f.path)).sum max 1L
+    // exact when the manifest carries footer row counts and no deltas or
+    // drop masks shift the live count (metadata written by older builds
+    // has rows = -1 → unknown)
+    val rows: Option[Long] =
+      if (meta.deltaFiles.isEmpty && meta.rangeDrops.isEmpty &&
+          files.forall(_.rows >= 0L)) Some(files.map(_.rows).sum)
+      else None
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
     }
   }
 

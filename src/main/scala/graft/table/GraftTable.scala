@@ -696,7 +696,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // row-level _graft_seq filter inside it restores exactness
     val maxSeq = m.deltaFiles.map(_.seq).max
     val files = listParquet(dir).map { p =>
-      DataFileMeta(p, "delta", maxSeq, -1L, m.columns.map(_.id))
+      DataFileMeta(p, "delta", maxSeq, GraftTable.parquetRows(p), m.columns.map(_.id))
     }
     try TableMeta.write(m.copy(version = v, timestampMs = now(),
       operation = "compact_deltas", deltaFiles = files))
@@ -1143,7 +1143,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       GraftTable.effectiveCodec(m).fold(w0)(cc => w0.option("compression", cc))
         .mode("overwrite").parquet(dir)
       val files = listParquet(dir).map { p =>
-        DataFileMeta(p, "delta", v, -1L, m.columns.map(_.id))
+        DataFileMeta(p, "delta", v, GraftTable.parquetRows(p), m.columns.map(_.id))
       }
       TableMeta.write(m.copy(version = v, timestampMs = now(), operation = op,
         deltaFiles = m.deltaFiles ++ files))
@@ -1173,7 +1173,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       s"concurrent commit on ${m.name}: expected to write version " +
         s"$expectedVersion but the table is at ${m.version}")
     val files = listParquet(dir).map { p =>
-      DataFileMeta(p, "delta", expectedVersion, -1L, m.columns.map(_.id))
+      DataFileMeta(p, "delta", expectedVersion, GraftTable.parquetRows(p),
+        m.columns.map(_.id))
     }
     if (files.isEmpty) return // nothing matched — no version churn
     TableMeta.write(m.copy(version = expectedVersion, timestampMs = now(),
@@ -1228,7 +1229,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     val writer = effectiveCodec(m).fold(withEnc)(cc => withEnc.option("compression", cc))
     writer.mode("overwrite").parquet(dir)
     listParquet(dir).map { p =>
-      DataFileMeta(p, "base", v, -1L, m.columns.map(_.id),
+      DataFileMeta(p, "base", v, GraftTable.parquetRows(p), m.columns.map(_.id),
         bucket = partFromPath(p, BucketCol).map(_.toInt),
         rangeKey = partFromPath(p, RangeCol))
     }
@@ -1422,6 +1423,18 @@ object GraftTable {
   private def partFromPath(p: String, partCol: String): Option[String] =
     s"/$partCol=([^/]+)/".r.findFirstMatchIn(p).map(_.group(1))
 
+  /** Row count from the parquet footer — free metadata at commit time
+    * (the reference tracks per-rowset row counts the same way, for
+    * count-only scans and size estimates). -1 when unreadable. */
+  private[table] def parquetRows(p: String): Long =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    } catch { case _: Exception => -1L }
+
   private[table] def listParquet(dir: String): Seq[String] = {
     val root = Paths.get(dir)
     if (!Files.exists(root)) return Nil
@@ -1549,7 +1562,8 @@ object GraftTable {
     val raw = Paths.get(rawParquetPath)
     val files =
       (if (Files.isDirectory(raw)) listParquet(rawParquetPath) else Seq(rawParquetPath))
-        .map(p => DataFileMeta(p, "base", 1L, -1L, columns.map(_.id)))
+        .map(p => DataFileMeta(p, "base", 1L, GraftTable.parquetRows(p),
+          columns.map(_.id)))
     val m = TableMeta(name, location, 1L, now(), "register",
       columns, columns.length, hash, range, Nil, files, Nil)
     TableMeta.write(m)

@@ -478,6 +478,9 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(j.count() == 80)
     val plan = j.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // footer row counts recorded at commit flow into exact numRows stats
+    val rc = spark.table("gst.t1").queryExecution.optimizedPlan.stats.rowCount
+    assert(rc.contains(BigInt(100)), rc.toString)
   }
 
   test("non-overlayable delta sets are still refused with the compact pointer") {
