@@ -53,7 +53,8 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
-    new graft.streaming.GraftChangeSource(sqlContext.sparkSession, path(parameters))
+    new graft.streaming.GraftChangeSource(sqlContext.sparkSession, path(parameters),
+      parameters.get("graft.maxVersionsPerTrigger").map(_.toInt).getOrElse(64))
 
   private def path(parameters: Map[String, String]): String =
     parameters.getOrElse("graft.table.path",

@@ -564,12 +564,14 @@ class GraftScanBuilder(meta: TableMeta,
   }
 
   override def build(): Scan = new GraftV2Scan(meta, requiredSchema, filters,
-    Option(options.get("graft.startingVersion")).map(_.toLong))
+    Option(options.get("graft.startingVersion")).map(_.toLong),
+    Option(options.get("graft.maxVersionsPerTrigger")).map(_.toInt).getOrElse(64))
 }
 
 class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     filters: Array[Filter],
-    startingVersion: Option[Long] = None) extends Scan with Batch
+    startingVersion: Option[Long] = None,
+    maxVersionsPerTrigger: Int = 64) extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -577,7 +579,8 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     * (GraftMicroBatchStream.scala). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(meta, requiredSchema, startingVersion)
+    new GraftMicroBatchStream(meta, requiredSchema, startingVersion,
+      maxVersionsPerTrigger)
 
   /** On-disk size of the PRUNED fileset + pending deltas — the stats that
     * let Catalyst auto-broadcast a small (or well-filtered) graft side of

@@ -35,7 +35,9 @@ import graft.table.GraftTable
  * the new column as null (their committed images carried no value).
  */
 class GraftMicroBatchStream(meta: TableMeta, requiredSchema: StructType,
-    startingVersion: Option[Long]) extends MicroBatchStream {
+    startingVersion: Option[Long], maxVersionsPerTrigger: Int = 64)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def spark = SparkSession.active
 
@@ -44,6 +46,20 @@ class GraftMicroBatchStream(meta: TableMeta, requiredSchema: StructType,
 
   override def latestOffset(): Offset =
     GraftStreamOffset(TableMeta.currentVersion(meta.location))
+
+  /** Bounded triggers: advance at most maxVersionsPerTrigger versions per
+    * micro-batch, so a rewound stream (graft.startingVersion) or a deep
+    * backlog drains in bounded batches instead of one giant one. */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val cur = TableMeta.currentVersion(meta.location)
+    val v0 = start.asInstanceOf[GraftStreamOffset].version
+    GraftStreamOffset(math.min(cur, v0 + maxVersionsPerTrigger))
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset(json.trim.toLong)

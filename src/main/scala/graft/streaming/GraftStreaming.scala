@@ -94,7 +94,8 @@ object GraftStreaming {
  * semantics). A fresh stream starts from version 0: the full committed
  * delta history (initial-load base files are not deltas).
  */
-class GraftChangeSource(spark: SparkSession, location: String)
+class GraftChangeSource(spark: SparkSession, location: String,
+    maxVersionsPerTrigger: Int = 64)
     extends org.apache.spark.sql.execution.streaming.Source {
 
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -103,8 +104,20 @@ class GraftChangeSource(spark: SparkSession, location: String)
   override def schema: StructType =
     GraftStreaming.changeSchema(TableMeta.readCurrent(location))
 
-  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
-    Some(LongOffset(TableMeta.currentVersion(location)))
+  /** High-water mark of the last PLANNED batch — the next offer advances
+    * at most maxVersionsPerTrigger past it, so a deep backlog (or a fresh
+    * stream over a long history) drains in bounded micro-batches instead
+    * of one giant batch (the successor of the old file stream's
+    * maxFilesPerTrigger). */
+  private var planned: Long = -1L
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
+    val cur = TableMeta.currentVersion(location)
+    val capped =
+      if (planned < 0) math.min(cur, maxVersionsPerTrigger.toLong)
+      else math.min(cur, planned + maxVersionsPerTrigger)
+    Some(LongOffset(capped))
+  }
 
   private def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
     o match {
@@ -117,6 +130,7 @@ class GraftChangeSource(spark: SparkSession, location: String)
       end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
     val v0 = start.map(versionOf).getOrElse(0L)
     val v1 = versionOf(end)
+    planned = math.max(planned, v1)
     val paths = (v0 + 1 to v1).flatMap { v =>
       // each version's own delta files are the ones stamped seq == v
       TableMeta.read(location, v).deltaFiles

@@ -149,4 +149,25 @@ class AtomicitySpec extends AnyFunSuite {
     assert(spark.table(name).count() == 1) // the committed upsert only
     assert(spark.table(name).filter(col("id") === 7L).count() == 0)
   }
+
+  test("changeStream: deep backlogs drain in bounded micro-batches") {
+    val loc = tmp()
+    val t = mkTable(loc)
+    (1 to 6).foreach(i => t.upsert(Seq((i.toLong, s"v$i")).toDF("id", "name")))
+    val cs = spark.readStream.format("graft").option("path", loc)
+      .option("graft.maxVersionsPerTrigger", "2").load()
+    var batches = 0
+    val counts = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = cs.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val c = b.count()
+        if (c > 0) { batches += 1; counts += c }
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    // 6 upsert commits at ≤2 versions per trigger: all rows arrive, split
+    // across at least 3 micro-batches instead of one giant catch-up batch
+    assert(counts.sum == 6, counts.toString)
+    assert(batches >= 3, s"$batches batches: $counts")
+  }
 }
