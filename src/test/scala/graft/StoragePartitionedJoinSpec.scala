@@ -408,6 +408,10 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(!m3.contains(1L) && !m3.contains(31L) && m3.size == 28)
     // the V2 read serves the row-level deltas through the MOR overlay
     assert(spark.table("gdml.dml").count() == 28)
+    // a PK-reassigning UPDATE becomes tombstone(old) + upsert(new)
+    spark.sql("UPDATE gdml.dml SET k = k + 1000 WHERE k <= 4")
+    val m4 = t.scan().collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(!m4.contains(3L) && m4.contains(1003L) && m4.size == 28)
   }
 
   test("SQL ADD/DROP PARTITION and SHOW PARTITIONS drive the range lifecycle") {
