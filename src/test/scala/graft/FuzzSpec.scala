@@ -105,6 +105,64 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** Same model, but every mutation arrives through SQL DML against the
+    * V2 catalog — INSERT INTO (upsert via the V1 fallback), single-key and
+    * range UPDATEs and the MERGE three-action statement (delta-based
+    * row-level operations), and metadata-path DELETE. Cross-checks the
+    * engine scan AND the V2 overlay read against the model. */
+  private def runSqlDmlCase(seed: Long, nOps: Int): Unit = {
+    val rnd = new Random(seed)
+    val loc = Files.createTempDirectory(s"graft-fuzzsql-$seed-").toString
+    val t = GraftTable.create(spark, loc, "kv",
+      StructType(Seq(StructField("k", IntegerType, false), StructField("v", IntegerType))),
+      keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), 2)))
+    val whName = java.nio.file.Paths.get(loc).getFileName.toString
+    val cat = s"gsql$seed"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      java.nio.file.Paths.get(loc).getParent.toString)
+    val tbl = s"$cat.`$whName`"
+    val model = mutable.Map[Int, Int]()
+    for (_ <- 0 until nOps) {
+      val k = rnd.nextInt(Keyspace)
+      val v = rnd.nextInt(1000)
+      rnd.nextInt(5) match {
+        case 0 =>
+          spark.sql(s"INSERT INTO $tbl VALUES ($k, $v)")
+          model(k) = v
+        case 1 =>
+          spark.sql(s"UPDATE $tbl SET v = $v WHERE k = $k")
+          if (model.contains(k)) model(k) = v
+        case 2 =>
+          val bound = rnd.nextInt(Keyspace)
+          spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE k < $bound")
+          model.keys.toSeq.filter(_ < bound).foreach(kk => model(kk) += 1)
+        case 3 =>
+          spark.sql(s"DELETE FROM $tbl WHERE k = $k")
+          model.remove(k)
+        case 4 =>
+          val k2 = (k + 1 + rnd.nextInt(Keyspace - 1)) % Keyspace // k2 != k
+          spark.sql(
+            s"""MERGE INTO $tbl t USING (SELECT $k AS k, $v AS v, false AS del
+               |UNION ALL SELECT $k2, 0, true) s ON t.k = s.k
+               |WHEN MATCHED AND s.del THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET v = s.v
+               |WHEN NOT MATCHED AND NOT s.del THEN INSERT (k, v) VALUES (s.k, s.v)
+               |""".stripMargin)
+          model(k) = v
+          model.remove(k2)
+      }
+    }
+    def stateOf(df: org.apache.spark.sql.DataFrame): Map[Int, Int] =
+      df.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(stateOf(t.scan()) == model.toMap, s"engine state mismatch seed=$seed")
+    assert(stateOf(spark.table(tbl)) == model.toMap, s"V2 state mismatch seed=$seed")
+  }
+
+  test("random SQL DML sequences match the model (seed 3)") { runSqlDmlCase(3L, 24) }
+  test("random SQL DML sequences match the model (seed 5)") { runSqlDmlCase(5L, 24) }
+
   test("random op sequences match the in-memory model (seed 1)") { runCase(1L, 40) }
   test("random op sequences match the in-memory model (seed 2)") { runCase(2L, 40) }
   test("random op sequences match the in-memory model (seed 7)") { runCase(7L, 50) }
