@@ -319,10 +319,10 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   /** INSERT: error if any PK already exists (W1, tablet/tablet.cc:836
     * InsertOrUpsertUnlocked error path; presence check BulkCheckPresence
     * :1148 → here a batch anti/semi-join). */
-  def insert(df: DataFrame): Unit = insertImpl(df, ignore = false)
+  def insert(df: DataFrame): Unit = withCommitRetry(insertImpl(df, ignore = false))
 
   /** INSERT_IGNORE: silently skip rows whose PK exists (W2). */
-  def insertIgnore(df: DataFrame): Unit = insertImpl(df, ignore = true)
+  def insertIgnore(df: DataFrame): Unit = withCommitRetry(insertImpl(df, ignore = true))
 
   private def insertImpl(df: DataFrame, ignore: Boolean): Unit = {
     val m = meta
@@ -375,7 +375,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     * row_operations.proto), so an arbitrary winner would be
     * nondeterministic. Use the [[upsert(df:DataFrame,lastWinsBy:String)*]]
     * overload to define last-wins by an explicit ordering column. */
-  def upsert(df: DataFrame): Unit = upsertImpl(df, ignoreImmutable = false, None)
+  def upsert(df: DataFrame): Unit =
+    withCommitRetry(upsertImpl(df, ignoreImmutable = false, None))
 
   /** UPSERT with defined intra-batch conflict resolution: when several rows
     * of `df` share a PK, the row with the HIGHEST `lastWinsBy` value wins
@@ -383,11 +384,12 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     * the reference's apply-in-session-order for a batch that carries its
     * own order (e.g. a CDC sequence number). */
   def upsert(df: DataFrame, lastWinsBy: String): Unit =
-    upsertImpl(df, ignoreImmutable = false, Some(lastWinsBy))
+    withCommitRetry(upsertImpl(df, ignoreImmutable = false, Some(lastWinsBy)))
 
   /** UPSERT_IGNORE: like upsert, but changes to immutable columns are
     * silently dropped instead of erroring (W6, row_operations.proto:43). */
-  def upsertIgnore(df: DataFrame): Unit = upsertImpl(df, ignoreImmutable = true, None)
+  def upsertIgnore(df: DataFrame): Unit =
+    withCommitRetry(upsertImpl(df, ignoreImmutable = true, None))
 
   private def upsertImpl(df: DataFrame, ignoreImmutable: Boolean,
       lastWinsBy: Option[String]): Unit = {
@@ -525,7 +527,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     * any subset of non-key columns to set (W4, KuduContext.updateRows:319).
     * Missing PKs error unless ignore. Duplicate keys within one batch error
     * at write time (same unordered-commit reasoning as [[upsert]]). */
-  def update(df: DataFrame, ignore: Boolean = false): Unit = {
+  def update(df: DataFrame, ignore: Boolean = false): Unit = withCommitRetry {
     val m = meta
     val keys = m.keyCols
     val setCols = df.columns.filterNot(keys.contains).toSeq
@@ -549,7 +551,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   }
 
   /** SQL-style UPDATE ... SET ... WHERE — materializes the updated rows. */
-  def updateWhere(condition: Column, set: Map[String, Column]): Unit = {
+  def updateWhere(condition: Column, set: Map[String, Column]): Unit = withCommitRetry {
     val m = meta
     val updated = scanMeta(m).filter(condition).select(
       m.columns.map { c =>
@@ -560,7 +562,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
 
   /** DELETE / DELETE_IGNORE by PK (W5, KuduContext.deleteRows:355);
     * tombstone delta rows. */
-  def delete(keysDf: DataFrame, ignore: Boolean = false): Unit = {
+  def delete(keysDf: DataFrame, ignore: Boolean = false): Unit = withCommitRetry {
     val m = meta
     val keys = m.keyCols
     val k = keysDf.select(keys.map(col): _*).dropDuplicates(keys)
@@ -584,7 +586,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     * nothing (the two-commit form can leave the table truncated when the
     * second step fails). SaveMode.Overwrite and SQL INSERT OVERWRITE both
     * map here. Pre-overwrite snapshots stay readable via time travel. */
-  def overwrite(df: DataFrame): Unit = {
+  def overwrite(df: DataFrame): Unit = withCommitRetry {
     val m = meta
     val batch = conform(m, assignAutoInc(m, df))
     val newKeys = batch.select(m.keyCols.map(col): _*)
@@ -599,7 +601,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   }
 
   /** DELETE WHERE — resolves matching PKs at current snapshot then deletes. */
-  def deleteWhere(condition: Column): Unit = {
+  def deleteWhere(condition: Column): Unit = withCommitRetry {
     val m = meta
     val keys = scanMeta(m).filter(condition).select(m.keyCols.map(col): _*)
     val tombstones = keys.select(m.columns.map { c =>
@@ -1072,6 +1074,37 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       else writeDefaultLit(c).as(c.name)
     }
     df.select(cols: _*)
+  }
+
+  /** Bounded optimistic retry for PK-based mutations (the engine analog of
+    * the reference client's transparent retry of transient conflicts —
+    * client/client.h:429-531 session error handling retries a batch that
+    * hit a concurrent-modification error): a writer that loses the
+    * version race re-reads the new head and re-applies the SAME logical
+    * operation against it. This is safe because every mutation entry point
+    * is a pure function of (current snapshot, input batch) — each attempt
+    * re-reads `meta` from scratch — and the loser's attempt fileset was
+    * already swept by commitDelta before the conflict propagated, so
+    * retries leave no orphans. Only the commit-guard conflict retries;
+    * real failures (PK violations, validation errors) surface immediately,
+    * and [[transaction]] deliberately does NOT retry (its contract is
+    * optimistic abort on any concurrent commit). `graft.commit.maxRetries`
+    * bounds attempts (0 restores throw-on-first-conflict); exponential
+    * backoff keeps N racing ETL writers from livelocking on one table. */
+  private def withCommitRetry[T](body: => T): T = {
+    val max = spark.conf.getOption("graft.commit.maxRetries").map(_.toInt).getOrElse(5)
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: IllegalStateException
+            if Option(e.getMessage).exists(_.startsWith("concurrent commit detected")) &&
+              attempt < max =>
+          attempt += 1
+          Thread.sleep(math.min(25L << attempt, 800L))
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Surfaces an in-job PK guard (raise_error inside the commit's write
