@@ -650,20 +650,30 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
    * analog of the reference's budgeted compaction policy,
    * tablet/compaction_policy.h:50-60 PickRowSets; SURVEY.md §4 "rewrite file
    * groups when delta:base ratio or file-count exceeds thresholds").
-   * Returns true if a compaction ran.
+   * Returns true if a compaction ran. A pass that loses the commit race to
+   * a foreground writer YIELDS (returns false) instead of throwing — a
+   * maintenance loop must never crash on a busy table, and the next pass
+   * re-evaluates the policy against the new head (the reference's
+   * maintenance manager likewise just reschedules a preempted op).
    */
   def maintain(maxDeltaRatio: Double = 0.2, maxDeltaFiles: Int = 64): Boolean = {
     val m = meta
     if (m.deltaFiles.isEmpty) return false
     val deltaBytes = m.deltaFiles.map(f => fileSize(f.path)).sum.toDouble
     val baseBytes = m.baseFiles.map(f => fileSize(f.path)).sum.toDouble max 1.0
-    if (deltaBytes / baseBytes > maxDeltaRatio) { compact(); true }
-    else if (m.deltaFiles.size > maxDeltaFiles) {
-      // many SMALL files (streaming micro-batch commits): the minor fold is
-      // O(delta bytes); the full rewrite is O(base bytes) — at scale the
-      // difference is the whole table
-      compactDeltas(); true
-    } else false
+    try {
+      if (deltaBytes / baseBytes > maxDeltaRatio) { compact(); true }
+      else if (m.deltaFiles.size > maxDeltaFiles) {
+        // many SMALL files (streaming micro-batch commits): the minor fold is
+        // O(delta bytes); the full rewrite is O(base bytes) — at scale the
+        // difference is the whole table
+        compactDeltas(); true
+      } else false
+    } catch {
+      case e: IllegalStateException
+          if Option(e.getMessage).exists(_.startsWith("concurrent commit detected")) =>
+        false
+    }
   }
 
   /**
@@ -704,10 +714,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       operation = "compact_deltas", deltaFiles = files))
     catch {
       case e: Throwable =>
-        try {
-          Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(Files.deleteIfExists(_))
-        } catch { case _: Exception => }
+        sweepTree(Paths.get(dir))
         throw e
     }
   }
@@ -733,8 +740,21 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     val files = writeBase(m, snapshot, v)
     // the rewritten base has no dropped-range rows → the masks retire
     // (uncovered ranges stay uncovered for writes)
-    TableMeta.write(m.copy(version = v, timestampMs = now(), operation = "compact",
+    try TableMeta.write(m.copy(version = v, timestampMs = now(), operation = "compact",
       baseFiles = files, deltaFiles = Nil, droppedRanges = None))
+    catch {
+      case e: Throwable =>
+        // lost the metadata race — sweep the rewritten base attempt (walk up
+        // from any written file to the per-attempt c<v>_base_* directory;
+        // same no-orphans guarantee as commitDelta)
+        files.headOption.foreach { f =>
+          var d = Paths.get(f.path).getParent
+          while (d != null && !d.getFileName.toString.startsWith(s"c${v}_base_"))
+            d = d.getParent
+          if (d != null) sweepTree(d)
+        }
+        throw e
+    }
   }
 
   // ------------------------------------------------------ schema evolution
@@ -1184,14 +1204,21 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       case e: Throwable =>
         // failed write job (e.g. an in-job PK guard fired) or a lost
         // metadata race → remove the attempt's fileset; nothing committed
-        try {
-          if (Files.exists(Paths.get(dir)))
-            Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.foreach(Files.deleteIfExists(_))
-        } catch { case _: Exception => }
+        sweepTree(Paths.get(dir))
         throw e
     }
   }
+
+  /** Best-effort recursive delete of a commit attempt's fileset — the
+    * no-orphans half of the abort path (fsck would otherwise flag the
+    * loser's files; fsckRepair remains the backstop for a writer that
+    * died before reaching this sweep). */
+  private def sweepTree(dir: java.nio.file.Path): Unit =
+    try {
+      if (Files.exists(dir))
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+    } catch { case _: Exception => }
 
   /** Commits delta files ALREADY WRITTEN under `dir` as one snapshot
     * version — the V2 row-level-operations path (SQL UPDATE/MERGE) streams

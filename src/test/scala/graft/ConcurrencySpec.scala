@@ -83,6 +83,28 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.commit.maxRetries")
   }
 
+  test("racing maintenance passes yield instead of throwing") {
+    val t = mkTable()
+    t.upsert((1 to 10).map(i => (i.toLong, s"d$i")).toDF("id", "name"))
+    val barrier = new CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Any]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        barrier.await()
+        try results.add(t.maintain(maxDeltaRatio = 0.0001))
+        catch { case e: Throwable => results.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // a pass that loses the commit race (or finds nothing left) reports
+    // false; neither may crash the maintenance loop
+    assert(results.stream.allMatch(_.isInstanceOf[java.lang.Boolean]), results.toString)
+    assert(results.stream.anyMatch(_ == true))
+    assert(t.meta.deltaFiles.isEmpty)
+    assert(t.scan().count() == 20)
+    assert(graft.tools.GraftTools.fsck(t.location).isEmpty)
+  }
+
   test("transaction does NOT retry: optimistic abort on concurrent commit") {
     val t = mkTable()
     val e = intercept[IllegalStateException] {
