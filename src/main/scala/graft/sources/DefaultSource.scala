@@ -34,6 +34,12 @@ import graft.table.GraftTable
  *   graft.upsert.orderCol   streaming sink: column defining last-wins when a
  *                           micro-batch carries several writes to one key
  *                           (without it, intra-batch duplicate keys error)
+ *   graft.maintain.every    streaming sink: run the maintenance policy every
+ *                           N micro-batches (default 16; 0 disables) so a
+ *                           long-running stream folds its own delta backlog
+ *   graft.maintain.maxDeltaRatio / graft.maintain.maxDeltaFiles
+ *                           maintenance-policy thresholds for the sink
+ *                           (defaults 0.2 / 64 — see GraftTable.maintain)
  */
 class DefaultSource extends RelationProvider with CreatableRelationProvider
     with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
@@ -125,6 +131,20 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     // commits are unordered sets, so an arbitrary winner would be
     // nondeterministic.
     val orderCol = parameters.get("graft.upsert.orderCol")
+    // graft.maintain.every: run the maintenance policy every N micro-batches
+    // (0 disables). A long-running stream commits one delta fileset per
+    // micro-batch; without in-band maintenance the delta set grows without
+    // bound until an out-of-band job folds it. The policy check is two
+    // metadata sums — a compaction only runs when the delta ratio or file
+    // count trips — and a pass preempted by a concurrent writer yields, so
+    // the check is safe and cheap to run inline on the micro-batch thread.
+    // Folds are invisible to CDC (changeStream emits committed mutation
+    // versions only), so downstream replication is unaffected.
+    val maintainEvery = parameters.get("graft.maintain.every").map(_.toInt).getOrElse(16)
+    val maintainRatio =
+      parameters.get("graft.maintain.maxDeltaRatio").map(_.toDouble).getOrElse(0.2)
+    val maintainFiles =
+      parameters.get("graft.maintain.maxDeltaFiles").map(_.toInt).getOrElse(64)
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val batch = org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(
@@ -133,6 +153,8 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
           case Some(oc) => table.upsert(batch, oc)
           case None => table.upsert(batch)
         }
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+          table.maintain(maintainRatio, maintainFiles)
       }
     }
   }

@@ -226,6 +226,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(t.scan().count() == 101) // 100 original + 1 new key
   }
 
+  test("streaming: sink self-folds its delta backlog via graft.maintain.every") {
+    val (loc, t) = mkTable()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Int)]
+    val ckpt = tmp("graft-sink-maint-")
+    val q = ms.toDF().toDF("id", "name", "grp")
+      .writeStream.format("graft")
+      .option("graft.table.path", loc)
+      .option("graft.maintain.every", "4")
+      .option("graft.maintain.maxDeltaFiles", "4")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .start()
+    try {
+      // 8 one-row micro-batches: each commits a delta fileset; the policy
+      // runs at batches 4 and 8 and the tiny-base delta ratio trips it
+      (1 to 8).foreach { i =>
+        ms.addData((200L + i, s"m$i", 0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the stream folded its own backlog: everything still live is the
+    // batch-8 minor fold's output (a deltamerge fileset bounded by the
+    // writer partition count), not one fileset per micro-batch
+    assert(t.meta.deltaFiles.nonEmpty &&
+      t.meta.deltaFiles.forall(_.path.contains("_deltamerge_")),
+      t.meta.deltaFiles.map(_.path).toString)
+    assert(t.meta.deltaFiles.size < 8, t.meta.deltaFiles.map(_.path).toString)
+    assert(t.scan().count() == 108)
+    assert(t.scan().filter(col("id") === 208).select("name").as[String].head() == "m8")
+    // maintenance is CDC-silent: the change stream sees the 8 upserts once
+    // each, the folds zero times
+    val cs = graft.streaming.GraftStreaming.changeStream(spark, t)
+    val name = s"cs_maint_${System.nanoTime()}"
+    val q2 = cs.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table(name).filter(col("id") >= 200).count() == 8)
+  }
+
   test("streaming: change stream emits delta commits with ops") {
     val (loc, t) = mkTable()
     t.upsert(Seq((1L, "x", 0)).toDF("id", "name", "grp"))
