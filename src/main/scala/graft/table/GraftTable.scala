@@ -1262,11 +1262,34 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       partCols += RangeCol
     }
     val keysPhys = m.columns.filter(_.isKey).map(c => col(c.physName))
+    // graft.base.filesPerTablet (default 1): write parallelism within one
+    // tablet. One writer per tablet is the reference posture and keeps each
+    // tablet a single PK-sorted file (best range-scan pruning) — but a full
+    // rewrite of a table whose tablet count is far below the cluster's core
+    // count serializes on the tablet count (96 tablets of a 100 TB table =
+    // ~1 TB per writer task). A salt on hash(PK) spreads each tablet's rows
+    // over N tasks/files; key sets stay disjoint per file (a key has one
+    // salt), each file stays PK-sorted, so merge-on-read and point lookups
+    // are unchanged — the cost is PK-RANGE scans opening all N files of a
+    // tablet (each spans the whole key range), which is why 1 is default.
+    val filesPerTablet = spark.conf.getOption("graft.base.filesPerTablet")
+      .map(_.toInt).getOrElse(1)
+    // explicit partition count when salting: AQE's small-partition coalesce
+    // would otherwise merge the salt groups right back into one task
+    lazy val nShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val writer0 =
-      if (partCols.nonEmpty)
-        out.repartition(partCols.toSeq.map(col): _*)
+      if (partCols.nonEmpty) {
+        val repartitioned =
+          if (filesPerTablet > 1)
+            out.repartition(nShuffle,
+              partCols.toSeq.map(col) :+ pmod(hash(keysPhys: _*), lit(filesPerTablet)): _*)
+          else out.repartition(partCols.toSeq.map(col): _*)
+        repartitioned
           .sortWithinPartitions(partCols.toSeq.map(col) ++ keysPhys: _*)
           .write.partitionBy(partCols.toSeq: _*)
+      } else if (filesPerTablet > 1)
+        out.repartition(nShuffle, pmod(hash(keysPhys: _*), lit(filesPerTablet)))
+          .sortWithinPartitions(keysPhys: _*).write
       else out.sort(keysPhys: _*).write
     // Parquet bloom filters on key columns: the base-file analog of the
     // reference's per-rowset bloom files for PK presence checks/point

@@ -51,6 +51,29 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.currentVersion == 1L)
   }
 
+  test("graft.base.filesPerTablet spreads one tablet over several sorted files") {
+    spark.conf.set("graft.base.filesPerTablet", "3")
+    try {
+      val rows = (1 to 120).map(i => i -> s"v$i")
+      val t = newKv(rows: _*)
+      // each hash-bucket dir carries several files (the salt spread), every
+      // file PK-sorted with a disjoint key set (a key has exactly one salt)
+      val byBucket = t.meta.baseFiles.groupBy(_.bucket)
+      assert(byBucket.keys.toSet.flatten.size == 2)
+      assert(byBucket.values.forall(_.size > 1),
+        byBucket.view.mapValues(_.size).toMap.toString)
+      assert(asMap(t) == rows.toMap)
+      // merge-on-read over the spread base is unchanged
+      t.upsert(kv(1 -> "upd", 200 -> "new"))
+      t.delete(kv(2 -> "x"))
+      assert(asMap(t) == (rows.toMap - 2) + (1 -> "upd") + (200 -> "new"))
+      // a compaction under the same setting keeps the spread
+      t.compact()
+      assert(t.meta.baseFiles.size > 2)
+      assert(asMap(t) == (rows.toMap - 2) + (1 -> "upd") + (200 -> "new"))
+    } finally spark.conf.unset("graft.base.filesPerTablet")
+  }
+
   test("insert errors on existing PK; insertIgnore skips") {
     val t = newKv(1 -> "a")
     t.insert(kv(2 -> "b"))
