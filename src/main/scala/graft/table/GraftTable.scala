@@ -1108,20 +1108,31 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     * retries leave no orphans. Only the commit-guard conflict retries;
     * real failures (PK violations, validation errors) surface immediately,
     * and [[transaction]] deliberately does NOT retry (its contract is
-    * optimistic abort on any concurrent commit). `graft.commit.maxRetries`
-    * bounds attempts (0 restores throw-on-first-conflict); exponential
-    * backoff keeps N racing ETL writers from livelocking on one table. */
+    * optimistic abort on any concurrent commit).
+    *
+    * The retry budget is TIME-based — `graft.commit.retryTimeoutMs`
+    * (default 30 s, the reference client's default operation timeout;
+    * 0 restores throw-on-first-conflict) — because a count budget starves
+    * under contention: N racing writers serialize one commit per round, so
+    * the last writer needs ~N-1 rounds whatever the count. Jittered
+    * exponential backoff de-aligns the herd. `graft.commit.maxRetries`
+    * additionally caps the attempt count when set. */
   private def withCommitRetry[T](body: => T): T = {
-    val max = spark.conf.getOption("graft.commit.maxRetries").map(_.toInt).getOrElse(5)
+    val deadline = System.nanoTime() +
+      spark.conf.getOption("graft.commit.retryTimeoutMs").map(_.toLong)
+        .getOrElse(30000L) * 1000000L
+    val maxAttempts = spark.conf.getOption("graft.commit.maxRetries").map(_.toInt)
+      .getOrElse(Int.MaxValue)
     var attempt = 0
     while (true) {
       try return body
       catch {
         case e: IllegalStateException
             if Option(e.getMessage).exists(_.startsWith("concurrent commit detected")) &&
-              attempt < max =>
+              attempt < maxAttempts && System.nanoTime() < deadline =>
           attempt += 1
-          Thread.sleep(math.min(25L << attempt, 800L))
+          Thread.sleep(math.min(25L << math.min(attempt, 5), 400L) +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(100L))
       }
     }
     sys.error("unreachable")
