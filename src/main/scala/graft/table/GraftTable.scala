@@ -719,6 +719,115 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     }
   }
 
+  /** Per-tablet delta pressure: live-delta row/tombstone counts grouped by
+    * the tablet coordinates the base writer partitions with — the pick
+    * list for [[compactTablet]] (the analog of the reference's maintenance
+    * manager scoring per-rowset compactions, tablet/compaction_policy.h:50
+    * PickRowSets). One aggregate job over the delta set — O(delta), cheap
+    * whenever maintenance keeps deltas bounded. */
+  def deltaTabletStats(): DataFrame = {
+    val m = meta
+    require(m.hash.nonEmpty || m.range.isDefined,
+      s"${m.name} has no partitioning — use compact()")
+    val deltas = readFileGroup(m, m.deltaFiles, delta = true)
+    val coords = ArrayBuffer[Column]()
+    if (m.hash.nonEmpty) coords += bucketExpr(m, col).as("bucket")
+    m.range.foreach(r => coords += rangeKeyExprM(m, r, col).as("range_key"))
+    deltas.groupBy(coords.toSeq: _*)
+      .agg(count(lit(1)).as("delta_rows"),
+        sum(when(col(OpCol) === lit(OpDelete), 1).otherwise(0)).as("tombstones"))
+      .orderBy(col("delta_rows").desc)
+  }
+
+  /**
+   * MAJOR compaction of ONE tablet: folds the live delta rows belonging to
+   * the named (bucket and/or range-key) tablet into a fresh PK-sorted base
+   * fileset for that tablet only, and rewrites the remaining delta set
+   * latest-per-key (original seqs kept) — O(tablet + deltas), never
+   * O(table). This is the 100 TB maintenance path: the reference compacts
+   * per rowset precisely so a huge table never pays a full rewrite
+   * (tablet/delta_compaction.cc major delta compaction;
+   * compaction_policy.h budgeted pick); [[compact]] is the whole-table
+   * fold. Pick delta-heavy tablets from [[deltaTabletStats]].
+   *
+   * Membership is computed with the SAME bucket/range expressions the base
+   * writer partitions with, so the rewritten files' coordinates always
+   * agree with the existing layout, and a key belongs to exactly one
+   * tablet (bucket and range key are functions of PK columns). Refuses
+   * while range-drop masks are pending — their seq-aware masking semantics
+   * belong to [[compact]], which retires them. CDC stays exact: the commit
+   * carries no new-seq delta files (nothing streams), and a diff scan
+   * window crossing it falls back to the logical snapshot diff because the
+   * base filesets differ.
+   */
+  def compactTablet(bucket: Option[Int] = None, rangeKey: Option[String] = None): Unit = {
+    val m = meta
+    require(bucket.isDefined || rangeKey.isDefined, "name a bucket and/or a range key")
+    require(m.rangeDrops.isEmpty,
+      s"${m.name} has pending range drops; compact() retires them first")
+    bucket.foreach(_ => require(m.hash.nonEmpty, s"${m.name} has no hash component"))
+    rangeKey.foreach(_ => require(m.range.isDefined, s"${m.name} has no range component"))
+    val inTablet = m.baseFiles.filter(f =>
+      bucket.forall(b => f.bucket.contains(b)) &&
+        rangeKey.forall(rk => f.rangeKey.contains(rk)))
+    val member: Column = (
+      bucket.map(bv => bucketExpr(m, col) === lit(bv)).toSeq ++
+        rangeKey.map(rk => rangeKeyExprM(m, m.range.get, col) === lit(rk)).toSeq)
+      .reduce(_ && _)
+    val v = m.version + 1
+    val deltas = readFileGroup(m, m.deltaFiles, delta = true)
+    val w = Window.partitionBy(m.keyCols.map(col): _*)
+      .orderBy(col(SeqCol).desc, col(OpCol).desc) // same tie-break as latestDeltas
+    val dLatest = deltas.filter(member).withColumn(RnCol, row_number().over(w))
+      .filter(col(RnCol) === 1).drop(RnCol)
+    val live = readFileGroup(m, inTablet, delta = false)
+      .join(dLatest.select(m.keyCols.map(col): _*), m.keyCols, "left_anti")
+      .unionByName(dLatest.filter(col(OpCol) =!= lit(OpDelete))
+        .select(m.columns.map(c => col(c.name).cast(c.dataType).as(c.name)): _*))
+    val newBase = writeBase(m, live, v)
+    val restDir = Paths.get(location, "data",
+      s"c${v}_deltamerge_${java.util.UUID.randomUUID().toString.take(8)}").toString
+    try {
+      val restFiles =
+        if (m.deltaFiles.isEmpty) Nil
+        else {
+          val rest = deltas.filter(!member).withColumn(RnCol, row_number().over(w))
+            .filter(col(RnCol) === 1).drop(RnCol)
+          val physCols = m.columns.map(c => col(c.name).cast(c.dataType).as(c.physName)) ++
+            Seq(col(OpCol), col(SeqCol))
+          rest.select(physCols: _*)
+            .repartition(DeltaWritePartitions)
+            .sortWithinPartitions(m.columns.filter(_.isKey).map(c => col(c.physName)): _*)
+            .write.mode("overwrite").parquet(restDir)
+          // highest folded commit, like compactDeltas — CDC file selection
+          // stays conservative, the row-level seq filter restores exactness
+          val maxSeq = m.deltaFiles.map(_.seq).max
+          val (kept, empty) = listParquet(restDir).map { p =>
+            DataFileMeta(p, "delta", maxSeq, GraftTable.parquetRows(p), m.columns.map(_.id))
+          }.partition(_.rows != 0)
+          // an all-in-tablet delta set folds to nothing: drop the empty
+          // part files now so they never read as another commit's orphans
+          if (kept.isEmpty) sweepTree(Paths.get(restDir))
+          else empty.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+          kept
+        }
+      TableMeta.write(m.copy(version = v, timestampMs = now(),
+        operation = "compact_tablet",
+        baseFiles = m.baseFiles.filterNot(inTablet.contains) ++ newBase,
+        deltaFiles = restFiles))
+    } catch {
+      case e: Throwable =>
+        newBase.headOption.foreach { f =>
+          var d = Paths.get(f.path).getParent
+          while (d != null && !d.getFileName.toString.startsWith(s"c${v}_base_"))
+            d = d.getParent
+          if (d != null) sweepTree(d)
+        }
+        sweepTree(Paths.get(restDir))
+        throw e
+    }
+  }
+
   /** Compact only if deltas are pending — the convenience gate before a
     * DSv2 catalog read on a layout the V2 merge-on-read overlay cannot
     * serve (multi-component hash, pending range drops, deltas past the

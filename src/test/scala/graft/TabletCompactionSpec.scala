@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{HashComponent, RangeComponent}
+import graft.table.GraftTable
+
+/** Per-tablet MAJOR compaction (the O(tablet + deltas) maintenance path —
+  * a 100 TB table never pays [[GraftTable.compact]]'s full rewrite):
+  * folds one tablet's deltas into its base, leaves other tablets' files
+  * untouched, keeps scans/diffs/CDC exact. */
+class TabletCompactionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-tc-").toString
+
+  test("compactTablet folds one bucket; other tablets untouched; reads exact") {
+    val data = (1 to 100).map(i => (i, s"v$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, tmp(), "kv",
+      StructType(Seq(StructField("k", IntegerType, false), StructField("v", StringType))),
+      keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), 2)), data = Some(data))
+    t.upsert((1 to 30).map(i => (i, s"u$i")).toDF("k", "v"))
+    t.delete((91 to 100).map(i => (i, "")).toDF("k", "v"))
+    val expected = ((1 to 30).map(i => i -> s"u$i") ++
+      (31 to 90).map(i => i -> s"v$i")).toMap
+    val v1 = t.currentVersion
+    val baseBefore = t.meta.baseFiles
+    // pick list: both buckets carry delta pressure before the fold
+    val statsBefore = t.deltaTabletStats().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(statsBefore.keySet == Set(0, 1), statsBefore.toString)
+
+    t.compactTablet(bucket = Some(0))
+
+    // the whole table reads exactly; only bucket 0's base was rewritten
+    assert(t.scan().collect().map(r => r.getInt(0) -> r.getString(1)).toMap == expected)
+    val m = t.meta
+    val keptB1 = baseBefore.filter(_.bucket.contains(1)).map(_.path).toSet
+    assert(m.baseFiles.filter(_.bucket.contains(1)).map(_.path).toSet == keptB1,
+      "bucket 1 base files must be untouched")
+    assert(m.baseFiles.filter(_.bucket.contains(0)).map(_.path).toSet !=
+      baseBefore.filter(_.bucket.contains(0)).map(_.path).toSet)
+    // bucket 0's delta pressure is gone; bucket 1's rows remain (folded)
+    val statsAfter = t.deltaTabletStats().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(statsAfter.keySet == Set(1), statsAfter.toString)
+    assert(m.deltaFiles.forall(_.path.contains("_deltamerge_")))
+    // a second fold empties the delta set entirely
+    t.compactTablet(bucket = Some(1))
+    assert(t.meta.deltaFiles.isEmpty)
+    assert(t.scan().collect().map(r => r.getInt(0) -> r.getString(1)).toMap == expected)
+    assert(graft.tools.GraftTools.fsck(t.location).isEmpty)
+
+    // diff scans crossing the folds fall back to the logical diff and stay
+    // exact: (v1, now] saw no logical change; (0-base, now] sees them all
+    assert(t.changesSince(v1, t.currentVersion).count() == 0)
+    val d = t.changesSince(1, t.currentVersion)
+    assert(d.filter(col("_deleted")).count() == 10)
+    assert(d.filter(!col("_deleted")).count() == 30)
+  }
+
+  test("compactTablet by range key folds one range partition") {
+    val rows = (1 to 60).map(i =>
+      (i, java.sql.Date.valueOf(s"${2020 + i % 3}-0${1 + i % 9}-15"), s"v$i"))
+      .toDF("id", "d", "v")
+    val t = GraftTable.create(spark, tmp(), "ranged", rows.schema,
+      keys = Seq("id"), hash = Nil,
+      range = Some(RangeComponent("d", "year")), data = Some(rows))
+    t.upsert(rows.filter(col("id") <= 20).withColumn("v", concat(lit("u"), col("id"))))
+    val expected = (1 to 60).map(i => i -> (if (i <= 20) s"u$i" else s"v$i")).toMap
+    t.compactTablet(rangeKey = Some("2020"))
+    assert(t.scan().collect().map(r => r.getInt(0) -> r.getString(2)).toMap == expected)
+    // only 2020's rows folded out of the delta set
+    val remaining = t.deltaTabletStats().collect().map(_.getString(0)).toSet
+    assert(!remaining.contains("2020"), remaining.toString)
+    assert(graft.tools.GraftTools.fsck(t.location).isEmpty)
+    // change stream: the upserts once, the fold zero times
+    val cs = graft.streaming.GraftStreaming.changeStream(spark, t)
+    val name = s"cs_tc_${System.nanoTime()}"
+    val q = cs.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table(name).count() == 20)
+  }
+
+  test("compactTablet refuses under pending range drops") {
+    val rows = (1 to 20).map(i =>
+      (i, java.sql.Date.valueOf(s"${2020 + i % 2}-03-15"), s"v$i")).toDF("id", "d", "v")
+    val t = GraftTable.create(spark, tmp(), "dropped", rows.schema,
+      keys = Seq("id"), hash = Nil,
+      range = Some(RangeComponent("d", "year")), data = Some(rows))
+    t.dropRangePartition("2021")
+    val e = intercept[IllegalArgumentException] {
+      t.compactTablet(rangeKey = Some("2020"))
+    }
+    assert(e.getMessage.contains("pending range drops"))
+  }
+}
