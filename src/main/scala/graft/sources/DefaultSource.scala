@@ -40,6 +40,9 @@ import graft.table.GraftTable
  *   graft.maintain.maxDeltaRatio / graft.maintain.maxDeltaFiles
  *                           maintenance-policy thresholds for the sink
  *                           (defaults 0.2 / 64 — see GraftTable.maintain)
+ *   graft.maintain.perTablet  when "true", a tripped ratio folds only the
+ *                           delta-pressured tablets (compactTablet) instead
+ *                           of rewriting the whole base — the 100 TB posture
  */
 class DefaultSource extends RelationProvider with CreatableRelationProvider
     with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
@@ -145,6 +148,8 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       parameters.get("graft.maintain.maxDeltaRatio").map(_.toDouble).getOrElse(0.2)
     val maintainFiles =
       parameters.get("graft.maintain.maxDeltaFiles").map(_.toInt).getOrElse(64)
+    val maintainPerTablet =
+      parameters.get("graft.maintain.perTablet").exists(_.toBoolean)
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val batch = org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(
@@ -154,7 +159,7 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
           case None => table.upsert(batch)
         }
         if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
-          table.maintain(maintainRatio, maintainFiles)
+          table.maintain(maintainRatio, maintainFiles, perTablet = maintainPerTablet)
       }
     }
   }

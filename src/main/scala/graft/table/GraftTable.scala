@@ -655,15 +655,35 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
    * maintenance loop must never crash on a busy table, and the next pass
    * re-evaluates the policy against the new head (the reference's
    * maintenance manager likewise just reschedules a preempted op).
+   *
+   * `perTablet = true` is the 100 TB posture: a tripped ratio folds ONLY
+   * the tablets carrying delta pressure (largest first, up to
+   * `maxTablets`, via [[compactTablet]] — O(touched tablets + deltas))
+   * instead of rewriting the whole base. Falls back to the full rewrite
+   * when the table has no partition coordinates or pending range drops
+   * need retiring.
    */
-  def maintain(maxDeltaRatio: Double = 0.2, maxDeltaFiles: Int = 64): Boolean = {
+  def maintain(maxDeltaRatio: Double = 0.2, maxDeltaFiles: Int = 64,
+      perTablet: Boolean = false, maxTablets: Int = Int.MaxValue): Boolean = {
     val m = meta
     if (m.deltaFiles.isEmpty) return false
     val deltaBytes = m.deltaFiles.map(f => fileSize(f.path)).sum.toDouble
     val baseBytes = m.baseFiles.map(f => fileSize(f.path)).sum.toDouble max 1.0
     try {
-      if (deltaBytes / baseBytes > maxDeltaRatio) { compact(); true }
-      else if (m.deltaFiles.size > maxDeltaFiles) {
+      if (deltaBytes / baseBytes > maxDeltaRatio) {
+        val tabletWise = perTablet && m.rangeDrops.isEmpty &&
+          (m.hash.nonEmpty || m.range.isDefined)
+        if (tabletWise) {
+          val hasBucket = m.hash.nonEmpty
+          deltaTabletStats().collect().take(maxTablets).foreach { r =>
+            val bucket = if (hasBucket) Some(r.getInt(0)) else None
+            val rk = if (m.range.isDefined)
+              Some(r.getString(if (hasBucket) 1 else 0)) else None
+            compactTablet(bucket, rk)
+          }
+        } else compact()
+        true
+      } else if (m.deltaFiles.size > maxDeltaFiles) {
         // many SMALL files (streaming micro-batch commits): the minor fold is
         // O(delta bytes); the full rewrite is O(base bytes) — at scale the
         // difference is the whole table

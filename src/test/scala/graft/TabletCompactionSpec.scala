@@ -88,6 +88,28 @@ class TabletCompactionSpec extends AnyFunSuite {
     assert(spark.table(name).count() == 20)
   }
 
+  test("maintain(perTablet) folds pressured tablets instead of the whole base") {
+    val data = (1 to 100).map(i => (i, s"v$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, tmp(), "kv",
+      StructType(Seq(StructField("k", IntegerType, false), StructField("v", StringType))),
+      keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), 4)), data = Some(data))
+    val baseBefore = t.meta.baseFiles.map(_.path).toSet
+    // pressure lands on the tablets holding keys 1..10 only
+    t.upsert((1 to 10).map(i => (i, s"u$i")).toDF("k", "v"))
+    val touched = t.deltaTabletStats().collect().map(_.getInt(0)).toSet
+    assert(touched.size < 4, s"expected skewed pressure, got $touched")
+    assert(t.maintain(maxDeltaRatio = 0.0001, perTablet = true))
+    // delta set folded; only the pressured tablets' base files changed
+    assert(t.meta.deltaFiles.isEmpty)
+    val untouched = t.meta.baseFiles.filter(f => !touched.contains(f.bucket.get))
+    assert(untouched.forall(f => baseBefore.contains(f.path)),
+      "unpressured tablets must keep their base files")
+    val expected = ((1 to 10).map(i => i -> s"u$i") ++
+      (11 to 100).map(i => i -> s"v$i")).toMap
+    assert(t.scan().collect().map(r => r.getInt(0) -> r.getString(1)).toMap == expected)
+    assert(!t.maintain(perTablet = true)) // nothing left
+  }
+
   test("compactTablet refuses under pending range drops") {
     val rows = (1 to 20).map(i =>
       (i, java.sql.Date.valueOf(s"${2020 + i % 2}-03-15"), s"v$i")).toDF("id", "d", "v")
