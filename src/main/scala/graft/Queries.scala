@@ -596,6 +596,28 @@ object Queries {
         "ORDER BY s_suppkey")
     }),
 
+    "q37_tablet_compact" -> ((s, dir) => {
+      // Per-tablet MAJOR compaction end-to-end (the O(tablet + deltas)
+      // maintenance path a 100 TB table takes instead of compact()'s full
+      // rewrite): mutate, fold the two most delta-pressured tablets from
+      // the deltaTabletStats pick list, sweep the rest via the per-tablet
+      // maintenance policy, and prove the merged result is byte-identical
+      // to applying the same mutations in SQL.
+      val raw = Tables.raw(s, dir, "customer")
+      val t = GraftTable.create(s, tmpLoc("graft-q37-"), "customer_q37",
+        raw.schema, Seq("c_custkey"), Seq(HashComponent(Seq("c_custkey"), 4)),
+        data = Some(raw))
+      t.updateWhere(col("c_nationkey") === 3,
+        Map("c_acctbal" -> (col("c_acctbal") + 50)))
+      t.deleteWhere(col("c_custkey") % 100 === 0)
+      t.deltaTabletStats().collect().take(2)
+        .foreach(r => t.compactTablet(bucket = Some(r.getInt(0))))
+      t.maintain(maxDeltaRatio = 0.0, perTablet = true)
+      if (t.meta.deltaFiles.nonEmpty)
+        throw new IllegalStateException("per-tablet folds must clear the delta set")
+      t.scan().orderBy("c_custkey")
+    }),
+
     "q27_approx_distinct" -> ((s, dir) => {
       // HLL sketch vs exact: emit the exact count (hash-matched against the
       // oracle) plus a boolean asserting the sketch landed within 2%.
@@ -745,5 +767,9 @@ object Queries {
         "UNION ALL SELECT CAST(99 AS INTEGER), 'NEWLAND', CAST(0 AS INTEGER) " +
         "ORDER BY n_nationkey"),
     "q36_time_travel" ->
-      "SELECT * FROM supplier ORDER BY s_suppkey")
+      "SELECT * FROM supplier ORDER BY s_suppkey",
+    "q37_tablet_compact" ->
+      ("SELECT c_custkey, c_name, c_nationkey, " +
+        "CASE WHEN c_nationkey = 3 THEN c_acctbal + 50 ELSE c_acctbal END AS c_acctbal, " +
+        "c_mktsegment FROM customer WHERE c_custkey % 100 <> 0 ORDER BY c_custkey"))
 }
