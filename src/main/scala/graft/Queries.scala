@@ -605,12 +605,12 @@ object Queries {
       // to applying the same mutations in SQL.
       val raw = Tables.raw(s, dir, "customer")
       val t = GraftTable.create(s, tmpLoc("graft-q37-"), "customer_q37",
-        raw.schema, Seq("c_custkey"), Seq(HashComponent(Seq("c_custkey"), 4)),
+        raw.schema, Seq("c_custkey"), Seq(HashComponent(Seq("c_custkey"), 2)),
         data = Some(raw))
       t.updateWhere(col("c_nationkey") === 3,
         Map("c_acctbal" -> (col("c_acctbal") + 50)))
       t.deleteWhere(col("c_custkey") % 100 === 0)
-      t.deltaTabletStats().collect().take(2)
+      t.deltaTabletStats().collect().headOption
         .foreach(r => t.compactTablet(bucket = Some(r.getInt(0))))
       t.maintain(maxDeltaRatio = 0.0, perTablet = true)
       if (t.meta.deltaFiles.nonEmpty)

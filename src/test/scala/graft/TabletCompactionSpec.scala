@@ -50,6 +50,14 @@ class TabletCompactionSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(statsAfter.keySet == Set(1), statsAfter.toString)
     assert(m.deltaFiles.forall(_.path.contains("_deltamerge_")))
+    // the V2 merge-on-read overlay serves the half-folded state too
+    val whName = java.nio.file.Paths.get(t.location).getFileName.toString
+    spark.conf.set("spark.sql.catalog.gtc",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtc.warehouse",
+      java.nio.file.Paths.get(t.location).getParent.toString)
+    assert(spark.table(s"gtc.`$whName`").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap == expected)
     // a second fold empties the delta set entirely
     t.compactTablet(bucket = Some(1))
     assert(t.meta.deltaFiles.isEmpty)
