@@ -16,6 +16,8 @@ import graft.table.GraftTable
  *  - [[backup]] / [[restore]]  full backup to parquet + restore
  *                    (kudu-backup/.../KuduBackup.scala:36-110, E3; incremental
  *                    backup = GraftTable.changes / GraftStreaming.changeStream)
+ *  - [[maintainWarehouse]]  maintenance-manager sweep over every table of a
+ *                    warehouse (util/maintenance_manager.h)
  */
 object GraftTools {
 
@@ -165,6 +167,33 @@ object GraftTools {
         dest.delete(deletes.select(dest.meta.userKeyCols.map(col): _*), ignore = true)
     }
     head
+  }
+
+  /** Warehouse-wide maintenance sweep — the process analog of the
+    * reference's maintenance manager (util/maintenance_manager.h: one
+    * budgeted loop ranking ops across all tablets): runs the table-level
+    * maintenance policy over every graft table under `warehouseDir`, per
+    * tablet when `perTablet` (the 100 TB posture — see
+    * [[graft.table.GraftTable.compactTablet]]). A table that fails or is
+    * preempted never stops the sweep. Returns (tableName → compacted). */
+  def maintainWarehouse(spark: SparkSession, warehouseDir: String,
+      maxDeltaRatio: Double = 0.2, maxDeltaFiles: Int = 64,
+      perTablet: Boolean = true): Map[String, Boolean] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(warehouseDir)
+    if (!Files.isDirectory(root)) return Map.empty
+    val tables = scala.util.Using.resource(Files.list(root)) { s =>
+      s.iterator().asScala
+        .filter(p => graft.catalog.TableMeta.exists(p.toString)).toSeq
+    }
+    tables.map { p =>
+      val ran =
+        try GraftTable.load(spark, p.toString)
+          .maintain(maxDeltaRatio, maxDeltaFiles, perTablet = perTablet)
+        catch { case _: Exception => false } // sweep on: one sick table ≠ a dead loop
+      p.getFileName.toString -> ran
+    }.toMap
   }
 
   /** Restore a backup into a fresh table. */

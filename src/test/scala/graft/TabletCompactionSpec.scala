@@ -118,6 +118,26 @@ class TabletCompactionSpec extends AnyFunSuite {
     assert(!t.maintain(perTablet = true)) // nothing left
   }
 
+  test("maintainWarehouse sweeps every table; sick or clean tables don't stop it") {
+    val wh = tmp()
+    def mk(name: String): GraftTable = {
+      val data = (1 to 40).map(i => (i, s"v$i")).toDF("k", "v")
+      GraftTable.create(spark, s"$wh/$name", name,
+        StructType(Seq(StructField("k", IntegerType, false), StructField("v", StringType))),
+        keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), 2)), data = Some(data))
+    }
+    val pressured = mk("pressured")
+    pressured.upsert((1 to 40).map(i => (i, s"u$i")).toDF("k", "v"))
+    mk("clean")
+    Files.createDirectory(java.nio.file.Paths.get(wh, "not_a_table")) // ignored
+    val report = graft.tools.GraftTools.maintainWarehouse(spark, wh,
+      maxDeltaRatio = 0.0001)
+    assert(report == Map("pressured" -> true, "clean" -> false), report.toString)
+    assert(pressured.meta.deltaFiles.isEmpty)
+    assert(pressured.scan().collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+      (1 to 40).map(i => i -> s"u$i").toMap)
+  }
+
   test("compactTablet refuses under pending range drops") {
     val rows = (1 to 20).map(i =>
       (i, java.sql.Date.valueOf(s"${2020 + i % 2}-03-15"), s"v$i")).toDF("id", "d", "v")
