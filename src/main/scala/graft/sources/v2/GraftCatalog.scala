@@ -42,10 +42,27 @@ import graft.table.GraftTable
  * (compactForV2 is the convenience gate). Writes go through the engine
  * API or the DSv1 "graft" format.
  */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
+
+  /** SQL `CALL` maintenance surface (see [[GraftProcedures]]): accepts the
+    * bare catalog namespace or the conventional `system` one. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val ns = ident.namespace()
+    if (!(ns.isEmpty || ns.sameElements(Array("system"))))
+      throw new IllegalArgumentException(
+        s"no such procedure namespace: ${ns.mkString(".")}")
+    GraftProcedures.load(warehouse, ident.name()).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such procedure: ${ident.name()} " +
+          s"(available: ${GraftProcedures.names.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(Array("system"), n))
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

@@ -1,0 +1,125 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.table.GraftTable
+
+/**
+ * SQL `CALL` surface of the V2 catalog (Spark 4 DSv2 stored procedures,
+ * SPARK-44167) — the operational verbs of the reference's `kudu` CLI
+ * (tools/tool_main.cc: compaction, consistency checks) reachable from
+ * SQL, Iceberg-procedure style:
+ *
+ *   CALL cat.system.maintain('tbl')              -- policy-gated fold
+ *   CALL cat.system.compact('tbl')               -- whole-table rewrite
+ *   CALL cat.system.compact_tablet('tbl', 3)     -- one tablet, O(tablet)
+ *   CALL cat.system.delta_stats('tbl')           -- per-tablet pick list
+ *   CALL cat.system.fsck('tbl')                  -- ksck-style audit
+ *   CALL cat.system.fsck_repair('tbl')           -- sweep orphan filesets
+ *
+ * The `table` argument is catalog-relative (namespace levels '.'-separated,
+ * like the table identifiers themselves).
+ */
+private[v2] object GraftProcedures {
+
+  val names: Array[String] = Array(
+    "compact", "compact_tablet", "maintain", "delta_stats", "fsck", "fsck_repair")
+
+  private def spark = SparkSession.active
+
+  /** An eagerly-evaluated driver-side result relation: these procedures
+    * run maintenance/audit actions whose outputs are tiny reports. */
+  private def localScan(out: StructType, rs: Seq[InternalRow]): Scan =
+    new LocalScan {
+      private val arr = rs.toArray
+      override def rows(): Array[InternalRow] = arr
+      override def readSchema(): StructType = out
+    }
+
+  private def proc(pname: String, desc: String, params: Array[ProcedureParameter],
+      out: StructType)(body: InternalRow => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = pname
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = params
+      override def isDeterministic(): Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] =
+        java.util.Collections.singletonList(localScan(out, body(input))).iterator()
+    }
+
+  private def tableParam: ProcedureParameter =
+    ProcedureParameter.in("table", StringType).build()
+
+  private def str(s: String): UTF8String = UTF8String.fromString(s)
+
+  def load(warehouse: String, name: String): Option[UnboundProcedure] = {
+    def locate(in: InternalRow): GraftTable = {
+      val parts = in.getUTF8String(0).toString.split('.').toSeq
+      GraftTable.load(spark, parts.mkString(s"$warehouse/", "/", ""))
+    }
+    name.toLowerCase match {
+      case "compact" => Some(proc("compact",
+        "fold all deltas into a fresh hash/range-partitioned PK-sorted base",
+        Array(tableParam), new StructType().add("version", LongType)) { in =>
+          val t = locate(in); t.compact(); Seq(InternalRow(t.currentVersion))
+        })
+      case "compact_tablet" => Some(proc("compact_tablet",
+        "MAJOR-compact one tablet — O(tablet + deltas), never O(table)",
+        Array(tableParam,
+          ProcedureParameter.in("bucket", IntegerType).defaultValue("NULL").build(),
+          ProcedureParameter.in("range_key", StringType).defaultValue("NULL").build()),
+        new StructType().add("version", LongType)) { in =>
+          val t = locate(in)
+          t.compactTablet(
+            bucket = if (in.isNullAt(1)) None else Some(in.getInt(1)),
+            rangeKey = if (in.isNullAt(2)) None else Some(in.getUTF8String(2).toString))
+          Seq(InternalRow(t.currentVersion))
+        })
+      case "maintain" => Some(proc("maintain",
+        "run the maintenance policy (fold when the delta ratio/file count trips)",
+        Array(tableParam,
+          ProcedureParameter.in("max_delta_ratio", DoubleType).defaultValue("0.2").build(),
+          ProcedureParameter.in("max_delta_files", IntegerType).defaultValue("64").build(),
+          ProcedureParameter.in("per_tablet", BooleanType).defaultValue("true").build()),
+        new StructType().add("compacted", BooleanType)) { in =>
+          Seq(InternalRow(locate(in).maintain(
+            in.getDouble(1), in.getInt(2), perTablet = in.getBoolean(3))))
+        })
+      case "delta_stats" => Some(proc("delta_stats",
+        "per-tablet delta pressure (the compact_tablet pick list)",
+        Array(tableParam),
+        new StructType().add("tablet", StringType).add("delta_rows", LongType)
+          .add("tombstones", LongType)) { in =>
+          val t = locate(in)
+          val hasBucket = t.meta.hash.nonEmpty
+          t.deltaTabletStats().collect().toSeq.map { r =>
+            val bucket = if (hasBucket) Seq(s"bucket=${r.getInt(0)}") else Nil
+            val rk = if (t.meta.range.isDefined)
+              Seq(s"range=${r.getString(if (hasBucket) 1 else 0)}") else Nil
+            val n = r.length
+            InternalRow(str((bucket ++ rk).mkString(",")),
+              r.getLong(n - 2), r.getLong(n - 1))
+          }
+        })
+      case "fsck" => Some(proc("fsck",
+        "consistency audit (ksck analog); one row per issue, none = healthy",
+        Array(tableParam), new StructType().add("issue", StringType)) { in =>
+          graft.tools.GraftTools.fsck(locate(in).location)
+            .map(i => InternalRow(str(i)))
+        })
+      case "fsck_repair" => Some(proc("fsck_repair",
+        "delete orphan data files no snapshot references; one row per file",
+        Array(tableParam), new StructType().add("deleted", StringType)) { in =>
+          graft.tools.GraftTools.fsckRepair(locate(in).location)
+            .map(p => InternalRow(str(p)))
+        })
+      case _ => None
+    }
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.HashComponent
+import graft.table.GraftTable
+
+/** SQL `CALL` maintenance surface of the V2 catalog (DSv2 stored
+  * procedures): maintain / compact_tablet / delta_stats / fsck /
+  * fsck_repair driven end-to-end through spark.sql. */
+class ProceduresSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val wh = Files.createTempDirectory("graft-proc-wh-").toString
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.gproc",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gproc.warehouse", wh)
+    "gproc"
+  }
+
+  private def mkTable(name: String): GraftTable = {
+    val data = (1 to 60).map(i => (i, s"v$i")).toDF("k", "v")
+    GraftTable.create(spark, s"$wh/$name", name,
+      StructType(Seq(StructField("k", IntegerType, false), StructField("v", StringType))),
+      keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), 2)), data = Some(data))
+  }
+
+  test("CALL maintain folds a pressured table; delta_stats reports the pick list") {
+    val t = mkTable("m1")
+    t.upsert((1 to 30).map(i => (i, s"u$i")).toDF("k", "v"))
+    val stats = spark.sql(s"CALL $cat.system.delta_stats('m1')").collect()
+    assert(stats.nonEmpty && stats.map(_.getLong(1)).sum == 30)
+    assert(stats.forall(_.getString(0).startsWith("bucket=")))
+    val r = spark.sql(s"CALL $cat.system.maintain('m1', 0.0001D, 64, true)").collect()
+    assert(r.map(_.getBoolean(0)).toSeq == Seq(true))
+    assert(t.meta.deltaFiles.isEmpty)
+    assert(spark.sql(s"CALL $cat.system.delta_stats('m1')").collect().isEmpty)
+    // policy finds nothing the second time
+    assert(spark.sql(s"CALL $cat.system.maintain('m1')").collect()
+      .map(_.getBoolean(0)).toSeq == Seq(false))
+  }
+
+  test("CALL compact_tablet folds one bucket; named args work") {
+    val t = mkTable("m2")
+    t.upsert((1 to 30).map(i => (i, s"u$i")).toDF("k", "v"))
+    val before = t.currentVersion
+    val v = spark.sql(s"CALL $cat.system.compact_tablet('m2', bucket => 0)")
+      .collect().head.getLong(0)
+    assert(v == before + 1)
+    val left = spark.sql(s"CALL $cat.system.delta_stats('m2')").collect()
+    assert(left.map(_.getString(0)).toSeq == Seq("bucket=1"), left.mkString(","))
+    assert(t.scan().count() == 60)
+  }
+
+  test("CALL fsck reports orphans; fsck_repair sweeps them; clean after") {
+    val t = mkTable("m3")
+    t.upsert(Seq((1, "u1")).toDF("k", "v"))
+    assert(spark.sql(s"CALL $cat.system.fsck('m3')").collect().isEmpty)
+    // plant a lost-commit orphan fileset
+    val orphan = java.nio.file.Paths.get(t.location, "data", "c99_delta_orphan")
+    Seq((7, "ghost")).toDF("k", "v")
+      .withColumn(GraftTable.OpCol, lit("U"))
+      .withColumn(GraftTable.SeqCol, lit(99L))
+      .write.parquet(orphan.toString)
+    val issues = spark.sql(s"CALL $cat.system.fsck('m3')").collect()
+    assert(issues.nonEmpty && issues.forall(_.getString(0).startsWith("orphan data file")))
+    val swept = spark.sql(s"CALL $cat.system.fsck_repair('m3')").collect()
+    assert(swept.nonEmpty)
+    assert(spark.sql(s"CALL $cat.system.fsck('m3')").collect().isEmpty)
+    assert(t.scan().count() == 60)
+  }
+
+  test("unknown procedure errors with the available list") {
+    mkTable("m4")
+    val e = intercept[Exception] { spark.sql(s"CALL $cat.system.nope('m4')") }
+    assert(e.getMessage.contains("no such procedure")
+      || Option(e.getCause).exists(_.getMessage.contains("no such procedure")))
+  }
+}
