@@ -62,8 +62,11 @@ class FuzzSpec extends AnyFunSuite {
           else { t.delete(keysDf(k)); model.remove(k) }
         case 6 => // DELETE_IGNORE
           t.delete(keysDf(k), ignore = true); model.remove(k)
-        case 7 => // COMPACT (no logical change)
-          t.compact()
+        case 7 => // COMPACT (no logical change): the whole table, or one
+          // random tablet's MAJOR fold (per-tablet maintenance path)
+          if (rnd.nextBoolean()) t.compact()
+          else t.compactTablet(
+            bucket = Some(rnd.nextInt(GraftTable.totalBuckets(t.meta))))
         case 8 => // SNAPSHOT: remember version + model state
           snaps += ((t.currentVersion, model.toMap))
       }
