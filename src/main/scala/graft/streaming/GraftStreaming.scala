@@ -57,11 +57,24 @@ object GraftStreaming {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // physical → logical names for the destination API
         val logical = batch.select(
-          m.columns.map(c => batch(c.physName).as(c.name)) :+ batch(GraftTable.OpCol): _*)
-        val ups = logical.filter(logical(GraftTable.OpCol) === GraftTable.OpUpsert)
+          m.columns.map(c => batch(c.physName).as(c.name)) ++
+            Seq(batch(GraftTable.OpCol), batch(GraftTable.SeqCol)): _*)
+        // One micro-batch can span MANY committed versions (the source
+        // batches up to maxVersionsPerTrigger commits), so a key may carry
+        // several mutations here. Reduce to latest-per-key by commit seq
+        // BEFORE splitting: applying "all upserts then all deletes" would
+        // let an older tombstone beat a newer upsert, and a multi-commit
+        // upsert set would trip the destination's duplicate-key guard.
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, row_number}
+        val w = Window.partitionBy(m.keyCols.map(col): _*)
+          .orderBy(col(GraftTable.SeqCol).desc, col(GraftTable.OpCol).desc)
+        val latest = logical.withColumn("_graft_rn", row_number().over(w))
+          .filter(col("_graft_rn") === 1).drop("_graft_rn", GraftTable.SeqCol)
+        val ups = latest.filter(latest(GraftTable.OpCol) === GraftTable.OpUpsert)
           .drop(GraftTable.OpCol)
-        val dels = logical.filter(logical(GraftTable.OpCol) === GraftTable.OpDelete)
-          .select(m.keyCols.map(logical(_)): _*)
+        val dels = latest.filter(latest(GraftTable.OpCol) === GraftTable.OpDelete)
+          .select(m.keyCols.map(latest(_)): _*)
         if (!ups.isEmpty) dest.upsert(ups)
         if (!dels.isEmpty) dest.delete(dels, ignore = true)
       }

@@ -105,6 +105,48 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(graft.tools.GraftTools.fsck(t.location).isEmpty)
   }
 
+  test("writer + maintenance + CDC replication race: destination converges") {
+    // the session's moving parts together: a foreground writer (retrying
+    // commit conflicts), a concurrent per-tablet maintenance loop
+    // (yielding when preempted), and continuous replication off the
+    // change stream (folds must be CDC-silent) — the destination must
+    // converge to exactly the source's final state
+    val src = mkTable()
+    val dest = {
+      // bootstrap from the current snapshot, then tail changes (the
+      // backup-then-replicate pattern: the change stream emits mutation
+      // commits only, never the initial base load)
+      val loc = Files.createTempDirectory("graft-conc-dest-").toString
+      GraftTable.create(spark, loc, "dest", src.meta.schema, Seq("id"),
+        Seq(graft.catalog.HashComponent(Seq("id"), 2)), data = Some(src.scan()))
+    }
+    val q = graft.streaming.GraftStreaming.startReplication(spark, src, dest)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maintThread = new Thread(() => {
+      while (!stop.get()) {
+        src.maintain(maxDeltaRatio = 0.001, perTablet = true)
+        Thread.sleep(50)
+      }
+    })
+    try {
+      maintThread.start()
+      (1 to 6).foreach { wave =>
+        src.upsert((1 to 10).map(i => (i.toLong, s"w$wave-$i")).toDF("id", "name"))
+        if (wave % 2 == 0) src.delete(Seq(100L + wave).map(k => (k, "")).toDF("id", "name"),
+          ignore = true)
+      }
+      stop.set(true); maintThread.join()
+      q.processAllAvailable()
+    } finally { stop.set(true); q.stop() }
+    val srcState = src.scan().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val destState = dest.scan().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1 to 10).forall(i => srcState(i.toLong) == s"w6-$i"))
+    assert(destState == srcState,
+      s"replication diverged: missing=${srcState.keySet -- destState.keySet} " +
+        s"extra=${destState.keySet -- srcState.keySet}")
+    assert(graft.tools.GraftTools.fsck(src.location).isEmpty)
+  }
+
   test("transaction does NOT retry: optimistic abort on concurrent commit") {
     val t = mkTable()
     val e = intercept[IllegalStateException] {
