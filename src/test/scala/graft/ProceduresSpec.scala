@@ -76,6 +76,17 @@ class ProceduresSpec extends AnyFunSuite {
     assert(t.scan().count() == 60)
   }
 
+  test("SHOW PROCEDURES lists the surface; DESCRIBE PROCEDURE documents it") {
+    mkTable("m5")
+    val listed = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
+      .map(_.getAs[String]("procedure_name")).toSet
+    assert(listed == Set("compact", "compact_tablet", "maintain",
+      "delta_stats", "fsck", "fsck_repair"), listed.toString)
+    val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.compact_tablet")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("compact_tablet") && desc.contains("O(tablet"))
+  }
+
   test("unknown procedure errors with the available list") {
     mkTable("m4")
     val e = intercept[Exception] { spark.sql(s"CALL $cat.system.nope('m4')") }
