@@ -38,7 +38,7 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double) = {
+    def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double, Double, Double) = {
       def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.size / 2) }
       var times = (1 to iters).map(_ => runOnce(name, fn))
       // Short queries have a noise floor of several x at k=3 (JIT, GC, AQE
@@ -58,7 +58,7 @@ object Bench {
       val reported = if (med < 0.3) times.min else med
       System.err.println(f"[bench] $name%-22s med $med%8.2f s  min ${times.min}%.2f  (runs: " +
         times.map(t => f"$t%.2f").mkString(" ") + ")")
-      name -> reported
+      (name, reported, med, times.min)
     }
     // The pipeline caches (memoized minhash signatures/candidates) are
     // consumed only by the p* block; release them before the q* block so
@@ -69,10 +69,15 @@ object Bench {
     Pipeline.releaseCaches()
     val qResults = qBlock.map { case (n, f) => runQuery(n, f) }
     val results = pResults ++ qResults
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // med AND min per query, so cross-round comparisons never depend on
+    // which statistic "queries" recorded (sub-0.3s entries record min)
+    val stats = results.map { case (k, _, med, min) =>
+      s"\"" + k + s"\":{\"med\":$med,\"min\":$min}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"sf":"$sfDir"}""")
     Pipeline.releaseCaches() // no cached RDDs may outlive the run
     spark.stop()
   }

@@ -25,14 +25,21 @@ object SkewJoin {
 
   /**
    * Join `left` and `right` on `keys`, salting the left side `salts` ways.
-   * The salt hashes all left columns PLUS a per-partition row index
-   * (monotonically_increasing_id), so even mass-duplicated IDENTICAL
-   * hot-key rows spread across salt groups — the pathological input a
-   * pure column hash lands in one bucket. Any salt assignment is correct
-   * (the right side carries every salt value), so the row index being
-   * layout-dependent affects spread only, never results; within one
-   * execution it is stable under task retries (a retried task re-derives
-   * the same ids from the same input split).
+   * The default salt hashes all left columns — a PURE function of row
+   * content, so a map task recomputed after a shuffle-fetch failure
+   * re-derives the identical salt and no consumer ever sees a row move
+   * between salt groups (the retry-nondeterminism hazard of positional
+   * ids). The trade-off: byte-identical duplicated hot-key rows all hash
+   * to ONE salt group.
+   *
+   * `rowIndexTiebreaker = true` opts into mixing a per-partition row index
+   * (monotonically_increasing_id) into the hash so even mass-duplicated
+   * IDENTICAL rows spread. The index is positional, NOT content-derived:
+   * it is only retry-stable when the left input is order-stable (a file
+   * scan, a localCheckpoint'd frame). When the left side is the output of
+   * a shuffle, a recomputed map task can re-index rows differently than
+   * consumers already fetched — duplicating or dropping join rows — so the
+   * caller must `localCheckpoint()` such inputs before opting in.
    *
    * `saltOn` overrides the derivation with an explicit expression (e.g. a
    * known-uniform column) — pass it when the left row set is narrow enough
@@ -40,13 +47,15 @@ object SkewJoin {
    */
   def saltedEquiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       salts: Int, joinType: String = "inner",
-      saltOn: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      saltOn: Option[org.apache.spark.sql.Column] = None,
+      rowIndexTiebreaker: Boolean = false): DataFrame = {
     require(salts > 0, "salts must be positive")
     val jt = joinType.toLowerCase.replace("_", "")
     require(Seq("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
       s"unsupported join type for salted join: $joinType " +
         "(right-preserving types would duplicate unmatched right rows per salt)")
-    val l = left.withColumn(SaltCol, saltExpr(left, salts, saltOn))
+    val l = left.withColumn(SaltCol,
+      saltExpr(left, salts, saltOn, rowIndexTiebreaker))
     val r = right.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ SaltCol, joinType).drop(SaltCol)
@@ -54,7 +63,11 @@ object SkewJoin {
 
   /** The left-side salt derivation (exposed for spread tests). */
   private[graft] def saltExpr(left: DataFrame, salts: Int,
-      saltOn: Option[org.apache.spark.sql.Column] = None): org.apache.spark.sql.Column =
-    saltOn.map(c => pmod(hash(c), lit(salts))).getOrElse(
-      pmod(hash(left.columns.map(col) :+ monotonically_increasing_id(): _*), lit(salts)))
+      saltOn: Option[org.apache.spark.sql.Column] = None,
+      rowIndexTiebreaker: Boolean = false): org.apache.spark.sql.Column = {
+    val cols = left.columns.map(col) ++
+      (if (rowIndexTiebreaker) Seq(monotonically_increasing_id()) else Nil)
+    saltOn.map(c => pmod(hash(c), lit(salts)))
+      .getOrElse(pmod(hash(cols: _*), lit(salts)))
+  }
 }

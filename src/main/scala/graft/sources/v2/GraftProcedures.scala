@@ -115,9 +115,12 @@ private[v2] object GraftProcedures {
         })
       case "fsck_repair" => Some(proc("fsck_repair",
         "delete orphan data files no snapshot references; one row per file",
-        Array(tableParam), new StructType().add("deleted", StringType)) { in =>
-          graft.tools.GraftTools.fsckRepair(locate(in).location)
-            .map(p => InternalRow(str(p)))
+        Array(tableParam,
+          ProcedureParameter.in("older_than_ms", LongType)
+            .defaultValue(graft.tools.GraftTools.FsckGraceMs.toString).build()),
+        new StructType().add("deleted", StringType)) { in =>
+          graft.tools.GraftTools.fsckRepair(locate(in).location,
+            graceMs = in.getLong(1)).map(p => InternalRow(str(p)))
         })
       case _ => None
     }

@@ -97,10 +97,23 @@ class GraftDeltaWrite(meta: TableMeta, cmd: RowLevelOperation.Command,
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val t = GraftTable.load(SparkSession.active, meta.location)
-    try t.commitPrewrittenDeltas(expectedVersion, attemptDir,
-      cmd.toString.toLowerCase)
-    catch { case e: Throwable => sweep(); throw e }
+    // Only files a task reported through its commit message are real: a
+    // retried/speculated attempt or a crashed executor can leave partial
+    // (even footerless) files in the attempt dir that must never reach the
+    // manifest. Sweep strays first, then commit exactly the reported set.
+    val committed = messages.collect {
+      case GraftDeltaCommitMessage(rows, path) if rows > 0 => path
+    }.toSet
+    try {
+      val dir = Paths.get(attemptDir)
+      if (Files.exists(dir))
+        Files.list(dir).iterator().asScala
+          .filter(p => !committed.contains(p.toString))
+          .foreach(Files.deleteIfExists(_))
+      val t = GraftTable.load(SparkSession.active, meta.location)
+      t.commitPrewrittenDeltas(expectedVersion, attemptDir,
+        cmd.toString.toLowerCase, committed.toSeq.sorted)
+    } catch { case e: Throwable => sweep(); throw e }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = sweep()
@@ -114,7 +127,8 @@ class GraftDeltaWrite(meta: TableMeta, cmd: RowLevelOperation.Command,
     } catch { case _: Exception => }
 }
 
-case class GraftDeltaCommitMessage(rows: Long) extends WriterCommitMessage
+case class GraftDeltaCommitMessage(rows: Long, path: String)
+  extends WriterCommitMessage
 
 class GraftDeltaWriterFactory(
     dir: String,
@@ -202,11 +216,16 @@ class GraftDeltaWriter(
 
   override def commit(): WriterCommitMessage = {
     if (rows > 0) out.close()
-    GraftDeltaCommitMessage(rows)
+    GraftDeltaCommitMessage(rows, path)
   }
 
-  override def abort(): Unit =
+  /** A failed/retried attempt must leave nothing behind: close (to release
+    * the handle) then delete the partial file, so a speculated twin or a
+    * re-run of this task can never double-commit these rows. */
+  override def abort(): Unit = {
     try { if (rows > 0) out.close() } catch { case _: Exception => }
+    try Files.deleteIfExists(Paths.get(path)) catch { case _: Exception => }
+  }
 
   override def close(): Unit = ()
 }

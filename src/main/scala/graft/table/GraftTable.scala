@@ -1367,12 +1367,16 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     * CREATE_NEW metadata guard aborts the loser of a concurrent race; the
     * caller sweeps the attempt directory on any failure. */
   private[graft] def commitPrewrittenDeltas(expectedVersion: Long, dir: String,
-      op: String): Unit = {
+      op: String, onlyPaths: Seq[String] = Nil): Unit = {
     val m = meta
     require(m.version + 1 == expectedVersion,
       s"concurrent commit on ${m.name}: expected to write version " +
         s"$expectedVersion but the table is at ${m.version}")
-    val files = listParquet(dir).map { p =>
+    // Trust the caller's task-reported file list when given (retry/
+    // speculation safety: a stray partial file in the dir is NOT committed);
+    // fall back to a directory listing for single-writer callers.
+    val paths = if (onlyPaths.nonEmpty) onlyPaths else listParquet(dir)
+    val files = paths.map { p =>
       DataFileMeta(p, "delta", expectedVersion, GraftTable.parquetRows(p),
         m.columns.map(_.id))
     }

@@ -21,6 +21,11 @@ import graft.table.GraftTable
  */
 object GraftTools {
 
+  /** Default orphan-deletion grace window (1 h): an unreferenced data file
+    * younger than this may belong to an in-flight commit (fileset is
+    * written before the metadata swing) and is never touched. */
+  val FsckGraceMs: Long = 60L * 60 * 1000
+
   /**
    * `kudu table scan` JSON predicate grammar (E1 —
    * tools/table_scanner.cc:113-131): a structured predicate surface that
@@ -292,9 +297,15 @@ object GraftTools {
     * loser of the atomic commit guard wrote its fileset, then its metadata
     * write threw; see TableMeta.write). Only exact orphans are touched —
     * anything any snapshot references, and non-parquet files, are left
-    * alone. Empty fileset directories left behind are removed too. Returns
-    * the deleted paths. */
-  def fsckRepair(location: String): Seq[String] = {
+    * alone. Files modified within `graceMs` are also left alone: an
+    * IN-FLIGHT commit writes its fileset BEFORE swinging metadata, so a
+    * freshly-written unreferenced file may belong to a writer that is about
+    * to commit — deleting it would corrupt that table the moment the commit
+    * lands (same posture as Iceberg's remove_orphan_files older-than
+    * default). Empty fileset directories left behind are removed too.
+    * Returns the deleted paths. */
+  def fsckRepair(location: String,
+      graceMs: Long = GraftTools.FsckGraceMs): Seq[String] = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     import graft.catalog.TableMeta
@@ -314,10 +325,14 @@ object GraftTools {
     }.toSet
     val dataDir = Paths.get(location, "data")
     if (!Files.isDirectory(dataDir)) return Nil
+    val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
     val orphans = scala.util.Using.resource(Files.walk(dataDir)) { stream =>
       stream.iterator().asScala
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
         .filter(p => !referenced.contains(p.normalize.toString))
+        .filter(p =>
+          try Files.getLastModifiedTime(p).toMillis < cutoff
+          catch { case _: Exception => false }) // vanished mid-walk: skip
         .toSeq
     }
     orphans.foreach(Files.deleteIfExists(_))

@@ -103,8 +103,13 @@ class AtomicitySpec extends AnyFunSuite {
     assert(orphanIssues.size == orphanFiles.size, issues.mkString("\n"))
     assert(orphanFiles.forall(f => orphanIssues.exists(_.contains(f))))
     assert(issues.size == orphanIssues.size, s"unexpected extra issues: $issues")
-    // repair deletes exactly the orphans (and their emptied dirs)...
-    val deleted = graft.tools.GraftTools.fsckRepair(loc)
+    // the default grace window protects a freshly-written fileset (it may
+    // be an IN-FLIGHT commit that hasn't swung metadata yet) ...
+    assert(graft.tools.GraftTools.fsckRepair(loc).isEmpty)
+    assert(orphanFiles.forall(f => Files.exists(java.nio.file.Paths.get(f))))
+    // ... past the grace window, repair deletes exactly the orphans (and
+    // their emptied dirs) — graceMs=0 stands in for "old enough"
+    val deleted = graft.tools.GraftTools.fsckRepair(loc, graceMs = 0L)
     assert(deleted.toSet == orphanFiles)
     assert(!Files.exists(orphanDir))
     // ...after which fsck is clean and the table is untouched

@@ -70,7 +70,11 @@ class ProceduresSpec extends AnyFunSuite {
       .write.parquet(orphan.toString)
     val issues = spark.sql(s"CALL $cat.system.fsck('m3')").collect()
     assert(issues.nonEmpty && issues.forall(_.getString(0).startsWith("orphan data file")))
-    val swept = spark.sql(s"CALL $cat.system.fsck_repair('m3')").collect()
+    // default grace window refuses to touch a freshly-written fileset
+    // (it may be an in-flight commit that hasn't swung metadata yet)
+    assert(spark.sql(s"CALL $cat.system.fsck_repair('m3')").collect().isEmpty)
+    val swept = spark
+      .sql(s"CALL $cat.system.fsck_repair('m3', older_than_ms => 0)").collect()
     assert(swept.nonEmpty)
     assert(spark.sql(s"CALL $cat.system.fsck('m3')").collect().isEmpty)
     assert(t.scan().count() == 60)

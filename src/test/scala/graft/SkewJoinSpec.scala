@@ -95,10 +95,16 @@ class SkewJoinSpec extends AnyFunSuite {
 
   test("identical hot-key rows spread across salts (row-index tiebreaker)") {
     val salts = 16
-    // 10^5 byte-identical rows: a pure column hash puts ALL of them in one
-    // salt group, defeating the spread exactly on the worst input
+    // 10^5 byte-identical rows: the default content hash puts ALL of them
+    // in one salt group (deterministic but unspread) ...
     val dup = spark.range(100000L).select(lit(1L).as("k"), lit("same").as("x"))
-    val groups = dup.select(SkewJoin.saltExpr(dup, salts).as("s"))
+    val defaultGroups = dup.select(SkewJoin.saltExpr(dup, salts).as("s"))
+      .distinct().count()
+    assert(defaultGroups == 1)
+    // ... the OPT-IN row-index tiebreaker spreads them (input is a range
+    // scan — order-stable, the documented precondition)
+    val groups = dup
+      .select(SkewJoin.saltExpr(dup, salts, rowIndexTiebreaker = true).as("s"))
       .groupBy("s").count().collect()
     assert(groups.length >= salts / 2,
       s"expected >= ${salts / 2} distinct salt groups, got ${groups.length}")
@@ -107,7 +113,8 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(maxShare < 2.0 / salts * 2, s"max salt share $maxShare too hot")
     // correctness unchanged on the duplicated input
     val right = Seq((1L, 10L)).toDF("k", "w")
-    val joined = SkewJoin.saltedEquiJoin(dup, right, Seq("k"), salts)
+    val joined = SkewJoin.saltedEquiJoin(dup, right, Seq("k"), salts,
+      rowIndexTiebreaker = true)
     assert(joined.count() == 100000L)
     // explicit saltOn override drives the derivation
     val explicitGroups = dup
