@@ -481,7 +481,8 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
     require(meta.deltaFiles.isEmpty || GraftV2Scan.morOverlayable(meta),
       s"graft V2 reads need a compacted base or an overlay-able delta set; " +
         s"${meta.name} has ${meta.deltaFiles.size} pending delta files and " +
-        "(pending range drops, or deltas past the broadcast bound) — " +
+        "(pending range drops, or a past-broadcast-bound delta set over " +
+        "coordinate-less base files, where per-route spilling is unsound) — " +
         "compact() first " +
         "or read through the DSv1 'graft' format (merge-on-read)")
     // The V2 parquet factory reads files by LOGICAL column name; a renamed
@@ -759,29 +760,80 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     }
     val fallback = owned.toSeq.sorted.headOption.getOrElse(GraftV2Scan.OrphanRoute)
     val tbl = GraftTable.load(spark, m.location)
-    val sel = tbl.latestDeltas(m, m.deltaFiles)
-      .select(internalSchema.fieldNames.toSeq.map(col) ++
-        Seq(col(GraftTable.OpCol), routeCol): _*)
-    val opIdx = internalFields.length
-    val routeIdx = opIdx + 1
-    val rows = sel.queryExecution.toRdd.map(_.copy()).collect()
-    val dead = new java.util.HashSet[Seq[Any]]()
-    val ups = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[Array[Any]]]()
-    rows.foreach { r =>
-      dead.add(MorOverlay.keyOf(r, keyIdx, types))
-      if (r.getUTF8String(opIdx).toString != GraftTable.OpDelete) {
-        val r0 = r.getUTF8String(routeIdx).toString
-        val route = if (owned.contains(r0)) r0 else fallback
-        ups.getOrElseUpdate(route, scala.collection.mutable.ArrayBuffer()) +=
-          types.indices.map(i => r.get(i, types(i))).toArray
-      }
-    }
-    val info = spark.sparkContext.broadcast(MorOverlayInfo(
-      types, keyIdx, outIdx, identity, dead,
-      ups.map { case (b, a) => b -> a.toArray }.toMap))
     val inner = org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
       spark, m.schema, internalSchema, filters)
-    new MorOverlayReaderFactory(inner, info)
+    if (GraftTable.deltaBytes(m.deltaFiles) < GraftTable.broadcastDeltaBytes) {
+      // broadcast overlay: collect the latest delta state once, ship it to
+      // every split (cheapest when the delta set is small)
+      val sel = tbl.latestDeltas(m, m.deltaFiles)
+        .select(internalSchema.fieldNames.toSeq.map(col) ++
+          Seq(col(GraftTable.OpCol), routeCol): _*)
+      val opIdx = internalFields.length
+      val routeIdx = opIdx + 1
+      val rows = sel.queryExecution.toRdd.map(_.copy()).collect()
+      val dead = new java.util.HashSet[Seq[Any]]()
+      val ups = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[Array[Any]]]()
+      rows.foreach { r =>
+        dead.add(MorOverlay.keyOf(r, keyIdx, types))
+        if (r.getUTF8String(opIdx).toString != GraftTable.OpDelete) {
+          val r0 = r.getUTF8String(routeIdx).toString
+          val route = if (owned.contains(r0)) r0 else fallback
+          ups.getOrElseUpdate(route, scala.collection.mutable.ArrayBuffer()) +=
+            types.indices.map(i => r.get(i, types(i))).toArray
+        }
+      }
+      val info = spark.sparkContext.broadcast(MorOverlayInfo(
+        types, keyIdx, outIdx, identity, dead,
+        ups.map { case (b, a) => b -> a.toArray }.toMap))
+      new MorOverlayReaderFactory(inner, info)
+    } else {
+      // SHUFFLE-SPILL overlay: past the broadcast bound, the delta state is
+      // shuffled BY ROUTE into per-route parquet spills; each split's
+      // reader then loads only its own tablet's delta slice — the memory
+      // posture of the reference's per-tablet DeltaApplier
+      // (tablet/delta_applier.h:52 applies deltas at any size). Sound
+      // because a base row and any delta for its key compute the SAME
+      // route (both derive from the writer's partition expressions), which
+      // is exactly what spillRoutable() guards: every base file must carry
+      // a route coordinate. Reads pay one delta-shuffle job per query —
+      // the degraded-but-correct mode; compaction remains the cure.
+      val ownedSeq =
+        if (owned.isEmpty) Seq(fallback) else owned.toSeq.sorted
+      val routeId = ownedSeq.zipWithIndex.toMap
+      val fallbackId = routeId.getOrElse(fallback, 0)
+      val toId = org.apache.spark.sql.functions.udf(
+        (r: String) => routeId.getOrElse(r, fallbackId))
+      val spillSchema = StructType(internalFields :+
+        org.apache.spark.sql.types.StructField(GraftTable.OpCol,
+          org.apache.spark.sql.types.StringType, nullable = false))
+      val spillRoot = java.nio.file.Paths.get(m.location, "tmp")
+      GraftV2Scan.sweepStaleSpills(spillRoot)
+      val spillDir = spillRoot.resolve(
+        s"_morspill_v${m.version}_${java.util.UUID.randomUUID().toString.take(8)}")
+      tbl.latestDeltas(m, m.deltaFiles)
+        .select(internalSchema.fieldNames.toSeq.map(col) ++
+          Seq(col(GraftTable.OpCol), toId(routeCol).as(GraftV2Scan.SpillRouteCol)): _*)
+        .repartition(col(GraftV2Scan.SpillRouteCol))
+        .write.partitionBy(GraftV2Scan.SpillRouteCol)
+        .mode("overwrite").parquet(spillDir.toString)
+      val routeParts: Map[String, InputPartition] = ownedSeq.flatMap { r =>
+        val d = spillDir.resolve(s"${GraftV2Scan.SpillRouteCol}=${routeId(r)}")
+        if (java.nio.file.Files.isDirectory(d)) {
+          val ps = scala.util.Using.resource(java.nio.file.Files.list(d)) { s =>
+            scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+              .asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+          }
+          if (ps.nonEmpty)
+            Some(r -> org.apache.spark.sql.GraftSqlBridge
+              .filePartition(routeId(r), ps, None): (String, InputPartition))
+          else None
+        } else None
+      }.toMap
+      val deltaFactory = org.apache.spark.sql.GraftSqlBridge
+        .parquetReaderFactory(spark, spillSchema, spillSchema, Array.empty)
+      new SpillMorOverlayReaderFactory(inner, deltaFactory, types, keyIdx,
+        outIdx, identity, internalFields.length, routeParts)
+    }
   }
 }
 
@@ -836,13 +888,56 @@ object GraftV2Scan {
     * has no (unpruned) base files at all — it drains every upsert. */
   val OrphanRoute = "__orphans"
 
+  /** Spill partition column (holds the dense route id, not the route
+    * string — partition dir names then never need unescaping). */
+  val SpillRouteCol = "_graft_spill_route"
+
+  /** Whether the PER-ROUTE decomposition of the merge-on-read overlay is
+    * sound: a tombstoned key's base row must be guaranteed to sit in the
+    * split that loads that key's delta slice, i.e. every base file must
+    * carry the partition coordinate its route derives from. Coordinate-
+    * less files (zero-copy registered bases, fully unpartitioned layouts)
+    * can hold ANY key, so only a global (broadcast) dead set can serve
+    * them. */
+  def spillRoutable(meta: TableMeta): Boolean =
+    meta.rangeDrops.isEmpty && (keyGroupedComponents(meta) match {
+      case Some(_) => meta.baseFiles.forall(_.bucket.isDefined)
+      case None =>
+        (meta.hash.nonEmpty || meta.range.isDefined) &&
+          meta.baseFiles.forall(f => f.bucket.isDefined || f.rangeKey.isDefined)
+    })
+
+  /** Best-effort sweep of spill dirs older than an hour — residue of
+    * crashed readers (live queries re-read their spill well within it). */
+  def sweepStaleSpills(tmpDir: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      import java.nio.file.Files
+      if (Files.isDirectory(tmpDir)) {
+        val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+        scala.util.Using.resource(Files.list(tmpDir)) { s =>
+          s.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("_morspill_"))
+            .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+            .toSeq
+        }.foreach { p =>
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+        }
+      }
+    } catch { case _: Exception => }
+
   /** Whether a delta-carrying table can serve the V2 merge-on-read
     * overlay: ANY layout — hash (multi-component, multi-column components,
     * per-range bucket-count overrides), range-only, or unpartitioned
     * (upserts route by the writer's own partition expressions; routes no
     * split owns fold into the fallback split) — with no pending
-    * range-drop masks and a delta fileset inside the broadcast bound. */
+    * range-drop masks. Below the broadcast bound the delta state is
+    * broadcast; past it, [[spillRoutable]] layouts shuffle deltas into
+    * per-route spills (any delta size), and only coordinate-less layouts
+    * still require compaction first. */
   def morOverlayable(meta: TableMeta): Boolean =
     meta.rangeDrops.isEmpty &&
-      GraftTable.deltaBytes(meta.deltaFiles) < GraftTable.BroadcastDeltaBytes
+      (GraftTable.deltaBytes(meta.deltaFiles) < GraftTable.broadcastDeltaBytes ||
+        spillRoutable(meta))
 }

@@ -53,6 +53,56 @@ class MorOverlayReaderFactory(
   }
 }
 
+/**
+ * Shuffle-spill variant of the overlay, for delta sets past the broadcast
+ * bound: the planner shuffled the latest delta state into one parquet spill
+ * per route (GraftV2Scan.createReaderFactory), and each split's reader
+ * drains ONLY its own route's spill into a local dead-set + upsert list
+ * before serving base rows — per-tablet delta memory, never whole-table
+ * (the reference's DeltaApplier posture, tablet/delta_applier.h:52).
+ * Correctness rests on the planner's spillRoutable guard: every base file
+ * carries the coordinate its route derives from, so a key's base rows and
+ * its delta slice always meet in the same split.
+ *
+ * @param opIdx  position of the op column in the spill schema (= number of
+ *               internal data columns)
+ */
+class SpillMorOverlayReaderFactory(
+    inner: PartitionReaderFactory,
+    deltaFactory: PartitionReaderFactory,
+    types: Array[DataType],
+    keyIdx: Array[Int],
+    outIdx: Array[Int],
+    identity: Boolean,
+    opIdx: Int,
+    routeParts: Map[String, InputPartition]) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val route = p match {
+      case k: org.apache.spark.sql.GraftKeyedFilePartition => k.compositeBucket.toString
+      case r: org.apache.spark.sql.GraftRoutedFilePartition => r.route
+      case _ => throw new IllegalStateException(
+        "spill overlay requires route-carrying splits (spillRoutable guard)")
+    }
+    val dead = new java.util.HashSet[Seq[Any]]()
+    val ups = scala.collection.mutable.ArrayBuffer[Array[Any]]()
+    routeParts.get(route).foreach { dp =>
+      val dr = deltaFactory.createReader(dp)
+      try {
+        while (dr.next()) {
+          val r = dr.get().copy() // reader reuses its row buffer
+          dead.add(MorOverlay.keyOf(r, keyIdx, types))
+          if (r.getUTF8String(opIdx).toString != graft.table.GraftTable.OpDelete)
+            ups += Array.tabulate(types.length)(i => r.get(i, types(i)))
+        }
+      } finally dr.close()
+    }
+    val info = MorOverlayInfo(types, keyIdx, outIdx, identity, dead,
+      if (ups.isEmpty) Map.empty else Map(route -> ups.toArray))
+    new MorOverlayReader(inner.createReader(p), info, route)
+  }
+}
+
 object MorOverlay {
   /** Key tuple with VALUE semantics: binary key columns come out of
     * InternalRow as Array[Byte], whose equals/hashCode are by reference —

@@ -183,7 +183,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       val dLatest = latestDeltas(m, deltaFiles)
       val dBytes = GraftTable.deltaBytes(deltaFiles)
       val dKeys0 = dLatest.select(m.keyCols.map(col): _*)
-      val dKeys = if (dBytes < BroadcastDeltaBytes) broadcast(dKeys0) else dKeys0
+      val dKeys = if (dBytes < GraftTable.broadcastDeltaBytes) broadcast(dKeys0) else dKeys0
       val live = base.join(dKeys, m.keyCols, "left_anti")
       val upserts = dLatest.filter(col(OpCol) =!= lit(OpDelete))
         .select(m.columns.map(c => col(c.name).cast(c.dataType)): _*)
@@ -1490,6 +1490,16 @@ object GraftTable {
   val OpDelete = "D"
   /** Delta filesets below this total size are broadcast in merge-on-read. */
   val BroadcastDeltaBytes: Long = 256L * 1024 * 1024
+
+  /** Session override of [[BroadcastDeltaBytes]] (`graft.mor.broadcastBytes`)
+    * — past the bound the DSv1 path joins without a broadcast hint and the
+    * V2 overlay shuffles deltas into per-route spills instead of
+    * broadcasting; the knob mostly exists so specs can force the
+    * past-bound paths with tiny data. */
+  def broadcastDeltaBytes: Long =
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption("graft.mor.broadcastBytes").map(_.toLong)
+      .getOrElse(BroadcastDeltaBytes)
   /** Base filesets below this size skip the presence-check prune probe —
     * scanning them outright is cheaper than the extra probe job. */
   val PresencePruneMinBytes: Long = 64L * 1024 * 1024

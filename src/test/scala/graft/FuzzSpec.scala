@@ -172,6 +172,15 @@ class FuzzSpec extends AnyFunSuite {
   test("two-component hash layout: same model, composite V2 overlay routing") {
     runCase(11L, 40, hash = Seq(HashComponent(Seq("k"), 2), HashComponent(Seq("k"), 3)))
   }
+  test("1KB broadcast bound: V2 overlay serves every random end state via spill") {
+    // forces the shuffle-spill overlay (and the DSv1 non-broadcast join)
+    // for any non-trivial delta set — same model checks must hold
+    spark.conf.set("graft.mor.broadcastBytes", "1024")
+    try {
+      runCase(13L, 40)
+      runCase(17L, 40, hash = Seq(HashComponent(Seq("k"), 2), HashComponent(Seq("k"), 3)))
+    } finally spark.conf.unset("graft.mor.broadcastBytes")
+  }
 
   /** Range-partitioned variant: the op stream also drops and re-adds range
     * partitions (the D2 retention ops) — rows of a dropped range vanish,

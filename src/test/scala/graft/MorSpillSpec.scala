@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.HashComponent
+import graft.table.GraftTable
+
+/**
+ * Shuffle-spill merge-on-read overlay: past the broadcast bound
+ * (`graft.mor.broadcastBytes`, forced to 1 byte here so every delta set
+ * is "too big"), the V2 read path must NOT refuse — it shuffles the
+ * latest delta state into per-route parquet spills and each split loads
+ * only its own tablet's slice (the reference applies deltas at any size,
+ * tablet/delta_applier.h:52; the broadcast bound is our transport choice,
+ * not a semantic limit). Every layout the broadcast overlay serves must
+ * hash-match the DSv1 scan through the spill path too.
+ */
+class MorSpillSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def withSpillForced[A](body: => A): A = {
+    spark.conf.set("graft.mor.broadcastBytes", "1")
+    try body finally spark.conf.unset("graft.mor.broadcastBytes")
+  }
+
+  private def stateOf(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("hash layout: delta-heavy SQL read serves via per-route spill, matches DSv1") {
+    val wh = Files.createTempDirectory("graft-spill-").toString
+    val df = (1 to 200).map(i => (i.toLong, s"a$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/sp1", "sp1", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 4)), data = Some(df))
+    t.upsert((1 to 100).map(i => (i.toLong, s"u$i")).toDF("k", "v"))
+    t.delete((190 to 200).map(i => Tuple1(i.toLong)).toDF("k"))
+    t.upsert(Seq((500L, "new")).toDF("k", "v"))
+    spark.conf.set("spark.sql.catalog.gsp1", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsp1.warehouse", wh)
+    withSpillForced {
+      val v2df = spark.table("gsp1.sp1")
+      // key grouping unchanged by the spill path: one split per bucket
+      assert(v2df.rdd.getNumPartitions == 4)
+      val v2 = stateOf(v2df)
+      assert(v2 == stateOf(t.scan()))
+      assert(v2.size == 190 && v2(1L) == "u1" && v2(150L) == "a150" &&
+        v2(500L) == "new" && !v2.contains(195L))
+      // spill dirs live under tmp/, never under data/ → fsck stays clean
+      assert(graft.tools.GraftTools.fsck(t.location).isEmpty)
+    }
+  }
+
+  test("SPJ join stays shuffle-free through the spill overlay") {
+    val wh = Files.createTempDirectory("graft-spill2-").toString
+    def mk(name: String, n: Int, payload: String): GraftTable = {
+      val df = (1 to n).map(i => (i.toLong, s"$payload$i")).toDF("k", "v")
+      GraftTable.create(spark, s"$wh/$name", name, df.schema, Seq("k"),
+        Seq(HashComponent(Seq("k"), 4)), data = Some(df))
+    }
+    val t1 = mk("j1", 100, "a"); mk("j2", 80, "b")
+    t1.upsert(Seq((3L, "edited")).toDF("k", "v"))
+    spark.conf.set("spark.sql.catalog.gsp2", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsp2.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try withSpillForced {
+      val j = spark.table("gsp2.j1").join(spark.table("gsp2.j2"), "k")
+        .select(col("k"), col("gsp2.j1.v").as("v1"))
+      val rows = j.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.size == 80 && rows(3L) == "edited")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free spill-MOR SPJ:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
+  test("per-range hash overrides + fallback folding serve via spill") {
+    val wh = Files.createTempDirectory("graft-spill3-").toString
+    def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
+    val df = (1 to 100).map(i => (i.toLong, ts(1995 + i % 2), s"x$i")).toDF("id", "d", "v")
+    val t = GraftTable.create(spark, s"$wh/prh", "prh", df.schema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 2)),
+      range = Some(graft.catalog.RangeComponent("d", "year")), data = Some(df))
+    t.dropRangePartition("1996")
+    t.addRangePartition("1996", hashBuckets = Some(4))
+    t.upsert((1 to 100).filter(_ % 2 == 1).map(i => (i.toLong, ts(1996), s"n$i"))
+      .toDF("id", "d", "v"))
+    t.compact()
+    // deltas across both hash schemas + an upsert into a base-less range
+    // (1997): its route is owned by no split → folds into the fallback
+    t.upsert(Seq((2L, ts(1995), "u95"), (1L, ts(1996), "u96"),
+      (201L, ts(1995), "new"), (301L, ts(1997), "o97")).toDF("id", "d", "v"))
+    t.delete(Seq(Tuple1(4L)).toDF("id"))
+    spark.conf.set("spark.sql.catalog.gsp3", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsp3.warehouse", wh)
+    withSpillForced {
+      val v2 = spark.table("gsp3.prh").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      val v1 = t.scan().collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(v2 == v1)
+      assert(v2(2L) == "u95" && v2(1L) == "u96" && v2(201L) == "new")
+      assert(v2(301L) == "o97" && !v2.contains(4L) && v2.size == 101)
+    }
+  }
+
+  test("delta-only table (no base yet) reads via spill") {
+    val wh = Files.createTempDirectory("graft-spill4-").toString
+    val schema = Seq((1L, "x")).toDF("k", "v").schema
+    val t = GraftTable.create(spark, s"$wh/donly", "donly", schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 4)))
+    t.upsert((1 to 40).map(i => (i.toLong, s"d$i")).toDF("k", "v"))
+    t.delete(Seq(Tuple1(7L)).toDF("k"))
+    spark.conf.set("spark.sql.catalog.gsp4", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsp4.warehouse", wh)
+    withSpillForced {
+      val v2 = stateOf(spark.table("gsp4.donly"))
+      assert(v2 == stateOf(t.scan()))
+      assert(v2.size == 39 && v2(1L) == "d1" && !v2.contains(7L))
+    }
+  }
+
+  test("unpartitioned layout past the bound still refuses (no sound route)") {
+    val wh = Files.createTempDirectory("graft-spill5-").toString
+    val df = (1 to 20).map(i => (i.toLong, s"a$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/flat", "flat", df.schema, Seq("k"),
+      hash = Nil, data = Some(df))
+    t.upsert(Seq((1L, "u")).toDF("k", "v"))
+    spark.conf.set("spark.sql.catalog.gsp5", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsp5.warehouse", wh)
+    withSpillForced {
+      val e = intercept[Exception] { spark.table("gsp5.flat").count() }
+      assert(e.getMessage.contains("DSv1"), e.getMessage)
+    }
+    // below the bound the same table serves via broadcast overlay
+    assert(stateOf(spark.table("gsp5.flat")) == stateOf(t.scan()))
+  }
+}
