@@ -522,10 +522,20 @@ object Queries {
       // delegated to Spark's deterministic file splits + task retry — a
       // re-executed task re-reads the same sorted base slice, the scanner
       // resume analog of the reference's ordered fault-tolerant scan.
+      // Ranks are DISTRIBUTED: the range-partitioned sort already orders
+      // rows across partitions, so the global rank is each row's
+      // per-partition index plus a driver-side prefix-sum of partition
+      // counts (zipWithIndex) — the Spark analog of the reference's k-way
+      // tablet merge (generic_iterators.cc:109). A no-partition
+      // Window.orderBy would instead funnel EVERY row through one task —
+      // the one plan that cannot scale.
       val t = Tables.readonly(s, dir, "supplier")
-      t.scan().withColumn("rn",
-        row_number().over(Window.orderBy(col("s_suppkey"))))
-        .orderBy("s_suppkey")
+      val sorted = t.scan().orderBy("s_suppkey")
+      val schema = sorted.schema.add("rn",
+        org.apache.spark.sql.types.IntegerType, nullable = false)
+      val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt) }
+      s.createDataFrame(ranked, schema)
     }),
 
     "q34_columnar_agg" -> ((s, dir) => {
@@ -616,6 +626,42 @@ object Queries {
       if (t.meta.deltaFiles.nonEmpty)
         throw new IllegalStateException("per-tablet folds must clear the delta set")
       t.scan().orderBy("c_custkey")
+    }),
+
+    "q38_stream_read" -> ((s, dir) => {
+      // V2 streaming SOURCE gate (GraftMicroBatchStream): scripted commits,
+      // then a REWOUND stream (graft.startingVersion=1) replays every
+      // committed mutation version — upsert images only, tombstone-only
+      // commits contribute nothing, and a compaction fold re-emits
+      // nothing. The accumulated stream hash-checks against the oracle's
+      // reconstruction of the committed images (the sink is gated by q18;
+      // this gates the source).
+      val raw = Tables.raw(s, dir, "nation")
+      val loc = tmpLoc("graft-q38-")
+      val t = GraftTable.create(s, loc, "nation_q38", raw.schema,
+        Seq("n_nationkey"), Seq(HashComponent(Seq("n_nationkey"), 2)),
+        data = Some(raw)) // v1: base load — base files never stream
+      t.upsert(raw.filter(col("n_nationkey") < 10)
+        .withColumn("n_name", concat(col("n_name"), lit("_s2")))) // v2
+      t.deleteWhere(col("n_nationkey") % 5 === 0) // v3: tombstones only
+      t.upsert(raw.filter(col("n_nationkey") >= 20)
+        .withColumn("n_name", concat(col("n_name"), lit("_s4")))) // v4
+      t.compact() // v5: fold — re-emits nothing
+      val f = new java.io.File(loc)
+      s.conf.set("spark.sql.catalog.gq38",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq38.warehouse", f.getParent)
+      val mem = s"q38_acc_${System.nanoTime()}"
+      val ckpt = ckptLoc("graft-q38-ckpt-")
+      try {
+        val q = s.readStream.option("graft.startingVersion", "1")
+          .table(s"gq38.`${f.getName}`")
+          .writeStream.outputMode("append").format("memory").queryName(mem)
+          .option("checkpointLocation", ckpt)
+          .start()
+        try { q.processAllAvailable() } finally q.stop()
+      } finally rmrf(ckpt)
+      s.table(mem).orderBy("n_nationkey", "n_name")
     }),
 
     "q27_approx_distinct" -> ((s, dir) => {
@@ -771,5 +817,11 @@ object Queries {
     "q37_tablet_compact" ->
       ("SELECT c_custkey, c_name, c_nationkey, " +
         "CASE WHEN c_nationkey = 3 THEN c_acctbal + 50 ELSE c_acctbal END AS c_acctbal, " +
-        "c_mktsegment FROM customer WHERE c_custkey % 100 <> 0 ORDER BY c_custkey"))
+        "c_mktsegment FROM customer WHERE c_custkey % 100 <> 0 ORDER BY c_custkey"),
+    "q38_stream_read" ->
+      ("SELECT n_nationkey, n_name || '_s2' AS n_name, n_regionkey " +
+        "FROM nation WHERE n_nationkey < 10 " +
+        "UNION ALL SELECT n_nationkey, n_name || '_s4' AS n_name, n_regionkey " +
+        "FROM nation WHERE n_nationkey >= 20 " +
+        "ORDER BY n_nationkey, n_name"))
 }

@@ -648,8 +648,15 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
   override def description(): String =
     s"graft ${meta.name} (buckets=${GraftTable.totalBuckets(meta)})"
 
+  /** Key grouping is reported only when storage-partitioned joins are
+    * actually enabled (`spark.sql.sources.v2.bucketing.enabled` — SPJ's
+    * own prerequisite): the grouping pins one InputPartition per bucket,
+    * which caps scan parallelism at the bucket count. When no join needs
+    * the groups, the scan sub-splits routes by size instead (the
+    * reference's splitSizeBytes posture, KuduScanToken.java:439-467). */
   private def keyGrouped: Option[Seq[graft.catalog.HashComponent]] =
-    GraftV2Scan.keyGroupedComponents(meta)
+    GraftV2Scan.keyGroupedComponents(meta).filter(_ =>
+      spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
 
   override def outputPartitioning(): Partitioning = keyGrouped match {
     case Some(comps) =>
@@ -702,10 +709,17 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
           // split still runs, so the fallback-routed delta rows are emitted
           return Array(org.apache.spark.sql.GraftSqlBridge.routedFilePartition(
             0, Nil, GraftV2Scan.OrphanRoute))
-        groups.zipWithIndex.map { case ((route, fs), i) =>
-          org.apache.spark.sql.GraftSqlBridge.routedFilePartition(
-            i, fs.map(_.path), route)
-        }.toArray
+        // sub-split each route by size: scan parallelism tracks data
+        // volume, not tablet count (a 4-bucket 100 TB table must not read
+        // on 4 cores). Only a route's first chunk emits its delta rows.
+        val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+        val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
+        groups.foreach { case (route, fs) =>
+          out ++= org.apache.spark.sql.GraftSqlBridge
+            .routedFilePartitionsBySize(out.length, fs.map(_.path), route, maxSplit)
+        }
+        out.toArray
     }
   }
 

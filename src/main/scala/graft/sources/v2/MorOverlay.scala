@@ -49,7 +49,11 @@ class MorOverlayReaderFactory(
       case r: org.apache.spark.sql.GraftRoutedFilePartition => r.route
       case _ => null // coordinate-less single partition: owns every upsert
     }
-    new MorOverlayReader(inner.createReader(p), info.value, route)
+    val owns = p match {
+      case r: org.apache.spark.sql.GraftRoutedFilePartition => r.ownsDeltas
+      case _ => true
+    }
+    new MorOverlayReader(inner.createReader(p), info.value, route, owns)
   }
 }
 
@@ -84,6 +88,10 @@ class SpillMorOverlayReaderFactory(
       case _ => throw new IllegalStateException(
         "spill overlay requires route-carrying splits (spillRoutable guard)")
     }
+    val owns = p match {
+      case r: org.apache.spark.sql.GraftRoutedFilePartition => r.ownsDeltas
+      case _ => true
+    }
     val dead = new java.util.HashSet[Seq[Any]]()
     val ups = scala.collection.mutable.ArrayBuffer[Array[Any]]()
     routeParts.get(route).foreach { dp =>
@@ -92,14 +100,14 @@ class SpillMorOverlayReaderFactory(
         while (dr.next()) {
           val r = dr.get().copy() // reader reuses its row buffer
           dead.add(MorOverlay.keyOf(r, keyIdx, types))
-          if (r.getUTF8String(opIdx).toString != graft.table.GraftTable.OpDelete)
+          if (owns && r.getUTF8String(opIdx).toString != graft.table.GraftTable.OpDelete)
             ups += Array.tabulate(types.length)(i => r.get(i, types(i)))
         }
       } finally dr.close()
     }
     val info = MorOverlayInfo(types, keyIdx, outIdx, identity, dead,
       if (ups.isEmpty) Map.empty else Map(route -> ups.toArray))
-    new MorOverlayReader(inner.createReader(p), info, route)
+    new MorOverlayReader(inner.createReader(p), info, route, owns)
   }
 }
 
@@ -127,12 +135,16 @@ object MorOverlay {
 class MorOverlayReader(
     inner: PartitionReader[InternalRow],
     info: MorOverlayInfo,
-    route: String) extends PartitionReader[InternalRow] {
+    route: String,
+    // false for the non-first chunks of a size-sub-split route: they probe
+    // the dead set like any split but must not re-emit the route's upserts
+    emitUpserts: Boolean = true) extends PartitionReader[InternalRow] {
 
   private var current: InternalRow = _
   private val noDead = info.dead.isEmpty // insert-only delta sets skip the probe
   private val upIter: Iterator[Array[Any]] =
-    if (route != null) info.upserts.getOrElse(route, Array.empty[Array[Any]]).iterator
+    if (!emitUpserts) Iterator.empty
+    else if (route != null) info.upserts.getOrElse(route, Array.empty[Array[Any]]).iterator
     else info.upserts.valuesIterator.flatten
 
   override def next(): Boolean = {

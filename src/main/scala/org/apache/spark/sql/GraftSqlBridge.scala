@@ -35,7 +35,11 @@ class GraftKeyedFilePartition(
 class GraftRoutedFilePartition(
     index: Int,
     files: Array[execution.datasources.PartitionedFile],
-    val route: String)
+    val route: String,
+    // A route sub-split by size yields several partitions sharing one
+    // route; exactly ONE of them (the first chunk) may emit the route's
+    // delta upserts, or merge-on-read would duplicate them per chunk.
+    val ownsDeltas: Boolean = true)
   extends execution.datasources.FilePartition(index, files)
 
 object GraftSqlBridge {
@@ -86,6 +90,47 @@ object GraftSqlBridge {
   def routedFilePartition(index: Int, paths: Seq[String],
       route: String): execution.datasources.FilePartition =
     new GraftRoutedFilePartition(index, partitionedFiles(paths), route)
+
+  /** A route's file list sub-split into size-bounded chunks of byte-ranged
+    * PartitionedFiles (parquet readers serve the row groups whose midpoint
+    * falls in the range — the standard FileSourceScan splitting, and the
+    * Spark analog of the reference's splitSizeBytes scan-token sub-splits,
+    * KuduScanToken.java:439-467). Returns one routed partition per chunk,
+    * indices `firstIndex..`; only the first chunk owns the route's deltas. */
+  def routedFilePartitionsBySize(firstIndex: Int, paths: Seq[String],
+      route: String, maxSplitBytes: Long): Seq[execution.datasources.FilePartition] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val ranged = paths.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val st = path.getFileSystem(conf).getFileStatus(path)
+      if (st.getLen == 0)
+        Seq(execution.datasources.PartitionedFile(
+          catalyst.InternalRow.empty,
+          org.apache.spark.paths.SparkPath.fromPath(path),
+          0L, 0L, Array.empty[String], st.getModificationTime, 0L, Map.empty))
+      else (0L until st.getLen by maxSplitBytes).map { off =>
+        execution.datasources.PartitionedFile(
+          catalyst.InternalRow.empty,
+          org.apache.spark.paths.SparkPath.fromPath(path),
+          off, math.min(maxSplitBytes, st.getLen - off),
+          Array.empty[String], st.getModificationTime, st.getLen, Map.empty)
+      }
+    }
+    // greedy sequential pack into <= maxSplitBytes bins
+    val bins = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[execution.datasources.PartitionedFile])
+    var size = 0L
+    ranged.foreach { f =>
+      if (size + f.length > maxSplitBytes && bins.last.nonEmpty) {
+        bins += scala.collection.mutable.ArrayBuffer.empty; size = 0L
+      }
+      bins.last += f; size += f.length
+    }
+    bins.zipWithIndex.map { case (b, i) =>
+      new GraftRoutedFilePartition(firstIndex + i, b.toArray, route,
+        ownsDeltas = i == 0)
+    }.toSeq
+  }
 
   private def partitionedFiles(
       paths: Seq[String]): Array[execution.datasources.PartitionedFile] = {

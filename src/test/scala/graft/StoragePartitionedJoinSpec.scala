@@ -250,6 +250,39 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(mc((1L, "t1")) == "updated" && mc.size == 30)
   }
 
+  test("without SPJ, routes sub-split by size: parallelism exceeds bucket count") {
+    // a 4-bucket table must NOT read on 4 cores when no join needs the key
+    // groups: with v2 bucketing off, the scan sub-splits each route into
+    // maxPartitionBytes chunks (splitSizeBytes analog) — and merge-on-read
+    // stays exact because only a route's first chunk emits its deltas
+    val wh = Files.createTempDirectory("graft-wh-split-").toString
+    val df = (1 to 4000).map(i => (i.toLong, s"v$i" * 10)).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/big", "big", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 4)), data = Some(df))
+    t.upsert(Seq((1L, "edited"), (9001L, "new")).toDF("k", "v"))
+    t.delete(Seq(Tuple1(2L)).toDF("k"))
+    spark.conf.set("spark.sql.catalog.gsplit", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsplit.warehouse", wh)
+    val prevBucketing = spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try {
+      val v2df = spark.table("gsplit.big")
+      assert(v2df.rdd.getNumPartitions > 4,
+        s"expected sub-split parallelism > 4 buckets, got ${v2df.rdd.getNumPartitions}")
+      val m = v2df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(m.size == 4000 && m(1L) == "edited" && m(9001L) == "new" &&
+        !m.contains(2L) && m(3L) == "v3" * 10)
+      // with SPJ enabled the same table reports one split per bucket again
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      assert(spark.table("gsplit.big").rdd.getNumPartitions == 4)
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+    }
+  }
+
   test("per-range hash overrides serve deltas through the MOR overlay") {
     // a re-added range with its own bucket count: bucket ids are only
     // comparable within one range's modulus, so the overlay routes by the
