@@ -96,6 +96,40 @@ class TabletCompactionSpec extends AnyFunSuite {
     assert(spark.table(name).count() == 20)
   }
 
+  test("compactTablet writes ~1/buckets of a full compact's bytes (I/O win)") {
+    // the base >> delta regime the O(tablet) claim is about: a 16-bucket
+    // base with all delta pressure on ONE tablet. Wall time is job-floor
+    // noise locally, so the assertion is on BYTES WRITTEN — the fold must
+    // rewrite one tablet's share of the base, not the whole base.
+    val buckets = 16
+    val data = (1 to 8000).map(i => (i, s"payload_$i" * 8)).toDF("k", "v")
+    val t = GraftTable.create(spark, tmp(), "kv",
+      StructType(Seq(StructField("k", IntegerType, false), StructField("v", StringType))),
+      keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), buckets)), data = Some(data))
+    val b0 = data
+      .withColumn("_bk", GraftTable.bucketExpr(t.meta, org.apache.spark.sql.functions.col))
+      .filter(col("_bk") === 0).drop("_bk")
+    t.upsert(b0.withColumn("v", concat(lit("u"), col("v"))))
+    assert(t.deltaTabletStats().collect().map(_.getInt(0)).toSet == Set(0))
+    def bytesWritten(op: => Unit): Long = {
+      val before = (t.meta.baseFiles ++ t.meta.deltaFiles).map(_.path).toSet
+      op
+      val m = t.meta
+      (m.baseFiles ++ m.deltaFiles).filterNot(f => before(f.path))
+        .map(f => GraftTable.fileSize(f.path)).sum
+    }
+    val expected = t.scan().collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val tabletBytes = bytesWritten(t.compactTablet(bucket = Some(0)))
+    val fullBytes = bytesWritten(t.compact())
+    assert(tabletBytes > 0 && fullBytes > 0)
+    val ratio = tabletBytes.toDouble / fullBytes
+    info(f"compactTablet wrote $tabletBytes bytes vs compact's $fullBytes (ratio $ratio%.4f, 1/buckets = ${1.0 / buckets}%.4f)")
+    assert(ratio < 2.0 / buckets,
+      f"per-tablet fold wrote $ratio%.3f of a full compact ($tabletBytes vs " +
+        f"$fullBytes bytes) — expected ~${1.0 / buckets}%.3f")
+    assert(t.scan().collect().map(r => r.getInt(0) -> r.getString(1)).toMap == expected)
+  }
+
   test("maintain(perTablet) folds pressured tablets instead of the whole base") {
     val data = (1 to 100).map(i => (i, s"v$i")).toDF("k", "v")
     val t = GraftTable.create(spark, tmp(), "kv",
