@@ -324,10 +324,12 @@ object Pipeline {
       // over fixed-point quantized vectors, the integer hyperplanes inlined
       // into the SQL — so the result is hash-checkable even though the
       // operator is approximate vs. p6.
-      val e = embs(s, dir).select(col("vec_id"),
+      // cached: the scan + 4-table bucketing feeds BOTH join sides (query
+      // rows and candidates) — uncached it is computed twice per run
+      val e = persistTracked(embs(s, dir).select(col("vec_id"),
           toDouble(col("embedding")).as("v"))
         .withColumn("bks",
-          hyperplaneBuckets(col("v"), dim = 64, tables = LshTables, planes = LshPlanes))
+          hyperplaneBuckets(col("v"), dim = 64, tables = LshTables, planes = LshPlanes)))
       val flat = e.select(col("vec_id"), col("v"),
         posexplode(col("bks")).as(Seq("t", "bk")))
       val q = flat.filter(col("vec_id") < 32)
