@@ -664,6 +664,46 @@ object Queries {
       s.table(mem).orderBy("n_nationkey", "n_name")
     }),
 
+    "q39_txn" -> ((s, dir) => {
+      // SQL face of the W9 scoped transaction (CALL txn_*, GraftProcedures):
+      // three CALLs stage a strict INSERT, a whole-row UPSERT, and a strict
+      // DELETE; txn_commit publishes all of them as ONE snapshot version.
+      // A second transaction whose strict DELETE misses must abort as a
+      // unit — its (individually valid) staged insert publishes nothing.
+      // The final scan hash-checks the committed state against the oracle.
+      val raw = Tables.raw(s, dir, "nation")
+      val loc = tmpLoc("graft-q39-")
+      val t = GraftTable.create(s, loc, "nation_q39", raw.schema,
+        Seq("n_nationkey"), Seq(HashComponent(Seq("n_nationkey"), 2)),
+        data = Some(raw))
+      val f = new java.io.File(loc)
+      s.conf.set("spark.sql.catalog.gq39",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq39.warehouse", f.getParent)
+      def call(sql: String) = s.sql(sql).collect()
+      val v0 = t.currentVersion
+      val id = call(s"CALL gq39.system.txn_begin('${f.getName}')")
+        .head.getString(0)
+      call(s"""CALL gq39.system.txn_insert('$id', "SELECT CAST(90 AS INT) AS n_nationkey, 'ATLANTIS' AS n_name, CAST(0 AS INT) AS n_regionkey")""")
+      call(s"""CALL gq39.system.txn_upsert('$id', "SELECT n_nationkey, n_name || '_tx' AS n_name, n_regionkey FROM gq39.`${f.getName}` WHERE n_nationkey = 1")""")
+      call(s"""CALL gq39.system.txn_delete('$id', "SELECT CAST(3 AS INT) AS n_nationkey")""")
+      if (t.currentVersion != v0)
+        throw new IllegalStateException("staged ops must not be visible before commit")
+      val v = call(s"CALL gq39.system.txn_commit('$id')").head.getLong(0)
+      if (v != v0 + 1)
+        throw new IllegalStateException("a transaction commits exactly one version")
+      val id2 = call(s"CALL gq39.system.txn_begin('${f.getName}')")
+        .head.getString(0)
+      call(s"""CALL gq39.system.txn_insert('$id2', "SELECT CAST(91 AS INT) AS n_nationkey, 'GHOST' AS n_name, CAST(0 AS INT) AS n_regionkey")""")
+      call(s"""CALL gq39.system.txn_delete('$id2', "SELECT CAST(999 AS INT) AS n_nationkey")""")
+      val aborted =
+        try { call(s"CALL gq39.system.txn_commit('$id2')"); false }
+        catch { case _: Exception => true }
+      if (!aborted || t.currentVersion != v)
+        throw new IllegalStateException("a failed transaction must publish nothing")
+      t.scan().orderBy("n_nationkey")
+    }),
+
     "q27_approx_distinct" -> ((s, dir) => {
       // HLL sketch vs exact: emit the exact count (hash-matched against the
       // oracle) plus a boolean asserting the sketch landed within 2%.
@@ -823,5 +863,11 @@ object Queries {
         "FROM nation WHERE n_nationkey < 10 " +
         "UNION ALL SELECT n_nationkey, n_name || '_s4' AS n_name, n_regionkey " +
         "FROM nation WHERE n_nationkey >= 20 " +
-        "ORDER BY n_nationkey, n_name"))
+        "ORDER BY n_nationkey, n_name"),
+    "q39_txn" ->
+      ("SELECT n_nationkey, " +
+        "CASE WHEN n_nationkey = 1 THEN n_name || '_tx' ELSE n_name END AS n_name, " +
+        "n_regionkey FROM nation WHERE n_nationkey <> 3 " +
+        "UNION ALL SELECT CAST(90 AS INTEGER), 'ATLANTIS', CAST(0 AS INTEGER) " +
+        "ORDER BY n_nationkey"))
 }

@@ -22,13 +22,31 @@ import graft.table.GraftTable
  *   CALL cat.system.fsck('tbl')                  -- ksck-style audit
  *   CALL cat.system.fsck_repair('tbl')           -- sweep orphan filesets
  *
+ * plus the SQL face of the W9 scoped-transaction engine (the reference
+ * exposes transactions only through its client API, client/client.h:429-531;
+ * Spark's SQL grammar has no BEGIN/COMMIT, so the handle rides a `CALL`
+ * surface the way Iceberg rides procedures for out-of-grammar verbs):
+ *
+ *   CALL cat.system.txn_begin('tbl')             -- returns the handle id
+ *   CALL cat.system.txn_insert('<id>', '<select>') -- strict insert, staged
+ *   CALL cat.system.txn_upsert('<id>', '<select>')
+ *   CALL cat.system.txn_delete('<id>', '<select of key rows>') -- strict
+ *   CALL cat.system.txn_commit('<id>')           -- ONE version, all-or-nothing
+ *   CALL cat.system.txn_abort('<id>')            -- discard staged ops
+ *
+ * Staged SELECTs evaluate at commit time under the transaction's
+ * validation pass; the commit publishes every staged op as one delta
+ * fileset under one snapshot version, and any validation failure or
+ * concurrent-commit conflict publishes nothing (see [[graft.table.GraftTxn]]).
+ *
  * The `table` argument is catalog-relative (namespace levels '.'-separated,
  * like the table identifiers themselves).
  */
 private[v2] object GraftProcedures {
 
   val names: Array[String] = Array(
-    "compact", "compact_tablet", "maintain", "delta_stats", "fsck", "fsck_repair")
+    "compact", "compact_tablet", "maintain", "delta_stats", "fsck", "fsck_repair",
+    "txn_begin", "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort")
 
   private def spark = SparkSession.active
 
@@ -122,7 +140,49 @@ private[v2] object GraftProcedures {
           graft.tools.GraftTools.fsckRepair(locate(in).location,
             graceMs = in.getLong(1)).map(p => InternalRow(str(p)))
         })
+      case "txn_begin" => Some(proc("txn_begin",
+        "open a scoped transaction on the table; returns the handle id",
+        Array(tableParam), new StructType().add("txn_id", StringType)) { in =>
+          Seq(InternalRow(str(graft.table.GraftTxnRegistry.begin(locate(in)))))
+        })
+      case "txn_insert" => Some(txnStage("txn_insert",
+        "stage a strict INSERT (commit errors if any key already exists)")(
+        (txn, df) => txn.insert(df)))
+      case "txn_upsert" => Some(txnStage("txn_upsert",
+        "stage an UPSERT (insert-or-replace)")((txn, df) => txn.upsert(df)))
+      case "txn_delete" => Some(txnStage("txn_delete",
+        "stage a strict DELETE by key rows (commit errors if any key is missing)")(
+        (txn, df) => txn.delete(df)))
+      case "txn_commit" => Some(proc("txn_commit",
+        "commit every staged op as ONE snapshot version, all-or-nothing",
+        Array(txnIdParam), new StructType().add("version", LongType)) { in =>
+          Seq(InternalRow(graft.table.GraftTxnRegistry.commit(
+            in.getUTF8String(0).toString)))
+        })
+      case "txn_abort" => Some(proc("txn_abort",
+        "discard the staged ops and release the transaction handle",
+        Array(txnIdParam), new StructType().add("aborted", BooleanType)) { in =>
+          Seq(InternalRow(graft.table.GraftTxnRegistry.abort(
+            in.getUTF8String(0).toString)))
+        })
       case _ => None
     }
   }
+
+  private def txnIdParam: ProcedureParameter =
+    ProcedureParameter.in("txn_id", StringType).build()
+
+  /** A staging verb: resolves `query` with spark.sql and hands the (lazy)
+    * frame to the open transaction — rows materialize once, at commit,
+    * inside the transaction's validation pass. */
+  private def txnStage(pname: String, desc: String)(
+      stage: (graft.table.GraftTxn, org.apache.spark.sql.DataFrame) => Unit)
+      : UnboundProcedure =
+    proc(pname, desc,
+      Array(txnIdParam, ProcedureParameter.in("query", StringType).build()),
+      new StructType().add("staged", StringType)) { in =>
+      val df = spark.sql(in.getUTF8String(1).toString)
+      graft.table.GraftTxnRegistry.stage(in.getUTF8String(0).toString)(stage(_, df))
+      Seq(InternalRow(str(pname.stripPrefix("txn_"))))
+    }
 }

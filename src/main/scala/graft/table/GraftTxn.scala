@@ -46,7 +46,7 @@ class GraftTxn private[table] (t: GraftTable, m: TableMeta) {
     stage(OpDelete, tombstones, strict = true)
   }
 
-  private[table] def commit(): Unit = {
+  private[graft] def commit(): Unit = {
     require(!committed, "transaction already committed")
     committed = true
     if (staged.isEmpty) return
@@ -78,4 +78,50 @@ class GraftTxn private[table] (t: GraftTable, m: TableMeta) {
     // in TableMeta.write aborts if another writer committed since `m`
     t.txnCommit(m, all)
   }
+}
+
+/**
+ * Driver-side registry of open transaction handles, keying the SQL `CALL`
+ * transaction surface (`txn_begin` / `txn_insert` / … / `txn_commit`, see
+ * [[graft.sources.v2.GraftProcedures]]). Each `CALL` is its own Spark
+ * statement, so the staged state between begin and commit lives here —
+ * the engine analog of the reference client's transaction handle held
+ * across session operations (client/client.h:429-531). Handles are
+ * consumed by commit/abort whether or not the commit succeeds: a failed
+ * commit already released its snapshot guard, so retrying it would
+ * validate against a stale view — the caller begins a fresh transaction
+ * instead (same contract as [[GraftTable.transaction]], which deliberately
+ * does not retry).
+ */
+object GraftTxnRegistry {
+  /** Stale-handle guard: an abandoned `txn_begin` leaks a map entry, so
+    * cap the registry instead of letting a buggy client grow it forever. */
+  private val MaxOpen = 128
+  private val open =
+    new java.util.concurrent.ConcurrentHashMap[String, (GraftTable, GraftTxn)]()
+
+  def begin(t: GraftTable): String = {
+    require(open.size < MaxOpen,
+      s"too many open transactions (max $MaxOpen): commit or abort stale handles")
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    open.put(id, (t, new GraftTxn(t, t.meta)))
+    id
+  }
+
+  private def handle(id: String): (GraftTable, GraftTxn) =
+    Option(open.get(id)).getOrElse(throw new NoSuchElementException(
+      s"no open transaction '$id' (committed, aborted, or never begun)"))
+
+  def stage(id: String)(op: GraftTxn => Unit): Unit = op(handle(id)._2)
+
+  /** Commits and returns the new table version. The handle is consumed
+    * first: even a failed commit must not be retryable on a stale view. */
+  def commit(id: String): Long = {
+    val (t, txn) = handle(id)
+    open.remove(id)
+    txn.commit()
+    t.currentVersion
+  }
+
+  def abort(id: String): Boolean = open.remove(id) != null
 }

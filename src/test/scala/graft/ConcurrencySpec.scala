@@ -8,6 +8,28 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.catalog.HashComponent
 import graft.table.GraftTable
 
+/** Task-side gate for the MERGE-vs-fold race: the UDF body references this
+  * object statically (never serialized), so local-mode tasks and the test
+  * thread share the latches. Disarmed (null) the gate is a no-op. */
+object MergeRaceGate {
+  @volatile var reached: java.util.concurrent.CountDownLatch = _
+  @volatile var release: java.util.concurrent.CountDownLatch = _
+  def arm(): Unit = {
+    reached = new java.util.concurrent.CountDownLatch(1)
+    release = new java.util.concurrent.CountDownLatch(1)
+  }
+  def disarm(): Unit = { reached = null; release = null }
+  def pass(id: Long): Long = {
+    val r = reached
+    val rel = release
+    if (r != null && rel != null) {
+      r.countDown()
+      rel.await(60, java.util.concurrent.TimeUnit.SECONDS)
+    }
+    id
+  }
+}
+
 /** Concurrent-writer behavior of the PK mutation surface: the bounded
   * optimistic retry (the engine analog of the reference client's
   * transparent retry of concurrent-modification errors,
@@ -145,6 +167,63 @@ class ConcurrencySpec extends AnyFunSuite {
       s"replication diverged: missing=${srcState.keySet -- destState.keySet} " +
         s"extra=${destState.keySet -- srcState.keySet}")
     assert(graft.tools.GraftTools.fsck(src.location).isEmpty)
+  }
+
+  test("SQL MERGE racing a tablet fold: the fold wins, the MERGE aborts cleanly") {
+    // RowLevelOps stamps its target version at PLAN time (optimistic); a
+    // maintenance fold that commits while the statement is executing must
+    // make the MERGE abort — cleanly: no partial delta fileset, no version
+    // churn, and an immediate retry (planned against the new head) lands.
+    // The interleave is deterministic: a gate UDF inside the MERGE source
+    // blocks the write job mid-flight while the fold commits.
+    val t = mkTable()
+    t.upsert((1 to 8).map(i => (i.toLong, s"d$i")).toDF("id", "name"))
+    val v0 = t.currentVersion
+    val whName = java.nio.file.Paths.get(t.location).getFileName.toString
+    spark.conf.set("spark.sql.catalog.gconc",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gconc.warehouse",
+      java.nio.file.Paths.get(t.location).getParent.toString)
+    spark.udf.register("race_gate", (id: Long) => MergeRaceGate.pass(id))
+    Seq((1L, "merged"), (200L, "new"))
+      .toDF("id", "name").createOrReplaceTempView("race_src")
+    val mergeSql =
+      s"""MERGE INTO gconc.`$whName` t
+         |USING (SELECT race_gate(id) AS id, name FROM race_src) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET name = s.name
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    MergeRaceGate.arm()
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val merger = new Thread(() => {
+      try spark.sql(mergeSql).collect()
+      catch { case e: Throwable => err.set(e) }
+    })
+    merger.start()
+    // the merge job is now running (its write already stamped v0+1) …
+    assert(MergeRaceGate.reached.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "merge never reached the gate")
+    // … and the fold commits v0+1 out from under it
+    t.compactTablet(bucket = Some(0))
+    assert(t.currentVersion == v0 + 1)
+    MergeRaceGate.release.countDown()
+    merger.join(120000)
+    val e = err.get()
+    assert(e != null, "the MERGE should have lost the optimistic race")
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("concurrent commit"), chain)
+    // clean abort: no merge rows, no version churn, swept attempt dir
+    assert(t.currentVersion == v0 + 1)
+    assert(t.scan().filter("id = 200").count() == 0)
+    assert(t.scan().filter("id = 1").collect().head.getString(1) == "d1")
+    assert(graft.tools.GraftTools.fsck(t.location).isEmpty)
+    // a retry plans against the new head and lands
+    MergeRaceGate.disarm()
+    spark.sql(mergeSql).collect()
+    assert(t.scan().filter("id = 200").count() == 1)
+    assert(t.scan().filter("id = 1").collect().head.getString(1) == "merged")
+    assert(graft.tools.GraftTools.fsck(t.location).isEmpty)
   }
 
   test("transaction does NOT retry: optimistic abort on concurrent commit") {

@@ -42,7 +42,7 @@ class FuzzSpec extends AnyFunSuite {
     for (i <- 0 until nOps) {
       val k = rnd.nextInt(Keyspace)
       val v = rnd.nextInt(1000)
-      rnd.nextInt(9) match {
+      rnd.nextInt(10) match {
         case 0 => // INSERT: errors if present
           if (model.contains(k)) intercept[PrimaryKeyException](t.insert(df(k, v)))
           else { t.insert(df(k, v)); model(k) = Some(v) }
@@ -69,6 +69,16 @@ class FuzzSpec extends AnyFunSuite {
             bucket = Some(rnd.nextInt(GraftTable.totalBuckets(t.meta))))
         case 8 => // SNAPSHOT: remember version + model state
           snaps += ((t.currentVersion, model.toMap))
+        case 9 => // TRANSACTION: upsert(k) + strict delete(k2) commit as one
+          // version, or — when k2 is missing — abort as one (the upsert
+          // must NOT land even though it is valid on its own)
+          val k2 = (k + 1 + rnd.nextInt(Keyspace - 1)) % Keyspace // k2 != k
+          def txnOps(tx: graft.table.GraftTxn): Unit = {
+            tx.upsert(df(k, v)); tx.delete(keysDf(k2))
+          }
+          if (model.contains(k2)) {
+            t.transaction(txnOps); model(k) = Some(v); model.remove(k2)
+          } else intercept[PrimaryKeyException](t.transaction(txnOps))
       }
     }
 

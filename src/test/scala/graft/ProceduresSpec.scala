@@ -85,10 +85,92 @@ class ProceduresSpec extends AnyFunSuite {
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
       .map(_.getAs[String]("procedure_name")).toSet
     assert(listed == Set("compact", "compact_tablet", "maintain",
-      "delta_stats", "fsck", "fsck_repair"), listed.toString)
+      "delta_stats", "fsck", "fsck_repair",
+      "txn_begin", "txn_insert", "txn_upsert", "txn_delete",
+      "txn_commit", "txn_abort"), listed.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.compact_tablet")
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("compact_tablet") && desc.contains("O(tablet"))
+  }
+
+  test("CALL txn_* stages insert+delete; commit applies both as ONE version") {
+    val t = mkTable("tx1")
+    val v0 = t.currentVersion
+    val id = spark.sql(s"CALL $cat.system.txn_begin('tx1')")
+      .collect().head.getString(0)
+    spark.sql(
+      s"""CALL $cat.system.txn_insert('$id', "SELECT 100 AS k, 'extra' AS v")""")
+      .collect()
+    spark.sql(s"""CALL $cat.system.txn_delete('$id', "SELECT 1 AS k")""")
+      .collect()
+    // staged, not visible: the table is untouched until commit
+    assert(t.currentVersion == v0)
+    assert(t.scan().filter("k = 100").count() == 0)
+    assert(t.scan().filter("k = 1").count() == 1)
+    val v = spark.sql(s"CALL $cat.system.txn_commit('$id')")
+      .collect().head.getLong(0)
+    assert(v == v0 + 1, "both ops landed under one snapshot version")
+    assert(t.scan().filter("k = 100").count() == 1)
+    assert(t.scan().filter("k = 1").count() == 0)
+    // time travel to the pre-txn snapshot sees neither op
+    assert(t.scan(Some(v0)).filter("k = 100 OR k = 1").count() == 1)
+    // the handle is consumed: a second commit is an error, not a replay
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.txn_commit('$id')").collect()
+    }
+    assert(e.getMessage.contains("no open transaction")
+      || Option(e.getCause).exists(_.getMessage.contains("no open transaction")))
+  }
+
+  test("CALL txn_commit is all-or-nothing: a failed strict op publishes nothing") {
+    val t = mkTable("tx2")
+    val v0 = t.currentVersion
+    val id = spark.sql(s"CALL $cat.system.txn_begin('tx2')")
+      .collect().head.getString(0)
+    spark.sql(
+      s"""CALL $cat.system.txn_insert('$id', "SELECT 200 AS k, 'x' AS v")""")
+      .collect()
+    // strict delete of a key that doesn't exist → the WHOLE txn must abort
+    spark.sql(s"""CALL $cat.system.txn_delete('$id', "SELECT 999 AS k")""")
+      .collect()
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.txn_commit('$id')").collect()
+    }
+    def msg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | "))
+    assert(msg(e).contains("DELETE key not found"), msg(e))
+    // atomicity: the valid insert did NOT land, no version churn, no orphans
+    assert(t.currentVersion == v0)
+    assert(t.scan().filter("k = 200").count() == 0)
+    assert(graft.tools.GraftTools.fsck(t.location).isEmpty)
+  }
+
+  test("CALL txn_abort discards staged ops; strict insert guard enforced on commit") {
+    val t = mkTable("tx3")
+    val v0 = t.currentVersion
+    val id = spark.sql(s"CALL $cat.system.txn_begin('tx3')")
+      .collect().head.getString(0)
+    spark.sql(
+      s"""CALL $cat.system.txn_upsert('$id', "SELECT 5 AS k, 'changed' AS v")""")
+      .collect()
+    assert(spark.sql(s"CALL $cat.system.txn_abort('$id')")
+      .collect().head.getBoolean(0))
+    assert(t.currentVersion == v0)
+    assert(t.scan().filter("k = 5 AND v = 'changed'").count() == 0)
+    // strict INSERT of a present key fails the commit (and only the commit)
+    val id2 = spark.sql(s"CALL $cat.system.txn_begin('tx3')")
+      .collect().head.getString(0)
+    spark.sql(
+      s"""CALL $cat.system.txn_insert('$id2', "SELECT 5 AS k, 'dup' AS v")""")
+      .collect()
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.txn_commit('$id2')").collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("INSERT key already present"), chain)
+    assert(t.currentVersion == v0)
   }
 
   test("unknown procedure errors with the available list") {
