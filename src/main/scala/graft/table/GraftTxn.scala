@@ -53,27 +53,34 @@ class GraftTxn private[table] (t: GraftTable, m: TableMeta) {
     val keys = m.keyCols
     val all = staged.map { case (op, rows, _) => rows.withColumn(OpCol, lit(op)) }
       .reduce(_ unionByName _)
+    // Validation runs as ONE job: the duplicate-key check, the strict-insert
+    // presence clash, and the strict-delete absence check are independent
+    // probes of the txn-start snapshot, so they union into a single action
+    // instead of three sequential driver round-trips (at scale the scans
+    // dominate, but a commit should never serialize scheduling floors).
     // one op per key per transaction: ops within a commit share a sequence
     // number, so a second write to the same key would have no defined order
     val dup = all.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
-    if (dup.limit(1).count() > 0)
+      .limit(1).select(lit("dup").as("issue"))
+    val insertClash = staged.collect { case (OpUpsert, rows, true) => rows }
+      .reduceOption(_ unionByName _).map { batch =>
+        batch.join(t.txnPresence(m, batch), keys, "left_semi")
+          .limit(1).select(lit("insert_present").as("issue"))
+      }
+    val deleteMissing = staged.collect { case (OpDelete, rows, true) => rows }
+      .reduceOption(_ unionByName _).map { batch =>
+        batch.join(t.txnPresence(m, batch), keys, "left_anti")
+          .limit(1).select(lit("delete_missing").as("issue"))
+      }
+    val issues = (Seq(dup) ++ insertClash ++ deleteMissing)
+      .reduce(_ unionByName _).collect().map(_.getString(0)).toSet
+    if (issues("dup"))
       throw new PrimaryKeyException(
         s"transaction touches a primary key more than once on ${m.name}")
-    // strict-op validation against the txn-start snapshot, one pass each way
-    val strictInserts = staged.collect { case (OpUpsert, rows, true) => rows }
-    if (strictInserts.nonEmpty) {
-      val batch = strictInserts.reduce(_ unionByName _)
-      val clash = batch.join(t.txnPresence(m, batch), keys, "left_semi")
-      if (clash.limit(1).count() > 0)
-        throw new PrimaryKeyException(s"transactional INSERT key already present in ${m.name}")
-    }
-    val strictDeletes = staged.collect { case (OpDelete, rows, true) => rows }
-    if (strictDeletes.nonEmpty) {
-      val batch = strictDeletes.reduce(_ unionByName _)
-      val missing = batch.join(t.txnPresence(m, batch), keys, "left_anti")
-      if (missing.limit(1).count() > 0)
-        throw new PrimaryKeyException(s"transactional DELETE key not found in ${m.name}")
-    }
+    if (issues("insert_present"))
+      throw new PrimaryKeyException(s"transactional INSERT key already present in ${m.name}")
+    if (issues("delete_missing"))
+      throw new PrimaryKeyException(s"transactional DELETE key not found in ${m.name}")
     // single delta commit = the atomic unit; the optimistic version guard
     // in TableMeta.write aborts if another writer committed since `m`
     t.txnCommit(m, all)
