@@ -704,6 +704,36 @@ object Queries {
       t.scan().orderBy("n_nationkey")
     }),
 
+    "q40_mor_spill" -> ((s, dir) => {
+      // Shuffle-spill merge-on-read gate: with the broadcast bound forced
+      // to 1 byte every delta set exceeds it, so the V2 overlay must serve
+      // this delta-carrying table through the per-route sort-merge SPILL
+      // path — never refuse, never force a compaction — the 100 TB posture
+      // for reads under sustained mutation (the reference applies deltas
+      // at any size, tablet/delta_applier.h:52). Scripted upserts + deletes,
+      // read back through SQL, hash-checked against the oracle. The result
+      // is materialized eagerly (localCheckpoint) because the bound is
+      // consulted at scan-planning time and the conf is restored on exit.
+      val raw = Tables.raw(s, dir, "customer")
+      val loc = tmpLoc("graft-q40-")
+      val t = GraftTable.create(s, loc, "customer_q40", raw.schema,
+        Seq("c_custkey"), Seq(HashComponent(Seq("c_custkey"), 4)),
+        data = Some(raw))
+      t.upsert(raw.filter(col("c_nationkey") === 5)
+        .withColumn("c_acctbal", col("c_acctbal") + 25))
+      t.deleteWhere(col("c_custkey") % 97 === 0)
+      if (t.meta.deltaFiles.isEmpty)
+        throw new IllegalStateException("the spill gate needs a live delta set")
+      val f = new java.io.File(loc)
+      s.conf.set("spark.sql.catalog.gq40",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq40.warehouse", f.getParent)
+      s.conf.set("graft.mor.broadcastBytes", "1")
+      try s.sql(s"SELECT * FROM gq40.`${f.getName}` ORDER BY c_custkey")
+        .localCheckpoint(true)
+      finally s.conf.unset("graft.mor.broadcastBytes")
+    }),
+
     "q27_approx_distinct" -> ((s, dir) => {
       // HLL sketch vs exact: emit the exact count (hash-matched against the
       // oracle) plus a boolean asserting the sketch landed within 2%.
@@ -869,5 +899,9 @@ object Queries {
         "CASE WHEN n_nationkey = 1 THEN n_name || '_tx' ELSE n_name END AS n_name, " +
         "n_regionkey FROM nation WHERE n_nationkey <> 3 " +
         "UNION ALL SELECT CAST(90 AS INTEGER), 'ATLANTIS', CAST(0 AS INTEGER) " +
-        "ORDER BY n_nationkey"))
+        "ORDER BY n_nationkey"),
+    "q40_mor_spill" ->
+      ("SELECT c_custkey, c_name, c_nationkey, " +
+        "CASE WHEN c_nationkey = 5 THEN c_acctbal + 25 ELSE c_acctbal END AS c_acctbal, " +
+        "c_mktsegment FROM customer WHERE c_custkey % 97 <> 0 ORDER BY c_custkey"))
 }

@@ -101,33 +101,43 @@ class GraftTxn private[table] (t: GraftTable, m: TableMeta) {
  * does not retry).
  */
 object GraftTxnRegistry {
-  /** Stale-handle guard: an abandoned `txn_begin` leaks a map entry, so
-    * cap the registry instead of letting a buggy client grow it forever. */
+  /** Stale-handle guards: an abandoned `txn_begin` leaks a map entry, so
+    * handles expire after `graft.txn.timeoutMs` (swept lazily on the next
+    * begin; an expired handle just staged lazy frames, nothing on disk),
+    * and the registry is capped so a buggy client can't grow it forever. */
   private val MaxOpen = 128
+  private val DefaultTimeoutMs = 10L * 60 * 1000
+  private case class Handle(t: GraftTable, txn: GraftTxn, beganAtMs: Long)
   private val open =
-    new java.util.concurrent.ConcurrentHashMap[String, (GraftTable, GraftTxn)]()
+    new java.util.concurrent.ConcurrentHashMap[String, Handle]()
 
   def begin(t: GraftTable): String = {
+    val timeoutMs = t.spark.conf.getOption("graft.txn.timeoutMs")
+      .map(_.toLong).getOrElse(DefaultTimeoutMs)
+    if (timeoutMs > 0) {
+      val cutoff = System.currentTimeMillis() - timeoutMs
+      open.forEach((id, h) => if (h.beganAtMs < cutoff) open.remove(id))
+    }
     require(open.size < MaxOpen,
       s"too many open transactions (max $MaxOpen): commit or abort stale handles")
     val id = java.util.UUID.randomUUID().toString.take(12)
-    open.put(id, (t, new GraftTxn(t, t.meta)))
+    open.put(id, Handle(t, new GraftTxn(t, t.meta), System.currentTimeMillis()))
     id
   }
 
-  private def handle(id: String): (GraftTable, GraftTxn) =
+  private def handle(id: String): Handle =
     Option(open.get(id)).getOrElse(throw new NoSuchElementException(
-      s"no open transaction '$id' (committed, aborted, or never begun)"))
+      s"no open transaction '$id' (committed, aborted, expired, or never begun)"))
 
-  def stage(id: String)(op: GraftTxn => Unit): Unit = op(handle(id)._2)
+  def stage(id: String)(op: GraftTxn => Unit): Unit = op(handle(id).txn)
 
   /** Commits and returns the new table version. The handle is consumed
     * first: even a failed commit must not be retryable on a stale view. */
   def commit(id: String): Long = {
-    val (t, txn) = handle(id)
+    val h = handle(id)
     open.remove(id)
-    txn.commit()
-    t.currentVersion
+    h.txn.commit()
+    h.t.currentVersion
   }
 
   def abort(id: String): Boolean = open.remove(id) != null

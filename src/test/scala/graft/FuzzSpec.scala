@@ -140,7 +140,7 @@ class FuzzSpec extends AnyFunSuite {
     for (_ <- 0 until nOps) {
       val k = rnd.nextInt(Keyspace)
       val v = rnd.nextInt(1000)
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
         case 0 =>
           spark.sql(s"INSERT INTO $tbl VALUES ($k, $v)")
           model(k) = v
@@ -165,6 +165,20 @@ class FuzzSpec extends AnyFunSuite {
                |""".stripMargin)
           model(k) = v
           model.remove(k2)
+        case 5 => // CALL txn_*: upsert(k) + strict delete(k2) as ONE version;
+          // when k2 is missing the whole transaction must abort (the staged
+          // upsert publishes nothing)
+          val k2 = (k + 1 + rnd.nextInt(Keyspace - 1)) % Keyspace // k2 != k
+          val id = spark.sql(s"CALL $cat.system.txn_begin('$whName')")
+            .collect().head.getString(0)
+          spark.sql(s"""CALL $cat.system.txn_upsert('$id', "SELECT $k AS k, $v AS v")""").collect()
+          spark.sql(s"""CALL $cat.system.txn_delete('$id', "SELECT $k2 AS k")""").collect()
+          if (model.contains(k2)) {
+            spark.sql(s"CALL $cat.system.txn_commit('$id')").collect()
+            model(k) = v; model.remove(k2)
+          } else intercept[Exception] {
+            spark.sql(s"CALL $cat.system.txn_commit('$id')").collect()
+          }
       }
     }
     def stateOf(df: org.apache.spark.sql.DataFrame): Map[Int, Int] =

@@ -173,6 +173,34 @@ class ProceduresSpec extends AnyFunSuite {
     assert(t.currentVersion == v0)
   }
 
+  test("abandoned txn handles expire: a later begin sweeps them") {
+    val t = mkTable("tx4")
+    val v0 = t.currentVersion
+    spark.conf.set("graft.txn.timeoutMs", "1")
+    try {
+      val id = spark.sql(s"CALL $cat.system.txn_begin('tx4')")
+        .collect().head.getString(0)
+      spark.sql(
+        s"""CALL $cat.system.txn_upsert('$id', "SELECT 7 AS k, 'stale' AS v")""")
+        .collect()
+      Thread.sleep(10)
+      // the next begin sweeps anything past the timeout
+      val id2 = spark.sql(s"CALL $cat.system.txn_begin('tx4')")
+        .collect().head.getString(0)
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.txn_commit('$id')").collect()
+      }
+      val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain.contains("no open transaction"), chain)
+      assert(spark.sql(s"CALL $cat.system.txn_abort('$id2')")
+        .collect().head.getBoolean(0))
+      // the expired txn's staged op never landed
+      assert(t.currentVersion == v0)
+      assert(t.scan().filter("v = 'stale'").count() == 0)
+    } finally spark.conf.unset("graft.txn.timeoutMs")
+  }
+
   test("unknown procedure errors with the available list") {
     mkTable("m4")
     val e = intercept[Exception] { spark.sql(s"CALL $cat.system.nope('m4')") }
