@@ -68,6 +68,6 @@ object SkewJoin {
     val cols = left.columns.map(col) ++
       (if (rowIndexTiebreaker) Seq(monotonically_increasing_id()) else Nil)
     saltOn.map(c => pmod(hash(c), lit(salts)))
-      .getOrElse(pmod(hash(cols: _*), lit(salts)))
+      .getOrElse(pmod(hash(cols.toIndexedSeq: _*), lit(salts)))
   }
 }

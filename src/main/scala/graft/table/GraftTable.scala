@@ -539,7 +539,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       if (missing.limit(1).count() > 0)
         throw new PrimaryKeyException(s"UPDATE key not found in ${m.name}")
     }
-    val u = updates.select(updates.columns.map(c =>
+    val u = updates.select(updates.columns.toIndexedSeq.map(c =>
       if (keys.contains(c)) col(c) else col(c).as(s"_set_$c")): _*)
     val merged = existing.join(u, keys, "inner").select(
       m.columns.map { c =>
