@@ -31,16 +31,20 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // A failed run must NEVER record its elapsed time — a crash is fast, and
+    // a fast failure masquerading as a timing poisons cross-round comparison
+    // (BENCH_r08 reported two crashed streaming queries as 58x wins). -1 is
+    // the unambiguous poison value the driver can see.
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
-      (System.nanoTime() - t0) / 1e9
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
     }
     def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double, Double, Double) = {
       def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.size / 2) }
       var times = (1 to iters).map(_ => runOnce(name, fn))
+      if (times.exists(_ < 0)) return (name, -1.0, -1.0, -1.0)
       // Short queries have a noise floor of several x at k=3 (JIT, GC, AQE
       // re-plans swamp the signal — r05->r06 saw 3-5x median swings on
       // identical binaries). Escalate those to k>=7 and drop the first
@@ -50,6 +54,7 @@ object Bench {
       // k=3 and k=7 across rounds.
       if (median(times) < 1.5 && iters < 7)
         times = (times ++ (times.size to 7).map(_ => runOnce(name, fn))).drop(1)
+      if (times.exists(_ < 0)) return (name, -1.0, -1.0, -1.0)
       val med = median(times)
       // At the measurement floor (tens of ms) even k=7 medians swing several
       // x when a neighboring query's GC debt lands on this one's runs; the
@@ -72,12 +77,21 @@ object Bench {
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // med AND min per query, so cross-round comparisons never depend on
-    // which statistic "queries" recorded (sub-0.3s entries record min)
+    // which statistic "queries" recorded (sub-0.3s entries record min).
+    // Kept OFF stdout: the driver tail-captures a single line, and the
+    // stats map doubled it past the capture window in round 8 (BENCH_r08
+    // parsed: null). stderr carries it for human cross-round analysis.
     val stats = results.map { case (k, _, med, min) =>
       s"\"" + k + s"\":{\"med\":$med,\"min\":$min}"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"sf":"$sfDir"}""")
+    System.err.println(s"""[bench] stats $stats""")
+    // Failed queries carry -1 in the map and are excluded from the total so
+    // a crash can never shrink the headline number.
+    val errs = results.filter(_._2 < 0).map(_._1)
+    if (errs.nonEmpty)
+      System.err.println(s"[bench] ERRORS: ${errs.mkString(",")}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     Pipeline.releaseCaches() // no cached RDDs may outlive the run
     spark.stop()
   }

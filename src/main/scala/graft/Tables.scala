@@ -5,6 +5,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 import graft.catalog.{HashComponent, RangeComponent}
 import graft.table.GraftTable
@@ -53,9 +54,35 @@ object Tables {
     s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-cache-v$CacheFormatVersion/$tag"
   }
 
+  /** Fingerprint of the source parquet (size + mtime per file) recorded at
+    * registration time. The driver regenerates testdata in place between
+    * rounds; without this, a cached fixture keyed on path alone would
+    * silently serve stale rows against a fresh oracle. */
+  private[graft] def sourceFingerprint(sfDir: String, table: String): String = {
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(s"$sfDir/$table.parquet")
+    if (!Files.exists(p)) "absent"
+    else if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq.sortBy(_.toString)
+        .map(f => s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+        .mkString(";")
+      finally s.close()
+    } else s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+  }
+
+  private def fingerprintPath(loc: String) = Paths.get(loc, "source.fp")
+
+  /** Test hook: drop the in-JVM handle so the next readonly() re-runs the
+    * on-disk load + staleness check (simulates a fresh JVM). */
+  private[graft] def evictCached(sfDir: String, table: String): Unit =
+    cache.remove((sfDir, table))
+
   /** Shared read-only engine table for scan queries — registered once per
     * JVM per (sfDir, table); the on-disk registration survives across JVMs.
-    * Any load failure (corrupt/stale cache) falls back to re-registration. */
+    * Any load failure (corrupt/stale cache) or source-fingerprint mismatch
+    * (regenerated testdata, or a pre-guard cache with no fingerprint) falls
+    * back to re-registration. */
   def readonly(spark: SparkSession, sfDir: String, table: String): GraftTable =
     cache.getOrElseUpdate((sfDir, table), {
       val loc = s"${cacheRoot(sfDir)}/$table"
@@ -65,7 +92,10 @@ object Tables {
             try {
               val t = GraftTable.load(spark, loc)
               t.meta // force a parse; throws on stale format
-              Some(t)
+              val fp = fingerprintPath(loc)
+              if (Files.exists(fp) &&
+                  Files.readString(fp) == sourceFingerprint(sfDir, table)) Some(t)
+              else { GraftTable.drop(loc); None } // stale vs source → rebuild
             } catch {
               case _: Exception => GraftTable.drop(loc); None
             }
@@ -96,19 +126,31 @@ object Tables {
     // Zero-copy registration remains the API for external parquet handoffs
     // (GraftTable.register; events additionally needs its TIMESTAMP(NANOS)
     // column converted, which raw() does).
-    GraftTable.create(spark, loc, table, raw(spark, sfDir, table).schema,
+    val t = GraftTable.create(spark, loc, table, raw(spark, sfDir, table).schema,
       spec.keys, spec.hash, spec.range, data = Some(raw(spark, sfDir, table)),
       nonUniqueKey = spec.nonUnique)
+    Files.writeString(fingerprintPath(loc), sourceFingerprint(sfDir, table))
+    t
   }
 
-  /** Raw parquet read (what the DuckDB oracle sees). The events table's
-    * nanosecond timestamps are converted to Spark's microsecond TimestampType
-    * with integer division (matching DuckDB's ns→µs truncation). */
+  /** Raw parquet read (what the DuckDB oracle sees). The engine ingests
+    * foreign parquet it does not control, so the events table's `ts` column
+    * adapts to whatever physical type the file actually carries rather than
+    * assuming one: TIMESTAMP(NANOS) loads as LongType (under the legacy
+    * conf) and is truncated ns→µs matching DuckDB; a plain µs TIMESTAMP —
+    * with or without UTC adjustment — casts directly (the session timezone
+    * is UTC, so NTZ→TZ preserves the stored micros). */
   def raw(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     if (table == "events") {
+      // Lets TIMESTAMP(NANOS) files load (as LongType) instead of throwing;
+      // has no effect on µs-typed files.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$table.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$sfDir/$table.parquet")
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampType => df
+        case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+      }
     } else spark.read.parquet(s"$sfDir/$table.parquet")
   }
 

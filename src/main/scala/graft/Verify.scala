@@ -15,11 +15,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must surface as a RED row in the driver's CORRECTNESS,
+    // never as a silently-missing key (round 8 shrank 56→53 entries with no
+    // visible error). Two markers: a present-but-unreadable result dir whose
+    // only file is _ERROR (the driver's parquet read of it fails loudly),
+    // plus an errors.json sidecar naming every failure.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failures(name) = msg
+        val d = Paths.get(s"$outDir/$name")
+        if (Files.exists(d))
+          Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        Files.createDirectories(d)
+        Files.writeString(d.resolve("_ERROR"), s"$name: $msg")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +51,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ERRORS: ${failures.keys.mkString(",")}")
     Pipeline.releaseCaches() // no cached RDDs may outlive the run
     spark.stop()
   }
