@@ -522,20 +522,37 @@ object Queries {
       // delegated to Spark's deterministic file splits + task retry — a
       // re-executed task re-reads the same sorted base slice, the scanner
       // resume analog of the reference's ordered fault-tolerant scan.
-      // Ranks are DISTRIBUTED: the range-partitioned sort already orders
-      // rows across partitions, so the global rank is each row's
-      // per-partition index plus a driver-side prefix-sum of partition
-      // counts (zipWithIndex) — the Spark analog of the reference's k-way
-      // tablet merge (generic_iterators.cc:109). A no-partition
-      // Window.orderBy would instead funnel EVERY row through one task —
-      // the one plan that cannot scale.
+      // Ranks are DISTRIBUTED and the whole plan stays in Tungsten (no RDD
+      // round-trip, no single-partition WindowExec): the key domain is cut
+      // into fixed-width buckets (a pure function of the key — immune to
+      // partitioning/AQE drift across jobs), a cheap partial-agg pass
+      // counts rows per bucket, the driver prefix-sums those counts
+      // (#buckets rows), and the global rank is the broadcast bucket offset
+      // plus a per-bucket row_number — the Spark analog of the reference's
+      // k-way tablet merge (generic_iterators.cc:109), where each "tablet"
+      // is a key bucket and the offsets are the merge positions.
+      import org.apache.spark.sql.expressions.Window
       val t = Tables.readonly(s, dir, "supplier")
-      val sorted = t.scan().orderBy("s_suppkey")
-      val schema = sorted.schema.add("rn",
-        org.apache.spark.sql.types.IntegerType, nullable = false)
-      val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt) }
-      s.createDataFrame(ranked, schema)
+      val base = t.scan()
+      val Array(lo, hi, n) = base.agg(
+        min("s_suppkey"), max("s_suppkey"), count(lit(1)))
+        .collect()(0).toSeq.toArray.map(v => v.asInstanceOf[Long])
+      val buckets = math.min(64L, math.max(1L, n / 1000 + 1))
+      val width = math.max(1L, (hi - lo) / buckets + 1)
+      val bucketed = base.withColumn("_bk",
+        expr(s"(s_suppkey - $lo) div $width"))
+      val counts = bucketed.groupBy("_bk").agg(count(lit(1)).as("_cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val offsets = counts.scanLeft((-1L, 0L, 0L)) {
+        case ((_, acc, c0), (bk, c)) => (bk, acc + c0, c)
+      }.drop(1).map { case (bk, off, _) => (bk, off) }
+      import s.implicits._
+      val offDf = offsets.toSeq.toDF("_bk", "_off")
+      bucketed.join(broadcast(offDf), "_bk")
+        .withColumn("rn", (col("_off") + row_number().over(
+          Window.partitionBy(col("_bk")).orderBy(col("s_suppkey")))).cast("int"))
+        .drop("_bk", "_off")
+        .orderBy("s_suppkey")
     }),
 
     "q34_columnar_agg" -> ((s, dir) => {

@@ -136,6 +136,13 @@ case class RangeDrop(key: String, version: Long,
  *          hybrid-time mutation stamp, tablet/mvcc.h:45-111 — later seq wins)
  *  - colIds: ids of the table columns present in the file, in file order
  *  - bucket / rangeKey: partition coordinates if written partitioned
+ *  - keyLo / keyHi: ORDER-PRESERVING-ENCODED min/max of the first key
+ *          column (parquet footer statistics, recorded for coordinate-less
+ *          base files at registration/write) — the rowset key-bounds analog
+ *          of the reference (tablet/diskrowset.h min/max encoded keys),
+ *          which lets merge-on-read route deltas to the base files whose
+ *          key interval can contain them. Absent (older metadata, missing
+ *          footer stats, unsupported key type) → the file can hold any key.
  */
 case class DataFileMeta(
     path: String,
@@ -144,7 +151,9 @@ case class DataFileMeta(
     rows: Long,
     colIds: Seq[Int],
     bucket: Option[Int] = None,
-    rangeKey: Option[String] = None)
+    rangeKey: Option[String] = None,
+    keyLo: Option[String] = None,
+    keyHi: Option[String] = None)
 
 /**
  * Full table state at one version. Each commit writes a complete new

@@ -17,11 +17,15 @@ import graft.catalog.{DataFileMeta, HashComponent, TableMeta}
  */
 object PartitionPruner {
 
-  /** Files surviving the filters (files without partition coordinates — e.g.
-    * zero-copy registered bases — are always kept). A file in a range with
-    * a custom hash schema (per-range bucket-count override) is judged
-    * against the candidate set computed with ITS modulus — bucket ids are
-    * only comparable within one range's schema. */
+  /** Files surviving the filters. Coordinate-carrying files prune by hash
+    * bucket / range partition; coordinate-less files (zero-copy registered
+    * bases, unpartitioned layouts) prune by their recorded first-key
+    * interval when predicates constrain the first PK column — the rowset
+    * key-bounds pruning of the reference (tablet/rowset_tree.cc interval
+    * tree over encoded rowset bounds); files with neither are always kept.
+    * A file in a range with a custom hash schema (per-range bucket-count
+    * override) is judged against the candidate set computed with ITS
+    * modulus — bucket ids are only comparable within one range's schema. */
   def pruneFiles(m: TableMeta, files: Seq[DataFileMeta], filters: Seq[Filter]): Seq[DataFileMeta] = {
     val defaultBuckets = candidateBuckets(m, filters)
     val overrides = m.rangeHashBucketsMap
@@ -44,7 +48,36 @@ object PartitionPruner {
           else loYear.forall(rk >= _) && hiYear.forall(rk <= _)
         case _ => true
       }
-      bucketOk && rangeOk
+      bucketOk && rangeOk && keyIntervalOk(m, f, filters)
+    }
+  }
+
+  /** First-key interval pruning for coordinate-less files: drop the file
+    * when a predicate on the FIRST primary-key column cannot intersect its
+    * recorded [keyLo, keyHi]. Bounds are order-preserving-encoded strings
+    * (GraftTable.encodeKeyLong / encodeKeyValue), so every comparison is a
+    * plain string compare. Conservative: unsupported predicate shapes,
+    * un-encodable values, or absent bounds keep the file. */
+  private def keyIntervalOk(m: TableMeta, f: DataFileMeta, filters: Seq[Filter]): Boolean = {
+    if (f.bucket.isDefined || f.rangeKey.isDefined) return true
+    (f.keyLo, f.keyHi) match {
+      case (Some(lo), Some(hi)) =>
+        val kc = m.keyCols.headOption.getOrElse(return true)
+        val dt = m.column(kc).dataType
+        def enc(v: Any): Option[String] =
+          graft.table.GraftTable.encodeKeyValue(dt, v)
+        filters.forall {
+          case EqualTo(c, v) if c == kc => enc(v).forall(e => lo <= e && e <= hi)
+          case In(c, vs) if c == kc =>
+            val es = vs.toSeq.map(enc)
+            es.exists(_.isEmpty) || es.flatten.exists(e => lo <= e && e <= hi)
+          case GreaterThan(c, v) if c == kc => enc(v).forall(_ < hi)
+          case GreaterThanOrEqual(c, v) if c == kc => enc(v).forall(_ <= hi)
+          case LessThan(c, v) if c == kc => enc(v).forall(lo < _)
+          case LessThanOrEqual(c, v) if c == kc => enc(v).forall(lo <= _)
+          case _ => true
+        }
+      case _ => true
     }
   }
 

@@ -482,8 +482,8 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
       s"graft V2 reads need a compacted base or an overlay-able delta set; " +
         s"${meta.name} has ${meta.deltaFiles.size} pending delta files and " +
         "(pending range drops, or a past-broadcast-bound delta set over " +
-        "coordinate-less base files, where per-route spilling is unsound) — " +
-        "compact() first " +
+        "base files with neither partition coordinates nor recorded key " +
+        "bounds, where per-route spilling is unsound) — compact() first " +
         "or read through the DSv1 'graft' format (merge-on-read)")
     // The V2 parquet factory reads files by LOGICAL column name; a renamed
     // or type-widened column lives in files under its physical name/type,
@@ -766,12 +766,18 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     // route: some split must emit those rows, and every filter is
     // re-evaluated above this scan, so rows of a pruned-away route still
     // drop correctly.
-    val owned: Set[String] = keyGrouped match {
-      case Some(_) => (0 until GraftTable.totalBuckets(m)).map(_.toString).toSet
-      case None =>
-        GraftV2Scan.routeGroups(m, graft.sources.PartitionPruner.pruneFiles(
-          m, m.baseFiles, filters.toSeq ++ runtimeFilters)).map(_._1).toSet
-    }
+    val prunedFiles = graft.sources.PartitionPruner.pruneFiles(
+      m, m.baseFiles, filters.toSeq ++ runtimeFilters)
+    // A reported key grouping cannot place coordinate-less files into key
+    // groups — planInputPartitions served the whole fileset as ONE unkeyed
+    // split, which therefore owns every delta row.
+    val kgBare = keyGrouped.isDefined && prunedFiles.exists(_.bucket.isEmpty)
+    val owned: Set[String] =
+      if (kgBare) Set(GraftV2Scan.OrphanRoute)
+      else keyGrouped match {
+        case Some(_) => (0 until GraftTable.totalBuckets(m)).map(_.toString).toSet
+        case None => GraftV2Scan.routeGroups(m, prunedFiles).map(_._1).toSet
+      }
     val fallback = owned.toSeq.sorted.headOption.getOrElse(GraftV2Scan.OrphanRoute)
     val tbl = GraftTable.load(spark, m.location)
     val inner = org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
@@ -805,18 +811,55 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
       // shuffled BY ROUTE into per-route parquet spills; each split's
       // reader then loads only its own tablet's delta slice — the memory
       // posture of the reference's per-tablet DeltaApplier
-      // (tablet/delta_applier.h:52 applies deltas at any size). Sound
-      // because a base row and any delta for its key compute the SAME
-      // route (both derive from the writer's partition expressions), which
-      // is exactly what spillRoutable() guards: every base file must carry
-      // a route coordinate. Reads pay one delta-shuffle job per query —
-      // the degraded-but-correct mode; compaction remains the cure.
+      // (tablet/delta_applier.h:52 applies deltas at any size). Sound for
+      // coordinate-carrying files because a base row and any delta for its
+      // key compute the SAME route (both derive from the writer's
+      // partition expressions); sound for coordinate-less files because
+      // each carries its first-key interval (DataFileMeta.keyLo/keyHi —
+      // the reference's rowset key bounds, tablet/diskrowset.h) and a
+      // delta row is DUPLICATED into every bare file whose interval can
+      // contain its key: the tombstone applies in each candidate, the
+      // upsert row is emitted by exactly one owner split (duplicates get
+      // op=DELETE, i.e. dead-set-only). spillRoutable() guards that every
+      // base file has one of the two. Reads pay one delta-shuffle job per
+      // query — the degraded-but-correct mode; compaction remains the cure.
       val ownedSeq =
         if (owned.isEmpty) Seq(fallback) else owned.toSeq.sorted
       val routeId = ownedSeq.zipWithIndex.toMap
       val fallbackId = routeId.getOrElse(fallback, 0)
       val toId = org.apache.spark.sql.functions.udf(
         (r: String) => routeId.getOrElse(r, fallbackId))
+      // (route, encodedLo, encodedHi) per planned coordinate-less file —
+      // bounds are order-preserving-encoded strings, so containment is a
+      // plain string compare matching the delta-side encodeKeyExpr
+      val bareIv: Array[(String, String, String)] =
+        if (kgBare) Array.empty
+        else GraftV2Scan.routeGroups(m, prunedFiles).iterator.collect {
+          case (r, fs) if r.startsWith("f:") && fs.nonEmpty &&
+              fs.head.keyLo.isDefined && fs.head.keyHi.isDefined =>
+            (r, fs.head.keyLo.get, fs.head.keyHi.get)
+        }.toArray
+      val keyEncCol =
+        if (bareIv.isEmpty) lit("")
+        else GraftTable.encodeKeyExpr(
+          m.column(m.keyCols.head).dataType, col(m.keyCols.head))
+          .getOrElse(throw new IllegalStateException(
+            s"spill overlay planned bare-file intervals but the first key " +
+              s"column of ${m.name} is not bound-encodable (guard drift)"))
+      val ownedB = owned
+      val fbB = fallback
+      val opDel = GraftTable.OpDelete
+      val ivB = bareIv
+      val cand = org.apache.spark.sql.functions.udf(
+        (layoutRoute: String, keyE: String, op: String) => {
+          val coord = if (ownedB.contains(layoutRoute)) layoutRoute :: Nil else Nil
+          val bare = ivB.iterator
+            .filter(iv => iv._2 <= keyE && keyE <= iv._3).map(_._1).toList
+          val all = coord ++ bare
+          val owner = all.headOption.getOrElse(fbB)
+          val rs = if (all.isEmpty) List(fbB) else all
+          rs.map(r => (r, if (op != opDel && r == owner) op else opDel))
+        })
       val spillSchema = StructType(internalFields :+
         org.apache.spark.sql.types.StructField(GraftTable.OpCol,
           org.apache.spark.sql.types.StringType, nullable = false))
@@ -826,7 +869,14 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         s"_morspill_v${m.version}_${java.util.UUID.randomUUID().toString.take(8)}")
       tbl.latestDeltas(m, m.deltaFiles)
         .select(internalSchema.fieldNames.toSeq.map(col) ++
-          Seq(col(GraftTable.OpCol), toId(routeCol).as(GraftV2Scan.SpillRouteCol)): _*)
+          Seq(col(GraftTable.OpCol), routeCol.as("_graft_layout_route"),
+            keyEncCol.as("_graft_key_enc")): _*)
+        .withColumn("_graft_cand", org.apache.spark.sql.functions.explode(
+          cand(col("_graft_layout_route"), col("_graft_key_enc"),
+            col(GraftTable.OpCol))))
+        .select(internalSchema.fieldNames.toSeq.map(col) ++
+          Seq(col("_graft_cand._2").as(GraftTable.OpCol),
+            toId(col("_graft_cand._1")).as(GraftV2Scan.SpillRouteCol)): _*)
         .repartition(col(GraftV2Scan.SpillRouteCol))
         .write.partitionBy(GraftV2Scan.SpillRouteCol)
         .mode("overwrite").parquet(spillDir.toString)
@@ -846,7 +896,10 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
       val deltaFactory = org.apache.spark.sql.GraftSqlBridge
         .parquetReaderFactory(spark, spillSchema, spillSchema, Array.empty)
       new SpillMorOverlayReaderFactory(inner, deltaFactory, types, keyIdx,
-        outIdx, identity, internalFields.length, routeParts)
+        outIdx, identity, internalFields.length, routeParts,
+        // key grouping + coordinate-less files: the single unkeyed split
+        // reads the one slice every delta row was routed to
+        defaultRoute = if (kgBare) Some(GraftV2Scan.OrphanRoute) else None)
     }
   }
 }
@@ -907,19 +960,30 @@ object GraftV2Scan {
   val SpillRouteCol = "_graft_spill_route"
 
   /** Whether the PER-ROUTE decomposition of the merge-on-read overlay is
-    * sound: a tombstoned key's base row must be guaranteed to sit in the
-    * split that loads that key's delta slice, i.e. every base file must
-    * carry the partition coordinate its route derives from. Coordinate-
-    * less files (zero-copy registered bases, fully unpartitioned layouts)
-    * can hold ANY key, so only a global (broadcast) dead set can serve
-    * them. */
-  def spillRoutable(meta: TableMeta): Boolean =
-    meta.rangeDrops.isEmpty && (keyGroupedComponents(meta) match {
-      case Some(_) => meta.baseFiles.forall(_.bucket.isDefined)
+    * sound: a tombstoned key's base row must be guaranteed to sit in a
+    * split that loads that key's delta slice. Coordinate-carrying files
+    * route by partition coordinate (bucket / rangeKey); coordinate-less
+    * files (zero-copy registered bases, unpartitioned layouts) route by
+    * their recorded first-key interval (DataFileMeta.keyLo/keyHi — the
+    * reference's rowset key bounds, tablet/diskrowset.h): a delta row is
+    * duplicated into every bare file whose interval can contain its key
+    * (tombstone everywhere, upsert emitted by exactly one owner). Only
+    * files with NEITHER coordinates NOR bounds (older metadata, absent
+    * footer stats, non-encodable key type) still force the broadcast /
+    * compact-first posture. */
+  def spillRoutable(meta: TableMeta): Boolean = {
+    val (coord, bare) = meta.baseFiles.partition(
+      f => f.bucket.isDefined || f.rangeKey.isDefined)
+    val bareOk = bare.isEmpty ||
+      (bare.forall(f => f.keyLo.isDefined && f.keyHi.isDefined) &&
+        meta.keyCols.headOption.exists(k =>
+          GraftTable.keyBoundEncodable(meta.column(k).dataType)))
+    meta.rangeDrops.isEmpty && bareOk && (keyGroupedComponents(meta) match {
+      case Some(_) => coord.forall(_.bucket.isDefined)
       case None =>
-        (meta.hash.nonEmpty || meta.range.isDefined) &&
-          meta.baseFiles.forall(f => f.bucket.isDefined || f.rangeKey.isDefined)
+        meta.hash.nonEmpty || meta.range.isDefined || coord.isEmpty
     })
+  }
 
   /** Best-effort sweep of spill dirs older than an hour — residue of
     * crashed readers (live queries re-read their spill well within it). */
@@ -948,8 +1012,9 @@ object GraftV2Scan {
     * split owns fold into the fallback split) — with no pending
     * range-drop masks. Below the broadcast bound the delta state is
     * broadcast; past it, [[spillRoutable]] layouts shuffle deltas into
-    * per-route spills (any delta size), and only coordinate-less layouts
-    * still require compaction first. */
+    * per-route spills (any delta size) — coordinate-less files route by
+    * their recorded key intervals — and only files with neither
+    * coordinates nor bounds still require compaction first. */
   def morOverlayable(meta: TableMeta): Boolean =
     meta.rangeDrops.isEmpty &&
       (GraftTable.deltaBytes(meta.deltaFiles) < GraftTable.broadcastDeltaBytes ||

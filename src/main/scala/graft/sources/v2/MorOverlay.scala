@@ -79,14 +79,18 @@ class SpillMorOverlayReaderFactory(
     outIdx: Array[Int],
     identity: Boolean,
     opIdx: Int,
-    routeParts: Map[String, InputPartition]) extends PartitionReaderFactory {
+    routeParts: Map[String, InputPartition],
+    // Set when the planner served a key-grouped layout with coordinate-less
+    // files as ONE unkeyed split: that split reads this (single) route's
+    // slice, which carries every delta row.
+    defaultRoute: Option[String] = None) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val route = p match {
       case k: org.apache.spark.sql.GraftKeyedFilePartition => k.compositeBucket.toString
       case r: org.apache.spark.sql.GraftRoutedFilePartition => r.route
-      case _ => throw new IllegalStateException(
-        "spill overlay requires route-carrying splits (spillRoutable guard)")
+      case _ => defaultRoute.getOrElse(throw new IllegalStateException(
+        "spill overlay requires route-carrying splits (spillRoutable guard)"))
     }
     val owns = p match {
       case r: org.apache.spark.sql.GraftRoutedFilePartition => r.ownsDeltas

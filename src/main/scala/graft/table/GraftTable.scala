@@ -1455,10 +1455,19 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     }
     val writer = effectiveCodec(m).fold(withEnc)(cc => withEnc.option("compression", cc))
     writer.mode("overwrite").parquet(dir)
+    // Coordinate-less layouts (no hash, no range): record first-key footer
+    // bounds so merge-on-read can interval-route deltas to these files
+    // (DataFileMeta.keyLo/keyHi) — partitioned layouts route by coordinate.
+    val firstKey = m.keyCols.headOption.map(m.column)
     listParquet(dir).map { p =>
+      val (lo, hi) =
+        if (partCols.nonEmpty) (None, None)
+        else firstKey.map(c => GraftTable.parquetKeyBounds(p, c.physName, c.dataType))
+          .getOrElse((None, None))
       DataFileMeta(p, "base", v, GraftTable.parquetRows(p), m.columns.map(_.id),
         bucket = partFromPath(p, BucketCol).map(_.toInt),
-        rangeKey = partFromPath(p, RangeCol))
+        rangeKey = partFromPath(p, RangeCol),
+        keyLo = lo, keyHi = hi)
     }
   }
 }
@@ -1672,6 +1681,129 @@ object GraftTable {
       try r.getRecordCount finally r.close()
     } catch { case _: Exception => -1L }
 
+  /** Key types the order-preserving bound encoding supports (the types the
+    * interval-routed merge-on-read overlay can serve for coordinate-less
+    * base files). */
+  def keyBoundEncodable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType | StringType => true
+      case _ => false
+    }
+  }
+
+  /** Order-preserving string encoding of an integral key value: XOR the
+    * sign bit, render as fixed-width unsigned hex — lexicographic order of
+    * the encodings equals numeric order of the values, so interval
+    * containment checks are plain string compares with no per-type
+    * comparators on either side. */
+  def encodeKeyLong(v: Long): String = f"${v ^ Long.MinValue}%016X"
+
+  /** The SAME encoding as a Catalyst expression over a key column — used on
+    * the delta frame at spill time; MUST stay in lockstep with
+    * [[encodeKeyLong]] / [[parquetKeyBounds]] (Spark's hex() is uppercase,
+    * matching %016X). Strings encode as themselves (footer stats order for
+    * binary is unsigned-byte lexicographic — equal to Java ordering for the
+    * ASCII keys fixtures use; non-ASCII string PKs fall outside
+    * [[keyBoundEncodable]]'s guarantees only at supplementary code points). */
+  def encodeKeyExpr(dt: org.apache.spark.sql.types.DataType,
+      c: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    def enc(l: org.apache.spark.sql.Column) =
+      lpad(hex(l.bitwiseXOR(lit(Long.MinValue))), 16, "0")
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(enc(c.cast(LongType)))
+      case DateType => Some(enc(datediff(c, to_date(lit("1970-01-01"))).cast(LongType)))
+      case TimestampType => Some(enc(unix_micros(c)))
+      case TimestampNTZType => Some(enc(unix_micros(c.cast(TimestampType))))
+      case StringType => Some(c)
+      case _ => None
+    }
+  }
+
+  /** The bound encoding for a DRIVER-SIDE literal (a pushed filter's value)
+    * — same order-preserving form as [[encodeKeyLong]]/[[encodeKeyExpr]],
+    * so a predicate can be tested against DataFileMeta.keyLo/keyHi with
+    * plain string compares. None for unsupported types/values (callers
+    * must then keep the file). */
+  def encodeKeyValue(dt: org.apache.spark.sql.types.DataType, v: Any): Option[String] = {
+    import org.apache.spark.sql.types._
+    (dt, v) match {
+      case (_, null) => None
+      case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+        Some(encodeKeyLong(n.longValue()))
+      case (DateType, d: java.sql.Date) => Some(encodeKeyLong(d.toLocalDate.toEpochDay))
+      case (DateType, d: java.time.LocalDate) => Some(encodeKeyLong(d.toEpochDay))
+      case (TimestampType | TimestampNTZType, t: java.sql.Timestamp) =>
+        Some(encodeKeyLong(Math.addExact(
+          Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L),
+          t.getNanos / 1000L)))
+      case (TimestampType | TimestampNTZType, i: java.time.Instant) =>
+        Some(encodeKeyLong(Math.addExact(
+          Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)))
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        Some(encodeKeyLong(Math.addExact(Math.multiplyExact(
+          t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L), t.getNano / 1000L)))
+      case (StringType, s: String) => Some(s)
+      case _ => None
+    }
+  }
+
+  /** Min/max of `physName` across a parquet file's row groups (footer
+    * statistics only — no data pages read), encoded order-preservingly.
+    * (None, None) when statistics are absent, the column is all-null, or
+    * the type is unsupported — callers treat that as "file can hold any
+    * key" and keep today's compact-first posture. */
+  private[graft] def parquetKeyBounds(p: String, physName: String,
+      dt: org.apache.spark.sql.types.DataType): (Option[String], Option[String]) =
+    try {
+      import scala.jdk.CollectionConverters._
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        // timestamp unit lives in the logical annotation; normalize to µs
+        // to match encodeKeyExpr's unix_micros
+        val toMicros: Long => Long = schema.getType(Seq(physName): _*) match {
+          case pt: org.apache.parquet.schema.PrimitiveType =>
+            pt.getLogicalTypeAnnotation match {
+              case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                ts.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => (v: Long) => Math.multiplyExact(v, 1000L)
+                  case LogicalTypeAnnotation.TimeUnit.NANOS => (v: Long) => Math.floorDiv(v, 1000L)
+                  case _ => identity
+                }
+              case _ => identity
+            }
+          case _ => identity
+        }
+        val chunks = r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == physName)
+        val perChunk = chunks.flatMap { ch =>
+          ch.getStatistics match {
+            case s if s == null || !s.hasNonNullValue => None
+            case s: org.apache.parquet.column.statistics.LongStatistics =>
+              Some((encodeKeyLong(toMicros(s.getMin)), encodeKeyLong(toMicros(s.getMax))))
+            case s: org.apache.parquet.column.statistics.IntStatistics =>
+              Some((encodeKeyLong(s.getMin.toLong), encodeKeyLong(s.getMax.toLong)))
+            case s: org.apache.parquet.column.statistics.BinaryStatistics
+                if dt == org.apache.spark.sql.types.StringType =>
+              Some((s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8))
+            case _ => None
+          }
+        }
+        if (perChunk.isEmpty || perChunk.size != chunks.size ||
+            !keyBoundEncodable(dt)) (None, None)
+        else (Some(perChunk.map(_._1).min), Some(perChunk.map(_._2).max))
+      } finally r.close()
+    } catch { case _: Exception => (None, None) }
+
   private[table] def listParquet(dir: String): Seq[String] = {
     val root = Paths.get(dir)
     if (!Files.exists(root)) return Nil
@@ -1797,10 +1929,18 @@ object GraftTable {
     val schema = rawDf.schema
     val columns = buildColumns(schema, keys, nonUniqueKey = false)
     val raw = Paths.get(rawParquetPath)
+    // Zero-copy files carry no partition coordinates, so record the first
+    // key column's footer min/max instead (the reference's rowset key
+    // bounds, tablet/diskrowset.h) — merge-on-read can then interval-route
+    // deltas to these files at any delta size instead of forcing a compact.
+    val keyDt = schema(keys.head).dataType
     val files =
       (if (Files.isDirectory(raw)) listParquet(rawParquetPath) else Seq(rawParquetPath))
-        .map(p => DataFileMeta(p, "base", 1L, GraftTable.parquetRows(p),
-          columns.map(_.id)))
+        .map { p =>
+          val (lo, hi) = GraftTable.parquetKeyBounds(p, keys.head, keyDt)
+          DataFileMeta(p, "base", 1L, GraftTable.parquetRows(p),
+            columns.map(_.id), keyLo = lo, keyHi = hi)
+        }
     val m = TableMeta(name, location, 1L, now(), "register",
       columns, columns.length, hash, range, Nil, files, Nil)
     TableMeta.write(m)

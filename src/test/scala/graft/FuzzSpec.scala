@@ -395,4 +395,120 @@ class FuzzSpec extends AnyFunSuite {
 
   test("random ops with schema evolution match the model (seed 31)") { runSchemaCase(31L, 50) }
   test("random ops with schema evolution match the model (seed 47)") { runSchemaCase(47L, 50) }
+
+  /** ALTER-vs-everything variant (the reference's
+    * alter_table-randomized-test.cc analog): SQL column ALTERs (add / drop /
+    * rename) interleave with SQL DML, the CALL txn_* surface, and V2 reads
+    * forced through the shuffle-spill overlay. Three contracts raced here:
+    * (a) a rename makes physName diverge from the logical name, which the
+    * V2 reader refuses BY DESIGN — the refusal must surface (and dropping
+    * the renamed column restores readability); (b) a transaction spanning
+    * an ALTER must abort on commit (optimistic version guard) publishing
+    * NONE of its staged ops; (c) the spill overlay must serve every
+    * post-ALTER schema (added/dropped columns change the internal read
+    * schema the spill slices carry). */
+  private def runAlterTxnSpillCase(seed: Long, nOps: Int): Unit = {
+    val rnd = new Random(seed)
+    val loc = Files.createTempDirectory(s"graft-fuzz-a-$seed-").toString
+    val t = GraftTable.create(spark, loc, "kva",
+      StructType(Seq(StructField("k", IntegerType, false), StructField("v", IntegerType))),
+      keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), 2)))
+    val whName = java.nio.file.Paths.get(loc).getFileName.toString
+    val cat = s"galter$seed"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      java.nio.file.Paths.get(loc).getParent.toString)
+    val tbl = s"$cat.`$whName`"
+    // added value columns in schema order after (k, v); pre-add rows read NULL
+    var extraCols = Vector[String]()
+    var nextCol = 1
+    // model: k -> (v, extraCol -> value)
+    val model = mutable.Map[Int, (Int, Map[String, Option[Int]])]()
+
+    for (_ <- 0 until nOps) {
+      val k = rnd.nextInt(Keyspace)
+      val v = rnd.nextInt(1000)
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 => // SQL INSERT (upsert) with values for every column
+          val extras = extraCols.map(_ => rnd.nextInt(1000))
+          spark.sql(s"INSERT INTO $tbl VALUES ($k, $v${extras.map(e => s", $e").mkString})")
+          model(k) = (v, extraCols.zip(extras.map(Some(_))).toMap)
+        case 3 =>
+          spark.sql(s"DELETE FROM $tbl WHERE k = $k"); model.remove(k)
+        case 4 => // ADD COLUMN (no default — defaulted-absent refuses V2 reads
+          // until compact, a separate contract already spec'd elsewhere)
+          val name = s"a$nextCol"; nextCol += 1
+          spark.sql(s"ALTER TABLE $tbl ADD COLUMNS ($name INT)")
+          extraCols :+= name
+          model.mapValuesInPlace { case (_, (vv, m)) => (vv, m + (name -> None)) }
+        case 5 => // DROP an added column
+          if (extraCols.nonEmpty) {
+            val i = rnd.nextInt(extraCols.size); val c = extraCols(i)
+            spark.sql(s"ALTER TABLE $tbl DROP COLUMN $c")
+            extraCols = extraCols.patch(i, Nil, 1)
+            model.mapValuesInPlace { case (_, (vv, m)) => (vv, m - c) }
+          }
+        case 6 => // RENAME: V2 read must refuse (physName != name), engine
+          // scan still serves; dropping the renamed column restores V2 reads
+          if (extraCols.nonEmpty) {
+            val i = rnd.nextInt(extraCols.size); val c = extraCols(i)
+            spark.sql(s"ALTER TABLE $tbl RENAME COLUMN $c TO ${c}x")
+            val e = intercept[Exception] { spark.table(tbl).count() }
+            assert(e.getMessage.contains("DSv1"), s"rename refusal: ${e.getMessage}")
+            spark.sql(s"ALTER TABLE $tbl DROP COLUMN ${c}x")
+            extraCols = extraCols.patch(i, Nil, 1)
+            model.mapValuesInPlace { case (_, (vv, m)) => (vv, m - c) }
+          }
+        case 7 => // txn spanning an ALTER: the version guard must abort the
+          // commit and publish NOTHING (the ALTER itself lands)
+          val id = spark.sql(s"CALL $cat.system.txn_begin('$whName')")
+            .collect().head.getString(0)
+          spark.sql(s"""CALL $cat.system.txn_upsert('$id', "SELECT $k AS k, $v AS v")""").collect()
+          val name = s"a$nextCol"; nextCol += 1
+          spark.sql(s"ALTER TABLE $tbl ADD COLUMNS ($name INT)")
+          extraCols :+= name
+          model.mapValuesInPlace { case (_, (vv, m)) => (vv, m + (name -> None)) }
+          intercept[Exception] {
+            spark.sql(s"CALL $cat.system.txn_commit('$id')").collect()
+          }
+        case 8 => // txn normal path: upsert(k) + strict delete(k2) atomically
+          val k2 = (k + 1 + rnd.nextInt(Keyspace - 1)) % Keyspace
+          val id = spark.sql(s"CALL $cat.system.txn_begin('$whName')")
+            .collect().head.getString(0)
+          spark.sql(s"""CALL $cat.system.txn_upsert('$id', "SELECT $k AS k, $v AS v")""").collect()
+          spark.sql(s"""CALL $cat.system.txn_delete('$id', "SELECT $k2 AS k")""").collect()
+          if (model.contains(k2)) {
+            spark.sql(s"CALL $cat.system.txn_commit('$id')").collect()
+            // upsert replaces the WHOLE row; unselected extras become null
+            model(k) = (v, extraCols.map(_ -> (None: Option[Int])).toMap)
+            model.remove(k2)
+          } else intercept[Exception] {
+            spark.sql(s"CALL $cat.system.txn_commit('$id')").collect()
+          }
+        case 9 => t.compact()
+      }
+    }
+
+    def stateOf(df: org.apache.spark.sql.DataFrame): Map[Int, (Int, Map[String, Option[Int]])] = {
+      val schema = df.schema
+      df.collect().map { r =>
+        r.getInt(schema.fieldIndex("k")) -> (r.getInt(schema.fieldIndex("v")),
+          extraCols.map { c =>
+            val i = schema.fieldIndex(c)
+            c -> (if (r.isNullAt(i)) None else Some(r.getInt(i)))
+          }.toMap)
+      }.toMap
+    }
+    val want = model.toMap
+    assert(stateOf(GraftTable.load(spark, loc).scan()) == want,
+      s"engine state mismatch seed=$seed")
+    // V2 read through the FORCED spill overlay on the final (post-ALTER) schema
+    spark.conf.set("graft.mor.broadcastBytes", "1")
+    try assert(stateOf(spark.table(tbl)) == want, s"V2 spill state mismatch seed=$seed")
+    finally spark.conf.unset("graft.mor.broadcastBytes")
+  }
+
+  test("random ALTERs racing txn CALLs and spill reads (seed 19)") { runAlterTxnSpillCase(19L, 40) }
+  test("random ALTERs racing txn CALLs and spill reads (seed 29)") { runAlterTxnSpillCase(29L, 40) }
 }

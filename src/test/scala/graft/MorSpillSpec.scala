@@ -122,19 +122,88 @@ class MorSpillSpec extends AnyFunSuite {
     }
   }
 
-  test("unpartitioned layout past the bound still refuses (no sound route)") {
+  test("unpartitioned layout past the bound serves via key-interval routing") {
     val wh = Files.createTempDirectory("graft-spill5-").toString
     val df = (1 to 20).map(i => (i.toLong, s"a$i")).toDF("k", "v")
     val t = GraftTable.create(spark, s"$wh/flat", "flat", df.schema, Seq("k"),
       hash = Nil, data = Some(df))
-    t.upsert(Seq((1L, "u")).toDF("k", "v"))
+    // upsert inside the base interval, tombstone, and a NEW key beyond every
+    // file's bounds (must still be emitted via the fallback route)
+    t.upsert(Seq((1L, "u"), (500L, "new")).toDF("k", "v"))
+    t.delete(Seq(Tuple1(7L)).toDF("k"))
     spark.conf.set("spark.sql.catalog.gsp5", classOf[graft.sources.v2.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.gsp5.warehouse", wh)
     withSpillForced {
-      val e = intercept[Exception] { spark.table("gsp5.flat").count() }
+      val v2 = stateOf(spark.table("gsp5.flat"))
+      assert(v2 == stateOf(t.scan()))
+      assert(v2.size == 20 && v2(1L) == "u" && v2(500L) == "new" && !v2.contains(7L))
+    }
+  }
+
+  test("zero-copy registered bases past the bound serve via key-interval routing") {
+    val wh = Files.createTempDirectory("graft-spill6-").toString
+    // multi-file raw parquet with disjoint key ranges: interval routing must
+    // land each tombstone/upsert in the file(s) whose bounds contain its key
+    val raw = s"$wh/raw"
+    (1 to 300).map(i => (i.toLong, s"a$i")).toDF("k", "v")
+      .repartitionByRange(3, col("k")).write.parquet(raw)
+    val t = GraftTable.register(spark, s"$wh/reg", "reg", raw, Seq("k"),
+      Seq(HashComponent(Seq("k"), 4)))
+    assert(t.meta.baseFiles.forall(f => f.keyLo.isDefined && f.keyHi.isDefined))
+    // deltas spanning every file's range + one beyond all bounds
+    t.upsert(Seq((5L, "u5"), (150L, "u150"), (299L, "u299"), (999L, "new"))
+      .toDF("k", "v"))
+    t.delete(Seq(Tuple1(10L), Tuple1(200L)).toDF("k"))
+    spark.conf.set("spark.sql.catalog.gsp6", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsp6.warehouse", wh)
+    withSpillForced {
+      val v2 = stateOf(spark.table("gsp6.reg"))
+      assert(v2 == stateOf(t.scan()))
+      assert(v2.size == 299 && v2(5L) == "u5" && v2(150L) == "u150" &&
+        v2(299L) == "u299" && v2(999L) == "new" &&
+        !v2.contains(10L) && !v2.contains(200L))
+      assert(graft.tools.GraftTools.fsck(t.location).isEmpty)
+    }
+  }
+
+  test("key-grouped layout over coordinate-less bases: single split drains the spill") {
+    val wh = Files.createTempDirectory("graft-spill8-").toString
+    val raw = s"$wh/raw"
+    (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "v").write.parquet(raw)
+    val t = GraftTable.register(spark, s"$wh/kgb", "kgb", raw, Seq("k"),
+      Seq(HashComponent(Seq("k"), 4)))
+    t.upsert(Seq((3L, "u3"), (777L, "new")).toDF("k", "v"))
+    t.delete(Seq(Tuple1(9L)).toDF("k"))
+    spark.conf.set("spark.sql.catalog.gsp8", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsp8.warehouse", wh)
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try withSpillForced {
+      val v2 = stateOf(spark.table("gsp8.kgb"))
+      assert(v2 == stateOf(t.scan()))
+      assert(v2.size == 100 && v2(3L) == "u3" && v2(777L) == "new" && !v2.contains(9L))
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
+  }
+
+  test("bases with neither coordinates nor key bounds still refuse past the bound") {
+    val wh = Files.createTempDirectory("graft-spill7-").toString
+    val df = (1 to 20).map(i => (i.toLong, s"a$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/nb", "nb", df.schema, Seq("k"),
+      hash = Nil, data = Some(df))
+    t.upsert(Seq((1L, "u")).toDF("k", "v"))
+    // simulate metadata written by an older build: strip the key bounds
+    val m = t.meta
+    graft.catalog.TableMeta.write(m.copy(version = m.version + 1,
+      operation = "strip_bounds",
+      baseFiles = m.baseFiles.map(_.copy(keyLo = None, keyHi = None))))
+    spark.conf.set("spark.sql.catalog.gsp7", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsp7.warehouse", wh)
+    withSpillForced {
+      val e = intercept[Exception] { spark.table("gsp7.nb").count() }
       assert(e.getMessage.contains("DSv1"), e.getMessage)
     }
     // below the bound the same table serves via broadcast overlay
-    assert(stateOf(spark.table("gsp5.flat")) == stateOf(t.scan()))
+    assert(stateOf(spark.table("gsp7.nb")) ==
+      stateOf(GraftTable.load(spark, t.location).scan()))
   }
 }

@@ -74,6 +74,33 @@ class PruningExtrasSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.scanAtTimestamp(ts1 - 1000000) }
   }
 
+  test("coordinate-less files prune by recorded first-key intervals") {
+    // zero-copy registration over multi-file raw parquet with disjoint key
+    // ranges: PK predicates must prune whole files via keyLo/keyHi (the
+    // reference's rowset-bounds pruning, tablet/rowset_tree.cc) — no
+    // partition coordinates exist to prune on
+    val wh = tmp("graft-ivp-")
+    val raw = s"$wh/raw"
+    (1 to 400).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")).write.parquet(raw)
+    val t = GraftTable.register(spark, s"$wh/reg", "reg", raw, Seq("k"))
+    assert(t.scanPruned(Nil).inputFiles.length == 4)
+    // point lookup → exactly the one file whose interval holds the key
+    val one = t.scanPruned(Seq(EqualTo("k", 150L)))
+    assert(one.inputFiles.length == 1)
+    assert(one.filter(col("k") === 150L).count() == 1)
+    // range predicate spanning two files
+    assert(t.scanPruned(Seq(GreaterThan("k", 150L), LessThanOrEqual("k", 250L)))
+      .inputFiles.length == 2)
+    // IN list across distant files
+    assert(t.scanPruned(Seq(In("k", Array(5L, 395L)))).inputFiles.length == 2)
+    // out-of-domain point lookup → nothing to scan
+    assert(t.scanPruned(Seq(EqualTo("k", 5000L))).inputFiles.isEmpty)
+    // results stay correct through the pruned path
+    assert(t.scanPruned(Seq(LessThan("k", 101L))).filter(col("k") < 101)
+      .count() == 100)
+  }
+
   test("concurrent commit of the same version is rejected") {
     val t = GraftTable.create(spark, tmp("graft-cc-"), "cc",
       Seq((1, "a")).toDF("k", "v").schema, Seq("k"),
