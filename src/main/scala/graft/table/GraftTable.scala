@@ -1702,11 +1702,11 @@ object GraftTable {
 
   /** The SAME encoding as a Catalyst expression over a key column — used on
     * the delta frame at spill time; MUST stay in lockstep with
-    * [[encodeKeyLong]] / [[parquetKeyBounds]] (Spark's hex() is uppercase,
-    * matching %016X). Strings encode as themselves (footer stats order for
-    * binary is unsigned-byte lexicographic — equal to Java ordering for the
-    * ASCII keys fixtures use; non-ASCII string PKs fall outside
-    * [[keyBoundEncodable]]'s guarantees only at supplementary code points). */
+    * [[encodeKeyLong]] / [[encodeKeyBytes]] / [[parquetKeyBounds]] (Spark's
+    * hex() is uppercase, matching %016X / %02X). Strings encode as the hex
+    * of their UTF-8 bytes: hex-pair lexicographic order == unsigned-byte
+    * order == parquet's binary stats ordering, for ANY code point (Java
+    * String ordering would diverge at supplementary characters). */
   def encodeKeyExpr(dt: org.apache.spark.sql.types.DataType,
       c: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions._
@@ -1718,10 +1718,15 @@ object GraftTable {
       case DateType => Some(enc(datediff(c, to_date(lit("1970-01-01"))).cast(LongType)))
       case TimestampType => Some(enc(unix_micros(c)))
       case TimestampNTZType => Some(enc(unix_micros(c.cast(TimestampType))))
-      case StringType => Some(c)
+      case StringType => Some(hex(encode(c, "UTF-8")))
       case _ => None
     }
   }
+
+  /** Hex of raw bytes — the string-key bound encoding (unsigned-byte
+    * lexicographic through hex pairs). */
+  def encodeKeyBytes(b: Array[Byte]): String =
+    b.map(x => f"$x%02X").mkString
 
   /** The bound encoding for a DRIVER-SIDE literal (a pushed filter's value)
     * — same order-preserving form as [[encodeKeyLong]]/[[encodeKeyExpr]],
@@ -1746,7 +1751,8 @@ object GraftTable {
       case (TimestampNTZType, t: java.time.LocalDateTime) =>
         Some(encodeKeyLong(Math.addExact(Math.multiplyExact(
           t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L), t.getNano / 1000L)))
-      case (StringType, s: String) => Some(s)
+      case (StringType, s: String) =>
+        Some(encodeKeyBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       case _ => None
     }
   }
@@ -1794,7 +1800,8 @@ object GraftTable {
               Some((encodeKeyLong(s.getMin.toLong), encodeKeyLong(s.getMax.toLong)))
             case s: org.apache.parquet.column.statistics.BinaryStatistics
                 if dt == org.apache.spark.sql.types.StringType =>
-              Some((s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8))
+              Some((encodeKeyBytes(s.genericGetMin.getBytes),
+                encodeKeyBytes(s.genericGetMax.getBytes)))
             case _ => None
           }
         }

@@ -185,6 +185,36 @@ class MorSpillSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
   }
 
+  test("string-keyed registered bases: interval routing + pruning (incl. non-ASCII)") {
+    val wh = Files.createTempDirectory("graft-spill9-").toString
+    val raw = s"$wh/raw"
+    // keys spanning ASCII and supplementary code points — the hex-of-UTF-8
+    // bound encoding must order them identically to parquet's unsigned-byte
+    // stats (Java String ordering would not, at the emoji)
+    val keys = (1 to 200).map(i => f"k$i%03d") :+ "😀smile" :+ "zz"
+    keys.map(k => (k, s"v-$k")).toDF("id", "v")
+      .repartitionByRange(3, col("id")).write.parquet(raw)
+    val t = GraftTable.register(spark, s"$wh/sreg", "sreg", raw, Seq("id"),
+      Seq(HashComponent(Seq("id"), 2)))
+    assert(t.meta.baseFiles.forall(f => f.keyLo.isDefined && f.keyHi.isDefined))
+    // point-lookup pruning through the recorded string bounds
+    import org.apache.spark.sql.sources.EqualTo
+    assert(t.scanPruned(Seq(EqualTo("id", "k050"))).inputFiles.length == 1)
+    t.upsert(Seq(("k050", "EDIT"), ("😀smile", "EMOJI"), ("zzz", "NEW"))
+      .toDF("id", "v"))
+    t.delete(Seq(Tuple1("k199")).toDF("id"))
+    spark.conf.set("spark.sql.catalog.gsp9", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsp9.warehouse", wh)
+    withSpillForced {
+      val v2 = spark.table("gsp9.sreg").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val v1 = t.scan().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(v2 == v1)
+      assert(v2("k050") == "EDIT" && v2("😀smile") == "EMOJI" &&
+        v2("zzz") == "NEW" && !v2.contains("k199") && v2.size == 202)
+    }
+  }
+
   test("bases with neither coordinates nor key bounds still refuse past the bound") {
     val wh = Files.createTempDirectory("graft-spill7-").toString
     val df = (1 to 20).map(i => (i.toLong, s"a$i")).toDF("k", "v")
