@@ -751,6 +751,42 @@ object Queries {
       finally s.conf.unset("graft.mor.broadcastBytes")
     }),
 
+    "q41_registered_mor" -> ((s, dir) => {
+      // Zero-copy handoff gate (S6's last parity gap closed): the raw part
+      // parquet is REGISTERED in place — no rewrite, no partition
+      // coordinates — then mutated, and read back through the V2 catalog
+      // with the broadcast bound forced to 1 byte. The read must serve via
+      // the interval-routed shuffle-spill overlay: deltas route to the
+      // base files whose recorded first-key footer bounds
+      // (DataFileMeta.keyLo/keyHi — the reference's rowset key bounds,
+      // tablet/diskrowset.h) can contain their key; the same bounds prune
+      // the PK-range predicate below. A registered-in-place 100 TB table
+      // under mutation never forces a compaction on the read path
+      // (tablet/delta_applier.h:52 applies deltas over any rowset).
+      val raw = Tables.raw(s, dir, "part")
+      val loc = tmpLoc("graft-q41-")
+      val t = graft.table.GraftTable.register(s, loc, "part_q41",
+        s"$dir/part.parquet", Seq("p_partkey"))
+      t.upsert(raw.filter(col("p_partkey") % 97 === 0)
+        .withColumn("p_name", lit("EDITED")))
+      t.delete(raw.filter(col("p_partkey") % 101 === 0).select("p_partkey"))
+      t.upsert(raw.filter(col("p_partkey") === 1)
+        .withColumn("p_partkey", lit(12345678L))
+        .withColumn("p_name", lit("NEWPART")))
+      if (t.meta.deltaFiles.isEmpty)
+        throw new IllegalStateException("the registered-MOR gate needs deltas")
+      val f = new java.io.File(loc)
+      s.conf.set("spark.sql.catalog.gq41",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq41.warehouse", f.getParent)
+      s.conf.set("graft.mor.broadcastBytes", "1")
+      try s.sql(
+        s"""SELECT p_partkey, p_name, p_retailprice FROM gq41.`${f.getName}`
+           |WHERE p_partkey >= 100 ORDER BY p_partkey""".stripMargin)
+        .localCheckpoint(true)
+      finally s.conf.unset("graft.mor.broadcastBytes")
+    }),
+
     "q27_approx_distinct" -> ((s, dir) => {
       // HLL sketch vs exact: emit the exact count (hash-matched against the
       // oracle) plus a boolean asserting the sketch landed within 2%.
@@ -920,5 +956,12 @@ object Queries {
     "q40_mor_spill" ->
       ("SELECT c_custkey, c_name, c_nationkey, " +
         "CASE WHEN c_nationkey = 5 THEN c_acctbal + 25 ELSE c_acctbal END AS c_acctbal, " +
-        "c_mktsegment FROM customer WHERE c_custkey % 97 <> 0 ORDER BY c_custkey"))
+        "c_mktsegment FROM customer WHERE c_custkey % 97 <> 0 ORDER BY c_custkey"),
+    "q41_registered_mor" ->
+      ("SELECT p_partkey, p_name, p_retailprice FROM (" +
+        "SELECT p_partkey, CASE WHEN p_partkey % 97 = 0 THEN 'EDITED' ELSE p_name END AS p_name, " +
+        "p_retailprice FROM part WHERE p_partkey % 101 <> 0 " +
+        "UNION ALL SELECT CAST(12345678 AS BIGINT), 'NEWPART', " +
+        "(SELECT p_retailprice FROM part WHERE p_partkey = 1)" +
+        ") WHERE p_partkey >= 100 ORDER BY p_partkey"))
 }

@@ -867,16 +867,29 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
       GraftV2Scan.sweepStaleSpills(spillRoot)
       val spillDir = spillRoot.resolve(
         s"_morspill_v${m.version}_${java.util.UUID.randomUUID().toString.take(8)}")
-      tbl.latestDeltas(m, m.deltaFiles)
+      // With no interval candidates (every planned file coordinate-carrying,
+      // or the single key-grouped split) the candidate fold degenerates to
+      // route = owned(layoutRoute) | fallback with the op unchanged — keep
+      // that single-route projection (no explode, one scalar udf) so the
+      // common partitioned-table spill stays cheap; the duplicate-emitting
+      // explode runs only when bare-file intervals exist.
+      val routed = tbl.latestDeltas(m, m.deltaFiles)
         .select(internalSchema.fieldNames.toSeq.map(col) ++
           Seq(col(GraftTable.OpCol), routeCol.as("_graft_layout_route"),
             keyEncCol.as("_graft_key_enc")): _*)
-        .withColumn("_graft_cand", org.apache.spark.sql.functions.explode(
-          cand(col("_graft_layout_route"), col("_graft_key_enc"),
-            col(GraftTable.OpCol))))
-        .select(internalSchema.fieldNames.toSeq.map(col) ++
-          Seq(col("_graft_cand._2").as(GraftTable.OpCol),
-            toId(col("_graft_cand._1")).as(GraftV2Scan.SpillRouteCol)): _*)
+      val spillFrame =
+        if (bareIv.isEmpty)
+          routed.select(internalSchema.fieldNames.toSeq.map(col) ++
+            Seq(col(GraftTable.OpCol),
+              toId(col("_graft_layout_route")).as(GraftV2Scan.SpillRouteCol)): _*)
+        else routed
+          .withColumn("_graft_cand", org.apache.spark.sql.functions.explode(
+            cand(col("_graft_layout_route"), col("_graft_key_enc"),
+              col(GraftTable.OpCol))))
+          .select(internalSchema.fieldNames.toSeq.map(col) ++
+            Seq(col("_graft_cand._2").as(GraftTable.OpCol),
+              toId(col("_graft_cand._1")).as(GraftV2Scan.SpillRouteCol)): _*)
+      spillFrame
         .repartition(col(GraftV2Scan.SpillRouteCol))
         .write.partitionBy(GraftV2Scan.SpillRouteCol)
         .mode("overwrite").parquet(spillDir.toString)
