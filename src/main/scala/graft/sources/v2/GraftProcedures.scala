@@ -46,6 +46,7 @@ private[v2] object GraftProcedures {
 
   val names: Array[String] = Array(
     "compact", "compact_tablet", "maintain", "delta_stats", "fsck", "fsck_repair",
+    "register",
     "txn_begin", "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort")
 
   private def spark = SparkSession.active
@@ -139,6 +140,30 @@ private[v2] object GraftProcedures {
         new StructType().add("deleted", StringType)) { in =>
           graft.tools.GraftTools.fsckRepair(locate(in).location,
             graceMs = in.getLong(1)).map(p => InternalRow(str(p)))
+        })
+      case "register" => Some(proc("register",
+        "zero-copy register existing parquet as a graft table under the " +
+          "warehouse — no rewrite; first-key footer bounds are recorded so " +
+          "merge-on-read and PK pruning serve the files in place",
+        Array(tableParam,
+          ProcedureParameter.in("path", StringType).build(),
+          ProcedureParameter.in("keys", StringType).build(), // comma-separated
+          ProcedureParameter.in("hash_buckets", IntegerType).defaultValue("NULL").build(),
+          ProcedureParameter.in("hash_cols", StringType).defaultValue("NULL").build()),
+        new StructType().add("location", StringType).add("files", LongType)) { in =>
+          val parts = in.getUTF8String(0).toString.split('.').toSeq
+          val loc = parts.mkString(s"$warehouse/", "/", "")
+          val keys = in.getUTF8String(2).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val hash =
+            if (in.isNullAt(3)) Nil
+            else Seq(graft.catalog.HashComponent(
+              if (in.isNullAt(4)) keys
+              else in.getUTF8String(4).toString.split(',').map(_.trim).toSeq,
+              in.getInt(3)))
+          val t = GraftTable.register(spark, loc, parts.last,
+            in.getUTF8String(1).toString, keys, hash)
+          Seq(InternalRow(str(t.location), t.meta.baseFiles.size.toLong))
         })
       case "txn_begin" => Some(proc("txn_begin",
         "open a scoped transaction on the table; returns the handle id",

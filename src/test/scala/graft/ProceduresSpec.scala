@@ -85,7 +85,7 @@ class ProceduresSpec extends AnyFunSuite {
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
       .map(_.getAs[String]("procedure_name")).toSet
     assert(listed == Set("compact", "compact_tablet", "maintain",
-      "delta_stats", "fsck", "fsck_repair",
+      "delta_stats", "fsck", "fsck_repair", "register",
       "txn_begin", "txn_insert", "txn_upsert", "txn_delete",
       "txn_commit", "txn_abort"), listed.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.compact_tablet")
@@ -199,6 +199,28 @@ class ProceduresSpec extends AnyFunSuite {
       assert(t.currentVersion == v0)
       assert(t.scan().filter("v = 'stale'").count() == 0)
     } finally spark.conf.unset("graft.txn.timeoutMs")
+  }
+
+  test("CALL register: zero-copy parquet handoff through SQL") {
+    val raw = s"$wh/reg_raw"
+    (1 to 90).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+      .repartitionByRange(3, org.apache.spark.sql.functions.col("id"))
+      .write.parquet(raw)
+    val r = spark.sql(
+      s"CALL $cat.system.register('regp', '$raw', 'id')").collect().head
+    assert(r.getLong(1) == 3) // three files registered in place, no rewrite
+    val t = GraftTable.load(spark, s"$wh/regp")
+    assert(t.meta.baseFiles.forall(f => f.keyLo.isDefined && f.keyHi.isDefined))
+    // immediately queryable through the same catalog, and mutable
+    assert(spark.table(s"$cat.regp").count() == 90)
+    t.upsert(Seq((5L, "EDIT")).toDF("id", "v"))
+    assert(spark.table(s"$cat.regp").filter("id = 5").collect()
+      .head.getString(1) == "EDIT")
+    // with a hash spec the registered layout routes writes by bucketExpr
+    val r2 = spark.sql(
+      s"CALL $cat.system.register('regh', '$raw', 'id', 4)").collect().head
+    assert(r2.getLong(1) == 3)
+    assert(GraftTable.load(spark, s"$wh/regh").meta.hash.head.buckets == 4)
   }
 
   test("unknown procedure errors with the available list") {
