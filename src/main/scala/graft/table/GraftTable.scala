@@ -1454,7 +1454,19 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         (c.encoding.get == "dictionary").toString)
     }
     val writer = effectiveCodec(m).fold(withEnc)(cc => withEnc.option("compression", cc))
-    writer.mode("overwrite").parquet(dir)
+    // INT64 micros, not Spark's INT96 default: INT96 footer statistics have
+    // no defined ordering, so timestamp key columns would get no usable
+    // min/max — no row-group pruning and no recorded key bounds for
+    // coordinate-less layouts. Session conf (not a per-write option), so
+    // set-and-restore around the write.
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.getOption(tsTypeKey)
+    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    try writer.mode("overwrite").parquet(dir)
+    finally prevTsType match {
+      case Some(v) => spark.conf.set(tsTypeKey, v)
+      case None => spark.conf.unset(tsTypeKey)
+    }
     // Coordinate-less layouts (no hash, no range): record first-key footer
     // bounds so merge-on-read can interval-route deltas to these files
     // (DataFileMeta.keyLo/keyHi) — partitioned layouts route by coordinate.

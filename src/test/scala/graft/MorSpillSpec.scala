@@ -215,6 +215,70 @@ class MorSpillSpec extends AnyFunSuite {
     }
   }
 
+  test("OVERLAPPING file bounds: deltas duplicate to all candidates, upserts emit once") {
+    val wh = Files.createTempDirectory("graft-spill10-").toString
+    val raw = s"$wh/raw"
+    // two files whose key intervals overlap almost completely (evens vs
+    // odds): every delta has TWO candidate files — the tombstone must
+    // apply in both, the upsert row must be emitted exactly once
+    (1 to 99 by 2).map(i => (i.toLong, s"o$i")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$raw/odd")
+    (2 to 100 by 2).map(i => (i.toLong, s"e$i")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$raw/even")
+    // single dir with both files
+    val both = s"$wh/both"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(both))
+    for (sub <- Seq("odd", "even")) {
+      val s0 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$raw/$sub"))
+      try s0.filter(_.toString.endsWith(".parquet")).forEach { p =>
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(both, s"$sub.parquet"))
+      } finally s0.close()
+    }
+    val t = GraftTable.register(spark, s"$wh/ovl", "ovl", both, Seq("k"))
+    assert(t.meta.baseFiles.size == 2 &&
+      t.meta.baseFiles.forall(f => f.keyLo.isDefined && f.keyHi.isDefined))
+    t.upsert(Seq((51L, "u51"), (52L, "u52")).toDF("k", "v")) // one per file
+    t.delete(Seq(Tuple1(53L), Tuple1(54L)).toDF("k"))        // one per file
+    spark.conf.set("spark.sql.catalog.gsp10", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsp10.warehouse", wh)
+    withSpillForced {
+      val v2 = stateOf(spark.table("gsp10.ovl"))
+      assert(v2 == stateOf(t.scan()))
+      // exactly-once emission despite two candidates (a double-emit would
+      // make the upserted keys appear twice and fail the size check)
+      assert(v2.size == 98 && v2(51L) == "u51" && v2(52L) == "u52" &&
+        !v2.contains(53L) && !v2.contains(54L) && v2(1L) == "o1" && v2(100L) == "e100")
+      // count() (no Map dedup) catches a double-emitted upsert
+      assert(spark.table("gsp10.ovl").count() == 98)
+    }
+  }
+
+  test("timestamp first key: footer-unit bounds stay in lockstep with unix_micros routing") {
+    val wh = Files.createTempDirectory("graft-spill11-").toString
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 10:30:00")
+    val raw = s"$wh/raw"
+    // INT64 micros — Spark's INT96 default carries no usable footer stats,
+    // in which case registration correctly records no bounds (conservative)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try (1 to 28).map(d => (ts(d), s"day$d")).toDF("t", "v")
+      .repartitionByRange(2, col("t")).write.parquet(raw)
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val t = GraftTable.register(spark, s"$wh/tsreg", "tsreg", raw, Seq("t"))
+    assert(t.meta.baseFiles.forall(f => f.keyLo.isDefined && f.keyHi.isDefined))
+    import org.apache.spark.sql.sources.EqualTo
+    assert(t.scanPruned(Seq(EqualTo("t", ts(5)))).inputFiles.length == 1)
+    t.upsert(Seq((ts(5), "EDIT")).toDF("t", "v"))
+    t.delete(Seq(Tuple1(ts(20))).toDF("t"))
+    spark.conf.set("spark.sql.catalog.gsp11", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsp11.warehouse", wh)
+    withSpillForced {
+      val v2 = spark.table("gsp11.tsreg").collect()
+        .map(r => r.getTimestamp(0) -> r.getString(1)).toMap
+      assert(v2 == t.scan().collect().map(r => r.getTimestamp(0) -> r.getString(1)).toMap)
+      assert(v2.size == 27 && v2(ts(5)) == "EDIT" && !v2.contains(ts(20)))
+    }
+  }
+
   test("bases with neither coordinates nor key bounds still refuse past the bound") {
     val wh = Files.createTempDirectory("graft-spill7-").toString
     val df = (1 to 20).map(i => (i.toLong, s"a$i")).toDF("k", "v")
