@@ -784,8 +784,16 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
       spark, m.schema, internalSchema, filters)
     if (GraftTable.deltaBytes(m.deltaFiles) < GraftTable.broadcastDeltaBytes) {
       // broadcast overlay: collect the latest delta state once, ship it to
-      // every split (cheapest when the delta set is small)
-      val sel = tbl.latestDeltas(m, m.deltaFiles)
+      // every split (cheapest when the delta set is small). Delta files
+      // prune by their recorded first-key bounds (delta stats,
+      // tablet/deltafile.h) — sound because every file that can hold a
+      // surviving key is kept, and all filters are re-evaluated above this
+      // scan, so upserts from pruned files could never have been emitted.
+      // The spill branch below deliberately keeps the FULL delta set: its
+      // per-route spill is cached by (version, shape) across queries.
+      val keepDelta = graft.sources.PartitionPruner.pruneFiles(
+        m, m.deltaFiles, filters.toSeq ++ runtimeFilters)
+      val sel = tbl.latestDeltas(m, keepDelta)
         .select(internalSchema.fieldNames.toSeq.map(col) ++
           Seq(col(GraftTable.OpCol), routeCol): _*)
       val opIdx = internalFields.length
@@ -864,35 +872,64 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         org.apache.spark.sql.types.StructField(GraftTable.OpCol,
           org.apache.spark.sql.types.StringType, nullable = false))
       val spillRoot = java.nio.file.Paths.get(m.location, "tmp")
-      GraftV2Scan.sweepStaleSpills(spillRoot)
-      val spillDir = spillRoot.resolve(
-        s"_morspill_v${m.version}_${java.util.UUID.randomUUID().toString.take(8)}")
-      // With no interval candidates (every planned file coordinate-carrying,
-      // or the single key-grouped split) the candidate fold degenerates to
-      // route = owned(layoutRoute) | fallback with the op unchanged — keep
-      // that single-route projection (no explode, one scalar udf) so the
-      // common partitioned-table spill stays cheap; the duplicate-emitting
-      // explode runs only when bare-file intervals exist.
-      val routed = tbl.latestDeltas(m, m.deltaFiles)
-        .select(internalSchema.fieldNames.toSeq.map(col) ++
-          Seq(col(GraftTable.OpCol), routeCol.as("_graft_layout_route"),
-            keyEncCol.as("_graft_key_enc")): _*)
-      val spillFrame =
-        if (bareIv.isEmpty)
-          routed.select(internalSchema.fieldNames.toSeq.map(col) ++
-            Seq(col(GraftTable.OpCol),
-              toId(col("_graft_layout_route")).as(GraftV2Scan.SpillRouteCol)): _*)
-        else routed
-          .withColumn("_graft_cand", org.apache.spark.sql.functions.explode(
-            cand(col("_graft_layout_route"), col("_graft_key_enc"),
-              col(GraftTable.OpCol))))
+      GraftV2Scan.sweepStaleSpills(spillRoot, keepPrefix = s"_morspill_v${m.version}_")
+      // The spill's CONTENT is fully determined by (table version, internal
+      // projection, dense route-id mapping, planned bare-file intervals) —
+      // hash that shape into the directory name and REUSE a finished spill
+      // instead of re-shuffling: a read-heavy workload pays the delta
+      // shuffle once per commit, not once per query. This is the
+      // persistence posture of the reference's on-disk delta stores
+      // (tablet/deltafile.h — deltas are routed to their rowset once at
+      // flush, then served from disk by every later scan); a new commit
+      // bumps the version and naturally invalidates the cache.
+      val shape = (internalSchema.fieldNames.mkString(",") + "|" +
+        ownedSeq.mkString(",") + "|" + (if (kgBare) "kg|" else "") +
+        bareIv.map(iv => s"${iv._1}:${iv._2}:${iv._3}").mkString(",")).getBytes("UTF-8")
+      val shapeHash = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(shape).take(8).map("%02x".format(_)).mkString
+      val spillDir = spillRoot.resolve(s"_morspill_v${m.version}_$shapeHash")
+      if (!java.nio.file.Files.exists(spillDir.resolve("_SUCCESS"))) {
+        // a dir without the committer's _SUCCESS can only be residue (the
+        // publish below moves complete writes atomically) — rebuild it
+        GraftV2Scan.deleteTree(spillDir)
+        // With no interval candidates (every planned file coordinate-carrying,
+        // or the single key-grouped split) the candidate fold degenerates to
+        // route = owned(layoutRoute) | fallback with the op unchanged — keep
+        // that single-route projection (no explode, one scalar udf) so the
+        // common partitioned-table spill stays cheap; the duplicate-emitting
+        // explode runs only when bare-file intervals exist.
+        val routed = tbl.latestDeltas(m, m.deltaFiles)
           .select(internalSchema.fieldNames.toSeq.map(col) ++
-            Seq(col("_graft_cand._2").as(GraftTable.OpCol),
-              toId(col("_graft_cand._1")).as(GraftV2Scan.SpillRouteCol)): _*)
-      spillFrame
-        .repartition(col(GraftV2Scan.SpillRouteCol))
-        .write.partitionBy(GraftV2Scan.SpillRouteCol)
-        .mode("overwrite").parquet(spillDir.toString)
+            Seq(col(GraftTable.OpCol), routeCol.as("_graft_layout_route"),
+              keyEncCol.as("_graft_key_enc")): _*)
+        val spillFrame =
+          if (bareIv.isEmpty)
+            routed.select(internalSchema.fieldNames.toSeq.map(col) ++
+              Seq(col(GraftTable.OpCol),
+                toId(col("_graft_layout_route")).as(GraftV2Scan.SpillRouteCol)): _*)
+          else routed
+            .withColumn("_graft_cand", org.apache.spark.sql.functions.explode(
+              cand(col("_graft_layout_route"), col("_graft_key_enc"),
+                col(GraftTable.OpCol))))
+            .select(internalSchema.fieldNames.toSeq.map(col) ++
+              Seq(col("_graft_cand._2").as(GraftTable.OpCol),
+                toId(col("_graft_cand._1")).as(GraftV2Scan.SpillRouteCol)): _*)
+        val tmpDir = spillRoot.resolve(
+          s"_morspill_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+        spillFrame
+          .repartition(col(GraftV2Scan.SpillRouteCol))
+          .write.partitionBy(GraftV2Scan.SpillRouteCol)
+          .mode("overwrite").parquet(tmpDir.toString)
+        try java.nio.file.Files.move(tmpDir, spillDir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // a concurrent query materialized the same (version, shape)
+          // spill first — identical bytes by construction, use theirs
+          case _: java.nio.file.FileSystemException
+              if java.nio.file.Files.exists(spillDir) =>
+            GraftV2Scan.deleteTree(tmpDir)
+        }
+      }
       val routeParts: Map[String, InputPartition] = ownedSeq.flatMap { r =>
         val d = spillDir.resolve(s"${GraftV2Scan.SpillRouteCol}=${routeId(r)}")
         if (java.nio.file.Files.isDirectory(d)) {
@@ -999,8 +1036,10 @@ object GraftV2Scan {
   }
 
   /** Best-effort sweep of spill dirs older than an hour — residue of
-    * crashed readers (live queries re-read their spill well within it). */
-  def sweepStaleSpills(tmpDir: java.nio.file.Path): Unit =
+    * crashed writers and superseded versions. Dirs named with `keepPrefix`
+    * (the CURRENT version's cached spills) are always kept: they stay
+    * valid until the next commit, however old they get. */
+  def sweepStaleSpills(tmpDir: java.nio.file.Path, keepPrefix: String = " "): Unit =
     try {
       import scala.jdk.CollectionConverters._
       import java.nio.file.Files
@@ -1009,13 +1048,21 @@ object GraftV2Scan {
         scala.util.Using.resource(Files.list(tmpDir)) { s =>
           s.iterator().asScala
             .filter(_.getFileName.toString.startsWith("_morspill_"))
+            .filterNot(_.getFileName.toString.startsWith(keepPrefix))
             .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
             .toSeq
-        }.foreach { p =>
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(Files.deleteIfExists(_))
-        }
+        }.foreach(deleteTree)
       }
+    } catch { case _: Exception => }
+
+  /** Recursive best-effort delete (no-op when absent). */
+  def deleteTree(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      import java.nio.file.Files
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
     } catch { case _: Exception => }
 
   /** Whether a delta-carrying table can serve the V2 merge-on-read

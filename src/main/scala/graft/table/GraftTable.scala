@@ -76,7 +76,13 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       version: Option[Long] = None): DataFrame = {
     val m = version.map(TableMeta.read(location, _)).getOrElse(meta)
     val keepBase = graft.sources.PartitionPruner.pruneFiles(m, m.baseFiles, filters)
-    val full = scanFiles(m, keepBase, m.deltaFiles)
+    // Delta files prune by their recorded first-key bounds too (delta
+    // stats, tablet/deltafile.h): a delta file whose interval cannot meet
+    // the predicate holds no delta for any surviving base row — sound
+    // because buildScan re-applies every convertible filter ABOVE the MOR
+    // union, so upserts from pruned files could never have been emitted.
+    val keepDelta = graft.sources.PartitionPruner.pruneFiles(m, m.deltaFiles, filters)
+    val full = scanFiles(m, keepBase, keepDelta)
     if (m.hasAutoInc) full.select(m.visibleColumns.map(c => col(c.name)): _*) else full
   }
 
@@ -719,16 +725,20 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       s"c${v}_deltamerge_${java.util.UUID.randomUUID().toString.take(8)}").toString
     val physCols = m.columns.map(c => col(c.name).cast(c.dataType).as(c.physName)) ++
       Seq(col(OpCol), col(SeqCol))
-    latest.select(physCols: _*)
-      .repartition(DeltaWritePartitions)
-      .sortWithinPartitions(m.columns.filter(_.isKey).map(c => col(c.physName)): _*)
-      .write.mode("overwrite").parquet(dir)
+    withMicrosTimestamps {
+      latest.select(physCols: _*)
+        .repartition(DeltaWritePartitions)
+        .sortWithinPartitions(m.columns.filter(_.isKey).map(c => col(c.physName)): _*)
+        .write.mode("overwrite").parquet(dir)
+    }
     // the merged fileset's manifest seq is the HIGHEST folded commit — CDC
     // range selection (changesSince file filter) stays conservative and the
     // row-level _graft_seq filter inside it restores exactness
     val maxSeq = m.deltaFiles.map(_.seq).max
     val files = listParquet(dir).map { p =>
-      DataFileMeta(p, "delta", maxSeq, GraftTable.parquetRows(p), m.columns.map(_.id))
+      val (lo, hi) = fileKeyBounds(m, p)
+      DataFileMeta(p, "delta", maxSeq, GraftTable.parquetRows(p), m.columns.map(_.id),
+        keyLo = lo, keyHi = hi)
     }
     try TableMeta.write(m.copy(version = v, timestampMs = now(),
       operation = "compact_deltas", deltaFiles = files))
@@ -1333,10 +1343,14 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       val w0 = parted
         .sortWithinPartitions(m.columns.filter(_.isKey).map(c => col(c.physName)): _*)
         .write
-      GraftTable.effectiveCodec(m).fold(w0)(cc => w0.option("compression", cc))
-        .mode("overwrite").parquet(dir)
+      withMicrosTimestamps {
+        GraftTable.effectiveCodec(m).fold(w0)(cc => w0.option("compression", cc))
+          .mode("overwrite").parquet(dir)
+      }
       val files = listParquet(dir).map { p =>
-        DataFileMeta(p, "delta", v, GraftTable.parquetRows(p), m.columns.map(_.id))
+        val (lo, hi) = fileKeyBounds(m, p)
+        DataFileMeta(p, "delta", v, GraftTable.parquetRows(p), m.columns.map(_.id),
+          keyLo = lo, keyHi = hi)
       }
       TableMeta.write(m.copy(version = v, timestampMs = now(), operation = op,
         deltaFiles = m.deltaFiles ++ files))
@@ -1348,6 +1362,31 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         throw e
     }
   }
+
+  /** Runs `f` with parquet timestamps written as INT64 micros — Spark's
+    * INT96 default carries footer statistics with no defined ordering, so
+    * timestamp key columns would get no usable min/max (no row-group
+    * pruning, no recorded key bounds). Session conf, so set-and-restore. */
+  private def withMicrosTimestamps[A](f: => A): A = {
+    val k = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "TIMESTAMP_MICROS")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  /** First-key footer bounds of a freshly written file — recorded on DELTA
+    * files as the reference's per-store delta stats (tablet/deltafile.h
+    * DeltaStats min/max row keys), so scans carrying a first-PK predicate
+    * can skip delta files whose key interval cannot intersect it.
+    * (None, None) when stats are absent or the key type is un-encodable —
+    * callers keep such files (conservative). */
+  private def fileKeyBounds(m: TableMeta, p: String): (Option[String], Option[String]) =
+    m.keyCols.headOption.map(m.column)
+      .map(c => GraftTable.parquetKeyBounds(p, c.physName, c.dataType))
+      .getOrElse((None, None))
 
   /** Best-effort recursive delete of a commit attempt's fileset — the
     * no-orphans half of the abort path (fsck would otherwise flag the
@@ -1377,8 +1416,9 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // fall back to a directory listing for single-writer callers.
     val paths = if (onlyPaths.nonEmpty) onlyPaths else listParquet(dir)
     val files = paths.map { p =>
+      val (lo, hi) = fileKeyBounds(m, p)
       DataFileMeta(p, "delta", expectedVersion, GraftTable.parquetRows(p),
-        m.columns.map(_.id))
+        m.columns.map(_.id), keyLo = lo, keyHi = hi)
     }
     if (files.isEmpty) return // nothing matched — no version churn
     TableMeta.write(m.copy(version = expectedVersion, timestampMs = now(),
@@ -1454,19 +1494,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         (c.encoding.get == "dictionary").toString)
     }
     val writer = effectiveCodec(m).fold(withEnc)(cc => withEnc.option("compression", cc))
-    // INT64 micros, not Spark's INT96 default: INT96 footer statistics have
-    // no defined ordering, so timestamp key columns would get no usable
-    // min/max — no row-group pruning and no recorded key bounds for
-    // coordinate-less layouts. Session conf (not a per-write option), so
-    // set-and-restore around the write.
-    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
-    val prevTsType = spark.conf.getOption(tsTypeKey)
-    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
-    try writer.mode("overwrite").parquet(dir)
-    finally prevTsType match {
-      case Some(v) => spark.conf.set(tsTypeKey, v)
-      case None => spark.conf.unset(tsTypeKey)
-    }
+    withMicrosTimestamps { writer.mode("overwrite").parquet(dir) }
     // Coordinate-less layouts (no hash, no range): record first-key footer
     // bounds so merge-on-read can interval-route deltas to these files
     // (DataFileMeta.keyLo/keyHi) — partitioned layouts route by coordinate.
