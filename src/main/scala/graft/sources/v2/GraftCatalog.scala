@@ -782,38 +782,90 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     val tbl = GraftTable.load(spark, m.location)
     val inner = org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
       spark, m.schema, internalSchema, filters)
-    if (GraftTable.deltaBytes(m.deltaFiles) < GraftTable.broadcastDeltaBytes) {
-      // broadcast overlay: collect the latest delta state once, ship it to
-      // every split (cheapest when the delta set is small). Delta files
-      // prune by their recorded first-key bounds (delta stats,
-      // tablet/deltafile.h) — sound because every file that can hold a
-      // surviving key is kept, and all filters are re-evaluated above this
-      // scan, so upserts from pruned files could never have been emitted.
-      // The spill branch below deliberately keeps the FULL delta set: its
-      // per-route spill is cached by (version, shape) across queries.
-      val keepDelta = graft.sources.PartitionPruner.pruneFiles(
-        m, m.deltaFiles, filters.toSeq ++ runtimeFilters)
-      val sel = tbl.latestDeltas(m, keepDelta)
-        .select(internalSchema.fieldNames.toSeq.map(col) ++
-          Seq(col(GraftTable.OpCol), routeCol): _*)
+    // Flushed (ROUTED) delta files — written per tablet coordinate by
+    // compactDeltas, the reference's DMS flush into per-rowset delta
+    // stores (tablet/deltafile.h) — attach to their split directly from
+    // disk; only the unrouted TAIL (commits since the last flush) needs
+    // transport, so the broadcast bound applies to the tail alone. A
+    // routed file is attach-eligible only when a raw by-name read of it
+    // is exact: every defaulted column must be physically present (absent
+    // columns read null, correct only when no read default exists);
+    // ineligible files just ride the tail through the remapping
+    // latestDeltas path.
+    // Attachment additionally requires every planned base file to carry a
+    // coordinate (or the single kgBare split, which owns everything):
+    // coordinate-less base files hold rows of ANY route, and a split that
+    // reads them must see the whole dead set — their layouts keep the
+    // tail/spill transport for all deltas.
+    val canAttach = kgBare ||
+      prunedFiles.forall(f => f.bucket.isDefined || f.rangeKey.isDefined)
+    val (routedD, tailD) =
+      if (!canAttach) (Nil, m.deltaFiles)
+      else m.deltaFiles.partition(f =>
+        (f.bucket.isDefined || f.rangeKey.isDefined) &&
+          m.columns.forall(c => c.defaultValue.isEmpty || f.colIds.contains(c.id)))
+    if (GraftTable.deltaBytes(tailD) < GraftTable.broadcastDeltaBytes) {
+      // broadcast overlay for the tail: collect its latest delta state
+      // once, ship it to every split. Tail files prune by their recorded
+      // first-key bounds (delta stats, tablet/deltafile.h) — sound because
+      // every file that can hold a surviving key is kept, and all filters
+      // are re-evaluated above this scan, so upserts from pruned files
+      // could never have been emitted. The spill branch below deliberately
+      // keeps the FULL delta set: its per-route spill is cached by
+      // (version, shape) across queries.
+      val keepTail = graft.sources.PartitionPruner.pruneFiles(
+        m, tailD, filters.toSeq ++ runtimeFilters)
       val opIdx = internalFields.length
       val routeIdx = opIdx + 1
-      val rows = sel.queryExecution.toRdd.map(_.copy()).collect()
       val dead = new java.util.HashSet[Seq[Any]]()
       val ups = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[Array[Any]]]()
-      rows.foreach { r =>
-        dead.add(MorOverlay.keyOf(r, keyIdx, types))
-        if (r.getUTF8String(opIdx).toString != GraftTable.OpDelete) {
-          val r0 = r.getUTF8String(routeIdx).toString
-          val route = if (owned.contains(r0)) r0 else fallback
-          ups.getOrElseUpdate(route, scala.collection.mutable.ArrayBuffer()) +=
-            types.indices.map(i => r.get(i, types(i))).toArray
+      if (keepTail.nonEmpty) { // a fully-flushed table plans with NO driver job
+        val sel = tbl.latestDeltas(m, keepTail)
+          .select(internalSchema.fieldNames.toSeq.map(col) ++
+            Seq(col(GraftTable.OpCol), routeCol): _*)
+        val rows = sel.queryExecution.toRdd.map(_.copy()).collect()
+        rows.foreach { r =>
+          dead.add(MorOverlay.keyOf(r, keyIdx, types))
+          if (r.getUTF8String(opIdx).toString != GraftTable.OpDelete) {
+            val r0 = r.getUTF8String(routeIdx).toString
+            val route = if (owned.contains(r0)) r0 else fallback
+            ups.getOrElseUpdate(route, scala.collection.mutable.ArrayBuffer()) +=
+              types.indices.map(i => r.get(i, types(i))).toArray
+          }
         }
       }
       val info = spark.sparkContext.broadcast(MorOverlayInfo(
         types, keyIdx, outIdx, identity, dead,
         ups.map { case (b, a) => b -> a.toArray }.toMap))
-      new MorOverlayReaderFactory(inner, info)
+      if (routedD.isEmpty) new MorOverlayReaderFactory(inner, info)
+      else {
+        // routed attachment: group the flushed files by the same route
+        // strings the splits carry (routeOf — the writer's own partition
+        // expressions); unowned routes fold into the fallback split.
+        // Pruning applies to flushed files exactly as to base files.
+        val keepRouted = graft.sources.PartitionPruner.pruneFiles(
+          m, routedD, filters.toSeq ++ runtimeFilters)
+        val routeParts: Map[String, InputPartition] = keepRouted
+          .groupBy { f =>
+            val r = GraftV2Scan.routeOf(m, f)
+            if (owned.contains(r)) r else fallback
+          }
+          .map { case (r, fs) =>
+            r -> (org.apache.spark.sql.GraftSqlBridge
+              .filePartition(0, fs.map(_.path).sorted, None): InputPartition)
+          }
+        val opSeqFields = Seq(
+          org.apache.spark.sql.types.StructField(GraftTable.OpCol,
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField(GraftTable.SeqCol,
+            org.apache.spark.sql.types.LongType, nullable = false))
+        val deltaFactory = org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
+          spark, StructType(m.schema.fields ++ opSeqFields),
+          StructType(internalFields ++ opSeqFields), Array.empty)
+        new RoutedMorReaderFactory(inner, deltaFactory, types, keyIdx, outIdx,
+          identity, opIdx, opIdx + 1, routeParts, info,
+          defaultRoute = if (kgBare) Some(GraftV2Scan.OrphanRoute) else None)
+      }
     } else {
       // SHUFFLE-SPILL overlay: past the broadcast bound, the delta state is
       // shuffled BY ROUTE into per-route parquet spills; each split's
@@ -858,15 +910,28 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
       val fbB = fallback
       val opDel = GraftTable.OpDelete
       val ivB = bareIv
+      // Tombstones materialize only key columns, so on layouts whose route
+      // depends on a NON-KEY column (per-range overrides / range-only with
+      // a non-key range column, or non-key hash columns) a DELETE row's
+      // computed route is garbage — duplicate it into EVERY owned route
+      // instead (dead-set-only duplication; the base row it suppresses
+      // sits in exactly one of them). Upserts carry full rows, so their
+      // routes are always exact.
+      val trusted = GraftTable.deleteRouteTrusted(m)
+      val allOwnedB = owned.toList.sorted
       val cand = org.apache.spark.sql.functions.udf(
         (layoutRoute: String, keyE: String, op: String) => {
-          val coord = if (ownedB.contains(layoutRoute)) layoutRoute :: Nil else Nil
-          val bare = ivB.iterator
-            .filter(iv => iv._2 <= keyE && keyE <= iv._3).map(_._1).toList
-          val all = coord ++ bare
-          val owner = all.headOption.getOrElse(fbB)
-          val rs = if (all.isEmpty) List(fbB) else all
-          rs.map(r => (r, if (op != opDel && r == owner) op else opDel))
+          if (op == opDel && !trusted)
+            allOwnedB.map(r => (r, opDel))
+          else {
+            val coord = if (ownedB.contains(layoutRoute)) layoutRoute :: Nil else Nil
+            val bare = ivB.iterator
+              .filter(iv => iv._2 <= keyE && keyE <= iv._3).map(_._1).toList
+            val all = coord ++ bare
+            val owner = all.headOption.getOrElse(fbB)
+            val rs = if (all.isEmpty) List(fbB) else all
+            rs.map(r => (r, if (op != opDel && r == owner) op else opDel))
+          }
         })
       val spillSchema = StructType(internalFields :+
         org.apache.spark.sql.types.StructField(GraftTable.OpCol,
@@ -893,17 +958,18 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         // publish below moves complete writes atomically) — rebuild it
         GraftV2Scan.deleteTree(spillDir)
         // With no interval candidates (every planned file coordinate-carrying,
-        // or the single key-grouped split) the candidate fold degenerates to
-        // route = owned(layoutRoute) | fallback with the op unchanged — keep
-        // that single-route projection (no explode, one scalar udf) so the
-        // common partitioned-table spill stays cheap; the duplicate-emitting
-        // explode runs only when bare-file intervals exist.
+        // or the single key-grouped split) and trusted delete routes, the
+        // candidate fold degenerates to route = owned(layoutRoute) |
+        // fallback with the op unchanged — keep that single-route
+        // projection (no explode, one scalar udf) so the common
+        // partitioned-table spill stays cheap; the duplicate-emitting
+        // explode runs only for bare-file intervals or untrusted deletes.
         val routed = tbl.latestDeltas(m, m.deltaFiles)
           .select(internalSchema.fieldNames.toSeq.map(col) ++
             Seq(col(GraftTable.OpCol), routeCol.as("_graft_layout_route"),
               keyEncCol.as("_graft_key_enc")): _*)
         val spillFrame =
-          if (bareIv.isEmpty)
+          if (bareIv.isEmpty && trusted)
             routed.select(internalSchema.fieldNames.toSeq.map(col) ++
               Seq(col(GraftTable.OpCol),
                 toId(col("_graft_layout_route")).as(GraftV2Scan.SpillRouteCol)): _*)
@@ -1039,7 +1105,7 @@ object GraftV2Scan {
     * crashed writers and superseded versions. Dirs named with `keepPrefix`
     * (the CURRENT version's cached spills) are always kept: they stay
     * valid until the next commit, however old they get. */
-  def sweepStaleSpills(tmpDir: java.nio.file.Path, keepPrefix: String = " "): Unit =
+  def sweepStaleSpills(tmpDir: java.nio.file.Path, keepPrefix: String = "\u0000"): Unit =
     try {
       import scala.jdk.CollectionConverters._
       import java.nio.file.Files

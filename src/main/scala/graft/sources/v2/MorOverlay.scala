@@ -115,6 +115,84 @@ class SpillMorOverlayReaderFactory(
   }
 }
 
+/**
+ * Routed-attachment variant of the overlay: the table's flushed delta
+ * files carry tablet coordinates (compactDeltas on a partitioned table —
+ * the reference's DMS flush into per-rowset delta stores,
+ * tablet/deltafile.h), so each split folds ITS OWN tablet's flushed
+ * deltas straight from disk — no broadcast, no shuffle, at any flushed
+ * size — and overlays the (small, broadcast) unrouted tail on top. Tail
+ * entries always win per key: the flush folded seqs ≤ its manifest seq,
+ * and every tail commit is newer.
+ *
+ * @param opIdx   position of the op column in the slice schema
+ * @param seqIdx  position of the seq column in the slice schema
+ * @param tail    broadcast overlay of the unrouted tail (its `dead` covers
+ *                every tail key, so routed upserts it supersedes are
+ *                suppressed; its per-route `upserts` emit as usual)
+ */
+class RoutedMorReaderFactory(
+    inner: PartitionReaderFactory,
+    deltaFactory: PartitionReaderFactory,
+    types: Array[DataType],
+    keyIdx: Array[Int],
+    outIdx: Array[Int],
+    identity: Boolean,
+    opIdx: Int,
+    seqIdx: Int,
+    routeParts: Map[String, InputPartition],
+    tail: Broadcast[MorOverlayInfo],
+    defaultRoute: Option[String] = None) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val route = p match {
+      case k: org.apache.spark.sql.GraftKeyedFilePartition => k.compositeBucket.toString
+      case r: org.apache.spark.sql.GraftRoutedFilePartition => r.route
+      case _ => defaultRoute.getOrElse(throw new IllegalStateException(
+        "routed delta attachment requires route-carrying splits"))
+    }
+    val owns = p match {
+      case r: org.apache.spark.sql.GraftRoutedFilePartition => r.ownsDeltas
+      case _ => true
+    }
+    val t = tail.value
+    val opDelete = graft.table.GraftTable.OpDelete
+    // fold the split's flushed slice to latest-per-key — same (seq desc,
+    // op desc) tie-break as latestDeltas ("U" > "D": the upsert wins)
+    val best = new java.util.HashMap[Seq[Any], (Long, String, Array[Any])]()
+    routeParts.get(route).foreach { dp =>
+      val dr = deltaFactory.createReader(dp)
+      try {
+        while (dr.next()) {
+          val r = dr.get().copy() // reader reuses its row buffer
+          val key = MorOverlay.keyOf(r, keyIdx, types)
+          val seq = r.getLong(seqIdx)
+          val op = r.getUTF8String(opIdx).toString
+          val cur = best.get(key)
+          if (cur == null || seq > cur._1 || (seq == cur._1 && op > cur._2)) {
+            val row =
+              if (op == opDelete) null
+              else Array.tabulate(types.length)(i => r.get(i, types(i)))
+            best.put(key, (seq, op, row))
+          }
+        }
+      } finally dr.close()
+    }
+    val dead = new java.util.HashSet[Seq[Any]](t.dead)
+    val ups = scala.collection.mutable.ArrayBuffer[Array[Any]]()
+    best.forEach { (k, v) =>
+      dead.add(k)
+      // a tail entry (upsert OR tombstone) for this key is newer than the
+      // flushed winner — the flushed upsert must not emit
+      if (owns && v._2 != opDelete && !t.dead.contains(k)) ups += v._3
+    }
+    t.upserts.get(route).foreach(a => ups ++= a)
+    val info = MorOverlayInfo(types, keyIdx, outIdx, identity, dead,
+      if (ups.isEmpty) Map.empty else Map(route -> ups.toArray))
+    new MorOverlayReader(inner.createReader(p), info, route, owns)
+  }
+}
+
 object MorOverlay {
   /** Key tuple with VALUE semantics: binary key columns come out of
     * InternalRow as Array[Byte], whose equals/hashCode are by reference —

@@ -705,12 +705,20 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   /**
    * MINOR delta compaction (reference: tablet/delta_compaction.cc — fold
    * many small delta files into one without touching the base): collapses
-   * the live delta set to latest-per-key and rewrites it as a single delta
-   * fileset. Each surviving row KEEPS its original `_graft_seq`, so
+   * the live delta set to latest-per-key and rewrites it as a compact
+   * delta fileset. Each surviving row KEEPS its original `_graft_seq`, so
    * merge-on-read and CDC window semantics are unchanged — only the file
    * count drops. This is the streaming-sink remedy at scale: 10^4
    * micro-batch commits leave 10^4 one-file deltas, and folding them is
    * O(delta bytes), not the O(base bytes) of a full [[compact]].
+   *
+   * On partitioned tables the fold is ROUTED: files are written per tablet
+   * coordinate (the same `partitionBy` dirs as [[writeBase]]) and each
+   * records its bucket/rangeKey — the reference's DMS flush into
+   * per-rowset delta stores (tablet/deltafile.h). The V2 read then
+   * attaches each tablet's flushed deltas to its own split straight from
+   * disk (no broadcast, no shuffle, at any delta size), and predicate
+   * pruning drops whole flushed-delta tablets the way it drops base files.
    */
   def compactDeltas(): Unit = {
     val m = meta
@@ -725,11 +733,45 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       s"c${v}_deltamerge_${java.util.UUID.randomUUID().toString.take(8)}").toString
     val physCols = m.columns.map(c => col(c.name).cast(c.dataType).as(c.physName)) ++
       Seq(col(OpCol), col(SeqCol))
+    val projected = latest.select(physCols: _*)
+    val keysPhys = m.columns.filter(_.isKey).map(c => col(c.physName))
+    var routed = projected
+    val partCols = ArrayBuffer[String]()
+    if (m.hash.nonEmpty) {
+      routed = routed.withColumn(BucketCol,
+        GraftTable.bucketExpr(m, n => col(m.column(n).physName)))
+      partCols += BucketCol
+    }
+    m.range.foreach { r =>
+      routed = routed.withColumn(RangeCol,
+        GraftTable.rangeKeyExprM(m, r, n => col(m.column(n).physName)))
+      partCols += RangeCol
+    }
     withMicrosTimestamps {
-      latest.select(physCols: _*)
-        .repartition(DeltaWritePartitions)
-        .sortWithinPartitions(m.columns.filter(_.isKey).map(c => col(c.physName)): _*)
-        .write.mode("overwrite").parquet(dir)
+      if (partCols.isEmpty)
+        projected.repartition(DeltaWritePartitions)
+          .sortWithinPartitions(keysPhys: _*)
+          .write.mode("overwrite").parquet(dir)
+      else if (GraftTable.deleteRouteTrusted(m))
+        routed.repartition(partCols.toSeq.map(col): _*)
+          .sortWithinPartitions(partCols.toSeq.map(col) ++ keysPhys: _*)
+          .write.partitionBy(partCols.toSeq: _*).mode("overwrite").parquet(dir)
+      else {
+        // The route depends on a NON-KEY column, which tombstones carry as
+        // null — their coords would be garbage. Write tombstones UNROUTED
+        // (coordinate-less files ride the V2 tail's global dead set, and
+        // CDC sees each op exactly once); upserts carry full rows, so
+        // their coords stay exact.
+        routed.filter(col(OpCol) =!= lit(OpDelete))
+          .repartition(partCols.toSeq.map(col): _*)
+          .sortWithinPartitions(partCols.toSeq.map(col) ++ keysPhys: _*)
+          .write.partitionBy(partCols.toSeq: _*).mode("overwrite")
+          .parquet(Paths.get(dir, "routed").toString)
+        projected.filter(col(OpCol) === lit(OpDelete))
+          .repartition(DeltaWritePartitions)
+          .sortWithinPartitions(keysPhys: _*)
+          .write.mode("overwrite").parquet(Paths.get(dir, "tomb").toString)
+      }
     }
     // the merged fileset's manifest seq is the HIGHEST folded commit — CDC
     // range selection (changesSince file filter) stays conservative and the
@@ -738,6 +780,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     val files = listParquet(dir).map { p =>
       val (lo, hi) = fileKeyBounds(m, p)
       DataFileMeta(p, "delta", maxSeq, GraftTable.parquetRows(p), m.columns.map(_.id),
+        bucket = GraftTable.partFromPath(p, BucketCol).map(_.toInt),
+        rangeKey = GraftTable.partFromPath(p, RangeCol),
         keyLo = lo, keyHi = hi)
     }
     try TableMeta.write(m.copy(version = v, timestampMs = now(),
@@ -1596,6 +1640,24 @@ object GraftTable {
   }
 
   def totalBuckets(m: TableMeta): Int = m.hash.map(_.buckets).product
+
+  /** Whether a DELETE delta row's computed route can be trusted: tombstones
+    * materialize only key columns ([[GraftTable.deleteWhere]]), so any
+    * route component derived from a NON-KEY column evaluates over null and
+    * lands in the "__null" partition — garbage. Uniform-hash layouts route
+    * by bucket alone, so a non-key RANGE column is harmless there; the
+    * range key participates in the route only under per-range bucket
+    * overrides or hash-less range layouts. Untrusted layouts must keep
+    * tombstones off the per-route decomposition (flush writes them
+    * unrouted; the spill overlay duplicates them into every owned route —
+    * dead-set-only duplication, the same trick interval routing uses). */
+  def deleteRouteTrusted(m: TableMeta): Boolean = {
+    val hashOk = m.hash.flatMap(_.cols).forall(m.keyCols.contains)
+    val rangeInRoute = m.rangeHashBucketsMap.nonEmpty ||
+      (m.hash.isEmpty && m.range.isDefined)
+    val rangeOk = m.range.forall(_.columns.forall(m.keyCols.contains))
+    hashOk && (!rangeInRoute || rangeOk)
+  }
 
   /** Range key of a dropped bound no longer in the covering list. */
   val UncoveredKey = "__uncovered"
