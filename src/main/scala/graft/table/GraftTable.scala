@@ -816,9 +816,12 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   /**
    * MAJOR compaction of ONE tablet: folds the live delta rows belonging to
    * the named (bucket and/or range-key) tablet into a fresh PK-sorted base
-   * fileset for that tablet only, and rewrites the remaining delta set
-   * latest-per-key (original seqs kept) — O(tablet + deltas), never
-   * O(table). This is the 100 TB maintenance path: the reference compacts
+   * fileset for that tablet only, and rewrites the remaining INSPECTED
+   * delta rows latest-per-key (original seqs kept). Routed delta files
+   * (per-tablet flush) whose coordinate contradicts the target are left
+   * untouched in the manifest — the fold costs O(tablet deltas + unrouted
+   * tail), never O(all deltas). This is the 100 TB maintenance path: the
+   * reference compacts
    * per rowset precisely so a huge table never pays a full rewrite
    * (tablet/delta_compaction.cc major delta compaction;
    * compaction_policy.h budgeted pick); [[compact]] is the whole-table
@@ -844,12 +847,36 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     val inTablet = m.baseFiles.filter(f =>
       bucket.forall(b => f.bucket.contains(b)) &&
         rangeKey.forall(rk => f.rangeKey.contains(rk)))
-    val member: Column = (
+    // Tombstones materialize only key columns: when a member expression
+    // reads a NON-KEY column, a DELETE row evaluates it over null and can
+    // MATCH the "__null" tablet even though its real base row lives
+    // elsewhere — folding it there would drop the tombstone and resurrect
+    // the row. Such ambiguous tombstones never fold; they stay in the
+    // rewritten delta set (conservative, read-time MOR still applies them).
+    val memberCols = (bucket.map(_ => m.hash.flatMap(_.cols)).getOrElse(Nil) ++
+      rangeKey.map(_ => m.range.get.columns).getOrElse(Nil)).distinct
+    val ambiguous: Column = memberCols.filterNot(m.keyCols.contains) match {
+      case Seq() => lit(false)
+      case nk => col(OpCol) === lit(OpDelete) && nk.map(col(_).isNull).reduce(_ || _)
+    }
+    val member: Column = ((
       bucket.map(bv => bucketExpr(m, col) === lit(bv)).toSeq ++
         rangeKey.map(rk => rangeKeyExprM(m, m.range.get, col) === lit(rk)).toSeq)
-      .reduce(_ && _)
+      .reduce(_ && _)) && !ambiguous
     val v = m.version + 1
-    val deltas = readFileGroup(m, m.deltaFiles, delta = true)
+    // File-level pruning: a routed delta file (per-tablet flush) whose
+    // coordinate contradicts the target tablet cannot hold a member row —
+    // leave it UNTOUCHED in the manifest instead of reading and rewriting
+    // it. The fold then costs O(tablet deltas + unrouted tail), never
+    // O(all deltas) — the reference's per-rowset delta compaction posture.
+    // "__null"-range files are range-WILDCARDS: trusted tombstones of a
+    // non-key range column flush there (their range value is null), so
+    // they may hold entries for keys of ANY range — always inspect them.
+    def mayContain(f: DataFileMeta): Boolean =
+      bucket.forall(b => f.bucket.forall(_ == b)) &&
+        rangeKey.forall(rk => f.rangeKey.forall(v => v == rk || v == "__null"))
+    val (touch, untouched) = m.deltaFiles.partition(mayContain)
+    val deltas = readFileGroup(m, touch, delta = true)
     val w = Window.partitionBy(m.keyCols.map(col): _*)
       .orderBy(col(SeqCol).desc, col(OpCol).desc) // same tie-break as latestDeltas
     val dLatest = deltas.filter(member).withColumn(RnCol, row_number().over(w))
@@ -863,10 +890,22 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       s"c${v}_deltamerge_${java.util.UUID.randomUUID().toString.take(8)}").toString
     try {
       val restFiles =
-        if (m.deltaFiles.isEmpty) Nil
+        if (touch.isEmpty) Nil
         else {
-          val rest = deltas.filter(!member).withColumn(RnCol, row_number().over(w))
+          val rest0 = deltas.filter(!member).withColumn(RnCol, row_number().over(w))
             .filter(col(RnCol) === 1).drop(RnCol)
+          // A non-member entry superseded by a FOLDED entry for the same
+          // key must not survive: the folded row's seq is gone (it lives
+          // in the new base), so a stale non-member tombstone left behind
+          // would kill it at read. Keep only rest entries NEWER than what
+          // folded for their key (an ambiguous tombstone newer than the
+          // folded upsert correctly still kills it).
+          val foldCol = "_graft_fold_seq"
+          val foldedKeys = dLatest.select(
+            m.keyCols.map(col) :+ col(SeqCol).as(foldCol): _*)
+          val rest = rest0.join(foldedKeys, m.keyCols, "left")
+            .filter(col(foldCol).isNull || col(foldCol) < col(SeqCol))
+            .drop(foldCol)
           val physCols = m.columns.map(c => col(c.name).cast(c.dataType).as(c.physName)) ++
             Seq(col(OpCol), col(SeqCol))
           rest.select(physCols: _*)
@@ -877,7 +916,9 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
           // stays conservative, the row-level seq filter restores exactness
           val maxSeq = m.deltaFiles.map(_.seq).max
           val (kept, empty) = listParquet(restDir).map { p =>
-            DataFileMeta(p, "delta", maxSeq, GraftTable.parquetRows(p), m.columns.map(_.id))
+            val (lo, hi) = fileKeyBounds(m, p)
+            DataFileMeta(p, "delta", maxSeq, GraftTable.parquetRows(p),
+              m.columns.map(_.id), keyLo = lo, keyHi = hi)
           }.partition(_.rows != 0)
           // an all-in-tablet delta set folds to nothing: drop the empty
           // part files now so they never read as another commit's orphans
@@ -888,7 +929,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       TableMeta.write(m.copy(version = v, timestampMs = now(),
         operation = "compact_tablet",
         baseFiles = m.baseFiles.filterNot(inTablet.contains) ++ newBase,
-        deltaFiles = restFiles))
+        deltaFiles = untouched ++ restFiles))
     } catch {
       case e: Throwable =>
         newBase.headOption.foreach { f =>

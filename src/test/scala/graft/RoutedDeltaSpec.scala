@@ -224,4 +224,74 @@ class RoutedDeltaSpec extends AnyFunSuite {
     val r = spark.read.format("graft").load(t.location)
     assert(r.filter(col("k") === 17L).head().getString(1) == "u17")
   }
+
+  test("compactTablet leaves other tablets' flushed delta files untouched") {
+    val wh = Files.createTempDirectory("graft-routed8-").toString
+    val df = (1 to 200).map(i => (i.toLong, s"a$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/ct", "ct", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 4)), data = Some(df))
+    t.upsert((1 to 200).map(i => (i.toLong, s"u$i")).toDF("k", "v"))
+    t.compactDeltas()
+    val before = t.meta.deltaFiles
+    assert(before.forall(_.bucket.isDefined) && before.size > 1)
+    t.compactTablet(bucket = Some(0))
+    val after = t.meta.deltaFiles
+    assert(!after.exists(_.bucket.contains(0)),
+      "the folded tablet's flushed file must be gone")
+    val keptOther = before.filter(f => !f.bucket.contains(0)).map(_.path).toSet
+    assert(keptOther.subsetOf(after.map(_.path).toSet),
+      "other tablets' flushed files must survive by identity (no rewrite)")
+    val state = t.scan().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state.size == 200 && (1 to 200).forall(i => state(i.toLong) == s"u$i"))
+  }
+
+  test("compactTablet: stale non-member tombstone must not survive a newer folded upsert") {
+    val wh = Files.createTempDirectory("graft-routed9-").toString
+    def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
+    val df = (1 to 60).map(i => (i.toLong, ts(1995 + i % 3), s"x$i")).toDF("id", "d", "v")
+    val t = GraftTable.create(spark, s"$wh/stale", "stale", df.schema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 4)),
+      range = Some(graft.catalog.RangeComponent("d", "year")), data = Some(df))
+    // delete then re-upsert the same keys: the tombstone (null range col →
+    // "__null" member evaluation) is non-member for every real tablet,
+    // while the newer upsert folds into the base — the tombstone must die
+    // with it, or the folded rows resurrect as deletes
+    val keys = Seq(5L, 10L, 15L, 20L)
+    t.delete(keys.map(Tuple1(_)).toDF("id"))
+    t.upsert(keys.map(k => (k, ts(1995 + (k % 3).toInt), s"back$k")).toDF("id", "d", "v"))
+    // fold every real tablet the stats report (skip the __null wildcard)
+    val tablets = t.deltaTabletStats().collect()
+      .map(r => (r.getInt(0), r.getString(1))).filter(_._2 != "__null")
+    tablets.foreach { case (b, rk) =>
+      t.compactTablet(bucket = Some(b), rangeKey = Some(rk))
+    }
+    val state = t.scan().collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    keys.foreach(k => assert(state.get(k).contains(s"back$k"),
+      s"key $k lost to a stale tombstone (got ${state.get(k)})"))
+    assert(state.size == 60)
+  }
+
+  test("compactTablet on the __null tablet must not fold foreign tombstones") {
+    val wh = Files.createTempDirectory("graft-routed10-").toString
+    def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
+    val df = (1 to 60).map(i => (i.toLong, ts(1995 + i % 3), s"x$i")).toDF("id", "d", "v")
+    val t = GraftTable.create(spark, s"$wh/nult", "nult", df.schema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 4)),
+      range = Some(graft.catalog.RangeComponent("d", "year")), data = Some(df))
+    val doomed = Seq(3L, 6L, 9L, 12L)
+    t.delete(doomed.map(Tuple1(_)).toDF("id"))
+    // the tombstones surface as "__null"-range tablet pressure; folding
+    // that pseudo-tablet must NOT drop them (their base rows live in real
+    // ranges and would resurrect)
+    val nullTablets = t.deltaTabletStats().collect()
+      .map(r => (r.getInt(0), r.getString(1))).filter(_._2 == "__null")
+    assert(nullTablets.nonEmpty, "tombstones should group under __null")
+    nullTablets.foreach { case (b, rk) =>
+      t.compactTablet(bucket = Some(b), rangeKey = Some(rk))
+    }
+    val state = t.scan().collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(doomed.forall(k => !state.contains(k)),
+      s"__null-tablet fold resurrected ${doomed.filter(state.contains)}")
+    assert(state.size == 56)
+  }
 }
