@@ -787,6 +787,54 @@ object Queries {
       finally s.conf.unset("graft.mor.broadcastBytes")
     }),
 
+    "q42_routed_flush" -> ((s, dir) => {
+      // Routed-flush gate (the reference's DMS flush into per-rowset delta
+      // stores, tablet/deltafile.h): after compactDeltas on a partitioned
+      // table, every delta file carries its tablet coordinate, and the V2
+      // read ATTACHES each tablet's flushed deltas to its own split from
+      // disk — with the broadcast bound forced to 1 byte and no spill dir
+      // allowed, per-tablet attachment is the only transport left. A tail
+      // upsert after the flush then rides the broadcast overlay on top
+      // (tail always wins per key); the final state is hash-checked
+      // against the oracle.
+      val raw = Tables.raw(s, dir, "supplier")
+      val loc = tmpLoc("graft-q42-")
+      val t = GraftTable.create(s, loc, "supplier_q42", raw.schema,
+        Seq("s_suppkey"), Seq(HashComponent(Seq("s_suppkey"), 4)),
+        data = Some(raw))
+      t.upsert(raw.filter(col("s_nationkey") === 3)
+        .withColumn("s_acctbal", col("s_acctbal") + 10))
+      t.delete(raw.filter(col("s_suppkey") % 53 === 0).select("s_suppkey"))
+      t.compactDeltas()
+      val m = t.meta
+      if (m.deltaFiles.isEmpty || !m.deltaFiles.forall(_.bucket.isDefined))
+        throw new IllegalStateException("the flush gate needs routed delta files")
+      val f = new java.io.File(loc)
+      s.conf.set("spark.sql.catalog.gq42",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq42.warehouse", f.getParent)
+      s.conf.set("graft.mor.broadcastBytes", "1")
+      val flushedCount =
+        try s.sql(s"SELECT count(*) FROM gq42.`${f.getName}`").head().getLong(0)
+        finally s.conf.unset("graft.mor.broadcastBytes")
+      val expected = raw.count() - raw.filter(col("s_suppkey") % 53 === 0).count()
+      if (flushedCount != expected)
+        throw new IllegalStateException(
+          s"flushed attach read returned $flushedCount rows, expected $expected")
+      val tmp = java.nio.file.Paths.get(loc, "tmp")
+      if (java.nio.file.Files.isDirectory(tmp) &&
+          scala.util.Using.resource(java.nio.file.Files.list(tmp))(st =>
+            scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator())
+              .asScala.exists(_.getFileName.toString.startsWith("_morspill_"))))
+        throw new IllegalStateException(
+          "routed attachment must serve without a shuffle spill")
+      t.upsert(raw.filter(col("s_suppkey") === 1).withColumn("s_name", lit("TAILED")))
+      s.sql(
+        s"""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+           |FROM gq42.`${f.getName}` ORDER BY s_suppkey""".stripMargin)
+        .localCheckpoint(true)
+    }),
+
     "q27_approx_distinct" -> ((s, dir) => {
       // HLL sketch vs exact: emit the exact count (hash-matched against the
       // oracle) plus a boolean asserting the sketch landed within 2%.
@@ -963,5 +1011,12 @@ object Queries {
         "p_retailprice FROM part WHERE p_partkey % 101 <> 0 " +
         "UNION ALL SELECT CAST(12345678 AS BIGINT), 'NEWPART', " +
         "(SELECT p_retailprice FROM part WHERE p_partkey = 1)" +
-        ") WHERE p_partkey >= 100 ORDER BY p_partkey"))
+        ") WHERE p_partkey >= 100 ORDER BY p_partkey"),
+    "q42_routed_flush" ->
+      ("SELECT s_suppkey, " +
+        "CASE WHEN s_suppkey = 1 THEN 'TAILED' ELSE s_name END AS s_name, " +
+        "s_nationkey, " +
+        "CASE WHEN s_nationkey = 3 AND s_suppkey <> 1 THEN s_acctbal + 10 " +
+        "ELSE s_acctbal END AS s_acctbal " +
+        "FROM supplier WHERE s_suppkey % 53 <> 0 ORDER BY s_suppkey"))
 }
