@@ -40,6 +40,12 @@ object Bench {
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
+      // per-run pipeline caches are dead once the count lands (every run
+      // rebuilds its own); dropping them between runs keeps the 3-7
+      // iterations x 6 caching queries from pressuring later measurements
+      // (p14 measured 3.9s in-suite vs 1.0s isolated before this).
+      // Released OUTSIDE the timed window; memoized signature frames stay.
+      finally Pipeline.releaseTransient()
     }
     def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double, Double, Double) = {
       def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.size / 2) }

@@ -46,15 +46,31 @@ object Pipeline {
   private def parallelism(s: SparkSession): Int =
     s.sparkContext.defaultParallelism
 
-  /** Caches created by pipeline queries, released by [[releaseCaches]] once
-    * the caller has materialized its results (Verify/Bench call it at end of
-    * run) — long-lived sessions must not accumulate executor memory. */
+  /** Caches created by pipeline queries, in two pools: TRANSIENT frames are
+    * rebuilt on every invocation of their query (per-run vector/shingle
+    * materializations) and are dead once the caller materializes that run's
+    * result — [[releaseTransient]] frees them between measured runs, or the
+    * residue of 3–7 bench iterations × 6 caching queries pressures every
+    * later query's runs (the round-9 bench measured p14 at 3.9 s in-suite
+    * vs 1.0 s isolated, pure cache-residue GC). MEMOIZED frames (the
+    * sigMemo signatures/candidates shared by p2/p3/p14 across queries)
+    * survive until [[releaseCaches]] at end of run. */
   private val persisted = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  private val memoPersisted = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
-  private def persistTracked(df: DataFrame): DataFrame = persisted.synchronized {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persisted += p
-    p
+  private def persistTracked(df: DataFrame, memo: Boolean = false): DataFrame =
+    persisted.synchronized {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (if (memo) memoPersisted else persisted) += p
+      p
+    }
+
+  /** Unpersist the per-run caches only (memoized signature frames stay).
+    * Safe between runs of one query: every query invocation rebuilds its
+    * own transient frames, so nothing cached here is ever reused later. */
+  def releaseTransient(): Unit = persisted.synchronized {
+    persisted.foreach(_.unpersist(blocking = false))
+    persisted.clear()
   }
 
   /** Unpersist every cache created by pipeline queries. Safe to call while
@@ -62,6 +78,8 @@ object Pipeline {
   def releaseCaches(): Unit = persisted.synchronized {
     persisted.foreach(_.unpersist(blocking = false))
     persisted.clear()
+    memoPersisted.foreach(_.unpersist(blocking = false))
+    memoPersisted.clear()
     sigMemo.synchronized(sigMemo.clear())
   }
 
@@ -75,9 +93,10 @@ object Pipeline {
     * executor-side re-wrap the streaming sink uses) — `df.rdd` would
     * deserialize every row to an external GenericRow and re-encode it on
     * each consumption. */
-  private def leafCached(s: SparkSession, df: DataFrame): DataFrame =
+  private def leafCached(s: SparkSession, df: DataFrame,
+      memo: Boolean = false): DataFrame =
     persistTracked(org.apache.spark.sql.GraftSqlBridge
-      .internalCreateDataFrame(s, df.queryExecution.toRdd, df.schema))
+      .internalCreateDataFrame(s, df.queryExecution.toRdd, df.schema), memo)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.scan(s, dir, "documents")
@@ -115,7 +134,8 @@ object Pipeline {
       // of every downstream plan (one analysis, not one per consumer)
       perDir.getOrElseUpdate(dir, leafCached(s,
         docShingles(s, dir).select(col("doc_id"),
-          minhashSignature(shingleHashes(col("sh")), MinhashK).as("sig"))))
+          minhashSignature(shingleHashes(col("sh")), MinhashK).as("sig")),
+        memo = true))
     }
 
   /** LSH candidate pairs (id_a < id_b) from minhash band buckets — memoized
@@ -135,7 +155,7 @@ object Pipeline {
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct())
+          .distinct(), memo = true)
       })
     }
 

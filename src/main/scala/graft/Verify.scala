@@ -35,6 +35,8 @@ object Verify {
         Files.createDirectories(d)
         Files.writeString(d.resolve("_ERROR"), s"$name: $msg")
       }
+      // per-run pipeline caches die with their query; memoized frames stay
+      finally Pipeline.releaseTransient()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

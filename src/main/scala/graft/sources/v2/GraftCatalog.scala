@@ -819,6 +819,21 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
       val routeIdx = opIdx + 1
       val dead = new java.util.HashSet[Seq[Any]]()
       val ups = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[Array[Any]]]()
+      // Routes touched by ANY delta row (upsert or tombstone). Trackable
+      // only when the route is a pure function of the KEY columns — then a
+      // tombstone (which carries only its key) still computes its true
+      // route, and a dead key's base row can only live in that route's
+      // files. Routes NOT in this set serve their base rows with no probe
+      // at all — columnar pass-through (S13 under mutation).
+      val routeRefCols: Set[String] = (m.hash.nonEmpty, m.range) match {
+        case (true, Some(r)) if m.rangeHashBucketsMap.nonEmpty =>
+          m.hash.flatMap(_.cols).toSet ++ r.columns
+        case (true, _) => m.hash.flatMap(_.cols).toSet
+        case (false, Some(r)) => r.columns.toSet
+        case (false, None) => Set.empty
+      }
+      val routeDerivable = routeRefCols.subsetOf(m.keyCols.toSet)
+      val dirty = scala.collection.mutable.Set[String]()
       if (keepTail.nonEmpty) { // a fully-flushed table plans with NO driver job
         val sel = tbl.latestDeltas(m, keepTail)
           .select(internalSchema.fieldNames.toSeq.map(col) ++
@@ -826,9 +841,11 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         val rows = sel.queryExecution.toRdd.map(_.copy()).collect()
         rows.foreach { r =>
           dead.add(MorOverlay.keyOf(r, keyIdx, types))
+          val r0 = if (r.isNullAt(routeIdx)) null
+            else r.getUTF8String(routeIdx).toString
+          val route = if (r0 != null && owned.contains(r0)) r0 else fallback
+          dirty += route
           if (r.getUTF8String(opIdx).toString != GraftTable.OpDelete) {
-            val r0 = r.getUTF8String(routeIdx).toString
-            val route = if (owned.contains(r0)) r0 else fallback
             ups.getOrElseUpdate(route, scala.collection.mutable.ArrayBuffer()) +=
               types.indices.map(i => r.get(i, types(i))).toArray
           }
@@ -837,7 +854,22 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
       val info = spark.sparkContext.broadcast(MorOverlayInfo(
         types, keyIdx, outIdx, identity, dead,
         ups.map { case (b, a) => b -> a.toArray }.toMap))
-      if (routedD.isEmpty) new MorOverlayReaderFactory(inner, info)
+      if (routedD.isEmpty) {
+        // Columnar capability for the overlay scan. Clean = owned routes
+        // with real coordinates and no delta row: synthetic per-file routes
+        // ("f:N", coordinate-less bases) hold rows of ANY key, so a dead
+        // set anywhere makes them dirty; non-key-derivable layouts track no
+        // clean set (every split probes — still columnar, just no
+        // pass-through).
+        val clean: Set[String] =
+          if (!routeDerivable) Set.empty
+          else owned.filter(r => !r.startsWith("f:") &&
+            r != GraftV2Scan.OrphanRoute && !dirty.contains(r))
+        val bare = org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
+          spark, m.schema, requiredSchema, filters)
+        new MorOverlayReaderFactory(inner, info,
+          Some(ColumnarMorSupport(bare, clean)))
+      }
       else {
         // routed attachment: group the flushed files by the same route
         // strings the splits carry (routeOf — the writer's own partition

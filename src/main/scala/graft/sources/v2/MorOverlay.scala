@@ -4,7 +4,7 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types._
 
 /**
  * Merge-on-read overlay for the DSv2 batch scan: the per-partition analog
@@ -36,24 +36,54 @@ case class MorOverlayInfo(
     dead: java.util.HashSet[Seq[Any]],
     upserts: Map[String, Array[Array[Any]]])
 
+/** Columnar capability for the broadcast overlay (S13 under mutation — the
+  * reference's scans stay columnar through delta application,
+  * tablet/delta_applier.h): `bare` reads the CALLER's schema directly for
+  * clean routes, `clean` names the routes provably untouched by any delta
+  * row (computable only when the route is a pure function of the key
+  * columns — then a dead key's base row can only sit in the dead key's own
+  * route). Spark forbids mixing row and columnar partitions in one scan,
+  * so dirty routes serve batches too, via [[MorColumnarReader]]. */
+case class ColumnarMorSupport(
+    bare: PartitionReaderFactory,
+    clean: Set[String])
+
 class MorOverlayReaderFactory(
     inner: PartitionReaderFactory,
-    info: Broadcast[MorOverlayInfo]) extends PartitionReaderFactory {
+    info: Broadcast[MorOverlayInfo],
+    val columnar: Option[ColumnarMorSupport] = None) extends PartitionReaderFactory {
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val route = p match {
-      // the COMPOSITE id (upserts are routed by the full bucketExpr fold);
-      // partitionKey() carries the decoded per-component ids for SPJ
-      case k: org.apache.spark.sql.GraftKeyedFilePartition => k.compositeBucket.toString
-      // unreported-grouping layouts: the planner stamped the owned route
-      case r: org.apache.spark.sql.GraftRoutedFilePartition => r.route
-      case _ => null // coordinate-less single partition: owns every upsert
-    }
-    val owns = p match {
-      case r: org.apache.spark.sql.GraftRoutedFilePartition => r.ownsDeltas
-      case _ => true
-    }
-    new MorOverlayReader(inner.createReader(p), info.value, route, owns)
+  private def routeOf(p: InputPartition): String = p match {
+    // the COMPOSITE id (upserts are routed by the full bucketExpr fold);
+    // partitionKey() carries the decoded per-component ids for SPJ
+    case k: org.apache.spark.sql.GraftKeyedFilePartition => k.compositeBucket.toString
+    // unreported-grouping layouts: the planner stamped the owned route
+    case r: org.apache.spark.sql.GraftRoutedFilePartition => r.route
+    case _ => null // coordinate-less single partition: owns every upsert
+  }
+  private def ownsOf(p: InputPartition): Boolean = p match {
+    case r: org.apache.spark.sql.GraftRoutedFilePartition => r.ownsDeltas
+    case _ => true
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new MorOverlayReader(inner.createReader(p), info.value, routeOf(p), ownsOf(p))
+
+  // Uniform across partitions (both delegates answer from schema + conf
+  // alone) — Spark's scan exec requires all-or-nothing columnar.
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar.exists(c =>
+      c.bare.supportColumnarReads(p) && inner.supportColumnarReads(p))
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val c = columnar.get
+    val route = routeOf(p)
+    if (route != null && c.clean.contains(route))
+      c.bare.createColumnarReader(p) // pass-through: no probe, no key re-add
+    else
+      new MorColumnarReader(inner.createColumnarReader(p), info.value,
+        route, ownsOf(p))
   }
 }
 
@@ -212,6 +242,117 @@ object MorOverlay {
     }
     scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
   }
+}
+
+/**
+ * Columnar merge-on-read: serves ColumnarBatches over a delta-carrying
+ * split (the reference applies deltas without leaving its columnar
+ * RowBlocks — tablet/delta_applier.h). Per inner batch: probe each row's
+ * key against the broadcast dead set; a batch with no superseded rows
+ * passes through untouched (the overwhelming case — deltas touch few
+ * row groups of a 100 TB table), a batch with hits copies the survivors
+ * into fresh vectors; the split's upserts emit as one final batch. The
+ * parquet decode underneath stays vectorized either way.
+ */
+class MorColumnarReader(
+    inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
+    info: MorOverlayInfo,
+    route: String,
+    emitUpserts: Boolean) extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  private var current: ColumnarBatch = _
+  private var upsDone = false
+  private val noDead = info.dead.isEmpty
+  private val outTypes: Array[DataType] = info.outIdx.map(info.types)
+  private val ups: Array[Array[Any]] =
+    if (!emitUpserts) Array.empty
+    else if (route != null) info.upserts.getOrElse(route, Array.empty[Array[Any]])
+    else info.upserts.valuesIterator.flatten.toArray
+
+  /** Write one internal-format value into a writable vector. Only atomic
+    * types can arrive here: the factory offers columnar reads only when
+    * the stock parquet factory does, which requires an all-atomic schema. */
+  private def set(v: OnHeapColumnVector, i: Int, dt: DataType, value: Any): Unit =
+    if (value == null) v.putNull(i) else dt match {
+      case BooleanType => v.putBoolean(i, value.asInstanceOf[Boolean])
+      case ByteType => v.putByte(i, value.asInstanceOf[Byte])
+      case ShortType => v.putShort(i, value.asInstanceOf[Short])
+      case IntegerType | DateType => v.putInt(i, value.asInstanceOf[Int])
+      case LongType | TimestampType | TimestampNTZType =>
+        v.putLong(i, value.asInstanceOf[Long])
+      case FloatType => v.putFloat(i, value.asInstanceOf[Float])
+      case DoubleType => v.putDouble(i, value.asInstanceOf[Double])
+      case d: org.apache.spark.sql.types.DecimalType =>
+        v.putDecimal(i, value.asInstanceOf[org.apache.spark.sql.types.Decimal],
+          d.precision)
+      case _: org.apache.spark.sql.types.StringType =>
+        val b = value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+        v.putByteArray(i, b, 0, b.length)
+      case BinaryType =>
+        val b = value.asInstanceOf[Array[Byte]]
+        v.putByteArray(i, b, 0, b.length)
+      case other => throw new UnsupportedOperationException(
+        s"columnar merge-on-read over $other")
+    }
+
+  private def batchOf(rows: Iterator[Int => Any], n: Int): ColumnarBatch = {
+    val vs = outTypes.map(t => new OnHeapColumnVector(n, t))
+    var j = 0
+    rows.foreach { row =>
+      var c = 0
+      while (c < outTypes.length) { set(vs(c), j, outTypes(c), row(c)); c += 1 }
+      j += 1
+    }
+    new ColumnarBatch(vs.map(v => v: ColumnVector), n)
+  }
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val batch = inner.get()
+      val n = batch.numRows()
+      // probe pass: indices of rows NOT superseded by a delta
+      val keep: Array[Int] = if (noDead) null else {
+        val buf = new Array[Int](n)
+        var k = 0; var i = 0
+        while (i < n) {
+          val row = batch.getRow(i)
+          if (!info.dead.contains(MorOverlay.keyOf(row, info.keyIdx, info.types))) {
+            buf(k) = i; k += 1
+          }
+          i += 1
+        }
+        if (k == n) null else java.util.Arrays.copyOf(buf, k)
+      }
+      if (keep == null) {
+        // untouched batch: re-expose the caller's columns without copying
+        current =
+          if (info.identity) batch
+          else new ColumnarBatch(
+            info.outIdx.map(batch.column(_): ColumnVector), n)
+        return true
+      } else if (keep.length > 0) {
+        current = batchOf(keep.iterator.map { i =>
+          val row = batch.getRow(i)
+          c => row.get(info.outIdx(c), outTypes(c))
+        }, keep.length)
+        return true
+      }
+      // every row of this batch superseded: read on
+    }
+    if (!upsDone) {
+      upsDone = true
+      if (ups.nonEmpty) {
+        current = batchOf(ups.iterator.map(a => c => a(info.outIdx(c))), ups.length)
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = current
+  override def close(): Unit = inner.close()
 }
 
 class MorOverlayReader(
