@@ -835,6 +835,46 @@ object Queries {
         .localCheckpoint(true)
     }),
 
+    "q43_mor_columnar" -> ((s, dir) => {
+      // Columnar merge-on-read gate (S13 under mutation): a delta-carrying
+      // table read through the V2 catalog must still serve vectorized
+      // ColumnarBatches — the reference never leaves its columnar RowBlocks
+      // to apply deltas (tablet/delta_applier.h). Clean tablets pass the
+      // stock parquet reader through untouched; dirty tablets filter
+      // batches against the broadcast dead set and append their upserts.
+      // The plan check throws if the scan ever falls back to row-based, so
+      // a columnar regression is a red row, not a silent slowdown.
+      val raw = Tables.raw(s, dir, "customer")
+      val loc = tmpLoc("graft-q43-")
+      val t = GraftTable.create(s, loc, "customer_q43", raw.schema,
+        Seq("c_custkey"), Seq(HashComponent(Seq("c_custkey"), 8)),
+        data = Some(raw))
+      t.upsert(raw.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100))
+      t.deleteWhere(col("c_custkey") % 53 === 0)
+      if (t.meta.deltaFiles.isEmpty)
+        throw new IllegalStateException("the columnar-MOR gate needs deltas")
+      val f = new java.io.File(loc)
+      s.conf.set("spark.sql.catalog.gq43",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq43.warehouse", f.getParent)
+      val df = s.sql(
+        s"""SELECT c_nationkey, count(*) AS n,
+           |round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE), 2) AS bal
+           |FROM gq43.`${f.getName}` GROUP BY c_nationkey
+           |ORDER BY c_nationkey""".stripMargin)
+      // Drive THIS queryExecution to its final AQE plan (df.count() would
+      // execute a different one), then read the formatted explain — stage
+      // internals (incl. the ColumnarToRow transition) only show there.
+      df.queryExecution.toRdd.count()
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      if (!plan.contains("ColumnarToRow"))
+        throw new IllegalStateException(
+          s"merge-on-read scan must serve columnar batches:\n$plan")
+      df
+    }),
+
     "q27_approx_distinct" -> ((s, dir) => {
       // HLL sketch vs exact: emit the exact count (hash-matched against the
       // oracle) plus a boolean asserting the sketch landed within 2%.
@@ -1018,5 +1058,13 @@ object Queries {
         "s_nationkey, " +
         "CASE WHEN s_nationkey = 3 AND s_suppkey <> 1 THEN s_acctbal + 10 " +
         "ELSE s_acctbal END AS s_acctbal " +
-        "FROM supplier WHERE s_suppkey % 53 <> 0 ORDER BY s_suppkey"))
+        "FROM supplier WHERE s_suppkey % 53 <> 0 ORDER BY s_suppkey"),
+
+    "q43_mor_columnar" ->
+      ("SELECT c_nationkey, count(*) AS n, " +
+        "round(CAST(sum(CAST(CASE WHEN c_custkey % 7 = 0 " +
+        "THEN c_acctbal + 100 ELSE c_acctbal END AS DECIMAL(28,2))) " +
+        "AS DOUBLE), 2) AS bal " +
+        "FROM customer WHERE c_custkey % 53 <> 0 " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"))
 }

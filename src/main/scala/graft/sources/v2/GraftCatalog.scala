@@ -854,22 +854,21 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
       val info = spark.sparkContext.broadcast(MorOverlayInfo(
         types, keyIdx, outIdx, identity, dead,
         ups.map { case (b, a) => b -> a.toArray }.toMap))
-      if (routedD.isEmpty) {
-        // Columnar capability for the overlay scan. Clean = owned routes
-        // with real coordinates and no delta row: synthetic per-file routes
-        // ("f:N", coordinate-less bases) hold rows of ANY key, so a dead
-        // set anywhere makes them dirty; non-key-derivable layouts track no
-        // clean set (every split probes — still columnar, just no
-        // pass-through).
-        val clean: Set[String] =
-          if (!routeDerivable) Set.empty
-          else owned.filter(r => !r.startsWith("f:") &&
-            r != GraftV2Scan.OrphanRoute && !dirty.contains(r))
-        val bare = org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
-          spark, m.schema, requiredSchema, filters)
+      // Columnar capability for the overlay scan. Clean = owned routes
+      // with real coordinates and no (tail) delta row: synthetic per-file
+      // routes ("f:N", coordinate-less bases) hold rows of ANY key, so a
+      // dead set anywhere makes them dirty; non-key-derivable layouts
+      // track no clean set (every split probes — still columnar, just no
+      // pass-through).
+      val clean: Set[String] =
+        if (!routeDerivable) Set.empty
+        else owned.filter(r => !r.startsWith("f:") &&
+          r != GraftV2Scan.OrphanRoute && !dirty.contains(r))
+      val bare = org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
+        spark, m.schema, requiredSchema, filters)
+      if (routedD.isEmpty)
         new MorOverlayReaderFactory(inner, info,
           Some(ColumnarMorSupport(bare, clean)))
-      }
       else {
         // routed attachment: group the flushed files by the same route
         // strings the splits carry (routeOf — the writer's own partition
@@ -896,7 +895,8 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
           StructType(internalFields ++ opSeqFields), Array.empty)
         new RoutedMorReaderFactory(inner, deltaFactory, types, keyIdx, outIdx,
           identity, opIdx, opIdx + 1, routeParts, info,
-          defaultRoute = if (kgBare) Some(GraftV2Scan.OrphanRoute) else None)
+          defaultRoute = if (kgBare) Some(GraftV2Scan.OrphanRoute) else None,
+          columnar = Some(ColumnarMorSupport(bare, clean)))
       }
     } else {
       // SHUFFLE-SPILL overlay: past the broadcast bound, the delta state is
@@ -1047,7 +1047,9 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         outIdx, identity, internalFields.length, routeParts,
         // key grouping + coordinate-less files: the single unkeyed split
         // reads the one slice every delta row was routed to
-        defaultRoute = if (kgBare) Some(GraftV2Scan.OrphanRoute) else None)
+        defaultRoute = if (kgBare) Some(GraftV2Scan.OrphanRoute) else None,
+        bare = Some(org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
+          spark, m.schema, requiredSchema, filters)))
     }
   }
 }

@@ -113,19 +113,27 @@ class SpillMorOverlayReaderFactory(
     // Set when the planner served a key-grouped layout with coordinate-less
     // files as ONE unkeyed split: that split reads this (single) route's
     // slice, which carries every delta row.
-    defaultRoute: Option[String] = None) extends PartitionReaderFactory {
+    defaultRoute: Option[String] = None,
+    // bare requiredSchema reader — splits whose route has NO spill slice
+    // pass through it columnar (sound for every spill route kind: interval
+    // routing duplicates a delta into each candidate file's slice, so an
+    // empty slice proves no delta can touch this split's rows)
+    bare: Option[PartitionReaderFactory] = None) extends PartitionReaderFactory {
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val route = p match {
-      case k: org.apache.spark.sql.GraftKeyedFilePartition => k.compositeBucket.toString
-      case r: org.apache.spark.sql.GraftRoutedFilePartition => r.route
-      case _ => defaultRoute.getOrElse(throw new IllegalStateException(
-        "spill overlay requires route-carrying splits (spillRoutable guard)"))
-    }
-    val owns = p match {
-      case r: org.apache.spark.sql.GraftRoutedFilePartition => r.ownsDeltas
-      case _ => true
-    }
+  private def routeOf(p: InputPartition): String = p match {
+    case k: org.apache.spark.sql.GraftKeyedFilePartition => k.compositeBucket.toString
+    case r: org.apache.spark.sql.GraftRoutedFilePartition => r.route
+    case _ => defaultRoute.getOrElse(throw new IllegalStateException(
+      "spill overlay requires route-carrying splits (spillRoutable guard)"))
+  }
+  private def ownsOf(p: InputPartition): Boolean = p match {
+    case r: org.apache.spark.sql.GraftRoutedFilePartition => r.ownsDeltas
+    case _ => true
+  }
+
+  /** Drain this route's spill slice into an overlay state (executor-side,
+    * per split — the per-tablet memory posture). */
+  private def infoFor(route: String, owns: Boolean): MorOverlayInfo = {
     val dead = new java.util.HashSet[Seq[Any]]()
     val ups = scala.collection.mutable.ArrayBuffer[Array[Any]]()
     routeParts.get(route).foreach { dp =>
@@ -139,9 +147,30 @@ class SpillMorOverlayReaderFactory(
         }
       } finally dr.close()
     }
-    val info = MorOverlayInfo(types, keyIdx, outIdx, identity, dead,
+    MorOverlayInfo(types, keyIdx, outIdx, identity, dead,
       if (ups.isEmpty) Map.empty else Map(route -> ups.toArray))
-    new MorOverlayReader(inner.createReader(p), info, route, owns)
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val route = routeOf(p)
+    val owns = ownsOf(p)
+    new MorOverlayReader(inner.createReader(p), infoFor(route, owns), route, owns)
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    bare.exists(b =>
+      b.supportColumnarReads(p) && inner.supportColumnarReads(p))
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val route = routeOf(p)
+    if (!routeParts.contains(route))
+      bare.get.createColumnarReader(p) // empty slice: clean pass-through
+    else {
+      val owns = ownsOf(p)
+      new MorColumnarReader(inner.createColumnarReader(p),
+        infoFor(route, owns), route, owns)
+    }
   }
 }
 
@@ -172,19 +201,49 @@ class RoutedMorReaderFactory(
     seqIdx: Int,
     routeParts: Map[String, InputPartition],
     tail: Broadcast[MorOverlayInfo],
-    defaultRoute: Option[String] = None) extends PartitionReaderFactory {
+    defaultRoute: Option[String] = None,
+    // Columnar capability: `clean` = routes the TAIL provably never
+    // touches (planner-computed, key-derivable layouts only); a split is
+    // fully clean when additionally no flushed slice attaches to it.
+    columnar: Option[ColumnarMorSupport] = None) extends PartitionReaderFactory {
+
+  private def routeOf(p: InputPartition): String = p match {
+    case k: org.apache.spark.sql.GraftKeyedFilePartition => k.compositeBucket.toString
+    case r: org.apache.spark.sql.GraftRoutedFilePartition => r.route
+    case _ => defaultRoute.getOrElse(throw new IllegalStateException(
+      "routed delta attachment requires route-carrying splits"))
+  }
+  private def ownsOf(p: InputPartition): Boolean = p match {
+    case r: org.apache.spark.sql.GraftRoutedFilePartition => r.ownsDeltas
+    case _ => true
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar.exists(c =>
+      c.bare.supportColumnarReads(p) && inner.supportColumnarReads(p))
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val c = columnar.get
+    val route = routeOf(p)
+    if (!routeParts.contains(route) && c.clean.contains(route))
+      c.bare.createColumnarReader(p) // no flushed slice, tail-clean route
+    else {
+      val owns = ownsOf(p)
+      new MorColumnarReader(inner.createColumnarReader(p),
+        infoFor(route, owns), route, owns)
+    }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val route = p match {
-      case k: org.apache.spark.sql.GraftKeyedFilePartition => k.compositeBucket.toString
-      case r: org.apache.spark.sql.GraftRoutedFilePartition => r.route
-      case _ => defaultRoute.getOrElse(throw new IllegalStateException(
-        "routed delta attachment requires route-carrying splits"))
-    }
-    val owns = p match {
-      case r: org.apache.spark.sql.GraftRoutedFilePartition => r.ownsDeltas
-      case _ => true
-    }
+    val route = routeOf(p)
+    val owns = ownsOf(p)
+    new MorOverlayReader(inner.createReader(p), infoFor(route, owns), route, owns)
+  }
+
+  /** Fold this split's flushed slice to latest-per-key and merge the
+    * broadcast tail on top (tail always wins per key). */
+  private def infoFor(route: String, owns: Boolean): MorOverlayInfo = {
     val t = tail.value
     val opDelete = graft.table.GraftTable.OpDelete
     // fold the split's flushed slice to latest-per-key — same (seq desc,
@@ -217,9 +276,8 @@ class RoutedMorReaderFactory(
       if (owns && v._2 != opDelete && !t.dead.contains(k)) ups += v._3
     }
     t.upserts.get(route).foreach(a => ups ++= a)
-    val info = MorOverlayInfo(types, keyIdx, outIdx, identity, dead,
+    MorOverlayInfo(types, keyIdx, outIdx, identity, dead,
       if (ups.isEmpty) Map.empty else Map(route -> ups.toArray))
-    new MorOverlayReader(inner.createReader(p), info, route, owns)
   }
 }
 

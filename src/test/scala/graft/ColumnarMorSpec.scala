@@ -27,7 +27,12 @@ class ColumnarMorSpec extends AnyFunSuite {
     df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
 
   private def assertColumnar(df: org.apache.spark.sql.DataFrame): Unit = {
-    val plan = df.queryExecution.executedPlan.toString
+    // Drive THIS queryExecution to its final AQE plan (df.count() would
+    // execute a different one), then read the formatted explain — stage
+    // internals (incl. the ColumnarToRow transition) only show there.
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.contains("ColumnarToRow"),
       s"expected a columnar scan under the MOR overlay:\n$plan")
   }
@@ -109,6 +114,44 @@ class ColumnarMorSpec extends AnyFunSuite {
     val v1 = t.scan().collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(v2 == v1)
     assert(v2(2L) == "u95" && v2(1L) == "u96" && !v2.contains(4L))
+  }
+
+  test("shuffle-spill overlay (past the broadcast bound) serves columnar") {
+    val wh = Files.createTempDirectory("graft-cmor6-").toString
+    val df = (1 to 200).map(i => (i.toLong, s"a$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/c6", "c6", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 4)), data = Some(df))
+    t.upsert((1 to 60).map(i => (i.toLong, s"u$i")).toDF("k", "v"))
+    t.delete(Seq(Tuple1(190L)).toDF("k"))
+    spark.conf.set("spark.sql.catalog.gcm6", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcm6.warehouse", wh)
+    spark.conf.set("graft.mor.broadcastBytes", "1")
+    try {
+      val v2df = spark.table("gcm6.c6")
+      assertColumnar(v2df)
+      val v2 = stateOf(v2df)
+      assert(v2 == stateOf(t.scan()))
+      assert(v2.size == 199 && v2(1L) == "u1" && !v2.contains(190L))
+    } finally spark.conf.unset("graft.mor.broadcastBytes")
+  }
+
+  test("routed-flush attachment (per-tablet delta files) serves columnar") {
+    val wh = Files.createTempDirectory("graft-cmor7-").toString
+    val df = (1 to 200).map(i => (i.toLong, s"a$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/c7", "c7", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 4)), data = Some(df))
+    t.upsert((1 to 40).map(i => (i.toLong, s"u$i")).toDF("k", "v"))
+    t.delete(Seq(Tuple1(150L)).toDF("k"))
+    t.compactDeltas() // flush: deltas become per-tablet routed files
+    t.upsert(Seq((2L, "tail")).toDF("k", "v")) // unflushed tail on top
+    spark.conf.set("spark.sql.catalog.gcm7", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcm7.warehouse", wh)
+    val v2df = spark.table("gcm7.c7")
+    assertColumnar(v2df)
+    val v2 = stateOf(v2df)
+    assert(v2 == stateOf(t.scan()))
+    assert(v2.size == 199 && v2(1L) == "u1" && v2(2L) == "tail" &&
+      !v2.contains(150L))
   }
 
   test("a fully-superseded tablet emits only its upserts; others pass clean") {
