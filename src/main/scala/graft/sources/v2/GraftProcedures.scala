@@ -45,8 +45,8 @@ import graft.table.GraftTable
 private[v2] object GraftProcedures {
 
   val names: Array[String] = Array(
-    "compact", "compact_tablet", "maintain", "delta_stats", "fsck", "fsck_repair",
-    "register",
+    "compact", "compact_deltas", "compact_tablet", "maintain", "delta_stats",
+    "fsck", "fsck_repair", "register",
     "txn_begin", "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort")
 
   private def spark = SparkSession.active
@@ -87,6 +87,16 @@ private[v2] object GraftProcedures {
         "fold all deltas into a fresh hash/range-partitioned PK-sorted base",
         Array(tableParam), new StructType().add("version", LongType)) { in =>
           val t = locate(in); t.compact(); Seq(InternalRow(t.currentVersion))
+        })
+      case "compact_deltas" => Some(proc("compact_deltas",
+        "MINOR delta compaction — fold delta files without touching the base; " +
+          "tail_only folds just the unflushed tail, O(tail)",
+        Array(tableParam,
+          ProcedureParameter.in("tail_only", BooleanType).defaultValue("false").build()),
+        new StructType().add("version", LongType)) { in =>
+          val t = locate(in)
+          t.compactDeltas(tailOnly = in.getBoolean(1))
+          Seq(InternalRow(t.currentVersion))
         })
       case "compact_tablet" => Some(proc("compact_tablet",
         "MAJOR-compact one tablet — O(tablet + deltas), never O(table)",

@@ -692,8 +692,13 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       } else if (m.deltaFiles.size > maxDeltaFiles) {
         // many SMALL files (streaming micro-batch commits): the minor fold is
         // O(delta bytes); the full rewrite is O(base bytes) — at scale the
-        // difference is the whole table
-        compactDeltas(); true
+        // difference is the whole table. When the unflushed tail is the
+        // pressure, fold ONLY it (O(tail)) and leave earlier flushed
+        // filesets untouched; a flushed set fragmented across many minor
+        // passes needs the full refold to actually shrink.
+        val tail = m.deltaFiles.count(f => f.bucket.isEmpty && f.rangeKey.isEmpty)
+        compactDeltas(tailOnly = tail > m.deltaFiles.size / 2)
+        true
       } else false
     } catch {
       case e: IllegalStateException
@@ -719,11 +724,27 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
    * attaches each tablet's flushed deltas to its own split straight from
    * disk (no broadcast, no shuffle, at any delta size), and predicate
    * pruning drops whole flushed-delta tablets the way it drops base files.
+   *
+   * `tailOnly = true` folds ONLY the unflushed tail (coordinate-less delta
+   * files — the commits since the last flush) and carries every earlier
+   * flushed fileset over in the manifest BY IDENTITY: the incremental
+   * flush is O(tail), never O(total deltas), the reference's repeated
+   * minor-compaction posture under a sustained write stream (a new flush
+   * must not re-fold the 10^4 files already flushed). Cross-fileset key
+   * overlap is resolved at read time by the per-row `_graft_seq` fold,
+   * exactly as overlapping delta stores merge in the reference.
    */
-  def compactDeltas(): Unit = {
+  def compactDeltas(tailOnly: Boolean = false): Unit = {
     val m = meta
-    if (m.deltaFiles.size <= 1) return
-    val deltas = dropMaskDelta(m, readFileGroup(m, m.deltaFiles, delta = true))
+    // the unrouted "tomb" files of an untrusted-layout flush carry no
+    // coordinate either — refolding them with the tail is correct (their
+    // seqs ride along) and re-offers them for routing if the layout's
+    // trust changed (e.g. after dropping the non-key range column)
+    val (kept, fold) =
+      if (!tailOnly) (Nil, m.deltaFiles)
+      else m.deltaFiles.partition(f => f.bucket.isDefined || f.rangeKey.isDefined)
+    if (fold.size <= 1) return
+    val deltas = dropMaskDelta(m, readFileGroup(m, fold, delta = true))
     val w = Window.partitionBy(m.keyCols.map(col): _*)
       .orderBy(col(SeqCol).desc, col(OpCol).desc) // same tie-break as latestDeltas
     val latest = deltas.withColumn(RnCol, row_number().over(w))
@@ -776,7 +797,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // the merged fileset's manifest seq is the HIGHEST folded commit — CDC
     // range selection (changesSince file filter) stays conservative and the
     // row-level _graft_seq filter inside it restores exactness
-    val maxSeq = m.deltaFiles.map(_.seq).max
+    val maxSeq = fold.map(_.seq).max
     val files = listParquet(dir).map { p =>
       val (lo, hi) = fileKeyBounds(m, p)
       DataFileMeta(p, "delta", maxSeq, GraftTable.parquetRows(p), m.columns.map(_.id),
@@ -785,7 +806,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         keyLo = lo, keyHi = hi)
     }
     try TableMeta.write(m.copy(version = v, timestampMs = now(),
-      operation = "compact_deltas", deltaFiles = files))
+      operation = "compact_deltas", deltaFiles = kept ++ files))
     catch {
       case e: Throwable =>
         sweepTree(Paths.get(dir))
