@@ -68,6 +68,19 @@ case class ColumnMeta(
     if (hasWriteDefault.contains(true)) writeDefault else defaultValue
 }
 
+/** Per-column statistics recorded by `GraftTable.analyze` (the engine's
+  * ANALYZE — the reference surfaces table-level stats through
+  * `kudu table statistics` / KuduScanToken on-disk sizes; per-column
+  * NDV/min/max is what Spark's CBO consumes on top). Values are stored in
+  * external string form and cast to the column type on use. */
+case class ColStat(
+    ndv: Long,
+    nullCount: Long,
+    min: Option[String] = None,
+    max: Option[String] = None,
+    avgLen: Option[Long] = None,
+    maxLen: Option[Long] = None)
+
 /** One hash-bucket partition component over key columns
   * (reference: PartitionSchemaPB common/common.proto:355-398). */
 case class HashComponent(cols: Seq[String], buckets: Int)
@@ -185,7 +198,13 @@ case class TableMeta(
     // when the range has no base files, i.e. at range-(re)add time, like
     // the reference's AddRangePartition-with-custom-hash-schema): range
     // key → bucket count overriding the single hash component's count.
-    rangeHashBuckets: Option[Map[String, Int]] = None) {
+    rangeHashBuckets: Option[Map[String, Int]] = None,
+    // Column statistics from the last analyze() (column name → stats) and
+    // the snapshot version they were computed at. Estimates: served to
+    // Spark's CBO as-is until the next analyze. Option-typed for metadata
+    // written by older builds.
+    colStats: Option[Map[String, ColStat]] = None,
+    analyzedVersion: Option[Long] = None) {
 
   def schema: StructType = StructType(columns.map(_.toField))
   /** Full key, including the hidden auto-increment column of non-unique-PK

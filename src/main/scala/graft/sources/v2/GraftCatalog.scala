@@ -617,11 +617,52 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
       if (meta.deltaFiles.isEmpty && meta.rangeDrops.isEmpty &&
           files.forall(_.rows >= 0L)) Some(files.map(_.rows).sum)
       else None
+    // Per-column statistics from the last analyze() — NDV, null count,
+    // min/max (converted to catalyst internal values, which is what the
+    // CBO's estimation reads), string lengths. Reported for the scan's
+    // output columns only; estimates until the next analyze.
+    val colStatsMap: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val mm = new java.util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      meta.colStats.foreach(_.foreach { case (name, cs) =>
+        if (requiredSchema.fieldNames.contains(name)) {
+          val dt = meta.column(name).dataType
+          // TRY-cast: a column dropped and re-added under the same name
+          // with another type leaves stale stats whose strings may not
+          // cast (ANSI throws); stale min/max must degrade to absent,
+          // never break scan planning
+          def internal(s: String): Option[Any] = scala.util.Try(
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.catalyst.expressions.Literal(s), dt,
+              Some("UTC")).eval(null)).toOption.filter(_ != null)
+          val minV = cs.min.flatMap(internal)
+          val maxV = cs.max.flatMap(internal)
+          mm.put(Expressions.column(name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount() = java.util.OptionalLong.of(cs.ndv)
+              override def nullCount() = java.util.OptionalLong.of(cs.nullCount)
+              override def min(): java.util.Optional[Object] =
+                java.util.Optional.ofNullable(minV.orNull.asInstanceOf[Object])
+              override def max(): java.util.Optional[Object] =
+                java.util.Optional.ofNullable(maxV.orNull.asInstanceOf[Object])
+              override def avgLen(): java.util.OptionalLong =
+                cs.avgLen.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+              override def maxLen(): java.util.OptionalLong =
+                cs.maxLen.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+            })
+        }
+      })
+      mm
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
         rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+      override def columnStats() = colStatsMap
     }
   }
 

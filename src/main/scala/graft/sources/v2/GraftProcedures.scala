@@ -45,8 +45,8 @@ import graft.table.GraftTable
 private[v2] object GraftProcedures {
 
   val names: Array[String] = Array(
-    "compact", "compact_deltas", "compact_tablet", "maintain", "delta_stats",
-    "fsck", "fsck_repair", "register",
+    "analyze", "compact", "compact_deltas", "compact_tablet", "maintain",
+    "delta_stats", "fsck", "fsck_repair", "register",
     "txn_begin", "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort")
 
   private def spark = SparkSession.active
@@ -87,6 +87,19 @@ private[v2] object GraftProcedures {
         "fold all deltas into a fresh hash/range-partitioned PK-sorted base",
         Array(tableParam), new StructType().add("version", LongType)) { in =>
           val t = locate(in); t.compact(); Seq(InternalRow(t.currentVersion))
+        })
+      case "analyze" => Some(proc("analyze",
+        "compute per-column NDV/nulls/min/max stats (one aggregate job) " +
+          "and serve them to Spark's CBO through the V2 scan statistics",
+        Array(tableParam),
+        new StructType().add("column", StringType).add("ndv", LongType)
+          .add("nulls", LongType).add("min", StringType).add("max", StringType)) { in =>
+          val t = locate(in)
+          t.analyze()
+          t.meta.colStats.getOrElse(Map.empty).toSeq.sortBy(_._1).map {
+            case (n, cs) => InternalRow(str(n), cs.ndv, cs.nullCount,
+              cs.min.map(str).orNull, cs.max.map(str).orNull)
+          }
         })
       case "compact_deltas" => Some(proc("compact_deltas",
         "MINOR delta compaction — fold delta files without touching the base; " +

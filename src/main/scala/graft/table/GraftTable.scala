@@ -814,6 +814,56 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     }
   }
 
+  /**
+   * ANALYZE: ONE aggregate job over the current snapshot computes, per
+   * visible column, an approximate distinct count (HLL), the exact null
+   * count, min/max for orderable atomic types (stored in external string
+   * form) and avg/max byte lengths for strings/binary, and commits them to
+   * the manifest. The V2 scan reports them through
+   * `SupportsReportStatistics.columnStats` so Spark's cost-based optimizer
+   * can size joins over engine tables without its own scans. The reference
+   * surfaces table statistics through the client API
+   * (KuduTable getTableStatistics — on-disk size / live rows); per-column
+   * NDV is what the planner on top additionally needs.
+   */
+  def analyze(): Unit = {
+    val m = meta
+    val df = scan()
+    val aggs = m.visibleColumns.flatMap { c =>
+      val n = col(c.name)
+      val base = Seq(
+        approx_count_distinct(n).as(s"${c.name}!ndv"),
+        count(when(n.isNull, lit(1))).as(s"${c.name}!nulls"))
+      val extra = c.dataType match {
+        case dt if dt.isInstanceOf[NumericType] || dt == DateType ||
+            dt == TimestampType || dt == TimestampNTZType || dt == BooleanType =>
+          Seq(min(n).cast("string").as(s"${c.name}!min"),
+            max(n).cast("string").as(s"${c.name}!max"))
+        case dt if dt.isInstanceOf[StringType] || dt == BinaryType =>
+          Seq(ceil(avg(length(n))).cast("long").as(s"${c.name}!avglen"),
+            max(length(n)).cast("long").as(s"${c.name}!maxlen"))
+        case _ => Nil
+      }
+      base ++ extra
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val idx = row.schema.fieldNames.zipWithIndex.toMap
+    def get[T](name: String): Option[T] = idx.get(name)
+      .filterNot(row.isNullAt).map(i => row.get(i).asInstanceOf[T])
+    val stats = m.visibleColumns.map { c =>
+      c.name -> ColStat(
+        ndv = get[Long](s"${c.name}!ndv").getOrElse(0L),
+        nullCount = get[Long](s"${c.name}!nulls").getOrElse(0L),
+        min = get[String](s"${c.name}!min"),
+        max = get[String](s"${c.name}!max"),
+        avgLen = get[Long](s"${c.name}!avglen"),
+        maxLen = get[Long](s"${c.name}!maxlen"))
+    }.toMap
+    val v = m.version + 1
+    TableMeta.write(m.copy(version = v, timestampMs = now(),
+      operation = "analyze", colStats = Some(stats), analyzedVersion = Some(v)))
+  }
+
   /** Per-tablet delta pressure: live-delta row/tombstone counts grouped by
     * the tablet coordinates the base writer partitions with — the pick
     * list for [[compactTablet]] (the analog of the reference's maintenance

@@ -62,11 +62,17 @@ class FuzzSpec extends AnyFunSuite {
           else { t.delete(keysDf(k)); model.remove(k) }
         case 6 => // DELETE_IGNORE
           t.delete(keysDf(k), ignore = true); model.remove(k)
-        case 7 => // COMPACT (no logical change): the whole table, or one
-          // random tablet's MAJOR fold (per-tablet maintenance path)
-          if (rnd.nextBoolean()) t.compact()
-          else t.compactTablet(
-            bucket = Some(rnd.nextInt(GraftTable.totalBuckets(t.meta))))
+        case 7 => // MAINTENANCE (no logical change): whole-table compact,
+          // one random tablet's MAJOR fold, a delta flush (full or
+          // tail-only minor pass), or an analyze stats commit — all must
+          // leave the visible state untouched
+          rnd.nextInt(4) match {
+            case 0 => t.compact()
+            case 1 => t.compactTablet(
+              bucket = Some(rnd.nextInt(GraftTable.totalBuckets(t.meta))))
+            case 2 => t.compactDeltas(tailOnly = rnd.nextBoolean())
+            case 3 => t.analyze()
+          }
         case 8 => // SNAPSHOT: remember version + model state
           snaps += ((t.currentVersion, model.toMap))
         case 9 => // TRANSACTION: upsert(k) + strict delete(k2) commit as one

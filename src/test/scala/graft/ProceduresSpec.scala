@@ -84,9 +84,9 @@ class ProceduresSpec extends AnyFunSuite {
     mkTable("m5")
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
       .map(_.getAs[String]("procedure_name")).toSet
-    assert(listed == Set("compact", "compact_deltas", "compact_tablet",
-      "maintain", "delta_stats", "fsck", "fsck_repair", "register",
-      "txn_begin", "txn_insert", "txn_upsert", "txn_delete",
+    assert(listed == Set("analyze", "compact", "compact_deltas",
+      "compact_tablet", "maintain", "delta_stats", "fsck", "fsck_repair",
+      "register", "txn_begin", "txn_insert", "txn_upsert", "txn_delete",
       "txn_commit", "txn_abort"), listed.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.compact_tablet")
       .collect().map(_.getString(0)).mkString("\n")
