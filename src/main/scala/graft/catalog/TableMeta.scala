@@ -73,13 +73,21 @@ case class ColumnMeta(
   * `kudu table statistics` / KuduScanToken on-disk sizes; per-column
   * NDV/min/max is what Spark's CBO consumes on top). Values are stored in
   * external string form and cast to the column type on use. */
+/** One equi-height histogram bin over a numeric column ([lo, hi], with an
+  * estimated distinct count inside the bin). */
+case class HBin(lo: Double, hi: Double, ndv: Long)
+
 case class ColStat(
     ndv: Long,
     nullCount: Long,
     min: Option[String] = None,
     max: Option[String] = None,
     avgLen: Option[Long] = None,
-    maxLen: Option[Long] = None)
+    maxLen: Option[Long] = None,
+    // Equi-height histogram (numeric columns, opt-in analyze(histograms =
+    // true)): bin boundaries from approx_percentile; `height` rows per bin.
+    histogram: Option[Seq[HBin]] = None,
+    histogramHeight: Option[Double] = None)
 
 /** One hash-bucket partition component over key columns
   * (reference: PartitionSchemaPB common/common.proto:355-398). */

@@ -652,6 +652,19 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
               override def maxLen(): java.util.OptionalLong =
                 cs.maxLen.map(java.util.OptionalLong.of)
                   .getOrElse(java.util.OptionalLong.empty())
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                java.util.Optional.ofNullable(cs.histogram.map { hbins =>
+                  new org.apache.spark.sql.connector.read.colstats.Histogram {
+                    override def height(): Double = cs.histogramHeight.getOrElse(0.0)
+                    override def bins() = hbins.map(b =>
+                      new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                        override def lo(): Double = b.lo
+                        override def hi(): Double = b.hi
+                        override def ndv(): Long = b.ndv
+                      }).toArray
+                  }: org.apache.spark.sql.connector.read.colstats.Histogram
+                }.orNull)
             })
         }
       })

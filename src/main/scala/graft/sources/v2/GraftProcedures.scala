@@ -89,13 +89,15 @@ private[v2] object GraftProcedures {
           val t = locate(in); t.compact(); Seq(InternalRow(t.currentVersion))
         })
       case "analyze" => Some(proc("analyze",
-        "compute per-column NDV/nulls/min/max stats (one aggregate job) " +
+        "compute per-column NDV/nulls/min/max stats (one aggregate job; " +
+          "histograms => true adds equi-height histograms on numerics) " +
           "and serve them to Spark's CBO through the V2 scan statistics",
-        Array(tableParam),
+        Array(tableParam,
+          ProcedureParameter.in("histograms", BooleanType).defaultValue("false").build()),
         new StructType().add("column", StringType).add("ndv", LongType)
           .add("nulls", LongType).add("min", StringType).add("max", StringType)) { in =>
           val t = locate(in)
-          t.analyze()
+          t.analyze(histograms = in.getBoolean(1))
           t.meta.colStats.getOrElse(Map.empty).toSeq.sortBy(_._1).map {
             case (n, cs) => InternalRow(str(n), cs.ndv, cs.nullCount,
               cs.min.map(str).orNull, cs.max.map(str).orNull)

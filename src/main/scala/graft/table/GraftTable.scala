@@ -826,38 +826,61 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
    * (KuduTable getTableStatistics — on-disk size / live rows); per-column
    * NDV is what the planner on top additionally needs.
    */
-  def analyze(): Unit = {
+  def analyze(histograms: Boolean = false, histogramBins: Int = 64): Unit = {
     val m = meta
     val df = scan()
+    def isNumeric(dt: DataType) = dt.isInstanceOf[NumericType]
     val aggs = m.visibleColumns.flatMap { c =>
       val n = col(c.name)
       val base = Seq(
         approx_count_distinct(n).as(s"${c.name}!ndv"),
         count(when(n.isNull, lit(1))).as(s"${c.name}!nulls"))
       val extra = c.dataType match {
-        case dt if dt.isInstanceOf[NumericType] || dt == DateType ||
+        case dt if isNumeric(dt) || dt == DateType ||
             dt == TimestampType || dt == TimestampNTZType || dt == BooleanType =>
           Seq(min(n).cast("string").as(s"${c.name}!min"),
-            max(n).cast("string").as(s"${c.name}!max"))
+            max(n).cast("string").as(s"${c.name}!max")) ++
+            (if (histograms && isNumeric(c.dataType))
+              // equi-height bin boundaries: B+1 approximate quantiles in
+              // the same single aggregate pass (t-digest per column)
+              Seq(percentile_approx(n.cast("double"),
+                lit((0 to histogramBins).map(_.toDouble / histogramBins).toArray),
+                lit(10000)).as(s"${c.name}!hist"))
+            else Nil)
         case dt if dt.isInstanceOf[StringType] || dt == BinaryType =>
           Seq(ceil(avg(length(n))).cast("long").as(s"${c.name}!avglen"),
             max(length(n)).cast("long").as(s"${c.name}!maxlen"))
         case _ => Nil
       }
       base ++ extra
-    }
+    } :+ count(lit(1)).as("!rows")
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val idx = row.schema.fieldNames.zipWithIndex.toMap
     def get[T](name: String): Option[T] = idx.get(name)
       .filterNot(row.isNullAt).map(i => row.get(i).asInstanceOf[T])
     val stats = m.visibleColumns.map { c =>
+      val ndv = get[Long](s"${c.name}!ndv").getOrElse(0L)
+      val nulls = get[Long](s"${c.name}!nulls").getOrElse(0L)
+      val hist = get[scala.collection.Seq[Double]](s"${c.name}!hist").map { qs =>
+        // per-bin NDV is the equi-height estimate (total NDV spread over
+        // the bins, bounded by the bin's row height) — the exact per-bin
+        // count would need a second pass per column, and the CBO consumes
+        // these as estimates either way
+        val binNdv = math.max(1L, ndv / histogramBins)
+        qs.iterator.sliding(2).withPartial(false)
+          .map(w => HBin(w.head, w.last, binNdv)).toSeq
+      }
       c.name -> ColStat(
-        ndv = get[Long](s"${c.name}!ndv").getOrElse(0L),
-        nullCount = get[Long](s"${c.name}!nulls").getOrElse(0L),
+        ndv = ndv,
+        nullCount = nulls,
         min = get[String](s"${c.name}!min"),
         max = get[String](s"${c.name}!max"),
         avgLen = get[Long](s"${c.name}!avglen"),
-        maxLen = get[Long](s"${c.name}!maxlen"))
+        maxLen = get[Long](s"${c.name}!maxlen"),
+        histogram = hist,
+        histogramHeight = hist.map(_ =>
+          math.max(0L, get[Long]("!rows").getOrElse(0L) - nulls).toDouble /
+            histogramBins))
     }.toMap
     val v = m.version + 1
     TableMeta.write(m.copy(version = v, timestampMs = now(),

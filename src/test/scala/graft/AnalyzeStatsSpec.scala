@@ -77,6 +77,31 @@ class AnalyzeStatsSpec extends AnyFunSuite {
     assert(rows("k") > 90 && rows("k") < 110)
   }
 
+  test("histograms: equi-height bins cover [min,max] and reach catalyst") {
+    val wh = Files.createTempDirectory("graft-an5-").toString
+    val df = (1 to 1000).map(i => (i.toLong, i % 100)).toDF("k", "g")
+    val t = GraftTable.create(spark, s"$wh/a5", "a5", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    t.analyze(histograms = true, histogramBins = 10)
+    val cs = t.meta.colStats.get
+    val bins = cs("k").histogram.get
+    assert(bins.size == 10)
+    assert(math.abs(bins.head.lo - 1.0) < 2 && math.abs(bins.last.hi - 1000.0) < 2)
+    assert(bins.forall(b => b.hi >= b.lo))
+    assert(cs("k").histogramHeight.exists(h => h > 99 && h < 101)) // 1000/10
+    // through the V2 stats into catalyst's attribute histogram
+    spark.conf.set("spark.sql.catalog.gan5", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gan5.warehouse", wh)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val q = spark.table("gan5.a5").filter(col("k") > 0)
+      val attr = q.queryExecution.optimizedPlan.stats.attributeStats.toSeq
+        .map { case (a, s) => a.name -> s }.toMap
+      val h = attr("k").histogram
+      assert(h.isDefined && h.get.bins.length == 10, s"histogram lost: $attr")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
   test("analyze covers the merge-on-read state, not just the base") {
     val wh = Files.createTempDirectory("graft-an4-").toString
     val df = (1 to 100).map(i => (i.toLong, i)).toDF("k", "x")
