@@ -45,8 +45,8 @@ import graft.table.GraftTable
 private[v2] object GraftProcedures {
 
   val names: Array[String] = Array(
-    "analyze", "compact", "compact_deltas", "compact_tablet", "maintain",
-    "delta_stats", "fsck", "fsck_repair", "register",
+    "analyze", "compact", "compact_deltas", "compact_tablet", "locate_row",
+    "maintain", "delta_stats", "fsck", "fsck_repair", "register",
     "txn_begin", "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort")
 
   private def spark = SparkSession.active
@@ -124,6 +124,23 @@ private[v2] object GraftProcedures {
             bucket = if (in.isNullAt(1)) None else Some(in.getInt(1)),
             rangeKey = if (in.isNullAt(2)) None else Some(in.getUTF8String(2).toString))
           Seq(InternalRow(t.currentVersion))
+        })
+      case "locate_row" => Some(proc("locate_row",
+        "tablet coordinates (hash bucket, range key) for one primary key — " +
+          "metadata-only, no scan (kudu table locate_row)",
+        Array(tableParam,
+          ProcedureParameter.in("key", StringType).build()), // col=val[,col=val...]
+        new StructType().add("bucket", IntegerType).add("range_key", StringType)) { in =>
+          val t = locate(in)
+          val kvs = in.getUTF8String(1).toString.split(',').iterator
+            .map(_.trim).filter(_.nonEmpty).map { p =>
+              val i = p.indexOf('=')
+              if (i < 0) throw new IllegalArgumentException(
+                s"locate_row key format is col=val[,col=val...]: '$p'")
+              p.take(i).trim -> p.drop(i + 1).trim
+            }.toMap
+          val (b, rk) = t.locateRow(kvs)
+          Seq(InternalRow(b.map(Int.box).orNull, rk.map(str).orNull))
         })
       case "maintain" => Some(proc("maintain",
         "run the maintenance policy (fold when the delta ratio/file count trips)",

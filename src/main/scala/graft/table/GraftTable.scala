@@ -1376,6 +1376,44 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     * any DataFrame carrying the hash columns. */
   def partitionIdColumn(): Column = bucketExpr(meta, col)
 
+  /**
+   * Tablet coordinates for one primary key (`kudu table locate_row`,
+   * tools/tool_action_table.cc LocateRow): evaluates the writer's own
+   * partition expressions over the key values — metadata-only, no scan,
+   * no job. Key values arrive in external string form (like the CLI's
+   * JSON-array argument) and cast to the key column types; returns
+   * (hash bucket, range key) — None for the components the layout lacks.
+   */
+  def locateRow(keyValues: Map[String, String]): (Option[Int], Option[String]) = {
+    val m = meta
+    val partCols = (m.hash.flatMap(_.cols) ++
+      m.range.toSeq.flatMap(_.columns)).distinct
+    val missing = partCols.filterNot(keyValues.contains)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"locate_row needs values for partition columns: ${missing.mkString(",")}")
+    import spark.implicits._
+    val row = keyValues.toSeq.foldLeft(Seq(1).toDF("_one")) { case (df, (n, v)) =>
+      df.withColumn(n, lit(v).cast(m.column(n).dataType))
+    }
+    var sel = row
+    var outs = Seq.empty[String]
+    if (m.hash.nonEmpty) {
+      sel = sel.withColumn("_graft_b", GraftTable.bucketExpr(m, col))
+      outs :+= "_graft_b"
+    }
+    m.range.foreach { r =>
+      sel = sel.withColumn("_graft_r", GraftTable.rangeKeyExprM(m, r, col))
+      outs :+= "_graft_r"
+    }
+    if (outs.isEmpty) return (None, None)
+    val res = sel.select(outs.map(col): _*).collect()(0)
+    val bucket = if (m.hash.nonEmpty && !res.isNullAt(res.fieldIndex("_graft_b")))
+      Some(res.getInt(res.fieldIndex("_graft_b"))) else None
+    val rk = if (m.range.isDefined && !res.isNullAt(res.fieldIndex("_graft_r")))
+      Some(res.getString(res.fieldIndex("_graft_r"))) else None
+    (bucket, rk)
+  }
+
   /** Registers the current snapshot as a temp view so `spark.sql` works over
     * the engine table (the `kudu table scan` SQL surface, E1). */
   def createOrReplaceView(viewName: String): Unit =

@@ -85,9 +85,9 @@ class ProceduresSpec extends AnyFunSuite {
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
       .map(_.getAs[String]("procedure_name")).toSet
     assert(listed == Set("analyze", "compact", "compact_deltas",
-      "compact_tablet", "maintain", "delta_stats", "fsck", "fsck_repair",
-      "register", "txn_begin", "txn_insert", "txn_upsert", "txn_delete",
-      "txn_commit", "txn_abort"), listed.toString)
+      "compact_tablet", "locate_row", "maintain", "delta_stats", "fsck",
+      "fsck_repair", "register", "txn_begin", "txn_insert", "txn_upsert",
+      "txn_delete", "txn_commit", "txn_abort"), listed.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.compact_tablet")
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("compact_tablet") && desc.contains("O(tablet"))
@@ -221,6 +221,19 @@ class ProceduresSpec extends AnyFunSuite {
       s"CALL $cat.system.register('regh', '$raw', 'id', 4)").collect().head
     assert(r2.getLong(1) == 3)
     assert(GraftTable.load(spark, s"$wh/regh").meta.hash.head.buckets == 4)
+  }
+
+  test("CALL locate_row returns the tablet the key's base file lives in") {
+    val t = mkTable("m7")
+    // ground truth: the coordinate recorded on the base file holding k=7
+    val expected = t.scan().filter(col("k") === 7)
+      .select(t.partitionIdColumn().as("b")).collect()(0).getInt(0)
+    val r = spark.sql(s"CALL $cat.system.locate_row('m7', 'k=7')").collect()
+    assert(r.length == 1 && r(0).getInt(0) == expected && r(0).isNullAt(1))
+    // API face agrees, and every base file with that coordinate exists
+    val (b, rk) = t.locateRow(Map("k" -> "7"))
+    assert(b.contains(expected) && rk.isEmpty)
+    assert(t.meta.baseFiles.exists(_.bucket.contains(expected)))
   }
 
   test("unknown procedure errors with the available list") {
