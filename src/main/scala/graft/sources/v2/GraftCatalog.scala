@@ -918,11 +918,13 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         if (!routeDerivable) Set.empty
         else owned.filter(r => !r.startsWith("f:") &&
           r != GraftV2Scan.OrphanRoute && !dirty.contains(r))
-      val bare = org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
-        spark, m.schema, requiredSchema, filters)
+      val colSupport =
+        if (!GraftTable.columnarMorEnabled) None
+        else Some(ColumnarMorSupport(
+          org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
+            spark, m.schema, requiredSchema, filters), clean))
       if (routedD.isEmpty)
-        new MorOverlayReaderFactory(inner, info,
-          Some(ColumnarMorSupport(bare, clean)))
+        new MorOverlayReaderFactory(inner, info, colSupport)
       else {
         // routed attachment: group the flushed files by the same route
         // strings the splits carry (routeOf — the writer's own partition
@@ -950,7 +952,7 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         new RoutedMorReaderFactory(inner, deltaFactory, types, keyIdx, outIdx,
           identity, opIdx, opIdx + 1, routeParts, info,
           defaultRoute = if (kgBare) Some(GraftV2Scan.OrphanRoute) else None,
-          columnar = Some(ColumnarMorSupport(bare, clean)))
+          columnar = colSupport)
       }
     } else {
       // SHUFFLE-SPILL overlay: past the broadcast bound, the delta state is
@@ -1102,8 +1104,9 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         // key grouping + coordinate-less files: the single unkeyed split
         // reads the one slice every delta row was routed to
         defaultRoute = if (kgBare) Some(GraftV2Scan.OrphanRoute) else None,
-        bare = Some(org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
-          spark, m.schema, requiredSchema, filters)))
+        bare = if (!GraftTable.columnarMorEnabled) None
+          else Some(org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
+            spark, m.schema, requiredSchema, filters)))
     }
   }
 }

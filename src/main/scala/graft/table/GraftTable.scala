@@ -1766,6 +1766,13 @@ object GraftTable {
     org.apache.spark.sql.SparkSession.active.conf
       .getOption("graft.mor.broadcastBytes").map(_.toLong)
       .getOrElse(BroadcastDeltaBytes)
+
+  /** Columnar merge-on-read toggle (`graft.mor.columnar`, default true):
+    * when false the V2 overlay factories serve row-based readers only —
+    * a safety valve, and the A/B knob the columnar win was measured with. */
+  def columnarMorEnabled: Boolean =
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption("graft.mor.columnar").forall(_.toBoolean)
   /** Base filesets below this size skip the presence-check prune probe —
     * scanning them outright is cheaper than the extra probe job. */
   val PresencePruneMinBytes: Long = 64L * 1024 * 1024
