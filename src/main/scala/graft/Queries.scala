@@ -875,6 +875,42 @@ object Queries {
       df
     }),
 
+    "q44_analyze" -> ((s, dir) => {
+      // ANALYZE gate (D4): one aggregate job computes per-column stats over
+      // the MERGE-ON-READ state (not the base — upserts/deletes below must
+      // show) and commits them to the manifest, which the V2 scan serves to
+      // Spark's CBO. The exact facets (null count, min, max) hash-check
+      // against the oracle recomputing them in SQL; the approximate NDV is
+      // range-asserted in-query (HLL values are engine-specific).
+      val raw = Tables.raw(s, dir, "supplier")
+      val loc = tmpLoc("graft-q44-")
+      val t = GraftTable.create(s, loc, "supplier_q44", raw.schema,
+        Seq("s_suppkey"), Seq(HashComponent(Seq("s_suppkey"), 4)),
+        data = Some(raw))
+      t.upsert(raw.filter(col("s_suppkey") % 9 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") + 100000))
+      t.deleteWhere(col("s_suppkey") % 41 === 0)
+      t.analyze()
+      val cs = t.meta.colStats.get
+      val n = t.scan().count()
+      Seq("s_suppkey", "s_nationkey", "s_acctbal").foreach { c =>
+        val ndv = cs(c).ndv
+        val hi = if (c == "s_nationkey") 30L else n * 2
+        if (ndv <= 0 || ndv > hi) throw new IllegalStateException(
+          s"implausible NDV for $c: $ndv (rows=$n)")
+      }
+      import s.implicits._
+      // min/max live in the manifest as strings — emit rounded doubles so
+      // the compare never depends on float-to-string formatting
+      Seq("s_suppkey", "s_nationkey", "s_acctbal").map { c =>
+        (c, cs(c).nullCount, cs(c).min.orNull, cs(c).max.orNull)
+      }.toDF("col_name", "nulls", "min_s", "max_s")
+        .select(col("col_name"), col("nulls"),
+          round(col("min_s").cast("double"), 2).as("min_num"),
+          round(col("max_s").cast("double"), 2).as("max_num"))
+        .orderBy("col_name")
+    }),
+
     "q27_approx_distinct" -> ((s, dir) => {
       // HLL sketch vs exact: emit the exact count (hash-matched against the
       // oracle) plus a boolean asserting the sketch landed within 2%.
@@ -1066,5 +1102,24 @@ object Queries {
         "THEN c_acctbal + 100 ELSE c_acctbal END AS DECIMAL(28,2))) " +
         "AS DOUBLE), 2) AS bal " +
         "FROM customer WHERE c_custkey % 53 <> 0 " +
-        "GROUP BY c_nationkey ORDER BY c_nationkey"))
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
+
+    "q44_analyze" ->
+      ("WITH m AS (SELECT s_suppkey, s_nationkey, " +
+        "CASE WHEN s_suppkey % 9 = 0 THEN s_acctbal + 100000 " +
+        "ELSE s_acctbal END AS s_acctbal " +
+        "FROM supplier WHERE s_suppkey % 41 <> 0) " +
+        "SELECT 's_acctbal' AS col_name, " +
+        "CAST(count(*) - count(s_acctbal) AS BIGINT) AS nulls, " +
+        "round(CAST(min(s_acctbal) AS DOUBLE), 2) AS min_num, " +
+        "round(CAST(max(s_acctbal) AS DOUBLE), 2) AS max_num FROM m " +
+        "UNION ALL SELECT 's_nationkey', " +
+        "CAST(count(*) - count(s_nationkey) AS BIGINT), " +
+        "round(CAST(min(s_nationkey) AS DOUBLE), 2), " +
+        "round(CAST(max(s_nationkey) AS DOUBLE), 2) FROM m " +
+        "UNION ALL SELECT 's_suppkey', " +
+        "CAST(count(*) - count(s_suppkey) AS BIGINT), " +
+        "round(CAST(min(s_suppkey) AS DOUBLE), 2), " +
+        "round(CAST(max(s_suppkey) AS DOUBLE), 2) FROM m " +
+        "ORDER BY col_name"))
 }
