@@ -1411,6 +1411,13 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       Some(res.getInt(res.fieldIndex("_graft_b"))) else None
     val rk = if (m.range.isDefined && !res.isNullAt(res.fieldIndex("_graft_r")))
       Some(res.getString(res.fieldIndex("_graft_r"))) else None
+    // the reference's "row does not belong to any currently existing
+    // tablet" error: a key routing into a dropped / never-declared range
+    rk.foreach { k =>
+      if (k == GraftTable.UncoveredKey || m.uncovered.contains(k))
+        throw new IllegalArgumentException(
+          s"row does not belong to any covered range of ${m.name} (range $k)")
+    }
     (bucket, rk)
   }
 

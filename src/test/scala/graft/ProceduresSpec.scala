@@ -234,6 +234,22 @@ class ProceduresSpec extends AnyFunSuite {
     val (b, rk) = t.locateRow(Map("k" -> "7"))
     assert(b.contains(expected) && rk.isEmpty)
     assert(t.meta.baseFiles.exists(_.bucket.contains(expected)))
+    // hash+range layout: both coordinates; a dropped range errors like the
+    // reference's "row does not belong to any currently existing tablet"
+    val df2 = (1 to 40).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(s"${1995 + i % 2}-06-01 00:00:00"), s"x$i"))
+      .toDF("id", "d", "v")
+    val t2 = GraftTable.create(spark, s"$wh/m7r", "m7r", df2.schema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 2)),
+      range = Some(graft.catalog.RangeComponent("d", "year")), data = Some(df2))
+    val (b2, rk2) = t2.locateRow(Map("id" -> "3", "d" -> "1995-06-01 00:00:00"))
+    assert(b2.isDefined && rk2.contains("1995"))
+    assert(t2.meta.baseFiles.exists(f =>
+      f.bucket == b2 && f.rangeKey.contains("1995")))
+    t2.dropRangePartition("1996")
+    val e = intercept[IllegalArgumentException](
+      t2.locateRow(Map("id" -> "4", "d" -> "1996-06-01 00:00:00")))
+    assert(e.getMessage.contains("does not belong"))
   }
 
   test("unknown procedure errors with the available list") {
