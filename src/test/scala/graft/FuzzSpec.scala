@@ -102,6 +102,13 @@ class FuzzSpec extends AnyFunSuite {
       java.nio.file.Paths.get(loc).getParent.toString)
     assert(stateOf(spark.table(s"$catName.`$whName`")) == model.toMap,
       s"V2 overlay mismatch seed=$seed")
+    // differential check of the COLUMNAR overlay readers against the
+    // row-based ones on the same random end state (the default read above
+    // went columnar; force rows and compare)
+    spark.conf.set("graft.mor.columnar", "false")
+    try assert(stateOf(spark.table(s"$catName.`$whName`")) == model.toMap,
+      s"row-based overlay disagrees with columnar seed=$seed")
+    finally spark.conf.unset("graft.mor.columnar")
     snaps.foreach { case (ver, m) =>
       assert(stateOf(t.scan(Some(ver))) == m, s"snapshot v$ver mismatch seed=$seed")
     }
