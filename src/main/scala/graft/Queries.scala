@@ -875,6 +875,47 @@ object Queries {
       df
     }),
 
+    "q45_minor_flush" -> ((s, dir) => {
+      // Incremental minor delta compaction gate (the reference's repeated
+      // minor passes, tablet/delta_compaction.cc): after a full flush, a
+      // tail-only pass through the SQL CALL surface must fold ONLY the
+      // commits since the flush — the earlier flushed filesets survive in
+      // the manifest BY IDENTITY (checked in-query: the O(tail) claim),
+      // the folded tail comes out tablet-routed, and the merged read
+      // hash-matches the oracle (cross-fileset key overlap resolves by the
+      // per-row seq fold).
+      val raw = Tables.raw(s, dir, "supplier")
+      val loc = tmpLoc("graft-q45-")
+      val t = GraftTable.create(s, loc, "supplier_q45", raw.schema,
+        Seq("s_suppkey"), Seq(HashComponent(Seq("s_suppkey"), 4)),
+        data = Some(raw))
+      t.upsert(raw.filter(col("s_nationkey") === 7)
+        .withColumn("s_acctbal", col("s_acctbal") + 5))
+      t.compactDeltas() // full flush: tablet-routed delta files
+      val flushed = t.meta.deltaFiles.map(_.path).toSet
+      if (flushed.isEmpty || !t.meta.deltaFiles.forall(_.bucket.isDefined))
+        throw new IllegalStateException("flush must leave routed delta files")
+      // tail commits on top, then the minor pass via SQL
+      t.upsert(raw.filter(col("s_suppkey") % 13 === 0)
+        .withColumn("s_name", lit("MINOR")))
+      t.delete(raw.filter(col("s_suppkey") % 67 === 0).select("s_suppkey"))
+      val f = new java.io.File(loc)
+      s.conf.set("spark.sql.catalog.gq45",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq45.warehouse", f.getParent)
+      s.sql(s"CALL gq45.system.compact_deltas('${f.getName}', tail_only => true)")
+        .collect()
+      val after = GraftTable.load(s, loc).meta.deltaFiles
+      if (!flushed.subsetOf(after.map(_.path).toSet))
+        throw new IllegalStateException(
+          "minor pass must keep flushed filesets by identity")
+      if (after.exists(d => d.bucket.isEmpty && d.rangeKey.isEmpty))
+        throw new IllegalStateException("the folded tail must come out routed")
+      s.sql(
+        s"""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+           |FROM gq45.`${f.getName}` ORDER BY s_suppkey""".stripMargin)
+    }),
+
     "q44_analyze" -> ((s, dir) => {
       // ANALYZE gate (D4): one aggregate job computes per-column stats over
       // the MERGE-ON-READ state (not the base — upserts/deletes below must
@@ -1121,5 +1162,14 @@ object Queries {
         "CAST(count(*) - count(s_suppkey) AS BIGINT), " +
         "round(CAST(min(s_suppkey) AS DOUBLE), 2), " +
         "round(CAST(max(s_suppkey) AS DOUBLE), 2) FROM m " +
-        "ORDER BY col_name"))
+        "ORDER BY col_name"),
+
+    "q45_minor_flush" ->
+      ("SELECT s_suppkey, " +
+        "CASE WHEN s_suppkey % 13 = 0 THEN 'MINOR' ELSE s_name END AS s_name, " +
+        "s_nationkey, " +
+        "CASE WHEN s_suppkey % 13 = 0 THEN s_acctbal " +
+        "WHEN s_nationkey = 7 THEN s_acctbal + 5 " +
+        "ELSE s_acctbal END AS s_acctbal " +
+        "FROM supplier WHERE s_suppkey % 67 <> 0 ORDER BY s_suppkey"))
 }

@@ -835,15 +835,28 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       val base = Seq(
         approx_count_distinct(n).as(s"${c.name}!ndv"),
         count(when(n.isNull, lit(1))).as(s"${c.name}!nulls"))
+      // histogram domain: catalyst histograms are double-valued over the
+      // column's INTERNAL numeric form — days since epoch for dates,
+      // microseconds for timestamps (what the CBO's EstimationUtils
+      // compares predicates against)
+      val histCol: Option[Column] = c.dataType match {
+        case dt if isNumeric(dt) => Some(n.cast("double"))
+        case DateType => Some(unix_date(n).cast("double"))
+        case TimestampType => Some(unix_micros(n).cast("double"))
+        // NTZ: internal micros == wall micros under the engine's UTC
+        // sessions, so the cast is value-preserving there
+        case TimestampNTZType => Some(unix_micros(n.cast("timestamp")).cast("double"))
+        case _ => None
+      }
       val extra = c.dataType match {
         case dt if isNumeric(dt) || dt == DateType ||
             dt == TimestampType || dt == TimestampNTZType || dt == BooleanType =>
           Seq(min(n).cast("string").as(s"${c.name}!min"),
             max(n).cast("string").as(s"${c.name}!max")) ++
-            (if (histograms && isNumeric(c.dataType))
+            (if (histograms && histCol.isDefined)
               // equi-height bin boundaries: B+1 approximate quantiles in
               // the same single aggregate pass (t-digest per column)
-              Seq(percentile_approx(n.cast("double"),
+              Seq(percentile_approx(histCol.get,
                 lit((0 to histogramBins).map(_.toDouble / histogramBins).toArray),
                 lit(10000)).as(s"${c.name}!hist"))
             else Nil)

@@ -102,6 +102,28 @@ class AnalyzeStatsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.cbo.enabled")
   }
 
+  test("date/timestamp histograms bin over the catalyst-internal domain") {
+    val wh = Files.createTempDirectory("graft-an6-").toString
+    val df = (1 to 365).map(i => (i.toLong,
+      java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i - 1)),
+      java.sql.Timestamp.valueOf(s"2021-01-01 00:00:00").toInstant
+        .plusSeconds(i * 3600L) match { case t => java.sql.Timestamp.from(t) }))
+      .toDF("k", "d", "ts")
+    val t = GraftTable.create(spark, s"$wh/a6", "a6", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    t.analyze(histograms = true, histogramBins = 8)
+    val cs = t.meta.colStats.get
+    val dBins = cs("d").histogram.get
+    assert(dBins.size == 8)
+    // days-since-epoch domain: 2020-01-01 = 18262
+    assert(math.abs(dBins.head.lo - 18262.0) < 2 &&
+      math.abs(dBins.last.hi - (18262.0 + 364)) < 2, dBins.toString)
+    val tsBins = cs("ts").histogram.get
+    // micros domain: 2021-01-01T01:00Z = 1609462800000000
+    assert(math.abs(tsBins.head.lo - 1.6094628e15) < 1e10 &&
+      tsBins.last.hi > tsBins.head.lo, tsBins.toString)
+  }
+
   test("analyze covers the merge-on-read state, not just the base") {
     val wh = Files.createTempDirectory("graft-an4-").toString
     val df = (1 to 100).map(i => (i.toLong, i)).toDF("k", "x")
