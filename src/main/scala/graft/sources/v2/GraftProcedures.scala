@@ -47,6 +47,7 @@ private[v2] object GraftProcedures {
   val names: Array[String] = Array(
     "analyze", "compact", "compact_deltas", "compact_tablet", "locate_row",
     "maintain", "delta_stats", "fsck", "fsck_repair", "register",
+    "table_statistics",
     "txn_begin", "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort")
 
   private def spark = SparkSession.active
@@ -124,6 +125,24 @@ private[v2] object GraftProcedures {
             bucket = if (in.isNullAt(1)) None else Some(in.getInt(1)),
             rangeKey = if (in.isNullAt(2)) None else Some(in.getUTF8String(2).toString))
           Seq(InternalRow(t.currentVersion))
+        })
+      case "table_statistics" => Some(proc("table_statistics",
+        "on-disk size and live row count (kudu table statistics)",
+        Array(tableParam),
+        new StructType().add("on_disk_size_bytes", LongType)
+          .add("live_row_count", LongType)) { in =>
+          val t = locate(in)
+          val m = t.meta
+          val bytes = (m.baseFiles ++ m.deltaFiles)
+            .map(f => GraftTable.fileSize(f.path)).sum
+          // exact from footer counts when delta-free and un-masked
+          // (the same fast path the V2 scan statistics use); otherwise
+          // one count over the merge-on-read snapshot
+          val rows =
+            if (m.deltaFiles.isEmpty && m.rangeDrops.isEmpty &&
+                m.baseFiles.forall(_.rows >= 0L)) m.baseFiles.map(_.rows).sum
+            else t.scan().count()
+          Seq(InternalRow(bytes, rows))
         })
       case "locate_row" => Some(proc("locate_row",
         "tablet coordinates (hash bucket, range key) for one primary key — " +

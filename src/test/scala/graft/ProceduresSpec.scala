@@ -86,8 +86,9 @@ class ProceduresSpec extends AnyFunSuite {
       .map(_.getAs[String]("procedure_name")).toSet
     assert(listed == Set("analyze", "compact", "compact_deltas",
       "compact_tablet", "locate_row", "maintain", "delta_stats", "fsck",
-      "fsck_repair", "register", "txn_begin", "txn_insert", "txn_upsert",
-      "txn_delete", "txn_commit", "txn_abort"), listed.toString)
+      "fsck_repair", "register", "table_statistics", "txn_begin",
+      "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort"),
+      listed.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.compact_tablet")
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("compact_tablet") && desc.contains("O(tablet"))
@@ -221,6 +222,18 @@ class ProceduresSpec extends AnyFunSuite {
       s"CALL $cat.system.register('regh', '$raw', 'id', 4)").collect().head
     assert(r2.getLong(1) == 3)
     assert(GraftTable.load(spark, s"$wh/regh").meta.hash.head.buckets == 4)
+  }
+
+  test("CALL table_statistics: on-disk bytes + live rows, exact and MOR paths") {
+    val t = mkTable("m8")
+    val exact = spark.sql(s"CALL $cat.system.table_statistics('m8')").collect()(0)
+    assert(exact.getLong(1) == 60) // footer-count fast path (delta-free)
+    assert(exact.getLong(0) > 0)
+    t.upsert(Seq((200, "new")).toDF("k", "v"))
+    t.delete(Seq(Tuple1(1)).toDF("k"))
+    val mor = spark.sql(s"CALL $cat.system.table_statistics('m8')").collect()(0)
+    assert(mor.getLong(1) == 60) // +1 new, -1 deleted, via the MOR count
+    assert(mor.getLong(0) > exact.getLong(0)) // delta files add bytes
   }
 
   test("CALL locate_row returns the tablet the key's base file lives in") {
