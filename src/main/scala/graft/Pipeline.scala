@@ -567,6 +567,89 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    "p16_sample_mix" -> ((s, dir) => {
+      // Stratified sampling / data mixing: per-source keep rates (the
+      // mixture-reweighting step of a training pipeline — upsample curated
+      // sources, downsample crawl). The selector is a DETERMINISTIC pure
+      // function of the key (doc_id % 20 under a per-source threshold), so
+      // the sample is reproducible under retries/re-partitioning and the
+      // oracle replicates it exactly — `rand()`-based sampling is neither.
+      // At 100 TB this is one narrow codegen'd filter + a partial-agg
+      // rollup: no shuffle carries unsampled rows.
+      val keep = when(col("source") === "src0", 20)
+        .when(col("source") === "src1", 10)
+        .when(col("source") === "src2", 5)
+        .otherwise(2)
+      docs(s, dir)
+        .filter(pmod(col("doc_id"), lit(20)) < keep)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("(length(replace(text, ' ', '')) + 3) div 4")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
+    "p17_pack_shards" -> ((s, dir) => {
+      // Token-budget shard packing (sequence packing's outer loop): docs in
+      // doc_id order are packed into shards of <= 4000 estimated BPE tokens
+      // by their global EXCLUSIVE running token count — shard boundaries
+      // are pure prefix arithmetic, so the layout is deterministic and
+      // restart-safe. The running count is DISTRIBUTED exactly like the
+      // q33 rank: fixed-width doc_id buckets -> per-bucket partial token
+      // sums -> tiny driver prefix-sum -> per-bucket window + broadcast
+      // offset. No single-partition window anywhere (the naive
+      // `sum() over (order by doc_id)` funnels the corpus through one
+      // task); 1000x the docs only widens the per-bucket stage.
+      import org.apache.spark.sql.expressions.Window
+      val budget = 4000L
+      val base = docs(s, dir).select(col("doc_id"),
+        expr("(length(replace(text, ' ', '')) + 3) div 4").as("toks"))
+      val Array(lo, hi, n) = base.agg(
+        min("doc_id"), max("doc_id"), count(lit(1)))
+        .collect()(0).toSeq.toArray.map(_.asInstanceOf[Long])
+      val buckets = math.min(64L, math.max(1L, n / 1000 + 1))
+      val width = math.max(1L, (hi - lo) / buckets + 1)
+      val bucketed = base.withColumn("_bk", expr(s"(doc_id - $lo) div $width"))
+      val counts = bucketed.groupBy("_bk").agg(sum("toks").as("_t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val offsets = counts.scanLeft((-1L, 0L, 0L)) {
+        case ((_, acc, c0), (bk, c)) => (bk, acc + c0, c)
+      }.drop(1).map { case (bk, off, _) => (bk, off) }
+      import s.implicits._
+      val offDf = offsets.toSeq.toDF("_bk", "_off")
+      val w = Window.partitionBy(col("_bk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed.join(broadcast(offDf), "_bk")
+        .withColumn("_before",
+          col("_off") + coalesce(sum(col("toks")).over(w), lit(0L)))
+        .select(col("doc_id"), col("toks"),
+          (col("_before") / budget).cast("long").as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("shard")
+    }),
+
+    "p18_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination: flag corpus docs sharing any 8-gram
+      // with the benchmark set (doc_id % 97 == 0 stands in for the eval
+      // suite) — the exact-overlap pass every training pipeline runs
+      // before a model sees the data. The benchmark side is tiny by
+      // design, so its distinct grams BROADCAST and the corpus side never
+      // shuffles: at 100 TB the plan is one narrow gram explode + a
+      // broadcast-hash semi-join, cost linear in corpus tokens. The
+      // 8-gram set per doc comes from the one-pass native kernel
+      // (WordNGrams), not k interpreted lambdas.
+      val g = docs(s, dir).select(col("doc_id"),
+        explode(shingles(col("text"), 8)).as("gram"))
+      val bench = g.filter(col("doc_id") % 97 === 0)
+        .select(col("gram")).distinct()
+      g.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
     "p10_token_count" -> ((s, dir) => {
       // Whitespace tokens + a BPE-ish estimate (~4 chars/token heuristic,
       // integer arithmetic so both engines agree exactly).
@@ -795,6 +878,38 @@ object Pipeline {
         "WHEN fr >= es AND fr >= de THEN 'fr' " +
         "WHEN es >= de THEN 'es' ELSE 'de' END AS pred_lang, lang " +
         "FROM sc ORDER BY doc_id"),
+    "p16_sample_mix" ->
+      ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum((length(replace(text, ' ', '')) + 3) // 4) AS BIGINT) AS n_tokens " +
+        "FROM documents WHERE doc_id % 20 < " +
+        "CASE source WHEN 'src0' THEN 20 WHEN 'src1' THEN 10 " +
+        "WHEN 'src2' THEN 5 ELSE 2 END " +
+        "GROUP BY source ORDER BY source"),
+
+    "p17_pack_shards" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "(length(replace(text, ' ', '')) + 3) // 4 AS toks FROM documents), " +
+        "c AS (SELECT doc_id, toks, COALESCE(sum(toks) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS tok_before FROM t) " +
+        "SELECT CAST(tok_before // 4000 AS BIGINT) AS shard, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(toks) AS BIGINT) AS n_tokens, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+        "FROM c GROUP BY 1 ORDER BY shard"),
+
+    "p18_decontaminate" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g0 AS (SELECT doc_id, CASE WHEN len(w) >= 8 THEN " +
+        "list_distinct(list_transform(generate_series(1, len(w)-7), " +
+        "i -> array_to_string(w[i:i+7], ' '))) " +
+        "ELSE list_distinct(w) END AS grams FROM t), " +
+        "ge AS (SELECT doc_id, unnest(grams) AS gram FROM g0), " +
+        "bench AS (SELECT DISTINCT gram FROM ge WHERE doc_id % 97 = 0) " +
+        "SELECT ge.doc_id, CAST(count(DISTINCT ge.gram) AS BIGINT) AS n_hits " +
+        "FROM ge JOIN bench USING (gram) WHERE ge.doc_id % 97 <> 0 " +
+        "GROUP BY ge.doc_id ORDER BY ge.doc_id"),
+
     "p10_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens, " +
         "CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_chars_nospace, " +
