@@ -650,6 +650,32 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    "p19_repetition" -> ((s, dir) => {
+      // Repetition filtering (the Gopher-style quality rule): per doc, the
+      // fraction of 3-gram occurrences covered by the single most-repeated
+      // 3-gram — high values mean boilerplate/spam. Computed from the RAW
+      // (non-distinct) gram stream: explode -> per-(doc, gram) partial
+      // counts (map-side combine does the heavy dedup before the only
+      // shuffle) -> per-doc max/sum. Integer ratio emitted as numerator /
+      // denominator so the oracle compare is exact, not float-formatted.
+      val w = words(col("text"))
+      // Spark's sequence(1, stop) DESCENDS when stop < 1 — guard short
+      // docs to an empty index list (they carry no 3-grams and drop out,
+      // same as the oracle's empty generate_series)
+      val idx = when(size(w) >= 3, sequence(lit(1), size(w) - 2))
+        .otherwise(array().cast("array<int>"))
+      val grams = transform(idx, i => concat_ws(" ",
+        element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+      val perGram = docs(s, dir)
+        .select(col("doc_id"), explode(grams).as("gram"))
+        .groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+      perGram.groupBy("doc_id")
+        .agg(max(col("c")).as("top_gram_cnt"),
+          sum(col("c")).as("total_grams"))
+        .orderBy("doc_id")
+    }),
+
     "p10_token_count" -> ((s, dir) => {
       // Whitespace tokens + a BPE-ish estimate (~4 chars/token heuristic,
       // integer arithmetic so both engines agree exactly).
@@ -897,6 +923,17 @@ object Pipeline {
         "CAST(sum(toks) AS BIGINT) AS n_tokens, " +
         "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
         "FROM c GROUP BY 1 ORDER BY shard"),
+
+    "p19_repetition" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_transform(" +
+        "generate_series(1, len(w)-2), " +
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM t), " +
+        "pc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c " +
+        "FROM g GROUP BY doc_id, gram) " +
+        "SELECT doc_id, max(c) AS top_gram_cnt, " +
+        "CAST(sum(c) AS BIGINT) AS total_grams " +
+        "FROM pc GROUP BY doc_id ORDER BY doc_id"),
 
     "p18_decontaminate" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
