@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Scale-shape guards for the round-9 pipeline operators: the plans that
+ * pass correctness at 60k rows must also be the plans that survive 100x.
+ */
+class PipelineScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("p17 shard packing: partitioned window only, no RDD round-trip") {
+    val df = SparkEntry.queries("p17_pack_shards")(spark, dir)
+    val rows = df.collect()
+    // shards are contiguous, 0-based, and each stays within budget + one
+    // doc's overshoot (a doc never splits)
+    val shards = rows.map(_.getLong(0))
+    assert(shards.head == 0L && shards.toSeq == shards.sorted.toSeq)
+    assert(shards.zip(shards.tail).forall { case (a, b) => b - a <= 1 })
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), s"RDD round-trip in plan:\n$plan")
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    assert(winLines.forall(_.contains("_bk#")),
+      s"running sum not bucket-partitioned:\n${winLines.mkString("\n")}")
+  }
+
+  test("p18 decontamination: benchmark side broadcasts, corpus never shuffles for the join") {
+    val df = SparkEntry.queries("p18_decontaminate")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark grams must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the gram join must not sort-merge the corpus:\n$plan")
+  }
+
+  test("p16 sampling filter reaches the scan side (no shuffle of unsampled rows)") {
+    val df = SparkEntry.queries("p16_sample_mix")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the deterministic keep-predicate evaluates below the aggregation's
+    // exchange: find the Filter on pmod under the scan, not above an
+    // Exchange
+    val lines = plan.linesIterator.toSeq
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("pmod"))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+    assert(filterIdx >= 0, s"missing the pmod sampling filter:\n$plan")
+    assert(exchangeIdx < 0 || filterIdx > exchangeIdx,
+      s"sampling filter must sit below the aggregation exchange:\n$plan")
+  }
+}
