@@ -80,7 +80,13 @@ object Bench {
     Pipeline.releaseCaches()
     val qResults = qBlock.map { case (n, f) => runQuery(n, f) }
     val results = pResults ++ qResults
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    // 3-decimal values on stdout: the driver tail-captures the LAST 2,000
+    // chars of output, and 65 entries at full double precision made the
+    // line ~1,960 chars — clipping its head mid-number (BENCH_r07..r09
+    // parsed: null). At %.3f the line is ~1,650 chars with >10 queries of
+    // headroom; full precision lives in the bench.json sidecar below.
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // med AND min per query, so cross-round comparisons never depend on
     // which statistic "queries" recorded (sub-0.3s entries record min).
@@ -97,7 +103,21 @@ object Bench {
     if (errs.nonEmpty)
       System.err.println(s"[bench] ERRORS: ${errs.mkString(",")}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full-precision sidecar (reported + med + min per query) for humans and
+    // cross-round analysis; stdout stays a single compact line the driver's
+    // 2,000-char tail capture can always hold whole.
+    val sidecar = results.map { case (k, v, med, min) =>
+      s"\"" + k + s"\":{\"sec\":$v,\"med\":$med,\"min\":$min}"
+    }.mkString(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":{""",
+      ",", "}}")
+    try {
+      val p = java.nio.file.Paths.get("bench.json")
+      java.nio.file.Files.write(p, (sidecar + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] sidecar ${p.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     Pipeline.releaseCaches() // no cached RDDs may outlive the run
     spark.stop()
   }

@@ -632,10 +632,21 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
           // with another type leaves stale stats whose strings may not
           // cast (ANSI throws); stale min/max must degrade to absent,
           // never break scan planning
-          def internal(s: String): Option[Any] = scala.util.Try(
-            org.apache.spark.sql.catalyst.expressions.Cast(
-              org.apache.spark.sql.catalyst.expressions.Literal(s), dt,
-              Some("UTC")).eval(null)).toOption.filter(_ != null)
+          def internal(s: String): Option[Any] = {
+            // Zoned timestamps are stored by analyze() as INTERNAL micros
+            // (a bare Long string) — zone-free on both sides of the
+            // round-trip. Older manifests hold a session-tz datetime
+            // string; the UTC cast below still parses those (exact when
+            // the analyzing session was UTC, the engine default).
+            val asMicros =
+              if (dt == org.apache.spark.sql.types.TimestampType)
+                s.toLongOption.map(_.asInstanceOf[Any])
+              else None
+            asMicros.orElse(scala.util.Try(
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                org.apache.spark.sql.catalyst.expressions.Literal(s), dt,
+                Some("UTC")).eval(null)).toOption.filter(_ != null))
+          }
           val minV = cs.min.flatMap(internal)
           val maxV = cs.max.flatMap(internal)
           mm.put(Expressions.column(name),
@@ -919,7 +930,8 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         else owned.filter(r => !r.startsWith("f:") &&
           r != GraftV2Scan.OrphanRoute && !dirty.contains(r))
       val colSupport =
-        if (!GraftTable.columnarMorEnabled) None
+        if (!GraftTable.columnarMorEnabled ||
+            !MorColumnarReader.supportsAll(internalSchema)) None
         else Some(ColumnarMorSupport(
           org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
             spark, m.schema, requiredSchema, filters), clean))
@@ -1104,7 +1116,8 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         // key grouping + coordinate-less files: the single unkeyed split
         // reads the one slice every delta row was routed to
         defaultRoute = if (kgBare) Some(GraftV2Scan.OrphanRoute) else None,
-        bare = if (!GraftTable.columnarMorEnabled) None
+        bare = if (!GraftTable.columnarMorEnabled ||
+            !MorColumnarReader.supportsAll(internalSchema)) None
           else Some(org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
             spark, m.schema, requiredSchema, filters)))
     }

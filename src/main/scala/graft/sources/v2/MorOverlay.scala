@@ -302,6 +302,26 @@ object MorOverlay {
   }
 }
 
+object MorColumnarReader {
+  /** Types [[MorColumnarReader]] can WRITE back into an OnHeapColumnVector
+    * (`set` below). Narrower than what the stock parquet factory can read
+    * vectorized — ANSI interval columns, e.g., decode columnar since Spark
+    * 3.3 but have no case in `set` — so the planner must gate columnar MOR
+    * on THIS set, not just on the parquet factory's answer, or a
+    * delta-carrying table with such a column would fail mid-scan on its
+    * first dirty route instead of falling back to the row overlay. */
+  def supportsType(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | DateType |
+         LongType | TimestampType | TimestampNTZType | FloatType |
+         DoubleType | BinaryType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _: org.apache.spark.sql.types.StringType => true
+    case _ => false
+  }
+  def supportsAll(schema: org.apache.spark.sql.types.StructType): Boolean =
+    schema.fields.forall(f => supportsType(f.dataType))
+}
+
 /**
  * Columnar merge-on-read: serves ColumnarBatches over a delta-carrying
  * split (the reference applies deltas without leaving its columnar

@@ -851,8 +851,15 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       val extra = c.dataType match {
         case dt if isNumeric(dt) || dt == DateType ||
             dt == TimestampType || dt == TimestampNTZType || dt == BooleanType =>
-          Seq(min(n).cast("string").as(s"${c.name}!min"),
-            max(n).cast("string").as(s"${c.name}!max")) ++
+          // TimestampType's string form depends on the session timezone,
+          // but the read side (estimateStatistics) reconstructs internal
+          // values zone-independently — so store the INTERNAL micros for
+          // zoned timestamps. Date/NTZ string forms are already zone-free.
+          val (minC, maxC) =
+            if (dt == TimestampType)
+              (unix_micros(min(n)).cast("string"), unix_micros(max(n)).cast("string"))
+            else (min(n).cast("string"), max(n).cast("string"))
+          Seq(minC.as(s"${c.name}!min"), maxC.as(s"${c.name}!max")) ++
             (if (histograms && histCol.isDefined)
               // equi-height bin boundaries: B+1 approximate quantiles in
               // the same single aggregate pass (t-digest per column)

@@ -136,4 +136,32 @@ class AnalyzeStatsSpec extends AnyFunSuite {
     assert(cs("x").max.contains("5000"))
     assert(cs("k").max.contains("99")) // key 100 deleted
   }
+
+  test("timestamp min/max round-trip is session-timezone-free") {
+    // analyze() stores zoned-timestamp min/max as INTERNAL micros; the CBO
+    // read side reconstructs the same micros no matter what timezone either
+    // session ran in (a tz-dependent string shifted the CBO's range by the
+    // zone offset before).
+    val wh = Files.createTempDirectory("graft-an7-").toString
+    val loMicros = 1609459200000000L // 2021-01-01T00:00:00Z
+    val hiMicros = loMicros + 99L * 3600L * 1000000L
+    val df = (0 to 99).map(_.toLong).toDF("k")
+      .withColumn("ts", expr(s"timestamp_micros(k * 3600000000 + ${loMicros}L)"))
+    val t = GraftTable.create(spark, s"$wh/a7", "a7", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      t.analyze()
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+    val cs = t.meta.colStats.get
+    assert(cs("ts").min.contains(loMicros.toString) &&
+      cs("ts").max.contains(hiMicros.toString), cs("ts").toString)
+    val scan = new graft.sources.v2.GraftV2Scan(t.meta, t.scan().schema, Array.empty)
+    val byName = scala.jdk.CollectionConverters.MapHasAsScala(
+      scan.estimateStatistics().columnStats())
+      .asScala.map { case (ref, s) => ref.fieldNames.head -> s }
+    assert(byName("ts").min().get() == loMicros &&
+      byName("ts").max().get() == hiMicros)
+  }
 }

@@ -239,4 +239,35 @@ class ColumnarMorSpec extends AnyFunSuite {
       case other => fail(s"expected the broadcast overlay factory: $other")
     }
   }
+
+  test("type outside the columnar writer's set falls back to row overlay") {
+    // ANSI intervals decode vectorized in the stock parquet reader, but
+    // MorColumnarReader.set cannot WRITE them back into an
+    // OnHeapColumnVector — the gate must answer supportColumnarReads=false
+    // up front, not throw UnsupportedOperationException mid-scan on the
+    // first dirty route.
+    val wh = Files.createTempDirectory("graft-cmor9-").toString
+    val df = (1 to 120).map(i => (i.toLong, s"x$i")).toDF("k", "v")
+      .withColumn("dur", expr("make_dt_interval(0, 0, 0, k)"))
+    val t = GraftTable.create(spark, s"$wh/c9", "c9", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 4)), data = Some(df))
+    t.upsert(Seq((1L, "up")).toDF("k", "v")
+      .withColumn("dur", expr("make_dt_interval(0, 1, 0, 0)")))
+    t.delete(Seq(Tuple1(2L)).toDF("k"))
+    spark.conf.set("spark.sql.catalog.gcm9", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcm9.warehouse", wh)
+    val v2df = spark.table("gcm9.c9")
+    v2df.queryExecution.toRdd.count() // threw mid-scan before the gate fix
+    val v2 = stateOf(v2df.select(col("k"), col("v")))
+    assert(v2 == stateOf(t.scan().select(col("k"), col("v"))))
+    assert(v2.size == 119 && v2(1L) == "up" && !v2.contains(2L))
+    // and the factory must not offer a columnar path at all
+    val fac = new graft.sources.v2.GraftV2Scan(t.meta,
+      t.scan().schema, Array.empty).createReaderFactory()
+    fac match {
+      case f: graft.sources.v2.MorOverlayReaderFactory =>
+        assert(f.columnar.isEmpty, "columnar gate must decline interval columns")
+      case other => fail(s"expected the broadcast overlay factory: $other")
+    }
+  }
 }
