@@ -889,7 +889,9 @@ object Queries {
       val t = GraftTable.create(s, loc, "supplier_q45", raw.schema,
         Seq("s_suppkey"), Seq(HashComponent(Seq("s_suppkey"), 4)),
         data = Some(raw))
-      t.upsert(raw.filter(col("s_nationkey") === 7)
+      // a key-modulus filter is non-empty at EVERY scale factor (nationkey 7
+      // has zero suppliers at sf0.001, which left the flush nothing to fold)
+      t.upsert(raw.filter(col("s_suppkey") % 3 === 0)
         .withColumn("s_acctbal", col("s_acctbal") + 5))
       t.compactDeltas() // full flush: tablet-routed delta files
       val flushed = t.meta.deltaFiles.map(_.path).toSet
@@ -1169,7 +1171,7 @@ object Queries {
         "CASE WHEN s_suppkey % 13 = 0 THEN 'MINOR' ELSE s_name END AS s_name, " +
         "s_nationkey, " +
         "CASE WHEN s_suppkey % 13 = 0 THEN s_acctbal " +
-        "WHEN s_nationkey = 7 THEN s_acctbal + 5 " +
+        "WHEN s_suppkey % 3 = 0 THEN s_acctbal + 5 " +
         "ELSE s_acctbal END AS s_acctbal " +
         "FROM supplier WHERE s_suppkey % 67 <> 0 ORDER BY s_suppkey"))
 }

@@ -21,7 +21,13 @@ object Verify {
     // only file is _ERROR (the driver's parquet read of it fails loudly),
     // plus an errors.json sidecar naming every failure.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev loop only (the driver never sets it): restrict the dump to a
+    // comma-separated subset, mirroring SPARK_GRAFT_BENCH_ONLY.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
