@@ -869,17 +869,26 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
       else m.deltaFiles.partition(f =>
         (f.bucket.isDefined || f.rangeKey.isDefined) &&
           m.columns.forall(c => c.defaultValue.isEmpty || f.colIds.contains(c.id)))
-    if (GraftTable.deltaBytes(tailD) < GraftTable.broadcastDeltaBytes) {
+    // Transport decision PER SCAN, on the PRUNED tail: tail files prune by
+    // their recorded first-key bounds (delta stats, tablet/deltafile.h) —
+    // sound because every file that can hold a surviving key is kept, and
+    // all filters are re-evaluated above this scan, so upserts from pruned
+    // files could never have been emitted. Deciding after pruning means a
+    // selective scan (point lookup, PK range) broadcasts its few relevant
+    // delta files even when the table's full tail is past the bound — the
+    // adaptive analog of the reference picking maintenance ops from
+    // observed per-rowset state (tablet/compaction_policy.h:50-60) rather
+    // than a global constant. The bound itself is adaptive too
+    // (GraftTable.adaptiveBroadcastDeltaBytes) unless the session pins
+    // graft.mor.broadcastBytes.
+    val keepTailEarly = graft.sources.PartitionPruner.pruneFiles(
+      m, tailD, filters.toSeq ++ runtimeFilters)
+    if (GraftTable.deltaBytes(keepTailEarly) < GraftTable.broadcastDeltaBytes) {
       // broadcast overlay for the tail: collect its latest delta state
-      // once, ship it to every split. Tail files prune by their recorded
-      // first-key bounds (delta stats, tablet/deltafile.h) — sound because
-      // every file that can hold a surviving key is kept, and all filters
-      // are re-evaluated above this scan, so upserts from pruned files
-      // could never have been emitted. The spill branch below deliberately
+      // once, ship it to every split. The spill branch below deliberately
       // keeps the FULL delta set: its per-route spill is cached by
       // (version, shape) across queries.
-      val keepTail = graft.sources.PartitionPruner.pruneFiles(
-        m, tailD, filters.toSeq ++ runtimeFilters)
+      val keepTail = keepTailEarly
       val opIdx = internalFields.length
       val routeIdx = opIdx + 1
       val dead = new java.util.HashSet[Seq[Any]]()
@@ -1245,8 +1254,22 @@ object GraftV2Scan {
     * per-route spills (any delta size) — coordinate-less files route by
     * their recorded key intervals — and only files with neither
     * coordinates nor bounds still require compaction first. */
-  def morOverlayable(meta: TableMeta): Boolean =
+  def morOverlayable(meta: TableMeta): Boolean = {
+    // Only the unrouted TAIL needs broadcast/spill transport: flushed
+    // delta files with tablet coordinates attach per split straight from
+    // disk at any size (when every base file carries a coordinate —
+    // mirroring createReaderFactory's canAttach, conservatively, since no
+    // scan context exists here). A fully-flushed multi-GB delta state is
+    // servable even on layouts the spill path can't decompose.
+    val canAttach = meta.baseFiles.forall(
+      f => f.bucket.isDefined || f.rangeKey.isDefined)
+    val tail =
+      if (!canAttach) meta.deltaFiles
+      else meta.deltaFiles.filterNot(f =>
+        (f.bucket.isDefined || f.rangeKey.isDefined) &&
+          meta.columns.forall(c => c.defaultValue.isEmpty || f.colIds.contains(c.id)))
     meta.rangeDrops.isEmpty &&
-      (GraftTable.deltaBytes(meta.deltaFiles) < GraftTable.broadcastDeltaBytes ||
+      (GraftTable.deltaBytes(tail) < GraftTable.broadcastDeltaBytes ||
         spillRoutable(meta))
+  }
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
  * of the DSv1 path's "base ANTI-JOIN delta-keys ∪ latest-delta-rows"
  * (reference: DeltaApplier, tablet/delta_applier.h:52 — deltas applied over
  * each rowset at read). The latest delta state is broadcast (the delta
- * fileset is bounded by BroadcastDeltaBytes before this path is taken);
+ * fileset is bounded by broadcastDeltaBytes before this path is taken);
  * each bucket's reader suppresses base rows whose key carries a delta and
  * appends the bucket's own upsert rows — routed by the SAME murmur3-pmod
  * arithmetic the writer bucketed with, so the reported key grouping (and

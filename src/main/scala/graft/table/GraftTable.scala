@@ -1781,18 +1781,39 @@ object GraftTable {
   val DeletedCol = "_deleted"
   val OpUpsert = "U"
   val OpDelete = "D"
-  /** Delta filesets below this total size are broadcast in merge-on-read. */
-  val BroadcastDeltaBytes: Long = 256L * 1024 * 1024
-
-  /** Session override of [[BroadcastDeltaBytes]] (`graft.mor.broadcastBytes`)
-    * — past the bound the DSv1 path joins without a broadcast hint and the
-    * V2 overlay shuffles deltas into per-route spills instead of
-    * broadcasting; the knob mostly exists so specs can force the
-    * past-bound paths with tiny data. */
+  /** Merge-on-read broadcast bound for the delta tail, chosen PER SCAN
+    * (`graft.mor.broadcastBytes` remains an explicit override — specs use
+    * it to force past-bound paths with tiny data). Past the bound the DSv1
+    * path joins without a broadcast hint and the V2 overlay shuffles
+    * deltas into per-route spills instead of broadcasting.
+    *
+    * The adaptive default derives from what the session already declares
+    * about broadcast appetite instead of a fixed engine constant (the
+    * reference sizes its maintenance decisions from observed pressure the
+    * same way — budgeted policy, tablet/compaction_policy.h:50-60):
+    * broadcast delta state lands decoded on the driver AND every executor,
+    * so the bound is a small multiple of Spark's own
+    * `autoBroadcastJoinThreshold` (the user's stated per-relation
+    * broadcast budget), capped at a driver-heap fraction so a generous
+    * join threshold can never OOM the collect, and floored so a
+    * deliberately tiny join threshold degrades to spill (always correct)
+    * rather than to failure. */
   def broadcastDeltaBytes: Long =
     org.apache.spark.sql.SparkSession.active.conf
       .getOption("graft.mor.broadcastBytes").map(_.toLong)
-      .getOrElse(BroadcastDeltaBytes)
+      .getOrElse(adaptiveBroadcastDeltaBytes)
+
+  /** The adaptive bound: max(64 KB, min(4 x autoBroadcastJoinThreshold,
+    * driverHeap/16)); a disabled (-1) join threshold falls back to a
+    * conservative 16 MB — "never broadcast a join side" is about join
+    * build relations, not the delta overlay, but the spirit is honored by
+    * staying small. */
+  def adaptiveBroadcastDeltaBytes: Long = {
+    val auto = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val fromAuto = if (auto > 0) 4L * auto else 16L * 1024 * 1024
+    val driverCap = Runtime.getRuntime.maxMemory() / 16
+    math.max(64L * 1024, math.min(fromAuto, driverCap))
+  }
 
   /** Columnar merge-on-read toggle (`graft.mor.columnar`, default true):
     * when false the V2 overlay factories serve row-based readers only —
