@@ -478,7 +478,8 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
     * table resolution, so the WRITE path (which delegates to the engine's
     * own layout-agnostic ops) stays available on any table. */
   private def checkReadable(): Unit = {
-    require(meta.deltaFiles.isEmpty || GraftV2Scan.morOverlayable(meta),
+    require(meta.deltaFiles.isEmpty ||
+        GraftV2Scan.morOverlayable(GraftV2Scan.hydrateKeyBounds(meta)),
       s"graft V2 reads need a compacted base or an overlay-able delta set; " +
         s"${meta.name} has ${meta.deltaFiles.size} pending delta files and " +
         "(pending range drops, or a past-broadcast-bound delta set over " +
@@ -581,7 +582,8 @@ class GraftScanBuilder(meta: TableMeta,
       StructType(meta.visibleColumns.map(_.toField)).filter(f => keep.contains(f.name)))
   }
 
-  override def build(): Scan = new GraftV2Scan(meta, requiredSchema, filters,
+  override def build(): Scan = new GraftV2Scan(
+    GraftV2Scan.hydrateKeyBounds(meta), requiredSchema, filters,
     Option(options.get("graft.startingVersion")).map(_.toLong),
     Option(options.get("graft.maxVersionsPerTrigger")).map(_.toInt).getOrElse(64))
 }
@@ -1212,6 +1214,38 @@ object GraftV2Scan {
       case None =>
         meta.hash.nonEmpty || meta.range.isDefined || coord.isEmpty
     })
+  }
+
+  /** JVM-wide memo of footer-derived key bounds. Published parquet files
+    * are immutable (commits only add new paths), so a path's bounds never
+    * change — one footer read per file per driver lifetime. */
+  private val footerBoundsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Option[String], Option[String])]()
+
+  /** Backfill missing first-key bounds on coordinate-less files from their
+    * parquet footers — metadata written before bounds were recorded
+    * (pre-r9 manifests, old backups) reads as keyLo/keyHi = None, which
+    * used to force the compact-first posture past the broadcast bound.
+    * Driver-side footer reads (no data pages), memoized per JVM; a file
+    * whose footer carries no usable stats keeps None and callers keep
+    * their conservative treatment. In-memory only: a read never writes
+    * metadata (the next real commit records bounds on its own files). */
+  def hydrateKeyBounds(meta: TableMeta): TableMeta = {
+    val lead = meta.keyCols.headOption.map(meta.column)
+    if (lead.isEmpty || !GraftTable.keyBoundEncodable(lead.get.dataType)) return meta
+    def bare(f: graft.catalog.DataFileMeta) =
+      f.bucket.isEmpty && f.rangeKey.isEmpty && (f.keyLo.isEmpty || f.keyHi.isEmpty)
+    if (!meta.baseFiles.exists(bare) && !meta.deltaFiles.exists(bare)) return meta
+    val c = lead.get
+    def fill(f: graft.catalog.DataFileMeta) =
+      if (!bare(f)) f
+      else {
+        val (lo, hi) = footerBoundsMemo.computeIfAbsent(f.path,
+          p => GraftTable.parquetKeyBounds(p, c.physName, c.dataType))
+        f.copy(keyLo = lo, keyHi = hi)
+      }
+    meta.copy(baseFiles = meta.baseFiles.map(fill),
+      deltaFiles = meta.deltaFiles.map(fill))
   }
 
   /** Best-effort sweep of spill dirs older than an hour — residue of

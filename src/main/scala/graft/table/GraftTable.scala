@@ -2019,6 +2019,12 @@ object GraftTable {
     dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType |
            TimestampType | TimestampNTZType | StringType => true
+      // fixed-scale decimals up to 18 digits: unscaled-long order equals
+      // value order, so they ride the integral encoding (parquet stores
+      // them as INT32/INT64 unscaled, so footer stats line up too);
+      // wider decimals would need a 128-bit encoding on BOTH the
+      // expression and footer sides — callers degrade to keep-all
+      case d: DecimalType if d.precision <= 18 => true
       case _ => false
     }
   }
@@ -2049,6 +2055,11 @@ object GraftTable {
       case TimestampType => Some(enc(unix_micros(c)))
       case TimestampNTZType => Some(enc(unix_micros(c.cast(TimestampType))))
       case StringType => Some(hex(encode(c, "UTF-8")))
+      case d: DecimalType if d.precision <= 18 =>
+        // unscaled value: exact for precision <= 18 (fits a long); the
+        // multiply widens the decimal, so the long cast cannot round
+        Some(enc((c * lit(java.math.BigDecimal.ONE.scaleByPowerOfTen(d.scale)))
+          .cast(LongType)))
       case _ => None
     }
   }
@@ -2083,6 +2094,12 @@ object GraftTable {
           t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L), t.getNano / 1000L)))
       case (StringType, s: String) =>
         Some(encodeKeyBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case (d: DecimalType, b: java.math.BigDecimal) if d.precision <= 18 =>
+        scala.util.Try(encodeKeyLong(
+          b.setScale(d.scale).unscaledValue().longValueExact())).toOption
+      case (d: DecimalType, b: scala.math.BigDecimal) if d.precision <= 18 =>
+        scala.util.Try(encodeKeyLong(
+          b.underlying().setScale(d.scale).unscaledValue().longValueExact())).toOption
       case _ => None
     }
   }

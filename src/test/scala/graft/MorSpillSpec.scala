@@ -279,25 +279,77 @@ class MorSpillSpec extends AnyFunSuite {
     }
   }
 
-  test("bases with neither coordinates nor key bounds still refuse past the bound") {
+  test("pre-bounds metadata heals: footer hydration serves the spill read") {
     val wh = Files.createTempDirectory("graft-spill7-").toString
-    val df = (1 to 20).map(i => (i.toLong, s"a$i")).toDF("k", "v")
+    val df = (1 to 200).map(i => (i.toLong, s"a$i")).toDF("k", "v")
     val t = GraftTable.create(spark, s"$wh/nb", "nb", df.schema, Seq("k"),
       hash = Nil, data = Some(df))
-    t.upsert(Seq((1L, "u")).toDF("k", "v"))
-    // simulate metadata written by an older build: strip the key bounds
+    t.upsert(Seq((1L, "u"), (999L, "new")).toDF("k", "v"))
+    t.delete(Seq(Tuple1(7L)).toDF("k"))
+    // simulate metadata written by an older build: strip the key bounds —
+    // the planner must backfill them from the parquet footers (one
+    // driver-side footer read per file, memoized) instead of refusing
     val m = t.meta
     graft.catalog.TableMeta.write(m.copy(version = m.version + 1,
       operation = "strip_bounds",
-      baseFiles = m.baseFiles.map(_.copy(keyLo = None, keyHi = None))))
+      baseFiles = m.baseFiles.map(_.copy(keyLo = None, keyHi = None)),
+      deltaFiles = m.deltaFiles.map(_.copy(keyLo = None, keyHi = None))))
     spark.conf.set("spark.sql.catalog.gsp7", classOf[graft.sources.v2.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.gsp7.warehouse", wh)
     withSpillForced {
-      val e = intercept[Exception] { spark.table("gsp7.nb").count() }
+      val v2 = stateOf(spark.table("gsp7.nb"))
+      assert(v2 == stateOf(GraftTable.load(spark, t.location).scan()))
+      assert(v2.size == 200 && v2(1L) == "u" && v2(999L) == "new" &&
+        !v2.contains(7L))
+    }
+  }
+
+  test("decimal lead key: registered bases route by interval past the bound") {
+    val wh = Files.createTempDirectory("graft-spill9-").toString
+    val raw = s"$wh/raw"
+    (1 to 300).map(i => (i, s"a$i")).toDF("i", "v")
+      .select((col("i").cast("decimal(12,2)") / 4).cast("decimal(12,2)").as("k"),
+        col("v"))
+      .repartitionByRange(3, col("k")).write.parquet(raw)
+    val t = GraftTable.register(spark, s"$wh/dreg", "dreg", raw, Seq("k"))
+    // bounds recorded from footers at register (unscaled-long encoding)
+    assert(t.meta.baseFiles.forall(f => f.keyLo.isDefined && f.keyHi.isDefined))
+    def d(s: String) = new java.math.BigDecimal(s)
+    t.upsert(Seq((d("0.25"), "u1"), (d("37.50"), "u150"), (d("75.00"), "u300"),
+      (d("400.00"), "new")).toDF("k", "v"))
+    t.delete(Seq(Tuple1(d("0.50")), Tuple1(d("50.00"))).toDF("k"))
+    spark.conf.set("spark.sql.catalog.gsp12", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsp12.warehouse", wh)
+    def decState(df: org.apache.spark.sql.DataFrame): Map[java.math.BigDecimal, String] =
+      df.collect().map(r => r.getDecimal(0) -> r.getString(1)).toMap
+    withSpillForced {
+      val v2 = decState(spark.table("gsp12.dreg"))
+      assert(v2 == decState(t.scan()))
+      assert(v2.size == 299 && v2(d("0.25")) == "u1" &&
+        v2(d("37.50")) == "u150" && v2(d("400.00")) == "new" &&
+        !v2.contains(d("50.00")))
+    }
+  }
+
+  test("a genuinely non-encodable lead key still refuses past the bound") {
+    val wh = Files.createTempDirectory("graft-spill10-").toString
+    // decimal wider than 18 digits: unscaled values exceed a long, so
+    // neither the expression nor the footer encoding exists — the guard
+    // must keep the compact-first posture rather than route wrongly
+    val df = (1 to 20).map(i => (i, s"a$i")).toDF("i", "v")
+      .select(col("i").cast("decimal(24,2)").as("k"), col("v"))
+    val t = GraftTable.create(spark, s"$wh/wide", "wide", df.schema, Seq("k"),
+      hash = Nil, data = Some(df))
+    t.upsert(Seq((new java.math.BigDecimal("1.00"), "u")).toDF("k", "v"))
+    val m = t.meta
+    assert(m.baseFiles.forall(f => f.keyLo.isEmpty && f.keyHi.isEmpty))
+    spark.conf.set("spark.sql.catalog.gsp13", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsp13.warehouse", wh)
+    withSpillForced {
+      val e = intercept[Exception] { spark.table("gsp13.wide").count() }
       assert(e.getMessage.contains("DSv1"), e.getMessage)
     }
     // below the bound the same table serves via broadcast overlay
-    assert(stateOf(spark.table("gsp7.nb")) ==
-      stateOf(GraftTable.load(spark, t.location).scan()))
+    assert(spark.table("gsp13.wide").count() == 20)
   }
 }
