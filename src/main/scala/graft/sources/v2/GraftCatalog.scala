@@ -1107,17 +1107,14 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
             GraftV2Scan.deleteTree(tmpDir)
         }
       }
-      val routeParts: Map[String, InputPartition] = ownedSeq.flatMap { r =>
+      val routeParts: Map[String, Seq[String]] = ownedSeq.flatMap { r =>
         val d = spillDir.resolve(s"${GraftV2Scan.SpillRouteCol}=${routeId(r)}")
         if (java.nio.file.Files.isDirectory(d)) {
           val ps = scala.util.Using.resource(java.nio.file.Files.list(d)) { s =>
             scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
               .asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
           }
-          if (ps.nonEmpty)
-            Some(r -> org.apache.spark.sql.GraftSqlBridge
-              .filePartition(routeId(r), ps, None): (String, InputPartition))
-          else None
+          if (ps.nonEmpty) Some(r -> ps) else None
         } else None
       }.toMap
       val deltaFactory = org.apache.spark.sql.GraftSqlBridge
@@ -1130,7 +1127,9 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         bare = if (!GraftTable.columnarMorEnabled ||
             !MorColumnarReader.supportsAll(internalSchema)) None
           else Some(org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
-            spark, m.schema, requiredSchema, filters)))
+            spark, m.schema, requiredSchema, filters)),
+        localCache = spark.conf.getOption("graft.mor.spillCache")
+          .forall(_.toBoolean))
     }
   }
 }

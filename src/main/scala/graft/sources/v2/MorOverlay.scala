@@ -109,7 +109,10 @@ class SpillMorOverlayReaderFactory(
     outIdx: Array[Int],
     identity: Boolean,
     opIdx: Int,
-    routeParts: Map[String, InputPartition],
+    // route -> its spill slice's parquet paths (a split rebuilds its own
+    // file partition executor-side, so the paths can first be redirected
+    // through the executor-local slice cache)
+    routeParts: Map[String, Seq[String]],
     // Set when the planner served a key-grouped layout with coordinate-less
     // files as ONE unkeyed split: that split reads this (single) route's
     // slice, which carries every delta row.
@@ -118,7 +121,12 @@ class SpillMorOverlayReaderFactory(
     // pass through it columnar (sound for every spill route kind: interval
     // routing duplicates a delta into each candidate file's slice, so an
     // empty slice proves no delta can touch this split's rows)
-    bare: Option[PartitionReaderFactory] = None) extends PartitionReaderFactory {
+    bare: Option[PartitionReaderFactory] = None,
+    // serve slice reads through SpillLocalCache (cfile/block_cache.h
+    // analog): repeat reads of a hot tablet hit executor-local disk
+    // instead of re-fetching the shared-FS spill. Captured at planning
+    // from `graft.mor.spillCache` (default true).
+    localCache: Boolean = true) extends PartitionReaderFactory {
 
   private def routeOf(p: InputPartition): String = p match {
     case k: org.apache.spark.sql.GraftKeyedFilePartition => k.compositeBucket.toString
@@ -136,7 +144,10 @@ class SpillMorOverlayReaderFactory(
   private def infoFor(route: String, owns: Boolean): MorOverlayInfo = {
     val dead = new java.util.HashSet[Seq[Any]]()
     val ups = scala.collection.mutable.ArrayBuffer[Array[Any]]()
-    routeParts.get(route).foreach { dp =>
+    routeParts.get(route).foreach { paths0 =>
+      val paths = if (localCache) paths0.map(SpillLocalCache.localize) else paths0
+      val dp: InputPartition =
+        org.apache.spark.sql.GraftSqlBridge.filePartition(0, paths, None)
       val dr = deltaFactory.createReader(dp)
       try {
         while (dr.next()) {

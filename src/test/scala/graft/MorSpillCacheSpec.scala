@@ -84,4 +84,81 @@ class MorSpillCacheSpec extends AnyFunSuite {
         "new version must publish its own spill")
     }
   }
+
+  test("executor-local slice cache: repeat reads hit, commits re-miss") {
+    // The block-cache analog (cfile/block_cache.h): each split's slice
+    // read goes through SpillLocalCache, so repeat reads of a hot tablet
+    // serve from executor-local disk instead of re-fetching the shared-FS
+    // spill. local[*] shares the JVM, so the counters are read directly.
+    val cache = graft.sources.v2.SpillLocalCache
+    val wh = Files.createTempDirectory("graft-spillcache2-").toString
+    val df = (1 to 300).map(i => (i.toLong, s"a$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/sc2", "sc2", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 4)), data = Some(df))
+    t.upsert((1 to 150).map(i => (i.toLong, s"u$i")).toDF("k", "v"))
+    spark.conf.set("spark.sql.catalog.gspc2", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspc2.warehouse", wh)
+    withSpillForced {
+      def state() = spark.table("gspc2.sc2").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      cache.reset()
+      val first = state()
+      assert(first.size == 300 && first(1L) == "u1")
+      val (m1, h1) = (cache.misses.get(), cache.hits.get())
+      assert(m1 > 0, "cold read must copy slices into the local cache")
+      assert(h1 == 0, "no entry can hit on a cold cache")
+
+      // hot read: every slice localization is a hit, zero new copies
+      assert(state() == first)
+      val (m2, h2) = (cache.misses.get(), cache.hits.get())
+      assert(m2 == m1, s"repeat read must not re-copy (misses $m1 -> $m2)")
+      assert(h2 >= m1, s"repeat read must hit the local cache (hits $h2)")
+
+      // a commit produces a new spill (new paths) -> cold again
+      t.upsert(Seq((700L, "late")).toDF("k", "v"))
+      val after = state()
+      assert(after.size == 301 && after(700L) == "late")
+      assert(cache.misses.get() > m2,
+        "a new version's slices must re-enter the cache cold")
+
+      // disabled by conf: the counters freeze
+      spark.conf.set("graft.mor.spillCache", "false")
+      try {
+        val (m3, h3) = (cache.misses.get(), cache.hits.get())
+        assert(state() == after)
+        assert(cache.misses.get() == m3 && cache.hits.get() == h3,
+          "graft.mor.spillCache=false must bypass the local cache")
+      } finally spark.conf.unset("graft.mor.spillCache")
+    }
+  }
+
+  test("local slice cache evicts oldest entries past its byte cap") {
+    val cache = graft.sources.v2.SpillLocalCache
+    cache.reset()
+    val src = Files.createTempDirectory("graft-slc-src-")
+    def mk(n: String, kb: Int): String = {
+      val p = src.resolve(n)
+      Files.write(p, Array.fill(kb * 1024)(7.toByte))
+      p.toString
+    }
+    val cap = 64L * 1024
+    val prev = sys.props.get("graft.spillCache.maxBytes")
+    sys.props("graft.spillCache.maxBytes") = cap.toString
+    try {
+      val a = cache.localize(mk("a.parquet", 30))
+      Thread.sleep(20) // distinct mtimes for LRU order
+      cache.localize(mk("b.parquet", 30))
+      Thread.sleep(20)
+      cache.localize(mk("c.parquet", 30)) // 90 KB > 64 KB cap -> sweep
+      assert(!Files.exists(Paths.get(a)),
+        "oldest entry must be evicted past the cap")
+      assert(cache.misses.get() == 3)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.spillCache.maxBytes") = v
+        case None => sys.props.remove("graft.spillCache.maxBytes")
+      }
+      cache.reset()
+    }
+  }
 }
