@@ -918,6 +918,63 @@ object Queries {
            |FROM gq45.`${f.getName}` ORDER BY s_suppkey""".stripMargin)
     }),
 
+    "q46_cbo_reorder" -> ((s, dir) => {
+      // CBO gate over the ANALYZE statistics (D4 consumed by the planner):
+      // a 3-table join written in a deliberately bad textual order —
+      // the big fact against the unfiltered dim first, the selectively
+      // filtered dim last — must come out of Spark's cost-based join
+      // reorder with the filtered dims joined FIRST, which is only
+      // visible from the analyze() NDV/min-max/histogram stats served
+      // through the V2 scan's columnStats (skipping analyze() keeps the
+      // textual order — CboReorderSpec proves the negative). The result
+      // hash-checks against the oracle computing the same join in SQL.
+      val loc = tmpLoc("graft-q46-")
+      def mk(child: String, t: String, keys: Seq[String]): GraftTable = {
+        val raw = Tables.raw(s, dir, t)
+        GraftTable.create(s, s"$loc/$child", child, raw.schema, keys,
+          Seq(HashComponent(Seq(keys.head), 4)), data = Some(raw))
+      }
+      val tf = mk("orders_f", "orders", Seq("o_orderkey"))
+      val tc = mk("customer_d", "customer", Seq("c_custkey"))
+      val tn = mk("nation_d", "nation", Seq("n_nationkey"))
+      Seq(tf, tc, tn).foreach(_.analyze(histograms = true, histogramBins = 16))
+      s.conf.set("spark.sql.catalog.gq46",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq46.warehouse", loc)
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      try {
+        val q = s.table("gq46.orders_f")
+          .join(s.table("gq46.customer_d"),
+            col("o_custkey") === col("c_custkey"))
+          .join(s.table("gq46.nation_d").filter(col("n_name") === "NATION_7"),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"))
+          .orderBy(col("c_mktsegment"))
+        // in-query plan guard: the innermost join must combine the two
+        // DIMS (customer x filtered nation) — the fact staying outermost
+        // is the stats-driven order; the textual order would put orders
+        // in the innermost join
+        val joins = q.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }
+        val innermost = joins.filter(j => j.children.forall(c =>
+          c.collect { case jj: org.apache.spark.sql.catalyst.plans.logical.Join => jj }
+            .isEmpty))
+        val inLeaves = innermost.flatMap(_.collectLeaves()).map(_.toString)
+        if (innermost.isEmpty || inLeaves.exists(_.contains("orders_f")) ||
+            !inLeaves.exists(_.contains("nation_d")))
+          throw new IllegalStateException(
+            "CBO must join the filtered dimension first; innermost join " +
+              s"reads: ${inLeaves.mkString(", ")}")
+        q.localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.sql.cbo.enabled", "false")
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      }
+    }),
+
     "q44_analyze" -> ((s, dir) => {
       // ANALYZE gate (D4): one aggregate job computes per-column stats over
       // the MERGE-ON-READ state (not the base — upserts/deletes below must
@@ -1165,6 +1222,12 @@ object Queries {
         "round(CAST(min(s_suppkey) AS DOUBLE), 2), " +
         "round(CAST(max(s_suppkey) AS DOUBLE), 2) FROM m " +
         "ORDER BY col_name"),
+
+    "q46_cbo_reorder" ->
+      ("SELECT c_mktsegment, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE n_name = 'NATION_7' GROUP BY c_mktsegment ORDER BY c_mktsegment"),
 
     "q45_minor_flush" ->
       ("SELECT s_suppkey, " +

@@ -705,8 +705,14 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     * (bucket pruning) and the range column (bound/granularity pruning) —
     * exactly what [[graft.sources.PartitionPruner]] understands. */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns still in the projection: runtime filters arrive over
+    // the scan's OUTPUT attributes, and Spark's dynamic-pruning rule
+    // resolves these refs against the pruned output — reporting a
+    // pruned-out partition column made that resolution throw (seen under
+    // CBO join-reorder planning, where DPP probes every join scan)
     (meta.hash.flatMap(_.cols) ++ meta.range.toSeq.flatMap(_.columns))
-      .distinct.map(Expressions.column).toArray
+      .distinct.filter(requiredSchema.fieldNames.contains)
+      .map(Expressions.column).toArray
 
   override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
 
