@@ -43,6 +43,11 @@ import graft.table.GraftTable
  *   graft.maintain.perTablet  when "true", a tripped ratio folds only the
  *                           delta-pressured tablets (compactTablet) instead
  *                           of rewriting the whole base — the 100 TB posture
+ *   graft.stream.maxTailFiles  streaming sink: bound on unrouted tail delta
+ *                           filesets — past it the sink runs the in-place
+ *                           tail-merge (mergeTailDeltas; no base fold, no
+ *                           routing) between real flushes (default 24;
+ *                           0 disables)
  */
 class DefaultSource extends RelationProvider with CreatableRelationProvider
     with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
@@ -150,6 +155,13 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       parameters.get("graft.maintain.maxDeltaFiles").map(_.toInt).getOrElse(64)
     val maintainPerTablet =
       parameters.get("graft.maintain.perTablet").exists(_.toBoolean)
+    // graft.stream.maxTailFiles: between real flushes, keep the unrouted
+    // tail at or under this many filesets by running the in-place
+    // tail-merge (mergeTailDeltas — no base fold, no routing) whenever a
+    // commit pushes the count past the bound. The check is one metadata
+    // count per batch; the merge itself is O(tail). 0 disables.
+    val maxTailFiles =
+      parameters.get("graft.stream.maxTailFiles").map(_.toInt).getOrElse(24)
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val batch = org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(
@@ -160,6 +172,15 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
         }
         if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
           table.maintain(maintainRatio, maintainFiles, perTablet = maintainPerTablet)
+        if (maxTailFiles > 0 && table.meta.deltaFiles.count(
+            f => f.bucket.isEmpty && f.rangeKey.isEmpty) > maxTailFiles)
+          try table.mergeTailDeltas()
+          catch {
+            // a racing writer/maintainer taking the commit is fine — the
+            // bound is hygiene, the next batch re-checks
+            case e: IllegalStateException if Option(e.getMessage)
+              .exists(_.startsWith("concurrent commit detected")) =>
+          }
       }
     }
   }

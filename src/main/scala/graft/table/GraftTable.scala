@@ -815,6 +815,62 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   }
 
   /**
+   * TAIL-MERGE — the lightest minor delta compaction (the reference's
+   * minor pass merges delta files without touching the base or earlier
+   * stores, tablet/delta_compaction.cc): folds ONLY the coordinate-less
+   * tail files into one compact, STILL-UNROUTED fileset. Unlike
+   * [[compactDeltas]]`(tailOnly)` — which flushes the tail into routed
+   * per-tablet files — this keeps the result in the tail: no route
+   * computation, no partitionBy, just file-count hygiene, cheap enough
+   * for the streaming sink to run inline between real flushes (a
+   * sustained micro-batch stream otherwise leaves one delta fileset per
+   * commit). Per-row `_graft_seq` survives the fold, so merge-on-read
+   * windows and CDC range selection are unchanged; the output dir carries
+   * the `_deltamerge_` token the streaming sources already exclude.
+   * Returns true when a merge happened.
+   */
+  def mergeTailDeltas(minFiles: Int = 2): Boolean = {
+    val m = meta
+    val tail = m.deltaFiles.filter(f => f.bucket.isEmpty && f.rangeKey.isEmpty)
+    if (tail.size < math.max(2, minFiles)) return false
+    val deltas = dropMaskDelta(m, readFileGroup(m, tail, delta = true))
+    val w = Window.partitionBy(m.keyCols.map(col): _*)
+      .orderBy(col(SeqCol).desc, col(OpCol).desc) // latestDeltas tie-break
+    val latest = deltas.withColumn(RnCol, row_number().over(w))
+      .filter(col(RnCol) === 1).drop(RnCol)
+    val v = m.version + 1
+    val dir = Paths.get(location, "data",
+      s"c${v}_deltamerge_tail_${java.util.UUID.randomUUID().toString.take(8)}").toString
+    val physCols = m.columns.map(c => col(c.name).cast(c.dataType).as(c.physName)) ++
+      Seq(col(OpCol), col(SeqCol))
+    val keysPhys = m.columns.filter(_.isKey).map(c => col(c.physName))
+    // the streaming tail is small — collapse to one file per ~128 MB
+    val tailBytes = tail.map(f => GraftTable.fileSize(f.path)).sum
+    val parts = math.max(1, math.min(DeltaWritePartitions,
+      (tailBytes / (128L * 1024 * 1024)).toInt))
+    withMicrosTimestamps {
+      latest.select(physCols: _*).repartition(parts)
+        .sortWithinPartitions(keysPhys: _*)
+        .write.mode("overwrite").parquet(dir)
+    }
+    val maxSeq = tail.map(_.seq).max
+    val files = GraftTable.listParquet(dir).map { p =>
+      val (lo, hi) = fileKeyBounds(m, p)
+      DataFileMeta(p, "delta", maxSeq, GraftTable.parquetRows(p),
+        m.columns.map(_.id), keyLo = lo, keyHi = hi)
+    }
+    val flushed = m.deltaFiles.filter(f => f.bucket.isDefined || f.rangeKey.isDefined)
+    try TableMeta.write(m.copy(version = v, timestampMs = now(),
+      operation = "merge_tail", deltaFiles = flushed ++ files))
+    catch {
+      case e: Throwable =>
+        sweepTree(Paths.get(dir))
+        throw e
+    }
+    true
+  }
+
+  /**
    * ANALYZE: ONE aggregate job over the current snapshot computes, per
    * visible column, an approximate distinct count (HLL), the exact null
    * count, min/max for orderable atomic types (stored in external string
