@@ -311,12 +311,31 @@ object GraftTools {
     import graft.catalog.TableMeta
     if (!TableMeta.exists(location)) return Nil
     val metaDir = TableMeta.metaDir(location)
-    val versions = scala.util.Using.resource(Files.list(metaDir)) { stream =>
-      stream.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.matches("v\\d+\\.json") => s.drop(1).dropRight(5).toLong }
-        .toSeq
+    def listVersions(): Seq[Long] =
+      scala.util.Using.resource(Files.list(metaDir)) { stream =>
+        stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.matches("v\\d+\\.json") => s.drop(1).dropRight(5).toLong }
+          .toSeq
+      }
+    // UNPUBLISHED commits: a writer killed between writing its version
+    // file and swinging the _current pointer leaves v(N+1).json with no
+    // reader able to see it — and every future committer of N+1 hits the
+    // CREATE_NEW guard, wedging the table (the reference recovers the
+    // equivalent via Raft re-election + log truncation; our single-writer
+    // protocol rolls the dead commit back instead). The writer never
+    // returned success, so aborting it is the correct recovery. The grace
+    // window protects an in-flight committer exactly as for data files.
+    val cur = TableMeta.currentVersion(location)
+    val rolledBack = listVersions().filter(_ > cur).flatMap { v =>
+      val vf = metaDir.resolve(s"v$v.json")
+      val old = try {
+        Files.getLastModifiedTime(vf).toMillis <
+          System.currentTimeMillis() - math.max(0L, graceMs)
+      } catch { case _: Exception => false }
+      if (old && Files.deleteIfExists(vf)) Some(vf.toString) else None
     }
+    val versions = listVersions()
     val referenced = versions.flatMap { v =>
       try {
         val vm = TableMeta.read(location, v)
@@ -324,7 +343,7 @@ object GraftTools {
       } catch { case _: Exception => Nil } // unreadable snapshot: delete nothing of it
     }.toSet
     val dataDir = Paths.get(location, "data")
-    if (!Files.isDirectory(dataDir)) return Nil
+    if (!Files.isDirectory(dataDir)) return rolledBack
     val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
     val orphans = scala.util.Using.resource(Files.walk(dataDir)) { stream =>
       stream.iterator().asScala
@@ -353,6 +372,6 @@ object GraftTools {
         }
       }
     }
-    orphans.map(_.toString)
+    rolledBack ++ orphans.map(_.toString)
   }
 }

@@ -524,4 +524,110 @@ class FuzzSpec extends AnyFunSuite {
 
   test("random ALTERs racing txn CALLs and spill reads (seed 19)") { runAlterTxnSpillCase(19L, 40) }
   test("random ALTERs racing txn CALLs and spill reads (seed 29)") { runAlterTxnSpillCase(29L, 40) }
+
+
+  /** Injected kill-point artifacts get a backdated mtime: a grace-0 repair
+    * sweeps files STRICTLY older than "now", and an artifact written in the
+    * same millisecond as the check would flakily survive. */
+  private def backdate(p: java.nio.file.Path): Unit =
+    java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000))
+
+  /** Crash-recovery: a writer killed between writing its version file and
+    * swinging the _current pointer leaves an UNPUBLISHED commit that wedges
+    * every later committer on the CREATE_NEW guard (the reference recovers
+    * the analog through Raft log truncation, integration-tests
+    * fuzz-itest.cc restart cases); fsckRepair must roll the dead commit
+    * back and the table must read and write exactly afterwards. */
+  test("kill-point mid-commit: unpublished version wedges, fsckRepair unwedges") {
+    val loc = Files.createTempDirectory("graft-crash1-").toString
+    val t = GraftTable.create(spark, loc, "kv",
+      StructType(Seq(StructField("k", IntegerType, false), StructField("v", IntegerType))),
+      keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), 2)))
+    t.upsert(Seq((1, 10), (2, 20)).toDF("k", "v"))
+    val cur = t.currentVersion
+    // simulate the kill: next version file exists (truncated — the write
+    // died mid-flush), pointer never swung
+    val metaDir = graft.catalog.TableMeta.metaDir(loc)
+    java.nio.file.Files.write(metaDir.resolve(s"v${cur + 1}.json"),
+      """{"name":"kv","version":""".getBytes("UTF-8"))
+    backdate(metaDir.resolve(s"v${cur + 1}.json"))
+    // readers are unaffected (pointer still at cur)
+    assert(t.scan().count() == 2)
+    // writers are WEDGED: every commit of cur+1 hits the guard
+    spark.conf.set("graft.commit.retryTimeoutMs", "300")
+    try {
+      val e = intercept[IllegalStateException] { t.upsert(Seq((3, 30)).toDF("k", "v")) }
+      assert(e.getMessage.contains("concurrent commit"), e.getMessage)
+    } finally spark.conf.unset("graft.commit.retryTimeoutMs")
+    // repair rolls the unpublished commit back (grace 0 = treat as dead now)
+    val repaired = graft.tools.GraftTools.fsckRepair(loc, graceMs = 0)
+    assert(repaired.exists(_.endsWith(s"v${cur + 1}.json")), repaired.toString)
+    // ... and the table reads and writes exactly again
+    t.upsert(Seq((3, 30)).toDF("k", "v"))
+    val got = t.scan().collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == Map(1 -> 10, 2 -> 20, 3 -> 30))
+    assert(graft.tools.GraftTools.fsck(loc).isEmpty)
+    // a FRESH (within grace) unpublished version is NOT rolled back — it
+    // may be an in-flight committer about to swing the pointer
+    java.nio.file.Files.write(metaDir.resolve(s"v${t.currentVersion + 1}.json"),
+      """{"name":"kv"""".getBytes("UTF-8"))
+    assert(graft.tools.GraftTools.fsckRepair(loc).isEmpty)
+    java.nio.file.Files.delete(metaDir.resolve(s"v${t.currentVersion + 1}.json"))
+  }
+
+  /** Randomized kill-point injection between ops: dead writers leave
+    * attempt-dir orphans and unpublished version files at random points;
+    * repair runs after each injection and the model equality must hold
+    * throughout and at the end. */
+  private def runCrashCase(seed: Long, nOps: Int): Unit = {
+    val rnd = new Random(seed)
+    val loc = Files.createTempDirectory(s"graft-crashfuzz-$seed-").toString
+    val t = GraftTable.create(spark, loc, "kv",
+      StructType(Seq(StructField("k", IntegerType, false), StructField("v", IntegerType))),
+      keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), 2)))
+    val model = mutable.Map[Int, Int]()
+    def df(k: Int, v: Int) = Seq((k, v)).toDF("k", "v")
+    val dataDir = java.nio.file.Paths.get(loc, "data")
+    val metaDir = graft.catalog.TableMeta.metaDir(loc)
+    for (i <- 0 until nOps) {
+      val k = rnd.nextInt(Keyspace); val v = rnd.nextInt(1000)
+      rnd.nextInt(6) match {
+        case 0 | 1 | 2 => t.upsert(df(k, v)); model(k) = v
+        case 3 =>
+          t.delete(Seq(k).toDF("k"), ignore = true); model.remove(k)
+        case 4 => // kill-point: orphan attempt fileset in data/
+          val dead = dataDir.resolve(s"c999_delta_dead$i")
+          java.nio.file.Files.createDirectories(dead)
+          val donor = (t.meta.baseFiles ++ t.meta.deltaFiles).head.path
+          java.nio.file.Files.copy(java.nio.file.Paths.get(donor),
+            dead.resolve("orphan.parquet"))
+          backdate(dead.resolve("orphan.parquet"))
+          val swept = graft.tools.GraftTools.fsckRepair(loc, graceMs = 0)
+          assert(swept.exists(_.contains(s"c999_delta_dead$i")), swept.toString)
+        case 5 => // kill-point: unpublished (sometimes truncated) version
+          val vf = metaDir.resolve(s"v${t.currentVersion + 1}.json")
+          val junk = if (rnd.nextBoolean()) """{"name":"kv","ver"""
+            else """{"name":"kv","version":999999,"columns":[]}"""
+          java.nio.file.Files.write(vf, junk.getBytes("UTF-8"))
+          backdate(vf)
+          val rolled = graft.tools.GraftTools.fsckRepair(loc, graceMs = 0)
+          assert(rolled.exists(_.endsWith(vf.getFileName.toString)), rolled.toString)
+      }
+      if (i % 10 == 9) { // periodic full-state check against the model
+        val got = t.scan().collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+        assert(got == model.toMap, s"state diverged at op $i seed=$seed")
+      }
+    }
+    val got = t.scan().collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == model.toMap, s"final state mismatch seed=$seed")
+    assert(graft.tools.GraftTools.fsck(loc).isEmpty)
+  }
+
+  test("random kill-point injection: repair keeps the table exact (seed 13)") {
+    runCrashCase(13L, 40)
+  }
+  test("random kill-point injection: repair keeps the table exact (seed 37)") {
+    runCrashCase(37L, 40)
+  }
 }
