@@ -650,6 +650,56 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    "p20_pii_scrub" -> ((s, dir) => {
+      // PII redaction (the C4/Dolma-style scrub pass): count and redact
+      // email / phone / IPv4 patterns per document. The synthetic corpus
+      // carries no PII, so both engines first append the SAME
+      // deterministic PII suffix (derived from doc_id) — the op under
+      // test is the scrub, not the generator. Patterns are RE2-safe so
+      // Spark (Java regex) and DuckDB (RE2) agree; counts are integers
+      // and the scrubbed text is compared as a sha256, both exact.
+      // Narrow codegen'd projection: one pass, no shuffle — at 100 TB
+      // this is a pure map stage.
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 7) % 256).cast("string"))
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\b\\d{3}-\\d{4}\\b"
+      val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+        aug, email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>")
+      docs(s, dir).select(
+        col("doc_id"),
+        regexp_count(aug, lit(email)).cast("long").as("n_email"),
+        regexp_count(aug, lit(ip)).cast("long").as("n_ip"),
+        regexp_count(aug, lit(phone)).cast("long").as("n_phone"),
+        sha2(scrubbed, 256).as("scrub_sha"))
+        .orderBy("doc_id")
+    }),
+
+    "p21_url_dedup" -> ((s, dir) => {
+      // URL-canonicalization dedup (the web-corpus pass: RefinedWeb/CC
+      // pipelines dedup by canonical URL before any content dedup): both
+      // engines derive the SAME deterministic raw URL per doc (mixed
+      // case + tracking params), canonicalize — lowercase, strip utm_*
+      // params, repair dangling separators — and group. Emits one row
+      // per canonical URL with the duplicate count and the kept doc
+      // (min doc_id), the exact-dedup contract of p1 at URL granularity.
+      // groupBy(canon) is the only shuffle; the canon expression is a
+      // codegen'd map — the 100 TB plan shape.
+      val raw = concat(lit("HTTPS://WWW.EXample.COM/Page/"),
+        (col("doc_id") % 50).cast("string"),
+        lit("?utm_source=feed"), col("doc_id"), lit("&utm_campaign=x"))
+      val canon = regexp_replace(
+        regexp_replace(lower(raw), "utm_[a-z]+=[^&#]*&?", ""), "[?&]$", "")
+      docs(s, dir).select(canon.as("canon_url"), col("doc_id"))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
+        .orderBy("canon_url")
+    }),
+
     "p19_repetition" -> ((s, dir) => {
       // Repetition filtering (the Gopher-style quality rule): per doc, the
       // fraction of 3-gram occurrences covered by the single most-repeated
@@ -923,6 +973,30 @@ object Pipeline {
         "CAST(sum(toks) AS BIGINT) AS n_tokens, " +
         "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
         "FROM c GROUP BY 1 ORDER BY shard"),
+
+    "p20_pii_scrub" ->
+      ("WITH a AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+        "'@mail.example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+        "' from 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) AS aug " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_email, " +
+        "CAST(len(regexp_extract_all(aug, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip, " +
+        "CAST(len(regexp_extract_all(aug, '\\b\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone, " +
+        "sha256(regexp_replace(regexp_replace(regexp_replace(aug, " +
+        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
+        "'\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS scrub_sha " +
+        "FROM a ORDER BY doc_id"),
+
+    "p21_url_dedup" ->
+      ("WITH u AS (SELECT doc_id, 'HTTPS://WWW.EXample.COM/Page/' || " +
+        "(doc_id % 50) || '?utm_source=feed' || doc_id || '&utm_campaign=x' AS raw " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, regexp_replace(regexp_replace(lower(raw), " +
+        "'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]$', '') AS canon_url FROM u) " +
+        "SELECT canon_url, CAST(count(*) AS BIGINT) AS n_dups, " +
+        "min(doc_id) AS keeper FROM c GROUP BY canon_url ORDER BY canon_url"),
 
     "p19_repetition" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +

@@ -50,4 +50,29 @@ class PipelineScaleSpec extends AnyFunSuite {
     assert(exchangeIdx < 0 || filterIdx > exchangeIdx,
       s"sampling filter must sit below the aggregation exchange:\n$plan")
   }
+
+  test("p20 PII scrub stays a pure map stage under the output sort") {
+    val df = SparkEntry.queries("p20_pii_scrub")(spark, dir)
+    df.collect()
+    val whole = df.queryExecution.executedPlan.toString
+    // AQE prints Final + Initial plans; inspect only the final one
+    val plan = whole.split("== Initial Plan ==").head
+    // only the final presentation orderBy may exchange; the scrub itself
+    // must not shuffle or aggregate — at 100 TB it is a map-only pass
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(!plan.contains("HashAggregate"), s"scrub must not aggregate:\n$plan")
+    assert(exchanges <= 1, s"scrub must shuffle at most for the output sort:\n$plan")
+    assert(plan.contains("*(1)"), s"scrub must stay codegen'd:\n$plan")
+  }
+
+  test("p21 URL dedup: one aggregation shuffle with map-side combine") {
+    val df = SparkEntry.queries("p21_url_dedup")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // canon -> partial agg -> ONE key exchange -> final agg (+ output sort)
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final aggregation:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"no join belongs in URL dedup:\n$plan")
+  }
 }
