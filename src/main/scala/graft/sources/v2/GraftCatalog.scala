@@ -961,15 +961,12 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         // Pruning applies to flushed files exactly as to base files.
         val keepRouted = graft.sources.PartitionPruner.pruneFiles(
           m, routedD, filters.toSeq ++ runtimeFilters)
-        val routeParts: Map[String, InputPartition] = keepRouted
+        val routeParts: Map[String, Seq[String]] = keepRouted
           .groupBy { f =>
             val r = GraftV2Scan.routeOf(m, f)
             if (owned.contains(r)) r else fallback
           }
-          .map { case (r, fs) =>
-            r -> (org.apache.spark.sql.GraftSqlBridge
-              .filePartition(0, fs.map(_.path).sorted, None): InputPartition)
-          }
+          .map { case (r, fs) => r -> fs.map(_.path).sorted }
         val opSeqFields = Seq(
           org.apache.spark.sql.types.StructField(GraftTable.OpCol,
             org.apache.spark.sql.types.StringType, nullable = false),
@@ -981,7 +978,9 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         new RoutedMorReaderFactory(inner, deltaFactory, types, keyIdx, outIdx,
           identity, opIdx, opIdx + 1, routeParts, info,
           defaultRoute = if (kgBare) Some(GraftV2Scan.OrphanRoute) else None,
-          columnar = colSupport)
+          columnar = colSupport,
+          localCache = spark.conf.getOption("graft.mor.spillCache")
+            .forall(_.toBoolean))
       }
     } else {
       // SHUFFLE-SPILL overlay: past the broadcast bound, the delta state is

@@ -210,13 +210,18 @@ class RoutedMorReaderFactory(
     identity: Boolean,
     opIdx: Int,
     seqIdx: Int,
-    routeParts: Map[String, InputPartition],
+    // route -> its flushed slice's parquet paths; the split rebuilds its
+    // file partition executor-side so reads can redirect through the
+    // executor-local slice cache (flushed files are immutable — commits
+    // only add new paths — so a local copy never staleness-races)
+    routeParts: Map[String, Seq[String]],
     tail: Broadcast[MorOverlayInfo],
     defaultRoute: Option[String] = None,
     // Columnar capability: `clean` = routes the TAIL provably never
     // touches (planner-computed, key-derivable layouts only); a split is
     // fully clean when additionally no flushed slice attaches to it.
-    columnar: Option[ColumnarMorSupport] = None) extends PartitionReaderFactory {
+    columnar: Option[ColumnarMorSupport] = None,
+    localCache: Boolean = true) extends PartitionReaderFactory {
 
   private def routeOf(p: InputPartition): String = p match {
     case k: org.apache.spark.sql.GraftKeyedFilePartition => k.compositeBucket.toString
@@ -260,7 +265,10 @@ class RoutedMorReaderFactory(
     // fold the split's flushed slice to latest-per-key — same (seq desc,
     // op desc) tie-break as latestDeltas ("U" > "D": the upsert wins)
     val best = new java.util.HashMap[Seq[Any], (Long, String, Array[Any])]()
-    routeParts.get(route).foreach { dp =>
+    routeParts.get(route).foreach { paths0 =>
+      val paths = if (localCache) paths0.map(SpillLocalCache.localize) else paths0
+      val dp: InputPartition =
+        org.apache.spark.sql.GraftSqlBridge.filePartition(0, paths, None)
       val dr = deltaFactory.createReader(dp)
       try {
         while (dr.next()) {

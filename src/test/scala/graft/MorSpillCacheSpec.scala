@@ -132,6 +132,32 @@ class MorSpillCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("routed-attach slices ride the executor-local cache too") {
+    // The flushed per-tablet delta files (attach transport) are immutable
+    // like spill slices — repeat reads of a flushed table must hit the
+    // local cache the same way.
+    val cache = graft.sources.v2.SpillLocalCache
+    val wh = Files.createTempDirectory("graft-spillcache3-").toString
+    val df = (1 to 200).map(i => (i.toLong, s"a$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/sc3", "sc3", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 4)), data = Some(df))
+    t.upsert((1 to 80).map(i => (i.toLong, s"u$i")).toDF("k", "v"))
+    t.delete(Seq(Tuple1(150L)).toDF("k"))
+    t.compactDeltas() // flush -> routed files, attach transport
+    spark.conf.set("spark.sql.catalog.gspc3", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspc3.warehouse", wh)
+    def state() = spark.table("gspc3.sc3").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    cache.reset()
+    val first = state()
+    assert(first.size == 199 && first(1L) == "u1" && !first.contains(150L))
+    val (m1, h1) = (cache.misses.get(), cache.hits.get())
+    assert(m1 > 0 && h1 == 0, s"cold attach read: misses=$m1 hits=$h1")
+    assert(state() == first)
+    assert(cache.misses.get() == m1, "repeat attach read must not re-copy")
+    assert(cache.hits.get() >= m1, "repeat attach read must hit the cache")
+  }
+
   test("local slice cache evicts oldest entries past its byte cap") {
     val cache = graft.sources.v2.SpillLocalCache
     cache.reset()
