@@ -46,7 +46,7 @@ private[v2] object GraftProcedures {
 
   val names: Array[String] = Array(
     "analyze", "compact", "compact_deltas", "compact_tablet", "locate_row",
-    "maintain", "delta_stats", "fsck", "fsck_repair", "register",
+    "maintain", "merge_tail", "delta_stats", "fsck", "fsck_repair", "register",
     "table_statistics",
     "txn_begin", "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort")
 
@@ -113,6 +113,16 @@ private[v2] object GraftProcedures {
           val t = locate(in)
           t.compactDeltas(tailOnly = in.getBoolean(1))
           Seq(InternalRow(t.currentVersion))
+        })
+      case "merge_tail" => Some(proc("merge_tail",
+        "in-place tail-merge — collapse the unrouted tail delta files into " +
+          "one fileset with no base fold and no routing (the streaming " +
+          "sink's between-flush hygiene pass); returns whether it merged",
+        Array(tableParam),
+        new StructType().add("merged", BooleanType).add("version", LongType)) { in =>
+          val t = locate(in)
+          val merged = t.mergeTailDeltas()
+          Seq(InternalRow(merged, t.currentVersion))
         })
       case "compact_tablet" => Some(proc("compact_tablet",
         "MAJOR-compact one tablet — O(tablet + deltas), never O(table)",

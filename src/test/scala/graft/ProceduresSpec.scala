@@ -46,6 +46,21 @@ class ProceduresSpec extends AnyFunSuite {
       .map(_.getBoolean(0)).toSeq == Seq(false))
   }
 
+  test("CALL merge_tail collapses the unrouted tail in place") {
+    val t = mkTable("m6")
+    t.upsert((1 to 10).map(i => (i, s"a$i")).toDF("k", "v"))
+    t.upsert((5 to 15).map(i => (i, s"b$i")).toDF("k", "v"))
+    val tailBefore = t.meta.deltaFiles.count(f => f.bucket.isEmpty && f.rangeKey.isEmpty)
+    assert(tailBefore >= 2)
+    val r = spark.sql(s"CALL $cat.system.merge_tail('m6')").collect().head
+    assert(r.getBoolean(0))
+    val tail = t.meta.deltaFiles.filter(f => f.bucket.isEmpty && f.rangeKey.isEmpty)
+    assert(tail.size == 1 && t.meta.deltaFiles.size == 1)
+    assert(t.scan().filter(col("k") === 5).select("v").as[String].head() == "b5")
+    // idempotent: nothing left to merge
+    assert(!spark.sql(s"CALL $cat.system.merge_tail('m6')").collect().head.getBoolean(0))
+  }
+
   test("CALL compact_tablet folds one bucket; named args work") {
     val t = mkTable("m2")
     t.upsert((1 to 30).map(i => (i, s"u$i")).toDF("k", "v"))
@@ -85,8 +100,8 @@ class ProceduresSpec extends AnyFunSuite {
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
       .map(_.getAs[String]("procedure_name")).toSet
     assert(listed == Set("analyze", "compact", "compact_deltas",
-      "compact_tablet", "locate_row", "maintain", "delta_stats", "fsck",
-      "fsck_repair", "register", "table_statistics", "txn_begin",
+      "compact_tablet", "locate_row", "maintain", "merge_tail", "delta_stats",
+      "fsck", "fsck_repair", "register", "table_statistics", "txn_begin",
       "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort"),
       listed.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.compact_tablet")
