@@ -918,6 +918,18 @@ object Queries {
            |FROM gq45.`${f.getName}` ORDER BY s_suppkey""".stripMargin)
     }),
 
+    "q47_sessionize" -> ((s, dir) => {
+      // Gap-based sessionization (8-hour gap) over the engine events
+      // table: per-user window lag marks session breaks, a running sum
+      // numbers them — one shuffle by user, no single-partition window.
+      // The streaming twin (flatMapGroupsWithState with event-time
+      // timeout) is proven equal to this batch form in SessionizeSpec;
+      // the oracle recomputes the same lag/cumsum in SQL.
+      graft.streaming.Sessionize
+        .sessions(scan(s, dir, "events"), gapMinutes = 480)
+        .orderBy("user_id", "session_idx")
+    }),
+
     "q46_cbo_reorder" -> ((s, dir) => {
       // CBO gate over the ANALYZE statistics (D4 consumed by the planner):
       // a 3-table join written in a deliberately bad textual order —
@@ -1222,6 +1234,18 @@ object Queries {
         "round(CAST(min(s_suppkey) AS DOUBLE), 2), " +
         "round(CAST(max(s_suppkey) AS DOUBLE), 2) FROM m " +
         "ORDER BY col_name"),
+
+    "q47_sessionize" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events), " +
+        "b AS (SELECT user_id, us, event_id, CASE WHEN us - lag(us) OVER " +
+        "(PARTITION BY user_id ORDER BY us, event_id) > 28800000000 " +
+        "THEN 1 ELSE 0 END AS brk FROM e), " +
+        "s AS (SELECT user_id, us, CAST(sum(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS session_idx FROM b) " +
+        "SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events, " +
+        "min(us) AS first_us, max(us) AS last_us " +
+        "FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
 
     "q46_cbo_reorder" ->
       ("SELECT c_mktsegment, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust " +
