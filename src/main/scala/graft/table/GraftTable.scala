@@ -1613,7 +1613,32 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // job per mutation): a duplicate key fails the write before any
     // metadata commits. Attached to SeqCol, which is always materialized,
     // so column pruning cannot drop the check.
-    val out = if (guardDupKeys) {
+    // A batch whose key columns are ALL constant-foldable (e.g.
+    // withColumn(key, lit(...))) folds the window's partition spec away
+    // entirely — Catalyst would run the guard as a GLOBAL single-partition
+    // window. Such a batch is one key group by construction, so the guard
+    // degenerates to "more than one row": check that directly (a limit(2)
+    // probe — only in this rare shape) and skip the window. Partially
+    // foldable keys are fine: the surviving columns partition correctly.
+    val keysAllFoldable = guardDupKeys && {
+      out0.select(m.keyCols.map(col): _*).queryExecution.optimizedPlan match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.forall {
+            // Alias never reports foldable itself — ask its child
+            case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+              a.child.foldable
+            case e => e.foldable
+          }
+        case _ => false
+      }
+    }
+    if (keysAllFoldable && rows.limit(2).count() > 1)
+      throw new PrimaryKeyException(
+        s"duplicate key within one $op batch on ${m.name}: every row " +
+          "carries the same constant key — ops within one commit are " +
+          "unordered; use upsert(df, lastWinsBy = <orderCol>) for defined " +
+          "last-wins")
+    val out = if (guardDupKeys && !keysAllFoldable) {
       val w = Window.partitionBy(m.keyCols.map(col): _*)
       out0.withColumn(SeqCol,
         when(count(lit(1)).over(w) > 1,
