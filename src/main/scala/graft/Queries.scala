@@ -918,6 +918,21 @@ object Queries {
            |FROM gq45.`${f.getName}` ORDER BY s_suppkey""".stripMargin)
     }),
 
+    "q48_json_extract" -> ((s, dir) => {
+      // Semi-structured payload extraction (the delegated-to-Spark scalar
+      // surface over an engine table): pull a JSON field out of the props
+      // column, aggregate by type. get_json_object is codegen'd and
+      // evaluates inside the scan projection — no UDF, no shuffle beyond
+      // the aggregation.
+      scan(s, dir, "events")
+        .filter(col("props").isNotNull)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     "q47_sessionize" -> ((s, dir) => {
       // Gap-based sessionization (8-hour gap) over the engine events
       // table: per-user window lag marks session breaks, a running sum
@@ -1234,6 +1249,12 @@ object Queries {
         "round(CAST(min(s_suppkey) AS DOUBLE), 2), " +
         "round(CAST(max(s_suppkey) AS DOUBLE), 2) FROM m " +
         "ORDER BY col_name"),
+
+    "q48_json_extract" ->
+      ("SELECT event_type, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events WHERE props IS NOT NULL " +
+        "GROUP BY event_type ORDER BY event_type"),
 
     "q47_sessionize" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events), " +
