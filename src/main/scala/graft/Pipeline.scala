@@ -650,6 +650,28 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    "p22_dedup_keep_longest" -> ((s, dir) => {
+      // The SELECTION step a real dedup pipeline ends with: within each
+      // near-dup component (p14's clusters), keep the best representative
+      // — here the longest text, ties to the smallest doc_id (the common
+      // keep-longest heuristic). Composes the clustering frame with a
+      // per-cluster window rank: one extra shuffle by cluster_id over the
+      // near-dup docs only. Emits one row per cluster (singletons
+      // included: keeper = the doc itself).
+      val clusters = queries("p14_dedup_cluster")(s, dir) // (doc_id, cluster_id)
+      val len = docs(s, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("len"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("len").desc, col("doc_id"))
+      clusters.join(len, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rk") === 1, col("doc_id"))).as("keeper"),
+          max(when(col("rk") === 1, col("len"))).as("kept_len"))
+        .orderBy("cluster_id")
+    }),
+
     "p20_pii_scrub" -> ((s, dir) => {
       // PII redaction (the C4/Dolma-style scrub pass): count and redact
       // email / phone / IPv4 patterns per document. The synthetic corpus
@@ -973,6 +995,23 @@ object Pipeline {
         "CAST(sum(toks) AS BIGINT) AS n_tokens, " +
         "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
         "FROM c GROUP BY 1 ORDER BY shard"),
+
+    "p22_dedup_keep_longest" ->
+      ("WITH RECURSIVE " + shingleSqlCte.stripPrefix("WITH ") + minhashPairCtes + ",\n" +
+        "edges AS (SELECT id_a, id_b FROM pairs WHERE est_j >= 0.7),\n" +
+        "sym AS (SELECT id_a AS src, id_b AS dst FROM edges " +
+        "UNION ALL SELECT id_b, id_a FROM edges),\n" +
+        "reach AS (SELECT doc_id AS id, doc_id AS lbl FROM documents " +
+        "UNION SELECT r.id, s.dst FROM reach r JOIN sym s ON s.src = r.lbl),\n" +
+        "cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),\n" +
+        "j AS (SELECT c.cluster_id, c.doc_id, CAST(length(d.text) AS BIGINT) AS len " +
+        "FROM cl c JOIN documents d USING (doc_id)),\n" +
+        "r AS (SELECT cluster_id, doc_id, len, row_number() OVER " +
+        "(PARTITION BY cluster_id ORDER BY len DESC, doc_id) AS rk FROM j) " +
+        "SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members, " +
+        "max(CASE WHEN rk = 1 THEN doc_id END) AS keeper, " +
+        "max(CASE WHEN rk = 1 THEN len END) AS kept_len " +
+        "FROM r GROUP BY cluster_id ORDER BY cluster_id"),
 
     "p20_pii_scrub" ->
       ("WITH a AS (SELECT doc_id, text || ' contact user' || doc_id || " +
