@@ -1244,6 +1244,10 @@ object GraftV2Scan {
     def fill(f: graft.catalog.DataFileMeta) =
       if (!bare(f)) f
       else {
+        // bound the memo: entries are tiny, but a driver serving many
+        // short-lived pre-bounds tables should not grow it forever —
+        // clearing just costs re-reading footers once
+        if (footerBoundsMemo.size() > 1_000_000) footerBoundsMemo.clear()
         val (lo, hi) = footerBoundsMemo.computeIfAbsent(f.path,
           p => GraftTable.parquetKeyBounds(p, c.physName, c.dataType))
         f.copy(keyLo = lo, keyHi = hi)

@@ -75,4 +75,36 @@ class AllTypesSpec extends AnyFunSuite {
     assert(t.scan().count() == 101)
     assert(t.scan().filter(col("id") === 200).count() == 1)
   }
+
+  test("decimal PRIMARY KEY: full mutate/compact/V2 lifecycle") {
+    // decimal(<=18) lead keys carry the unscaled-long bound encoding —
+    // exercise the whole path: create, upsert, delete, point predicate,
+    // forced-spill V2 read (interval routing), compact, DSv1/V2 equality.
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-decpk-").toString
+    def d(s: String) = new java.math.BigDecimal(s)
+    val df = (1 to 200).map(i => (i, s"v$i")).toDF("i", "v")
+      .select((col("i").cast("decimal(10,2)") / 4).cast("decimal(10,2)").as("k"), col("v"))
+    val t = GraftTable.create(spark, s"$wh/dp", "dp", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 4)), data = Some(df))
+    t.upsert(Seq((d("0.25"), "up"), (d("999.99"), "new")).toDF("k", "v"))
+    t.delete(Seq(Tuple1(d("0.50"))).toDF("k"))
+    def state(dfr: org.apache.spark.sql.DataFrame) =
+      dfr.collect().map(r => r.getDecimal(0) -> r.getString(1)).toMap
+    val expect = state(t.scan())
+    assert(expect.size == 200 && expect(d("0.25")) == "up" &&
+      expect(d("999.99")) == "new" && !expect.contains(d("0.50")))
+    // point predicate prunes and answers exactly
+    assert(t.scan().filter(col("k") === d("0.25")).count() == 1)
+    // forced-spill V2 read equals DSv1
+    spark.conf.set("spark.sql.catalog.gdp", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdp.warehouse", wh)
+    spark.conf.set("graft.mor.broadcastBytes", "1")
+    try assert(state(spark.table("gdp.dp")) == expect)
+    finally spark.conf.unset("graft.mor.broadcastBytes")
+    // compact and re-check both paths
+    t.compact()
+    assert(state(t.scan()) == expect)
+    assert(state(spark.table("gdp.dp")) == expect)
+  }
 }
