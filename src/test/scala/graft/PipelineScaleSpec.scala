@@ -65,6 +65,21 @@ class PipelineScaleSpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), s"scrub must stay codegen'd:\n$plan")
   }
 
+  test("q47 sessionization: one user shuffle serves windows AND aggregation") {
+    val df = SparkEntry.queries("q47_sessionize")(spark, dir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // the lag window, the cumsum window, and the per-(user, session)
+    // aggregation must all ride the SAME hashpartitioning(user_id)
+    // exchange (partitioning by a subset satisfies the agg's clustering);
+    // only the presentation sort may add a second exchange
+    val exchanges = plan.linesIterator.count(_.trim.matches("(\\+- )?\\*?\\s*Exchange.*"))
+    assert(exchanges <= 2,
+      s"sessionization must not re-shuffle between window and agg:\n$plan")
+  }
+
   test("p21 URL dedup: one aggregation shuffle with map-side combine") {
     val df = SparkEntry.queries("p21_url_dedup")(spark, dir)
     df.collect()
