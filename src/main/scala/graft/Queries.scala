@@ -968,6 +968,12 @@ object Queries {
       s.conf.set("spark.sql.catalog.gq46",
         classOf[graft.sources.v2.GraftCatalog].getName)
       s.conf.set("spark.sql.catalog.gq46.warehouse", loc)
+      val cboPrev = s.conf.getOption("spark.sql.cbo.enabled")
+      val reorderPrev = s.conf.getOption("spark.sql.cbo.joinReorder.enabled")
+      def restore(k: String, v: Option[String]): Unit = v match {
+        case Some(x) => s.conf.set(k, x)
+        case None => s.conf.unset(k)
+      }
       s.conf.set("spark.sql.cbo.enabled", "true")
       s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
       try {
@@ -997,8 +1003,8 @@ object Queries {
               s"reads: ${inLeaves.mkString(", ")}")
         q.localCheckpoint(true)
       } finally {
-        s.conf.set("spark.sql.cbo.enabled", "false")
-        s.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        restore("spark.sql.cbo.enabled", cboPrev)
+        restore("spark.sql.cbo.joinReorder.enabled", reorderPrev)
       }
     }),
 
