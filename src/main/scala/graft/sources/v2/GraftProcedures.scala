@@ -46,8 +46,8 @@ private[v2] object GraftProcedures {
 
   val names: Array[String] = Array(
     "analyze", "compact", "compact_deltas", "compact_tablet", "locate_row",
-    "maintain", "merge_tail", "delta_stats", "fsck", "fsck_repair", "register",
-    "table_statistics",
+    "maintain", "maintenance_plan", "merge_tail", "delta_stats", "fsck",
+    "fsck_repair", "register", "table_statistics",
     "txn_begin", "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort")
 
   private def spark = SparkSession.active
@@ -113,6 +113,19 @@ private[v2] object GraftProcedures {
           val t = locate(in)
           t.compactDeltas(tailOnly = in.getBoolean(1))
           Seq(InternalRow(t.currentVersion))
+        })
+      case "maintenance_plan" => Some(proc("maintenance_plan",
+        "budgeted maintenance candidates from metadata only (the " +
+          "reference's compaction-policy scoring): one row per candidate " +
+          "op, sorted by benefit-per-I/O score; execute under a budget " +
+          "with GraftTable.maintain(ioBudgetBytes)",
+        Array(tableParam),
+        new StructType().add("kind", StringType).add("bucket", IntegerType)
+          .add("range_key", StringType).add("io_bytes", LongType)
+          .add("score", DoubleType)) { in =>
+          locate(in).maintenancePlan().map(a => InternalRow(str(a.kind),
+            a.bucket.map(Int.box).orNull, a.rangeKey.map(str).orNull,
+            a.ioBytes, a.score))
         })
       case "merge_tail" => Some(proc("merge_tail",
         "in-place tail-merge — collapse the unrouted tail delta files into " +

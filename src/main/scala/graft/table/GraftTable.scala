@@ -15,6 +15,12 @@ import graft.catalog._
   * (reference: row_operations.proto:34-63 — non-IGNORE ops error). */
 class PrimaryKeyException(msg: String) extends RuntimeException(msg)
 
+/** One candidate maintenance op with its estimated I/O (bytes read +
+  * written) and its benefit-per-I/O score — see
+  * [[GraftTable.maintenancePlan]]. */
+case class MaintenanceAction(kind: String, bucket: Option[Int],
+    rangeKey: Option[String], ioBytes: Long, score: Double)
+
 /**
  * A PK-managed, mutable, snapshot-versioned table on Parquet — the
  * Spark-native re-expression of the reference's tablet storage
@@ -669,6 +675,74 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
    * when the table has no partition coordinates or pending range drops
    * need retiring.
    */
+  /**
+   * Budgeted maintenance plan — METADATA ONLY, no Spark job (the
+   * reference's compaction policy scores candidate ops from rowset stats
+   * and picks under an I/O budget, compaction_policy.h:50-60 "budgeted
+   * knapsack"). Candidates:
+   *  - one MAJOR compaction per delta-carrying tablet (routed delta files
+   *    attribute by their recorded coordinate): score = the fraction of
+   *    the tablet's read bytes that stop being delta after the fold
+   *    (deltaBytes / (baseBytes + deltaBytes)) — benefit per I/O byte;
+   *    cost = read + rewrite of the tablet.
+   *  - one in-place TAIL-MERGE when the unrouted tail is fragmented
+   *    (> 3 filesets): hygiene rather than read-amp removal, scored below
+   *    any materially delta-pressured tablet but above barely-dirty ones.
+   * Actions come back sorted by score; [[maintain]] with `ioBudgetBytes`
+   * executes them greedily within the budget.
+   */
+  def maintenancePlan(): Seq[MaintenanceAction] = {
+    val m = meta
+    val routed = m.deltaFiles.filter(f => f.bucket.isDefined || f.rangeKey.isDefined)
+    val tail = m.deltaFiles.filterNot(f => f.bucket.isDefined || f.rangeKey.isDefined)
+    def bytes(fs: Seq[DataFileMeta]) = fs.map(f => fileSize(f.path)).sum
+    val tabletActions =
+      if (m.rangeDrops.nonEmpty) Nil // compactTablet refuses under drops
+      else routed
+        // "__null"-range files are range-wildcards (trusted tombstones of
+        // non-key range columns) — not a real tablet to compact
+        .filterNot(_.rangeKey.contains("__null"))
+        .groupBy(f => (f.bucket, f.rangeKey))
+        .toSeq.map { case ((b, rk), dfs) =>
+          val dBytes = bytes(dfs)
+          val baseB = bytes(m.baseFiles.filter(f =>
+            (b.isEmpty || f.bucket == b) && (rk.isEmpty || f.rangeKey == rk)))
+          MaintenanceAction("compact_tablet", b, rk,
+            ioBytes = 2L * (baseB + dBytes),
+            score = dBytes.toDouble / math.max(1L, baseB + dBytes))
+        }
+    val tailAction =
+      if (tail.size <= 3) Nil
+      else Seq(MaintenanceAction("merge_tail", None, None,
+        ioBytes = 2L * bytes(tail),
+        score = 0.05 * (1.0 - 1.0 / tail.size)))
+    (tabletActions ++ tailAction).sortBy(-_.score)
+  }
+
+  /** Execute the [[maintenancePlan]] greedily within an I/O budget
+    * (estimated bytes read+written). Returns the actions that ran. */
+  def maintain(ioBudgetBytes: Long): Seq[MaintenanceAction] = {
+    var spent = 0L
+    val ran = scala.collection.mutable.ArrayBuffer[MaintenanceAction]()
+    maintenancePlan().foreach { a =>
+      if (spent + a.ioBytes <= ioBudgetBytes) {
+        val ok =
+          try {
+            a.kind match {
+              case "compact_tablet" => compactTablet(a.bucket, a.rangeKey); true
+              case "merge_tail" => mergeTailDeltas()
+            }
+          } catch {
+            case e: IllegalStateException
+                if Option(e.getMessage).exists(_.startsWith("concurrent commit detected")) =>
+              false // preempted by a racing writer: skip, keep the budget
+          }
+        if (ok) { spent += a.ioBytes; ran += a }
+      }
+    }
+    ran.toSeq
+  }
+
   def maintain(maxDeltaRatio: Double = 0.2, maxDeltaFiles: Int = 64,
       perTablet: Boolean = false, maxTablets: Int = Int.MaxValue): Boolean = {
     val m = meta
