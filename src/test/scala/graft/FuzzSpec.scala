@@ -66,13 +66,14 @@ class FuzzSpec extends AnyFunSuite {
           // one random tablet's MAJOR fold, a delta flush (full or
           // tail-only minor pass), or an analyze stats commit — all must
           // leave the visible state untouched
-          rnd.nextInt(5) match {
+          rnd.nextInt(6) match {
             case 0 => t.compact()
             case 1 => t.compactTablet(
               bucket = Some(rnd.nextInt(GraftTable.totalBuckets(t.meta))))
             case 2 => t.compactDeltas(tailOnly = rnd.nextBoolean())
             case 3 => t.analyze()
             case 4 => t.mergeTailDeltas() // in-place tail-merge, no routing
+            case 5 => t.maintain(ioBudgetBytes = 1L << rnd.nextInt(31)) // budgeted plan
           }
         case 8 => // SNAPSHOT: remember version + model state
           snaps += ((t.currentVersion, model.toMap))
