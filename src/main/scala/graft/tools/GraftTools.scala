@@ -201,6 +201,49 @@ object GraftTools {
     }.toMap
   }
 
+  /**
+   * Warehouse-level budgeted maintenance — the maintenance-MANAGER analog
+   * (util/maintenance_manager.h ranks candidate ops across every tablet
+   * and launches the best under resource limits): collect each table's
+   * metadata-only [[GraftTable.maintenancePlan]], merge into ONE ranked
+   * list, and execute greedily until the global I/O budget is spent. The
+   * most delta-pressured tablet in the whole warehouse folds first, no
+   * matter which table it belongs to. Returns (table, action) pairs in
+   * execution order.
+   */
+  def maintainWarehouseBudgeted(spark: SparkSession, warehouseDir: String,
+      ioBudgetBytes: Long): Seq[(String, graft.table.MaintenanceAction)] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(warehouseDir)
+    if (!Files.isDirectory(root)) return Nil
+    val tables = scala.util.Using.resource(Files.list(root)) { s =>
+      s.iterator().asScala
+        .filter(p => graft.catalog.TableMeta.exists(p.toString)).toSeq
+    }
+    val ranked = tables.flatMap { p =>
+      try {
+        val t = GraftTable.load(spark, p.toString)
+        t.maintenancePlan().map(a => (p.getFileName.toString, t, a))
+      } catch { case _: Exception => Nil } // one sick table ≠ a dead sweep
+    }.sortBy(-_._3.score)
+    var spent = 0L
+    val ran = scala.collection.mutable.ArrayBuffer[(String, graft.table.MaintenanceAction)]()
+    ranked.foreach { case (name, t, a) =>
+      if (spent + a.ioBytes <= ioBudgetBytes) {
+        val ok =
+          try {
+            a.kind match {
+              case "compact_tablet" => t.compactTablet(a.bucket, a.rangeKey); true
+              case "merge_tail" => t.mergeTailDeltas()
+            }
+          } catch { case _: Exception => false }
+        if (ok) { spent += a.ioBytes; ran += ((name, a)) }
+      }
+    }
+    ran.toSeq
+  }
+
   /** Restore a backup into a fresh table. */
   def restore(spark: SparkSession, backupPath: String, destLocation: String,
       keys: Seq[String], hash: Seq[HashComponent] = Nil,

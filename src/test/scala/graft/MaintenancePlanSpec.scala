@@ -83,4 +83,33 @@ class MaintenancePlanSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.head.getString(0) == "merge_tail" &&
       rows.head.getLong(3) > 0)
   }
+
+  test("warehouse budget ranks across tables: the globally dirtiest folds first") {
+    val wh = Files.createTempDirectory("graft-mplan3-").toString
+    def mk(name: String, rows: Int, upsertFrac: Int): GraftTable = {
+      val df = (1 to rows).map(i => (i.toLong, s"a$i")).toDF("k", "v")
+      val t = GraftTable.create(spark, s"$wh/$name", name, df.schema, Seq("k"),
+        Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+      t.upsert(df.filter(col("k") % upsertFrac === 0).withColumn("v", lit("u")))
+      t.compactDeltas() // flush -> coordinated delta files (metadata plan)
+      t
+    }
+    val dirty = mk("wdirty", 400, 2)  // half the rows carry deltas
+    val clean = mk("wclean", 400, 50) // 2% carry deltas
+    // budget sized for ONE tablet fold: it must come from the dirty table
+    val firstPlan = graft.tools.GraftTools
+      .maintainWarehouseBudgeted(spark, wh, ioBudgetBytes = 0) // plan only probe
+    assert(firstPlan.isEmpty)
+    val top = dirty.maintenancePlan().head
+    val ran = graft.tools.GraftTools
+      .maintainWarehouseBudgeted(spark, wh, ioBudgetBytes = top.ioBytes)
+    assert(ran.nonEmpty && ran.forall(_._1 == "wdirty"),
+      s"the globally dirtiest tablet must fold first: $ran")
+    assert(clean.meta.deltaFiles.nonEmpty, "the barely-dirty table must wait")
+    // full budget clears the warehouse; states intact
+    graft.tools.GraftTools.maintainWarehouseBudgeted(spark, wh, Long.MaxValue)
+    assert(dirty.meta.deltaFiles.isEmpty && clean.meta.deltaFiles.isEmpty)
+    assert(dirty.scan().filter(col("v") === "u").count() == 200)
+    assert(clean.scan().filter(col("v") === "u").count() == 8)
+  }
 }
