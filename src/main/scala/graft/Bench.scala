@@ -80,14 +80,22 @@ object Bench {
     Pipeline.releaseCaches()
     val qResults = qBlock.map { case (n, f) => runQuery(n, f) }
     val results = pResults ++ qResults
-    // 3-decimal values on stdout: the driver tail-captures the LAST 2,000
+    // Rounded values on stdout: the driver tail-captures the LAST 2,000
     // chars of output, and 65 entries at full double precision made the
     // line ~1,960 chars — clipping its head mid-number (BENCH_r07..r09
-    // parsed: null). At %.3f the line is ~1,650 chars with >10 queries of
-    // headroom; full precision lives in the bench.json sidecar below.
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
+    // parsed: null). 3 decimals normally; if the suite grows the line past
+    // ~1,850 chars (sbt's trailing success line eats ~80 of the window),
+    // degrade to 2 decimals rather than clip. Full precision lives in the
+    // bench.json sidecar below.
+    def rN(v: Double, dec: Int): String =
+      if (v < 0) "-1" else String.format(s"%.${dec}f", Double.box(v))
+    def qsAt(dec: Int): String = results
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + rN(v, dec) }
       .mkString("{", ",", "}")
+    val qs3 = qsAt(3)
+    val (qs, r3) =
+      if (qs3.length <= 1750) (qs3, (v: Double) => rN(v, 3))
+      else (qsAt(2), (v: Double) => rN(v, 2))
     // med AND min per query, so cross-round comparisons never depend on
     // which statistic "queries" recorded (sub-0.3s entries record min).
     // Kept OFF stdout: the driver tail-captures a single line, and the
