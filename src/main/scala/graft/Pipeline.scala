@@ -722,6 +722,103 @@ object Pipeline {
         .orderBy("canon_url")
     }),
 
+    "p23_span_dedup" -> ((s, dir) => {
+      // Cross-document EXACT-SUBSTRING dedup statistics (the span-removal
+      // pass of Lee et al. 2022, "Deduplicating Training Data Makes
+      // Language Models Better"): any 8-token window occurring in MORE
+      // THAN ONE document is a duplicated span; per doc, report the hit
+      // window count, the number of MAXIMAL duplicated spans (overlapping
+      // hit windows merged), and the token coverage of their union — the
+      // numbers a span-removal rewrite acts on. Scale path: the gram
+      // stream shuffles as (hash, doc, pos) 24-byte rows, never the gram
+      // text; cross-doc duplication is min(doc)!=max(doc) per gram — a
+      // map-side-combinable partial aggregate, not a countDistinct pair
+      // shuffle; the duplicated-gram set joins back hash-to-hash (tiny in
+      // practice — AQE broadcasts it); and the interval-union runs as a
+      // per-doc window over HIT positions only, bounded by tokens/doc,
+      // never a global sort. The oracle works over the gram STRINGS —
+      // results are identical unless xxhash64 collides among the corpus's
+      // distinct 8-grams (P ≈ m²/2⁶⁵; PipelineSpec asserts hash/string
+      // gram-cardinality parity on the test corpus).
+      val k = 8
+      val gp = persistTracked(docs(s, dir).repartition(parallelism(s))
+        .select(col("doc_id"),
+          posexplode(shinglesSeq(col("text"), k)).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh")))
+      val dup = gp.groupBy("gh")
+        .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .select("gh")
+      val hits = gp.join(dup, "gh").select("doc_id", "pos")
+      // running max of prior window-ends: a hit window starting past it
+      // opens a new maximal span; its uncovered suffix is the coverage
+      // contribution (0-based here, 1-based in the oracle — every term is
+      // a DIFFERENCE of positions, so the base cancels)
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hits
+        .withColumn("prev_end", max(col("pos") + k).over(w))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_dup_grams"),
+          sum(when(col("prev_end").isNull || col("pos") >= col("prev_end"), 1L)
+            .otherwise(0L)).as("n_spans"),
+          sum(greatest(lit(0), col("pos") + lit(k) -
+            greatest(coalesce(col("prev_end"), lit(0)), col("pos")))
+            .cast("long")).as("covered_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "p24_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+      // near-dup WITHIN clusters only — semantic duplicates live in the
+      // same cluster, so the cross-cluster pair space never materializes.
+      // Clusters are p13's deterministic medoid cells (cell count ≈
+      // min(√n, 4096): broadcastable at any n, oracle-replicable — the
+      // k-means variant is ivfKMeansTopK's documented tradeoff); within a
+      // cell, candidate pairs must ALSO share one of p5's 16×6 hyperplane
+      // LSH buckets, so the within-cell stage stays LSH-prefiltered —
+      // never quadratic in cell size (an unfiltered within-cell self-join
+      // would be the all-pairs join this pipeline bans). A doc is REMOVED
+      // when some smaller-id doc in the same cell is cosine-≥τ close;
+      // one row per removed doc with its keeper (smallest such partner) —
+      // the drop-list a dedup pass executes.
+      val e = persistTracked(normalizedVecs(s, dir))
+      val n = e.count()
+      val mMod = math.max(1L, math.max(
+        math.ceil(math.sqrt(n.toDouble)).toLong,
+        math.ceil(n / 4096.0).toLong))
+      val cents = e.filter(col("vec_id") % mMod === lit(5L % mMod))
+        .select(col("vec_id").as("cell"), col("v").as("cv"))
+      val assigned = persistTracked(e.repartition(parallelism(s))
+        .crossJoin(broadcast(cents))
+        .withColumn("d", dot(col("v"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cell"), struct(col("d"), (-col("cell")).cast("double"))).as("cell"),
+          first(col("v")).as("v")))
+      // candidate generation stays NARROW (id, cell, table, bucket), as p5:
+      // pair ids first, fetch vectors by equi-join for the exact verify
+      val flat = assigned.withColumn("bks",
+          hyperplaneBuckets(col("v"), dim = 64, tables = DedupTables, planes = DedupPlanes))
+        .select(col("vec_id"), col("cell"), posexplode(col("bks")).as(Seq("t", "bk")))
+        .repartition(parallelism(s), col("cell"), col("t"), col("bk"))
+      val cand = flat.as("a").join(flat.as("b"),
+          col("a.cell") === col("b.cell") && col("a.t") === col("b.t") &&
+            col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.cell").as("cell"),
+          col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .distinct()
+      val ev = assigned.select(col("vec_id"), col("v"))
+      cand
+        .join(ev.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+        .join(ev.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+        .filter(dot(col("va"), col("vb")) >= CosineT)
+        .groupBy(col("id_b"))
+        .agg(min(col("id_a")).as("keeper_id"), max(col("cell")).as("cell"))
+        .select(col("id_b").as("removed_id"), col("keeper_id"), col("cell"))
+        .orderBy("removed_id")
+    }),
+
     "p19_repetition" -> ((s, dir) => {
       // Repetition filtering (the Gopher-style quality rule): per doc, the
       // fraction of 3-gram occurrences covered by the single most-repeated
@@ -1036,6 +1133,45 @@ object Pipeline {
         "'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]$', '') AS canon_url FROM u) " +
         "SELECT canon_url, CAST(count(*) AS BIGINT) AS n_dups, " +
         "min(doc_id) AS keeper FROM c GROUP BY canon_url ORDER BY canon_url"),
+
+    // exact O(all-grams) counterpart of p23 over the gram STRINGS (the
+    // engine shuffles xxhash64 of the gram; see the collision note there)
+    "p23_span_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS pos FROM t), " +
+        "g AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos, " +
+        "array_to_string(w[pos:pos+7], ' ') AS gram FROM g0), " +
+        "d AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)), " +
+        "h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)), " +
+        "c AS (SELECT doc_id, pos, max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM h) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams, " +
+        "CAST(sum(CASE WHEN prev_end IS NULL OR pos >= prev_end THEN 1 ELSE 0 END) AS BIGINT) AS n_spans, " +
+        "CAST(sum(greatest(0, pos + 8 - greatest(coalesce(prev_end, 0), pos))) AS BIGINT) AS covered_tokens " +
+        "FROM c GROUP BY doc_id ORDER BY doc_id"),
+
+    // p13's medoid-cell assignment + p5's bucket family over the NORMALIZED
+    // vector, composed: within-cell LSH-candidate pairs, cosine-verified
+    "p24_semantic_dedup" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 FROM embeddings),\n" +
+        "n AS (SELECT vec_id, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e),\n" +
+        "mm AS (SELECT greatest(CAST(ceil(sqrt(count(*))) AS BIGINT), " +
+        "CAST(ceil(count(*) / 4096.0) AS BIGINT), CAST(1 AS BIGINT)) AS m FROM embeddings),\n" +
+        "c AS (SELECT vec_id AS cell, v AS cv FROM n, mm WHERE vec_id % mm.m = 5 % mm.m),\n" +
+        "asg AS (SELECT vec_id, v, cell FROM (" +
+        "SELECT n.vec_id, n.v, c.cell, row_number() OVER (PARTITION BY n.vec_id " +
+        "ORDER BY list_dot_product(n.v, c.cv) DESC, c.cell) AS rn FROM n CROSS JOIN c) WHERE rn = 1),\n" +
+        s"z AS (SELECT vec_id, cell, v, ${quantSql("v")} AS qz FROM asg),\n" +
+        "b AS (SELECT vec_id, cell, v, " +
+        (0 until DedupTables).map(t =>
+          s"(${lshBucketSql("qz", t, DedupTables, DedupPlanes)}) AS b$t").mkString(", ") +
+        " FROM z),\n" +
+        "p AS (SELECT a.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b " +
+        "FROM b a JOIN b b ON a.cell = b.cell AND a.vec_id < b.vec_id AND (" +
+        (0 until DedupTables).map(t => s"a.b$t = b.b$t").mkString(" OR ") +
+        ") WHERE list_dot_product(a.v, b.v) >= 0.45) " +
+        "SELECT id_b AS removed_id, min(id_a) AS keeper_id, max(cell) AS cell " +
+        "FROM p GROUP BY id_b ORDER BY removed_id"),
 
     "p19_repetition" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +

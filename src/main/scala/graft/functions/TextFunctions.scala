@@ -33,6 +33,13 @@ object TextFunctions {
   def shingles(text: Column, n: Int = 3): Column =
     native(graft.functions.expressions.WordNGrams(asExpr(text), n))
 
+  /** ALL n-gram windows in token order (duplicates kept, empty for texts
+    * shorter than n words) — `posexplode` over this recovers each gram's
+    * token position, which span-level dedup needs and the distinct-set
+    * [[shingles]] discards. */
+  def shinglesSeq(text: Column, n: Int): Column =
+    native(graft.functions.expressions.WordNGramsSeq(asExpr(text), n))
+
   /** Composed-higher-order-function form of [[shingles]] (kept as the
     * equivalence test oracle — each lambda layer evaluates interpreted). */
   def shinglesComposed(text: Column, n: Int = 3): Column = {

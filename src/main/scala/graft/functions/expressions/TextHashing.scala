@@ -260,6 +260,57 @@ case class HyperplaneBucketsExpr(child: Expression, dim: Int, tables: Int,
 }
 
 /**
+ * String → ALL word n-gram windows in token order (no dedup, no short-text
+ * fallback: fewer than n words → empty array). The positional sibling of
+ * [[WordNGrams]]: `posexplode` over this yields (token index, gram) pairs,
+ * which the span-level dedup operator needs to merge hit windows into
+ * maximal duplicated spans — a distinct-set shingling cannot recover
+ * positions. Same tokenization (whitespace split keeping empty tokens),
+ * same single-space joining.
+ */
+case class WordNGramsSeq(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles_seq expects string, got ${dt.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def compute(input: UTF8String): ArrayData = {
+    val words = input.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wordNGramsSeq", this, classOf[WordNGramsSeq].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $self.compute($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGramsSeq =
+    copy(child = newChild)
+}
+
+/**
  * String → distinct word n-gram shingles in one pass — the kernel under the
  * dedup operators (the composed form chains split/sequence/transform/
  * concat_ws/array_distinct, each an interpreted lambda layer). Semantics

@@ -80,6 +80,57 @@ class PipelineScaleSpec extends AnyFunSuite {
       s"sessionization must not re-shuffle between window and agg:\n$plan")
   }
 
+  test("p23 span dedup: per-doc windows only, and the gram hash is injective here") {
+    val df = SparkEntry.queries("p23_span_dedup")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the interval-union window must partition by doc_id — a global window
+    // would serialize the whole hit set through one task at scale
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, s"missing the span-merge window:\n$plan")
+    assert(winLines.forall(_.contains("doc_id#")),
+      s"span-merge window not doc-partitioned:\n${winLines.mkString("\n")}")
+    // cross-doc dup detection must partial-aggregate before its exchange
+    // (min/max over doc_id combine map-side; a countDistinct pair shuffle
+    // would move every (gram, doc) row)
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"dup-gram aggregate must be partial+final:\n$plan")
+    // the engine shuffles xxhash64(gram), the oracle compares gram strings:
+    // assert the hash is injective on the corpus the driver gates at
+    import org.apache.spark.sql.functions.{countDistinct, explode, xxhash64, col}
+    import graft.functions.TextFunctions.shinglesSeq
+    val g = Tables.scan(spark, "/root/testdata/sf0.01", "documents")
+      .select(explode(shinglesSeq(col("text"), 8)).as("gram"))
+    val c = g.agg(countDistinct(col("gram")), countDistinct(xxhash64(col("gram")))).head()
+    assert(c.getLong(0) == c.getLong(1),
+      s"xxhash64 collided on the sf0.01 gram set: ${c.getLong(0)} grams vs ${c.getLong(1)} hashes")
+  }
+
+  test("p24 semantic dedup: bounded centroid broadcast, equi-join candidates inside cells") {
+    // sf0.01: at sf0.001 the drop-list is empty and AQE's empty-relation
+    // propagation erases the joins this test asserts on
+    val df = SparkEntry.queries("p24_semantic_dedup")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    // drop-list sanity: a removed doc always keeps a SMALLER partner
+    assert(df.filter(org.apache.spark.sql.functions.col("keeper_id") >=
+      org.apache.spark.sql.functions.col("removed_id")).count() == 0,
+      "keeper_id must be smaller than removed_id")
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"unbounded cartesian in semantic dedup:\n$plan")
+    // the candidate self-join must be an EQUI join keyed by the cell (and
+    // LSH bucket) — a within-cell theta/nested-loop join is quadratic in
+    // cell size
+    val equiJoinLines = plan.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toSeq
+    assert(equiJoinLines.exists(l => l.contains("cell#") && l.contains("bk#")),
+      s"candidate join must key on (cell, table, bucket):\n$plan")
+  }
+
   test("p21 URL dedup: one aggregation shuffle with map-side combine") {
     val df = SparkEntry.queries("p21_url_dedup")(spark, dir)
     df.collect()

@@ -100,6 +100,29 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(bad.count() == 0, bad.select("id").limit(5).collect().mkString(","))
   }
 
+  test("shinglesSeq emits every window in token order; empty under n") {
+    val edge = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x  y"),
+      (4L, "a a a a"), (5L, "")).toDF("id", "text")
+    val got = edge.select(col("id"), shinglesSeq(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L) == Seq.empty) // shorter than n: NO unigram fallback
+    assert(got(3L) == Seq("x  y")) // "" token from the double space survives
+    assert(got(4L) == Seq("a a a", "a a a")) // duplicates kept, in order
+    assert(got(5L) == Seq.empty)
+    // composed positional reference over real fixture docs (n = 8, the
+    // span-dedup gram size): transform over an index sequence
+    val w = split(col("text"), " ", -1)
+    val idx = when(size(w) >= 8, sequence(lit(1), size(w) - 7))
+      .otherwise(array().cast("array<int>"))
+    val composed = transform(idx, i => concat_ws(" ",
+      (0 until 8).map(k => element_at(w, i + k)): _*))
+    val bad = Tables.raw(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), shinglesSeq(col("text"), 8).as("n"), composed.as("c"))
+      .filter(!(col("n") === col("c")))
+    assert(bad.count() == 0, bad.select("doc_id").limit(5).collect().mkString(","))
+  }
+
   test("native hyperplane-bucket kernel matches the composed form") {
     val e = Tables.raw(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
