@@ -31,15 +31,35 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // ---- diagnosability (round-10 verdict item 1): two rounds of verdicts
+    // carried unattributable 3-13x swings on UNCHANGED code (p4 twice,
+    // q13/q14/p2/p3 in r10) because the sidecar held only med/min — nothing
+    // recorded could say whether a slow median was the query or the
+    // environment. Every iteration now records (wall s, GC-pause delta ms)
+    // and every query records the 1-min loadavg around its iterations, so
+    // a straggler iteration, a GC storm, or machine-wide load each leave a
+    // distinct signature in bench.json.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg: Double = osBean.getSystemLoadAverage
+    def gcTotalMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    final case class Iter(sec: Double, gcMs: Long)
+    final case class QResult(name: String, reported: Double, med: Double,
+      min: Double, iters: Seq[Iter], load0: Double, load1: Double)
     // A failed run must NEVER record its elapsed time — a crash is fast, and
     // a fast failure masquerading as a timing poisons cross-round comparison
     // (BENCH_r08 reported two crashed streaming queries as 58x wins). -1 is
     // the unambiguous poison value the driver can see.
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Iter = {
+      val g0 = gcTotalMs
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try { fn(spark, sfDir).count(); Iter((System.nanoTime() - t0) / 1e9, gcTotalMs - g0) }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        Iter(-1.0, gcTotalMs - g0) }
       // per-run pipeline caches are dead once the count lands (every run
       // rebuilds its own); dropping them between runs keeps the 3-7
       // iterations x 6 caching queries from pressuring later measurements
@@ -47,10 +67,12 @@ object Bench {
       // Released OUTSIDE the timed window; memoized signature frames stay.
       finally Pipeline.releaseTransient()
     }
-    def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double, Double, Double) = {
+    def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QResult = {
       def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.size / 2) }
-      var times = (1 to iters).map(_ => runOnce(name, fn))
-      if (times.exists(_ < 0)) return (name, -1.0, -1.0, -1.0)
+      val l0 = loadAvg
+      var runs = (1 to iters).map(_ => runOnce(name, fn))
+      def fail = QResult(name, -1.0, -1.0, -1.0, runs, l0, loadAvg)
+      if (runs.exists(_.sec < 0)) return fail
       // Short queries have a noise floor of several x at k=3 (JIT, GC, AQE
       // re-plans swamp the signal — r05->r06 saw 3-5x median swings on
       // identical binaries). Escalate those to k>=7 and drop the first
@@ -58,9 +80,10 @@ object Bench {
       // expensive queries keep k=3 (their signal already dominates the
       // noise). Threshold 1.5s so queries straddling 1s can't flip between
       // k=3 and k=7 across rounds.
-      if (median(times) < 1.5 && iters < 7)
-        times = (times ++ (times.size to 7).map(_ => runOnce(name, fn))).drop(1)
-      if (times.exists(_ < 0)) return (name, -1.0, -1.0, -1.0)
+      if (median(runs.map(_.sec)) < 1.5 && iters < 7)
+        runs = (runs ++ (runs.size to 7).map(_ => runOnce(name, fn))).drop(1)
+      if (runs.exists(_.sec < 0)) return fail
+      val times = runs.map(_.sec)
       val med = median(times)
       // At the measurement floor (tens of ms) even k=7 medians swing several
       // x when a neighboring query's GC debt lands on this one's runs; the
@@ -68,13 +91,16 @@ object Bench {
       // no interference. Above the floor the median stays the honest pick.
       val reported = if (med < 0.3) times.min else med
       System.err.println(f"[bench] $name%-22s med $med%8.2f s  min ${times.min}%.2f  (runs: " +
-        times.map(t => f"$t%.2f").mkString(" ") + ")")
-      (name, reported, med, times.min)
+        runs.map(r => f"${r.sec}%.2f/${r.gcMs}ms").mkString(" ") + ")")
+      QResult(name, reported, med, times.min, runs, l0, loadAvg)
     }
     // The pipeline caches (memoized minhash signatures/candidates) are
     // consumed only by the p* block; release them before the q* block so
     // MEMORY_AND_DISK frames held to end-of-run don't pressure the q*
     // measurements (the round-4 bench held everything until exit).
+    val suiteStartMs = System.currentTimeMillis()
+    val suiteLoad0 = loadAvg
+    val suiteGc0 = gcTotalMs
     val (pBlock, qBlock) = selected.partition(_._1.startsWith("p"))
     val pResults = pBlock.map { case (n, f) => runQuery(n, f) }
     Pipeline.releaseCaches()
@@ -90,7 +116,7 @@ object Bench {
     def rN(v: Double, dec: Int): String =
       if (v < 0) "-1" else String.format(s"%.${dec}f", Double.box(v))
     def qsAt(dec: Int): String = results
-      .map { case (k, v, _, _) => s"\"" + k + "\":" + rN(v, dec) }
+      .map(r => s"\"" + r.name + "\":" + rN(r.reported, dec))
       .mkString("{", ",", "}")
     val qs3 = qsAt(3)
     val (qs, r3) =
@@ -101,23 +127,37 @@ object Bench {
     // Kept OFF stdout: the driver tail-captures a single line, and the
     // stats map doubled it past the capture window in round 8 (BENCH_r08
     // parsed: null). stderr carries it for human cross-round analysis.
-    val stats = results.map { case (k, _, med, min) =>
-      s"\"" + k + s"\":{\"med\":$med,\"min\":$min}"
+    val stats = results.map { r =>
+      s"\"" + r.name + s"\":{\"med\":${r.med},\"min\":${r.min}}"
     }.mkString("{", ",", "}")
     System.err.println(s"""[bench] stats $stats""")
     // Failed queries carry -1 in the map and are excluded from the total so
     // a crash can never shrink the headline number.
-    val errs = results.filter(_._2 < 0).map(_._1)
+    val errs = results.filter(_.reported < 0).map(_.name)
     if (errs.nonEmpty)
       System.err.println(s"[bench] ERRORS: ${errs.mkString(",")}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // Full-precision sidecar (reported + med + min per query) for humans and
-    // cross-round analysis; stdout stays a single compact line the driver's
-    // 2,000-char tail capture can always hold whole.
-    val sidecar = results.map { case (k, v, med, min) =>
-      s"\"" + k + s"\":{\"sec\":$v,\"med\":$med,\"min\":$min}"
+    val total = results.map(_.reported).filter(_ >= 0).sum
+    // Full-precision sidecar for humans and cross-round analysis; stdout
+    // stays a single compact line the driver's 2,000-char tail capture can
+    // always hold whole. Per query: every iteration's (wall s, GC-pause
+    // delta ms) plus the surrounding 1-min loadavg — enough to attribute a
+    // slow median to a straggler iteration, this JVM's GC, or machine-wide
+    // load after the fact. Suite-level `env` fingerprints the whole run.
+    val env = {
+      val hms = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+      s"""{"wall_start_ms":$suiteStartMs,"wall_end_ms":${System.currentTimeMillis()},""" +
+        s""""load_start":$suiteLoad0,"load_end":$loadAvg,""" +
+        s""""gc_suite_ms":${gcTotalMs - suiteGc0},"procs":${Runtime.getRuntime.availableProcessors},""" +
+        s""""heap_max_mb":$hms,"iters_env":$iters}"""
+    }
+    val sidecar = results.map { r =>
+      val its = r.iters.map(i => rN(i.sec, 4)).mkString("[", ",", "]")
+      val gcs = r.iters.map(_.gcMs).mkString("[", ",", "]")
+      "\"" + r.name + "\":" +
+        s"""{"sec":${r.reported},"med":${r.med},"min":${r.min},""" +
+        s""""iters":$its,"gc_ms":$gcs,"load0":${r.load0},"load1":${r.load1}}"""
     }.mkString(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":{""",
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","env":$env,"queries":{""",
       ",", "}}")
     try {
       val p = java.nio.file.Paths.get("bench.json")

@@ -28,7 +28,7 @@ object Pipeline {
   private val Bands = 32
   private val Rows = 3
   private val JaccardT = 0.8
-  private val CosineT = 0.45
+  private[graft] val CosineT = 0.45
   private val SimhashMaxHamming = 8
   private val LshTables = 4
   private val LshPlanes = 6
@@ -123,40 +123,28 @@ object Pipeline {
   private val sigMemo =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
+  // memoized per (session, dir): p2, p3 and p14 all consume the same
+  // signatures, and the leaf wrap keeps the 96-hash expression tree out
+  // of every downstream plan (one analysis, not one per consumer)
   private def cachedSignatures(s: SparkSession, dir: String): DataFrame =
-    sigMemo.synchronized {
-      val perDir = Option(sigMemo.get(s)).getOrElse {
-        val m = scala.collection.mutable.Map[String, DataFrame]()
-        sigMemo.put(s, m); m
-      }
-      // memoized per (session, dir): p2, p3 and p14 all consume the same
-      // signatures, and the leaf wrap keeps the 96-hash expression tree out
-      // of every downstream plan (one analysis, not one per consumer)
-      perDir.getOrElseUpdate(dir, leafCached(s,
-        docShingles(s, dir).select(col("doc_id"),
-          minhashSignature(shingleHashes(col("sh")), MinhashK).as("sig")),
-        memo = true))
-    }
+    memoized(s, dir)(leafCached(s,
+      docShingles(s, dir).select(col("doc_id"),
+        minhashSignature(shingleHashes(col("sh")), MinhashK).as("sig")),
+      memo = true))
 
   /** LSH candidate pairs (id_a < id_b) from minhash band buckets — memoized
     * per (session, dir) like the signatures: p2, p3 and p14 share one
     * materialization of the band self-join. */
   private def lshCandidates(s: SparkSession, dir: String): DataFrame =
-    sigMemo.synchronized {
-      val perDir = Option(sigMemo.get(s)).getOrElse {
-        val m = scala.collection.mutable.Map[String, DataFrame]()
-        sigMemo.put(s, m); m
-      }
-      perDir.getOrElseUpdate(dir + "#cand", {
-        val sig = cachedSignatures(s, dir)
-        val bands = sig.select(col("doc_id"),
-            posexplode(bandHashes(col("sig"), Bands, Rows)).as(Seq("band", "bh")))
-        leafCached(s, bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct(), memo = true)
-      })
+    memoized(s, dir + "#cand") {
+      val sig = cachedSignatures(s, dir)
+      val bands = sig.select(col("doc_id"),
+          posexplode(bandHashes(col("sig"), Bands, Rows)).as(Seq("band", "bh")))
+      leafCached(s, bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct(), memo = true)
     }
 
   /** vec_id → L2-normalized double vector, so the O(n²) pair stage is a dot
@@ -167,11 +155,66 @@ object Pipeline {
       zip_with(v, array_repeat(l2norm(v), 64), (x, n) => x / n).as("v"))
   }
 
+  private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    sigMemo.synchronized {
+      val perDir = Option(sigMemo.get(s)).getOrElse {
+        val m = scala.collection.mutable.Map[String, DataFrame]()
+        sigMemo.put(s, m); m
+      }
+      perDir.getOrElseUpdate(key, build)
+    }
+
+  /** Memoized [[normalizedVecs]] — p6/p13/p15/p24 all start from it, and
+    * the leaf wrap keeps the normalize expression out of downstream plans. */
+  private def cachedNormVecs(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir + "#nvec")(leafCached(s,
+      normalizedVecs(s, dir).repartition(parallelism(s)), memo = true))
+
+  /** Deterministic medoid-cell centroids (cell, cv) with the modulus
+    * DERIVED FROM n: M = max(⌈√n⌉, ⌈n/4096⌉), so the cell count
+    * n/M ≈ min(√n, 4096) is sublinear and the centroid broadcast stays
+    * bounded at any scale. ONE implementation for p13/p15/p24 (the
+    * round-10 advice flagged three diverging copies); memoized — a tiny
+    * frame, broadcast to every consumer. */
+  private def medoidCents(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir + "#cents") {
+      val e = cachedNormVecs(s, dir)
+      val n = e.count()
+      val mMod = math.max(1L, math.max(
+        math.ceil(math.sqrt(n.toDouble)).toLong,
+        math.ceil(n / 4096.0).toLong))
+      leafCached(s, e.filter(col("vec_id") % mMod === lit(5L % mMod))
+        .select(col("vec_id").as("cell"), col("v").as("cv")), memo = true)
+    }
+
+  /** Every vector's medoid cell: (vec_id, v, cell), the nearest centroid by
+    * double dot, ties to the lowest cell — max of (d, -cell) is the same
+    * tie-break as the oracle's row_number() ORDER BY d DESC, cell. The
+    * assignment aggregates with max_by — a map-side-combinable partial
+    * aggregate — instead of a row_number window, so the n×cells cross
+    * product is reduced on the map side rather than shuffled whole.
+    * Memoized: p13 (IVF probe ranking) and p24 (SemDeDup cells) share the
+    * identical assignment, so the n×cells dot job runs once per session.
+    * (p15 keeps its own integer-dot variant by design — its whole contract
+    * is integer-exact scoring.) */
+  private def medoidAssigned(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir + "#assigned") {
+      val cents = medoidCents(s, dir)
+      leafCached(s, cachedNormVecs(s, dir)
+        .crossJoin(broadcast(cents))
+        .withColumn("d", dot(col("v"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cell"), struct(col("d"), (-col("cell")).cast("double"))).as("cell"),
+          first(col("v")).as("v"))
+        .select(col("vec_id"), col("v"), col("cell")), memo = true)
+    }
+
   /**
    * KMeans-trained coarse-quantizer IVF (library API, same plan shape as
    * the p13 medoid-sampled query — the quantizer is the only difference).
    * Not a declared query because iterative KMeans isn't reproducible in the
-   * SQL oracle; covered by its own spec instead.
+   * SQL oracle; gated by PipelineSpec's seed-fixed recall@3 test against
+   * the brute-force all-pairs answer instead (the standard ANN gate).
    */
   def ivfKMeansTopK(s: SparkSession, dir: String, k: Int = 16,
       nProbe: Int = 2, topK: Int = 3): DataFrame = {
@@ -321,12 +364,12 @@ object Pipeline {
     "p6_ann_topk" -> ((s, dir) => {
       // Brute-force cosine top-10 for query vectors vec_id < 8
       // (pre-normalized → dot product per pair).
-      val e = normalizedVecs(s, dir)
+      val e = cachedNormVecs(s, dir)
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("c").desc, col("neighbor_id"))
-      q.join(e.repartition(parallelism(s)), col("query_id") =!= col("vec_id"))
+      q.join(e, col("query_id") =!= col("vec_id"))
         .withColumn("c", dot(col("qv"), col("v")))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("c"))
         .withColumn("rank", row_number().over(w))
@@ -375,32 +418,19 @@ object Pipeline {
       // coarse quantizer assigns every vector to its nearest centroid cell;
       // each query probes its 2 nearest cells and ranks top-3 by cosine
       // within them. Centroids are a deterministic medoid sample with the
-      // modulus DERIVED FROM n: M = max(⌈√n⌉, ⌈n/4096⌉), so the cell count
-      // n/M ≈ min(√n, 4096) is sublinear and the centroid broadcast stays
-      // bounded at any scale (the round-2 fixed modulus grew cells — and
-      // the broadcast — linearly in n). The oracle replicates the same M in
-      // SQL (both engines use IEEE-double sqrt). Assignment aggregates with
-      // max_by — a map-side-combinable partial aggregate — instead of a
-      // row_number window, so the n×cells cross product is reduced on the
-      // map side rather than shuffled whole. The KMeans-trained quantizer
-      // variant is [[ivfKMeansTopK]] (same plan shape, centroids fit
-      // instead of sampled).
-      val e = persistTracked(normalizedVecs(s, dir))
-      val n = e.count()
-      val mMod = math.max(1L, math.max(
-        math.ceil(math.sqrt(n.toDouble)).toLong,
-        math.ceil(n / 4096.0).toLong))
-      val cents = e.filter(col("vec_id") % mMod === lit(5L % mMod))
-        .select(col("vec_id").as("cell"), col("v").as("cv"))
-      val assigned = e.repartition(parallelism(s))
-        .crossJoin(broadcast(cents))
-        .withColumn("d", dot(col("v"), col("cv")))
-        .groupBy(col("vec_id"))
-        // max of (d, -cell) = best d, then lowest cell — same tie-break as
-        // the oracle's row_number() ORDER BY d DESC, cell.
-        .agg(max_by(col("cell"), struct(col("d"), (-col("cell")).cast("double"))).as("cell"),
-          first(col("v")).as("v"))
-        .select("vec_id", "v", "cell")
+      // modulus DERIVED FROM n (see [[medoidCents]]; the round-2 fixed
+      // modulus grew cells — and the broadcast — linearly in n). The oracle
+      // replicates the same M in SQL (both engines use IEEE-double sqrt).
+      // Cells + assignment come from the shared memoized
+      // [[medoidCents]]/[[medoidAssigned]] helpers (one implementation for
+      // p13/p15/p24). The KMeans-trained quantizer variant is
+      // [[ivfKMeansTopK]] (same plan shape, centroids fit instead of
+      // sampled). Ranking dots are double sums — exact here because the
+      // probe/rank order never lands within double-ulp of a tie on the
+      // gated corpora (same accepted tolerance as p24 documents).
+      val e = cachedNormVecs(s, dir)
+      val cents = medoidCents(s, dir)
+      val assigned = medoidAssigned(s, dir)
       val wProbe = Window.partitionBy(col("query_id"))
         .orderBy(col("d").desc, col("cell"))
       val probeCells = e.filter(col("vec_id") < 32)
@@ -439,15 +469,15 @@ object Pipeline {
         transform(c, x => floor(x * graft.functions.TextFunctions.QuantScale).cast("long"))
       val idot = (a: Column, b: Column) =>
         aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-      val e = persistTracked(normalizedVecs(s, dir).withColumn("z", quant(col("v"))))
-      val n = e.count()
-      val mMod = math.max(1L, math.max(
-        math.ceil(math.sqrt(n.toDouble)).toLong,
-        math.ceil(n / 4096.0).toLong))
-      val cents = e.filter(col("vec_id") % mMod === lit(5L % mMod))
-        .select(col("vec_id").as("cell"), col("v").as("cv"), col("z").as("cz"))
-      // assign: best cell by integer dot (map-side max_by, as p13)
-      val assigned = e.repartition(parallelism(s))
+      // cells from the shared medoid helper (quantized centroid derived
+      // from cv — quant is deterministic per vector, so this equals the
+      // former inline z-projection of the same rows)
+      val e = persistTracked(cachedNormVecs(s, dir).withColumn("z", quant(col("v"))))
+      val cents = medoidCents(s, dir).withColumn("cz", quant(col("cv")))
+      // assign: best cell by integer dot (map-side max_by, as p13) — NOT
+      // the shared double-dot [[medoidAssigned]]: p15's contract is
+      // integer-exact scoring end to end.
+      val assigned = e
         .crossJoin(broadcast(cents))
         .withColumn("d", idot(col("z"), col("cz")))
         .groupBy(col("vec_id"))
@@ -782,20 +812,21 @@ object Pipeline {
       // would be the all-pairs join this pipeline bans). A doc is REMOVED
       // when some smaller-id doc in the same cell is cosine-≥τ close;
       // one row per removed doc with its keeper (smallest such partner) —
-      // the drop-list a dedup pass executes.
-      val e = persistTracked(normalizedVecs(s, dir))
-      val n = e.count()
-      val mMod = math.max(1L, math.max(
-        math.ceil(math.sqrt(n.toDouble)).toLong,
-        math.ceil(n / 4096.0).toLong))
-      val cents = e.filter(col("vec_id") % mMod === lit(5L % mMod))
-        .select(col("vec_id").as("cell"), col("v").as("cv"))
-      val assigned = persistTracked(e.repartition(parallelism(s))
-        .crossJoin(broadcast(cents))
-        .withColumn("d", dot(col("v"), col("cv")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cell"), struct(col("d"), (-col("cell")).cast("double"))).as("cell"),
-          first(col("v")).as("v")))
+      // the drop-list a dedup pass executes. NOTE on keeper semantics: a
+      // keeper may itself appear as a removed_id via chains (1 removes 3,
+      // 3 removes 5) — the drop-list is valid as-is; keeper_id is a
+      // WITNESS for why the row dropped, not a guaranteed-surviving
+      // representative (resolve transitively if you need one — p14's
+      // min-label clustering is that resolution).
+      // Tolerance: the verify compares double dots against the threshold
+      // in both engines (engine DotProduct vs DuckDB list_dot_product,
+      // identical left-to-right 64-term summation); exactness rests on no
+      // pair's cosine landing within double-ulp of τ on the gated corpora
+      // — the same accepted tolerance p13 documents for its ranking dots,
+      // asserted by PipelineSpec's threshold-margin check.
+      // Cells and assignment come from the shared memoized
+      // [[medoidCents]]/[[medoidAssigned]] (identical constants to p13).
+      val assigned = medoidAssigned(s, dir)
       // candidate generation stays NARROW (id, cell, table, bucket), as p5:
       // pair ids first, fetch vectors by equi-join for the exact verify
       val flat = assigned.withColumn("bks",
@@ -1042,7 +1073,7 @@ object Pipeline {
         "AND (" +
         (0 until DedupTables).map(t => s"a.b$t = b.b$t").mkString(" OR ") +
         ") " +
-        "WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45 " +
+        s"WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $CosineT " +
         "ORDER BY id_a, id_b"),
     "p6_ann_topk" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
@@ -1169,7 +1200,7 @@ object Pipeline {
         "p AS (SELECT a.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b " +
         "FROM b a JOIN b b ON a.cell = b.cell AND a.vec_id < b.vec_id AND (" +
         (0 until DedupTables).map(t => s"a.b$t = b.b$t").mkString(" OR ") +
-        ") WHERE list_dot_product(a.v, b.v) >= 0.45) " +
+        s") WHERE list_dot_product(a.v, b.v) >= $CosineT) " +
         "SELECT id_b AS removed_id, min(id_a) AS keeper_id, max(cell) AS cell " +
         "FROM p GROUP BY id_b ORDER BY removed_id"),
 
