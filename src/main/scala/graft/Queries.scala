@@ -918,6 +918,42 @@ object Queries {
            |FROM gq45.`${f.getName}` ORDER BY s_suppkey""".stripMargin)
     }),
 
+    "q49_count_pushdown" -> ((s, dir) => {
+      // Metadata-only COUNT(*) (S10 at scale): on a CLEAN snapshot the V2
+      // scan serves the count from manifest footer row counts — NO file is
+      // opened (in-query plan gate: the batch scan must be GraftCountScan)
+      // — the analog of the reference serving count-only scans from
+      // live-row-count statistics (master/master.proto:683,704-714). With
+      // pending deltas the builder refuses and the count falls back to the
+      // real merge-on-read scan; both states are hash-checked (a wrongly
+      // metadata-served dirty count would return the stale base count and
+      // fail the oracle compare).
+      val raw = Tables.raw(s, dir, "supplier")
+      val loc = tmpLoc("graft-q49-")
+      val t = GraftTable.create(s, loc, "supplier_q49", raw.schema,
+        Seq("s_suppkey"), Seq(HashComponent(Seq("s_suppkey"), 4)),
+        data = Some(raw))
+      val f = new java.io.File(loc)
+      s.conf.set("spark.sql.catalog.gq49",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq49.warehouse", f.getParent)
+      val clean = s.sql(s"SELECT count(*) AS cnt FROM gq49.`${f.getName}`")
+      val cleanScans = clean.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }
+      if (!cleanScans.exists(_.isInstanceOf[graft.sources.v2.GraftCountScan]))
+        throw new IllegalStateException(
+          "clean COUNT(*) must plan as the metadata-only scan:\n" +
+            clean.queryExecution.executedPlan)
+      val cleanCnt = clean.collect().head.getLong(0)
+      t.deleteWhere(col("s_suppkey") % 7 === 0) // pending tombstones → dirty
+      val dirtyCnt = s.sql(s"SELECT count(*) AS cnt FROM gq49.`${f.getName}`")
+        .collect().head.getLong(0)
+      import s.implicits._
+      Seq(("clean", cleanCnt), ("dirty", dirtyCnt)).toDF("phase", "cnt")
+        .orderBy("phase")
+    }),
+
     "q48_json_extract" -> ((s, dir) => {
       // Semi-structured payload extraction (the delegated-to-Spark scalar
       // surface over an engine table): pull a JSON field out of the props
@@ -1255,6 +1291,11 @@ object Queries {
         "round(CAST(min(s_suppkey) AS DOUBLE), 2), " +
         "round(CAST(max(s_suppkey) AS DOUBLE), 2) FROM m " +
         "ORDER BY col_name"),
+
+    "q49_count_pushdown" ->
+      ("SELECT 'clean' AS phase, CAST(count(*) AS BIGINT) AS cnt FROM supplier " +
+        "UNION ALL SELECT 'dirty', CAST(count(*) AS BIGINT) FROM supplier " +
+        "WHERE s_suppkey % 7 <> 0 ORDER BY phase"),
 
     "q48_json_extract" ->
       ("SELECT event_type, " +

@@ -564,11 +564,14 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
 class GraftScanBuilder(meta: TableMeta,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType =
     StructType(meta.visibleColumns.map(_.toField))
   private var filters: Array[Filter] = Array.empty
+  private var limitN: Option[Int] = None
+  private var countCols: Option[Int] = None
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
@@ -582,18 +585,153 @@ class GraftScanBuilder(meta: TableMeta,
       StructType(meta.visibleColumns.map(_.toField)).filter(f => keep.contains(f.name)))
   }
 
-  override def build(): Scan = new GraftV2Scan(
-    GraftV2Scan.hydrateKeyBounds(meta), requiredSchema, filters,
-    Option(options.get("graft.startingVersion")).map(_.toLong),
-    Option(options.get("graft.maxVersionsPerTrigger")).map(_.toInt).getOrElse(64))
+  /** Exact live row count from manifest metadata alone — available only on
+    * a CLEAN snapshot: no pending deltas (an unflushed DELETE changes the
+    * live count), no range-drop masks, and every base file carrying its
+    * footer row count (old manifests record -1 = unknown). The same
+    * condition [[GraftV2Scan.estimateStatistics]] uses for exact numRows. */
+  private def metadataCount: Option[Long] =
+    if (meta.deltaFiles.isEmpty && meta.rangeDrops.isEmpty &&
+        meta.baseFiles.forall(_.rows >= 0L))
+      Some(meta.baseFiles.map(_.rows).sum)
+    else None
+
+  /** COUNT(*) with no grouping and no residual predicate is served from
+    * manifest row counts — a metadata read instead of a full scan, the
+    * analog of the reference serving count-only scans from live-row-count
+    * statistics (master/master.proto:683,704-714; whitepaper kudu.tex:
+    * 979-983). At 100 TB this is milliseconds vs minutes. Spark only
+    * offers the aggregation when every filter was fully pushed, and this
+    * builder marks ALL filters as post-scan, so `filters.isEmpty` holds
+    * whenever we are asked — checked anyway as defense in depth. */
+  private def canPushCount(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
+      filters.isEmpty && metadataCount.isDefined
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    canPushCount(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    // only accept what we can serve COMPLETELY: partial-pushdown semantics
+    // (per-partition counts) would still scan every file — no win over
+    // Spark's own partial aggregate.
+    if (!canPushCount(agg)) return false
+    countCols = Some(agg.aggregateExpressions().length)
+    true
+  }
+
+  /** Scan-side LIMIT: the scan keeps a clean-snapshot file-prefix (plan
+    * just enough files to cover the limit) and stops each partition's
+    * reader after `n` rows. Partial semantics — Spark re-applies the
+    * global limit above, so emitting up to n rows PER PARTITION is sound. */
+  override def pushLimit(n: Int): Boolean = { limitN = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan = countCols match {
+    case Some(k) => new GraftCountScan(meta.name, metadataCount.get, k)
+    case None => new GraftV2Scan(
+      GraftV2Scan.hydrateKeyBounds(meta), requiredSchema, filters,
+      Option(options.get("graft.startingVersion")).map(_.toLong),
+      Option(options.get("graft.maxVersionsPerTrigger")).map(_.toInt).getOrElse(64),
+      limitN)
+  }
+}
+
+/** Metadata-only COUNT(*) scan: one partition emitting one pre-aggregated
+  * row per CountStar column from manifest footer counts — no file is
+  * opened. Spark maps the scan output onto the aggregate's output
+  * positionally, so the field names are cosmetic. */
+class GraftCountScan(table: String, val count: Long, nCols: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType((0 until nCols).map(i =>
+    org.apache.spark.sql.types.StructField(s"count_star_$i",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"graft $table metadata-count ($count)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftCountPartition(count, nCols))
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftCountReaderFactory
+}
+
+case class GraftCountPartition(count: Long, nCols: Int) extends InputPartition
+
+object GraftCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftCountPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = !done && { done = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array.fill[Any](gp.nCols)(gp.count))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Stops each partition after `n` rows (scan-side LIMIT). The columnar
+  * side passes whole batches through until the running row count covers
+  * `n` — Spark's re-applied limit trims the overshoot. */
+private[v2] class LimitedReaderFactory(inner: PartitionReaderFactory, n: Int)
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(p)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = inner.createReader(p)
+    new PartitionReader[InternalRow] {
+      private var seen = 0
+      override def next(): Boolean = seen < n && r.next() && { seen += 1; true }
+      override def get(): InternalRow = r.get()
+      override def close(): Unit = r.close()
+    }
+  }
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val r = inner.createColumnarReader(p)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var seen = 0L
+      private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean = seen < n && r.next() && {
+        cur = r.get(); seen += cur.numRows(); true
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = cur
+      override def close(): Unit = r.close()
+    }
+  }
 }
 
 class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     filters: Array[Filter],
     startingVersion: Option[Long] = None,
-    maxVersionsPerTrigger: Int = 64) extends Scan with Batch
+    maxVersionsPerTrigger: Int = 64,
+    limit: Option[Int] = None) extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportStatistics {
+
+  /** Scan-side LIMIT file-prefix: on a clean snapshot with exact per-file
+    * row counts and no predicates, only enough files to cover the limit
+    * need planning at all — `SELECT * FROM t LIMIT 10` on a 100 TB table
+    * opens one file. Refused under deltas (a file's rows may all be
+    * tombstoned — the prefix could under-deliver), under any filter
+    * (rows drop post-scan), or with unknown counts. Reader-side row
+    * truncation in [[createReaderFactory]] stays sound in all cases. */
+  private def limitFilePrefix(files: Seq[graft.catalog.DataFileMeta])
+      : Seq[graft.catalog.DataFileMeta] = limit match {
+    case Some(n) if meta.deltaFiles.isEmpty && meta.rangeDrops.isEmpty &&
+        filters.isEmpty && runtimeFilters.isEmpty &&
+        files.forall(_.rows >= 0L) =>
+      val sorted = files.sortBy(_.path)
+      var acc = 0L
+      val keep = sorted.takeWhile { f => val more = acc < n; acc += f.rows; more }
+      if (keep.isEmpty) sorted.take(1) else keep
+    case _ => files
+  }
 
   /** Streaming read: tail committed mutation versions as micro-batches
     * (GraftMicroBatchStream.scala). */
@@ -719,7 +857,8 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft ${meta.name} (buckets=${GraftTable.totalBuckets(meta)})"
+    s"graft ${meta.name} (buckets=${GraftTable.totalBuckets(meta)})" +
+      limit.map(n => s" limit=$n").getOrElse("")
 
   /** Key grouping is reported only when storage-partitioned joins are
     * actually enabled (`spark.sql.sources.v2.bucketing.enabled` — SPJ's
@@ -776,7 +915,7 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         // range's modulus, so the grouping unit (= the delta route) is the
         // (rangeKey, bucket) pair; uniform layouts group by the composite
         // bucket alone, keeping a bucket that spans ranges one route.
-        val groups = GraftV2Scan.routeGroups(meta, files)
+        val groups = GraftV2Scan.routeGroups(meta, limitFilePrefix(files))
         if (groups.isEmpty && meta.deltaFiles.nonEmpty)
           // empty (or fully-pruned) base with pending deltas: one empty
           // split still runs, so the fallback-routed delta rows are emitted
@@ -797,6 +936,11 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    val f = createReaderFactory0()
+    limit.map(new LimitedReaderFactory(f, _)).getOrElse(f)
+  }
+
+  private def createReaderFactory0(): PartitionReaderFactory = {
     if (meta.deltaFiles.isEmpty)
       return org.apache.spark.sql.GraftSqlBridge.parquetReaderFactory(
         spark, StructType(meta.visibleColumns.map(_.toField)), requiredSchema, filters)
