@@ -46,8 +46,9 @@ private[v2] object GraftProcedures {
 
   val names: Array[String] = Array(
     "analyze", "compact", "compact_deltas", "compact_tablet", "locate_row",
-    "maintain", "maintenance_plan", "merge_tail", "delta_stats", "fsck",
-    "fsck_repair", "register", "table_statistics",
+    "maintain", "maintain_schedule", "maintain_unschedule",
+    "maintain_schedule_status", "maintenance_plan", "merge_tail",
+    "delta_stats", "fsck", "fsck_repair", "register", "table_statistics",
     "txn_begin", "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort")
 
   private def spark = SparkSession.active
@@ -193,6 +194,43 @@ private[v2] object GraftProcedures {
         new StructType().add("compacted", BooleanType)) { in =>
           Seq(InternalRow(locate(in).maintain(
             in.getDouble(1), in.getInt(2), perTablet = in.getBoolean(3))))
+        })
+      case "maintain_schedule" => Some(proc("maintain_schedule",
+        "schedule periodic background self-maintenance for a table (the " +
+          "MaintenanceManager analog): each tick runs the budgeted scored " +
+          "plan then the delta-ratio/file-count policy; racing writers " +
+          "preempt safely (the tick retries next interval)",
+        Array(tableParam,
+          ProcedureParameter.in("interval_ms", LongType).defaultValue("60000").build(),
+          ProcedureParameter.in("io_budget_bytes", LongType)
+            .defaultValue((4L << 30).toString).build(),
+          ProcedureParameter.in("min_score", DoubleType).defaultValue("0.05").build(),
+          ProcedureParameter.in("max_delta_ratio", DoubleType).defaultValue("0.2").build(),
+          ProcedureParameter.in("max_delta_files", IntegerType).defaultValue("64").build()),
+        new StructType().add("location", StringType).add("interval_ms", LongType)) { in =>
+          val t = locate(in)
+          val e = graft.table.MaintenanceScheduler.schedule(spark, t.location,
+            intervalMs = in.getLong(1), ioBudgetBytes = in.getLong(2),
+            minScore = in.getDouble(3), maxDeltaRatio = in.getDouble(4),
+            maxDeltaFiles = in.getInt(5))
+          Seq(InternalRow(str(e.location), e.intervalMs))
+        })
+      case "maintain_unschedule" => Some(proc("maintain_unschedule",
+        "stop a table's background maintenance schedule",
+        Array(tableParam),
+        new StructType().add("was_scheduled", BooleanType)) { in =>
+          Seq(InternalRow(
+            graft.table.MaintenanceScheduler.unschedule(locate(in).location)))
+        })
+      case "maintain_schedule_status" => Some(proc("maintain_schedule_status",
+        "ticks/actions/last error of a table's maintenance schedule " +
+          "(no rows when unscheduled)",
+        Array(tableParam),
+        new StructType().add("ticks", LongType).add("actions", LongType)
+          .add("last_error", StringType)) { in =>
+          graft.table.MaintenanceScheduler.status(locate(in).location).toSeq
+            .map(e => InternalRow(e.ticks.get(), e.actions.get(),
+              e.lastError.map(str).orNull))
         })
       case "delta_stats" => Some(proc("delta_stats",
         "per-tablet delta pressure (the compact_tablet pick list)",

@@ -720,11 +720,17 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   }
 
   /** Execute the [[maintenancePlan]] greedily within an I/O budget
-    * (estimated bytes read+written). Returns the actions that ran. */
-  def maintain(ioBudgetBytes: Long): Seq[MaintenanceAction] = {
+    * (estimated bytes read+written). Returns the actions that ran.
+    * `minScore` drops barely-dirty candidates — a periodic scheduler
+    * ([[MaintenanceScheduler]]) would otherwise churn every tablet with a
+    * single delta row on every tick. */
+  def maintain(ioBudgetBytes: Long): Seq[MaintenanceAction] =
+    maintain(ioBudgetBytes, 0.0)
+
+  def maintain(ioBudgetBytes: Long, minScore: Double): Seq[MaintenanceAction] = {
     var spent = 0L
     val ran = scala.collection.mutable.ArrayBuffer[MaintenanceAction]()
-    maintenancePlan().foreach { a =>
+    maintenancePlan().takeWhile(_.score >= minScore).foreach { a =>
       if (spent + a.ioBytes <= ioBudgetBytes) {
         val ok =
           try {

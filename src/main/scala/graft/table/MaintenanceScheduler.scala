@@ -1,0 +1,124 @@
+package graft.table
+
+import java.util.concurrent.{ConcurrentHashMap, Executors, ScheduledFuture, ThreadFactory, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Background maintenance scheduling — the analog of the reference's
+ * MaintenanceManager (util/maintenance_manager.cc:736, .h:457: a
+ * background scheduler that scores candidate ops from observed state and
+ * launches them under resource budgets). The streaming sink already
+ * self-maintains in-band (DefaultSource `graft.maintain.every`); this
+ * closes the same gap for BATCH tables under sustained mutation — without
+ * it, a long-lived 100 TB table written by many independent batch jobs
+ * accretes deltas until someone remembers to `CALL system.maintain`.
+ *
+ * One shared single-thread daemon executor drives fixed-delay ticks, one
+ * scheduled entry per table location. A tick is metadata-first: it reloads
+ * the manifest, and only when observed pressure warrants does it run work —
+ * (1) the budgeted scored plan ([[GraftTable.maintain(ioBudgetBytes*)]]),
+ * targeted per-tablet folds, benefit-per-I/O ordered, capped by the I/O
+ * budget per tick; then (2) the ratio/file-count policy
+ * ([[GraftTable.maintain(maxDeltaRatio*)]]) as the backstop for unrouted
+ * tail pressure the scored plan cannot fold. Concurrent writers are safe
+ * by construction: every maintenance op validates its expected version at
+ * commit and YIELDS on a racing commit (the tick simply retries next
+ * interval), and fixed-delay scheduling guarantees a table's ticks never
+ * overlap. Failures are recorded, never fatal — a scheduler that dies on
+ * the first transient error is not a scheduler.
+ *
+ * SQL face: `CALL cat.system.maintain_schedule('tbl', interval_ms => ...)`,
+ * `maintain_unschedule('tbl')`, `maintain_schedule_status('tbl')`.
+ */
+object MaintenanceScheduler {
+
+  final class Entry private[MaintenanceScheduler] (
+      val location: String,
+      val intervalMs: Long,
+      val ioBudgetBytes: Long,
+      val minScore: Double,
+      val maxDeltaRatio: Double,
+      val maxDeltaFiles: Int) {
+    private[MaintenanceScheduler] var future: ScheduledFuture[_] = _
+    val ticks = new AtomicLong(0)
+    val actions = new AtomicLong(0)
+    @volatile var lastError: Option[String] = None
+  }
+
+  // daemon: the scheduler must never hold the JVM open
+  private lazy val timer = Executors.newSingleThreadScheduledExecutor(
+    new ThreadFactory {
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "graft-maintenance-scheduler")
+        t.setDaemon(true)
+        t
+      }
+    })
+
+  private val entries = new ConcurrentHashMap[String, Entry]()
+
+  /** Schedule `location` for periodic self-maintenance. Re-scheduling an
+    * already-scheduled location replaces its entry (new knobs win). */
+  def schedule(spark: SparkSession, location: String,
+      intervalMs: Long = 60_000L,
+      ioBudgetBytes: Long = 4L << 30,
+      minScore: Double = 0.05,
+      maxDeltaRatio: Double = 0.2,
+      maxDeltaFiles: Int = 64): Entry = {
+    require(intervalMs > 0, "intervalMs must be positive")
+    val e = new Entry(location, intervalMs, ioBudgetBytes, minScore,
+      maxDeltaRatio, maxDeltaFiles)
+    Option(entries.put(location, e)).foreach(_.future.cancel(false))
+    e.future = timer.scheduleWithFixedDelay(new Runnable {
+      override def run(): Unit = tick(spark, e)
+    }, intervalMs, intervalMs, TimeUnit.MILLISECONDS)
+    e
+  }
+
+  /** Stop scheduling `location`; returns whether it was scheduled. An
+    * in-flight tick finishes (cancel(false)) — interrupting a Spark job
+    * mid-commit buys nothing, the commit guard already owns atomicity. */
+  def unschedule(location: String): Boolean =
+    Option(entries.remove(location)) match {
+      case Some(e) => e.future.cancel(false); true
+      case None => false
+    }
+
+  def status(location: String): Option[Entry] = Option(entries.get(location))
+
+  def scheduled: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    entries.keySet().asScala.toSeq.sorted
+  }
+
+  /** One maintenance tick — public so tests (and one-shot callers) can
+    * drive it synchronously without the timer. Returns the number of
+    * maintenance actions that ran. */
+  def tick(spark: SparkSession, e: Entry): Int = {
+    e.ticks.incrementAndGet()
+    try {
+      val t = GraftTable.load(spark, e.location)
+      val m = t.meta
+      if (m.deltaFiles.isEmpty) return 0 // clean — metadata read only
+      var acted = 0
+      // (1) scored plan under the per-tick I/O budget: targeted per-tablet
+      // folds, most delta-pressured first, skipping barely-dirty tablets
+      acted += t.maintain(e.ioBudgetBytes, e.minScore).length
+      // (2) ratio/file-count backstop: unrouted tail pressure (minor fold)
+      // and whole-table ratio breaches the scored plan cannot express
+      if (t.maintain(e.maxDeltaRatio, e.maxDeltaFiles, perTablet = true))
+        acted += 1
+      e.actions.addAndGet(acted)
+      e.lastError = None
+      acted
+    } catch {
+      case ex: Throwable =>
+        // record and carry on: transient failures (a racing writer's
+        // commit, a kill-point in a fuzz run) must not stop the schedule
+        e.lastError = Some(Option(ex.getMessage).getOrElse(ex.getClass.getName))
+        0
+    }
+  }
+}

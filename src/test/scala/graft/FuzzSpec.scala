@@ -632,4 +632,81 @@ class FuzzSpec extends AnyFunSuite {
   test("random kill-point injection: repair keeps the table exact (seed 37)") {
     runCrashCase(37L, 40)
   }
+
+  /** Background-scheduler concurrency: the REAL timer ticks every 25 ms
+    * while random writes, kill-point orphans, and repairs run on this
+    * thread. Scheduler maintenance must yield on every race (never corrupt,
+    * never die), and repair must coexist with in-flight scheduler commits —
+    * which is exactly why this case repairs with a grace WINDOW (backdated
+    * injected artifacts fall outside it, the scheduler's fresh files are
+    * protected; a grace-0 repair racing any live writer is a TOCTOU sweep
+    * of its in-flight filesets, runCrashCase can only afford it because
+    * nothing runs concurrently there). */
+  private def runSchedulerCase(seed: Long, nOps: Int): Unit = {
+    val rnd = new Random(seed)
+    val loc = Files.createTempDirectory(s"graft-schedfuzz-$seed-").toString
+    val t = GraftTable.create(spark, loc, "kv",
+      StructType(Seq(StructField("k", IntegerType, false), StructField("v", IntegerType))),
+      keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), 2)))
+    val e = graft.table.MaintenanceScheduler.schedule(spark, t.location,
+      intervalMs = 25, ioBudgetBytes = 64L << 20, minScore = 0.0,
+      maxDeltaRatio = 0.2, maxDeltaFiles = 6)
+    val model = mutable.Map[Int, Int]()
+    def df(k: Int, v: Int) = Seq((k, v)).toDF("k", "v")
+    val dataDir = java.nio.file.Paths.get(loc, "data")
+    try {
+      for (i <- 0 until nOps) {
+        val k = rnd.nextInt(Keyspace); val v = rnd.nextInt(1000)
+        rnd.nextInt(6) match {
+          case 0 | 1 | 2 => t.upsert(df(k, v)); model(k) = v
+          case 3 => t.delete(Seq(k).toDF("k"), ignore = true); model.remove(k)
+          case 4 => // kill-point: dead writer's orphan fileset, backdated so
+            // the grace-window repair sweeps it but not live scheduler files
+            val dead = dataDir.resolve(s"c999_delta_dead$i")
+            java.nio.file.Files.createDirectories(dead)
+            val donor = (t.meta.baseFiles ++ t.meta.deltaFiles).head.path
+            java.nio.file.Files.copy(java.nio.file.Paths.get(donor),
+              dead.resolve("orphan.parquet"))
+            // an hour old — far outside the 60s grace that shields the
+            // scheduler's in-flight files (backdate()'s 10s is inside it)
+            java.nio.file.Files.setLastModifiedTime(dead.resolve("orphan.parquet"),
+              java.nio.file.attribute.FileTime.fromMillis(
+                System.currentTimeMillis() - 3600 * 1000L))
+            val swept = graft.tools.GraftTools.fsckRepair(loc, graceMs = 60000)
+            assert(swept.exists(_.contains(s"c999_delta_dead$i")), swept.toString)
+          case 5 => // full-state check mid-storm: a consistent snapshot read
+            // must equal the model no matter where the ticker is
+            val got = t.scan().collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+            assert(got == model.toMap, s"state diverged at op $i seed=$seed")
+        }
+      }
+      // the scheduler survived the storm and is still ticking
+      val t0 = e.ticks.get()
+      val deadline = System.currentTimeMillis() + 10000
+      while (e.ticks.get() == t0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(e.ticks.get() > t0, s"scheduler stopped ticking seed=$seed")
+    } finally graft.table.MaintenanceScheduler.unschedule(t.location)
+    // quiesced: final state exact on BOTH read paths, then a grace-0 sweep
+    // (safe now — nothing concurrent) leaves a healthy table
+    val got = t.scan().collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == model.toMap, s"final state mismatch seed=$seed")
+    val whName = java.nio.file.Paths.get(loc).getFileName.toString
+    spark.conf.set(s"spark.sql.catalog.gsf$seed",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.gsf$seed.warehouse",
+      java.nio.file.Paths.get(loc).getParent.toString)
+    val v2 = spark.table(s"gsf$seed.`$whName`").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(v2 == model.toMap, s"V2 overlay mismatch seed=$seed")
+    graft.tools.GraftTools.fsckRepair(loc, graceMs = 0)
+    assert(graft.tools.GraftTools.fsck(loc).isEmpty)
+  }
+
+  test("scheduler-concurrent random ops: ticks race writers and repairs (seed 19)") {
+    runSchedulerCase(19L, 36)
+  }
+  test("scheduler-concurrent random ops: ticks race writers and repairs (seed 41)") {
+    runSchedulerCase(41L, 36)
+  }
 }
