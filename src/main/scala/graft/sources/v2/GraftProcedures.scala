@@ -46,7 +46,8 @@ private[v2] object GraftProcedures {
 
   val names: Array[String] = Array(
     "analyze", "compact", "compact_deltas", "compact_tablet", "locate_row",
-    "maintain", "maintain_schedule", "maintain_unschedule",
+    "maintain", "maintain_schedule", "maintain_schedule_warehouse",
+    "maintain_unschedule", "maintain_unschedule_warehouse",
     "maintain_schedule_status", "maintenance_plan", "merge_tail",
     "delta_stats", "fsck", "fsck_repair", "register", "table_statistics",
     "txn_begin", "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort")
@@ -214,6 +215,33 @@ private[v2] object GraftProcedures {
             minScore = in.getDouble(3), maxDeltaRatio = in.getDouble(4),
             maxDeltaFiles = in.getInt(5))
           Seq(InternalRow(str(e.location), e.intervalMs))
+        })
+      case "maintain_schedule_warehouse" => Some(proc("maintain_schedule_warehouse",
+        "schedule periodic background maintenance for EVERY table under " +
+          "this catalog's warehouse: each tick ranks candidate ops across " +
+          "all tables and executes the best under one shared I/O budget " +
+          "(the reference's maintenance manager prioritizes across all " +
+          "tablets on a server the same way)",
+        Array(
+          ProcedureParameter.in("interval_ms", LongType).defaultValue("60000").build(),
+          ProcedureParameter.in("io_budget_bytes", LongType)
+            .defaultValue((4L << 30).toString).build(),
+          ProcedureParameter.in("min_score", DoubleType).defaultValue("0.05").build(),
+          ProcedureParameter.in("max_delta_ratio", DoubleType).defaultValue("0.2").build(),
+          ProcedureParameter.in("max_delta_files", IntegerType).defaultValue("64").build()),
+        new StructType().add("warehouse", StringType).add("interval_ms", LongType)) { in =>
+          val e = graft.table.MaintenanceScheduler.scheduleWarehouse(spark,
+            warehouse, intervalMs = in.getLong(0), ioBudgetBytes = in.getLong(1),
+            minScore = in.getDouble(2), maxDeltaRatio = in.getDouble(3),
+            maxDeltaFiles = in.getInt(4))
+          Seq(InternalRow(str(e.location), e.intervalMs))
+        })
+      case "maintain_unschedule_warehouse" => Some(proc("maintain_unschedule_warehouse",
+        "stop this catalog's warehouse-level maintenance schedule",
+        Array.empty,
+        new StructType().add("was_scheduled", BooleanType)) { _ =>
+          Seq(InternalRow(
+            graft.table.MaintenanceScheduler.unschedule(warehouse)))
         })
       case "maintain_unschedule" => Some(proc("maintain_unschedule",
         "stop a table's background maintenance schedule",

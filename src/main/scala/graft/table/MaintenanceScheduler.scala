@@ -40,7 +40,8 @@ object MaintenanceScheduler {
       val ioBudgetBytes: Long,
       val minScore: Double,
       val maxDeltaRatio: Double,
-      val maxDeltaFiles: Int) {
+      val maxDeltaFiles: Int,
+      val warehouse: Boolean = false) {
     private[MaintenanceScheduler] var future: ScheduledFuture[_] = _
     val ticks = new AtomicLong(0)
     val actions = new AtomicLong(0)
@@ -66,14 +67,32 @@ object MaintenanceScheduler {
       ioBudgetBytes: Long = 4L << 30,
       minScore: Double = 0.05,
       maxDeltaRatio: Double = 0.2,
-      maxDeltaFiles: Int = 64): Entry = {
-    require(intervalMs > 0, "intervalMs must be positive")
-    val e = new Entry(location, intervalMs, ioBudgetBytes, minScore,
-      maxDeltaRatio, maxDeltaFiles)
-    Option(entries.put(location, e)).foreach(_.future.cancel(false))
+      maxDeltaFiles: Int = 64): Entry =
+    register(spark, new Entry(location, intervalMs, ioBudgetBytes, minScore,
+      maxDeltaRatio, maxDeltaFiles))
+
+  /** Schedule a whole WAREHOUSE directory: each tick merges every table's
+    * metadata-only plan into ONE cross-table ranked list and executes the
+    * best candidates under the shared per-tick I/O budget — the
+    * reference's manager prioritizes across all tablets on a server the
+    * same way (util/maintenance_manager.h) — then runs the per-table
+    * ratio/file-count policy as the backstop. New tables appearing under
+    * the directory join the schedule automatically (the tick re-lists). */
+  def scheduleWarehouse(spark: SparkSession, warehouseDir: String,
+      intervalMs: Long = 60_000L,
+      ioBudgetBytes: Long = 4L << 30,
+      minScore: Double = 0.05,
+      maxDeltaRatio: Double = 0.2,
+      maxDeltaFiles: Int = 64): Entry =
+    register(spark, new Entry(warehouseDir, intervalMs, ioBudgetBytes,
+      minScore, maxDeltaRatio, maxDeltaFiles, warehouse = true))
+
+  private def register(spark: SparkSession, e: Entry): Entry = {
+    require(e.intervalMs > 0, "intervalMs must be positive")
+    Option(entries.put(e.location, e)).foreach(_.future.cancel(false))
     e.future = timer.scheduleWithFixedDelay(new Runnable {
       override def run(): Unit = tick(spark, e)
-    }, intervalMs, intervalMs, TimeUnit.MILLISECONDS)
+    }, e.intervalMs, e.intervalMs, TimeUnit.MILLISECONDS)
     e
   }
 
@@ -99,17 +118,28 @@ object MaintenanceScheduler {
   def tick(spark: SparkSession, e: Entry): Int = {
     e.ticks.incrementAndGet()
     try {
-      val t = GraftTable.load(spark, e.location)
-      val m = t.meta
-      if (m.deltaFiles.isEmpty) return 0 // clean — metadata read only
       var acted = 0
-      // (1) scored plan under the per-tick I/O budget: targeted per-tablet
-      // folds, most delta-pressured first, skipping barely-dirty tablets
-      acted += t.maintain(e.ioBudgetBytes, e.minScore).length
-      // (2) ratio/file-count backstop: unrouted tail pressure (minor fold)
-      // and whole-table ratio breaches the scored plan cannot express
-      if (t.maintain(e.maxDeltaRatio, e.maxDeltaFiles, perTablet = true))
-        acted += 1
+      if (e.warehouse) {
+        // cross-table ranked plan under ONE shared budget, then the
+        // per-table policy backstop (each step already survives a sick or
+        // racing table without stopping the sweep)
+        acted += graft.tools.GraftTools.maintainWarehouseBudgeted(
+          spark, e.location, e.ioBudgetBytes, e.minScore).length
+        acted += graft.tools.GraftTools.maintainWarehouse(spark, e.location,
+          e.maxDeltaRatio, e.maxDeltaFiles, perTablet = true).count(_._2)
+      } else {
+        val t = GraftTable.load(spark, e.location)
+        if (t.meta.deltaFiles.isEmpty) return 0 // clean — metadata read only
+        // (1) scored plan under the per-tick I/O budget: targeted
+        // per-tablet folds, most delta-pressured first, skipping
+        // barely-dirty tablets
+        acted += t.maintain(e.ioBudgetBytes, e.minScore).length
+        // (2) ratio/file-count backstop: unrouted tail pressure (minor
+        // fold) and whole-table ratio breaches the scored plan cannot
+        // express
+        if (t.maintain(e.maxDeltaRatio, e.maxDeltaFiles, perTablet = true))
+          acted += 1
+      }
       e.actions.addAndGet(acted)
       e.lastError = None
       acted

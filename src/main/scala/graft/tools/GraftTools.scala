@@ -212,7 +212,15 @@ object GraftTools {
    * execution order.
    */
   def maintainWarehouseBudgeted(spark: SparkSession, warehouseDir: String,
-      ioBudgetBytes: Long): Seq[(String, graft.table.MaintenanceAction)] = {
+      ioBudgetBytes: Long): Seq[(String, graft.table.MaintenanceAction)] =
+    maintainWarehouseBudgeted(spark, warehouseDir, ioBudgetBytes, 0.0)
+
+  /** As above with a score floor — candidates below `minScore` never run
+    * (a periodic scheduler would otherwise churn every tablet carrying a
+    * single delta row on every tick). */
+  def maintainWarehouseBudgeted(spark: SparkSession, warehouseDir: String,
+      ioBudgetBytes: Long, minScore: Double)
+      : Seq[(String, graft.table.MaintenanceAction)] = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val root = Paths.get(warehouseDir)
@@ -226,7 +234,7 @@ object GraftTools {
         val t = GraftTable.load(spark, p.toString)
         t.maintenancePlan().map(a => (p.getFileName.toString, t, a))
       } catch { case _: Exception => Nil } // one sick table ≠ a dead sweep
-    }.sortBy(-_._3.score)
+    }.filter(_._3.score >= minScore).sortBy(-_._3.score)
     var spent = 0L
     val ran = scala.collection.mutable.ArrayBuffer[(String, graft.table.MaintenanceAction)]()
     ranked.foreach { case (name, t, a) =>

@@ -138,5 +138,66 @@ class MaintenanceSchedulerSpec extends AnyFunSuite {
     assert(after.isEmpty)
     assert(!spark.sql("CALL gms.system.maintain_unschedule('ms3')")
       .collect().head.getBoolean(0), "second unschedule reports not-scheduled")
+    // warehouse-level CALL face rides the same registry, keyed by the
+    // catalog's warehouse dir
+    val wrow = spark.sql(
+      "CALL gms.system.maintain_schedule_warehouse(interval_ms => 60000)")
+      .collect().head
+    assert(wrow.getString(0) == wh && wrow.getLong(1) == 60000L)
+    assert(MaintenanceScheduler.scheduled.contains(wh))
+    assert(spark.sql("CALL gms.system.maintain_unschedule_warehouse()")
+      .collect().head.getBoolean(0))
+    assert(!MaintenanceScheduler.scheduled.contains(wh))
+  }
+
+  test("warehouse schedule ranks across tables: the dirtiest tablet anywhere folds first") {
+    val wh = Files.createTempDirectory("graft-msched4-").toString
+    val df = (1 to 400).map(i => (i.toLong, i)).toDF("k", "v")
+    val a = GraftTable.create(spark, s"$wh/wa", "wa", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    val b = GraftTable.create(spark, s"$wh/wb", "wb", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    // b is far more delta-pressured than a; flush both so the plans carry
+    // tablet coordinates (the ranking is metadata-only)
+    a.upsert(df.filter(col("k") % 40 === 0).withColumn("v", lit(-1)))
+    a.compactDeltas()
+    b.upsert(df.withColumn("v", col("v") + 7))
+    b.compactDeltas()
+    val e = MaintenanceScheduler.scheduleWarehouse(spark, wh,
+      intervalMs = 60_000L, // ticks driven synchronously below
+      ioBudgetBytes = 1L, // no budget: the ranking itself is under test
+      minScore = 0.0, maxDeltaRatio = 10.0, maxDeltaFiles = 1000)
+    try {
+      // with a 1-byte budget nothing runs, but the ranked list must put
+      // b's tablets first — probe the same merged plan the tick consults
+      val ranked = graft.tools.GraftTools
+        .maintainWarehouseBudgeted(spark, wh, ioBudgetBytes = 0L, minScore = 0.0)
+      assert(ranked.isEmpty)
+      val topTable = {
+        val plans = Seq("wa" -> a, "wb" -> b).flatMap { case (n, t) =>
+          t.maintenancePlan().map(n -> _)
+        }.sortBy(-_._2.score)
+        plans.head._1
+      }
+      assert(topTable == "wb", "the pressured table must rank first")
+      // now a real budget sized for ONE action: exactly b's dirtiest tablet
+      val one = Seq("wa" -> a, "wb" -> b)
+        .flatMap { case (n, t) => t.maintenancePlan().map(n -> _) }
+        .maxBy(_._2.score)
+      val ran = graft.tools.GraftTools.maintainWarehouseBudgeted(
+        spark, wh, ioBudgetBytes = one._2.ioBytes, minScore = 0.0)
+      assert(ran.map(_._1) == Seq("wb"),
+        s"the cross-table budget must pay b first, ran $ran")
+      // unbudgeted ticks drain the rest and both tables stay exact
+      (1 to 3).foreach { _ =>
+        MaintenanceScheduler.tick(spark,
+          MaintenanceScheduler.scheduleWarehouse(spark, wh,
+            intervalMs = 60_000L, ioBudgetBytes = Long.MaxValue,
+            minScore = 0.0, maxDeltaRatio = 0.0001, maxDeltaFiles = 1))
+      }
+      assert(a.meta.deltaFiles.isEmpty && b.meta.deltaFiles.isEmpty)
+      assert(a.scan().count() == 400 && b.scan().count() == 400)
+      assert(b.scan().filter(col("v") === col("k") + 7).count() == 400)
+    } finally MaintenanceScheduler.unschedule(wh)
   }
 }

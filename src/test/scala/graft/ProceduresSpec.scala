@@ -101,7 +101,9 @@ class ProceduresSpec extends AnyFunSuite {
       .map(_.getAs[String]("procedure_name")).toSet
     assert(listed == Set("analyze", "compact", "compact_deltas",
       "compact_tablet", "locate_row", "maintain", "maintain_schedule",
-      "maintain_unschedule", "maintain_schedule_status", "maintenance_plan",
+      "maintain_schedule_warehouse", "maintain_unschedule",
+      "maintain_unschedule_warehouse", "maintain_schedule_status",
+      "maintenance_plan",
       "merge_tail", "delta_stats",
       "fsck", "fsck_repair", "register", "table_statistics", "txn_begin",
       "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort"),
