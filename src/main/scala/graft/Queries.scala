@@ -937,21 +937,28 @@ object Queries {
       s.conf.set("spark.sql.catalog.gq49",
         classOf[graft.sources.v2.GraftCatalog].getName)
       s.conf.set("spark.sql.catalog.gq49.warehouse", f.getParent)
-      val clean = s.sql(s"SELECT count(*) AS cnt FROM gq49.`${f.getName}`")
+      // COUNT from footer row counts, MIN/MAX of the lead PK decoded from
+      // the order-preserving per-file key bounds — one metadata row, no
+      // file opened
+      val clean = s.sql(s"SELECT count(*) AS cnt, min(s_suppkey) AS lo, " +
+        s"max(s_suppkey) AS hi FROM gq49.`${f.getName}`")
       val cleanScans = clean.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
       }
       if (!cleanScans.exists(_.isInstanceOf[graft.sources.v2.GraftCountScan]))
         throw new IllegalStateException(
-          "clean COUNT(*) must plan as the metadata-only scan:\n" +
+          "clean COUNT/MIN/MAX must plan as the metadata-only scan:\n" +
             clean.queryExecution.executedPlan)
-      val cleanCnt = clean.collect().head.getLong(0)
-      t.deleteWhere(col("s_suppkey") % 7 === 0) // pending tombstones → dirty
-      val dirtyCnt = s.sql(s"SELECT count(*) AS cnt FROM gq49.`${f.getName}`")
-        .collect().head.getLong(0)
+      val c = clean.collect().head
+      // deleting the low keys MOVES the minimum: a wrongly metadata-served
+      // dirty answer would return the stale extremes and fail the oracle
+      t.deleteWhere(col("s_suppkey") <= 3) // pending tombstones → dirty
+      val d = s.sql(s"SELECT count(*) AS cnt, min(s_suppkey) AS lo, " +
+        s"max(s_suppkey) AS hi FROM gq49.`${f.getName}`").collect().head
       import s.implicits._
-      Seq(("clean", cleanCnt), ("dirty", dirtyCnt)).toDF("phase", "cnt")
-        .orderBy("phase")
+      Seq(("clean", c.getLong(0), c.getLong(1), c.getLong(2)),
+        ("dirty", d.getLong(0), d.getLong(1), d.getLong(2)))
+        .toDF("phase", "cnt", "lo", "hi").orderBy("phase")
     }),
 
     "q48_json_extract" -> ((s, dir) => {
@@ -1293,9 +1300,11 @@ object Queries {
         "ORDER BY col_name"),
 
     "q49_count_pushdown" ->
-      ("SELECT 'clean' AS phase, CAST(count(*) AS BIGINT) AS cnt FROM supplier " +
-        "UNION ALL SELECT 'dirty', CAST(count(*) AS BIGINT) FROM supplier " +
-        "WHERE s_suppkey % 7 <> 0 ORDER BY phase"),
+      ("SELECT 'clean' AS phase, CAST(count(*) AS BIGINT) AS cnt, " +
+        "min(s_suppkey) AS lo, max(s_suppkey) AS hi FROM supplier " +
+        "UNION ALL SELECT 'dirty', CAST(count(*) AS BIGINT), " +
+        "min(s_suppkey), max(s_suppkey) FROM supplier " +
+        "WHERE s_suppkey > 3 ORDER BY phase"),
 
     "q48_json_extract" ->
       ("SELECT event_type, " +

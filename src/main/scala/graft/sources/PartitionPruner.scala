@@ -52,14 +52,17 @@ object PartitionPruner {
     }
   }
 
-  /** First-key interval pruning for coordinate-less files: drop the file
-    * when a predicate on the FIRST primary-key column cannot intersect its
-    * recorded [keyLo, keyHi]. Bounds are order-preserving-encoded strings
-    * (GraftTable.encodeKeyLong / encodeKeyValue), so every comparison is a
-    * plain string compare. Conservative: unsupported predicate shapes,
-    * un-encodable values, or absent bounds keep the file. */
+  /** First-key interval pruning: drop the file when a predicate on the
+    * FIRST primary-key column cannot intersect its recorded [keyLo, keyHi].
+    * Applies to coordinate-less files (their only pruning handle) AND to
+    * hash-bucketed files carrying bounds — a PK-range scan then skips
+    * whole files inside every bucket at the manifest level, before any
+    * footer or row-group stat is consulted. Bounds are order-preserving-
+    * encoded strings (GraftTable.encodeKeyLong / encodeKeyValue), so every
+    * comparison is a plain string compare. Conservative: unsupported
+    * predicate shapes, un-encodable values, or absent bounds keep the
+    * file. */
   private def keyIntervalOk(m: TableMeta, f: DataFileMeta, filters: Seq[Filter]): Boolean = {
-    if (f.bucket.isDefined || f.rangeKey.isDefined) return true
     (f.keyLo, f.keyHi) match {
       case (Some(lo), Some(hi)) =>
         val kc = m.keyCols.headOption.getOrElse(return true)

@@ -571,7 +571,7 @@ class GraftScanBuilder(meta: TableMeta,
     StructType(meta.visibleColumns.map(_.toField))
   private var filters: Array[Filter] = Array.empty
   private var limitN: Option[Int] = None
-  private var countCols: Option[Int] = None
+  private var pushedAgg: Option[Seq[(org.apache.spark.sql.types.StructField, Any)]] = None
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
@@ -585,44 +585,111 @@ class GraftScanBuilder(meta: TableMeta,
       StructType(meta.visibleColumns.map(_.toField)).filter(f => keep.contains(f.name)))
   }
 
-  /** Exact live row count from manifest metadata alone — available only on
-    * a CLEAN snapshot: no pending deltas (an unflushed DELETE changes the
-    * live count), no range-drop masks, and every base file carrying its
-    * footer row count (old manifests record -1 = unknown). The same
-    * condition [[GraftV2Scan.estimateStatistics]] uses for exact numRows. */
+  /** CLEAN snapshot: no pending deltas (an unflushed UPSERT/DELETE changes
+    * the live count and can move the key extremes), no range-drop masks.
+    * The same condition [[GraftV2Scan.estimateStatistics]] uses for exact
+    * numRows. */
+  private def cleanSnapshot: Boolean =
+    meta.deltaFiles.isEmpty && meta.rangeDrops.isEmpty
+
+  /** Exact live row count from manifest metadata alone (clean snapshot +
+    * every base file carrying its footer row count; old manifests record
+    * -1 = unknown). */
   private def metadataCount: Option[Long] =
-    if (meta.deltaFiles.isEmpty && meta.rangeDrops.isEmpty &&
-        meta.baseFiles.forall(_.rows >= 0L))
+    if (cleanSnapshot && meta.baseFiles.forall(_.rows >= 0L))
       Some(meta.baseFiles.map(_.rows).sum)
     else None
 
-  /** COUNT(*) with no grouping and no residual predicate is served from
-    * manifest row counts — a metadata read instead of a full scan, the
-    * analog of the reference serving count-only scans from live-row-count
-    * statistics (master/master.proto:683,704-714; whitepaper kudu.tex:
-    * 979-983). At 100 TB this is milliseconds vs minutes. Spark only
-    * offers the aggregation when every filter was fully pushed, and this
-    * builder marks ALL filters as post-scan, so `filters.isEmpty` holds
-    * whenever we are asked — checked anyway as defense in depth. */
-  private def canPushCount(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().nonEmpty &&
-      agg.aggregateExpressions().forall(
-        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
-      filters.isEmpty && metadataCount.isDefined
+  /** Global (encodedMin, encodedMax) of the FIRST PK column from per-file
+    * key bounds — the encoding is order-preserving, so string min/max of
+    * the bounds IS the value min/max; decode once at the end. Bounds
+    * missing in old manifests hydrate from parquet footers (memoized). */
+  private def metadataKeyBounds: Option[(String, String)] = {
+    if (!cleanSnapshot) return None
+    val files = GraftV2Scan.hydrateKeyBounds(meta).baseFiles
+    if (files.isEmpty || !files.forall(f => f.keyLo.isDefined && f.keyHi.isDefined))
+      None
+    else Some((files.map(_.keyLo.get).min, files.map(_.keyHi.get).max))
+  }
+
+  /** Invert [[GraftTable.encodeKeyValue]]'s order-preserving encoding back
+    * to the catalyst-INTERNAL value. Whitelist matches the encoder minus
+    * TimestampNTZ (its encoding shifts through the session zone — not
+    * losslessly invertible here). */
+  private def decodeKeyBound(dt: org.apache.spark.sql.types.DataType,
+      enc: String): Option[Any] = {
+    import org.apache.spark.sql.types._
+    def decLong: Long = java.lang.Long.parseUnsignedLong(enc, 16) ^ Long.MinValue
+    dt match {
+      case ByteType => Some(decLong.toByte)
+      case ShortType => Some(decLong.toShort)
+      case IntegerType => Some(decLong.toInt)
+      case LongType => Some(decLong)
+      case DateType => Some(decLong.toInt) // internal days
+      case TimestampType => Some(decLong) // internal micros (UTC, zone-free)
+      case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(
+        enc.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray))
+      case d: DecimalType if d.precision <= 18 => Some(Decimal(
+        scala.math.BigDecimal(BigInt(decLong), d.scale), d.precision, d.scale))
+      case _ => None
+    }
+  }
+
+  /** Which aggregations are servable from manifest metadata alone —
+    * COUNT(*) from footer row counts (the analog of the reference serving
+    * count-only scans from live-row-count statistics,
+    * master/master.proto:683,704-714; whitepaper kudu.tex:979-983) and
+    * MIN/MAX of the FIRST PK column decoded from the order-preserving
+    * per-file key bounds. Clean snapshots only, no grouping, no residual
+    * predicate (Spark only offers the aggregation when every filter was
+    * fully pushed, and this builder marks ALL filters post-scan — checked
+    * anyway as defense in depth). At 100 TB a metadata answer vs a full
+    * scan is milliseconds vs minutes. Returns the pre-aggregated output
+    * (field, internal value) per aggregate, None when any is unservable. */
+  private def servableAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[(org.apache.spark.sql.types.StructField, Any)]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types.StructField
+    if (agg.groupByExpressions().nonEmpty || filters.nonEmpty ||
+        agg.aggregateExpressions().isEmpty) return None
+    val firstPk = meta.keyCols.headOption.getOrElse(return None)
+    val pkType = meta.column(firstPk).dataType
+    def refIs(e: org.apache.spark.sql.connector.expressions.Expression,
+        col: String): Boolean = e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+        r.fieldNames().toSeq == Seq(col)
+      case _ => false
+    }
+    lazy val bounds = metadataKeyBounds
+    val cols = agg.aggregateExpressions().toSeq.zipWithIndex.map {
+      case (_: CountStar, i) => metadataCount.map(c =>
+        (StructField(s"agg_$i", org.apache.spark.sql.types.LongType,
+          nullable = false), c: Any))
+      case (m: Min, i) if refIs(m.column(), firstPk) =>
+        bounds.flatMap { case (lo, _) => decodeKeyBound(pkType, lo) }
+          .map(v => (StructField(s"agg_$i", pkType, nullable = false), v))
+      case (m: Max, i) if refIs(m.column(), firstPk) =>
+        bounds.flatMap { case (_, hi) => decodeKeyBound(pkType, hi) }
+          .map(v => (StructField(s"agg_$i", pkType, nullable = false), v))
+      case _ => None
+    }
+    if (cols.forall(_.isDefined)) Some(cols.map(_.get)) else None
+  }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    canPushCount(agg)
+    servableAgg(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     // only accept what we can serve COMPLETELY: partial-pushdown semantics
     // (per-partition counts) would still scan every file — no win over
     // Spark's own partial aggregate.
-    if (!canPushCount(agg)) return false
-    countCols = Some(agg.aggregateExpressions().length)
-    true
+    servableAgg(agg) match {
+      case Some(cols) => pushedAgg = Some(cols); true
+      case None => false
+    }
   }
 
   /** Scan-side LIMIT: the scan keeps a clean-snapshot file-prefix (plan
@@ -632,8 +699,9 @@ class GraftScanBuilder(meta: TableMeta,
   override def pushLimit(n: Int): Boolean = { limitN = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
-  override def build(): Scan = countCols match {
-    case Some(k) => new GraftCountScan(meta.name, metadataCount.get, k)
+  override def build(): Scan = pushedAgg match {
+    case Some(cols) => new GraftCountScan(meta.name,
+      StructType(cols.map(_._1)), cols.map(_._2).toArray)
     case None => new GraftV2Scan(
       GraftV2Scan.hydrateKeyBounds(meta), requiredSchema, filters,
       Option(options.get("graft.startingVersion")).map(_.toLong),
@@ -642,24 +710,25 @@ class GraftScanBuilder(meta: TableMeta,
   }
 }
 
-/** Metadata-only COUNT(*) scan: one partition emitting one pre-aggregated
-  * row per CountStar column from manifest footer counts — no file is
-  * opened. Spark maps the scan output onto the aggregate's output
-  * positionally, so the field names are cosmetic. */
-class GraftCountScan(table: String, val count: Long, nCols: Int)
+/** Metadata-only aggregate scan: one partition emitting ONE pre-aggregated
+  * row whose values come from manifest metadata alone — COUNT(*) from
+  * footer row counts, MIN/MAX of the first PK column decoded from the
+  * order-preserving key bounds. No file is opened. Spark maps the scan
+  * output onto the aggregate's output positionally, so the field names
+  * are cosmetic. Values are catalyst-INTERNAL representations. */
+class GraftCountScan(table: String, schema: StructType, values: Array[Any])
     extends Scan with Batch {
-  override def readSchema(): StructType = StructType((0 until nCols).map(i =>
-    org.apache.spark.sql.types.StructField(s"count_star_$i",
-      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String = s"graft $table metadata-count ($count)"
+  override def description(): String =
+    s"graft $table metadata-agg (${values.mkString(",")})"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftCountPartition(count, nCols))
+    Array(GraftCountPartition(values))
   override def createReaderFactory(): PartitionReaderFactory =
     GraftCountReaderFactory
 }
 
-case class GraftCountPartition(count: Long, nCols: Int) extends InputPartition
+case class GraftCountPartition(values: Array[Any]) extends InputPartition
 
 object GraftCountReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -668,8 +737,7 @@ object GraftCountReaderFactory extends PartitionReaderFactory {
       private var done = false
       override def next(): Boolean = !done && { done = true; true }
       override def get(): InternalRow =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array.fill[Any](gp.nCols)(gp.count))
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(gp.values)
       override def close(): Unit = ()
     }
   }

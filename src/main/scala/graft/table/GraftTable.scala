@@ -1900,14 +1900,16 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     }
     val writer = effectiveCodec(m).fold(withEnc)(cc => withEnc.option("compression", cc))
     withMicrosTimestamps { writer.mode("overwrite").parquet(dir) }
-    // Coordinate-less layouts (no hash, no range): record first-key footer
-    // bounds so merge-on-read can interval-route deltas to these files
-    // (DataFileMeta.keyLo/keyHi) — partitioned layouts route by coordinate.
+    // Record first-key footer bounds on EVERY base file (the footer is
+    // already open for the row count): coordinate-less layouts need them
+    // for merge-on-read interval routing, and partitioned layouts get
+    // manifest-level first-PK file pruning inside their hash buckets
+    // (PartitionPruner.keyIntervalOk) plus metadata-served MIN/MAX on the
+    // lead key (GraftScanBuilder.servableAgg) for free.
     val firstKey = m.keyCols.headOption.map(m.column)
     listParquet(dir).map { p =>
       val (lo, hi) =
-        if (partCols.nonEmpty) (None, None)
-        else firstKey.map(c => GraftTable.parquetKeyBounds(p, c.physName, c.dataType))
+        firstKey.map(c => GraftTable.parquetKeyBounds(p, c.physName, c.dataType))
           .getOrElse((None, None))
       DataFileMeta(p, "base", v, GraftTable.parquetRows(p), m.columns.map(_.id),
         bucket = partFromPath(p, BucketCol).map(_.toInt),

@@ -89,4 +89,73 @@ class CountLimitPushdownSpec extends AnyFunSuite {
     val (_, sqlName, _) = mkTable(30, 2)
     assert(spark.sql(s"SELECT k FROM $sqlName LIMIT 1000").count() == 30L)
   }
+
+  test("MIN/MAX on the first PK column decode from manifest key bounds") {
+    val (t, sqlName, _) = mkTable(250, 4)
+    val q = spark.sql(
+      s"SELECT min(k) AS lo, max(k) AS hi, count(*) AS c FROM $sqlName")
+    assert(scans(q).exists(_.isInstanceOf[GraftCountScan]),
+      s"mixed MIN/MAX/COUNT must be metadata-only:\n${q.queryExecution.executedPlan}")
+    val r = q.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 250L, 250L)))
+
+    // a non-PK column can't be served from key bounds
+    val nk = spark.sql(s"SELECT min(v) AS lo FROM $sqlName")
+    assert(!scans(nk).exists(_.isInstanceOf[GraftCountScan]))
+    assert(nk.head.getString(0) == "v1")
+
+    // dirty snapshot: an upsert could move the extremes — must scan
+    t.deleteWhere(col("k") === 1)
+    val dirty = spark.sql(s"SELECT min(k) AS lo FROM $sqlName")
+    assert(!scans(dirty).exists(_.isInstanceOf[GraftCountScan]))
+    assert(dirty.head.getLong(0) == 2L)
+    // compaction folds → metadata again, at the new extreme
+    t.compact()
+    val again = spark.sql(s"SELECT min(k) AS lo FROM $sqlName")
+    assert(scans(again).exists(_.isInstanceOf[GraftCountScan]))
+    assert(again.head.getLong(0) == 2L)
+  }
+
+  test("MIN/MAX bound decode round-trips string, date, timestamp, decimal PKs") {
+    import spark.implicits._
+    def check[A](df: org.apache.spark.sql.DataFrame, minSql: String,
+        expect: (org.apache.spark.sql.Row => A)): A = {
+      val loc = java.nio.file.Files.createTempDirectory("graft-clpx-").toString
+      val t = GraftTable.create(spark, loc, "clpx", df.schema,
+        Seq(df.schema.fieldNames.head),
+        Seq(HashComponent(Seq(df.schema.fieldNames.head), 2)), data = Some(df))
+      val f = new java.io.File(loc)
+      spark.conf.set("spark.sql.catalog.gclpx",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gclpx.warehouse", f.getParent)
+      val q = spark.sql(s"SELECT $minSql FROM gclpx.`${f.getName}`")
+      assert(scans(q).exists(_.isInstanceOf[GraftCountScan]),
+        s"$minSql must be metadata-only:\n${q.queryExecution.executedPlan}")
+      expect(q.head)
+    }
+    // string PK (UTF-8 hex bounds)
+    val sdf = Seq("apple", "zebra", "Émile", "mango").toDF("s")
+      .withColumn("v", length(col("s")))
+    assert(check(sdf, "min(s) AS lo, max(s) AS hi",
+      r => (r.getString(0), r.getString(1))) == (("apple", "Émile")))
+    // date PK (internal days)
+    val ddf = Seq("2021-03-04", "1969-12-01", "2030-01-31").toDF("x")
+      .select(to_date(col("x")).as("d")).withColumn("v", lit(1))
+    assert(check(ddf, "min(d) AS lo, max(d) AS hi",
+      r => (r.getDate(0).toString, r.getDate(1).toString)) ==
+      (("1969-12-01", "2030-01-31")))
+    // timestamp PK (internal micros)
+    val tdf = Seq("2021-03-04 05:06:07.000123", "1969-12-01 23:59:59")
+      .toDF("x").select(to_timestamp(col("x")).as("ts")).withColumn("v", lit(1))
+    assert(check(tdf, "min(ts) AS lo, max(ts) AS hi",
+      r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)) ==
+      ((java.sql.Timestamp.valueOf("1969-12-01 23:59:59").getTime,
+        java.sql.Timestamp.valueOf("2021-03-04 05:06:07.000123").getTime)))
+    // decimal(12,2) PK (unscaled-long bounds)
+    val cdf = Seq("12345.67", "-999.99", "0.01").toDF("x")
+      .select(col("x").cast("decimal(12,2)").as("m")).withColumn("v", lit(1))
+    assert(check(cdf, "min(m) AS lo, max(m) AS hi",
+      r => (r.getDecimal(0).toPlainString, r.getDecimal(1).toPlainString)) ==
+      (("-999.99", "12345.67")))
+  }
 }

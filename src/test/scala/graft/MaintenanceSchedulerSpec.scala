@@ -106,11 +106,11 @@ class MaintenanceSchedulerSpec extends AnyFunSuite {
     val df = (1 to 100).map(i => (i.toLong, i)).toDF("k", "v")
     val t = GraftTable.create(spark, s"$wh/ms3", "ms3", df.schema, Seq("k"),
       Seq(HashComponent(Seq("k"), 2)), data = Some(df))
-    spark.conf.set("spark.sql.catalog.gms",
+    spark.conf.set("spark.sql.catalog.gmsched",
       classOf[graft.sources.v2.GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.gms.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.gmsched.warehouse", wh)
     val row = spark.sql(
-      "CALL gms.system.maintain_schedule('ms3', interval_ms => 50, " +
+      "CALL gmsched.system.maintain_schedule('ms3', interval_ms => 50, " +
         "max_delta_ratio => 0.05, max_delta_files => 2)").collect().head
     assert(row.getLong(1) == 50L)
     assert(MaintenanceScheduler.scheduled.contains(t.location))
@@ -128,24 +128,24 @@ class MaintenanceSchedulerSpec extends AnyFunSuite {
     assert(bounded,
       s"the timer must have restored the bounds: files=${t.meta.deltaFiles.size} " +
         s"ratio=${deltaRatio(t)}")
-    val st = spark.sql("CALL gms.system.maintain_schedule_status('ms3')").collect()
+    val st = spark.sql("CALL gmsched.system.maintain_schedule_status('ms3')").collect()
     assert(st.length == 1 && st.head.getLong(0) > 0)
-    assert(spark.sql("CALL gms.system.maintain_unschedule('ms3')")
+    assert(spark.sql("CALL gmsched.system.maintain_unschedule('ms3')")
       .collect().head.getBoolean(0))
     assert(!MaintenanceScheduler.scheduled.contains(t.location))
     // no more ticks after unschedule (poll past one old interval)
     val after = MaintenanceScheduler.status(t.location)
     assert(after.isEmpty)
-    assert(!spark.sql("CALL gms.system.maintain_unschedule('ms3')")
+    assert(!spark.sql("CALL gmsched.system.maintain_unschedule('ms3')")
       .collect().head.getBoolean(0), "second unschedule reports not-scheduled")
     // warehouse-level CALL face rides the same registry, keyed by the
     // catalog's warehouse dir
     val wrow = spark.sql(
-      "CALL gms.system.maintain_schedule_warehouse(interval_ms => 60000)")
+      "CALL gmsched.system.maintain_schedule_warehouse(interval_ms => 60000)")
       .collect().head
     assert(wrow.getString(0) == wh && wrow.getLong(1) == 60000L)
     assert(MaintenanceScheduler.scheduled.contains(wh))
-    assert(spark.sql("CALL gms.system.maintain_unschedule_warehouse()")
+    assert(spark.sql("CALL gmsched.system.maintain_unschedule_warehouse()")
       .collect().head.getBoolean(0))
     assert(!MaintenanceScheduler.scheduled.contains(wh))
   }
