@@ -565,12 +565,14 @@ class GraftScanBuilder(meta: TableMeta,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownAggregates {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType =
     StructType(meta.visibleColumns.map(_.toField))
   private var filters: Array[Filter] = Array.empty
   private var limitN: Option[Int] = None
+  private var topN: Option[(Int, Boolean)] = None // (n, descending)
   private var pushedAgg: Option[Seq[(org.apache.spark.sql.types.StructField, Any)]] = None
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
@@ -699,6 +701,29 @@ class GraftScanBuilder(meta: TableMeta,
   override def pushLimit(n: Int): Boolean = { limitN = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
+  /** Scan-side TOP-N (`ORDER BY <lead PK> [ASC|DESC] LIMIT n`): on a clean
+    * snapshot with per-file key bounds, only files that can intersect the
+    * global top-n need planning — `ORDER BY event_time LIMIT 10` on a
+    * range-partitioned 100 TB table opens the newest file(s) only (see
+    * [[GraftV2Scan.topNFiles]] for the soundness bound). Partial
+    * semantics: Spark still sorts/limits the surviving rows above, so the
+    * file cut only ever has to be conservative. The PK is non-nullable,
+    * so null ordering cannot matter. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    if (orders.length != 1 || filters.nonEmpty) return false
+    val firstPk = meta.keyCols.headOption.getOrElse(return false)
+    val onPk = orders.head.expression() match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+        r.fieldNames().toSeq == Seq(firstPk)
+      case _ => false
+    }
+    if (!onPk) return false
+    topN = Some((n, orders.head.direction() ==
+      org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING))
+    true
+  }
+
   override def build(): Scan = pushedAgg match {
     case Some(cols) => new GraftCountScan(meta.name,
       StructType(cols.map(_._1)), cols.map(_._2).toArray)
@@ -706,7 +731,7 @@ class GraftScanBuilder(meta: TableMeta,
       GraftV2Scan.hydrateKeyBounds(meta), requiredSchema, filters,
       Option(options.get("graft.startingVersion")).map(_.toLong),
       Option(options.get("graft.maxVersionsPerTrigger")).map(_.toInt).getOrElse(64),
-      limitN)
+      limitN, topN)
   }
 }
 
@@ -778,9 +803,41 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     filters: Array[Filter],
     startingVersion: Option[Long] = None,
     maxVersionsPerTrigger: Int = 64,
-    limit: Option[Int] = None) extends Scan with Batch
+    limit: Option[Int] = None,
+    topN: Option[(Int, Boolean)] = None) extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportStatistics {
+
+  /** TOP-N file cut (`ORDER BY lead-PK LIMIT n`). Soundness: sort files by
+    * keyLo ascending and take the minimal prefix P holding ≥ n rows; every
+    * key in P is ≤ C := max(keyHi over P), so at least n keys ≤ C exist
+    * and the true n-th smallest key is ≤ C — any top-n row therefore lives
+    * in a file with keyLo ≤ C. Keeping {f : keyLo ≤ C} misses nothing
+    * (descending is the mirror with keyHi/min-keyLo). Range-partitioned
+    * time-series collapse to the newest/oldest file(s); hash layouts carry
+    * near-full-range bounds and conservatively keep everything. Refused
+    * under deltas (new rows may enter the top-n), filters, or missing
+    * bounds/row counts. */
+  private def topNFiles(files: Seq[graft.catalog.DataFileMeta])
+      : Seq[graft.catalog.DataFileMeta] = topN match {
+    case Some((n, desc)) if meta.deltaFiles.isEmpty && meta.rangeDrops.isEmpty &&
+        filters.isEmpty && runtimeFilters.isEmpty &&
+        files.forall(f => f.rows >= 0L && f.keyLo.isDefined && f.keyHi.isDefined) =>
+      val sorted =
+        if (desc) files.sortBy(_.keyHi.get)(Ordering[String].reverse)
+        else files.sortBy(_.keyLo.get)
+      var acc = 0L
+      val prefix = sorted.takeWhile { f => val more = acc < n; acc += f.rows; more }
+      if (prefix.isEmpty) return files.take(1)
+      if (desc) {
+        val cut = prefix.map(_.keyLo.get).min
+        files.filter(_.keyHi.get >= cut)
+      } else {
+        val cut = prefix.map(_.keyHi.get).max
+        files.filter(_.keyLo.get <= cut)
+      }
+    case _ => files
+  }
 
   /** Scan-side LIMIT file-prefix: on a clean snapshot with exact per-file
     * row counts and no predicates, only enough files to cover the limit
@@ -926,7 +983,8 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"graft ${meta.name} (buckets=${GraftTable.totalBuckets(meta)})" +
-      limit.map(n => s" limit=$n").getOrElse("")
+      limit.map(n => s" limit=$n").getOrElse("") +
+      topN.map { case (n, d) => s" top=$n(${if (d) "desc" else "asc"})" }.getOrElse("")
 
   /** Key grouping is reported only when storage-partitioned joins are
     * actually enabled (`spark.sql.sources.v2.bucketing.enabled` — SPJ's
@@ -983,7 +1041,7 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         // range's modulus, so the grouping unit (= the delta route) is the
         // (rangeKey, bucket) pair; uniform layouts group by the composite
         // bucket alone, keeping a bucket that spans ranges one route.
-        val groups = GraftV2Scan.routeGroups(meta, limitFilePrefix(files))
+        val groups = GraftV2Scan.routeGroups(meta, topNFiles(limitFilePrefix(files)))
         if (groups.isEmpty && meta.deltaFiles.nonEmpty)
           // empty (or fully-pruned) base with pending deltas: one empty
           // split still runs, so the fallback-routed delta rows are emitted

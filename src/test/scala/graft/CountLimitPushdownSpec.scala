@@ -90,6 +90,43 @@ class CountLimitPushdownSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT k FROM $sqlName LIMIT 1000").count() == 30L)
   }
 
+  test("TOP-N on the lead PK plans only the files that can hold the top-n") {
+    import spark.implicits._
+    // registered-in-place multi-file parquet with DISJOINT key ranges —
+    // the time-series layout where the cut pays off (hash buckets carry
+    // near-full-range bounds and conservatively keep everything)
+    val wh = java.nio.file.Files.createTempDirectory("graft-topn-").toString
+    (1 to 400).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(8, col("k")).write.parquet(s"$wh/raw")
+    val t = GraftTable.register(spark, s"$wh/reg", "reg", s"$wh/raw", Seq("k"))
+    assert(t.meta.baseFiles.length == 8)
+    spark.conf.set("spark.sql.catalog.gtopn",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtopn.warehouse", wh)
+    def run(sql: String, expectFiles: Int): Seq[Long] = {
+      val q = spark.sql(sql)
+      val v2 = scans(q).collectFirst { case s: GraftV2Scan => s }
+      assert(v2.isDefined, s"expected graft scan:\n${q.queryExecution.executedPlan}")
+      assert(v2.get.description().contains("top="),
+        s"top-n not pushed: ${v2.get.description()}")
+      val parts = v2.get.planInputPartitions().length
+      assert(parts <= expectFiles,
+        s"top-n must cut the fileset: $parts partitions (wanted <= $expectFiles)")
+      q.collect().map(_.getLong(0)).toSeq
+    }
+    // ascending: the lowest ~50-row file covers n=5
+    assert(run("SELECT k FROM gtopn.reg ORDER BY k LIMIT 5", 2) ==
+      (1L to 5L))
+    // descending: the highest file only
+    assert(run("SELECT k FROM gtopn.reg ORDER BY k DESC LIMIT 5", 2) ==
+      (400L to 396L by -1))
+    // dirty snapshot: an upserted key could enter the top-n — full fileset,
+    // result still exact
+    t.upsert(Seq((0L, "new-min")).toDF("k", "v"))
+    val dq = spark.sql("SELECT k FROM gtopn.reg ORDER BY k LIMIT 3")
+    assert(dq.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("MIN/MAX on the first PK column decode from manifest key bounds") {
     val (t, sqlName, _) = mkTable(250, 4)
     val q = spark.sql(

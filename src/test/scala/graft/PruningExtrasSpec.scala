@@ -101,6 +101,43 @@ class PruningExtrasSpec extends AnyFunSuite {
       .count() == 100)
   }
 
+  test("bucketed files with recorded key bounds prune on first-PK predicates too") {
+    // Since round 11 writeBase records keyLo/keyHi on EVERY base file;
+    // keyIntervalOk applies to coordinated files as well, so a range-
+    // partitioned-or-bucketed file whose interval cannot hold the
+    // predicate drops at the manifest level. Synthetic metas keep this a
+    // pure unit test of the pruning math (hash layouts usually carry
+    // near-full-range bounds — the pruning is conservative there by
+    // construction).
+    import graft.catalog.DataFileMeta
+    val wh = tmp("graft-kbp-")
+    val df = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val m = GraftTable.create(spark, s"$wh/kb", "kb", df.schema, Seq("k"),
+      Seq(graft.catalog.HashComponent(Seq("k"), 2)), data = Some(df)).meta
+    // every freshly written bucketed file carries bounds now
+    assert(m.baseFiles.forall(f => f.keyLo.isDefined && f.keyHi.isDefined))
+    def f(b: Int, lo: Long, hi: Long) = DataFileMeta(
+      s"/tmp/kb/f$b-$lo", "base", 1, 10, m.columns.map(_.id), bucket = Some(b),
+      keyLo = Some(GraftTable.encodeKeyLong(lo)),
+      keyHi = Some(GraftTable.encodeKeyLong(hi)))
+    val files = Seq(f(0, 1, 100), f(0, 101, 200), f(1, 1, 100), f(1, 101, 200))
+    // range predicate (no bucket to pin): the low files of BOTH buckets drop
+    val kept = graft.sources.PartitionPruner.pruneFiles(
+      m, files, Seq(GreaterThan("k", 100L)))
+    assert(kept.map(_.path).toSet == Set("/tmp/kb/f0-101", "/tmp/kb/f1-101"))
+    // point predicate: bucket pruning AND interval pruning compose —
+    // exactly one file (the key's bucket × the interval holding it)
+    val one = graft.sources.PartitionPruner.pruneFiles(
+      m, files, Seq(EqualTo("k", 150L)))
+    assert(one.length == 1 && one.head.path.endsWith("-101"))
+    // bound-less coordinated files survive interval pruning (conservative;
+    // bucket pruning still applies, so use a range predicate here)
+    val mixed = files :+ DataFileMeta("/tmp/kb/nolo", "base", 1, 10,
+      m.columns.map(_.id), bucket = Some(0))
+    assert(graft.sources.PartitionPruner.pruneFiles(
+      m, mixed, Seq(GreaterThan("k", 9000L))).map(_.path) == Seq("/tmp/kb/nolo"))
+  }
+
   test("concurrent commit of the same version is rejected") {
     val t = GraftTable.create(spark, tmp("graft-cc-"), "cc",
       Seq((1, "a")).toDF("k", "v").schema, Seq("k"),
