@@ -731,7 +731,9 @@ class GraftScanBuilder(meta: TableMeta,
       GraftV2Scan.hydrateKeyBounds(meta), requiredSchema, filters,
       Option(options.get("graft.startingVersion")).map(_.toLong),
       Option(options.get("graft.maxVersionsPerTrigger")).map(_.toInt).getOrElse(64),
-      limitN, topN)
+      limitN, topN,
+      Option(options.get("graft.maxBytesPerTrigger"))
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes))
   }
 }
 
@@ -804,7 +806,8 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     startingVersion: Option[Long] = None,
     maxVersionsPerTrigger: Int = 64,
     limit: Option[Int] = None,
-    topN: Option[(Int, Boolean)] = None) extends Scan with Batch
+    topN: Option[(Int, Boolean)] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -863,7 +866,7 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(meta, requiredSchema, startingVersion,
-      maxVersionsPerTrigger)
+      maxVersionsPerTrigger, maxBytesPerTrigger)
 
   /** On-disk size of the PRUNED fileset + pending deltas — the stats that
     * let Catalyst auto-broadcast a small (or well-filtered) graft side of

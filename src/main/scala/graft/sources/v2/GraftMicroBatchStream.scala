@@ -35,7 +35,8 @@ import graft.table.GraftTable
  * the new column as null (their committed images carried no value).
  */
 class GraftMicroBatchStream(meta: TableMeta, requiredSchema: StructType,
-    startingVersion: Option[Long], maxVersionsPerTrigger: Int = 64)
+    startingVersion: Option[Long], maxVersionsPerTrigger: Int = 64,
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
@@ -47,14 +48,40 @@ class GraftMicroBatchStream(meta: TableMeta, requiredSchema: StructType,
   override def latestOffset(): Offset =
     GraftStreamOffset(TableMeta.currentVersion(meta.location))
 
+  /** Bytes a version's micro-batch would read (its own delta filesets). */
+  private def versionBytes(v: Long): Long =
+    TableMeta.read(meta.location, v).deltaFiles
+      .filter(f => f.seq == v && !f.path.contains("_deltamerge_"))
+      .map(f => GraftTable.fileSize(f.path)).sum
+
   /** Bounded triggers: advance at most maxVersionsPerTrigger versions per
     * micro-batch, so a rewound stream (graft.startingVersion) or a deep
-    * backlog drains in bounded batches instead of one giant one. */
+    * backlog drains in bounded batches instead of one giant one. With
+    * `graft.maxBytesPerTrigger` the bound is BYTES — version sizes vary by
+    * orders of magnitude between a trickle writer and a bulk upsert, and a
+    * byte cap is what actually bounds micro-batch executor memory. Always
+    * admits at least one version when a backlog exists (an over-cap single
+    * version must still drain — progress over strictness, the same posture
+    * as Spark's own maxBytesPerTrigger file-source option). */
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val cur = TableMeta.currentVersion(meta.location)
     val v0 = start.asInstanceOf[GraftStreamOffset].version
-    GraftStreamOffset(math.min(cur, v0 + maxVersionsPerTrigger))
+    val capV = math.min(cur, v0 + maxVersionsPerTrigger)
+    val end = maxBytesPerTrigger match {
+      case None => capV
+      case Some(cap) =>
+        var v = v0
+        var bytes = 0L
+        var stop = false
+        while (!stop && v < capV) {
+          val b = versionBytes(v + 1)
+          if (v > v0 && bytes + b > cap) stop = true
+          else { bytes += b; v += 1 }
+        }
+        v
+    }
+    GraftStreamOffset(end)
   }
 
   override def getDefaultReadLimit
