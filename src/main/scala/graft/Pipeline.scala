@@ -799,6 +799,44 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    "p25_span_scrub" -> ((s, dir) => {
+      // The REWRITE step p23 only measures (Lee et al. 2022 executes it):
+      // remove every token covered by a cross-document duplicated 8-gram
+      // window and emit the scrubbed text (as a sha256 — the full text
+      // would bloat the compare; counts carry the shape). Scale path is
+      // p23's: (hash, doc, pos) 24-byte shuffle rows, min≠max cross-doc
+      // test as a partial agg, then the per-doc hit-position list (tiny —
+      // bounded by tokens/doc) joins back to the doc row and the rewrite
+      // itself is a pure map: token i survives iff no hit window [q, q+8)
+      // covers it. No all-pairs anything; the only new shuffle over p23
+      // is the per-doc collect_list.
+      val k = 8
+      val gp = docs(s, dir).repartition(parallelism(s))
+        .select(col("doc_id"),
+          posexplode(shinglesSeq(col("text"), k)).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
+      val dup = gp.groupBy("gh")
+        .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .select("gh")
+      val hp = gp.join(dup, "gh")
+        .groupBy("doc_id").agg(collect_list(col("pos")).as("hs"))
+      docs(s, dir).join(hp, Seq("doc_id"), "left")
+        .select(col("doc_id"), words(col("text")).as("w"),
+          coalesce(col("hs"), array().cast("array<int>")).as("hs"))
+        // 1-based token index p (matching the oracle's array indexing);
+        // engine hit positions are 0-based window starts — token p is
+        // covered iff some start q has q <= p-1 < q+k
+        .withColumn("kept", filter(sequence(lit(1), size(col("w"))),
+          p => !exists(col("hs"), q => q <= p - 1 && p - 1 < q + k)))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+          sha2(array_join(transform(col("kept"),
+            p => element_at(col("w"), p)), " "), 256).as("clean_sha"))
+        .orderBy("doc_id")
+    }),
+
     "p24_semantic_dedup" -> ((s, dir) => {
       // SemDeDup (Abbas et al. 2023): cluster the embedding space, then
       // near-dup WITHIN clusters only — semantic duplicates live in the
@@ -1180,6 +1218,28 @@ object Pipeline {
         "CAST(sum(CASE WHEN prev_end IS NULL OR pos >= prev_end THEN 1 ELSE 0 END) AS BIGINT) AS n_spans, " +
         "CAST(sum(greatest(0, pos + 8 - greatest(coalesce(prev_end, 0), pos))) AS BIGINT) AS covered_tokens " +
         "FROM c GROUP BY doc_id ORDER BY doc_id"),
+
+    // p23's duplicated-gram machinery over the gram STRINGS, then the
+    // rewrite: tokens at 1-based positions covered by any hit window drop
+    "p25_span_scrub" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS pos FROM t), " +
+        "g AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos, " +
+        "array_to_string(w[pos:pos+7], ' ') AS gram FROM g0), " +
+        "d AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)), " +
+        "h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)), " +
+        "hp AS (SELECT doc_id, list(pos) AS hs FROM h GROUP BY doc_id), " +
+        "r AS (SELECT t.doc_id, t.w, COALESCE(hp.hs, []) AS hs " +
+        "FROM t LEFT JOIN hp USING (doc_id)), " +
+        "kx AS (SELECT doc_id, w, list_transform(list_filter(" +
+        "generate_series(1, len(w)), " +
+        "p -> len(list_filter(hs, q -> q <= p AND p <= q + 7)) = 0), " +
+        "p -> w[p]) AS kept FROM r) " +
+        "SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, " +
+        "CAST(len(w) - len(kept) AS BIGINT) AS n_removed, " +
+        // COALESCE: DuckDB array_to_string([]) is NULL, Spark array_join is ''
+        "sha256(COALESCE(array_to_string(kept, ' '), '')) AS clean_sha " +
+        "FROM kx ORDER BY doc_id"),
 
     // p13's medoid-cell assignment + p5's bucket family over the NORMALIZED
     // vector, composed: within-cell LSH-candidate pairs, cosine-verified

@@ -108,6 +108,35 @@ class PipelineScaleSpec extends AnyFunSuite {
       s"xxhash64 collided on the sf0.01 gram set: ${c.getLong(0)} grams vs ${c.getLong(1)} hashes")
   }
 
+  test("p25 span scrub: narrow gram shuffle, rewrite is a map after one doc_id join") {
+    val df = SparkEntry.queries("p25_span_scrub")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"unbounded cartesian in span scrub:\n$plan")
+    // dup-gram detection partial-aggregates before its exchange, exactly
+    // as p23 (the gram stream never shuffles (gram, doc) pairs whole)
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"dup-gram aggregate must be partial+final:\n$plan")
+    // the per-doc hit lists are tiny; their join back to documents must be
+    // an equi-join on doc_id, never a shuffle of rewritten text
+    assert(plan.contains("doc_id#"), s"missing the doc_id equi-join:\n$plan")
+    // rewrite semantics: removed + kept covers the doc, and scrubbing is
+    // idempotent on docs with no hits (sha equals the re-joined original)
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.words
+    val base = Tables.scan(spark, dir, "documents")
+      .select(col("doc_id"), sha2(array_join(words(col("text")), " "), 256).as("orig_sha"))
+    val joined = df.join(base, "doc_id")
+    assert(joined.filter(col("n_removed") === 0 &&
+      col("clean_sha") =!= col("orig_sha")).count() == 0,
+      "untouched docs must hash to their original token stream")
+    assert(joined.filter(col("n_removed") > 0 &&
+      col("clean_sha") === col("orig_sha")).count() == 0,
+      "scrubbed docs must differ from the original")
+  }
+
   test("p24 semantic dedup: bounded centroid broadcast, equi-join candidates inside cells") {
     // sf0.01: at sf0.001 the drop-list is empty and AQE's empty-relation
     // propagation erases the joins this test asserts on
