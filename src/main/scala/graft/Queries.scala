@@ -961,6 +961,43 @@ object Queries {
         .toDF("phase", "cnt", "lo", "hi").orderBy("phase")
     }),
 
+    "q50_topn_pushdown" -> ((s, dir) => {
+      // TOP-N pushdown gate: ORDER BY lead-PK LIMIT n on a clean
+      // range-sorted registered table must CUT the planned fileset via the
+      // order-preserving key bounds (in-query assert: the graft scan
+      // carries the pushed top-n and plans fewer partitions than files) —
+      // the 100 TB posture where "newest 10 events" opens one file. Both
+      // directions exercised; the oracle hash-checks the rows.
+      val loc = tmpLoc("graft-q50-")
+      val raw = Tables.raw(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      raw.repartitionByRange(8, col("o_orderkey"))
+        .write.parquet(s"$loc/raw")
+      val t = GraftTable.register(s, s"$loc/reg", "reg", s"$loc/raw",
+        Seq("o_orderkey"))
+      val f = new java.io.File(s"$loc/reg")
+      s.conf.set("spark.sql.catalog.gq50",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq50.warehouse", f.getParent)
+      def topn(dir0: String, n: Int) = {
+        val q = s.sql(s"SELECT o_orderkey, o_totalprice FROM gq50.reg " +
+          s"ORDER BY o_orderkey $dir0 LIMIT $n")
+        val v2 = q.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+        }.collectFirst { case sc: graft.sources.v2.GraftV2Scan => sc }
+          .getOrElse(throw new IllegalStateException(
+            s"expected a graft scan:\n${q.queryExecution.executedPlan}"))
+        if (!v2.description().contains("top="))
+          throw new IllegalStateException(s"top-n not pushed: ${v2.description()}")
+        val parts = v2.planInputPartitions().length
+        if (parts >= t.meta.baseFiles.length)
+          throw new IllegalStateException(
+            s"top-n must cut the fileset: $parts of ${t.meta.baseFiles.length}")
+        q
+      }
+      topn("ASC", 25).union(topn("DESC", 25)).orderBy("o_orderkey")
+    }),
+
     "q48_json_extract" -> ((s, dir) => {
       // Semi-structured payload extraction (the delegated-to-Spark scalar
       // surface over an engine table): pull a JSON field out of the props
@@ -1298,6 +1335,14 @@ object Queries {
         "round(CAST(min(s_suppkey) AS DOUBLE), 2), " +
         "round(CAST(max(s_suppkey) AS DOUBLE), 2) FROM m " +
         "ORDER BY col_name"),
+
+    "q50_topn_pushdown" ->
+      ("WITH a AS (SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_orderkey ASC LIMIT 25), " +
+        "d AS (SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_orderkey DESC LIMIT 25) " +
+        "SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM d) " +
+        "ORDER BY o_orderkey"),
 
     "q49_count_pushdown" ->
       ("SELECT 'clean' AS phase, CAST(count(*) AS BIGINT) AS cnt, " +
