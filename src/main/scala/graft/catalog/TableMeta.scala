@@ -212,7 +212,16 @@ case class TableMeta(
     // Spark's CBO as-is until the next analyze. Option-typed for metadata
     // written by older builds.
     colStats: Option[Map[String, ColStat]] = None,
-    analyzedVersion: Option[Long] = None) {
+    analyzedVersion: Option[Long] = None,
+    // History retention mark (the reference's ancient-history-mark,
+    // --tablet_history_max_age_sec): versions BELOW it were expired —
+    // their manifests and exclusively-referenced files are gone, time
+    // travel/CDC below the mark error cleanly, fsck treats the missing
+    // prefix as intentional. Option-typed for older metadata (None = 1).
+    expiredBefore: Option[Long] = None) {
+
+  /** First version still readable (time travel / CDC floor). */
+  def historyFloor: Long = expiredBefore.getOrElse(1L)
 
   def schema: StructType = StructType(columns.map(_.toField))
   /** Full key, including the hidden auto-increment column of non-unique-PK

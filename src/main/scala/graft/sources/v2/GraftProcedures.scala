@@ -46,6 +46,7 @@ private[v2] object GraftProcedures {
 
   val names: Array[String] = Array(
     "analyze", "compact", "compact_deltas", "compact_tablet", "locate_row",
+    "expire_versions",
     "maintain", "maintain_schedule", "maintain_schedule_warehouse",
     "maintain_unschedule", "maintain_unschedule_warehouse",
     "maintain_schedule_status", "maintenance_plan", "merge_tail",
@@ -195,6 +196,18 @@ private[v2] object GraftProcedures {
         new StructType().add("compacted", BooleanType)) { in =>
           Seq(InternalRow(locate(in).maintain(
             in.getDouble(1), in.getInt(2), perTablet = in.getBoolean(3))))
+        })
+      case "expire_versions" => Some(proc("expire_versions",
+        "history retention GC (the ancient-history-mark analog): expire a " +
+          "prefix of the version chain, keeping the newest retain_last " +
+          "versions and anything younger than older_than_ms; deletes the " +
+          "expired manifests and the data files only they referenced",
+        Array(tableParam,
+          ProcedureParameter.in("retain_last", IntegerType).defaultValue("1").build(),
+          ProcedureParameter.in("older_than_ms", LongType).defaultValue("0").build()),
+        new StructType().add("deleted", StringType)) { in =>
+          locate(in).expireVersions(in.getInt(1), in.getLong(2))
+            .map(p => InternalRow(str(p)))
         })
       case "maintain_schedule" => Some(proc("maintain_schedule",
         "schedule periodic background self-maintenance for a table (the " +

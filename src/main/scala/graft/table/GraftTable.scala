@@ -54,9 +54,18 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     * (common/common.proto:268-326). The hidden auto-increment key column of
     * non-unique-PK tables is projected away; use [[scanWithHidden]] to see it. */
   def scan(version: Option[Long] = None): DataFrame = {
-    val m = version.map(TableMeta.read(location, _)).getOrElse(meta)
+    val m = version.map(readVersion).getOrElse(meta)
     val full = scanMeta(m)
     if (m.hasAutoInc) full.select(m.visibleColumns.map(c => col(c.name)): _*) else full
+  }
+
+  /** Version manifest read with a clear error below the history mark. */
+  private def readVersion(v: Long): TableMeta = {
+    val floor = meta.historyFloor
+    if (v < floor) throw new IllegalArgumentException(
+      s"version $v expired: history retained from v$floor " +
+        s"(expireVersions ran; the ancient-history-mark analog)")
+    TableMeta.read(location, v)
   }
 
   def scan(): DataFrame = scan(None)
@@ -65,7 +74,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     * address individual rows of a non-unique-PK table for UPDATE/DELETE
     * (reference: ColumnSchema.java:529 nonUniqueKey()). */
   def scanWithHidden(version: Option[Long] = None): DataFrame = {
-    val m = version.map(TableMeta.read(location, _)).getOrElse(meta)
+    val m = version.map(readVersion).getOrElse(meta)
     scanMeta(m)
   }
 
@@ -80,7 +89,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     * NOT applied to rows here; the caller re-applies them. */
   def scanPruned(filters: Seq[org.apache.spark.sql.sources.Filter],
       version: Option[Long] = None): DataFrame = {
-    val m = version.map(TableMeta.read(location, _)).getOrElse(meta)
+    val m = version.map(readVersion).getOrElse(meta)
     val keepBase = graft.sources.PartitionPruner.pruneFiles(m, m.baseFiles, filters)
     // Delta files prune by their recorded first-key bounds too (delta
     // stats, tablet/deltafile.h): a delta file whose interval cannot meet
@@ -162,7 +171,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
    * (the index prunes on physical names).
    */
   def scanIndexed(version: Option[Long] = None): DataFrame = {
-    val m = version.map(TableMeta.read(location, _)).getOrElse(meta)
+    val m = version.map(readVersion).getOrElse(meta)
     val groups = m.baseFiles.groupBy(_.colIds)
     val hashColsRenamed = m.hash.flatMap(_.cols)
       .exists(c => m.columns.find(_.name == c).exists(cm => cm.physName != cm.name))
@@ -265,7 +274,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
    * snapshots, so it is correct across compactions.
    */
   def changes(v1: Long, v2: Long): DataFrame = {
-    val m = TableMeta.read(location, v2) // diff in v2's schema
+    val m = readVersion(v2) // diff in v2's schema
     val keys = m.keyCols
     // cast each field to v2's type: v1 may predate an ALTER type-widening,
     // and the struct equality below needs both sides in one type
@@ -295,8 +304,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
    * (ghost dedup via an existence check against v1).
    */
   def changesSince(v1: Long, v2: Long): DataFrame = {
-    val m1 = TableMeta.read(location, v1)
-    val m2 = TableMeta.read(location, v2)
+    val m1 = readVersion(v1)
+    val m2 = readVersion(v2)
     if (m1.baseFiles.map(_.path).toSet != m2.baseFiles.map(_.path).toSet ||
         !m1.deltaFiles.map(_.path).toSet.subsetOf(m2.deltaFiles.map(_.path).toSet) ||
         m1.rangeDrops != m2.rangeDrops)
@@ -748,6 +757,73 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     }
     ran.toSeq
   }
+
+  /**
+   * History retention GC — the reference's ancient-history-mark
+   * (`--tablet_history_max_age_sec`: row history older than the mark is
+   * garbage-collected and snapshot reads below it refuse). Without it a
+   * mutable 100 TB table doubles its storage on every full compaction:
+   * superseded base filesets stay referenced by old version manifests
+   * forever.
+   *
+   * Expires the longest PREFIX of the version chain satisfying BOTH
+   * knobs — the newest `retainLast` versions always survive, and a
+   * version only expires once its commit timestamp is `olderThanMs` old
+   * (the grace that keeps an in-flight time-travel reader safe, same
+   * posture as fsckRepair's window). The mark is COMMITTED FIRST as a
+   * files-unchanged snapshot version (`operation = "expire_versions"`,
+   * `TableMeta.expiredBefore`) through the same CREATE_NEW guard as every
+   * other commit — concurrent writers are safe, streams see an empty
+   * version (no delta files stamped with it), and readers learn the floor
+   * before any file vanishes. Then the expired manifests and every data
+   * file referenced ONLY by them are deleted. Time travel/CDC below the
+   * new floor fail with a clear error; everything at-or-above is
+   * untouched. Returns the deleted paths (manifests + data files).
+   */
+  def expireVersions(retainLast: Int = 1, olderThanMs: Long = 0L): Seq[String] =
+    withCommitRetry {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val m = meta
+      val metaDir = TableMeta.metaDir(location)
+      val onDisk = scala.util.Using.resource(Files.list(metaDir)) { s =>
+        s.iterator().asScala.map(_.getFileName.toString)
+          .collect { case n if n.matches("v\\d+\\.json") => n.drop(1).dropRight(5).toLong }
+          .toSeq.sorted
+      }
+      val keep = onDisk.takeRight(math.max(1, retainLast)).toSet + m.version
+      val cutoffTs = System.currentTimeMillis() - math.max(0L, olderThanMs)
+      val prefix = onDisk.takeWhile { v =>
+        !keep.contains(v) &&
+          (try TableMeta.read(location, v).timestampMs <= cutoffTs
+           catch { case _: Exception => false }) // unreadable: keep, fsck's problem
+      }
+      if (prefix.isEmpty) return Nil
+      val survivors = onDisk.filterNot(prefix.contains)
+      val referenced = survivors.flatMap { v =>
+        val vm = TableMeta.read(location, v)
+        (vm.baseFiles ++ vm.deltaFiles).map(f => Paths.get(f.path).normalize.toString)
+      }.toSet
+      val deletable = prefix.flatMap { v =>
+        val vm = TableMeta.read(location, v)
+        (vm.baseFiles ++ vm.deltaFiles).map(_.path)
+      }.distinct.filterNot(p => referenced.contains(Paths.get(p).normalize.toString))
+      // 1. publish the mark (the only step that can race — guard-protected)
+      TableMeta.write(m.copy(version = m.version + 1, timestampMs = now(),
+        operation = "expire_versions", expiredBefore = Some(prefix.max + 1)))
+      // 2. drop expired manifests, then exclusively-referenced data files.
+      // A crash between 1 and 3 leaves only already-expired residue that a
+      // re-run or fsckRepair's orphan sweep finishes.
+      val gone = scala.collection.mutable.ArrayBuffer[String]()
+      prefix.foreach { v =>
+        val vf = metaDir.resolve(s"v$v.json")
+        if (Files.deleteIfExists(vf)) gone += vf.toString
+      }
+      deletable.foreach { p =>
+        if (Files.deleteIfExists(Paths.get(p))) gone += p
+      }
+      gone.toSeq
+    }
 
   def maintain(maxDeltaRatio: Double = 0.2, maxDeltaFiles: Int = 64,
       perTablet: Boolean = false, maxTablets: Int = Int.MaxValue): Boolean = {

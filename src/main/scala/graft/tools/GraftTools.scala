@@ -321,7 +321,10 @@ object GraftTools {
         .collect { case s if s.matches("v\\d+\\.json") => s.drop(1).dropRight(5).toLong }
         .toSeq.sorted
     }
-    (1L to cur).filterNot(versions.contains).foreach { v =>
+    // versions below the history mark were EXPIRED on purpose
+    // (expireVersions — the ancient-history-mark analog); only gaps at or
+    // above the floor are findings
+    (m.historyFloor to cur).filterNot(versions.contains).foreach { v =>
       issues += s"version chain gap: v$v missing (time travel degrades to linear scan)"
     }
     val referenced = versions.flatMap { v =>

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.HashComponent
+import graft.table.GraftTable
+
+/**
+ * History retention GC (expireVersions — the reference's
+ * ancient-history-mark analog): without it every full compaction doubles
+ * storage forever, because superseded base filesets stay referenced by
+ * old version manifests. Expiry must reclaim exactly the exclusively-
+ * referenced files, keep every surviving read path exact, error cleanly
+ * below the floor, and leave fsck healthy.
+ */
+class VersionExpirySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def dataFiles(loc: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(loc, "data")
+    scala.util.Using.resource(Files.walk(d)) { s =>
+      s.iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+        .map(_.toString).toSet
+    }
+  }
+
+  test("expire reclaims superseded filesets; surviving reads stay exact") {
+    val loc = Files.createTempDirectory("graft-expire-").toString
+    val df = (1 to 300).map(i => (i.toLong, i)).toDF("k", "v")
+    val t = GraftTable.create(spark, loc, "exp", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df)) // v1
+    t.upsert(df.filter(col("k") <= 100).withColumn("v", col("v") + 1000)) // v2
+    t.deleteWhere(col("k") === 7) // v3
+    t.compact() // v4: fresh base — v1's base + v2/v3 deltas now superseded
+    t.upsert(Seq((200L, -5)).toDF("k", "v")) // v5
+    val before = dataFiles(loc)
+    val vHead = t.currentVersion
+    assert(vHead == 5)
+
+    // age gate first: nothing is old enough → no-op
+    assert(t.expireVersions(retainLast = 1, olderThanMs = 3600_000L).isEmpty)
+
+    // expire everything but the newest two (v4, v5) + the mark commit
+    val gone = t.expireVersions(retainLast = 2, olderThanMs = 0L)
+    assert(gone.nonEmpty)
+    assert(t.currentVersion == vHead + 1, "the mark commits one version")
+    assert(t.meta.operation == "expire_versions")
+    assert(t.meta.historyFloor == 4, s"floor: ${t.meta.historyFloor}")
+    // v1-v3 manifests gone, v4+ kept
+    (1L to 3L).foreach(v => assert(!Files.exists(
+      Paths.get(loc, "_graft", s"v$v.json")), s"v$v must be expired"))
+    (4L to vHead).foreach(v => assert(Files.exists(
+      Paths.get(loc, "_graft", s"v$v.json")), s"v$v must survive"))
+    // the pre-compaction base + folded deltas are reclaimed; every file
+    // the survivors reference is intact
+    val after = dataFiles(loc)
+    assert(after.size < before.size, "superseded filesets must be reclaimed")
+    val referenced = (t.meta.baseFiles ++ t.meta.deltaFiles).map(_.path).toSet
+    assert(referenced.subsetOf(after))
+
+    // current state exact
+    val got = t.scan().collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size == 299 && got(1L) == 1001 && got(200L) == -5 &&
+      !got.contains(7L))
+    // time travel above the floor works; below it errors clearly
+    assert(t.scan(Some(4L)).count() == 299)
+    val err = intercept[IllegalArgumentException](t.scan(Some(2L)).count())
+    assert(err.getMessage.contains("expired"))
+    // CDC above the floor works; spanning it errors
+    assert(t.changesSince(4L, 5L).count() == 1)
+    intercept[IllegalArgumentException](t.changes(2L, 5L))
+    // fsck: the missing prefix is intentional, not a chain gap
+    assert(graft.tools.GraftTools.fsck(loc).isEmpty,
+      graft.tools.GraftTools.fsck(loc).toString)
+    // a second expiry with nothing eligible is a no-op
+    assert(t.expireVersions(retainLast = 10, olderThanMs = 0L).isEmpty)
+  }
+
+  test("SQL face: CALL expire_versions") {
+    val wh = Files.createTempDirectory("graft-expire2-").toString
+    val df = (1 to 50).map(i => (i.toLong, i)).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/e2", "e2", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    t.upsert(df.withColumn("v", col("v") + 1))
+    t.compact()
+    spark.conf.set("spark.sql.catalog.gexp",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gexp.warehouse", wh)
+    val rows = spark.sql(
+      "CALL gexp.system.expire_versions('e2', retain_last => 1)").collect()
+    assert(rows.nonEmpty)
+    assert(t.meta.historyFloor == 3)
+    assert(t.scan().count() == 50)
+    assert(graft.tools.GraftTools.fsck(t.location).isEmpty)
+  }
+}
