@@ -220,13 +220,15 @@ private[v2] object GraftProcedures {
             .defaultValue((4L << 30).toString).build(),
           ProcedureParameter.in("min_score", DoubleType).defaultValue("0.05").build(),
           ProcedureParameter.in("max_delta_ratio", DoubleType).defaultValue("0.2").build(),
-          ProcedureParameter.in("max_delta_files", IntegerType).defaultValue("64").build()),
+          ProcedureParameter.in("max_delta_files", IntegerType).defaultValue("64").build(),
+          ProcedureParameter.in("history_retention_ms", LongType).defaultValue("NULL").build()),
         new StructType().add("location", StringType).add("interval_ms", LongType)) { in =>
           val t = locate(in)
           val e = graft.table.MaintenanceScheduler.schedule(spark, t.location,
             intervalMs = in.getLong(1), ioBudgetBytes = in.getLong(2),
             minScore = in.getDouble(3), maxDeltaRatio = in.getDouble(4),
-            maxDeltaFiles = in.getInt(5))
+            maxDeltaFiles = in.getInt(5),
+            historyRetentionMs = if (in.isNullAt(6)) None else Some(in.getLong(6)))
           Seq(InternalRow(str(e.location), e.intervalMs))
         })
       case "maintain_schedule_warehouse" => Some(proc("maintain_schedule_warehouse",

@@ -808,6 +808,12 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         val vm = TableMeta.read(location, v)
         (vm.baseFiles ++ vm.deltaFiles).map(_.path)
       }.distinct.filterNot(p => referenced.contains(Paths.get(p).normalize.toString))
+      // No-op when nothing is reclaimable and only ONE manifest would be
+      // trimmed: the mark itself commits a version, so a periodic caller
+      // (MaintenanceScheduler) would otherwise expire its own previous
+      // mark every tick forever — pure churn. Trimming n>1 manifests, or
+      // any data bytes, is real work and proceeds.
+      if (deletable.isEmpty && prefix.size <= 1) return Nil
       // 1. publish the mark (the only step that can race — guard-protected)
       TableMeta.write(m.copy(version = m.version + 1, timestampMs = now(),
         operation = "expire_versions", expiredBefore = Some(prefix.max + 1)))

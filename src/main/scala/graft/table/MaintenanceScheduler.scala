@@ -41,7 +41,8 @@ object MaintenanceScheduler {
       val minScore: Double,
       val maxDeltaRatio: Double,
       val maxDeltaFiles: Int,
-      val warehouse: Boolean = false) {
+      val warehouse: Boolean = false,
+      val historyRetentionMs: Option[Long] = None) {
     private[MaintenanceScheduler] var future: ScheduledFuture[_] = _
     val ticks = new AtomicLong(0)
     val actions = new AtomicLong(0)
@@ -67,9 +68,10 @@ object MaintenanceScheduler {
       ioBudgetBytes: Long = 4L << 30,
       minScore: Double = 0.05,
       maxDeltaRatio: Double = 0.2,
-      maxDeltaFiles: Int = 64): Entry =
+      maxDeltaFiles: Int = 64,
+      historyRetentionMs: Option[Long] = None): Entry =
     register(spark, new Entry(location, intervalMs, ioBudgetBytes, minScore,
-      maxDeltaRatio, maxDeltaFiles))
+      maxDeltaRatio, maxDeltaFiles, historyRetentionMs = historyRetentionMs))
 
   /** Schedule a whole WAREHOUSE directory: each tick merges every table's
     * metadata-only plan into ONE cross-table ranked list and executes the
@@ -129,7 +131,19 @@ object MaintenanceScheduler {
           e.maxDeltaRatio, e.maxDeltaFiles, perTablet = true).count(_._2)
       } else {
         val t = GraftTable.load(spark, e.location)
-        if (t.meta.deltaFiles.isEmpty) return 0 // clean — metadata read only
+        // (0) history retention GC first — the reference's manager runs
+        // ancient-history GC as one more ranked background op; here it is
+        // metadata-only and age-gated, so an ineligible tick costs one
+        // directory listing
+        e.historyRetentionMs.foreach { ret =>
+          if (t.expireVersions(retainLast = 1, olderThanMs = ret).nonEmpty)
+            acted += 1
+        }
+        if (t.meta.deltaFiles.isEmpty) {
+          e.actions.addAndGet(acted)
+          e.lastError = None
+          return acted // clean — metadata reads only
+        }
         // (1) scored plan under the per-tick I/O budget: targeted
         // per-tablet folds, most delta-pressured first, skipping
         // barely-dirty tablets

@@ -81,6 +81,28 @@ class VersionExpirySpec extends AnyFunSuite {
     assert(t.expireVersions(retainLast = 10, olderThanMs = 0L).isEmpty)
   }
 
+  test("scheduler runs history GC when a retention is configured") {
+    val wh = Files.createTempDirectory("graft-expire3-").toString
+    val df = (1 to 80).map(i => (i.toLong, i)).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/e3", "e3", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    t.upsert(df.withColumn("v", col("v") + 1))
+    t.compact() // v3 — v1/v2 now superseded history
+    val e = graft.table.MaintenanceScheduler.schedule(spark, t.location,
+      intervalMs = 60_000L, historyRetentionMs = Some(0L))
+    try {
+      graft.table.MaintenanceScheduler.tick(spark, e)
+      assert(e.lastError.isEmpty, e.lastError.toString)
+      assert(t.meta.historyFloor == 3,
+        s"the tick must have expired the prefix: floor ${t.meta.historyFloor}")
+      assert(t.scan().count() == 80)
+      // second tick: nothing eligible, no churn (version stays put)
+      val v = t.currentVersion
+      graft.table.MaintenanceScheduler.tick(spark, e)
+      assert(t.currentVersion == v, "an ineligible expiry must not commit")
+    } finally graft.table.MaintenanceScheduler.unschedule(t.location)
+  }
+
   test("SQL face: CALL expire_versions") {
     val wh = Files.createTempDirectory("graft-expire2-").toString
     val df = (1 to 50).map(i => (i.toLong, i)).toDF("k", "v")
