@@ -799,6 +799,32 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    "p26_corpus_pipeline" -> ((s, dir) => {
+      // CAPSTONE composition — the C4/RefinedWeb-style cleaning pass run
+      // END TO END from the suite's own operators: keep a doc iff it is
+      // (a) its exact-text group's keeper (p1), (b) its canonical-URL
+      // group's keeper (p21), (c) language-consistent (p9's marker argmax
+      // agrees with the stored tag), and (d) long enough (≥30 tokens);
+      // then account the surviving corpus per source (p16's accounting,
+      // p10's token estimate). Every stage reuses the declared query's
+      // own frame, so this gates that the operators actually COMPOSE.
+      // Scale shape: three equi-joins on doc_id (each right side emits
+      // unique keys) + one aggregation — no new shuffle classes.
+      val keepExact = queries("p1_dedup_exact")(s, dir)
+        .select(col("keep_id").as("doc_id"))
+      val keepUrl = queries("p21_url_dedup")(s, dir)
+        .select(col("keeper").as("doc_id"))
+      val langOk = queries("p9_lang_id")(s, dir)
+        .filter(col("pred_lang") === col("lang")).select("doc_id")
+      docs(s, dir)
+        .join(keepExact, "doc_id").join(keepUrl, "doc_id").join(langOk, "doc_id")
+        .filter(size(words(col("text"))) >= 30)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("(length(replace(text, ' ', '')) + 3) div 4")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
     "p25_span_scrub" -> ((s, dir) => {
       // The REWRITE step p23 only measures (Lee et al. 2022 executes it):
       // remove every token covered by a cross-document duplicated 8-gram
@@ -1218,6 +1244,33 @@ object Pipeline {
         "CAST(sum(CASE WHEN prev_end IS NULL OR pos >= prev_end THEN 1 ELSE 0 END) AS BIGINT) AS n_spans, " +
         "CAST(sum(greatest(0, pos + 8 - greatest(coalesce(prev_end, 0), pos))) AS BIGINT) AS covered_tokens " +
         "FROM c GROUP BY doc_id ORDER BY doc_id"),
+
+    // the capstone composition: p1 keepers ∩ p21 keepers ∩ p9 agreement ∩
+    // length gate → per-source accounting (p16/p10 arithmetic)
+    "p26_corpus_pipeline" ->
+      ("WITH ke AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), " +
+        "u AS (SELECT doc_id, regexp_replace(regexp_replace(lower(" +
+        "'HTTPS://WWW.EXample.COM/Page/' || (doc_id % 50) || " +
+        "'?utm_source=feed' || doc_id || '&utm_campaign=x'), " +
+        "'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]$', '') AS canon FROM documents), " +
+        "ku AS (SELECT min(doc_id) AS doc_id FROM u GROUP BY canon), " +
+        "t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents), " +
+        "sc AS (SELECT doc_id, lang, " +
+        "len(list_filter(w, x -> x IN ('the','a','and','of'))) AS en, " +
+        "len(list_filter(w, x -> x IN ('le','la','et','les'))) AS fr, " +
+        "len(list_filter(w, x -> x IN ('el','los','y','que'))) AS es, " +
+        "len(list_filter(w, x -> x IN ('der','und','die','das'))) AS de FROM t), " +
+        "lg AS (SELECT doc_id FROM sc WHERE lang = (CASE " +
+        "WHEN en + fr + es + de = 0 THEN 'und' " +
+        "WHEN en >= fr AND en >= es AND en >= de THEN 'en' " +
+        "WHEN fr >= es AND fr >= de THEN 'fr' " +
+        "WHEN es >= de THEN 'es' ELSE 'de' END)), " +
+        "surv AS (SELECT d.* FROM documents d " +
+        "JOIN ke USING (doc_id) JOIN ku USING (doc_id) JOIN lg USING (doc_id) " +
+        "WHERE len(string_split(d.text, ' ')) >= 30) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum((length(replace(text, ' ', '')) + 3) // 4) AS BIGINT) AS n_tokens " +
+        "FROM surv GROUP BY source ORDER BY source"),
 
     // p23's duplicated-gram machinery over the gram STRINGS, then the
     // rewrite: tokens at 1-based positions covered by any hit window drop
