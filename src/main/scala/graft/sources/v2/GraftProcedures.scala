@@ -243,12 +243,14 @@ private[v2] object GraftProcedures {
             .defaultValue((4L << 30).toString).build(),
           ProcedureParameter.in("min_score", DoubleType).defaultValue("0.05").build(),
           ProcedureParameter.in("max_delta_ratio", DoubleType).defaultValue("0.2").build(),
-          ProcedureParameter.in("max_delta_files", IntegerType).defaultValue("64").build()),
+          ProcedureParameter.in("max_delta_files", IntegerType).defaultValue("64").build(),
+          ProcedureParameter.in("history_retention_ms", LongType).defaultValue("NULL").build()),
         new StructType().add("warehouse", StringType).add("interval_ms", LongType)) { in =>
           val e = graft.table.MaintenanceScheduler.scheduleWarehouse(spark,
             warehouse, intervalMs = in.getLong(0), ioBudgetBytes = in.getLong(1),
             minScore = in.getDouble(2), maxDeltaRatio = in.getDouble(3),
-            maxDeltaFiles = in.getInt(4))
+            maxDeltaFiles = in.getInt(4),
+            historyRetentionMs = if (in.isNullAt(5)) None else Some(in.getLong(5)))
           Seq(InternalRow(str(e.location), e.intervalMs))
         })
       case "maintain_unschedule_warehouse" => Some(proc("maintain_unschedule_warehouse",

@@ -85,9 +85,11 @@ object MaintenanceScheduler {
       ioBudgetBytes: Long = 4L << 30,
       minScore: Double = 0.05,
       maxDeltaRatio: Double = 0.2,
-      maxDeltaFiles: Int = 64): Entry =
+      maxDeltaFiles: Int = 64,
+      historyRetentionMs: Option[Long] = None): Entry =
     register(spark, new Entry(warehouseDir, intervalMs, ioBudgetBytes,
-      minScore, maxDeltaRatio, maxDeltaFiles, warehouse = true))
+      minScore, maxDeltaRatio, maxDeltaFiles, warehouse = true,
+      historyRetentionMs = historyRetentionMs))
 
   private def register(spark: SparkSession, e: Entry): Entry = {
     require(e.intervalMs > 0, "intervalMs must be positive")
@@ -122,9 +124,26 @@ object MaintenanceScheduler {
     try {
       var acted = 0
       if (e.warehouse) {
-        // cross-table ranked plan under ONE shared budget, then the
-        // per-table policy backstop (each step already survives a sick or
-        // racing table without stopping the sweep)
+        // history GC per table first (age-gated, metadata-only when
+        // ineligible), then the cross-table ranked plan under ONE shared
+        // budget, then the per-table policy backstop (each step already
+        // survives a sick or racing table without stopping the sweep)
+        e.historyRetentionMs.foreach { ret =>
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(e.location)
+          if (java.nio.file.Files.isDirectory(root))
+            scala.util.Using.resource(java.nio.file.Files.list(root)) { s =>
+              s.iterator().asScala
+                .filter(p => graft.catalog.TableMeta.exists(p.toString))
+                .foreach { p =>
+                  try {
+                    if (GraftTable.load(spark, p.toString)
+                        .expireVersions(retainLast = 1, olderThanMs = ret).nonEmpty)
+                      acted += 1
+                  } catch { case _: Exception => () } // one sick table ≠ a dead sweep
+                }
+            }
+        }
         acted += graft.tools.GraftTools.maintainWarehouseBudgeted(
           spark, e.location, e.ioBudgetBytes, e.minScore).length
         acted += graft.tools.GraftTools.maintainWarehouse(spark, e.location,

@@ -66,7 +66,7 @@ class FuzzSpec extends AnyFunSuite {
           // one random tablet's MAJOR fold, a delta flush (full or
           // tail-only minor pass), or an analyze stats commit — all must
           // leave the visible state untouched
-          rnd.nextInt(6) match {
+          rnd.nextInt(7) match {
             case 0 => t.compact()
             case 1 => t.compactTablet(
               bucket = Some(rnd.nextInt(GraftTable.totalBuckets(t.meta))))
@@ -74,6 +74,7 @@ class FuzzSpec extends AnyFunSuite {
             case 3 => t.analyze()
             case 4 => t.mergeTailDeltas() // in-place tail-merge, no routing
             case 5 => t.maintain(ioBudgetBytes = 1L << rnd.nextInt(31)) // budgeted plan
+            case 6 => t.expireVersions(retainLast = 2 + rnd.nextInt(4)) // history GC
           }
         case 8 => // SNAPSHOT: remember version + model state
           snaps += ((t.currentVersion, model.toMap))
@@ -111,13 +112,22 @@ class FuzzSpec extends AnyFunSuite {
     try assert(stateOf(spark.table(s"$catName.`$whName`")) == model.toMap,
       s"row-based overlay disagrees with columnar seed=$seed")
     finally spark.conf.unset("graft.mor.columnar")
+    // history GC may have expired early snapshots: below the floor the
+    // read must ERROR with the expired message, at-or-above it stays exact
+    val floor = t.meta.historyFloor
     snaps.foreach { case (ver, m) =>
-      assert(stateOf(t.scan(Some(ver))) == m, s"snapshot v$ver mismatch seed=$seed")
+      if (ver < floor)
+        assert(intercept[IllegalArgumentException](t.scan(Some(ver)).collect())
+          .getMessage.contains("expired"), s"v$ver below floor must refuse")
+      else
+        assert(stateOf(t.scan(Some(ver))) == m, s"snapshot v$ver mismatch seed=$seed")
     }
-    // diff scan between first and last snapshot equals model diff
-    if (snaps.size >= 2) {
-      val (v1, m1) = snaps.head
-      val (v2, m2) = snaps.last
+    // diff scan between the first and last SURVIVING snapshots equals the
+    // model diff
+    val live = snaps.filter(_._1 >= floor)
+    if (live.size >= 2) {
+      val (v1, m1) = live.head
+      val (v2, m2) = live.last
       val expected =
         (m2.keySet ++ m1.keySet).flatMap { k =>
           (m1.get(k), m2.get(k)) match {
