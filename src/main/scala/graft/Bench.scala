@@ -115,13 +115,24 @@ object Bench {
     // bench.json sidecar below.
     def rN(v: Double, dec: Int): String =
       if (v < 0) "-1" else String.format(s"%.${dec}f", Double.box(v))
-    def qsAt(dec: Int): String = results
-      .map(r => s"\"" + r.name + "\":" + rN(r.reported, dec))
+    // trailing-zero strip ("0.50"→"0.5", "1.00"→"1") — still valid JSON
+    // numbers, ~0.7 chars/entry back when the suite outgrows a tier
+    def rNs(v: Double, dec: Int): String = {
+      val s = rN(v, dec)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
+    def qsWith(f: Double => String): String = results
+      .map(r => s"\"" + r.name + "\":" + f(r.reported))
       .mkString("{", ",", "}")
-    val qs3 = qsAt(3)
-    val (qs, r3) =
-      if (qs3.length <= 1750) (qs3, (v: Double) => rN(v, 3))
-      else (qsAt(2), (v: Double) => rN(v, 2))
+    // successive degrade tiers: precision drops only as far as the
+    // capture window forces (the driver tail-captures 2,000 chars and
+    // sbt's trailing success line eats ~80)
+    val tiers: Seq[Double => String] = Seq(
+      v => rN(v, 3), v => rN(v, 2), v => rNs(v, 2), v => rNs(v, 1))
+    val (qs, r3) = tiers.iterator.map(f => (qsWith(f), f))
+      .find(_._1.length <= 1750)
+      .getOrElse((qsWith(tiers.last), tiers.last))
     // med AND min per query, so cross-round comparisons never depend on
     // which statistic "queries" recorded (sub-0.3s entries record min).
     // Kept OFF stdout: the driver tail-captures a single line, and the
