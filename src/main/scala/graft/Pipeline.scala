@@ -155,14 +155,31 @@ object Pipeline {
       zip_with(v, array_repeat(l2norm(v), 64), (x, n) => x / n).as("v"))
   }
 
-  private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    sigMemo.synchronized {
-      val perDir = Option(sigMemo.get(s)).getOrElse {
+  private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    def perDir = sigMemo.synchronized {
+      Option(sigMemo.get(s)).getOrElse {
         val m = scala.collection.mutable.Map[String, DataFrame]()
         sigMemo.put(s, m); m
       }
-      perDir.getOrElseUpdate(key, build)
     }
+    val pd = perDir
+    pd.synchronized(pd.get(key)) match {
+      case Some(df) => df
+      case None =>
+        // build OUTSIDE the lock: medoid/signature builds run whole Spark
+        // jobs (count + materialization) — holding the global memo lock
+        // through them would serialize every concurrently-driven pipeline
+        // query behind one cluster job. Double-checked insert: a racing
+        // builder's frame wins, the loser's persist is released.
+        val built = build
+        pd.synchronized(pd.get(key)) match {
+          case Some(winner) if !(winner eq built) =>
+            built.unpersist(blocking = false); winner
+          case Some(winner) => winner
+          case None => pd.put(key, built); built
+        }
+    }
+  }
 
   /** Memoized [[normalizedVecs]] — p6/p13/p15/p24 all start from it, and
     * the leaf wrap keeps the normalize expression out of downstream plans. */

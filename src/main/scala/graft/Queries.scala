@@ -968,19 +968,24 @@ object Queries {
       // carries the pushed top-n and plans fewer partitions than files) —
       // the 100 TB posture where "newest 10 events" opens one file. Both
       // directions exercised; the oracle hash-checks the rows.
-      val loc = tmpLoc("graft-q50-")
+      // catalog INSTANCES are cached by name per session: the warehouse
+      // must be the CONSTANT parent (/tmp) with a unique table dir per
+      // invocation, or bench iterations 2+ would silently read iteration
+      // 1's table through the cached catalog (q49/q38 use the same shape)
+      val rawLoc = tmpLoc("graft-q50raw-")
+      val regLoc = tmpLoc("graft-q50-")
       val raw = Tables.raw(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
       raw.repartitionByRange(8, col("o_orderkey"))
-        .write.parquet(s"$loc/raw")
-      val t = GraftTable.register(s, s"$loc/reg", "reg", s"$loc/raw",
+        .write.mode("overwrite").parquet(rawLoc)
+      val f = new java.io.File(regLoc)
+      val t = GraftTable.register(s, regLoc, f.getName, rawLoc,
         Seq("o_orderkey"))
-      val f = new java.io.File(s"$loc/reg")
       s.conf.set("spark.sql.catalog.gq50",
         classOf[graft.sources.v2.GraftCatalog].getName)
       s.conf.set("spark.sql.catalog.gq50.warehouse", f.getParent)
       def topn(dir0: String, n: Int) = {
-        val q = s.sql(s"SELECT o_orderkey, o_totalprice FROM gq50.reg " +
+        val q = s.sql(s"SELECT o_orderkey, o_totalprice FROM gq50.`${f.getName}` " +
           s"ORDER BY o_orderkey $dir0 LIMIT $n")
         val v2 = q.queryExecution.executedPlan.collect {
           case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan

@@ -48,9 +48,25 @@ class GraftMicroBatchStream(meta: TableMeta, requiredSchema: StructType,
   override def latestOffset(): Offset =
     GraftStreamOffset(TableMeta.currentVersion(meta.location))
 
+  /** Version manifest read with the batch paths' clean error when the
+    * version fell below the history floor (expireVersions — the floor can
+    * advance WHILE a stream runs, so the check is failure-path: re-read
+    * the current floor only when the manifest is gone). */
+  private def readV(v: Long): TableMeta =
+    try TableMeta.read(meta.location, v)
+    catch {
+      case e: java.nio.file.NoSuchFileException =>
+        val floor = try TableMeta.readCurrent(meta.location).historyFloor
+          catch { case _: Exception => 1L }
+        if (v < floor) throw new IllegalArgumentException(
+          s"version $v expired: history retained from v$floor — restart " +
+            s"the stream from a surviving offset (graft.startingVersion)")
+        else throw e
+    }
+
   /** Bytes a version's micro-batch would read (its own delta filesets). */
   private def versionBytes(v: Long): Long =
-    TableMeta.read(meta.location, v).deltaFiles
+    readV(v).deltaFiles
       .filter(f => f.seq == v && !f.path.contains("_deltamerge_"))
       .map(f => GraftTable.fileSize(f.path)).sum
 
@@ -100,7 +116,7 @@ class GraftMicroBatchStream(meta: TableMeta, requiredSchema: StructType,
     val paths = (v0 + 1 to v1).flatMap { v =>
       // each version's metadata is immutable: its own delta files are the
       // ones stamped seq == v (compaction-fold rewrites excluded)
-      val m = TableMeta.read(meta.location, v)
+      val m = readV(v)
       m.deltaFiles.filter(f => f.seq == v && !f.path.contains("_deltamerge_"))
         .map(_.path)
     }

@@ -59,8 +59,12 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     if (m.hasAutoInc) full.select(m.visibleColumns.map(c => col(c.name)): _*) else full
   }
 
-  /** Version manifest read with a clear error below the history mark. */
+  /** Version manifest read with a clear error below the history mark —
+    * and an honest one for versions that never existed (v < 1 is a caller
+    * bug, not retention). */
   private def readVersion(v: Long): TableMeta = {
+    if (v < 1) throw new IllegalArgumentException(
+      s"invalid snapshot version $v (versions start at 1)")
     val floor = meta.historyFloor
     if (v < floor) throw new IllegalArgumentException(
       s"version $v expired: history retained from v$floor " +
@@ -804,10 +808,17 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         val vm = TableMeta.read(location, v)
         (vm.baseFiles ++ vm.deltaFiles).map(f => Paths.get(f.path).normalize.toString)
       }.toSet
+      // Only files UNDER this table's location are ever deleted — the same
+      // invariant as [[drop]]: zero-copy registered raw data and files
+      // shared with a fork()ed table live outside `location` and must
+      // survive this table's retention decisions.
+      val ownRoot = Paths.get(location).normalize.toString + "/"
       val deletable = prefix.flatMap { v =>
         val vm = TableMeta.read(location, v)
         (vm.baseFiles ++ vm.deltaFiles).map(_.path)
-      }.distinct.filterNot(p => referenced.contains(Paths.get(p).normalize.toString))
+      }.distinct
+        .filter(p => Paths.get(p).normalize.toString.startsWith(ownRoot))
+        .filterNot(p => referenced.contains(Paths.get(p).normalize.toString))
       // No-op when nothing is reclaimable and only ONE manifest would be
       // trimmed: the mark itself commits a version, so a periodic caller
       // (MaintenanceScheduler) would otherwise expire its own previous

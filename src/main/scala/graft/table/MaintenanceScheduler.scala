@@ -91,23 +91,30 @@ object MaintenanceScheduler {
       minScore, maxDeltaRatio, maxDeltaFiles, warehouse = true,
       historyRetentionMs = historyRetentionMs))
 
-  private def register(spark: SparkSession, e: Entry): Entry = {
-    require(e.intervalMs > 0, "intervalMs must be positive")
-    Option(entries.put(e.location, e)).foreach(_.future.cancel(false))
-    e.future = timer.scheduleWithFixedDelay(new Runnable {
-      override def run(): Unit = tick(spark, e)
-    }, e.intervalMs, e.intervalMs, TimeUnit.MILLISECONDS)
-    e
-  }
+  // registration lock: the future must exist before the entry is visible,
+  // or a racing unschedule() hits a null future and the orphaned timer
+  // task ticks forever with nothing able to cancel it
+  private val registerLock = new Object
+
+  private def register(spark: SparkSession, e: Entry): Entry =
+    registerLock.synchronized {
+      require(e.intervalMs > 0, "intervalMs must be positive")
+      e.future = timer.scheduleWithFixedDelay(new Runnable {
+        override def run(): Unit = tick(spark, e)
+      }, e.intervalMs, e.intervalMs, TimeUnit.MILLISECONDS)
+      Option(entries.put(e.location, e)).foreach(_.future.cancel(false))
+      e
+    }
 
   /** Stop scheduling `location`; returns whether it was scheduled. An
     * in-flight tick finishes (cancel(false)) — interrupting a Spark job
     * mid-commit buys nothing, the commit guard already owns atomicity. */
-  def unschedule(location: String): Boolean =
+  def unschedule(location: String): Boolean = registerLock.synchronized {
     Option(entries.remove(location)) match {
       case Some(e) => e.future.cancel(false); true
       case None => false
     }
+  }
 
   def status(location: String): Option[Entry] = Option(entries.get(location))
 

@@ -103,6 +103,37 @@ class VersionExpirySpec extends AnyFunSuite {
     } finally graft.table.MaintenanceScheduler.unschedule(t.location)
   }
 
+  test("expiry never deletes files outside the table location (zero-copy registration)") {
+    // a registered table's v1 references the user's raw parquet IN PLACE;
+    // after compaction supersedes it, expiry must reclaim only files under
+    // the table's own location — deleting the registered source would
+    // corrupt data the engine does not own (the same invariant as drop)
+    val wh = Files.createTempDirectory("graft-expire4-").toString
+    (1 to 60).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(3, col("k")).write.parquet(s"$wh/raw")
+    val rawFiles = dataFilesUnder(s"$wh/raw")
+    assert(rawFiles.size >= 3)
+    val t = GraftTable.register(spark, s"$wh/reg", "reg", s"$wh/raw", Seq("k"))
+    t.upsert(Seq((1L, "x")).toDF("k", "v"))
+    t.compact() // own base now; the raw files are superseded history
+    val gone = t.expireVersions(retainLast = 1, olderThanMs = 0L)
+    assert(gone.nonEmpty)
+    assert(t.meta.historyFloor > 1)
+    rawFiles.foreach(p => assert(Files.exists(Paths.get(p)),
+      s"registered source file must survive expiry: $p"))
+    assert(gone.forall(p => p.contains("/reg/") || p.contains("v1.json") ||
+      p.contains("v2.json")), gone.toString)
+    assert(t.scan().count() == 60)
+  }
+
+  private def dataFilesUnder(dir: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.walk(Paths.get(dir))) { s =>
+      s.iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+        .map(_.toString).toSet
+    }
+  }
+
   test("SQL face: CALL expire_versions") {
     val wh = Files.createTempDirectory("graft-expire2-").toString
     val df = (1 to 50).map(i => (i.toLong, i)).toDF("k", "v")
