@@ -226,6 +226,62 @@ object Pipeline {
         .select(col("vec_id"), col("v"), col("cell")), memo = true)
     }
 
+  /** (doc_id, cluster_id) connected components of the minhash near-dup
+    * graph (est_j ≥ 0.7): every doc labeled with the smallest doc_id in
+    * its component (doc_id == cluster_id ⇒ keep). Deterministic iterative
+    * min-label propagation, one equi-join + partial-agg per round,
+    * converging in component-diameter rounds — near-dup components are
+    * tiny (pairs/triples), so 2-3 rounds; at web scale swap in the
+    * large-star/small-star variant for log-diameter convergence. Memoized
+    * per (session, dir): p14 declares it, p22's keep-longest selection
+    * composes the same frame. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir + "#clusters") {
+      val sig = cachedSignatures(s, dir)
+      val edges = lshCandidates(s, dir)
+        .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= 0.7)
+        .select(col("id_a"), col("id_b"))
+      // both edge directions in ONE pass over the (uncached) verify
+      // pipeline — a plain two-select union would evaluate it twice; the
+      // leaf wrap stops the candidate-join lineage from re-entering every
+      // round's plan below
+      val sym = leafCached(s, edges.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+      // propagate over the edge-induced subgraph only — isolated docs (the
+      // overwhelming majority) never change label and rejoin at the end;
+      // the per-round working set is O(near-dup docs), not O(corpus)
+      var labels = leafCached(s, sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // tiny per-round state
+      try {
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 25) {
+          // carry the old label as `prev` through the aggregation (null on
+          // neighbor rows; min ignores nulls) so the convergence count
+          // needs no extra join over the round's output
+          val viaEdges = sym.join(labels, sym("src") === labels("id"))
+            .select(col("dst").as("id"), col("lbl"),
+              lit(null).cast("long").as("prev"))
+          val next = leafCached(s, labels.withColumn("prev", col("lbl"))
+            .unionByName(viaEdges)
+            .groupBy("id").agg(min(col("lbl")).as("lbl"), min(col("prev")).as("prev")))
+          changed = next.filter(col("lbl") =!= col("prev")).count()
+          labels = next.select("id", "lbl")
+          rounds += 1
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      leafCached(s, docs(s, dir).select(col("doc_id"))
+        .join(labels, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id")),
+        memo = true)
+    }
+
   /**
    * KMeans-trained coarse-quantizer IVF (library API, same plan shape as
    * the p13 medoid-sampled query — the quantizer is the only difference).
@@ -524,62 +580,12 @@ object Pipeline {
         .orderBy("query_id", "rank")
     }),
 
-    "p14_dedup_cluster" -> ((s, dir) => {
+    "p14_dedup_cluster" -> ((s, dir) =>
       // Connected-component dedup clustering — the step after pair
-      // detection in a real pipeline: near-dup pairs (p3's minhash graph,
-      // est_j >= 0.7) union into components and every doc gets
-      // cluster_id = the smallest doc_id in its component (the canonical
-      // survivor; doc_id == cluster_id ⇒ keep). Deterministic iterative
-      // min-label propagation, one equi-join + partial-agg per round,
-      // converging in component-diameter rounds — near-dup components are
-      // tiny (pairs/triples), so 2-3 rounds; at web scale swap in the
-      // large-star/small-star variant for log-diameter convergence. The
-      // oracle computes the same fixpoint as a recursive-CTE transitive
-      // closure.
-      val sig = cachedSignatures(s, dir)
-      val edges = lshCandidates(s, dir)
-        .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-        .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
-        .filter(minhashAgreement(col("sig_a"), col("sig_b")) >= 0.7)
-        .select(col("id_a"), col("id_b"))
-      // both edge directions in ONE pass over the (uncached) verify
-      // pipeline — a plain two-select union would evaluate it twice; the
-      // leaf wrap stops the candidate-join lineage from re-entering every
-      // round's plan below
-      val sym = leafCached(s, edges.select(explode(array(
-          struct(col("id_a").as("src"), col("id_b").as("dst")),
-          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst")))
-      // propagate over the edge-induced subgraph only — isolated docs (the
-      // overwhelming majority) never change label and rejoin at the end;
-      // the per-round working set is O(near-dup docs), not O(corpus)
-      var labels = leafCached(s, sym.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl")))
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8") // tiny per-round state
-      try {
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0 && rounds < 25) {
-          // carry the old label as `prev` through the aggregation (null on
-          // neighbor rows; min ignores nulls) so the convergence count
-          // needs no extra join over the round's output
-          val viaEdges = sym.join(labels, sym("src") === labels("id"))
-            .select(col("dst").as("id"), col("lbl"),
-              lit(null).cast("long").as("prev"))
-          val next = leafCached(s, labels.withColumn("prev", col("lbl"))
-            .unionByName(viaEdges)
-            .groupBy("id").agg(min(col("lbl")).as("lbl"), min(col("prev")).as("prev")))
-          changed = next.filter(col("lbl") =!= col("prev")).count()
-          labels = next.select("id", "lbl")
-          rounds += 1
-        }
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      docs(s, dir).select(col("doc_id"))
-        .join(labels, col("doc_id") === col("id"), "left")
-        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
-        .orderBy("doc_id")
-    }),
+      // detection in a real pipeline (see [[clusterLabels]], memoized:
+      // p22 composes the same frame). The oracle computes the same
+      // fixpoint as a recursive-CTE transitive closure.
+      clusterLabels(s, dir).orderBy("doc_id")),
 
     "p8_text_stats" -> ((s, dir) => {
       // Quality-scoring stats: word/char counts, stopword ratio, punct count.
@@ -705,7 +711,7 @@ object Pipeline {
       // per-cluster window rank: one extra shuffle by cluster_id over the
       // near-dup docs only. Emits one row per cluster (singletons
       // included: keeper = the doc itself).
-      val clusters = queries("p14_dedup_cluster")(s, dir) // (doc_id, cluster_id)
+      val clusters = clusterLabels(s, dir) // (doc_id, cluster_id), memoized
       val len = docs(s, dir).select(col("doc_id"),
         length(col("text")).cast("long").as("len"))
       val w = org.apache.spark.sql.expressions.Window

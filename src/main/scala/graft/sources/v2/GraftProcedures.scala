@@ -221,14 +221,16 @@ private[v2] object GraftProcedures {
           ProcedureParameter.in("min_score", DoubleType).defaultValue("0.05").build(),
           ProcedureParameter.in("max_delta_ratio", DoubleType).defaultValue("0.2").build(),
           ProcedureParameter.in("max_delta_files", IntegerType).defaultValue("64").build(),
-          ProcedureParameter.in("history_retention_ms", LongType).defaultValue("NULL").build()),
+          ProcedureParameter.in("history_retention_ms", LongType).defaultValue("NULL").build(),
+          ProcedureParameter.in("analyze_every_versions", LongType).defaultValue("NULL").build()),
         new StructType().add("location", StringType).add("interval_ms", LongType)) { in =>
           val t = locate(in)
           val e = graft.table.MaintenanceScheduler.schedule(spark, t.location,
             intervalMs = in.getLong(1), ioBudgetBytes = in.getLong(2),
             minScore = in.getDouble(3), maxDeltaRatio = in.getDouble(4),
             maxDeltaFiles = in.getInt(5),
-            historyRetentionMs = if (in.isNullAt(6)) None else Some(in.getLong(6)))
+            historyRetentionMs = if (in.isNullAt(6)) None else Some(in.getLong(6)),
+            analyzeEveryVersions = if (in.isNullAt(7)) None else Some(in.getLong(7)))
           Seq(InternalRow(str(e.location), e.intervalMs))
         })
       case "maintain_schedule_warehouse" => Some(proc("maintain_schedule_warehouse",

@@ -42,7 +42,8 @@ object MaintenanceScheduler {
       val maxDeltaRatio: Double,
       val maxDeltaFiles: Int,
       val warehouse: Boolean = false,
-      val historyRetentionMs: Option[Long] = None) {
+      val historyRetentionMs: Option[Long] = None,
+      val analyzeEveryVersions: Option[Long] = None) {
     private[MaintenanceScheduler] var future: ScheduledFuture[_] = _
     val ticks = new AtomicLong(0)
     val actions = new AtomicLong(0)
@@ -69,9 +70,11 @@ object MaintenanceScheduler {
       minScore: Double = 0.05,
       maxDeltaRatio: Double = 0.2,
       maxDeltaFiles: Int = 64,
-      historyRetentionMs: Option[Long] = None): Entry =
+      historyRetentionMs: Option[Long] = None,
+      analyzeEveryVersions: Option[Long] = None): Entry =
     register(spark, new Entry(location, intervalMs, ioBudgetBytes, minScore,
-      maxDeltaRatio, maxDeltaFiles, historyRetentionMs = historyRetentionMs))
+      maxDeltaRatio, maxDeltaFiles, historyRetentionMs = historyRetentionMs,
+      analyzeEveryVersions = analyzeEveryVersions))
 
   /** Schedule a whole WAREHOUSE directory: each tick merges every table's
     * metadata-only plan into ONE cross-table ranked list and executes the
@@ -164,6 +167,16 @@ object MaintenanceScheduler {
         e.historyRetentionMs.foreach { ret =>
           if (t.expireVersions(retainLast = 1, olderThanMs = ret).nonEmpty)
             acted += 1
+        }
+        // stats auto-refresh: CBO estimates rot as commits accumulate —
+        // re-analyze once the table has moved `analyzeEveryVersions`
+        // commits past the last analyze (the analyze itself commits one
+        // version, which resets the drift count)
+        e.analyzeEveryVersions.foreach { k =>
+          val m0 = t.meta
+          if (m0.version - m0.analyzedVersion.getOrElse(0L) >= k) {
+            t.analyze(); acted += 1
+          }
         }
         if (t.meta.deltaFiles.isEmpty) {
           e.actions.addAndGet(acted)

@@ -150,6 +150,31 @@ class MaintenanceSchedulerSpec extends AnyFunSuite {
     assert(!MaintenanceScheduler.scheduled.contains(wh))
   }
 
+  test("stats auto-refresh: the tick re-analyzes once version drift passes the knob") {
+    val wh = Files.createTempDirectory("graft-msched5-").toString
+    val df = (1 to 100).map(i => (i.toLong, i)).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/ms5", "ms5", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    t.analyze() // baseline stats at v2
+    val e = MaintenanceScheduler.schedule(spark, t.location,
+      intervalMs = 60_000L, analyzeEveryVersions = Some(3L))
+    try {
+      // drift 0: no re-analyze
+      MaintenanceScheduler.tick(spark, e)
+      assert(t.meta.analyzedVersion.contains(2L))
+      // 3 commits of drift → the tick re-analyzes (which itself commits)
+      (1 to 3).foreach(i => t.upsert(Seq((i.toLong, -i)).toDF("k", "v")))
+      MaintenanceScheduler.tick(spark, e)
+      assert(e.lastError.isEmpty, e.lastError.toString)
+      val av = t.meta.analyzedVersion.get
+      assert(av >= 5L, s"stats must have refreshed: analyzedVersion $av")
+      // and the refresh resets the drift: an immediate tick is a no-op
+      val v = t.currentVersion
+      MaintenanceScheduler.tick(spark, e)
+      assert(t.currentVersion == v)
+    } finally MaintenanceScheduler.unschedule(t.location)
+  }
+
   test("warehouse schedule ranks across tables: the dirtiest tablet anywhere folds first") {
     val wh = Files.createTempDirectory("graft-msched4-").toString
     val df = (1 to 400).map(i => (i.toLong, i)).toDF("k", "v")
