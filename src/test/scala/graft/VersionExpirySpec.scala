@@ -134,6 +134,38 @@ class VersionExpirySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental backup chains above the floor survive expiry; below it they refuse") {
+    val wh = Files.createTempDirectory("graft-expire5-").toString
+    val df = (1 to 120).map(i => (i.toLong, i)).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/e5", "e5", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df)) // v1
+    t.upsert(df.filter(col("k") <= 10).withColumn("v", lit(0))) // v2
+    t.compact() // v3
+    graft.tools.GraftTools.backup(t, s"$wh/full", Some(3L)) // base at v3
+    t.upsert(Seq((5L, 555)).toDF("k", "v")) // v4
+    t.deleteWhere(col("k") === 100) // v5
+    val head = graft.tools.GraftTools.backupIncremental(t, s"$wh/inc1", 3L)
+    assert(head == 5L)
+    // expire v1/v2 — the chain's base (v3) and increments stay readable
+    assert(t.expireVersions(retainLast = 3, olderThanMs = 0L).nonEmpty)
+    assert(t.meta.historyFloor == 3)
+    // a NEW incremental from the surviving base still works post-expiry
+    t.upsert(Seq((7L, 777)).toDF("k", "v"))
+    graft.tools.GraftTools.backupIncremental(t, s"$wh/inc2", 5L)
+    // an incremental whose base fell below the floor refuses with the
+    // clean retention error, not a missing-file crash
+    val err = intercept[IllegalArgumentException](
+      graft.tools.GraftTools.backupIncremental(t, s"$wh/bad", 2L))
+    assert(err.getMessage.contains("expired"))
+    // the surviving chain restores to the live state exactly
+    val r = graft.tools.GraftTools.restoreChain(spark, s"$wh/full",
+      Seq(s"$wh/inc1", s"$wh/inc2"), s"$wh/restored", Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)))
+    val got = r.scan().collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val want = t.scan().collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(got == want, "restored chain must equal the live table")
+  }
+
   test("SQL face: CALL expire_versions") {
     val wh = Files.createTempDirectory("graft-expire2-").toString
     val df = (1 to 50).map(i => (i.toLong, i)).toDF("k", "v")
