@@ -155,29 +155,33 @@ object Pipeline {
       zip_with(v, array_repeat(l2norm(v), 64), (x, n) => x / n).as("v"))
   }
 
+  /** Per-key build locks: a build runs whole Spark jobs, so it must not
+    * hold the GLOBAL memo lock (that would serialize unrelated pipeline
+    * queries behind one cluster job) — but the SAME key must be
+    * single-flight, or racing builders leak duplicate persisted frames
+    * and interleave on session-conf mutations (clusterLabels temporarily
+    * lowers shuffle.partitions). Keys are dir-scoped strings; a stale
+    * lock object per key is a few bytes. */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    def perDir = sigMemo.synchronized {
+    val pd = sigMemo.synchronized {
       Option(sigMemo.get(s)).getOrElse {
         val m = scala.collection.mutable.Map[String, DataFrame]()
         sigMemo.put(s, m); m
       }
     }
-    val pd = perDir
-    pd.synchronized(pd.get(key)) match {
-      case Some(df) => df
-      case None =>
-        // build OUTSIDE the lock: medoid/signature builds run whole Spark
-        // jobs (count + materialization) — holding the global memo lock
-        // through them would serialize every concurrently-driven pipeline
-        // query behind one cluster job. Double-checked insert: a racing
-        // builder's frame wins, the loser's persist is released.
-        val built = build
-        pd.synchronized(pd.get(key)) match {
-          case Some(winner) if !(winner eq built) =>
-            built.unpersist(blocking = false); winner
-          case Some(winner) => winner
-          case None => pd.put(key, built); built
+    pd.synchronized(pd.get(key)).getOrElse {
+      val lock = buildLocks.computeIfAbsent(key, _ => new Object)
+      lock.synchronized {
+        // single-flight per key: re-check under the key lock, build
+        // outside every map lock, publish atomically
+        pd.synchronized(pd.get(key)).getOrElse {
+          val built = build
+          pd.synchronized(pd.getOrElseUpdate(key, built))
         }
+      }
     }
   }
 

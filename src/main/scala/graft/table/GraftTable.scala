@@ -780,9 +780,17 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
    * other commit — concurrent writers are safe, streams see an empty
    * version (no delta files stamped with it), and readers learn the floor
    * before any file vanishes. Then the expired manifests and every data
-   * file referenced ONLY by them are deleted. Time travel/CDC below the
-   * new floor fail with a clear error; everything at-or-above is
-   * untouched. Returns the deleted paths (manifests + data files).
+   * file referenced ONLY by them are deleted — FENCED to this table's own
+   * directory, so zero-copy registered sources survive. Time travel/CDC
+   * below the new floor fail with a clear error; everything at-or-above
+   * is untouched. Returns the deleted paths (manifests + data files).
+   *
+   * Fork caveat (the same one [[drop]] carries): a [[fork]]ed child
+   * shares the PARENT's files by path; the parent cannot see its
+   * children, so the parent's own retention (like the parent's drop) can
+   * reclaim files a child still references. Forks are cheap snapshots
+   * for experiments — do not run retention (or drop) on a parent whose
+   * forks must outlive it.
    */
   def expireVersions(retainLast: Int = 1, olderThanMs: Long = 0L): Seq[String] =
     withCommitRetry {
@@ -2602,6 +2610,13 @@ object GraftTable {
    * files (zero-copy). Mutations on the fork commit deltas under the new
    * location; the source is never touched. The cheap way to get a private
    * mutable view of a large table (scripted tests, what-if pipelines).
+   *
+   * Lifetime caveat: the fork references the PARENT's files by path and
+   * the parent cannot see its forks — the parent's `drop()` or
+   * `expireVersions()` (after the parent compacts past the shared
+   * snapshot) reclaims files the fork still reads. A fork must not
+   * outlive its parent's retention; `compact()` the fork to make it
+   * self-contained first.
    */
   def fork(spark: SparkSession, src: GraftTable, newLocation: String): GraftTable = {
     val m = src.meta

@@ -102,6 +102,13 @@ object MaintenanceScheduler {
   private def register(spark: SparkSession, e: Entry): Entry =
     registerLock.synchronized {
       require(e.intervalMs > 0, "intervalMs must be positive")
+      // k <= 0 would satisfy the drift check on EVERY tick: each analyze
+      // commits a version, so an idle table would grow its version chain
+      // forever while paying a full-table aggregate per interval
+      require(e.analyzeEveryVersions.forall(_ > 0),
+        "analyzeEveryVersions must be positive")
+      require(e.historyRetentionMs.forall(_ >= 0),
+        "historyRetentionMs must be non-negative")
       e.future = timer.scheduleWithFixedDelay(new Runnable {
         override def run(): Unit = tick(spark, e)
       }, e.intervalMs, e.intervalMs, TimeUnit.MILLISECONDS)
@@ -168,17 +175,25 @@ object MaintenanceScheduler {
           if (t.expireVersions(retainLast = 1, olderThanMs = ret).nonEmpty)
             acted += 1
         }
+        // one manifest read threads through the remaining checks — the
+        // idle-table fast path must cost a single metadata read per tick
+        var m0 = t.meta
         // stats auto-refresh: CBO estimates rot as commits accumulate —
         // re-analyze once the table has moved `analyzeEveryVersions`
         // commits past the last analyze (the analyze itself commits one
-        // version, which resets the drift count)
+        // version, which resets the drift count). The refresh PRESERVES
+        // the histogram posture of the last manual analyze: wiping an
+        // operator's analyze(histograms = true) stats down to plain
+        // min/max would silently degrade CBO join reordering.
         e.analyzeEveryVersions.foreach { k =>
-          val m0 = t.meta
           if (m0.version - m0.analyzedVersion.getOrElse(0L) >= k) {
-            t.analyze(); acted += 1
+            val hadHist = m0.colStats.exists(_.values.exists(_.histogram.isDefined))
+            t.analyze(histograms = hadHist)
+            acted += 1
+            m0 = t.meta
           }
         }
-        if (t.meta.deltaFiles.isEmpty) {
+        if (m0.deltaFiles.isEmpty) {
           e.actions.addAndGet(acted)
           e.lastError = None
           return acted // clean — metadata reads only
