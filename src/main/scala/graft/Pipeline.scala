@@ -949,16 +949,13 @@ object Pipeline {
       // counts (map-side combine does the heavy dedup before the only
       // shuffle) -> per-doc max/sum. Integer ratio emitted as numerator /
       // denominator so the oracle compare is exact, not float-formatted.
-      val w = words(col("text"))
-      // Spark's sequence(1, stop) DESCENDS when stop < 1 — guard short
-      // docs to an empty index list (they carry no 3-grams and drop out,
-      // same as the oracle's empty generate_series)
-      val idx = when(size(w) >= 3, sequence(lit(1), size(w) - 2))
-        .otherwise(array().cast("array<int>"))
-      val grams = transform(idx, i => concat_ws(" ",
-        element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+      // one-pass native gram kernel (WordNGramsSeq): all 3-gram windows in
+      // token order, duplicates kept, empty for <3-token docs — value-
+      // identical to the former sequence/transform lambda chain (same
+      // whitespace split keeping empty tokens, same single-space joins)
+      // but codegen'd instead of interpreted per window
       val perGram = docs(s, dir)
-        .select(col("doc_id"), explode(grams).as("gram"))
+        .select(col("doc_id"), explode(shinglesSeq(col("text"), 3)).as("gram"))
         .groupBy(col("doc_id"), col("gram"))
         .agg(count(lit(1)).as("c"))
       perGram.groupBy("doc_id")
