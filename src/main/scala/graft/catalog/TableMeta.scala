@@ -174,7 +174,34 @@ case class DataFileMeta(
     bucket: Option[Int] = None,
     rangeKey: Option[String] = None,
     keyLo: Option[String] = None,
-    keyHi: Option[String] = None)
+    keyHi: Option[String] = None,
+    // Per-column zone maps (BASE files): column id (as a JSON map key) →
+    // order-preserving-encoded min/max over the file's NON-NULL values, plus
+    // the file's null count per column — the per-rowset column statistics
+    // the reference keeps in its cfile footers (cfile/cfile.proto
+    // BlockPointerPB stats; tablet/diskrowset.h), lifted to the MANIFEST so
+    // a predicate on ANY recorded column skips whole files before a single
+    // footer is opened. Recorded at write time from the just-written parquet
+    // footers (one footer open per file, shared with the row count), capped
+    // at graft.bounds.maxColumns. Option-typed: metadata written by older
+    // builds reads as None = no zone maps (conservative keep). Never
+    // consulted for value predicates on DELTA files — a tombstone carries
+    // its key and NEW values, so a delta zone map says nothing about the
+    // base row it kills (PartitionPruner.zoneOk gates on kind).
+    colLo: Option[Map[String, String]] = None,
+    colHi: Option[Map[String, String]] = None,
+    colNulls: Option[Map[String, Long]] = None) {
+
+  /** Zone-map [lo, hi] for a column id (both ends or nothing). */
+  def colBounds(id: Int): Option[(String, String)] =
+    for {
+      lo <- colLo.flatMap(_.get(id.toString))
+      hi <- colHi.flatMap(_.get(id.toString))
+    } yield (lo, hi)
+
+  /** Recorded null count for a column id (None = unknown). */
+  def colNullCount(id: Int): Option[Long] = colNulls.flatMap(_.get(id.toString))
+}
 
 /**
  * Full table state at one version. Each commit writes a complete new

@@ -48,8 +48,91 @@ object PartitionPruner {
           else loYear.forall(rk >= _) && hiYear.forall(rk <= _)
         case _ => true
       }
-      bucketOk && rangeOk && keyIntervalOk(m, f, filters)
+      bucketOk && rangeOk && keyIntervalOk(m, f, filters) && zoneOk(m, f, filters)
     }
+  }
+
+  /** Zone-map pruning: drop a BASE file when a predicate on ANY recorded
+    * column cannot be satisfied by the file's [colLo, colHi] interval or
+    * its null count (DataFileMeta zone maps — the reference's per-rowset
+    * column statistics lifted to the manifest). BASE files only: a delta
+    * file's zone map describes its NEW values, while the base rows its
+    * tombstones kill may carry arbitrary OLD values — pruning a delta file
+    * on a non-key predicate would resurrect deleted rows. Sound under
+    * merge-on-read without any delta-disjointness check because (a) a
+    * pruned base file's own rows provably fail the predicate (zone maps
+    * are exact over the file), (b) delta-sourced rows never depend on a
+    * base file being planned (V2 folds ownerless routes into a fallback
+    * split; V1 unions the delta frame unconditionally), and (c) every
+    * pushed filter is re-evaluated above the scan on both paths.
+    * Conservative: unknown columns, absent bounds, un-encodable values,
+    * unsupported predicate shapes all keep the file. */
+  private def zoneOk(m: TableMeta, f: DataFileMeta, filters: Seq[Filter]): Boolean = {
+    if (f.kind != "base") return true
+    if (f.colLo.isEmpty && f.colNulls.isEmpty) return true
+    // Filters carry LOGICAL names on the V2/scanPruned paths but PHYSICAL
+    // names through GraftFileIndex; after a rename-swap one name can denote
+    // different columns on the two paths — refuse to prune on any name a
+    // second column could claim physically.
+    def colOf(name: String): Option[graft.catalog.ColumnMeta] =
+      m.columns.find(_.name == name).filterNot(cm =>
+        m.columns.exists(o => o.physName == name && o.id != cm.id))
+    def allNull(cm: graft.catalog.ColumnMeta): Boolean =
+      f.rows >= 0 && f.colNullCount(cm.id).contains(f.rows)
+    def bounds(cm: graft.catalog.ColumnMeta): Option[(String, String)] =
+      f.colBounds(cm.id).orElse(
+        if (m.keyCols.headOption.contains(cm.name)) f.keyLo.zip(f.keyHi) else None)
+    // Can the file hold a row satisfying a value predicate on cm, where
+    // `test` checks the encoded interval? Null rows never satisfy a value
+    // predicate, so a proven all-null column prunes with no bounds at all.
+    def canMatch(cm: graft.catalog.ColumnMeta,
+        test: ((String, String)) => Boolean): Boolean =
+      if (!f.colIds.contains(cm.id)) true // rows read the column default
+      else if (allNull(cm)) false
+      else bounds(cm).forall(test)
+    def enc(cm: graft.catalog.ColumnMeta, v: Any): Option[String] =
+      graft.table.GraftTable.encodeKeyValue(cm.dataType, v)
+    def ok(flt: Filter): Boolean = flt match {
+      case EqualTo(c, v) => colOf(c).forall(cm =>
+        canMatch(cm, { case (lo, hi) => enc(cm, v).forall(e => lo <= e && e <= hi) }))
+      case EqualNullSafe(c, v) =>
+        if (v == null) ok(IsNull(c))
+        else ok(EqualTo(c, v))
+      case In(c, vs) => colOf(c).forall(cm =>
+        canMatch(cm, { case (lo, hi) =>
+          val es = vs.toSeq.map(v => enc(cm, v))
+          es.exists(_.isEmpty) || es.flatten.exists(e => lo <= e && e <= hi)
+        }))
+      case GreaterThan(c, v) => colOf(c).forall(cm =>
+        canMatch(cm, { case (_, hi) => enc(cm, v).forall(_ < hi) }))
+      case GreaterThanOrEqual(c, v) => colOf(c).forall(cm =>
+        canMatch(cm, { case (_, hi) => enc(cm, v).forall(_ <= hi) }))
+      case LessThan(c, v) => colOf(c).forall(cm =>
+        canMatch(cm, { case (lo, _) => enc(cm, v).forall(lo < _) }))
+      case LessThanOrEqual(c, v) => colOf(c).forall(cm =>
+        canMatch(cm, { case (lo, _) => enc(cm, v).forall(lo <= _) }))
+      case StringStartsWith(c, p) => colOf(c).forall { cm =>
+        cm.dataType != org.apache.spark.sql.types.StringType ||
+          canMatch(cm, { case (lo, hi) =>
+            enc(cm, p).forall { e =>
+              // matches encode to [e, e ++ "G") — hex digits are all < "G",
+              // so any encoding extending prefix e sorts below e + "G"
+              hi >= e && lo < e + "G"
+            }
+          })
+      }
+      case IsNull(c) => colOf(c).forall { cm =>
+        !f.colIds.contains(cm.id) || // absent column reads its default
+          f.colNullCount(cm.id).forall(_ > 0L)
+      }
+      case IsNotNull(c) => colOf(c).forall { cm =>
+        !f.colIds.contains(cm.id) || !allNull(cm)
+      }
+      case And(l, r) => ok(l) && ok(r) // no row can match a side ⇒ none match both
+      case Or(l, r) => ok(l) || ok(r)
+      case _ => true
+    }
+    filters.forall(ok)
   }
 
   /** First-key interval pruning: drop the file when a predicate on the

@@ -637,17 +637,94 @@ class GraftScanBuilder(meta: TableMeta,
     }
   }
 
+  /** Global (encodedMin, encodedMax) of ANY column from the per-file zone
+    * maps (DataFileMeta.colLo/colHi), or None when the extremes are not
+    * provable: the snapshot must be clean and EVERY base file must account
+    * for the column — bounds recorded, or all-null proven by its null
+    * count, or the column physically absent (those rows read the column's
+    * add-time default, which then joins the candidate set). Returns
+    * Some(None) when the column is provably all-null everywhere (MIN/MAX
+    * ignore nulls → a null result). Lead-PK bounds hydrate from footers
+    * for old manifests; other columns only serve from write-time zone maps
+    * (hydrating every column of a 100 TB manifest on first query would be
+    * a driver-side footer storm — conservative refusal instead). */
+  private def metadataColBounds(
+      cm: graft.catalog.ColumnMeta): Option[Option[(String, String)]] = {
+    if (!cleanSnapshot) return None
+    val files =
+      if (meta.keyCols.headOption.contains(cm.name))
+        GraftV2Scan.hydrateKeyBounds(meta).baseFiles
+      else meta.baseFiles
+    val isLead = meta.keyCols.headOption.contains(cm.name)
+    val defaultEnc: Option[String] = cm.defaultValue.flatMap { d =>
+      val internal = org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(d),
+          org.apache.spark.sql.types.StringType), cm.dataType, Some("UTC"))
+        .eval(null)
+      encodeKeyBoundInternal(cm.dataType, internal)
+    }
+    val perFile: Seq[Option[Option[(String, String)]]] = files.map { f =>
+      if (f.rows == 0L) Some(None) // empty file contributes nothing
+      else if (!f.colIds.contains(cm.id)) {
+        // rows read the add-time default: null default contributes nothing,
+        // a non-null default must be encodable to join the extremes
+        if (cm.defaultValue.isEmpty) Some(None)
+        else defaultEnc.map(e => Some((e, e)))
+      } else {
+        val b = f.colBounds(cm.id).orElse(
+          if (isLead) f.keyLo.zip(f.keyHi) else None)
+        b match {
+          case Some(lohi) => Some(Some(lohi))
+          case None =>
+            // no bounds: servable only when provably all-null
+            if (f.rows > 0L && f.colNullCount(cm.id).contains(f.rows)) Some(None)
+            else None
+        }
+      }
+    }
+    if (files.isEmpty) return Some(None)
+    if (perFile.exists(_.isEmpty)) return None
+    val valued = perFile.flatten.flatten
+    if (valued.isEmpty) Some(None)
+    else Some(Some((valued.map(_._1).min, valued.map(_._2).max)))
+  }
+
+  /** [[decodeKeyBound]]'s forward twin for catalyst-INTERNAL values (the
+    * write-side encoders take external forms) — used to fold a column
+    * default into the provable extremes. None for null or unsupported
+    * types (callers refuse to serve, conservative). */
+  private def encodeKeyBoundInternal(dt: org.apache.spark.sql.types.DataType,
+      v: Any): Option[String] = {
+    import org.apache.spark.sql.types._
+    if (v == null) return None
+    (dt, v) match {
+      case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+        Some(GraftTable.encodeKeyLong(n.longValue()))
+      case (DateType, days: Integer) => Some(GraftTable.encodeKeyLong(days.toLong))
+      case (TimestampType, micros: java.lang.Long) =>
+        Some(GraftTable.encodeKeyLong(micros))
+      case (StringType, u: org.apache.spark.unsafe.types.UTF8String) =>
+        Some(GraftTable.encodeKeyBytes(u.getBytes))
+      case (d: DecimalType, dec: Decimal) if d.precision <= 18 =>
+        scala.util.Try(GraftTable.encodeKeyLong(
+          dec.toJavaBigDecimal.setScale(d.scale).unscaledValue().longValueExact())).toOption
+      case _ => None
+    }
+  }
+
   /** Which aggregations are servable from manifest metadata alone —
     * COUNT(*) from footer row counts (the analog of the reference serving
     * count-only scans from live-row-count statistics,
     * master/master.proto:683,704-714; whitepaper kudu.tex:979-983) and
-    * MIN/MAX of the FIRST PK column decoded from the order-preserving
-    * per-file key bounds. Clean snapshots only, no grouping, no residual
-    * predicate (Spark only offers the aggregation when every filter was
-    * fully pushed, and this builder marks ALL filters post-scan — checked
-    * anyway as defense in depth). At 100 TB a metadata answer vs a full
-    * scan is milliseconds vs minutes. Returns the pre-aggregated output
-    * (field, internal value) per aggregate, None when any is unservable. */
+    * MIN/MAX of ANY recorded column decoded from the order-preserving
+    * per-file zone maps (lead-PK bounds for old manifests). Clean
+    * snapshots only, no grouping, no residual predicate (Spark only
+    * offers the aggregation when every filter was fully pushed, and this
+    * builder marks ALL filters post-scan — checked anyway as defense in
+    * depth). At 100 TB a metadata answer vs a full scan is milliseconds
+    * vs minutes. Returns the pre-aggregated output (field, internal
+    * value) per aggregate, None when any is unservable. */
   private def servableAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[Seq[(org.apache.spark.sql.types.StructField, Any)]] = {
@@ -655,25 +732,33 @@ class GraftScanBuilder(meta: TableMeta,
     import org.apache.spark.sql.types.StructField
     if (agg.groupByExpressions().nonEmpty || filters.nonEmpty ||
         agg.aggregateExpressions().isEmpty) return None
-    val firstPk = meta.keyCols.headOption.getOrElse(return None)
-    val pkType = meta.column(firstPk).dataType
-    def refIs(e: org.apache.spark.sql.connector.expressions.Expression,
-        col: String): Boolean = e match {
-      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
-        r.fieldNames().toSeq == Seq(col)
-      case _ => false
+    def refCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[graft.catalog.ColumnMeta] = e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames().length == 1 =>
+        meta.columns.find(_.name == r.fieldNames()(0))
+      case _ => None
     }
-    lazy val bounds = metadataKeyBounds
+    val boundsCache =
+      scala.collection.mutable.Map[Int, Option[Option[(String, String)]]]()
+    def boundsFor(cm: graft.catalog.ColumnMeta) =
+      boundsCache.getOrElseUpdate(cm.id, metadataColBounds(cm))
+    // one end of the provable extremes, decoded to the catalyst-internal
+    // value; a provably all-null (or empty) column serves SQL's null
+    def serveEnd(cm: graft.catalog.ColumnMeta, i: Int, takeLo: Boolean) =
+      boundsFor(cm).flatMap {
+        case None => Some((StructField(s"agg_$i", cm.dataType, nullable = true),
+          null: Any))
+        case Some((lo, hi)) =>
+          decodeKeyBound(cm.dataType, if (takeLo) lo else hi)
+            .map(v => (StructField(s"agg_$i", cm.dataType, nullable = true), v))
+      }
     val cols = agg.aggregateExpressions().toSeq.zipWithIndex.map {
       case (_: CountStar, i) => metadataCount.map(c =>
         (StructField(s"agg_$i", org.apache.spark.sql.types.LongType,
           nullable = false), c: Any))
-      case (m: Min, i) if refIs(m.column(), firstPk) =>
-        bounds.flatMap { case (lo, _) => decodeKeyBound(pkType, lo) }
-          .map(v => (StructField(s"agg_$i", pkType, nullable = false), v))
-      case (m: Max, i) if refIs(m.column(), firstPk) =>
-        bounds.flatMap { case (_, hi) => decodeKeyBound(pkType, hi) }
-          .map(v => (StructField(s"agg_$i", pkType, nullable = false), v))
+      case (m: Min, i) => refCol(m.column()).flatMap(serveEnd(_, i, takeLo = true))
+      case (m: Max, i) => refCol(m.column()).flatMap(serveEnd(_, i, takeLo = false))
       case _ => None
     }
     if (cols.forall(_.isDefined)) Some(cols.map(_.get)) else None

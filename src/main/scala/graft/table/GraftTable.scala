@@ -2001,21 +2001,25 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     }
     val writer = effectiveCodec(m).fold(withEnc)(cc => withEnc.option("compression", cc))
     withMicrosTimestamps { writer.mode("overwrite").parquet(dir) }
-    // Record first-key footer bounds on EVERY base file (the footer is
-    // already open for the row count): coordinate-less layouts need them
-    // for merge-on-read interval routing, and partitioned layouts get
-    // manifest-level first-PK file pruning inside their hash buckets
-    // (PartitionPruner.keyIntervalOk) plus metadata-served MIN/MAX on the
-    // lead key (GraftScanBuilder.servableAgg) for free.
-    val firstKey = m.keyCols.headOption.map(m.column)
+    // Record footer statistics on EVERY base file in one footer open per
+    // file: first-key bounds (coordinate-less layouts need them for
+    // merge-on-read interval routing; partitioned layouts get manifest-level
+    // first-PK file pruning inside their hash buckets plus metadata-served
+    // MIN/MAX on the lead key) AND per-column zone maps + null counts
+    // (PartitionPruner.zoneOk file skipping on ANY recorded column,
+    // GraftScanBuilder.servableAgg any-column MIN/MAX).
+    val zcols = GraftTable.boundsColumns(spark, m)
+    val firstKeyId = m.keyCols.headOption.map(k => m.column(k).id)
     listParquet(dir).map { p =>
-      val (lo, hi) =
-        firstKey.map(c => GraftTable.parquetKeyBounds(p, c.physName, c.dataType))
-          .getOrElse((None, None))
-      DataFileMeta(p, "base", v, GraftTable.parquetRows(p), m.columns.map(_.id),
+      val st = GraftTable.parquetFileStats(p, zcols)
+      DataFileMeta(p, "base", v, st.rows, m.columns.map(_.id),
         bucket = partFromPath(p, BucketCol).map(_.toInt),
         rangeKey = partFromPath(p, RangeCol),
-        keyLo = lo, keyHi = hi)
+        keyLo = firstKeyId.flatMap(id => st.lo.get(id.toString)),
+        keyHi = firstKeyId.flatMap(id => st.hi.get(id.toString)),
+        colLo = Some(st.lo).filter(_.nonEmpty),
+        colHi = Some(st.hi).filter(_.nonEmpty),
+        colNulls = Some(st.nulls).filter(_.nonEmpty))
     }
   }
 }
@@ -2374,7 +2378,47 @@ object GraftTable {
     * the type is unsupported — callers treat that as "file can hold any
     * key" and keep today's compact-first posture. */
   private[graft] def parquetKeyBounds(p: String, physName: String,
-      dt: org.apache.spark.sql.types.DataType): (Option[String], Option[String]) =
+      dt: org.apache.spark.sql.types.DataType): (Option[String], Option[String]) = {
+    val st = parquetFileStats(p, Seq((0, physName, dt)))
+    (st.lo.get("0"), st.hi.get("0"))
+  }
+
+  /** Columns whose zone maps a base write records: key columns first (the
+    * lead key doubles as keyLo/keyHi), then every other bound-encodable
+    * column in schema order, capped at graft.bounds.maxColumns (default 32)
+    * — manifest growth is per-file × per-column, so a 4000-column table
+    * must not pay 4000 map entries per file for columns nobody filters on
+    * (the cap is the analog of Iceberg's write.metadata.metrics defaults).
+    * Un-encodable types (float/double — NaN makes parquet min/max
+    * undefined — binary, nested) never record bounds; null counts are
+    * gathered for capped columns regardless of type. */
+  private[graft] def boundsColumns(spark: org.apache.spark.sql.SparkSession,
+      m: graft.catalog.TableMeta): Seq[(Int, String, org.apache.spark.sql.types.DataType)] =
+    boundsColumns(spark, m.columns, m.keyCols)
+
+  private[graft] def boundsColumns(spark: org.apache.spark.sql.SparkSession,
+      columns: Seq[graft.catalog.ColumnMeta],
+      keyCols: Seq[String]): Seq[(Int, String, org.apache.spark.sql.types.DataType)] = {
+    val cap = spark.conf.getOption("graft.bounds.maxColumns").map(_.toInt).getOrElse(32)
+    val (keys, rest) = columns.partition(c => keyCols.contains(c.name))
+    (keys ++ rest.filter(c => keyBoundEncodable(c.dataType)))
+      .take(math.max(cap, keys.length))
+      .map(c => (c.id, c.physName, c.dataType))
+  }
+
+  /** Everything the manifest records about one just-written file, gathered
+    * in ONE footer open (no data pages read): record count plus, per
+    * requested column, the order-preserving-encoded min/max over the file's
+    * non-null values (the zone map) and the file's null count. A column is
+    * absent from `lo`/`hi` when any row group lacks usable statistics or
+    * the type is un-encodable; absent from `nulls` when any row group
+    * leaves the null count unset — consumers treat absence as unknown and
+    * keep the file. `rows` is -1 when the footer is unreadable. */
+  private[graft] case class FileStats(rows: Long, lo: Map[String, String],
+      hi: Map[String, String], nulls: Map[String, Long])
+
+  private[graft] def parquetFileStats(p: String,
+      cols: Seq[(Int, String, org.apache.spark.sql.types.DataType)]): FileStats =
     try {
       import scala.jdk.CollectionConverters._
       import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -2383,44 +2427,73 @@ object GraftTable {
         new org.apache.hadoop.conf.Configuration())
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
+        val rows = r.getRecordCount
         val schema = r.getFooter.getFileMetaData.getSchema
-        // timestamp unit lives in the logical annotation; normalize to µs
-        // to match encodeKeyExpr's unix_micros
-        val toMicros: Long => Long = schema.getType(Seq(physName): _*) match {
-          case pt: org.apache.parquet.schema.PrimitiveType =>
-            pt.getLogicalTypeAnnotation match {
-              case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-                ts.getUnit match {
-                  case LogicalTypeAnnotation.TimeUnit.MILLIS => (v: Long) => Math.multiplyExact(v, 1000L)
-                  case LogicalTypeAnnotation.TimeUnit.NANOS => (v: Long) => Math.floorDiv(v, 1000L)
-                  case _ => identity
-                }
-              case _ => identity
-            }
-          case _ => identity
-        }
-        val chunks = r.getFooter.getBlocks.asScala
+        val byPath = r.getFooter.getBlocks.asScala
           .flatMap(_.getColumns.asScala)
-          .filter(_.getPath.toDotString == physName)
-        val perChunk = chunks.flatMap { ch =>
-          ch.getStatistics match {
-            case s if s == null || !s.hasNonNullValue => None
-            case s: org.apache.parquet.column.statistics.LongStatistics =>
-              Some((encodeKeyLong(toMicros(s.getMin)), encodeKeyLong(toMicros(s.getMax))))
-            case s: org.apache.parquet.column.statistics.IntStatistics =>
-              Some((encodeKeyLong(s.getMin.toLong), encodeKeyLong(s.getMax.toLong)))
-            case s: org.apache.parquet.column.statistics.BinaryStatistics
-                if dt == org.apache.spark.sql.types.StringType =>
-              Some((encodeKeyBytes(s.genericGetMin.getBytes),
-                encodeKeyBytes(s.genericGetMax.getBytes)))
-            case _ => None
+          .groupBy(_.getPath.toDotString)
+        val lo = Map.newBuilder[String, String]
+        val hi = Map.newBuilder[String, String]
+        val nulls = Map.newBuilder[String, Long]
+        cols.foreach { case (id, physName, dt) =>
+          val chunks = byPath.getOrElse(physName, Nil)
+          if (chunks.nonEmpty) {
+            val stats = chunks.map(ch => Option(ch.getStatistics))
+            // null count: every row group must report one
+            if (stats.forall(_.exists(_.isNumNullsSet)))
+              nulls += id.toString -> stats.map(_.get.getNumNulls).sum
+            if (keyBoundEncodable(dt)) {
+              // timestamp unit lives in the logical annotation; normalize
+              // to µs to match encodeKeyExpr's unix_micros
+              val toMicros: Long => Long = schema.getType(Seq(physName): _*) match {
+                case pt: org.apache.parquet.schema.PrimitiveType =>
+                  pt.getLogicalTypeAnnotation match {
+                    case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                      ts.getUnit match {
+                        case LogicalTypeAnnotation.TimeUnit.MILLIS => (v: Long) => Math.multiplyExact(v, 1000L)
+                        case LogicalTypeAnnotation.TimeUnit.NANOS => (v: Long) => Math.floorDiv(v, 1000L)
+                        case _ => identity
+                      }
+                    case _ => identity
+                  }
+                case _ => identity
+              }
+              // Some((lo, hi)) per chunk with values, Some(None-marker) for
+              // a PROVEN all-null chunk (contributes nothing), None =
+              // unusable stats (poisons the whole column's bounds)
+              val perChunk: Seq[Option[Option[(String, String)]]] = chunks.toSeq.map { ch =>
+                ch.getStatistics match {
+                  case s if s == null => None
+                  case s if !s.hasNonNullValue =>
+                    // distinguish "all null" (safe to skip) from "stats not
+                    // collected" (unknown): the null count must account for
+                    // every value in the chunk
+                    if (s.isNumNullsSet && s.getNumNulls == ch.getValueCount) Some(None)
+                    else None
+                  case s: org.apache.parquet.column.statistics.LongStatistics =>
+                    Some(Some((encodeKeyLong(toMicros(s.getMin)), encodeKeyLong(toMicros(s.getMax)))))
+                  case s: org.apache.parquet.column.statistics.IntStatistics =>
+                    Some(Some((encodeKeyLong(s.getMin.toLong), encodeKeyLong(s.getMax.toLong))))
+                  case s: org.apache.parquet.column.statistics.BinaryStatistics
+                      if dt == org.apache.spark.sql.types.StringType =>
+                    Some(Some((encodeKeyBytes(s.genericGetMin.getBytes),
+                      encodeKeyBytes(s.genericGetMax.getBytes))))
+                  case _ => None
+                }
+              }
+              if (perChunk.forall(_.isDefined)) {
+                val valued = perChunk.flatten.flatten
+                if (valued.nonEmpty) {
+                  lo += id.toString -> valued.map(_._1).min
+                  hi += id.toString -> valued.map(_._2).max
+                }
+              }
+            }
           }
         }
-        if (perChunk.isEmpty || perChunk.size != chunks.size ||
-            !keyBoundEncodable(dt)) (None, None)
-        else (Some(perChunk.map(_._1).min), Some(perChunk.map(_._2).max))
+        FileStats(rows, lo.result(), hi.result(), nulls.result())
       } finally r.close()
-    } catch { case _: Exception => (None, None) }
+    } catch { case _: Exception => FileStats(-1L, Map.empty, Map.empty, Map.empty) }
 
   private[table] def listParquet(dir: String): Seq[String] = {
     val root = Paths.get(dir)
@@ -2551,13 +2624,21 @@ object GraftTable {
     // key column's footer min/max instead (the reference's rowset key
     // bounds, tablet/diskrowset.h) — merge-on-read can then interval-route
     // deltas to these files at any delta size instead of forcing a compact.
-    val keyDt = schema(keys.head).dataType
+    // The same footer open also records every column's zone map + null
+    // count (file skipping / metadata MIN-MAX, like written bases).
+    val zcols = GraftTable.boundsColumns(spark, columns, keys)
+    val firstKeyId = columns.find(_.name == keys.head).map(_.id)
     val files =
       (if (Files.isDirectory(raw)) listParquet(rawParquetPath) else Seq(rawParquetPath))
         .map { p =>
-          val (lo, hi) = GraftTable.parquetKeyBounds(p, keys.head, keyDt)
-          DataFileMeta(p, "base", 1L, GraftTable.parquetRows(p),
-            columns.map(_.id), keyLo = lo, keyHi = hi)
+          val st = GraftTable.parquetFileStats(p, zcols)
+          DataFileMeta(p, "base", 1L, st.rows,
+            columns.map(_.id),
+            keyLo = firstKeyId.flatMap(id => st.lo.get(id.toString)),
+            keyHi = firstKeyId.flatMap(id => st.hi.get(id.toString)),
+            colLo = Some(st.lo).filter(_.nonEmpty),
+            colHi = Some(st.hi).filter(_.nonEmpty),
+            colNulls = Some(st.nulls).filter(_.nonEmpty))
         }
     val m = TableMeta(name, location, 1L, now(), "register",
       columns, columns.length, hash, range, Nil, files, Nil)

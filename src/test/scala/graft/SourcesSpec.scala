@@ -79,10 +79,19 @@ class SourcesSpec extends AnyFunSuite {
     val excl = ot.scanPruned(Seq(
       LessThan("d", java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))).inputFiles.length
     assert(excl == 4, s"excl=$excl")
-    // ...but one tick past the boundary keeps 1997 too
+    // ...one tick past the boundary keeps 1997 at the RANGE level, but the
+    // per-file zone maps see that no 1997 row (all at 1997-06-01) can sit
+    // below the cutoff and prune the two 1997 files anyway
     val incl = ot.scanPruned(Seq(
       LessThan("d", java.sql.Timestamp.valueOf("1997-01-01 00:00:01")))).inputFiles.length
-    assert(incl == 6, s"incl=$incl")
+    assert(incl == 4, s"incl=$incl")
+    // the range-pruner's boundary conservatism, judged in isolation: strip
+    // the zone maps and the 1997 files come back
+    val bare = ot.meta.copy(baseFiles = ot.meta.baseFiles.map(_.copy(
+      colLo = None, colHi = None, colNulls = None)))
+    val inclBare = graft.sources.PartitionPruner.pruneFiles(bare, bare.baseFiles,
+      Seq(LessThan("d", java.sql.Timestamp.valueOf("1997-01-01 00:00:01")))).length
+    assert(inclBare == 6, s"inclBare=$inclBare")
   }
 
   test("filter pushdown reaches parquet in the DataFrame scan path") {
