@@ -1003,6 +1003,48 @@ object Queries {
       topn("ASC", 25).union(topn("DESC", 25)).orderBy("o_orderkey")
     }),
 
+    "q51_zorder_cluster" -> ((s, dir) => {
+      // Z-ORDER clustering gate: events' PK is event_id, so a PK-sorted
+      // layout scatters user_id AND ts across every file — the common
+      // "filter a 100 TB event log by user and time window" shape reads
+      // everything. CALL cluster (Morton interleave of quantile bins)
+      // rewrites the fileset so the per-file zone maps become selective on
+      // BOTH columns; the in-query gate proves a 2-D box predicate prunes
+      // at least half the files at the MANIFEST level (no footer opened),
+      // and the oracle hash-checks the box aggregate itself.
+      val raw = Tables.raw(s, dir, "events")
+      val t = GraftTable.create(s, tmpLoc("graft-q51-"), "events_q51",
+        raw.schema, Seq("event_id"), data = Some(raw))
+      t.cluster(Seq("user_id", "ts"), nFiles = 16)
+      if (t.meta.operation != "cluster" || t.meta.baseFiles.length != 16)
+        throw new IllegalStateException(
+          s"clustered rewrite missing: op=${t.meta.operation} " +
+            s"files=${t.meta.baseFiles.length}")
+      // thresholds derived from the data (scale-proof): bottom user
+      // quartile × first time half — integer math, exact in both engines
+      val mm = t.scan().agg(
+        min("user_id"), max("user_id"),
+        unix_micros(min("ts")), unix_micros(max("ts"))).collect().head
+      val uq = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 4
+      val tmid = (mm.getLong(2) + mm.getLong(3)) / 2
+      val tsLit = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(tmid, 1000000L), Math.floorMod(tmid, 1000000L) * 1000L))
+      val filters: Seq[org.apache.spark.sql.sources.Filter] = Seq(
+        org.apache.spark.sql.sources.LessThanOrEqual("user_id", uq),
+        org.apache.spark.sql.sources.LessThan("ts", tsLit))
+      val kept = graft.sources.PartitionPruner.pruneFiles(
+        t.meta, t.meta.baseFiles, filters)
+      if (kept.length * 2 > t.meta.baseFiles.length)
+        throw new IllegalStateException(
+          s"zone maps must prune the clustered box: kept ${kept.length} of " +
+            s"${t.meta.baseFiles.length}")
+      t.scanPruned(filters)
+        .filter(col("user_id") <= uq && unix_micros(col("ts")) < tmid)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("user_id").as("su"))
+        .orderBy("event_type")
+    }),
+
     "q48_json_extract" -> ((s, dir) => {
       // Semi-structured payload extraction (the delegated-to-Spark scalar
       // surface over an engine table): pull a JSON field out of the props
@@ -1340,6 +1382,15 @@ object Queries {
         "round(CAST(min(s_suppkey) AS DOUBLE), 2), " +
         "round(CAST(max(s_suppkey) AS DOUBLE), 2) FROM m " +
         "ORDER BY col_name"),
+
+    "q51_zorder_cluster" ->
+      ("WITH mm AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi, " +
+        "epoch_us(min(ts)) AS tlo, epoch_us(max(ts)) AS thi FROM events) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(user_id) AS BIGINT) AS su FROM events, mm " +
+        "WHERE user_id <= ulo + (uhi - ulo) // 4 " +
+        "AND epoch_us(ts) < (tlo + thi) // 2 " +
+        "GROUP BY event_type ORDER BY event_type"),
 
     "q50_topn_pushdown" ->
       ("WITH a AS (SELECT o_orderkey, o_totalprice FROM orders " +

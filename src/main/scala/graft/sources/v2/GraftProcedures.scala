@@ -45,8 +45,8 @@ import graft.table.GraftTable
 private[v2] object GraftProcedures {
 
   val names: Array[String] = Array(
-    "analyze", "compact", "compact_deltas", "compact_tablet", "locate_row",
-    "expire_versions",
+    "analyze", "cluster", "compact", "compact_deltas", "compact_tablet",
+    "locate_row", "expire_versions",
     "maintain", "maintain_schedule", "maintain_schedule_warehouse",
     "maintain_unschedule", "maintain_unschedule_warehouse",
     "maintain_schedule_status", "maintenance_plan", "merge_tail",
@@ -106,6 +106,20 @@ private[v2] object GraftProcedures {
             case (n, cs) => InternalRow(str(n), cs.ndv, cs.nullCount,
               cs.min.map(str).orNull, cs.max.map(str).orNull)
           }
+        })
+      case "cluster" => Some(proc("cluster",
+        "Z-order clustered rewrite (compact + fold): output files follow " +
+          "the Morton interleave of the given columns' quantile bins, so " +
+          "the manifest zone maps prune multi-column non-key predicates; " +
+          "files = 0 uses spark.sql.shuffle.partitions",
+        Array(tableParam,
+          ProcedureParameter.in("columns", StringType).build(),
+          ProcedureParameter.in("files", IntegerType).defaultValue("0").build()),
+        new StructType().add("version", LongType)) { in =>
+          val t = locate(in)
+          t.cluster(in.getUTF8String(1).toString.split(',').map(_.trim).toSeq,
+            in.getInt(2))
+          Seq(InternalRow(t.currentVersion))
         })
       case "compact_deltas" => Some(proc("compact_deltas",
         "MINOR delta compaction — fold delta files without touching the base; " +

@@ -1308,14 +1308,58 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   /** Merge deltas into a fresh hash/range-partitioned, PK-sorted base and
     * clear the delta set (minor+major delta compaction + rowset merge analog,
     * tablet/compaction.cc, tablet/delta_compaction.cc). */
-  def compact(): Unit = {
+  def compact(): Unit = rewriteBase(meta, "compact", None)
+
+  /** Z-ORDER CLUSTER: a major rewrite (compact + fold, like [[compact]])
+    * whose output files follow the Morton interleave of `zcols`' quantile
+    * bins instead of the PK sort — every file then covers a tight interval
+    * of EACH cluster column, so the recorded zone maps
+    * (DataFileMeta.colLo/colHi) prune multi-column non-key predicates at
+    * the manifest level. The scale posture for "filter on user_id AND
+    * event_time over 100 TB whose PK is event_id": a PK-sorted layout
+    * scatters both columns across every file; a clustered one opens
+    * O(selectivity^(1/k)) of them. One approx-quantile job (bounded
+    * driver-side cut arrays) + one full rewrite; hash/range partition
+    * coordinates are preserved (clustering happens WITHIN them).
+    * `nFiles` 0 = spark.sql.shuffle.partitions per coordinate-less layout.
+    * The reference has no counterpart (its rowsets are PK-ordered by
+    * construction); this is the Spark-native answer to the same
+    * scan-pruning goal its key-bounds rowset tree serves. */
+  def cluster(zcols: Seq[String], nFiles: Int = 0): Unit = {
     val m = meta
+    require(zcols.size >= 2 && zcols.size <= 8,
+      s"cluster needs 2..8 columns, got ${zcols.size} (one column wants a " +
+        "plain sorted rewrite, not an interleave)")
+    require(zcols.distinct.size == zcols.size, s"duplicate cluster columns: $zcols")
+    zcols.foreach { c =>
+      val dt = m.column(c).dataType
+      require(GraftTable.zClusterable(dt),
+        s"cannot z-cluster on $c: ${dt.simpleString} (needs an order-" +
+          "preserving zone-map encoding; float/double/string refuse)")
+    }
+    // equi-depth cut points per column (one approx job; ≤255 doubles per
+    // column on the driver — bounded at any table size)
+    val snapshot = scanMeta(m)
+    val derived = snapshot.select(zcols.map(c =>
+      GraftTable.zNumeric(col(c), m.column(c).dataType).as(c)): _*)
+    val cuts = derived.stat.approxQuantile(zcols.toArray,
+      (1 until 256).map(_ / 256.0).toArray, 0.005)
+    val spec = GraftTable.ZCluster(resolve =>
+      GraftTable.zorderExpr(zcols.zip(cuts.toSeq).map { case (c, q) =>
+        (GraftTable.zNumeric(resolve(c), m.column(c).dataType),
+          q.toSeq.distinct.sorted)
+      }), nFiles)
+    rewriteBase(m, "cluster", Some(spec))
+  }
+
+  private def rewriteBase(m: TableMeta, op: String,
+      spec: Option[GraftTable.ZCluster]): Unit = {
     val v = m.version + 1
     val snapshot = scanMeta(m)
-    val files = writeBase(m, snapshot, v)
+    val files = writeBaseWith(m, snapshot, v, spec)
     // the rewritten base has no dropped-range rows → the masks retire
     // (uncovered ranges stay uncovered for writes)
-    try TableMeta.write(m.copy(version = v, timestampMs = now(), operation = "compact",
+    try TableMeta.write(m.copy(version = v, timestampMs = now(), operation = op,
       baseFiles = files, deltaFiles = Nil, droppedRanges = None))
     catch {
       case e: Throwable =>
@@ -1934,7 +1978,11 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   /** Writes `df` as the base fileset for commit `v`: hash-bucket (+ range)
     * partition dirs, PK-sorted within each file — one writer per "tablet"
     * (KuduContext.repartitionRows:464-509 analog). */
-  private[table] def writeBase(m: TableMeta, df: DataFrame, v: Long): Seq[DataFileMeta] = {
+  private[table] def writeBase(m: TableMeta, df: DataFrame, v: Long): Seq[DataFileMeta] =
+    writeBaseWith(m, df, v, None)
+
+  private[table] def writeBaseWith(m: TableMeta, df: DataFrame, v: Long,
+      clusterSpec: Option[GraftTable.ZCluster]): Seq[DataFileMeta] = {
     // unique per attempt — same clobber-avoidance as commitDelta (racing
     // compactions must not share a data path)
     val dir = Paths.get(location, "data",
@@ -1967,8 +2015,26 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // explicit partition count when salting: AQE's small-partition coalesce
     // would otherwise merge the salt groups right back into one task
     lazy val nShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val writer0 =
-      if (partCols.nonEmpty) {
+    val writer0 = clusterSpec match {
+      case Some(zc) =>
+        // Z-ORDER clustered rewrite: file assignment follows the Morton
+        // interleave of the cluster columns' quantile bins (inside each
+        // partition coordinate when the table is hash/range-partitioned),
+        // so every output file covers a TIGHT interval of each cluster
+        // column and the recorded zone maps prune multi-column predicates.
+        // The within-file order is (z, PK): PK-range row-group locality
+        // trades away for cluster-column locality — the caller asked for
+        // exactly that; point lookups keep the PK bloom filters.
+        val zCol = zc.expr(n => col(m.column(n).physName))
+        val nOut = if (zc.files > 0) zc.files else nShuffle
+        val ranged = out.withColumn(ZOrderCol, zCol)
+          .repartitionByRange(nOut, partCols.toSeq.map(col) :+ col(ZOrderCol): _*)
+          .sortWithinPartitions(
+            partCols.toSeq.map(col) ++ Seq(col(ZOrderCol)) ++ keysPhys: _*)
+          .drop(ZOrderCol)
+        if (partCols.nonEmpty) ranged.write.partitionBy(partCols.toSeq: _*)
+        else ranged.write
+      case None if partCols.nonEmpty =>
         val repartitioned =
           if (filesPerTablet > 1)
             out.repartition(nShuffle,
@@ -1977,10 +2043,11 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         repartitioned
           .sortWithinPartitions(partCols.toSeq.map(col) ++ keysPhys: _*)
           .write.partitionBy(partCols.toSeq: _*)
-      } else if (filesPerTablet > 1)
+      case None if filesPerTablet > 1 =>
         out.repartition(nShuffle, pmod(hash(keysPhys: _*), lit(filesPerTablet)))
           .sortWithinPartitions(keysPhys: _*).write
-      else out.sort(keysPhys: _*).write
+      case None => out.sort(keysPhys: _*).write
+    }
     // Parquet bloom filters on key columns: the base-file analog of the
     // reference's per-rowset bloom files for PK presence checks/point
     // lookups (cfile/bloomfile.cc, tablet/diskrowset.cc:115-154). parquet-mr
@@ -2046,6 +2113,66 @@ object GraftTable {
   val RnCol = "_graft_rn"
   val BucketCol = "_b"
   val RangeCol = "_r"
+  /** Transient Morton-code column of a clustered rewrite (never written). */
+  val ZOrderCol = "_graft_z"
+
+  /** A clustered-rewrite request: `expr` builds the Morton code over a
+    * name resolver (writeBase resolves to PHYSICAL columns), `files` is the
+    * output file count (0 = spark.sql.shuffle.partitions). */
+  private[table] case class ZCluster(
+      expr: (String => org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      files: Int)
+
+  /** Types a clustered rewrite accepts: quantile-binnable through a numeric
+    * derivation AND zone-map encodable (clustering is pointless on columns
+    * whose bounds the manifest cannot record — float/double are excluded by
+    * the NaN-undefined parquet stats ordering, strings by approxQuantile). */
+  def zClusterable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => true
+      case d: DecimalType if d.precision <= 18 => true
+      case _ => false
+    }
+  }
+
+  /** Order-preserving numeric derivation used for quantile binning. */
+  private[table] def zNumeric(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    dt match {
+      case DateType => unix_date(c).cast(DoubleType)
+      case TimestampType => unix_micros(c).cast(DoubleType)
+      case TimestampNTZType => unix_micros(c.cast(TimestampType)).cast(DoubleType)
+      case _ => c.cast(DoubleType)
+    }
+  }
+
+  /** Morton (Z-order) code over quantile-binned columns: each column maps
+    * to its 8-bit equi-depth bin (count of quantile cuts below the value —
+    * rank-normalized, so skew cannot starve a column's bits the way raw
+    * bit-interleaving would), then bit j of column i lands at position
+    * j*k + i. Bin lookup is an array-predicate scan over ≤255 broadcast
+    * cut points; the interleave itself is pure codegen'd bitwise ops. A
+    * null (or all-null column) bins to 0 — deterministic, clusters nulls
+    * together. */
+  def zorderExpr(cols: Seq[(org.apache.spark.sql.Column, Seq[Double])])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val k = cols.length
+    val bins = cols.map { case (c, cuts) =>
+      if (cuts.isEmpty) lit(0L)
+      else size(filter(typedLit(cuts), x => c >= x)).cast(LongType)
+    }
+    bins.zipWithIndex.foldLeft(lit(0L)) { case (acc, (bin, i)) =>
+      (0 until 8).foldLeft(acc) { (a, j) =>
+        a.bitwiseOR(shiftleft(shiftright(bin, j).bitwiseAND(lit(1L)), j * k + i))
+      }
+    }
+  }
   val DeletedCol = "_deleted"
   val OpUpsert = "U"
   val OpDelete = "D"

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftTable
+
+/** Z-order clustered rewrites (GraftTable.cluster + CALL system.cluster):
+  * file assignment by the Morton interleave of quantile-binned columns, so
+  * the per-file zone maps become selective on EVERY cluster column at once
+  * — the layout a multi-column non-key filter wants at 100 TB. */
+class ZOrderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  /** PK k; (a, b) independent dimensions both scattered vs k. */
+  private def mkTable(n: Int = 4096): GraftTable = {
+    val data = (1 to n).map { k =>
+      (k.toLong, ((k * 2654435761L) % 10000L + 10000L) % 10000L,
+        ((k * 40503L) % 10000L + 10000L) % 10000L, s"p$k")
+    }.toDF("k", "a", "b", "payload")
+    GraftTable.create(spark, tmp("graft-zo-"), "zo", data.schema, Seq("k"),
+      data = Some(data))
+  }
+
+  test("cluster rewrites into z-assigned files with selective zone maps") {
+    val t = mkTable()
+    val before = t.scan().orderBy("k").collect().toSeq
+    t.cluster(Seq("a", "b"), nFiles = 16)
+    val m = t.meta
+    assert(m.operation == "cluster" && m.deltaFiles.isEmpty)
+    assert(m.baseFiles.length == 16)
+    // exact row preservation through the rewrite
+    assert(t.scan().orderBy("k").collect().toSeq == before)
+    // zone selectivity: an equality on EACH clustered dimension must prune
+    // most files (16 files ≈ 4 z-bits ≈ 4 half-splits alternating a/b)
+    def kept(fs: Filter*) =
+      graft.sources.PartitionPruner.pruneFiles(m, m.baseFiles, fs).length
+    assert(kept(EqualTo("a", 1234L)) <= 8, s"a-eq kept ${kept(EqualTo("a", 1234L))}")
+    assert(kept(EqualTo("b", 1234L)) <= 8, s"b-eq kept ${kept(EqualTo("b", 1234L))}")
+    val both = kept(EqualTo("a", 1234L), EqualTo("b", 9876L))
+    assert(both <= 4, s"a+b kept $both of 16")
+    // a 2-D range box prunes too, and the pruned scan stays exact
+    val boxKept = kept(GreaterThanOrEqual("a", 1000L), LessThan("a", 2000L),
+      GreaterThanOrEqual("b", 5000L), LessThan("b", 6000L))
+    assert(boxKept < 16, s"box kept $boxKept")
+    val cond = col("a") >= 1000L && col("a") < 2000L &&
+      col("b") >= 5000L && col("b") < 6000L
+    val pruned = t.scanPruned(Seq(GreaterThanOrEqual("a", 1000L),
+      LessThan("a", 2000L), GreaterThanOrEqual("b", 5000L), LessThan("b", 6000L)))
+      .filter(cond).select("k").as[Long].collect().toSeq.sorted
+    val full = t.scan().filter(cond).select("k").as[Long].collect().toSeq.sorted
+    assert(pruned == full && full.nonEmpty)
+  }
+
+  test("cluster folds deltas and keeps merge-on-read exact afterwards") {
+    val t = mkTable(1000)
+    t.upsert(Seq((5L, 1L, 2L, "new5")).toDF("k", "a", "b", "payload"))
+    t.delete(Seq(6L).toDF("k"))
+    val before = t.scan().orderBy("k").collect().toSeq
+    t.cluster(Seq("a", "b"), nFiles = 4)
+    assert(t.meta.deltaFiles.isEmpty)
+    assert(t.scan().orderBy("k").collect().toSeq == before)
+    // mutations after the clustered rewrite ride the normal MOR path
+    t.upsert(Seq((7L, 3L, 4L, "new7")).toDF("k", "a", "b", "payload"))
+    assert(t.scan().filter(col("k") === 7L).select("payload")
+      .as[String].head() == "new7")
+  }
+
+  test("cluster preserves hash-partition coordinates") {
+    val data = (1 to 2000).map(k =>
+      (k.toLong, (k * 37L) % 500L, (k * 91L) % 500L)).toDF("k", "a", "b")
+    val t = GraftTable.create(spark, tmp("graft-zoh-"), "zoh", data.schema,
+      Seq("k"), Seq(graft.catalog.HashComponent(Seq("k"), 4)), data = Some(data))
+    t.cluster(Seq("a", "b"), nFiles = 16)
+    val m = t.meta
+    assert(m.baseFiles.forall(_.bucket.isDefined))
+    assert(m.baseFiles.map(_.bucket.get).distinct.sorted == Seq(0, 1, 2, 3))
+    // bucket pruning still composes with zone pruning
+    val one = t.scanPruned(Seq(EqualTo("k", 42L)))
+    assert(one.filter(col("k") === 42L).count() == 1)
+    val zoneKept = graft.sources.PartitionPruner.pruneFiles(
+      m, m.baseFiles, Seq(EqualTo("a", 123L))).length
+    assert(zoneKept < m.baseFiles.length)
+  }
+
+  test("CALL system.cluster and input validation") {
+    val t = mkTable(500)
+    val f = new java.io.File(t.location)
+    spark.conf.set("spark.sql.catalog.gzo",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gzo.warehouse", f.getParent)
+    val v = spark.sql(
+      s"CALL gzo.system.cluster('${f.getName}', 'a,b', files => 4)")
+      .collect().head.getLong(0)
+    assert(v == t.currentVersion && t.meta.operation == "cluster")
+    assert(t.meta.baseFiles.length == 4)
+    intercept[IllegalArgumentException] { t.cluster(Seq("a")) }
+    intercept[IllegalArgumentException] { t.cluster(Seq("a", "a")) }
+    intercept[IllegalArgumentException] { t.cluster(Seq("a", "payload")) }
+  }
+}
