@@ -1003,6 +1003,54 @@ object Queries {
       topn("ASC", 25).union(topn("DESC", 25)).orderBy("o_orderkey")
     }),
 
+    "q52_topn_zone" -> ((s, dir) => {
+      // TOP-N pushdown on a NON-KEY column via zone maps: events registered
+      // zero-copy from time-partitioned raw files (PK event_id — ts is just
+      // a data column), `ORDER BY ts LIMIT 20` must cut the planned fileset
+      // through the per-file ts bounds in the manifest — "the newest 20
+      // events" on a 100 TB log opens the newest file(s), no footer read.
+      // Both directions plan-asserted; the oracle hash-checks the epoch
+      // values (a projection of ts alone makes the top-20 multiset unique
+      // even under ties, so tie order cannot flake the compare).
+      val rawLoc = tmpLoc("graft-q52raw-")
+      val regLoc = tmpLoc("graft-q52-")
+      // INT96 (Spark's default) carries no ordered footer stats — the
+      // registration could record no ts bounds and the cut would refuse
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val prevTs = s.conf.getOption(tsKey)
+      s.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try Tables.raw(s, dir, "events")
+        .select("event_id", "ts", "user_id")
+        .repartitionByRange(8, col("ts"))
+        .write.mode("overwrite").parquet(rawLoc)
+      finally prevTs match {
+        case Some(v) => s.conf.set(tsKey, v)
+        case None => s.conf.unset(tsKey)
+      }
+      val f = new java.io.File(regLoc)
+      val t = GraftTable.register(s, regLoc, f.getName, rawLoc, Seq("event_id"))
+      s.conf.set("spark.sql.catalog.gq52",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq52.warehouse", f.getParent)
+      def topn(dir0: String) = {
+        val q = s.sql(s"SELECT unix_micros(ts) AS us FROM (SELECT ts FROM " +
+          s"gq52.`${f.getName}` ORDER BY ts $dir0 LIMIT 20)")
+        val v2 = q.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+        }.collectFirst { case sc: graft.sources.v2.GraftV2Scan => sc }
+          .getOrElse(throw new IllegalStateException(
+            s"expected a graft scan:\n${q.queryExecution.executedPlan}"))
+        if (!v2.description().contains("top=20"))
+          throw new IllegalStateException(s"top-n not pushed: ${v2.description()}")
+        val parts = v2.planInputPartitions().length
+        if (parts >= t.meta.baseFiles.length)
+          throw new IllegalStateException(
+            s"zone top-n must cut the fileset: $parts of ${t.meta.baseFiles.length}")
+        q
+      }
+      topn("ASC").union(topn("DESC")).orderBy("us")
+    }),
+
     "q51_zorder_cluster" -> ((s, dir) => {
       // Z-ORDER clustering gate: events' PK is event_id, so a PK-sorted
       // layout scatters user_id AND ts across every file — the common
@@ -1382,6 +1430,12 @@ object Queries {
         "round(CAST(min(s_suppkey) AS DOUBLE), 2), " +
         "round(CAST(max(s_suppkey) AS DOUBLE), 2) FROM m " +
         "ORDER BY col_name"),
+
+    "q52_topn_zone" ->
+      ("WITH a AS (SELECT epoch_us(ts) AS us FROM events ORDER BY ts ASC LIMIT 20), " +
+        "d AS (SELECT epoch_us(ts) AS us FROM events ORDER BY ts DESC LIMIT 20) " +
+        "SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM d) " +
+        "ORDER BY us"),
 
     "q51_zorder_cluster" ->
       ("WITH mm AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi, " +

@@ -572,7 +572,7 @@ class GraftScanBuilder(meta: TableMeta,
     StructType(meta.visibleColumns.map(_.toField))
   private var filters: Array[Filter] = Array.empty
   private var limitN: Option[Int] = None
-  private var topN: Option[(Int, Boolean)] = None // (n, descending)
+  private var topN: Option[(Int, Boolean, Int)] = None // (n, descending, colId)
   private var pushedAgg: Option[Seq[(org.apache.spark.sql.types.StructField, Any)]] = None
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
@@ -786,26 +786,33 @@ class GraftScanBuilder(meta: TableMeta,
   override def pushLimit(n: Int): Boolean = { limitN = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
-  /** Scan-side TOP-N (`ORDER BY <lead PK> [ASC|DESC] LIMIT n`): on a clean
-    * snapshot with per-file key bounds, only files that can intersect the
-    * global top-n need planning — `ORDER BY event_time LIMIT 10` on a
-    * range-partitioned 100 TB table opens the newest file(s) only (see
-    * [[GraftV2Scan.topNFiles]] for the soundness bound). Partial
+  /** Scan-side TOP-N (`ORDER BY <col> [ASC|DESC] LIMIT n`): on a clean
+    * snapshot, only files that can intersect the global top-n need
+    * planning — `ORDER BY event_time LIMIT 10` on a range-partitioned (or
+    * z-clustered) 100 TB table opens the newest file(s) only (see
+    * [[GraftV2Scan.topNFiles]] for the soundness bound). ANY column with
+    * complete per-file zone maps qualifies, not just the lead PK; nullable
+    * columns are cuttable only under the DEFAULT null ordering (ASC +
+    * NULLS FIRST / DESC + NULLS LAST — the scan-side prefix math accounts
+    * for where nulls sort; a flipped ordering would need the mirror
+    * accounting, and Spark only pushes the default anyway). Partial
     * semantics: Spark still sorts/limits the surviving rows above, so the
-    * file cut only ever has to be conservative. The PK is non-nullable,
-    * so null ordering cannot matter. */
+    * file cut only ever has to be conservative. */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
     if (orders.length != 1 || filters.nonEmpty) return false
-    val firstPk = meta.keyCols.headOption.getOrElse(return false)
-    val onPk = orders.head.expression() match {
-      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
-        r.fieldNames().toSeq == Seq(firstPk)
-      case _ => false
-    }
-    if (!onPk) return false
-    topN = Some((n, orders.head.direction() ==
-      org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING))
+    val cm = (orders.head.expression() match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames().length == 1 =>
+        meta.columns.find(_.name == r.fieldNames()(0))
+      case _ => None
+    }).getOrElse(return false)
+    val desc = orders.head.direction() == SortDirection.DESCENDING
+    val defaultNulls = orders.head.nullOrdering() ==
+      (if (desc) NullOrdering.NULLS_LAST else NullOrdering.NULLS_FIRST)
+    if (!defaultNulls) return false
+    topN = Some((n, desc, cm.id))
     true
   }
 
@@ -891,38 +898,55 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     startingVersion: Option[Long] = None,
     maxVersionsPerTrigger: Int = 64,
     limit: Option[Int] = None,
-    topN: Option[(Int, Boolean)] = None,
+    topN: Option[(Int, Boolean, Int)] = None,
     maxBytesPerTrigger: Option[Long] = None) extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
-  /** TOP-N file cut (`ORDER BY lead-PK LIMIT n`). Soundness: sort files by
-    * keyLo ascending and take the minimal prefix P holding ≥ n rows; every
-    * key in P is ≤ C := max(keyHi over P), so at least n keys ≤ C exist
-    * and the true n-th smallest key is ≤ C — any top-n row therefore lives
-    * in a file with keyLo ≤ C. Keeping {f : keyLo ≤ C} misses nothing
-    * (descending is the mirror with keyHi/min-keyLo). Range-partitioned
+  /** TOP-N file cut (`ORDER BY <col> LIMIT n` over ANY zone-mapped column).
+    * ASC soundness: sort files by lo ascending and take the minimal prefix
+    * P holding ≥ n rows; every row in P sorts ≤ C := max(hi over P) — a
+    * value row is ≤ its file's hi ≤ C, and a null row sorts before
+    * everything under the (only accepted) NULLS FIRST — so ≥ n rows sort
+    * at or below C and any top-n row lives in a file with lo ≤ C OR a
+    * file that can hold nulls. DESC mirrors with hi/min-lo, but counts
+    * only NON-NULL rows into the prefix (NULLS LAST: a null row never
+    * sorts ≥ the cut); if the table's non-null total runs under n, nulls
+    * join the top-n and no cut applies. The lead PK rides its dedicated
+    * (hydrated) keyLo/keyHi with a zero null count; other columns need
+    * zone maps AND null counts on every file. Range-partitioned
     * time-series collapse to the newest/oldest file(s); hash layouts carry
     * near-full-range bounds and conservatively keep everything. Refused
     * under deltas (new rows may enter the top-n), filters, or missing
     * bounds/row counts. */
   private def topNFiles(files: Seq[graft.catalog.DataFileMeta])
       : Seq[graft.catalog.DataFileMeta] = topN match {
-    case Some((n, desc)) if meta.deltaFiles.isEmpty && meta.rangeDrops.isEmpty &&
-        filters.isEmpty && runtimeFilters.isEmpty &&
-        files.forall(f => f.rows >= 0L && f.keyLo.isDefined && f.keyHi.isDefined) =>
-      val sorted =
-        if (desc) files.sortBy(_.keyHi.get)(Ordering[String].reverse)
-        else files.sortBy(_.keyLo.get)
-      var acc = 0L
-      val prefix = sorted.takeWhile { f => val more = acc < n; acc += f.rows; more }
-      if (prefix.isEmpty) return files.take(1)
+    case Some((n, desc, colId)) if meta.deltaFiles.isEmpty &&
+        meta.rangeDrops.isEmpty && filters.isEmpty && runtimeFilters.isEmpty =>
+      val isLead = meta.keyCols.headOption.map(meta.column(_).id).contains(colId)
+      def bnds(f: graft.catalog.DataFileMeta): Option[(String, String)] =
+        f.colBounds(colId).orElse(if (isLead) f.keyLo.zip(f.keyHi) else None)
+      def nulls(f: graft.catalog.DataFileMeta): Option[Long] =
+        if (isLead) Some(0L) else f.colNullCount(colId)
+      if (!files.forall(f =>
+          f.rows >= 0L && bnds(f).isDefined && nulls(f).isDefined)) return files
       if (desc) {
-        val cut = prefix.map(_.keyLo.get).min
-        files.filter(_.keyHi.get >= cut)
+        if (files.map(f => f.rows - nulls(f).get).sum < n) return files
+        val sorted = files.sortBy(f => bnds(f).get._2)(Ordering[String].reverse)
+        var acc = 0L
+        val prefix = sorted.takeWhile { f =>
+          val more = acc < n; acc += f.rows - nulls(f).get; more
+        }
+        if (prefix.isEmpty) return files.take(1)
+        val cut = prefix.map(f => bnds(f).get._1).min
+        files.filter(f => bnds(f).get._2 >= cut)
       } else {
-        val cut = prefix.map(_.keyHi.get).max
-        files.filter(_.keyLo.get <= cut)
+        val sorted = files.sortBy(f => bnds(f).get._1)
+        var acc = 0L
+        val prefix = sorted.takeWhile { f => val more = acc < n; acc += f.rows; more }
+        if (prefix.isEmpty) return files.take(1)
+        val cut = prefix.map(f => bnds(f).get._2).max
+        files.filter(f => bnds(f).get._1 <= cut || nulls(f).get > 0L)
       }
     case _ => files
   }
@@ -1072,7 +1096,10 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
   override def description(): String =
     s"graft ${meta.name} (buckets=${GraftTable.totalBuckets(meta)})" +
       limit.map(n => s" limit=$n").getOrElse("") +
-      topN.map { case (n, d) => s" top=$n(${if (d) "desc" else "asc"})" }.getOrElse("")
+      topN.map { case (n, d, cid) =>
+        val cn = meta.columns.find(_.id == cid).map(_.name).getOrElse(cid.toString)
+        s" top=$n(${if (d) "desc" else "asc"},$cn)"
+      }.getOrElse("")
 
   /** Key grouping is reported only when storage-partitioned joins are
     * actually enabled (`spark.sql.sources.v2.bucketing.enabled` — SPJ's

@@ -120,6 +120,41 @@ class ZoneMapSpec extends AnyFunSuite {
     }
   }
 
+  test("TOP-N pushdown cuts files on ANY zone-mapped column, null-aware") {
+    val raw = tmp("graft-ztnraw-")
+    // 4 range-partitioned files of 100 rows; file 1 holds ALL the nulls
+    // (k <= 50) plus values — the asc cut must keep it for NULLS FIRST
+    (1 to 400).map(k => (k.toLong, if (k <= 50) None else Some(k * 10L)))
+      .toDF("k", "v").repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(raw)
+    val t = GraftTable.register(spark, tmp("graft-ztn-"), "ztn", raw, Seq("k"))
+    val f = new java.io.File(t.location)
+    spark.conf.set("spark.sql.catalog.gztn",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gztn.warehouse", f.getParent)
+    def run(sql: String, expectParts: Option[Int]) = {
+      val q = spark.sql(sql.replace("__T__", s"gztn.`${f.getName}`"))
+      val sc = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.collectFirst { case s: graft.sources.v2.GraftV2Scan => s }.get
+      assert(sc.description().contains("top="), sc.description())
+      expectParts.foreach { n =>
+        assert(sc.planInputPartitions().length == n,
+          s"parts=${sc.planInputPartitions().length} want $n for: $sql")
+      }
+      q.collect()
+    }
+    // ASC + NULLS FIRST: the 10 nulls live in file 1 alone → one file
+    val asc = run("SELECT v FROM __T__ ORDER BY v ASC LIMIT 10", Some(1))
+    assert(asc.forall(_.isNullAt(0)))
+    // DESC + NULLS LAST: the 10 largest values live in the last file alone
+    val desc = run("SELECT v FROM __T__ ORDER BY v DESC LIMIT 10", Some(1))
+    assert(desc.map(_.getLong(0)).sorted.toSeq == (391 to 400).map(_ * 10L))
+    // DESC past the non-null total (350): nulls join the top-n → no cut
+    val wide = run("SELECT v FROM __T__ ORDER BY v DESC LIMIT 360", Some(4))
+    assert(wide.length == 360 && wide.count(_.isNullAt(0)) == 10)
+  }
+
   test("V2 serves MIN/MAX of any recorded column from metadata alone") {
     val data = (1 to 500).map(i =>
       (i.toLong, s"name$i", (i * 3 % 997).toLong)).toDF("id", "nm", "score")
