@@ -66,7 +66,7 @@ class FuzzSpec extends AnyFunSuite {
           // one random tablet's MAJOR fold, a delta flush (full or
           // tail-only minor pass), or an analyze stats commit — all must
           // leave the visible state untouched
-          rnd.nextInt(7) match {
+          rnd.nextInt(8) match {
             case 0 => t.compact()
             case 1 => t.compactTablet(
               bucket = Some(rnd.nextInt(GraftTable.totalBuckets(t.meta))))
@@ -75,6 +75,7 @@ class FuzzSpec extends AnyFunSuite {
             case 4 => t.mergeTailDeltas() // in-place tail-merge, no routing
             case 5 => t.maintain(ioBudgetBytes = 1L << rnd.nextInt(31)) // budgeted plan
             case 6 => t.expireVersions(retainLast = 2 + rnd.nextInt(4)) // history GC
+            case 7 => t.cluster(Seq("k", "v"), nFiles = 1 + rnd.nextInt(3)) // z-rewrite
           }
         case 8 => // SNAPSHOT: remember version + model state
           snaps += ((t.currentVersion, model.toMap))
