@@ -245,7 +245,13 @@ case class TableMeta(
     // their manifests and exclusively-referenced files are gone, time
     // travel/CDC below the mark error cleanly, fsck treats the missing
     // prefix as intentional. Option-typed for older metadata (None = 1).
-    expiredBefore: Option[Long] = None) {
+    expiredBefore: Option[Long] = None,
+    // Z-order clustering spec as column IDS (rename/widen-proof): set by
+    // cluster(), cleared by uncluster(); compact()/compactTablet() honor
+    // it so background maintenance cannot silently de-cluster a table the
+    // operator paid to cluster. Ids that no longer resolve (a clusterBy
+    // column dropped) degrade to a plain PK-sorted rewrite.
+    clusterBy: Option[Seq[Int]] = None) {
 
   /** First version still readable (time travel / CDC floor). */
   def historyFloor: Long = expiredBefore.getOrElse(1L)

@@ -117,8 +117,11 @@ private[v2] object GraftProcedures {
           ProcedureParameter.in("files", IntegerType).defaultValue("0").build()),
         new StructType().add("version", LongType)) { in =>
           val t = locate(in)
-          t.cluster(in.getUTF8String(1).toString.split(',').map(_.trim).toSeq,
-            in.getInt(2))
+          val cols = in.getUTF8String(1).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          // empty column list = UNCLUSTER: clear the persisted spec with a
+          // plain PK-sorted rewrite
+          if (cols.isEmpty) t.uncluster() else t.cluster(cols, in.getInt(2))
           Seq(InternalRow(t.currentVersion))
         })
       case "compact_deltas" => Some(proc("compact_deltas",

@@ -1236,7 +1236,10 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       .join(dLatest.select(m.keyCols.map(col): _*), m.keyCols, "left_anti")
       .unionByName(dLatest.filter(col(OpCol) =!= lit(OpDelete))
         .select(m.columns.map(c => col(c.name).cast(c.dataType).as(c.name)): _*))
-    val newBase = writeBase(m, live, v)
+    // a persisted clustering spec applies to the tablet rewrite too —
+    // maintenance must not de-cluster the tablets it folds
+    val newBase = writeBaseWith(m, live, v,
+      clusterColsOf(m).map(zc => buildClusterSpecFrom(m, zc, 0, live)))
     val restDir = Paths.get(location, "data",
       s"c${v}_deltamerge_${java.util.UUID.randomUUID().toString.take(8)}").toString
     try {
@@ -1308,7 +1311,25 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   /** Merge deltas into a fresh hash/range-partitioned, PK-sorted base and
     * clear the delta set (minor+major delta compaction + rowset merge analog,
     * tablet/compaction.cc, tablet/delta_compaction.cc). */
-  def compact(): Unit = rewriteBase(meta, "compact", None)
+  def compact(): Unit = {
+    val m = meta
+    // honor a persisted clustering spec: background maintenance must not
+    // silently de-cluster a table the operator paid to cluster (ids that
+    // no longer resolve — a dropped clusterBy column — degrade to the
+    // plain PK-sorted rewrite)
+    clusterColsOf(m) match {
+      case Some(zc) =>
+        rewriteBase(m, "compact", Some(buildClusterSpec(m, zc, 0)), m.clusterBy)
+      case None => rewriteBase(m, "compact", None, m.clusterBy)
+    }
+  }
+
+  /** The persisted clusterBy ids resolved to current column names — None
+    * when unset or no longer fully resolvable (fewer than 2 survive). */
+  private def clusterColsOf(m: TableMeta): Option[Seq[String]] =
+    m.clusterBy.map(_.flatMap(id => m.columns.find(_.id == id))
+        .filter(c => GraftTable.zClusterable(c.dataType)).map(_.name))
+      .filter(_.size >= 2)
 
   /** Z-ORDER CLUSTER: a major rewrite (compact + fold, like [[compact]])
     * whose output files follow the Morton interleave of `zcols`' quantile
@@ -1337,30 +1358,47 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         s"cannot z-cluster on $c: ${dt.simpleString} (needs an order-" +
           "preserving zone-map encoding; float/double/string refuse)")
     }
-    // equi-depth cut points per column (one approx job; ≤255 doubles per
-    // column on the driver — bounded at any table size)
-    val snapshot = scanMeta(m)
+    rewriteBase(m, "cluster", Some(buildClusterSpec(m, zcols, nFiles)),
+      Some(zcols.map(c => m.column(c).id)))
+  }
+
+  /** Clear the persisted clustering spec with a plain PK-sorted rewrite —
+    * later compactions stop re-clustering. */
+  def uncluster(): Unit = rewriteBase(meta, "uncluster", None, None)
+
+  /** Equi-depth cut points per cluster column (one approx job; ≤255
+    * doubles per column on the driver — bounded at any table size) folded
+    * into the Morton-code spec writeBase applies. */
+  private def buildClusterSpec(m: TableMeta, zcols: Seq[String],
+      nFiles: Int): GraftTable.ZCluster =
+    buildClusterSpecFrom(m, zcols, nFiles, scanMeta(m))
+
+  /** Spec over an explicit frame: compactTablet clusters one tablet with
+    * TABLET-LOCAL quantiles (tighter bins than global ones there). */
+  private def buildClusterSpecFrom(m: TableMeta, zcols: Seq[String],
+      nFiles: Int, snapshot: DataFrame): GraftTable.ZCluster = {
     val derived = snapshot.select(zcols.map(c =>
       GraftTable.zNumeric(col(c), m.column(c).dataType).as(c)): _*)
     val cuts = derived.stat.approxQuantile(zcols.toArray,
       (1 until 256).map(_ / 256.0).toArray, 0.005)
-    val spec = GraftTable.ZCluster(resolve =>
+    GraftTable.ZCluster(resolve =>
       GraftTable.zorderExpr(zcols.zip(cuts.toSeq).map { case (c, q) =>
         (GraftTable.zNumeric(resolve(c), m.column(c).dataType),
           q.toSeq.distinct.sorted)
       }), nFiles)
-    rewriteBase(m, "cluster", Some(spec))
   }
 
   private def rewriteBase(m: TableMeta, op: String,
-      spec: Option[GraftTable.ZCluster]): Unit = {
+      spec: Option[GraftTable.ZCluster],
+      newClusterBy: Option[Seq[Int]]): Unit = {
     val v = m.version + 1
     val snapshot = scanMeta(m)
     val files = writeBaseWith(m, snapshot, v, spec)
     // the rewritten base has no dropped-range rows → the masks retire
     // (uncovered ranges stay uncovered for writes)
     try TableMeta.write(m.copy(version = v, timestampMs = now(), operation = op,
-      baseFiles = files, deltaFiles = Nil, droppedRanges = None))
+      baseFiles = files, deltaFiles = Nil, droppedRanges = None,
+      clusterBy = newClusterBy))
     catch {
       case e: Throwable =>
         // lost the metadata race — sweep the rewritten base attempt (walk up

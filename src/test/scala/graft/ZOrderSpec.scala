@@ -89,6 +89,45 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zoneKept < m.baseFiles.length)
   }
 
+  test("compaction preserves the persisted clustering; uncluster clears it") {
+    val t = mkTable(2048)
+    t.cluster(Seq("a", "b"), nFiles = 8)
+    assert(t.meta.clusterBy.isDefined)
+    // mutations then a PLAIN compact: the rewrite must stay clustered —
+    // background maintenance cannot silently de-cluster the table
+    t.upsert(Seq((1L, 9999L, 9999L, "x")).toDF("k", "a", "b", "payload"))
+    t.delete(Seq(2L).toDF("k"))
+    val before = t.scan().orderBy("k").collect().toSeq
+    t.compact()
+    val m = t.meta
+    assert(m.operation == "compact" && m.clusterBy.isDefined)
+    assert(t.scan().orderBy("k").collect().toSeq == before)
+    def kept(fs: org.apache.spark.sql.sources.Filter*) =
+      graft.sources.PartitionPruner.pruneFiles(m, m.baseFiles, fs).length
+    assert(kept(EqualTo("a", 1234L)) * 2 <= m.baseFiles.length,
+      s"post-compact kept ${kept(EqualTo("a", 1234L))} of ${m.baseFiles.length}")
+    // per-tablet fold honors it too (hash table → compactTablet path)
+    val d2 = (1 to 1024).map(k => (k.toLong, (k * 7L) % 997L, (k * 13L) % 997L))
+      .toDF("k", "a", "b")
+    val th = GraftTable.create(spark, tmp("graft-zoc-"), "zoc", d2.schema,
+      Seq("k"), Seq(graft.catalog.HashComponent(Seq("k"), 2)), data = Some(d2))
+    th.cluster(Seq("a", "b"), nFiles = 8)
+    th.upsert(Seq((3L, 1L, 1L)).toDF("k", "a", "b"))
+    th.compactTablet(bucket = Some(th.locateRow(Map("k" -> "3"))._1.get))
+    assert(th.meta.clusterBy.isDefined)
+    assert(th.scan().filter(col("k") === 3L).select("a").as[Long].head() == 1L)
+    // uncluster: plain PK-sorted rewrite, spec cleared, later compacts stay plain
+    t.uncluster()
+    assert(t.meta.clusterBy.isEmpty && t.meta.operation == "uncluster")
+    assert(t.scan().orderBy("k").collect().toSeq == before)
+    // a dropped clusterBy column degrades compact() to plain (no throw)
+    val td = mkTable(300)
+    td.cluster(Seq("a", "b"), nFiles = 2)
+    td.dropColumn("b")
+    td.compact() // ids no longer resolve to 2 clusterable columns → plain
+    assert(td.meta.operation == "compact")
+  }
+
   test("CALL system.cluster and input validation") {
     val t = mkTable(500)
     val f = new java.io.File(t.location)
@@ -100,6 +139,9 @@ class ZOrderSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(v == t.currentVersion && t.meta.operation == "cluster")
     assert(t.meta.baseFiles.length == 4)
+    // empty column list = CALL-face uncluster
+    spark.sql(s"CALL gzo.system.cluster('${f.getName}', '')").collect()
+    assert(t.meta.clusterBy.isEmpty && t.meta.operation == "uncluster")
     intercept[IllegalArgumentException] { t.cluster(Seq("a")) }
     intercept[IllegalArgumentException] { t.cluster(Seq("a", "a")) }
     intercept[IllegalArgumentException] { t.cluster(Seq("a", "payload")) }
