@@ -1084,8 +1084,25 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     // the scan's OUTPUT attributes, and Spark's dynamic-pruning rule
     // resolves these refs against the pruned output — reporting a
     // pruned-out partition column made that resolution throw (seen under
-    // CBO join-reorder planning, where DPP probes every join scan)
-    (meta.hash.flatMap(_.cols) ++ meta.range.toSeq.flatMap(_.columns))
+    // CBO join-reorder planning, where DPP probes every join scan).
+    // Beyond the partition columns, every bound-encodable column is
+    // reportable since the zone maps landed: a join's runtime IN-filter
+    // on ANY such column prunes files at the manifest level (zoneOk /
+    // keyIntervalOk both consume runtimeFilters), the V2 analog of the
+    // reference's scanner-side bloom-filter predicate pushed from a join
+    // (kudu-spark KuduRDD bloom filtering). OPT-IN via
+    // graft.runtimeFilter.allColumns: each reported column invites a DPP
+    // subquery per join, and the full-suite A/B at sf0.1 measured the
+    // always-on surface costing more than it saved on delta-carrying
+    // reads (q2 +0.8s, q31 +1.5s) while this suite's joins are too small
+    // to repay it — a 100 TB star join keyed on a clustered column is
+    // the shape that should flip it on.
+    (meta.hash.flatMap(_.cols) ++ meta.range.toSeq.flatMap(_.columns) ++
+      (if (spark.conf.getOption("graft.runtimeFilter.allColumns")
+           .exists(_.toBoolean))
+        meta.visibleColumns.filter(c => GraftTable.keyBoundEncodable(c.dataType))
+          .map(_.name)
+      else Nil))
       .distinct.filter(requiredSchema.fieldNames.contains)
       .map(Expressions.column).toArray
 

@@ -692,6 +692,8 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     val scan = new graft.sources.v2.GraftScanBuilder(meta).build()
       .asInstanceOf[graft.sources.v2.GraftV2Scan]
     // the scan advertises its prunable columns for dynamic filtering
+    // (partition columns by default; graft.runtimeFilter.allColumns opts
+    // every zone-mapped column in — ZoneMapSpec covers that surface)
     assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("k"))
     val before = scan.planInputPartitions()
     def nFiles(ps: Array[org.apache.spark.sql.connector.read.InputPartition]) =

@@ -120,6 +120,35 @@ class ZoneMapSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime IN filters on a non-partition column prune files via zone maps") {
+    val t = registered()
+    // opt-in surface: by default only partition columns are advertised
+    // (a DPP subquery per reported join column costs more than manifest
+    // pruning saves on the delta-carrying suite queries — measured
+    // +0.6-1.5s on q2/q31 at sf0.1 with the full surface on)
+    val defScan = new graft.sources.v2.GraftScanBuilder(t.meta).build()
+      .asInstanceOf[graft.sources.v2.GraftV2Scan]
+    assert(defScan.filterAttributes().isEmpty) // unpartitioned table
+    spark.conf.set("graft.runtimeFilter.allColumns", "true")
+    val scan = new graft.sources.v2.GraftScanBuilder(t.meta).build()
+      .asInstanceOf[graft.sources.v2.GraftV2Scan]
+    // every zone-mapped column is advertised for dynamic filtering
+    try assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("k", "v", "cat"))
+    finally spark.conf.unset("graft.runtimeFilter.allColumns")
+    // the pruning itself is flag-independent — runtime filters always ride
+    // pruneFiles once delivered
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    def nFiles(ps: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      ps.map(_.asInstanceOf[FilePartition].files.length).sum
+    val before = nFiles(scan.planInputPartitions())
+    assert(before == 4)
+    // a join-delivered IN on v (NOT the PK, NOT a partition column) must
+    // re-plan to the one file whose zone can hold it
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("v", Array(50L))))
+    assert(nFiles(scan.planInputPartitions()) == 1)
+  }
+
   test("TOP-N pushdown cuts files on ANY zone-mapped column, null-aware") {
     val raw = tmp("graft-ztnraw-")
     // 4 range-partitioned files of 100 rows; file 1 holds ALL the nulls
