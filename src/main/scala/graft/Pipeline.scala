@@ -826,6 +826,52 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    "p27_seq_pack" -> ((s, dir) => {
+      // SEQUENCE packing (p17's inner loop): the corpus token stream in
+      // doc_id order is cut into fixed 2048-token training sequences —
+      // concat-then-chunk with document spans, the standard pretraining
+      // prep. A doc occupies [start, start+toks) of the GLOBAL stream and
+      // contributes an exact slice to every sequence it crosses. The
+      // global running count is distributed exactly like p17/q33 (fixed
+      // doc_id buckets → per-bucket partial sums → tiny driver prefix
+      // scan → per-bucket window + broadcast offsets — no
+      // single-partition window); the per-doc fan-out explodes
+      // sequence(start div C, end div C), ≤ ceil(toks/C)+1 rows per doc,
+      // linear in corpus tokens at any scale.
+      import org.apache.spark.sql.expressions.Window
+      val C = 2048L
+      val base = docs(s, dir).select(col("doc_id"),
+        expr("(length(replace(text, ' ', '')) + 3) div 4").as("toks"))
+      val Array(lo, hi, n) = base.agg(
+        min("doc_id"), max("doc_id"), count(lit(1)))
+        .collect()(0).toSeq.toArray.map(_.asInstanceOf[Long])
+      val buckets = math.min(64L, math.max(1L, n / 1000 + 1))
+      val width = math.max(1L, (hi - lo) / buckets + 1)
+      val bucketed = base.withColumn("_bk", expr(s"(doc_id - $lo) div $width"))
+      val counts = bucketed.groupBy("_bk").agg(sum("toks").as("_t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val offsets = counts.scanLeft((-1L, 0L, 0L)) {
+        case ((_, acc, c0), (bk, c)) => (bk, acc + c0, c)
+      }.drop(1).map { case (bk, off, _) => (bk, off) }
+      import s.implicits._
+      val offDf = offsets.toSeq.toDF("_bk", "_off")
+      val w = Window.partitionBy(col("_bk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed.join(broadcast(offDf), "_bk")
+        .withColumn("_start",
+          col("_off") + coalesce(sum(col("toks")).over(w), lit(0L)))
+        .filter(col("toks") > 0)
+        .withColumn("_end", col("_start") + col("toks") - 1)
+        .withColumn("seq_id", explode(expr(s"sequence(_start div $C, _end div $C)")))
+        .withColumn("tok_in_seq",
+          least(col("_end"), (col("seq_id") + 1) * C - 1) -
+            greatest(col("_start"), col("seq_id") * C) + 1)
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("tok_in_seq").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("seq_id")
+    }),
+
     "p26_corpus_pipeline" -> ((s, dir) => {
       // CAPSTONE composition — the C4/RefinedWeb-style cleaning pass run
       // END TO END from the suite's own operators: keep a doc iff it is
@@ -1271,6 +1317,20 @@ object Pipeline {
 
     // the capstone composition: p1 keepers ∩ p21 keepers ∩ p9 agreement ∩
     // length gate → per-source accounting (p16/p10 arithmetic)
+    "p27_seq_pack" ->
+      ("WITH d AS (SELECT doc_id, (length(replace(text, ' ', '')) + 3) // 4 AS toks " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, toks, CAST(COALESCE(sum(toks) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st FROM d), " +
+        "e AS (SELECT doc_id, toks, st, st + toks - 1 AS fin FROM c WHERE toks > 0), " +
+        "x AS (SELECT doc_id, st, fin, " +
+        "unnest(generate_series(st // 2048, fin // 2048)) AS seq_id FROM e) " +
+        "SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(least(fin, (seq_id+1)*2048 - 1) - greatest(st, seq_id*2048) + 1) " +
+        "AS BIGINT) AS n_tokens, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+        "FROM x GROUP BY seq_id ORDER BY seq_id"),
+
     "p26_corpus_pipeline" ->
       ("WITH ke AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), " +
         "u AS (SELECT doc_id, regexp_replace(regexp_replace(lower(" +

@@ -26,6 +26,32 @@ class PipelineScaleSpec extends AnyFunSuite {
       s"running sum not bucket-partitioned:\n${winLines.mkString("\n")}")
   }
 
+  test("p27 sequence packing: bucket-partitioned cumsum, exact full sequences") {
+    val df = SparkEntry.queries("p27_seq_pack")(spark, dir)
+    val rows = df.collect()
+    // sequences are contiguous from 0 and every one except the last holds
+    // EXACTLY 2048 tokens (concat-then-chunk never under-fills)
+    val seqs = rows.map(_.getLong(0))
+    assert(seqs.head == 0L && seqs.toSeq == seqs.sorted.toSeq)
+    assert(seqs.zip(seqs.tail).forall { case (a, b) => b == a + 1 },
+      "sequence ids must be dense")
+    rows.dropRight(1).foreach(r =>
+      assert(r.getLong(2) == 2048L, s"under-filled sequence: $r"))
+    assert(rows.last.getLong(2) <= 2048L)
+    // token conservation: the packed total equals the corpus total
+    import org.apache.spark.sql.functions._
+    val total = Pipeline.queries("p10_token_count")(spark, dir)
+      .agg(sum("est_bpe_tokens")).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(2)).sum == total)
+    // the running count is bucket-partitioned — no single-partition window
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), s"RDD round-trip in plan:\n$plan")
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    assert(winLines.forall(_.contains("_bk#")),
+      s"running sum not bucket-partitioned:\n${winLines.mkString("\n")}")
+  }
+
   test("p18 decontamination: benchmark side broadcasts, corpus never shuffles for the join") {
     val df = SparkEntry.queries("p18_decontaminate")(spark, dir)
     df.collect()
