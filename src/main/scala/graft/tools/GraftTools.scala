@@ -134,6 +134,18 @@ object GraftTools {
    */
   def backupIncremental(table: GraftTable, outPath: String, fromVersion: Long): Long = {
     val head = table.currentVersion
+    // chain-specific face on the history floor: the generic "version
+    // expired" error doesn't tell the operator WHAT to do about a backup
+    // chain whose base predates retention GC
+    val floor = table.meta.historyFloor
+    if (fromVersion < floor)
+      throw new IllegalArgumentException(
+        s"backup chain broken for ${table.meta.name}: increment base " +
+          s"v$fromVersion fell below the history floor v$floor " +
+          "(expireVersions reclaimed it) — take a new FULL backup and " +
+          "restart the chain, and size history retention " +
+          "(maintain_schedule history_retention_ms / retain_last) to " +
+          "cover at least one backup interval")
     table.changes(fromVersion, head)
       .withColumn("_action", when(col("_deleted"), "DELETE").otherwise("UPSERT"))
       .drop("_deleted")

@@ -156,7 +156,9 @@ class VersionExpirySpec extends AnyFunSuite {
     // clean retention error, not a missing-file crash
     val err = intercept[IllegalArgumentException](
       graft.tools.GraftTools.backupIncremental(t, s"$wh/bad", 2L))
-    assert(err.getMessage.contains("expired"))
+    assert(err.getMessage.contains("backup chain broken") &&
+      err.getMessage.contains("FULL backup"),
+      s"want the chain-specific retention guidance, got: ${err.getMessage}")
     // the surviving chain restores to the live state exactly
     val r = graft.tools.GraftTools.restoreChain(spark, s"$wh/full",
       Seq(s"$wh/inc1", s"$wh/inc2"), s"$wh/restored", Seq("k"),
