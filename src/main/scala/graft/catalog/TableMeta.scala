@@ -250,8 +250,12 @@ case class TableMeta(
     // cluster(), cleared by uncluster(); compact()/compactTablet() honor
     // it so background maintenance cannot silently de-cluster a table the
     // operator paid to cluster. Ids that no longer resolve (a clusterBy
-    // column dropped) degrade to a plain PK-sorted rewrite.
-    clusterBy: Option[Seq[Int]] = None) {
+    // column dropped) degrade to a plain PK-sorted rewrite. clusterFiles
+    // carries the operator's chosen output file count along (0/None =
+    // session shuffle partitions) — a re-clustering compaction must not
+    // balloon a 16-file layout to spark.sql.shuffle.partitions files.
+    clusterBy: Option[Seq[Int]] = None,
+    clusterFiles: Option[Int] = None) {
 
   /** First version still readable (time travel / CDC floor). */
   def historyFloor: Long = expiredBefore.getOrElse(1L)

@@ -35,6 +35,7 @@ object PartitionPruner {
       }
     val (loYear, hiYear) = rangeKeyBounds(m, filters)
     val boundsMode = m.range.exists(_.isBounds)
+    val fileTests = compileFileTests(m, filters)
     files.filter { f =>
       val keepSet = f.rangeKey.filter(overrides.contains)
         .map(overrideSets).getOrElse(defaultBuckets)
@@ -48,123 +49,111 @@ object PartitionPruner {
           else loYear.forall(rk >= _) && hiYear.forall(rk <= _)
         case _ => true
       }
-      bucketOk && rangeOk && keyIntervalOk(m, f, filters) && zoneOk(m, f, filters)
+      bucketOk && rangeOk && fileTests.forall(_(f))
     }
   }
 
-  /** Zone-map pruning: drop a BASE file when a predicate on ANY recorded
-    * column cannot be satisfied by the file's [colLo, colHi] interval or
-    * its null count (DataFileMeta zone maps — the reference's per-rowset
-    * column statistics lifted to the manifest). BASE files only: a delta
-    * file's zone map describes its NEW values, while the base rows its
-    * tombstones kill may carry arbitrary OLD values — pruning a delta file
-    * on a non-key predicate would resurrect deleted rows. Sound under
-    * merge-on-read without any delta-disjointness check because (a) a
-    * pruned base file's own rows provably fail the predicate (zone maps
-    * are exact over the file), (b) delta-sourced rows never depend on a
-    * base file being planned (V2 folds ownerless routes into a fallback
-    * split; V1 unions the delta frame unconditionally), and (c) every
-    * pushed filter is re-evaluated above the scan on both paths.
-    * Conservative: unknown columns, absent bounds, un-encodable values,
-    * unsupported predicate shapes all keep the file. */
-  private def zoneOk(m: TableMeta, f: DataFileMeta, filters: Seq[Filter]): Boolean = {
-    if (f.kind != "base") return true
-    if (f.colLo.isEmpty && f.colNulls.isEmpty) return true
-    // Filters carry LOGICAL names on the V2/scanPruned paths but PHYSICAL
-    // names through GraftFileIndex; after a rename-swap one name can denote
-    // different columns on the two paths — refuse to prune on any name a
-    // second column could claim physically.
+  /** Per-file predicate tests, compiled ONCE per [[pruneFiles]] call —
+    * column resolution and literal encoding are file-invariant and must
+    * not repeat across a 100k-file manifest. Two prunings share the one
+    * compiled interval test per filter:
+    *
+    *  - FIRST-PK interval pruning, ANY file kind (keyLo/keyHi — the
+    *    rowset key-bounds analog, tablet/rowset_tree.cc; delta files too:
+    *    a delta file whose key interval cannot meet the predicate holds no
+    *    delta for any surviving base row, sound because both read paths
+    *    re-apply every filter above the MOR union);
+    *  - ZONE-MAP pruning on ANY recorded column, BASE files only (a delta
+    *    zone map describes its NEW values, while the base rows its
+    *    tombstones kill may carry arbitrary OLD ones — pruning a delta
+    *    file on a non-key predicate would resurrect deleted rows). Sound
+    *    under merge-on-read with no delta-disjointness check: a pruned
+    *    base file's own rows provably fail the predicate, and
+    *    delta-sourced rows never depend on a base file being planned (V2
+    *    folds ownerless routes into a fallback split; V1 unions the delta
+    *    frame unconditionally). A proven all-null column prunes under any
+    *    value predicate with no bounds at all — null satisfies none.
+    *
+    * Conservative throughout: unknown columns, rename-swapped names
+    * (filters carry LOGICAL names on the V2/scanPruned paths but PHYSICAL
+    * names through GraftFileIndex — refuse any name a second column could
+    * claim physically), absent bounds/null counts, un-encodable values,
+    * and unsupported shapes all keep the file. */
+  private def compileFileTests(m: TableMeta,
+      filters: Seq[Filter]): Seq[DataFileMeta => Boolean] = {
+    val leadKey = m.keyCols.headOption
+    val keep: DataFileMeta => Boolean = _ => true
     def colOf(name: String): Option[graft.catalog.ColumnMeta] =
       m.columns.find(_.name == name).filterNot(cm =>
         m.columns.exists(o => o.physName == name && o.id != cm.id))
-    def allNull(cm: graft.catalog.ColumnMeta): Boolean =
-      f.rows >= 0 && f.colNullCount(cm.id).contains(f.rows)
-    def bounds(cm: graft.catalog.ColumnMeta): Option[(String, String)] =
-      f.colBounds(cm.id).orElse(
-        if (m.keyCols.headOption.contains(cm.name)) f.keyLo.zip(f.keyHi) else None)
-    // Can the file hold a row satisfying a value predicate on cm, where
-    // `test` checks the encoded interval? Null rows never satisfy a value
-    // predicate, so a proven all-null column prunes with no bounds at all.
-    def canMatch(cm: graft.catalog.ColumnMeta,
-        test: ((String, String)) => Boolean): Boolean =
-      if (!f.colIds.contains(cm.id)) true // rows read the column default
-      else if (allNull(cm)) false
-      else bounds(cm).forall(test)
-    def enc(cm: graft.catalog.ColumnMeta, v: Any): Option[String] =
-      graft.table.GraftTable.encodeKeyValue(cm.dataType, v)
-    def ok(flt: Filter): Boolean = flt match {
-      case EqualTo(c, v) => colOf(c).forall(cm =>
-        canMatch(cm, { case (lo, hi) => enc(cm, v).forall(e => lo <= e && e <= hi) }))
+    // Compile a value predicate on column c: `mk` runs ONCE, receiving the
+    // column and its literal encoder, and yields the encoded-interval test
+    // (None = un-encodable/unsupported → bounds prune nothing, but the
+    // all-null prune still applies).
+    def valueTest(c: String,
+        mk: (graft.catalog.ColumnMeta, Any => Option[String]) =>
+          Option[((String, String)) => Boolean]): DataFileMeta => Boolean =
+      colOf(c) match {
+        case None => keep
+        case Some(cm) =>
+          val isLead = leadKey.contains(cm.name)
+          val test = mk(cm,
+            v => graft.table.GraftTable.encodeKeyValue(cm.dataType, v))
+          f => {
+            if (f.kind == "base") {
+              if (!f.colIds.contains(cm.id)) true // rows read the default
+              else if (f.rows >= 0L && f.colNullCount(cm.id).contains(f.rows))
+                false // proven all-null
+              else f.colBounds(cm.id)
+                .orElse(if (isLead) f.keyLo.zip(f.keyHi) else None)
+                .forall(iv => test.forall(_(iv)))
+            } else if (isLead)
+              f.keyLo.zip(f.keyHi).forall(iv => test.forall(_(iv)))
+            else true
+          }
+      }
+    def inIv(e: String): ((String, String)) => Boolean =
+      iv => iv._1 <= e && e <= iv._2
+    def compile(flt: Filter): DataFileMeta => Boolean = flt match {
+      case EqualTo(c, v) => valueTest(c, (_, enc) => enc(v).map(inIv))
       case EqualNullSafe(c, v) =>
-        if (v == null) ok(IsNull(c))
-        else ok(EqualTo(c, v))
-      case In(c, vs) => colOf(c).forall(cm =>
-        canMatch(cm, { case (lo, hi) =>
-          val es = vs.toSeq.map(v => enc(cm, v))
-          es.exists(_.isEmpty) || es.flatten.exists(e => lo <= e && e <= hi)
-        }))
-      case GreaterThan(c, v) => colOf(c).forall(cm =>
-        canMatch(cm, { case (_, hi) => enc(cm, v).forall(_ < hi) }))
-      case GreaterThanOrEqual(c, v) => colOf(c).forall(cm =>
-        canMatch(cm, { case (_, hi) => enc(cm, v).forall(_ <= hi) }))
-      case LessThan(c, v) => colOf(c).forall(cm =>
-        canMatch(cm, { case (lo, _) => enc(cm, v).forall(lo < _) }))
-      case LessThanOrEqual(c, v) => colOf(c).forall(cm =>
-        canMatch(cm, { case (lo, _) => enc(cm, v).forall(lo <= _) }))
-      case StringStartsWith(c, p) => colOf(c).forall { cm =>
-        cm.dataType != org.apache.spark.sql.types.StringType ||
-          canMatch(cm, { case (lo, hi) =>
-            enc(cm, p).forall { e =>
-              // matches encode to [e, e ++ "G") — hex digits are all < "G",
-              // so any encoding extending prefix e sorts below e + "G"
-              hi >= e && lo < e + "G"
-            }
-          })
+        if (v == null) compile(IsNull(c))
+        else compile(EqualTo(c, v)) // <=> on a non-null literal == equality
+      case In(c, vs) => valueTest(c, (_, enc) => {
+        val es = vs.toSeq.map(enc)
+        if (es.exists(_.isEmpty)) None
+        else Some(iv => es.flatten.exists(e => inIv(e)(iv)))
+      })
+      case GreaterThan(c, v) => valueTest(c, (_, enc) => enc(v).map(e => _._2 > e))
+      case GreaterThanOrEqual(c, v) => valueTest(c, (_, enc) => enc(v).map(e => _._2 >= e))
+      case LessThan(c, v) => valueTest(c, (_, enc) => enc(v).map(e => _._1 < e))
+      case LessThanOrEqual(c, v) => valueTest(c, (_, enc) => enc(v).map(e => _._1 <= e))
+      case StringStartsWith(c, p) => valueTest(c, (cm, enc) =>
+        if (cm.dataType != org.apache.spark.sql.types.StringType) None
+        else enc(p).map { e =>
+          // matches encode to [e, e ++ "G") — hex digits are all < "G",
+          // so any encoding extending prefix e sorts below e + "G"
+          iv => iv._2 >= e && iv._1 < e + "G"
+        })
+      case IsNull(c) => colOf(c) match {
+        case None => keep
+        case Some(cm) => f =>
+          f.kind != "base" || !f.colIds.contains(cm.id) ||
+            f.colNullCount(cm.id).forall(_ > 0L)
       }
-      case IsNull(c) => colOf(c).forall { cm =>
-        !f.colIds.contains(cm.id) || // absent column reads its default
-          f.colNullCount(cm.id).forall(_ > 0L)
+      case IsNotNull(c) => colOf(c) match {
+        case None => keep
+        case Some(cm) => f =>
+          f.kind != "base" || !f.colIds.contains(cm.id) ||
+            !(f.rows >= 0L && f.colNullCount(cm.id).contains(f.rows))
       }
-      case IsNotNull(c) => colOf(c).forall { cm =>
-        !f.colIds.contains(cm.id) || !allNull(cm)
-      }
-      case And(l, r) => ok(l) && ok(r) // no row can match a side ⇒ none match both
-      case Or(l, r) => ok(l) || ok(r)
-      case _ => true
+      case And(l, r) => // no row can match a side ⇒ none match both
+        val (a, b) = (compile(l), compile(r)); f => a(f) && b(f)
+      case Or(l, r) =>
+        val (a, b) = (compile(l), compile(r)); f => a(f) || b(f)
+      case _ => keep
     }
-    filters.forall(ok)
-  }
-
-  /** First-key interval pruning: drop the file when a predicate on the
-    * FIRST primary-key column cannot intersect its recorded [keyLo, keyHi].
-    * Applies to coordinate-less files (their only pruning handle) AND to
-    * hash-bucketed files carrying bounds — a PK-range scan then skips
-    * whole files inside every bucket at the manifest level, before any
-    * footer or row-group stat is consulted. Bounds are order-preserving-
-    * encoded strings (GraftTable.encodeKeyLong / encodeKeyValue), so every
-    * comparison is a plain string compare. Conservative: unsupported
-    * predicate shapes, un-encodable values, or absent bounds keep the
-    * file. */
-  private def keyIntervalOk(m: TableMeta, f: DataFileMeta, filters: Seq[Filter]): Boolean = {
-    (f.keyLo, f.keyHi) match {
-      case (Some(lo), Some(hi)) =>
-        val kc = m.keyCols.headOption.getOrElse(return true)
-        val dt = m.column(kc).dataType
-        def enc(v: Any): Option[String] =
-          graft.table.GraftTable.encodeKeyValue(dt, v)
-        filters.forall {
-          case EqualTo(c, v) if c == kc => enc(v).forall(e => lo <= e && e <= hi)
-          case In(c, vs) if c == kc =>
-            val es = vs.toSeq.map(enc)
-            es.exists(_.isEmpty) || es.flatten.exists(e => lo <= e && e <= hi)
-          case GreaterThan(c, v) if c == kc => enc(v).forall(_ < hi)
-          case GreaterThanOrEqual(c, v) if c == kc => enc(v).forall(_ <= hi)
-          case LessThan(c, v) if c == kc => enc(v).forall(lo < _)
-          case LessThanOrEqual(c, v) if c == kc => enc(v).forall(lo <= _)
-          case _ => true
-        }
-      case _ => true
-    }
+    filters.map(compile).filterNot(_ eq keep)
   }
 
   /** Bounds-mode range pruning: keep the file iff its bound's [lower,

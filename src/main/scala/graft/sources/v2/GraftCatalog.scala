@@ -641,8 +641,8 @@ class GraftScanBuilder(meta: TableMeta,
     * maps (DataFileMeta.colLo/colHi), or None when the extremes are not
     * provable: the snapshot must be clean and EVERY base file must account
     * for the column — bounds recorded, or all-null proven by its null
-    * count, or the column physically absent (those rows read the column's
-    * add-time default, which then joins the candidate set). Returns
+    * count, or the column physically absent with a NULL
+    * add-time default (a non-null default refuses — see the branch note). Returns
     * Some(None) when the column is provably all-null everywhere (MIN/MAX
     * ignore nulls → a null result). Lead-PK bounds hydrate from footers
     * for old manifests; other columns only serve from write-time zone maps
@@ -656,21 +656,17 @@ class GraftScanBuilder(meta: TableMeta,
         GraftV2Scan.hydrateKeyBounds(meta).baseFiles
       else meta.baseFiles
     val isLead = meta.keyCols.headOption.contains(cm.name)
-    val defaultEnc: Option[String] = cm.defaultValue.flatMap { d =>
-      val internal = org.apache.spark.sql.catalyst.expressions.Cast(
-        org.apache.spark.sql.catalyst.expressions.Literal(
-          org.apache.spark.unsafe.types.UTF8String.fromString(d),
-          org.apache.spark.sql.types.StringType), cm.dataType, Some("UTC"))
-        .eval(null)
-      encodeKeyBoundInternal(cm.dataType, internal)
-    }
     val perFile: Seq[Option[Option[(String, String)]]] = files.map { f =>
       if (f.rows == 0L) Some(None) // empty file contributes nothing
       else if (!f.colIds.contains(cm.id)) {
-        // rows read the add-time default: null default contributes nothing,
-        // a non-null default must be encodable to join the extremes
+        // rows read the add-time default: a null default contributes
+        // nothing; a NON-NULL default refuses — folding it in would have
+        // to materialize the default under the session timezone exactly
+        // like the read path (defaultLit), and checkReadable refuses
+        // defaulted-absent layouts on V2 anyway, so this branch stays the
+        // conservative dead-end rather than a latent wrong-extremes path
         if (cm.defaultValue.isEmpty) Some(None)
-        else defaultEnc.map(e => Some((e, e)))
+        else None
       } else {
         val b = f.colBounds(cm.id).orElse(
           if (isLead) f.keyLo.zip(f.keyHi) else None)
@@ -688,29 +684,6 @@ class GraftScanBuilder(meta: TableMeta,
     val valued = perFile.flatten.flatten
     if (valued.isEmpty) Some(None)
     else Some(Some((valued.map(_._1).min, valued.map(_._2).max)))
-  }
-
-  /** [[decodeKeyBound]]'s forward twin for catalyst-INTERNAL values (the
-    * write-side encoders take external forms) — used to fold a column
-    * default into the provable extremes. None for null or unsupported
-    * types (callers refuse to serve, conservative). */
-  private def encodeKeyBoundInternal(dt: org.apache.spark.sql.types.DataType,
-      v: Any): Option[String] = {
-    import org.apache.spark.sql.types._
-    if (v == null) return None
-    (dt, v) match {
-      case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
-        Some(GraftTable.encodeKeyLong(n.longValue()))
-      case (DateType, days: Integer) => Some(GraftTable.encodeKeyLong(days.toLong))
-      case (TimestampType, micros: java.lang.Long) =>
-        Some(GraftTable.encodeKeyLong(micros))
-      case (StringType, u: org.apache.spark.unsafe.types.UTF8String) =>
-        Some(GraftTable.encodeKeyBytes(u.getBytes))
-      case (d: DecimalType, dec: Decimal) if d.precision <= 18 =>
-        scala.util.Try(GraftTable.encodeKeyLong(
-          dec.toJavaBigDecimal.setScale(d.scale).unscaledValue().longValueExact())).toOption
-      case _ => None
-    }
   }
 
   /** Which aggregations are servable from manifest metadata alone —

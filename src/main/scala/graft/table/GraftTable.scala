@@ -1237,9 +1237,17 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       .unionByName(dLatest.filter(col(OpCol) =!= lit(OpDelete))
         .select(m.columns.map(c => col(c.name).cast(c.dataType).as(c.name)): _*))
     // a persisted clustering spec applies to the tablet rewrite too —
-    // maintenance must not de-cluster the tablets it folds
+    // maintenance must not de-cluster the tablets it folds. This rewrite
+    // covers ONE tablet, so its share of the table's clustered file count
+    // is clusterFiles / tablets (min 1 — the pre-cluster per-tablet
+    // posture), never the whole-table count per fold.
+    val perTabletFiles = {
+      val whole = m.clusterFiles.filter(_ > 0).getOrElse(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      math.max(1, whole / math.max(1, GraftTable.totalBuckets(m)))
+    }
     val newBase = writeBaseWith(m, live, v,
-      clusterColsOf(m).map(zc => buildClusterSpecFrom(m, zc, 0, live)))
+      clusterColsOf(m).map(zc => buildClusterSpecFrom(m, zc, perTabletFiles, live)))
     val restDir = Paths.get(location, "data",
       s"c${v}_deltamerge_${java.util.UUID.randomUUID().toString.take(8)}").toString
     try {
@@ -1319,8 +1327,10 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // plain PK-sorted rewrite)
     clusterColsOf(m) match {
       case Some(zc) =>
-        rewriteBase(m, "compact", Some(buildClusterSpec(m, zc, 0)), m.clusterBy)
-      case None => rewriteBase(m, "compact", None, m.clusterBy)
+        rewriteBase(m, "compact",
+          Some(buildClusterSpec(m, zc, m.clusterFiles.getOrElse(0))),
+          m.clusterBy, m.clusterFiles)
+      case None => rewriteBase(m, "compact", None, m.clusterBy, m.clusterFiles)
     }
   }
 
@@ -1359,12 +1369,12 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
           "preserving zone-map encoding; float/double/string refuse)")
     }
     rewriteBase(m, "cluster", Some(buildClusterSpec(m, zcols, nFiles)),
-      Some(zcols.map(c => m.column(c).id)))
+      Some(zcols.map(c => m.column(c).id)), Some(nFiles).filter(_ > 0))
   }
 
   /** Clear the persisted clustering spec with a plain PK-sorted rewrite —
     * later compactions stop re-clustering. */
-  def uncluster(): Unit = rewriteBase(meta, "uncluster", None, None)
+  def uncluster(): Unit = rewriteBase(meta, "uncluster", None, None, None)
 
   /** Equi-depth cut points per cluster column (one approx job; ≤255
     * doubles per column on the driver — bounded at any table size) folded
@@ -1390,7 +1400,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
 
   private def rewriteBase(m: TableMeta, op: String,
       spec: Option[GraftTable.ZCluster],
-      newClusterBy: Option[Seq[Int]]): Unit = {
+      newClusterBy: Option[Seq[Int]],
+      newClusterFiles: Option[Int]): Unit = {
     val v = m.version + 1
     val snapshot = scanMeta(m)
     val files = writeBaseWith(m, snapshot, v, spec)
@@ -1398,7 +1409,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // (uncovered ranges stay uncovered for writes)
     try TableMeta.write(m.copy(version = v, timestampMs = now(), operation = op,
       baseFiles = files, deltaFiles = Nil, droppedRanges = None,
-      clusterBy = newClusterBy))
+      clusterBy = newClusterBy, clusterFiles = newClusterFiles))
     catch {
       case e: Throwable =>
         // lost the metadata race — sweep the rewritten base attempt (walk up

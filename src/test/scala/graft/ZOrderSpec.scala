@@ -101,6 +101,9 @@ class ZOrderSpec extends AnyFunSuite {
     t.compact()
     val m = t.meta
     assert(m.operation == "compact" && m.clusterBy.isDefined)
+    // the operator's chosen file count survives re-clustering: a compact
+    // must not balloon the 8-file layout to spark.sql.shuffle.partitions
+    assert(m.baseFiles.length == 8, s"files=${m.baseFiles.length}")
     assert(t.scan().orderBy("k").collect().toSeq == before)
     def kept(fs: org.apache.spark.sql.sources.Filter*) =
       graft.sources.PartitionPruner.pruneFiles(m, m.baseFiles, fs).length
@@ -115,6 +118,10 @@ class ZOrderSpec extends AnyFunSuite {
     th.upsert(Seq((3L, 1L, 1L)).toDF("k", "a", "b"))
     th.compactTablet(bucket = Some(th.locateRow(Map("k" -> "3"))._1.get))
     assert(th.meta.clusterBy.isDefined)
+    // one tablet's fold writes its SHARE of the clustered count (8/2
+    // buckets = 4), not the whole-table count per fold
+    assert(th.meta.baseFiles.length <= 8,
+      s"tablet fold ballooned to ${th.meta.baseFiles.length} files")
     assert(th.scan().filter(col("k") === 3L).select("a").as[Long].head() == 1L)
     // uncluster: plain PK-sorted rewrite, spec cleared, later compacts stay plain
     t.uncluster()
