@@ -46,7 +46,7 @@ private[v2] object GraftProcedures {
 
   val names: Array[String] = Array(
     "analyze", "cluster", "compact", "compact_deltas", "compact_tablet",
-    "locate_row", "expire_versions",
+    "locate_row", "expire_versions", "zone_stats",
     "maintain", "maintain_schedule", "maintain_schedule_warehouse",
     "maintain_unschedule", "maintain_unschedule_warehouse",
     "maintain_schedule_status", "maintenance_plan", "merge_tail",
@@ -105,6 +105,33 @@ private[v2] object GraftProcedures {
           t.meta.colStats.getOrElse(Map.empty).toSeq.sortBy(_._1).map {
             case (n, cs) => InternalRow(str(n), cs.ndv, cs.nullCount,
               cs.min.map(str).orNull, cs.max.map(str).orNull)
+          }
+        })
+      case "zone_stats" => Some(proc("zone_stats",
+        "per-base-file zone map of one column (decoded min/max, null " +
+          "count, rows) — the operator's 'is this table clustered well on " +
+          "X?' report; interval overlap across rows is the clustering " +
+          "quality signal",
+        Array(tableParam, ProcedureParameter.in("column", StringType).build()),
+        new StructType().add("file", StringType).add("rows", LongType)
+          .add("lo", StringType).add("hi", StringType)
+          .add("nulls", LongType).add("bucket", StringType)) { in =>
+          val t = locate(in)
+          val m = t.meta
+          val cm = m.column(in.getUTF8String(1).toString)
+          val isLead = m.keyCols.headOption.contains(cm.name)
+          m.baseFiles.sortBy(_.path).map { f =>
+            val b = f.colBounds(cm.id).orElse(
+              if (isLead) f.keyLo.zip(f.keyHi) else None)
+            def disp(e: String) =
+              str(GraftTable.decodeBoundDisplay(cm.dataType, e))
+            InternalRow(
+              str(f.path.substring(f.path.lastIndexOf('/') + 1)),
+              f.rows,
+              b.map(x => disp(x._1)).orNull,
+              b.map(x => disp(x._2)).orNull,
+              f.colNullCount(cm.id).getOrElse(-1L),
+              f.bucket.map(x => str(x.toString)).orNull)
           }
         })
       case "cluster" => Some(proc("cluster",

@@ -1366,7 +1366,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       val dt = m.column(c).dataType
       require(GraftTable.zClusterable(dt),
         s"cannot z-cluster on $c: ${dt.simpleString} (needs an order-" +
-          "preserving zone-map encoding; float/double/string refuse)")
+          "preserving zone-map encoding; float/double refuse — parquet " +
+          "min/max are undefined under NaN)")
     }
     rewriteBase(m, "cluster", Some(buildClusterSpec(m, zcols, nFiles)),
       Some(zcols.map(c => m.column(c).id)), Some(nFiles).filter(_ > 0))
@@ -1376,26 +1377,49 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     * later compactions stop re-clustering. */
   def uncluster(): Unit = rewriteBase(meta, "uncluster", None, None, None)
 
-  /** Equi-depth cut points per cluster column (one approx job; ≤255
-    * doubles per column on the driver — bounded at any table size) folded
-    * into the Morton-code spec writeBase applies. */
+  /** Equi-depth cut points per cluster column (bounded driver work at any
+    * table size) folded into the Morton-code spec writeBase applies. */
   private def buildClusterSpec(m: TableMeta, zcols: Seq[String],
       nFiles: Int): GraftTable.ZCluster =
     buildClusterSpecFrom(m, zcols, nFiles, scanMeta(m))
 
   /** Spec over an explicit frame: compactTablet clusters one tablet with
-    * TABLET-LOCAL quantiles (tighter bins than global ones there). */
+    * TABLET-LOCAL cuts (tighter bins than global ones there).
+    *
+    * Cuts come from a DETERMINISTIC hash sample of the ORDER-PRESERVING
+    * ENCODED values (encodeKeyExpr — the zone maps' own comparison
+    * domain), sorted driver-side and thinned to ≤255 separators per
+    * column: exact ordering for 64-bit domains and full-length strings
+    * where approxQuantile's double domain collapses everything past 2^53
+    * (a measured failure: 50 distinct host names binned identically).
+    * Driver memory is bounded by the ~60k-row sample × 64-char truncated
+    * cuts (a truncated separator is still a valid monotone separator —
+    * bins shift, order never inverts); one count + one sample-collect job
+    * per rewrite, noise against the rewrite itself. */
   private def buildClusterSpecFrom(m: TableMeta, zcols: Seq[String],
       nFiles: Int, snapshot: DataFrame): GraftTable.ZCluster = {
-    val derived = snapshot.select(zcols.map(c =>
-      GraftTable.zNumeric(col(c), m.column(c).dataType).as(c)): _*)
-    val cuts = derived.stat.approxQuantile(zcols.toArray,
-      (1 until 256).map(_ / 256.0).toArray, 0.005)
+    def encCol(c: String, resolve: String => Column): Column =
+      GraftTable.encodeKeyExpr(m.column(c).dataType, resolve(c)).getOrElse(
+        throw new IllegalStateException(
+          s"cluster column $c passed zClusterable but has no encoding (guard drift)"))
+    val derived = snapshot.select(zcols.map(c => encCol(c, col(_)).as(c)): _*)
+    val n = derived.count()
+    val mod = 1L << 20
+    val thresh = math.max(1L,
+      math.min(mod, (60000.0 / math.max(1L, n) * mod).toLong))
+    val sampled = derived
+      .filter(pmod(xxhash64(zcols.map(col): _*), lit(mod)) < lit(thresh))
+      .collect()
+    val cuts: Map[String, Seq[String]] = zcols.zipWithIndex.map { case (c, i) =>
+      val vs = sampled.flatMap(r => Option(r.getString(i))).sorted
+      val step = math.max(1, vs.length / 256)
+      c -> vs.indices.collect {
+        case j if j % step == 0 && j > 0 => vs(j).take(64)
+      }.distinct.toSeq.sorted.take(255)
+    }.toMap
     GraftTable.ZCluster(resolve =>
-      GraftTable.zorderExpr(zcols.zip(cuts.toSeq).map { case (c, q) =>
-        (GraftTable.zNumeric(resolve(c), m.column(c).dataType),
-          q.toSeq.distinct.sorted)
-      }), nFiles)
+      GraftTable.zorderExpr(zcols.map(c => (encCol(c, resolve), cuts(c)))),
+      nFiles)
   }
 
   private def rewriteBase(m: TableMeta, op: String,
@@ -2172,49 +2196,39 @@ object GraftTable {
       expr: (String => org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
       files: Int)
 
-  /** Types a clustered rewrite accepts: quantile-binnable through a numeric
-    * derivation AND zone-map encodable (clustering is pointless on columns
-    * whose bounds the manifest cannot record — float/double are excluded by
-    * the NaN-undefined parquet stats ordering, strings by approxQuantile). */
-  def zClusterable(dt: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case ByteType | ShortType | IntegerType | LongType | DateType |
-           TimestampType | TimestampNTZType => true
-      case d: DecimalType if d.precision <= 18 => true
-      case _ => false
-    }
-  }
+  /** Types a clustered rewrite accepts — exactly the zone-map-encodable
+    * set: clustering bins through the order-preserving encoding
+    * ([[encodeKeyExpr]]), and it is pointless on columns whose bounds the
+    * manifest cannot record (float/double are excluded by the
+    * NaN-undefined parquet stats ordering). */
+  def zClusterable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    keyBoundEncodable(dt)
 
-  /** Order-preserving numeric derivation used for quantile binning. */
-  private[table] def zNumeric(c: org.apache.spark.sql.Column,
-      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types._
-    dt match {
-      case DateType => unix_date(c).cast(DoubleType)
-      case TimestampType => unix_micros(c).cast(DoubleType)
-      case TimestampNTZType => unix_micros(c.cast(TimestampType)).cast(DoubleType)
-      case _ => c.cast(DoubleType)
-    }
-  }
-
-  /** Morton (Z-order) code over quantile-binned columns: each column maps
-    * to its 8-bit equi-depth bin (count of quantile cuts below the value —
-    * rank-normalized, so skew cannot starve a column's bits the way raw
-    * bit-interleaving would), then bit j of column i lands at position
-    * j*k + i. Bin lookup is an array-predicate scan over ≤255 broadcast
-    * cut points; the interleave itself is pure codegen'd bitwise ops. A
-    * null (or all-null column) bins to 0 — deterministic, clusters nulls
-    * together. */
-  def zorderExpr(cols: Seq[(org.apache.spark.sql.Column, Seq[Double])])
+  /** Morton (Z-order) code over equi-depth-binned columns. Each column
+    * derives through the order-preserving STRING encoding (encodeKeyExpr
+    * — the same domain the zone maps compare in), so binning is exact for
+    * full 64-bit ranges and full-length strings alike (a double-based
+    * derivation collapses values past 2^53 — host-name prefixes read as
+    * an 8-byte integer all rounded to the same bin). The bin is the count
+    * of cut points ≤ the value (≤255 broadcast strings, rank-normalized
+    * so skew cannot starve a column's bits); bit j of column i lands at
+    * position j*k + i — pure codegen'd bitwise ops above the one
+    * array-predicate scan. A null (or all-null column) bins to 0 —
+    * deterministic, clusters nulls together. */
+  def zorderExpr(cols: Seq[(org.apache.spark.sql.Column, Seq[String])])
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     val k = cols.length
     val bins = cols.map { case (c, cuts) =>
       if (cuts.isEmpty) lit(0L)
-      else size(filter(typedLit(cuts), x => c >= x)).cast(LongType)
+      // scale the raw cut-count (0..cuts.size) onto the FULL 0..255 range:
+      // a low-NDV column (say 50 distinct values → ~49 cuts) would
+      // otherwise never set its high bits and lose the interleave to its
+      // neighbors entirely — measured: host names binned 0..49 let the
+      // timestamp own every significant bit and host pruning kept 8/8
+      else (size(filter(typedLit(cuts), x => c >= x)).cast(LongType) *
+        lit(256L) / lit(cuts.size + 1L)).cast(LongType)
     }
     bins.zipWithIndex.foldLeft(lit(0L)) { case (acc, (bin, i)) =>
       (0 until 8).foldLeft(acc) { (a, j) =>
@@ -2512,6 +2526,30 @@ object GraftTable {
     * lexicographic through hex pairs). */
   def encodeKeyBytes(b: Array[Byte]): String =
     b.map(x => f"$x%02X").mkString
+
+  /** Human-readable rendering of an order-preserving-encoded bound (the
+    * zone_stats display face — inverse of [[encodeKeyValue]] into external
+    * string form; falls back to the raw encoding on anything it cannot
+    * invert). */
+  def decodeBoundDisplay(dt: org.apache.spark.sql.types.DataType,
+      enc: String): String =
+    try {
+      import org.apache.spark.sql.types._
+      def decLong: Long = java.lang.Long.parseUnsignedLong(enc, 16) ^ Long.MinValue
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType => decLong.toString
+        case DateType => java.time.LocalDate.ofEpochDay(decLong).toString
+        case TimestampType | TimestampNTZType =>
+          java.time.Instant.ofEpochSecond(Math.floorDiv(decLong, 1000000L),
+            Math.floorMod(decLong, 1000000L) * 1000L).toString
+        case StringType => new String(
+          enc.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+        case d: DecimalType if d.precision <= 18 =>
+          scala.math.BigDecimal(BigInt(decLong), d.scale).toString
+        case _ => enc
+      }
+    } catch { case _: Exception => enc }
 
   /** The bound encoding for a DRIVER-SIDE literal (a pushed filter's value)
     * — same order-preserving form as [[encodeKeyLong]]/[[encodeKeyExpr]],

@@ -99,7 +99,7 @@ class ProceduresSpec extends AnyFunSuite {
     mkTable("m5")
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
       .map(_.getAs[String]("procedure_name")).toSet
-    assert(listed == Set("analyze", "cluster", "compact", "compact_deltas",
+    assert(listed == Set("analyze", "cluster", "zone_stats", "compact", "compact_deltas",
       "compact_tablet", "expire_versions", "locate_row", "maintain", "maintain_schedule",
       "maintain_schedule_warehouse", "maintain_unschedule",
       "maintain_unschedule_warehouse", "maintain_schedule_status",
