@@ -615,27 +615,10 @@ class GraftScanBuilder(meta: TableMeta,
   }
 
   /** Invert [[GraftTable.encodeKeyValue]]'s order-preserving encoding back
-    * to the catalyst-INTERNAL value. Whitelist matches the encoder minus
-    * TimestampNTZ (its encoding shifts through the session zone — not
-    * losslessly invertible here). */
+    * to the catalyst-INTERNAL value — delegates to the one shared decode
+    * core (GraftTable.decodeBound; zone_stats renders through the same). */
   private def decodeKeyBound(dt: org.apache.spark.sql.types.DataType,
-      enc: String): Option[Any] = {
-    import org.apache.spark.sql.types._
-    def decLong: Long = java.lang.Long.parseUnsignedLong(enc, 16) ^ Long.MinValue
-    dt match {
-      case ByteType => Some(decLong.toByte)
-      case ShortType => Some(decLong.toShort)
-      case IntegerType => Some(decLong.toInt)
-      case LongType => Some(decLong)
-      case DateType => Some(decLong.toInt) // internal days
-      case TimestampType => Some(decLong) // internal micros (UTC, zone-free)
-      case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(
-        enc.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray))
-      case d: DecimalType if d.precision <= 18 => Some(Decimal(
-        scala.math.BigDecimal(BigInt(decLong), d.scale), d.precision, d.scale))
-      case _ => None
-    }
-  }
+      enc: String): Option[Any] = GraftTable.decodeBound(dt, enc)
 
   /** Global (encodedMin, encodedMax) of ANY column from the per-file zone
     * maps (DataFileMeta.colLo/colHi), or None when the extremes are not

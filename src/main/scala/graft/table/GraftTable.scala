@@ -1244,10 +1244,22 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     val perTabletFiles = {
       val whole = m.clusterFiles.filter(_ > 0).getOrElse(
         spark.conf.get("spark.sql.shuffle.partitions").toInt)
-      math.max(1, whole / math.max(1, GraftTable.totalBuckets(m)))
+      // tablet count from the MANIFEST's actual coordinates — dividing by
+      // hash buckets alone under-counts range×hash layouts (and counts 1
+      // for range-only tables), handing ONE tablet the whole-table file
+      // budget on every background fold
+      val tablets = math.max(1,
+        m.baseFiles.map(f => (f.bucket, f.rangeKey)).distinct.size)
+      math.max(1, whole / tablets)
     }
+    // tablet-local row count from the manifest sizes the sample fraction
+    val tabletRows =
+      if (inTablet.forall(_.rows >= 0L))
+        Some(inTablet.map(_.rows).sum + touch.map(f => math.max(0L, f.rows)).sum)
+      else None
     val newBase = writeBaseWith(m, live, v,
-      clusterColsOf(m).map(zc => buildClusterSpecFrom(m, zc, perTabletFiles, live)))
+      clusterColsOf(m).map(zc =>
+        buildClusterSpecFrom(m, zc, perTabletFiles, live, tabletRows)))
     val restDir = Paths.get(location, "data",
       s"c${v}_deltamerge_${java.util.UUID.randomUUID().toString.take(8)}").toString
     try {
@@ -1378,44 +1390,66 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   def uncluster(): Unit = rewriteBase(meta, "uncluster", None, None, None)
 
   /** Equi-depth cut points per cluster column (bounded driver work at any
-    * table size) folded into the Morton-code spec writeBase applies. */
+    * table size) folded into the Morton-code spec writeBase applies. Row
+    * count for the sampling fraction comes from MANIFEST footer counts
+    * (no extra count job); unknown counts (-1 in old manifests) fall back
+    * to one count job. */
   private def buildClusterSpec(m: TableMeta, zcols: Seq[String],
-      nFiles: Int): GraftTable.ZCluster =
-    buildClusterSpecFrom(m, zcols, nFiles, scanMeta(m))
+      nFiles: Int): GraftTable.ZCluster = {
+    val manifestRows =
+      if (m.baseFiles.forall(_.rows >= 0L))
+        Some(m.baseFiles.map(_.rows).sum + m.deltaFiles.map(f => math.max(0L, f.rows)).sum)
+      else None
+    buildClusterSpecFrom(m, zcols, nFiles, scanMeta(m), manifestRows)
+  }
 
   /** Spec over an explicit frame: compactTablet clusters one tablet with
     * TABLET-LOCAL cuts (tighter bins than global ones there).
     *
     * Cuts come from a DETERMINISTIC hash sample of the ORDER-PRESERVING
     * ENCODED values (encodeKeyExpr — the zone maps' own comparison
-    * domain), sorted driver-side and thinned to ≤255 separators per
-    * column: exact ordering for 64-bit domains and full-length strings
-    * where approxQuantile's double domain collapses everything past 2^53
-    * (a measured failure: 50 distinct host names binned identically).
+    * domain), sorted driver-side and thinned to ≤255 evenly-spaced
+    * separators per column: exact ordering for 64-bit domains and
+    * full-length strings where approxQuantile's double domain collapses
+    * everything past 2^53 (a measured failure: 50 distinct host names
+    * binned identically). The sample hashes ROW IDENTITY (the PK
+    * columns) — hashing the cluster values would sample whole distinct
+    * TUPLES all-or-nothing, which on low-NDV combinations is an empty
+    * sample (silent no-op clustering) or a heavy-hitter driver collect.
     * Driver memory is bounded by the ~60k-row sample × 64-char truncated
     * cuts (a truncated separator is still a valid monotone separator —
-    * bins shift, order never inverts); one count + one sample-collect job
-    * per rewrite, noise against the rewrite itself. */
+    * bins shift, order never inverts); the 2^40 hash modulus keeps the
+    * fraction scaling down past 10^10 rows. `rowsHint` (manifest footer
+    * counts) sizes the fraction without a count job — the rewrite pays
+    * one sample pass plus the write. A fraction ~2× off from a stale
+    * hint only moves the sample size, never correctness. */
   private def buildClusterSpecFrom(m: TableMeta, zcols: Seq[String],
-      nFiles: Int, snapshot: DataFrame): GraftTable.ZCluster = {
+      nFiles: Int, snapshot: DataFrame,
+      rowsHint: Option[Long]): GraftTable.ZCluster = {
     def encCol(c: String, resolve: String => Column): Column =
       GraftTable.encodeKeyExpr(m.column(c).dataType, resolve(c)).getOrElse(
         throw new IllegalStateException(
           s"cluster column $c passed zClusterable but has no encoding (guard drift)"))
-    val derived = snapshot.select(zcols.map(c => encCol(c, col(_)).as(c)): _*)
-    val n = derived.count()
-    val mod = 1L << 20
+    val zAlias = zcols.indices.map(i => s"_graft_zc$i")
+    val keyed = snapshot.select(
+      m.keyCols.map(col) ++
+        zcols.zip(zAlias).map { case (c, a) => encCol(c, col(_)).as(a) }: _*)
+    val n = rowsHint.getOrElse(keyed.count())
+    val mod = 1L << 40
     val thresh = math.max(1L,
       math.min(mod, (60000.0 / math.max(1L, n) * mod).toLong))
-    val sampled = derived
-      .filter(pmod(xxhash64(zcols.map(col): _*), lit(mod)) < lit(thresh))
+    val sampled = keyed
+      .filter(pmod(xxhash64(m.keyCols.map(col): _*), lit(mod)) < lit(thresh))
+      .select(zAlias.map(col): _*)
       .collect()
     val cuts: Map[String, Seq[String]] = zcols.zipWithIndex.map { case (c, i) =>
       val vs = sampled.flatMap(r => Option(r.getString(i))).sorted
-      val step = math.max(1, vs.length / 256)
-      c -> vs.indices.collect {
-        case j if j % step == 0 && j > 0 => vs(j).take(64)
-      }.distinct.toSeq.sorted.take(255)
+      // 255 evenly-spaced quantile indices — a floor(len/256) stride would
+      // overshoot and truncate separators from the TOP of the domain,
+      // collapsing up to half the range into the highest bin
+      c -> (1 to 255).map(q => q * vs.length / 256)
+        .filter(j => j > 0 && j < vs.length)
+        .map(j => vs(j).take(64)).distinct.sorted
     }.toMap
     GraftTable.ZCluster(resolve =>
       GraftTable.zorderExpr(zcols.map(c => (encCol(c, resolve), cuts(c)))),
@@ -2527,29 +2561,49 @@ object GraftTable {
   def encodeKeyBytes(b: Array[Byte]): String =
     b.map(x => f"$x%02X").mkString
 
-  /** Human-readable rendering of an order-preserving-encoded bound (the
-    * zone_stats display face — inverse of [[encodeKeyValue]] into external
-    * string form; falls back to the raw encoding on anything it cannot
-    * invert). */
-  def decodeBoundDisplay(dt: org.apache.spark.sql.types.DataType,
-      enc: String): String =
+  /** Invert the order-preserving bound encoding back to the
+    * catalyst-INTERNAL value — THE decode core: the V2 metadata-aggregate
+    * path (GraftScanBuilder) and the zone_stats display both ride this
+    * one implementation, so an encoding change cannot silently diverge
+    * them. Whitelist matches the encoder minus TimestampNTZ (its encoding
+    * shifts through the session zone — not losslessly invertible here). */
+  def decodeBound(dt: org.apache.spark.sql.types.DataType,
+      enc: String): Option[Any] = {
+    import org.apache.spark.sql.types._
     try {
-      import org.apache.spark.sql.types._
       def decLong: Long = java.lang.Long.parseUnsignedLong(enc, 16) ^ Long.MinValue
       dt match {
-        case ByteType | ShortType | IntegerType | LongType => decLong.toString
-        case DateType => java.time.LocalDate.ofEpochDay(decLong).toString
-        case TimestampType | TimestampNTZType =>
-          java.time.Instant.ofEpochSecond(Math.floorDiv(decLong, 1000000L),
-            Math.floorMod(decLong, 1000000L) * 1000L).toString
-        case StringType => new String(
-          enc.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray,
-          java.nio.charset.StandardCharsets.UTF_8)
-        case d: DecimalType if d.precision <= 18 =>
-          scala.math.BigDecimal(BigInt(decLong), d.scale).toString
-        case _ => enc
+        case ByteType => Some(decLong.toByte)
+        case ShortType => Some(decLong.toShort)
+        case IntegerType => Some(decLong.toInt)
+        case LongType => Some(decLong)
+        case DateType => Some(decLong.toInt) // internal days
+        case TimestampType => Some(decLong) // internal micros (UTC, zone-free)
+        case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(
+          enc.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray))
+        case d: DecimalType if d.precision <= 18 => Some(Decimal(
+          scala.math.BigDecimal(BigInt(decLong), d.scale), d.precision, d.scale))
+        case _ => None
       }
-    } catch { case _: Exception => enc }
+    } catch { case _: Exception => None }
+  }
+
+  /** Human-readable rendering of an encoded bound (the zone_stats display
+    * face — [[decodeBound]] plus a render layer; falls back to the raw
+    * encoding on anything uninvertible). */
+  def decodeBoundDisplay(dt: org.apache.spark.sql.types.DataType,
+      enc: String): String = {
+    import org.apache.spark.sql.types._
+    decodeBound(dt, enc).map { v =>
+      (dt, v) match {
+        case (DateType, days: Int) => java.time.LocalDate.ofEpochDay(days.toLong).toString
+        case (TimestampType, micros: Long) =>
+          java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+            Math.floorMod(micros, 1000000L) * 1000L).toString
+        case _ => v.toString
+      }
+    }.getOrElse(enc)
+  }
 
   /** The bound encoding for a DRIVER-SIDE literal (a pushed filter's value)
     * — same order-preserving form as [[encodeKeyLong]]/[[encodeKeyExpr]],
