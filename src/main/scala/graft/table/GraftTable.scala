@@ -2256,13 +2256,21 @@ object GraftTable {
     val k = cols.length
     val bins = cols.map { case (c, cuts) =>
       if (cuts.isEmpty) lit(0L)
-      // scale the raw cut-count (0..cuts.size) onto the FULL 0..255 range:
-      // a low-NDV column (say 50 distinct values → ~49 cuts) would
-      // otherwise never set its high bits and lose the interleave to its
-      // neighbors entirely — measured: host names binned 0..49 let the
-      // timestamp own every significant bit and host pruning kept 8/8
-      else (size(filter(typedLit(cuts), x => c >= x)).cast(LongType) *
-        lit(256L) / lit(cuts.size + 1L)).cast(LongType)
+      else {
+        // binary-search bin kernel (ZBin, codegen'd): the HOF form scanned
+        // all ≤255 cut strings per row with an interpreted lambda — ×3
+        // full-table evaluations per rewrite, measured 3.1 s → 11.2 s on
+        // the q51 gate. Null values bin to 0 (nulls cluster together).
+        // Then scale the raw cut-count (0..cuts.size) onto the FULL 0..255
+        // range: a low-NDV column (say 50 distinct values → ~49 cuts)
+        // would otherwise never set its high bits and lose the interleave
+        // to its neighbors entirely — measured: host names binned 0..49
+        // let the timestamp own every significant bit (pruning kept 8/8)
+        val raw = org.apache.spark.sql.GraftSqlBridge.toColumn(
+          graft.functions.expressions.ZBin(
+            org.apache.spark.sql.GraftSqlBridge.toExpression(c), cuts))
+        (coalesce(raw, lit(0L)) * lit(256L) / lit(cuts.size + 1L)).cast(LongType)
+      }
     }
     bins.zipWithIndex.foldLeft(lit(0L)) { case (acc, (bin, i)) =>
       (0 until 8).foldLeft(acc) { (a, j) =>

@@ -168,12 +168,19 @@ class RangeBoundsSpec extends AnyFunSuite {
     assert(t.meta.baseFiles.forall(f => f.path.contains(s"_r=${f.rangeKey.get}")))
     // first-column pruning against file paths: month='2024-02' cannot live
     // in m1_small ([.., (2024-01,100)) has closed first-col upper 2024-01)
-    val m = t.meta
+    // judge the RANGE-BOUND pruner in isolation (zone maps stripped): the
+    // closed first-col upper keeps m1_big conservatively at the range level
+    val m0 = t.meta
+    val m = m0.copy(baseFiles = m0.baseFiles.map(_.copy(
+      colLo = None, colHi = None, colNulls = None)))
     def prunedKeys(fs: org.apache.spark.sql.sources.Filter*): Set[String] =
       PartitionPruner.pruneFiles(m, m.baseFiles, fs).flatMap(_.rangeKey).toSet
     assert(prunedKeys(EqualTo("month", "2024-02")) == Set("m1_big", "m2"))
     assert(prunedKeys(LessThan("month", "2024-01")) == Set())
     assert(prunedKeys(GreaterThanOrEqual("month", "2024-02")) == Set("m1_big", "m2"))
+    // with zone maps on, m1_big's single 2024-01 row provably excludes it
+    assert(PartitionPruner.pruneFiles(m0, m0.baseFiles,
+      Seq(EqualTo("month", "2024-02"))).flatMap(_.rangeKey).toSet == Set("m2"))
     // engine read path agrees
     assert(t.scan().filter(col("month") === "2024-01").count() == 3)
     assert(t.scanPruned(Seq(EqualTo("month", "2024-02"))).inputFiles.length
