@@ -1462,7 +1462,10 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       newClusterFiles: Option[Int]): Unit = {
     val v = m.version + 1
     val snapshot = scanMeta(m)
-    val files = writeBaseWith(m, snapshot, v, spec)
+    // the write must see the clusterBy being COMMITTED (the first
+    // cluster() rewrite happens before the ids land in the manifest) so
+    // boundsColumns prioritizes the cluster columns inside the zone-map cap
+    val files = writeBaseWith(m.copy(clusterBy = newClusterBy), snapshot, v, spec)
     // the rewritten base has no dropped-range rows → the masks retire
     // (uncovered ranges stay uncovered for writes)
     try TableMeta.write(m.copy(version = v, timestampMs = now(), operation = op,
@@ -2670,15 +2673,26 @@ object GraftTable {
     * gathered for capped columns regardless of type. */
   private[graft] def boundsColumns(spark: org.apache.spark.sql.SparkSession,
       m: graft.catalog.TableMeta): Seq[(Int, String, org.apache.spark.sql.types.DataType)] =
-    boundsColumns(spark, m.columns, m.keyCols)
+    boundsColumns(spark, m.columns, m.keyCols, m.clusterBy.getOrElse(Nil))
 
   private[graft] def boundsColumns(spark: org.apache.spark.sql.SparkSession,
       columns: Seq[graft.catalog.ColumnMeta],
-      keyCols: Seq[String]): Seq[(Int, String, org.apache.spark.sql.types.DataType)] = {
+      keyCols: Seq[String]): Seq[(Int, String, org.apache.spark.sql.types.DataType)] =
+    boundsColumns(spark, columns, keyCols, Nil)
+
+  private[graft] def boundsColumns(spark: org.apache.spark.sql.SparkSession,
+      columns: Seq[graft.catalog.ColumnMeta],
+      keyCols: Seq[String],
+      clusterIds: Seq[Int]): Seq[(Int, String, org.apache.spark.sql.types.DataType)] = {
     val cap = spark.conf.getOption("graft.bounds.maxColumns").map(_.toInt).getOrElse(32)
-    val (keys, rest) = columns.partition(c => keyCols.contains(c.name))
-    (keys ++ rest.filter(c => keyBoundEncodable(c.dataType)))
-      .take(math.max(cap, keys.length))
+    // keys first, then CLUSTER columns (a wide table clustered on columns
+    // past the cap would otherwise record no bounds for exactly the
+    // columns the operator paid to cluster — zone pruning dead on
+    // arrival), then the rest in schema order
+    val (keys, rest0) = columns.partition(c => keyCols.contains(c.name))
+    val (clustered, rest) = rest0.partition(c => clusterIds.contains(c.id))
+    (keys ++ (clustered ++ rest).filter(c => keyBoundEncodable(c.dataType)))
+      .take(math.max(cap, keys.length + clustered.length))
       .map(c => (c.id, c.physName, c.dataType))
   }
 

@@ -190,6 +190,32 @@ class ZOrderSpec extends AnyFunSuite {
     assert(krows.forall(r => r.getString(2) != null))
   }
 
+  test("cluster columns past the zone-map cap still record bounds") {
+    // 40 payload columns with cap 4: the cluster columns sit at the END of
+    // the schema and would fall outside the cap — boundsColumns must
+    // prioritize them or the clustering records no prunable bounds at all
+    spark.conf.set("graft.bounds.maxColumns", "4")
+    try {
+      val base = (1 to 500).map(k => k.toLong).toDF("k")
+      val wide = (1 to 40).foldLeft(base)((df, i) =>
+        df.withColumn(s"c$i", col("k") * i))
+        .withColumn("za", col("k") % 100L).withColumn("zb", col("k") % 7L)
+      val t = GraftTable.create(spark, tmp("graft-zow-"), "zow", wide.schema,
+        Seq("k"), data = Some(wide))
+      t.cluster(Seq("za", "zb"), nFiles = 4)
+      val m = t.meta
+      val zaId = m.column("za").id
+      assert(m.baseFiles.forall(_.colBounds(zaId).isDefined),
+        "cluster column must carry zone maps despite the cap")
+      // and a non-priority payload column is capped out, proving the cap bites
+      val c40 = m.column("c40").id
+      assert(m.baseFiles.forall(_.colBounds(c40).isEmpty))
+      val kept = graft.sources.PartitionPruner.pruneFiles(m, m.baseFiles,
+        Seq(LessThan("za", 25L))).length
+      assert(kept < m.baseFiles.length, s"kept $kept of ${m.baseFiles.length}")
+    } finally spark.conf.unset("graft.bounds.maxColumns")
+  }
+
   test("CALL system.cluster and input validation") {
     val t = mkTable(500)
     val f = new java.io.File(t.location)
