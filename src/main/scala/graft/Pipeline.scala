@@ -872,6 +872,94 @@ object Pipeline {
         .orderBy("seq_id")
     }),
 
+    "p28_quality_rules" -> ((s, dir) => {
+      // Gopher-style quality-rule gate (Rae et al. 2021, §A1 heuristics
+      // family): per-doc composite rules — word-count bounds, mean-word-
+      // length bounds, stopword presence, unique-token ratio, top-token
+      // share — each evaluated in INTEGER arithmetic (al*10 >= nw*40
+      // instead of al/nw >= 4.0) so engine and oracle agree bit-for-bit
+      // with no float knife edge. Scale shape: one narrow codegen'd
+      // projection for the length rules, one explode → two-stage agg for
+      // the token-frequency rules (map-side combine on (doc_id, word)),
+      // one equi-join back on doc_id. Linear in corpus tokens; the only
+      // shuffles carry (doc_id, word, count) rows, never text.
+      val w = words(col("text"))
+      val base = docs(s, dir).select(
+        col("doc_id"),
+        size(w).cast("long").as("nw"),
+        expr("cast(length(replace(text, ' ', '')) as bigint)").as("al"),
+        size(filter(w, x => x.isin("the", "a", "and", "of")))
+          .cast("long").as("sc"))
+      val freq = docs(s, dir)
+        .select(col("doc_id"), explode(w).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nu"), max(col("c")).as("tc"))
+      base.join(freq, "doc_id")
+        .select(col("doc_id"), col("nw").as("n_words"),
+          (col("nw") >= 20 && col("nw") <= 80).as("r_len"),
+          (col("al") * 10 >= col("nw") * 40 &&
+            col("al") * 10 <= col("nw") * 52).as("r_wordlen"),
+          (col("sc") >= 2).as("r_stop"),
+          (col("nu") * 2 >= col("nw")).as("r_uniq"),
+          (col("tc") * 100 <= col("nw") * 12).as("r_top"))
+        .withColumn("pass", col("r_len") && col("r_wordlen") &&
+          col("r_stop") && col("r_uniq") && col("r_top"))
+        .orderBy("doc_id")
+    }),
+
+    "p29_bigram_lm" -> ((s, dir) => {
+      // Bigram language-model scoring — the CCNet/KenLM perplexity gate
+      // in integer form: the corpus's own bigram counts are the model,
+      // and each doc scores sum(floor(log2(count))) over its bigram
+      // OCCURRENCES (not the distinct-gram sets `shingles` builds).
+      // lp2 is monotone in the log-likelihood under a count-proportional
+      // model, but bucketed to INTEGER log2 so the oracle hash-matches:
+      // floor(log2(c)) is exact for counts far below the ~2^40 regime
+      // where double log2 could misbucket c = 2^k - 1. Scale shape:
+      // explode bigrams once (guarded transform, no distinct), count per
+      // gram with map-side combine, shuffle equi-join doc-grams × counts
+      // on the gram key, final per-doc partial agg — every stage linear
+      // in corpus tokens, no driver-side state.
+      val g = docs(s, dir)
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .select(col("doc_id"), explode(when(size(col("w")) >= 2,
+          expr("transform(sequence(1, size(w) - 1), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .otherwise(expr("cast(array() as array<string>)"))).as("gram"))
+      val c = g.groupBy("gram").agg(count(lit(1)).as("c"))
+      g.join(c, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(floor(log2(col("c")))).cast("long").as("lp2"),
+          min(col("c")).as("rarest"))
+        .orderBy("doc_id")
+    }),
+
+    "p30_distinctive_terms" -> ((s, dir) => {
+      // tf-idf keyword extraction with INTEGER-only ordering: per doc,
+      // rank terms by (document frequency ASC, term frequency DESC,
+      // term ASC) — exactly the tf-idf order (idf is monotone-decreasing
+      // in df) without the float idf, so ranks are reproducible and the
+      // oracle agrees exactly — and keep the top 3 per doc. Scale shape:
+      // explode → (doc_id, term) partial agg, a term-keyed df agg (vocab-
+      // sized, AQE broadcasts it when small), one equi-join, and a window
+      // PARTITIONED BY doc_id (never a global sort). Linear in corpus
+      // tokens at any scale.
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val win = Window.partitionBy("doc_id")
+        .orderBy(col("df"), col("tf").desc, col("term"))
+      tf.join(dfreq, "term")
+        .withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"))
+        .orderBy("doc_id", "rk")
+    }),
+
     "p26_corpus_pipeline" -> ((s, dir) => {
       // CAPSTONE composition — the C4/RefinedWeb-style cleaning pass run
       // END TO END from the suite's own operators: keep a doc iff it is
@@ -1330,6 +1418,52 @@ object Pipeline {
         "AS BIGINT) AS n_tokens, " +
         "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
         "FROM x GROUP BY seq_id ORDER BY seq_id"),
+
+    // Gopher-rule gate: every rule in integer arithmetic (see the query's
+    // comment) — booleans hash identically across engines
+    "p28_quality_rules" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w, " +
+        "CAST(length(replace(text, ' ', '')) AS BIGINT) AS al FROM documents), " +
+        "s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nw, al, " +
+        "CAST(len(list_filter(w, x -> x IN ('the','a','and','of'))) AS BIGINT) AS sc FROM t), " +
+        "e AS (SELECT doc_id, unnest(w) AS term FROM t), " +
+        "tf AS (SELECT doc_id, term, count(*) AS c FROM e GROUP BY doc_id, term), " +
+        "u AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nu, " +
+        "CAST(max(c) AS BIGINT) AS tc FROM tf GROUP BY doc_id) " +
+        "SELECT doc_id, nw AS n_words, " +
+        "(nw BETWEEN 20 AND 80) AS r_len, " +
+        "(al*10 >= nw*40 AND al*10 <= nw*52) AS r_wordlen, " +
+        "(sc >= 2) AS r_stop, " +
+        "(nu*2 >= nw) AS r_uniq, " +
+        "(tc*100 <= nw*12) AS r_top, " +
+        "(nw BETWEEN 20 AND 80 AND al*10 >= nw*40 AND al*10 <= nw*52 " +
+        "AND sc >= 2 AND nu*2 >= nw AND tc*100 <= nw*12) AS pass " +
+        "FROM s JOIN u USING (doc_id) ORDER BY doc_id"),
+
+    // bigram occurrences (not shingle SETS), corpus counts as the model,
+    // integer log2 buckets for the score
+    "p29_bigram_lm" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1), " +
+        "i -> w[i] || ' ' || w[i+1])) AS gram FROM t WHERE len(w) >= 2), " +
+        "c AS (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY gram) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(sum(CAST(floor(log2(c)) AS BIGINT)) AS BIGINT) AS lp2, " +
+        "CAST(min(c) AS BIGINT) AS rarest " +
+        "FROM g JOIN c USING (gram) GROUP BY doc_id ORDER BY doc_id"),
+
+    // tf-idf order without the float idf: (df ASC, tf DESC, term ASC)
+    "p30_distinctive_terms" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "e AS (SELECT doc_id, unnest(w) AS term FROM t), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM e GROUP BY doc_id, term), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term), " +
+        "r AS (SELECT doc_id, term, tf, df, CAST(row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY df, tf DESC, term) AS INTEGER) AS rk " +
+        "FROM tf JOIN df USING (term)) " +
+        "SELECT doc_id, rk, term, tf, df FROM r WHERE rk <= 3 " +
+        "ORDER BY doc_id, rk"),
 
     "p26_corpus_pipeline" ->
       ("WITH ke AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), " +

@@ -186,6 +186,72 @@ class PipelineScaleSpec extends AnyFunSuite {
       s"candidate join must key on (cell, table, bucket):\n$plan")
   }
 
+  test("p28 quality rules: token-frequency aggs combine map-side, pass is the conjunction") {
+    val df = SparkEntry.queries("p28_quality_rules")(spark, dir)
+    val rows = df.collect()
+    // one row per document, and `pass` is exactly the AND of the rules
+    val nDocs = Tables.scan(spark, dir, "documents").count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val flags = (2 to 6).map(r.getBoolean)
+      assert(r.getBoolean(7) == flags.forall(identity),
+        s"pass must be the conjunction of the rules: $r")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), s"cartesian in quality gate:\n$plan")
+    // (doc_id, word) counting and the per-doc rollup both partial-aggregate
+    // before their exchanges — the shuffle carries counted rows, not text
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"frequency agg must be partial+final:\n$plan")
+    assert(plan.contains("doc_id#"), s"missing the doc_id equi-join:\n$plan")
+  }
+
+  test("p29 bigram LM: occurrence counts (not shingle sets), equi-join on the gram key") {
+    val df = SparkEntry.queries("p29_bigram_lm")(spark, dir)
+    val rows = df.collect()
+    // every doc with >= 2 words contributes exactly size(w)-1 bigram
+    // occurrences — the distinct-gram shingle sets would under-count
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.words
+    val expected = Tables.scan(spark, dir, "documents")
+      .select(col("doc_id"), (size(words(col("text"))) - 1).cast("long").as("nb"))
+      .filter(col("nb") >= 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == expected.size)
+    rows.foreach(r => assert(r.getLong(1) == expected(r.getLong(0)),
+      s"bigram occurrence count mismatch: $r"))
+    // lp2 is bounded by n_bigrams * floor(log2(max count)); rarest >= 1
+    rows.foreach(r => assert(r.getLong(3) >= 1L && r.getLong(2) >= 0L))
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), s"cartesian in bigram LM:\n$plan")
+    // the model join must key on the gram — corpus counts partial-agg first
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"gram count agg must be partial+final:\n$plan")
+    assert(plan.contains("gram#"), s"missing the gram equi-join:\n$plan")
+  }
+
+  test("p30 distinctive terms: doc-partitioned ranking window, dense top-3") {
+    val df = SparkEntry.queries("p30_distinctive_terms")(spark, dir)
+    val rows = df.collect()
+    // per doc: ranks are dense from 1, at most 3
+    rows.groupBy(_.getLong(0)).foreach { case (d, rs) =>
+      val rks = rs.map(_.getInt(1)).sorted
+      assert(rks.toSeq == (1 to rks.length), s"ranks not dense for doc $d")
+      assert(rks.length <= 3)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the ranking window partitions by doc_id — a global rank would
+    // funnel the corpus through one task
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, s"missing the ranking window:\n$plan")
+    assert(winLines.forall(_.contains("doc_id#")),
+      s"ranking window not doc-partitioned:\n${winLines.mkString("\n")}")
+  }
+
   test("p21 URL dedup: one aggregation shuffle with map-side combine") {
     val df = SparkEntry.queries("p21_url_dedup")(spark, dir)
     df.collect()
