@@ -859,6 +859,29 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
+  // Per-scan observability counters (see GraftV2Scan.scanMetricDecls):
+  // recorded while planning/choosing transport, reported as driver
+  // metrics when the scan's RDD materializes. planInputPartitions may
+  // run more than once (outputPartitioning sizes itself off it) — the
+  // assignments are idempotent.
+  @volatile private var mBasesRead = 0L
+  @volatile private var mDeltasBroadcast = 0L
+  @volatile private var mDeltasAttached = 0L
+  @volatile private var mDeltasSpilled = 0L
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    GraftV2Scan.scanMetricDecls
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
+    GraftV2Scan.TaskMetric(GraftV2Scan.FilesRead, mBasesRead),
+    GraftV2Scan.TaskMetric(GraftV2Scan.FilesPruned,
+      meta.baseFiles.length - mBasesRead),
+    GraftV2Scan.TaskMetric(GraftV2Scan.DeltasBroadcast, mDeltasBroadcast),
+    GraftV2Scan.TaskMetric(GraftV2Scan.DeltasAttached, mDeltasAttached),
+    GraftV2Scan.TaskMetric(GraftV2Scan.DeltasSpilled, mDeltasSpilled))
+
   /** TOP-N file cut (`ORDER BY <col> LIMIT n` over ANY zone-mapped column).
     * ASC soundness: sort files by lo ascending and take the minimal prefix
     * P holding ≥ n rows; every row in P sorts ≤ C := max(hi over P) — a
@@ -1103,19 +1126,25 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     // reports a single unkeyed partition.
     val effective = filters.toSeq ++ runtimeFilters
     val files = graft.sources.PartitionPruner.pruneFiles(meta, meta.baseFiles, effective)
+    // LIMIT file-prefix and TOP-N cuts apply in EVERY branch (both refuse
+    // under deltas/filters, so the cut set is sound regardless of how the
+    // survivors are grouped into splits): with SPJ bucketing enabled a
+    // plain `LIMIT 10` would otherwise open every bucket's files.
+    val cutFiles = topNFiles(limitFilePrefix(files))
+    mBasesRead = cutFiles.length
     keyGrouped match {
-      case Some(_) if files.exists(_.bucket.isEmpty) =>
+      case Some(_) if cutFiles.exists(_.bucket.isEmpty) =>
         // a reported key grouping cannot place coordinate-less files into
         // key groups — serve them as one unkeyed split (which then owns
         // every delta row)
         Array(org.apache.spark.sql.GraftSqlBridge.filePartition(
-          0, files.map(_.path), None))
+          0, cutFiles.map(_.path), None))
       case Some(comps) =>
         // preserve the reported key grouping under pruning: one partition
         // per bucket ALWAYS (pruned buckets become empty partitions), so a
         // storage-partitioned join's group layout survives runtime
         // filtering while the pruned buckets' files are never opened.
-        val byBucket = files.groupBy(_.bucket.get)
+        val byBucket = cutFiles.groupBy(_.bucket.get)
         (0 until GraftTable.totalBuckets(meta)).map { b =>
           org.apache.spark.sql.GraftSqlBridge.filePartition(
             b, byBucket.getOrElse(b, Nil).map(_.path),
@@ -1129,7 +1158,7 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         // range's modulus, so the grouping unit (= the delta route) is the
         // (rangeKey, bucket) pair; uniform layouts group by the composite
         // bucket alone, keeping a bucket that spans ranges one route.
-        val groups = GraftV2Scan.routeGroups(meta, topNFiles(limitFilePrefix(files)))
+        val groups = GraftV2Scan.routeGroups(meta, cutFiles)
         if (groups.isEmpty && meta.deltaFiles.nonEmpty)
           // empty (or fully-pruned) base with pending deltas: one empty
           // split still runs, so the fallback-routed delta rows are emitted
@@ -1250,6 +1279,7 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     val keepTailEarly = graft.sources.PartitionPruner.pruneFiles(
       m, tailD, filters.toSeq ++ runtimeFilters)
     if (GraftTable.deltaBytes(keepTailEarly) < GraftTable.broadcastDeltaBytes) {
+      mDeltasBroadcast = keepTailEarly.length
       // broadcast overlay for the tail: collect its latest delta state
       // once, ship it to every split. The spill branch below deliberately
       // keeps the FULL delta set: its per-route spill is cached by
@@ -1319,6 +1349,7 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         // Pruning applies to flushed files exactly as to base files.
         val keepRouted = graft.sources.PartitionPruner.pruneFiles(
           m, routedD, filters.toSeq ++ runtimeFilters)
+        mDeltasAttached = keepRouted.length
         val routeParts: Map[String, Seq[String]] = keepRouted
           .groupBy { f =>
             val r = GraftV2Scan.routeOf(m, f)
@@ -1357,6 +1388,7 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
       // op=DELETE, i.e. dead-set-only). spillRoutable() guards that every
       // base file has one of the two. Reads pay one delta-shuffle job per
       // query — the degraded-but-correct mode; compaction remains the cure.
+      mDeltasSpilled = m.deltaFiles.length
       val ownedSeq =
         if (owned.isEmpty) Seq(fallback) else owned.toSeq.sorted
       val routeId = ownedSeq.zipWithIndex.toMap
@@ -1498,6 +1530,36 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
 }
 
 object GraftV2Scan {
+  /** Scan-observability metrics (the reference's per-scan counters —
+    * tablet metrics like `scanner_rows_scanned` / delta-file reads,
+    * tablet/tablet_metrics.h): declared once, surfaced in the Spark UI
+    * SQL tab on every Graft BatchScan node via the DSv2 CustomMetric
+    * API, and assertable from `BatchScanExec.metrics` in specs. All are
+    * driver-side (file planning and transport selection are driver
+    * decisions); values post when the scan's input RDD materializes. */
+  private[v2] class SumMetric(mName: String, desc: String)
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = mName
+    override def description(): String = desc
+  }
+  private[v2] case class TaskMetric(mName: String, v: Long)
+      extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+    override def name(): String = mName
+    override def value(): Long = v
+  }
+  val FilesRead = "graftBaseFilesRead"
+  val FilesPruned = "graftBaseFilesPruned"
+  val DeltasBroadcast = "graftDeltaFilesBroadcast"
+  val DeltasAttached = "graftDeltaFilesAttached"
+  val DeltasSpilled = "graftDeltaFilesSpilled"
+  private[v2] def scanMetricDecls
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
+    new SumMetric(FilesRead, "base files read"),
+    new SumMetric(FilesPruned, "base files pruned"),
+    new SumMetric(DeltasBroadcast, "delta files broadcast (tail overlay)"),
+    new SumMetric(DeltasAttached, "delta files attached (routed flush)"),
+    new SumMetric(DeltasSpilled, "delta files spilled (shuffle overlay)"))
+
   /** Components reportable as a KeyGroupedPartitioning (one `bucket(n,
     * col)` transform per component): every component single-column (the
     * V2 bucket function binds (numBuckets, key) pairs) and no per-range

@@ -70,10 +70,15 @@ class CountLimitPushdownSpec extends AnyFunSuite {
     // the pushed limit shows in the scan description and the planned
     // partitions cover only a prefix of the fileset
     assert(v2.get.description().contains("limit=5"))
-    val parts = v2.get.planInputPartitions().length
-    assert(parts < t.meta.baseFiles.length,
-      s"limit must prune the planned fileset: $parts partitions for " +
-        s"${t.meta.baseFiles.length} files")
+    // count planned FILES, not partitions: a reported key grouping
+    // (ambient v2 bucketing from an earlier suite) keeps one partition
+    // per bucket even when the file prefix is cut
+    val planned = v2.get.planInputPartitions()
+      .collect { case f: org.apache.spark.sql.execution.datasources.FilePartition => f }
+      .map(_.files.length).sum
+    assert(planned < t.meta.baseFiles.length,
+      s"limit must prune the planned fileset: $planned files planned of " +
+        s"${t.meta.baseFiles.length}")
     assert(lim.collect().length == 5)
 
     // dirty snapshot: file-prefix refused (a file's rows may all be
@@ -83,6 +88,30 @@ class CountLimitPushdownSpec extends AnyFunSuite {
     val dl = spark.sql(s"SELECT k FROM $sqlName LIMIT 7")
     assert(dl.collect().length == 7)
     assert(spark.sql(s"SELECT k FROM $sqlName").count() == 200L)
+  }
+
+  test("LIMIT file prefix survives a reported key grouping (SPJ bucketing on)") {
+    // regression: with v2 bucketing enabled the scan reports a
+    // KeyGroupedPartitioning and used to skip the limit cut entirely —
+    // one partition per bucket, every file planned (surfaced by suite
+    // ordering when MorSpillSpec left the conf on)
+    val (t, sqlName, _) = mkTable(400, 8)
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val lim = spark.sql(s"SELECT k FROM $sqlName LIMIT 5")
+      val v2 = scans(lim).collectFirst { case s: GraftV2Scan => s }
+      assert(v2.isDefined)
+      val planned = v2.get.planInputPartitions()
+        .collect { case f: org.apache.spark.sql.execution.datasources.FilePartition => f }
+      // the bucket layout is preserved (one split per bucket) but only a
+      // file prefix is planned into them
+      assert(planned.length == t.meta.baseFiles.length,
+        "key grouping must keep one partition per bucket")
+      assert(planned.map(_.files.length).sum < t.meta.baseFiles.length,
+        s"limit must prune the planned fileset under key grouping")
+      assert(lim.collect().length == 5)
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
   }
 
   test("LIMIT larger than the table returns every row") {

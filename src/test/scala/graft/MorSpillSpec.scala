@@ -64,6 +64,8 @@ class MorSpillSpec extends AnyFunSuite {
     t1.upsert(Seq((3L, "edited")).toDF("k", "v"))
     spark.conf.set("spark.sql.catalog.gsp2", classOf[graft.sources.v2.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.gsp2.warehouse", wh)
+    val prevBucketing =
+      spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -74,7 +76,10 @@ class MorSpillSpec extends AnyFunSuite {
       assert(rows.size == 80 && rows(3L) == "edited")
       val plan = j.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"expected shuffle-free spill-MOR SPJ:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
+    }
   }
 
   test("per-range hash overrides + fallback folding serve via spill") {
