@@ -1003,6 +1003,56 @@ object Queries {
       topn("ASC", 25).union(topn("DESC", 25)).orderBy("o_orderkey")
     }),
 
+    "q53_group_pushdown" -> ((s, dir) => {
+      // GROUPED metadata aggregate (per-tablet rollup at scale): on a
+      // value-granularity range layout every tablet's files are CONSTANT
+      // on the range column (each value derives its own range), so
+      // `GROUP BY o_orderstatus` + COUNT/MIN/MAX folds entirely from the
+      // manifest's per-file row counts and zone maps — one driver pass,
+      // no file opened (in-query gate: the batch scan must be
+      // GraftCountScan). The reference analog is the per-tablet
+      // live-row-count rollup (master/master.proto:704-714) — here
+      // generalized to any layout-constant column. Pending tombstones
+      // make the fold unprovable → the dirty phase must fall back to the
+      // real merge-on-read scan; both phases hash-check (a wrongly
+      // metadata-served dirty answer returns stale counts and extremes).
+      val raw = Tables.raw(s, dir, "orders")
+      val loc = tmpLoc("graft-q53-")
+      val t = GraftTable.create(s, loc, "orders_q53", raw.schema,
+        Seq("o_orderkey"), Seq(HashComponent(Seq("o_orderkey"), 2)),
+        range = Some(RangeComponent("o_orderstatus", "value")),
+        data = Some(raw))
+      val f = new java.io.File(loc)
+      s.conf.set("spark.sql.catalog.gq53",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq53.warehouse", f.getParent)
+      val sel = s"SELECT o_orderstatus AS grp, count(*) AS n, " +
+        s"min(o_orderkey) AS lo_key, max(o_orderkey) AS hi_key " +
+        s"FROM gq53.`${f.getName}` GROUP BY o_orderstatus"
+      val clean = s.sql(sel)
+      val cleanScans = clean.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }
+      if (!cleanScans.exists(_.isInstanceOf[graft.sources.v2.GraftCountScan]))
+        throw new IllegalStateException(
+          "clean grouped COUNT/MIN/MAX must plan as the metadata-only scan:\n" +
+            clean.queryExecution.executedPlan)
+      // snapshot the clean answer BEFORE mutating (DataFrames are lazy)
+      val cleanSnap = clean.withColumn("phase", lit("clean"))
+        .localCheckpoint(true)
+      // deleting the low F keys moves that group's count AND minimum
+      t.deleteWhere(col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0)
+      val dirty = s.sql(sel)
+      if (dirty.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.exists(_.isInstanceOf[graft.sources.v2.GraftCountScan]))
+        throw new IllegalStateException(
+          "a delta-carrying snapshot must not serve the grouped metadata aggregate")
+      cleanSnap.unionByName(dirty.withColumn("phase", lit("dirty")))
+        .select("phase", "grp", "n", "lo_key", "hi_key")
+        .orderBy("phase", "grp")
+    }),
+
     "q52_topn_zone" -> ((s, dir) => {
       // TOP-N pushdown on a NON-KEY column via zone maps: events registered
       // zero-copy from time-partitioned raw files (PK event_id — ts is just
@@ -1430,6 +1480,18 @@ object Queries {
         "round(CAST(min(s_suppkey) AS DOUBLE), 2), " +
         "round(CAST(max(s_suppkey) AS DOUBLE), 2) FROM m " +
         "ORDER BY col_name"),
+
+    "q53_group_pushdown" ->
+      ("WITH c AS (SELECT 'clean' AS phase, o_orderstatus AS grp, " +
+        "CAST(count(*) AS BIGINT) AS n, min(o_orderkey) AS lo_key, " +
+        "max(o_orderkey) AS hi_key FROM orders GROUP BY o_orderstatus), " +
+        "d AS (SELECT 'dirty' AS phase, o_orderstatus AS grp, " +
+        "CAST(count(*) AS BIGINT) AS n, min(o_orderkey) AS lo_key, " +
+        "max(o_orderkey) AS hi_key FROM orders " +
+        "WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0) " +
+        "GROUP BY o_orderstatus) " +
+        "SELECT * FROM (SELECT * FROM c UNION ALL SELECT * FROM d) " +
+        "ORDER BY phase, grp"),
 
     "q52_topn_zone" ->
       ("WITH a AS (SELECT epoch_us(ts) AS us FROM events ORDER BY ts ASC LIMIT 20), " +

@@ -573,7 +573,7 @@ class GraftScanBuilder(meta: TableMeta,
   private var filters: Array[Filter] = Array.empty
   private var limitN: Option[Int] = None
   private var topN: Option[(Int, Boolean, Int)] = None // (n, descending, colId)
-  private var pushedAgg: Option[Seq[(org.apache.spark.sql.types.StructField, Any)]] = None
+  private var pushedAgg: Option[(StructType, Array[Array[Any]])] = None
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
@@ -669,6 +669,15 @@ class GraftScanBuilder(meta: TableMeta,
     else Some(Some((valued.map(_._1).min, valued.map(_._2).max)))
   }
 
+  /** Single-field column reference → its column metadata. */
+  private def refCol(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[graft.catalog.ColumnMeta] = e match {
+    case r: org.apache.spark.sql.connector.expressions.NamedReference
+        if r.fieldNames().length == 1 =>
+      meta.columns.find(_.name == r.fieldNames()(0))
+    case _ => None
+  }
+
   /** Which aggregations are servable from manifest metadata alone —
     * COUNT(*) from footer row counts (the analog of the reference serving
     * count-only scans from live-row-count statistics,
@@ -688,13 +697,6 @@ class GraftScanBuilder(meta: TableMeta,
     import org.apache.spark.sql.types.StructField
     if (agg.groupByExpressions().nonEmpty || filters.nonEmpty ||
         agg.aggregateExpressions().isEmpty) return None
-    def refCol(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[graft.catalog.ColumnMeta] = e match {
-      case r: org.apache.spark.sql.connector.expressions.NamedReference
-          if r.fieldNames().length == 1 =>
-        meta.columns.find(_.name == r.fieldNames()(0))
-      case _ => None
-    }
     val boundsCache =
       scala.collection.mutable.Map[Int, Option[Option[(String, String)]]]()
     def boundsFor(cm: graft.catalog.ColumnMeta) =
@@ -720,17 +722,147 @@ class GraftScanBuilder(meta: TableMeta,
     if (cols.forall(_.isDefined)) Some(cols.map(_.get)) else None
   }
 
+  /** GROUP BY pushdown over FILE-CONSTANT columns: when every base file
+    * is single-valued on the group column (zone map lo == hi with zero
+    * nulls, or provably all-null → the NULL group), each file maps wholly
+    * to one group and the whole aggregate folds from the manifest — the
+    * analog of Spark's parquet partition-column aggregate pushdown,
+    * generalized to any column the LAYOUT makes file-constant
+    * (value-granularity range partitioning makes the range column exactly
+    * that: every value derives its own range, so each tablet's files are
+    * constant on it). At 100 TB `SELECT day, count(*) GROUP BY day` on a
+    * day-ranged table answers from the manifest in one driver pass —
+    * the reference's per-tablet live-row-count rollup.
+    *
+    * COUNT(*) additionally accepts MIXED files (constant value + nulls):
+    * the known null count splits the file's rows exactly between the
+    * value group and the NULL group. MIN/MAX of measured columns require
+    * every contributing file UNMIXED (a mixed file's measured-column
+    * bounds can't be attributed to one group) and zone-mapped — or
+    * provably all-null — on the measured column. Clean snapshots only, no
+    * residual predicate; anything unprovable falls back to the real scan.
+    * Output layout: the group value first, then the aggregates — the
+    * positional order Spark's complete-pushdown rewrite expects. */
+  private def servableGrouped(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Array[Any]])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types.StructField
+    if (!cleanSnapshot || filters.nonEmpty ||
+        agg.aggregateExpressions().isEmpty) return None
+    val g = agg.groupByExpressions() match {
+      case Array(one) => refCol(one).getOrElse(return None)
+      case _ => return None
+    }
+    if (!GraftTable.keyBoundEncodable(g.dataType)) return None
+    val isLead = meta.keyCols.headOption.contains(g.name)
+    val files = (if (isLead) GraftV2Scan.hydrateKeyBounds(meta).baseFiles
+      else meta.baseFiles).filter(_.rows != 0L)
+    if (files.exists(_.rows < 0L)) return None
+    // classify each file: group-constant value rows + null rows, or refuse
+    case class FG(enc: Option[String], valueRows: Long, nullRows: Long,
+      f: graft.catalog.DataFileMeta)
+    val classified: Seq[FG] = files.map { f =>
+      if (!f.colIds.contains(g.id)) {
+        // absent column reads the add-time default: null default → the
+        // NULL group; a non-null default refuses (same conservative
+        // dead-end as metadataColBounds)
+        if (g.defaultValue.isEmpty) FG(None, 0L, f.rows, f) else return None
+      } else if (f.colNullCount(g.id).contains(f.rows)) {
+        FG(None, 0L, f.rows, f)
+      } else (f.colBounds(g.id).orElse(
+          if (isLead) f.keyLo.zip(f.keyHi) else None),
+          f.colNullCount(g.id)) match {
+        case (Some((lo, hi)), Some(n)) if lo == hi => FG(Some(lo), f.rows - n, n, f)
+        case _ => return None // not provably file-constant
+      }
+    }
+    val aggExprs = agg.aggregateExpressions().toSeq
+    val needsPure = aggExprs.exists(!_.isInstanceOf[CountStar])
+    if (needsPure && classified.exists(fg => fg.valueRows > 0 && fg.nullRows > 0))
+      return None
+    // fan each file into its group(s): (groupEnc, rows, file) — the file
+    // reference is only consulted on the pure path (needsPure guards mixed)
+    val triples: Seq[(Option[String], Long, graft.catalog.DataFileMeta)] =
+      classified.flatMap { fg =>
+        (if (fg.valueRows > 0) Seq((fg.enc, fg.valueRows, fg.f)) else Nil) ++
+          (if (fg.nullRows > 0) Seq((None, fg.nullRows, fg.f)) else Nil)
+      }
+    // per-group MIN/MAX of a measured column from its member files' zone
+    // maps (all-null members contribute nothing; group-wide all-null → null)
+    def groupEnd(cm: graft.catalog.ColumnMeta,
+        members: Seq[graft.catalog.DataFileMeta], takeLo: Boolean): Option[Any] = {
+      val cmLead = meta.keyCols.headOption.contains(cm.name)
+      val per: Seq[Option[Option[(String, String)]]] = members.map { f =>
+        if (!f.colIds.contains(cm.id)) {
+          if (cm.defaultValue.isEmpty) Some(None) else None
+        } else f.colBounds(cm.id).orElse(
+            if (cmLead) f.keyLo.zip(f.keyHi) else None) match {
+          case Some(lohi) => Some(Some(lohi))
+          case None =>
+            if (f.rows > 0L && f.colNullCount(cm.id).contains(f.rows)) Some(None)
+            else None
+        }
+      }
+      if (per.exists(_.isEmpty)) return None
+      val valued = per.flatten.flatten
+      if (valued.isEmpty) Some(null)
+      else decodeKeyBound(cm.dataType,
+        if (takeLo) valued.map(_._1).min else valued.map(_._2).max)
+    }
+    val gField = StructField("group_0", g.dataType, nullable = true)
+    val aggFields = aggExprs.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i",
+        org.apache.spark.sql.types.LongType, nullable = false)
+      case (m: Min, i) =>
+        StructField(s"agg_$i", refCol(m.column()).getOrElse(return None).dataType,
+          nullable = true)
+      case (m: Max, i) =>
+        StructField(s"agg_$i", refCol(m.column()).getOrElse(return None).dataType,
+          nullable = true)
+      case _ => return None
+    }
+    val rows: Array[Array[Any]] = triples.groupBy(_._1).toSeq
+      .sortBy(_._1.getOrElse("")) // deterministic row order (cosmetic)
+      .map { case (enc, members) =>
+        val gv: Any = enc match {
+          case Some(e) => decodeKeyBound(g.dataType, e).getOrElse(return None)
+          case None => null
+        }
+        val memberFiles = members.map(_._3)
+        val vals: Seq[Any] = aggExprs.map {
+          case _: CountStar => members.map(_._2).sum: Any
+          case m: Min => groupEnd(refCol(m.column()).getOrElse(return None),
+            memberFiles, takeLo = true).getOrElse(return None)
+          case m: Max => groupEnd(refCol(m.column()).getOrElse(return None),
+            memberFiles, takeLo = false).getOrElse(return None)
+          case _ => return None
+        }
+        (gv +: vals).toArray
+      }.toArray
+    Some((StructType(gField +: aggFields), rows))
+  }
+
+  /** Complete-pushdown servability, grouped or global. */
+  private def servableAny(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Array[Any]])] =
+    if (agg.groupByExpressions().isEmpty)
+      servableAgg(agg).map(cols =>
+        (StructType(cols.map(_._1)), Array(cols.map(_._2).toArray)))
+    else servableGrouped(agg)
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    servableAgg(agg).isDefined
+    servableAny(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     // only accept what we can serve COMPLETELY: partial-pushdown semantics
     // (per-partition counts) would still scan every file — no win over
     // Spark's own partial aggregate.
-    servableAgg(agg) match {
-      case Some(cols) => pushedAgg = Some(cols); true
+    servableAny(agg) match {
+      case Some(sr) => pushedAgg = Some(sr); true
       case None => false
     }
   }
@@ -773,8 +905,7 @@ class GraftScanBuilder(meta: TableMeta,
   }
 
   override def build(): Scan = pushedAgg match {
-    case Some(cols) => new GraftCountScan(meta.name,
-      StructType(cols.map(_._1)), cols.map(_._2).toArray)
+    case Some((schema, rows)) => new GraftCountScan(meta.name, schema, rows)
     case None => new GraftV2Scan(
       GraftV2Scan.hydrateKeyBounds(meta), requiredSchema, filters,
       Option(options.get("graft.startingVersion")).map(_.toLong),
@@ -785,34 +916,38 @@ class GraftScanBuilder(meta: TableMeta,
   }
 }
 
-/** Metadata-only aggregate scan: one partition emitting ONE pre-aggregated
-  * row whose values come from manifest metadata alone — COUNT(*) from
-  * footer row counts, MIN/MAX of the first PK column decoded from the
-  * order-preserving key bounds. No file is opened. Spark maps the scan
-  * output onto the aggregate's output positionally, so the field names
-  * are cosmetic. Values are catalyst-INTERNAL representations. */
-class GraftCountScan(table: String, schema: StructType, values: Array[Any])
+/** Metadata-only aggregate scan: one partition emitting pre-aggregated
+  * rows whose values come from manifest metadata alone — COUNT(*) from
+  * footer row counts, MIN/MAX decoded from the order-preserving zone-map
+  * bounds; with a pushed GROUP BY, one row per group (group value first,
+  * then the aggregates — the positional layout Spark's complete-pushdown
+  * rewrite expects). No file is opened. Field names are cosmetic. Values
+  * are catalyst-INTERNAL representations. */
+class GraftCountScan(table: String, schema: StructType, rows: Array[Array[Any]])
     extends Scan with Batch {
+  def this(table: String, schema: StructType, values0: Array[Any]) =
+    this(table, schema, Array(values0))
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft $table metadata-agg (${values.mkString(",")})"
+    s"graft $table metadata-agg (${rows.length} rows: " +
+      s"${rows.map(_.mkString(",")).mkString("; ")})"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftCountPartition(values))
+    Array(GraftCountPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     GraftCountReaderFactory
 }
 
-case class GraftCountPartition(values: Array[Any]) extends InputPartition
+case class GraftCountPartition(rows: Array[Array[Any]]) extends InputPartition
 
 object GraftCountReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftCountPartition]
     new PartitionReader[InternalRow] {
-      private var done = false
-      override def next(): Boolean = !done && { done = true; true }
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < gp.rows.length }
       override def get(): InternalRow =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(gp.values)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(gp.rows(i))
       override def close(): Unit = ()
     }
   }

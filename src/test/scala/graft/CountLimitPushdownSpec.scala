@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.catalog.HashComponent
+import graft.catalog.{HashComponent, RangeComponent}
 import graft.sources.v2.{GraftCountScan, GraftV2Scan}
 import graft.table.GraftTable
 
@@ -17,8 +17,18 @@ import graft.table.GraftTable
 class CountLimitPushdownSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  private def scans(df: org.apache.spark.sql.DataFrame) =
-    df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+  private def scans(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.connector.read.Scan] = {
+    // descend through AQE wrappers: AdaptiveSparkPlanExec has no children,
+    // so a plain collect misses scans under an ORDER BY's exchange
+    def all(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.connector.read.Scan] = p.collect {
+      case b: BatchScanExec => Seq(b.scan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        all(a.executedPlan)
+    }.flatten
+    all(df.queryExecution.executedPlan)
+  }
 
   private def mkTable(n: Int, buckets: Int): (GraftTable, String, String) = {
     import spark.implicits._
@@ -224,5 +234,69 @@ class CountLimitPushdownSpec extends AnyFunSuite {
     assert(check(cdf, "min(m) AS lo, max(m) AS hi",
       r => (r.getDecimal(0).toPlainString, r.getDecimal(1).toPlainString)) ==
       (("-999.99", "12345.67")))
+  }
+
+  test("grouped aggregate: file-constant groups serve from metadata, others fall back") {
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("graft-gagg-").toString
+    // value-granularity range on cat → every file constant on cat
+    val data = (1 to 120)
+      .map(i => (i.toLong, if (i % 3 == 0) "a" else "b", s"p$i"))
+      .toDF("k", "cat", "p")
+    GraftTable.create(spark, loc, "gagg", data.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)),
+      range = Some(RangeComponent("cat", "value")), data = Some(data))
+    val f = new java.io.File(loc)
+    spark.conf.set("spark.sql.catalog.gagg",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gagg.warehouse", f.getParent)
+    val name = s"gagg.`${f.getName}`"
+    val grouped = spark.sql(
+      s"SELECT cat, count(*) AS n, min(k) AS lo, max(k) AS hi " +
+        s"FROM $name GROUP BY cat ORDER BY cat")
+    assert(scans(grouped).exists(_.isInstanceOf[GraftCountScan]),
+      s"grouped fold must be metadata-only:\n${grouped.queryExecution.executedPlan}")
+    val rows = grouped.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(("a", 40L, 3L, 120L), ("b", 80L, 1L, 119L)))
+    // grouping by a NON-file-constant column falls back and stays correct
+    val fb = spark.sql(s"SELECT p, count(*) AS n FROM $name GROUP BY p")
+    assert(!scans(fb).exists(_.isInstanceOf[GraftCountScan]),
+      "per-row-distinct group column must not fold from zone maps")
+    assert(fb.count() == 120L)
+    // MIN/MAX of a non-encodable (double) measure falls back too
+    val dbl = spark.sql(
+      s"SELECT cat, min(k + 0.5) AS m FROM $name GROUP BY cat")
+    assert(!scans(dbl).exists(_.isInstanceOf[GraftCountScan]))
+  }
+
+  test("grouped COUNT splits mixed-null files exactly; MIN/MAX refuse on mixed") {
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("graft-gmix-").toString
+    // one bucket → ONE file holding a constant value plus nulls (mixed)
+    val data = (1 to 50)
+      .map(i => (i.toLong, if (i % 5 == 0) None else Some("a")))
+      .toDF("k", "cat")
+    GraftTable.create(spark, loc, "gmix", data.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 1)), data = Some(data))
+    val f = new java.io.File(loc)
+    spark.conf.set("spark.sql.catalog.gmix",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmix.warehouse", f.getParent)
+    val name = s"gmix.`${f.getName}`"
+    // COUNT-only: the null count splits the file's rows exactly
+    val cnt = spark.sql(
+      s"SELECT cat, count(*) AS n FROM $name GROUP BY cat")
+    assert(scans(cnt).exists(_.isInstanceOf[GraftCountScan]),
+      s"mixed-file grouped COUNT must fold from metadata:\n${cnt.queryExecution.executedPlan}")
+    val m = cnt.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(m == Map(Some("a") -> 40L, None -> 10L))
+    // MIN/MAX over a mixed file cannot attribute bounds to one group
+    val mm = spark.sql(
+      s"SELECT cat, min(k) AS lo FROM $name GROUP BY cat")
+    assert(!scans(mm).exists(_.isInstanceOf[GraftCountScan]),
+      "mixed files must refuse grouped MIN/MAX")
+    assert(mm.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap ==
+      Map(Some("a") -> 1L, None -> 5L))
   }
 }
