@@ -931,7 +931,8 @@ class GraftCountScan(table: String, schema: StructType, rows: Array[Array[Any]])
   override def toBatch: Batch = this
   override def description(): String =
     s"graft $table metadata-agg (${rows.length} rows: " +
-      s"${rows.map(_.mkString(",")).mkString("; ")})"
+      s"${rows.take(8).map(_.mkString(",")).mkString("; ")}" +
+      s"${if (rows.length > 8) "; …" else ""})"
   override def planInputPartitions(): Array[InputPartition] =
     Array(GraftCountPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
