@@ -979,13 +979,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // range selection (changesSince file filter) stays conservative and the
     // row-level _graft_seq filter inside it restores exactness
     val maxSeq = fold.map(_.seq).max
-    val files = listParquet(dir).map { p =>
-      val (lo, hi) = fileKeyBounds(m, p)
-      DataFileMeta(p, "delta", maxSeq, GraftTable.parquetRows(p), m.columns.map(_.id),
-        bucket = GraftTable.partFromPath(p, BucketCol).map(_.toInt),
-        rangeKey = GraftTable.partFromPath(p, RangeCol),
-        keyLo = lo, keyHi = hi)
-    }
+    val files = deltaFileMetas(m, listParquet(dir), maxSeq, withCoords = true)
     try TableMeta.write(m.copy(version = v, timestampMs = now(),
       operation = "compact_deltas", deltaFiles = kept ++ files))
     catch {
@@ -1035,11 +1029,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         .write.mode("overwrite").parquet(dir)
     }
     val maxSeq = tail.map(_.seq).max
-    val files = GraftTable.listParquet(dir).map { p =>
-      val (lo, hi) = fileKeyBounds(m, p)
-      DataFileMeta(p, "delta", maxSeq, GraftTable.parquetRows(p),
-        m.columns.map(_.id), keyLo = lo, keyHi = hi)
-    }
+    val files = deltaFileMetas(m, GraftTable.listParquet(dir), maxSeq)
     val flushed = m.deltaFiles.filter(f => f.bucket.isDefined || f.rangeKey.isDefined)
     try TableMeta.write(m.copy(version = v, timestampMs = now(),
       operation = "merge_tail", deltaFiles = flushed ++ files))
@@ -1289,11 +1279,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
           // highest folded commit, like compactDeltas — CDC file selection
           // stays conservative, the row-level seq filter restores exactness
           val maxSeq = m.deltaFiles.map(_.seq).max
-          val (kept, empty) = listParquet(restDir).map { p =>
-            val (lo, hi) = fileKeyBounds(m, p)
-            DataFileMeta(p, "delta", maxSeq, GraftTable.parquetRows(p),
-              m.columns.map(_.id), keyLo = lo, keyHi = hi)
-          }.partition(_.rows != 0)
+          val (kept, empty) =
+            deltaFileMetas(m, listParquet(restDir), maxSeq).partition(_.rows != 0)
           // an all-in-tablet delta set folds to nothing: drop the empty
           // part files now so they never read as another commit's orphans
           if (kept.isEmpty) sweepTree(Paths.get(restDir))
@@ -2007,11 +1994,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         GraftTable.effectiveCodec(m).fold(w0)(cc => w0.option("compression", cc))
           .mode("overwrite").parquet(dir)
       }
-      val files = listParquet(dir).map { p =>
-        val (lo, hi) = fileKeyBounds(m, p)
-        DataFileMeta(p, "delta", v, GraftTable.parquetRows(p), m.columns.map(_.id),
-          keyLo = lo, keyHi = hi)
-      }
+      val files = deltaFileMetas(m, listParquet(dir), v)
       TableMeta.write(m.copy(version = v, timestampMs = now(), operation = op,
         deltaFiles = m.deltaFiles ++ files))
     } catch {
@@ -2037,16 +2020,29 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     }
   }
 
-  /** First-key footer bounds of a freshly written file — recorded on DELTA
-    * files as the reference's per-store delta stats (tablet/deltafile.h
-    * DeltaStats min/max row keys), so scans carrying a first-PK predicate
-    * can skip delta files whose key interval cannot intersect it.
-    * (None, None) when stats are absent or the key type is un-encodable —
-    * callers keep such files (conservative). */
-  private def fileKeyBounds(m: TableMeta, p: String): (Option[String], Option[String]) =
-    m.keyCols.headOption.map(m.column)
-      .map(c => GraftTable.parquetKeyBounds(p, c.physName, c.dataType))
-      .getOrElse((None, None))
+  /** Manifest entries for freshly written DELTA files: row count + lead-key
+    * bounds gathered in ONE footer open per file (was two — a row-count
+    * open then a bounds open), the opens fanned out by
+    * [[GraftTable.statFiles]]. A commit of F delta files previously paid 2F
+    * sequential driver-side footer reads. The recorded bounds are the
+    * reference's per-store delta stats (tablet/deltafile.h DeltaStats
+    * min/max row keys): scans carrying a first-PK predicate skip delta
+    * files whose key interval cannot intersect it; files without usable
+    * stats keep None and callers stay conservative. Partition coordinates
+    * parse from the path when the writer laid the files out under _b=/_r=
+    * dirs (`withCoords`). */
+  private def deltaFileMetas(m: TableMeta, paths: Seq[String], seq: Long,
+      withCoords: Boolean = false): Seq[DataFileMeta] = {
+    val keyCol = m.keyCols.headOption.map(m.column)
+      .map(c => (c.id, c.physName, c.dataType)).toSeq
+    val keyId = keyCol.headOption.map(_._1.toString)
+    GraftTable.statFiles(spark, paths, keyCol).map { case (p, st) =>
+      DataFileMeta(p, "delta", seq, st.rows, m.columns.map(_.id),
+        bucket = if (withCoords) GraftTable.partFromPath(p, BucketCol).map(_.toInt) else None,
+        rangeKey = if (withCoords) GraftTable.partFromPath(p, RangeCol) else None,
+        keyLo = keyId.flatMap(st.lo.get), keyHi = keyId.flatMap(st.hi.get))
+    }
+  }
 
   /** Best-effort recursive delete of a commit attempt's fileset — the
     * no-orphans half of the abort path (fsck would otherwise flag the
@@ -2075,11 +2071,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // speculation safety: a stray partial file in the dir is NOT committed);
     // fall back to a directory listing for single-writer callers.
     val paths = if (onlyPaths.nonEmpty) onlyPaths else listParquet(dir)
-    val files = paths.map { p =>
-      val (lo, hi) = fileKeyBounds(m, p)
-      DataFileMeta(p, "delta", expectedVersion, GraftTable.parquetRows(p),
-        m.columns.map(_.id), keyLo = lo, keyHi = hi)
-    }
+    val files = deltaFileMetas(m, paths, expectedVersion)
     if (files.isEmpty) return // nothing matched — no version churn
     TableMeta.write(m.copy(version = expectedVersion, timestampMs = now(),
       operation = op, deltaFiles = m.deltaFiles ++ files))
@@ -2187,8 +2179,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // GraftScanBuilder.servableAgg any-column MIN/MAX).
     val zcols = GraftTable.boundsColumns(spark, m)
     val firstKeyId = m.keyCols.headOption.map(k => m.column(k).id)
-    listParquet(dir).map { p =>
-      val st = GraftTable.parquetFileStats(p, zcols)
+    GraftTable.statFiles(spark, listParquet(dir), zcols).map { case (p, st) =>
       DataFileMeta(p, "base", v, st.rows, m.columns.map(_.id),
         bucket = partFromPath(p, BucketCol).map(_.toInt),
         rangeKey = partFromPath(p, RangeCol),
@@ -2508,8 +2499,7 @@ object GraftTable {
   private[table] def parquetRows(p: String): Long =
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(p),
-        new org.apache.hadoop.conf.Configuration())
+        new org.apache.hadoop.fs.Path(p), footerConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
     } catch { case _: Exception => -1L }
@@ -2707,14 +2697,51 @@ object GraftTable {
   private[graft] case class FileStats(rows: Long, lo: Map[String, String],
       hi: Map[String, String], nulls: Map[String, Long])
 
+  /** One Hadoop conf for all footer reads — constructing a Configuration
+    * per file re-parses default resources, a measurable tax on multi-file
+    * commits (footer reads never mutate it). */
+  private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
+
+  /** Footer stats for many files at once, in input order. Footer opens are
+    * independent ~ms-scale I/Os and every commit paid them SEQUENTIALLY on
+    * the driver — the dominant non-Spark cost of small multi-file writes
+    * once per-file zone maps landed. A bounded pool fans them out; past
+    * `graft.bounds.distributeThreshold` files (default 256) the opens run
+    * as a Spark job instead, so a cluster-scale rewrite (thousands of
+    * files) never funnels its manifest stats through one driver thread. */
+  private[graft] def statFiles(spark: SparkSession, paths: Seq[String],
+      cols: Seq[(Int, String, org.apache.spark.sql.types.DataType)])
+      : Seq[(String, FileStats)] = {
+    val threshold = spark.conf.getOption("graft.bounds.distributeThreshold")
+      .map(_.toInt).getOrElse(256)
+    if (paths.isEmpty) Nil
+    else if (paths.size >= threshold) {
+      val byPath = spark.sparkContext
+        .parallelize(paths, math.max(1, paths.size / 64))
+        .map(p => (p, parquetFileStats(p, cols))).collect().toMap
+      paths.map(p => (p, byPath(p)))
+    } else if (paths.size == 1) paths.map(p => (p, parquetFileStats(p, cols)))
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val futures = paths.map(p => Future(parquetFileStats(p, cols))(footerPool))
+      paths.zip(futures.map(Await.result(_, Duration.Inf)))
+    }
+  }
+
+  /** Daemon pool for driver-side footer fan-out (I/O bound; 16 is plenty —
+    * larger filesets take the distributed branch of [[statFiles]]). */
+  private lazy val footerPool = scala.concurrent.ExecutionContext.fromExecutor(
+    java.util.concurrent.Executors.newFixedThreadPool(16,
+      (r: Runnable) => { val t = new Thread(r, "graft-footer"); t.setDaemon(true); t }))
+
   private[graft] def parquetFileStats(p: String,
       cols: Seq[(Int, String, org.apache.spark.sql.types.DataType)]): FileStats =
     try {
       import scala.jdk.CollectionConverters._
       import org.apache.parquet.schema.LogicalTypeAnnotation
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(p),
-        new org.apache.hadoop.conf.Configuration())
+        new org.apache.hadoop.fs.Path(p), footerConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val rows = r.getRecordCount
@@ -2919,9 +2946,9 @@ object GraftTable {
     val zcols = GraftTable.boundsColumns(spark, columns, keys)
     val firstKeyId = columns.find(_.name == keys.head).map(_.id)
     val files =
-      (if (Files.isDirectory(raw)) listParquet(rawParquetPath) else Seq(rawParquetPath))
-        .map { p =>
-          val st = GraftTable.parquetFileStats(p, zcols)
+      GraftTable.statFiles(spark,
+        if (Files.isDirectory(raw)) listParquet(rawParquetPath) else Seq(rawParquetPath),
+        zcols).map { case (p, st) =>
           DataFileMeta(p, "base", 1L, st.rows,
             columns.map(_.id),
             keyLo = firstKeyId.flatMap(id => st.lo.get(id.toString)),
