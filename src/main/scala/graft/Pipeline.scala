@@ -1098,6 +1098,119 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    "p31_train_order" -> ((s, dir) => {
+      // Deterministic training-order shuffle: an epoch consumes the corpus
+      // in a pseudorandom but REPRODUCIBLE order — position = global rank
+      // by a per-doc LCG hash, tie-broken by doc_id (identical integer
+      // arithmetic in both engines; doc_id × the 2^30-scale multiplier
+      // stays far under 2^63, no overflow divergence). Materializing the
+      // position is the q33/p17 bucket-rank scheme — the hash is uniform
+      // on [0, 2^31), so fixed-width hash buckets → per-bucket row_number
+      // → tiny driver prefix-sum of bucket counts → broadcast offsets. No
+      // global single-partition window: 1000× the docs only widens the
+      // per-bucket stage.
+      import org.apache.spark.sql.expressions.Window
+      val m = 1L << 31
+      val nb = 64L
+      val width = m / nb
+      val bucketed = docs(s, dir)
+        .select(col("doc_id"),
+          expr(s"pmod(doc_id * 1103515245 + 12345, ${m}L)").as("h"))
+        .withColumn("_bk", expr(s"h div ${width}L"))
+      val counts = bucketed.groupBy("_bk").agg(count(lit(1)).as("_c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val offsets = counts.scanLeft((-1L, 0L, 0L)) {
+        case ((_, acc, c0), (bk, c)) => (bk, acc + c0, c)
+      }.drop(1).map { case (bk, off, _) => (bk, off) }
+      import s.implicits._
+      val offDf = offsets.toSeq.toDF("_bk", "_off")
+      val w = Window.partitionBy(col("_bk")).orderBy(col("h"), col("doc_id"))
+      bucketed.join(broadcast(offDf), "_bk")
+        .select(col("doc_id"), col("h"),
+          (col("_off") + row_number().over(w)).as("position"))
+        .orderBy("position")
+    }),
+
+    "p32_chunk_dedup" -> ((s, dir) => {
+      // CCNet/RefinedWeb-style duplicated-PARAGRAPH removal, expressed on
+      // this corpus as fixed 16-word chunks (the data carries no line
+      // breaks): a chunk survives only at its FIRST corpus-wide occurrence
+      // (smallest (doc_id, chunk_idx)); every later occurrence is cut and
+      // each doc reassembles from its surviving chunks (emitted as a
+      // sha256 like p25 — counts carry the shape). Scale shape: chunk text
+      // never leaves its doc row — the dedup shuffle carries
+      // (sha256(chunk), doc_id, idx) rows only, first-occurrence is one
+      // window over the chunk hash (p23's key-width class), and the
+      // rewrite is p25's pattern: the per-doc survivor index list (tiny,
+      // ≤ tokens/16) joins back and the reassembly is a pure map.
+      val cw = 16
+      val t = docs(s, dir).repartition(parallelism(s))
+        .select(col("doc_id"), words(col("text")).as("w"))
+      val g = t
+        .select(col("doc_id"), col("w"), explode(expr(
+          s"sequence(cast(0 as bigint), cast(size(w) - 1 as bigint) div $cw)"))
+          .as("ci"))
+        .select(col("doc_id"), col("ci"),
+          sha2(array_join(expr(s"slice(w, cast(ci * $cw + 1 as int), $cw)"),
+            " "), 256).as("ch"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ch")).orderBy(col("doc_id"), col("ci"))
+      val kept = g.withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .groupBy("doc_id").agg(sort_array(collect_list(col("ci"))).as("kept"))
+      t.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("kept"), expr("cast(array() as array<bigint>)")).as("kept"),
+          col("w"))
+        .select(col("doc_id"),
+          expr(s"cast(size(w) - 1 as bigint) div $cw + 1").as("n_chunks"),
+          size(col("kept")).cast("long").as("n_kept"),
+          sha2(array_join(flatten(expr(
+            s"transform(kept, ci -> slice(w, cast(ci * $cw + 1 as int), $cw))")),
+            " "), 256).as("out_sha"))
+        .orderBy("doc_id")
+    }),
+
+    "p33_temperature_mix" -> ((s, dir) => {
+      // Temperature-reweighted domain mixing (the multinomial α-sampling
+      // of the GPT-3/Pile/DoReMi data recipes, α = 1/2): a source
+      // contributing n_i docs is weighted toward √n_i — rare domains up,
+      // bulk crawl down — with total budget T = half the corpus. The
+      // per-mille keep rate r_i = min(1000, 1000·T·isqrt(n_i) /
+      // (Σ_j isqrt(n_j) · n_i)) is ALL integer arithmetic once
+      // isqrt = floor(sqrt) is taken (IEEE sqrt is correctly rounded, so
+      // floor agrees across engines); products are bounded by
+      // 1000·T·isqrt(max n) — lift to decimal(38,0) past ~10^10-doc
+      // corpora, the formula is unchanged. Selection is p16's
+      // deterministic pure-key filter (LCG hash mod 1000 under r_i):
+      // reproducible under retries, no rand(). Scale shape: per-source
+      // counts are one tiny partial agg broadcast back; the selection is
+      // a narrow codegen'd filter; no shuffle ever carries text.
+      // curated domains stay distinct; the long tail of crawl sources
+      // lumps into one bulk "web" domain — the skew the α-weighting exists
+      // for (uniform domains all land on the same rate)
+      val m = 1L << 31
+      val domain = when(col("source").isin("src0", "src1", "src2"),
+        col("source")).otherwise("web")
+      val marked = docs(s, dir).select(domain.as("domain"),
+        expr(s"pmod(doc_id * 1103515245 + 12345, ${m}L)").as("h"))
+      val srcs = marked.groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("cast(floor(sqrt(count(1))) as bigint)").as("sq"))
+      val tot = srcs.agg(sum("n_docs").as("tn"), sum("sq").as("ts"))
+      val rates = srcs.crossJoin(broadcast(tot))
+        .select(col("domain"), col("n_docs"), expr(
+          "least(cast(1000 as bigint), ((tn div 2) * 1000 * sq) div (ts * n_docs))")
+          .as("rate"))
+      val kept = marked.join(broadcast(rates.select("domain", "rate")), "domain")
+        .filter(pmod(col("h"), lit(1000L)) < col("rate"))
+        .groupBy("domain").agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("domain"), "left")
+        .select(col("domain"), col("n_docs"), col("rate"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("domain")
+    }),
+
     "p10_token_count" -> ((s, dir) => {
       // Whitespace tokens + a BPE-ish estimate (~4 chars/token heuristic,
       // integer arithmetic so both engines agree exactly).
@@ -1557,6 +1670,43 @@ object Pipeline {
         "SELECT ge.doc_id, CAST(count(DISTINCT ge.gram) AS BIGINT) AS n_hits " +
         "FROM ge JOIN bench USING (gram) WHERE ge.doc_id % 97 <> 0 " +
         "GROUP BY ge.doc_id ORDER BY ge.doc_id"),
+
+    "p31_train_order" ->
+      ("WITH b AS (SELECT doc_id, (doc_id * 1103515245 + 12345) % 2147483648 AS h " +
+        "FROM documents) " +
+        "SELECT doc_id, h, CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) " +
+        "AS position FROM b ORDER BY position"),
+
+    "p32_chunk_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g0 AS (SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // 16)) AS ci FROM t), " +
+        "g AS (SELECT doc_id, CAST(ci AS BIGINT) AS ci, " +
+        "array_to_string(w[ci*16+1:ci*16+16], ' ') AS chunk FROM g0), " +
+        "r AS (SELECT doc_id, ci, row_number() OVER " +
+        "(PARTITION BY chunk ORDER BY doc_id, ci) AS rn FROM g), " +
+        "k AS (SELECT doc_id, list(ci ORDER BY ci) AS kept FROM r WHERE rn = 1 GROUP BY doc_id), " +
+        "x AS (SELECT t.doc_id, t.w, COALESCE(k.kept, []) AS kept " +
+        "FROM t LEFT JOIN k USING (doc_id)) " +
+        "SELECT doc_id, CAST((len(w) - 1) // 16 + 1 AS BIGINT) AS n_chunks, " +
+        "CAST(len(kept) AS BIGINT) AS n_kept, " +
+        // COALESCE: DuckDB array_to_string([]) is NULL, Spark array_join is ''
+        "sha256(COALESCE(array_to_string(flatten(list_transform(kept, " +
+        "ci -> w[ci*16+1:ci*16+16])), ' '), '')) AS out_sha " +
+        "FROM x ORDER BY doc_id"),
+
+    "p33_temperature_mix" ->
+      ("WITH b AS (SELECT doc_id, CASE WHEN source IN ('src0','src1','src2') " +
+        "THEN source ELSE 'web' END AS domain, " +
+        "(doc_id * 1103515245 + 12345) % 2147483648 AS h FROM documents), " +
+        "s AS (SELECT domain, count(*) AS n_docs, " +
+        "CAST(floor(sqrt(count(*))) AS BIGINT) AS sq FROM b GROUP BY domain), " +
+        "t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn, CAST(sum(sq) AS BIGINT) AS ts FROM s), " +
+        "r AS (SELECT domain, n_docs, least(CAST(1000 AS BIGINT), " +
+        "((tn // 2) * 1000 * sq) // (ts * n_docs)) AS rate FROM s, t), " +
+        "k AS (SELECT b.domain, count(*) AS n_kept FROM b JOIN r USING (domain) " +
+        "WHERE b.h % 1000 < r.rate GROUP BY b.domain) " +
+        "SELECT r.domain, r.n_docs, r.rate, COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept " +
+        "FROM r LEFT JOIN k USING (domain) ORDER BY r.domain"),
 
     "p10_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens, " +

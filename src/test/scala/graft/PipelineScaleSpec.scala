@@ -262,4 +262,75 @@ class PipelineScaleSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       s"no join belongs in URL dedup:\n$plan")
   }
+
+  test("p31 train order: dense 1-based positions, bucket-partitioned rank") {
+    val df = SparkEntry.queries("p31_train_order")(spark, dir)
+    val rows = df.collect()
+    // positions are a permutation 1..n and agree with the (h, doc_id) sort
+    val pos = rows.map(_.getLong(2))
+    assert(pos.toSeq == (1L to rows.length).toSeq,
+      s"positions not dense from 1: ${pos.take(5).mkString(",")}")
+    val sorted = rows.sortBy(r => (r.getLong(1), r.getLong(0)))
+    assert(sorted.map(_.getLong(2)).toSeq == (1L to rows.length).toSeq,
+      "rank order must equal the (h, doc_id) sort")
+    // the rank window partitions by the hash bucket — a global
+    // row_number would funnel the corpus through one task
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, s"missing the rank window:\n$plan")
+    assert(winLines.forall(_.contains("_bk#")),
+      s"rank window not bucket-partitioned:\n${winLines.mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast:\n$plan")
+  }
+
+  test("p32 chunk dedup: hash-keyed dedup window, every distinct chunk survives once") {
+    val df = SparkEntry.queries("p32_chunk_dedup")(spark, dir)
+    val rows = df.collect()
+    // conservation: summed survivors == corpus-wide distinct chunk count
+    import org.apache.spark.sql.functions._
+    val t = Tables.scan(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        "sequence(cast(0 as bigint), cast(size(w) - 1 as bigint) div 16)")).as("ci"),
+        col("w"))
+      .select(expr("array_join(slice(w, cast(ci * 16 + 1 as int), 16), ' ')").as("chunk"))
+    val distinctChunks = t.agg(countDistinct(col("chunk"))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == distinctChunks,
+      "each distinct chunk must survive exactly once")
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)),
+      "kept chunks cannot exceed chunk count")
+    // the first-occurrence window partitions by the chunk HASH — chunk
+    // text never rides the dedup exchange
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, s"missing the dedup window:\n$plan")
+    assert(winLines.forall(_.contains("ch#")),
+      s"dedup window not chunk-hash-partitioned:\n${winLines.mkString("\n")}")
+  }
+
+  test("p33 temperature mix: rates broadcast back, smaller domains keep more") {
+    val df = SparkEntry.queries("p33_temperature_mix")(spark, dir)
+    val rows = df.collect()
+    assert(rows.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 1000L),
+      "rates are per-mille")
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(1)),
+      "kept docs cannot exceed domain size")
+    // α = 1/2 flattening: a smaller domain never gets a LOWER keep rate
+    val bySize = rows.sortBy(_.getLong(1)).map(_.getLong(2))
+    assert(bySize.zip(bySize.tail).forall { case (small, big) => small >= big },
+      s"keep rate must be monotone non-increasing in domain size: ${rows.mkString(";")}")
+    // the per-domain rate table is tiny — both joins must broadcast; the
+    // corpus side is filter + partial agg, never a sort-merge shuffle
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rates must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge join belongs in the mix plan:\n$plan")
+  }
 }
