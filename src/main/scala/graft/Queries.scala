@@ -460,6 +460,70 @@ object Queries {
       t.scan().orderBy("o_orderkey")
     }),
 
+    "q54_backup_chain" -> ((s, dir) => {
+      // E3 end-to-end as a HASH-GATED query (the spec already covers the
+      // mechanics; this gates the full round trip against the oracle):
+      // full backup → two mutation generations, each captured as an
+      // incremental (kudu-backup's RowAction export) → restoreChain
+      // replays them IN ORDER into a fresh table. The replay order is
+      // load-bearing: gen-1 updates the %3 keys and deletes the %7 keys;
+      // gen-2 re-inserts the %7 keys at +500 and deletes the %3 keys —
+      // swapped increments would leave the opposite key classes alive.
+      import graft.tools.GraftTools
+      val raw = Tables.raw(s, dir, "supplier")
+      val t = GraftTable.create(s, tmpLoc("graft-q54-src-"), "supplier_q54",
+        raw.schema, Seq("s_suppkey"), Seq(HashComponent(Seq("s_suppkey"), 4)),
+        data = Some(raw))
+      val full = tmpLoc("graft-q54-full-")
+      GraftTools.backup(t, full)
+      val v1 = t.currentVersion
+      t.upsert(raw.filter(pmod(col("s_suppkey"), lit(10)) === 3)
+        .withColumn("s_acctbal", col("s_acctbal") + 100))
+      t.delete(raw.filter(pmod(col("s_suppkey"), lit(10)) === 7)
+        .select("s_suppkey"))
+      val inc1 = tmpLoc("graft-q54-inc1-")
+      val h1 = GraftTools.backupIncremental(t, inc1, v1)
+      t.upsert(raw.filter(pmod(col("s_suppkey"), lit(10)) === 7)
+        .withColumn("s_acctbal", col("s_acctbal") + 500))
+      t.delete(raw.filter(pmod(col("s_suppkey"), lit(10)) === 3)
+        .select("s_suppkey"))
+      val inc2 = tmpLoc("graft-q54-inc2-")
+      GraftTools.backupIncremental(t, inc2, h1)
+      val restored = GraftTools.restoreChain(s, full, Seq(inc1, inc2),
+        tmpLoc("graft-q54-dest-"), Seq("s_suppkey"),
+        Seq(HashComponent(Seq("s_suppkey"), 4)))
+      restored.scan().orderBy("s_suppkey")
+    }),
+
+    "q55_replicate" -> ((s, dir) => {
+      // E6 end-to-end as a HASH-GATED query: destination bootstraps from
+      // the source's v1 snapshot (the change stream never emits the
+      // initial load), then TWO replication rounds relay the CDC deltas —
+      // the second resumes from the head the first returned, proving the
+      // chain handoff. Gen-1 updates %4 keys and deletes %9 keys; gen-2
+      // re-inserts %9 at +750 and deletes %4.
+      import graft.tools.GraftTools
+      val raw = Tables.raw(s, dir, "customer")
+      val src = GraftTable.create(s, tmpLoc("graft-q55-src-"), "customer_q55",
+        raw.schema, Seq("c_custkey"), Seq(HashComponent(Seq("c_custkey"), 4)),
+        data = Some(raw))
+      val v1 = src.currentVersion
+      val dest = GraftTable.create(s, tmpLoc("graft-q55-dest-"),
+        "customer_q55_replica", raw.schema, Seq("c_custkey"),
+        Seq(HashComponent(Seq("c_custkey"), 4)), data = Some(src.scan(Some(v1))))
+      src.upsert(raw.filter(pmod(col("c_custkey"), lit(10)) === 4)
+        .withColumn("c_acctbal", col("c_acctbal") + 250))
+      src.delete(raw.filter(pmod(col("c_custkey"), lit(10)) === 9)
+        .select("c_custkey"))
+      val h1 = GraftTools.replicate(src, dest, v1)
+      src.upsert(raw.filter(pmod(col("c_custkey"), lit(10)) === 9)
+        .withColumn("c_acctbal", col("c_acctbal") + 750))
+      src.delete(raw.filter(pmod(col("c_custkey"), lit(10)) === 4)
+        .select("c_custkey"))
+      GraftTools.replicate(src, dest, h1)
+      dest.scan().orderBy("c_custkey")
+    }),
+
     "q29_point_lookup" -> ((s, dir) => {
       // PK point lookup through the indexed read path: the custom FileIndex
       // prunes to the single hash-bucket file group from table METADATA
@@ -1394,6 +1458,15 @@ object Queries {
         "UNION ALL SELECT * FROM orders WHERE o_orderkey = " +
         "(SELECT min(o_orderkey) FROM orders WHERE year(o_orderdate) = 1995) " +
         "ORDER BY o_orderkey"),
+    "q54_backup_chain" ->
+      ("SELECT s_suppkey, s_name, s_nationkey, " +
+        "CASE WHEN s_suppkey % 10 = 7 THEN s_acctbal + 500 ELSE s_acctbal END AS s_acctbal " +
+        "FROM supplier WHERE s_suppkey % 10 <> 3 ORDER BY s_suppkey"),
+    "q55_replicate" ->
+      ("SELECT c_custkey, c_name, c_nationkey, " +
+        "CASE WHEN c_custkey % 10 = 9 THEN c_acctbal + 750 ELSE c_acctbal END AS c_acctbal, " +
+        "c_mktsegment " +
+        "FROM customer WHERE c_custkey % 10 <> 4 ORDER BY c_custkey"),
     "q30_colocated_join" ->
       ("SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, " +
         "CAST(len(embedding) AS INTEGER) AS dim, label " +

@@ -1797,6 +1797,18 @@ object GraftV2Scan {
       f.bucket.isEmpty && f.rangeKey.isEmpty && (f.keyLo.isEmpty || f.keyHi.isEmpty)
     if (!meta.baseFiles.exists(bare) && !meta.deltaFiles.exists(bare)) return meta
     val c = lead.get
+    // pre-warm the memo for every un-memoized bare file through the same
+    // fan-out the write path uses (bounded pool; Spark job past the
+    // threshold) — a pre-bounds manifest with thousands of files would
+    // otherwise hydrate one sequential footer read at a time
+    val missing = (meta.baseFiles ++ meta.deltaFiles)
+      .filter(f => bare(f) && !footerBoundsMemo.containsKey(f.path))
+      .map(_.path).distinct
+    if (missing.size > 1)
+      GraftTable.statFiles(org.apache.spark.sql.SparkSession.active, missing,
+        Seq((0, c.physName, c.dataType))).foreach { case (p, st) =>
+        footerBoundsMemo.putIfAbsent(p, (st.lo.get("0"), st.hi.get("0")))
+      }
     def fill(f: graft.catalog.DataFileMeta) =
       if (!bare(f)) f
       else {

@@ -68,6 +68,36 @@ class DeltaStatsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gds.ds1 WHERE k = 1000").isEmpty)
   }
 
+  test("distributed footer-stat branch records identical manifests") {
+    // statFiles fans footer opens over a driver pool below the threshold
+    // and runs them as a Spark job above it (the 100 TB rewrite path) —
+    // the two branches must record byte-identical stats. Build the same
+    // table under each branch and compare every per-file stat.
+    val wh = Files.createTempDirectory("graft-dstat-dist-").toString
+    val df = (1 to 800).map(i => (i.toLong, s"v$i", i % 7)).toDF("k", "v", "g")
+    def build(loc: String) = {
+      val t = GraftTable.create(spark, loc, "dsd", df.schema, Seq("k"),
+        Seq(HashComponent(Seq("k"), 4)), data = Some(df))
+      onePerCommit {
+        t.upsert((10 to 40).map(i => (i.toLong, s"u$i", 0)).toDF("k", "v", "g"))
+      }
+      t.meta
+    }
+    def stats(m: graft.catalog.TableMeta) =
+      (m.baseFiles ++ m.deltaFiles)
+        .map(f => (f.kind, f.bucket, f.rows, f.keyLo, f.keyHi,
+          f.colLo.map(_.toSeq.sorted), f.colHi.map(_.toSeq.sorted),
+          f.colNulls.map(_.toSeq.sorted)))
+        .sortBy(_.toString)
+    val pooled = stats(build(s"$wh/pool"))
+    spark.conf.set("graft.bounds.distributeThreshold", "1")
+    try {
+      val distributed = stats(build(s"$wh/dist"))
+      assert(distributed == pooled,
+        s"distributed stats diverge:\n$distributed\nvs\n$pooled")
+    } finally spark.conf.unset("graft.bounds.distributeThreshold")
+  }
+
   test("timestamp and string first keys get delta bounds (micros write)") {
     val wh = Files.createTempDirectory("graft-dstats2-").toString
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 10:00:00")
