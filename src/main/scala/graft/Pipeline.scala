@@ -1211,6 +1211,39 @@ object Pipeline {
         .orderBy("domain")
     }),
 
+    "p34_passage_chunks" -> ((s, dir) => {
+      // RAG-style passage chunking (the embedding-pipeline prep): each doc
+      // yields OVERLAPPING 32-word windows at stride 24 (8 words of
+      // overlap carry context across boundaries), chunk i covering words
+      // [i·24+1, i·24+32]; the last chunk is the first whose window
+      // reaches the doc's end (i_max = max(0, ⌈(len−32)/24⌉) — no
+      // redundant fully-contained trailing window), so a short doc is one
+      // chunk. Emitted as (doc_id, chunk_id, start_word, n_words, sha) —
+      // the id/sha pair is what an embedding job keys on. Scale shape: a
+      // pure per-doc map + bounded explode (≤ len/stride + 1 rows per
+      // doc), no shuffle at all before the output sort; text leaves the
+      // row only as the chunk being hashed. (greatest AFTER the division:
+      // short docs make the dividend negative, where Spark div truncates
+      // toward zero but DuckDB // floors — clamping the quotient makes
+      // both engines land on 0.)
+      val win = 32
+      val stride = 24
+      docs(s, dir).repartition(parallelism(s))
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .select(col("doc_id"), col("w"), explode(expr(
+          s"sequence(cast(0 as bigint), greatest(cast(0 as bigint), " +
+            s"cast(size(w) - $win + $stride - 1 as bigint) div $stride))"))
+          .as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * stride + 1).as("start_word"),
+          expr(s"size(slice(w, cast(chunk_id * $stride + 1 as int), $win))")
+            .cast("long").as("n_words"),
+          sha2(array_join(expr(
+            s"slice(w, cast(chunk_id * $stride + 1 as int), $win)"), " "), 256)
+            .as("chunk_sha"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     "p10_token_count" -> ((s, dir) => {
       // Whitespace tokens + a BPE-ish estimate (~4 chars/token heuristic,
       // integer arithmetic so both engines agree exactly).
@@ -1707,6 +1740,16 @@ object Pipeline {
         "WHERE b.h % 1000 < r.rate GROUP BY b.domain) " +
         "SELECT r.domain, r.n_docs, r.rate, COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept " +
         "FROM r LEFT JOIN k USING (domain) ORDER BY r.domain"),
+
+    "p34_passage_chunks" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g0 AS (SELECT doc_id, w, unnest(generate_series(0, " +
+        "greatest(0, (len(w) - 32 + 24 - 1) // 24))) AS ci FROM t) " +
+        "SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id, " +
+        "CAST(ci * 24 + 1 AS BIGINT) AS start_word, " +
+        "CAST(len(w[ci*24+1:ci*24+32]) AS BIGINT) AS n_words, " +
+        "sha256(array_to_string(w[ci*24+1:ci*24+32], ' ')) AS chunk_sha " +
+        "FROM g0 ORDER BY doc_id, chunk_id"),
 
     "p10_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens, " +

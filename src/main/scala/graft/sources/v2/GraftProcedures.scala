@@ -45,7 +45,8 @@ import graft.table.GraftTable
 private[v2] object GraftProcedures {
 
   val names: Array[String] = Array(
-    "analyze", "cluster", "compact", "compact_deltas", "compact_tablet",
+    "analyze", "backup", "backup_incremental", "restore_chain", "replicate",
+    "cluster", "compact", "compact_deltas", "compact_tablet",
     "locate_row", "expire_versions", "zone_stats",
     "maintain", "maintain_schedule", "maintain_schedule_warehouse",
     "maintain_unschedule", "maintain_unschedule_warehouse",
@@ -377,6 +378,71 @@ private[v2] object GraftProcedures {
           val t = GraftTable.register(spark, loc, parts.last,
             in.getUTF8String(1).toString, keys, hash)
           Seq(InternalRow(str(t.location), t.meta.baseFiles.size.toLong))
+        })
+      case "backup" => Some(proc("backup",
+        "full backup: export a snapshot (head or an explicit version) as " +
+          "plain parquet rows at out_path — the chain base restore_chain " +
+          "replays increments onto (kudu-backup full backup analog)",
+        Array(tableParam,
+          ProcedureParameter.in("out_path", StringType).build(),
+          ProcedureParameter.in("version", LongType).defaultValue("NULL").build()),
+        new StructType().add("path", StringType).add("version", LongType)) { in =>
+          val t = locate(in)
+          val v = if (in.isNullAt(2)) t.currentVersion else in.getLong(2)
+          graft.tools.GraftTools.backup(t, in.getUTF8String(1).toString, Some(v))
+          Seq(InternalRow(str(in.getUTF8String(1).toString), v))
+        })
+      case "backup_incremental" => Some(proc("backup_incremental",
+        "incremental backup: export the logical changes in (from_version, " +
+          "head] as parquet rows carrying _action UPSERT|DELETE (the " +
+          "RowAction export); returns head — the next increment's " +
+          "from_version, forming the chain",
+        Array(tableParam,
+          ProcedureParameter.in("out_path", StringType).build(),
+          ProcedureParameter.in("from_version", LongType).build()),
+        new StructType().add("path", StringType).add("head", LongType)) { in =>
+          val head = graft.tools.GraftTools.backupIncremental(locate(in),
+            in.getUTF8String(1).toString, in.getLong(2))
+          Seq(InternalRow(str(in.getUTF8String(1).toString), head))
+        })
+      case "restore_chain" => Some(proc("restore_chain",
+        "restore a full backup then replay incrementals IN ORDER " +
+          "(increments = comma-separated paths, oldest first) into a new " +
+          "table under the warehouse",
+        Array(tableParam, // destination table name
+          ProcedureParameter.in("full_path", StringType).build(),
+          ProcedureParameter.in("keys", StringType).build(), // comma-separated
+          // optional params come last (Spark rearranges named args)
+          ProcedureParameter.in("increments", StringType).defaultValue("''").build(),
+          ProcedureParameter.in("hash_buckets", IntegerType).defaultValue("NULL").build()),
+        new StructType().add("location", StringType).add("version", LongType)) { in =>
+          val parts = in.getUTF8String(0).toString.split('.').toSeq
+          val loc = parts.mkString(s"$warehouse/", "/", "")
+          val incs = in.getUTF8String(3).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val keys = in.getUTF8String(2).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val hash = if (in.isNullAt(4)) Nil
+            else Seq(graft.catalog.HashComponent(keys, in.getInt(4)))
+          val t = graft.tools.GraftTools.restoreChain(spark,
+            in.getUTF8String(1).toString, incs, loc, keys, hash)
+          Seq(InternalRow(str(t.location), t.currentVersion))
+        })
+      case "replicate" => Some(proc("replicate",
+        "one-shot replication relay: apply the source's changes since the " +
+          "destination's recorded version (both tables of this warehouse); " +
+          "returns the new head to resume from — bootstrap the destination " +
+          "from a snapshot first, the change stream never emits the " +
+          "initial load",
+        Array(tableParam, // source
+          ProcedureParameter.in("dest", StringType).build(),
+          ProcedureParameter.in("since_version", LongType).build()),
+        new StructType().add("head", LongType)) { in =>
+          val destParts = in.getUTF8String(1).toString.split('.').toSeq
+          val dest = GraftTable.load(spark,
+            destParts.mkString(s"$warehouse/", "/", ""))
+          Seq(InternalRow(graft.tools.GraftTools.replicate(
+            locate(in), dest, in.getLong(2))))
         })
       case "txn_begin" => Some(proc("txn_begin",
         "open a scoped transaction on the table; returns the handle id",

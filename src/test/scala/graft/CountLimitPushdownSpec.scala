@@ -247,10 +247,10 @@ class CountLimitPushdownSpec extends AnyFunSuite {
       Seq(HashComponent(Seq("k"), 2)),
       range = Some(RangeComponent("cat", "value")), data = Some(data))
     val f = new java.io.File(loc)
-    spark.conf.set("spark.sql.catalog.gagg",
+    spark.conf.set("spark.sql.catalog.gaggmeta",
       classOf[graft.sources.v2.GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.gagg.warehouse", f.getParent)
-    val name = s"gagg.`${f.getName}`"
+    spark.conf.set("spark.sql.catalog.gaggmeta.warehouse", f.getParent)
+    val name = s"gaggmeta.`${f.getName}`"
     val grouped = spark.sql(
       s"SELECT cat, count(*) AS n, min(k) AS lo, max(k) AS hi " +
         s"FROM $name GROUP BY cat ORDER BY cat")

@@ -100,6 +100,7 @@ class ProceduresSpec extends AnyFunSuite {
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
       .map(_.getAs[String]("procedure_name")).toSet
     assert(listed == Set("analyze", "cluster", "zone_stats", "compact", "compact_deltas",
+      "backup", "backup_incremental", "restore_chain", "replicate",
       "compact_tablet", "expire_versions", "locate_row", "maintain", "maintain_schedule",
       "maintain_schedule_warehouse", "maintain_unschedule",
       "maintain_unschedule_warehouse", "maintain_schedule_status",
@@ -289,5 +290,47 @@ class ProceduresSpec extends AnyFunSuite {
     val e = intercept[Exception] { spark.sql(s"CALL $cat.system.nope('m4')") }
     assert(e.getMessage.contains("no such procedure")
       || Option(e.getCause).exists(_.getMessage.contains("no such procedure")))
+  }
+
+  test("CALL backup/backup_incremental/restore_chain: SQL-driven chain round trip") {
+    val t = mkTable("bk1")
+    val full = Files.createTempDirectory("graft-proc-bk-full-").toString
+    val b = spark.sql(s"CALL $cat.system.backup('bk1', '$full')").collect()
+    assert(b.map(_.getLong(1)).toSeq == Seq(t.currentVersion))
+    t.upsert(Seq((3, "gen1"), (61, "gen1new")).toDF("k", "v"))
+    t.delete(Seq(Tuple1(10)).toDF("k"))
+    val inc = Files.createTempDirectory("graft-proc-bk-inc-").toString
+    val head = spark.sql(s"CALL $cat.system.backup_incremental('bk1', '$inc', " +
+      s"${b.head.getLong(1)})").collect().head.getLong(1)
+    assert(head == t.currentVersion)
+    val r = spark.sql(s"CALL $cat.system.restore_chain('bk1r', '$full', " +
+      s"'k', '$inc', 2)").collect()
+    assert(r.map(_.getLong(1)).nonEmpty)
+    // restored content == source head content, queryable through the catalog
+    val restored = spark.sql(s"SELECT k, v FROM $cat.bk1r ORDER BY k").collect()
+    val src = t.scan().orderBy("k").collect()
+    assert(restored.map(x => (x.getInt(0), x.getString(1))).toSeq ==
+      src.map(x => (x.getInt(0), x.getString(1))).toSeq)
+    assert(restored.exists(x => x.getInt(0) == 3 && x.getString(1) == "gen1"))
+    assert(!restored.exists(_.getInt(0) == 10))
+  }
+
+  test("CALL replicate relays CDC since a version; head chains the next call") {
+    val src = mkTable("rep_src")
+    val v1 = src.currentVersion
+    GraftTable.create(spark, s"$wh/rep_dst", "rep_dst",
+      src.scan().schema, keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), 2)),
+      data = Some(src.scan(Some(v1))))
+    src.upsert(Seq((5, "r1")).toDF("k", "v"))
+    src.delete(Seq(Tuple1(7)).toDF("k"))
+    val h1 = spark.sql(s"CALL $cat.system.replicate('rep_src', 'rep_dst', $v1)")
+      .collect().head.getLong(0)
+    src.upsert(Seq((7, "back")).toDF("k", "v"))
+    spark.sql(s"CALL $cat.system.replicate('rep_src', 'rep_dst', $h1)").collect()
+    val dst = GraftTable.load(spark, s"$wh/rep_dst")
+    val got = dst.scan().orderBy("k").collect().map(x => (x.getInt(0), x.getString(1)))
+    val want = src.scan().orderBy("k").collect().map(x => (x.getInt(0), x.getString(1)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.exists(x => x._1 == 7 && x._2 == "back"))
   }
 }
