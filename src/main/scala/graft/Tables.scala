@@ -44,8 +44,11 @@ object Tables {
   private val cache = TrieMap[(String, String), GraftTable]()
 
   /** Bump when the metadata format changes — stale on-disk caches from an
-    * older build are then simply ignored instead of mis-loaded. */
-  private val CacheFormatVersion = 3
+    * older build are then simply ignored instead of mis-loaded.
+    * (v4: base files carry the writer's sorted=true proof, which the V2
+    * scan's SupportsReportOrdering needs — older fixtures would silently
+    * keep paying SMJ sorts.) */
+  private val CacheFormatVersion = 4
 
   /** The fixture warehouse for `sfDir` — also what the DSv2 catalog mounts
     * (spark.sql.catalog.<name>.warehouse) for storage-partitioned joins. */

@@ -190,7 +190,16 @@ case class DataFileMeta(
     // base row it kills (PartitionPruner.zoneOk gates on kind).
     colLo: Option[Map[String, String]] = None,
     colHi: Option[Map[String, String]] = None,
-    colNulls: Option[Map[String, Long]] = None) {
+    colNulls: Option[Map[String, Long]] = None,
+    // Some(true) when the WRITER proves the file's rows are sorted by the
+    // table's full key column list (writeBase PK-sorts every file it
+    // emits; z-clustered rewrites order by (z, PK) → Some(false); files
+    // registered from external parquet keep None = unknown). Consumed by
+    // the V2 scan's SupportsReportOrdering: a clean one-sorted-file-per-
+    // split snapshot reports per-partition PK order, so storage-
+    // partitioned PK-PK joins skip BOTH sort stages on top of the shuffle
+    // they already skip. Absent in older manifests → None (no report).
+    sorted: Option[Boolean] = None) {
 
   /** Zone-map [lo, hi] for a column id (both ends or nothing). */
   def colBounds(id: Int): Option[(String, String)] =

@@ -993,7 +993,8 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     topN: Option[(Int, Boolean, Int)] = None,
     maxBytesPerTrigger: Option[Long] = None) extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   // Per-scan observability counters (see GraftV2Scan.scanMetricDecls):
   // recorded while planning/choosing transport, reported as driver
@@ -1242,6 +1243,64 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
   private def keyGrouped: Option[Seq[graft.catalog.HashComponent]] =
     GraftV2Scan.keyGroupedComponents(meta).filter(_ =>
       spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
+
+  /** Per-PARTITION ordering report (SupportsReportOrdering): when every
+    * planned split's row stream is provably sorted by a prefix of the key
+    * columns, declare it — a storage-partitioned PK-PK join then skips
+    * BOTH SortMergeJoin sort stages on top of the shuffle it already
+    * skips (the reference's tablets serve PK-ordered scans the same way,
+    * tablet/diskrowset.h: rowsets are key-ordered on disk). Sound only
+    * when ALL hold:
+    *  - clean snapshot: the merge-on-read overlay appends upsert rows and
+    *    filters tombstones out of order;
+    *  - no z-clustering: those files are ordered (z, PK), not PK;
+    *  - every planned split holds at most ONE base file (two PK-sorted
+    *    files concatenate UNsorted; byte-range sub-splits of one file
+    *    stay contiguous → sorted);
+    *  - every file carries the writer's sorted=true proof (files
+    *    registered from external parquet read as unknown);
+    *  - the reported columns are the longest key-column PREFIX the
+    *    projection keeps (rows sorted by (k1,k2) are sorted by k1).
+    * LIMIT truncation and predicate re-evaluation above the scan both
+    * preserve order. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    if (meta.deltaFiles.nonEmpty || meta.clusterBy.exists(_.nonEmpty))
+      return Array.empty
+    // SPJ group COALESCING breaks per-partition order invisibly: with
+    // compatible-transforms (bucket(8) joins bucket(4)) Spark merges
+    // pairs of this scan's key groups into one partition — two PK-sorted
+    // files concatenated are NOT sorted, but the ordering report would
+    // survive the merge and SortMergeJoin would silently drop rows
+    // (caught by StoragePartitionedJoinSpec's divisible-bucket case).
+    // Partially-clustered distribution and join-keys-subset grouping
+    // re-shape groups the same way. The scan cannot see the planner's
+    // merge decision, so refuse to report while any group-reshaping conf
+    // is on.
+    val reshaping = Seq(
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+      "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled")
+    if (reshaping.exists(k =>
+        spark.conf.getOption(k).exists(_.equalsIgnoreCase("true"))))
+      return Array.empty
+    val prefix = meta.keyCols.takeWhile(requiredSchema.fieldNames.contains)
+    if (prefix.isEmpty) return Array.empty
+    val effective = filters.toSeq ++ runtimeFilters
+    val files = graft.sources.PartitionPruner.pruneFiles(
+      meta, meta.baseFiles, effective)
+    val cut = topNFiles(limitFilePrefix(files))
+    if (cut.exists(!_.sorted.getOrElse(false))) return Array.empty
+    val onePerSplit = keyGrouped match {
+      case Some(_) if cut.exists(_.bucket.isEmpty) => cut.size <= 1
+      case Some(_) => cut.groupBy(_.bucket.get).values.forall(_.size <= 1)
+      case None => GraftV2Scan.routeGroups(meta, cut).forall(_._2.size <= 1)
+    }
+    if (!onePerSplit) return Array.empty
+    prefix.map(k =>
+      Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)).toArray
+  }
 
   override def outputPartitioning(): Partitioning = keyGrouped match {
     case Some(comps) =>

@@ -2187,7 +2187,10 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         keyHi = firstKeyId.flatMap(id => st.hi.get(id.toString)),
         colLo = Some(st.lo).filter(_.nonEmpty),
         colHi = Some(st.hi).filter(_.nonEmpty),
-        colNulls = Some(st.nulls).filter(_.nonEmpty))
+        colNulls = Some(st.nulls).filter(_.nonEmpty),
+        // every writer branch above PK-sorts within each output file —
+        // except the clustered rewrite, whose file order is (z, PK)
+        sorted = Some(clusterSpec.isEmpty))
     }
   }
 }

@@ -51,6 +51,43 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
 
+  test("PK-PK SPJ joins sort-free on clean sorted snapshots; deltas restore the sorts") {
+    // SupportsReportOrdering: one PK-sorted file per key group on a clean
+    // snapshot → the scan declares per-partition PK order and the
+    // SortMergeJoin runs with ZERO Sort stages (on top of the zero
+    // shuffles SPJ already earns). Any pending delta voids the report —
+    // the MOR overlay appends rows out of order.
+    val wh = mkWarehouse()
+    spark.conf.set("spark.sql.catalog.gord", classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gord.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def joined = spark.table("gord.t1").join(spark.table("gord.t2"), "k")
+        .select(col("k"), col("gord.t1.v").as("v1"), col("gord.t2.v").as("v2"))
+      val clean = joined
+      val rows = clean.collect()
+      assert(rows.length == 80)
+      assert(rows.map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+        .apply(7L) == ("a7", "b7"))
+      val plan = clean.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+      assert(!plan.contains("Sort ["), s"expected sort-free SMJ:\n$plan")
+      // mutate one side: the overlay serves the delta, sorts must return,
+      // and the result reflects the write
+      GraftTable.load(spark, s"$wh/t1").upsert(Seq((7L, "A7")).toDF("k", "v"))
+      val dirty = joined
+      val drows = dirty.collect()
+      assert(drows.map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+        .apply(7L) == ("A7", "b7"))
+      val dplan = dirty.queryExecution.executedPlan.toString
+      assert(dplan.contains("Sort ["),
+        s"a delta-carrying scan must not report ordering:\n$dplan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
   test("mismatched-but-divisible bucket counts co-partition via the reducer") {
     // lineitem(8 buckets) ⋈ orders(4 buckets) shape: pmod(h,8) reduces to
     // pmod(h,4) exactly, so the finer side's key groups fold onto the
