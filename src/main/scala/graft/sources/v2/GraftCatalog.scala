@@ -1287,10 +1287,7 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
       return Array.empty
     val prefix = meta.keyCols.takeWhile(requiredSchema.fieldNames.contains)
     if (prefix.isEmpty) return Array.empty
-    val effective = filters.toSeq ++ runtimeFilters
-    val files = graft.sources.PartitionPruner.pruneFiles(
-      meta, meta.baseFiles, effective)
-    val cut = topNFiles(limitFilePrefix(files))
+    val cut = prunedCutFiles()
     if (cut.exists(!_.sorted.getOrElse(false))) return Array.empty
     val onePerSplit = keyGrouped match {
       case Some(_) if cut.exists(_.bucket.isEmpty) => cut.size <= 1
@@ -1312,6 +1309,32 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         planInputPartitions().length)
   }
 
+  /** Pruned fileset with the LIMIT/TOP-N cuts applied, memoized on the
+    * runtime-filter state (the only planning input that changes): one
+    * manifest pass serves planInputPartitions, outputPartitioning's
+    * sizing re-entry, AND outputOrdering — on a many-thousand-file
+    * manifest each extra pass is real driver latency. A runtime-filter
+    * update misses the memo (In filters compare by array reference) and
+    * recomputes; never stale, only conservative. */
+  @volatile private var cutMemo: (Seq[Filter], Seq[graft.catalog.DataFileMeta]) = null
+  private def prunedCutFiles(): Seq[graft.catalog.DataFileMeta] = {
+    val key = runtimeFilters.toSeq
+    val memo = cutMemo
+    if (memo != null && memo._1 == key) memo._2
+    else {
+      val files = graft.sources.PartitionPruner.pruneFiles(
+        meta, meta.baseFiles, filters.toSeq ++ key)
+      // LIMIT file-prefix and TOP-N cuts apply in EVERY branch (both
+      // refuse under deltas/filters, so the cut set is sound regardless
+      // of how the survivors are grouped into splits): with SPJ bucketing
+      // enabled a plain `LIMIT 10` would otherwise open every bucket's
+      // files.
+      val cut = topNFiles(limitFilePrefix(files))
+      cutMemo = (key, cut)
+      cut
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     // one input partition per (composite) hash bucket = the SPJ grouping
     // unit, keyed by the per-component bucket ids (one key field per
@@ -1319,13 +1342,7 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     // break the key grouping → the table constructor already restricted us
     // to compacted (coordinate-carrying) bases; a coordinate-less fileset
     // reports a single unkeyed partition.
-    val effective = filters.toSeq ++ runtimeFilters
-    val files = graft.sources.PartitionPruner.pruneFiles(meta, meta.baseFiles, effective)
-    // LIMIT file-prefix and TOP-N cuts apply in EVERY branch (both refuse
-    // under deltas/filters, so the cut set is sound regardless of how the
-    // survivors are grouped into splits): with SPJ bucketing enabled a
-    // plain `LIMIT 10` would otherwise open every bucket's files.
-    val cutFiles = topNFiles(limitFilePrefix(files))
+    val cutFiles = prunedCutFiles()
     mBasesRead = cutFiles.length
     keyGrouped match {
       case Some(_) if cutFiles.exists(_.bucket.isEmpty) =>
@@ -1856,25 +1873,30 @@ object GraftV2Scan {
       f.bucket.isEmpty && f.rangeKey.isEmpty && (f.keyLo.isEmpty || f.keyHi.isEmpty)
     if (!meta.baseFiles.exists(bare) && !meta.deltaFiles.exists(bare)) return meta
     val c = lead.get
+    // bound the memo BEFORE the pre-warm: entries are tiny, but a driver
+    // serving many short-lived pre-bounds tables should not grow it
+    // forever — and clearing mid-fill would wipe the entries the fan-out
+    // below just paid for (clearing here just costs re-reading once)
+    if (footerBoundsMemo.size() > 1_000_000) footerBoundsMemo.clear()
     // pre-warm the memo for every un-memoized bare file through the same
     // fan-out the write path uses (bounded pool; Spark job past the
     // threshold) — a pre-bounds manifest with thousands of files would
-    // otherwise hydrate one sequential footer read at a time
+    // otherwise hydrate one sequential footer read at a time. Skipped
+    // when no session is bound to this thread (plain user thread pools):
+    // the sequential memoized path below needs no session.
     val missing = (meta.baseFiles ++ meta.deltaFiles)
       .filter(f => bare(f) && !footerBoundsMemo.containsKey(f.path))
       .map(_.path).distinct
-    if (missing.size > 1)
-      GraftTable.statFiles(org.apache.spark.sql.SparkSession.active, missing,
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    if (missing.size > 1 && session.isDefined)
+      GraftTable.statFiles(session.get, missing,
         Seq((0, c.physName, c.dataType))).foreach { case (p, st) =>
         footerBoundsMemo.putIfAbsent(p, (st.lo.get("0"), st.hi.get("0")))
       }
     def fill(f: graft.catalog.DataFileMeta) =
       if (!bare(f)) f
       else {
-        // bound the memo: entries are tiny, but a driver serving many
-        // short-lived pre-bounds tables should not grow it forever —
-        // clearing just costs re-reading footers once
-        if (footerBoundsMemo.size() > 1_000_000) footerBoundsMemo.clear()
         val (lo, hi) = footerBoundsMemo.computeIfAbsent(f.path,
           p => GraftTable.parquetKeyBounds(p, c.physName, c.dataType))
         f.copy(keyLo = lo, keyHi = hi)

@@ -2726,9 +2726,19 @@ object GraftTable {
     } else if (paths.size == 1) paths.map(p => (p, parquetFileStats(p, cols)))
     else {
       import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.duration._
+      // Bounded wait: a footer read stalled on a sick filesystem must not
+      // hang the commit forever, and an Inf wait on the SHARED pool would
+      // let one stall eventually starve every future multi-file commit in
+      // the JVM. On timeout the file records unknown stats (rows = -1, no
+      // bounds) — the same conservative shape pre-bounds manifests already
+      // read as; consumers keep the file and stay correct.
       val futures = paths.map(p => Future(parquetFileStats(p, cols))(footerPool))
-      paths.zip(futures.map(Await.result(_, Duration.Inf)))
+      paths.zip(futures.map { f =>
+        try Await.result(f, 120.seconds)
+        catch { case _: java.util.concurrent.TimeoutException =>
+          FileStats(-1L, Map.empty, Map.empty, Map.empty) }
+      })
     }
   }
 

@@ -320,10 +320,18 @@ class PipelineScaleSpec extends AnyFunSuite {
       "rates are per-mille")
     assert(rows.forall(r => r.getLong(3) <= r.getLong(1)),
       "kept docs cannot exceed domain size")
-    // α = 1/2 flattening: a smaller domain never gets a LOWER keep rate
-    val bySize = rows.sortBy(_.getLong(1)).map(_.getLong(2))
-    assert(bySize.zip(bySize.tail).forall { case (small, big) => small >= big },
-      s"keep rate must be monotone non-increasing in domain size: ${rows.mkString(";")}")
+    // exact rate recomputation from the domain sizes: floor(K·isqrt(n)/n)
+    // is NOT monotone across perfect-square boundaries (isqrt(95)/95 <
+    // isqrt(100)/100), so assert the α = 1/2 formula itself —
+    // fixture-independent
+    val tn = rows.map(_.getLong(1)).sum
+    val ts = rows.map(r => math.sqrt(r.getLong(1).toDouble).toLong).sum
+    rows.foreach { r =>
+      val sq = math.sqrt(r.getLong(1).toDouble).toLong
+      val expect = math.min(1000L, ((tn / 2) * 1000L * sq) / (ts * r.getLong(1)))
+      assert(r.getLong(2) == expect,
+        s"rate mismatch for ${r.getString(0)}: got ${r.getLong(2)}, formula $expect")
+    }
     // the per-domain rate table is tiny — both joins must broadcast; the
     // corpus side is filter + partial agg, never a sort-merge shuffle
     val plan = df.queryExecution.executedPlan.toString
