@@ -477,16 +477,22 @@ object Queries {
       val full = tmpLoc("graft-q54-full-")
       GraftTools.backup(t, full)
       val v1 = t.currentVersion
-      t.upsert(raw.filter(pmod(col("s_suppkey"), lit(10)) === 3)
-        .withColumn("s_acctbal", col("s_acctbal") + 100))
-      t.delete(raw.filter(pmod(col("s_suppkey"), lit(10)) === 7)
-        .select("s_suppkey"))
+      // each generation commits as ONE transactional version (the chain
+      // also proves increments capture multi-op atomic commits correctly)
+      t.transaction { tx =>
+        tx.upsert(raw.filter(pmod(col("s_suppkey"), lit(10)) === 3)
+          .withColumn("s_acctbal", col("s_acctbal") + 100))
+        tx.delete(raw.filter(pmod(col("s_suppkey"), lit(10)) === 7)
+          .select("s_suppkey"))
+      }
       val inc1 = tmpLoc("graft-q54-inc1-")
       val h1 = GraftTools.backupIncremental(t, inc1, v1)
-      t.upsert(raw.filter(pmod(col("s_suppkey"), lit(10)) === 7)
-        .withColumn("s_acctbal", col("s_acctbal") + 500))
-      t.delete(raw.filter(pmod(col("s_suppkey"), lit(10)) === 3)
-        .select("s_suppkey"))
+      t.transaction { tx =>
+        tx.upsert(raw.filter(pmod(col("s_suppkey"), lit(10)) === 7)
+          .withColumn("s_acctbal", col("s_acctbal") + 500))
+        tx.delete(raw.filter(pmod(col("s_suppkey"), lit(10)) === 3)
+          .select("s_suppkey"))
+      }
       val inc2 = tmpLoc("graft-q54-inc2-")
       GraftTools.backupIncremental(t, inc2, h1)
       val restored = GraftTools.restoreChain(s, full, Seq(inc1, inc2),
@@ -511,15 +517,19 @@ object Queries {
       val dest = GraftTable.create(s, tmpLoc("graft-q55-dest-"),
         "customer_q55_replica", raw.schema, Seq("c_custkey"),
         Seq(HashComponent(Seq("c_custkey"), 4)), data = Some(src.scan(Some(v1))))
-      src.upsert(raw.filter(pmod(col("c_custkey"), lit(10)) === 4)
-        .withColumn("c_acctbal", col("c_acctbal") + 250))
-      src.delete(raw.filter(pmod(col("c_custkey"), lit(10)) === 9)
-        .select("c_custkey"))
+      src.transaction { tx =>
+        tx.upsert(raw.filter(pmod(col("c_custkey"), lit(10)) === 4)
+          .withColumn("c_acctbal", col("c_acctbal") + 250))
+        tx.delete(raw.filter(pmod(col("c_custkey"), lit(10)) === 9)
+          .select("c_custkey"))
+      }
       val h1 = GraftTools.replicate(src, dest, v1)
-      src.upsert(raw.filter(pmod(col("c_custkey"), lit(10)) === 9)
-        .withColumn("c_acctbal", col("c_acctbal") + 750))
-      src.delete(raw.filter(pmod(col("c_custkey"), lit(10)) === 4)
-        .select("c_custkey"))
+      src.transaction { tx =>
+        tx.upsert(raw.filter(pmod(col("c_custkey"), lit(10)) === 9)
+          .withColumn("c_acctbal", col("c_acctbal") + 750))
+        tx.delete(raw.filter(pmod(col("c_custkey"), lit(10)) === 4)
+          .select("c_custkey"))
+      }
       GraftTools.replicate(src, dest, h1)
       dest.scan().orderBy("c_custkey")
     }),

@@ -146,7 +146,11 @@ object GraftTools {
           "restart the chain, and size history retention " +
           "(maintain_schedule history_retention_ms / retain_last) to " +
           "cover at least one backup interval")
-    table.changes(fromVersion, head)
+    // delta-only CDC fast path (falls back to the logical snapshot diff
+    // internally when a compaction separates the versions). It may emit an
+    // upsert whose value never changed — a mutation the physical diff saw —
+    // which replays idempotently, so the chain's end state is identical.
+    table.changesSince(fromVersion, head)
       .withColumn("_action", when(col("_deleted"), "DELETE").otherwise("UPSERT"))
       .drop("_deleted")
       .write.mode("overwrite").parquet(outPath)
@@ -176,7 +180,9 @@ object GraftTools {
   def replicate(src: GraftTable, dest: GraftTable, sinceVersion: Long): Long = {
     val head = src.currentVersion
     if (head > sinceVersion) {
-      val delta = src.changes(sinceVersion, head)
+      // delta-only fast path with automatic snapshot-diff fallback; an
+      // unchanged-value upsert it emits replays idempotently on dest
+      val delta = src.changesSince(sinceVersion, head)
       val deletes = delta.filter(col("_deleted")).drop("_deleted")
       val upserts = delta.filter(!col("_deleted")).drop("_deleted")
       if (upserts.limit(1).count() > 0) dest.upsert(upserts)

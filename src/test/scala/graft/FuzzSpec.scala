@@ -113,6 +113,31 @@ class FuzzSpec extends AnyFunSuite {
     try assert(stateOf(spark.table(s"$catName.`$whName`")) == model.toMap,
       s"row-based overlay disagrees with columnar seed=$seed")
     finally spark.conf.unset("graft.mor.columnar")
+    // SPJ self-join differential: the per-partition ordering report
+    // (sort-free SortMergeJoin when provable, withdrawn otherwise) must
+    // never change join RESULTS — this end state randomly mixes pending
+    // deltas, compactions and z-rewrites, so every gate of the report
+    // (delta overlay, cluster flag, multi-file groups, sorted proof)
+    // gets exercised against the model
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.table(s"$catName.`$whName`")
+      val b = spark.table(s"$catName.`$whName`")
+      val joined = a.join(b, a("k") === b("k"))
+        .select(a("k"), a("v").as("va"), b("v").as("vb")).collect()
+      assert(joined.length == model.size, s"SPJ self-join row count seed=$seed")
+      joined.foreach { r =>
+        def g(i: Int) = if (r.isNullAt(i)) None else Some(r.getInt(i))
+        val mv = model(r.getInt(0))
+        assert(g(1) == mv && g(2) == mv,
+          s"SPJ self-join value mismatch k=${r.getInt(0)} seed=$seed")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
     // history GC may have expired early snapshots: below the floor the
     // read must ERROR with the expired message, at-or-above it stays exact
     val floor = t.meta.historyFloor
