@@ -534,6 +534,43 @@ object Queries {
       dest.scan().orderBy("c_custkey")
     }),
 
+    "q56_sorted_spj" -> ((s, dir) => {
+      // Sort-free storage-partitioned join gate (SupportsReportOrdering
+      // end to end): documents ⋈ embeddings are co-bucketed AND each
+      // bucket is one writer-sorted base file on a clean snapshot, so
+      // both scans report per-partition PK order and the SortMergeJoin
+      // must plan with ZERO Sort stages on top of the ZERO shuffles SPJ
+      // already earns (q30 gates the shuffles; this gates the sorts —
+      // at 100 TB those two sorts are the join's largest operators).
+      // Broadcast is disabled only while the plan materializes
+      // (localCheckpoint, the q40 pattern) so the join stays SMJ.
+      Tables.readonly(s, dir, "documents")
+      Tables.readonly(s, dir, "embeddings")
+      s.conf.set("spark.sql.catalog.gq56",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq56.warehouse", Tables.cacheRoot(dir))
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val prevB = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val d = s.table("gq56.documents")
+        val e = s.table("gq56.embeddings")
+        val j = d.join(e, d("doc_id") === e("vec_id"))
+          .select(col("doc_id"), col("lang"), size(col("embedding")).as("dim"))
+        val out = j.localCheckpoint(true)
+        val plan = j.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        if (!plan.contains("SortMergeJoin"))
+          throw new IllegalStateException(s"expected an SMJ SPJ plan:\n$plan")
+        if (plan.contains("Sort ["))
+          throw new IllegalStateException(
+            s"ordering report missing — the SMJ planned sorts:\n$plan")
+        if (plan.contains("Exchange"))
+          throw new IllegalStateException(s"SPJ must be shuffle-free:\n$plan")
+        out.orderBy("doc_id")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }),
+
     "q29_point_lookup" -> ((s, dir) => {
       // PK point lookup through the indexed read path: the custom FileIndex
       // prunes to the single hash-bucket file group from table METADATA
@@ -1477,6 +1514,9 @@ object Queries {
         "CASE WHEN c_custkey % 10 = 9 THEN c_acctbal + 750 ELSE c_acctbal END AS c_acctbal, " +
         "c_mktsegment " +
         "FROM customer WHERE c_custkey % 10 <> 4 ORDER BY c_custkey"),
+    "q56_sorted_spj" ->
+      ("SELECT doc_id, lang, CAST(len(embedding) AS INTEGER) AS dim " +
+        "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"),
     "q30_colocated_join" ->
       ("SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, " +
         "CAST(len(embedding) AS INTEGER) AS dim, label " +
