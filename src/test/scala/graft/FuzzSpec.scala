@@ -120,6 +120,7 @@ class FuzzSpec extends AnyFunSuite {
     // (delta overlay, cluster flag, multi-file groups, sorted proof)
     // gets exercised against the model
     val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBucketing = spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -136,7 +137,7 @@ class FuzzSpec extends AnyFunSuite {
       }
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
-      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
     }
     // history GC may have expired early snapshots: below the floor the
     // read must ERROR with the expired message, at-or-above it stays exact
