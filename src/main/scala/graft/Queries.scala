@@ -411,6 +411,54 @@ object Queries {
         .orderBy("window_start", "event_type")
     }),
 
+    "q57_stream_dedup" -> ((s, dir) => {
+      // Streaming ingest DEDUP — the at-least-once reality of a
+      // training-data firehose: retries and replays deliver exact
+      // duplicate records, and the ingest layer must drop them online.
+      // dropDuplicates over (key, event-time) WITH a watermark bounds the
+      // dedup state: keys older than the watermark evict, so the operator
+      // runs forever at constant memory (unbounded-state dropDuplicates
+      // would eat the cluster on a 100 TB stream). The replay appends an
+      // exact copy of every 7th event to its own chunk — duplicates
+      // arrive at their original event time, safely inside the bound —
+      // and the gate hash-matches the deduped stream against the
+      // original table (a missed dup = extra rows = mismatch).
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val raw = Tables.raw(s, dir, "events")
+      val total = raw.count()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ms = MemoryStream[Ev]
+      val sinkName = s"graft_q57_sink_${streamSeq.incrementAndGet()}"
+      val q57p = sys.props.getOrElse("graft.q57.partitions", "2").toInt
+      val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val ndPrev = s.conf.get(ndKey)
+      s.conf.set(ndKey, "false")
+      val ckpt = ckptLoc("graft-q57-ckpt-")
+      try withShufflePartitions(s, q57p) {
+        val q = ms.toDF()
+          .withWatermark("ts", "15 minutes")
+          .dropDuplicates("event_id", "ts")
+          .select("event_id", "ts", "user_id", "event_type")
+          .writeStream.format("memory").queryName(sinkName).outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try {
+          val chunk = math.max(1L, total / 6).toInt
+          raw.orderBy("ts").as[Ev]
+            .toLocalIterator().asScala.grouped(chunk).foreach { batch =>
+              val dupes = batch.filter(_.event_id % 7 == 0)
+              ms.addData(batch ++ dupes)
+              q.processAllAvailable()
+            }
+        } finally q.stop()
+      } finally {
+        s.conf.set(ndKey, ndPrev)
+        rmrf(ckpt)
+      }
+      s.table(sinkName).orderBy("event_id")
+    }),
+
     "q28_range_drop" -> ((s, dir) => {
       // ADD/DROP RANGE PARTITION (the D2 retention pattern,
       // AlterTableOptions.java:362-394): drop the 1995 range — metadata-only,
@@ -1440,6 +1488,8 @@ object Queries {
       ("SELECT event_id, ts, user_id, event_type, " +
         "CASE WHEN event_id % 10 <> 9 THEN value + 1000 ELSE value END AS value, props " +
         "FROM events ORDER BY event_id"),
+    "q57_stream_dedup" ->
+      ("SELECT event_id, ts, user_id, event_type FROM events ORDER BY event_id"),
     "q19_schema_evolution" ->
       ("SELECT c_custkey, c_name AS c_fullname, c_nationkey, c_mktsegment, 'basic' AS c_tier " +
         "FROM customer ORDER BY c_custkey"),
