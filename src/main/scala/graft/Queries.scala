@@ -459,6 +459,45 @@ object Queries {
       s.table(sinkName).orderBy("event_id")
     }),
 
+    "q58_stream_enrich" -> ((s, dir) => {
+      // Stream-STATIC enrichment join — the metadata-attach step of a
+      // streaming ingest (each firehose event gains its dimension
+      // attributes on the way in). The static side is an ENGINE table
+      // scan, so partition pruning/zone maps apply inside every
+      // micro-batch and the dim always serves its latest snapshot;
+      // Spark broadcasts it under the join threshold, making each batch
+      // a stateless map-side join — no watermark, no state store, pure
+      // per-batch cost at any stream length.
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val raw = Tables.raw(s, dir, "events")
+      val total = raw.count()
+      val dim = Tables.scan(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ms = MemoryStream[Ev]
+      val sinkName = s"graft_q58_sink_${streamSeq.incrementAndGet()}"
+      val q58p = sys.props.getOrElse("graft.q58.partitions", "2").toInt
+      val ckpt = ckptLoc("graft-q58-ckpt-")
+      try withShufflePartitions(s, q58p) {
+        val stream = ms.toDF()
+        val q = stream.join(dim, stream("user_id") === dim("c_custkey"))
+          .select("event_id", "ts", "user_id", "c_mktsegment", "value")
+          .writeStream.format("memory").queryName(sinkName).outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try {
+          val chunk = math.max(1L, total / 4).toInt
+          raw.orderBy("ts").as[Ev]
+            .toLocalIterator().asScala.grouped(chunk).foreach { batch =>
+              ms.addData(batch)
+              q.processAllAvailable()
+            }
+        } finally q.stop()
+      } finally rmrf(ckpt)
+      s.table(sinkName).orderBy("event_id")
+    }),
+
     "q28_range_drop" -> ((s, dir) => {
       // ADD/DROP RANGE PARTITION (the D2 retention pattern,
       // AlterTableOptions.java:362-394): drop the 1995 range — metadata-only,
@@ -1490,6 +1529,9 @@ object Queries {
         "FROM events ORDER BY event_id"),
     "q57_stream_dedup" ->
       ("SELECT event_id, ts, user_id, event_type FROM events ORDER BY event_id"),
+    "q58_stream_enrich" ->
+      ("SELECT event_id, ts, user_id, c_mktsegment, value " +
+        "FROM events JOIN customer ON user_id = c_custkey ORDER BY event_id"),
     "q19_schema_evolution" ->
       ("SELECT c_custkey, c_name AS c_fullname, c_nationkey, c_mktsegment, 'basic' AS c_tier " +
         "FROM customer ORDER BY c_custkey"),
