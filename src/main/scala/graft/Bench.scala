@@ -122,17 +122,34 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
-    def qsWith(f: Double => String): String = results
-      .map(r => s"\"" + r.name + "\":" + f(r.reported))
-      .mkString("{", ",", "}")
-    // successive degrade tiers: precision drops only as far as the
-    // capture window forces (the driver tail-captures 2,000 chars and
-    // sbt's trailing success line eats ~80)
-    val tiers: Seq[Double => String] = Seq(
-      v => rN(v, 3), v => rN(v, 2), v => rNs(v, 2), v => rNs(v, 1))
-    val (qs, r3) = tiers.iterator.map(f => (qsWith(f), f))
-      .find(_._1.length <= 1750)
-      .getOrElse((qsWith(tiers.last), tiers.last))
+    // Successive degrade tiers, now over WHOLE LINES: precision drops —
+    // and finally sub-floor entries drop — only as far as the capture
+    // window forces. At 93 queries the key names ALONE are ~1,340 bytes,
+    // so precision tiers stopped sufficing: the compact tiers shorten
+    // "sf" to a bare number, omit entries under 50 ms (their full values
+    // live in the bench.json sidecar; an omitted key means sub-floor, a
+    // crashed query still prints -1), and as a last resort print integer
+    // seconds for multi-second queries / drop the sub-150 ms tail. Every
+    // omission is announced on stderr.
+    final case class Tier(fmt: Double => String, sfJson: String, minKeep: Double)
+    val sfStr = "\"" + sfDir + "\""
+    val sfNum = {
+      val cand = sfDir.split("sf").last.stripSuffix("/")
+      if (scala.util.Try(cand.toDouble).isSuccess) cand else sfStr
+    }
+    def intish(v: Double): String = if (v >= 0.95) rNs(v, 0) else rNs(v, 1)
+    val tiers: Seq[Tier] = Seq(
+      Tier(v => rN(v, 3), sfStr, 0.0), Tier(v => rN(v, 2), sfStr, 0.0),
+      Tier(v => rNs(v, 2), sfStr, 0.0), Tier(v => rNs(v, 1), sfStr, 0.0),
+      Tier(v => rNs(v, 1), sfNum, 0.05), Tier(intish, sfNum, 0.05),
+      Tier(intish, sfNum, 0.15))
+    def lineFor(t: Tier, total: Double): String = {
+      val qs = results
+        .filter(r => r.reported < 0 || r.reported >= t.minKeep)
+        .map(r => "\"" + r.name + "\":" + t.fmt(r.reported))
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${rNs(total, 1)},"unit":"sec","queries":$qs,"sf":${t.sfJson}}"""
+    }
     // med AND min per query, so cross-round comparisons never depend on
     // which statistic "queries" recorded (sub-0.3s entries record min).
     // Kept OFF stdout: the driver tail-captures a single line, and the
@@ -176,7 +193,14 @@ object Bench {
       System.err.println(s"[bench] sidecar ${p.toAbsolutePath}")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val chosen = tiers.find(t => lineFor(t, total).length <= 1900)
+      .getOrElse(tiers.last)
+    val omitted = results.filter(r => r.reported >= 0 && r.reported < chosen.minKeep)
+    if (omitted.nonEmpty)
+      System.err.println(s"[bench] stdout omitted ${omitted.size} sub-floor " +
+        s"queries (< ${chosen.minKeep}s — full values in bench.json): " +
+        omitted.map(_.name).mkString(","))
+    println(lineFor(chosen, total))
     Pipeline.releaseCaches() // no cached RDDs may outlive the run
     spark.stop()
   }
