@@ -43,6 +43,13 @@ case class ColumnMeta(
     // common/common.proto:90-100), mapped to the parquet writer's
     // per-column dictionary toggle: "dictionary" | "plain".
     encoding: Option[String] = None,
+    // Per-column bloom-filter attribute: key columns always carry parquet
+    // blooms (the reference's per-rowset PK bloom files); setting this on
+    // a NON-key column extends the same storage-level point-lookup
+    // filtering to it — the per-column half of the reference's
+    // BloomFilter predicate (P5), served from the file instead of a
+    // runtime semi-join. Absent = keys only.
+    bloom: Option[Boolean] = None,
     // Per-column compression attribute (ColumnSchemaPB compression,
     // common/common.proto:90-100). Parquet-mr codecs are per FILE, so the
     // writer resolves all declared column codecs to one file codec (see

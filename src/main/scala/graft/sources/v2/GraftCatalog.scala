@@ -205,6 +205,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
             existing(k.stripPrefix("graft.encoding."))
             require(Seq("dictionary", "plain").contains(p.value),
               s"unknown encoding ${p.value}")
+          case k if k.startsWith("graft.bloom.") =>
+            existing(k.stripPrefix("graft.bloom."))
+            require(Seq("true", "false").contains(p.value),
+              s"graft.bloom.<col> takes true|false, not ${p.value}")
           case other => throw new UnsupportedOperationException(
             s"unsupported table property for graft tables: $other")
         }
@@ -236,6 +240,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
             t.setColumnCompression(k.stripPrefix("graft.compression."), Some(p.value))
           case k if k.startsWith("graft.encoding.") =>
             t.setColumnEncoding(k.stripPrefix("graft.encoding."), p.value)
+          case k if k.startsWith("graft.bloom.") =>
+            t.setColumnBloom(k.stripPrefix("graft.bloom."), p.value.toBoolean)
           case _ => ()
         }
       case p: TableChange.RemoveProperty =>

@@ -511,6 +511,20 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       if (c.name == colName) c.copy(encoding = Some(enc)) else c)), "alter_column")
   }
 
+  /** Per-column bloom-filter attribute: key columns always carry parquet
+    * blooms (the per-rowset PK bloom files, cfile/bloomfile.cc); this
+    * extends the same storage-level membership filtering to a NON-key
+    * column — the reference's BloomFilter predicate (P5) served from the
+    * file itself on the next base rewrite, instead of a runtime semi-join.
+    * parquet-mr still adaptively skips the bloom where a column ends up
+    * fully dictionary-encoded (the dictionary already filters exactly). */
+  def setColumnBloom(colName: String, on: Boolean): Unit = {
+    val m = meta
+    require(m.columns.exists(_.name == colName), s"no such column: $colName")
+    bumpMeta(m.copy(columns = m.columns.map(c =>
+      if (c.name == colName) c.copy(bloom = Some(on)) else c)), "alter_column")
+  }
+
   /** Table-default parquet codec for base rewrites (compression attribute
     * analog; parquet codecs are per-file). */
   def setCompression(codec: String): Unit = {
@@ -2156,7 +2170,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // adaptively skips the bloom when a column ends up fully
     // dictionary-encoded — the dictionary already gives exact row-group
     // filtering there, so only high-entropy key columns pay for a bloom.
-    val withBlooms = m.columns.filter(_.isKey).foldLeft(
+    val withBlooms = m.columns
+      .filter(c => c.isKey || c.bloom.contains(true)).foldLeft(
       // adaptive sizing: without it every bloom is the 1MB max regardless of
       // NDV, which dwarfs small files (and the delta:base maintenance ratio)
       writer0.option("parquet.bloom.filter.adaptive.enabled", "true")) { (w, c) =>

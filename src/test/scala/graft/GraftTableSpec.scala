@@ -293,6 +293,39 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { t.setColumnCompression("nope", Some("zstd")) }
   }
 
+  test("per-column bloom attribute: a non-key column gains a parquet bloom on rewrite") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-bloom-").toString
+    // high-entropy values + plain encoding: parquet-mr adaptively SKIPS a
+    // bloom on fully-dictionary-encoded columns (the dictionary already
+    // filters exactly), so the assertion needs a non-dict column
+    val df = (1 to 4000)
+      .map(i => (i, f"user-${i * 2654435761L}%x-$i", s"v$i"))
+      .toDF("k", "u", "v")
+    val t = GraftTable.create(spark, s"$wh/b1", "b1", df.schema, Seq("k"),
+      Seq(graft.catalog.HashComponent(Seq("k"), 1)), data = Some(df))
+    t.setColumnBloom("u", on = true)
+    t.setColumnEncoding("u", "plain")
+    t.compact() // attributes apply on the next base rewrite
+    val m = t.meta
+    def bloomOffset(col: String): Long = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(m.baseFiles.head.path),
+          new org.apache.hadoop.conf.Configuration()))
+      try r.getFooter.getBlocks.get(0).getColumns.asScala
+        .find(_.getPath.toDotString == m.column(col).physName)
+        .map(_.getBloomFilterOffset).getOrElse(-1L)
+      finally r.close()
+    }
+    assert(bloomOffset("u") >= 0, "requested non-key bloom must be written")
+    assert(bloomOffset("v") < 0, "no bloom was requested on v")
+    // point lookups through the attribute'd column stay correct
+    assert(t.scan().filter(col("u").startsWith("user-") &&
+      col("k") === 7).count() == 1)
+    intercept[IllegalArgumentException] { t.setColumnBloom("nope", on = true) }
+  }
+
   test("soft-delete with reserve window: refuse load, recall, purge") {
     val t = newKv(1 -> "a")
     val loc = t.location

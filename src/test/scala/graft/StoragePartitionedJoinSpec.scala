@@ -657,6 +657,8 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(t.meta.compressionCodec.contains("gzip"))
     assert(t.meta.column("v").compression.contains("zstd"))
     assert(t.meta.column("v").encoding.contains("plain"))
+    spark.sql("ALTER TABLE gddl.nt SET TBLPROPERTIES ('graft.bloom.v'='true')")
+    assert(t.meta.column("v").bloom.contains(true))
     spark.sql("ALTER TABLE gddl.nt UNSET TBLPROPERTIES ('graft.compression.v')")
     assert(t.meta.column("v").compression.isEmpty)
     // unsupported shapes refuse rather than mis-apply
