@@ -66,7 +66,14 @@ object Bench {
       // iterations x 6 caching queries from pressuring later measurements
       // (p14 measured 3.9s in-suite vs 1.0s isolated before this).
       // Released OUTSIDE the timed window; memoized signature frames stay.
-      finally Pipeline.releaseTransient()
+      // Auto-scheduled maintenance on per-run scratch tables is cleared the
+      // same way: the default-on graft.maintain.auto registers every table
+      // a query creates, and a background fold landing on a later query's
+      // timed window is exactly the interference this bench isolates.
+      finally {
+        Pipeline.releaseTransient()
+        graft.table.MaintenanceScheduler.clearAuto()
+      }
     }
     def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         prev: String): QResult = {

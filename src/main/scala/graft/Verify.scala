@@ -41,8 +41,13 @@ object Verify {
         Files.createDirectories(d)
         Files.writeString(d.resolve("_ERROR"), s"$name: $msg")
       }
-      // per-run pipeline caches die with their query; memoized frames stay
-      finally Pipeline.releaseTransient()
+      // per-run pipeline caches die with their query; memoized frames stay.
+      // Auto-scheduled maintenance on query scratch tables is cleared too —
+      // a background fold must not race a later query's parquet dump.
+      finally {
+        Pipeline.releaseTransient()
+        graft.table.MaintenanceScheduler.clearAuto()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

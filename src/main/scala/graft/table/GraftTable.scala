@@ -2939,6 +2939,9 @@ object GraftTable {
       case None => m0
     }
     TableMeta.write(withData)
+    // default-on background self-maintenance (graft.maintain.auto) — the
+    // reference's MaintenanceManager starts unconditionally with the server
+    MaintenanceScheduler.autoSchedule(spark, location)
     t
   }
 
@@ -2988,6 +2991,7 @@ object GraftTable {
     val m = TableMeta(name, location, 1L, now(), "register",
       columns, columns.length, hash, range, Nil, files, Nil)
     TableMeta.write(m)
+    MaintenanceScheduler.autoSchedule(spark, location)
     new GraftTable(spark, location)
   }
 
@@ -3009,6 +3013,10 @@ object GraftTable {
    */
   def softDrop(location: String, reserveMs: Long = 7L * 24 * 3600 * 1000): Unit = {
     require(TableMeta.exists(location), s"no graft table at $location")
+    // trashed tables refuse load() — the schedule can't act on them.
+    // recall() does NOT re-register (the next create/fork at the location
+    // or an explicit schedule() does).
+    MaintenanceScheduler.unschedule(location)
     Files.write(trashFile(location),
       s"""{"trashedAtMs":${now()},"reserveMs":$reserveMs}""".getBytes("UTF-8"))
   }
@@ -3047,6 +3055,7 @@ object GraftTable {
   def fork(spark: SparkSession, src: GraftTable, newLocation: String): GraftTable = {
     val m = src.meta
     TableMeta.write(m.copy(location = newLocation, operation = "fork"))
+    MaintenanceScheduler.autoSchedule(spark, newLocation)
     new GraftTable(spark, newLocation)
   }
 
@@ -3055,6 +3064,7 @@ object GraftTable {
     * survives. */
   def drop(location: String): Unit = {
     if (!TableMeta.exists(location)) return
+    MaintenanceScheduler.unschedule(location)
     val root = Paths.get(location)
     Files.walk(root).sorted(java.util.Comparator.reverseOrder())
       .iterator().asScala.foreach(Files.deleteIfExists(_))

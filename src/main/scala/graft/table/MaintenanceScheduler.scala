@@ -43,7 +43,8 @@ object MaintenanceScheduler {
       val maxDeltaFiles: Int,
       val warehouse: Boolean = false,
       val historyRetentionMs: Option[Long] = None,
-      val analyzeEveryVersions: Option[Long] = None) {
+      val analyzeEveryVersions: Option[Long] = None,
+      val auto: Boolean = false) {
     private[MaintenanceScheduler] var future: ScheduledFuture[_] = _
     val ticks = new AtomicLong(0)
     val actions = new AtomicLong(0)
@@ -94,6 +95,38 @@ object MaintenanceScheduler {
       minScore, maxDeltaRatio, maxDeltaFiles, warehouse = true,
       historyRetentionMs = historyRetentionMs))
 
+  /** Default-on auto-registration (conf `graft.maintain.auto`) — the
+    * reference's MaintenanceManager starts with the server unconditionally
+    * (util/maintenance_manager.cc:736); here the analog is: every table
+    * CREATED in a session self-maintains with zero explicit schedule calls.
+    * [[GraftTable.create]]/[[GraftTable.register]]/[[GraftTable.fork]] call
+    * this after committing v1. Never clobbers an existing entry (an explicit
+    * `schedule()`'s knobs win; re-creating at a scheduled location keeps
+    * them). Tables that PRE-DATE the session are covered by warehouse-level
+    * scheduling ([[scheduleWarehouse]]) — the documented deployment default
+    * — since hooking every `load()` would re-register read-only handles.
+    * Opt out per session with `graft.maintain.auto=false`; the tick cadence
+    * is `graft.maintain.auto.intervalMs` (default 5 min — batch-table
+    * cadence; entries self-clean when their table or session goes away, so
+    * a long-lived session never accretes dead schedules). */
+  def autoSchedule(spark: SparkSession, location: String): Unit =
+    if (spark.conf.getOption("graft.maintain.auto").forall(_.toBoolean) &&
+        !entries.containsKey(location))
+      register(spark, new Entry(location,
+        spark.conf.getOption("graft.maintain.auto.intervalMs").map(_.toLong)
+          .getOrElse(300_000L),
+        ioBudgetBytes = 4L << 30, minScore = 0.05,
+        maxDeltaRatio = 0.2, maxDeltaFiles = 64, auto = true))
+
+  /** Unschedule every AUTO-registered entry; explicit schedules survive.
+    * Measurement harnesses (Bench) isolate background daemons between
+    * timed runs the same way they isolate caches — per-run scratch tables
+    * auto-register and would otherwise tick into later measurements. */
+  def clearAuto(): Int = registerLock.synchronized {
+    import scala.jdk.CollectionConverters._
+    entries.asScala.filter(_._2.auto).keys.toSeq.count(unschedule)
+  }
+
   // registration lock: the future must exist before the entry is visible,
   // or a racing unschedule() hits a null future and the orphaned timer
   // task ticks forever with nothing able to cancel it
@@ -137,6 +170,22 @@ object MaintenanceScheduler {
     * drive it synchronously without the timer. Returns the number of
     * maintenance actions that ran. */
   def tick(spark: SparkSession, e: Entry): Int = {
+    // self-clean: a dropped/trashed table or a stopped session can never
+    // act again — remove the entry instead of erroring every interval
+    // (auto-scheduling registers every created table, so a long session
+    // would otherwise accrete dead schedules). Guarded on identity so a
+    // stale tick can never cancel a successor entry for a re-created table.
+    if (org.apache.spark.sql.GraftSqlBridge.isStopped(spark) ||
+        (!e.warehouse && (!graft.catalog.TableMeta.exists(e.location) ||
+          GraftTable.isTrashed(e.location)))) {
+      registerLock.synchronized {
+        if (entries.get(e.location) eq e) {
+          entries.remove(e.location)
+          e.future.cancel(false)
+        }
+      }
+      return 0
+    }
     e.ticks.incrementAndGet()
     try {
       var acted = 0

@@ -46,6 +46,11 @@ object GraftSqlBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Whether the session's SparkContext has been stopped (`isStopped` is
+    * private[spark]) — background daemons use it to self-clean entries
+    * whose session can never run a job again. */
+  def isStopped(session: SparkSession): Boolean = session.sparkContext.isStopped
+
   /** Catalyst data filter → public sources.Filter (for metadata pruning). */
   def translateFilter(e: Expression): Option[sources.Filter] =
     org.apache.spark.sql.execution.datasources.DataSourceStrategy

@@ -64,6 +64,88 @@ class MaintenanceSchedulerSpec extends AnyFunSuite {
     } finally MaintenanceScheduler.unschedule(t.location)
   }
 
+  test("auto-wiring: a fresh create self-maintains with ZERO explicit schedule calls") {
+    // graft.maintain.auto defaults ON (reference: the MaintenanceManager
+    // starts with the tserver unconditionally, util/maintenance_manager.cc:736)
+    // — create() must register the table by itself; the test never calls
+    // schedule()/maintain(). Ticks are pumped deterministically through the
+    // AUTO-registered entry (a wall-clock timer race flakes in a unit test).
+    val wh = Files.createTempDirectory("graft-mauto-").toString
+    val df = (1 to 600).map(i => (i.toLong, i)).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/ma", "ma", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 4)), data = Some(df))
+    try {
+      val e = MaintenanceScheduler.status(t.location).getOrElse(
+        fail("create() must auto-register the table for maintenance"))
+      assert(e.auto, "the entry must be marked auto (clearAuto must see it)")
+      val model = scala.collection.mutable.Map[Long, Int]()
+      (1 to 600).foreach(i => model(i.toLong) = i)
+      for (round <- 1 to 10) {
+        // full-width rounds: each delta ≈ the base in bytes, so un-folded
+        // pressure breaches the DEFAULT ratio bound (0.2) within two
+        // rounds — 40-row deltas never would at this row width
+        t.upsert((1 to 600).map(k => (k.toLong, round * 100 + k)).toDF("k", "v"))
+        (1 to 600).foreach(k => model(k.toLong) = round * 100 + k)
+        val del = ((round * 91) % 600 + 1).toLong
+        t.deleteWhere(col("k") === del)
+        model.remove(del)
+        MaintenanceScheduler.tick(spark, e)
+      }
+      MaintenanceScheduler.tick(spark, e) // drain the final round's residue
+      assert(e.lastError.isEmpty, s"auto ticks must not error: ${e.lastError}")
+      assert(e.actions.get() > 0, "the auto schedule must have maintained")
+      // the DEFAULT policy bounds (ratio 0.2, files 64) must hold — at unit
+      // scale the ratio is the binding bound (parquet per-file overhead)
+      assert(t.meta.deltaFiles.size <= 64)
+      assert(deltaRatio(t) <= 0.2 + 1e-9,
+        s"default delta-ratio bound breached: ${deltaRatio(t)}")
+      val got = t.scan().collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == model.toMap, "auto-maintained state must equal the model")
+      // self-clean: dropping the table removes its schedule
+      GraftTable.drop(t.location)
+      assert(MaintenanceScheduler.status(t.location).isEmpty,
+        "drop() must unschedule")
+    } finally MaintenanceScheduler.unschedule(t.location)
+  }
+
+  test("auto-wiring: opt-out conf, explicit knobs win, clearAuto spares explicit entries") {
+    val wh = Files.createTempDirectory("graft-mauto2-").toString
+    val df = (1 to 50).map(i => (i.toLong, i)).toDF("k", "v")
+    // opt-out: no registration under graft.maintain.auto=false
+    spark.conf.set("graft.maintain.auto", "false")
+    val off = try GraftTable.create(spark, s"$wh/off", "off", df.schema,
+      Seq("k"), data = Some(df))
+    finally spark.conf.unset("graft.maintain.auto")
+    assert(MaintenanceScheduler.status(off.location).isEmpty,
+      "graft.maintain.auto=false must suppress registration")
+    // an EXPLICIT schedule at a location survives both a re-create (auto
+    // must not clobber its knobs) and clearAuto (which removes only auto)
+    val loc = s"$wh/keep"
+    val t = GraftTable.create(spark, loc, "keep", df.schema, Seq("k"),
+      data = Some(df))
+    try {
+      assert(MaintenanceScheduler.status(loc).exists(_.auto))
+      val explicit = MaintenanceScheduler.schedule(spark, loc,
+        intervalMs = 123_000L, maxDeltaFiles = 7)
+      GraftTable.drop(loc) // drop unschedules...
+      assert(MaintenanceScheduler.status(loc).isEmpty)
+      GraftTable.create(spark, loc, "keep", df.schema, Seq("k"), data = Some(df))
+      assert(MaintenanceScheduler.status(loc).exists(_.auto),
+        "re-create at a free location auto-registers again")
+      MaintenanceScheduler.schedule(spark, loc, intervalMs = 123_000L,
+        maxDeltaFiles = 7)
+      // a later create at the SAME scheduled location keeps the explicit entry
+      MaintenanceScheduler.autoSchedule(spark, loc)
+      val kept = MaintenanceScheduler.status(loc).get
+      assert(!kept.auto && kept.intervalMs == 123_000L && kept.maxDeltaFiles == 7,
+        "autoSchedule must never clobber an explicit schedule")
+      MaintenanceScheduler.clearAuto()
+      assert(MaintenanceScheduler.status(loc).exists(!_.auto),
+        "clearAuto must spare explicit entries")
+      assert(explicit != null)
+    } finally MaintenanceScheduler.unschedule(loc)
+  }
+
   test("a tick racing a writer yields and retries; state stays exact") {
     val wh = Files.createTempDirectory("graft-msched2-").toString
     val df = (1 to 400).map(i => (i.toLong, i)).toDF("k", "v")
