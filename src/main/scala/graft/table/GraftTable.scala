@@ -639,6 +639,36 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       "overwrite", guardDupKeys = true)
   }
 
+  /** Apply a CDC-shaped change batch (full rows + `_deleted` flag — the
+    * [[changes]]/[[changesSince]] output shape) as ONE atomic delta commit:
+    * upserts as upserts, deletes as ignore-tombstones, a single fileset
+    * under a single snapshot version. This is the replication/restore APPLY
+    * primitive — the reference applies a relayed batch as one session flush
+    * (java/kudu-replication), where a per-op-kind commit pair doubles
+    * version churn and write jobs. The batch must carry at most one action
+    * per key (CDC output is latest-per-key by construction; the in-write
+    * dup guard enforces it). Validation beyond that is the SOURCE's job:
+    * the stream's rows already passed the source's immutability/existence
+    * checks, so the apply trusts them — deletes never require presence,
+    * upserts never re-check immutables. */
+  def applyChanges(changes: DataFrame): Unit = withCommitRetry {
+    val m = meta
+    require(changes.columns.contains(DeletedCol),
+      s"applyChanges expects the CDC shape (columns..., $DeletedCol)")
+    require(!m.hasAutoInc || changes.columns.contains(AutoIncName),
+      s"applyChanges on non-unique-PK table ${m.name} must carry $AutoIncName")
+    val ups = conform(m, changes.filter(!col(DeletedCol)).drop(DeletedCol))
+      .withColumn(OpCol, lit(OpUpsert))
+    val tombstones = changes.filter(col(DeletedCol))
+      .select(m.keyCols.map(col): _*)
+      .select(m.columns.map { c =>
+        if (m.keyCols.contains(c.name)) col(c.name)
+        else lit(null).cast(c.dataType).as(c.name)
+      }: _*).withColumn(OpCol, lit(OpDelete))
+    commitDelta(m, ups.unionByName(tombstones), "apply_changes",
+      guardDupKeys = true)
+  }
+
   /** DELETE WHERE — resolves matching PKs at current snapshot then deletes. */
   def deleteWhere(condition: Column): Unit = withCommitRetry {
     val m = meta

@@ -157,21 +157,45 @@ object GraftTools {
     head
   }
 
-  /** Restore a full backup then replay each incremental IN ORDER — upserts
-    * as upserts, deletes as ignore-deletes (RowAction replay,
-    * kudu-backup KuduRestore.scala). */
+  /** Restore a full backup then replay the incremental chain — upserts as
+    * upserts, deletes as ignore-deletes (RowAction replay, kudu-backup
+    * KuduRestore.scala). The whole chain FOLDS by key before the table is
+    * touched: replay order only matters PER KEY (each increment is already
+    * latest-per-key for its version span — [[backupIncremental]] exports a
+    * folded diff), so the chain-LAST action per key is the only one that
+    * can survive sequential replay. One shuffle over the unioned increments
+    * replaces 2 commit jobs per increment — at a 10-step chain the
+    * per-step job floor dominated the restore, and at 100 TB the fold
+    * also writes each tablet once instead of once per increment. */
   def restoreChain(spark: SparkSession, fullBackupPath: String,
       incrementPaths: Seq[String], destLocation: String, keys: Seq[String],
       hash: Seq[HashComponent] = Nil, range: Option[RangeComponent] = None): GraftTable = {
     val t = restore(spark, fullBackupPath, destLocation, keys, hash, range)
-    incrementPaths.foreach { p =>
-      val inc = spark.read.parquet(p)
-      val ups = inc.filter(col("_action") === "UPSERT").drop("_action")
-      val dels = inc.filter(col("_action") === "DELETE").drop("_action")
-      if (!ups.isEmpty) t.upsert(ups)
-      if (!dels.isEmpty) t.delete(dels.select(t.meta.userKeyCols.map(col): _*), ignore = true)
-    }
-    t
+    if (incrementPaths.isEmpty) return t
+    // one schema inference for the whole chain — increments share their
+    // table's export schema, and per-path inference is a Spark job each
+    val incSchema = spark.read.parquet(incrementPaths.head).schema
+    val tagged = incrementPaths.zipWithIndex.map { case (p, i) =>
+      spark.read.schema(incSchema).parquet(p).withColumn("_ord", lit(i))
+    }.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("_ord").desc)
+    // cached across its two consumers (upsert + delete branches would each
+    // recompute the union + window), released before returning — a pinned
+    // localCheckpoint here leaked blocks across bench iterations
+    val last = tagged
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn", "_ord")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one atomic apply: upserts + ignore-tombstones in a single commit
+      // (deletes are never strict — a key born in one increment and dead in
+      // a later one folds to DELETE yet never existed in the full backup)
+      val folded = last
+        .withColumn("_deleted", col("_action") === "DELETE").drop("_action")
+      if (folded.limit(1).count() > 0) t.applyChanges(folded)
+      t
+    } finally last.unpersist(blocking = false)
   }
 
   /** One-shot replication: apply all changes between the destination's
@@ -181,13 +205,15 @@ object GraftTools {
     val head = src.currentVersion
     if (head > sinceVersion) {
       // delta-only fast path with automatic snapshot-diff fallback; an
-      // unchanged-value upsert it emits replays idempotently on dest
+      // unchanged-value upsert it emits replays idempotently on dest.
+      // ONE emptiness probe + ONE atomic apply (upserts + ignore-tombstones
+      // in a single commit) — the relay's former per-op-kind commits cost
+      // job floors, not data; the persist spans the probe and the apply.
       val delta = src.changesSince(sinceVersion, head)
-      val deletes = delta.filter(col("_deleted")).drop("_deleted")
-      val upserts = delta.filter(!col("_deleted")).drop("_deleted")
-      if (upserts.limit(1).count() > 0) dest.upsert(upserts)
-      if (deletes.limit(1).count() > 0)
-        dest.delete(deletes.select(dest.meta.userKeyCols.map(col): _*), ignore = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (delta.limit(1).count() > 0) dest.applyChanges(delta)
+      } finally delta.unpersist(blocking = false)
     }
     head
   }

@@ -51,6 +51,11 @@ object GraftSqlBridge {
     * whose session can never run a job again. */
   def isStopped(session: SparkSession): Boolean = session.sparkContext.isStopped
 
+  /** Drain the async listener bus (private[spark]) so a spec's job-count
+    * listener has seen every job the measured body started. */
+  def flushListenerBus(session: SparkSession): Unit =
+    session.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Catalyst data filter → public sources.Filter (for metadata pruning). */
   def translateFilter(e: Expression): Option[sources.Filter] =
     org.apache.spark.sql.execution.datasources.DataSourceStrategy

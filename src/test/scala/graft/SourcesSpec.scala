@@ -181,17 +181,71 @@ class SourcesSpec extends AnyFunSuite {
     val bdir = tmp("graft-chain-")
     GraftTools.backup(t, s"$bdir/full")
     val v0 = t.currentVersion
-    t.upsert(Seq((1L, "inc1", 0)).toDF("id", "name", "grp"))
+    t.upsert(Seq((1L, "inc1", 0), (500L, "born", 5)).toDF("id", "name", "grp"))
     t.deleteWhere(col("id") === 50)
     val v1 = GraftTools.backupIncremental(t, s"$bdir/inc1", v0)
     t.upsert(Seq((101L, "new", 9)).toDF("id", "name", "grp"))
     t.deleteWhere(col("id") === 1) // delete a key upserted in the previous increment
+    // born-and-died: 500 exists in NO full backup and folds to a chain-final
+    // DELETE — replay must treat it as an ignore-delete, never strict
+    t.deleteWhere(col("id") === 500)
     GraftTools.backupIncremental(t, s"$bdir/inc2", v1)
     val restored = GraftTools.restoreChain(spark, s"$bdir/full",
       Seq(s"$bdir/inc1", s"$bdir/inc2"), tmp("graft-chain-dest-"),
       Seq("id"), Seq(graft.catalog.HashComponent(Seq("id"), 2)))
     assert(restored.scan().orderBy("id").collect().toSeq ==
       t.scan().orderBy("id").collect().toSeq)
+  }
+
+  test("restoreChain folds the chain: job count independent of chain length") {
+    // the replay folds ALL increments by key into one upsert + one
+    // ignore-delete (chain-last action per key), so a 6-step chain must
+    // cost the same Spark-job count as any other length — per-step replay
+    // paid >=2 commits per increment (the round-11 bench's two most
+    // expensive non-streaming queries were exactly this per-step floor)
+    val (_, t) = mkTable()
+    val bdir = tmp("graft-chainfold-")
+    GraftTools.backup(t, s"$bdir/full")
+    var v = t.currentVersion
+    val incs = (1 to 6).map { i =>
+      // gen i: births key 1000i+1, kills the previous gen's key, and
+      // rewrites key 7 — the fold must keep only gen 6's value of 7,
+      // kill keys 1001..5001, and leave 6001 alive
+      t.upsert(Seq((i * 1000L + 1, s"born$i", i), (7L, s"gen$i", 7)).toDF("id", "name", "grp"))
+      if (i > 1) t.deleteWhere(col("id") === ((i - 1) * 1000L + 1))
+      val p = s"$bdir/inc$i"
+      v = GraftTools.backupIncremental(t, p, v)
+      p
+    }
+    def countJobs(body: => GraftTable): (GraftTable, Int) = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val r = body
+        org.apache.spark.sql.GraftSqlBridge.flushListenerBus(spark)
+        (r, jobs.get())
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (restored, j6) = countJobs(GraftTools.restoreChain(spark, s"$bdir/full",
+      incs, tmp("graft-chainfold-dest-"), Seq("id"),
+      Seq(graft.catalog.HashComponent(Seq("id"), 2))))
+    assert(restored.scan().orderBy("id").collect().toSeq ==
+      t.scan().orderBy("id").collect().toSeq)
+    assert(restored.scan().filter(col("id") === 7).select("name").as[String].head() == "gen6")
+    assert(restored.scan().filter(col("id") > 1000).count() == 1) // only 6001 alive
+    // chain-length independence (the fold's whole point): a 2-step prefix
+    // of the SAME chain must cost exactly as many Spark jobs as all 6 —
+    // restore-create + fold + probes + one upsert + one ignore-delete.
+    // Per-step replay paid >= 2 commit jobs per increment.
+    val (_, j2) = countJobs(GraftTools.restoreChain(spark, s"$bdir/full",
+      incs.take(2), tmp("graft-chainfold-dest2-"), Seq("id"),
+      Seq(graft.catalog.HashComponent(Seq("id"), 2))))
+    assert(j6 == j2, s"job count must not scale with chain length: 6-chain $j6 vs 2-chain $j2")
+    assert(j6 <= 16, s"restoreChain ran $j6 jobs — more than create+fold+apply needs")
   }
 
   test("streaming: continuous replication applies upserts and deletes") {
