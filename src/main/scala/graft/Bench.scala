@@ -150,6 +150,39 @@ object Bench {
         }
       }
     }
+    // ---- A/B: runtime-filter zone pruning on the q59 star join. The flag
+    // (graft.runtimeFilter.allColumns) earns or loses its default on this
+    // measured pair: the same star join with the runtime IN-filter pruning
+    // clustered fact files (on — what the suite measured) vs scanning all
+    // of them (graft.bench.abOff forces the flag off and skips q59's
+    // pruning gate). Two runs each, min — the fact table is memoized, so
+    // both sides time only the join.
+    val ab: Option[(Double, Double)] =
+      fnByName.get("q59_star_zone").map { fn =>
+        def time(off: Boolean): Double = {
+          if (off) spark.conf.set("graft.bench.abOff", "true")
+          try {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] ab q59 (off=$off) FAILED: ${e.getMessage}")
+            -1.0
+          } finally {
+            spark.conf.unset("graft.bench.abOff")
+            Pipeline.releaseTransient()
+            graft.table.MaintenanceScheduler.clearAuto()
+          }
+        }
+        def best(off: Boolean): Double = {
+          val ts = Seq(time(off), time(off)).filter(_ >= 0)
+          if (ts.isEmpty) -1.0 else ts.min
+        }
+        val on = best(off = false)
+        val off = best(off = true)
+        System.err.println(f"[bench] ab q59 zone runtime-filter: on $on%.3f s  off $off%.3f s")
+        (on, off)
+      }
     // Rounded values on stdout: the driver tail-captures the LAST 2,000
     // chars of output, and 65 entries at full double precision made the
     // line ~1,960 chars — clipping its head mid-number (BENCH_r07..r09
@@ -222,6 +255,9 @@ object Bench {
         s""""gc_suite_ms":${gcTotalMs - suiteGc0},"procs":${Runtime.getRuntime.availableProcessors},""" +
         s""""heap_max_mb":$hms,"iters_env":$iters}"""
     }
+    val abJson = ab.map { case (on, off) =>
+      s""""ab":{"q59_zone_on":${rN(on, 4)},"q59_zone_off":${rN(off, 4)}},"""
+    }.getOrElse("")
     val sidecar = results.map { r =>
       val its = r.iters.map(i => rN(i.sec, 4)).mkString("[", ",", "]")
       val gcs = r.iters.map(_.gcMs).mkString("[", ",", "]")
@@ -230,7 +266,7 @@ object Bench {
         s""""warm":${rN(r.warm, 4)},"tail":${rN(r.tail, 4)},"prev":"${r.prev}",""" +
         s""""iters":$its,"gc_ms":$gcs,"load0":${r.load0},"load1":${r.load1}}"""
     }.mkString(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","env":$env,"queries":{""",
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","env":$env,$abJson"queries":{""",
       ",", "}}")
     try {
       val p = java.nio.file.Paths.get("bench.json")

@@ -26,6 +26,10 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 object Queries {
   private val streamSeq = new AtomicInteger(0)
 
+  /** q59's clustered fact table, one per (JVM, sfDir) — the query measures
+    * the star join; the rewrite is q51's gate. */
+  private val q59Fact = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def tmpLoc(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
@@ -1341,6 +1345,85 @@ object Queries {
         .orderBy("event_type")
     }),
 
+    "q59_star_zone" -> ((s, dir) => {
+      // Runtime-filter ZONE pruning on a star join — the single most common
+      // warehouse query shape at 100 TB: a fact table clustered on the
+      // dimension key, a selective filter on a dimension ATTRIBUTE (opaque
+      // to static inference — Catalyst cannot transfer it to the fact side
+      // through the join equality), so only the RUNTIME IN-filter the
+      // broadcast dim hands the V2 scan can prune fact files, via the
+      // per-file zone maps on the (non-partition) join-key column. The
+      // in-query gate reads the scan's own FilesRead/FilesPruned driver
+      // metrics and proves at least half the clustered files never opened.
+      // graft.runtimeFilter.allColumns is flipped on for the scope (it is
+      // what reports the join key as a filterable attribute); the Bench A/B
+      // sidecar times this same query with graft.bench.abOff=true, which
+      // forces the flag off and skips the gate — the measured pair is the
+      // flag's earn-its-default evidence.
+      val abOff = s.conf.getOption("graft.bench.abOff").exists(_.toBoolean)
+      // fact built once per (JVM, sfDir): the query under measurement is
+      // the star JOIN, not the clustered rewrite (q51 gates that); the
+      // bench's untimed warmup run absorbs the build
+      val loc = q59Fact.computeIfAbsent(dir, _ => {
+        val raw = Tables.raw(s, dir, "orders")
+        val t = GraftTable.create(s, tmpLoc("graft-q59-"), "orders_q59",
+          raw.schema, Seq("o_orderkey"), data = Some(raw))
+        t.cluster(Seq("o_custkey", "o_orderkey"), nFiles = 16)
+        t.location
+      })
+      val f = new java.io.File(loc)
+      s.conf.set("spark.sql.catalog.gq59",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq59.warehouse", f.getParent)
+      val prev = s.conf.getOption("graft.runtimeFilter.allColumns")
+      s.conf.set("graft.runtimeFilter.allColumns", (!abOff).toString)
+      try {
+        val fact = s.table(s"gq59.`${f.getName}`")
+        val cust = Tables.raw(s, dir, "customer")
+        // dim attribute correlated with key locality (account cohort by key
+        // block — scale-proof integer math, replicated exactly in the
+        // oracle); the filter itself is NOT a key predicate, so the only
+        // path to fact-file pruning is the runtime filter
+        val Array(cmin, cmax) = cust.agg(min("c_custkey"), max("c_custkey"))
+          .collect()(0).toSeq.toArray.map(_.asInstanceOf[Long])
+        val width = (cmax - cmin) / 8 + 1
+        val dim = cust
+          .withColumn("grp", expr(s"(c_custkey - $cmin) div $width"))
+          .filter(col("grp") === 0)
+          .select(col("c_custkey"), col("c_nationkey"))
+        val j = fact.join(broadcast(dim), fact("o_custkey") === dim("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            round(sum(col("o_totalprice").cast("decimal(28,2)")).cast("double"), 2)
+              .as("sum_price"))
+        val out = j.localCheckpoint(true)
+        if (!abOff) {
+          def scans(p: org.apache.spark.sql.execution.SparkPlan)
+              : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              scans(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              scans(q.plan)
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+            case other => other.children.flatMap(scans)
+          }
+          val scan = scans(j.queryExecution.executedPlan).headOption.getOrElse(
+            throw new IllegalStateException(
+              s"no BatchScan in q59 plan:\n${j.queryExecution.executedPlan}"))
+          val read = scan.metrics(graft.sources.v2.GraftV2Scan.FilesRead).value
+          val pruned = scan.metrics(graft.sources.v2.GraftV2Scan.FilesPruned).value
+          if (read * 2 > read + pruned)
+            throw new IllegalStateException(
+              s"runtime zone filter must prune at least half the clustered " +
+                s"fact files: read $read, pruned $pruned")
+        }
+        out.orderBy("c_nationkey")
+      } finally prev match {
+        case Some(v) => s.conf.set("graft.runtimeFilter.allColumns", v)
+        case None => s.conf.unset("graft.runtimeFilter.allColumns")
+      }
+    }),
+
     "q48_json_extract" -> ((s, dir) => {
       // Semi-structured payload extraction (the delegated-to-Spark scalar
       // surface over an engine table): pull a JSON field out of the props
@@ -1722,6 +1805,15 @@ object Queries {
         "WHERE user_id <= ulo + (uhi - ulo) // 4 " +
         "AND epoch_us(ts) < (tlo + thi) // 2 " +
         "GROUP BY event_type ORDER BY event_type"),
+
+    "q59_star_zone" ->
+      ("WITH mm AS (SELECT min(c_custkey) AS cmin, max(c_custkey) AS cmax FROM customer), " +
+        "dim AS (SELECT c_custkey, c_nationkey FROM customer, mm " +
+        "WHERE (c_custkey - cmin) // ((cmax - cmin) // 8 + 1) = 0) " +
+        "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_price " +
+        "FROM orders JOIN dim ON o_custkey = c_custkey " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
 
     "q50_topn_pushdown" ->
       ("WITH a AS (SELECT o_orderkey, o_totalprice FROM orders " +

@@ -1216,9 +1216,14 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     // graft.runtimeFilter.allColumns: each reported column invites a DPP
     // subquery per join, and the full-suite A/B at sf0.1 measured the
     // always-on surface costing more than it saved on delta-carrying
-    // reads (q2 +0.8s, q31 +1.5s) while this suite's joins are too small
-    // to repay it — a 100 TB star join keyed on a clustered column is
-    // the shape that should flip it on.
+    // reads (q2 +0.8s, q31 +1.5s). The mechanism itself is gated by q59
+    // (star join, fact Z-clustered on the dim key, runtime IN-filter
+    // prunes >= half the files, hash-exact), and the bench records a
+    // standing A/B for it (bench.json "ab": on 0.54 s vs off 0.47 s at
+    // sf0.1 round 12) — the DPP subquery still costs more than skipping
+    // 12 small files saves, so the flag stays opt-in until fact files are
+    // large enough that skipping one pays for the subquery (at 100 TB a
+    // pruned file is 100s of MB, not 100s of KB).
     (meta.hash.flatMap(_.cols) ++ meta.range.toSeq.flatMap(_.columns) ++
       (if (spark.conf.getOption("graft.runtimeFilter.allColumns")
            .exists(_.toBoolean))
@@ -1757,6 +1762,10 @@ object GraftV2Scan {
     * decisions); values post when the scan's input RDD materializes. */
   private[v2] class SumMetric(mName: String, desc: String)
       extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    // Spark's SQLAppStatusListener re-instantiates the metric CLASS
+    // reflectively (0-arg) to aggregate task values for the UI; without
+    // this it warns and shows blank metric cells on every scan node
+    def this() = this("", "")
     override def name(): String = mName
     override def description(): String = desc
   }
