@@ -625,6 +625,74 @@ object Queries {
       dest.scan().orderBy("c_custkey")
     }),
 
+    "q60_table_copy" -> ((s, dir) => {
+      // E2 hash-gated (tools/table_scanner.cc:823-1045 `kudu table copy`):
+      // the copy must carry the current SNAPSHOT (post-mutation state,
+      // merge-on-read resolved into the bulk load) plus the schema, PK and
+      // partition layout — and land CLEAN (a copy has no delta history).
+      import graft.tools.GraftTools
+      val raw = Tables.raw(s, dir, "supplier")
+      val src = GraftTable.create(s, tmpLoc("graft-q60-src-"), "supplier_q60",
+        raw.schema, Seq("s_suppkey"), Seq(HashComponent(Seq("s_suppkey"), 4)),
+        data = Some(raw))
+      src.upsert(raw.filter(pmod(col("s_suppkey"), lit(5)) === 0)
+        .withColumn("s_acctbal", col("s_acctbal") + 100))
+      src.deleteWhere(pmod(col("s_suppkey"), lit(11)) === 0)
+      val dest = GraftTools.copyTable(s, src, tmpLoc("graft-q60-dest-"))
+      if (dest.meta.hash != src.meta.hash ||
+          dest.meta.userKeyCols != src.meta.userKeyCols)
+        throw new IllegalStateException("table copy must preserve PK + layout")
+      if (dest.meta.deltaFiles.nonEmpty)
+        throw new IllegalStateException("a table copy is a clean bulk load")
+      dest.scan().orderBy("s_suppkey")
+    }),
+
+    "q61_loadgen" -> ((s, dir) => {
+      // E4 hash-gated (tools/tool_action_perf.cc loadgen): the generator
+      // loads a fresh engine table through the strict-INSERT path and the
+      // scan must equal the generator spec exactly (sequential mode is
+      // oracle-reproducible; the hash-scrambled random mode is gated
+      // in-query for run-to-run determinism — the property loadgen's
+      // verify-after-write depends on).
+      import graft.tools.GraftTools
+      val n = 5000L
+      def rndSig() = GraftTools.loadgen(s, n, random = true)
+        .agg(sum(crc32(col("payload"))).as("h"), sum(length(col("payload"))).as("l"))
+        .collect()(0)
+      val (sig1, sig2) = (rndSig(), rndSig())
+      if (sig1 != sig2)
+        throw new IllegalStateException(
+          s"random loadgen must be deterministic: $sig1 vs $sig2")
+      val gen = GraftTools.loadgen(s, n)
+      val t = GraftTable.create(s, tmpLoc("graft-q61-"), "loadgen_q61",
+        gen.schema, Seq("id"), Seq(HashComponent(Seq("id"), 4)))
+      t.insert(gen)
+      t.scan().orderBy("id")
+    }),
+
+    "q62_import_export" -> ((s, dir) => {
+      // E5 hash-gated (kudu-spark-tools ImportExportFiles): engine → CSV →
+      // engine → parquet → engine; the final table hash-matches the raw
+      // source exactly (quoted strings and schema-cast reads survive both
+      // round trips; imports ride the engine upsert path).
+      import graft.tools.GraftTools
+      val raw = Tables.raw(s, dir, "nation")
+      val t = GraftTable.create(s, tmpLoc("graft-q62-src-"), "nation_q62",
+        raw.schema, Seq("n_nationkey"), Seq(HashComponent(Seq("n_nationkey"), 2)),
+        data = Some(raw))
+      val csvDir = tmpLoc("graft-q62-csv-")
+      GraftTools.exportCsv(t, csvDir)
+      val viaCsv = GraftTable.create(s, tmpLoc("graft-q62-csvt-"), "nation_q62c",
+        raw.schema, Seq("n_nationkey"), Seq(HashComponent(Seq("n_nationkey"), 2)))
+      GraftTools.importCsv(s, csvDir, viaCsv)
+      val pqDir = tmpLoc("graft-q62-pq-")
+      GraftTools.exportParquet(viaCsv, pqDir)
+      val viaPq = GraftTable.create(s, tmpLoc("graft-q62-pqt-"), "nation_q62p",
+        raw.schema, Seq("n_nationkey"), Seq(HashComponent(Seq("n_nationkey"), 2)))
+      GraftTools.importParquet(s, pqDir, viaPq)
+      viaPq.scan().orderBy("n_nationkey")
+    }),
+
     "q56_sorted_spj" -> ((s, dir) => {
       // Sort-free storage-partitioned join gate (SupportsReportOrdering
       // end to end): documents ⋈ embeddings are co-bucketed AND each
@@ -1805,6 +1873,18 @@ object Queries {
         "WHERE user_id <= ulo + (uhi - ulo) // 4 " +
         "AND epoch_us(ts) < (tlo + thi) // 2 " +
         "GROUP BY event_type ORDER BY event_type"),
+
+    "q60_table_copy" ->
+      ("SELECT s_suppkey, s_name, s_nationkey, " +
+        "CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 ELSE s_acctbal END AS s_acctbal " +
+        "FROM supplier WHERE s_suppkey % 11 <> 0 ORDER BY s_suppkey"),
+
+    "q61_loadgen" ->
+      ("SELECT CAST(range AS BIGINT) AS id, CAST(range AS VARCHAR) AS payload " +
+        "FROM range(5000) ORDER BY id"),
+
+    "q62_import_export" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
 
     "q59_star_zone" ->
       ("WITH mm AS (SELECT min(c_custkey) AS cmin, max(c_custkey) AS cmax FROM customer), " +
