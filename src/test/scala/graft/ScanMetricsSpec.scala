@@ -59,6 +59,55 @@ class ScanMetricsSpec extends AnyFunSuite {
     assert(metric(full, GraftV2Scan.FilesPruned) == 0L)
   }
 
+  test("non-key bloom attribute skips row groups on point equality (A/B recordsRead)") {
+    import spark.implicits._
+    // 8 bucket files x 2000 rows; u is a high-entropy plain-encoded string
+    // whose per-file [min,max] spans the whole domain — manifest zone maps
+    // and parquet min/max stats can skip NOTHING on it, and the lookup
+    // column is not a key, so the only skip mechanism left is the bloom.
+    // The observable is decoded input rows (task inputMetrics.recordsRead):
+    // the vectorized reader counts only rows of row groups that survived
+    // parquet's row-group filter, so bloom-on reads ~1 file's rows and the
+    // un-bloom'd control decodes the whole table. Deterministic counts,
+    // not timing — the honest unit-scale form of the A/B.
+    val df = (1 to 16000)
+      .map(i => (i.toLong, f"u-${i * 2654435761L}%016x", i)).toDF("k", "u", "v")
+    def mk(bloom: Boolean): GraftTable = {
+      val loc = java.nio.file.Files.createTempDirectory(s"graft-bloomab-").toString
+      val t = GraftTable.create(spark, loc, s"bab$bloom", df.schema, Seq("k"),
+        Seq(HashComponent(Seq("k"), 8)), data = Some(df))
+      if (bloom) t.setColumnBloom("u", on = true)
+      t.setColumnEncoding("u", "plain")
+      t.compact() // attributes apply on the next base rewrite
+      t
+    }
+    def recordsRead(body: => Unit): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            n.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; org.apache.spark.sql.GraftSqlBridge.flushListenerBus(spark) }
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get
+    }
+    val target = f"u-${7777L * 2654435761L}%016x"
+    val withBloom = mk(bloom = true)
+    val control = mk(bloom = false)
+    def lookup(t: GraftTable): Unit =
+      assert(t.scan().filter(col("u") === target).count() == 1)
+    lookup(withBloom) // warm both paths before measuring
+    lookup(control)
+    val readB = recordsRead(lookup(withBloom))
+    val read0 = recordsRead(lookup(control))
+    assert(read0 >= 15000,
+      s"the un-bloom'd control must decode ~everything, read $read0")
+    assert(readB * 4 <= read0,
+      s"bloom must skip non-matching row groups: bloom'd read $readB vs control $read0")
+  }
+
   test("delta transport shows per scan: broadcast tail, routed attach, forced spill") {
     import spark.implicits._
     val (t, sqlName) = mkTable()
