@@ -1244,6 +1244,60 @@ object Pipeline {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    "p35_importance_resample" -> ((s, dir) => {
+      // DSIR-style importance resampling (Xie et al. 2023 — select raw
+      // data whose hashed-feature distribution looks like a curated
+      // target): the curated side is source='src0', features are words
+      // hashed into 64 buckets, and each doc scores the sum over its word
+      // OCCURRENCES of bucketScore(b) = ⌊log2(t_b+1)⌋ − ⌊log2(r_b+1)⌋ —
+      // the integer-bucketed log-likelihood ratio of target vs raw bucket
+      // counts (same exactness trick as p29: integer log2 never drifts,
+      // so the oracle hash-matches). keep = score > 0 is the resampling
+      // gate. Scale shape: one explode, ONE 64-row bucket aggregate
+      // (map-side combine), a broadcast-sized join back, and a per-doc
+      // partial agg — linear in corpus tokens, no driver state. The hash
+      // is deliberately engine-portable (char arithmetic); production
+      // would swap in any fixed hash without changing the plan.
+      val g = docs(s, dir).repartition(parallelism(s))
+        .select(col("doc_id"), col("source"),
+          explode(filter(words(col("text")), w => length(w) > 0)).as("w"))
+        .withColumn("bkt", expr(
+          "pmod(31 * ascii(substr(w, 1, 1)) + 7 * length(w) + " +
+            "ascii(substr(w, length(w), 1)), 64)"))
+      val bs = g.groupBy("bkt").agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("t"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("r"))
+        .select(col("bkt"),
+          (floor(log2(col("t") + 1)) - floor(log2(col("r") + 1)))
+            .cast("long").as("bscore"))
+      g.join(broadcast(bs), "bkt")
+        .groupBy("doc_id")
+        .agg(sum(col("bscore")).as("score"), count(lit(1)).as("n_feats"))
+        .select(col("doc_id"), col("score"), col("n_feats"),
+          (col("score") > 0).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    "p36_fim_transform" -> ((s, dir) => {
+      // Fill-in-the-middle transform (Bavarian et al. 2022 — the PSM
+      // reorder code/infill models train on): docs with even ids (the
+      // fim_rate=0.5 coin, deterministic so the oracle agrees) split at
+      // the character thirds and re-emit as
+      // <PRE>prefix<SUF>suffix<MID>middle; odd ids pass through. Emitted
+      // as (doc_id, sha256, length) — a pure narrow codegen'd map, the
+      // 100 TB shape of every such rewrite.
+      val fim = concat(lit("<PRE>"), expr("substr(text, 1, length(text) div 3)"),
+        lit("<SUF>"), expr("substr(text, (2 * length(text)) div 3 + 1)"),
+        lit("<MID>"), expr("substr(text, length(text) div 3 + 1, " +
+          "(2 * length(text)) div 3 - length(text) div 3)"))
+      val out = when(pmod(col("doc_id"), lit(2)) === 0, fim).otherwise(col("text"))
+      docs(s, dir).select(col("doc_id"),
+        sha2(out, 256).as("fim_sha"),
+        length(out).cast("long").as("n_chars"),
+        (pmod(col("doc_id"), lit(2)) === 0).as("transformed"))
+        .orderBy("doc_id")
+    }),
+
     "p10_token_count" -> ((s, dir) => {
       // Whitespace tokens + a BPE-ish estimate (~4 chars/token heuristic,
       // integer arithmetic so both engines agree exactly).
@@ -1588,6 +1642,28 @@ object Pipeline {
 
     // bigram occurrences (not shingle SETS), corpus counts as the model,
     // integer log2 buckets for the score
+    "p35_importance_resample" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents), " +
+        "g AS (SELECT doc_id, source, unnest(ws) AS w FROM t), " +
+        "f AS (SELECT doc_id, source, (31 * ascii(substr(w, 1, 1)) + 7 * length(w) + " +
+        "ascii(substr(w, length(w), 1))) % 64 AS bkt FROM g WHERE length(w) > 0), " +
+        "bs AS (SELECT bkt, CAST(floor(log2(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) + 1)) AS BIGINT) " +
+        "- CAST(floor(log2(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) + 1)) AS BIGINT) AS bscore " +
+        "FROM f GROUP BY bkt) " +
+        "SELECT doc_id, CAST(sum(bscore) AS BIGINT) AS score, " +
+        "CAST(count(*) AS BIGINT) AS n_feats, sum(bscore) > 0 AS keep " +
+        "FROM f JOIN bs USING (bkt) GROUP BY doc_id ORDER BY doc_id"),
+
+    "p36_fim_transform" ->
+      ("WITH o AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN " +
+        "'<PRE>' || substr(text, 1, length(text) // 3) || " +
+        "'<SUF>' || substr(text, (2 * length(text)) // 3 + 1) || " +
+        "'<MID>' || substr(text, length(text) // 3 + 1, " +
+        "(2 * length(text)) // 3 - length(text) // 3) " +
+        "ELSE text END AS fim FROM documents) " +
+        "SELECT doc_id, sha256(fim) AS fim_sha, CAST(length(fim) AS BIGINT) AS n_chars, " +
+        "doc_id % 2 = 0 AS transformed FROM o ORDER BY doc_id"),
+
     "p29_bigram_lm" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1), " +

@@ -218,17 +218,28 @@ class SourcesSpec extends AnyFunSuite {
       p
     }
     def countJobs(body: => GraftTable): (GraftTable, Int) = {
+      // count ONLY this thread's jobs (scoped by job group): the shared
+      // test session runs background work — an auto-maintenance tick from
+      // another suite's leftover table, a draining stream — whose jobs
+      // would otherwise land in the counter and break the == assert
+      val group = s"chainfold-${java.util.UUID.randomUUID().toString.take(8)}"
       val jobs = new java.util.concurrent.atomic.AtomicInteger
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          jobs.incrementAndGet()
+          if (js.properties != null &&
+              group == js.properties.getProperty("spark.jobGroup.id"))
+            jobs.incrementAndGet()
       }
       spark.sparkContext.addSparkListener(listener)
+      spark.sparkContext.setJobGroup(group, "chain-fold job count", false)
       try {
         val r = body
         org.apache.spark.sql.GraftSqlBridge.flushListenerBus(spark)
         (r, jobs.get())
-      } finally spark.sparkContext.removeSparkListener(listener)
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.removeSparkListener(listener)
+      }
     }
     val (restored, j6) = countJobs(GraftTools.restoreChain(spark, s"$bdir/full",
       incs, tmp("graft-chainfold-dest-"), Seq("id"),
