@@ -133,13 +133,12 @@ object Bench {
     // iteration shares the suite position. Re-measure each cheap
     // interference-susceptible query ONCE at the end of the suite (a second,
     // independent position): if the tail run undercuts the in-suite reported
-    // value by 2x, the sidecar now names the suspect (the in-suite
-    // predecessor is recorded per query as "prev"). The tail run is a valid
-    // upper bound on the query's own cost, so it participates in "min";
-    // "reported" stays the in-suite statistic — the recheck attributes,
-    // it does not overwrite.
+    // value by 2x, the sidecar names the suspect (the in-suite predecessor
+    // is recorded per query as "prev"). The tail lands in the sidecar as
+    // its own field; "reported"/"med"/"min" stay the in-suite statistics —
+    // the recheck ATTRIBUTES, it does not overwrite any headline number.
     val fnByName = selected.toMap
-    results.foreach { r =>
+    def tailCheck(r: QResult): Unit =
       if (r.reported >= 0.05 && r.reported <= 1.5) {
         val t = runOnce(r.name, fnByName(r.name))
         if (t.sec >= 0) {
@@ -149,7 +148,14 @@ object Bench {
               f"in-suite ${r.reported}%.2f s (after ${r.prev}) vs tail ${t.sec}%.2f s")
         }
       }
-    }
+    // p-tails rebuild the memoized pipeline frames releaseCaches() dropped
+    // after the p-block — release them AGAIN before the q-tails and the
+    // A/B below, or those run under exactly the cache pressure the main
+    // suite was protected from (p14 measured 3.9s in-suite vs 1.0s
+    // isolated before the original release)
+    pResults.foreach(tailCheck)
+    Pipeline.releaseCaches()
+    qResults.foreach(tailCheck)
     // ---- A/B: runtime-filter zone pruning on the q59 star join. The flag
     // (graft.runtimeFilter.allColumns) earns or loses its default on this
     // measured pair: the same star join with the runtime IN-filter pruning

@@ -110,13 +110,19 @@ object MaintenanceScheduler {
     * cadence; entries self-clean when their table or session goes away, so
     * a long-lived session never accretes dead schedules). */
   def autoSchedule(spark: SparkSession, location: String): Unit =
-    if (spark.conf.getOption("graft.maintain.auto").forall(_.toBoolean) &&
-        !entries.containsKey(location))
-      register(spark, new Entry(location,
-        spark.conf.getOption("graft.maintain.auto.intervalMs").map(_.toLong)
-          .getOrElse(300_000L),
-        ioBudgetBytes = 4L << 30, minScore = 0.05,
-        maxDeltaRatio = 0.2, maxDeltaFiles = 64, auto = true))
+    if (spark.conf.getOption("graft.maintain.auto").forall(_.toBoolean))
+      // presence check INSIDE the lock: checked outside, a concurrent
+      // explicit schedule() landing between check and register would be
+      // clobbered by this default-knob entry (and clearAuto would later
+      // silently remove it) — the never-clobber invariant above
+      registerLock.synchronized {
+        if (!entries.containsKey(location))
+          register(spark, new Entry(location,
+            spark.conf.getOption("graft.maintain.auto.intervalMs").map(_.toLong)
+              .getOrElse(300_000L),
+            ioBudgetBytes = 4L << 30, minScore = 0.05,
+            maxDeltaRatio = 0.2, maxDeltaFiles = 64, auto = true))
+      }
 
   /** Unschedule every AUTO-registered entry; explicit schedules survive.
     * Measurement harnesses (Bench) isolate background daemons between

@@ -172,11 +172,36 @@ object GraftTools {
       hash: Seq[HashComponent] = Nil, range: Option[RangeComponent] = None): GraftTable = {
     val t = restore(spark, fullBackupPath, destLocation, keys, hash, range)
     if (incrementPaths.isEmpty) return t
-    // one schema inference for the whole chain — increments share their
-    // table's export schema, and per-path inference is a Spark job each
-    val incSchema = spark.read.parquet(incrementPaths.head).schema
-    val tagged = incrementPaths.zipWithIndex.map { case (p, i) =>
-      spark.read.schema(incSchema).parquet(p).withColumn("_ord", lit(i))
+    // Per-increment schemas from the footers, DRIVER-SIDE (zero Spark
+    // jobs — per-path spark.read inference is a job each, and pinning
+    // every increment to the first one's schema would break chains that
+    // span an ALTER: a widening rewrite makes later files physically
+    // INT64 where the first was INT32, and an added column would be
+    // silently projected away). Each increment reads under its own
+    // schema and casts to the LAST increment's (the chain's final shape);
+    // columns born mid-chain read as null for older increments — the same
+    // rows sequential replay would have upserted without the column.
+    def incSchema(dir: String): Option[org.apache.spark.sql.types.StructType] = {
+      import scala.jdk.CollectionConverters._
+      val d = java.nio.file.Paths.get(dir)
+      val part = scala.util.Using.resource(java.nio.file.Files.list(d)) { s =>
+        s.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq.sorted.headOption
+      }
+      part.map(p =>
+        org.apache.spark.sql.GraftSqlBridge.parquetFileSchema(spark, p))
+    }
+    val withSchemas = incrementPaths.zipWithIndex
+      .flatMap { case (p, i) => incSchema(p).map(sc => (p, i, sc)) }
+    if (withSchemas.isEmpty) return t // every increment was empty
+    val finalSchema = withSchemas.last._3
+    val tagged = withSchemas.map { case (p, i, sc) =>
+      spark.read.schema(sc).parquet(p)
+        .select(finalSchema.map { f =>
+          (if (sc.fieldNames.contains(f.name)) col(f.name).cast(f.dataType)
+          else lit(null).cast(f.dataType)).as(f.name)
+        }: _*)
+        .withColumn("_ord", lit(i))
     }.reduce(_ unionByName _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(col("_ord").desc)

@@ -56,6 +56,23 @@ object GraftSqlBridge {
   def flushListenerBus(session: SparkSession): Unit =
     session.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** A parquet file's Spark schema from its footer, DRIVER-SIDE — no Spark
+    * job (per-path `spark.read.parquet` schema inference costs one job
+    * each; callers reading many same-table filesets want per-fileset
+    * schemas without paying that). */
+  def parquetFileSchema(session: SparkSession, path: String): types.StructType = {
+    val conf = session.sessionState.newHadoopConf()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    // the SQLConf ctor — the Configuration one expects ParquetFileFormat's
+    // explicitly-propagated SQL keys and NPEs on a plain hadoop conf
+    try new execution.datasources.parquet.ParquetToSparkSchemaConverter(
+      session.sessionState.conf)
+      .convert(reader.getFooter.getFileMetaData.getSchema)
+    finally reader.close()
+  }
+
   /** Catalyst data filter → public sources.Filter (for metadata pruning). */
   def translateFilter(e: Expression): Option[sources.Filter] =
     org.apache.spark.sql.execution.datasources.DataSourceStrategy

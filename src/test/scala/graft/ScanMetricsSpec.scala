@@ -82,15 +82,28 @@ class ScanMetricsSpec extends AnyFunSuite {
       t
     }
     def recordsRead(body: => Unit): Long = {
+      // scoped to a job group: the shared session runs background work
+      // (default-on auto-maintenance ticks on other suites' tables) whose
+      // task reads must not land in this measurement
+      val group = s"bloomab-${java.util.UUID.randomUUID().toString.take(8)}"
+      val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
       val n = new java.util.concurrent.atomic.AtomicLong
       val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (js.properties != null &&
+              group == js.properties.getProperty("spark.jobGroup.id"))
+            js.stageIds.foreach(id => stages.add(id))
         override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (te.taskMetrics != null)
+          if (te.taskMetrics != null && stages.contains(te.stageId))
             n.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
       }
       spark.sparkContext.addSparkListener(l)
+      spark.sparkContext.setJobGroup(group, "bloom A/B recordsRead", false)
       try { body; org.apache.spark.sql.GraftSqlBridge.flushListenerBus(spark) }
-      finally spark.sparkContext.removeSparkListener(l)
+      finally {
+        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.removeSparkListener(l)
+      }
       n.get
     }
     val target = f"u-${7777L * 2654435761L}%016x"

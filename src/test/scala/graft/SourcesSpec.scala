@@ -197,6 +197,36 @@ class SourcesSpec extends AnyFunSuite {
       t.scan().orderBy("id").collect().toSeq)
   }
 
+  test("restoreChain survives a mid-chain type widening (per-increment schemas)") {
+    // inc1 predates widenColumnType (physical INT32), inc2 postdates it
+    // (physical INT64): pinning the whole chain to inc1's inferred schema
+    // made the parquet reader throw on the physical type mismatch; each
+    // increment now reads under its own footer schema and casts to the
+    // chain's final shape before the fold
+    val loc = tmp("graft-widen-src-")
+    val df = (1 to 60).map(i => (i.toLong, i)).toDF("id", "v")
+    val t = GraftTable.create(spark, loc, "wsrc", df.schema, Seq("id"),
+      Seq(graft.catalog.HashComponent(Seq("id"), 2)), data = Some(df))
+    val bdir = tmp("graft-widen-b-")
+    GraftTools.backup(t, s"$bdir/full")
+    val v0 = t.currentVersion
+    t.upsert(Seq((1L, -1)).toDF("id", "v"))
+    val v1 = GraftTools.backupIncremental(t, s"$bdir/inc1", v0)
+    t.widenColumnType("v", org.apache.spark.sql.types.LongType)
+    t.upsert(Seq((2L, -2L)).toDF("id", "v"))
+    GraftTools.backupIncremental(t, s"$bdir/inc2", v1)
+    val restored = GraftTools.restoreChain(spark, s"$bdir/full",
+      Seq(s"$bdir/inc1", s"$bdir/inc2"), tmp("graft-widen-dest-"),
+      Seq("id"), Seq(graft.catalog.HashComponent(Seq("id"), 2)))
+    // dest carries the FULL backup's (pre-widen) schema; values all fit,
+    // so the state matches the live table cast back to int
+    val got = restored.scan().orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString.toLong)
+    val want = t.scan().orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString.toLong)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("restoreChain folds the chain: job count independent of chain length") {
     // the replay folds ALL increments by key into one upsert + one
     // ignore-delete (chain-last action per key), so a 6-step chain must
