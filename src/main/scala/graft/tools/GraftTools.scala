@@ -132,8 +132,12 @@ object GraftTools {
    * replay by [[restoreChain]]. Returns head — the next increment's
    * fromVersion, forming the backup chain.
    */
-  def backupIncremental(table: GraftTable, outPath: String, fromVersion: Long): Long = {
-    val head = table.currentVersion
+  def backupIncremental(table: GraftTable, outPath: String, fromVersion: Long,
+      toVersion: Option[Long] = None): Long = {
+    // explicit toVersion pins the increment's upper bound (scheduled chains
+    // capture consistent cuts regardless of concurrent commits); default =
+    // the head at call time
+    val head = toVersion.getOrElse(table.currentVersion)
     // chain-specific face on the history floor: the generic "version
     // expired" error doesn't tell the operator WHAT to do about a backup
     // chain whose base predates retention GC

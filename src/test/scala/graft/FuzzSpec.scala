@@ -11,6 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.catalog.HashComponent
 import graft.table.{GraftTable, PrimaryKeyException}
+import graft.tools.GraftTools
 
 /**
  * Randomized op-sequence test against an in-memory model — mirrors the
@@ -167,6 +168,28 @@ class FuzzSpec extends AnyFunSuite {
       val got = t.changes(v1, v2).select(col("k"), col("_deleted"))
         .collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
       assert(got == expected, s"diff v$v1->v$v2 mismatch seed=$seed")
+    }
+    // backup-chain differential: full backup at the FIRST surviving
+    // snapshot, one increment per consecutive snapshot pair (pinned by
+    // toVersion), restoreChain — must equal the LAST snapshot's model.
+    // The random op mix puts compactions, z-rewrites and history GC
+    // between cuts, so every chain exercises both the delta-only CDC path
+    // and its snapshot-diff fallback, plus the per-increment footer
+    // schemas and the key-level fold.
+    if (live.size >= 2) {
+      val bdir = Files.createTempDirectory(s"graft-fuzz-chain-$seed-").toString
+      GraftTools.backup(t, s"$bdir/full", Some(live.head._1))
+      val versions: Seq[Long] = live.map(_._1).toSeq
+      val incs = versions.sliding(2).zipWithIndex.map { case (pair, i) =>
+        val p = s"$bdir/inc$i"
+        GraftTools.backupIncremental(t, p, pair(0), toVersion = Some(pair(1)))
+        p
+      }.toSeq
+      val restored = GraftTools.restoreChain(spark, s"$bdir/full", incs,
+        Files.createTempDirectory(s"graft-fuzz-chain-dest-$seed-").toString,
+        Seq("k"), hash)
+      assert(stateOf(restored.scan()) == live.last._2,
+        s"backup-chain restore mismatch seed=$seed (chain of ${incs.size})")
     }
   }
 
