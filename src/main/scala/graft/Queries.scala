@@ -625,6 +625,79 @@ object Queries {
       dest.scan().orderBy("c_custkey")
     }),
 
+    "q63_stream_join" -> ((s, dir) => {
+      // Stream-stream event-time join (the last big Structured Streaming
+      // shape the suite lacked): impressions (even event ids) join clicks
+      // (odd ids) for the same user within 30 minutes, BOTH sides
+      // watermarked 15 min — Spark buffers each side's state and evicts it
+      // as the joint watermark passes, which is what makes the join
+      // runnable on an unbounded 100 TB stream (state is a sliding window,
+      // never the history). Chronological lock-step replay of both sides
+      // (one ordered iterator, split by parity per chunk) means nothing is
+      // late, so the streamed result equals the batch interval join the
+      // oracle computes. Sentinels on both sides flush the final pairs
+      // (2h apart so they never pair with data or each other); they are
+      // filtered AFTER the watermark node so eviction still advances.
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val raw = Tables.raw(s, dir, "events")
+      val total = raw.count()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val left = MemoryStream[Ev]
+      val right = MemoryStream[Ev]
+      val sinkName = s"graft_q63_sink_${streamSeq.incrementAndGet()}"
+      val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val ndPrev = s.conf.get(ndKey)
+      s.conf.set(ndKey, "false")
+      val ckpt = ckptLoc("graft-q63-ckpt-")
+      // stream-stream joins run FOUR state stores per partition per batch;
+      // at this key cardinality one partition minimizes the fixed per-batch
+      // store overhead that dominates a replay
+      try withShufflePartitions(s, 1) {
+        val l = left.toDF().withWatermark("ts", "15 minutes")
+          .filter(col("user_id") >= 0)
+          .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
+        val r = right.toDF().withWatermark("ts", "15 minutes")
+          .filter(col("user_id") >= 0)
+          .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+            col("ts").as("r_ts"))
+        val q = l.join(r, col("user_id") === col("r_user") &&
+            col("r_ts") >= col("l_ts") &&
+            col("r_ts") < col("l_ts") + expr("INTERVAL 30 MINUTES"))
+          .select(col("l_id"), col("r_id"), col("user_id"))
+          .writeStream.format("memory").queryName(sinkName).outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try {
+          // 3 chronological chunks: enough watermark progression for
+          // mid-stream append emission + state eviction; per-batch fixed
+          // cost dominates, so the chunk count is the knob
+          val chunk = math.max(1L, total / 3).toInt
+          var maxTs = 0L
+          Tables.raw(s, dir, "events").orderBy("ts").as[Ev]
+            .toLocalIterator().asScala.grouped(chunk).foreach { batch =>
+              maxTs = batch.last.ts.getTime
+              val (evens, odds) = batch.partition(_.event_id % 2 == 0)
+              left.addData(evens)
+              right.addData(odds)
+              q.processAllAvailable()
+            }
+          // flush: two far-future rounds on BOTH sides (first advances max
+          // event time, second applies the new watermark and emits)
+          (1 to 2).foreach { i =>
+            val ts = new java.sql.Timestamp(maxTs + i * 2 * 3600 * 1000)
+            left.addData(Ev(-2L, ts, -1L, "zz_sentinel", 0.0, null))
+            right.addData(Ev(-1L, ts, -1L, "zz_sentinel", 0.0, null))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      } finally {
+        s.conf.set(ndKey, ndPrev)
+        rmrf(ckpt)
+      }
+      s.table(sinkName).orderBy("l_id", "r_id")
+    }),
+
     "q60_table_copy" -> ((s, dir) => {
       // E2 hash-gated (tools/table_scanner.cc:823-1045 `kudu table copy`):
       // the copy must carry the current SNAPSHOT (post-mutation state,
@@ -1873,6 +1946,13 @@ object Queries {
         "WHERE user_id <= ulo + (uhi - ulo) // 4 " +
         "AND epoch_us(ts) < (tlo + thi) // 2 " +
         "GROUP BY event_type ORDER BY event_type"),
+
+    "q63_stream_join" ->
+      ("SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id " +
+        "FROM events l JOIN events r ON l.user_id = r.user_id " +
+        "AND l.event_id % 2 = 0 AND r.event_id % 2 = 1 " +
+        "AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 30 MINUTE " +
+        "ORDER BY l_id, r_id"),
 
     "q60_table_copy" ->
       ("SELECT s_suppkey, s_name, s_nationkey, " +
