@@ -138,16 +138,17 @@ object Bench {
     // its own field; "reported"/"med"/"min" stay the in-suite statistics —
     // the recheck ATTRIBUTES, it does not overwrite any headline number.
     val fnByName = selected.toMap
-    def tailCheck(r: QResult): Unit =
-      if (r.reported >= 0.05 && r.reported <= 1.5) {
-        val t = runOnce(r.name, fnByName(r.name))
-        if (t.sec >= 0) {
-          r.tail = t.sec
-          if (t.sec * 2 < r.reported)
-            System.err.println(f"[bench] POSITION-INTERFERENCE suspect ${r.name}: " +
-              f"in-suite ${r.reported}%.2f s (after ${r.prev}) vs tail ${t.sec}%.2f s")
-        }
+    def tailRun(r: QResult, flagRatio: Double): Unit = {
+      val t = runOnce(r.name, fnByName(r.name))
+      if (t.sec >= 0) {
+        r.tail = t.sec
+        if (t.sec * flagRatio < r.reported)
+          System.err.println(f"[bench] POSITION-INTERFERENCE suspect ${r.name}: " +
+            f"in-suite ${r.reported}%.2f s (after ${r.prev}) vs tail ${t.sec}%.2f s")
       }
+    }
+    def tailCheck(r: QResult): Unit =
+      if (r.reported >= 0.05 && r.reported <= 1.5) tailRun(r, flagRatio = 2.0)
     // p-tails rebuild the memoized pipeline frames releaseCaches() dropped
     // after the p-block — release them AGAIN before the q-tails and the
     // A/B below, or those run under exactly the cache pressure the main
@@ -156,6 +157,14 @@ object Bench {
     pResults.foreach(tailCheck)
     Pipeline.releaseCaches()
     qResults.foreach(tailCheck)
+    // the SAME second-position check for the 6 most expensive queries —
+    // they're where a flat-but-position-inflated median (the p16
+    // signature; r12 saw q26 4.93 in-suite vs 3.29 isolated, every
+    // iteration flat) reads as a phantom regression. Tighter 1.3x flag:
+    // at multi-second scale a 1.5x inflation is far outside iteration
+    // noise, and the 2x rule would miss it.
+    results.filter(_.reported > 1.5).sortBy(-_.reported).take(6)
+      .foreach(tailRun(_, flagRatio = 1.3))
     // ---- A/B: runtime-filter zone pruning on the q59 star join. The flag
     // (graft.runtimeFilter.allColumns) earns or loses its default on this
     // measured pair: the same star join with the runtime IN-filter pruning
