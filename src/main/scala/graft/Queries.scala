@@ -30,6 +30,10 @@ object Queries {
     * the star join; the rewrite is q51's gate. */
   private val q59Fact = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q64's warehouse, one per (JVM, sfDir) — catalog instances cache by
+    * NAME, so gq64 must always resolve to one warehouse. */
+  private val q64Wh = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def tmpLoc(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
@@ -623,6 +627,34 @@ object Queries {
       }
       GraftTools.replicate(src, dest, h1)
       dest.scan().orderBy("c_custkey")
+    }),
+
+    "q64_ctas" -> ((s, dir) => {
+      // Atomic CTAS + RTAS through the V2 StagingTableCatalog: the table
+      // materializes under .staging and publishes by atomic move, so a
+      // mid-write failure can never leave a half table (and a failed
+      // REPLACE keeps the incumbent — CtasSpec proves the failure
+      // interleavings; this gates the happy path against the oracle).
+      // Warehouse memoized per (JVM, sfDir): catalog INSTANCES cache by
+      // name, so the name must always see one warehouse.
+      val wh = q64Wh.computeIfAbsent(dir, _ => tmpLoc("graft-q64-wh-"))
+      s.conf.set("spark.sql.catalog.gq64",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq64.warehouse", wh)
+      Tables.raw(s, dir, "orders").createOrReplaceTempView("q64_orders_raw")
+      s.sql(
+        "CREATE OR REPLACE TABLE gq64.ord_sum PARTITIONED BY (bucket(4, o_custkey)) " +
+          "TBLPROPERTIES ('graft.keys' = 'o_custkey') AS " +
+          "SELECT o_custkey, count(*) AS n_orders " +
+          "FROM q64_orders_raw GROUP BY o_custkey")
+      // RTAS replaces schema AND data atomically (adds the price rollup)
+      s.sql(
+        "REPLACE TABLE gq64.ord_sum PARTITIONED BY (bucket(4, o_custkey)) " +
+          "TBLPROPERTIES ('graft.keys' = 'o_custkey') AS " +
+          "SELECT o_custkey, count(*) AS n_orders, " +
+          "round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_price " +
+          "FROM q64_orders_raw GROUP BY o_custkey")
+      s.table("gq64.ord_sum").orderBy("o_custkey")
     }),
 
     "q63_stream_join" -> ((s, dir) => {
@@ -1946,6 +1978,11 @@ object Queries {
         "WHERE user_id <= ulo + (uhi - ulo) // 4 " +
         "AND epoch_us(ts) < (tlo + thi) // 2 " +
         "GROUP BY event_type ORDER BY event_type"),
+
+    "q64_ctas" ->
+      ("SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_price " +
+        "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
 
     "q63_stream_join" ->
       ("SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id " +

@@ -42,7 +42,8 @@ import graft.table.GraftTable
  * (compactForV2 is the convenience gate). Writes go through the engine
  * API or the DSv1 "graft" format.
  */
-class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -127,6 +128,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     if (GraftTable.exists(loc))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
+    createAt(loc, ident.name(), schema, partitions, properties)
+  }
+
+  private def createAt(loc: String, name: String, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     // reserved properties this catalog cannot honor must error, not be
     // silently dropped (a LOCATION the user asked for would otherwise
     // land the data under the warehouse with no warning)
@@ -146,9 +152,54 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       .getOrElse(hash.flatMap(_.cols).distinct)
     require(keys.nonEmpty,
       "primary key required: PARTITIONED BY (bucket(n, col)) or TBLPROPERTIES ('graft.keys'='c1,c2')")
-    GraftTable.create(SparkSession.active, loc, ident.name(), schema, keys, hash)
+    GraftTable.create(SparkSession.active, loc, name, schema, keys, hash)
     new GraftV2Table(TableMeta.readCurrent(loc))
   }
+
+  // ---- StagingTableCatalog: atomic CTAS / RTAS. The non-staging fallback
+  // executes REPLACE TABLE AS SELECT as drop-then-create-then-write, so a
+  // failed write LOSES the old table (CtasSpec reproduces it). Staged
+  // writes land in a hidden `<warehouse>/.staging/<name>-<uuid>` table
+  // (invisible to listTables and warehouse sweeps — both list only
+  // metadata-carrying direct children); commit publishes via the same
+  // atomic-move + per-version path relocation as ALTER RENAME, with the
+  // replaced table moved aside FIRST and restored on a failed swing —
+  // every interleaving leaves exactly one of (old, new) at the identity.
+
+  private def stageAt(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replace: Boolean): org.apache.spark.sql.connector.catalog.StagedTable = {
+    val stagingRoot = java.nio.file.Paths.get(warehouse, ".staging")
+    java.nio.file.Files.createDirectories(stagingRoot)
+    val stagedLoc = stagingRoot.resolve(
+      s"${ident.name()}-${java.util.UUID.randomUUID().toString.take(8)}").toString
+    val inner = createAt(stagedLoc, ident.name(), schema, partitions, properties)
+      .asInstanceOf[GraftV2Table]
+    // the staged location must not self-maintain or outlive an abort
+    graft.table.MaintenanceScheduler.unschedule(stagedLoc)
+    new StagedGraftTable(inner, stagedLoc, locationFor(ident), replace)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (GraftTable.exists(locationFor(ident)))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    stageAt(ident, schema, partitions, properties, replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!GraftTable.exists(locationFor(ident))) throw new NoSuchTableException(ident)
+    stageAt(ident, schema, partitions, properties, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageAt(ident, schema, partitions, properties, replace = true)
 
   /** ALTER TABLE through SQL — TableChanges map onto the engine's
     * column-id ALTERs (add/rename/drop/widen/comment). Unsupported shapes
@@ -350,6 +401,54 @@ class GraftBucketReducer(n: Int) extends Reducer[Integer, Integer] with Serializ
 /** Read-only V2 table over a graft snapshot: the compacted base fileset,
   * plus a merge-on-read delta overlay (MorOverlay.scala) when the layout
   * is broadcast-sized (per-split routing works on any layout). */
+/** A staged CTAS/RTAS table (StagingTableCatalog): a fully real engine
+  * table living under `.staging/`, published to its identity on commit by
+  * the ALTER-RENAME machinery (atomic move + per-version path relocation).
+  * REPLACE moves the incumbent aside BEFORE the swing and restores it if
+  * the swing fails — no interleaving loses both. */
+class StagedGraftTable(inner: GraftV2Table, stagedLoc: String,
+    finalLoc: String, replace: Boolean)
+    extends org.apache.spark.sql.connector.catalog.StagedTable with SupportsWrite {
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    inner.newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+    val aside =
+      if (replace && GraftTable.exists(finalLoc)) {
+        val a = s"${finalLoc}_replaced_${java.util.UUID.randomUUID().toString.take(8)}"
+        graft.table.MaintenanceScheduler.unschedule(finalLoc)
+        JFiles.move(JPaths.get(finalLoc), JPaths.get(a),
+          StandardCopyOption.ATOMIC_MOVE)
+        Some(a)
+      } else None
+    try
+      JFiles.move(JPaths.get(stagedLoc), JPaths.get(finalLoc),
+        StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        // restore the incumbent: the staged table stays under .staging for
+        // abortStagedChanges to sweep
+        aside.foreach(a => JFiles.move(JPaths.get(a), JPaths.get(finalLoc),
+          StandardCopyOption.ATOMIC_MOVE))
+        throw e
+    }
+    TableMeta.relocate(stagedLoc, finalLoc)
+    aside.foreach(GraftTable.drop)
+    graft.table.MaintenanceScheduler.autoSchedule(SparkSession.active, finalLoc)
+  }
+
+  override def abortStagedChanges(): Unit = GraftTable.drop(stagedLoc)
+}
+
 class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
     with SupportsWrite with SupportsDelete with TruncatableTable
     with SupportsRowLevelOperations with SupportsPartitionManagement {

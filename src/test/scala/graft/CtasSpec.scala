@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftTable
+
+/**
+ * SQL CREATE TABLE AS SELECT / REPLACE TABLE AS SELECT through the V2
+ * catalog's StagingTableCatalog: writes land in a hidden `.staging` table
+ * and publish atomically on commit (the non-staging fallback executed
+ * RTAS as drop-then-create-then-write, so a failed write LOST the old
+ * table — the data-loss case that motivated staging).
+ */
+class CtasSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def staged(wh: String): Seq[String] = {
+    val d = new java.io.File(s"$wh/.staging")
+    if (!d.isDirectory) Nil else d.listFiles().map(_.getName).toSeq
+  }
+
+  test("CTAS / RTAS are atomic; failures keep the incumbent and sweep staging") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ctas-").toString
+    spark.conf.set("spark.sql.catalog.gctas",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gctas.warehouse", wh)
+    spark.sql(
+      "CREATE TABLE gctas.t1 PARTITIONED BY (bucket(2, id)) " +
+        "TBLPROPERTIES ('graft.keys' = 'id') AS " +
+        "SELECT CAST(id AS BIGINT) AS id, CAST(id % 7 AS INT) AS v FROM range(100)")
+    assert(spark.table("gctas.t1").count() == 100)
+    val t = GraftTable.load(spark, s"$wh/t1")
+    assert(t.meta.userKeyCols == Seq("id"))
+    assert(staged(wh).isEmpty, s"committed CTAS left staging residue: ${staged(wh)}")
+    // RTAS replaces schema+data atomically
+    spark.sql(
+      "REPLACE TABLE gctas.t1 PARTITIONED BY (bucket(2, id)) " +
+        "TBLPROPERTIES ('graft.keys' = 'id') AS " +
+        "SELECT CAST(id AS BIGINT) AS id, CAST(id % 3 AS INT) AS v FROM range(50)")
+    assert(spark.table("gctas.t1").count() == 50)
+    assert(staged(wh).isEmpty)
+    // failed CTAS: no table, no residue
+    intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE gctas.t2 PARTITIONED BY (bucket(2, id)) " +
+          "TBLPROPERTIES ('graft.keys' = 'id') AS " +
+          "SELECT CAST(id AS BIGINT) AS id, " +
+          "CAST(raise_error('boom') AS INT) AS v FROM range(10)")
+    }
+    assert(!GraftTable.exists(s"$wh/t2"), "failed CTAS left a table")
+    assert(!new java.io.File(s"$wh/t2").exists(), "failed CTAS left residue")
+    assert(staged(wh).isEmpty, s"failed CTAS left staging residue: ${staged(wh)}")
+    // failed RTAS keeps the OLD table AND its data — the staging catalog's
+    // whole point (drop-then-create lost it)
+    intercept[Exception] {
+      spark.sql(
+        "REPLACE TABLE gctas.t1 PARTITIONED BY (bucket(2, id)) " +
+          "TBLPROPERTIES ('graft.keys' = 'id') AS " +
+          "SELECT CAST(id AS BIGINT) AS id, " +
+          "CAST(raise_error('boom') AS INT) AS v FROM range(10)")
+    }
+    assert(GraftTable.exists(s"$wh/t1"), "failed RTAS lost the old table")
+    assert(spark.table("gctas.t1").count() == 50,
+      "failed RTAS must keep the old table's DATA")
+    assert(staged(wh).isEmpty, s"failed RTAS left staging residue: ${staged(wh)}")
+    // staging dir is invisible to the catalog and warehouse sweeps
+    assert(!spark.sql("SHOW TABLES IN gctas").collect()
+      .map(_.getString(1)).contains(".staging"))
+    // CREATE OR REPLACE works on a missing identity too
+    spark.sql(
+      "CREATE OR REPLACE TABLE gctas.t3 PARTITIONED BY (bucket(2, id)) " +
+        "TBLPROPERTIES ('graft.keys' = 'id') AS " +
+        "SELECT CAST(id AS BIGINT) AS id FROM range(7)")
+    assert(spark.table("gctas.t3").count() == 7)
+    // the replaced-and-dropped incumbent's files are really gone (no
+    // *_replaced_* dirs linger beside the table)
+    val siblings = new java.io.File(wh).listFiles().map(_.getName)
+    assert(!siblings.exists(_.contains("_replaced_")),
+      s"replace left an aside dir: ${siblings.mkString(",")}")
+    // post-RTAS table is fully functional (mutations + time travel intact)
+    import spark.implicits._
+    GraftTable.load(spark, s"$wh/t1").upsert(Seq((1L, 99)).toDF("id", "v"))
+    assert(spark.table("gctas.t1").where(col("v") === 99).count() == 1)
+  }
+}
