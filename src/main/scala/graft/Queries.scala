@@ -565,6 +565,8 @@ object Queries {
       // gen-2 re-inserts the %7 keys at +500 and deletes the %3 keys —
       // swapped increments would leave the opposite key classes alive.
       import graft.tools.GraftTools
+      withShufflePartitions(s, 4) { // ~13 tiny commit/probe jobs: 32-task
+      // shuffles are pure scheduling floor at this table size
       val raw = Tables.raw(s, dir, "supplier")
       val t = GraftTable.create(s, tmpLoc("graft-q54-src-"), "supplier_q54",
         raw.schema, Seq("s_suppkey"), Seq(HashComponent(Seq("s_suppkey"), 4)),
@@ -594,6 +596,7 @@ object Queries {
         tmpLoc("graft-q54-dest-"), Seq("s_suppkey"),
         Seq(HashComponent(Seq("s_suppkey"), 4)))
       restored.scan().orderBy("s_suppkey")
+      } // withShufflePartitions
     }),
 
     "q55_replicate" -> ((s, dir) => {
@@ -604,6 +607,7 @@ object Queries {
       // chain handoff. Gen-1 updates %4 keys and deletes %9 keys; gen-2
       // re-inserts %9 at +750 and deletes %4.
       import graft.tools.GraftTools
+      withShufflePartitions(s, 4) { // tiny commit/probe jobs, as q54
       val raw = Tables.raw(s, dir, "customer")
       val src = GraftTable.create(s, tmpLoc("graft-q55-src-"), "customer_q55",
         raw.schema, Seq("c_custkey"), Seq(HashComponent(Seq("c_custkey"), 4)),
@@ -627,6 +631,7 @@ object Queries {
       }
       GraftTools.replicate(src, dest, h1)
       dest.scan().orderBy("c_custkey")
+      } // withShufflePartitions
     }),
 
     "q64_ctas" -> ((s, dir) => {
