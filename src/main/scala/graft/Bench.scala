@@ -234,7 +234,7 @@ object Bench {
       Tier(v => rN(v, 3), sfStr, 0.0), Tier(v => rN(v, 2), sfStr, 0.0),
       Tier(v => rNs(v, 2), sfStr, 0.0), Tier(v => rNs(v, 1), sfStr, 0.0),
       Tier(v => rNs(v, 1), sfNum, 0.05), Tier(intish, sfNum, 0.05),
-      Tier(intish, sfNum, 0.15))
+      Tier(intish, sfNum, 0.10), Tier(intish, sfNum, 0.15))
     def lineFor(t: Tier, total: Double): String = {
       val qs = results
         .filter(r => r.reported < 0 || r.reported >= t.minKeep)

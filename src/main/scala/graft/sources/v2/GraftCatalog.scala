@@ -1318,12 +1318,13 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     // reads (q2 +0.8s, q31 +1.5s). The mechanism itself is gated by q59
     // (star join, fact Z-clustered on the dim key, runtime IN-filter
     // prunes >= half the files, hash-exact), and the bench records a
-    // standing A/B for it (bench.json "ab" — round-12 full suite at
-    // sf0.1: on 0.272 s vs off 0.283 s; isolated cold: 0.54 vs 0.47).
-    // Parity at unit scale: the DPP subquery costs about what skipping
-    // 12 small files saves, so the flag stays opt-in until fact files
-    // are large enough that skipping one pays for the subquery (at
-    // 100 TB a pruned file is 100s of MB, not 100s of KB).
+    // standing A/B for it (bench.json "ab" — round-12 full-suite pairs
+    // at sf0.1: on/off 0.27/0.28 and 0.34/0.27 across runs; isolated
+    // cold 0.54/0.47). Parity within noise at unit scale: the DPP
+    // subquery costs about what skipping 12 small files saves, so the
+    // flag stays opt-in until fact files are large enough that skipping
+    // one pays for the subquery (at 100 TB a pruned file is 100s of MB,
+    // not 100s of KB).
     (meta.hash.flatMap(_.cols) ++ meta.range.toSeq.flatMap(_.columns) ++
       (if (spark.conf.getOption("graft.runtimeFilter.allColumns")
            .exists(_.toBoolean))
