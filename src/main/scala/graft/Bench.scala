@@ -163,8 +163,16 @@ object Bench {
     // iteration flat) reads as a phantom regression. Tighter 1.3x flag:
     // at multi-second scale a 1.5x inflation is far outside iteration
     // noise, and the 2x rule would miss it.
-    results.filter(_.reported > 1.5).sortBy(-_.reported).take(6)
-      .foreach(tailRun(_, flagRatio = 1.3))
+    locally {
+      val exp = results.filter(_.reported > 1.5).sortBy(-_.reported).take(6)
+      // q-tails first, p-tails last, then drop the memoized frames a
+      // p-tail rebuilds — the q59 A/B below must not run under pipeline
+      // cache pressure
+      val (pExp, qExp) = exp.partition(_.name.startsWith("p"))
+      qExp.foreach(tailRun(_, flagRatio = 1.3))
+      pExp.foreach(tailRun(_, flagRatio = 1.3))
+      if (pExp.nonEmpty) Pipeline.releaseCaches()
+    }
     // ---- A/B: runtime-filter zone pruning on the q59 star join. The flag
     // (graft.runtimeFilter.allColumns) earns or loses its default on this
     // measured pair: the same star join with the runtime IN-filter pruning

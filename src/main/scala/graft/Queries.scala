@@ -595,7 +595,10 @@ object Queries {
       val restored = GraftTools.restoreChain(s, full, Seq(inc1, inc2),
         tmpLoc("graft-q54-dest-"), Seq("s_suppkey"),
         Seq(HashComponent(Seq("s_suppkey"), 4)))
-      restored.scan().orderBy("s_suppkey")
+      // materialize INSIDE the 4-partition scope (the lambda's return is
+      // lazy — unmaterialized, the final probe would shuffle at the
+      // restored session default); 90 rows, leak-free
+      restored.scan().localCheckpoint(true).orderBy("s_suppkey")
       } // withShufflePartitions
     }),
 
@@ -630,7 +633,8 @@ object Queries {
           .select("c_custkey"))
       }
       GraftTools.replicate(src, dest, h1)
-      dest.scan().orderBy("c_custkey")
+      // materialized inside the scope, as q54
+      dest.scan().localCheckpoint(true).orderBy("c_custkey")
       } // withShufflePartitions
     }),
 

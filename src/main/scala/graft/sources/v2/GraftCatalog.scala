@@ -404,8 +404,13 @@ class GraftBucketReducer(n: Int) extends Reducer[Integer, Integer] with Serializ
 /** A staged CTAS/RTAS table (StagingTableCatalog): a fully real engine
   * table living under `.staging/`, published to its identity on commit by
   * the ALTER-RENAME machinery (atomic move + per-version path relocation).
-  * REPLACE moves the incumbent aside BEFORE the swing and restores it if
-  * the swing fails — no interleaving loses both. */
+  * REPLACE moves the incumbent ASIDE (into `.staging/`, invisible to the
+  * catalog even if stranded) before the swing and restores it — directory
+  * AND maintenance schedule — on any commit failure, so no interleaving
+  * loses both tables. The END STATE is atomic; read ISOLATION during the
+  * swing is not: a concurrent reader in the brief two-rename window sees
+  * NoSuchTable rather than either version (full isolation would need a
+  * metadata-pointer indirection this single-driver engine doesn't carry). */
 class StagedGraftTable(inner: GraftV2Table, stagedLoc: String,
     finalLoc: String, replace: Boolean)
     extends org.apache.spark.sql.connector.catalog.StagedTable with SupportsWrite {
@@ -422,26 +427,51 @@ class StagedGraftTable(inner: GraftV2Table, stagedLoc: String,
 
   override def commitStagedChanges(): Unit = {
     import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+    def mv(from: String, to: String): Unit =
+      JFiles.move(JPaths.get(from), JPaths.get(to), StandardCopyOption.ATOMIC_MOVE)
+    // a namespaced identity's parent dir may not exist yet — the
+    // non-staged create path gets this from TableMeta.write
+    Option(JPaths.get(finalLoc).getParent).foreach(JFiles.createDirectories(_))
+    // remember the incumbent's schedule so a failed commit restores it
+    // knobs-and-all (unschedule drops explicit entries too)
+    val prevSched = graft.table.MaintenanceScheduler.status(finalLoc)
+    def restoreSched(): Unit = prevSched.foreach { e =>
+      if (e.auto)
+        graft.table.MaintenanceScheduler.autoSchedule(SparkSession.active, finalLoc)
+      else
+        graft.table.MaintenanceScheduler.schedule(SparkSession.active, finalLoc,
+          e.intervalMs, e.ioBudgetBytes, e.minScore, e.maxDeltaRatio,
+          e.maxDeltaFiles, e.historyRetentionMs, e.analyzeEveryVersions)
+    }
     val aside =
       if (replace && GraftTable.exists(finalLoc)) {
-        val a = s"${finalLoc}_replaced_${java.util.UUID.randomUUID().toString.take(8)}"
+        // the aside lives under .staging: even if a later step strands it,
+        // it is invisible to listTables and warehouse sweeps
+        val asideDir = JPaths.get(finalLoc).getParent.resolve(".staging")
+        JFiles.createDirectories(asideDir)
+        val a = asideDir
+          .resolve(s"${inner.name()}-replaced-${java.util.UUID.randomUUID().toString.take(8)}")
+          .toString
         graft.table.MaintenanceScheduler.unschedule(finalLoc)
-        JFiles.move(JPaths.get(finalLoc), JPaths.get(a),
-          StandardCopyOption.ATOMIC_MOVE)
+        mv(finalLoc, a)
         Some(a)
       } else None
-    try
-      JFiles.move(JPaths.get(stagedLoc), JPaths.get(finalLoc),
-        StandardCopyOption.ATOMIC_MOVE)
-    catch {
+    try {
+      mv(stagedLoc, finalLoc)
+      try TableMeta.relocate(stagedLoc, finalLoc)
+      catch {
+        case e: Throwable =>
+          // roll the swing back: the staged table returns to .staging
+          // (abortStagedChanges sweeps it), the incumbent to its identity
+          mv(finalLoc, stagedLoc)
+          throw e
+      }
+    } catch {
       case e: Throwable =>
-        // restore the incumbent: the staged table stays under .staging for
-        // abortStagedChanges to sweep
-        aside.foreach(a => JFiles.move(JPaths.get(a), JPaths.get(finalLoc),
-          StandardCopyOption.ATOMIC_MOVE))
+        aside.foreach(a => mv(a, finalLoc))
+        restoreSched()
         throw e
     }
-    TableMeta.relocate(stagedLoc, finalLoc)
     aside.foreach(GraftTable.drop)
     graft.table.MaintenanceScheduler.autoSchedule(SparkSession.active, finalLoc)
   }
