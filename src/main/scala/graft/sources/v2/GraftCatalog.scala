@@ -43,7 +43,8 @@ import graft.table.GraftTable
  * API or the DSv1 "graft" format.
  */
 class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -336,6 +337,88 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       java.nio.file.Paths.get(oldLoc), java.nio.file.Paths.get(newLoc),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     TableMeta.relocate(oldLoc, newLoc)
+  }
+
+  // ---- SupportsNamespaces: namespaces ARE warehouse subdirectories
+  // (locationFor already pathed identifiers through them; this makes the
+  // SQL surface — CREATE/DROP NAMESPACE, SHOW NAMESPACES, USE — work).
+  // `.staging` and metadata-carrying dirs (tables) are never namespaces.
+
+  private def nsPath(ns: Array[String]) =
+    java.nio.file.Paths.get((warehouse +: ns.toSeq).mkString("/"))
+
+  private def isNamespaceDir(p: java.nio.file.Path): Boolean =
+    java.nio.file.Files.isDirectory(p) &&
+      !GraftTable.exists(p.toString) &&
+      !p.getFileName.toString.startsWith(".")
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = java.nio.file.Paths.get(warehouse)
+    if (!java.nio.file.Files.isDirectory(root)) return Array.empty
+    scala.util.Using.resource(java.nio.file.Files.list(root)) { s =>
+      s.iterator().asScala.filter(isNamespaceDir)
+        .map(p => Array(p.getFileName.toString)).toArray
+    }
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsPath(namespace)
+    if (!isNamespaceDir(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace.toSeq)
+    scala.util.Using.resource(java.nio.file.Files.list(dir)) { s =>
+      s.iterator().asScala.filter(isNamespaceDir)
+        .map(p => namespace :+ p.getFileName.toString).toArray
+    }
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || isNamespaceDir(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace.toSeq)
+    util.Collections.singletonMap("location", nsPath(namespace).toString)
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    metadata.keySet().asScala.filterNot(_ == "owner").foreach { k =>
+      throw new UnsupportedOperationException(
+        s"graft namespaces are plain directories; property '$k' is not supported")
+    }
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    java.nio.file.Files.createDirectories(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces are plain directories and carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsPath(namespace)
+    if (!isNamespaceDir(dir)) return false
+    val children = scala.util.Using.resource(java.nio.file.Files.list(dir)) {
+      s => s.iterator().asScala.toSeq
+    }
+    if (children.nonEmpty && !cascade)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    // cascade: drop contained tables through the engine path (fenced
+    // deletion — zero-copy registered raw files outside the dir survive),
+    // then remove what remains
+    children.foreach { c =>
+      if (GraftTable.exists(c.toString)) GraftTable.drop(c.toString)
+    }
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    true
   }
 
   // ---- FunctionCatalog: resolves the `bucket` transform the tables report

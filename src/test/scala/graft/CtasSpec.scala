@@ -83,4 +83,38 @@ class CtasSpec extends AnyFunSuite {
     GraftTable.load(spark, s"$wh/t1").upsert(Seq((1L, 99)).toDF("id", "v"))
     assert(spark.table("gctas.t1").where(col("v") === 99).count() == 1)
   }
+
+  test("namespaces: SQL lifecycle + namespaced atomic CTAS") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ctasns-").toString
+    spark.conf.set("spark.sql.catalog.gctasns",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gctasns.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gctasns.ns1")
+    assert(spark.sql("SHOW NAMESPACES IN gctasns").collect()
+      .map(_.getString(0)).contains("ns1"))
+    // atomic CTAS into the namespace (commit must create/see the parent
+    // dir — only the staged path needed that; plain CREATE got it free)
+    spark.sql(
+      "CREATE TABLE gctasns.ns1.t PARTITIONED BY (bucket(2, id)) " +
+        "TBLPROPERTIES ('graft.keys' = 'id') AS " +
+        "SELECT CAST(id AS BIGINT) AS id FROM range(30)")
+    assert(spark.table("gctasns.ns1.t").count() == 30)
+    assert(spark.sql("SHOW TABLES IN gctasns.ns1").collect()
+      .map(_.getString(1)).contains("t"))
+    // RTAS inside the namespace parks its aside under ns1/.staging —
+    // never visible as a table or namespace
+    spark.sql(
+      "REPLACE TABLE gctasns.ns1.t PARTITIONED BY (bucket(2, id)) " +
+        "TBLPROPERTIES ('graft.keys' = 'id') AS " +
+        "SELECT CAST(id AS BIGINT) AS id FROM range(12)")
+    assert(spark.table("gctasns.ns1.t").count() == 12)
+    assert(!spark.sql("SHOW NAMESPACES IN gctasns").collect()
+      .map(_.getString(0)).exists(_.startsWith(".")))
+    // non-empty drop refuses without CASCADE; cascade drops table + dir
+    intercept[Exception](spark.sql("DROP NAMESPACE gctasns.ns1"))
+    spark.sql("DROP NAMESPACE gctasns.ns1 CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN gctasns").collect()
+      .map(_.getString(0)).contains("ns1"))
+    assert(!new java.io.File(s"$wh/ns1").exists())
+  }
 }
