@@ -1298,6 +1298,40 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    "p37_media_pipeline" -> ((s, dir) => {
+      // End-to-end multimodal chain over OPAQUE payloads (the video/image
+      // shape: nothing downstream ever parses the media, every stage is a
+      // narrow partition-preserving batch op): pack text as binary media →
+      // resize (every-3rd-byte stub — swap for a real scaler) → strided
+      // 64-byte frames → integer per-frame features (byte sums bucketed by
+      // in-frame offset mod 8) → clip embedding (per-dim sum over kept
+      // frames) → nearest clip for the first 8 media ids by integer dot.
+      // Integer accumulation end to end, so the oracle replicates the
+      // byte arithmetic exactly via ascii() (payloads are ASCII text);
+      // the float decode path stays in MultimodalSpec. At 100 TB the
+      // payload-touching stages shuffle NOTHING — only the fixed-size
+      // clip vectors (8 longs/clip) reach the similarity join.
+      import graft.functions.Multimodal
+      val packed = Multimodal.pack(docs(s, dir), "doc_id", "text", "text/plain")
+      val resized = Multimodal.resize(packed, k = 3)
+      val feats = Multimodal.frameFeatures(resized, frameBytes = 64, stride = 2, dim = 8)
+      val clip = feats
+        .select(col("media_id"), posexplode(col("feature")).as(Seq("d", "v")))
+        .groupBy(col("media_id"), col("d")).agg(sum("v").as("e"))
+      val q = clip.filter(col("media_id") < 8)
+        .select(col("media_id").as("query_id"), col("d"), col("e").as("qe"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      clip.select(col("media_id").as("neighbor_id"), col("d"), col("e"))
+        .join(broadcast(q), "d")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum(col("e") * col("qe")).as("score"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select("query_id", "neighbor_id", "score")
+        .orderBy("query_id")
+    }),
+
     "p10_token_count" -> ((s, dir) => {
       // Whitespace tokens + a BPE-ish estimate (~4 chars/token heuristic,
       // integer arithmetic so both engines agree exactly).
@@ -1642,6 +1676,21 @@ object Pipeline {
 
     // bigram occurrences (not shingle SETS), corpus counts as the model,
     // integer log2 buckets for the score
+    "p37_media_pipeline" ->
+      ("WITH resized AS (SELECT doc_id, list_transform(generate_series(1, (length(text) + 2) // 3), " +
+        "i -> ascii(substr(text, (i - 1) * 3 + 1, 1))) AS b FROM documents), " +
+        "pos AS (SELECT doc_id, i - 1 AS p, b[i] AS v FROM resized, " +
+        "UNNEST(generate_series(1, len(b))) AS t(i)), " +
+        "clip AS (SELECT doc_id, p % 8 AS d, CAST(sum(v) AS BIGINT) AS e FROM pos " +
+        "WHERE (p // 64) % 2 = 0 GROUP BY doc_id, p % 8), " +
+        "sc AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, " +
+        "CAST(sum(q.e * c.e) AS BIGINT) AS score " +
+        "FROM clip q JOIN clip c ON q.d = c.d AND q.doc_id < 8 AND c.doc_id <> q.doc_id " +
+        "GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score DESC, neighbor_id) AS rk FROM sc) " +
+        "SELECT query_id, neighbor_id, score FROM r WHERE rk = 1 ORDER BY query_id"),
+
     "p35_importance_resample" ->
       ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents), " +
         "g AS (SELECT doc_id, source, unnest(ws) AS w FROM t), " +

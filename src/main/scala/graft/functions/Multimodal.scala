@@ -71,6 +71,68 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Deterministic resize stand-in (a real deployment swaps in the image
+    * scaler / audio resampler): keep every `k`-th payload byte. */
+  private[graft] def resizeStub(payload: Array[Byte], k: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + k - 1) / k)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * k); i += 1 }
+    out
+  }
+
+  /** Batch resize over the payload column — same partition-preserving
+    * mapPartitions batch shape as [[extractFeatures]]: each task streams
+    * its rows through the (stubbed) scaler, no shuffle, payloads never
+    * accumulate. Output: (media_id, payload) with the resized bytes. */
+  def resize(packed: DataFrame, k: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    packed.select(col("media_id").cast(LongType), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), resizeStub(r.getAs[Array[Byte]](1), k))
+        }
+      }(encoder)
+  }
+
+  /** INTEGER per-frame features: the payload splits into `frameBytes`
+    * windows, every `stride`-th frame is kept, and each kept frame yields a
+    * `dim`-long vector of byte sums bucketed by in-frame offset mod dim.
+    * Integer accumulation makes the whole media chain (resize → frame →
+    * feature → pooled clip embedding) EXACT — the float decode path
+    * ([[extractFeatures]]) is order-sensitive and belongs to deployment,
+    * not to a hash-gated oracle. Same narrow mapPartitions shape. */
+  def frameFeatures(packed: DataFrame, frameBytes: Int = 64, stride: Int = 2,
+      dim: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("feature", ArrayType(LongType, containsNull = false), nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    packed.select(col("media_id").cast(LongType), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val nFrames = math.max(1, (payload.length + frameBytes - 1) / frameBytes)
+          (0 until nFrames).iterator.filter(_ % stride == 0).map { f =>
+            val acc = new Array[Long](dim)
+            var j = f * frameBytes
+            val end = math.min(payload.length, (f + 1) * frameBytes)
+            while (j < end) {
+              acc((j - f * frameBytes) % dim) += (payload(j) & 0xff).toLong
+              j += 1
+            }
+            Row(id, f, acc.toSeq)
+          }
+        }
+      }(encoder)
+  }
+
   /** Frame sampling: every `stride`-th fixed-size byte window of the payload
     * as its own row (media_id, frame_no, frame BINARY) — pure column
     * algebra, stays in codegen, no decode needed for the slicing itself. */

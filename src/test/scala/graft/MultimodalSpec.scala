@@ -40,6 +40,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("resize: every-kth-byte stub, same narrow batch shape") {
+    val resized = Multimodal.resize(packed, k = 3)
+    val byId = resized.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val src = packed.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    byId.foreach { case (id, out) =>
+      val in = src(id)
+      assert(out.length == (in.length + 2) / 3)
+      out.zipWithIndex.foreach { case (b, i) => assert(b == in(i * 3)) }
+    }
+    val plan = Multimodal.resize(packed, 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("frameFeatures: strided integer per-frame byte-sum buckets, exact") {
+    val feats = Multimodal.frameFeatures(packed, frameBytes = 64, stride = 2, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Long](2)).toMap
+    val src = packed.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // recompute one frame by hand: id=2, frame 2 (stride keeps 0,2,...)
+    val in = src(2L)
+    val expect = new Array[Long](8)
+    (128 until math.min(192, in.length)).foreach { j =>
+      expect((j - 128) % 8) += (in(j) & 0xff).toLong
+    }
+    assert(feats((2L, 2)) == expect.toSeq)
+    // odd frames never emitted
+    assert(!feats.keySet.exists(_._2 % 2 == 1))
+  }
+
   test("sampleFrames: strided fixed-size binary windows") {
     val frames = Multimodal.sampleFrames(packed, frameBytes = 256, stride = 2).collect()
     // id=2 payload is 1000 bytes → 4 frames, stride 2 keeps frames 0 and 2
