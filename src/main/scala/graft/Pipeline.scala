@@ -1315,9 +1315,12 @@ object Pipeline {
       val packed = Multimodal.pack(docs(s, dir), "doc_id", "text", "text/plain")
       val resized = Multimodal.resize(packed, k = 3)
       val feats = Multimodal.frameFeatures(resized, frameBytes = 64, stride = 2, dim = 8)
-      val clip = feats
+      // cached: clip feeds BOTH join sides — unpersisted, the whole
+      // payload-touching chain would evaluate twice (releaseTransient
+      // frees it after the run)
+      val clip = persistTracked(feats
         .select(col("media_id"), posexplode(col("feature")).as(Seq("d", "v")))
-        .groupBy(col("media_id"), col("d")).agg(sum("v").as("e"))
+        .groupBy(col("media_id"), col("d")).agg(sum("v").as("e")))
       val q = clip.filter(col("media_id") < 8)
         .select(col("media_id").as("query_id"), col("d"), col("e").as("qe"))
       val w = Window.partitionBy(col("query_id"))
@@ -1674,8 +1677,6 @@ object Pipeline {
         "AND sc >= 2 AND nu*2 >= nw AND tc*100 <= nw*12) AS pass " +
         "FROM s JOIN u USING (doc_id) ORDER BY doc_id"),
 
-    // bigram occurrences (not shingle SETS), corpus counts as the model,
-    // integer log2 buckets for the score
     "p37_media_pipeline" ->
       ("WITH resized AS (SELECT doc_id, list_transform(generate_series(1, (length(text) + 2) // 3), " +
         "i -> ascii(substr(text, (i - 1) * 3 + 1, 1))) AS b FROM documents), " +
@@ -1713,6 +1714,8 @@ object Pipeline {
         "SELECT doc_id, sha256(fim) AS fim_sha, CAST(length(fim) AS BIGINT) AS n_chars, " +
         "doc_id % 2 = 0 AS transformed FROM o ORDER BY doc_id"),
 
+    // bigram occurrences (not shingle SETS), corpus counts as the model,
+    // integer log2 buckets for the score
     "p29_bigram_lm" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1), " +

@@ -92,8 +92,10 @@ object Multimodal {
       .encoderFor(outSchema)
     packed.select(col("media_id").cast(LongType), col("payload"))
       .mapPartitions { rows =>
-        rows.map { r =>
-          Row(r.getLong(0), resizeStub(r.getAs[Array[Byte]](1), k))
+        // null payloads carry no media — skipped, never NPE'd
+        rows.flatMap { r =>
+          Option(r.getAs[Array[Byte]](1))
+            .map(p => Row(r.getLong(0), resizeStub(p, k)))
         }
       }(encoder)
   }
@@ -118,7 +120,12 @@ object Multimodal {
         rows.flatMap { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val nFrames = math.max(1, (payload.length + frameBytes - 1) / frameBytes)
+          // null/empty payloads yield NO frames (a zero-byte clip has no
+          // content — and an invented all-zero frame would diverge from
+          // any byte-arithmetic oracle)
+          val nFrames =
+            if (payload == null) 0
+            else (payload.length + frameBytes - 1) / frameBytes
           (0 until nFrames).iterator.filter(_ % stride == 0).map { f =>
             val acc = new Array[Long](dim)
             var j = f * frameBytes

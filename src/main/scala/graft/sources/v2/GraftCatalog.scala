@@ -129,6 +129,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     if (GraftTable.exists(loc))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
+    requireNoTablePrefix(ident.namespace().toSeq)
     createAt(loc, ident.name(), schema, partitions, properties)
   }
 
@@ -170,6 +171,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   private def stageAt(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String],
       replace: Boolean): org.apache.spark.sql.connector.catalog.StagedTable = {
+    requireNoTablePrefix(ident.namespace().toSeq)
     val stagingRoot = java.nio.file.Paths.get(warehouse, ".staging")
     java.nio.file.Files.createDirectories(stagingRoot)
     val stagedLoc = stagingRoot.resolve(
@@ -347,6 +349,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   private def nsPath(ns: Array[String]) =
     java.nio.file.Paths.get((warehouse +: ns.toSeq).mkString("/"))
 
+  /** No identifier may path THROUGH a table directory: a namespace (or a
+    * table in one) created inside a table's own directory would be swept
+    * by that table's drop()/fsck walks. Applied to every create path. */
+  private def requireNoTablePrefix(parts: Seq[String]): Unit =
+    parts.indices.foreach { i =>
+      val prefix = parts.take(i + 1)
+      if (GraftTable.exists(nsPath(prefix.toArray).toString))
+        throw new IllegalArgumentException(
+          s"${prefix.mkString(".")} is a table; namespaces and tables " +
+            "cannot shadow or nest inside a table's directory")
+    }
+
   private def isNamespaceDir(p: java.nio.file.Path): Boolean =
     java.nio.file.Files.isDirectory(p) &&
       !GraftTable.exists(p.toString) &&
@@ -390,6 +404,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       throw new UnsupportedOperationException(
         s"graft namespaces are plain directories; property '$k' is not supported")
     }
+    requireNoTablePrefix(namespace.toSeq)
     if (namespaceExists(namespace))
       throw new org.apache.spark.sql.catalyst.analysis
         .NamespaceAlreadyExistsException(namespace)
@@ -404,18 +419,25 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val dir = nsPath(namespace)
     if (!isNamespaceDir(dir)) return false
-    val children = scala.util.Using.resource(java.nio.file.Files.list(dir)) {
-      s => s.iterator().asScala.toSeq
+    // emptiness counts VISIBLE children only: the dot-dirs this catalog
+    // itself leaves behind (an in-namespace REPLACE's empty .staging) must
+    // not block a drop the user's own SHOW TABLES/NAMESPACES calls empty
+    val visible = scala.util.Using.resource(java.nio.file.Files.list(dir)) {
+      s => s.iterator().asScala
+        .filterNot(_.getFileName.toString.startsWith(".")).toSeq
     }
-    if (children.nonEmpty && !cascade)
+    if (visible.nonEmpty && !cascade)
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
-    // cascade: drop contained tables through the engine path (fenced
-    // deletion — zero-copy registered raw files outside the dir survive),
-    // then remove what remains
-    children.foreach { c =>
-      if (GraftTable.exists(c.toString)) GraftTable.drop(c.toString)
-    }
+    // cascade: every contained table AT ANY DEPTH drops through the engine
+    // path first (unschedules maintenance, fenced deletion — zero-copy
+    // registered raw files outside the dir survive), then the remaining
+    // directory skeleton goes
+    scala.util.Using.resource(java.nio.file.Files.walk(dir)) { s =>
+      s.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          GraftTable.exists(p.toString)).toSeq
+    }.foreach(p => GraftTable.drop(p.toString))
     java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
       .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
     true

@@ -110,11 +110,33 @@ class CtasSpec extends AnyFunSuite {
     assert(spark.table("gctasns.ns1.t").count() == 12)
     assert(!spark.sql("SHOW NAMESPACES IN gctasns").collect()
       .map(_.getString(0)).exists(_.startsWith(".")))
-    // non-empty drop refuses without CASCADE; cascade drops table + dir
+    // non-empty drop refuses without CASCADE; cascade drops tables AT ANY
+    // DEPTH through the engine path, then the directory skeleton
+    spark.sql("CREATE NAMESPACE gctasns.ns1.sub")
+    spark.sql(
+      "CREATE TABLE gctasns.ns1.sub.u TBLPROPERTIES ('graft.keys' = 'id') " +
+        "AS SELECT CAST(id AS BIGINT) AS id FROM range(5)")
     intercept[Exception](spark.sql("DROP NAMESPACE gctasns.ns1"))
     spark.sql("DROP NAMESPACE gctasns.ns1 CASCADE")
     assert(!spark.sql("SHOW NAMESPACES IN gctasns").collect()
       .map(_.getString(0)).contains("ns1"))
     assert(!new java.io.File(s"$wh/ns1").exists())
+    // an EMPTY-looking namespace whose only residue is the dot-dir this
+    // catalog itself left (an in-namespace REPLACE's .staging) drops
+    // WITHOUT cascade — the invisibility contract holds for emptiness too
+    spark.sql("CREATE NAMESPACE gctasns.ns2")
+    new java.io.File(s"$wh/ns2/.staging").mkdirs()
+    spark.sql("DROP NAMESPACE gctasns.ns2")
+    assert(!new java.io.File(s"$wh/ns2").exists())
+    // nothing may shadow or nest inside a TABLE directory
+    spark.sql(
+      "CREATE TABLE gctasns.solo TBLPROPERTIES ('graft.keys' = 'id') " +
+        "AS SELECT CAST(id AS BIGINT) AS id FROM range(3)")
+    intercept[Exception](spark.sql("CREATE NAMESPACE gctasns.solo"))
+    intercept[Exception](spark.sql("CREATE NAMESPACE gctasns.solo.inner"))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE gctasns.solo.inner.x TBLPROPERTIES ('graft.keys' = 'id') " +
+        "AS SELECT CAST(id AS BIGINT) AS id FROM range(3)"))
+    assert(spark.table("gctasns.solo").count() == 3, "the table must be untouched")
   }
 }
