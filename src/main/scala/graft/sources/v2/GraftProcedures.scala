@@ -45,7 +45,8 @@ import graft.table.GraftTable
 private[v2] object GraftProcedures {
 
   val names: Array[String] = Array(
-    "analyze", "backup", "backup_incremental", "restore_chain", "replicate",
+    "analyze", "apply_changes",
+    "backup", "backup_incremental", "restore_chain", "replicate",
     "cluster", "compact", "compact_deltas", "compact_tablet",
     "locate_row", "expire_versions", "zone_stats",
     "maintain", "maintain_schedule", "maintain_schedule_warehouse",
@@ -427,6 +428,19 @@ private[v2] object GraftProcedures {
           val t = graft.tools.GraftTools.restoreChain(spark,
             in.getUTF8String(1).toString, incs, loc, keys, hash)
           Seq(InternalRow(str(t.location), t.currentVersion))
+        })
+      case "apply_changes" => Some(proc("apply_changes",
+        "apply a CDC-shaped batch (the SELECT must yield the table's " +
+          "columns plus a _deleted BOOLEAN — the shape diff scans and " +
+          "incremental exports carry, at most one action per key) as ONE " +
+          "atomic commit: upserts plus ignore-tombstones under a single " +
+          "snapshot version — the replication/restore apply primitive",
+        Array(tableParam,
+          ProcedureParameter.in("changes_sql", StringType).build()),
+        new StructType().add("version", LongType)) { in =>
+          val t = locate(in)
+          t.applyChanges(spark.sql(in.getUTF8String(1).toString))
+          Seq(InternalRow(t.currentVersion))
         })
       case "replicate" => Some(proc("replicate",
         "one-shot replication relay: apply the source's changes since the " +

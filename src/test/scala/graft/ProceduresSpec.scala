@@ -99,7 +99,8 @@ class ProceduresSpec extends AnyFunSuite {
     mkTable("m5")
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
       .map(_.getAs[String]("procedure_name")).toSet
-    assert(listed == Set("analyze", "cluster", "zone_stats", "compact", "compact_deltas",
+    assert(listed == Set("analyze", "apply_changes", "cluster", "zone_stats",
+      "compact", "compact_deltas",
       "backup", "backup_incremental", "restore_chain", "replicate",
       "compact_tablet", "expire_versions", "locate_row", "maintain", "maintain_schedule",
       "maintain_schedule_warehouse", "maintain_unschedule",
@@ -313,6 +314,27 @@ class ProceduresSpec extends AnyFunSuite {
       src.map(x => (x.getInt(0), x.getString(1))).toSeq)
     assert(restored.exists(x => x.getInt(0) == 3 && x.getString(1) == "gen1"))
     assert(!restored.exists(_.getInt(0) == 10))
+  }
+
+  test("CALL apply_changes: one atomic commit of a CDC-shaped batch") {
+    val t = mkTable("apch")
+    val v0 = t.currentVersion
+    // upsert k=2, ignore-delete k=3 and a never-existed key — one version
+    val head = spark.sql(s"CALL $cat.system.apply_changes('apch', " +
+      "'SELECT * FROM VALUES (2, ''patched'', false), (3, NULL, true), " +
+      "(9999, NULL, true) AS t(k, v, _deleted)')")
+      .collect().head.getLong(0)
+    assert(head == v0 + 1, "the whole batch must commit as ONE version")
+    val got = GraftTable.load(spark, s"$wh/apch").scan().orderBy("k")
+      .collect().map(x => (x.getInt(0), x.getString(1)))
+    assert(got.exists(x => x._1 == 2 && x._2 == "patched"))
+    assert(!got.exists(_._1 == 3))
+    // a batch touching one key twice refuses (no defined order in a commit)
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.apply_changes('apch', " +
+        "'SELECT * FROM VALUES (5, ''a'', false), (5, NULL, true) " +
+        "AS t(k, v, _deleted)')").collect()
+    }
   }
 
   test("CALL replicate relays CDC since a version; head chains the next call") {
