@@ -1302,7 +1302,8 @@ object Pipeline {
       // End-to-end multimodal chain over OPAQUE payloads (the video/image
       // shape: nothing downstream ever parses the media, every stage is a
       // narrow partition-preserving batch op): pack text as binary media →
-      // resize (every-3rd-byte stub — swap for a real scaler) → strided
+      // resize (REAL integer box-filter downsample ×3 — every input byte
+      // averages into its window, see Multimodal.resizeBox) → strided
       // 64-byte frames → integer per-frame features (byte sums bucketed by
       // in-frame offset mod 8) → clip embedding (per-dim sum over kept
       // frames) → nearest clip for the first 8 media ids by integer dot.
@@ -1679,7 +1680,8 @@ object Pipeline {
 
     "p37_media_pipeline" ->
       ("WITH resized AS (SELECT doc_id, list_transform(generate_series(1, (length(text) + 2) // 3), " +
-        "i -> ascii(substr(text, (i - 1) * 3 + 1, 1))) AS b FROM documents), " +
+        "i -> list_sum(list_transform(generate_series((i - 1) * 3 + 1, least(length(text), i * 3)), " +
+        "j -> ascii(substr(text, j, 1)))) // (least(length(text), i * 3) - (i - 1) * 3)) AS b FROM documents), " +
         "pos AS (SELECT doc_id, i - 1 AS p, b[i] AS v FROM resized, " +
         "UNNEST(generate_series(1, len(b))) AS t(i)), " +
         "clip AS (SELECT doc_id, p % 8 AS d, CAST(sum(v) AS BIGINT) AS e FROM pos " +

@@ -71,18 +71,33 @@ object Multimodal {
       }(encoder)
   }
 
-  /** Deterministic resize stand-in (a real deployment swaps in the image
-    * scaler / audio resampler): keep every `k`-th payload byte. */
-  private[graft] def resizeStub(payload: Array[Byte], k: Int): Array[Byte] = {
-    val out = new Array[Byte]((payload.length + k - 1) / k)
+  /** Integer box-filter downsample by factor `k`: each output byte is the
+    * integer mean (sum / window-length, floor) of its k-wide input window;
+    * the tail window may be shorter and averages only what it covers. This
+    * is a REAL 1-D scaler — the audio down-sampler / image row scaler over
+    * a flat byte stream (a 2-D image applies it per axis given width
+    * metadata) — not a decimation stub: every input byte contributes.
+    * All-integer, so the full media chain stays exactly reproducible by a
+    * byte-arithmetic oracle. */
+  private[graft] def resizeBox(payload: Array[Byte], k: Int): Array[Byte] = {
+    val n = (payload.length + k - 1) / k
+    val out = new Array[Byte](n)
     var i = 0
-    while (i < out.length) { out(i) = payload(i * k); i += 1 }
+    while (i < n) {
+      val start = i * k
+      val end = math.min(payload.length, start + k)
+      var s = 0
+      var j = start
+      while (j < end) { s += payload(j) & 0xff; j += 1 }
+      out(i) = (s / (end - start)).toByte
+      i += 1
+    }
     out
   }
 
   /** Batch resize over the payload column — same partition-preserving
     * mapPartitions batch shape as [[extractFeatures]]: each task streams
-    * its rows through the (stubbed) scaler, no shuffle, payloads never
+    * its rows through the box-filter scaler, no shuffle, payloads never
     * accumulate. Output: (media_id, payload) with the resized bytes. */
   def resize(packed: DataFrame, k: Int): DataFrame = {
     val outSchema = StructType(Seq(
@@ -95,7 +110,7 @@ object Multimodal {
         // null payloads carry no media — skipped, never NPE'd
         rows.flatMap { r =>
           Option(r.getAs[Array[Byte]](1))
-            .map(p => Row(r.getLong(0), resizeStub(p, k)))
+            .map(p => Row(r.getLong(0), resizeBox(p, k)))
         }
       }(encoder)
   }

@@ -429,6 +429,24 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     if (visible.nonEmpty && !cascade)
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    // A non-CASCADE drop still sweeps the hidden dot-dirs below — but an
+    // ns/.staging holding a LIVE graft table means an in-flight CTAS/RTAS
+    // (or a parked incumbent) in this namespace: deleting it would break
+    // that commit's rollback. Refuse; single-driver deployments only hit
+    // this on a genuinely concurrent DDL.
+    val staging = dir.resolve(".staging")
+    if (!cascade && java.nio.file.Files.isDirectory(staging)) {
+      val live = scala.util.Using.resource(java.nio.file.Files.list(staging)) {
+        s => s.iterator().asScala.filter(p =>
+          java.nio.file.Files.isDirectory(p) && GraftTable.exists(p.toString))
+          .take(1).toSeq
+      }
+      if (live.nonEmpty)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} has an in-flight staged " +
+            s"table (${live.head.getFileName}) — a CTAS/RTAS is running; " +
+            "retry after it completes (or DROP ... CASCADE to force)")
+    }
     // cascade: every contained table AT ANY DEPTH drops through the engine
     // path first (unschedules maintenance, fenced deletion — zero-copy
     // registered raw files outside the dir survive), then the remaining
@@ -577,7 +595,18 @@ class StagedGraftTable(inner: GraftV2Table, stagedLoc: String,
         restoreSched()
         throw e
     }
-    aside.foreach(GraftTable.drop)
+    // The publish above is already durable — a failure dropping the parked
+    // incumbent must NOT surface as a failed REPLACE (the caller would
+    // retry a commit that succeeded). The aside lives under .staging,
+    // invisible to listTables; a later abortStagedChanges/fsck sweep can
+    // reclaim a stranded one.
+    aside.foreach { a =>
+      try GraftTable.drop(a)
+      catch { case e: Throwable =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"REPLACE committed but dropping the parked incumbent $a failed " +
+            s"(${e.getMessage}); it remains hidden under .staging") }
+    }
     graft.table.MaintenanceScheduler.autoSchedule(SparkSession.active, finalLoc)
   }
 

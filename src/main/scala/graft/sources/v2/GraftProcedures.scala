@@ -439,6 +439,19 @@ private[v2] object GraftProcedures {
           ProcedureParameter.in("changes_sql", StringType).build()),
         new StructType().add("version", LongType)) { in =>
           val t = locate(in)
+          // applyChanges is the trust-the-source fast path: it skips the
+          // immutable-column re-check upsert performs (the rows of an
+          // engine-produced change stream already passed it at the source).
+          // Arbitrary SQL has passed no such check — letting it through
+          // here would let any caller overwrite a setImmutable column, so
+          // the SQL face refuses when the table declares immutables.
+          val immutables = t.meta.columns.filter(c => c.immutable && !c.isKey)
+          if (immutables.nonEmpty)
+            throw new UnsupportedOperationException(
+              s"apply_changes on ${t.meta.name}: table declares immutable " +
+                s"column(s) ${immutables.map(_.name).mkString(", ")} — the " +
+                "CDC apply path skips immutability validation; use " +
+                "upsert/delete, or replicate from a graft source table")
           t.applyChanges(spark.sql(in.getUTF8String(1).toString))
           Seq(InternalRow(t.currentVersion))
         })

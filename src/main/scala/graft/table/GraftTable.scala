@@ -657,9 +657,19 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       s"applyChanges expects the CDC shape (columns..., $DeletedCol)")
     require(!m.hasAutoInc || changes.columns.contains(AutoIncName),
       s"applyChanges on non-unique-PK table ${m.name} must carry $AutoIncName")
-    val ups = conform(m, changes.filter(!col(DeletedCol)).drop(DeletedCol))
+    // A NULL _deleted is a malformed batch, not a row to route: both the
+    // upsert filter (!flag) and the delete filter (flag) exclude NULLs, so
+    // without this guard a bad CDC batch would silently DROP those actions.
+    // raise_error fires during the commit's own evaluation — no extra job.
+    val checked = changes.withColumn(DeletedCol,
+      when(col(DeletedCol).isNotNull, col(DeletedCol))
+        .otherwise(raise_error(lit(
+          s"applyChanges on ${m.name}: NULL $DeletedCol — a CDC batch must " +
+            "mark every row UPSERT (false) or DELETE (true)")))
+        .cast(org.apache.spark.sql.types.BooleanType))
+    val ups = conform(m, checked.filter(!col(DeletedCol)).drop(DeletedCol))
       .withColumn(OpCol, lit(OpUpsert))
-    val tombstones = changes.filter(col(DeletedCol))
+    val tombstones = checked.filter(col(DeletedCol))
       .select(m.keyCols.map(col): _*)
       .select(m.columns.map { c =>
         if (m.keyCols.contains(c.name)) col(c.name)

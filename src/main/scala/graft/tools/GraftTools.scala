@@ -138,6 +138,16 @@ object GraftTools {
     // capture consistent cuts regardless of concurrent commits); default =
     // the head at call time
     val head = toVersion.getOrElse(table.currentVersion)
+    // Non-unique-PK (auto-inc hidden key) sources are not chain-restorable:
+    // the CDC export does not carry the hidden id, so restoreChain's
+    // per-user-key fold would pick among this key's concurrent rows
+    // nondeterministically and applyChanges would then fail late demanding
+    // the id. Fail HERE, where the operator can still choose full backups.
+    if (table.meta.hasAutoInc)
+      throw new IllegalArgumentException(
+        s"backup chain unsupported for ${table.meta.name}: non-unique-PK " +
+          "(auto-incrementing) tables are not chain-restorable — use full " +
+          "backups (backupFull) instead")
     // chain-specific face on the history floor: the generic "version
     // expired" error doesn't tell the operator WHAT to do about a backup
     // chain whose base predates retention GC
@@ -175,6 +185,11 @@ object GraftTools {
       incrementPaths: Seq[String], destLocation: String, keys: Seq[String],
       hash: Seq[HashComponent] = Nil, range: Option[RangeComponent] = None): GraftTable = {
     val t = restore(spark, fullBackupPath, destLocation, keys, hash, range)
+    if (t.meta.hasAutoInc)
+      throw new IllegalArgumentException(
+        s"restoreChain unsupported for ${t.meta.name}: non-unique-PK " +
+          "(auto-incrementing) tables fold ambiguously on user keys — " +
+          "restore from a full backup instead")
     if (incrementPaths.isEmpty) return t
     // Per-increment schemas from the footers, DRIVER-SIDE (zero Spark
     // jobs — per-path spark.read inference is a job each, and pinning

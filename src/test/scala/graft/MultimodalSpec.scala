@@ -40,7 +40,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
-  test("resize: every-kth-byte stub, same narrow batch shape") {
+  test("resize: integer box-filter downsample, same narrow batch shape") {
     val resized = Multimodal.resize(packed, k = 3)
     val byId = resized.collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
@@ -49,10 +49,27 @@ class MultimodalSpec extends AnyFunSuite {
     byId.foreach { case (id, out) =>
       val in = src(id)
       assert(out.length == (in.length + 2) / 3)
-      out.zipWithIndex.foreach { case (b, i) => assert(b == in(i * 3)) }
+      out.zipWithIndex.foreach { case (b, i) =>
+        val w = in.slice(i * 3, math.min(in.length, i * 3 + 3))
+        assert((b & 0xff) == w.map(_ & 0xff).sum / w.length)
+      }
     }
     val plan = Multimodal.resize(packed, 3).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("resizeBox: known byte pattern, every input byte contributes") {
+    // [10,20,30,40,50] k=2 → windows [10,20]→15, [30,40]→35, tail [50]→50
+    val out = Multimodal.resizeBox(Array[Byte](10, 20, 30, 40, 50), 2)
+    assert(out.toSeq == Seq[Byte](15, 35, 50))
+    // unsigned arithmetic: 0xFF (255) and 0x01 average to 128, not -0x7F
+    val hi = Multimodal.resizeBox(Array[Byte](-1, 1), 2) // 255,1 unsigned
+    assert((hi(0) & 0xff) == 128)
+    // a pure decimation stub would return input(0)=10 for window 1 — the
+    // box filter provably mixes: bytes the stub IGNORED change the output
+    val a = Multimodal.resizeBox(Array[Byte](10, 99, 10), 3)
+    val b = Multimodal.resizeBox(Array[Byte](10, 0, 10), 3)
+    assert(a.toSeq != b.toSeq)
   }
 
   test("frameFeatures: strided integer per-frame byte-sum buckets, exact") {
