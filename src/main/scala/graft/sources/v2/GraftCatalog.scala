@@ -71,6 +71,19 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"spark.sql.catalog.$name.warehouse is required"))
+    // Auto-start warehouse-level maintenance on first catalog open: tables
+    // that PRE-DATE this session (created by an earlier session, never
+    // load()ed here) are otherwise uncovered by the default-on
+    // graft.maintain.auto, which hooks create/register/fork only. The
+    // reference's MaintenanceManager covers every tablet unconditionally
+    // (util/maintenance_manager.cc:736) — the warehouse schedule is the
+    // analog: each tick re-lists the directory, so pre-existing AND
+    // future tables both heal with zero CALLs. Never clobbers an explicit
+    // maintain_schedule_warehouse; non-fatal — catalog resolution can run
+    // before any session exists (e.g. tooling contexts).
+    try graft.table.MaintenanceScheduler.autoScheduleWarehouse(
+      SparkSession.active, warehouse)
+    catch { case _: Throwable => () }
   }
 
   override def name(): String = catalogName

@@ -103,8 +103,9 @@ object MaintenanceScheduler {
     * this after committing v1. Never clobbers an existing entry (an explicit
     * `schedule()`'s knobs win; re-creating at a scheduled location keeps
     * them). Tables that PRE-DATE the session are covered by warehouse-level
-    * scheduling ([[scheduleWarehouse]]) — the documented deployment default
-    * — since hooking every `load()` would re-register read-only handles.
+    * scheduling — auto-started on first catalog open by
+    * [[autoScheduleWarehouse]] (hooking every `load()` would re-register
+    * read-only handles; the catalog's warehouse dir is the honest scope).
     * Opt out per session with `graft.maintain.auto=false`; the tick cadence
     * is `graft.maintain.auto.intervalMs` (default 5 min — batch-table
     * cadence; entries self-clean when their table or session goes away, so
@@ -122,6 +123,26 @@ object MaintenanceScheduler {
               .getOrElse(300_000L),
             ioBudgetBytes = 4L << 30, minScore = 0.05,
             maxDeltaRatio = 0.2, maxDeltaFiles = 64, auto = true))
+      }
+
+  /** Warehouse-level auto-registration — [[graft.sources.v2.GraftCatalog]]
+    * calls this on first open so tables that PRE-DATE the session heal
+    * with zero explicit CALLs (the per-table [[autoSchedule]] hook covers
+    * only create/register/fork; hooking every `load()` would re-register
+    * read-only handles). Same default-on conf, same never-clobber rule —
+    * an explicit `maintain_schedule_warehouse` on the same directory wins
+    * — and the entry is auto, so [[clearAuto]] removes it. The tick
+    * re-lists the directory, so tables created later are covered too. */
+  def autoScheduleWarehouse(spark: SparkSession, warehouseDir: String): Unit =
+    if (spark.conf.getOption("graft.maintain.auto").forall(_.toBoolean))
+      registerLock.synchronized {
+        if (!entries.containsKey(warehouseDir))
+          register(spark, new Entry(warehouseDir,
+            spark.conf.getOption("graft.maintain.auto.intervalMs").map(_.toLong)
+              .getOrElse(300_000L),
+            ioBudgetBytes = 4L << 30, minScore = 0.05,
+            maxDeltaRatio = 0.2, maxDeltaFiles = 64, warehouse = true,
+            auto = true))
       }
 
   /** Unschedule every AUTO-registered entry; explicit schedules survive.
@@ -201,19 +222,14 @@ object MaintenanceScheduler {
         // budget, then the per-table policy backstop (each step already
         // survives a sick or racing table without stopping the sweep)
         e.historyRetentionMs.foreach { ret =>
-          import scala.jdk.CollectionConverters._
-          val root = java.nio.file.Paths.get(e.location)
-          if (java.nio.file.Files.isDirectory(root))
-            scala.util.Using.resource(java.nio.file.Files.list(root)) { s =>
-              s.iterator().asScala
-                .filter(p => graft.catalog.TableMeta.exists(p.toString))
-                .foreach { p =>
-                  try {
-                    if (GraftTable.load(spark, p.toString)
-                        .expireVersions(retainLast = 1, olderThanMs = ret).nonEmpty)
-                      acted += 1
-                  } catch { case _: Exception => () } // one sick table ≠ a dead sweep
-                }
+          graft.tools.GraftTools
+            .listWarehouseTables(java.nio.file.Paths.get(e.location))
+            .foreach { p =>
+              try {
+                if (GraftTable.load(spark, p.toString)
+                    .expireVersions(retainLast = 1, olderThanMs = ret).nonEmpty)
+                  acted += 1
+              } catch { case _: Exception => () } // one sick table ≠ a dead sweep
             }
         }
         acted += graft.tools.GraftTools.maintainWarehouseBudgeted(

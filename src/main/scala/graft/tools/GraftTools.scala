@@ -272,21 +272,35 @@ object GraftTools {
   def maintainWarehouse(spark: SparkSession, warehouseDir: String,
       maxDeltaRatio: Double = 0.2, maxDeltaFiles: Int = 64,
       perTablet: Boolean = true): Map[String, Boolean] = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(warehouseDir)
-    if (!Files.isDirectory(root)) return Map.empty
-    val tables = scala.util.Using.resource(Files.list(root)) { s =>
-      s.iterator().asScala
-        .filter(p => graft.catalog.TableMeta.exists(p.toString)).toSeq
-    }
-    tables.map { p =>
+    val root = java.nio.file.Paths.get(warehouseDir)
+    listWarehouseTables(root).map { p =>
       val ran =
         try GraftTable.load(spark, p.toString)
           .maintain(maxDeltaRatio, maxDeltaFiles, perTablet = perTablet)
         catch { case _: Exception => false } // sweep on: one sick table ≠ a dead loop
-      p.getFileName.toString -> ran
+      root.relativize(p).toString -> ran
     }.toMap
+  }
+
+  /** Every graft table under a warehouse directory, recursing into
+    * NAMESPACE subdirectories (a namespace is any visible non-table dir —
+    * see GraftCatalog's SupportsNamespaces): a sweep that lists only the
+    * top level would silently skip `ns.table`s. Dot-dirs (`.staging`,
+    * trash) never count, and tables never nest inside tables
+    * (requireNoTablePrefix), so recursion stops at the first manifest. */
+  private[graft] def listWarehouseTables(
+      root: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(root)) return Nil
+    val children = scala.util.Using.resource(java.nio.file.Files.list(root)) {
+      s => s.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          !p.getFileName.toString.startsWith(".")).toSeq
+    }
+    children.flatMap { p =>
+      if (graft.catalog.TableMeta.exists(p.toString)) Seq(p)
+      else listWarehouseTables(p)
+    }
   }
 
   /**
@@ -309,18 +323,11 @@ object GraftTools {
   def maintainWarehouseBudgeted(spark: SparkSession, warehouseDir: String,
       ioBudgetBytes: Long, minScore: Double)
       : Seq[(String, graft.table.MaintenanceAction)] = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(warehouseDir)
-    if (!Files.isDirectory(root)) return Nil
-    val tables = scala.util.Using.resource(Files.list(root)) { s =>
-      s.iterator().asScala
-        .filter(p => graft.catalog.TableMeta.exists(p.toString)).toSeq
-    }
-    val ranked = tables.flatMap { p =>
+    val root = java.nio.file.Paths.get(warehouseDir)
+    val ranked = listWarehouseTables(root).flatMap { p =>
       try {
         val t = GraftTable.load(spark, p.toString)
-        t.maintenancePlan().map(a => (p.getFileName.toString, t, a))
+        t.maintenancePlan().map(a => (root.relativize(p).toString, t, a))
       } catch { case _: Exception => Nil } // one sick table ≠ a dead sweep
     }.filter(_._3.score >= minScore).sortBy(-_._3.score)
     var spent = 0L

@@ -307,4 +307,61 @@ class MaintenanceSchedulerSpec extends AnyFunSuite {
       assert(b.scan().filter(col("v") === col("k") + 7).count() == 400)
     } finally MaintenanceScheduler.unschedule(wh)
   }
+
+  test("auto warehouse start: a dirty pre-session table heals on first catalog open, zero CALLs") {
+    val wh = Files.createTempDirectory("graft-msched5-").toString
+    // "previous session": create and dirty two tables — one top-level, one
+    // under a NAMESPACE dir (the sweep must recurse) — then drop every
+    // schedule that session left behind (auto entries die with it)
+    val df = (1 to 500).map(i => (i.toLong, i)).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/pre", "pre", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns1"))
+    val tn = GraftTable.create(spark, s"$wh/ns1/deep", "deep", df.schema,
+      Seq("k"), Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    (1 to 6).foreach { r =>
+      t.upsert(df.filter(col("k") % 7 === r % 7).withColumn("v", lit(r)))
+      tn.upsert(df.filter(col("k") % 5 === r % 5).withColumn("v", lit(r)))
+    }
+    MaintenanceScheduler.clearAuto()
+    assert(MaintenanceScheduler.status(t.location).isEmpty &&
+      MaintenanceScheduler.status(wh).isEmpty, "the previous session is gone")
+    assert(t.meta.deltaFiles.nonEmpty && tn.meta.deltaFiles.nonEmpty,
+      "both tables must start dirty")
+    // "new session": the FIRST catalog open auto-starts the warehouse
+    // schedule (no load(), no CALL, no create)
+    val cat = "gmsauto"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"SHOW TABLES IN $cat").collect()
+    val e = MaintenanceScheduler.status(wh).getOrElse(
+      fail("the warehouse schedule must auto-start on first catalog open"))
+    try {
+      assert(e.auto, "the entry must be auto (clearAuto owns it)")
+      assert(e.warehouse, "the entry must be warehouse-scoped")
+      // the schedule's own work unit, driven synchronously (the timer's
+      // first tick is interval away — a wall-clock wait would flake)
+      MaintenanceScheduler.tick(spark, e)
+      assert(e.lastError.isEmpty, s"tick must not error: ${e.lastError}")
+      assert(e.actions.get() > 0, "the tick must have maintained something")
+      Seq(t, tn).foreach { tb =>
+        assert(tb.meta.deltaFiles.size <= 64 &&
+          deltaRatio(tb) <= 0.2 + 1e-9,
+          s"${tb.location}: bounds must hold after the tick " +
+            s"(files ${tb.meta.deltaFiles.size}, ratio ${deltaRatio(tb)})")
+      }
+      assert(t.scan().count() == 500 && tn.scan().count() == 500)
+      // never-clobber: a later explicit warehouse schedule REPLACES the
+      // auto entry (explicit knobs win), and clearAuto then spares it
+      val explicit = MaintenanceScheduler.scheduleWarehouse(spark, wh,
+        intervalMs = 60_000L, ioBudgetBytes = 1L << 20)
+      MaintenanceScheduler.clearAuto()
+      assert(MaintenanceScheduler.status(wh).contains(explicit),
+        "clearAuto must spare the explicit warehouse schedule")
+      // and an auto start NEVER clobbers the explicit entry
+      graft.table.MaintenanceScheduler.autoScheduleWarehouse(spark, wh)
+      assert(MaintenanceScheduler.status(wh).contains(explicit))
+    } finally MaintenanceScheduler.unschedule(wh)
+  }
 }
