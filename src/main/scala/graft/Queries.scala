@@ -667,38 +667,60 @@ object Queries {
     }),
 
     "q63_stream_join" -> ((s, dir) => {
-      // Stream-stream event-time join (the last big Structured Streaming
-      // shape the suite lacked): impressions (even event ids) join clicks
-      // (odd ids) for the same user within 30 minutes, BOTH sides
-      // watermarked 15 min — Spark buffers each side's state and evicts it
-      // as the joint watermark passes, which is what makes the join
-      // runnable on an unbounded 100 TB stream (state is a sliding window,
-      // never the history). Chronological lock-step replay of both sides
-      // (one ordered iterator, split by parity per chunk) means nothing is
-      // late, so the streamed result equals the batch interval join the
-      // oracle computes. Sentinels on both sides flush the final pairs
+      // Stream-stream event-time join, END TO END THROUGH THE ENGINE:
+      // the one stream feeds from the engine's change-stream source
+      // (GraftMicroBatchStream — the q38 path; committed versions are the
+      // offsets), self-joins by event-id parity — impressions (even ids)
+      // pair with clicks (odd ids) for the same user within 30 minutes,
+      // BOTH branches watermarked 15 min — and the joined pairs land
+      // through the W8 streaming upsert sink in a second graft table whose
+      // merge-on-read scan is the gated result. Spark buffers each side's
+      // state and evicts it as the joint watermark passes, which is what
+      // makes the join runnable on an unbounded 100 TB stream (state is a
+      // sliding window, never the history); the PK upsert sink makes the
+      // at-least-once replay idempotent. Chronological chunk COMMITS to
+      // the source table (one version per chunk) replay in lock-step —
+      // nothing is late, so the streamed result equals the batch interval
+      // join the oracle computes. Sentinel commits flush the final pairs
       // (2h apart so they never pair with data or each other); they are
       // filtered AFTER the watermark node so eviction still advances.
       import s.implicits._
       import scala.jdk.CollectionConverters._
       val raw = Tables.raw(s, dir, "events")
       val total = raw.count()
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val left = MemoryStream[Ev]
-      val right = MemoryStream[Ev]
-      val sinkName = s"graft_q63_sink_${streamSeq.incrementAndGet()}"
+      val srcLoc = tmpLoc("graft-q63-src-")
+      val src = GraftTable.create(s, srcLoc, "ev63", raw.schema,
+        Seq("event_id"), Seq(HashComponent(Seq("event_id"), 2)))
+      val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("r_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      val sinkT = GraftTable.create(s, tmpLoc("graft-q63-pairs-"), "pairs63",
+        pairSchema, Seq("l_id", "r_id"), Seq(HashComponent(Seq("l_id"), 1)))
+      val f = new java.io.File(srcLoc)
+      s.conf.set("spark.sql.catalog.gq63",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq63.warehouse", f.getParent)
       val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
       val ndPrev = s.conf.get(ndKey)
       s.conf.set(ndKey, "false")
+      s.conf.set("graft.delta.writePartitions", "1") // one file per chunk commit
       val ckpt = ckptLoc("graft-q63-ckpt-")
       // stream-stream joins run FOUR state stores per partition per batch;
       // at this key cardinality one partition minimizes the fixed per-batch
       // store overhead that dominates a replay
       try withShufflePartitions(s, 1) {
-        val l = left.toDF().withWatermark("ts", "15 minutes")
+        val st = s.readStream.option("graft.startingVersion", "1")
+          .table(s"gq63.`${f.getName}`")
+        val l = st.filter(pmod(col("event_id"), lit(2)) === 0)
+          .withWatermark("ts", "15 minutes")
           .filter(col("user_id") >= 0)
           .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
-        val r = right.toDF().withWatermark("ts", "15 minutes")
+        val r = st.filter(pmod(col("event_id"), lit(2)) === 1)
+          .withWatermark("ts", "15 minutes")
           .filter(col("user_id") >= 0)
           .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
             col("ts").as("r_ts"))
@@ -706,37 +728,47 @@ object Queries {
             col("r_ts") >= col("l_ts") &&
             col("r_ts") < col("l_ts") + expr("INTERVAL 30 MINUTES"))
           .select(col("l_id"), col("r_id"), col("user_id"))
-          .writeStream.format("memory").queryName(sinkName).outputMode("append")
+          .writeStream.format("graft").option("path", sinkT.location)
+          .outputMode("append")
           .option("checkpointLocation", ckpt)
           .start()
         try {
-          // 3 chronological chunks: enough watermark progression for
-          // mid-stream append emission + state eviction; per-batch fixed
-          // cost dominates, so the chunk count is the knob
+          // 3 chronological chunks, each ONE committed source version:
+          // enough watermark progression for mid-stream append emission +
+          // state eviction; per-batch fixed cost dominates, so the chunk
+          // count is the knob. The driver holds one chunk at a time.
           val chunk = math.max(1L, total / 3).toInt
           var maxTs = 0L
-          Tables.raw(s, dir, "events").orderBy("ts").as[Ev]
+          raw.orderBy("ts").as[Ev]
             .toLocalIterator().asScala.grouped(chunk).foreach { batch =>
               maxTs = batch.last.ts.getTime
-              val (evens, odds) = batch.partition(_.event_id % 2 == 0)
-              left.addData(evens)
-              right.addData(odds)
+              src.upsert(batch.toDF())
               q.processAllAvailable()
             }
-          // flush: two far-future rounds on BOTH sides (first advances max
-          // event time, second applies the new watermark and emits)
+          // the source must actually BE the engine stream (this gate
+          // validates the engine, not Spark): the progress's source is the
+          // change-stream reader
+          if (!Option(q.lastProgress).exists(_.sources.exists(
+              _.description.contains("GraftMicroBatchStream"))))
+            throw new IllegalStateException(
+              "q63 must stream from the engine change-stream source")
+          // flush: two far-future sentinel commits on BOTH parities (first
+          // advances max event time, second applies the new watermark and
+          // emits)
           (1 to 2).foreach { i =>
             val ts = new java.sql.Timestamp(maxTs + i * 2 * 3600 * 1000)
-            left.addData(Ev(-2L, ts, -1L, "zz_sentinel", 0.0, null))
-            right.addData(Ev(-1L, ts, -1L, "zz_sentinel", 0.0, null))
+            src.upsert(Seq(
+              Ev(-2L, ts, -1L, "zz_sentinel", 0.0, null),
+              Ev(-1L, ts, -1L, "zz_sentinel", 0.0, null)).toDF())
             q.processAllAvailable()
           }
         } finally q.stop()
       } finally {
         s.conf.set(ndKey, ndPrev)
+        s.conf.unset("graft.delta.writePartitions")
         rmrf(ckpt)
       }
-      s.table(sinkName).orderBy("l_id", "r_id")
+      sinkT.scan().orderBy("l_id", "r_id")
     }),
 
     "q60_table_copy" -> ((s, dir) => {
