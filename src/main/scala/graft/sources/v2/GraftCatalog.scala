@@ -1894,8 +1894,15 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
         if (owned.isEmpty) Seq(fallback) else owned.toSeq.sorted
       val routeId = ownedSeq.zipWithIndex.toMap
       val fallbackId = routeId.getOrElse(fallback, 0)
-      val toId = org.apache.spark.sql.functions.udf(
-        (r: String) => routeId.getOrElse(r, fallbackId))
+      // native codegen'd route→id lookup (was a ScalaUDF paying the
+      // catalyst↔scala converter per delta row — the spill overlay is the
+      // degraded mode a 100 TB table lands in when compaction falls
+      // behind, so its per-row path stays in whole-stage codegen)
+      def toId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        org.apache.spark.sql.GraftSqlBridge.toColumn(
+          graft.functions.expressions.RouteIdLookup(
+            org.apache.spark.sql.GraftSqlBridge.toExpression(c),
+            ownedSeq, fallbackId))
       // (route, encodedLo, encodedHi) per planned coordinate-less file —
       // bounds are order-preserving-encoded strings, so containment is a
       // plain string compare matching the delta-side encodeKeyExpr
@@ -1913,33 +1920,27 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
           .getOrElse(throw new IllegalStateException(
             s"spill overlay planned bare-file intervals but the first key " +
               s"column of ${m.name} is not bound-encodable (guard drift)"))
-      val ownedB = owned
-      val fbB = fallback
-      val opDel = GraftTable.OpDelete
-      val ivB = bareIv
       // Tombstones materialize only key columns, so on layouts whose route
       // depends on a NON-KEY column (per-range overrides / range-only with
       // a non-key range column, or non-key hash columns) a DELETE row's
       // computed route is garbage — duplicate it into EVERY owned route
       // instead (dead-set-only duplication; the base row it suppresses
       // sits in exactly one of them). Upserts carry full rows, so their
-      // routes are always exact.
+      // routes are always exact. The fan-out is a native codegen'd
+      // expression emitting (rid, op) structs directly (was a ScalaUDF
+      // returning List[(String,String)] — a full catalyst→scala→catalyst
+      // round trip per delta row, plus a second route→id UDF downstream).
       val trusted = GraftTable.deleteRouteTrusted(m)
-      val allOwnedB = owned.toList.sorted
-      val cand = org.apache.spark.sql.functions.udf(
-        (layoutRoute: String, keyE: String, op: String) => {
-          if (op == opDel && !trusted)
-            allOwnedB.map(r => (r, opDel))
-          else {
-            val coord = if (ownedB.contains(layoutRoute)) layoutRoute :: Nil else Nil
-            val bare = ivB.iterator
-              .filter(iv => iv._2 <= keyE && keyE <= iv._3).map(_._1).toList
-            val all = coord ++ bare
-            val owner = all.headOption.getOrElse(fbB)
-            val rs = if (all.isEmpty) List(fbB) else all
-            rs.map(r => (r, if (op != opDel && r == owner) op else opDel))
-          }
-        })
+      def cand(route: org.apache.spark.sql.Column,
+          keyE: org.apache.spark.sql.Column,
+          op: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        org.apache.spark.sql.GraftSqlBridge.toColumn(
+          graft.functions.expressions.SpillCandidates(
+            org.apache.spark.sql.GraftSqlBridge.toExpression(route),
+            org.apache.spark.sql.GraftSqlBridge.toExpression(keyE),
+            org.apache.spark.sql.GraftSqlBridge.toExpression(op),
+            ownedSeq, owned.toSeq.sorted, bareIv.toSeq, fallback,
+            trusted, GraftTable.OpDelete))
       val spillSchema = StructType(internalFields :+
         org.apache.spark.sql.types.StructField(GraftTable.OpCol,
           org.apache.spark.sql.types.StringType, nullable = false))
@@ -1985,8 +1986,19 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
               cand(col("_graft_layout_route"), col("_graft_key_enc"),
                 col(GraftTable.OpCol))))
             .select(internalSchema.fieldNames.toSeq.map(col) ++
-              Seq(col("_graft_cand._2").as(GraftTable.OpCol),
-                toId(col("_graft_cand._1")).as(GraftV2Scan.SpillRouteCol)): _*)
+              Seq(col("_graft_cand.op").as(GraftTable.OpCol),
+                col("_graft_cand.rid").as(GraftV2Scan.SpillRouteCol)): _*)
+        // regression guard: the routing must stay native (no ScalaUDF —
+        // this per-delta-row path is the hot loop of the degraded mode);
+        // one plan walk per spill BUILD, and builds are per-commit, not
+        // per-query (the _SUCCESS reuse above)
+        spillFrame.queryExecution.analyzed.foreach(p => p.expressions.foreach(
+          _.foreach {
+            case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF =>
+              throw new IllegalStateException(
+                s"spill routing regressed to a ScalaUDF: $u")
+            case _ => ()
+          }))
         val tmpDir = spillRoot.resolve(
           s"_morspill_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
         spillFrame
