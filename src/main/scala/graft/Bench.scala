@@ -209,6 +209,29 @@ object Bench {
         System.err.println(f"[bench] ab q59 zone runtime-filter: on $on%.3f s  off $off%.3f s")
         (on, off)
       }
+    // ---- scale smoke (untimed by the headline): the MOR ladder + zone
+    // TOP-N + runtime-filter star-join A/B at SPARK_GRAFT_SCALE_ROWS
+    // (default 20M — ~33x the sf0.1 lineitem; 0 skips). Runs LAST so it
+    // can never pollute a timed window; lands in the sidecar as "scale".
+    // default 20M on FULL-suite runs only (the driver never sets
+    // SPARK_GRAFT_BENCH_ONLY; a dev subset shouldn't pay 3 minutes —
+    // SPARK_GRAFT_SCALE_ROWS forces it either way)
+    val scaleRows = sys.env.get("SPARK_GRAFT_SCALE_ROWS").map(_.toLong)
+      .getOrElse(if (only.isEmpty) 20000000L else 0L)
+    val scale: Option[Either[String, graft.tools.ScaleSmoke.Result]] =
+      if (scaleRows <= 0) None
+      else Some(
+        try {
+          val r = graft.tools.ScaleSmoke.run(spark, scaleRows)
+          r.steps.foreach { case (n, sec) =>
+            System.err.println(f"[bench] scale $n%-22s $sec%8.2f s") }
+          r.stats.foreach { case (n, v) =>
+            System.err.println(s"[bench] scale $n = $v") }
+          Right(r)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] scale smoke FAILED: ${e.getMessage}")
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+        })
     // Rounded values on stdout: the driver tail-captures the LAST 2,000
     // chars of output, and 65 entries at full double precision made the
     // line ~1,960 chars — clipping its head mid-number (BENCH_r07..r09
@@ -284,6 +307,15 @@ object Bench {
     val abJson = ab.map { case (on, off) =>
       s""""ab":{"q59_zone_on":${rN(on, 4)},"q59_zone_off":${rN(off, 4)}},"""
     }.getOrElse("")
+    val scaleJson = scale.map {
+      case Right(r) =>
+        val st = r.steps.map { case (n, s) => s""""$n":${rN(s, 3)}""" }
+          .mkString(",")
+        val ss = r.stats.map { case (n, v) => s""""$n":$v""" }.mkString(",")
+        s""""scale":{$st,$ss},"""
+      case Left(err) =>
+        s""""scale":{"error":"${err.replace("\"", "'").take(200)}"},"""
+    }.getOrElse("")
     val sidecar = results.map { r =>
       val its = r.iters.map(i => rN(i.sec, 4)).mkString("[", ",", "]")
       val gcs = r.iters.map(_.gcMs).mkString("[", ",", "]")
@@ -292,7 +324,7 @@ object Bench {
         s""""warm":${rN(r.warm, 4)},"tail":${rN(r.tail, 4)},"tload":${rN(r.tailLoad, 2)},"prev":"${r.prev}",""" +
         s""""iters":$its,"gc_ms":$gcs,"load0":${r.load0},"load1":${r.load1}}"""
     }.mkString(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","env":$env,$abJson"queries":{""",
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","env":$env,$abJson$scaleJson"queries":{""",
       ",", "}}")
     try {
       val p = java.nio.file.Paths.get("bench.json")

@@ -1501,7 +1501,14 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     // subquery costs about what skipping 12 small files saves, so the
     // flag stays opt-in until fact files are large enough that skipping
     // one pays for the subquery (at 100 TB a pruned file is 100s of MB,
-    // not 100s of KB).
+    // not 100s of KB). Round-13 re-ran the A/B at 20M rows (ScaleSmoke:
+    // 32 clustered ~20 MB files, runtime filter pruning 28 of 32): on
+    // 0.18 s vs off 0.17 s — STILL a wash locally, because freshly
+    // written files sit in the OS page cache and a 32-thread scan of
+    // 640 MB costs about one DPP subquery. The flag's win is a cold-
+    // storage property (S3/HDFS latency × file size), not a row-count
+    // property — it stays opt-in on this box, with both pairs recorded
+    // in bench.json ("ab" and "scale").
     (meta.hash.flatMap(_.cols) ++ meta.range.toSeq.flatMap(_.columns) ++
       (if (spark.conf.getOption("graft.runtimeFilter.allColumns")
            .exists(_.toBoolean))

@@ -1,0 +1,189 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.HashComponent
+import graft.table.GraftTable
+
+/**
+ * Local scale smoke: the MOR ladder at tens of millions of rows. The sf0.1
+ * test data tops out at ~600k-row lineitem, so the 100x posture of the
+ * delta overlay, zone pruning and the runtime-filter star join was only
+ * ever plan-audited — this EXECUTES it at 30-80x that volume using the E4
+ * loadgen as the generator (tools/loadgen, the reference's perf-load
+ * analog):
+ *
+ *   bulk load (hash buckets) -> 1% upsert -> 0.5% delete -> merge-on-read
+ *   scan -> per-tablet compaction -> metadata-only COUNT -> Z-cluster ->
+ *   zone-pruned TOP-N -> runtime-filter star-join A/B (on vs off).
+ *
+ * Returns per-step wall seconds plus shape stats (file counts, pruning
+ * ratios, the A/B pair). Bench appends the result as an untimed "scale"
+ * sidecar block; ScaleSmokeSpec asserts the SHAPES (exact counts,
+ * metadata-serve, prune ratios) at a smaller row count.
+ */
+object ScaleSmoke {
+
+  final case class Result(steps: Seq[(String, Double)], stats: Seq[(String, Long)])
+
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+    case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+    case other => other.children.flatMap(scans)
+  }
+
+  /** Drive the ladder; `rows` >= ~1M for the shapes to be meaningful.
+    * The work directory (and catalog) are private to the run. */
+  def run(spark: SparkSession, rows: Long, buckets: Int = 16,
+      clusterFiles: Int = 32): Result = {
+    require(rows >= 1000, s"scale smoke needs a real row count, got $rows")
+    val wh = java.nio.file.Files.createTempDirectory("graft-scale-").toString
+    try runLadder(spark, rows, buckets, clusterFiles, wh)
+    finally {
+      // a 20M-row run leaves ~GBs under /tmp (two tables, pre-compaction
+      // versions kept for time travel) — the smoke is a measurement, not
+      // a table anyone reads later
+      Seq(wh, s"$wh/scale", s"$wh/scale_star")
+        .foreach(graft.table.MaintenanceScheduler.unschedule)
+      try graft.sources.v2.GraftV2Scan.deleteTree(java.nio.file.Paths.get(wh))
+      catch { case _: Throwable => () }
+    }
+  }
+
+  private def runLadder(spark: SparkSession, rows: Long, buckets: Int,
+      clusterFiles: Int, wh: String): Result = {
+    val steps = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val stats = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def timed[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val a = body
+      steps += name -> (System.nanoTime() - t0) / 1e9
+      a
+    }
+    // 256 key-contiguous "customer" blocks: the dimension key every fact
+    // row carries, correlated with PK order so clustering gives each file
+    // a narrow cust range (the 100 TB star-join layout)
+    val custWidth = math.max(1L, rows / 256)
+    val df = GraftTools.loadgen(spark, rows)
+      .select(col("id"),
+        (col("id") / custWidth).cast("long").as("cust"),
+        pmod(xxhash64(col("id")), lit(1000000L)).as("v"),
+        col("payload"))
+    val t = timed("load")(GraftTable.create(spark, s"$wh/scale", "scale",
+      df.schema, Seq("id"), Seq(HashComponent(Seq("id"), buckets)),
+      data = Some(df)))
+    stats += "rows" -> rows
+    stats += "base_files_loaded" -> t.meta.baseFiles.length.toLong
+    timed("upsert_1pct")(t.upsert(
+      df.filter(pmod(col("id"), lit(100)) === 0)
+        .withColumn("v", col("v") + 1000000L)))
+    timed("delete_half_pct")(t.deleteWhere(pmod(col("id"), lit(200)) === 1))
+    stats += "delta_files_dirty" -> t.meta.deltaFiles.length.toLong
+    val expect = rows - (rows + 198) / 200 // ids ≡ 1 (mod 200) are gone
+    val morCount = timed("mor_scan")(t.scan().count())
+    require(morCount == expect,
+      s"merge-on-read scan lost shape at $rows rows: $morCount != $expect")
+    val upsCount = timed("mor_filter_scan")(
+      t.scan().filter(col("v") >= 1000000L).count())
+    require(upsCount == rows / 100,
+      s"upserts not visible through the overlay: $upsCount != ${rows / 100}")
+    timed("compact_per_tablet") {
+      t.maintain(maxDeltaRatio = 0.0, maxDeltaFiles = 0, perTablet = true)
+      require(t.meta.deltaFiles.isEmpty, "compaction must drain the deltas")
+    }
+    // V2 catalog face for the pushdown/pruning steps
+    val cat = s"gscale${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    timed("metadata_count") {
+      val c = spark.sql(s"SELECT count(*) AS n FROM $cat.scale")
+      val n = c.collect()(0).getLong(0)
+      require(n == expect, s"metadata count wrong: $n != $expect")
+      val scan = scans(c.queryExecution.executedPlan).head.scan
+      require(scan.getClass.getSimpleName.contains("GraftCountScan"),
+        s"clean-snapshot COUNT must serve from metadata, got $scan")
+    }
+    // The star fact is a SEPARATE unhashed table clustered globally (the
+    // q59 layout): a hash-bucketed table Z-clusters per tablet, so each
+    // bucket's few files span ~1/nFilesPerTablet of the cust space and
+    // pruning is bounded by bucket granularity — the 100 TB fact a
+    // warehouse clusters for star joins is laid out like THIS, narrow
+    // files over the clustering key
+    val star = timed("star_load_cluster") {
+      val st = GraftTable.create(spark, s"$wh/scale_star", "scale_star",
+        df.schema, Seq("id"), Nil, data = Some(df))
+      st.cluster(Seq("cust", "id"), nFiles = clusterFiles)
+      st
+    }
+    stats += "clustered_files" -> star.meta.baseFiles.length.toLong
+    timed("topn_zone") {
+      // TOP-N on the clustered non-key column (the q52 shape: ONE ordered
+      // column projected alone so the push-down triggers and ties cannot
+      // flake): the per-file zone maps must cut the planned fileset to the
+      // files that can hold the top 20
+      val q = spark.table(s"$cat.scale_star").select("cust")
+        .orderBy(col("cust").desc).limit(20)
+      require(q.collect().length == 20)
+      val v2 = scans(q.queryExecution.executedPlan).map(_.scan)
+        .collectFirst { case sc: graft.sources.v2.GraftV2Scan => sc }
+        .getOrElse(throw new IllegalStateException("expected a graft scan"))
+      require(v2.description().contains("top=20"),
+        s"top-n not pushed: ${v2.description()}")
+      val parts = v2.planInputPartitions().length
+      val files = star.meta.baseFiles.length
+      stats += "topn_splits_planned" -> parts.toLong
+      stats += "topn_files_total" -> files.toLong
+      require(parts * 2 <= files,
+        s"zone TOP-N must cut at least half the clustered files " +
+          s"(planned $parts of $files)")
+    }
+    // Runtime-filter star join A/B (the q59 shape at scale): selective
+    // filter on a dim ATTRIBUTE — opaque to static inference — so only the
+    // runtime IN-filter can prune fact files, via cust zone maps on the
+    // clustered files. Two runs each side, min.
+    // the filtered attribute is a COHORT of key-contiguous blocks (the q59
+    // shape: dim attribute correlated with fact key locality — how a real
+    // warehouse's "this quarter's customers" cohort lands on a fact table
+    // clustered by customer); contiguous custs 0..31 = 1/8 of the keyspace
+    val dim = spark.range(256).select(col("id").as("cust"),
+      (col("id") / 32).cast("long").as("attr"))
+      .filter(col("attr") === 0)
+    def starJoin(): DataFrame = {
+      val fact = spark.table(s"$cat.scale_star")
+      fact.join(broadcast(dim), fact("cust") === dim("cust"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    }
+    def timeJoin(on: Boolean): (Double, Long, Long) = {
+      val prev = spark.conf.getOption("graft.runtimeFilter.allColumns")
+      spark.conf.set("graft.runtimeFilter.allColumns", on.toString)
+      try {
+        val q = starJoin()
+        val t0 = System.nanoTime()
+        q.collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val scan = scans(q.queryExecution.executedPlan).head
+        (sec, scan.metrics(graft.sources.v2.GraftV2Scan.FilesRead).value,
+          scan.metrics(graft.sources.v2.GraftV2Scan.FilesPruned).value)
+      } finally prev match {
+        case Some(v) => spark.conf.set("graft.runtimeFilter.allColumns", v)
+        case None => spark.conf.unset("graft.runtimeFilter.allColumns")
+      }
+    }
+    val ons = Seq(timeJoin(on = true), timeJoin(on = true))
+    val offs = Seq(timeJoin(on = false), timeJoin(on = false))
+    steps += "ab_star_rf_on" -> ons.map(_._1).min
+    steps += "ab_star_rf_off" -> offs.map(_._1).min
+    stats += "ab_on_files_read" -> ons.last._2
+    stats += "ab_on_files_pruned" -> ons.last._3
+    stats += "ab_off_files_read" -> offs.last._2
+    require(ons.last._2 * 2 <= ons.last._2 + ons.last._3,
+      s"runtime filter must prune at least half the clustered fact files " +
+        s"at scale (read ${ons.last._2}, pruned ${ons.last._3})")
+    Result(steps.toSeq, stats.toSeq)
+  }
+}
