@@ -133,7 +133,18 @@ object MaintenanceScheduler {
     * an explicit `maintain_schedule_warehouse` on the same directory wins
     * — and the entry is auto, so [[clearAuto]] removes it. The tick
     * re-lists the directory, so tables created later are covered too. */
-  def autoScheduleWarehouse(spark: SparkSession, warehouseDir: String): Unit =
+  def autoScheduleWarehouse(spark: SparkSession, warehouseDir: String): Unit = {
+    // never auto-sweep the system temp root: harness catalogs point their
+    // warehouse at a table dir's PARENT (often /tmp itself), and a
+    // recursive maintenance walk over the whole temp tree — every other
+    // process's scratch included — is a hazard, not coverage. A real
+    // deployment's warehouse is a dedicated directory; an operator who
+    // genuinely wants the temp root can still CALL
+    // maintain_schedule_warehouse explicitly.
+    val tmpRoot = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp")).toAbsolutePath.normalize
+    if (java.nio.file.Paths.get(warehouseDir).toAbsolutePath.normalize == tmpRoot)
+      return
     if (spark.conf.getOption("graft.maintain.auto").forall(_.toBoolean))
       registerLock.synchronized {
         if (!entries.containsKey(warehouseDir))
@@ -144,6 +155,7 @@ object MaintenanceScheduler {
             maxDeltaRatio = 0.2, maxDeltaFiles = 64, warehouse = true,
             auto = true))
       }
+  }
 
   /** Unschedule every AUTO-registered entry; explicit schedules survive.
     * Measurement harnesses (Bench) isolate background daemons between
