@@ -335,6 +335,31 @@ class ProceduresSpec extends AnyFunSuite {
         "'SELECT * FROM VALUES (5, ''a'', false), (5, NULL, true) " +
         "AS t(k, v, _deleted)')").collect()
     }
+    // a NULL _deleted is a malformed batch: it must FAIL LOUDLY and commit
+    // nothing (both op filters exclude NULLs, so without the guard the
+    // action would silently vanish)
+    val vBefore = GraftTable.load(spark, s"$wh/apch").currentVersion
+    val eNull = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.apply_changes('apch', " +
+        "'SELECT * FROM VALUES (6, ''x'', CAST(NULL AS BOOLEAN)) " +
+        "AS t(k, v, _deleted)')").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(eNull).exists(_.contains("_deleted")),
+      s"the error must name the malformed column: ${chain(eNull)}")
+    assert(GraftTable.load(spark, s"$wh/apch").currentVersion == vBefore,
+      "a malformed batch must commit nothing")
+    // immutable columns bar the SQL face: the CDC apply path skips the
+    // immutability re-check upsert performs, and arbitrary SQL has passed
+    // it nowhere — letting it through would bypass setImmutable
+    t.setImmutable("v")
+    val eImm = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.apply_changes('apch', " +
+        "'SELECT * FROM VALUES (2, ''nope'', false) AS t(k, v, _deleted)')")
+        .collect()
+    }
+    assert(chain(eImm).exists(_.contains("immutable")), s"${chain(eImm)}")
   }
 
   test("CALL replicate relays CDC since a version; head chains the next call") {

@@ -197,6 +197,22 @@ class SourcesSpec extends AnyFunSuite {
       t.scan().orderBy("id").collect().toSeq)
   }
 
+  test("backup chains reject non-unique-PK (auto-inc) tables UP FRONT") {
+    // the CDC export never carries the hidden auto_incrementing_id, so the
+    // chain's per-user-key fold would pick among a key's concurrent rows
+    // nondeterministically and applyChanges would fail late demanding the
+    // id — the operator must hear 'use full backups' at export time
+    val loc = tmp("graft-chain-ai-")
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "name")
+    val t = GraftTable.create(spark, loc, "ai", df.schema, Seq("id"),
+      Seq(graft.catalog.HashComponent(Seq("id"), 2)), data = Some(df),
+      nonUniqueKey = true)
+    val e = intercept[IllegalArgumentException] {
+      GraftTools.backupIncremental(t, tmp("graft-chain-ai-inc-"), 1L)
+    }
+    assert(e.getMessage.contains("full"), e.getMessage)
+  }
+
   test("restoreChain survives a mid-chain type widening (per-increment schemas)") {
     // inc1 predates widenColumnType (physical INT32), inc2 postdates it
     // (physical INT64): pinning the whole chain to inc1's inferred schema
