@@ -916,7 +916,24 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
           (m.hash.nonEmpty || m.range.isDefined)
         if (tabletWise) {
           val hasBucket = m.hash.nonEmpty
-          deltaTabletStats().collect().take(maxTablets).foreach { r =>
+          val dirty = deltaTabletStats().collect()
+          // Per-tablet folding pays off when dirtiness is SKEWED (the usual
+          // 100 TB shape: a few hot tablets breach, the rest stay clean —
+          // fold only the dirty ones, whose base I/O sums to less than the
+          // table). When EVERY tablet is dirty (a uniform bulk mutation),
+          // K per-tablet passes read the same total I/O as one whole-table
+          // rewrite PLUS K job rounds of fixed overhead and K manifest
+          // commits — the 20M-row scale smoke measured 16 serialized folds
+          // at 43 s vs one distributed rewrite at ~8 s. One merged pass is
+          // also the reference's policy shape: its budgeted knapsack picks
+          // overlapping rowsets together, not one-at-a-time
+          // (compaction_policy.h). An explicit maxTablets cap is a caller
+          // budgeting I/O per tick — honor it, never escalate.
+          val tablets = math.max(1,
+            m.baseFiles.map(f => (f.bucket, f.rangeKey)).distinct.size)
+          if (maxTablets == Int.MaxValue && dirty.length >= tablets)
+            compact()
+          else dirty.take(maxTablets).foreach { r =>
             val bucket = if (hasBucket) Some(r.getInt(0)) else None
             val rk = if (m.range.isDefined)
               Some(r.getString(if (hasBucket) 1 else 0)) else None

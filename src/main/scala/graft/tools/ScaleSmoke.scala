@@ -15,7 +15,9 @@ import graft.table.GraftTable
  * analog):
  *
  *   bulk load (hash buckets) -> 1% upsert -> 0.5% delete -> merge-on-read
- *   scan -> per-tablet compaction -> metadata-only COUNT -> Z-cluster ->
+ *   scan -> policy compaction (per-tablet when dirtiness is skewed, one
+ *   distributed rewrite when every tablet breached) -> metadata-only
+ *   COUNT -> Z-cluster ->
  *   zone-pruned TOP-N -> runtime-filter star-join A/B (on vs off).
  *
  * Returns per-step wall seconds plus shape stats (file counts, pruning
@@ -91,7 +93,7 @@ object ScaleSmoke {
       t.scan().filter(col("v") >= 1000000L).count())
     require(upsCount == rows / 100,
       s"upserts not visible through the overlay: $upsCount != ${rows / 100}")
-    timed("compact_per_tablet") {
+    timed("compact_policy") {
       t.maintain(maxDeltaRatio = 0.0, maxDeltaFiles = 0, perTablet = true)
       require(t.meta.deltaFiles.isEmpty, "compaction must drain the deltas")
     }
