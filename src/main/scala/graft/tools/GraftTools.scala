@@ -147,7 +147,7 @@ object GraftTools {
       throw new IllegalArgumentException(
         s"backup chain unsupported for ${table.meta.name}: non-unique-PK " +
           "(auto-incrementing) tables are not chain-restorable — use full " +
-          "backups (backupFull) instead")
+          "backups (GraftTools.backup / CALL system.backup) instead")
     // chain-specific face on the history floor: the generic "version
     // expired" error doesn't tell the operator WHAT to do about a backup
     // chain whose base predates retention GC
