@@ -611,8 +611,8 @@ class StagedGraftTable(inner: GraftV2Table, stagedLoc: String,
     // The publish above is already durable — a failure dropping the parked
     // incumbent must NOT surface as a failed REPLACE (the caller would
     // retry a commit that succeeded). The aside lives under .staging,
-    // invisible to listTables; a later abortStagedChanges/fsck sweep can
-    // reclaim a stranded one.
+    // invisible to listTables; GraftTools.sweepStaging (run by every
+    // warehouse maintenance tick, hour-grace) reclaims a stranded one.
     aside.foreach { a =>
       try GraftTable.drop(a)
       catch { case e: Throwable =>

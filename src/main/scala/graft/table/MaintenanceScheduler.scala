@@ -248,6 +248,10 @@ object MaintenanceScheduler {
           spark, e.location, e.ioBudgetBytes, e.minScore).length
         acted += graft.tools.GraftTools.maintainWarehouse(spark, e.location,
           e.maxDeltaRatio, e.maxDeltaFiles, perTablet = true).count(_._2)
+        // reclaim stranded CTAS/RTAS staging (crash mid-commit, or a
+        // REPLACE whose parked incumbent failed to drop): hour-grace, so
+        // an in-flight staged write can never look idle
+        acted += graft.tools.GraftTools.sweepStaging(e.location).length
       } else {
         val t = GraftTable.load(spark, e.location)
         // (0) history retention GC first — the reference's manager runs

@@ -372,6 +372,56 @@ object GraftTools {
    *  - gaps in the version chain (time-travel falls back to a linear scan
    *    over what remains).
    */
+  /** Reclaim STRANDED staged tables: `.staging/` (under the warehouse root
+    * and under every namespace dir) holds CTAS/RTAS work-in-progress and
+    * parked REPLACE incumbents — all invisible to listTables and sweeps. A
+    * crash mid-commit (or a non-fatal failure dropping a replaced
+    * incumbent) strands one; nothing else ever reclaims it. Only entries
+    * whose WHOLE tree is older than `graceMs` go (newest mtime down to
+    * depth 3 — an in-flight staged write keeps landing part files, which
+    * bumps their parent dirs, so a live CTAS can never look idle), the
+    * same posture as [[fsckRepair]]'s grace. Returns the dropped paths. */
+  def sweepStaging(warehouseDir: String,
+      graceMs: Long = GraftTools.FsckGraceMs): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val cutoff = System.currentTimeMillis() - graceMs
+    def stagingRoots(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      if (!Files.isDirectory(root)) return Nil
+      val self = root.resolve(".staging")
+      val nsDirs = scala.util.Using.resource(Files.list(root)) { s =>
+        s.iterator().asScala.filter(p => Files.isDirectory(p) &&
+          !p.getFileName.toString.startsWith(".") &&
+          !graft.catalog.TableMeta.exists(p.toString)).toSeq
+      }
+      (if (Files.isDirectory(self)) Seq(self) else Nil) ++
+        nsDirs.flatMap(stagingRoots)
+    }
+    def newestMtime(p: java.nio.file.Path): Long =
+      scala.util.Using.resource(Files.walk(p, 3)) { s =>
+        s.iterator().asScala
+          .map(q => Files.getLastModifiedTime(q).toMillis)
+          .foldLeft(0L)(math.max)
+      }
+    stagingRoots(Paths.get(warehouseDir)).flatMap { st =>
+      scala.util.Using.resource(Files.list(st)) { s =>
+        s.iterator().asScala.filter(Files.isDirectory(_)).toSeq
+      }.flatMap { p =>
+        try {
+          if (newestMtime(p) < cutoff) {
+            if (graft.catalog.TableMeta.exists(p.toString))
+              GraftTable.drop(p.toString)
+            else { // a half-created staged dir with no manifest yet
+              Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+                .iterator().asScala.foreach(Files.deleteIfExists(_))
+            }
+            Some(p.toString)
+          } else None
+        } catch { case _: Exception => None } // sweep on; retry next pass
+      }
+    }
+  }
+
   def fsck(location: String): Seq[String] = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._

@@ -139,4 +139,43 @@ class CtasSpec extends AnyFunSuite {
         "AS SELECT CAST(id AS BIGINT) AS id FROM range(3)"))
     assert(spark.table("gctasns.solo").count() == 3, "the table must be untouched")
   }
+
+  test("sweepStaging reclaims stranded staged tables; fresh ones survive the grace") {
+    import org.apache.spark.sql.SparkSession
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-ctsweep-").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns1"))
+    val df = (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    // a stranded staged table at the warehouse root, one under a NAMESPACE
+    // dir (both must be found), and a FRESH in-flight one that must survive
+    def mkStaged(parent: String, name: String): String = {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$parent/.staging"))
+      GraftTable.create(spark, s"$parent/.staging/$name", name, df.schema,
+        Seq("id"), data = Some(df)).location
+    }
+    val deadRoot = mkStaged(wh, "dead-abc")
+    val deadNs = mkStaged(s"$wh/ns1", "dead-def")
+    val fresh = mkStaged(wh, "fresh-ghi")
+    // backdate the WHOLE tree of the dead ones (the grace reads the newest
+    // mtime down to depth 3 — FuzzSpec lesson: inject explicit old
+    // FileTimes, a -10s rewind never clears an hour grace)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 3600 * 1000)
+    Seq(deadRoot, deadNs).foreach { loc =>
+      scala.util.Using.resource(
+        java.nio.file.Files.walk(java.nio.file.Paths.get(loc))) { st =>
+        st.iterator().forEachRemaining(p =>
+          java.nio.file.Files.setLastModifiedTime(p, old))
+      }
+    }
+    val swept = graft.tools.GraftTools.sweepStaging(wh)
+    assert(swept.toSet == Set(deadRoot, deadNs), swept.toString)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(deadRoot)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(deadNs)))
+    assert(GraftTable.exists(fresh), "an in-grace staged table must survive")
+    // idempotent: nothing left to sweep
+    assert(graft.tools.GraftTools.sweepStaging(wh).isEmpty)
+  }
 }
