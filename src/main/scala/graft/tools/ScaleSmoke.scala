@@ -93,15 +93,27 @@ object ScaleSmoke {
       t.scan().filter(col("v") >= 1000000L).count())
     require(upsCount == rows / 100,
       s"upserts not visible through the overlay: $upsCount != ${rows / 100}")
-    timed("compact_policy") {
-      t.maintain(maxDeltaRatio = 0.0, maxDeltaFiles = 0, perTablet = true)
-      require(t.meta.deltaFiles.isEmpty, "compaction must drain the deltas")
-    }
-    // V2 catalog face for the pushdown/pruning steps
+    // V2 catalog face (used again below for the pushdown/pruning steps)
     val cat = s"gscale${java.util.UUID.randomUUID().toString.take(8)}"
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.v2.GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    // the DEGRADED mode, executed at scale: force the V2 merge-on-read
+    // overlay past the broadcast bound so the delta state shuffles into
+    // per-route spills (the posture a 100 TB table lands in when
+    // compaction falls behind — and the path the native routing
+    // expressions serve); the count must still be exact
+    timed("mor_spill_scan") {
+      spark.conf.set("graft.mor.broadcastBytes", "1")
+      try {
+        val n = spark.table(s"$cat.scale").count()
+        require(n == expect, s"spill-overlay scan lost shape: $n != $expect")
+      } finally spark.conf.unset("graft.mor.broadcastBytes")
+    }
+    timed("compact_policy") {
+      t.maintain(maxDeltaRatio = 0.0, maxDeltaFiles = 0, perTablet = true)
+      require(t.meta.deltaFiles.isEmpty, "compaction must drain the deltas")
+    }
     timed("metadata_count") {
       val c = spark.sql(s"SELECT count(*) AS n FROM $cat.scale")
       val n = c.collect()(0).getLong(0)

@@ -24,8 +24,9 @@ class ScaleSmokeSpec extends AnyFunSuite {
     val stats = r.stats.toMap
     // every ladder rung ran
     Seq("load", "upsert_1pct", "delete_half_pct", "mor_scan",
-      "mor_filter_scan", "compact_policy", "metadata_count",
-      "star_load_cluster", "topn_zone", "ab_star_rf_on", "ab_star_rf_off")
+      "mor_filter_scan", "mor_spill_scan", "compact_policy",
+      "metadata_count", "star_load_cluster", "topn_zone",
+      "ab_star_rf_on", "ab_star_rf_off")
       .foreach { s => assert(steps.contains(s), s"missing ladder step $s") }
     // the bulk load fanned across the hash buckets and the cluster rewrite
     // landed its file count
