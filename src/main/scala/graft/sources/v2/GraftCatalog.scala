@@ -590,6 +590,13 @@ class StagedGraftTable(inner: GraftV2Table, stagedLoc: String,
           .toString
         graft.table.MaintenanceScheduler.unschedule(finalLoc)
         mv(finalLoc, a)
+        // the move PRESERVES the incumbent's (possibly hours-old) mtimes —
+        // touch the parked root so sweepStaging's freshness grace covers
+        // the whole REPLACE window; without this a maintenance tick firing
+        // mid-swing could reclaim the aside and break the rollback
+        try JFiles.setLastModifiedTime(JPaths.get(a),
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        catch { case _: Exception => () }
         Some(a)
       } else None
     try {
