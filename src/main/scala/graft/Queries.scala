@@ -666,6 +666,31 @@ object Queries {
       s.table("gq64.ord_sum").orderBy("o_custkey")
     }),
 
+    "q65_upsert_ignore_immutable" -> ((s, dir) => {
+      // W6 hash-gated (was the last spec-only mutation row): UPSERT_IGNORE
+      // silently preserves IMMUTABLE columns on existing rows instead of
+      // erroring (row_operations.proto:43 UPSERT_IGNORE + ColumnSchemaPB
+      // immutable) while non-immutable columns update and NEW rows insert
+      // whole — the reference's use case is backfill jobs that must never
+      // clobber an authoritative column. The oracle reconstructs the exact
+      // end state in SQL: existing rows keep s_name (the immutable) and
+      // take the +100 balance; fresh keys land verbatim.
+      val raw = Tables.raw(s, dir, "supplier")
+      val t = GraftTable.create(s, tmpLoc("graft-q65-"), "supplier_q65",
+        raw.schema, Seq("s_suppkey"), Seq(HashComponent(Seq("s_suppkey"), 4)),
+        data = Some(raw))
+      t.setImmutable("s_name")
+      val existing = raw.filter(col("s_suppkey") % 5 === 0)
+        .withColumn("s_name", lit("MUST_NOT_LAND"))
+        .withColumn("s_acctbal", col("s_acctbal") + 100)
+      val fresh = raw.filter(col("s_suppkey") % 7 === 0)
+        .withColumn("s_suppkey", col("s_suppkey") + 1000000L)
+        .withColumn("s_name", concat(lit("NEW_"), col("s_name")))
+        .withColumn("s_acctbal", lit(1.5))
+      t.upsertIgnore(existing.unionByName(fresh))
+      t.scan().orderBy("s_suppkey")
+    }),
+
     "q63_stream_join" -> ((s, dir) => {
       // Stream-stream event-time join, END TO END THROUGH THE ENGINE:
       // the one stream feeds from the engine's change-stream source
@@ -2024,6 +2049,18 @@ object Queries {
       ("SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_price " +
         "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
+
+    // existing rows keep the immutable s_name and take the +100 balance;
+    // fresh keys land whole — exactly UPSERT_IGNORE's contract
+    "q65_upsert_ignore_immutable" ->
+      ("SELECT s_suppkey, s_name, s_nationkey, " +
+        "CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 ELSE s_acctbal END AS s_acctbal " +
+        "FROM supplier " +
+        "UNION ALL " +
+        "SELECT s_suppkey + 1000000 AS s_suppkey, 'NEW_' || s_name AS s_name, " +
+        "s_nationkey, CAST(1.5 AS DOUBLE) AS s_acctbal " +
+        "FROM supplier WHERE s_suppkey % 7 = 0 " +
+        "ORDER BY s_suppkey"),
 
     "q63_stream_join" ->
       ("SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id " +
