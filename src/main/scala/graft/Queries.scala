@@ -691,6 +691,48 @@ object Queries {
       t.scan().orderBy("s_suppkey")
     }),
 
+    "q66_locate_row" -> ((s, dir) => {
+      // D6 hash-gated (was spec-only): key→tablet location
+      // (Partitioner.partitionRow / `kudu table locate_row`) verified
+      // against PHYSICAL placement — for a deterministic key sample,
+      // locateRow's metadata-only answer must name exactly the bucket
+      // whose base files hold the row (the files carry their bucket as a
+      // column), and each key must live in exactly one bucket. The raw
+      // bucket ids are engine-specific (murmur3), so the gated shape is
+      // the VERIFIED booleans per key — any routing drift hashes false.
+      import s.implicits._
+      val raw = Tables.raw(s, dir, "supplier")
+      val t = GraftTable.create(s, tmpLoc("graft-q66-"), "supplier_q66",
+        raw.schema, Seq("s_suppkey"), Seq(HashComponent(Seq("s_suppkey"), 4)),
+        data = Some(raw))
+      val sample = raw.select("s_suppkey")
+        .filter(pmod(col("s_suppkey"), lit(9)) === 0)
+        .as[Long].collect().sorted.take(40) // bounded driver sample
+      val pred = sample.toSeq.map { k =>
+        (k, t.locateRow(Map("s_suppkey" -> k.toString))._1.getOrElse(
+          throw new IllegalStateException(s"locate_row found no bucket for $k"))
+          .toLong)
+      }.toDF("s_suppkey", "pred_b")
+      // the bucket is a PARTITION directory (…/_b=N/part-…): read the base
+      // dirs so partition discovery materializes it as a column
+      val baseDirs = t.meta.baseFiles.map { f =>
+        val i = f.path.indexOf("/_b=")
+        if (i < 0) throw new IllegalStateException(s"unbucketed base: ${f.path}")
+        f.path.substring(0, i)
+      }.distinct
+      val phys = s.read.parquet(baseDirs: _*)
+        .select(col("s_suppkey"), col("_b").cast("long").as("_b"))
+      pred.join(phys, "s_suppkey")
+        .groupBy(col("s_suppkey"), col("pred_b"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("_b") === col("pred_b"), 1L).otherwise(0L)).as("hits"),
+          countDistinct(col("_b")).as("nb"))
+        .select(col("s_suppkey"),
+          (col("hits") === col("n") && col("n") >= 1).as("in_located"),
+          (col("nb") === 1).as("unique_placement"))
+        .orderBy("s_suppkey")
+    }),
+
     "q63_stream_join" -> ((s, dir) => {
       // Stream-stream event-time join, END TO END THROUGH THE ENGINE:
       // the one stream feeds from the engine's change-stream source
@@ -2049,6 +2091,13 @@ object Queries {
       ("SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_price " +
         "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
+
+    // the engine must VERIFY placement (booleans computed from physical
+    // files vs locateRow) — the oracle pins the only correct answer
+    "q66_locate_row" ->
+      ("SELECT s_suppkey, true AS in_located, true AS unique_placement " +
+        "FROM (SELECT s_suppkey FROM supplier WHERE s_suppkey % 9 = 0 " +
+        "ORDER BY s_suppkey LIMIT 40) ORDER BY s_suppkey"),
 
     // existing rows keep the immutable s_name and take the +100 balance;
     // fresh keys land whole — exactly UPSERT_IGNORE's contract
