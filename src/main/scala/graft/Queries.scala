@@ -691,6 +691,51 @@ object Queries {
       t.scan().orderBy("s_suppkey")
     }),
 
+    "q67_trash_recall" -> ((s, dir) => {
+      // D3 hash-gated (was spec-only): the soft-delete lifecycle
+      // (catalog_manager.h:701,723 — soft_deleted tables with a reserve
+      // window, recallable until it expires). A mutated table is trashed:
+      // it must refuse load(), vanish from SHOW TABLES, refuse SQL reads,
+      // and survive an in-window purge attempt; recall() restores it and
+      // the MERGE-ON-READ scan of the recalled table — base plus the
+      // pre-trash deltas — hash-matches the oracle. Any lifecycle drift
+      // (lost deltas, early purge, ghost visibility) breaks the compare
+      // or the in-query gates.
+      val raw = Tables.raw(s, dir, "nation")
+      val loc = tmpLoc("graft-q67-")
+      val t = GraftTable.create(s, loc, "nation_q67", raw.schema,
+        Seq("n_nationkey"), Seq(HashComponent(Seq("n_nationkey"), 2)),
+        data = Some(raw))
+      t.upsert(raw.filter(col("n_nationkey") % 4 === 0)
+        .withColumn("n_name", concat(col("n_name"), lit("_T"))))
+      GraftTable.softDrop(loc)
+      if (!GraftTable.isTrashed(loc))
+        throw new IllegalStateException("softDrop must mark the table")
+      val refused =
+        try { GraftTable.load(s, loc); false }
+        catch { case _: IllegalArgumentException => true }
+      if (!refused)
+        throw new IllegalStateException("a trashed table must refuse load()")
+      val f = new java.io.File(loc)
+      s.conf.set("spark.sql.catalog.gq67",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq67.warehouse", f.getParent)
+      if (s.sql("SHOW TABLES IN gq67").collect()
+          .exists(_.getString(1) == f.getName))
+        throw new IllegalStateException(
+          "a trashed table must vanish from SHOW TABLES")
+      val sqlRefused =
+        try { s.table(s"gq67.`${f.getName}`").count(); false }
+        catch { case _: org.apache.spark.sql.AnalysisException => true }
+      if (!sqlRefused)
+        throw new IllegalStateException("a trashed table must refuse SQL reads")
+      if (GraftTable.purgeIfExpired(loc))
+        throw new IllegalStateException(
+          "purge inside the reserve window must be a no-op")
+      GraftTable.recall(loc)
+      GraftTable.load(s, loc).scan().orderBy("n_nationkey")
+    }),
+
     "q66_locate_row" -> ((s, dir) => {
       // D6 hash-gated (was spec-only): key→tablet location
       // (Partitioner.partitionRow / `kudu table locate_row`) verified
@@ -2091,6 +2136,13 @@ object Queries {
       ("SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_price " +
         "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
+
+    // the recalled table's merge-on-read state: base plus the pre-trash
+    // upserts, nothing lost and nothing purged
+    "q67_trash_recall" ->
+      ("SELECT n_nationkey, " +
+        "CASE WHEN n_nationkey % 4 = 0 THEN n_name || '_T' ELSE n_name END AS n_name, " +
+        "n_regionkey FROM nation ORDER BY n_nationkey"),
 
     // the engine must VERIFY placement (booleans computed from physical
     // files vs locateRow) — the oracle pins the only correct answer

@@ -94,14 +94,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = java.nio.file.Paths.get((s"$warehouse" +: namespace.toSeq).mkString("/"))
     if (!java.nio.file.Files.isDirectory(dir)) return Array.empty
+    // soft-deleted tables are HIDDEN from normal listing (the reference's
+    // soft_deleted tables need an explicit recall — catalog_manager.h:701);
+    // their name stays reserved until recall or purge
     java.nio.file.Files.list(dir).iterator().asScala
-      .filter(p => GraftTable.exists(p.toString))
+      .filter(p => GraftTable.exists(p.toString) &&
+        !GraftTable.isTrashed(p.toString))
       .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
   }
 
   override def loadTable(ident: Identifier): Table = {
     val loc = locationFor(ident)
-    if (!GraftTable.exists(loc)) throw new NoSuchTableException(ident)
+    // a trashed table must not resolve: without this check SQL reads AND
+    // writes kept flowing to a soft-deleted table (GraftTable.load refuses,
+    // but this path reads the manifest directly)
+    if (!GraftTable.exists(loc) || GraftTable.isTrashed(loc))
+      throw new NoSuchTableException(ident)
     new GraftV2Table(TableMeta.readCurrent(loc))
   }
 

@@ -298,7 +298,10 @@ object GraftTools {
           !p.getFileName.toString.startsWith(".")).toSeq
     }
     children.flatMap { p =>
-      if (graft.catalog.TableMeta.exists(p.toString)) Seq(p)
+      if (graft.catalog.TableMeta.exists(p.toString))
+        // soft-deleted tables refuse load(); the sweep skips them instead
+        // of logging a failure every tick until recall or purge
+        if (GraftTable.isTrashed(p.toString)) Nil else Seq(p)
       else listWarehouseTables(p)
     }
   }
