@@ -341,4 +341,65 @@ class PipelineScaleSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"no sort-merge join belongs in the mix plan:\n$plan")
   }
+
+  test("p38 persisted-index probe reproduces p13's math for the gate queries") {
+    // the index PERSISTENCE changes where the bytes live (an engine table,
+    // hash(cell, 16), probed through PartitionPruner — the in-query gate
+    // asserts the file pruning), never the math: same centroids, same
+    // assignment, same ranking as the per-run IVF
+    val idx = SparkEntry.queries("p38_ann_index")(spark, dir).collect()
+    val ivf = SparkEntry.queries("p13_ann_ivf")(spark, dir)
+      .filter("query_id < 2").collect()
+    assert(idx.nonEmpty)
+    assert(idx.map(_.toSeq).toSeq == ivf.map(_.toSeq).toSeq,
+      s"index probe diverged from IVF:\n${idx.mkString("\n")}\nvs\n${ivf.mkString("\n")}")
+  }
+
+  test("p39 classifier inference is one narrow pass — no joins, model inline") {
+    val df = SparkEntry.queries("p39_quality_classifier")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // inference = explode + inline weight + one per-doc agg; a join or a
+    // second aggregate would mean the "model" became corpus state (that is
+    // p35's shape, not a classifier's)
+    assert(!plan.contains("Join"), s"classifier inference must not join:\n$plan")
+    val aggLines = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggLines <= 2, // partial + final of the ONE per-doc agg
+      s"classifier inference must aggregate once:\n$plan")
+  }
+
+  test("p40 fuzzy decontamination broadcasts the eval side") {
+    val df = SparkEntry.queries("p40_fuzzy_decontam")(spark, dir)
+    val rows = df.collect()
+    // the ratio test is integer-exact and the overlap is bounded by the
+    // eval doc's gram count
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3),
+        s"shared grams cannot exceed the eval doc's total: $r")
+      assert(r.getBoolean(4) == (r.getLong(2) * 10 >= r.getLong(3) * 8))
+    }
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the gram join must not sort-merge the corpus:\n$plan")
+  }
+
+  test("p41 BPE merge counts: dense ranks, non-increasing counts, vocab-sized explode") {
+    val df = SparkEntry.queries("p41_bpe_merges")(spark, dir)
+    val rows = df.collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length),
+      "ranks must be dense from 1")
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      "merge candidates must come out count-descending")
+    assert(rows.forall(_.getString(1).length == 2), "pairs are 2 chars")
+    // the rank window runs post-limit (20 rows), never over the corpus —
+    // and nothing in the plan joins
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"merge counting must not join:\n$plan")
+  }
 }
