@@ -1363,53 +1363,16 @@ object Pipeline {
       // the per-batch pruning fraction is a capacity property, not a
       // correctness one.)
       val loc = annIndexLoc.computeIfAbsent(dir, _ => {
-        import org.apache.spark.sql.types._
-        val assigned = medoidAssigned(s, dir)
-          .select(col("cell"), col("vec_id"), col("v"))
-        val schema = StructType(Seq(
-          StructField("cell", LongType, nullable = false),
-          StructField("vec_id", LongType, nullable = false),
-          StructField("v", ArrayType(DoubleType), nullable = true)))
-        graft.table.GraftTable.create(s,
-          java.nio.file.Files.createTempDirectory("graft-p38-").toString,
-          "ann_index", schema, Seq("cell", "vec_id"),
-          hash = Seq(graft.catalog.HashComponent(Seq("cell"), 16)),
-          data = Some(assigned)).location
+        graft.tools.VectorIndex.build(s,
+          Tables.readonly(s, dir, "embeddings"), "vec_id", "embedding",
+          java.nio.file.Files.createTempDirectory("graft-p38-").toString
+            + "/idx").location
       })
-      val t = graft.table.GraftTable.load(s, loc)
-      val cents = medoidCents(s, dir)
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(col("d").desc, col("cell"))
-      val probe = cachedNormVecs(s, dir).filter(col("vec_id") < 2)
+      val idx = graft.table.GraftTable.load(s, loc)
+      val queries = cachedNormVecs(s, dir).filter(col("vec_id") < 2)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        .crossJoin(broadcast(cents))
-        .withColumn("d", dot(col("qv"), col("cv")))
-        .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
-        .select(col("query_id"), col("qv"), col("cell"))
-      // the probe set is per-query-batch small by construction (queries ×
-      // nProbe cells) — the one driver-side collect an index lookup needs
-      val cells = probe.select("cell").distinct()
-        .collect().map(_.getLong(0)).sorted
-      val filters: Seq[org.apache.spark.sql.sources.Filter] =
-        Seq(org.apache.spark.sql.sources.In("cell", cells.map(c => c: Any)))
-      val kept = graft.sources.PartitionPruner.pruneFiles(
-        t.meta, t.meta.baseFiles, filters)
-      val total = t.meta.baseFiles.length
-      // ≤6 probed cells → ≤6 of 16 hash buckets: more than half the index
-      // files must never open, or the "index" is a full scan in disguise
-      if (kept.length * 2 > total)
-        throw new IllegalStateException(
-          s"index probe must prune hash buckets: kept ${kept.length} of " +
-            s"$total files for ${cells.length} probed cells")
-      val wRank = Window.partitionBy(col("query_id"))
-        .orderBy(col("c").desc, col("neighbor_id"))
-      t.scanPruned(filters)
-        .join(broadcast(probe), "cell")
-        .filter(col("query_id") =!= col("vec_id"))
-        .withColumn("c", dot(col("qv"), col("v")))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("c"))
-        .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= 3)
-        .select("query_id", "neighbor_id", "rank")
+      graft.tools.VectorIndex
+        .probe(s, idx, queries, nProbe = 2, k = 3, assertPrune = true)
         .orderBy("query_id", "rank")
     }),
 

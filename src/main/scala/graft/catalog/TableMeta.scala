@@ -271,10 +271,20 @@ case class TableMeta(
     // session shuffle partitions) — a re-clustering compaction must not
     // balloon a 16-file layout to spark.sql.shuffle.partitions files.
     clusterBy: Option[Seq[Int]] = None,
-    clusterFiles: Option[Int] = None) {
+    clusterFiles: Option[Int] = None,
+    // Free-form table properties (the reference's extra_configs —
+    // AlterTableOptions.alterExtraConfigs, master.proto AlterTable
+    // NEW_EXTRA_CONFIGS): engine components persist small state here
+    // (e.g. a vector index's source watermark). Committed like any other
+    // metadata change (files-unchanged version). Option-typed so metadata
+    // written by older builds reads as None.
+    props: Option[Map[String, String]] = None) {
 
   /** First version still readable (time travel / CDC floor). */
   def historyFloor: Long = expiredBefore.getOrElse(1L)
+
+  /** Free-form table properties ([[props]]; empty for older metadata). */
+  def propsMap: Map[String, String] = props.getOrElse(Map.empty)
 
   def schema: StructType = StructType(columns.map(_.toField))
   /** Full key, including the hidden auto-increment column of non-unique-PK

@@ -53,7 +53,8 @@ private[v2] object GraftProcedures {
     "maintain_unschedule", "maintain_unschedule_warehouse",
     "maintain_schedule_status", "maintenance_plan", "merge_tail",
     "delta_stats", "fsck", "fsck_repair", "register", "table_statistics",
-    "txn_begin", "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort")
+    "txn_begin", "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort",
+    "build_vector_index", "refresh_vector_index")
 
   private def spark = SparkSession.active
 
@@ -379,6 +380,37 @@ private[v2] object GraftProcedures {
           val t = GraftTable.register(spark, loc, parts.last,
             in.getUTF8String(1).toString, keys, hash)
           Seq(InternalRow(str(t.location), t.meta.baseFiles.size.toLong))
+        })
+      case "build_vector_index" => Some(proc("build_vector_index",
+        "build a maintained IVF vector index over an engine table: every " +
+          "vector lands L2-normalized in its nearest-medoid cell inside an " +
+          "index table hash-partitioned on cell (ANN probes prune whole " +
+          "buckets before any file opens), frozen centroids beside it; " +
+          "refresh_vector_index keeps it current from the change stream",
+        Array(tableParam,
+          ProcedureParameter.in("id_col", StringType).build(),
+          ProcedureParameter.in("vec_col", StringType).build(),
+          ProcedureParameter.in("index_location", StringType).build(),
+          ProcedureParameter.in("buckets", IntegerType).defaultValue("16").build()),
+        new StructType().add("location", StringType).add("cells", LongType)) { in =>
+          val idx = graft.tools.VectorIndex.build(spark, locate(in),
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+            in.getUTF8String(3).toString, in.getInt(4))
+          val cells = graft.tools.VectorIndex.centroids(spark, idx).count()
+          Seq(InternalRow(str(idx.location), cells))
+        })
+      case "refresh_vector_index" => Some(proc("refresh_vector_index",
+        "incrementally refresh a vector index from its source table's " +
+          "change stream: changed keys only (changesSince fast path), " +
+          "re-assigned against the frozen centroids, committed as ONE " +
+          "atomic transaction; no-op when the watermark is current",
+        Array(ProcedureParameter.in("index_location", StringType).build()),
+        new StructType().add("refreshed", BooleanType)
+          .add("source_version", LongType)) { in =>
+          val idx = GraftTable.load(spark, in.getUTF8String(0).toString)
+          val did = graft.tools.VectorIndex.refresh(spark, idx)
+          Seq(InternalRow(did,
+            idx.properties(graft.tools.VectorIndex.SrcVersionKey).toLong))
         })
       case "backup" => Some(proc("backup",
         "full backup: export a snapshot (head or an explicit version) as " +

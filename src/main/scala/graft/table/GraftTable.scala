@@ -1205,6 +1205,25 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       operation = "analyze", colStats = Some(stats), analyzedVersion = Some(v)))
   }
 
+  /** Set (merge) free-form table properties — the reference's
+    * extra_configs surface (AlterTableOptions.alterExtraConfigs). A `None`
+    * value removes the key. Commits one files-unchanged metadata version
+    * under the usual optimistic guard; change streams emit nothing for it
+    * (no delta files carry its seq), same as analyze(). */
+  def setProperties(kv: Map[String, Option[String]]): Unit = {
+    val m = meta
+    val merged = kv.foldLeft(m.propsMap) {
+      case (acc, (k, Some(v))) => acc + (k -> v)
+      case (acc, (k, None)) => acc - k
+    }
+    TableMeta.write(m.copy(version = m.version + 1, timestampMs = now(),
+      operation = "set_properties",
+      props = if (merged.isEmpty) None else Some(merged)))
+  }
+
+  /** Free-form table properties (see [[setProperties]]). */
+  def properties: Map[String, String] = meta.propsMap
+
   /** Per-tablet delta pressure: live-delta row/tombstone counts grouped by
     * the tablet coordinates the base writer partitions with — the pick
     * list for [[compactTablet]] (the analog of the reference's maintenance

@@ -1,0 +1,205 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog.HashComponent
+import graft.functions.TextFunctions.{dot, l2norm, toDouble}
+import graft.table.GraftTable
+
+/**
+ * Maintained IVF vector index over an engine table — the build-once /
+ * probe-many / refresh-on-mutation ANN posture a 100 TB corpus needs
+ * (re-quantizing per query batch is the p13 simulation; an index that the
+ * CDC surface keeps current is the production shape).
+ *
+ * Layout: the index is itself an engine table keyed `(cell, id)` and
+ * hash-partitioned on `cell`, holding every source vector L2-normalized in
+ * its IVF cell; the frozen centroids live in a sibling engine table (tiny —
+ * ~min(√n, 4096) rows, broadcast to every consumer). A probe batch reads
+ * the index through the engine's partition pruning: the IN-list over its
+ * probed cells prunes whole hash-bucket file groups before any file opens.
+ *
+ * Refresh rides the engine's own CDC: `changesSince(watermark)` yields the
+ * latest state + tombstones of exactly the mutated keys; re-assignment
+ * touches only those vectors and commits as ONE atomic transaction
+ * (upserts + moved/dead row deletes), with the new source watermark
+ * recorded in the index table's properties. Centroids stay frozen between
+ * rebuilds — the standard IVF contract (assignment drift is bounded by the
+ * mutation rate, and a rebuild is just `build` again).
+ *
+ * Reference anchors: the scan layer this rides is SURVEY.md S8/P4 (PK-range
+ * + hash-bucket pruning); the refresh path is S11 (diff scan) + W9
+ * (multi-row transaction).
+ */
+object VectorIndex {
+
+  val SrcLocKey = "graft.vindex.source"
+  val IdColKey = "graft.vindex.idCol"
+  val VecColKey = "graft.vindex.vecCol"
+  val SrcVersionKey = "graft.vindex.sourceVersion"
+  val CentsLocKey = "graft.vindex.centroids"
+  val ModulusKey = "graft.vindex.modulus"
+
+  /** (id, v): L2-normalized double vectors — the same expression shape as
+    * the pipeline's normalizedVecs, so an index built from the embeddings
+    * table reproduces p13's assignment bit-for-bit. Null vectors drop (a
+    * vector-less row has no cell). */
+  private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = toDouble(col(vecCol))
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
+        zip_with(v, array_repeat(l2norm(v), size(v)), (x, n) => x / n).as("v"))
+  }
+
+  /** Nearest-centroid cell per vector: max dot, ties to the lowest cell —
+    * a map-side-combinable max_by, never a row_number shuffle of the
+    * n×cells cross product. */
+  private def assigned(vecs: DataFrame, idCol: String, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("d", dot(col("v"), col("cv")))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cell"), struct(col("d"), (-col("cell")).cast("double"))).as("cell"),
+        first(col("v")).as("v"))
+      .select(col("cell"), col(idCol), col("v"))
+
+  /**
+   * Build the index beside `source` (any engine table with an integral id
+   * column and an array vector column). Deterministic medoid centroids with
+   * the modulus derived from n — M = max(⌈√n⌉, ⌈n/4096⌉) keeps the cell
+   * count (≈ n/M) sublinear and the centroid broadcast bounded at any
+   * scale. Two engine tables are created: `location` (the index) and
+   * `location + "_cents"` (the frozen centroids).
+   */
+  def build(spark: SparkSession, source: GraftTable, idCol: String,
+      vecCol: String, location: String, buckets: Int = 16): GraftTable = {
+    val m = source.meta
+    require(m.column(idCol).dataType == LongType,
+      s"vector index id column must be LONG, got ${m.column(idCol).dataType}")
+    val srcVersion = m.version
+    val vecs = normalized(source.scan(), idCol, vecCol)
+    val n = vecs.count()
+    require(n > 0, s"${m.name} has no vectors in $vecCol")
+    val mMod = math.max(1L, math.max(
+      math.ceil(math.sqrt(n.toDouble)).toLong,
+      math.ceil(n / 4096.0).toLong))
+    val cents = vecs.filter(col(idCol) % mMod === lit(5L % mMod))
+      .select(col(idCol).as("cell"), col("v").as("cv"))
+    val centsLoc = location + "_cents"
+    GraftTable.create(spark, centsLoc, s"${m.name}_${vecCol}_cents",
+      StructType(Seq(
+        StructField("cell", LongType, nullable = false),
+        StructField("cv", ArrayType(DoubleType), nullable = true))),
+      Seq("cell"), data = Some(cents))
+    val idx = GraftTable.create(spark, location, s"${m.name}_${vecCol}_idx",
+      StructType(Seq(
+        StructField("cell", LongType, nullable = false),
+        StructField(idCol, LongType, nullable = false),
+        StructField("v", ArrayType(DoubleType), nullable = true))),
+      Seq("cell", idCol),
+      hash = Seq(HashComponent(Seq("cell"), buckets)),
+      data = Some(assigned(vecs, idCol, cents)))
+    idx.setProperties(Map(
+      SrcLocKey -> Some(m.location),
+      IdColKey -> Some(idCol),
+      VecColKey -> Some(vecCol),
+      SrcVersionKey -> Some(srcVersion.toString),
+      CentsLocKey -> Some(centsLoc),
+      ModulusKey -> Some(mMod.toString)))
+    idx
+  }
+
+  /** The index's frozen centroid frame (cell, cv). */
+  def centroids(spark: SparkSession, index: GraftTable): DataFrame =
+    GraftTable.load(spark, index.properties(CentsLocKey)).scan()
+
+  /**
+   * ANN probe: `queries` is (query_id LONG, qv ARRAY<DOUBLE> normalized);
+   * each query ranks the exact dot top-k within its `nProbe` nearest cells.
+   * The index scan carries an IN-list over the batch's probed cells, so
+   * whole hash buckets prune before any file opens; `assertPrune` turns
+   * that into a hard in-query gate (≤ half the index files may open).
+   */
+  def probe(spark: SparkSession, index: GraftTable, queries: DataFrame,
+      nProbe: Int = 2, k: Int = 3, assertPrune: Boolean = false): DataFrame = {
+    val idCol = index.properties(IdColKey)
+    val cents = centroids(spark, index)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("d").desc, col("cell"))
+    val probeCells = queries.crossJoin(broadcast(cents))
+      .withColumn("d", dot(col("qv"), col("cv")))
+      .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    // the probe set is per-query-batch small by construction (queries ×
+    // nProbe cells) — the one driver-side collect an index lookup needs
+    val cells = probeCells.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val filters: Seq[org.apache.spark.sql.sources.Filter] =
+      Seq(org.apache.spark.sql.sources.In("cell", cells.map(c => c: Any)))
+    if (assertPrune) {
+      val kept = graft.sources.PartitionPruner.pruneFiles(
+        index.meta, index.meta.baseFiles, filters)
+      val total = index.meta.baseFiles.length
+      if (kept.length * 2 > total)
+        throw new IllegalStateException(
+          s"index probe must prune hash buckets: kept ${kept.length} of " +
+            s"$total files for ${cells.length} probed cells")
+    }
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("neighbor_id"))
+    index.scanPruned(filters)
+      .join(broadcast(probeCells), "cell")
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("c", dot(col("qv"), col("v")))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("c"))
+      .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /**
+   * Incremental refresh from the source's change stream: reads ONLY the
+   * keys mutated since the recorded watermark (`changesSince` — the S11
+   * fast path when no compaction intervened), re-assigns their vectors
+   * against the frozen centroids, and commits upserts + moved/dead-row
+   * tombstones as ONE atomic transaction. O(changed × cells), never
+   * O(index). Returns false when the index is already current.
+   */
+  def refresh(spark: SparkSession, index: GraftTable): Boolean = {
+    val p = index.properties
+    val src = GraftTable.load(spark, p(SrcLocKey))
+    val v0 = p(SrcVersionKey).toLong
+    val v1 = src.meta.version
+    if (v1 == v0) return false
+    val idCol = p(IdColKey)
+    val vecCol = p(VecColKey)
+    val cents = centroids(spark, index)
+    val changed = src.changesSince(v0, v1)
+      .select(col(idCol), col(vecCol), col(GraftTable.DeletedCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // latest state of surviving mutated vectors → their (possibly moved)
+      // cells; a NULLed-out vector counts as removal
+      val fresh = assigned(
+        normalized(changed.filter(!col(GraftTable.DeletedCol)), idCol, vecCol),
+        idCol, cents)
+      // every index row a mutated key currently occupies; delete the ones
+      // the fresh assignment does not re-assert (the txn allows one op per
+      // key, and upsert already covers re-asserted (cell, id) rows). The
+      // changed-key set is small in steady state — Spark picks the join
+      // strategy (no forced broadcast: a backfill-sized refresh must not
+      // OOM the driver).
+      val keys = changed.select(col(idCol)).distinct()
+      val stale = index.scan().select(col("cell"), col(idCol))
+        .join(keys, Seq(idCol), "left_semi")
+        .join(fresh.select(col("cell"), col(idCol)), Seq("cell", idCol), "left_anti")
+      index.transaction { txn =>
+        txn.upsert(fresh)
+        txn.delete(stale)
+      }
+      index.setProperties(Map(SrcVersionKey -> Some(v1.toString)))
+      true
+    } finally changed.unpersist(blocking = false)
+  }
+}

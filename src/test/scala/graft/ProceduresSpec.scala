@@ -95,6 +95,33 @@ class ProceduresSpec extends AnyFunSuite {
     assert(t.scan().count() == 60)
   }
 
+  test("CALL build_vector_index + refresh_vector_index drive the ANN index") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11).toFloat - 5f)))
+      .toDF("id", "emb")
+    GraftTable.create(spark, s"$wh/vsrc", "vsrc",
+      StructType(Seq(StructField("id", LongType, false),
+        StructField("emb", ArrayType(FloatType)))),
+      keys = Seq("id"), data = Some(vecs))
+    val idxLoc = s"$wh/.vidx/vsrc_emb"
+    val built = spark.sql(s"CALL $cat.system.build_vector_index(" +
+      s"'vsrc', 'id', 'emb', '$idxLoc', 4)").collect().head
+    assert(built.getString(0) == idxLoc && built.getLong(1) >= 1)
+    val idx = GraftTable.load(spark, idxLoc)
+    assert(idx.scan().count() == 40)
+    // current watermark → no-op
+    val r0 = spark.sql(
+      s"CALL $cat.system.refresh_vector_index('$idxLoc')").collect().head
+    assert(!r0.getBoolean(0))
+    // mutate the source, refresh through SQL, index reflects it
+    val src = GraftTable.load(spark, s"$wh/vsrc")
+    src.delete(Seq(Tuple1(3L)).toDF("id"))
+    val r1 = spark.sql(
+      s"CALL $cat.system.refresh_vector_index('$idxLoc')").collect().head
+    assert(r1.getBoolean(0) && r1.getLong(1) == src.currentVersion)
+    assert(idx.scan().count() == 39)
+  }
+
   test("SHOW PROCEDURES lists the surface; DESCRIBE PROCEDURE documents it") {
     mkTable("m5")
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
@@ -108,7 +135,8 @@ class ProceduresSpec extends AnyFunSuite {
       "maintenance_plan",
       "merge_tail", "delta_stats",
       "fsck", "fsck_repair", "register", "table_statistics", "txn_begin",
-      "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort"),
+      "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort",
+      "build_vector_index", "refresh_vector_index"),
       listed.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.compact_tablet")
       .collect().map(_.getString(0)).mkString("\n")

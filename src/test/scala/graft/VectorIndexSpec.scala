@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftTable
+import graft.tools.VectorIndex
+
+/**
+ * The maintained IVF index: build correctness (probe == exact ranking
+ * within the probed cells), the pruning contract, and the CDC-driven
+ * incremental refresh (upserts move cells, deletes leave the index, the
+ * whole delta commits as ONE transaction version).
+ */
+class VectorIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Private mutable copy of embeddings + an index over it. */
+  private def freshPair(): (GraftTable, GraftTable) = {
+    val src = Tables.scratch(spark, dir, "embeddings")
+    val root = Files.createTempDirectory("graft-vidx-").toString
+    val idx = VectorIndex.build(spark, src, "vec_id", "embedding", root + "/idx")
+    (src, idx)
+  }
+
+  /** Exact dot ranking within the probed cells, computed independently
+    * from the index table itself (the oracle for probe()). */
+  private def expectedTopK(idx: GraftTable, queryIds: Seq[Long],
+      nProbe: Int, k: Int): Seq[(Long, Long, Int)] = {
+    val all = idx.scan().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val cents = VectorIndex.centroids(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dotp(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    queryIds.flatMap { q =>
+      val qv = all.find(_._2 == q).get._3
+      val probed = cents.map { case (c, cv) => (c, dotp(qv, cv)) }
+        .sortBy { case (c, d) => (-d, c) }.take(nProbe).map(_._1).toSet
+      all.filter(r => probed.contains(r._1) && r._2 != q)
+        .map(r => (r._2, dotp(qv, r._3)))
+        .sortBy { case (id, d) => (-d, id) }.take(k).zipWithIndex
+        .map { case ((id, _), i) => (q, id, i + 1) }
+    }
+  }
+
+  test("probe ranks exactly within probed cells and prunes the index scan") {
+    val (_, idx) = freshPair()
+    val queries = idx.scan().filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val got = VectorIndex.probe(spark, idx, queries, nProbe = 2, k = 3,
+      assertPrune = true) // throws if more than half the files survive
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expectedTopK(idx, Seq(0L, 1L), nProbe = 2, k = 3))
+  }
+
+  test("refresh is incremental: one txn version, moved cells, dead rows gone") {
+    val (src, idx) = freshPair()
+    val v0 = idx.meta.version
+    assert(!VectorIndex.refresh(spark, idx), "current index must no-op")
+    assert(idx.meta.version == v0, "a no-op refresh must not commit")
+
+    // mutate the source: re-vector one id (forcing a likely cell move by
+    // pointing it AT a centroid), delete another
+    val cents = VectorIndex.centroids(spark, idx).collect()
+    val targetCell = cents.map(_.getLong(0)).max
+    val cv = cents.find(_.getLong(0) == targetCell).get.getSeq[Double](1)
+    import spark.implicits._
+    val moved = 1L // query vector 1 now sits exactly on targetCell's centroid
+    val dead = 7L
+    src.upsert(Seq((moved, cv.map(_.toFloat)))
+      .toDF("vec_id", "embedding"))
+    src.delete(Seq(Tuple1(dead)).toDF("vec_id"))
+
+    val before = idx.meta.version
+    assert(VectorIndex.refresh(spark, idx))
+    // exactly two commits: the txn (upsert+delete) and the watermark prop
+    assert(idx.meta.version == before + 2,
+      s"refresh must commit one txn + one watermark, got ${idx.meta.version - before}")
+
+    val rows = idx.scan().collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toMap // id -> cell
+    assert(!rows.contains(dead), "deleted vector must leave the index")
+    assert(rows(moved) == targetCell,
+      s"re-vectored id must re-assign to its new cell, got ${rows(moved)}")
+    // one index row per live source id — no duplicate (old-cell) residue
+    val n = idx.scan().count()
+    assert(n == idx.scan().select("vec_id").distinct().count(),
+      "a moved vector must not leave its old-cell row behind")
+    assert(n == src.scan().count())
+
+    // a second refresh with no new source commits is a no-op again
+    assert(!VectorIndex.refresh(spark, idx))
+  }
+
+  test("setProperties merges, removes, and survives reload") {
+    val loc = Files.createTempDirectory("graft-props-").toString
+    import spark.implicits._
+    val t = GraftTable.create(spark, loc, "props_t",
+      Seq((1L, "a")).toDF("k", "s").schema, Seq("k"),
+      data = Some(Seq((1L, "a")).toDF("k", "s")))
+    t.setProperties(Map("x" -> Some("1"), "y" -> Some("2")))
+    t.setProperties(Map("x" -> Some("3"), "y" -> None, "z" -> Some("4")))
+    assert(GraftTable.load(spark, loc).properties == Map("x" -> "3", "z" -> "4"))
+    // scans and mutations still work across the files-unchanged versions
+    t.upsert(Seq((2L, "b")).toDF("k", "s"))
+    assert(t.scan().count() == 2)
+  }
+}
