@@ -239,6 +239,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     val m = t.meta
     // pass 1: validate everything against a simulated column-name set
     val names = scala.collection.mutable.Set[String](m.columns.map(_.name): _*)
+    // free-form (non-storage-attribute) property changes batch into one
+    // TableMeta.props commit in pass 2
+    val freeform = scala.collection.mutable.ArrayBuffer[(String, Option[String])]()
     def one(fieldNames: Array[String]): String = {
       require(fieldNames.length == 1, "nested columns are not supported")
       fieldNames.head
@@ -284,13 +287,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
             existing(k.stripPrefix("graft.bloom."))
             require(Seq("true", "false").contains(p.value),
               s"graft.bloom.<col> takes true|false, not ${p.value}")
-          case other => throw new UnsupportedOperationException(
-            s"unsupported table property for graft tables: $other")
+          // unknown graft.* keys refuse (a storage-attribute typo must not
+          // silently become inert metadata); anything else persists as a
+          // free-form engine property (the extra_configs analog,
+          // TableMeta.props) and reads back through Table.properties()
+          case other if other.startsWith("graft.") =>
+            throw new UnsupportedOperationException(
+              s"unknown graft storage attribute: $other")
+          case _ => ()
         }
       case p: TableChange.RemoveProperty =>
-        require(p.property.startsWith("graft.compression."),
-          s"only per-column compression attributes can be unset, not ${p.property}")
-        existing(p.property.stripPrefix("graft.compression."))
+        if (p.property.startsWith("graft.compression."))
+          existing(p.property.stripPrefix("graft.compression."))
+        else require(!p.property.startsWith("graft."),
+          "among graft.* keys only per-column compression attributes can " +
+            s"be unset, not ${p.property}")
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER for graft tables: $other")
@@ -317,12 +328,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
             t.setColumnEncoding(k.stripPrefix("graft.encoding."), p.value)
           case k if k.startsWith("graft.bloom.") =>
             t.setColumnBloom(k.stripPrefix("graft.bloom."), p.value.toBoolean)
-          case _ => ()
+          case k => freeform += (k -> Some(p.value))
         }
       case p: TableChange.RemoveProperty =>
-        t.setColumnCompression(p.property.stripPrefix("graft.compression."), None)
+        if (p.property.startsWith("graft.compression."))
+          t.setColumnCompression(p.property.stripPrefix("graft.compression."), None)
+        else freeform += (p.property -> None)
       case _ => ()
     }
+    // free-form property sets/unsets from this ALTER batch into ONE
+    // metadata version
+    if (freeform.nonEmpty) t.setProperties(freeform.toMap)
     new GraftV2Table(TableMeta.readCurrent(loc))
   }
 
@@ -802,6 +818,13 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
   override def name(): String = meta.name
   override def schema(): StructType =
     StructType(meta.visibleColumns.map(_.toField))
+  /** Free-form engine properties (TableMeta.props — the extra_configs
+    * analog) surface through SHOW TBLPROPERTIES / DESCRIBE EXTENDED. */
+  override def properties(): util.Map[String, String] = {
+    val out = new util.HashMap[String, String]()
+    meta.propsMap.foreach { case (k, v) => out.put(k, v) }
+    out
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)

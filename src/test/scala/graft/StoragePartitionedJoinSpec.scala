@@ -666,9 +666,22 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     def msgs(x: Throwable): Seq[String] =
       Option(x).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ msgs(t.getCause))
     assert(msgs(e2).exists(_.contains("key")), e2.toString)
+    // unknown graft.* keys refuse (a storage-attribute typo must not
+    // become inert metadata)...
     intercept[Exception] {
-      spark.sql("ALTER TABLE gddl.nt SET TBLPROPERTIES ('random.prop'='x')")
+      spark.sql("ALTER TABLE gddl.nt SET TBLPROPERTIES ('graft.compresion'='x')")
     }
+    // ...but free-form properties persist in the engine's extra-configs
+    // (TableMeta.props) and read back through SHOW TBLPROPERTIES
+    spark.sql("ALTER TABLE gddl.nt SET TBLPROPERTIES " +
+      "('random.prop'='x', 'team'='data-eng')")
+    val shown = spark.sql("SHOW TBLPROPERTIES gddl.nt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("random.prop").contains("x") && shown.get("team").contains("data-eng"),
+      shown.toString)
+    assert(t.properties == Map("random.prop" -> "x", "team" -> "data-eng"))
+    spark.sql("ALTER TABLE gddl.nt UNSET TBLPROPERTIES ('random.prop')")
+    assert(GraftTable.load(spark, s"$wh/nt").properties == Map("team" -> "data-eng"))
   }
 
   test("V2 DDL: ALTER TABLE RENAME moves the table, snapshots stay readable") {
