@@ -93,14 +93,22 @@ object VectorIndex {
         StructField("cell", LongType, nullable = false),
         StructField("cv", ArrayType(DoubleType), nullable = true))),
       Seq("cell"), data = Some(cents))
-    val idx = GraftTable.create(spark, location, s"${m.name}_${vecCol}_idx",
-      StructType(Seq(
-        StructField("cell", LongType, nullable = false),
-        StructField(idCol, LongType, nullable = false),
-        StructField("v", ArrayType(DoubleType), nullable = true))),
-      Seq("cell", idCol),
-      hash = Seq(HashComponent(Seq("cell"), buckets)),
-      data = Some(assigned(vecs, idCol, cents)))
+    val idx =
+      try GraftTable.create(spark, location, s"${m.name}_${vecCol}_idx",
+        StructType(Seq(
+          StructField("cell", LongType, nullable = false),
+          StructField(idCol, LongType, nullable = false),
+          StructField("v", ArrayType(DoubleType), nullable = true))),
+        Seq("cell", idCol),
+        hash = Seq(HashComponent(Seq("cell"), buckets)),
+        data = Some(assigned(vecs, idCol, cents)))
+      catch {
+        case e: Throwable =>
+          // don't strand a half-built index: the cents table is useless
+          // without its index
+          try GraftTable.drop(centsLoc) catch { case _: Throwable => () }
+          throw e
+      }
     idx.setProperties(Map(
       SrcLocKey -> Some(m.location),
       IdColKey -> Some(idCol),
@@ -165,6 +173,10 @@ object VectorIndex {
    * against the frozen centroids, and commits upserts + moved/dead-row
    * tombstones as ONE atomic transaction. O(changed × cells), never
    * O(index). Returns false when the index is already current.
+   *
+   * If the source's history GC expired the watermark version, the change
+   * read errors cleanly ("expired") — rebuild with [[build]] (an index
+   * left unrefreshed past the retention window has no cheaper path).
    */
   def refresh(spark: SparkSession, index: GraftTable): Boolean = {
     val p = index.properties
