@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -797,9 +797,7 @@ object Queries {
       // (2h apart so they never pair with data or each other); they are
       // filtered AFTER the watermark node so eviction still advances.
       import s.implicits._
-      import scala.jdk.CollectionConverters._
       val raw = Tables.raw(s, dir, "events")
-      val total = raw.count()
       val srcLoc = tmpLoc("graft-q63-src-")
       val src = GraftTable.create(s, srcLoc, "ev63", raw.schema,
         Seq("event_id"), Seq(HashComponent(Seq("event_id"), 2)))
@@ -848,15 +846,26 @@ object Queries {
           // 3 chronological chunks, each ONE committed source version:
           // enough watermark progression for mid-stream append emission +
           // state eviction; per-batch fixed cost dominates, so the chunk
-          // count is the knob. The driver holds one chunk at a time.
-          val chunk = math.max(1L, total / 3).toInt
-          var maxTs = 0L
-          raw.orderBy("ts").as[Ev]
-            .toLocalIterator().asScala.grouped(chunk).foreach { batch =>
-              maxTs = batch.last.ts.getTime
-              src.upsert(batch.toDF())
-              q.processAllAvailable()
-            }
+          // count is the knob. Chunk membership is a ts-range predicate —
+          // each chunk upserts as a DISTRIBUTED filter of the raw frame
+          // (the old replay sorted 100k rows and round-tripped them
+          // through the driver per iteration; boundary exactness is
+          // irrelevant as long as the chunks partition the data in time
+          // order, which range predicates give by construction)
+          val bounds = raw.agg(
+            percentile_approx(unix_micros(col("ts")),
+              array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("qs"),
+            max(unix_micros(col("ts"))).as("mx")).collect()(0)
+          val Seq(b1, b2) = bounds.getSeq[Long](0)
+          val maxTs = bounds.getLong(1) / 1000 // micros → sentinel millis
+          Seq[Column](
+            col("ts").isNull || unix_micros(col("ts")) < b1,
+            unix_micros(col("ts")) >= b1 && unix_micros(col("ts")) < b2,
+            unix_micros(col("ts")) >= b2
+          ).foreach { pred =>
+            src.upsert(raw.filter(pred))
+            q.processAllAvailable()
+          }
           // the source must actually BE the engine stream (this gate
           // validates the engine, not Spark): the progress's source is the
           // change-stream reader
