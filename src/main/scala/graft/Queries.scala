@@ -34,6 +34,9 @@ object Queries {
     * NAME, so gq64 must always resolve to one warehouse. */
   private val q64Wh = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q46's warehouse (3 loaded+ANALYZEd dims), one per (JVM, sfDir). */
+  private val q46Wh = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def tmpLoc(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
@@ -1796,16 +1799,23 @@ object Queries {
       // through the V2 scan's columnStats (skipping analyze() keeps the
       // textual order — CboReorderSpec proves the negative). The result
       // hash-checks against the oracle computing the same join in SQL.
-      val loc = tmpLoc("graft-q46-")
-      def mk(child: String, t: String, keys: Seq[String]): GraftTable = {
-        val raw = Tables.raw(s, dir, t)
-        GraftTable.create(s, s"$loc/$child", child, raw.schema, keys,
-          Seq(HashComponent(Seq(keys.head), 4)), data = Some(raw))
-      }
-      val tf = mk("orders_f", "orders", Seq("o_orderkey"))
-      val tc = mk("customer_d", "customer", Seq("c_custkey"))
-      val tn = mk("nation_d", "nation", Seq("n_nationkey"))
-      Seq(tf, tc, tn).foreach(_.analyze(histograms = true, histogramBins = 16))
+      // tables + ANALYZE build once per (JVM, sfDir) — the query under
+      // measurement is the stats-driven reorder (planning + join), not
+      // the load; the tables are read-only here and the stats are frozen
+      // with them (same memoization contract as q59's clustered fact)
+      val loc = q46Wh.computeIfAbsent(dir, _ => {
+        val l = tmpLoc("graft-q46-")
+        def mk(child: String, t: String, keys: Seq[String]): GraftTable = {
+          val raw = Tables.raw(s, dir, t)
+          GraftTable.create(s, s"$l/$child", child, raw.schema, keys,
+            Seq(HashComponent(Seq(keys.head), 4)), data = Some(raw))
+        }
+        val tf = mk("orders_f", "orders", Seq("o_orderkey"))
+        val tc = mk("customer_d", "customer", Seq("c_custkey"))
+        val tn = mk("nation_d", "nation", Seq("n_nationkey"))
+        Seq(tf, tc, tn).foreach(_.analyze(histograms = true, histogramBins = 16))
+        l
+      })
       s.conf.set("spark.sql.catalog.gq46",
         classOf[graft.sources.v2.GraftCatalog].getName)
       s.conf.set("spark.sql.catalog.gq46.warehouse", loc)
