@@ -49,7 +49,8 @@ object ScaleSmoke {
       // a 20M-row run leaves ~GBs under /tmp (two tables, pre-compaction
       // versions kept for time travel) — the smoke is a measurement, not
       // a table anyone reads later
-      Seq(wh, s"$wh/scale", s"$wh/scale_star")
+      Seq(wh, s"$wh/scale", s"$wh/scale_star", s"$wh/scale_vec",
+        s"$wh/scale_vec_idx", s"$wh/scale_vec_idx_cents")
         .foreach(graft.table.MaintenanceScheduler.unschedule)
       try graft.sources.v2.GraftV2Scan.deleteTree(java.nio.file.Paths.get(wh))
       catch { case _: Throwable => () }
@@ -198,6 +199,38 @@ object ScaleSmoke {
     require(ons.last._2 * 2 <= ons.last._2 + ons.last._3,
       s"runtime filter must prune at least half the clustered fact files " +
         s"at scale (read ${ons.last._2}, pruned ${ons.last._3})")
+    // Maintained vector index at rows/100 vectors (100x the sf0.1 gate's
+    // corpus): build = the n×cells assignment + hash(cell)-partitioned
+    // engine write; probe = a pruned engine scan (assertPrune throws if
+    // more than half the index files survive the probed-cell IN-list);
+    // refresh = a 1% re-vector through the CDC path, ONE transaction.
+    val annRows = math.max(10000L, rows / 100)
+    val vecs = spark.range(annRows).select(col("id"), expr(
+      "transform(sequence(0, 15), d -> cast(pmod(id * 31 + d * 17, 97) - 48 as float))")
+      .as("emb"))
+    val (annSrc, annIdx) = timed("ann_index_build") {
+      val src = GraftTable.create(spark, s"$wh/scale_vec", "scale_vec",
+        vecs.schema, Seq("id"), data = Some(vecs))
+      (src, VectorIndex.build(spark, src, "id", "emb",
+        s"$wh/scale_vec_idx", buckets = 32))
+    }
+    stats += "ann_rows" -> annRows
+    stats += "ann_cells" -> VectorIndex.centroids(spark, annIdx).count()
+    stats += "ann_index_files" -> annIdx.meta.baseFiles.length.toLong
+    timed("ann_probe_batch") {
+      val queries = annIdx.scan().filter(col("id") < 6)
+        .select(col("id").as("query_id"), col("v").as("qv"))
+      val got = VectorIndex.probe(spark, annIdx, queries,
+        nProbe = 2, k = 3, assertPrune = true).collect()
+      require(got.length == 18, s"probe must rank 3 per query, got ${got.length}")
+    }
+    timed("ann_refresh") {
+      annSrc.upsert(vecs.filter(pmod(col("id"), lit(100)) === 7)
+        .withColumn("emb", expr("transform(emb, x -> cast(-x as float))")))
+      require(VectorIndex.refresh(spark, annIdx), "refresh must see the mutation")
+      val n = annIdx.scan().count()
+      require(n == annRows, s"index must stay one row per vector: $n != $annRows")
+    }
     Result(steps.toSeq, stats.toSeq)
   }
 }
