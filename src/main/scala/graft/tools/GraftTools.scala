@@ -271,15 +271,38 @@ object GraftTools {
     * preempted never stops the sweep. Returns (tableName → compacted). */
   def maintainWarehouse(spark: SparkSession, warehouseDir: String,
       maxDeltaRatio: Double = 0.2, maxDeltaFiles: Int = 64,
-      perTablet: Boolean = true): Map[String, Boolean] = {
+      perTablet: Boolean = true, parallelism: Int = 4): Map[String, Boolean] = {
     val root = java.nio.file.Paths.get(warehouseDir)
-    listWarehouseTables(root).map { p =>
+    val tables = listWarehouseTables(root)
+    def one(p: java.nio.file.Path): (String, Boolean) = {
       val ran =
         try GraftTable.load(spark, p.toString)
           .maintain(maxDeltaRatio, maxDeltaFiles, perTablet = perTablet)
         catch { case _: Exception => false } // sweep on: one sick table ≠ a dead loop
       root.relativize(p).toString -> ran
-    }.toMap
+    }
+    // Distinct tables commit independently, so their folds run CONCURRENTLY
+    // on a bounded driver pool (the reference's maintenance manager runs a
+    // worker pool over tablets, util/maintenance_manager.h) — a warehouse
+    // sweep of K dirty tables costs max(fold) wall, not sum(fold). A fold
+    // racing a foreground writer on its own table still yields (maintain's
+    // contract); distinct locations cannot conflict.
+    val par = math.max(1, math.min(parallelism, tables.size))
+    if (par <= 1) tables.map(one).toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-maintain-wh")
+          t.setDaemon(true)
+          t
+        })
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(tables.map(p =>
+          (() => one(p)): java.util.concurrent.Callable[(String, Boolean)]).asJava)
+          .asScala.map(_.get()).toMap
+      } finally pool.shutdown()
+    }
   }
 
   /** Every graft table under a warehouse directory, recursing into

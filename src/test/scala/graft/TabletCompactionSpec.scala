@@ -172,6 +172,26 @@ class TabletCompactionSpec extends AnyFunSuite {
       (1 to 40).map(i => i -> s"u$i").toMap)
   }
 
+  test("maintainWarehouse folds distinct dirty tables concurrently") {
+    val wh = tmp()
+    def mk(name: String): GraftTable = {
+      val data = (1 to 40).map(i => (i, s"v$i")).toDF("k", "v")
+      GraftTable.create(spark, s"$wh/$name", name,
+        StructType(Seq(StructField("k", IntegerType, false), StructField("v", StringType))),
+        keys = Seq("k"), hash = Seq(HashComponent(Seq("k"), 2)), data = Some(data))
+    }
+    val ts = (1 to 4).map(i => mk(s"dirty$i"))
+    ts.foreach(t => t.upsert((1 to 40).map(i => (i, s"u$i")).toDF("k", "v")))
+    val report = graft.tools.GraftTools.maintainWarehouse(spark, wh,
+      maxDeltaRatio = 0.0001, parallelism = 4)
+    assert(report == (1 to 4).map(i => s"dirty$i" -> true).toMap, report.toString)
+    ts.foreach { t =>
+      assert(t.meta.deltaFiles.isEmpty)
+      assert(t.scan().collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+        (1 to 40).map(i => i -> s"u$i").toMap)
+    }
+  }
+
   test("compactTablet refuses under pending range drops") {
     val rows = (1 to 20).map(i =>
       (i, java.sql.Date.valueOf(s"${2020 + i % 2}-03-15"), s"v$i")).toDF("id", "d", "v")
