@@ -97,6 +97,40 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(!VectorIndex.refresh(spark, idx))
   }
 
+  test("invariant: after any mutation rounds, index == fresh assignment vs frozen centroids") {
+    val (src, idx) = freshPair()
+    import spark.implicits._
+    // 3 deterministic mutation rounds: re-vector a band, delete a band,
+    // insert brand-new ids past the original keyspace
+    (1 to 3).foreach { round =>
+      src.upsert(src.scan().filter(col("vec_id") % 13 === round)
+        .withColumn("embedding",
+          expr("transform(embedding, x -> cast(-x as float))")))
+      src.delete(src.scan().filter(col("vec_id") % 37 === round)
+        .select("vec_id"))
+      src.insert(Seq((1000L + round, Array.tabulate(64)(d =>
+        ((round * 31 + d * 7) % 19 - 9).toFloat))).toDF("vec_id", "embedding"))
+      assert(VectorIndex.refresh(spark, idx))
+    }
+    // ground truth: every CURRENT source vector assigned to its nearest
+    // FROZEN centroid (the IVF contract between rebuilds)
+    val cents = VectorIndex.centroids(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dotp(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val want = src.scan().collect().map { r =>
+      val raw = r.getSeq[Float](1).map(_.toDouble).toArray
+      val n = math.sqrt(dotp(raw, raw))
+      val v = raw.map(_ / n)
+      val cell = cents.map { case (c, cv) => (c, dotp(v, cv)) }
+        .minBy { case (c, d) => (-d, c) }._1
+      r.getLong(0) -> cell
+    }.toMap
+    val got = idx.scan().collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(got == want,
+      s"diverged on ${got.toSet.diff(want.toSet).take(5)} vs ${want.toSet.diff(got.toSet).take(5)}")
+  }
+
   test("setProperties merges, removes, and survives reload") {
     val loc = Files.createTempDirectory("graft-props-").toString
     import spark.implicits._
