@@ -1376,6 +1376,30 @@ object Pipeline {
         .orderBy("query_id", "rank")
     }),
 
+    "p42_knn_join" -> ((s, dir) => {
+      // Batch k-NN JOIN — every vector's nearest neighbor within its IVF
+      // cell (the SemDeDup cluster-local 1-NN that drives keep/drop
+      // decisions, and the cross-corpus retrieval-eval staple). The
+      // memoized medoid assignment buckets the corpus; each cell
+      // self-joins on the cell key (never all-pairs — cells are ~√n, so
+      // the pair volume is n^1.5-bounded at even occupancy, and the
+      // assignment itself is the bound at skew); top-1 per vector by
+      // exact dot, ties to the lowest neighbor id. Singleton cells emit
+      // nothing (no neighbor exists inside them — the honest per-cell
+      // contract; raising recall is a probe-more-cells knob, p13's).
+      val assigned = medoidAssigned(s, dir) // (vec_id, v, cell)
+      val a = assigned.select(col("cell"), col("vec_id"), col("v"))
+      val b = assigned.select(col("cell"), col("vec_id").as("nn_id"),
+        col("v").as("nv"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c").desc, col("nn_id"))
+      a.join(b, Seq("cell")).filter(col("vec_id") =!= col("nn_id"))
+        .withColumn("c", dot(col("v"), col("nv")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("nn_id"), col("cell"))
+        .orderBy("vec_id")
+    }),
+
     "p39_quality_classifier" -> ((s, dir) => {
       // Quality-classifier INFERENCE (the fasttext-style wiki-vs-CC filter
       // production corpora run before training): hashed unigram + adjacent
@@ -1853,6 +1877,21 @@ object Pipeline {
         "SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank FROM (" +
         "SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn FROM p) " +
         "WHERE rn <= 3 ORDER BY query_id, rank"),
+
+    "p42_knn_join" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 FROM embeddings),\n" +
+        "n AS (SELECT vec_id, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e),\n" +
+        "mm AS (SELECT greatest(CAST(ceil(sqrt(count(*))) AS BIGINT), " +
+        "CAST(ceil(count(*) / 4096.0) AS BIGINT), CAST(1 AS BIGINT)) AS m FROM embeddings),\n" +
+        "c AS (SELECT vec_id AS cell, v AS cv FROM n, mm WHERE vec_id % mm.m = 5 % mm.m),\n" +
+        "asg AS (SELECT vec_id, v, cell FROM (" +
+        "SELECT n.vec_id, n.v, c.cell, row_number() OVER (PARTITION BY n.vec_id " +
+        "ORDER BY list_dot_product(n.v, c.cv) DESC, c.cell) AS rn FROM n CROSS JOIN c) WHERE rn = 1),\n" +
+        "p AS (SELECT a.vec_id, b.vec_id AS nn_id, a.cell, list_dot_product(a.v, b.v) AS c " +
+        "FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id) " +
+        "SELECT vec_id, nn_id, cell FROM (" +
+        "SELECT vec_id, nn_id, cell, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY c DESC, nn_id) AS rk FROM p) WHERE rk = 1 ORDER BY vec_id"),
 
     "p39_quality_classifier" ->
       ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents), " +

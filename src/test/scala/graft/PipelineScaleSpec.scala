@@ -387,6 +387,19 @@ class PipelineScaleSpec extends AnyFunSuite {
       s"the gram join must not sort-merge the corpus:\n$plan")
   }
 
+  test("p42 knn join stays cell-bucketed — no all-pairs product") {
+    val df = SparkEntry.queries("p42_knn_join")(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) != r.getLong(1),
+      "a vector is never its own nearest neighbor"))
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"knn join must ride the cell equi-join:\n$plan")
+  }
+
   test("p41 BPE merge counts: dense ranks, non-increasing counts, vocab-sized explode") {
     val df = SparkEntry.queries("p41_bpe_merges")(spark, dir)
     val rows = df.collect()
