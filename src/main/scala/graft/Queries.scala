@@ -37,6 +37,15 @@ object Queries {
   /** q46's warehouse (3 loaded+ANALYZEd dims), one per (JVM, sfDir). */
   private val q46Wh = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** events row count per (JVM, sfDir) — the replay harnesses (q26/q57/
+    * q58) only size their chunking with it, and the raw testdata is
+    * immutable, so one job per JVM suffices. */
+  private val eventsCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def eventsCount(s: SparkSession, dir: String): Long =
+    eventsCounts.computeIfAbsent(dir,
+      _ => Tables.raw(s, dir, "events").count()).longValue
+
   private def tmpLoc(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
@@ -364,7 +373,7 @@ object Queries {
       import s.implicits._
       import scala.jdk.CollectionConverters._
       val raw = Tables.raw(s, dir, "events")
-      val total = raw.count()
+      val total = eventsCount(s, dir)
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val ms = MemoryStream[Ev]
       val sinkName = s"graft_q26_sink_${streamSeq.incrementAndGet()}"
@@ -437,7 +446,7 @@ object Queries {
       import s.implicits._
       import scala.jdk.CollectionConverters._
       val raw = Tables.raw(s, dir, "events")
-      val total = raw.count()
+      val total = eventsCount(s, dir)
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val ms = MemoryStream[Ev]
       val sinkName = s"graft_q57_sink_${streamSeq.incrementAndGet()}"
@@ -482,7 +491,7 @@ object Queries {
       import s.implicits._
       import scala.jdk.CollectionConverters._
       val raw = Tables.raw(s, dir, "events")
-      val total = raw.count()
+      val total = eventsCount(s, dir)
       val dim = Tables.scan(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
