@@ -204,7 +204,10 @@ object ScaleSmoke {
     // engine write; probe = a pruned engine scan (assertPrune throws if
     // more than half the index files survive the probed-cell IN-list);
     // refresh = a 1% re-vector through the CDC path, ONE transaction.
-    val annRows = math.max(10000L, rows / 100)
+    // rows/200 keeps the n×cells assignment (the build's dominant term —
+    // ~annRows × √annRows pair dots) inside the smoke's time budget while
+    // still running 50x the sf0.1 gate corpus
+    val annRows = math.max(10000L, rows / 200)
     val vecs = spark.range(annRows).select(col("id"), expr(
       "transform(sequence(0, 15), d -> cast(pmod(id * 31 + d * 17, 97) - 48 as float))")
       .as("emb"))
