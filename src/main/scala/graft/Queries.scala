@@ -790,6 +790,78 @@ object Queries {
         .orderBy("s_suppkey")
     }),
 
+    "q68_incr_rollup" -> ((s, dir) => {
+      // Incremental materialized-view maintenance (MaterializedRollup):
+      // a persisted GROUP BY rollup of a mutating base stays current with
+      // work proportional to the TOUCHED GROUPS — the refresh reads only
+      // the CDC since its watermark (S11), recomputes exactly the touched
+      // groups from the live base through an IN-list-pruned scan
+      // (assertPrune: the base is range-partitioned on the group column,
+      // so untouched groups' files never open — S8/P4), and commits
+      // upserts + vanished-group tombstones as ONE transaction (W9). The
+      // mutations exercise all three refresh faces: changed aggregates
+      // (1-URGENT repriced), a vanished group (5-LOW deleted whole), and
+      // a brand-new group (9-SYNTH inserted). The gated result is the
+      // refreshed rollup TABLE itself vs the oracle's full recompute.
+      val raw = Tables.raw(s, dir, "orders")
+      val t = GraftTable.create(s, tmpLoc("graft-q68b-"), "orders_q68",
+        raw.schema, Seq("o_orderpriority", "o_orderkey"),
+        Seq(HashComponent(Seq("o_orderkey"), 2)),
+        range = Some(RangeComponent("o_orderpriority", "value")),
+        data = Some(raw))
+      val rollup = graft.tools.MaterializedRollup.build(s, t,
+        Seq("o_orderpriority"), Seq(
+          "n_rows" -> "count(*)",
+          "sum_price" -> "sum(CAST(o_totalprice AS DECIMAL(28,2)))",
+          "max_key" -> "max(o_orderkey)"),
+        tmpLoc("graft-q68r-"), buckets = 4)
+      t.upsert(t.scan()
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.deleteWhere(col("o_orderpriority") === "5-LOW")
+      t.insert(raw.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("o_orderpriority", lit("9-SYNTH"))
+        .withColumn("o_totalprice", (col("o_orderkey") % 1000).cast("double")))
+      if (!graft.tools.MaterializedRollup.refresh(s, rollup, assertPrune = true))
+        throw new IllegalStateException(
+          "refresh must apply the pending mutations")
+      rollup.scan().orderBy("o_orderpriority")
+    }),
+
+    "q69_secondary_lookup" -> ((s, dir) => {
+      // Maintained SECONDARY INDEX (SecondaryIndex): point lookups on a
+      // non-key column without scanning the base — the index is an engine
+      // table keyed (value, pk) hash-partitioned on the value, the probe
+      // pushes an IN-list that prunes whole hash buckets (assertPrune:
+      // ≤ half the index files open), and the base read rides its own PK
+      // layout for the matched keys. The refresh rides the CDC: a renamed
+      // customer's OLD name entry tombstones and the new one appears, a
+      // deleted customer leaves the index, an inserted one joins it — so
+      // the lookup batch (current names + two STALE names) must return
+      // exactly the three live rows.
+      val raw = Tables.raw(s, dir, "customer")
+      val t = GraftTable.create(s, tmpLoc("graft-q69b-"), "customer_q69",
+        raw.schema, Seq("c_custkey"),
+        Seq(HashComponent(Seq("c_custkey"), 4)), data = Some(raw))
+      val idx = graft.tools.SecondaryIndex.build(s, t, "c_name",
+        tmpLoc("graft-q69i-"), buckets = 16)
+      t.upsert(t.scan().filter(col("c_custkey") === 42)
+        .withColumn("c_name", lit("RENAMED#000000042")))
+      t.deleteWhere(col("c_custkey") === 99)
+      t.insert(t.scan().filter(col("c_custkey") === 7)
+        .withColumn("c_custkey", lit(10000001L))
+        .withColumn("c_name", lit("SYNTH#000000001")))
+      if (!graft.tools.SecondaryIndex.refresh(s, idx))
+        throw new IllegalStateException(
+          "refresh must apply the pending mutations")
+      graft.tools.SecondaryIndex.lookup(s, idx, Seq(
+        "Customer#000000007", "RENAMED#000000042", "SYNTH#000000001",
+        "Customer#000000099", "Customer#000000042"), assertPrune = true)
+        .orderBy("c_custkey")
+    }),
+
     "q63_stream_join" -> ((s, dir) => {
       // Stream-stream event-time join, END TO END THROUGH THE ENGINE:
       // the one stream feeds from the engine's change-stream source
@@ -2167,6 +2239,43 @@ object Queries {
 
     // the recalled table's merge-on-read state: base plus the pre-trash
     // upserts, nothing lost and nothing purged
+    // the rollup TABLE after one incremental refresh must equal a full
+    // recompute over the mutated base (repriced group + vanished group +
+    // brand-new group)
+    "q68_incr_rollup" ->
+      ("WITH final AS (" +
+        "SELECT o_orderpriority, o_orderkey, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 " +
+        "ELSE o_totalprice END AS price " +
+        "FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "UNION ALL " +
+        "SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderpriority NOT IN ('1-URGENT', '5-LOW') " +
+        "UNION ALL " +
+        "SELECT '9-SYNTH', o_orderkey + 10000000, " +
+        "CAST((o_orderkey + 10000000) % 1000 AS DOUBLE) " +
+        "FROM orders WHERE o_orderkey % 11 = 0) " +
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CAST(price AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS sum_price, " +
+        "max(o_orderkey) AS max_key " +
+        "FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    // lookups by current names return the live rows; the two STALE names
+    // (pre-rename, deleted) must return nothing — a refresh that failed to
+    // tombstone old entries would resurrect them
+    "q69_secondary_lookup" ->
+      ("WITH final AS (" +
+        "SELECT c_custkey, CASE WHEN c_custkey = 42 " +
+        "THEN 'RENAMED#000000042' ELSE c_name END AS c_name, " +
+        "c_nationkey, c_acctbal, c_mktsegment " +
+        "FROM customer WHERE c_custkey <> 99 " +
+        "UNION ALL " +
+        "SELECT 10000001, 'SYNTH#000000001', c_nationkey, c_acctbal, " +
+        "c_mktsegment FROM customer WHERE c_custkey = 7) " +
+        "SELECT * FROM final WHERE c_name IN ('Customer#000000007', " +
+        "'RENAMED#000000042', 'SYNTH#000000001', 'Customer#000000099', " +
+        "'Customer#000000042') ORDER BY c_custkey"),
+
     "q67_trash_recall" ->
       ("SELECT n_nationkey, " +
         "CASE WHEN n_nationkey % 4 = 0 THEN n_name || '_T' ELSE n_name END AS n_name, " +

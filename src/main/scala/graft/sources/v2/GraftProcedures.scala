@@ -54,7 +54,9 @@ private[v2] object GraftProcedures {
     "maintain_schedule_status", "maintenance_plan", "merge_tail",
     "delta_stats", "fsck", "fsck_repair", "register", "table_statistics",
     "txn_begin", "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort",
-    "build_vector_index", "refresh_vector_index")
+    "build_vector_index", "refresh_vector_index",
+    "build_rollup", "refresh_rollup",
+    "build_secondary_index", "refresh_secondary_index")
 
   private def spark = SparkSession.active
 
@@ -411,6 +413,70 @@ private[v2] object GraftProcedures {
           val did = graft.tools.VectorIndex.refresh(spark, idx)
           Seq(InternalRow(did,
             idx.properties(graft.tools.VectorIndex.SrcVersionKey).toLong))
+        })
+      case "build_rollup" => Some(proc("build_rollup",
+        "build a CDC-maintained materialized rollup: GROUP BY group_cols " +
+          "(primary-key columns of the source) with the given aggregate " +
+          "expressions, persisted as an engine table hash-partitioned on " +
+          "the group columns; refresh_rollup keeps it current with work " +
+          "proportional to the touched groups. agg_aliases is " +
+          "comma-separated, agg_exprs is ';'-separated, positionally paired",
+        Array(tableParam,
+          ProcedureParameter.in("group_cols", StringType).build(),
+          ProcedureParameter.in("agg_aliases", StringType).build(),
+          ProcedureParameter.in("agg_exprs", StringType).build(),
+          ProcedureParameter.in("rollup_location", StringType).build(),
+          ProcedureParameter.in("buckets", IntegerType).defaultValue("16").build()),
+        new StructType().add("location", StringType).add("groups", LongType)) { in =>
+          val aliases = in.getUTF8String(2).toString.split(',').map(_.trim).toSeq
+          val exprs = in.getUTF8String(3).toString.split(';').map(_.trim).toSeq
+          require(aliases.length == exprs.length,
+            s"${aliases.length} aliases vs ${exprs.length} aggregate expressions")
+          val r = graft.tools.MaterializedRollup.build(spark, locate(in),
+            in.getUTF8String(1).toString.split(',').map(_.trim).toSeq,
+            aliases.zip(exprs), in.getUTF8String(4).toString, in.getInt(5))
+          Seq(InternalRow(str(r.location), r.scan().count()))
+        })
+      case "refresh_rollup" => Some(proc("refresh_rollup",
+        "incrementally refresh a materialized rollup from its source " +
+          "table's change stream: touched groups only, recomputed from the " +
+          "live base through an IN-list-pruned scan, committed as ONE " +
+          "atomic transaction; no-op when the watermark is current",
+        Array(ProcedureParameter.in("rollup_location", StringType).build()),
+        new StructType().add("refreshed", BooleanType)
+          .add("source_version", LongType)) { in =>
+          val r = GraftTable.load(spark, in.getUTF8String(0).toString)
+          val did = graft.tools.MaterializedRollup.refresh(spark, r)
+          Seq(InternalRow(did,
+            r.properties(graft.tools.MaterializedRollup.SrcVersionKey).toLong))
+        })
+      case "build_secondary_index" => Some(proc("build_secondary_index",
+        "build a maintained secondary index on a non-key column: an engine " +
+          "table keyed (value, pk) hash-partitioned on the value, so " +
+          "equality/IN probes prune to the value's buckets; " +
+          "refresh_secondary_index keeps it current from the change stream",
+        Array(tableParam,
+          ProcedureParameter.in("col", StringType).build(),
+          ProcedureParameter.in("index_location", StringType).build(),
+          ProcedureParameter.in("buckets", IntegerType).defaultValue("16").build()),
+        new StructType().add("location", StringType).add("entries", LongType)) { in =>
+          val idx = graft.tools.SecondaryIndex.build(spark, locate(in),
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+            in.getInt(3))
+          Seq(InternalRow(str(idx.location), idx.scan().count()))
+        })
+      case "refresh_secondary_index" => Some(proc("refresh_secondary_index",
+        "incrementally refresh a secondary index from its source table's " +
+          "change stream: mutated keys re-derive their entries, stale " +
+          "entries tombstone, committed as ONE atomic transaction; no-op " +
+          "when the watermark is current",
+        Array(ProcedureParameter.in("index_location", StringType).build()),
+        new StructType().add("refreshed", BooleanType)
+          .add("source_version", LongType)) { in =>
+          val idx = GraftTable.load(spark, in.getUTF8String(0).toString)
+          val did = graft.tools.SecondaryIndex.refresh(spark, idx)
+          Seq(InternalRow(did,
+            idx.properties(graft.tools.SecondaryIndex.SrcVersionKey).toLong))
         })
       case "backup" => Some(proc("backup",
         "full backup: export a snapshot (head or an explicit version) as " +

@@ -1,0 +1,165 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.HashComponent
+import graft.table.GraftTable
+
+/**
+ * Maintained secondary index — point lookups on a NON-key column without
+ * scanning the base table. The reference engine locates rows by primary key
+ * only (a non-PK predicate is a full scan with predicate evaluation); at
+ * 100 TB the standard remedy is a global index TABLE:
+ *
+ *   - the index is itself an engine table keyed `(value, pk…)` and
+ *     hash-partitioned on the indexed value, so an equality/IN probe prunes
+ *     to the value's hash buckets at the manifest level (P4) before any
+ *     file opens;
+ *   - a lookup probes the index for the matching primary keys (a bounded,
+ *     point-read-sized set by contract), then reads the base through its
+ *     OWN key layout — PK hash/range pruning + zone maps (S8) — so both
+ *     sides of the lookup touch tablets, never tables;
+ *   - `refresh` rides the engine CDC exactly like the vector index: the
+ *     keys mutated since the recorded watermark re-derive their index
+ *     entries, and one atomic transaction (W9) upserts fresh entries and
+ *     tombstones stale ones (value changed or row deleted).
+ *
+ * NULL values are never indexed (an IS NULL predicate keeps the base-scan
+ * path); sources with a hidden auto-increment key are refused — their CDC
+ * export does not carry the hidden id, so index entries could not be
+ * tombstoned reliably.
+ */
+object SecondaryIndex {
+
+  val SrcLocKey = "graft.sindex.source"
+  val ColKey = "graft.sindex.col"
+  val SrcVersionKey = "graft.sindex.sourceVersion"
+
+  /** Index entries for the given source rows: (value, pk…), nulls dropped. */
+  private def entries(rows: DataFrame, colName: String,
+      pkCols: Seq[String]): DataFrame =
+    rows.filter(col(colName).isNotNull)
+      .select((colName +: pkCols).distinct.map(col): _*)
+
+  /**
+   * Build the index beside `source` on `colName`. The index table is keyed
+   * `(colName, pk…)` (one entry per base row) and hash-partitioned on
+   * `colName` across `buckets`.
+   */
+  def build(spark: SparkSession, source: GraftTable, colName: String,
+      location: String, buckets: Int = 16): GraftTable = {
+    val m = source.meta
+    require(!m.hasAutoInc,
+      s"${m.name} has a hidden auto-increment key — non-unique-PK tables " +
+        "are not secondary-indexable (the CDC export does not carry the " +
+        "hidden id)")
+    val c = m.column(colName)
+    require(!m.keyCols.contains(colName),
+      s"$colName is already a primary-key column — the base table's own " +
+        "layout serves it (S8)")
+    require(!Seq("array", "map", "struct").contains(c.dataType.typeName),
+      s"index column must be an atomic type, got ${c.dataType.catalogString}")
+    val pkCols = m.keyCols
+    val srcVersion = m.version
+    val data = entries(source.scan(), colName, pkCols)
+    val idx = GraftTable.create(spark, location, s"${m.name}_${colName}_sidx",
+      StructType(data.schema.fields.map(f =>
+        if (f.name == colName || pkCols.contains(f.name))
+          f.copy(nullable = false) else f)),
+      colName +: pkCols,
+      hash = Seq(HashComponent(Seq(colName), buckets)),
+      data = Some(data))
+    idx.setProperties(Map(
+      SrcLocKey -> Some(m.location),
+      ColKey -> Some(colName),
+      SrcVersionKey -> Some(srcVersion.toString)))
+    idx
+  }
+
+  /**
+   * Point lookup: the base rows whose indexed column equals any of
+   * `values`. The index probe carries an IN-list over the values (hash
+   * buckets prune), the collected key set is bounded by `maxKeys` (a
+   * lookup is a point read — an unbounded value is a scan, use the base
+   * table), and the base read pushes an IN-list over the first PK column
+   * (PK hash/range/zone pruning) with an exact key join behind it.
+   * `assertPrune = true` gates that the index probe opened at most half
+   * the index files (test/verification hook).
+   */
+  def lookup(spark: SparkSession, index: GraftTable, values: Seq[Any],
+      maxKeys: Int = 100000, assertPrune: Boolean = false): DataFrame = {
+    require(values.nonEmpty, "lookup needs at least one value")
+    val colName = index.properties(ColKey)
+    val src = GraftTable.load(spark, index.properties(SrcLocKey))
+    val pkCols = src.meta.keyCols
+    val probeFilters: Seq[org.apache.spark.sql.sources.Filter] =
+      Seq(org.apache.spark.sql.sources.In(colName, values.toArray))
+    if (assertPrune) {
+      val kept = graft.sources.PartitionPruner.pruneFiles(
+        index.meta, index.meta.baseFiles, probeFilters)
+      val total = index.meta.baseFiles.length
+      if (kept.length * 2 > total)
+        throw new IllegalStateException(
+          s"index probe must prune hash buckets: kept ${kept.length} of " +
+            s"$total files for ${values.length} values")
+    }
+    val hits = index.scanPruned(probeFilters)
+      .filter(col(colName).isin(values: _*))
+      .select(pkCols.map(col): _*)
+      .limit(maxKeys + 1).collect()
+    require(hits.length <= maxKeys,
+      s"lookup on $colName matched more than $maxKeys rows — not a point " +
+        "read; scan the base table instead")
+    if (hits.isEmpty)
+      return src.scan().limit(0)
+    val baseFilters: Seq[org.apache.spark.sql.sources.Filter] =
+      Seq(org.apache.spark.sql.sources.In(pkCols.head,
+        hits.map(_.get(0)).distinct.toArray))
+    val keyDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(hits.toSeq, 1),
+      StructType(src.scan().select(pkCols.map(col): _*).schema
+        .fields.map(_.copy(nullable = true)))))
+    src.scanPruned(baseFilters).join(keyDf, pkCols, "left_semi")
+  }
+
+  /**
+   * Incremental refresh from the source's change stream: only the keys
+   * mutated since the recorded watermark re-derive their index entries;
+   * one atomic transaction upserts the fresh entries and deletes stale
+   * ones (the key's old value entry when the value changed, every entry of
+   * a deleted key). O(changed), never O(index). Returns false when the
+   * index is already current.
+   */
+  def refresh(spark: SparkSession, index: GraftTable): Boolean = {
+    val p = index.properties
+    val src = GraftTable.load(spark, p(SrcLocKey))
+    val v0 = p(SrcVersionKey).toLong
+    val v1 = src.meta.version
+    if (v1 == v0) return false
+    val colName = p(ColKey)
+    val pkCols = src.meta.keyCols
+    val changed = src.changesSince(v0, v1)
+      .select((colName +: pkCols).distinct.map(col) :+
+        col(GraftTable.DeletedCol): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fresh = entries(changed.filter(!col(GraftTable.DeletedCol))
+        .drop(GraftTable.DeletedCol), colName, pkCols)
+      val keys = changed.select(pkCols.map(col): _*).distinct()
+      // every index entry a mutated key currently owns, minus the ones the
+      // fresh set re-asserts (the txn allows one op per key; upsert covers
+      // re-asserted entries)
+      val stale = index.scan().select((colName +: pkCols).map(col): _*)
+        .join(keys, pkCols, "left_semi")
+        .join(fresh, colName +: pkCols, "left_anti")
+      index.transaction { txn =>
+        txn.upsert(fresh)
+        txn.delete(stale)
+      }
+      index.setProperties(Map(SrcVersionKey -> Some(v1.toString)))
+      true
+    } finally changed.unpersist(blocking = false)
+  }
+}

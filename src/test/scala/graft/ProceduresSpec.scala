@@ -122,6 +122,43 @@ class ProceduresSpec extends AnyFunSuite {
     assert(idx.scan().count() == 39)
   }
 
+  test("CALL build_rollup + refresh_rollup drive the materialized rollup") {
+    val data = (1L to 30L).map(k => (s"g${k % 3}", k, k * 2)).toDF("g", "k", "x")
+    GraftTable.create(spark, s"$wh/rsrc", "rsrc", data.schema,
+      keys = Seq("g", "k"), data = Some(data))
+    val loc = s"$wh/.roll/rsrc_g"
+    val built = spark.sql(s"CALL $cat.system.build_rollup('rsrc', 'g', " +
+      s"'n,sx', 'count(*);sum(x)', '$loc', 4)").collect().head
+    assert(built.getString(0) == loc && built.getLong(1) == 3)
+    val r0 = spark.sql(s"CALL $cat.system.refresh_rollup('$loc')").collect().head
+    assert(!r0.getBoolean(0))
+    val src = GraftTable.load(spark, s"$wh/rsrc")
+    src.deleteWhere(col("g") === "g2")
+    val r1 = spark.sql(s"CALL $cat.system.refresh_rollup('$loc')").collect().head
+    assert(r1.getBoolean(0) && r1.getLong(1) == src.currentVersion)
+    assert(GraftTable.load(spark, loc).scan().count() == 2)
+  }
+
+  test("CALL build_secondary_index + refresh_secondary_index drive the index") {
+    val data = (1L to 20L).map(i => (i, s"u$i")).toDF("id", "u")
+    GraftTable.create(spark, s"$wh/ssrc", "ssrc", data.schema,
+      keys = Seq("id"), data = Some(data))
+    val loc = s"$wh/.sidx/ssrc_u"
+    val built = spark.sql(s"CALL $cat.system.build_secondary_index(" +
+      s"'ssrc', 'u', '$loc', 4)").collect().head
+    assert(built.getString(0) == loc && built.getLong(1) == 20)
+    val src = GraftTable.load(spark, s"$wh/ssrc")
+    src.upsert(Seq((5L, "renamed")).toDF("id", "u"))
+    val r1 = spark.sql(
+      s"CALL $cat.system.refresh_secondary_index('$loc')").collect().head
+    assert(r1.getBoolean(0) && r1.getLong(1) == src.currentVersion)
+    val idx = GraftTable.load(spark, loc)
+    assert(graft.tools.SecondaryIndex.lookup(spark, idx, Seq("renamed"))
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    assert(graft.tools.SecondaryIndex.lookup(spark, idx, Seq("u5"))
+      .collect().isEmpty)
+  }
+
   test("SHOW PROCEDURES lists the surface; DESCRIBE PROCEDURE documents it") {
     mkTable("m5")
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
@@ -136,7 +173,9 @@ class ProceduresSpec extends AnyFunSuite {
       "merge_tail", "delta_stats",
       "fsck", "fsck_repair", "register", "table_statistics", "txn_begin",
       "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort",
-      "build_vector_index", "refresh_vector_index"),
+      "build_vector_index", "refresh_vector_index",
+      "build_rollup", "refresh_rollup",
+      "build_secondary_index", "refresh_secondary_index"),
       listed.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.compact_tablet")
       .collect().map(_.getString(0)).mkString("\n")

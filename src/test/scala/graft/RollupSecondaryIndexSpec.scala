@@ -1,0 +1,209 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{HashComponent, RangeComponent}
+import graft.table.GraftTable
+import graft.tools.{MaterializedRollup, SecondaryIndex}
+
+/** CDC-maintained derived tables: the materialized rollup (incremental view
+  * maintenance) and the secondary index. Both commit their refresh as one
+  * atomic transaction of upserts + stale tombstones, so every test asserts
+  * the derived table equals a from-scratch rebuild after arbitrary base
+  * mutations — including across a base compaction (the changesSince
+  * snapshot-diff fallback). */
+class RollupSecondaryIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-rsi-").toString
+
+  /** (grp, k, x): PK (grp, k), range-per-value on grp, hash(2) on k. */
+  private def mkBase(): GraftTable = {
+    val data = (1L to 40L).map(k => (s"g${k % 4}", k, k * 10)).toDF("grp", "k", "x")
+    GraftTable.create(spark, tmp(), "rsi_base", data.schema, Seq("grp", "k"),
+      Seq(HashComponent(Seq("k"), 2)),
+      range = Some(RangeComponent("grp", "value")), data = Some(data))
+  }
+
+  private def mkRollup(t: GraftTable): GraftTable =
+    MaterializedRollup.build(spark, t, Seq("grp"), Seq(
+      "n" -> "count(*)", "sx" -> "sum(x)", "mx" -> "max(k)"), tmp(), buckets = 4)
+
+  private def rollupState(r: GraftTable): Map[String, (Long, Long, Long)] =
+    r.scan().collect()
+      .map(w => w.getString(0) -> ((w.getLong(1), w.getLong(2), w.getLong(3))))
+      .toMap
+
+  private def expectedRollup(t: GraftTable): Map[String, (Long, Long, Long)] =
+    t.scan().groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), max("k").as("mx"))
+      .collect()
+      .map(w => w.getString(0) -> ((w.getLong(1), w.getLong(2), w.getLong(3))))
+      .toMap
+
+  test("rollup build requires PK group columns") {
+    val t = mkBase()
+    val e = intercept[IllegalArgumentException] {
+      MaterializedRollup.build(spark, t, Seq("x"), Seq("n" -> "count(*)"), tmp())
+    }
+    assert(e.getMessage.contains("primary-key"))
+  }
+
+  test("rollup refresh: changed, vanished, and new groups in one pass") {
+    val t = mkBase()
+    val r = mkRollup(t)
+    assert(rollupState(r) == expectedRollup(t))
+    t.upsert(Seq(("g1", 1L, 999L)).toDF("grp", "k", "x")) // changed agg
+    t.deleteWhere(col("grp") === "g2")                    // vanished group
+    t.insert(Seq(("g9", 100L, 5L)).toDF("grp", "k", "x")) // new group
+    assert(MaterializedRollup.refresh(spark, r))
+    assert(rollupState(r) == expectedRollup(t))
+    assert(!rollupState(r).contains("g2"))
+    assert(rollupState(r).contains("g9"))
+    // already current: no-op
+    assert(!MaterializedRollup.refresh(spark, r))
+  }
+
+  test("rollup refresh prunes the base scan to touched groups") {
+    val t = mkBase()
+    val r = mkRollup(t)
+    t.upsert(Seq(("g1", 1L, 7L)).toDF("grp", "k", "x"))
+    // 1 touched range of 4 → the IN-list path must engage and prune
+    assert(MaterializedRollup.refresh(spark, r, assertPrune = true))
+    assert(rollupState(r) == expectedRollup(t))
+  }
+
+  test("rollup refresh semi-join fallback (touched set above maxPruneKeys)") {
+    val t = mkBase()
+    val r = mkRollup(t)
+    t.upsert(Seq(("g0", 4L, 1L), ("g1", 5L, 2L), ("g3", 7L, 3L))
+      .toDF("grp", "k", "x"))
+    // maxPruneKeys=1 forces the distributed path; assertPrune must refuse it
+    intercept[IllegalStateException] {
+      MaterializedRollup.refresh(spark, r, maxPruneKeys = 1, assertPrune = true)
+    }
+    assert(MaterializedRollup.refresh(spark, r, maxPruneKeys = 1))
+    assert(rollupState(r) == expectedRollup(t))
+  }
+
+  test("rollup refresh survives a base compaction (snapshot-diff fallback)") {
+    val t = mkBase()
+    val r = mkRollup(t)
+    t.deleteWhere(col("grp") === "g3")
+    t.upsert(Seq(("g0", 8L, 123L)).toDF("grp", "k", "x"))
+    t.compact() // folds deltas into a new base: changesSince must fall back
+    assert(MaterializedRollup.refresh(spark, r))
+    assert(rollupState(r) == expectedRollup(t))
+    assert(!rollupState(r).contains("g3"))
+  }
+
+  test("rollup refresh on a version bump with no row changes advances the watermark") {
+    val t = mkBase()
+    val r = mkRollup(t)
+    t.upsert(Seq(("g0", 12L, 77L)).toDF("grp", "k", "x"))
+    assert(MaterializedRollup.refresh(spark, r))
+    val settled = rollupState(r)
+    t.compact() // folds the already-refreshed deltas: version moves, zero
+                // logical changes since the watermark
+    assert(MaterializedRollup.refresh(spark, r))
+    assert(rollupState(r) == settled)
+    assert(!MaterializedRollup.refresh(spark, r))
+  }
+
+  test("rollup refresh replays multi-aggregate definitions exactly") {
+    val t = mkBase()
+    val r = MaterializedRollup.build(spark, t, Seq("grp"), Seq(
+      "n_even" -> "sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)",
+      "min_x" -> "min(x)"), tmp())
+    t.upsert(Seq(("g1", 13L, -5L)).toDF("grp", "k", "x"))
+    assert(MaterializedRollup.refresh(spark, r))
+    val got = r.scan().filter(col("grp") === "g1").collect().head
+    val want = t.scan().filter(col("grp") === "g1")
+      .agg(sum(when(col("k") % 2 === 0, 1L).otherwise(0L)), min("x"))
+      .collect().head
+    assert(got.getLong(1) == want.getLong(0) && got.getLong(2) == want.getLong(1))
+  }
+
+  // ---- secondary index ---------------------------------------------------
+
+  /** (id, name, v): PK id, hash(4). */
+  private def mkNamed(): GraftTable = {
+    val data = (1L to 30L).map(i => (i, s"name_$i", i * 2)).toDF("id", "name", "v")
+    GraftTable.create(spark, tmp(), "rsi_named", data.schema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 4)), data = Some(data))
+  }
+
+  test("secondary index build refusals: key column, auto-inc source") {
+    val t = mkNamed()
+    assert(intercept[IllegalArgumentException] {
+      SecondaryIndex.build(spark, t, "id", tmp())
+    }.getMessage.contains("primary-key"))
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "name")
+    val nu = GraftTable.create(spark, tmp(), "rsi_nu", dup.schema, Seq("k"),
+      data = Some(dup), nonUniqueKey = true)
+    assert(intercept[IllegalArgumentException] {
+      SecondaryIndex.build(spark, nu, "name", tmp())
+    }.getMessage.contains("auto-increment"))
+  }
+
+  test("secondary lookup finds rows by non-key value; stale names die on refresh") {
+    val t = mkNamed()
+    val idx = SecondaryIndex.build(spark, t, "name", tmp(), buckets = 16)
+    assert(SecondaryIndex.lookup(spark, idx, Seq("name_3", "name_7"))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 7L))
+    t.upsert(Seq((3L, "renamed_3", 6L)).toDF("id", "name", "v"))
+    t.deleteWhere(col("id") === 7)
+    t.insert(Seq((100L, "name_100", 0L)).toDF("id", "name", "v"))
+    assert(SecondaryIndex.refresh(spark, idx))
+    assert(!SecondaryIndex.refresh(spark, idx))
+    // stale entries must be gone; fresh ones present
+    assert(SecondaryIndex.lookup(spark, idx, Seq("name_3", "name_7"))
+      .collect().isEmpty)
+    assert(SecondaryIndex.lookup(spark, idx, Seq("renamed_3", "name_100"))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 100L))
+    // the index table itself carries exactly one entry per live base row
+    assert(GraftTable.load(spark, idx.meta.location).scan().count() ==
+      t.scan().count())
+  }
+
+  test("secondary index: NULL values are never indexed") {
+    val t = mkNamed()
+    val idx = SecondaryIndex.build(spark, t, "name", tmp())
+    t.upsert(Seq((5L, null.asInstanceOf[String], 10L)).toDF("id", "name", "v"))
+    assert(SecondaryIndex.refresh(spark, idx))
+    assert(SecondaryIndex.lookup(spark, idx, Seq("name_5")).collect().isEmpty)
+    assert(idx.scan().filter(col("name").isNull).count() == 0)
+    // un-NULLing re-indexes
+    t.upsert(Seq((5L, "name_5b", 10L)).toDF("id", "name", "v"))
+    assert(SecondaryIndex.refresh(spark, idx))
+    assert(SecondaryIndex.lookup(spark, idx, Seq("name_5b"))
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
+  test("secondary lookup maxKeys bound refuses scan-sized answers") {
+    val data = (1L to 20L).map(i => (i, "same", i)).toDF("id", "name", "v")
+    val t = GraftTable.create(spark, tmp(), "rsi_wide", data.schema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 2)), data = Some(data))
+    val idx = SecondaryIndex.build(spark, t, "name", tmp())
+    assert(intercept[IllegalArgumentException] {
+      SecondaryIndex.lookup(spark, idx, Seq("same"), maxKeys = 5)
+    }.getMessage.contains("point"))
+    assert(SecondaryIndex.lookup(spark, idx, Seq("same"), maxKeys = 50)
+      .count() == 20)
+  }
+
+  test("secondary index refresh survives a base compaction") {
+    val t = mkNamed()
+    val idx = SecondaryIndex.build(spark, t, "name", tmp())
+    t.upsert(Seq((2L, "renamed_2", 4L)).toDF("id", "name", "v"))
+    t.compact()
+    assert(SecondaryIndex.refresh(spark, idx))
+    assert(SecondaryIndex.lookup(spark, idx, Seq("renamed_2"))
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(SecondaryIndex.lookup(spark, idx, Seq("name_2")).collect().isEmpty)
+  }
+}
