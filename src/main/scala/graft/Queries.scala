@@ -815,18 +815,26 @@ object Queries {
           "sum_price" -> "sum(CAST(o_totalprice AS DECIMAL(28,2)))",
           "max_key" -> "max(o_orderkey)"),
         tmpLoc("graft-q68r-"), buckets = 4)
-      t.upsert(t.scan()
-        .filter(col("o_orderpriority") === "1-URGENT" &&
-          col("o_orderkey") % 7 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") * 2))
-      t.deleteWhere(col("o_orderpriority") === "5-LOW")
-      t.insert(raw.filter(col("o_orderkey") % 11 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
-        .withColumn("o_orderpriority", lit("9-SYNTH"))
-        .withColumn("o_totalprice", (col("o_orderkey") % 1000).cast("double")))
-      if (!graft.tools.MaterializedRollup.refresh(s, rollup, assertPrune = true))
-        throw new IllegalStateException(
-          "refresh must apply the pending mutations")
+      // all three mutation faces in ONE atomic commit (W9) — the refresh
+      // sees one version either way, and the gate pays one commit job
+      // instead of three
+      withShufflePartitions(s, 4) {
+        t.transaction { txn =>
+          txn.upsert(t.scan()
+            .filter(col("o_orderpriority") === "1-URGENT" &&
+              col("o_orderkey") % 7 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2))
+          txn.delete(t.scan().filter(col("o_orderpriority") === "5-LOW")
+            .select("o_orderpriority", "o_orderkey"))
+          txn.insert(raw.filter(col("o_orderkey") % 11 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+            .withColumn("o_orderpriority", lit("9-SYNTH"))
+            .withColumn("o_totalprice", (col("o_orderkey") % 1000).cast("double")))
+        }
+        if (!graft.tools.MaterializedRollup.refresh(s, rollup, assertPrune = true))
+          throw new IllegalStateException(
+            "refresh must apply the pending mutations")
+      }
       rollup.scan().orderBy("o_orderpriority")
     }),
 
@@ -847,15 +855,23 @@ object Queries {
         Seq(HashComponent(Seq("c_custkey"), 4)), data = Some(raw))
       val idx = graft.tools.SecondaryIndex.build(s, t, "c_name",
         tmpLoc("graft-q69i-"), buckets = 16)
-      t.upsert(t.scan().filter(col("c_custkey") === 42)
-        .withColumn("c_name", lit("RENAMED#000000042")))
-      t.deleteWhere(col("c_custkey") === 99)
-      t.insert(t.scan().filter(col("c_custkey") === 7)
-        .withColumn("c_custkey", lit(10000001L))
-        .withColumn("c_name", lit("SYNTH#000000001")))
-      if (!graft.tools.SecondaryIndex.refresh(s, idx))
-        throw new IllegalStateException(
-          "refresh must apply the pending mutations")
+      // rename + delete + insert as ONE atomic commit (W9): the index
+      // refresh reads one CDC version carrying all three faces, and the
+      // gate pays one commit job instead of three
+      withShufflePartitions(s, 4) {
+        t.transaction { txn =>
+          txn.upsert(t.scan().filter(col("c_custkey") === 42)
+            .withColumn("c_name", lit("RENAMED#000000042")))
+          txn.delete(t.scan().filter(col("c_custkey") === 99)
+            .select("c_custkey"))
+          txn.insert(t.scan().filter(col("c_custkey") === 7)
+            .withColumn("c_custkey", lit(10000001L))
+            .withColumn("c_name", lit("SYNTH#000000001")))
+        }
+        if (!graft.tools.SecondaryIndex.refresh(s, idx))
+          throw new IllegalStateException(
+            "refresh must apply the pending mutations")
+      }
       graft.tools.SecondaryIndex.lookup(s, idx, Seq(
         "Customer#000000007", "RENAMED#000000042", "SYNTH#000000001",
         "Customer#000000099", "Customer#000000042"), assertPrune = true)

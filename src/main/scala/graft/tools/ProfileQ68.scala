@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.catalog._
+import graft.table._
+
+/** Dev harness: per-stage timing of the q68 rollup gate. */
+object ProfileQ68 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    graft.SparkEntry.queries("q68_incr_rollup")(spark, dir).collect() // warm
+    def t[A](label: String)(f: => A): A = {
+      val s = System.nanoTime; val r = f
+      println(f"[prof] $label%-18s ${(System.nanoTime - s) / 1e9}%.2f s"); r
+    }
+    def few[A](f: => A): A = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val raw = graft.Tables.raw(spark, dir, "orders")
+    val loc = java.nio.file.Files.createTempDirectory("prof68-").toString
+    val tbl = t("create+load") {
+      GraftTable.create(spark, loc + "/b", "orders_p68",
+        raw.schema, Seq("o_orderpriority", "o_orderkey"),
+        Seq(HashComponent(Seq("o_orderkey"), 2)),
+        range = Some(RangeComponent("o_orderpriority", "value")),
+        data = Some(raw))
+    }
+    val rollup = t("rollup build") {
+      MaterializedRollup.build(spark, tbl,
+        Seq("o_orderpriority"), Seq(
+          "n_rows" -> "count(*)",
+          "sum_price" -> "sum(CAST(o_totalprice AS DECIMAL(28,2)))",
+          "max_key" -> "max(o_orderkey)"), loc + "/r", buckets = 4)
+    }
+    t("txn commit") {
+      few {
+        tbl.transaction { txn =>
+          txn.upsert(tbl.scan()
+            .filter(col("o_orderpriority") === "1-URGENT" &&
+              col("o_orderkey") % 7 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2))
+          txn.delete(tbl.scan().filter(col("o_orderpriority") === "5-LOW")
+            .select("o_orderpriority", "o_orderkey"))
+          txn.insert(raw.filter(col("o_orderkey") % 11 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+            .withColumn("o_orderpriority", lit("9-SYNTH"))
+            .withColumn("o_totalprice", (col("o_orderkey") % 1000).cast("double")))
+        }
+      }
+    }
+    t("refresh") { few { MaterializedRollup.refresh(spark, rollup, assertPrune = true) } }
+    t("final scan") { rollup.scan().orderBy("o_orderpriority").collect() }
+    spark.stop()
+  }
+}
