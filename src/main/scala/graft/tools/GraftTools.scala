@@ -448,6 +448,38 @@ object GraftTools {
     }
   }
 
+  /** Depth-first listing (dirs + files) that TOLERATES entries vanishing
+    * mid-traversal. `Files.walk`'s iterator throws `NoSuchFileException`
+    * when an entry it listed is deleted before it stats it — exactly what
+    * happens when fsck/fsckRepair walk a LIVE table's data dir while a
+    * concurrent maintenance commit (tail merge, compaction) deletes a
+    * superseded fileset directory. Built on `walkFileTree`, whose failure
+    * hooks let a vanished entry be skipped instead of thrown
+    * (FuzzSpec scheduler-concurrent seed 41 reproduced the race). */
+  private def walkTolerant(root: java.nio.file.Path,
+      maxDepth: Int = Int.MaxValue): Seq[java.nio.file.Path] = {
+    import java.nio.file._
+    import java.nio.file.attribute.BasicFileAttributes
+    val out = Seq.newBuilder[Path]
+    if (!Files.isDirectory(root)) return Nil
+    try Files.walkFileTree(root,
+      java.util.EnumSet.noneOf(classOf[FileVisitOption]), maxDepth,
+      new SimpleFileVisitor[Path] {
+        override def preVisitDirectory(d: Path, a: BasicFileAttributes) = {
+          out += d; FileVisitResult.CONTINUE
+        }
+        override def visitFile(f: Path, a: BasicFileAttributes) = {
+          out += f; FileVisitResult.CONTINUE
+        }
+        override def visitFileFailed(f: Path, e: java.io.IOException) =
+          FileVisitResult.CONTINUE // vanished mid-walk: skip
+        override def postVisitDirectory(d: Path, e: java.io.IOException) =
+          FileVisitResult.CONTINUE // listing died mid-dir: keep what we saw
+      })
+    catch { case _: java.io.IOException => } // root itself vanished
+    out.result()
+  }
+
   def fsck(location: String): Seq[String] = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
@@ -505,15 +537,11 @@ object GraftTools {
       } catch { case e: Exception => issues += s"unreadable snapshot v$v: ${e.getMessage}"; Nil }
     }.toSet
     val dataDir = Paths.get(location, "data")
-    if (Files.isDirectory(dataDir)) {
-      scala.util.Using.resource(Files.walk(dataDir)) { stream =>
-        stream.iterator().asScala
-          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-          .map(_.normalize.toString)
-          .filterNot(referenced.contains)
-          .foreach(p => issues += s"orphan data file (no snapshot references it): $p")
-      }
-    }
+    walkTolerant(dataDir)
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(_.normalize.toString)
+      .filterNot(referenced.contains)
+      .foreach(p => issues += s"orphan data file (no snapshot references it): $p")
     issues.toSeq
   }
 
@@ -570,15 +598,12 @@ object GraftTools {
     val dataDir = Paths.get(location, "data")
     if (!Files.isDirectory(dataDir)) return rolledBack
     val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
-    val orphans = scala.util.Using.resource(Files.walk(dataDir)) { stream =>
-      stream.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .filter(p => !referenced.contains(p.normalize.toString))
-        .filter(p =>
-          try Files.getLastModifiedTime(p).toMillis < cutoff
-          catch { case _: Exception => false }) // vanished mid-walk: skip
-        .toSeq
-    }
+    val orphans = walkTolerant(dataDir)
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .filter(p => !referenced.contains(p.normalize.toString))
+      .filter(p =>
+        try Files.getLastModifiedTime(p).toMillis < cutoff
+        catch { case _: Exception => false }) // vanished mid-walk: skip
     orphans.foreach(Files.deleteIfExists(_))
     // sweep directories the deletes left holding only writer sidecar junk
     // (_SUCCESS, .crc) or nothing — deepest first
@@ -586,11 +611,11 @@ object GraftTools {
       val n = p.getFileName.toString
       n == "_SUCCESS" || n.endsWith(".crc")
     }
-    scala.util.Using.resource(Files.walk(dataDir)) { stream =>
-      stream.iterator().asScala.toSeq
-    }.sortBy(-_.getNameCount).foreach { p =>
+    walkTolerant(dataDir).sortBy(-_.getNameCount).foreach { p =>
       if (p != dataDir && Files.isDirectory(p)) {
-        val children = scala.util.Using.resource(Files.list(p))(_.iterator().asScala.toSeq)
+        val children =
+          try scala.util.Using.resource(Files.list(p))(_.iterator().asScala.toSeq)
+          catch { case _: java.io.IOException => Seq(p) } // vanished: not empty
         if (children.forall(c => Files.isRegularFile(c) && sidecar(c))) {
           children.foreach(Files.deleteIfExists(_))
           Files.deleteIfExists(p)

@@ -180,10 +180,7 @@ object MaterializedRollup {
       val stale = rollup.scan().select(groupCols.map(col): _*)
         .join(keys, groupCols, "left_semi")
         .join(fresh.select(groupCols.map(col): _*), groupCols, "left_anti")
-      rollup.transaction { txn =>
-        txn.upsert(fresh)
-        txn.delete(stale)
-      }
+      RefreshCommit(rollup, fresh, stale)
       rollup.setProperties(Map(SrcVersionKey -> Some(v1.toString)))
       true
     } finally touched.unpersist(blocking = false)

@@ -154,10 +154,7 @@ object SecondaryIndex {
       val stale = index.scan().select((colName +: pkCols).map(col): _*)
         .join(keys, pkCols, "left_semi")
         .join(fresh, colName +: pkCols, "left_anti")
-      index.transaction { txn =>
-        txn.upsert(fresh)
-        txn.delete(stale)
-      }
+      RefreshCommit(index, fresh, stale)
       index.setProperties(Map(SrcVersionKey -> Some(v1.toString)))
       true
     } finally changed.unpersist(blocking = false)

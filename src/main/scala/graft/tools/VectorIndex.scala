@@ -206,10 +206,7 @@ object VectorIndex {
       val stale = index.scan().select(col("cell"), col(idCol))
         .join(keys, Seq(idCol), "left_semi")
         .join(fresh.select(col("cell"), col(idCol)), Seq("cell", idCol), "left_anti")
-      index.transaction { txn =>
-        txn.upsert(fresh)
-        txn.delete(stale)
-      }
+      RefreshCommit(index, fresh, stale)
       index.setProperties(Map(SrcVersionKey -> Some(v1.toString)))
       true
     } finally changed.unpersist(blocking = false)
