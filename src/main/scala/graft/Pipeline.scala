@@ -1400,6 +1400,53 @@ object Pipeline {
         .orderBy("vec_id")
     }),
 
+    "p43_bm25" -> ((s, dir) => {
+      // BM25 top-k retrieval (the retrieval half of decontamination-by-
+      // search and RAG eval): score = Σ_t idf(t)·tf·(k1+1) /
+      // (tf + k1·(1−b+b·dl/avgdl)) with k1=6/5, b=3/4 — evaluated ENTIRELY
+      // in scaled-integer arithmetic so the oracle hash-matches: idf is the
+      // Robertson ratio (N−df+½)/(df+½) scaled by 10⁴ and floored (log-free
+      // — a per-term monotone transform of the same ratio; on this corpus
+      // every term's df > N/2, exactly where the log variant goes negative
+      // and real systems clamp anyway), and the saturation term clears its
+      // fractions through 20·T (T = corpus tokens, avgdl = T/N):
+      //   contrib = (idf₄·44·T·tf) div (20·T·tf + 6·T + 18·dl·N).
+      // Integer sums are order-independent — no float accumulation order to
+      // diverge between engines. Scale shape: the postings flow restricts
+      // to the probed terms by a BROADCAST join BEFORE any aggregation
+      // (query-terms × corpus, never vocab × corpus); dl and the 1-row
+      // totals are narrow count aggs; df of the probed terms derives from
+      // the restricted postings; top-k is a window PARTITIONED BY query_id
+      // — never a global sort. Products are bounded by idf₄·44·T·tf ≈
+      // 10⁸·44·T·tf — lift to decimal(38,0) past ~10¹⁵ corpus tokens.
+      import s.implicits._
+      val qterms = Seq(1L -> "vector", 1L -> "scan",
+        2L -> "customer", 2L -> "join", 2L -> "stream",
+        3L -> "hash", 3L -> "table").toDF("query_id", "term")
+      val tok = docs(s, dir).repartition(parallelism(s))
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val totals = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("t_tokens"))
+      val tf = tok.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))
+      tf.join(broadcast(qterms), Seq("term"))
+        .join(broadcast(dfreq), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(totals))
+        .withColumn("contrib", expr(
+          "(((10000 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1)) " +
+            "* 44 * t_tokens * tf) " +
+            "div (20 * t_tokens * tf + 6 * t_tokens + 18 * dl * n_docs)"))
+        .groupBy("query_id", "doc_id").agg(sum(col("contrib")).as("score"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("query_id"), col("rk"), col("doc_id"), col("score"))
+        .orderBy("query_id", "rk")
+    }),
+
     "p39_quality_classifier" -> ((s, dir) => {
       // Quality-classifier INFERENCE (the fasttext-style wiki-vs-CC filter
       // production corpora run before training): hashed unigram + adjacent
@@ -1892,6 +1939,33 @@ object Pipeline {
         "SELECT vec_id, nn_id, cell FROM (" +
         "SELECT vec_id, nn_id, cell, row_number() OVER (PARTITION BY vec_id " +
         "ORDER BY c DESC, nn_id) AS rk FROM p) WHERE rk = 1 ORDER BY vec_id"),
+
+    "p43_bm25" ->
+      ("WITH q(query_id, term) AS (VALUES (1,'vector'),(1,'scan')," +
+        "(2,'customer'),(2,'join'),(2,'stream'),(3,'hash'),(3,'table')), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents), " +
+        "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok " +
+        "GROUP BY doc_id), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(dl) AS BIGINT) AS t_tokens FROM dl), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM tok WHERE term IN (SELECT DISTINCT term FROM q) " +
+        "GROUP BY doc_id, term), " +
+        "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf " +
+        "GROUP BY term), " +
+        "sc AS (SELECT q.query_id, tf.doc_id, CAST(sum(" +
+        "(((10000 * (2 * n_docs - 2 * df + 1)) // (2 * df + 1)) " +
+        "* 44 * t_tokens * tf) " +
+        "// (20 * t_tokens * tf + 6 * t_tokens + 18 * dl * n_docs)" +
+        ") AS BIGINT) AS score " +
+        "FROM tf JOIN q USING (term) JOIN dfq USING (term) " +
+        "JOIN dl USING (doc_id) CROSS JOIN tot " +
+        "GROUP BY q.query_id, tf.doc_id) " +
+        "SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, score " +
+        "FROM (SELECT query_id, doc_id, score, CAST(row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rk " +
+        "FROM sc) WHERE rk <= 5 ORDER BY query_id, rk"),
 
     "p39_quality_classifier" ->
       ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents), " +

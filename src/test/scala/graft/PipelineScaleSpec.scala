@@ -400,6 +400,31 @@ class PipelineScaleSpec extends AnyFunSuite {
       s"knn join must ride the cell equi-join:\n$plan")
   }
 
+  test("p43 BM25 restricts postings to probed terms and broadcasts every side table") {
+    val df = SparkEntry.queries("p43_bm25")(spark, dir)
+    val rows = df.collect()
+    assert(rows.length == 15, s"3 queries x top-5: ${rows.length}")
+    // per query: ranks dense from 1, scores non-increasing, positive
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5), s"query $q ranks")
+      val scores = sorted.map(_.getLong(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q scores must be non-increasing")
+      assert(scores.forall(_ > 0), s"query $q scores must be positive")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the postings side joins query terms / df / totals as BROADCASTS (the
+    // 1-row totals ride a broadcast nested loop — bounded by definition);
+    // the only shuffle-shaped join is tf x dl on doc_id. A SortMergeJoin on
+    // term would mean the full vocab flowed into the score join.
+    assert(!plan.contains("CartesianProduct"),
+      s"bm25 must not cartesian:\n$plan")
+    assert(plan.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
+      s"only the doc-length join may sort-merge:\n$plan")
+  }
+
   test("p41 BPE merge counts: dense ranks, non-increasing counts, vocab-sized explode") {
     val df = SparkEntry.queries("p41_bpe_merges")(spark, dir)
     val rows = df.collect()
