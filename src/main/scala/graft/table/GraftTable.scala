@@ -339,6 +339,35 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         (col(OpCol) === OpDelete).as(DeletedCol): _*)
   }
 
+  /** Distinct `cols` projections (key columns only — delta tombstones
+    * carry nothing else) touched by any commit in `(v1, v2]` — the
+    * maintenance-refresh primitive (rollup/index refreshes re-derive state
+    * from the LIVE base per touched key). Cheaper than [[changesSince]]:
+    * the per-key latest fold and the ghost-delete dedup are irrelevant
+    * when the caller recomputes from the current snapshot (a ghost key
+    * re-derives to the same nothing, a superseded upsert to the same
+    * latest), so the fast path reads ONLY the delta files in range — no
+    * window, no v1 snapshot scan. Falls back to the logical diff when
+    * compaction or a minor fold collapsed the range's per-commit history. */
+  def touchedKeys(v1: Long, v2: Long, cols: Seq[String]): DataFrame = {
+    val m1 = readVersion(v1)
+    val m2 = readVersion(v2)
+    val keySet = m2.keyCols.toSet
+    require(cols.nonEmpty && cols.forall(keySet.contains),
+      s"touchedKeys serves key columns only (asked ${cols.mkString(",")}; " +
+        s"keys ${m2.keyCols.mkString(",")})")
+    if (m1.baseFiles.map(_.path).toSet != m2.baseFiles.map(_.path).toSet ||
+        !m1.deltaFiles.map(_.path).toSet.subsetOf(m2.deltaFiles.map(_.path).toSet) ||
+        m1.rangeDrops != m2.rangeDrops)
+      return changes(v1, v2).select(cols.map(col): _*).distinct()
+    val inRange = m2.deltaFiles.filter(f => f.seq > v1 && f.seq <= v2)
+    if (inRange.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(cols.map(n =>
+          m2.column(n).toField.copy(nullable = true))))
+    readFileGroup(m2, inRange, delta = true).select(cols.map(col): _*).distinct()
+  }
+
   // --------------------------------------------------------------- write
 
   /** INSERT: error if any PK already exists (W1, tablet/tablet.cc:836

@@ -127,9 +127,10 @@ object MaterializedRollup {
       (r.substring(0, i), r.substring(i + 1))
     }
     // distinct touched group keys — tiny in steady state (bounded by the
-    // mutation count, then by group cardinality)
-    val touched = src.changesSince(v0, v1)
-      .select(groupCols.map(col): _*).distinct()
+    // mutation count, then by group cardinality). touchedKeys reads only
+    // the delta files in range: no per-key fold, no v1 snapshot scan —
+    // ghost/superseded keys recompute to the same result below.
+    val touched = src.touchedKeys(v0, v1, groupCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val rows = touched.limit(maxPruneKeys + 1).collect()

@@ -60,6 +60,23 @@ object ProfileQ68 {
     }
     t("refresh") { few { MaterializedRollup.refresh(spark, rollup, assertPrune = true) } }
     t("final scan") { rollup.scan().orderBy("o_orderpriority").collect() }
+    // refresh internals, step by step (a second mutation so there is CDC)
+    few {
+      tbl.upsert(tbl.scan()
+        .filter(col("o_orderpriority") === "2-HIGH" && col("o_orderkey") % 13 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3))
+    }
+    val p = rollup.properties
+    val src = t("  load src") { GraftTable.load(spark, p(MaterializedRollup.SrcLocKey)) }
+    val v0 = p(MaterializedRollup.SrcVersionKey).toLong
+    val v1 = src.meta.version
+    val touched = t("  changes+distinct") {
+      val d = src.changesSince(v0, v1).select(col("o_orderpriority")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.limit(4097).collect()
+    }
+    println(s"[prof]   touched groups: ${touched.length}")
+    t("  refresh again") { few { MaterializedRollup.refresh(spark, rollup, assertPrune = true) } }
     spark.stop()
   }
 }
