@@ -1420,15 +1420,24 @@ object Pipeline {
       // — never a global sort. Products are bounded by idf₄·44·T·tf ≈
       // 10⁸·44·T·tf — lift to decimal(38,0) past ~10¹⁵ corpus tokens.
       import s.implicits._
-      val qterms = Seq(1L -> "vector", 1L -> "scan",
+      val qpairs = Seq(1L -> "vector", 1L -> "scan",
         2L -> "customer", 2L -> "join", 2L -> "stream",
-        3L -> "hash", 3L -> "table").toDF("query_id", "term")
-      val tok = docs(s, dir).repartition(parallelism(s))
-        .select(col("doc_id"), explode(words(col("text"))).as("term"))
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        3L -> "hash", 3L -> "table")
+      val qterms = qpairs.toDF("query_id", "term")
+      val probed = qpairs.map(_._2).distinct
+      // doc length WITHOUT an explode (size of the token array — one
+      // narrow projection off the scan), and the postings explode emits
+      // ONLY probed-term hits: the term restriction runs INSIDE the token
+      // array before a single row fans out (the literal IN list is the
+      // broadcast degenerate for a 7-term probe set; a large query
+      // workload would swap in a broadcast semi-join, same shape)
+      val dl = docs(s, dir)
+        .select(col("doc_id"), size(words(col("text"))).cast("long").as("dl"))
       val totals = dl.agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).as("t_tokens"))
-      val tf = tok.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      val tf = docs(s, dir).repartition(parallelism(s))
+        .select(col("doc_id"), explode(
+          filter(words(col("text")), w => w.isInCollection(probed))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("query_id")
@@ -1445,6 +1454,41 @@ object Pipeline {
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
         .select(col("query_id"), col("rk"), col("doc_id"), col("score"))
         .orderBy("query_id", "rk")
+    }),
+
+    "p44_bpe_encode" -> ((s, dir) => {
+      // Tokenizer APPLICATION — the other half of p41: encode every doc
+      // with the corpus's own top-20 learned merges. Each merge applies as
+      // a left-to-right non-overlapping sweep in rank order over the
+      // space-separated token string (word boundaries are '|' sentinels no
+      // merge can cross); on this corpus (no same-char run above 2) the
+      // one-sweep application is EXACTLY exhaustive BPE. Scale shape: the
+      // merge table is tiny by construction (limit 20), collected once and
+      // FOLDED INTO THE EXPRESSION — encoding is a single narrow
+      // codegen'd pass over the corpus, no join, no shuffle, the shape a
+      // 100 TB tokenization job must have (the merge list is the model;
+      // models broadcast, corpora stream).
+      val merges = queries("p41_bpe_merges")(s, dir).collect()
+        .map(_.getString(1))
+      merges.foreach(p => require(p.matches("[a-z]{2}"),
+        s"unexpected merge pair '$p'"))
+      val spaced =
+        "concat(' ', array_join(transform(" +
+          "filter(split(text, ' '), w -> length(w) > 0), " +
+          "w -> array_join(transform(sequence(1, length(w)), " +
+          "i -> substring(w, i, 1)), ' ')), ' | '), ' ')"
+      val enc = merges.foldLeft(spaced) { (acc, p) =>
+        s"replace($acc, ' ${p(0)} ${p(1)} ', ' $p ')"
+      }
+      docs(s, dir).repartition(parallelism(s))
+        .withColumn("s", expr(enc))
+        .select(col("doc_id"),
+          expr("size(filter(split(trim(s), ' '), t -> t <> '|'))")
+            .cast("long").as("n_tokens"),
+          length(regexp_replace(col("text"), " ", "")).cast("long")
+            .as("n_chars"),
+          sha2(trim(col("s")), 256).as("enc_sha"))
+        .orderBy("doc_id")
     }),
 
     "p39_quality_classifier" -> ((s, dir) => {
@@ -1943,14 +1987,13 @@ object Pipeline {
     "p43_bm25" ->
       ("WITH q(query_id, term) AS (VALUES (1,'vector'),(1,'scan')," +
         "(2,'customer'),(2,'join'),(2,'stream'),(3,'hash'),(3,'table')), " +
-        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
-        "FROM documents), " +
-        "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok " +
-        "GROUP BY doc_id), " +
+        "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) " +
+        "AS dl FROM documents), " +
         "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(dl) AS BIGINT) AS t_tokens FROM dl), " +
         "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf " +
-        "FROM tok WHERE term IN (SELECT DISTINCT term FROM q) " +
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents) WHERE term IN (SELECT DISTINCT term FROM q) " +
         "GROUP BY doc_id, term), " +
         "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf " +
         "GROUP BY term), " +
@@ -1966,6 +2009,33 @@ object Pipeline {
         "FROM (SELECT query_id, doc_id, score, CAST(row_number() OVER (" +
         "PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rk " +
         "FROM sc) WHERE rk <= 5 ORDER BY query_id, rk"),
+
+    // the recursive CTE applies merge rank k at step k — identical
+    // left-to-right non-overlapping replace semantics in both engines
+    "p44_bpe_encode" ->
+      ("WITH RECURSIVE t AS (SELECT string_split(text, ' ') AS ws FROM documents), " +
+        "w0 AS (SELECT unnest(ws) AS w FROM t), " +
+        "v AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w0 " +
+        "WHERE length(w) > 1 GROUP BY w), " +
+        "p AS (SELECT unnest(list_transform(generate_series(1, length(w) - 1), " +
+        "i -> substr(w, i, 2))) AS pair, cnt FROM v), " +
+        "pc AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt FROM p GROUP BY pair), " +
+        "m AS (SELECT pair, CAST(row_number() OVER (ORDER BY cnt DESC, pair) " +
+        "AS INTEGER) AS rank FROM pc QUALIFY rank <= 20), " +
+        "d AS (SELECT doc_id, text, ' ' || array_to_string(list_transform(" +
+        "list_filter(string_split(text, ' '), w -> length(w) > 0), " +
+        "w -> array_to_string(list_transform(generate_series(1, length(w)), " +
+        "i -> substr(w, i, 1)), ' ')), ' | ') || ' ' AS s FROM documents), " +
+        "enc AS (SELECT doc_id, text, s, 0 AS k FROM d " +
+        "UNION ALL SELECT e.doc_id, e.text, replace(e.s, " +
+        "' ' || substr(m.pair, 1, 1) || ' ' || substr(m.pair, 2, 1) || ' ', " +
+        "' ' || m.pair || ' '), e.k + 1 " +
+        "FROM enc e JOIN m ON m.rank = e.k + 1 WHERE e.k < 20) " +
+        "SELECT doc_id, CAST(len(list_filter(string_split(trim(s), ' '), " +
+        "x -> x <> '|')) AS BIGINT) AS n_tokens, " +
+        "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars, " +
+        "sha256(trim(s)) AS enc_sha " +
+        "FROM enc WHERE k = 20 ORDER BY doc_id"),
 
     "p39_quality_classifier" ->
       ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents), " +

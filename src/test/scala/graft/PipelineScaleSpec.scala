@@ -425,6 +425,25 @@ class PipelineScaleSpec extends AnyFunSuite {
       s"only the doc-length join may sort-merge:\n$plan")
   }
 
+  test("p44 BPE encode is a single narrow pass with the merges folded into the expression") {
+    val df = SparkEntry.queries("p44_bpe_encode")(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // merging only ever shrinks the token count, and a token is ≥1 char
+      assert(r.getLong(1) <= r.getLong(2),
+        s"tokens cannot exceed chars: $r")
+      assert(r.getLong(1) > 0, s"non-empty doc must encode to tokens: $r")
+    }
+    // the encode plan itself must not join or shuffle: the merge table is
+    // an expression constant (collected once, bounded by limit 20), so the
+    // pass is explode-free scan → project → sort for the gate's orderBy
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"encode must not join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"encode must not aggregate:\n$plan")
+  }
+
   test("p41 BPE merge counts: dense ranks, non-increasing counts, vocab-sized explode") {
     val df = SparkEntry.queries("p41_bpe_merges")(spark, dir)
     val rows = df.collect()
