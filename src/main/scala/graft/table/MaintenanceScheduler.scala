@@ -252,6 +252,17 @@ object MaintenanceScheduler {
         // REPLACE whose parked incumbent failed to drop): hour-grace, so
         // an in-flight staged write can never look idle
         acted += graft.tools.GraftTools.sweepStaging(e.location).length
+        // derived tables (rollups / secondary indexes / vector indexes)
+        // under the warehouse refresh when their source moved past the
+        // recorded watermark — background upkeep covers views too
+        graft.tools.GraftTools
+          .listWarehouseTables(java.nio.file.Paths.get(e.location))
+          .foreach { p =>
+            try {
+              if (graft.tools.DerivedTables.refreshIfStale(spark,
+                  GraftTable.load(spark, p.toString))) acted += 1
+            } catch { case _: Exception => () } // one sick view ≠ a dead sweep
+          }
       } else {
         val t = GraftTable.load(spark, e.location)
         // (0) history retention GC first — the reference's manager runs
@@ -276,6 +287,17 @@ object MaintenanceScheduler {
           if (m0.version - m0.analyzedVersion.getOrElse(0L) >= k) {
             val hadHist = m0.colStats.exists(_.values.exists(_.histogram.isDefined))
             t.analyze(histograms = hadHist)
+            acted += 1
+            m0 = t.meta
+          }
+        }
+        // derived-table refresh BEFORE the clean fast path: a rollup/index
+        // can be delta-free yet stale — staleness lives in the SOURCE's
+        // version, not this table's files
+        if (m0.propsMap.contains(graft.tools.MaterializedRollup.SrcLocKey) ||
+            m0.propsMap.contains(graft.tools.SecondaryIndex.SrcLocKey) ||
+            m0.propsMap.contains(graft.tools.VectorIndex.SrcLocKey)) {
+          if (graft.tools.DerivedTables.refreshIfStale(spark, t)) {
             acted += 1
             m0 = t.meta
           }

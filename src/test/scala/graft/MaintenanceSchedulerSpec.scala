@@ -257,6 +257,55 @@ class MaintenanceSchedulerSpec extends AnyFunSuite {
     } finally MaintenanceScheduler.unschedule(t.location)
   }
 
+  test("derived tables refresh under the schedule: stale rollup heals per-table and per-warehouse") {
+    val wh = Files.createTempDirectory("graft-msched7-").toString
+    val df = (1 to 200).map(i => (i.toLong, i % 7, i * 10)).toDF("k", "g", "v")
+    val t = GraftTable.create(spark, s"$wh/base7", "base7", df.schema,
+      Seq("g", "k"), Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    val rollup = graft.tools.MaterializedRollup.build(spark, t, Seq("g"),
+      Seq("n" -> "count(*)", "sv" -> "sum(v)"), s"$wh/roll7", buckets = 2)
+    // per-TABLE schedule on the rollup's own location: staleness lives in
+    // the SOURCE's version, the rollup itself is delta-free — the tick
+    // must probe the watermark before its clean fast path
+    val e = MaintenanceScheduler.schedule(spark, rollup.location,
+      intervalMs = 60_000L)
+    try {
+      MaintenanceScheduler.tick(spark, e)
+      assert(e.lastError.isEmpty, e.lastError.toString)
+      val a0 = e.actions.get()
+      t.upsert(Seq((1L, 1, 999_999)).toDF("k", "g", "v"))
+      t.deleteWhere(col("g") === 3) // vanish a whole group
+      MaintenanceScheduler.tick(spark, e)
+      assert(e.lastError.isEmpty, e.lastError.toString)
+      assert(e.actions.get() > a0, "the tick must have refreshed the rollup")
+      val got = rollup.scan().collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = t.scan().groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv")).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == want, s"rollup must equal a fresh recompute:\n$got\nvs\n$want")
+      assert(!got.contains(3), "the vanished group must be tombstoned")
+      // current again: an immediate tick leaves the rollup's version alone
+      val v = rollup.currentVersion
+      MaintenanceScheduler.tick(spark, e)
+      assert(rollup.currentVersion == v)
+    } finally MaintenanceScheduler.unschedule(rollup.location)
+    // WAREHOUSE schedule: the sweep finds the stale derived table itself
+    val ew = MaintenanceScheduler.scheduleWarehouse(spark, wh,
+      intervalMs = 60_000L)
+    try {
+      t.upsert(Seq((2L, 2, 555_555)).toDF("k", "g", "v"))
+      MaintenanceScheduler.tick(spark, ew)
+      assert(ew.lastError.isEmpty, ew.lastError.toString)
+      val got = rollup.scan().filter(col("g") === 2).collect()
+        .map(r => (r.getLong(1), r.getLong(2))).head
+      val want = t.scan().filter(col("g") === 2)
+        .agg(count(lit(1)), sum("v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).head
+      assert(got == want, s"warehouse tick must refresh the rollup: $got vs $want")
+    } finally MaintenanceScheduler.unschedule(wh)
+  }
+
   test("warehouse schedule ranks across tables: the dirtiest tablet anywhere folds first") {
     val wh = Files.createTempDirectory("graft-msched4-").toString
     val df = (1 to 400).map(i => (i.toLong, i)).toDF("k", "v")
