@@ -33,6 +33,7 @@ object Queries {
   /** q64's warehouse, one per (JVM, sfDir) — catalog instances cache by
     * NAME, so gq64 must always resolve to one warehouse. */
   private val q64Wh = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q70Wh = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q46's warehouse (3 loaded+ANALYZEd dims), one per (JVM, sfDir). */
   private val q46Wh = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -876,6 +877,76 @@ object Queries {
         "Customer#000000007", "RENAMED#000000042", "SYNTH#000000001",
         "Customer#000000099", "Customer#000000042"), assertPrune = true)
         .orderBy("c_custkey")
+    }),
+
+    "q70_mv_rewrite" -> ((s, dir) => {
+      // Materialized-view QUERY REWRITE (RollupRewrite): a GROUP BY over
+      // the base is answered from the maintained rollup — at 100 TB this
+      // turns every dashboard refresh from a full-corpus shuffle into a
+      // groups-sized read. In-query asserts pin the contract: (1) a fresh
+      // rollup serves BOTH scan shapes (the DSv1 clean-snapshot file scan
+      // and the V2 catalog relation); (2) the instant the base mutates the
+      // rewrite declines — a stale rollup NEVER serves; (3) after an
+      // incremental refresh the V2 path serves again even though the base
+      // is still delta-dirty (the rewrite fires on the catalog relation
+      // before merge-on-read planning). The gated rows are the
+      // rollup-served aggregate, hash-matched against the oracle's
+      // from-scratch recompute of the mutated base.
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val wh = q70Wh.computeIfAbsent(dir, _ => tmpLoc("graft-q70-wh-"))
+      s.conf.set("spark.sql.catalog.gq70",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq70.warehouse", wh)
+      val name = s"ord${System.nanoTime()}"
+      val raw = Tables.raw(s, dir, "orders")
+      val t = GraftTable.create(s, s"$wh/$name", name,
+        raw.schema, Seq("o_orderpriority", "o_orderkey"),
+        Seq(HashComponent(Seq("o_orderkey"), 2)), data = Some(raw))
+      val rollup = graft.tools.MaterializedRollup.build(s, t,
+        Seq("o_orderpriority"), Seq(
+          "n_rows" -> "count(*)",
+          "sum_price" -> "sum(CAST(o_totalprice AS DECIMAL(28,2)))",
+          "max_key" -> "max(o_orderkey)"),
+        tmpLoc("graft-q70r-"), buckets = 4)
+      graft.plans.RollupRewrite.enable(s, rollup)
+      try {
+        def agg(base: DataFrame) = base.groupBy("o_orderpriority").agg(
+          count(lit(1)).as("n_rows"),
+          sum(expr("CAST(o_totalprice AS DECIMAL(28,2))")).as("sum_price"),
+          max("o_orderkey").as("max_key"))
+        def served(df: DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.collect {
+            case lr: LogicalRelation => lr.relation match {
+              case fs: HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toUri.getPath)
+              case _ => Nil
+            }
+          }.flatten.exists(_.startsWith(rollup.location))
+        def v2 = agg(s.table(s"gq70.`$name`"))
+        if (!served(agg(t.scan())))
+          throw new IllegalStateException(
+            "fresh rollup must serve the DSv1 clean-snapshot aggregate")
+        if (!served(v2))
+          throw new IllegalStateException(
+            "fresh rollup must serve the V2 catalog aggregate")
+        withShufflePartitions(s, 4) {
+          t.upsert(t.scan()
+            .filter(col("o_orderpriority") === "1-URGENT" &&
+              col("o_orderkey") % 7 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2))
+        }
+        if (served(v2))
+          throw new IllegalStateException("a STALE rollup must never serve")
+        if (!graft.tools.MaterializedRollup.refresh(s, rollup))
+          throw new IllegalStateException("refresh must apply the mutation")
+        val q = v2
+        if (!served(q))
+          throw new IllegalStateException(
+            "a refreshed rollup must serve the V2 path on a dirty base")
+        withShufflePartitions(s, 4) {
+          q.localCheckpoint(true) // materialize WHILE the rewrite serves
+        }.orderBy("o_orderpriority")
+      } finally graft.plans.RollupRewrite.disable(s, rollup.location)
     }),
 
     "q63_stream_join" -> ((s, dir) => {
@@ -2271,6 +2342,20 @@ object Queries {
         "SELECT '9-SYNTH', o_orderkey + 10000000, " +
         "CAST((o_orderkey + 10000000) % 1000 AS DOUBLE) " +
         "FROM orders WHERE o_orderkey % 11 = 0) " +
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CAST(price AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS sum_price, " +
+        "max(o_orderkey) AS max_key " +
+        "FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    // the oracle recomputes the mutated base from scratch; the engine rows
+    // came off the ROLLUP (in-query plan asserts), so the hash match IS the
+    // proof the rewrite served the truth
+    "q70_mv_rewrite" ->
+      ("WITH final AS (" +
+        "SELECT o_orderpriority, o_orderkey, " +
+        "CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0 " +
+        "THEN o_totalprice * 2 ELSE o_totalprice END AS price " +
+        "FROM orders) " +
         "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(CAST(price AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS sum_price, " +
         "max(o_orderkey) AS max_key " +

@@ -1,0 +1,232 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+
+import graft.catalog.TableMeta
+import graft.sources.GraftRelation
+import graft.table.GraftTable
+import graft.tools.MaterializedRollup
+
+/**
+ * Materialized-view QUERY REWRITE — the serving half of
+ * [[graft.tools.MaterializedRollup]]: a `GROUP BY` over the base table
+ * that matches a registered, CURRENT rollup is answered from the rollup
+ * instead of re-aggregating the base. At 100 TB this is the difference
+ * between a metadata-sized read and a full-corpus shuffle for every
+ * dashboard refresh — and with the scheduler refreshing rollups in the
+ * background ([[graft.tools.DerivedTables]]), queries transparently stay
+ * on the fast path while mutations keep flowing.
+ *
+ * Spark-first shape: a `Rule[LogicalPlan]` appended to
+ * `spark.experimental.extraOptimizations` (runtime-injectable; no session
+ * rebuild), firing on `Aggregate` nodes whose child is a bare scan of a
+ * registered base (DSv1 `GraftRelation` at current version, or the V2
+ * catalog relation before/after scan pushdown — a `Filter` or non-trivial
+ * projection under the aggregate disqualifies). The rewrite is strictly
+ * conservative:
+ *
+ *   - grouping must be exactly the rollup's group columns (any order);
+ *   - every aggregate must canonicalize to one of the rollup's persisted
+ *     definitions — the canonical language covers `count( * )`/`count(1)`,
+ *     `sum/min/max(col)` and `sum/min/max(cast(col as t))`, which is what
+ *     rollups store; anything else simply never rewrites;
+ *   - output data types must match the rollup's persisted column types
+ *     exactly (the build persisted the aggregate's own natural types);
+ *   - the rollup must be CURRENT: its source-version watermark equals the
+ *     base's current committed version at plan time. A stale rollup never
+ *     serves (refresh-or-miss, not read-behind) — the background
+ *     maintenance tick is what keeps the hit rate high.
+ *
+ * Output attribute ids are preserved through aliases, so parent operators
+ * resolve untouched. Dead registrations (dropped rollup or base) fall out
+ * of the registry on the next apply.
+ */
+object RollupRewrite extends Rule[LogicalPlan] {
+
+  // rollup locations per session (weak: sessions die with their tests)
+  private val registry =
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, String]]()
+
+  /** Register `rollup` for rewrite in `spark` and inject the rule (once). */
+  def enable(spark: SparkSession, rollup: GraftTable): Unit = {
+    val srcLoc = rollup.properties.getOrElse(MaterializedRollup.SrcLocKey,
+      throw new IllegalArgumentException(
+        s"${rollup.location} is not a materialized rollup"))
+    registry.synchronized {
+      registry.computeIfAbsent(spark,
+        _ => new ConcurrentHashMap[String, String]())
+        .put(rollup.location, srcLoc)
+    }
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+  }
+
+  /** Drop `rollup` from the rewrite registry (the rule stays injected —
+    * with an empty registry it is a no-op pattern match). */
+  def disable(spark: SparkSession, rollupLocation: String): Unit =
+    registry.synchronized {
+      Option(registry.get(spark)).foreach(_.remove(rollupLocation))
+    }
+
+  private def rollupsFor(spark: SparkSession): Map[String, String] = {
+    val m = registry.synchronized(Option(registry.get(spark)))
+      .getOrElse(return Map.empty)
+    import scala.jdk.CollectionConverters._
+    // self-clean: dropped rollups (bench scratch tables) leave the registry
+    m.asScala.toMap.filter { case (loc, _) =>
+      val ok = TableMeta.exists(loc)
+      if (!ok) m.remove(loc)
+      ok
+    }
+  }
+
+  /** Canonical string for the tiny aggregate language rollups persist.
+    * Handles BOTH resolved query-side trees and parsed-spec trees, so the
+    * two sides compare by string equality. None = outside the language. */
+  private def canon(e: Expression): Option[String] = e match {
+    case a: Alias => canon(a.child)
+    case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+      canon(ae.aggregateFunction)
+    case c: Count => c.children match {
+      case Seq(l: Literal) if l.value != null => Some("count(*)")
+      case Seq(_: UnresolvedStar) => Some("count(*)")
+      case _ => None
+    }
+    case s: Sum => canon(s.child).map(x => s"sum($x)")
+    case m: Min => canon(m.child).map(x => s"min($x)")
+    case m: Max => canon(m.child).map(x => s"max($x)")
+    case c: Cast =>
+      canon(c.child).map(x => s"cast($x as ${c.dataType.sql.toLowerCase})")
+    case a: AttributeReference => Some(a.name.toLowerCase)
+    case u: UnresolvedAttribute => Some(u.name.toLowerCase)
+    case f: UnresolvedFunction if f.nameParts.length == 1 &&
+        !f.isDistinct && f.filter.isEmpty =>
+      f.nameParts.head.toLowerCase match {
+        case "count" => f.arguments match {
+          case Seq(l: Literal) if l.value != null => Some("count(*)")
+          case Seq(_: UnresolvedStar) => Some("count(*)")
+          case _ => None
+        }
+        case n @ ("sum" | "min" | "max") => f.arguments match {
+          case Seq(arg) => canon(arg).map(x => s"$n($x)")
+          case _ => None
+        }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** The base-table location under a bare (attribute-only) projection
+    * chain, when the scan reads the CURRENT version. */
+  private def baseLocation(plan: LogicalPlan): Option[String] = plan match {
+    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      baseLocation(child)
+    case lr: LogicalRelation => lr.relation match {
+      case GraftRelation(_, loc, None) => Some(loc)
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        snapshotScanLocation(fs)
+      case _ => None
+    }
+    case r: DataSourceV2Relation => r.table match {
+      case t: graft.sources.v2.GraftV2Table => Some(t.graftLocation)
+      case _ => None
+    }
+    case sr: DataSourceV2ScanRelation => baseLocation(sr.relation)
+    case _ => None
+  }
+
+  /** `GraftTable.scan()` of a CLEAN snapshot reads the base parquet files
+    * directly (no merge-on-read overlay in the plan), so the relation to
+    * recognize is a file scan. The match is exact-or-nothing: the scanned
+    * file set must equal the CURRENT manifest's base files of a delta-free,
+    * drop-free table — a time-travel scan (old file set), a pruned scan
+    * (subset), or a dirty table (overlay plan anyway) all disqualify, so a
+    * rewrite can never serve different rows than the scan would have. */
+  private def snapshotScanLocation(
+      fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation): Option[String] = {
+    val paths = fs.location.rootPaths.map(_.toUri.getPath)
+    if (paths.isEmpty) return None
+    val i = paths.head.indexOf("/data/")
+    if (i < 0) return None
+    val root = paths.head.substring(0, i)
+    if (!TableMeta.exists(root)) return None
+    val m = TableMeta.readCurrent(root)
+    if (m.deltaFiles.nonEmpty || m.rangeDrops.nonEmpty) return None
+    val want = m.baseFiles
+      .map(f => new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+    if (paths.toSet == want) Some(root) else None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val spark = SparkSession.active
+    val rollups = rollupsFor(spark)
+    if (rollups.isEmpty) return plan
+    plan.transform {
+      case agg @ Aggregate(groupExprs, resultExprs, child, _)
+          if groupExprs.nonEmpty &&
+            groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+        (for {
+          baseLoc <- baseLocation(child)
+          rewritten <- rollups.collectFirst(Function.unlift {
+            case (rollupLoc, srcLoc) if srcLoc == baseLoc =>
+              tryRewrite(spark, agg, groupExprs, resultExprs, baseLoc, rollupLoc)
+            case _ => None
+          })
+        } yield rewritten).getOrElse(agg)
+    }
+  }
+
+  private def tryRewrite(spark: SparkSession, agg: Aggregate,
+      groupExprs: Seq[Expression], resultExprs: Seq[NamedExpression],
+      baseLoc: String, rollupLoc: String): Option[LogicalPlan] = try {
+    val rollup = GraftTable.load(spark, rollupLoc)
+    val p = rollup.properties
+    // freshness: the watermark must sit at the base's current version —
+    // a stale rollup never serves
+    if (p(MaterializedRollup.SrcVersionKey).toLong !=
+        TableMeta.currentVersion(baseLoc)) return None
+    val groupCols = p(MaterializedRollup.GroupColsKey)
+      .split(MaterializedRollup.FieldSep).toSeq.map(_.toLowerCase)
+    val gNames = groupExprs.map {
+      case a: AttributeReference => a.name.toLowerCase
+    }
+    if (gNames.sorted != groupCols.sorted) return None
+    val specs: Map[String, String] = p(MaterializedRollup.AggsKey)
+      .split(MaterializedRollup.RecSep).toSeq.map { r =>
+        val i = r.indexOf(MaterializedRollup.FieldSep)
+        val alias = r.substring(0, i)
+        val c = canon(CatalystSqlParser.parseExpression(r.substring(i + 1)))
+        c.map(_ -> alias)
+      }.collect { case Some(kv) => kv }.toMap
+    // map every output to a rollup column (group col by name, aggregate
+    // by canonical match), types equal exactly. The spliced subtree must be
+    // the OPTIMIZED scan plan: this rule runs in the last optimizer batch,
+    // so an analyzed subtree's ResolvedHint (a dirty rollup's broadcast
+    // overlay) would reach the planner unreplaced and throw
+    val rollupPlan = rollup.scan().queryExecution.optimizedPlan
+    val byName = rollupPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    val mapped = resultExprs.map {
+      case a: AttributeReference if groupCols.contains(a.name.toLowerCase) =>
+        byName.get(a.name.toLowerCase).filter(_.dataType == a.dataType)
+          .map(r => Alias(r, a.name)(exprId = a.exprId))
+      case al @ Alias(_, _) =>
+        canon(al).flatMap(specs.get).flatMap(byName.get(_))
+          .filter(_.dataType == al.dataType)
+          .map(r => Alias(r, al.name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (mapped.exists(_.isEmpty)) None
+    else Some(Project(mapped.map(_.get), rollupPlan))
+  } catch { case _: Exception => None } // a sick rollup never blocks the query
+}

@@ -661,6 +661,9 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
     with SupportsWrite with SupportsDelete with TruncatableTable
     with SupportsRowLevelOperations with SupportsPartitionManagement {
 
+  /** Engine location behind this V2 handle (plan rewrites key on it). */
+  private[graft] def graftLocation: String = meta.location
+
   // ---- SQL range-partition lifecycle (SupportsPartitionManagement):
   // ALTER TABLE ADD/DROP PARTITION (<rangeCol>='<key>') and SHOW
   // PARTITIONS map onto the engine's range ops — the reference's

@@ -50,8 +50,8 @@ object MaterializedRollup {
   val AggsKey = "graft.rollup.aggs"
   val SrcVersionKey = "graft.rollup.sourceVersion"
 
-  private val FieldSep = "\u001f" // within one agg: alias US expr
-  private val RecSep = "\u001e"   // between aggs
+  private[graft] val FieldSep = "\u001f" // within one agg: alias US expr
+  private[graft] val RecSep = "\u001e"   // between aggs
 
   private def aggExprs(aggs: Seq[(String, String)]) =
     aggs.map { case (alias, e) => expr(e).as(alias) }

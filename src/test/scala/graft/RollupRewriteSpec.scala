@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.HashComponent
+import graft.plans.RollupRewrite
+import graft.table.GraftTable
+import graft.tools.MaterializedRollup
+
+/**
+ * Materialized-view query rewrite: a matching GROUP BY over the base is
+ * answered from the rollup when (and only when) the rollup is CURRENT —
+ * stale rollups never serve, non-matching shapes never rewrite, and the
+ * rewritten plan returns exactly the directly-computed result.
+ */
+class RollupRewriteSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def readsRollup(df: DataFrame, rollupLoc: String): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+          case _ => Nil
+        }
+    }.flatten.exists(_.startsWith(rollupLoc))
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("fresh rollup serves; stale never serves; refresh restores; shapes that must not match don't") {
+    val wh = Files.createTempDirectory("graft-mvrw-").toString
+    val df = (1 to 300).map(i => (i.toLong, i % 5, (i % 97).toDouble))
+      .toDF("k", "g", "v")
+    val t = GraftTable.create(spark, s"$wh/base", "mvrw", df.schema,
+      Seq("g", "k"), Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    val rollup = MaterializedRollup.build(spark, t, Seq("g"),
+      Seq("n" -> "count(*)", "sv" -> "sum(v)", "mx" -> "max(k)"),
+      s"$wh/roll", buckets = 2)
+    RollupRewrite.enable(spark, rollup)
+    try {
+      def q = t.scan().groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"), max("k").as("mx"))
+      // 1. fresh: the aggregate reads the ROLLUP, not the base
+      assert(readsRollup(q, rollup.location),
+        s"fresh rollup must serve:\n${q.queryExecution.optimizedPlan}")
+      // ... and returns exactly what the base computes (deregister to get
+      // the ground truth through the ordinary plan)
+      RollupRewrite.disable(spark, rollup.location)
+      val want = rows(q)
+      assert(!readsRollup(q, rollup.location))
+      RollupRewrite.enable(spark, rollup)
+      assert(rows(q) == want, "rewritten result must equal direct compute")
+
+      // 2. a subset of the aggregates + reordered grouping still serves
+      val q2 = t.scan().groupBy("g").agg(sum("v").as("sv"))
+      assert(readsRollup(q2, rollup.location))
+      assert(rows(q2) == want.map(r => Seq(r(0), r(2))))
+
+      // 3. shapes that MUST NOT rewrite: a filter under the aggregate, a
+      // different grouping, an aggregate outside the rollup's definitions
+      assert(!readsRollup(
+        t.scan().filter(col("g") =!= 0).groupBy("g").agg(sum("v").as("sv")),
+        rollup.location), "filter under the aggregate must disqualify")
+      assert(!readsRollup(
+        t.scan().groupBy("k").agg(sum("v").as("sv")),
+        rollup.location), "different grouping must disqualify")
+      assert(!readsRollup(
+        t.scan().groupBy("g").agg(avg("v").as("a")),
+        rollup.location), "an aggregate the rollup lacks must disqualify")
+
+      // 4. stale: a base mutation makes the rollup ineligible INSTANTLY,
+      // and the ordinary plan sees the mutation
+      t.upsert(Seq((1L, 1, 10000.0)).toDF("k", "g", "v"))
+      assert(!readsRollup(q, rollup.location), "a stale rollup must not serve")
+      val afterMut = rows(q)
+      assert(afterMut != want, "the direct plan must see the mutation")
+
+      // 5. refresh alone is not enough for the DIRECT-scan path: the base
+      // now carries a delta, so scan() plans the MOR overlay — not a bare
+      // file relation the rewrite can prove equal to the snapshot. (The V2
+      // relation path serves dirty bases; see the next test.) Compaction
+      // restores the clean snapshot; one more refresh re-arms the
+      // watermark past the compaction's version bump.
+      assert(MaterializedRollup.refresh(spark, rollup))
+      assert(!readsRollup(q, rollup.location),
+        "a dirty base must not rewrite on the direct-scan path")
+      t.compact()
+      assert(MaterializedRollup.refresh(spark, rollup)) // watermark → post-compaction
+      assert(readsRollup(q, rollup.location),
+        "clean again + refreshed: the rollup must serve")
+      assert(rows(q) == afterMut,
+        "the refreshed rollup must serve the post-mutation truth")
+    } finally RollupRewrite.disable(spark, rollup.location)
+  }
+
+  test("V2 catalog SQL GROUP BY rides the rewrite too") {
+    val wh = Files.createTempDirectory("graft-mvrw2-").toString
+    val df = (1 to 200).map(i => (i.toLong, i % 4, i.toLong * 3)).toDF("k", "g", "v")
+    val t = GraftTable.create(spark, s"$wh/b2", "b2", df.schema,
+      Seq("g", "k"), Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    val rollup = MaterializedRollup.build(spark, t, Seq("g"),
+      Seq("n" -> "count(*)", "sv" -> "sum(v)"), s"$wh/r2", buckets = 2)
+    RollupRewrite.enable(spark, rollup)
+    try {
+      spark.conf.set("spark.sql.catalog.gmvrw",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gmvrw.warehouse", wh)
+      val q = spark.sql(
+        "SELECT g, count(*) AS n, sum(v) AS sv FROM gmvrw.b2 GROUP BY g")
+      assert(readsRollup(q, rollup.location),
+        s"V2 aggregate must serve from the rollup:\n${q.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark, rollup.location)
+      val want = rows(q)
+      RollupRewrite.enable(spark, rollup)
+      assert(rows(q) == want)
+      // the V2 relation path serves a DIRTY base too: the rewrite fires on
+      // the catalog relation before any merge-on-read planning, so a
+      // refreshed rollup keeps serving while deltas accrete on the base
+      t.upsert(Seq((7L, 3, 70000L)).toDF("k", "g", "v"))
+      assert(MaterializedRollup.refresh(spark, rollup))
+      assert(t.meta.deltaFiles.nonEmpty, "the base must be dirty here")
+      assert(readsRollup(q, rollup.location),
+        "a refreshed rollup must serve a dirty base through the V2 relation")
+      RollupRewrite.disable(spark, rollup.location)
+      val want2 = rows(q)
+      RollupRewrite.enable(spark, rollup)
+      assert(rows(q) == want2,
+        "the rollup must serve the post-mutation truth on the V2 path")
+    } finally RollupRewrite.disable(spark, rollup.location)
+  }
+}
