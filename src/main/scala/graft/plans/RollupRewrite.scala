@@ -35,7 +35,10 @@ import graft.tools.MaterializedRollup
  * projection under the aggregate disqualifies). The rewrite is strictly
  * conservative:
  *
- *   - grouping must be exactly the rollup's group columns (any order);
+ *   - grouping must be the rollup's group columns (any order) — served by
+ *     projection — or a SUBSET of them (including the global aggregate),
+ *     served by RE-AGGREGATING the rollup (count/sum fold by SUM, min/max
+ *     by themselves; exact, because groups partition the base's rows);
  *   - every aggregate must canonicalize to one of the rollup's persisted
  *     definitions — the canonical language covers `count( * )`/`count(1)`,
  *     `sum/min/max(col)` and `sum/min/max(cast(col as t))`, which is what
@@ -174,8 +177,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
     if (rollups.isEmpty) return plan
     plan.transform {
       case agg @ Aggregate(groupExprs, resultExprs, child, _)
-          if groupExprs.nonEmpty &&
-            groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+          if groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
         (for {
           baseLoc <- baseLocation(child)
           rewritten <- rollups.collectFirst(Function.unlift {
@@ -201,7 +203,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val gNames = groupExprs.map {
       case a: AttributeReference => a.name.toLowerCase
     }
-    if (gNames.sorted != groupCols.sorted) return None
+    // exact grouping serves by projection; a SUBSET grouping (including a
+    // global aggregate) RE-AGGREGATES the rollup — groups partition the
+    // base's rows, so sum-of-group-sums / sum-of-group-counts / min-of-
+    // group-mins / max-of-group-maxes are exactly the base aggregates,
+    // computed over groups-many rows instead of the corpus
+    val exact = gNames.sorted == groupCols.sorted
+    if (!exact && !gNames.forall(groupCols.contains)) return None
     val specs: Map[String, String] = p(MaterializedRollup.AggsKey)
       .split(MaterializedRollup.RecSep).toSeq.map { r =>
         val i = r.indexOf(MaterializedRollup.FieldSep)
@@ -216,17 +224,34 @@ object RollupRewrite extends Rule[LogicalPlan] {
     // overlay) would reach the planner unreplaced and throw
     val rollupPlan = rollup.scan().queryExecution.optimizedPlan
     val byName = rollupPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    // the re-aggregation combinator per canonical form: counts and sums
+    // fold by SUM, min/max by themselves. Anything else never re-aggregates.
+    def reAgg(canonical: String, r: Attribute): Option[Expression] =
+      (if (canonical.startsWith("count(") || canonical.startsWith("sum("))
+        Some(Sum(r).toAggregateExpression())
+      else if (canonical.startsWith("min(")) Some(Min(r).toAggregateExpression())
+      else if (canonical.startsWith("max(")) Some(Max(r).toAggregateExpression())
+      else None)
     val mapped = resultExprs.map {
-      case a: AttributeReference if groupCols.contains(a.name.toLowerCase) =>
+      case a: AttributeReference if gNames.contains(a.name.toLowerCase) =>
         byName.get(a.name.toLowerCase).filter(_.dataType == a.dataType)
           .map(r => Alias(r, a.name)(exprId = a.exprId))
       case al @ Alias(_, _) =>
-        canon(al).flatMap(specs.get).flatMap(byName.get(_))
-          .filter(_.dataType == al.dataType)
-          .map(r => Alias(r, al.name)(exprId = al.exprId))
+        canon(al).flatMap { c =>
+          specs.get(c).flatMap(byName.get(_)).flatMap { r =>
+            if (exact) Some(r: Expression) else reAgg(c, r)
+          }
+        }.filter(_.dataType == al.dataType)
+          .map(e => Alias(e, al.name)(exprId = al.exprId))
       case _ => None
     }
     if (mapped.exists(_.isEmpty)) None
-    else Some(Project(mapped.map(_.get), rollupPlan))
+    else if (exact) Some(Project(mapped.map(_.get), rollupPlan))
+    else {
+      val subGroup = groupExprs.map { case a: AttributeReference =>
+        byName(a.name.toLowerCase): Expression
+      }
+      Some(Aggregate(subGroup, mapped.map(_.get), rollupPlan))
+    }
   } catch { case _: Exception => None } // a sick rollup never blocks the query
 }

@@ -63,6 +63,20 @@ class RollupRewriteSpec extends AnyFunSuite {
       assert(readsRollup(q2, rollup.location))
       assert(rows(q2) == want.map(r => Seq(r(0), r(2))))
 
+      // 2b. SUBSET grouping re-aggregates the rollup: the GLOBAL aggregate
+      // (empty grouping ⊂ {g}) folds count→sum(n), sum→sum(sv), max→max(mx)
+      // over groups-many rows — exact, because groups partition the base
+      def qg = t.scan().agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        max("k").as("mx"))
+      assert(readsRollup(qg, rollup.location),
+        s"global aggregate must re-aggregate the rollup:\n${qg.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark, rollup.location)
+      val wantG = rows(qg)
+      assert(!readsRollup(qg, rollup.location))
+      RollupRewrite.enable(spark, rollup)
+      assert(rows(qg) == wantG,
+        "re-aggregated result must equal direct compute")
+
       // 3. shapes that MUST NOT rewrite: a filter under the aggregate, a
       // different grouping, an aggregate outside the rollup's definitions
       assert(!readsRollup(
