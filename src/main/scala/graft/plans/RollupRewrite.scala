@@ -86,9 +86,11 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val m = registry.synchronized(Option(registry.get(spark)))
       .getOrElse(return Map.empty)
     import scala.jdk.CollectionConverters._
-    // self-clean: dropped rollups (bench scratch tables) leave the registry
-    m.asScala.toMap.filter { case (loc, _) =>
-      val ok = TableMeta.exists(loc)
+    // self-clean: dropped rollups or dropped BASES (bench scratch tables)
+    // leave the registry, so a long session's optimizer overhead stays
+    // bounded by its live rollups
+    m.asScala.toMap.filter { case (loc, src) =>
+      val ok = TableMeta.exists(loc) && TableMeta.exists(src)
       if (!ok) m.remove(loc)
       ok
     }

@@ -93,6 +93,12 @@ object MaterializedRollup {
       AggsKey -> Some(aggs.map { case (a, e) => a + FieldSep + e }
         .mkString(RecSep)),
       SrcVersionKey -> Some(srcVersion.toString)))
+    // a materialized view's whole point is transparent serving: arm the
+    // query rewrite by default (exact-only and freshness-gated, so it can
+    // never change results — see plans/RollupRewrite). Same ambient-wiring
+    // posture as graft.maintain.auto; opt out per session.
+    if (spark.conf.getOption("graft.rollup.autoRewrite").forall(_.toBoolean))
+      graft.plans.RollupRewrite.enable(spark, rollup)
     rollup
   }
 

@@ -306,6 +306,41 @@ class MaintenanceSchedulerSpec extends AnyFunSuite {
     } finally MaintenanceScheduler.unschedule(wh)
   }
 
+  test("rollup stays exact under racing base writers and REAL ticks (25ms storm)") {
+    val wh = Files.createTempDirectory("graft-msched8-").toString
+    val df = (1 to 400).map(i => (i.toLong, i % 8, i)).toDF("k", "g", "v")
+    val t = GraftTable.create(spark, s"$wh/base8", "base8", df.schema,
+      Seq("g", "k"), Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    val rollup = graft.tools.MaterializedRollup.build(spark, t, Seq("g"),
+      Seq("n" -> "count(*)", "sv" -> "sum(v)"), s"$wh/roll8", buckets = 2)
+    // real timer at 25ms: refreshes race the writer thread's commits; a
+    // refresh must never corrupt the rollup (conservative watermark: a
+    // fresh computed from a newer live base than its recorded v1 only
+    // OVER-covers — the next refresh re-derives anything it missed)
+    val e = MaintenanceScheduler.schedule(spark, rollup.location,
+      intervalMs = 25)
+    val rnd = new scala.util.Random(17)
+    try {
+      for (i <- 1 to 25) {
+        val k = (rnd.nextInt(400) + 1).toLong
+        if (rnd.nextInt(4) == 0) t.delete(Seq((k)).toDF("k").select(
+          lit((k % 8).toInt).as("g"), col("k")), ignore = true)
+        else t.upsert(Seq((k, (k % 8).toInt, rnd.nextInt(100000)))
+          .toDF("k", "g", "v"))
+        if (i % 7 == 0) Thread.sleep(30) // let ticks interleave for real
+      }
+      // quiesce: one final deterministic refresh, then the invariant
+      graft.tools.MaterializedRollup.refresh(spark, rollup)
+      val got = rollup.scan().collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = t.scan().groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv")).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == want,
+        s"rollup diverged under the storm:\n$got\nvs\n$want")
+    } finally MaintenanceScheduler.unschedule(rollup.location)
+  }
+
   test("warehouse schedule ranks across tables: the dirtiest tablet anywhere folds first") {
     val wh = Files.createTempDirectory("graft-msched4-").toString
     val df = (1 to 400).map(i => (i.toLong, i)).toDF("k", "v")
