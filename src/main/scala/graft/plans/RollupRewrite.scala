@@ -69,10 +69,12 @@ object RollupRewrite extends Rule[LogicalPlan] {
       registry.computeIfAbsent(spark,
         _ => new ConcurrentHashMap[String, String]())
         .put(rollup.location, srcLoc)
+      // inside the lock: the read-append-write on extraOptimizations must
+      // not race another enable (a lost append would silently disarm)
+      if (!spark.experimental.extraOptimizations.contains(this))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ this
     }
-    if (!spark.experimental.extraOptimizations.contains(this))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ this
   }
 
   /** Drop `rollup` from the rewrite registry (the rule stays injected —
@@ -228,8 +230,14 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val byName = rollupPlan.output.map(a => a.name.toLowerCase -> a).toMap
     // the re-aggregation combinator per canonical form: counts and sums
     // fold by SUM, min/max by themselves. Anything else never re-aggregates.
+    // count folds through COALESCE(sum, 0): a GLOBAL aggregate over an
+    // EMPTY base must return 0 like count(*) does, not sum's NULL (sum/min/
+    // max are null over empty input on the direct path too — they match).
     def reAgg(canonical: String, r: Attribute): Option[Expression] =
-      (if (canonical.startsWith("count(") || canonical.startsWith("sum("))
+      (if (canonical.startsWith("count("))
+        Some(Coalesce(Seq(Sum(r).toAggregateExpression(),
+          Literal(0L, org.apache.spark.sql.types.LongType))))
+      else if (canonical.startsWith("sum("))
         Some(Sum(r).toAggregateExpression())
       else if (canonical.startsWith("min(")) Some(Min(r).toAggregateExpression())
       else if (canonical.startsWith("max(")) Some(Max(r).toAggregateExpression())

@@ -55,7 +55,7 @@ private[v2] object GraftProcedures {
     "delta_stats", "fsck", "fsck_repair", "register", "table_statistics",
     "txn_begin", "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort",
     "build_vector_index", "refresh_vector_index",
-    "build_rollup", "refresh_rollup",
+    "build_rollup", "refresh_rollup", "enable_rollup_rewrite",
     "build_secondary_index", "refresh_secondary_index")
 
   private def spark = SparkSession.active
@@ -449,6 +449,21 @@ private[v2] object GraftProcedures {
           val did = graft.tools.MaterializedRollup.refresh(spark, r)
           Seq(InternalRow(did,
             r.properties(graft.tools.MaterializedRollup.SrcVersionKey).toLong))
+        })
+      case "enable_rollup_rewrite" => Some(proc("enable_rollup_rewrite",
+        "arm the materialized-view query rewrite for an EXISTING rollup in " +
+          "this session (build_rollup arms its own session automatically): " +
+          "matching GROUP BYs over the base — exact grouping or any subset " +
+          "of the group columns — are answered from the rollup while its " +
+          "watermark sits at the base's current version; a stale rollup " +
+          "never serves",
+        Array(ProcedureParameter.in("rollup_location", StringType).build()),
+        new StructType().add("enabled", BooleanType)
+          .add("source", StringType)) { in =>
+          val r = GraftTable.load(spark, in.getUTF8String(0).toString)
+          graft.plans.RollupRewrite.enable(spark, r)
+          Seq(InternalRow(true,
+            str(r.properties(graft.tools.MaterializedRollup.SrcLocKey))))
         })
       case "build_secondary_index" => Some(proc("build_secondary_index",
         "build a maintained secondary index on a non-key column: an engine " +

@@ -50,7 +50,8 @@ object ScaleSmoke {
       // versions kept for time travel) — the smoke is a measurement, not
       // a table anyone reads later
       Seq(wh, s"$wh/scale", s"$wh/scale_star", s"$wh/scale_vec",
-        s"$wh/scale_vec_idx", s"$wh/scale_vec_idx_cents")
+        s"$wh/scale_vec_idx", s"$wh/scale_vec_idx_cents",
+        s"$wh/scale_roll", s"$wh/scale_roll_agg")
         .foreach(graft.table.MaintenanceScheduler.unschedule)
       try graft.sources.v2.GraftV2Scan.deleteTree(java.nio.file.Paths.get(wh))
       catch { case _: Throwable => () }
@@ -234,6 +235,38 @@ object ScaleSmoke {
       val n = annIdx.scan().count()
       require(n == annRows, s"index must stay one row per vector: $n != $annRows")
     }
+    // Maintained ROLLUP at scale: refresh cost must track TOUCHED GROUPS,
+    // never the corpus — the incremental-view-maintenance contract that
+    // makes a 100 TB serving aggregate affordable. The base is keyed
+    // (grp, id) and hash-partitioned on grp, so the refresh's IN-list
+    // opens only the touched group's bucket files (assertPrune throws
+    // past half). rows/10 keeps the extra table inside the smoke budget
+    // while still 100x the sf0.1 gate corpus.
+    val rollRows = math.max(100000L, rows / 10)
+    val rbase = timed("rollup_base_load") {
+      val rdf = GraftTools.loadgen(spark, rollRows).select(
+        (col("id") % 256).as("grp"), col("id"),
+        pmod(xxhash64(col("id")), lit(1000000L)).as("v"))
+      GraftTable.create(spark, s"$wh/scale_roll", "scale_roll", rdf.schema,
+        Seq("grp", "id"), Seq(HashComponent(Seq("grp"), 16)), data = Some(rdf))
+    }
+    val roll = timed("rollup_build") {
+      MaterializedRollup.build(spark, rbase, Seq("grp"),
+        Seq("n" -> "count(*)", "sv" -> "sum(v)"),
+        s"$wh/scale_roll_agg", buckets = 8)
+    }
+    stats += "rollup_groups" -> roll.scan().count()
+    timed("rollup_mutate_1grp") {
+      rbase.upsert(rbase.scan().filter(col("grp") === 7)
+        .withColumn("v", col("v") + lit(1L)))
+    }
+    timed("rollup_refresh_1grp") {
+      require(MaterializedRollup.refresh(spark, roll, assertPrune = true),
+        "refresh must apply the mutation")
+    }
+    val g7 = roll.scan().filter(col("grp") === 7).collect().head
+    require(g7.getLong(1) > 0, "refreshed group must carry its aggregate")
+    graft.plans.RollupRewrite.disable(spark, roll.location)
     Result(steps.toSeq, stats.toSeq)
   }
 }

@@ -139,6 +139,38 @@ class ProceduresSpec extends AnyFunSuite {
     assert(GraftTable.load(spark, loc).scan().count() == 2)
   }
 
+  test("CALL enable_rollup_rewrite arms the MV rewrite for a pre-existing rollup") {
+    val data = (1L to 40L).map(k => (s"h${k % 4}", k, k * 3)).toDF("g", "k", "x")
+    GraftTable.create(spark, s"$wh/rwsrc", "rwsrc", data.schema,
+      keys = Seq("g", "k"), data = Some(data))
+    val loc = s"$wh/.roll/rwsrc_g"
+    // build WITHOUT the session auto-arm (simulates a rollup from an
+    // earlier session), then arm through the SQL face
+    spark.conf.set("graft.rollup.autoRewrite", "false")
+    try spark.sql(s"CALL $cat.system.build_rollup('rwsrc', 'g', " +
+      s"'n,sx', 'count(*);sum(x)', '$loc', 4)").collect()
+    finally spark.conf.unset("graft.rollup.autoRewrite")
+    def q = spark.sql(s"SELECT g, count(*) AS n, sum(x) AS sx " +
+      s"FROM $cat.rwsrc GROUP BY g")
+    def servesRollup = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+          case _ => Nil
+        }
+    }.flatten.exists(_.startsWith(loc))
+    assert(!servesRollup, "un-armed rollup must not serve")
+    val r = spark.sql(
+      s"CALL $cat.system.enable_rollup_rewrite('$loc')").collect().head
+    assert(r.getBoolean(0) && r.getString(1).endsWith("rwsrc"))
+    assert(servesRollup, "armed + fresh rollup must serve the SQL GROUP BY")
+    val got = q.collect().map(_.toSeq).toSet
+    graft.plans.RollupRewrite.disable(spark, loc)
+    assert(q.collect().map(_.toSeq).toSet == got,
+      "served result must equal direct compute")
+  }
+
   test("CALL build_secondary_index + refresh_secondary_index drive the index") {
     val data = (1L to 20L).map(i => (i, s"u$i")).toDF("id", "u")
     GraftTable.create(spark, s"$wh/ssrc", "ssrc", data.schema,
@@ -174,7 +206,7 @@ class ProceduresSpec extends AnyFunSuite {
       "fsck", "fsck_repair", "register", "table_statistics", "txn_begin",
       "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort",
       "build_vector_index", "refresh_vector_index",
-      "build_rollup", "refresh_rollup",
+      "build_rollup", "refresh_rollup", "enable_rollup_rewrite",
       "build_secondary_index", "refresh_secondary_index"),
       listed.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.compact_tablet")

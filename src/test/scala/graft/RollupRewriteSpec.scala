@@ -114,6 +114,32 @@ class RollupRewriteSpec extends AnyFunSuite {
     } finally RollupRewrite.disable(spark, rollup.location)
   }
 
+  test("global aggregate over an EMPTY base serves count 0 through the rollup, not sum's NULL") {
+    val wh = Files.createTempDirectory("graft-mvrw3-").toString
+    val df0 = Seq.empty[(Long, Int, Long)].toDF("k", "g", "v")
+    val t = GraftTable.create(spark, s"$wh/b3", "b3", df0.schema,
+      Seq("g", "k"), Seq(HashComponent(Seq("k"), 2)), data = Some(df0))
+    val rollup = MaterializedRollup.build(spark, t, Seq("g"),
+      Seq("n" -> "count(*)", "sv" -> "sum(v)"), s"$wh/r3", buckets = 2)
+    try {
+      spark.conf.set("spark.sql.catalog.gmvrw3",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gmvrw3.warehouse", wh)
+      def q = spark.sql("SELECT count(*) AS n, sum(v) AS sv FROM gmvrw3.b3")
+      // an EMPTY rollup's scan optimizes to a LogicalRDD (no file relation
+      // for the path detector) — the rewrite's signature here is the BASE
+      // V2 relation vanishing from the plan
+      val p = q.queryExecution.optimizedPlan
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+      assert(p.collectFirst { case r: DataSourceV2ScanRelation => r }.isEmpty &&
+        p.collectFirst { case r: DataSourceV2Relation => r }.isEmpty,
+        s"the V2 global aggregate must re-aggregate the (empty) rollup:\n$p")
+      val r = q.collect().head
+      assert(r.getLong(0) == 0L, s"count over empty must be 0: $r")
+      assert(r.isNullAt(1), s"sum over empty must be NULL: $r")
+    } finally RollupRewrite.disable(spark, rollup.location)
+  }
+
   test("V2 catalog SQL GROUP BY rides the rewrite too") {
     val wh = Files.createTempDirectory("graft-mvrw2-").toString
     val df = (1 to 200).map(i => (i.toLong, i % 4, i.toLong * 3)).toDF("k", "g", "v")

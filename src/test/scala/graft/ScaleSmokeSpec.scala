@@ -26,8 +26,20 @@ class ScaleSmokeSpec extends AnyFunSuite {
     Seq("load", "upsert_1pct", "delete_half_pct", "mor_scan",
       "mor_filter_scan", "mor_spill_scan", "compact_policy",
       "metadata_count", "star_load_cluster", "topn_zone",
-      "ab_star_rf_on", "ab_star_rf_off")
+      "ab_star_rf_on", "ab_star_rf_off",
+      "rollup_base_load", "rollup_build", "rollup_refresh_1grp")
       .foreach { s => assert(steps.contains(s), s"missing ladder step $s") }
+    // incremental view maintenance: the 1-group refresh must undercut the
+    // full build (O(touched groups) vs O(corpus) — the IVM contract). At
+    // small spec volumes job floors dominate both sides, so the TIME claim
+    // only binds once the rollup base carries ≥1M rows (the bench's 20M
+    // run → 2M); the file-prune contract (assertPrune inside the runner)
+    // holds at every volume.
+    if (rows >= 10_000_000L)
+      assert(steps("rollup_refresh_1grp") < steps("rollup_build"),
+        s"refresh (${steps("rollup_refresh_1grp")}s) must undercut the " +
+          s"build (${steps("rollup_build")}s)")
+    assert(stats("rollup_groups") == 256L)
     // the bulk load fanned across the hash buckets and the cluster rewrite
     // landed its file count
     assert(stats("base_files_loaded") >= 16L)
