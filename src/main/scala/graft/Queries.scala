@@ -1110,9 +1110,11 @@ object Queries {
 
     "q62_import_export" -> ((s, dir) => {
       // E5 hash-gated (kudu-spark-tools ImportExportFiles): engine → CSV →
-      // engine → parquet → engine; the final table hash-matches the raw
-      // source exactly (quoted strings and schema-cast reads survive both
-      // round trips; imports ride the engine upsert path).
+      // engine → ORC → engine → parquet → engine; the final table
+      // hash-matches the raw source exactly across all THREE interchange
+      // formats the distribution ships (quoted strings and schema-cast
+      // reads survive every round trip; imports ride the engine upsert
+      // path). Identity roundtrips, so the oracle is unchanged.
       import graft.tools.GraftTools
       val raw = Tables.raw(s, dir, "nation")
       val t = GraftTable.create(s, tmpLoc("graft-q62-src-"), "nation_q62",
@@ -1123,8 +1125,13 @@ object Queries {
       val viaCsv = GraftTable.create(s, tmpLoc("graft-q62-csvt-"), "nation_q62c",
         raw.schema, Seq("n_nationkey"), Seq(HashComponent(Seq("n_nationkey"), 2)))
       GraftTools.importCsv(s, csvDir, viaCsv)
+      val orcDir = tmpLoc("graft-q62-orc-")
+      GraftTools.exportOrc(viaCsv, orcDir)
+      val viaOrc = GraftTable.create(s, tmpLoc("graft-q62-orct-"), "nation_q62o",
+        raw.schema, Seq("n_nationkey"), Seq(HashComponent(Seq("n_nationkey"), 2)))
+      GraftTools.importOrc(s, orcDir, viaOrc)
       val pqDir = tmpLoc("graft-q62-pq-")
-      GraftTools.exportParquet(viaCsv, pqDir)
+      GraftTools.exportParquet(viaOrc, pqDir)
       val viaPq = GraftTable.create(s, tmpLoc("graft-q62-pqt-"), "nation_q62p",
         raw.schema, Seq("n_nationkey"), Seq(HashComponent(Seq("n_nationkey"), 2)))
       GraftTools.importParquet(s, pqDir, viaPq)

@@ -119,6 +119,19 @@ object GraftTools {
   def exportParquet(table: GraftTable, outPath: String): Unit =
     table.scan().write.mode("overwrite").parquet(outPath)
 
+  /** ORC import/export (E5): the distribution ships the ORC datasource,
+    * so the interchange surface covers the other columnar warehouse
+    * format too (Avro's external module is absent — COVERAGE.md E5).
+    * Same contract as CSV: the engine-side schema wins on import. */
+  def importOrc(spark: SparkSession, path: String, table: GraftTable): Unit = {
+    val cols = table.meta.visibleColumns.map(c =>
+      col(c.name).cast(c.dataType).as(c.name))
+    table.upsert(spark.read.orc(path).select(cols: _*))
+  }
+
+  def exportOrc(table: GraftTable, outPath: String): Unit =
+    table.scan().write.mode("overwrite").orc(outPath)
+
   /** Full backup: snapshot export to plain parquet (our storage IS parquet,
     * so backup = materialized snapshot; E3). */
   def backup(table: GraftTable, outPath: String, version: Option[Long] = None): Unit =
