@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFu
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
@@ -31,9 +31,11 @@ import graft.tools.MaterializedRollup
  * `spark.experimental.extraOptimizations` (runtime-injectable; no session
  * rebuild), firing on `Aggregate` nodes whose child is a bare scan of a
  * registered base (DSv1 `GraftRelation` at current version, or the V2
- * catalog relation before/after scan pushdown — a `Filter` or non-trivial
- * projection under the aggregate disqualifies). The rewrite is strictly
- * conservative:
+ * catalog relation before/after scan pushdown). A `WHERE` under the
+ * aggregate rewrites too when it references GROUP COLUMNS only — such a
+ * predicate commutes with grouping, so it rebases onto the rollup exactly
+ * (any other filter, or a non-trivial projection, disqualifies). The
+ * rewrite is strictly conservative:
  *
  *   - grouping must be the rollup's group columns (any order) — served by
  *     projection — or a SUBSET of them (including the global aggregate),
@@ -182,11 +184,26 @@ object RollupRewrite extends Rule[LogicalPlan] {
     plan.transform {
       case agg @ Aggregate(groupExprs, resultExprs, child, _)
           if groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+        // a WHERE over the scan may sit under the aggregate: it rewrites
+        // too when it touches GROUP COLUMNS only (filtering rows by a
+        // group-column predicate commutes with grouping — the predicate
+        // rebases onto the rollup's group columns exactly). Column pruning
+        // interposes attribute-only Projects; strip them before looking.
+        def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+          case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+            stripProjects(c)
+          case other => other
+        }
+        val (cond, scanChild) = stripProjects(child) match {
+          case f: Filter => (Some(f.condition), f.child)
+          case c => (None, c)
+        }
         (for {
-          baseLoc <- baseLocation(child)
+          baseLoc <- baseLocation(scanChild)
           rewritten <- rollups.collectFirst(Function.unlift {
             case (rollupLoc, srcLoc) if srcLoc == baseLoc =>
-              tryRewrite(spark, agg, groupExprs, resultExprs, baseLoc, rollupLoc)
+              tryRewrite(spark, agg, groupExprs, resultExprs, cond,
+                baseLoc, rollupLoc)
             case _ => None
           })
         } yield rewritten).getOrElse(agg)
@@ -195,7 +212,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
   private def tryRewrite(spark: SparkSession, agg: Aggregate,
       groupExprs: Seq[Expression], resultExprs: Seq[NamedExpression],
-      baseLoc: String, rollupLoc: String): Option[LogicalPlan] = try {
+      cond: Option[Expression], baseLoc: String,
+      rollupLoc: String): Option[LogicalPlan] = try {
     val rollup = GraftTable.load(spark, rollupLoc)
     val p = rollup.properties
     // freshness: the watermark must sit at the base's current version —
@@ -214,6 +232,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
     // computed over groups-many rows instead of the corpus
     val exact = gNames.sorted == groupCols.sorted
     if (!exact && !gNames.forall(groupCols.contains)) return None
+    // a filter must be deterministic and reference group columns only —
+    // then it commutes with the grouping and rebases onto the rollup
+    cond.foreach { c =>
+      if (!c.deterministic) return None
+      if (!c.references.forall(a => groupCols.contains(a.name.toLowerCase)))
+        return None
+    }
     val specs: Map[String, String] = p(MaterializedRollup.AggsKey)
       .split(MaterializedRollup.RecSep).toSeq.map { r =>
         val i = r.indexOf(MaterializedRollup.FieldSep)
@@ -255,13 +280,29 @@ object RollupRewrite extends Rule[LogicalPlan] {
           .map(e => Alias(e, al.name)(exprId = al.exprId))
       case _ => None
     }
-    if (mapped.exists(_.isEmpty)) None
-    else if (exact) Some(Project(mapped.map(_.get), rollupPlan))
+    if (mapped.exists(_.isEmpty)) return None
+    // rebase the (group-column-only) filter onto the rollup's attributes;
+    // a type mismatch on any referenced column declines the whole rewrite
+    val src: LogicalPlan = cond match {
+      case None => rollupPlan
+      case Some(c) =>
+        var ok = true
+        val rebased = c.transform {
+          case a: AttributeReference =>
+            byName.get(a.name.toLowerCase) match {
+              case Some(r) if r.dataType == a.dataType => r
+              case _ => ok = false; a
+            }
+        }
+        if (!ok) return None
+        Filter(rebased, rollupPlan)
+    }
+    if (exact) Some(Project(mapped.map(_.get), src))
     else {
       val subGroup = groupExprs.map { case a: AttributeReference =>
         byName(a.name.toLowerCase): Expression
       }
-      Some(Aggregate(subGroup, mapped.map(_.get), rollupPlan))
+      Some(Aggregate(subGroup, mapped.map(_.get), src))
     }
   } catch { case _: Exception => None } // a sick rollup never blocks the query
 }

@@ -77,11 +77,22 @@ class RollupRewriteSpec extends AnyFunSuite {
       assert(rows(qg) == wantG,
         "re-aggregated result must equal direct compute")
 
-      // 3. shapes that MUST NOT rewrite: a filter under the aggregate, a
+      // 2c. a WHERE on the GROUP COLUMN commutes with grouping: it rebases
+      // onto the rollup and serves
+      def qf = t.scan().filter(col("g") =!= 0).groupBy("g")
+        .agg(sum("v").as("sv"))
+      assert(readsRollup(qf, rollup.location),
+        s"group-column filter must rebase and serve:\n${qf.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark, rollup.location)
+      val wantF = rows(qf)
+      RollupRewrite.enable(spark, rollup)
+      assert(rows(qf) == wantF, "filtered rewrite must equal direct compute")
+
+      // 3. shapes that MUST NOT rewrite: a filter on a NON-group column, a
       // different grouping, an aggregate outside the rollup's definitions
       assert(!readsRollup(
-        t.scan().filter(col("g") =!= 0).groupBy("g").agg(sum("v").as("sv")),
-        rollup.location), "filter under the aggregate must disqualify")
+        t.scan().filter(col("v") > 5).groupBy("g").agg(sum("v").as("sv")),
+        rollup.location), "a non-group-column filter must disqualify")
       assert(!readsRollup(
         t.scan().groupBy("k").agg(sum("v").as("sv")),
         rollup.location), "different grouping must disqualify")
