@@ -105,6 +105,14 @@ object RollupRewrite extends Rule[LogicalPlan] {
     * two sides compare by string equality. None = outside the language. */
   private def canon(e: Expression): Option[String] = e match {
     case a: Alias => canon(a.child)
+    case ae: AggregateExpression if ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        // count(DISTINCT col): exact-match serving only — reAgg refuses it
+        // (distinct counts of disjoint groups do NOT sum)
+        case c: Count if c.children.size == 1 =>
+          canon(c.children.head).map(x => s"count(distinct $x)")
+        case _ => None
+      }
     case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
       canon(ae.aggregateFunction)
     case c: Count => c.children match {
@@ -120,8 +128,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
     case a: AttributeReference => Some(a.name.toLowerCase)
     case u: UnresolvedAttribute => Some(u.name.toLowerCase)
     case f: UnresolvedFunction if f.nameParts.length == 1 &&
-        !f.isDistinct && f.filter.isEmpty =>
+        f.filter.isEmpty =>
       f.nameParts.head.toLowerCase match {
+        case "count" if f.isDistinct => f.arguments match {
+          case Seq(arg) => canon(arg).map(x => s"count(distinct $x)")
+          case _ => None
+        }
+        case _ if f.isDistinct => None // DISTINCT sum etc: never canonical
         case "count" => f.arguments match {
           case Seq(l: Literal) if l.value != null => Some("count(*)")
           case Seq(_: UnresolvedStar) => Some("count(*)")
@@ -259,7 +272,9 @@ object RollupRewrite extends Rule[LogicalPlan] {
     // EMPTY base must return 0 like count(*) does, not sum's NULL (sum/min/
     // max are null over empty input on the direct path too — they match).
     def reAgg(canonical: String, r: Attribute): Option[Expression] =
-      (if (canonical.startsWith("count("))
+      (if (canonical.startsWith("count(distinct"))
+        None // distinct counts of disjoint groups do NOT sum
+      else if (canonical.startsWith("count("))
         Some(Coalesce(Seq(Sum(r).toAggregateExpression(),
           Literal(0L, org.apache.spark.sql.types.LongType))))
       else if (canonical.startsWith("sum("))

@@ -125,6 +125,35 @@ class RollupRewriteSpec extends AnyFunSuite {
     } finally RollupRewrite.disable(spark, rollup.location)
   }
 
+  test("count(DISTINCT col) serves on exact grouping, NEVER re-aggregates on subset") {
+    val wh = Files.createTempDirectory("graft-mvrw4-").toString
+    val df = (1 to 300).map(i => (i.toLong, i % 6, (i % 11).toLong))
+      .toDF("k", "g", "v")
+    val t = GraftTable.create(spark, s"$wh/b4", "b4", df.schema,
+      Seq("g", "k"), Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    val rollup = MaterializedRollup.build(spark, t, Seq("g"),
+      Seq("nd" -> "count(DISTINCT v)", "n" -> "count(*)"),
+      s"$wh/r4", buckets = 2)
+    try {
+      def q = t.scan().groupBy("g").agg(countDistinct(col("v")).as("nd"))
+      assert(readsRollup(q, rollup.location),
+        s"exact grouping must serve the stored distinct count:\n${q.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark, rollup.location)
+      val want = rows(q)
+      RollupRewrite.enable(spark, rollup)
+      assert(rows(q) == want)
+      // a GLOBAL count(distinct) must NOT fold from per-group distincts —
+      // the groups' value sets overlap
+      def qg = t.scan().agg(countDistinct(col("v")).as("nd"))
+      assert(!readsRollup(qg, rollup.location),
+        "subset grouping must never re-aggregate a distinct count")
+      // ... while the co-stored plain count still re-aggregates fine
+      def qn = t.scan().agg(count(lit(1)).as("n"))
+      assert(readsRollup(qn, rollup.location))
+      assert(qn.collect().head.getLong(0) == 300L)
+    } finally RollupRewrite.disable(spark, rollup.location)
+  }
+
   test("global aggregate over an EMPTY base serves count 0 through the rollup, not sum's NULL") {
     val wh = Files.createTempDirectory("graft-mvrw3-").toString
     val df0 = Seq.empty[(Long, Int, Long)].toDF("k", "g", "v")
