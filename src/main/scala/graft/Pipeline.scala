@@ -100,6 +100,46 @@ object Pipeline {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.scan(s, dir, "documents")
+
+  /** Concat-then-chunk sequence packing over `base` = (doc_id, toks): the
+    * token stream in doc_id order cut into C-token sequences. The global
+    * running count distributes exactly like p17/q33 — fixed doc_id buckets
+    * → per-bucket partial sums → tiny driver prefix scan → per-bucket
+    * window + broadcast offsets (no single-partition window); the per-doc
+    * fan-out explodes ≤ ceil(toks/C)+1 rows. Shared by p27 (heuristic
+    * token counts) and p45 (real BPE counts). */
+  private def packByTokens(s: SparkSession, base: DataFrame,
+      C: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Array(lo, hi, n) = base.agg(
+      min("doc_id"), max("doc_id"), count(lit(1)))
+      .collect()(0).toSeq.toArray.map(_.asInstanceOf[Long])
+    val buckets = math.min(64L, math.max(1L, n / 1000 + 1))
+    val width = math.max(1L, (hi - lo) / buckets + 1)
+    val bucketed = base.withColumn("_bk", expr(s"(doc_id - $lo) div $width"))
+    val counts = bucketed.groupBy("_bk").agg(sum("toks").as("_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((-1L, 0L, 0L)) {
+      case ((_, acc, c0), (bk, c)) => (bk, acc + c0, c)
+    }.drop(1).map { case (bk, off, _) => (bk, off) }
+    import s.implicits._
+    val offDf = offsets.toSeq.toDF("_bk", "_off")
+    val w = Window.partitionBy(col("_bk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offDf), "_bk")
+      .withColumn("_start",
+        col("_off") + coalesce(sum(col("toks")).over(w), lit(0L)))
+      .filter(col("toks") > 0)
+      .withColumn("_end", col("_start") + col("toks") - 1)
+      .withColumn("seq_id", explode(expr(s"sequence(_start div $C, _end div $C)")))
+      .withColumn("tok_in_seq",
+        least(col("_end"), (col("seq_id") + 1) * C - 1) -
+          greatest(col("_start"), col("seq_id") * C) + 1)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok_in_seq").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("seq_id")
+  }
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.scan(s, dir, "embeddings")
 
@@ -845,38 +885,24 @@ object Pipeline {
       // single-partition window); the per-doc fan-out explodes
       // sequence(start div C, end div C), ≤ ceil(toks/C)+1 rows per doc,
       // linear in corpus tokens at any scale.
-      import org.apache.spark.sql.expressions.Window
-      val C = 2048L
       val base = docs(s, dir).select(col("doc_id"),
         expr("(length(replace(text, ' ', '')) + 3) div 4").as("toks"))
-      val Array(lo, hi, n) = base.agg(
-        min("doc_id"), max("doc_id"), count(lit(1)))
-        .collect()(0).toSeq.toArray.map(_.asInstanceOf[Long])
-      val buckets = math.min(64L, math.max(1L, n / 1000 + 1))
-      val width = math.max(1L, (hi - lo) / buckets + 1)
-      val bucketed = base.withColumn("_bk", expr(s"(doc_id - $lo) div $width"))
-      val counts = bucketed.groupBy("_bk").agg(sum("toks").as("_t"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      val offsets = counts.scanLeft((-1L, 0L, 0L)) {
-        case ((_, acc, c0), (bk, c)) => (bk, acc + c0, c)
-      }.drop(1).map { case (bk, off, _) => (bk, off) }
-      import s.implicits._
-      val offDf = offsets.toSeq.toDF("_bk", "_off")
-      val w = Window.partitionBy(col("_bk")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      bucketed.join(broadcast(offDf), "_bk")
-        .withColumn("_start",
-          col("_off") + coalesce(sum(col("toks")).over(w), lit(0L)))
-        .filter(col("toks") > 0)
-        .withColumn("_end", col("_start") + col("toks") - 1)
-        .withColumn("seq_id", explode(expr(s"sequence(_start div $C, _end div $C)")))
-        .withColumn("tok_in_seq",
-          least(col("_end"), (col("seq_id") + 1) * C - 1) -
-            greatest(col("_start"), col("seq_id") * C) + 1)
-        .groupBy("seq_id")
-        .agg(count(lit(1)).as("n_docs"), sum("tok_in_seq").as("n_tokens"),
-          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-        .orderBy("seq_id")
+      packByTokens(s, base, 2048L)
+    }),
+
+    "p45_tokenize_pack" -> ((s, dir) => {
+      // The LAST MILE composed end-to-end: pack documents into fixed
+      // 2048-token training sequences using the REAL learned-tokenizer
+      // counts — p44's BPE encode (p41's corpus-learned merges folded into
+      // one narrow pass) feeds p27's distributed concat-then-chunk. p27
+      // packs by the chars/4 heuristic; a real pipeline packs by what the
+      // tokenizer actually emits, and the difference is exactly the
+      // padding/truncation waste a heuristic budget bakes into every
+      // batch. Same scale shape as p27: bucket partial sums + driver
+      // prefix scan + broadcast offsets, bounded per-doc sequence fan-out.
+      val toks = queries("p44_bpe_encode")(s, dir)
+        .select(col("doc_id"), col("n_tokens").as("toks"))
+      packByTokens(s, toks, 2048L)
     }),
 
     "p28_quality_rules" -> ((s, dir) => {
@@ -2036,6 +2062,39 @@ object Pipeline {
         "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars, " +
         "sha256(trim(s)) AS enc_sha " +
         "FROM enc WHERE k = 20 ORDER BY doc_id"),
+
+    // p44's token counts through p27's packing algebra
+    "p45_tokenize_pack" ->
+      ("WITH RECURSIVE t AS (SELECT string_split(text, ' ') AS ws FROM documents), " +
+        "w0 AS (SELECT unnest(ws) AS w FROM t), " +
+        "v AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w0 " +
+        "WHERE length(w) > 1 GROUP BY w), " +
+        "p AS (SELECT unnest(list_transform(generate_series(1, length(w) - 1), " +
+        "i -> substr(w, i, 2))) AS pair, cnt FROM v), " +
+        "pc AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt FROM p GROUP BY pair), " +
+        "m AS (SELECT pair, CAST(row_number() OVER (ORDER BY cnt DESC, pair) " +
+        "AS INTEGER) AS rank FROM pc QUALIFY rank <= 20), " +
+        "d AS (SELECT doc_id, ' ' || array_to_string(list_transform(" +
+        "list_filter(string_split(text, ' '), w -> length(w) > 0), " +
+        "w -> array_to_string(list_transform(generate_series(1, length(w)), " +
+        "i -> substr(w, i, 1)), ' ')), ' | ') || ' ' AS s FROM documents), " +
+        "enc AS (SELECT doc_id, s, 0 AS k FROM d " +
+        "UNION ALL SELECT e.doc_id, replace(e.s, " +
+        "' ' || substr(m.pair, 1, 1) || ' ' || substr(m.pair, 2, 1) || ' ', " +
+        "' ' || m.pair || ' '), e.k + 1 " +
+        "FROM enc e JOIN m ON m.rank = e.k + 1 WHERE e.k < 20), " +
+        "tk AS (SELECT doc_id, CAST(len(list_filter(string_split(trim(s), ' '), " +
+        "x -> x <> '|')) AS BIGINT) AS toks FROM enc WHERE k = 20), " +
+        "c AS (SELECT doc_id, toks, CAST(COALESCE(sum(toks) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st FROM tk), " +
+        "e2 AS (SELECT doc_id, toks, st, st + toks - 1 AS fin FROM c WHERE toks > 0), " +
+        "x AS (SELECT doc_id, st, fin, " +
+        "unnest(generate_series(st // 2048, fin // 2048)) AS seq_id FROM e2) " +
+        "SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(least(fin, (seq_id+1)*2048 - 1) - greatest(st, seq_id*2048) + 1) " +
+        "AS BIGINT) AS n_tokens, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+        "FROM x GROUP BY seq_id ORDER BY seq_id"),
 
     "p39_quality_classifier" ->
       ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents), " +

@@ -444,6 +444,17 @@ class PipelineScaleSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate"), s"encode must not aggregate:\n$plan")
   }
 
+  test("p45 packs full 2048-token sequences from the real tokenizer counts") {
+    val rows = SparkEntry.queries("p45_tokenize_pack")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).toSeq == (0L until rows.length).toSeq,
+      "sequence ids must be dense from 0 — the stream has no holes")
+    assert(rows.dropRight(1).forall(_.getLong(2) == 2048L),
+      "every non-final sequence must be exactly full (concat-then-chunk)")
+    assert(rows.last.getLong(2) <= 2048L && rows.last.getLong(2) > 0L)
+    rows.foreach(r => assert(r.getLong(1) >= 1L && r.getLong(3) <= r.getLong(4)))
+  }
+
   test("p41 BPE merge counts: dense ranks, non-increasing counts, vocab-sized explode") {
     val df = SparkEntry.queries("p41_bpe_merges")(spark, dir)
     val rows = df.collect()
