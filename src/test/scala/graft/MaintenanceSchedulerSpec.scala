@@ -306,6 +306,37 @@ class MaintenanceSchedulerSpec extends AnyFunSuite {
     } finally MaintenanceScheduler.unschedule(wh)
   }
 
+  test("chained rollups converge under warehouse ticks (base -> r1 -> r2)") {
+    val wh = Files.createTempDirectory("graft-msched9-").toString
+    val df = (1 to 300).map(i => (i % 3, i % 12, i.toLong, i * 5L))
+      .toDF("a", "b", "k", "v")
+    val t = GraftTable.create(spark, s"$wh/base9", "base9", df.schema,
+      Seq("a", "b", "k"), Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    // a rollup's PK IS its group columns, so a coarser rollup composes
+    // over it directly; r2's refresh rides r1's own change stream
+    val r1 = graft.tools.MaterializedRollup.build(spark, t, Seq("a", "b"),
+      Seq("n" -> "count(*)", "sv" -> "sum(v)"), s"$wh/r9a", buckets = 2)
+    val r2 = graft.tools.MaterializedRollup.build(spark, r1, Seq("a"),
+      Seq("groups" -> "count(*)", "sv2" -> "sum(sv)"), s"$wh/r9b", buckets = 2)
+    val e = MaintenanceScheduler.scheduleWarehouse(spark, wh,
+      intervalMs = 60_000L)
+    try {
+      t.upsert(Seq((0, 0, 12L, 999999L)).toDF("a", "b", "k", "v"))
+      t.deleteWhere(col("b") === 7) // empties (a,b) groups across a values
+      // tick 1 refreshes whichever of r1/r2 it visits first; tick 2
+      // closes the chain regardless of sweep order (watermarks converge)
+      MaintenanceScheduler.tick(spark, e)
+      MaintenanceScheduler.tick(spark, e)
+      assert(e.lastError.isEmpty, e.lastError.toString)
+      val got = r2.scan().collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = t.scan().groupBy("a")
+        .agg(countDistinct(col("b")).as("groups"), sum("v").as("sv2"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == want, s"chained rollup diverged:\n$got\nvs\n$want")
+    } finally MaintenanceScheduler.unschedule(wh)
+  }
+
   test("rollup stays exact under racing base writers and REAL ticks (25ms storm)") {
     val wh = Files.createTempDirectory("graft-msched8-").toString
     val df = (1 to 400).map(i => (i.toLong, i % 8, i)).toDF("k", "g", "v")
