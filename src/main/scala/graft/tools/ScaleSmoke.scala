@@ -240,8 +240,13 @@ object ScaleSmoke {
     // makes a 100 TB serving aggregate affordable. The base is keyed
     // (grp, id) and hash-partitioned on grp, so the refresh's IN-list
     // opens only the touched group's bucket files (assertPrune throws
-    // past half). rows/10 keeps the extra table inside the smoke budget
-    // while still 100x the sf0.1 gate corpus.
+    // past half). HONEST measurement note: at local[32] with page-cached
+    // files, a full rebuild of a narrow 256-group aggregate stays under a
+    // second even at 10M rows — the refresh's ~3 fixed job floors never
+    // undercut it in WALL time here. The scale observable is the I/O
+    // contract assertPrune enforces (touched buckets only); the wall-time
+    // crossover belongs to corpora where one full-scan agg costs minutes,
+    // not to this smoke. rows/10 keeps the rung inside the time budget.
     val rollRows = math.max(100000L, rows / 10)
     val rbase = timed("rollup_base_load") {
       val rdf = GraftTools.loadgen(spark, rollRows).select(
