@@ -125,6 +125,37 @@ class RollupRewriteSpec extends AnyFunSuite {
     } finally RollupRewrite.disable(spark, rollup.location)
   }
 
+  test("two rollups on one base: each grouping serves from ITS rollup (registry fall-through)") {
+    val wh = Files.createTempDirectory("graft-mvrw5-").toString
+    val df = (1 to 240).map(i => (i.toLong, i % 4, i % 10, i * 2L))
+      .toDF("k", "g", "h", "v")
+    val t = GraftTable.create(spark, s"$wh/b5", "b5", df.schema,
+      Seq("g", "h", "k"), Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    val byG = MaterializedRollup.build(spark, t, Seq("g"),
+      Seq("sv" -> "sum(v)"), s"$wh/rg", buckets = 2)
+    val byH = MaterializedRollup.build(spark, t, Seq("h"),
+      Seq("sv" -> "sum(v)"), s"$wh/rh", buckets = 2)
+    try {
+      def qg = t.scan().groupBy("g").agg(sum("v").as("sv"))
+      def qh = t.scan().groupBy("h").agg(sum("v").as("sv"))
+      // the registry holds both; a non-matching rollup falls through to
+      // the next candidate instead of blocking the rewrite
+      assert(readsRollup(qg, byG.location) && !readsRollup(qg, byH.location),
+        s"GROUP BY g must serve from the g rollup:\n${qg.queryExecution.optimizedPlan}")
+      assert(readsRollup(qh, byH.location) && !readsRollup(qh, byG.location),
+        s"GROUP BY h must serve from the h rollup:\n${qh.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark, byG.location)
+      RollupRewrite.disable(spark, byH.location)
+      val (wg, wh2) = (rows(qg), rows(qh))
+      RollupRewrite.enable(spark, byG)
+      RollupRewrite.enable(spark, byH)
+      assert(rows(qg) == wg && rows(qh) == wh2)
+    } finally {
+      RollupRewrite.disable(spark, byG.location)
+      RollupRewrite.disable(spark, byH.location)
+    }
+  }
+
   test("count(DISTINCT col) serves on exact grouping, NEVER re-aggregates on subset") {
     val wh = Files.createTempDirectory("graft-mvrw4-").toString
     val df = (1 to 300).map(i => (i.toLong, i % 6, (i % 11).toLong))
