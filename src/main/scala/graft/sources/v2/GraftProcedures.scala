@@ -55,7 +55,7 @@ private[v2] object GraftProcedures {
     "delta_stats", "fsck", "fsck_repair", "register", "table_statistics",
     "txn_begin", "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort",
     "build_vector_index", "refresh_vector_index",
-    "build_rollup", "refresh_rollup", "enable_rollup_rewrite",
+    "build_rollup", "refresh_rollup", "enable_rollup_rewrite", "rollup_status",
     "build_secondary_index", "refresh_secondary_index")
 
   private def spark = SparkSession.active
@@ -449,6 +449,26 @@ private[v2] object GraftProcedures {
           val did = graft.tools.MaterializedRollup.refresh(spark, r)
           Seq(InternalRow(did,
             r.properties(graft.tools.MaterializedRollup.SrcVersionKey).toLong))
+        })
+      case "rollup_status" => Some(proc("rollup_status",
+        "freshness introspection for a materialized rollup: its source, " +
+          "the source-version watermark the last refresh recorded, the " +
+          "source's current version, and whether the rollup is FRESH (the " +
+          "query rewrite serves only when fresh; stale means mutations " +
+          "landed since the last refresh tick)",
+        Array(ProcedureParameter.in("rollup_location", StringType).build()),
+        new StructType().add("source", StringType)
+          .add("watermark", LongType).add("source_version", LongType)
+          .add("fresh", BooleanType).add("groups", LongType)) { in =>
+          val r = GraftTable.load(spark, in.getUTF8String(0).toString)
+          val p = r.properties
+          val srcLoc = p.getOrElse(graft.tools.MaterializedRollup.SrcLocKey,
+            throw new IllegalArgumentException(
+              s"${r.location} is not a materialized rollup"))
+          val wm = p(graft.tools.MaterializedRollup.SrcVersionKey).toLong
+          val cur = graft.catalog.TableMeta.currentVersion(srcLoc)
+          Seq(InternalRow(str(srcLoc), wm, cur, wm == cur,
+            r.scan().count()))
         })
       case "enable_rollup_rewrite" => Some(proc("enable_rollup_rewrite",
         "arm the materialized-view query rewrite for an EXISTING rollup in " +

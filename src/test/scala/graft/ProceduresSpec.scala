@@ -169,6 +169,17 @@ class ProceduresSpec extends AnyFunSuite {
     graft.plans.RollupRewrite.disable(spark, loc)
     assert(q.collect().map(_.toSeq).toSet == got,
       "served result must equal direct compute")
+    // rollup_status: fresh now; stale after a mutation; fresh after refresh
+    val st0 = spark.sql(s"CALL $cat.system.rollup_status('$loc')").collect().head
+    assert(st0.getString(0).endsWith("rwsrc") && st0.getBoolean(3) &&
+      st0.getLong(1) == st0.getLong(2) && st0.getLong(4) == 4L, st0.toString)
+    GraftTable.load(spark, s"$wh/rwsrc")
+      .upsert(Seq(("h1", 1000L, 9L)).toDF("g", "k", "x"))
+    val st1 = spark.sql(s"CALL $cat.system.rollup_status('$loc')").collect().head
+    assert(!st1.getBoolean(3) && st1.getLong(2) > st1.getLong(1), st1.toString)
+    spark.sql(s"CALL $cat.system.refresh_rollup('$loc')").collect()
+    val st2 = spark.sql(s"CALL $cat.system.rollup_status('$loc')").collect().head
+    assert(st2.getBoolean(3), st2.toString)
   }
 
   test("CALL build_secondary_index + refresh_secondary_index drive the index") {
@@ -206,7 +217,7 @@ class ProceduresSpec extends AnyFunSuite {
       "fsck", "fsck_repair", "register", "table_statistics", "txn_begin",
       "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort",
       "build_vector_index", "refresh_vector_index",
-      "build_rollup", "refresh_rollup", "enable_rollup_rewrite",
+      "build_rollup", "refresh_rollup", "enable_rollup_rewrite", "rollup_status",
       "build_secondary_index", "refresh_secondary_index"),
       listed.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.compact_tablet")
