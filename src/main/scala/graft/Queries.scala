@@ -943,8 +943,20 @@ object Queries {
         if (!served(q))
           throw new IllegalStateException(
             "a refreshed rollup must serve the V2 path on a dirty base")
+        // the SUBSET path, driver-gated too: the GLOBAL aggregate must
+        // RE-AGGREGATE the rollup (count folds as sum-of-group-counts)
+        // and its row rides the same oracle as a '__ALL__' sentinel group
+        def vg = s.table(s"gq70.`$name`").agg(
+          count(lit(1)).as("n_rows"),
+          sum(expr("CAST(o_totalprice AS DECIMAL(28,2))")).as("sum_price"),
+          max("o_orderkey").as("max_key"))
+        if (!served(vg))
+          throw new IllegalStateException(
+            "the global aggregate must re-aggregate the rollup")
         withShufflePartitions(s, 4) {
-          q.localCheckpoint(true) // materialize WHILE the rewrite serves
+          q.unionByName(vg.select(lit("__ALL__").as("o_orderpriority"),
+            col("n_rows"), col("sum_price"), col("max_key")))
+            .localCheckpoint(true) // materialize WHILE the rewrite serves
         }.orderBy("o_orderpriority")
       } finally graft.plans.RollupRewrite.disable(s, rollup.location)
     }),
@@ -2366,7 +2378,12 @@ object Queries {
         "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(CAST(price AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS sum_price, " +
         "max(o_orderkey) AS max_key " +
-        "FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+        "FROM final GROUP BY o_orderpriority " +
+        "UNION ALL " +
+        "SELECT '__ALL__', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CAST(price AS DECIMAL(28,2))) AS DECIMAL(38,2)), " +
+        "max(o_orderkey) FROM final " +
+        "ORDER BY o_orderpriority"),
 
     // lookups by current names return the live rows; the two STALE names
     // (pre-rename, deleted) must return nothing — a refresh that failed to
