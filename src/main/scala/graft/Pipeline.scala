@@ -890,6 +890,30 @@ object Pipeline {
       packByTokens(s, base, 2048L)
     }),
 
+    "p46_split_leakage" -> ((s, dir) => {
+      // Leakage-free train/eval split — the step every benchmark claim
+      // quietly depends on: a deterministic 90/10 key-hash split (pure
+      // function of doc_id — reproducible under retries, like p16/p31;
+      // rand() is neither), then any NEAR-DUP cluster (p14's transitive
+      // MinHash closure, the memoized cluster frame) that STRADDLES the
+      // boundary flags its eval members: memorized training text wearing
+      // a held-out badge. Exact dups are near-dups, so they are covered a
+      // fortiori. Scale shape: the split is a narrow pure-key projection;
+      // the verdict is one cluster-keyed partial agg + an equi-join back
+      // — the cluster structure itself rides p14's LSH banding (never
+      // all-pairs). The gated rows are the EVAL split, per-doc verdicts.
+      val clusters = queries("p14_dedup_cluster")(s, dir)
+      val base = clusters.withColumn("split",
+        when(pmod(col("doc_id") * lit(2654435761L) + 17, lit(10)) < 9,
+          "train").otherwise("eval"))
+      val mix = base.groupBy("cluster_id").agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"))
+      base.join(mix, "cluster_id")
+        .filter(col("split") === "eval")
+        .select(col("doc_id"), (col("n_train") > 0).as("leaked"))
+        .orderBy("doc_id")
+    }),
+
     "p45_tokenize_pack" -> ((s, dir) => {
       // The LAST MILE composed end-to-end: pack documents into fixed
       // 2048-token training sequences using the REAL learned-tokenizer
@@ -1746,6 +1770,24 @@ object Pipeline {
         "reach AS (SELECT doc_id AS id, doc_id AS lbl FROM documents " +
         "UNION SELECT r.id, s.dst FROM reach r JOIN sym s ON s.src = r.lbl) " +
         "SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
+
+    // p14's clusters + a deterministic 90/10 split; an eval doc is leaked
+    // iff its cluster has any train member
+    "p46_split_leakage" ->
+      ("WITH RECURSIVE " + shingleSqlCte.stripPrefix("WITH ") + minhashPairCtes + ",\n" +
+        "edges AS (SELECT id_a, id_b FROM pairs WHERE est_j >= 0.7),\n" +
+        "sym AS (SELECT id_a AS src, id_b AS dst FROM edges " +
+        "UNION ALL SELECT id_b, id_a FROM edges),\n" +
+        "reach AS (SELECT doc_id AS id, doc_id AS lbl FROM documents " +
+        "UNION SELECT r.id, s.dst FROM reach r JOIN sym s ON s.src = r.lbl),\n" +
+        "cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),\n" +
+        "b AS (SELECT doc_id, cluster_id, CASE WHEN " +
+        "(doc_id * 2654435761 + 17) % 10 < 9 THEN 'train' ELSE 'eval' END " +
+        "AS split FROM cl),\n" +
+        "m AS (SELECT cluster_id, sum(CASE WHEN split = 'train' THEN 1 " +
+        "ELSE 0 END) AS nt FROM b GROUP BY cluster_id) " +
+        "SELECT doc_id, nt > 0 AS leaked FROM b JOIN m USING (cluster_id) " +
+        "WHERE split = 'eval' ORDER BY doc_id"),
     "p4_dedup_simhash" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),\n" +
         s"hs AS (SELECT doc_id, list_transform(w, x -> ${polyhashSql("x")}) AS h FROM t),\n" +
