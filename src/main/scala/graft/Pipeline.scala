@@ -1511,8 +1511,12 @@ object Pipeline {
       // with the corpus's own top-20 learned merges. Each merge applies as
       // a left-to-right non-overlapping sweep in rank order over the
       // space-separated token string (word boundaries are '|' sentinels no
-      // merge can cross); on this corpus (no same-char run above 2) the
-      // one-sweep application is EXACTLY exhaustive BPE. Scale shape: the
+      // merge can cross). One sweep per merge is an approximation of
+      // exhaustive BPE (an alternating repeat like 'abab' merges 'ab'
+      // once per sweep where true BPE loops to fixpoint); the gate is
+      // sound because Spark's and DuckDB's replace() share the same
+      // left-to-right non-overlapping semantics, so both engines compute
+      // the identical encoding. Scale shape: the
       // merge table is tiny by construction (limit 20), collected once and
       // FOLDED INTO THE EXPRESSION — encoding is a single narrow
       // codegen'd pass over the corpus, no join, no shuffle, the shape a

@@ -52,6 +52,17 @@ import graft.tools.MaterializedRollup
  *     serves (refresh-or-miss, not read-behind) — the background
  *     maintenance tick is what keeps the hit rate high.
  *
+ * Freshness is checked AT PLAN TIME, and the spliced rollup scan pins the
+ * rollup's plan-time file set: a commit landing between optimization and
+ * execution serves the plan-time snapshot — exactly the snapshot
+ * semantics every engine scan already has (a scan planned before a commit
+ * reads its manifest's files), never an error and never a torn read.
+ * Serving also survives the session: `MaterializedRollup.build` arms the
+ * building session, a `GraftCatalog` open re-arms every rollup persisted
+ * under its warehouse, and `GraftTable.load` of a rollup re-arms it — so
+ * yesterday's materialized view serves today's sessions with zero calls
+ * (opt out with `graft.rollup.autoRewrite` set to anything but "true").
+ *
  * Output attribute ids are preserved through aliases, so parent operators
  * resolve untouched. Dead registrations (dropped rollup or base) fall out
  * of the registry on the next apply.
@@ -61,6 +72,41 @@ object RollupRewrite extends Rule[LogicalPlan] {
   // rollup locations per session (weak: sessions die with their tests)
   private val registry =
     new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, String]]()
+
+  /** Ambient-arming gate — enabled unless `graft.rollup.autoRewrite` is set
+    * to something other than "true" (lenient: "false"/"off"/"0" all opt
+    * out; none of them throws out of a build/load). */
+  private[graft] def autoRewriteEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.rollup.autoRewrite")
+      .forall(_.equalsIgnoreCase("true"))
+
+  /** Arm `t` for rewrite IF it is a persisted rollup and the session's
+    * ambient-arming gate is on. Idempotent and cheap (a registry put), so
+    * it hooks [[graft.table.GraftTable.load]]: a rollup built YESTERDAY
+    * serves again the moment ANY session touches it — maintenance sweep,
+    * refresh call, or a direct read — not just its builder's session.
+    * Returns whether `t` is an armed rollup. */
+  def autoArm(spark: SparkSession, t: GraftTable): Boolean = {
+    if (!t.properties.contains(MaterializedRollup.SrcLocKey)) return false
+    if (!autoRewriteEnabled(spark)) return false
+    enable(spark, t)
+    true
+  }
+
+  /** Arm every persisted rollup under `warehouseDir` for rewrite in
+    * `spark` — the cross-session serving half of the warehouse
+    * auto-maintenance posture: a catalog open re-arms yesterday's
+    * materialized views with zero CALLs. Returns the armed count;
+    * individual sick tables never stop the sweep. */
+  def armFromWarehouse(spark: SparkSession, warehouseDir: String): Int = {
+    if (!autoRewriteEnabled(spark)) return 0
+    graft.tools.GraftTools
+      .listWarehouseTables(java.nio.file.Paths.get(warehouseDir))
+      .count { p =>
+        try autoArm(spark, GraftTable.load(spark, p.toString))
+        catch { case _: Exception => false }
+      }
+  }
 
   /** Register `rollup` for rewrite in `spark` and inject the rule (once). */
   def enable(spark: SparkSession, rollup: GraftTable): Unit = {
@@ -161,7 +207,14 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
     case r: DataSourceV2Relation => r.table match {
-      case t: graft.sources.v2.GraftV2Table => Some(t.graftLocation)
+      // the handle must be pinned to the CURRENT version: `VERSION AS OF` /
+      // `TIMESTAMP AS OF` (and a handle loaded before a later commit) carry
+      // OLD meta, and tryRewrite's freshness gate only compares the rollup
+      // watermark to the CURRENT base version — without this check a
+      // time-travel aggregate would be served CURRENT rollup data
+      case t: graft.sources.v2.GraftV2Table
+          if t.graftVersion == TableMeta.currentVersion(t.graftLocation) =>
+        Some(t.graftLocation)
       case _ => None
     }
     case sr: DataSourceV2ScanRelation => baseLocation(sr.relation)
@@ -179,15 +232,27 @@ object RollupRewrite extends Rule[LogicalPlan] {
       fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation): Option[String] = {
     val paths = fs.location.rootPaths.map(_.toUri.getPath)
     if (paths.isEmpty) return None
-    val i = paths.head.indexOf("/data/")
-    if (i < 0) return None
-    val root = paths.head.substring(0, i)
-    if (!TableMeta.exists(root)) return None
-    val m = TableMeta.readCurrent(root)
-    if (m.deltaFiles.nonEmpty || m.rangeDrops.nonEmpty) return None
-    val want = m.baseFiles
-      .map(f => new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
-    if (paths.toSet == want) Some(root) else None
+    // the table root is SOME prefix ending before a "/data/" segment — a
+    // warehouse itself rooted under a directory containing /data/ (e.g.
+    // /data/wh/t/data/part.parquet) has several candidates, so try each
+    // (innermost first: a table's own data dir can't nest another table)
+    // and accept the one that IS a table whose current manifest matches
+    val head = paths.head
+    var i = head.lastIndexOf("/data/")
+    while (i >= 0) {
+      val root = head.substring(0, i)
+      if (TableMeta.exists(root)) {
+        val m = TableMeta.readCurrent(root)
+        if (m.deltaFiles.isEmpty && m.rangeDrops.isEmpty) {
+          val want = m.baseFiles
+            .map(f => new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+          if (paths.toSet == want) return Some(root)
+        }
+        return None // a real table whose snapshot doesn't match: no rewrite
+      }
+      i = head.lastIndexOf("/data/", i - 1)
+    }
+    None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

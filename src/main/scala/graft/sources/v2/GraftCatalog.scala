@@ -84,6 +84,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     try graft.table.MaintenanceScheduler.autoScheduleWarehouse(
       SparkSession.active, warehouse)
     catch { case _: Throwable => () }
+    // Arm persisted materialized rollups for QUERY REWRITE in this session:
+    // the refresh half already survives sessions (the scheduler sweep
+    // above), but a rollup built yesterday must also SERVE today — the
+    // registry is session-scoped, the rollup's source/aggs persist in its
+    // table properties, so a catalog open re-arms from those. Same
+    // non-fatal posture as the scheduler hook.
+    try graft.plans.RollupRewrite.armFromWarehouse(
+      SparkSession.active, warehouse)
+    catch { case _: Throwable => () }
   }
 
   override def name(): String = catalogName
@@ -663,6 +672,13 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
 
   /** Engine location behind this V2 handle (plan rewrites key on it). */
   private[graft] def graftLocation: String = meta.location
+
+  /** The version this handle is PINNED to — `loadTable(ident, version|ts)`
+    * returns a handle over OLD meta, and a handle loaded before a commit
+    * keeps serving its load-time snapshot. Plan rewrites (RollupRewrite)
+    * must compare this against the table's CURRENT version: a pinned
+    * handle must never be answered from current rollup data. */
+  private[graft] def graftVersion: Long = meta.version
 
   // ---- SQL range-partition lifecycle (SupportsPartitionManagement):
   // ALTER TABLE ADD/DROP PARTITION (<rangeCol>='<key>') and SHOW

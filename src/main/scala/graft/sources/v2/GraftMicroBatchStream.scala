@@ -48,11 +48,30 @@ class GraftMicroBatchStream(meta: TableMeta, requiredSchema: StructType,
   override def latestOffset(): Offset =
     GraftStreamOffset(TableMeta.currentVersion(meta.location))
 
+  /** Per-stream manifest memo: version metadata is immutable once
+    * committed (the exactly-once replanning guarantee above rests on it),
+    * but each trigger used to re-read the same version manifests — once
+    * in the byte-admission loop, again in planInputPartitions, and again
+    * across replays. Locally that is JSON parse noise; against an object
+    * store it is a round-trip per version per micro-batch. Bounded: a
+    * long-running stream clears the memo once it outgrows a few triggers'
+    * worth of versions (entries behind the committed offset are dead). */
+  private val vCache = new java.util.concurrent.ConcurrentHashMap[Long, TableMeta]()
+
   /** Version manifest read with the batch paths' clean error when the
     * version fell below the history floor (expireVersions — the floor can
     * advance WHILE a stream runs, so the check is failure-path: re-read
     * the current floor only when the manifest is gone). */
-  private def readV(v: Long): TableMeta =
+  private def readV(v: Long): TableMeta = {
+    val hit = vCache.get(v)
+    if (hit != null) return hit
+    val m = readVUncached(v)
+    if (vCache.size > math.max(256, 4 * maxVersionsPerTrigger)) vCache.clear()
+    vCache.put(v, m)
+    m
+  }
+
+  private def readVUncached(v: Long): TableMeta =
     try TableMeta.read(meta.location, v)
     catch {
       case e: java.nio.file.NoSuchFileException =>

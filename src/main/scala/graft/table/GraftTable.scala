@@ -74,6 +74,11 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
 
   def scan(): DataFrame = scan(None)
 
+  /** The manifest pinned at version `v` (history-floor-checked) — the
+    * metadata face of time travel, for callers that reason about a
+    * snapshot's file set (e.g. refresh prune asserts). */
+  private[graft] def metaAt(v: Long): TableMeta = readVersion(v)
+
   /** Scan including the hidden `auto_incrementing_id` column — needed to
     * address individual rows of a non-unique-PK table for UPDATE/DELETE
     * (reference: ColumnSchema.java:529 nonUniqueKey()). */
@@ -3104,7 +3109,15 @@ object GraftTable {
     require(TableMeta.exists(location), s"no graft table at $location")
     require(!isTrashed(location),
       s"table at $location is soft-deleted; recall() it or let it purge")
-    new GraftTable(spark, location)
+    val t = new GraftTable(spark, location)
+    // a loaded ROLLUP re-arms its query rewrite in THIS session (the
+    // serving half of a materialized view must survive its builder's
+    // session; the registry is session-scoped, the rollup's source/aggs
+    // persist in its properties). Idempotent registry put; never lets an
+    // arming hiccup break a plain load.
+    try graft.plans.RollupRewrite.autoArm(spark, t)
+    catch { case _: Exception => () }
+    t
   }
 
   private def trashFile(location: String) =

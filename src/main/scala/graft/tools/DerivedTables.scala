@@ -19,6 +19,21 @@ import graft.table.GraftTable
  */
 object DerivedTables {
 
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Per-location refresh mutex. Two concurrent refreshes of ONE derived
+    * table (an explicit call racing a background tick, or a per-table tick
+    * racing the warehouse sweep) could commit their data in one order and
+    * write their watermarks in the other — leaving the table marked
+    * CURRENT while rows recomputed against the earlier snapshot overwrote
+    * the newer ones (stale-but-current, the one state a refresh-or-miss
+    * serving layer must never reach). Every refresh path serializes on
+    * this per-location monitor; single-driver posture, same as the
+    * scheduler registry. Never nests: a chained rollup's refresh only
+    * SCANS its source, it never refreshes it. */
+  private[graft] def lockFor(location: String): Object =
+    locks.computeIfAbsent(location, _ => new Object)
+
   /** Whether `t`'s properties mark it as a maintained derived table. */
   def isDerived(t: GraftTable): Boolean = {
     val p = t.properties

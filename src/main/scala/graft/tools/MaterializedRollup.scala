@@ -96,9 +96,10 @@ object MaterializedRollup {
     // a materialized view's whole point is transparent serving: arm the
     // query rewrite by default (exact-only and freshness-gated, so it can
     // never change results — see plans/RollupRewrite). Same ambient-wiring
-    // posture as graft.maintain.auto; opt out per session.
-    if (spark.conf.getOption("graft.rollup.autoRewrite").forall(_.toBoolean))
-      graft.plans.RollupRewrite.enable(spark, rollup)
+    // posture as graft.maintain.auto; opt out per session by setting
+    // graft.rollup.autoRewrite to anything but "true" (lenient parse — a
+    // value like "off" disables, it doesn't throw out of build).
+    graft.plans.RollupRewrite.autoArm(spark, rollup)
     rollup
   }
 
@@ -121,7 +122,8 @@ object MaterializedRollup {
    * read errors cleanly — rebuild with [[build]].
    */
   def refresh(spark: SparkSession, rollup: GraftTable,
-      maxPruneKeys: Int = 4096, assertPrune: Boolean = false): Boolean = {
+      maxPruneKeys: Int = 4096, assertPrune: Boolean = false): Boolean =
+      DerivedTables.lockFor(rollup.location).synchronized {
     val p = rollup.properties
     val src = GraftTable.load(spark, p(SrcLocKey))
     val v0 = p(SrcVersionKey).toLong

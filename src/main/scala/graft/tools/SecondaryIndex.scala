@@ -129,10 +129,28 @@ object SecondaryIndex {
    * mutated since the recorded watermark re-derive their index entries;
    * one atomic transaction upserts the fresh entries and deletes stale
    * ones (the key's old value entry when the value changed, every entry of
-   * a deleted key). O(changed), never O(index). Returns false when the
-   * index is already current.
+   * a deleted key). O(changed), never O(index) — FOR REAL: the stale
+   * entries are the BEFORE-IMAGE of the mutated keys, and the index (hash-
+   * partitioned on the VALUE) cannot be probed by key, so they derive from
+   * the SOURCE's watermark snapshot instead. By the maintenance invariant
+   * the index at watermark v0 is exactly `entries(source@v0)`, so the old
+   * entries of the changed keys are `entries(source@v0 ⋉ changedKeys)` —
+   * a time-travel read of the base, which IS partitioned on its PK: when
+   * the changed-key set fits `maxPruneKeys` it collects and pushes an
+   * IN-list over the leading PK column, pruning untouched base tablets at
+   * the manifest level (S8/P4). Larger sets (a backfill-sized refresh)
+   * fall back to a distributed semi-join over the v0 snapshot — O(base),
+   * never O(index), and with no driver risk. `assertPrune = true` gates
+   * the pruned path (test hook: the IN-list must run and keep at most
+   * half the v0 base files).
+   *
+   * Returns false when the index is already current. If the source's
+   * history GC expired the watermark version, the change read errors
+   * cleanly — rebuild with [[build]].
    */
-  def refresh(spark: SparkSession, index: GraftTable): Boolean = {
+  def refresh(spark: SparkSession, index: GraftTable,
+      maxPruneKeys: Int = 4096, assertPrune: Boolean = false): Boolean =
+      DerivedTables.lockFor(index.location).synchronized {
     val p = index.properties
     val src = GraftTable.load(spark, p(SrcLocKey))
     val v0 = p(SrcVersionKey).toLong
@@ -145,14 +163,45 @@ object SecondaryIndex {
         col(GraftTable.DeletedCol): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val keys = changed.select(pkCols.map(col): _*).distinct()
+      val rows = keys.limit(maxPruneKeys + 1).collect()
+      if (rows.isEmpty) {
+        // version moved with no logical row change (e.g. a compaction):
+        // just advance the watermark
+        index.setProperties(Map(SrcVersionKey -> Some(v1.toString)))
+        return true
+      }
       val fresh = entries(changed.filter(!col(GraftTable.DeletedCol))
         .drop(GraftTable.DeletedCol), colName, pkCols)
-      val keys = changed.select(pkCols.map(col): _*).distinct()
-      // every index entry a mutated key currently owns, minus the ones the
-      // fresh set re-asserts (the txn allows one op per key; upsert covers
-      // re-asserted entries)
-      val stale = index.scan().select((colName +: pkCols).map(col): _*)
-        .join(keys, pkCols, "left_semi")
+      val oldRows =
+        if (rows.length <= maxPruneKeys) {
+          val filters: Seq[org.apache.spark.sql.sources.Filter] =
+            Seq(org.apache.spark.sql.sources.In(pkCols.head,
+              rows.map(_.get(0)).distinct.toArray))
+          if (assertPrune) {
+            val m0 = src.metaAt(v0)
+            val kept = graft.sources.PartitionPruner.pruneFiles(
+              m0, m0.baseFiles, filters)
+            if (kept.length * 2 > m0.baseFiles.length)
+              throw new IllegalStateException(
+                s"index refresh must prune the v0 base scan: kept " +
+                  s"${kept.length} of ${m0.baseFiles.length} files for " +
+                  s"${rows.length} changed keys")
+          }
+          val keyDf = broadcast(spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toSeq, 1),
+            StructType(keys.schema.fields.map(_.copy(nullable = true)))))
+          src.scanPruned(filters, Some(v0)).join(keyDf, pkCols, "left_semi")
+        } else {
+          if (assertPrune) throw new IllegalStateException(
+            s"index refresh fell back to the semi-join path " +
+              s"(> $maxPruneKeys changed keys)")
+          src.scan(Some(v0)).join(keys, pkCols, "left_semi")
+        }
+      // the before-image entries the fresh set does not re-assert are
+      // stale (old value on rename, every entry of a deleted key); the
+      // txn allows one op per key and upsert covers re-asserted entries
+      val stale = entries(oldRows, colName, pkCols)
         .join(fresh, colName +: pkCols, "left_anti")
       RefreshCommit(index, fresh, stale)
       index.setProperties(Map(SrcVersionKey -> Some(v1.toString)))

@@ -172,13 +172,28 @@ object VectorIndex {
    * fast path when no compaction intervened), re-assigns their vectors
    * against the frozen centroids, and commits upserts + moved/dead-row
    * tombstones as ONE atomic transaction. O(changed × cells), never
-   * O(index). Returns false when the index is already current.
+   * O(index) — FOR REAL: the stale rows are the BEFORE-IMAGE cells of the
+   * mutated ids, and the index (hash-partitioned on `cell`) cannot be
+   * probed by id, so they derive from the SOURCE's watermark snapshot
+   * instead. By the maintenance invariant the index at watermark v0 is
+   * exactly the deterministic assignment of `source@v0` against the
+   * frozen centroids, so re-assigning the changed ids' v0 vectors
+   * reproduces their current index rows bit-for-bit (same expressions,
+   * same tie-break). When the changed-id set fits `maxPruneKeys` it
+   * collects and pushes an IN-list over the id column into the v0 scan —
+   * a source keyed/partitioned on the id prunes untouched tablets at the
+   * manifest level (S8/P4); larger backfill-sized sets fall back to a
+   * distributed semi-join over the v0 snapshot (O(source), never
+   * O(index), no driver risk). Returns false when the index is already
+   * current.
    *
    * If the source's history GC expired the watermark version, the change
    * read errors cleanly ("expired") — rebuild with [[build]] (an index
    * left unrefreshed past the retention window has no cheaper path).
    */
-  def refresh(spark: SparkSession, index: GraftTable): Boolean = {
+  def refresh(spark: SparkSession, index: GraftTable,
+      maxPruneKeys: Int = 4096, assertPrune: Boolean = false): Boolean =
+      DerivedTables.lockFor(index.location).synchronized {
     val p = index.properties
     val src = GraftTable.load(spark, p(SrcLocKey))
     val v0 = p(SrcVersionKey).toLong
@@ -191,20 +206,49 @@ object VectorIndex {
       .select(col(idCol), col(vecCol), col(GraftTable.DeletedCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val ids = changed.select(col(idCol)).distinct()
+      val rows = ids.limit(maxPruneKeys + 1).collect()
+      if (rows.isEmpty) {
+        // version moved with no logical row change (e.g. a compaction):
+        // just advance the watermark
+        index.setProperties(Map(SrcVersionKey -> Some(v1.toString)))
+        return true
+      }
       // latest state of surviving mutated vectors → their (possibly moved)
       // cells; a NULLed-out vector counts as removal
       val fresh = assigned(
         normalized(changed.filter(!col(GraftTable.DeletedCol)), idCol, vecCol),
         idCol, cents)
-      // every index row a mutated key currently occupies; delete the ones
-      // the fresh assignment does not re-assert (the txn allows one op per
-      // key, and upsert already covers re-asserted (cell, id) rows). The
-      // changed-key set is small in steady state — Spark picks the join
-      // strategy (no forced broadcast: a backfill-sized refresh must not
-      // OOM the driver).
-      val keys = changed.select(col(idCol)).distinct()
-      val stale = index.scan().select(col("cell"), col(idCol))
-        .join(keys, Seq(idCol), "left_semi")
+      val oldSrc =
+        if (rows.length <= maxPruneKeys) {
+          val filters: Seq[org.apache.spark.sql.sources.Filter] =
+            Seq(org.apache.spark.sql.sources.In(idCol,
+              rows.map(_.get(0)).distinct.toArray))
+          if (assertPrune) {
+            val m0 = src.metaAt(v0)
+            val kept = graft.sources.PartitionPruner.pruneFiles(
+              m0, m0.baseFiles, filters)
+            if (kept.length * 2 > m0.baseFiles.length)
+              throw new IllegalStateException(
+                s"vector-index refresh must prune the v0 source scan: " +
+                  s"kept ${kept.length} of ${m0.baseFiles.length} files " +
+                  s"for ${rows.length} changed ids")
+          }
+          val idDf = broadcast(spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toSeq, 1),
+            StructType(ids.schema.fields.map(_.copy(nullable = true)))))
+          src.scanPruned(filters, Some(v0)).join(idDf, Seq(idCol), "left_semi")
+        } else {
+          if (assertPrune) throw new IllegalStateException(
+            s"vector-index refresh fell back to the semi-join path " +
+              s"(> $maxPruneKeys changed ids)")
+          src.scan(Some(v0)).join(ids, Seq(idCol), "left_semi")
+        }
+      // before-image (cell, id) rows the fresh assignment does not
+      // re-assert are stale (moved cell, deleted id); the txn allows one
+      // op per key, and upsert already covers re-asserted rows
+      val stale = assigned(normalized(oldSrc, idCol, vecCol), idCol, cents)
+        .select(col("cell"), col(idCol))
         .join(fresh.select(col("cell"), col(idCol)), Seq("cell", idCol), "left_anti")
       RefreshCommit(index, fresh, stale)
       index.setProperties(Map(SrcVersionKey -> Some(v1.toString)))

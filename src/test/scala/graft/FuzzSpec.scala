@@ -769,4 +769,114 @@ class FuzzSpec extends AnyFunSuite {
   test("scheduler-concurrent random ops: ticks race writers and repairs (seed 41)") {
     runSchedulerCase(41L, 36)
   }
+
+  /** Derived-table chaos: a materialized ROLLUP and a SECONDARY INDEX over
+    * one mutating base, maintained by explicit refresh calls RACING the
+    * real background scheduler (25 ms per-table ticks running
+    * DerivedTables.refreshIfStale) across random upserts, deletes, and
+    * base compactions (the changesSince snapshot-diff fallback boundary).
+    * The invariant is watermark-relative, so it holds mid-storm: each
+    * derived table equals a from-scratch derivation of the base AT ITS
+    * RECORDED WATERMARK. A refresh between its data commit and its
+    * watermark write skews that transiently, so mid-storm checks retry to
+    * a deadline (the ticker itself heals any staleness); the quiesced
+    * check is strict, drained to the head, against the model. */
+  private def runDerivedCase(seed: Long, nOps: Int): Unit = {
+    val rnd = new Random(seed)
+    val root = Files.createTempDirectory(s"graft-dfuzz-$seed-")
+    val init = (1L to 24L).map(k => (s"g${k % 4}", k, k * 3L)).toDF("g", "k", "v")
+    val base = GraftTable.create(spark, s"$root/base", "dbase", init.schema,
+      Seq("g", "k"), Seq(HashComponent(Seq("k"), 2)),
+      range = Some(graft.catalog.RangeComponent("g", "value")),
+      data = Some(init))
+    val model = mutable.Map[(String, Long), Long]()
+    init.collect().foreach(r =>
+      model((r.getString(0), r.getLong(1))) = r.getLong(2))
+    val rollup = graft.tools.MaterializedRollup.build(spark, base, Seq("g"),
+      Seq("n" -> "count(*)", "sv" -> "sum(v)", "mx" -> "max(k)"),
+      s"$root/roll", buckets = 2)
+    val sidx = graft.tools.SecondaryIndex.build(spark, base, "v",
+      s"$root/sidx", buckets = 4)
+    def schedule(loc: String) = graft.table.MaintenanceScheduler.schedule(
+      spark, loc, intervalMs = 25, ioBudgetBytes = 64L << 20, minScore = 0.0,
+      maxDeltaRatio = 0.5, maxDeltaFiles = 64)
+    val eR = schedule(rollup.location)
+    val eI = schedule(sidx.location)
+    def checkOnce(): Option[String] = try {
+      val rt = GraftTable.load(spark, rollup.location)
+      val wR = rt.properties(graft.tools.MaterializedRollup.SrcVersionKey).toLong
+      val wantR = base.scan(Some(wR)).groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"), max("k").as("mx"))
+        .collect().map(_.toSeq).toSet
+      val gotR = rt.scan().collect().map(_.toSeq).toSet
+      if (gotR != wantR) return Some(s"rollup != agg(base@v$wR)")
+      val it = GraftTable.load(spark, sidx.location)
+      val wI = it.properties(graft.tools.SecondaryIndex.SrcVersionKey).toLong
+      val wantI = base.scan(Some(wI)).select("v", "g", "k")
+        .collect().map(_.toSeq).toSet
+      val gotI = it.scan().collect().map(_.toSeq).toSet
+      if (gotI != wantI) Some(s"sindex != entries(base@v$wI)") else None
+    } catch { case e: Exception =>
+      Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+    } // a read racing an in-flight commit retries like any other skew
+    def invariant(tag: String): Unit = {
+      val deadline = System.currentTimeMillis() + 15000
+      var last: Option[String] = checkOnce()
+      while (last.nonEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50); last = checkOnce()
+      }
+      assert(last.isEmpty, s"$tag seed=$seed: ${last.getOrElse("")}")
+    }
+    try {
+      for (i <- 0 until nOps) {
+        val g = s"g${rnd.nextInt(4)}"
+        val k = rnd.nextInt(40).toLong + 1
+        val v = rnd.nextInt(1000).toLong
+        rnd.nextInt(10) match {
+          case 0 | 1 | 2 | 3 =>
+            base.upsert(Seq((g, k, v)).toDF("g", "k", "v"))
+            model((g, k)) = v
+          case 4 | 5 =>
+            base.delete(Seq((g, k)).toDF("g", "k"), ignore = true)
+            model.remove((g, k))
+          case 6 => base.compact() // forces the snapshot-diff fallback
+          case 7 => graft.tools.MaterializedRollup.refresh(spark,
+            GraftTable.load(spark, rollup.location))
+          case 8 => graft.tools.SecondaryIndex.refresh(spark,
+            GraftTable.load(spark, sidx.location))
+          case 9 => invariant(s"mid-storm op $i")
+        }
+      }
+      invariant("post-storm")
+      // the scheduler is still alive after the storm
+      val t0 = eR.ticks.get() + eI.ticks.get()
+      val deadline = System.currentTimeMillis() + 10000
+      while (eR.ticks.get() + eI.ticks.get() == t0 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(eR.ticks.get() + eI.ticks.get() > t0,
+        s"derived-table scheduler stopped ticking seed=$seed")
+    } finally {
+      graft.table.MaintenanceScheduler.unschedule(rollup.location)
+      graft.table.MaintenanceScheduler.unschedule(sidx.location)
+    }
+    // quiesced: drain both to the head, then strict equality vs the model
+    while (graft.tools.MaterializedRollup.refresh(spark,
+      GraftTable.load(spark, rollup.location))) ()
+    while (graft.tools.SecondaryIndex.refresh(spark,
+      GraftTable.load(spark, sidx.location))) ()
+    val got = base.scan().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == model.toMap, s"base state mismatch seed=$seed")
+    assert(checkOnce().isEmpty, s"drained derived state seed=$seed")
+    val rt = GraftTable.load(spark, rollup.location)
+    assert(rt.properties(graft.tools.MaterializedRollup.SrcVersionKey).toLong
+      == base.meta.version, s"rollup watermark must sit at the head seed=$seed")
+  }
+
+  test("derived-table chaos: refreshes race scheduler ticks and compactions (seed 17)") {
+    runDerivedCase(17L, 30)
+  }
+  test("derived-table chaos: refreshes race scheduler ticks and compactions (seed 53)") {
+    runDerivedCase(53L, 30)
+  }
 }

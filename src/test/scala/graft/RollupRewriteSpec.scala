@@ -246,4 +246,121 @@ class RollupRewriteSpec extends AnyFunSuite {
         "the rollup must serve the post-mutation truth on the V2 path")
     } finally RollupRewrite.disable(spark, rollup.location)
   }
+
+  test("time travel never serves: VERSION AS OF and stale V2 handles decline the rewrite") {
+    val wh = Files.createTempDirectory("graft-mvtt-").toString
+    val df = (1 to 120).map(i => (i.toLong, i % 3, i.toLong)).toDF("k", "g", "v")
+    val t = GraftTable.create(spark, s"$wh/tt", "tt", df.schema,
+      Seq("g", "k"), Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    val vOld = t.meta.version
+    spark.conf.set("spark.sql.catalog.gmvtt",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmvtt.warehouse", wh)
+    // a V2 handle pinned BEFORE the mutation (the stale-handle face)
+    val pinned = spark.table("gmvtt.tt")
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val wantOld = rows(pinned)
+    t.upsert(Seq((7L, 1, 70000L)).toDF("k", "g", "v"))
+    val rollup = MaterializedRollup.build(spark, t, Seq("g"),
+      Seq("n" -> "count(*)", "sv" -> "sum(v)"), s"$wh/ttr", buckets = 2)
+    try {
+      // the CURRENT aggregate serves...
+      val cur = spark.sql(
+        "SELECT g, count(*) AS n, sum(v) AS sv FROM gmvtt.tt GROUP BY g")
+      assert(readsRollup(cur, rollup.location))
+      // ...but a VERSION AS OF aggregate must NEVER read the rollup: the
+      // rollup is current w.r.t. the base HEAD, not the pinned snapshot
+      val asOf = spark.sql("SELECT g, count(*) AS n, sum(v) AS sv " +
+        s"FROM gmvtt.tt VERSION AS OF $vOld GROUP BY g")
+      assert(!readsRollup(asOf, rollup.location),
+        s"time-travel aggregate read the rollup:\n${asOf.queryExecution.optimizedPlan}")
+      assert(rows(asOf) == wantOld, "time travel must return the v-old truth")
+      // the pre-mutation handle is pinned to old meta → declines too
+      assert(!readsRollup(pinned, rollup.location),
+        "a V2 handle pinned before the commit must not serve current rollup data")
+      assert(rows(pinned) == wantOld)
+    } finally RollupRewrite.disable(spark, rollup.location)
+  }
+
+  test("a rollup built in one session serves in a NEW session with zero explicit enables") {
+    val wh = Files.createTempDirectory("graft-mvarm-").toString
+    val df = (1 to 150).map(i => (i.toLong, i % 5, i.toLong * 2)).toDF("k", "g", "v")
+    val t = GraftTable.create(spark, s"$wh/armb", "armb", df.schema,
+      Seq("g", "k"), Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    val rollup = MaterializedRollup.build(spark, t, Seq("g"),
+      Seq("n" -> "count(*)", "sv" -> "sum(v)"), s"$wh/armr", buckets = 2)
+    try {
+      // face 1: a FRESH session opening the catalog re-arms from the
+      // rollup's persisted properties (the warehouse sweep on initialize)
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.gmvarm",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s2.conf.set("spark.sql.catalog.gmvarm.warehouse", wh)
+      val q2 = s2.sql(
+        "SELECT g, count(*) AS n, sum(v) AS sv FROM gmvarm.armb GROUP BY g")
+      assert(readsRollup(q2, rollup.location),
+        s"catalog open must arm persisted rollups:\n${q2.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(s2, rollup.location)
+      val want = rows(q2)
+      RollupRewrite.enable(s2, rollup)
+      assert(rows(q2) == want)
+      // face 2: merely LOADING the rollup in another fresh session arms it
+      // (a refresh call, a maintenance sweep, or a direct read all load)
+      val s3 = spark.newSession()
+      GraftTable.load(s3, rollup.location)
+      val t3 = GraftTable.load(s3, t.location)
+      val q3 = t3.scan().groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      assert(readsRollup(q3, rollup.location),
+        s"loading a rollup must arm its rewrite:\n${q3.queryExecution.optimizedPlan}")
+      // opt-out is honored (lenient parse: any non-"true" value disables,
+      // including values toBoolean would throw on)
+      val s4 = spark.newSession()
+      s4.conf.set("graft.rollup.autoRewrite", "off")
+      GraftTable.load(s4, rollup.location)
+      val q4 = GraftTable.load(s4, t.location).scan().groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      assert(!readsRollup(q4, rollup.location),
+        "autoRewrite=off must keep the session unarmed")
+    } finally RollupRewrite.disable(spark, rollup.location)
+  }
+
+  test("a commit landing between plan time and execution serves the PLAN-TIME snapshot") {
+    val wh = Files.createTempDirectory("graft-mvsnap-").toString
+    val df = (1 to 100).map(i => (i.toLong, i % 4, i.toLong)).toDF("k", "g", "v")
+    val t = GraftTable.create(spark, s"$wh/snapb", "snapb", df.schema,
+      Seq("g", "k"), Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    val rollup = MaterializedRollup.build(spark, t, Seq("g"),
+      Seq("n" -> "count(*)", "sv" -> "sum(v)"), s"$wh/snapr", buckets = 2)
+    try {
+      // a VAL pins one QueryExecution: optimization (and the rewrite's
+      // freshness check) happens NOW, execution later
+      val q = t.scan().groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      assert(readsRollup(q, rollup.location))
+      val planTime = rows(q)
+      // a commit + refresh land AFTER the plan was fixed
+      t.upsert(Seq((3L, 3, 30000L)).toDF("k", "g", "v"))
+      assert(graft.tools.MaterializedRollup.refresh(spark, rollup))
+      // re-executing the planned query yields the plan-time snapshot — the
+      // spliced rollup scan pins the plan-time file set (snapshot
+      // semantics, same as any engine scan planned before a commit)
+      assert(rows(q) == planTime,
+        "a planned query must keep serving its plan-time snapshot")
+      // a FRESH query serves the post-commit truth and still rewrites —
+      // through the V2 relation (the base is delta-dirty now; the DSv1
+      // clean-snapshot path correctly declines a dirty base)
+      spark.conf.set("spark.sql.catalog.gmvsnap",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gmvsnap.warehouse", wh)
+      def qf = spark.sql(
+        "SELECT g, count(*) AS n, sum(v) AS sv FROM gmvsnap.snapb GROUP BY g")
+      assert(readsRollup(qf, rollup.location))
+      RollupRewrite.disable(spark, rollup.location)
+      val wantNew = rows(qf)
+      RollupRewrite.enable(spark, rollup)
+      assert(rows(qf) == wantNew)
+      assert(wantNew != planTime, "the mutation must be visible to fresh queries")
+    } finally RollupRewrite.disable(spark, rollup.location)
+  }
 }

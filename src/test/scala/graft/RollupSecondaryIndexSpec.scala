@@ -184,6 +184,36 @@ class RollupSecondaryIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(5L))
   }
 
+  test("secondary index refresh is O(changed): before-image from the pruned v0 base, never the index") {
+    val t = mkNamed()
+    val idx = SecondaryIndex.build(spark, t, "name", tmp(), buckets = 16)
+    // ONE mutated row: assertPrune hard-gates the before-image derivation —
+    // the v0 base scan must take the IN-list path and keep ≤ half the
+    // files (here 1 of 4 hash buckets). The index itself (hash-partitioned
+    // on the VALUE, unprunable by key) is never read.
+    t.upsert(Seq((12L, "renamed_12", 99L)).toDF("id", "name", "v"))
+    assert(SecondaryIndex.refresh(spark, idx, assertPrune = true))
+    assert(SecondaryIndex.lookup(spark, idx, Seq("name_12")).collect().isEmpty,
+      "the before-image entry must tombstone")
+    assert(SecondaryIndex.lookup(spark, idx, Seq("renamed_12"))
+      .collect().map(_.getLong(0)).toSeq == Seq(12L))
+    // the pruned path also covers a delete (before-image only, no fresh)
+    t.deleteWhere(col("id") === 3)
+    assert(SecondaryIndex.refresh(spark, idx, assertPrune = true))
+    assert(SecondaryIndex.lookup(spark, idx, Seq("name_3")).collect().isEmpty)
+    // backfill-sized change sets refuse the assert (semi-join fallback)
+    t.upsert((1L to 30L).map(i => (i, s"bulk_$i", i)).toDF("id", "name", "v"))
+    assert(intercept[IllegalStateException] {
+      SecondaryIndex.refresh(spark, idx, maxPruneKeys = 4, assertPrune = true)
+    }.getMessage.contains("semi-join"))
+    // ... and the fallback itself stays exact
+    assert(SecondaryIndex.refresh(spark, idx, maxPruneKeys = 4))
+    assert(SecondaryIndex.lookup(spark, idx, Seq("bulk_20"))
+      .collect().map(_.getLong(0)).toSeq == Seq(20L))
+    assert(GraftTable.load(spark, idx.meta.location).scan().count() ==
+      t.scan().count())
+  }
+
   test("secondary lookup maxKeys bound refuses scan-sized answers") {
     val data = (1L to 20L).map(i => (i, "same", i)).toDF("id", "name", "v")
     val t = GraftTable.create(spark, tmp(), "rsi_wide", data.schema, Seq("id"),

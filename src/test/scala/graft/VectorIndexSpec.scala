@@ -97,6 +97,33 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(!VectorIndex.refresh(spark, idx))
   }
 
+  test("refresh is O(changed): before-image from the pruned v0 source, never the index") {
+    val (src, idx) = freshPair()
+    import spark.implicits._
+    // ONE mutated id: assertPrune hard-gates the before-image derivation —
+    // the v0 SOURCE scan (hash(vec_id, 4)) must take the IN-list path and
+    // keep ≤ half its files; the index (hash-partitioned on cell,
+    // unprunable by id) is never read on the refresh path.
+    src.upsert(Seq((2L, Array.tabulate(64)(d => ((d * 11) % 17 - 8).toFloat)))
+      .toDF("vec_id", "embedding"))
+    assert(VectorIndex.refresh(spark, idx, assertPrune = true))
+    // moved/re-asserted: exactly one row per live id survives
+    assert(idx.scan().count() == src.scan().count())
+    assert(idx.scan().select("vec_id").distinct().count() == idx.scan().count())
+    // a delete's before-image row tombstones through the same pruned path
+    src.delete(Seq(Tuple1(5L)).toDF("vec_id"))
+    assert(VectorIndex.refresh(spark, idx, assertPrune = true))
+    assert(idx.scan().filter(col("vec_id") === 5L).count() == 0)
+    // a backfill-sized change set refuses the assert (semi-join fallback)
+    src.upsert(src.scan().withColumn("embedding",
+      expr("transform(embedding, x -> cast(-x as float))")))
+    assert(intercept[IllegalStateException] {
+      VectorIndex.refresh(spark, idx, maxPruneKeys = 4, assertPrune = true)
+    }.getMessage.contains("semi-join"))
+    assert(VectorIndex.refresh(spark, idx, maxPruneKeys = 4))
+    assert(idx.scan().count() == src.scan().count())
+  }
+
   test("invariant: after any mutation rounds, index == fresh assignment vs frozen centroids") {
     val (src, idx) = freshPair()
     import spark.implicits._
