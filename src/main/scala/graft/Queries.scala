@@ -981,7 +981,13 @@ object Queries {
       // state and evicts it as the joint watermark passes, which is what
       // makes the join runnable on an unbounded 100 TB stream (state is a
       // sliding window, never the history); the PK upsert sink makes the
-      // at-least-once replay idempotent. Chronological chunk COMMITS to
+      // at-least-once replay idempotent. Cost attribution (ProfileQ63,
+      // round 14): each ~1 s trigger spends 0.6-1.1 s in addBatch — the
+      // four per-partition state stores plus join execution — ~0.14 s in
+      // queryPlanning, and <=1 ms in the engine source's latestOffset/
+      // getBatch (version manifests are memoized per stream), so the
+      // per-batch floor is Spark state-store overhead, not engine
+      // planning. Chronological chunk COMMITS to
       // the source table (one version per chunk) replay in lock-step —
       // nothing is late, so the streamed result equals the batch interval
       // join the oracle computes. Sentinel commits flush the final pairs

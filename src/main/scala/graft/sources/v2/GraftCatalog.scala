@@ -1552,20 +1552,21 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
     // reads (q2 +0.8s, q31 +1.5s). The mechanism itself is gated by q59
     // (star join, fact Z-clustered on the dim key, runtime IN-filter
     // prunes >= half the files, hash-exact), and the bench records a
-    // standing A/B for it (bench.json "ab" — round-12 full-suite pairs
-    // at sf0.1: on/off 0.27/0.28 and 0.34/0.27 across runs; isolated
-    // cold 0.54/0.47). Parity within noise at unit scale: the DPP
-    // subquery costs about what skipping 12 small files saves, so the
-    // flag stays opt-in until fact files are large enough that skipping
-    // one pays for the subquery (at 100 TB a pruned file is 100s of MB,
-    // not 100s of KB). Round-13 re-ran the A/B at 20M rows (ScaleSmoke:
-    // 32 clustered ~20 MB files, runtime filter pruning 28 of 32): on
-    // 0.18 s vs off 0.17 s — STILL a wash locally, because freshly
-    // written files sit in the OS page cache and a 32-thread scan of
-    // 640 MB costs about one DPP subquery. The flag's win is a cold-
-    // storage property (S3/HDFS latency × file size), not a row-count
-    // property — it stays opt-in on this box, with both pairs recorded
-    // in bench.json ("ab" and "scale").
+    // standing A/B for it (bench.json "ab" at sf0.1, "scale" at 20M
+    // rows). The default is settled on the RECORDED MEDIANS, not this
+    // comment's memory: round 14 moved the 20M ScaleSmoke A/B to k=5
+    // interleaved pairs decided on medians (ScaleSmoke ab_star_rf_on/
+    // _off) after the old 2-run-min protocol flip-flopped across rounds
+    // (round 12 recorded a wash, round 13 a 2.45x one-off on identical
+    // code). Two independent k=5 sessions measured medians on/off
+    // 0.27/0.28 and 0.48/0.35 (mins all ~0.26) with files read 4 vs 32
+    // — parity within noise, far under the 1.5x flip threshold, so the
+    // flag stays OPT-IN on this box. The physics: freshly written ~20 MB
+    // files sit in the OS page cache and a 32-thread scan of 640 MB
+    // costs about one DPP subquery — the flag's win is a cold-storage
+    // property (S3/HDFS latency x file size), not a row-count property.
+    // Always verify against the current bench.json "scale" block before
+    // re-adjudicating.
     (meta.hash.flatMap(_.cols) ++ meta.range.toSeq.flatMap(_.columns) ++
       (if (spark.conf.getOption("graft.runtimeFilter.allColumns")
            .exists(_.toBoolean))
