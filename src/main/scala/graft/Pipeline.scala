@@ -29,6 +29,12 @@ object Pipeline {
   private val Rows = 3
   private val JaccardT = 0.8
   private[graft] val CosineT = 0.45
+  // semantic-decontam threshold (p47): deliberately LOWER than the
+  // near-dup CosineT — decontamination errs toward quarantine (a missed
+  // paraphrase poisons a benchmark; an over-quarantined train doc costs
+  // one document), and the synthetic corpus needs the margin for a
+  // non-trivial gate (45 straddling pairs at 0.30, 1 at 0.45 at sf0.01)
+  private[graft] val SemDecontamT = 0.35
   private val SimhashMaxHamming = 8
   private val LshTables = 4
   private val LshPlanes = 6
@@ -914,6 +920,44 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    "p47_embed_decontam" -> ((s, dir) => {
+      // SEMANTIC decontamination — the embedding-space sibling of p40's
+      // n-gram fuzzy decontam: an eval/benchmark item (vec_id % 7 == 0)
+      // contaminates every TRAIN vector whose cosine reaches SemDecontamT,
+      // catching the paraphrased leakage no token-overlap test can see
+      // (a rewritten benchmark answer embeds near its source while
+      // sharing few 8-grams). Scale shape: the eval split is tiny by
+      // construction, so its LSH bucket keys and its vectors BROADCAST;
+      // the train side is one narrow scan whose candidates come from the
+      // p5/p7 hyperplane-bucket equi-join (never an all-pairs product),
+      // exact cosine verifies candidates only, and the verdict is a
+      // per-train-vector aggregate — hit count + first offending eval id,
+      // integer outputs so the gate carries no float formatting.
+      val e = embs(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("bks", hyperplaneBuckets(col("v"), dim = 64,
+          tables = DedupTables, planes = DedupPlanes))
+      val isEval = pmod(col("vec_id"), lit(7L)) === 0
+      val evalFlat = e.filter(isEval)
+        .select(col("vec_id").as("eval_id"),
+          posexplode(col("bks")).as(Seq("t", "bk")))
+      val trainFlat = e.filter(!isEval)
+        .select(col("vec_id"), posexplode(col("bks")).as(Seq("t", "bk")))
+        .repartition(parallelism(s), col("t"), col("bk"))
+      // candidates stay NARROW (two ids) through the distinct; vectors
+      // attach afterwards — train's by equi-join, eval's by broadcast
+      val cand = trainFlat.join(broadcast(evalFlat), Seq("t", "bk"))
+        .select(col("vec_id"), col("eval_id")).distinct()
+      cand
+        .join(e.select(col("vec_id"), col("v")), "vec_id")
+        .join(broadcast(e.filter(isEval)
+          .select(col("vec_id").as("eval_id"), col("v").as("ev"))), "eval_id")
+        .filter(cosine(col("v"), col("ev")) >= SemDecontamT)
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_hits"), min("eval_id").as("eval_id"))
+        .orderBy("vec_id")
+    }),
+
     "p45_tokenize_pack" -> ((s, dir) => {
       // The LAST MILE composed end-to-end: pack documents into fixed
       // 2048-token training sequences using the REAL learned-tokenizer
@@ -1792,6 +1836,26 @@ object Pipeline {
         "ELSE 0 END) AS nt FROM b GROUP BY cluster_id) " +
         "SELECT doc_id, nt > 0 AS leaked FROM b JOIN m USING (cluster_id) " +
         "WHERE split = 'eval' ORDER BY doc_id"),
+
+    // semantic decontam: per train vector, the count of eval vectors
+    // (vec_id % 7 = 0) within SemDecontamT among LSH-bucket candidates,
+    // plus the first offending eval id — identical bucketing to p5's
+    "p47_embed_decontam" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n" +
+        s"eq AS (SELECT vec_id, v, ${quantSql("v")} AS qz FROM e),\n" +
+        "b AS (SELECT vec_id, v, " +
+        (0 until DedupTables).map(t =>
+          s"(${lshBucketSql("qz", t, DedupTables, DedupPlanes)}) AS b$t").mkString(", ") +
+        " FROM eq)\n" +
+        "SELECT t.vec_id, CAST(count(*) AS BIGINT) AS n_hits, " +
+        "min(ev.vec_id) AS eval_id " +
+        "FROM b t JOIN b ev ON t.vec_id % 7 <> 0 AND ev.vec_id % 7 = 0 " +
+        "AND (" +
+        (0 until DedupTables).map(t => s"t.b$t = ev.b$t").mkString(" OR ") +
+        ") " +
+        "WHERE list_dot_product(t.v, ev.v) / (sqrt(list_dot_product(t.v, t.v)) " +
+        s"* sqrt(list_dot_product(ev.v, ev.v))) >= $SemDecontamT " +
+        "GROUP BY t.vec_id ORDER BY t.vec_id"),
     "p4_dedup_simhash" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),\n" +
         s"hs AS (SELECT doc_id, list_transform(w, x -> ${polyhashSql("x")}) AS h FROM t),\n" +

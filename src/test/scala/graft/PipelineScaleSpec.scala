@@ -387,6 +387,24 @@ class PipelineScaleSpec extends AnyFunSuite {
       s"the gram join must not sort-merge the corpus:\n$plan")
   }
 
+  test("p47 semantic decontam broadcasts the eval side, candidates ride the LSH equi-join") {
+    val df = SparkEntry.queries("p47_embed_decontam")(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "the gate must have contaminated rows to check")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 7 != 0, s"a train verdict row must be train-side: $r")
+      assert(r.getLong(2) % 7 == 0, s"the offending id must be eval-side: $r")
+      assert(r.getLong(1) >= 1, s"a verdict row implies at least one hit: $r")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"semantic decontam must never go all-pairs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the eval side must broadcast:\n$plan")
+  }
+
   test("p42 knn join stays cell-bucketed — no all-pairs product") {
     val df = SparkEntry.queries("p42_knn_join")(spark, dir)
     val rows = df.collect()
