@@ -281,6 +281,37 @@ object ScaleSmoke {
     val g7 = roll.scan().filter(col("grp") === 7).collect().head
     require(g7.getLong(1) > 0, "refreshed group must carry its aggregate")
     graft.plans.RollupRewrite.disable(spark, roll.location)
+    // Maintained SECONDARY INDEX at scale: the same O(changed) contract
+    // for the refresh (round-14: stale entries derive as the before-image
+    // from the source's watermark snapshot through a PK IN-list — the v0
+    // base scan must PRUNE, asserted; the index is never scanned) and the
+    // probe contract for the lookup (value IN-list prunes index buckets,
+    // asserted). Rides the rollup rung's base — its `v` column is a
+    // non-key attribute with ~1M distinct values.
+    val sidx = timed("sindex_build") {
+      SecondaryIndex.build(spark, rbase, "v", s"$wh/scale_roll_sidx",
+        buckets = 16)
+    }
+    stats += "sindex_files" -> sidx.meta.baseFiles.length.toLong
+    val probeV = rbase.scan().filter(col("id") === 12345L)
+      .select("v").collect().head.getLong(0)
+    timed("sindex_lookup") {
+      val hit = SecondaryIndex.lookup(spark, sidx, Seq(probeV),
+        assertPrune = true).collect()
+      require(hit.exists(_.getLong(1) == 12345L),
+        s"lookup by value $probeV must find id 12345")
+    }
+    timed("sindex_refresh_1row") {
+      rbase.upsert(rbase.scan().filter(col("id") === 12345L)
+        .withColumn("v", lit(-1L)))
+      require(SecondaryIndex.refresh(spark, sidx, assertPrune = true),
+        "refresh must apply the 1-row mutation")
+      require(SecondaryIndex.lookup(spark, sidx, Seq(probeV)).collect()
+        .forall(_.getLong(1) != 12345L),
+        "the before-image entry must tombstone")
+      require(SecondaryIndex.lookup(spark, sidx, Seq(-1L)).collect()
+        .exists(_.getLong(1) == 12345L), "the fresh entry must serve")
+    }
     Result(steps.toSeq, stats.toSeq)
   }
 }

@@ -27,7 +27,8 @@ class ScaleSmokeSpec extends AnyFunSuite {
       "mor_filter_scan", "mor_spill_scan", "compact_policy",
       "metadata_count", "star_load_cluster", "topn_zone",
       "ab_star_rf_on", "ab_star_rf_off",
-      "rollup_base_load", "rollup_build", "rollup_refresh_1grp")
+      "rollup_base_load", "rollup_build", "rollup_refresh_1grp",
+      "sindex_build", "sindex_lookup", "sindex_refresh_1row")
       .foreach { s => assert(steps.contains(s), s"missing ladder step $s") }
     // incremental view maintenance: the scale observable at local[32] is
     // the I/O contract, NOT wall time — a full rebuild of a narrow
