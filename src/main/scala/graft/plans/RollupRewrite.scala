@@ -87,8 +87,15 @@ object RollupRewrite extends Rule[LogicalPlan] {
     * refresh call, or a direct read — not just its builder's session.
     * Returns whether `t` is an armed rollup. */
   def autoArm(spark: SparkSession, t: GraftTable): Boolean = {
-    if (!t.properties.contains(MaterializedRollup.SrcLocKey)) return false
+    // already-armed short-circuit first: it needs no manifest read, and
+    // the hot callers are repeated loads of the same rollup (refresh
+    // ticks). The property probe below costs one manifest read — loads
+    // of plain tables pay it once per load, noise next to any real use
+    // of the table they were loaded for.
+    if (registry.synchronized(Option(registry.get(spark)))
+        .exists(_.containsKey(t.location))) return true
     if (!autoRewriteEnabled(spark)) return false
+    if (!t.properties.contains(MaterializedRollup.SrcLocKey)) return false
     enable(spark, t)
     true
   }
