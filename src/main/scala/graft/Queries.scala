@@ -899,6 +899,67 @@ object Queries {
         .orderBy("c_custkey")
     }),
 
+    "q71_index_rewrite" -> ((s, dir) => {
+      // Transparent index-accelerated point predicate (IndexRewrite): a
+      // plain WHERE on an indexed NON-key column is served through the
+      // secondary index — the plan-time bounded probe prunes index hash
+      // buckets, the spliced base read prunes PK buckets, and no explicit
+      // lookup call appears anywhere. In-query asserts pin the contract:
+      // (1) the fresh index serves (the filter plan reads a STRICT SUBSET
+      // of the base files); (2) the instant the base mutates the rewrite
+      // declines — a stale index NEVER serves; (3) after an incremental
+      // refresh the V2 catalog path serves again even though the base is
+      // still delta-dirty (the lookup's base read folds merge-on-read
+      // state itself). Gated rows = the point-query result vs the
+      // oracle's direct filter over the mutated base.
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val raw = Tables.raw(s, dir, "customer")
+      val t = GraftTable.create(s, tmpLoc("graft-q71b-"), "customer_q71",
+        raw.schema, Seq("c_custkey"),
+        Seq(HashComponent(Seq("c_custkey"), 4)), data = Some(raw))
+      val idx = graft.tools.SecondaryIndex.build(s, t, "c_name",
+        tmpLoc("graft-q71i-"), buckets = 16) // build auto-arms the rewrite
+      try {
+        def servedSubset(df: DataFrame): Boolean = {
+          val baseFiles = t.meta.baseFiles.map(f =>
+            new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+          val read = df.queryExecution.optimizedPlan.collect {
+            case lr: LogicalRelation => lr.relation match {
+              case fs: HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toUri.getPath)
+                  .filter(baseFiles.contains)
+              case _ => Nil
+            }
+          }.flatten.toSet
+          read.nonEmpty && read.size < baseFiles.size
+        }
+        def q1 = t.scan().filter(col("c_name") === "Customer#000000011")
+        if (!servedSubset(q1))
+          throw new IllegalStateException(
+            "a fresh index must serve the point predicate through a pruned read")
+        withShufflePartitions(s, 4) {
+          t.upsert(t.scan().filter(col("c_custkey") === 11)
+            .withColumn("c_name", lit("RENAMED#000000011")))
+        }
+        if (servedSubset(q1))
+          throw new IllegalStateException("a STALE index must never serve")
+        if (!graft.tools.SecondaryIndex.refresh(s, idx))
+          throw new IllegalStateException("refresh must apply the mutation")
+        val f = new java.io.File(t.location)
+        s.conf.set("spark.sql.catalog.gq71",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq71.warehouse", f.getParent)
+        val v2 = s.table(s"gq71.`${f.getName}`")
+          .filter(col("c_name").isin("RENAMED#000000011",
+            "Customer#000000042", "Customer#000000011"))
+        if (!servedSubset(v2))
+          throw new IllegalStateException(
+            "a refreshed index must serve the V2 path on a dirty base")
+        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+          .orderBy("c_custkey")
+      } finally graft.plans.IndexRewrite.disable(s, idx.location)
+    }),
+
     "q70_mv_rewrite" -> ((s, dir) => {
       // Materialized-view QUERY REWRITE (RollupRewrite): a GROUP BY over
       // the base is answered from the maintained rollup — at 100 TB this
@@ -2409,6 +2470,18 @@ object Queries {
         "round(CAST(sum(CAST(price AS DECIMAL(28,2))) AS DOUBLE), 2), " +
         "max(o_orderkey) FROM final " +
         "ORDER BY o_orderpriority"),
+
+    // the transparent point query over the mutated base: the renamed row
+    // serves under its NEW name, the pre-rename name matches nothing (its
+    // index entry tombstoned), 42 rides along untouched — the engine rows
+    // came off the INDEX path (in-query plan asserts), so the hash match
+    // IS the proof the rewrite served the truth
+    "q71_index_rewrite" ->
+      ("WITH final AS (SELECT c_custkey, CASE WHEN c_custkey = 11 " +
+        "THEN 'RENAMED#000000011' ELSE c_name END AS c_name, " +
+        "c_nationkey, c_acctbal, c_mktsegment FROM customer) " +
+        "SELECT * FROM final WHERE c_name IN ('RENAMED#000000011', " +
+        "'Customer#000000042', 'Customer#000000011') ORDER BY c_custkey"),
 
     // lookups by current names return the live rows; the two STALE names
     // (pre-rename, deleted) must return nothing — a refresh that failed to

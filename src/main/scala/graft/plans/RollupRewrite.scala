@@ -80,6 +80,10 @@ object RollupRewrite extends Rule[LogicalPlan] {
     spark.conf.getOption("graft.rollup.autoRewrite")
       .forall(_.equalsIgnoreCase("true"))
 
+  private[plans] def isArmed(spark: SparkSession, rollupLoc: String): Boolean =
+    registry.synchronized(Option(registry.get(spark)))
+      .exists(_.containsKey(rollupLoc))
+
   /** Arm `t` for rewrite IF it is a persisted rollup and the session's
     * ambient-arming gate is on. Idempotent and cheap (a registry put), so
     * it hooks [[graft.table.GraftTable.load]]: a rollup built YESTERDAY
@@ -92,27 +96,11 @@ object RollupRewrite extends Rule[LogicalPlan] {
     // ticks). The property probe below costs one manifest read — loads
     // of plain tables pay it once per load, noise next to any real use
     // of the table they were loaded for.
-    if (registry.synchronized(Option(registry.get(spark)))
-        .exists(_.containsKey(t.location))) return true
+    if (isArmed(spark, t.location)) return true
     if (!autoRewriteEnabled(spark)) return false
     if (!t.properties.contains(MaterializedRollup.SrcLocKey)) return false
     enable(spark, t)
     true
-  }
-
-  /** Arm every persisted rollup under `warehouseDir` for rewrite in
-    * `spark` — the cross-session serving half of the warehouse
-    * auto-maintenance posture: a catalog open re-arms yesterday's
-    * materialized views with zero CALLs. Returns the armed count;
-    * individual sick tables never stop the sweep. */
-  def armFromWarehouse(spark: SparkSession, warehouseDir: String): Int = {
-    if (!autoRewriteEnabled(spark)) return 0
-    graft.tools.GraftTools
-      .listWarehouseTables(java.nio.file.Paths.get(warehouseDir))
-      .count { p =>
-        try autoArm(spark, GraftTable.load(spark, p.toString))
-        catch { case _: Exception => false }
-      }
   }
 
   /** Register `rollup` for rewrite in `spark` and inject the rule (once). */
@@ -202,65 +190,11 @@ object RollupRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The base-table location under a bare (attribute-only) projection
-    * chain, when the scan reads the CURRENT version. */
-  private def baseLocation(plan: LogicalPlan): Option[String] = plan match {
-    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      baseLocation(child)
-    case lr: LogicalRelation => lr.relation match {
-      case GraftRelation(_, loc, None) => Some(loc)
-      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-        snapshotScanLocation(fs)
-      case _ => None
-    }
-    case r: DataSourceV2Relation => r.table match {
-      // the handle must be pinned to the CURRENT version: `VERSION AS OF` /
-      // `TIMESTAMP AS OF` (and a handle loaded before a later commit) carry
-      // OLD meta, and tryRewrite's freshness gate only compares the rollup
-      // watermark to the CURRENT base version — without this check a
-      // time-travel aggregate would be served CURRENT rollup data
-      case t: graft.sources.v2.GraftV2Table
-          if t.graftVersion == TableMeta.currentVersion(t.graftLocation) =>
-        Some(t.graftLocation)
-      case _ => None
-    }
-    case sr: DataSourceV2ScanRelation => baseLocation(sr.relation)
-    case _ => None
-  }
-
-  /** `GraftTable.scan()` of a CLEAN snapshot reads the base parquet files
-    * directly (no merge-on-read overlay in the plan), so the relation to
-    * recognize is a file scan. The match is exact-or-nothing: the scanned
-    * file set must equal the CURRENT manifest's base files of a delta-free,
-    * drop-free table — a time-travel scan (old file set), a pruned scan
-    * (subset), or a dirty table (overlay plan anyway) all disqualify, so a
-    * rewrite can never serve different rows than the scan would have. */
-  private def snapshotScanLocation(
-      fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation): Option[String] = {
-    val paths = fs.location.rootPaths.map(_.toUri.getPath)
-    if (paths.isEmpty) return None
-    // the table root is SOME prefix ending before a "/data/" segment — a
-    // warehouse itself rooted under a directory containing /data/ (e.g.
-    // /data/wh/t/data/part.parquet) has several candidates, so try each
-    // (innermost first: a table's own data dir can't nest another table)
-    // and accept the one that IS a table whose current manifest matches
-    val head = paths.head
-    var i = head.lastIndexOf("/data/")
-    while (i >= 0) {
-      val root = head.substring(0, i)
-      if (TableMeta.exists(root)) {
-        val m = TableMeta.readCurrent(root)
-        if (m.deltaFiles.isEmpty && m.rangeDrops.isEmpty) {
-          val want = m.baseFiles
-            .map(f => new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
-          if (paths.toSet == want) return Some(root)
-        }
-        return None // a real table whose snapshot doesn't match: no rewrite
-      }
-      i = head.lastIndexOf("/data/", i - 1)
-    }
-    None
-  }
+  // scan-root recognition (current-version DSv1 / clean file scan / pinned
+  // V2 handle — time travel and stale handles yield None) lives in the
+  // shared [[ScanRoots]]; IndexRewrite consumes the identical rules
+  private def baseLocation(plan: LogicalPlan): Option[String] =
+    ScanRoots.baseLocation(plan)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val spark = SparkSession.active

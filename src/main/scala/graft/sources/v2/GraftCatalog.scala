@@ -84,13 +84,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     try graft.table.MaintenanceScheduler.autoScheduleWarehouse(
       SparkSession.active, warehouse)
     catch { case _: Throwable => () }
-    // Arm persisted materialized rollups for QUERY REWRITE in this session:
-    // the refresh half already survives sessions (the scheduler sweep
-    // above), but a rollup built yesterday must also SERVE today — the
-    // registry is session-scoped, the rollup's source/aggs persist in its
-    // table properties, so a catalog open re-arms from those. Same
-    // non-fatal posture as the scheduler hook.
-    try graft.plans.RollupRewrite.armFromWarehouse(
+    // Arm persisted rollups AND secondary indexes for QUERY REWRITE in
+    // this session: the refresh half already survives sessions (the
+    // scheduler sweep above), but a derived table built yesterday must
+    // also SERVE today — the rewrite registries are session-scoped, the
+    // derived table's source/definition persist in its table properties,
+    // so a catalog open re-arms from those. Same non-fatal posture as the
+    // scheduler hook.
+    try graft.plans.ServingRewrites.armFromWarehouse(
       SparkSession.active, warehouse)
     catch { case _: Throwable => () }
   }

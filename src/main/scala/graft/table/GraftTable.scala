@@ -3110,12 +3110,12 @@ object GraftTable {
     require(!isTrashed(location),
       s"table at $location is soft-deleted; recall() it or let it purge")
     val t = new GraftTable(spark, location)
-    // a loaded ROLLUP re-arms its query rewrite in THIS session (the
-    // serving half of a materialized view must survive its builder's
-    // session; the registry is session-scoped, the rollup's source/aggs
-    // persist in its properties). Idempotent registry put; never lets an
-    // arming hiccup break a plain load.
-    try graft.plans.RollupRewrite.autoArm(spark, t)
+    // a loaded ROLLUP or SECONDARY INDEX re-arms its query rewrite in
+    // THIS session (the serving half of a derived table must survive its
+    // builder's session; the registries are session-scoped, the derived
+    // table's source/definition persist in its properties). Idempotent
+    // registry put; never lets an arming hiccup break a plain load.
+    try graft.plans.ServingRewrites.autoArm(spark, t)
     catch { case _: Exception => () }
     t
   }

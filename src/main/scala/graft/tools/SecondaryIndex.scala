@@ -75,6 +75,11 @@ object SecondaryIndex {
       SrcLocKey -> Some(m.location),
       ColKey -> Some(colName),
       SrcVersionKey -> Some(srcVersion.toString)))
+    // transparent serving: arm the point-predicate query rewrite by
+    // default (exact-predicate-only and freshness-gated, so it can never
+    // change results — see plans/IndexRewrite). Opt out per session by
+    // setting graft.sindex.autoRewrite to anything but "true".
+    graft.plans.IndexRewrite.autoArm(spark, idx)
     idx
   }
 
