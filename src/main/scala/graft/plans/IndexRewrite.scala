@@ -172,12 +172,18 @@ object IndexRewrite extends Rule[LogicalPlan] {
     if (indexes.isEmpty) return plan
     plan.transform {
       case f @ Filter(cond, child) =>
+        // guard order matters for PLANNING cost: the predicate match and
+        // the index-column name check are pure in-memory tests, while
+        // baseLocation stats the filesystem (manifest read for file
+        // scans) — a session with one armed index must not pay that on
+        // every unrelated Filter in every query it plans
         (for {
-          baseLoc <- ScanRoots.baseLocation(ScanRoots.stripProjects(child))
           (attr, values) <- pointPredicate(cond)
-          (indexLoc, _) <- indexes.find { case (_, (src, col)) =>
-            src == baseLoc && col == attr.name.toLowerCase
-          }
+          byCol = indexes.filter { case (_, (_, col)) =>
+            col == attr.name.toLowerCase }
+          if byCol.nonEmpty
+          baseLoc <- ScanRoots.baseLocation(ScanRoots.stripProjects(child))
+          (indexLoc, _) <- byCol.find { case (_, (src, _)) => src == baseLoc }
           rewritten <- tryRewrite(spark, f, indexLoc, baseLoc, values)
         } yield rewritten).getOrElse(f)
     }
