@@ -38,7 +38,8 @@ object ServingRewrites {
     * Individual sick tables never stop the sweep. */
   def armFromWarehouse(spark: SparkSession, warehouseDir: String): Int =
     graft.tools.GraftTools
-      .listWarehouseTables(java.nio.file.Paths.get(warehouseDir))
+      .listWarehouseTables(java.nio.file.Paths.get(warehouseDir),
+        includeHidden = true) // SQL faces park derived tables in dot-dirs
       .count { p =>
         try autoArm(spark, GraftTable.load(spark, p.toString))
         catch { case _: Exception => false }

@@ -56,7 +56,7 @@ private[v2] object GraftProcedures {
     "txn_begin", "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort",
     "build_vector_index", "refresh_vector_index",
     "build_rollup", "refresh_rollup", "enable_rollup_rewrite", "rollup_status",
-    "build_secondary_index", "refresh_secondary_index")
+    "build_secondary_index", "refresh_secondary_index", "derived_status")
 
   private def spark = SparkSession.active
 
@@ -469,6 +469,42 @@ private[v2] object GraftProcedures {
           val cur = graft.catalog.TableMeta.currentVersion(srcLoc)
           Seq(InternalRow(str(srcLoc), wm, cur, wm == cur,
             r.scan().count()))
+        })
+      case "derived_status" => Some(proc("derived_status",
+        "freshness introspection for EVERY derived table under this " +
+          "catalog's warehouse — materialized rollups, secondary indexes, " +
+          "vector indexes: its kind, its source, the source-version " +
+          "watermark the last refresh recorded, the source's current " +
+          "version, and whether it is FRESH (the query rewrites serve " +
+          "only when fresh; the maintenance scheduler's ticks keep these " +
+          "true in the background)",
+        Array.empty,
+        new StructType().add("location", StringType).add("kind", StringType)
+          .add("source", StringType).add("watermark", LongType)
+          .add("source_version", LongType).add("fresh", BooleanType)) { _ =>
+          graft.tools.GraftTools
+            .listWarehouseTables(java.nio.file.Paths.get(warehouse),
+              includeHidden = true) // .roll/.sidx conventions
+            .map(_.toString).sorted
+            .flatMap { loc =>
+              try {
+                val p = GraftTable.load(spark, loc).properties
+                Seq(
+                  graft.tools.MaterializedRollup.SrcLocKey ->
+                    ("rollup", graft.tools.MaterializedRollup.SrcVersionKey),
+                  graft.tools.SecondaryIndex.SrcLocKey ->
+                    ("secondary_index", graft.tools.SecondaryIndex.SrcVersionKey),
+                  graft.tools.VectorIndex.SrcLocKey ->
+                    ("vector_index", graft.tools.VectorIndex.SrcVersionKey))
+                  .collectFirst { case (srcKey, (kind, wmKey)) if p.contains(srcKey) =>
+                    val srcLoc = p(srcKey)
+                    val wm = p(wmKey).toLong
+                    val cur = graft.catalog.TableMeta.currentVersion(srcLoc)
+                    InternalRow(str(loc), str(kind), str(srcLoc), wm, cur,
+                      wm == cur)
+                  }
+              } catch { case _: Exception => None } // a sick table ≠ a dead report
+            }
         })
       case "enable_rollup_rewrite" => Some(proc("enable_rollup_rewrite",
         "arm the materialized-view query rewrite for an EXISTING rollup in " +

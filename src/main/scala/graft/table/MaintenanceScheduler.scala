@@ -254,9 +254,14 @@ object MaintenanceScheduler {
         acted += graft.tools.GraftTools.sweepStaging(e.location).length
         // derived tables (rollups / secondary indexes / vector indexes)
         // under the warehouse refresh when their source moved past the
-        // recorded watermark — background upkeep covers views too
+        // recorded watermark — background upkeep covers views too.
+        // includeHidden: the SQL faces park derived tables under
+        // dot-dirs (.roll/.sidx) invisible to SQL listings — a sweep
+        // that skipped them would uncover every SQL-built derived table
+        // in any session but its builder's
         graft.tools.GraftTools
-          .listWarehouseTables(java.nio.file.Paths.get(e.location))
+          .listWarehouseTables(java.nio.file.Paths.get(e.location),
+            includeHidden = true)
           .foreach { p =>
             try {
               if (graft.tools.DerivedTables.refreshIfStale(spark,

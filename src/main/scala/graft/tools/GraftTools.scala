@@ -324,21 +324,35 @@ object GraftTools {
     * top level would silently skip `ns.table`s. Dot-dirs (`.staging`,
     * trash) never count, and tables never nest inside tables
     * (requireNoTablePrefix), so recursion stops at the first manifest. */
-  private[graft] def listWarehouseTables(
-      root: java.nio.file.Path): Seq[java.nio.file.Path] = {
+  /** Engine tables under `root`, recursing through namespace dirs.
+    * Dot-directories are skipped by default (they are invisible to SQL
+    * listings); `includeHidden = true` recurses into them too — EXCEPT
+    * `.staging` (in-flight CTAS/RTAS must never be swept as tables) —
+    * which is what the derived-table surfaces need: the SQL faces park
+    * rollups/indexes under `.roll`/`.sidx` by convention, and a
+    * freshness sweep, a serving-rewrite arming pass, or a status report
+    * that cannot see them would silently uncover every SQL-built derived
+    * table in any later session. */
+  private[graft] def listWarehouseTables(root: java.nio.file.Path,
+      includeHidden: Boolean = false): Seq[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._
     if (!java.nio.file.Files.isDirectory(root)) return Nil
     val children = scala.util.Using.resource(java.nio.file.Files.list(root)) {
       s => s.iterator().asScala
-        .filter(p => java.nio.file.Files.isDirectory(p) &&
-          !p.getFileName.toString.startsWith(".")).toSeq
+        .filter { p =>
+          val n = p.getFileName.toString
+          java.nio.file.Files.isDirectory(p) &&
+            (if (n.startsWith("."))
+              includeHidden && n != ".staging"
+            else true)
+        }.toSeq
     }
     children.flatMap { p =>
       if (graft.catalog.TableMeta.exists(p.toString))
         // soft-deleted tables refuse load(); the sweep skips them instead
         // of logging a failure every tick until recall or purge
         if (GraftTable.isTrashed(p.toString)) Nil else Seq(p)
-      else listWarehouseTables(p)
+      else listWarehouseTables(p, includeHidden)
     }
   }
 

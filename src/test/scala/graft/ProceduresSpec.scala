@@ -202,6 +202,37 @@ class ProceduresSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("CALL derived_status reports every derived table's freshness under the warehouse") {
+    val data = (1L to 30L).map(k => (s"d${k % 3}", k, k * 2)).toDF("g", "k", "x")
+    val src = GraftTable.create(spark, s"$wh/dssrc", "dssrc", data.schema,
+      keys = Seq("g", "k"), data = Some(data))
+    val rollLoc = s"$wh/.roll/dssrc_g"
+    val idxLoc = s"$wh/.sidx/dssrc_x"
+    graft.tools.MaterializedRollup.build(spark, src, Seq("g"),
+      Seq("n" -> "count(*)"), rollLoc, buckets = 2)
+    graft.tools.SecondaryIndex.build(spark, src, "x", idxLoc, buckets = 2)
+    def status(): Map[String, (String, Long, Long, Boolean)] =
+      spark.sql(s"CALL $cat.system.derived_status()").collect()
+        .map(r => r.getString(0) ->
+          (r.getString(1), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+        .toMap
+    val st0 = status()
+    assert(st0.get(rollLoc).exists { case (k, wm, cur, fresh) =>
+      k == "rollup" && wm == cur && fresh }, st0.toString)
+    assert(st0.get(idxLoc).exists { case (k, _, _, fresh) =>
+      k == "secondary_index" && fresh }, st0.toString)
+    // a mutation makes BOTH stale in one report; refreshes restore them
+    src.upsert(Seq(("d1", 500L, 7L)).toDF("g", "k", "x"))
+    val st1 = status()
+    assert(!st1(rollLoc)._4 && !st1(idxLoc)._4, st1.toString)
+    assert(graft.tools.MaterializedRollup.refresh(spark,
+      GraftTable.load(spark, rollLoc)))
+    assert(graft.tools.SecondaryIndex.refresh(spark,
+      GraftTable.load(spark, idxLoc)))
+    val st2 = status()
+    assert(st2(rollLoc)._4 && st2(idxLoc)._4, st2.toString)
+  }
+
   test("SHOW PROCEDURES lists the surface; DESCRIBE PROCEDURE documents it") {
     mkTable("m5")
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
@@ -218,7 +249,7 @@ class ProceduresSpec extends AnyFunSuite {
       "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort",
       "build_vector_index", "refresh_vector_index",
       "build_rollup", "refresh_rollup", "enable_rollup_rewrite", "rollup_status",
-      "build_secondary_index", "refresh_secondary_index"),
+      "build_secondary_index", "refresh_secondary_index", "derived_status"),
       listed.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.compact_tablet")
       .collect().map(_.getString(0)).mkString("\n")
