@@ -123,14 +123,17 @@ object IndexRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** The (column, external values) of a servable point predicate: one
-    * equality / IN / InSet over a single attribute, literal-only,
-    * null-free, type-exact — plus any number of REDUNDANT
-    * `IsNotNull(same attribute)` conjuncts (the optimizer's constraint
-    * inference adds one next to every equality; the point predicate
-    * already never passes nulls, so dropping them is exact). Anything
-    * else keeps the scan. */
-  private def pointPredicate(cond: Expression): Option[(AttributeReference, Seq[Any])] = {
+  /** The servable point predicate inside `cond`'s conjunction, plus the
+    * RESIDUAL conjuncts: the first conjunct that is an equality / IN /
+    * InSet over a single attribute, literal-only, null-free, type-exact,
+    * becomes the probe; everything else (the optimizer's redundant
+    * `isnotnull`, extra range predicates, other columns) re-applies as a
+    * filter ABOVE the spliced plan — exact, because `Filter(A ∧ R)` ≡
+    * `Filter(R, Filter(A))` for deterministic `R`. A condition with no
+    * servable conjunct, or any non-deterministic conjunct, keeps the
+    * scan. */
+  private def pointPredicate(cond: Expression)
+      : Option[(AttributeReference, Seq[Any], Seq[Expression])] = {
     def ext(a: AttributeReference, internal: Seq[Any]): Option[(AttributeReference, Seq[Any])] = {
       if (internal.isEmpty || internal.exists(_ == null)) return None
       val conv = CatalystTypeConverters.createToScalaConverter(a.dataType)
@@ -153,16 +156,13 @@ object IndexRewrite extends Rule[LogicalPlan] {
       case And(l, r) => split(l) ++ split(r)
       case other => Seq(other)
     }
-    val (notNulls, rest) = split(cond).partition(_.isInstanceOf[IsNotNull])
-    rest match {
-      case Seq(p) => one(p).filter { case (a, _) =>
-        notNulls.forall {
-          case IsNotNull(x: AttributeReference) => x.exprId == a.exprId
-          case _ => false
-        }
+    val conjuncts = split(cond)
+    if (conjuncts.exists(!_.deterministic)) return None
+    conjuncts.iterator.zipWithIndex
+      .map { case (c, i) => one(c).map((_, i)) }
+      .collectFirst { case Some(((a, vs), i)) =>
+        (a, vs, conjuncts.patch(i, Nil, 1))
       }
-      case _ => None
-    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -178,19 +178,20 @@ object IndexRewrite extends Rule[LogicalPlan] {
         // scans) — a session with one armed index must not pay that on
         // every unrelated Filter in every query it plans
         (for {
-          (attr, values) <- pointPredicate(cond)
+          (attr, values, residual) <- pointPredicate(cond)
           byCol = indexes.filter { case (_, (_, col)) =>
             col == attr.name.toLowerCase }
           if byCol.nonEmpty
           baseLoc <- ScanRoots.baseLocation(ScanRoots.stripProjects(child))
           (indexLoc, _) <- byCol.find { case (_, (src, _)) => src == baseLoc }
-          rewritten <- tryRewrite(spark, f, indexLoc, baseLoc, values)
+          rewritten <- tryRewrite(spark, f, indexLoc, baseLoc, values, residual)
         } yield rewritten).getOrElse(f)
     }
   }
 
   private def tryRewrite(spark: SparkSession, f: Filter, indexLoc: String,
-      baseLoc: String, values: Seq[Any]): Option[LogicalPlan] = {
+      baseLoc: String, values: Seq[Any],
+      residual: Seq[Expression]): Option[LogicalPlan] = {
     busy.set(true)
     try {
       val idx = GraftTable.load(spark, indexLoc)
@@ -209,7 +210,11 @@ object IndexRewrite extends Rule[LogicalPlan] {
           .map(r => Alias(r, a.name)(exprId = a.exprId))
       }
       if (mapped.exists(_.isEmpty)) return None
-      Some(Project(mapped.map(_.get), lp))
+      // the Project restores the ORIGINAL attribute ids, so the residual
+      // conjuncts re-apply above it unchanged (they reference f's attrs)
+      val projected = Project(mapped.map(_.get), lp)
+      Some(residual.reduceOption(And).map(Filter(_, projected))
+        .getOrElse(projected))
     } catch {
       case _: Exception => None // a sick index never blocks the query
     } finally busy.set(false)

@@ -74,6 +74,17 @@ class IndexRewriteSpec extends AnyFunSuite {
       // a predicate on a NON-indexed column keeps the scan
       assert(!served(t.scan().filter(col("v") === 2), t))
 
+      // RESIDUAL conjuncts ride along: the point predicate probes the
+      // index, the rest re-applies above the spliced plan
+      def qr(p: org.apache.spark.sql.Column) =
+        t.scan().filter(col("name").isin("name_8", "name_16", "name_24") && p)
+      // v = id % 5: name_8 -> 3, name_16 -> 1, name_24 -> 4
+      assert(served(qr(col("v") >= 2), t), "residual conjuncts must serve")
+      assert(rows(qr(col("v") >= 2)).map(_(0)) == Set(8L, 24L),
+        "the residual must filter the index-served rows")
+      assert(rows(qr(col("v") === 3)).map(_(0)) == Set(8L))
+      assert(rows(qr(col("v") === 99)).isEmpty)
+
       // stale: the base moved past the index watermark — never serve
       t.upsert(Seq((7L, "renamed_7", 0L)).toDF("id", "name", "v"))
       def qs = t.scan().filter(col("name") === "renamed_7")
