@@ -312,6 +312,30 @@ object ScaleSmoke {
       require(SecondaryIndex.lookup(spark, sidx, Seq(-1L)).collect()
         .exists(_.getLong(1) == 12345L), "the fresh entry must serve")
     }
+    timed("sindex_rewrite_point") {
+      // the TRANSPARENT path at scale: a plain equality filter on the
+      // indexed column rides IndexRewrite (build armed it; the index is
+      // fresh after the refresh above) — through the V2 relation, since
+      // the base carries deltas. The served plan must read a STRICT
+      // SUBSET of the base files (the PK-pruned read behind the probe).
+      val q = spark.table(s"$cat.scale_roll").filter(col("v") === -1L)
+      val baseFiles = rbase.meta.baseFiles.map(f =>
+        new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+      val read = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toUri.getPath)
+                .filter(baseFiles.contains)
+            case _ => Nil
+          }
+      }.flatten.toSet
+      require(read.nonEmpty && read.size < baseFiles.size,
+        s"a point filter on the indexed column must ride the index " +
+          s"(read ${read.size} of ${baseFiles.size} base files)")
+      require(q.collect().exists(_.getLong(1) == 12345L),
+        "the index-served point query must find the mutated row")
+    }
     Result(steps.toSeq, stats.toSeq)
   }
 }

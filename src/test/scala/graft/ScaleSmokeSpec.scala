@@ -28,7 +28,8 @@ class ScaleSmokeSpec extends AnyFunSuite {
       "metadata_count", "star_load_cluster", "topn_zone",
       "ab_star_rf_on", "ab_star_rf_off",
       "rollup_base_load", "rollup_build", "rollup_refresh_1grp",
-      "sindex_build", "sindex_lookup", "sindex_refresh_1row")
+      "sindex_build", "sindex_lookup", "sindex_refresh_1row",
+      "sindex_rewrite_point")
       .foreach { s => assert(steps.contains(s), s"missing ladder step $s") }
     // incremental view maintenance: the scale observable at local[32] is
     // the I/O contract, NOT wall time — a full rebuild of a narrow
