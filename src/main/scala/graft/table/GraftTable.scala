@@ -685,7 +685,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     * the stream's rows already passed the source's immutability/existence
     * checks, so the apply trusts them — deletes never require presence,
     * upserts never re-check immutables. */
-  def applyChanges(changes: DataFrame): Unit = withCommitRetry {
+  def applyChanges(changes: DataFrame,
+      propsUpdate: Map[String, Option[String]] = Map.empty): Unit = withCommitRetry {
     val m = meta
     require(changes.columns.contains(DeletedCol),
       s"applyChanges expects the CDC shape (columns..., $DeletedCol)")
@@ -709,8 +710,12 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         if (m.keyCols.contains(c.name)) col(c.name)
         else lit(null).cast(c.dataType).as(c.name)
       }: _*).withColumn(OpCol, lit(OpDelete))
+    // propsUpdate commits ATOMICALLY with the data — a derived-table
+    // refresh records its watermark in the same version as its rows, so
+    // no crash window can leave the table marked behind (or ahead of)
+    // what its rows actually reflect
     commitDelta(m, ups.unionByName(tombstones), "apply_changes",
-      guardDupKeys = true)
+      guardDupKeys = true, propsUpdate = propsUpdate)
   }
 
   /** DELETE WHERE — resolves matching PKs at current snapshot then deletes. */
@@ -2042,7 +2047,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   }
 
   private def commitDelta(m: TableMeta, rows: DataFrame, op: String,
-      guardDupKeys: Boolean = false): Unit = {
+      guardDupKeys: Boolean = false,
+      propsUpdate: Map[String, Option[String]] = Map.empty): Unit = {
     requireCovered(m, rows)
     requireVarcharFits(m, rows)
     val v = m.version + 1
@@ -2119,8 +2125,13 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
           .mode("overwrite").parquet(dir)
       }
       val files = deltaFileMetas(m, listParquet(dir), v)
+      val mergedProps = propsUpdate.foldLeft(m.propsMap) {
+        case (acc, (k, Some(value))) => acc + (k -> value)
+        case (acc, (k, None)) => acc - k
+      }
       TableMeta.write(m.copy(version = v, timestampMs = now(), operation = op,
-        deltaFiles = m.deltaFiles ++ files))
+        deltaFiles = m.deltaFiles ++ files,
+        props = if (mergedProps.isEmpty) None else Some(mergedProps)))
     } catch {
       case e: Throwable =>
         // failed write job (e.g. an in-job PK guard fired) or a lost

@@ -189,8 +189,9 @@ object MaterializedRollup {
       val stale = rollup.scan().select(groupCols.map(col): _*)
         .join(keys, groupCols, "left_semi")
         .join(fresh.select(groupCols.map(col): _*), groupCols, "left_anti")
-      RefreshCommit(rollup, fresh, stale)
-      rollup.setProperties(Map(SrcVersionKey -> Some(v1.toString)))
+      // the watermark rides the SAME atomic commit as the rows
+      RefreshCommit(rollup, fresh, stale,
+        watermark = Map(SrcVersionKey -> Some(v1.toString)))
       true
     } finally touched.unpersist(blocking = false)
   }

@@ -21,8 +21,13 @@ private[tools] object RefreshCommit {
 
   /** `staleKeys` may carry any subset of the table's columns as long as
     * the primary key is present; missing columns null-fill (tombstones
-    * carry keys only). */
-  def apply(t: GraftTable, fresh: DataFrame, staleKeys: DataFrame): Unit = {
+    * carry keys only). `watermark` (the refresh's new source-version
+    * properties) commits ATOMICALLY with the rows — a crash can never
+    * leave the derived table's data and its watermark disagreeing (the
+    * before-image refresh paths derive state from `source@watermark`, so
+    * a torn pair would corrupt the next refresh, not just mislabel). */
+  def apply(t: GraftTable, fresh: DataFrame, staleKeys: DataFrame,
+      watermark: Map[String, Option[String]] = Map.empty): Unit = {
     val cols = t.meta.visibleColumns
     val have = staleKeys.columns.toSet
     val staleFull = staleKeys.select(cols.map { c =>
@@ -33,6 +38,7 @@ private[tools] object RefreshCommit {
       col(c.name).cast(c.dataType).as(c.name)): _*)
     t.applyChanges(
       freshFull.withColumn(GraftTable.DeletedCol, lit(false))
-        .unionByName(staleFull.withColumn(GraftTable.DeletedCol, lit(true))))
+        .unionByName(staleFull.withColumn(GraftTable.DeletedCol, lit(true))),
+      propsUpdate = watermark)
   }
 }

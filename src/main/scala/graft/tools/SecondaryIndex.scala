@@ -208,8 +208,13 @@ object SecondaryIndex {
       // txn allows one op per key and upsert covers re-asserted entries
       val stale = entries(oldRows, colName, pkCols)
         .join(fresh, colName +: pkCols, "left_anti")
-      RefreshCommit(index, fresh, stale)
-      index.setProperties(Map(SrcVersionKey -> Some(v1.toString)))
+      // the watermark rides the SAME atomic commit as the rows: the
+      // before-image derivation above is only sound when index state and
+      // watermark can never disagree (a refresh crashing between two
+      // separate commits would leave v1 rows labeled v0 — the re-run
+      // would then tombstone v0 entries instead of the v1 ones)
+      RefreshCommit(index, fresh, stale,
+        watermark = Map(SrcVersionKey -> Some(v1.toString)))
       true
     } finally changed.unpersist(blocking = false)
   }

@@ -250,8 +250,11 @@ object VectorIndex {
       val stale = assigned(normalized(oldSrc, idCol, vecCol), idCol, cents)
         .select(col("cell"), col(idCol))
         .join(fresh.select(col("cell"), col(idCol)), Seq("cell", idCol), "left_anti")
-      RefreshCommit(index, fresh, stale)
-      index.setProperties(Map(SrcVersionKey -> Some(v1.toString)))
+      // watermark rides the SAME atomic commit as the rows (see
+      // SecondaryIndex.refresh — the before-image derivation requires
+      // index state and watermark to move together)
+      RefreshCommit(index, fresh, stale,
+        watermark = Map(SrcVersionKey -> Some(v1.toString)))
       true
     } finally changed.unpersist(blocking = false)
   }

@@ -78,9 +78,10 @@ class VectorIndexSpec extends AnyFunSuite {
 
     val before = idx.meta.version
     assert(VectorIndex.refresh(spark, idx))
-    // exactly two commits: the txn (upsert+delete) and the watermark prop
-    assert(idx.meta.version == before + 2,
-      s"refresh must commit one txn + one watermark, got ${idx.meta.version - before}")
+    // exactly ONE commit: upserts + deletes + the watermark property all
+    // land in one version — a crash can never tear rows from watermark
+    assert(idx.meta.version == before + 1,
+      s"refresh must commit rows AND watermark as one version, got ${idx.meta.version - before}")
 
     val rows = idx.scan().collect()
       .map(r => (r.getLong(1), r.getLong(0))).toMap // id -> cell
