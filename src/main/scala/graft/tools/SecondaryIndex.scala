@@ -178,6 +178,10 @@ object SecondaryIndex {
       }
       val fresh = entries(changed.filter(!col(GraftTable.DeletedCol))
         .drop(GraftTable.DeletedCol), colName, pkCols)
+      // the IN-list carries CURRENT-typed key values and prunes against
+      // the v0 manifest's recorded bounds — sound because PK column types
+      // can never change (widenColumnType refuses key and partition
+      // columns), so both sides encode identically at any version
       val oldRows =
         if (rows.length <= maxPruneKeys) {
           val filters: Seq[org.apache.spark.sql.sources.Filter] =
