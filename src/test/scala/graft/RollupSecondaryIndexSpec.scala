@@ -192,7 +192,12 @@ class RollupSecondaryIndexSpec extends AnyFunSuite {
     // files (here 1 of 4 hash buckets). The index itself (hash-partitioned
     // on the VALUE, unprunable by key) is never read.
     t.upsert(Seq((12L, "renamed_12", 99L)).toDF("id", "name", "v"))
+    val vBefore = GraftTable.load(spark, idx.meta.location).meta.version
     assert(SecondaryIndex.refresh(spark, idx, assertPrune = true))
+    // rows AND watermark land in ONE version — the before-image
+    // derivation requires they can never disagree after a crash
+    assert(GraftTable.load(spark, idx.meta.location).meta.version == vBefore + 1,
+      "refresh must commit rows and watermark as one version")
     assert(SecondaryIndex.lookup(spark, idx, Seq("name_12")).collect().isEmpty,
       "the before-image entry must tombstone")
     assert(SecondaryIndex.lookup(spark, idx, Seq("renamed_12"))
