@@ -150,6 +150,16 @@ object IndexRewrite extends Rule[LogicalPlan] {
             case _ => false
           } => ext(a, vs.map(_.asInstanceOf[Literal].value))
       case InSet(a: AttributeReference, hset) => ext(a, hset.toSeq)
+      // a disjunction of point predicates over ONE attribute is an IN —
+      // vanilla Catalyst has no a='x' OR a='y' → IN rule, so users who
+      // write the OR form would otherwise never serve
+      case o: Or =>
+        def flat(x: Expression): Option[Seq[(AttributeReference, Any)]] = x match {
+          case Or(l, r) => for { a <- flat(l); b <- flat(r) } yield a ++ b
+          case other => one(other).map { case (a, vs) => vs.map(a -> _) }
+        }
+        flat(o).filter(_.map(_._1.exprId).distinct.size == 1)
+          .map(ps => (ps.head._1, ps.map(_._2)))
       case _ => None
     }
     def split(e: Expression): Seq[Expression] = e match {

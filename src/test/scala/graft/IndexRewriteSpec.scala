@@ -78,6 +78,16 @@ class IndexRewriteSpec extends AnyFunSuite {
       // index, the rest re-applies above the spliced plan
       def qr(p: org.apache.spark.sql.Column) =
         t.scan().filter(col("name").isin("name_8", "name_16", "name_24") && p)
+      // the OR-of-equalities form is an IN (no vanilla Catalyst rule
+      // normalizes it, so the rewrite recognizes it directly)
+      def qor = t.scan().filter(
+        col("name") === "name_4" || col("name") === "name_40")
+      assert(served(qor, t), "OR of equalities must serve as an IN")
+      assert(rows(qor).map(_(0)) == Set(4L, 40L))
+      // ... but an OR spanning TWO columns keeps the scan
+      assert(!served(t.scan().filter(
+        col("name") === "name_4" || col("v") === 2), t))
+
       // v = id % 5: name_8 -> 3, name_16 -> 1, name_24 -> 4
       assert(served(qr(col("v") >= 2), t), "residual conjuncts must serve")
       assert(rows(qr(col("v") >= 2)).map(_(0)) == Set(8L, 24L),
