@@ -46,7 +46,14 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
-    final case class Iter(sec: Double, gcMs: Long)
+    // Per-ITERATION load stamps (round-14 verdict item 2): r14 carried ~20
+    // unchanged gates 0.3-2.2s slower than r13 under a driver window whose
+    // machine load rose 2.3→10.1, but the sidecar's load0/load1 bracketed
+    // the whole QUERY (warmup + k iterations + possible escalation), so a
+    // per-iteration spike could not be attributed from the artifact alone.
+    // Each iteration now records the 1-min loadavg at its START — a slow
+    // iteration under high load self-adjudicates as environment.
+    final case class Iter(sec: Double, gcMs: Long, load: Double)
     final case class QResult(name: String, var reported: Double, med: Double,
       min: Double, warm: Double, iters: Seq[Iter], load0: Double,
       load1: Double, prev: String, var tail: Double = -1.0,
@@ -56,12 +63,13 @@ object Bench {
     // (BENCH_r08 reported two crashed streaming queries as 58x wins). -1 is
     // the unambiguous poison value the driver can see.
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Iter = {
+      val l0 = loadAvg
       val g0 = gcTotalMs
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Iter((System.nanoTime() - t0) / 1e9, gcTotalMs - g0) }
+      try { fn(spark, sfDir).count(); Iter((System.nanoTime() - t0) / 1e9, gcTotalMs - g0, l0) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        Iter(-1.0, gcTotalMs - g0) }
+        Iter(-1.0, gcTotalMs - g0, l0) }
       // per-run pipeline caches are dead once the count lands (every run
       // rebuilds its own); dropping them between runs keeps the 3-7
       // iterations x 6 caching queries from pressuring later measurements
@@ -327,10 +335,11 @@ object Bench {
     val sidecar = results.map { r =>
       val its = r.iters.map(i => rN(i.sec, 4)).mkString("[", ",", "]")
       val gcs = r.iters.map(_.gcMs).mkString("[", ",", "]")
+      val lds = r.iters.map(i => rN(i.load, 2)).mkString("[", ",", "]")
       "\"" + r.name + "\":" +
         s"""{"sec":${r.reported},"insuite":${rN(r.inSuite, 4)},"med":${r.med},"min":${r.min},""" +
         s""""warm":${rN(r.warm, 4)},"tail":${rN(r.tail, 4)},"tload":${rN(r.tailLoad, 2)},"prev":"${r.prev}",""" +
-        s""""iters":$its,"gc_ms":$gcs,"load0":${r.load0},"load1":${r.load1}}"""
+        s""""iters":$its,"gc_ms":$gcs,"loads":$lds,"load0":${r.load0},"load1":${r.load1}}"""
     }.mkString(
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","env":$env,$abJson$scaleJson"queries":{""",
       ",", "}}")

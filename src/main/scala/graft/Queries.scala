@@ -960,6 +960,143 @@ object Queries {
       } finally graft.plans.IndexRewrite.disable(s, idx.location)
     }),
 
+    "q72_index_range" -> ((s, dir) => {
+      // RANGE predicate served through the secondary index (IndexRewrite
+      // + SecondaryIndex.lookupWhere): `c_name BETWEEN lo AND hi` on an
+      // indexed NON-key column splices a bounded interval probe — the two
+      // bounds MERGE into one probe (never an unbounded `>= lo` alone),
+      // the index prunes by per-file zone maps under its hash(value)
+      // layout, and the matched keys read the base through PK pruning.
+      // The reference can range-scan KEY columns only (tablet/
+      // cfile_set.cc:396 PushdownRangeScanPredicate); this extends the
+      // same posture to non-key columns it can only full-scan. In-query
+      // asserts pin the contract exactly like q71: fresh serves (strict
+      // subset of base files read), stale NEVER serves, a refresh restores
+      // serving on the still-dirty base through the V2 path.
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val raw = Tables.raw(s, dir, "customer")
+      val t = GraftTable.create(s, tmpLoc("graft-q72b-"), "customer_q72",
+        raw.schema, Seq("c_custkey"),
+        Seq(HashComponent(Seq("c_custkey"), 4)), data = Some(raw))
+      val idx = graft.tools.SecondaryIndex.build(s, t, "c_name",
+        tmpLoc("graft-q72i-"), buckets = 16)
+      try {
+        def servedSubset(df: DataFrame): Boolean = {
+          val baseFiles = t.meta.baseFiles.map(f =>
+            new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+          val read = df.queryExecution.optimizedPlan.collect {
+            case lr: LogicalRelation => lr.relation match {
+              case fs: HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toUri.getPath)
+                  .filter(baseFiles.contains)
+              case _ => Nil
+            }
+          }.flatten.toSet
+          read.nonEmpty && read.size < baseFiles.size
+        }
+        // a NARROW interval (3 keys over 4 PK buckets) so the strict-subset
+        // plan assert is deterministic; fixed-width TPC-H names make the
+        // lexicographic range exact at any SF
+        def rangeCond = col("c_name") >= "Customer#000000010" &&
+          col("c_name") <= "Customer#000000012"
+        def q1 = t.scan().filter(rangeCond)
+        if (!servedSubset(q1))
+          throw new IllegalStateException(
+            "a fresh index must serve the range predicate through a pruned read")
+        withShufflePartitions(s, 4) {
+          t.upsert(t.scan().filter(col("c_custkey") === 11)
+            .withColumn("c_name", lit("ZZZ#000000011")))
+        }
+        if (servedSubset(q1))
+          throw new IllegalStateException("a STALE index must never serve a range")
+        if (!graft.tools.SecondaryIndex.refresh(s, idx))
+          throw new IllegalStateException("refresh must apply the mutation")
+        val f = new java.io.File(t.location)
+        s.conf.set("spark.sql.catalog.gq72",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq72.warehouse", f.getParent)
+        val v2 = s.table(s"gq72.`${f.getName}`").filter(rangeCond)
+        if (!servedSubset(v2))
+          throw new IllegalStateException(
+            "a refreshed index must serve the range on the V2 path of a dirty base")
+        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+          .orderBy("c_custkey")
+      } finally graft.plans.IndexRewrite.disable(s, idx.location)
+    }),
+
+    "q73_composite_index" -> ((s, dir) => {
+      // COMPOSITE secondary index (lead + trailing payload columns): a
+      // conjunction `c_name IN (…) AND c_mktsegment = '…'` over two
+      // non-key columns serves through ONE index — the lead (c_name)
+      // probe prunes index hash buckets, the trailing equality pushes
+      // into the probe (zone maps + exact evaluation on the pruned index
+      // rows), and only the keys satisfying BOTH read the base. The
+      // refresh case exercised here is the composite-specific one: a
+      // TRAILING-only value change (the index KEY is unchanged — the
+      // upsert rewrites the payload in place, no tombstone needed).
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val raw = Tables.raw(s, dir, "customer")
+      val t = GraftTable.create(s, tmpLoc("graft-q73b-"), "customer_q73",
+        raw.schema, Seq("c_custkey"),
+        Seq(HashComponent(Seq("c_custkey"), 4)), data = Some(raw))
+      val idx = graft.tools.SecondaryIndex.build(s, t,
+        Seq("c_name", "c_mktsegment"), tmpLoc("graft-q73i-"), buckets = 16)
+      try {
+        def servedSubset(df: DataFrame): Boolean = {
+          val baseFiles = t.meta.baseFiles.map(f =>
+            new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+          val read = df.queryExecution.optimizedPlan.collect {
+            case lr: LogicalRelation => lr.relation match {
+              case fs: HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toUri.getPath)
+                  .filter(baseFiles.contains)
+              case _ => Nil
+            }
+          }.flatten.toSet
+          read.nonEmpty && read.size < baseFiles.size
+        }
+        // lead-only serving first (the trailing column is payload, so a
+        // lead probe is complete — no composite-prefix soundness hazard)
+        if (!servedSubset(t.scan().filter(col("c_name") === "Customer#000000025")))
+          throw new IllegalStateException(
+            "a composite index must serve lead-only predicates")
+        // lead+trailing conjunction with a data-true trailing value (the
+        // matched-key set must be non-empty for the subset assert; the
+        // actual value is data-dependent, read once — gate scripting only)
+        val seg21 = t.scan().filter(col("c_custkey") === 21)
+          .select("c_mktsegment").head().getString(0)
+        if (!servedSubset(t.scan().filter(
+          col("c_name").isin("Customer#000000020", "Customer#000000021",
+            "Customer#000000022") && col("c_mktsegment") === seg21)))
+          throw new IllegalStateException(
+            "a composite index must serve lead+trailing conjunctions")
+        def q = t.scan().filter(
+          col("c_name").isin("Customer#000000020", "Customer#000000021",
+            "Customer#000000022") && col("c_mktsegment") === "GRAFTSEG")
+        // trailing-ONLY value change: same index key, payload update
+        withShufflePartitions(s, 4) {
+          t.upsert(t.scan().filter(col("c_custkey") === 20)
+            .withColumn("c_mktsegment", lit("GRAFTSEG")))
+        }
+        if (servedSubset(q))
+          throw new IllegalStateException("a STALE composite index must never serve")
+        if (!graft.tools.SecondaryIndex.refresh(s, idx))
+          throw new IllegalStateException("refresh must apply the mutation")
+        val f = new java.io.File(t.location)
+        s.conf.set("spark.sql.catalog.gq73",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq73.warehouse", f.getParent)
+        val v2 = s.table(s"gq73.`${f.getName}`").filter(
+          col("c_name").isin("Customer#000000020", "Customer#000000021",
+            "Customer#000000022") && col("c_mktsegment") === "GRAFTSEG")
+        if (!servedSubset(v2))
+          throw new IllegalStateException(
+            "a refreshed composite index must serve the V2 path")
+        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+          .orderBy("c_custkey")
+      } finally graft.plans.IndexRewrite.disable(s, idx.location)
+    }),
+
     "q70_mv_rewrite" -> ((s, dir) => {
       // Materialized-view QUERY REWRITE (RollupRewrite): a GROUP BY over
       // the base is answered from the maintained rollup — at 100 TB this
@@ -2482,6 +2619,28 @@ object Queries {
         "c_nationkey, c_acctbal, c_mktsegment FROM customer) " +
         "SELECT * FROM final WHERE c_name IN ('RENAMED#000000011', " +
         "'Customer#000000042', 'Customer#000000011') ORDER BY c_custkey"),
+
+    // the range rows over the mutated base: customer 11 was renamed OUT of
+    // the interval (its index entry tombstoned), 10 and 12 serve through
+    // the spliced interval probe — the in-query plan asserts prove the
+    // rows came off the index path, the hash match proves they are true
+    "q72_index_range" ->
+      ("WITH final AS (SELECT c_custkey, CASE WHEN c_custkey = 11 " +
+        "THEN 'ZZZ#000000011' ELSE c_name END AS c_name, " +
+        "c_nationkey, c_acctbal, c_mktsegment FROM customer) " +
+        "SELECT * FROM final WHERE c_name >= 'Customer#000000010' " +
+        "AND c_name <= 'Customer#000000012' ORDER BY c_custkey"),
+
+    // the composite point query over the mutated base: only customer 20
+    // carries the synthetic segment after the trailing-only payload
+    // update, and the row serves through the lead+trailing index probe
+    "q73_composite_index" ->
+      ("WITH final AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, " +
+        "CASE WHEN c_custkey = 20 THEN 'GRAFTSEG' ELSE c_mktsegment END " +
+        "AS c_mktsegment FROM customer) " +
+        "SELECT * FROM final WHERE c_name IN ('Customer#000000020', " +
+        "'Customer#000000021', 'Customer#000000022') " +
+        "AND c_mktsegment = 'GRAFTSEG' ORDER BY c_custkey"),
 
     // lookups by current names return the live rows; the two STALE names
     // (pre-rename, deleted) must return nothing — a refresh that failed to

@@ -98,9 +98,12 @@ object Tables {
               val fp = fingerprintPath(loc)
               if (Files.exists(fp) &&
                   Files.readString(fp) == sourceFingerprint(sfDir, table)) Some(t)
-              else { GraftTable.drop(loc); None } // stale vs source → rebuild
+              // stale vs source → rebuild; force: leftover scratch forks of
+              // the outdated fixture (prior JVMs' temp dirs) must never
+              // block the rebuild — they are stale-by-definition with it
+              else { GraftTable.drop(loc, force = true); None }
             } catch {
-              case _: Exception => GraftTable.drop(loc); None
+              case _: Exception => GraftTable.drop(loc, force = true); None
             }
           else None
         loaded.getOrElse(registerAt(spark, sfDir, table, loc))

@@ -2,11 +2,12 @@ package graft.plans
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.catalog.TableMeta
 import graft.table.GraftTable
@@ -14,13 +15,14 @@ import graft.tools.SecondaryIndex
 
 /**
  * Secondary-index QUERY REWRITE — the transparent serving half of
- * [[graft.tools.SecondaryIndex]]: an equality/IN point predicate on an
- * indexed NON-key column is answered through the index (probe prunes
- * whole index hash buckets, the matched keys read the base through its
- * OWN PK layout) instead of a full scan with predicate evaluation. The
- * reference engine can only full-scan a non-key predicate; at 100 TB the
- * difference is two point reads versus a corpus scan for every lookup a
- * dashboard or entity-resolution job issues.
+ * [[graft.tools.SecondaryIndex]]: an equality / IN / range / prefix
+ * predicate on an indexed NON-key column is answered through the index
+ * (the probe prunes index hash buckets for point predicates and per-file
+ * zone maps for ranges; the matched keys read the base through its OWN PK
+ * layout) instead of a full scan with predicate evaluation. The reference
+ * engine can only full-scan a non-key predicate; at 100 TB the difference
+ * is two point reads versus a corpus scan for every lookup a dashboard or
+ * entity-resolution job issues.
  *
  * Spark-first shape: a `Rule[LogicalPlan]` in
  * `spark.experimental.extraOptimizations`, firing on `Filter` nodes whose
@@ -28,19 +30,32 @@ import graft.tools.SecondaryIndex
  * ([[ScanRoots]] — time travel and stale V2 handles never match). The
  * rewrite is strictly conservative:
  *
- *   - the WHOLE filter condition must be one `col = lit`, `col IN
- *     (lits)`, or the optimizer's `InSet` form of it, on the indexed
- *     column, null-free (such predicates never match null rows, and the
- *     index never holds them — semantics align by construction);
- *   - the index must be CURRENT: its source-version watermark equals the
- *     base's current committed version at plan time (a stale index never
- *     serves; the scheduler's refresh ticks keep the hit rate high). The
- *     base MAY carry deltas — the lookup's base read folds merge-on-read
- *     state itself, so index-served and scan-served rows agree on any
- *     refreshed-to-head table;
- *   - the probe is bounded: past `graft.sindex.rewriteMaxKeys` (default
- *     4096) matched keys the lookup contract throws and the rewrite
- *     declines — a scan-sized predicate keeps the scan plan.
+ *   - SOME conjunct of the filter must be servable on the LEAD indexed
+ *     column: `col = lit`, `col IN (lits)` (or the optimizer's `InSet`
+ *     or an OR-of-equalities form), `col >/>=/</<= lit`, or
+ *     `startswith(col, lit)` — literal-only, null-free, type-exact.
+ *     EVERY servable conjunct is a candidate (a non-indexed equality
+ *     earlier in the conjunction never hides an indexed one later), and
+ *     the rest of the conjunction re-applies as a residual filter above
+ *     the spliced plan — exact, because `Filter(A ∧ R)` ≡
+ *     `Filter(R, Filter(A))` for deterministic `R`. Residual equalities
+ *     over a COMPOSITE index's trailing columns additionally push into
+ *     the probe, narrowing the matched-key set;
+ *   - the serve is VERSION-PINNED end to end: [[ScanRoots]] returns the
+ *     base version the matched scan observed, the index watermark must
+ *     equal exactly THAT version, and the spliced lookup reads both the
+ *     index and the base AT their matched versions — a base commit plus
+ *     an index refresh landing between the match and the probe declines
+ *     (watermark moved past the matched version) instead of serving v+1
+ *     rows through a plan pinned at v. A stale index never serves
+ *     (refresh-or-miss; the scheduler's refresh ticks keep the hit rate
+ *     high). The base MAY carry deltas — the lookup's base read folds
+ *     merge-on-read state itself;
+ *   - the probe is bounded BOTH ways: an IN-list longer than
+ *     `graft.sindex.rewriteMaxKeys` (default 4096) never plans a probe
+ *     at all (a list that big is a scan, not a point read), and past
+ *     `rewriteMaxKeys` MATCHED keys the lookup contract throws and the
+ *     rewrite declines — a scan-sized predicate keeps the scan plan.
  *
  * Like Spark's own dynamic partition pruning, the rewrite runs the
  * bounded index probe AT PLAN TIME (a driver-side job); the spliced plan
@@ -49,14 +64,18 @@ import graft.tools.SecondaryIndex
  * Arming follows the rollup rewrite: `SecondaryIndex.build` arms the
  * building session, a catalog open re-arms every index persisted under
  * its warehouse, and loading an index re-arms it (opt out with
- * `graft.sindex.autoRewrite` set to anything but "true").
+ * `graft.sindex.autoRewrite` set to anything but "true"). A probe that
+ * FAILS (sick index, lost executor) logs a warning and keeps the scan —
+ * never blocks the query, never silently: a permanently failing index
+ * must be observable.
  */
 object IndexRewrite extends Rule[LogicalPlan] {
 
-  // indexLoc -> (srcLoc, colName) per session (weak: sessions die with
-  // their tests); values are tiny and self-clean like RollupRewrite's
+  // indexLoc -> (srcLoc, indexed cols lowercased, lead first) per session
+  // (weak: sessions die with their tests); values are tiny and self-clean
+  // like RollupRewrite's
   private val registry =
-    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, (String, String)]]()
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, (String, Seq[String])]]()
 
   // the spliced lookup optimizes its own queries through this same rule —
   // never rewrite while a rewrite's probe is in flight on this thread
@@ -82,13 +101,17 @@ object IndexRewrite extends Rule[LogicalPlan] {
     val srcLoc = p.getOrElse(SecondaryIndex.SrcLocKey,
       throw new IllegalArgumentException(
         s"${index.location} is not a secondary index"))
-    val colName = p(SecondaryIndex.ColKey).toLowerCase
+    val cols = SecondaryIndex.indexedCols(p).map(_.toLowerCase)
     registry.synchronized {
       registry.computeIfAbsent(spark,
-        _ => new ConcurrentHashMap[String, (String, String)]())
-        .put(index.location, (srcLoc, colName))
-      // inside the lock: the read-append-write on extraOptimizations must
-      // not race another enable (a lost append would silently disarm)
+        _ => new ConcurrentHashMap[String, (String, Seq[String])]())
+        .put(index.location, (srcLoc, cols))
+    }
+    // the read-append-write on extraOptimizations serializes on ONE lock
+    // shared with RollupRewrite (ServingRewrites.armLock): a rollup and an
+    // index arming concurrently under two different monitors could lose an
+    // append and silently disarm one rule for the session
+    ServingRewrites.armLock.synchronized {
       if (!spark.experimental.extraOptimizations.contains(this))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ this
@@ -111,7 +134,7 @@ object IndexRewrite extends Rule[LogicalPlan] {
     true
   }
 
-  private def indexesFor(spark: SparkSession): Map[String, (String, String)] = {
+  private def indexesFor(spark: SparkSession): Map[String, (String, Seq[String])] = {
     val m = registry.synchronized(Option(registry.get(spark)))
       .getOrElse(return Map.empty)
     import scala.jdk.CollectionConverters._
@@ -123,23 +146,27 @@ object IndexRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** The servable point predicate inside `cond`'s conjunction, plus the
-    * RESIDUAL conjuncts: the first conjunct that is an equality / IN /
-    * InSet over a single attribute, literal-only, null-free, type-exact,
-    * becomes the probe; everything else (the optimizer's redundant
-    * `isnotnull`, extra range predicates, other columns) re-applies as a
-    * filter ABOVE the spliced plan — exact, because `Filter(A ∧ R)` ≡
-    * `Filter(R, Filter(A))` for deterministic `R`. A condition with no
-    * servable conjunct, or any non-deterministic conjunct, keeps the
-    * scan. */
-  private def pointPredicate(cond: Expression)
-      : Option[(AttributeReference, Seq[Any], Seq[Expression])] = {
+  /** One servable probe: probe builders parameterized by the index's
+    * PHYSICAL column name (the attribute name modulo case). `positions`
+    * are the conjunct indices the probe consumes (a merged range interval
+    * consumes both its bounds); `nLiterals` bounds the plan-time probe an
+    * IN-list would build; `isRange` orders candidates (point probes are
+    * selective by construction, so they try first). */
+  private final case class Servable(attr: AttributeReference,
+      positions: Seq[Int], nLiterals: Int, isRange: Boolean,
+      filters: String => Seq[org.apache.spark.sql.sources.Filter],
+      cond: String => Column)
+
+  /** Literal-only, null-free, type-exact equality/IN values of `e` over a
+    * single attribute — Scala-converted. Shared by candidate extraction
+    * and trailing-column folding. */
+  private def eqValues(e: Expression): Option[(AttributeReference, Seq[Any])] = {
     def ext(a: AttributeReference, internal: Seq[Any]): Option[(AttributeReference, Seq[Any])] = {
       if (internal.isEmpty || internal.exists(_ == null)) return None
       val conv = CatalystTypeConverters.createToScalaConverter(a.dataType)
       Some((a, internal.map(conv)))
     }
-    def one(e: Expression): Option[(AttributeReference, Seq[Any])] = e match {
+    e match {
       case EqualTo(a: AttributeReference, l: Literal)
           if l.dataType == a.dataType => ext(a, Seq(l.value))
       case EqualTo(l: Literal, a: AttributeReference)
@@ -156,23 +183,83 @@ object IndexRewrite extends Rule[LogicalPlan] {
       case o: Or =>
         def flat(x: Expression): Option[Seq[(AttributeReference, Any)]] = x match {
           case Or(l, r) => for { a <- flat(l); b <- flat(r) } yield a ++ b
-          case other => one(other).map { case (a, vs) => vs.map(a -> _) }
+          case other => eqValues(other).map { case (a, vs) => vs.map(a -> _) }
         }
         flat(o).filter(_.map(_._1.exprId).distinct.size == 1)
           .map(ps => (ps.head._1, ps.map(_._2)))
       case _ => None
     }
+  }
+
+  /** A single Scala-converted literal bound paired with its attribute. */
+  private def bound(a: AttributeReference, l: Literal): Option[(AttributeReference, Any)] =
+    if (l.value == null || l.dataType != a.dataType) None
+    else Some((a, CatalystTypeConverters.createToScalaConverter(a.dataType)(l.value)))
+
+  import org.apache.spark.sql.{sources => sf}
+
+  /** Every servable probe of `cond`. Empty when any conjunct is
+    * non-deterministic (the residual split would not be exact). Range
+    * bounds over ONE attribute MERGE into a single interval probe — a
+    * BETWEEN must probe `[lo, hi]` once, not try an unbounded `>= lo`
+    * first — and point probes order before range probes (selective by
+    * construction). Returned alongside the full conjunct list. */
+  private def servables(cond: Expression): (Seq[Expression], Seq[Servable]) = {
     def split(e: Expression): Seq[Expression] = e match {
       case And(l, r) => split(l) ++ split(r)
       case other => Seq(other)
     }
     val conjuncts = split(cond)
-    if (conjuncts.exists(!_.deterministic)) return None
-    conjuncts.iterator.zipWithIndex
-      .map { case (c, i) => one(c).map((_, i)) }
-      .collectFirst { case Some(((a, vs), i)) =>
-        (a, vs, conjuncts.patch(i, Nil, 1))
+    if (conjuncts.exists(!_.deterministic)) return (conjuncts, Nil)
+    def rangeOne(a: AttributeReference, i: Int, v: Any,
+        f: (String, Any) => org.apache.spark.sql.sources.Filter,
+        c: (Column, Any) => Column): Servable =
+      Servable(a, Seq(i), 1, isRange = true,
+        n => Seq(f(n, v)), n => c(col(n), v))
+    val raw = conjuncts.zipWithIndex.flatMap { case (c, i) =>
+      val eq = eqValues(c).map { case (a, vs) =>
+        Servable(a, Seq(i), vs.length, isRange = false,
+          n => Seq(sf.In(n, vs.toArray)),
+          n => col(n).isin(vs: _*))
       }
+      def range: Option[Servable] = c match {
+        case GreaterThan(a: AttributeReference, l: Literal) =>
+          bound(a, l).map { case (a2, v) => rangeOne(a2, i, v, sf.GreaterThan, _ > _) }
+        case GreaterThan(l: Literal, a: AttributeReference) =>
+          bound(a, l).map { case (a2, v) => rangeOne(a2, i, v, sf.LessThan, _ < _) }
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+          bound(a, l).map { case (a2, v) => rangeOne(a2, i, v, sf.GreaterThanOrEqual, _ >= _) }
+        case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+          bound(a, l).map { case (a2, v) => rangeOne(a2, i, v, sf.LessThanOrEqual, _ <= _) }
+        case LessThan(a: AttributeReference, l: Literal) =>
+          bound(a, l).map { case (a2, v) => rangeOne(a2, i, v, sf.LessThan, _ < _) }
+        case LessThan(l: Literal, a: AttributeReference) =>
+          bound(a, l).map { case (a2, v) => rangeOne(a2, i, v, sf.GreaterThan, _ > _) }
+        case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+          bound(a, l).map { case (a2, v) => rangeOne(a2, i, v, sf.LessThanOrEqual, _ <= _) }
+        case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+          bound(a, l).map { case (a2, v) => rangeOne(a2, i, v, sf.GreaterThanOrEqual, _ >= _) }
+        case StartsWith(a: AttributeReference, l: Literal) =>
+          bound(a, l).collect { case (a2, v: String) =>
+            Servable(a2, Seq(i), 1, isRange = true,
+              n => Seq(sf.StringStartsWith(n, v)),
+              n => col(n).startsWith(v)) }
+        case _ => None
+      }
+      eq.orElse(range)
+    }
+    val (ranges, points) = raw.partition(_.isRange)
+    // merge every range/prefix bound over one attribute into ONE interval
+    // probe (filters concatenate, conditions AND) — the unit of a range
+    // scan is the interval, and probing a half-open bound when the other
+    // half sits one conjunct over would over-match for nothing
+    val merged = ranges.groupBy(_.attr.exprId).values.map { g =>
+      g.reduce { (x, y) =>
+        Servable(x.attr, x.positions ++ y.positions, 1, isRange = true,
+          n => x.filters(n) ++ y.filters(n), n => x.cond(n) && y.cond(n))
+      }
+    }.toSeq.sortBy(_.positions.min)
+    (conjuncts, points ++ merged)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -180,6 +267,7 @@ object IndexRewrite extends Rule[LogicalPlan] {
     val spark = SparkSession.active
     val indexes = indexesFor(spark)
     if (indexes.isEmpty) return plan
+    val maxKeys = rewriteMaxKeys(spark)
     plan.transform {
       case f @ Filter(cond, child) =>
         // guard order matters for PLANNING cost: the predicate match and
@@ -187,32 +275,65 @@ object IndexRewrite extends Rule[LogicalPlan] {
         // baseLocation stats the filesystem (manifest read for file
         // scans) — a session with one armed index must not pay that on
         // every unrelated Filter in every query it plans
-        (for {
-          (attr, values, residual) <- pointPredicate(cond)
-          byCol = indexes.filter { case (_, (_, col)) =>
-            col == attr.name.toLowerCase }
-          if byCol.nonEmpty
-          baseLoc <- ScanRoots.baseLocation(ScanRoots.stripProjects(child))
-          (indexLoc, _) <- byCol.find { case (_, (src, _)) => src == baseLoc }
-          rewritten <- tryRewrite(spark, f, indexLoc, baseLoc, values, residual)
+        val (conjuncts, cands) = servables(cond)
+        val usable = cands.filter { c =>
+          c.nLiterals <= maxKeys && // an IN-list that big is a scan — never
+                                    // plan a probe filter of 100k literals
+            indexes.exists(_._2._2.headOption.contains(c.attr.name.toLowerCase))
+        }
+        if (usable.isEmpty) f
+        else (for {
+          (baseLoc, baseV) <- ScanRoots.baseLocation(ScanRoots.stripProjects(child))
+          rewritten <- usable.iterator.flatMap { c =>
+            indexes.collectFirst {
+              case (indexLoc, (src, cols))
+                  if src == baseLoc &&
+                    cols.headOption.contains(c.attr.name.toLowerCase) =>
+                indexLoc
+            }.flatMap { indexLoc =>
+              val residual = conjuncts.zipWithIndex
+                .collect { case (e, i) if !c.positions.contains(i) => e }
+              tryRewrite(spark, f, indexLoc, baseLoc, baseV, c,
+                residual, maxKeys)
+            }
+          }.nextOption()
         } yield rewritten).getOrElse(f)
     }
   }
 
   private def tryRewrite(spark: SparkSession, f: Filter, indexLoc: String,
-      baseLoc: String, values: Seq[Any],
-      residual: Seq[Expression]): Option[LogicalPlan] = {
+      baseLoc: String, baseV: Long, served: Servable,
+      residual: Seq[Expression], maxKeys: Int): Option[LogicalPlan] = {
     busy.set(true)
     try {
       val idx = GraftTable.load(spark, indexLoc)
-      // freshness: the index watermark must sit at the base's current
-      // version — a stale index never serves (refresh-or-miss)
-      if (idx.properties(SecondaryIndex.SrcVersionKey).toLong !=
-          TableMeta.currentVersion(baseLoc)) return None
-      // bounded plan-time probe (DPP posture); a scan-sized predicate
-      // throws the lookup contract and the rewrite declines
-      val looked = SecondaryIndex.lookup(spark, idx, values,
-        maxKeys = rewriteMaxKeys(spark))
+      // ONE meta snapshot: watermark + index version move together in a
+      // refresh commit, so reading both from one manifest is the whole
+      // TOCTOU defense — the watermark must equal the base version the
+      // MATCH observed (not a later re-read of "current"), and the probe
+      // below pins this index version and that base version
+      val im = idx.meta
+      if (im.propsMap(SecondaryIndex.SrcVersionKey).toLong != baseV) return None
+      val physCols = SecondaryIndex.indexedCols(im.propsMap)
+      val lead = physCols.head
+      // residual equalities over a composite index's trailing columns
+      // narrow the probe (their zone maps prune within the lead's hash
+      // buckets and the matched-key set shrinks); they STAY in the
+      // residual too — re-applying an equality is free and keeps the
+      // exactness argument one line
+      val byTrail = physCols.tail.map(n => n.toLowerCase -> n).toMap
+      val trailing = residual.flatMap(eqValues).flatMap { case (a, vs) =>
+        byTrail.get(a.name.toLowerCase).map { phys =>
+          (Seq(sf.In(phys, vs.toArray)): Seq[org.apache.spark.sql.sources.Filter],
+            col(phys).isin(vs: _*))
+        }
+      }
+      val probeFilters = served.filters(lead) ++ trailing.flatMap(_._1)
+      val probeCond = trailing.map(_._2).foldLeft(served.cond(lead))(_ && _)
+      // bounded plan-time probe (DPP posture), version-pinned both sides;
+      // a scan-sized predicate throws the lookup contract and declines
+      val looked = SecondaryIndex.lookupWhere(spark, idx, probeFilters,
+        probeCond, maxKeys = maxKeys, pinned = Some((im.version, baseV)))
       val lp = looked.queryExecution.optimizedPlan
       val byName = lp.output.map(a => a.name.toLowerCase -> a).toMap
       val mapped = f.output.map { a =>
@@ -226,7 +347,14 @@ object IndexRewrite extends Rule[LogicalPlan] {
       Some(residual.reduceOption(And).map(Filter(_, projected))
         .getOrElse(projected))
     } catch {
-      case _: Exception => None // a sick index never blocks the query
+      case e: Exception =>
+        // never block the query — but never silently either: a
+        // persistently sick index degrading every point query to a full
+        // scan must leave a trail (contract declines like the maxKeys
+        // bound land here too; they are cheap and rare by construction)
+        logWarning(s"index rewrite via $indexLoc declined after error; " +
+          s"keeping the scan plan: ${e.getMessage}")
+        None
     } finally busy.set(false)
   }
 }

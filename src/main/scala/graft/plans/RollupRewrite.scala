@@ -112,8 +112,12 @@ object RollupRewrite extends Rule[LogicalPlan] {
       registry.computeIfAbsent(spark,
         _ => new ConcurrentHashMap[String, String]())
         .put(rollup.location, srcLoc)
-      // inside the lock: the read-append-write on extraOptimizations must
-      // not race another enable (a lost append would silently disarm)
+    }
+    // the read-append-write on extraOptimizations serializes on ONE lock
+    // shared with IndexRewrite (ServingRewrites.armLock): two rules arming
+    // concurrently under separate monitors could lose an append and
+    // silently disarm one rewrite for the session
+    ServingRewrites.armLock.synchronized {
       if (!spark.experimental.extraOptimizations.contains(this))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ this
@@ -192,8 +196,9 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
   // scan-root recognition (current-version DSv1 / clean file scan / pinned
   // V2 handle — time travel and stale handles yield None) lives in the
-  // shared [[ScanRoots]]; IndexRewrite consumes the identical rules
-  private def baseLocation(plan: LogicalPlan): Option[String] =
+  // shared [[ScanRoots]]; IndexRewrite consumes the identical rules. The
+  // returned version is what the MATCH observed — freshness pins to it.
+  private def baseLocation(plan: LogicalPlan): Option[(String, Long)] =
     ScanRoots.baseLocation(plan)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -218,11 +223,11 @@ object RollupRewrite extends Rule[LogicalPlan] {
           case c => (None, c)
         }
         (for {
-          baseLoc <- baseLocation(scanChild)
+          (baseLoc, baseV) <- baseLocation(scanChild)
           rewritten <- rollups.collectFirst(Function.unlift {
             case (rollupLoc, srcLoc) if srcLoc == baseLoc =>
               tryRewrite(spark, agg, groupExprs, resultExprs, cond,
-                baseLoc, rollupLoc)
+                baseV, rollupLoc)
             case _ => None
           })
         } yield rewritten).getOrElse(agg)
@@ -231,14 +236,18 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
   private def tryRewrite(spark: SparkSession, agg: Aggregate,
       groupExprs: Seq[Expression], resultExprs: Seq[NamedExpression],
-      cond: Option[Expression], baseLoc: String,
+      cond: Option[Expression], baseV: Long,
       rollupLoc: String): Option[LogicalPlan] = try {
     val rollup = GraftTable.load(spark, rollupLoc)
-    val p = rollup.properties
-    // freshness: the watermark must sit at the base's current version —
-    // a stale rollup never serves
-    if (p(MaterializedRollup.SrcVersionKey).toLong !=
-        TableMeta.currentVersion(baseLoc)) return None
+    // ONE meta snapshot: watermark + rollup version move together in a
+    // refresh commit. The watermark must equal the base version the MATCH
+    // observed — not a later re-read of "current": a base commit plus a
+    // rollup refresh landing between the match and this check must decline
+    // rather than serve v+1 aggregates through a plan pinned at v. The
+    // spliced scan below pins this same rollup version.
+    val rm = rollup.meta
+    val p = rm.propsMap
+    if (p(MaterializedRollup.SrcVersionKey).toLong != baseV) return None
     val groupCols = p(MaterializedRollup.GroupColsKey)
       .split(MaterializedRollup.FieldSep).toSeq.map(_.toLowerCase)
     val gNames = groupExprs.map {
@@ -269,8 +278,10 @@ object RollupRewrite extends Rule[LogicalPlan] {
     // by canonical match), types equal exactly. The spliced subtree must be
     // the OPTIMIZED scan plan: this rule runs in the last optimizer batch,
     // so an analyzed subtree's ResolvedHint (a dirty rollup's broadcast
-    // overlay) would reach the planner unreplaced and throw
-    val rollupPlan = rollup.scan().queryExecution.optimizedPlan
+    // overlay) would reach the planner unreplaced and throw. The scan pins
+    // the SAME rollup version the watermark above was read from — a
+    // refresh landing mid-plan cannot mix snapshots.
+    val rollupPlan = rollup.scan(Some(rm.version)).queryExecution.optimizedPlan
     val byName = rollupPlan.output.map(a => a.name.toLowerCase -> a).toMap
     // the re-aggregation combinator per canonical form: counts and sums
     // fold by SUM, min/max by themselves. Anything else never re-aggregates.

@@ -17,6 +17,13 @@ import graft.sources.GraftRelation
  * catalog relation whose handle is pinned to the current version (a
  * `VERSION AS OF` handle, or one loaded before a later commit, carries
  * OLD meta and must never be served current derived-table data).
+ *
+ * The match returns the VERSION it observed alongside the location, and
+ * the rewrites pin their freshness check AND their spliced reads to that
+ * version — not to a later re-read of "current". A base commit plus a
+ * derived-table refresh landing between the match and the rewrite's
+ * probe must decline (or serve the matched version exactly), never serve
+ * v+1 rows through a plan whose matched scan would have read v.
  */
 private[plans] object ScanRoots {
 
@@ -27,13 +34,18 @@ private[plans] object ScanRoots {
     case other => other
   }
 
-  /** The base-table location under a bare (attribute-only) projection
-    * chain, when the scan reads the CURRENT version. */
-  def baseLocation(plan: LogicalPlan): Option[String] = plan match {
+  /** The base-table location and the version the match OBSERVED, under a
+    * bare (attribute-only) projection chain, when the scan reads the
+    * CURRENT version. For the pinned shapes (file scan, V2 handle) the
+    * version is exactly what the scan will read; for the floating DSv1
+    * handle it is the current version at match time — the plan-time
+    * snapshot the rewrite contract serves. */
+  def baseLocation(plan: LogicalPlan): Option[(String, Long)] = plan match {
     case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
       baseLocation(child)
     case lr: LogicalRelation => lr.relation match {
-      case GraftRelation(_, loc, None) => Some(loc)
+      case GraftRelation(_, loc, None) =>
+        Some((loc, TableMeta.currentVersion(loc)))
       case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
         snapshotScanLocation(fs)
       case _ => None
@@ -41,7 +53,7 @@ private[plans] object ScanRoots {
     case r: DataSourceV2Relation => r.table match {
       case t: graft.sources.v2.GraftV2Table
           if t.graftVersion == TableMeta.currentVersion(t.graftLocation) =>
-        Some(t.graftLocation)
+        Some((t.graftLocation, t.graftVersion))
       case _ => None
     }
     case sr: DataSourceV2ScanRelation => baseLocation(sr.relation)
@@ -56,7 +68,7 @@ private[plans] object ScanRoots {
     * (subset), or a dirty table (overlay plan anyway) all disqualify, so a
     * rewrite can never serve different rows than the scan would have. */
   private def snapshotScanLocation(
-      fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation): Option[String] = {
+      fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation): Option[(String, Long)] = {
     val paths = fs.location.rootPaths.map(_.toUri.getPath)
     if (paths.isEmpty) return None
     // the table root is SOME prefix ending before a "/data/" segment — a
@@ -73,7 +85,7 @@ private[plans] object ScanRoots {
         if (m.deltaFiles.isEmpty && m.rangeDrops.isEmpty) {
           val want = m.baseFiles
             .map(f => new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
-          if (paths.toSet == want) return Some(root)
+          if (paths.toSet == want) return Some((root, m.version))
         }
         return None // a real table whose snapshot doesn't match: no rewrite
       }

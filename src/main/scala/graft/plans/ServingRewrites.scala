@@ -17,6 +17,14 @@ import graft.tools.{MaterializedRollup, SecondaryIndex}
  */
 object ServingRewrites {
 
+  /** ONE lock for every `spark.experimental.extraOptimizations`
+    * read-append-write across the serving rewrites: RollupRewrite and
+    * IndexRewrite arming concurrently (catalog open racing a build) under
+    * separate monitors could interleave the read and the write, lose one
+    * append, and silently disarm that rewrite for the session. The
+    * per-rule registries keep their own monitors. */
+  private[plans] val armLock = new Object
+
   /** Arm whatever rewrite `t`'s persisted properties call for; idempotent,
     * cheap when already armed. Returns whether `t` is an armed derived
     * table. */
@@ -35,13 +43,24 @@ object ServingRewrites {
 
   /** Arm every persisted rollup/index under `warehouseDir` in `spark` —
     * the cross-session serving half of warehouse auto-maintenance.
-    * Individual sick tables never stop the sweep. */
-  def armFromWarehouse(spark: SparkSession, warehouseDir: String): Int =
-    graft.tools.GraftTools
+    * Individual sick tables never stop the sweep. The walk is BOUNDED
+    * (depth 4, 1024 tables): this runs synchronously on every catalog
+    * open, and a warehouse mis-rooted at a shared directory (/tmp) must
+    * not turn session start into a filesystem crawl — tables beyond the
+    * cap still arm lazily on first load/refresh/build. */
+  def armFromWarehouse(spark: SparkSession, warehouseDir: String): Int = {
+    val cap = 1024
+    val tables = graft.tools.GraftTools
       .listWarehouseTables(java.nio.file.Paths.get(warehouseDir),
-        includeHidden = true) // SQL faces park derived tables in dot-dirs
-      .count { p =>
-        try autoArm(spark, GraftTable.load(spark, p.toString))
-        catch { case _: Exception => false }
-      }
+        includeHidden = true, // SQL faces park derived tables in dot-dirs
+        maxDepth = 4, maxTables = cap)
+    if (tables.size >= cap)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"armFromWarehouse($warehouseDir) hit the $cap-table walk cap; " +
+          "remaining derived tables arm lazily on first load")
+    tables.count { p =>
+      try autoArm(spark, GraftTable.load(spark, p.toString))
+      catch { case _: Exception => false }
+    }
+  }
 }

@@ -878,12 +878,15 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
    * below the new floor fail with a clear error; everything at-or-above
    * is untouched. Returns the deleted paths (manifests + data files).
    *
-   * Fork caveat (the same one [[drop]] carries): a [[fork]]ed child
-   * shares the PARENT's files by path; the parent cannot see its
-   * children, so the parent's own retention (like the parent's drop) can
-   * reclaim files a child still references. Forks are cheap snapshots
-   * for experiments — do not run retention (or drop) on a parent whose
-   * forks must outlive it.
+   * Derived tables and forks are PROTECTED, not footguns: the expiry
+   * prefix floors at the smallest source-version watermark of every
+   * registered derived table (rollup/secondary/vector index — their
+   * incremental refresh needs `source@watermark` readable, and the only
+   * recovery past it is a full rebuild, catastrophic at 100 TB), and
+   * files any live [[fork]]ed child's manifests still reference are
+   * treated as referenced even when this table's own survivors no longer
+   * need them. Dead registrations (dropped derived tables, dropped
+   * children) are cleaned as they are discovered.
    */
   def expireVersions(retainLast: Int = 1, olderThanMs: Long = 0L): Seq[String] =
     withCommitRetry {
@@ -896,10 +899,22 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
           .collect { case n if n.matches("v\\d+\\.json") => n.drop(1).dropRight(5).toLong }
           .toSeq.sorted
       }
+      // derived-table floor: a registered rollup/index refreshes by reading
+      // `source@watermark` (CDC before-image), so every version >= the
+      // smallest live watermark must survive — otherwise one missed refresh
+      // tick (session down, index in another warehouse) turns the next
+      // refresh into a forced full rebuild. Registrations whose table is
+      // gone or re-pointed are dead: drop the marker, ignore the floor.
+      val derivedFloor = graft.tools.DerivedTables.registered(location)
+        .flatMap { d =>
+          val w = graft.tools.DerivedTables.watermarkFor(d, location)
+          if (w.isEmpty) graft.tools.DerivedTables.deregister(location, d)
+          w
+        }.foldLeft(Long.MaxValue)(math.min)
       val keep = onDisk.takeRight(math.max(1, retainLast)).toSet + m.version
       val cutoffTs = System.currentTimeMillis() - math.max(0L, olderThanMs)
       val prefix = onDisk.takeWhile { v =>
-        !keep.contains(v) &&
+        !keep.contains(v) && v < derivedFloor &&
           (try TableMeta.read(location, v).timestampMs <= cutoffTs
            catch { case _: Exception => false }) // unreadable: keep, fsck's problem
       }
@@ -908,7 +923,17 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       val referenced = survivors.flatMap { v =>
         val vm = TableMeta.read(location, v)
         (vm.baseFiles ++ vm.deltaFiles).map(f => Paths.get(f.path).normalize.toString)
-      }.toSet
+      }.toSet ++
+        // a fork()ed child reads the PARENT's files by path: every file any
+        // of a live child's manifests still references must survive the
+        // parent's retention (the child compacting itself self-contained —
+        // and expiring its own history — releases them). Dead child
+        // markers clean up here.
+        GraftTable.forkChildren(location).flatMap { child =>
+          if (!TableMeta.exists(child)) {
+            GraftTable.deregisterFork(location, child); Nil
+          } else GraftTable.manifestFilePaths(child)
+        }
       // Only files UNDER this table's location are ever deleted — the same
       // invariant as [[drop]]: zero-copy registered raw data and files
       // shared with a fork()ed table live outside `location` and must
@@ -3174,25 +3199,105 @@ object GraftTable {
    * location; the source is never touched. The cheap way to get a private
    * mutable view of a large table (scripted tests, what-if pipelines).
    *
-   * Lifetime caveat: the fork references the PARENT's files by path and
-   * the parent cannot see its forks — the parent's `drop()` or
-   * `expireVersions()` (after the parent compacts past the shared
-   * snapshot) reclaims files the fork still reads. A fork must not
-   * outlive its parent's retention; `compact()` the fork to make it
-   * self-contained first.
+   * Lifetime: the fork references the PARENT's files by path, so the
+   * fork records a child marker under the parent's directory — the
+   * parent's [[drop]] REFUSES while a live child still references its
+   * files, and the parent's `expireVersions()` treats every file a live
+   * child's manifests reference as referenced. `compact()` the fork (and
+   * expire its history) to make it self-contained and release the parent.
    */
   def fork(spark: SparkSession, src: GraftTable, newLocation: String): GraftTable = {
+    // marker BEFORE the child manifest: the child must never exist
+    // unprotected (a crash between the two leaves a dead marker, cleaned
+    // lazily by the parent's next expire/drop/fork)
+    registerFork(src.location, newLocation)
     val m = src.meta
     TableMeta.write(m.copy(location = newLocation, operation = "fork"))
     MaintenanceScheduler.autoSchedule(spark, newLocation)
     new GraftTable(spark, newLocation)
   }
 
+  // ---- fork-child registry: marker files (not table properties — a fork
+  // must not commit a version on a long-lived shared parent, and scratch
+  // forks of fixture tables are per-query-hot)
+  private def forkDir(parentLoc: String): java.nio.file.Path =
+    Paths.get(parentLoc, "_forks")
+
+  private def forkMarker(parentLoc: String, childLoc: String): java.nio.file.Path =
+    forkDir(parentLoc).resolve(java.net.URLEncoder.encode(childLoc, "UTF-8"))
+
+  private def registerFork(parentLoc: String, childLoc: String): Unit = {
+    // opportunistic bounded sweep of dead markers: scratch forks live in
+    // temp dirs that vanish without deregistering, and the parent fixture
+    // is forked once per scripted query — without this the marker dir
+    // grows one dead file per run forever
+    forkChildren(parentLoc).filter(!TableMeta.exists(_)).take(64)
+      .foreach(deregisterFork(parentLoc, _))
+    val f = forkMarker(parentLoc, childLoc)
+    Files.createDirectories(f.getParent)
+    Files.write(f, childLoc.getBytes("UTF-8"))
+  }
+
+  private[graft] def deregisterFork(parentLoc: String, childLoc: String): Unit =
+    Files.deleteIfExists(forkMarker(parentLoc, childLoc))
+
+  /** Registered fork-child locations of `parentLoc` (live or dead). */
+  private[graft] def forkChildren(parentLoc: String): Seq[String] = {
+    val dir = forkDir(parentLoc)
+    if (!Files.isDirectory(dir)) return Nil
+    scala.util.Using.resource(Files.list(dir)) { s =>
+      s.iterator().asScala
+        .map(p => java.net.URLDecoder.decode(p.getFileName.toString, "UTF-8"))
+        .toSeq
+    }
+  }
+
+  /** Every data-file path any on-disk manifest of `location` references
+    * (normalized) — the full set a table needs readable, across time
+    * travel. Unreadable manifests contribute nothing (fsck's problem). */
+  private[graft] def manifestFilePaths(location: String): Set[String] = {
+    val metaDir = TableMeta.metaDir(location)
+    if (!Files.isDirectory(metaDir)) return Set.empty
+    val versions = scala.util.Using.resource(Files.list(metaDir)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.matches("v\\d+\\.json") => n.drop(1).dropRight(5).toLong }
+        .toSeq
+    }
+    versions.flatMap { v =>
+      try {
+        val vm = TableMeta.read(location, v)
+        (vm.baseFiles ++ vm.deltaFiles).map(f => Paths.get(f.path).normalize.toString)
+      } catch { case _: Exception => Nil }
+    }.toSet
+  }
+
   /** Drop table: delete metadata + data (D3, catalog_manager.h:701). Only
     * files under `location` are touched, so zero-copy registered raw data
-    * survives. */
-  def drop(location: String): Unit = {
+    * survives. REFUSES (unless `force`) while a live [[fork]]ed child
+    * still references files under this table's directory — dropping the
+    * parent would silently corrupt every read of the child. A child made
+    * self-contained (`compact()` + history expiry) no longer blocks. */
+  def drop(location: String): Unit = drop(location, force = false)
+
+  def drop(location: String, force: Boolean): Unit = {
     if (!TableMeta.exists(location)) return
+    if (!force) {
+      val root = Paths.get(location).normalize.toString + "/"
+      val live = forkChildren(location).filter { child =>
+        if (!TableMeta.exists(child)) { deregisterFork(location, child); false }
+        else {
+          val refs = manifestFilePaths(child).exists(_.startsWith(root))
+          if (!refs) deregisterFork(location, child) // self-contained: release
+          refs
+        }
+      }
+      if (live.nonEmpty)
+        throw new IllegalStateException(
+          s"cannot drop $location: forked children still reference its " +
+            s"files: ${live.mkString(", ")} — compact() each child (and " +
+            "expire its history) to make it self-contained, or " +
+            "drop(location, force = true) to orphan them")
+    }
     MaintenanceScheduler.unschedule(location)
     val root = Paths.get(location)
     Files.walk(root).sorted(java.util.Comparator.reverseOrder())

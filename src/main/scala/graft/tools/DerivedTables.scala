@@ -19,6 +19,64 @@ import graft.table.GraftTable
  */
 object DerivedTables {
 
+  /** Source-side back-pointer registry: a source table carries one marker
+    * file per derived table built FROM it, under `<location>/_derived/`.
+    * The derived table holds the forward pointer (its SrcLocKey +
+    * watermark); the source's back-pointer is what lets history GC floor
+    * its expiry at the watermarks still needed ([[graft.table.GraftTable]]
+    * `expireVersions`) — without it, aggressive retention plus one missed
+    * refresh tick forces a full O(derived) rebuild. Markers are FILES, not
+    * table properties: a registration must not commit a version on the
+    * source (builds against long-lived shared tables would bloat their
+    * version chains and invalidate their fingerprints), and the GC that
+    * reads markers deletes dead ones lazily. */
+  private val RegDir = "_derived"
+
+  private def regFile(sourceLoc: String, derivedLoc: String): java.nio.file.Path =
+    java.nio.file.Paths.get(sourceLoc, RegDir,
+      java.net.URLEncoder.encode(derivedLoc, "UTF-8"))
+
+  /** Record `derivedLoc` as a derived table of `source` (idempotent). */
+  private[graft] def register(source: GraftTable, derivedLoc: String): Unit = {
+    val f = regFile(source.location, derivedLoc)
+    java.nio.file.Files.createDirectories(f.getParent)
+    java.nio.file.Files.write(f, derivedLoc.getBytes("UTF-8"))
+  }
+
+  /** The derived-table locations registered beside `sourceLoc`. */
+  private[graft] def registered(sourceLoc: String): Seq[String] = {
+    val dir = java.nio.file.Paths.get(sourceLoc, RegDir)
+    if (!java.nio.file.Files.isDirectory(dir)) return Nil
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.list(dir)) { s =>
+      s.iterator().asScala
+        .map(p => java.net.URLDecoder.decode(p.getFileName.toString, "UTF-8"))
+        .toSeq
+    }
+  }
+
+  /** Remove a dead registration (derived table dropped or re-pointed). */
+  private[graft] def deregister(sourceLoc: String, derivedLoc: String): Unit =
+    java.nio.file.Files.deleteIfExists(regFile(sourceLoc, derivedLoc))
+
+  /** The source-version watermark `derivedLoc` still needs, IF it exists
+    * and its forward pointer names `sourceLoc` (a dropped derived table, or
+    * one rebuilt against another source, yields None — the caller should
+    * also clear the dead registration). */
+  private[graft] def watermarkFor(derivedLoc: String,
+      sourceLoc: String): Option[Long] = {
+    if (!graft.catalog.TableMeta.exists(derivedLoc)) return None
+    val p = graft.catalog.TableMeta.readCurrent(derivedLoc).propsMap
+    val fwd = p.get(MaterializedRollup.SrcLocKey)
+      .orElse(p.get(SecondaryIndex.SrcLocKey))
+      .orElse(p.get(VectorIndex.SrcLocKey))
+    if (!fwd.contains(sourceLoc)) return None
+    p.get(MaterializedRollup.SrcVersionKey)
+      .orElse(p.get(SecondaryIndex.SrcVersionKey))
+      .orElse(p.get(VectorIndex.SrcVersionKey))
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+  }
+
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Per-location refresh mutex. Two concurrent refreshes of ONE derived

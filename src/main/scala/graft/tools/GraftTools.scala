@@ -334,26 +334,40 @@ object GraftTools {
     * that cannot see them would silently uncover every SQL-built derived
     * table in any later session. */
   private[graft] def listWarehouseTables(root: java.nio.file.Path,
-      includeHidden: Boolean = false): Seq[java.nio.file.Path] = {
+      includeHidden: Boolean = false, maxDepth: Int = 32,
+      maxTables: Int = Int.MaxValue): Seq[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._
-    if (!java.nio.file.Files.isDirectory(root)) return Nil
-    val children = scala.util.Using.resource(java.nio.file.Files.list(root)) {
-      s => s.iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          java.nio.file.Files.isDirectory(p) &&
-            (if (n.startsWith("."))
-              includeHidden && n != ".staging"
-            else true)
-        }.toSeq
+    val out = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    // depth/count caps: a warehouse mis-rooted at a shared directory
+    // (tests pointing it at a temp dir's PARENT, i.e. /tmp) must not make
+    // every catalog open recurse unbounded unrelated trees. Real
+    // warehouses are shallow (namespaces) and finite; callers on hot
+    // open paths pass tighter caps (ServingRewrites.armFromWarehouse).
+    def walk(dir: java.nio.file.Path, depth: Int): Unit = {
+      if (depth > maxDepth || out.size >= maxTables) return
+      if (!java.nio.file.Files.isDirectory(dir)) return
+      val children = scala.util.Using.resource(java.nio.file.Files.list(dir)) {
+        s => s.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            java.nio.file.Files.isDirectory(p) &&
+              (if (n.startsWith("."))
+                includeHidden && n != ".staging"
+              else true)
+          }.toSeq
+      }
+      children.foreach { p =>
+        if (out.size < maxTables) {
+          if (graft.catalog.TableMeta.exists(p.toString)) {
+            // soft-deleted tables refuse load(); the sweep skips them
+            // instead of logging a failure every tick until recall/purge
+            if (!GraftTable.isTrashed(p.toString)) out += p
+          } else walk(p, depth + 1)
+        }
+      }
     }
-    children.flatMap { p =>
-      if (graft.catalog.TableMeta.exists(p.toString))
-        // soft-deleted tables refuse load(); the sweep skips them instead
-        // of logging a failure every tick until recall or purge
-        if (GraftTable.isTrashed(p.toString)) Nil else Seq(p)
-      else listWarehouseTables(p, includeHidden)
-    }
+    walk(root, 0)
+    out.toSeq
   }
 
   /**

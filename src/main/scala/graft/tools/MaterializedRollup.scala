@@ -71,6 +71,10 @@ object MaterializedRollup {
   def build(spark: SparkSession, source: GraftTable, groupCols: Seq[String],
       aggs: Seq[(String, String)], location: String,
       buckets: Int = 16): GraftTable = {
+    // back-pointer first (a marker file, no commit): from this moment the
+    // source's history GC floors its expiry at this rollup's watermark —
+    // see DerivedTables.register
+    DerivedTables.register(source, location)
     val m = source.meta
     require(groupCols.nonEmpty, "at least one group column required")
     require(aggs.nonEmpty, "at least one aggregate required")

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -8,15 +8,26 @@ import graft.catalog.HashComponent
 import graft.table.GraftTable
 
 /**
- * Maintained secondary index — point lookups on a NON-key column without
+ * Maintained secondary index — point lookups on NON-key columns without
  * scanning the base table. The reference engine locates rows by primary key
  * only (a non-PK predicate is a full scan with predicate evaluation); at
  * 100 TB the standard remedy is a global index TABLE:
  *
- *   - the index is itself an engine table keyed `(value, pk…)` and
- *     hash-partitioned on the indexed value, so an equality/IN probe prunes
- *     to the value's hash buckets at the manifest level (P4) before any
- *     file opens;
+ *   - the index is itself an engine table keyed `(lead, pk…)` and
+ *     hash-partitioned on the LEAD indexed value, so an equality/IN probe
+ *     prunes to the value's hash buckets at the manifest level (P4) before
+ *     any file opens. A COMPOSITE index carries its trailing indexed
+ *     columns as payload columns of the same rows — one entry per base row
+ *     either way — so a conjunction `lead = x AND trailing = y` narrows the
+ *     probe further (trailing equalities evaluate on the pruned index rows
+ *     and their zone maps prune files within the lead's buckets);
+ *   - RANGE and PREFIX probes on the lead column serve through the index's
+ *     per-file zone maps: within a hash bucket the index rows are PK-sorted,
+ *     i.e. VALUE-sorted, so at scale each bucket's many files each cover a
+ *     narrow value interval and a `BETWEEN`/`>=`/`startsWith` probe opens
+ *     only the overlapping slice of every bucket (the reference can range-
+ *     scan key columns only — tablet/cfile_set.cc:396
+ *     PushdownRangeScanPredicate; this extends that to non-key columns);
  *   - a lookup probes the index for the matching primary keys (a bounded,
  *     point-read-sized set by contract), then reads the base through its
  *     OWN key layout — PK hash/range pruning + zone maps (S8) — so both
@@ -26,10 +37,13 @@ import graft.table.GraftTable
  *     entries, and one atomic transaction (W9) upserts fresh entries and
  *     tombstones stale ones (value changed or row deleted).
  *
- * NULL values are never indexed (an IS NULL predicate keeps the base-scan
- * path); sources with a hidden auto-increment key are refused — their CDC
- * export does not carry the hidden id, so index entries could not be
- * tombstoned reliably.
+ * Rows whose LEAD value is NULL are never indexed (an IS NULL predicate
+ * keeps the base-scan path; equality/IN/range probes never match NULL, so
+ * semantics align by construction). Trailing composite columns MAY be null
+ * — they are payload, stored as-is, and an equality probe over them matches
+ * nothing for null entries, exactly like the base scan would. Sources with
+ * a hidden auto-increment key are refused — their CDC export does not carry
+ * the hidden id, so index entries could not be tombstoned reliably.
  */
 object SecondaryIndex {
 
@@ -37,43 +51,71 @@ object SecondaryIndex {
   val ColKey = "graft.sindex.col"
   val SrcVersionKey = "graft.sindex.sourceVersion"
 
-  /** Index entries for the given source rows: (value, pk…), nulls dropped. */
-  private def entries(rows: DataFrame, colName: String,
+  /** The indexed columns recorded in `props` — lead first. (Single-column
+    * indexes persist a bare name; composite ones a comma-joined list.) */
+  def indexedCols(props: Map[String, String]): Seq[String] =
+    props(ColKey).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** Index entries for the given source rows: (cols…, pk…), lead-null rows
+    * dropped. */
+  private def entries(rows: DataFrame, colNames: Seq[String],
       pkCols: Seq[String]): DataFrame =
-    rows.filter(col(colName).isNotNull)
-      .select((colName +: pkCols).distinct.map(col): _*)
+    rows.filter(col(colNames.head).isNotNull)
+      .select((colNames ++ pkCols).distinct.map(col): _*)
+
+  /** Single-column build (the common case). */
+  def build(spark: SparkSession, source: GraftTable, colName: String,
+      location: String, buckets: Int): GraftTable =
+    build(spark, source, Seq(colName), location, buckets)
+
+  def build(spark: SparkSession, source: GraftTable, colName: String,
+      location: String): GraftTable =
+    build(spark, source, Seq(colName), location, 16)
 
   /**
-   * Build the index beside `source` on `colName`. The index table is keyed
-   * `(colName, pk…)` (one entry per base row) and hash-partitioned on
-   * `colName` across `buckets`.
+   * Build the index beside `source` on `colNames` (lead first). The index
+   * table is keyed `(lead, pk…)` (one entry per base row), hash-partitioned
+   * on the lead across `buckets`, with any trailing indexed columns carried
+   * as payload.
    */
-  def build(spark: SparkSession, source: GraftTable, colName: String,
+  def build(spark: SparkSession, source: GraftTable, colNames: Seq[String],
       location: String, buckets: Int = 16): GraftTable = {
+    require(colNames.nonEmpty, "index needs at least one column")
+    require(colNames.distinct == colNames,
+      s"duplicate index columns in ${colNames.mkString(",")}")
+    // register the derived back-pointer FIRST (a marker file, no commit):
+    // from this moment the source's history GC floors its expiry at this
+    // index's watermark. A failed build leaves a dangling marker;
+    // expireVersions lazily clears markers whose table is gone or points
+    // elsewhere.
+    DerivedTables.register(source, location)
     val m = source.meta
     require(!m.hasAutoInc,
       s"${m.name} has a hidden auto-increment key — non-unique-PK tables " +
         "are not secondary-indexable (the CDC export does not carry the " +
         "hidden id)")
-    val c = m.column(colName)
-    require(!m.keyCols.contains(colName),
-      s"$colName is already a primary-key column — the base table's own " +
-        "layout serves it (S8)")
-    require(!Seq("array", "map", "struct").contains(c.dataType.typeName),
-      s"index column must be an atomic type, got ${c.dataType.catalogString}")
+    colNames.foreach { n =>
+      val c = m.column(n)
+      require(!m.keyCols.contains(n),
+        s"$n is already a primary-key column — the base table's own " +
+          "layout serves it (S8)")
+      require(!Seq("array", "map", "struct").contains(c.dataType.typeName),
+        s"index column must be an atomic type, got ${c.dataType.catalogString}")
+    }
+    val lead = colNames.head
     val pkCols = m.keyCols
     val srcVersion = m.version
-    val data = entries(source.scan(), colName, pkCols)
-    val idx = GraftTable.create(spark, location, s"${m.name}_${colName}_sidx",
+    val data = entries(source.scan(), colNames, pkCols)
+    val keyCols = lead +: pkCols
+    val idx = GraftTable.create(spark, location, s"${m.name}_${lead}_sidx",
       StructType(data.schema.fields.map(f =>
-        if (f.name == colName || pkCols.contains(f.name))
-          f.copy(nullable = false) else f)),
-      colName +: pkCols,
-      hash = Seq(HashComponent(Seq(colName), buckets)),
+        if (keyCols.contains(f.name)) f.copy(nullable = false) else f)),
+      keyCols,
+      hash = Seq(HashComponent(Seq(lead), buckets)),
       data = Some(data))
     idx.setProperties(Map(
       SrcLocKey -> Some(m.location),
-      ColKey -> Some(colName),
+      ColKey -> Some(colNames.mkString(",")),
       SrcVersionKey -> Some(srcVersion.toString)))
     // transparent serving: arm the point-predicate query rewrite by
     // default (exact-predicate-only and freshness-gated, so it can never
@@ -84,41 +126,66 @@ object SecondaryIndex {
   }
 
   /**
-   * Point lookup: the base rows whose indexed column equals any of
-   * `values`. The index probe carries an IN-list over the values (hash
-   * buckets prune), the collected key set is bounded by `maxKeys` (a
-   * lookup is a point read — an unbounded value is a scan, use the base
-   * table), and the base read pushes an IN-list over the first PK column
-   * (PK hash/range/zone pruning) with an exact key join behind it.
-   * `assertPrune = true` gates that the index probe opened at most half
-   * the index files (test/verification hook).
+   * Point lookup: the base rows whose LEAD indexed column equals any of
+   * `values`. Delegates to [[lookupWhere]] with an IN probe — hash buckets
+   * prune at the manifest before any file opens.
    */
   def lookup(spark: SparkSession, index: GraftTable, values: Seq[Any],
       maxKeys: Int = 100000, assertPrune: Boolean = false): DataFrame = {
     require(values.nonEmpty, "lookup needs at least one value")
-    val colName = index.properties(ColKey)
+    val lead = indexedCols(index.properties).head
+    lookupWhere(spark, index,
+      Seq(org.apache.spark.sql.sources.In(lead, values.toArray)),
+      col(lead).isin(values: _*), maxKeys, assertPrune)
+  }
+
+  /**
+   * Generalized lookup: the base rows whose index entry satisfies
+   * `probeCond` (a deterministic predicate over the indexed columns).
+   * `probeFilters` is the same predicate in source-filter form, pushed to
+   * the index scan for manifest-level pruning — IN over the lead prunes
+   * hash buckets; range/prefix filters prune per-file zone maps within
+   * them; trailing-column equalities prune their own zone maps. The
+   * collected key set is bounded by `maxKeys` (a lookup is a point read —
+   * an unbounded predicate is a scan, use the base table), and the base
+   * read pushes an IN-list over the first PK column (PK hash/range/zone
+   * pruning) with an exact key semi-join behind it.
+   *
+   * `pinned = Some((indexVersion, baseVersion))` pins BOTH reads for the
+   * serving rewrite: the probe scans the index AT `indexVersion` (whose
+   * rows are exactly `entries(source@watermark)`), and the base read scans
+   * `baseVersion` — so a commit or refresh landing mid-plan can never mix
+   * snapshots. `assertPrune = true` gates that the index probe opened at
+   * most half the index files (test/verification hook).
+   */
+  def lookupWhere(spark: SparkSession, index: GraftTable,
+      probeFilters: Seq[org.apache.spark.sql.sources.Filter],
+      probeCond: Column, maxKeys: Int = 100000,
+      assertPrune: Boolean = false,
+      pinned: Option[(Long, Long)] = None): DataFrame = {
     val src = GraftTable.load(spark, index.properties(SrcLocKey))
     val pkCols = src.meta.keyCols
-    val probeFilters: Seq[org.apache.spark.sql.sources.Filter] =
-      Seq(org.apache.spark.sql.sources.In(colName, values.toArray))
+    val indexV = pinned.map(_._1)
+    val baseV = pinned.map(_._2)
     if (assertPrune) {
+      val im = indexV.map(index.metaAt).getOrElse(index.meta)
       val kept = graft.sources.PartitionPruner.pruneFiles(
-        index.meta, index.meta.baseFiles, probeFilters)
-      val total = index.meta.baseFiles.length
+        im, im.baseFiles, probeFilters)
+      val total = im.baseFiles.length
       if (kept.length * 2 > total)
         throw new IllegalStateException(
-          s"index probe must prune hash buckets: kept ${kept.length} of " +
-            s"$total files for ${values.length} values")
+          s"index probe must prune: kept ${kept.length} of $total files " +
+            s"for ${probeFilters.mkString(", ")}")
     }
-    val hits = index.scanPruned(probeFilters)
-      .filter(col(colName).isin(values: _*))
+    val hits = index.scanPruned(probeFilters, indexV)
+      .filter(probeCond)
       .select(pkCols.map(col): _*)
       .limit(maxKeys + 1).collect()
     require(hits.length <= maxKeys,
-      s"lookup on $colName matched more than $maxKeys rows — not a point " +
-        "read; scan the base table instead")
+      s"lookup matched more than $maxKeys rows — not a point read; scan " +
+        "the base table instead")
     if (hits.isEmpty)
-      return src.scan().limit(0)
+      return src.scan(baseV).limit(0)
     val baseFilters: Seq[org.apache.spark.sql.sources.Filter] =
       Seq(org.apache.spark.sql.sources.In(pkCols.head,
         hits.map(_.get(0)).distinct.toArray))
@@ -126,7 +193,7 @@ object SecondaryIndex {
       spark.sparkContext.parallelize(hits.toSeq, 1),
       StructType(src.scan().select(pkCols.map(col): _*).schema
         .fields.map(_.copy(nullable = true)))))
-    src.scanPruned(baseFilters).join(keyDf, pkCols, "left_semi")
+    src.scanPruned(baseFilters, baseV).join(keyDf, pkCols, "left_semi")
   }
 
   /**
@@ -151,7 +218,9 @@ object SecondaryIndex {
    *
    * Returns false when the index is already current. If the source's
    * history GC expired the watermark version, the change read errors
-   * cleanly — rebuild with [[build]].
+   * cleanly — rebuild with [[build]]. (The GC itself floors its expiry at
+   * registered derived watermarks — GraftTable.expireVersions — so that
+   * error means the registration was removed or the GC predates it.)
    */
   def refresh(spark: SparkSession, index: GraftTable,
       maxPruneKeys: Int = 4096, assertPrune: Boolean = false): Boolean =
@@ -161,10 +230,11 @@ object SecondaryIndex {
     val v0 = p(SrcVersionKey).toLong
     val v1 = src.meta.version
     if (v1 == v0) return false
-    val colName = p(ColKey)
+    val colNames = indexedCols(p)
+    val lead = colNames.head
     val pkCols = src.meta.keyCols
     val changed = src.changesSince(v0, v1)
-      .select((colName +: pkCols).distinct.map(col) :+
+      .select((colNames ++ pkCols).distinct.map(col) :+
         col(GraftTable.DeletedCol): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -177,7 +247,7 @@ object SecondaryIndex {
         return true
       }
       val fresh = entries(changed.filter(!col(GraftTable.DeletedCol))
-        .drop(GraftTable.DeletedCol), colName, pkCols)
+        .drop(GraftTable.DeletedCol), colNames, pkCols)
       // the IN-list carries CURRENT-typed key values and prunes against
       // the v0 manifest's recorded bounds — sound because PK column types
       // can never change (widenColumnType refuses key and partition
@@ -207,11 +277,13 @@ object SecondaryIndex {
               s"(> $maxPruneKeys changed keys)")
           src.scan(Some(v0)).join(keys, pkCols, "left_semi")
         }
-      // the before-image entries the fresh set does not re-assert are
-      // stale (old value on rename, every entry of a deleted key); the
-      // txn allows one op per key and upsert covers re-asserted entries
-      val stale = entries(oldRows, colName, pkCols)
-        .join(fresh, colName +: pkCols, "left_anti")
+      // the before-image entries the fresh set does not re-assert BY KEY
+      // are stale (old lead value on rename, every entry of a deleted
+      // key); the anti-join is on the INDEX KEY (lead, pk…) — a trailing
+      // composite column changing value keeps the same key, so upsert
+      // alone covers it — and the txn allows one op per key
+      val stale = entries(oldRows, colNames, pkCols)
+        .join(fresh, lead +: pkCols, "left_anti")
       // the watermark rides the SAME atomic commit as the rows: the
       // before-image derivation above is only sound when index state and
       // watermark can never disagree (a refresh crashing between two

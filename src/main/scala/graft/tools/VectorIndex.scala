@@ -75,6 +75,10 @@ object VectorIndex {
    */
   def build(spark: SparkSession, source: GraftTable, idCol: String,
       vecCol: String, location: String, buckets: Int = 16): GraftTable = {
+    // back-pointer first (a marker file, no commit): from this moment the
+    // source's history GC floors its expiry at this index's watermark —
+    // see DerivedTables.register
+    DerivedTables.register(source, location)
     val m = source.meta
     require(m.column(idCol).dataType == LongType,
       s"vector index id column must be LONG, got ${m.column(idCol).dataType}")

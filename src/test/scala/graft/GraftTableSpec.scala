@@ -178,6 +178,37 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fork.maintain()) // nothing left to fold
   }
 
+  test("fork children block parent drop and retention until self-contained") {
+    val t = newKv(1 -> "a", 2 -> "b")
+    val fork = GraftTable.fork(spark, t, tmp())
+    // the parent KNOWS its children now: dropping it while the child still
+    // reads the parent's files by path refuses instead of corrupting
+    val e = intercept[IllegalStateException](GraftTable.drop(t.location))
+    assert(e.getMessage.contains("forked children"), e.getMessage)
+    // parent retention can run, but every file a live child's manifests
+    // reference survives — the child's reads stay exact afterwards
+    t.upsert(kv(1 -> "A"))
+    t.compact() // parent's own copy of the shared base is now superseded
+    t.upsert(kv(2 -> "B"))
+    t.expireVersions(retainLast = 1, olderThanMs = 0L)
+    assert(asMap(fork) == Map(1 -> "a", 2 -> "b"),
+      "parent retention must never reclaim files a live fork references")
+    assert(asMap(t) == Map(1 -> "A", 2 -> "B"))
+    // self-containment: the child compacts (own base under its location)
+    // and expires its history (the old manifests referencing parent files)
+    fork.upsert(kv(3 -> "c"))
+    fork.compact()
+    fork.expireVersions(retainLast = 1, olderThanMs = 0L)
+    // now the parent drops cleanly and the child keeps working
+    GraftTable.drop(t.location)
+    assert(asMap(fork) == Map(1 -> "a", 2 -> "b", 3 -> "c"))
+    // force bypasses the guard (documented escape hatch): a fresh pair
+    val t2 = newKv(9 -> "x")
+    GraftTable.fork(spark, t2, tmp())
+    GraftTable.drop(t2.location, force = true)
+    assert(!GraftTable.exists(t2.location))
+  }
+
   test("register existing parquet zero-copy and mutate via deltas") {
     val dir = tmp()
     kv(1 -> "a", 2 -> "b").write.parquet(s"$dir/raw")

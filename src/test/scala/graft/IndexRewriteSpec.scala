@@ -164,6 +164,139 @@ class IndexRewriteSpec extends AnyFunSuite {
     } finally IndexRewrite.disable(spark, idx.location)
   }
 
+  test("a non-indexed equality BEFORE the indexed one still serves (any armed conjunct, not the first servable)") {
+    val (t, idx) = mk()
+    try {
+      // v is an un-indexed equality and sits FIRST in the conjunction; the
+      // round-14 collectFirst picked it, found no index, and declined the
+      // whole rewrite — every servable conjunct is a candidate now
+      def q = t.scan().filter(col("v") === 3 && col("name") === "name_8")
+      assert(served(q, t),
+        s"the indexed conjunct must serve even when a non-indexed equality precedes it:\n${q.queryExecution.optimizedPlan}")
+      assert(rows(q).map(_(0)) == Set(8L)) // 8 % 5 == 3
+      // and the residual still filters: same shape, contradicting residual
+      assert(rows(t.scan().filter(col("v") === 4 && col("name") === "name_8")).isEmpty)
+    } finally IndexRewrite.disable(spark, idx.location)
+  }
+
+  test("range and prefix predicates on the indexed column serve through the index") {
+    val (t, idx) = mk()
+    try {
+      // BETWEEN (two conjuncts): the >= serves as the probe, the <= rides
+      // as residual; lexicographic on name_NN strings
+      def qr = t.scan().filter(col("name") >= "name_60" && col("name") <= "name_62")
+      assert(served(qr, t),
+        s"a range predicate on an indexed column must serve:\n${qr.queryExecution.optimizedPlan}")
+      assert(rows(qr).map(_(0)) == Set(60L, 61L, 62L))
+      // prefix — narrow (1 key) so the strict-subset plan assert is
+      // deterministic over 4 PK buckets
+      def qn = t.scan().filter(col("name").startsWith("name_19"))
+      assert(served(qn, t), "a prefix predicate must serve")
+      assert(rows(qn).map(_(0)) == Set(19L))
+      // broad prefix: rows stay exact whether or not the 11 matched keys
+      // leave a file unread (11 keys usually cover all 4 buckets)
+      def qp = t.scan().filter(col("name").startsWith("name_1"))
+      assert(rows(qp).map(_(0)) ==
+        (Set(1L) ++ (10L to 19L)), rows(qp).map(_(0)).toString)
+      // strict < alone
+      def ql = t.scan().filter(col("name") < "name_10")
+      assert(served(ql, t))
+      assert(rows(ql).map(_(0)) == Set(1L)) // only "name_1" sorts below
+      // stale decline applies to ranges exactly like points
+      t.upsert(Seq((61L, "renamed_61", 0L)).toDF("id", "name", "v"))
+      assert(!served(qr, t), "a STALE index must never serve a range")
+      assert(SecondaryIndex.refresh(spark, idx))
+    } finally IndexRewrite.disable(spark, idx.location)
+  }
+
+  test("an over-long IN-list keeps the scan plan and never plans a probe job") {
+    val (t, idx) = mk()
+    // count PROBE jobs only (call site inside SecondaryIndex) — planning a
+    // parquet scan runs its own footer/listing job either way, and that is
+    // not what this test bounds
+    @volatile var jobs = 0
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val names = js.stageInfos.map(_.name).mkString("|")
+        if (names.contains("SecondaryIndex")) {
+          jobs += 1
+          seen.add(names)
+        }
+      }
+    }
+    try {
+      spark.conf.set("graft.sindex.rewriteMaxKeys", "5")
+      // positive control first: a servable query's PLANNING runs the probe
+      // job, proving the listener observes plan-time jobs at all
+      spark.sparkContext.addSparkListener(listener)
+      t.scan().filter(col("name") === "name_3").queryExecution.optimizedPlan
+      Thread.sleep(500)
+      assert(jobs > 0, "control: a served rewrite must run a plan-time probe job")
+      // 12 literals > rewriteMaxKeys(5): the candidate is discarded BEFORE
+      // any probe plan is built — no job, scan plan kept. (The sleep above
+      // also drains the control's async listener events before the reset.)
+      Thread.sleep(500)
+      jobs = 0
+      seen.clear()
+      val vals = (1 to 12).map(i => s"name_$i")
+      def q = t.scan().filter(col("name").isin(vals: _*))
+      assert(!served(q, t),
+        "an IN-list longer than rewriteMaxKeys must keep the scan plan")
+      Thread.sleep(300)
+      assert(jobs == 0,
+        s"an over-long IN-list must never plan a probe job (saw $jobs: " +
+          seen.toArray.mkString("; ") + ")")
+      assert(rows(q).size == 12)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset("graft.sindex.rewriteMaxKeys")
+      IndexRewrite.disable(spark, idx.location)
+    }
+  }
+
+  test("composite index: lead-only and lead+trailing conjunctions serve; trailing-only keeps the scan") {
+    val data = (1L to 64L).map(i => (i, s"name_$i", s"grp_${i % 4}"))
+      .toDF("id", "name", "grp")
+    val t = GraftTable.create(spark, tmp(), "idxrw_comp", data.schema,
+      Seq("id"), Seq(HashComponent(Seq("id"), 4)), data = Some(data))
+    val idx = SecondaryIndex.build(spark, t, Seq("name", "grp"), tmp(),
+      buckets = 8)
+    try {
+      // lead-only equality serves (trailing columns are payload, so a
+      // lead probe is complete — no prefix-soundness hazard)
+      def q1 = t.scan().filter(col("name") === "name_9")
+      assert(served(q1, t), "lead-only equality must serve")
+      assert(rows(q1).map(_(0)) == Set(9L))
+      // lead + trailing equality: the trailing conjunct pushes into the
+      // probe AND re-applies as residual — exact either way
+      def q2 = t.scan().filter(
+        col("name").isin("name_8", "name_16") && col("grp") === "grp_0")
+      assert(served(q2, t), "lead+trailing conjunction must serve")
+      assert(rows(q2).map(_(0)) == Set(8L, 16L))
+      def q3 = t.scan().filter(
+        col("name").isin("name_8", "name_16") && col("grp") === "grp_1")
+      assert(rows(q3).isEmpty, "the trailing equality must filter exactly")
+      // trailing-only predicates keep the scan (no lead probe → no bucket
+      // pruning; conservative by design)
+      assert(!served(t.scan().filter(col("grp") === "grp_2"), t))
+      // refresh covers a trailing-value change (same index KEY, upsert
+      // rewrites the payload); compact + catch-up refresh returns the base
+      // to a clean snapshot so the DSv1 recognizer serves again (the dirty
+      // interval is covered by the V2-path test in the first suite case)
+      t.upsert(Seq((8L, "name_8", "grp_X")).toDF("id", "name", "grp"))
+      assert(SecondaryIndex.refresh(spark, idx))
+      t.compact()
+      assert(SecondaryIndex.refresh(spark, idx)) // watermark catch-up
+      def q4 = t.scan().filter(col("name") === "name_8" && col("grp") === "grp_X")
+      assert(served(q4, t), "a refreshed composite index must serve")
+      assert(rows(q4).map(_(0)) == Set(8L))
+      assert(rows(t.scan().filter(
+        col("name") === "name_8" && col("grp") === "grp_0")).isEmpty)
+    } finally IndexRewrite.disable(spark, idx.location)
+  }
+
   test("an index built in one session serves in a NEW session with zero explicit enables") {
     val (t, idx) = mk()
     try {

@@ -81,6 +81,47 @@ class VersionExpirySpec extends AnyFunSuite {
     assert(t.expireVersions(retainLast = 10, olderThanMs = 0L).isEmpty)
   }
 
+  test("retention floors at a registered derived table's watermark — a stale derived table never forces a rebuild") {
+    val loc = Files.createTempDirectory("graft-expfloor-").toString
+    val df = (1L to 200L).map(i => (i, s"n_$i", i % 7)).toDF("k", "name", "v")
+    val t = GraftTable.create(spark, loc, "expfloor", df.schema, Seq("k"),
+      Seq(HashComponent(Seq("k"), 2)), data = Some(df)) // v1
+    val idx = graft.tools.SecondaryIndex.build(spark, t,
+      "name", Files.createTempDirectory("graft-expfloor-i-").toString)
+    try {
+      // watermark = 1; now the base moves on while the index misses every
+      // refresh tick (session down / index in another warehouse)
+      t.upsert(Seq((3L, "renamed_3", 0L)).toDF("k", "name", "v")) // v2
+      t.deleteWhere(col("k") === 9) // v3
+      t.compact() // v4
+      t.upsert(Seq((4L, "renamed_4", 1L)).toDF("k", "name", "v")) // v5
+      // aggressive retention: without the floor this expires v1 (the
+      // watermark) and the next refresh can only error into a rebuild
+      t.expireVersions(retainLast = 1, olderThanMs = 0L)
+      assert(Files.exists(Paths.get(loc, "_graft", "v1.json")),
+        "the derived watermark version must survive ANY retention")
+      // the refresh still lands (CDC from v1), and serving is exact
+      assert(graft.tools.SecondaryIndex.refresh(spark, idx))
+      val hit = graft.tools.SecondaryIndex.lookup(spark, idx,
+        Seq("renamed_3", "n_9", "n_5")).collect()
+      assert(hit.map(_.getLong(0)).toSet == Set(3L, 5L), hit.mkString(","))
+      // once the index is current, the floor advances and expiry proceeds
+      val gone2 = t.expireVersions(retainLast = 1, olderThanMs = 0L)
+      assert(gone2.nonEmpty, "a current derived table must not block expiry")
+      assert(!Files.exists(Paths.get(loc, "_graft", "v1.json")),
+        "past the watermark the old versions expire normally")
+      // dead registration: drop the index → the marker cleans up on the
+      // next expiry and no floor remains
+      GraftTable.drop(idx.location)
+      t.upsert(Seq((5L, "renamed_5", 2L)).toDF("k", "name", "v"))
+      t.expireVersions(retainLast = 1, olderThanMs = 0L)
+      assert(!Files.isDirectory(Paths.get(loc, "_derived")) ||
+        scala.util.Using.resource(Files.list(Paths.get(loc, "_derived")))(
+          s => !s.iterator().hasNext),
+        "a dropped derived table's marker must clean up")
+    } finally GraftTable.drop(idx.location, force = true)
+  }
+
   test("scheduler runs history GC when a retention is configured") {
     val wh = Files.createTempDirectory("graft-expire3-").toString
     val df = (1 to 80).map(i => (i.toLong, i)).toDF("k", "v")
