@@ -176,6 +176,23 @@ object TextFunctions {
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Int8 residual code of `v` against its cell centroid `cv` — the
+    * 1-byte-per-dimension PQ sidecar the vector index stores (see
+    * expressions.ResidualCode; integer-exact, p15's quantizer). */
+  def pqCode(v: Column, cv: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    toColumn(graft.functions.expressions.ResidualCode(
+      toExpression(v), toExpression(cv)))
+  }
+
+  /** ADC dot of a 2^20 fixed-point query vector against an int8 residual
+    * code (see expressions.AdcDot) — the code-only candidate ranking. */
+  def adcDot(qz: Column, code: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    toColumn(graft.functions.expressions.AdcDot(
+      toExpression(qz), toExpression(code)))
+  }
+
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 

@@ -56,14 +56,20 @@ object VectorIndex {
 
   /** Nearest-centroid cell per vector: max dot, ties to the lowest cell —
     * a map-side-combinable max_by, never a row_number shuffle of the
-    * n×cells cross product. */
+    * n×cells cross product. Every assignment also carries the row's int8
+    * PQ residual code against its winning centroid (65 B/vector with the
+    * cell id) — the RAM-resident candidate ranking [[probePq]] reads
+    * instead of raw vectors, kept current by the same refresh that moves
+    * the row. */
   private def assigned(vecs: DataFrame, idCol: String, cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents))
       .withColumn("d", dot(col("v"), col("cv")))
       .groupBy(col(idCol))
-      .agg(max_by(col("cell"), struct(col("d"), (-col("cell")).cast("double"))).as("cell"),
+      .agg(max_by(struct(col("cell"), col("cv")),
+          struct(col("d"), (-col("cell")).cast("double"))).as("best"),
         first(col("v")).as("v"))
-      .select(col("cell"), col(idCol), col("v"))
+      .select(col("best.cell").as("cell"), col(idCol), col("v"),
+        graft.functions.TextFunctions.pqCode(col("v"), col("best.cv")).as("code"))
 
   /**
    * Build the index beside `source` (any engine table with an integral id
@@ -102,7 +108,8 @@ object VectorIndex {
         StructType(Seq(
           StructField("cell", LongType, nullable = false),
           StructField(idCol, LongType, nullable = false),
-          StructField("v", ArrayType(DoubleType), nullable = true))),
+          StructField("v", ArrayType(DoubleType), nullable = true),
+          StructField("code", BinaryType, nullable = true))),
         Seq("cell", idCol),
         hash = Seq(HashComponent(Seq("cell"), buckets)),
         data = Some(assigned(vecs, idCol, cents)))
@@ -166,6 +173,83 @@ object VectorIndex {
       .filter(col("query_id") =!= col(idCol))
       .withColumn("c", dot(col("qv"), col("v")))
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("c"))
+      .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /**
+   * ADC probe over the stored PQ codes — the RAM-resident path for a
+   * 100 TB embedding corpus: the candidate stage reads (cell, id, code)
+   * ONLY — 65 B/vector instead of the 512 B raw vector, an 8× I/O and
+   * memory cut Spark's column pruning enforces at the parquet scan — and
+   * ranks by the integer-exact quantized score `qz·cz + (qz·code)·2^14`
+   * (p15's contract: all int64, no float-summation knife edge). The top
+   * `k·rerank` survivors per query then load their RAW vectors through a
+   * second (cell,id)-semi-joined pruned read and re-rank by exact dot, so
+   * the returned top-k differs from [[probe]] only when a true neighbor's
+   * quantized score falls outside the survivor set — recall is gated in
+   * VectorIndexSpec. Same cell pruning as [[probe]]: the IN-list over the
+   * batch's probed cells drops whole hash-bucket file groups; cell choice
+   * uses the integer dots too.
+   */
+  def probePq(spark: SparkSession, index: GraftTable, queries: DataFrame,
+      nProbe: Int = 2, k: Int = 3, rerank: Int = 4,
+      assertPrune: Boolean = false): DataFrame = {
+    val idCol = index.properties(IdColKey)
+    val quant = (c: Column) =>
+      transform(c, x => floor(x * graft.functions.TextFunctions.QuantScale).cast("long"))
+    val idot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val cents = centroids(spark, index).withColumn("cz", quant(col("cv")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("d").desc, col("cell"))
+    // per-(query, cell) quantized frame is tiny (queries × nProbe): the
+    // query-centroid dot computes ONCE here and rides the broadcast — the
+    // per-candidate hot loop below is only the codegen'd ADC byte dot
+    val probeCells = queries.withColumn("qz", quant(col("qv")))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", idot(col("qz"), col("cz")))
+      .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qz"), col("cell"),
+        col("d").as("qc"))
+    val cells = probeCells.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val filters: Seq[org.apache.spark.sql.sources.Filter] =
+      Seq(org.apache.spark.sql.sources.In("cell", cells.map(c => c: Any)))
+    if (assertPrune) {
+      val kept = graft.sources.PartitionPruner.pruneFiles(
+        index.meta, index.meta.baseFiles, filters)
+      val total = index.meta.baseFiles.length
+      if (kept.length * 2 > total)
+        throw new IllegalStateException(
+          s"index probe must prune hash buckets: kept ${kept.length} of " +
+            s"$total files for ${cells.length} probed cells")
+    }
+    val topR = math.max(k, k * rerank)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    // candidate stage: codes only — `v` must NOT appear here, so column
+    // pruning keeps raw vectors out of the scan (spec-asserted)
+    val cand = index.scanPruned(filters)
+      .select(col("cell"), col(idCol), col("code"))
+      .join(broadcast(probeCells.select("query_id", "qz", "cell", "qc")), "cell")
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("score", col("qc") +
+        graft.functions.TextFunctions.adcDot(col("qz"), col("code")) * lit(16384L))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cell"),
+        col("score"))
+      .withColumn("r", row_number().over(wAdc)).filter(col("r") <= topR)
+      .select("query_id", "neighbor_id", "cell")
+    // survivors' raw vectors load through a second pruned read (semi-join
+    // on the index key) and re-rank by exact dot
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("neighbor_id"))
+    index.scanPruned(filters)
+      .select(col("cell"), col(idCol).as("neighbor_id"), col("v"))
+      .join(broadcast(cand), Seq("cell", "neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+      .withColumn("c", dot(col("qv"), col("v")))
+      .select(col("query_id"), col("neighbor_id"), col("c"))
       .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }

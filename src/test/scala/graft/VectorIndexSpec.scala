@@ -58,6 +58,55 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(got == expectedTopK(idx, Seq(0L, 1L), nProbe = 2, k = 3))
   }
 
+  test("probePq: candidate stage reads codes not vectors; recall gated; refresh keeps codes current") {
+    val (src, idx) = freshPair()
+    val queries = idx.scan().filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val pq = VectorIndex.probePq(spark, idx, queries, nProbe = 2, k = 3,
+      rerank = 4, assertPrune = true)
+    val got = pq.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the candidate stage's index scan must read the 65 B/vector codes
+    // WITHOUT the raw vectors (column pruning reaches the parquet scan);
+    // the re-rank stage reads `v` for survivors only — both visible as
+    // distinct ReadSchema lines in the executed plan
+    val ex = pq.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val schemas = ex.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.exists(l => l.contains("code:binary") && !l.contains("v:array")),
+      s"candidate stage must scan codes without raw vectors:\n${schemas.mkString("\n")}")
+    assert(schemas.exists(l => l.contains("v:array") && !l.contains("code:binary")),
+      s"re-rank stage must scan raw vectors without codes:\n${schemas.mkString("\n")}")
+    // recall vs the exact-within-cells top-k: the exact re-rank of the
+    // top-R quantized survivors loses a neighbor only when its ADC score
+    // falls outside R — gate well above chance, expect near-1.0
+    val want = expectedTopK(idx, Seq(0L, 1L), nProbe = 2, k = 3)
+      .map(t => (t._1, t._2)).toSet
+    val recall = want.intersect(got).size.toDouble / want.size
+    assert(recall >= 0.8, s"recall $recall: got $got want $want")
+
+    // refresh keeps codes current: re-vector a band, refresh, then every
+    // index row's stored code must equal the recomputation from its raw
+    // vector and its cell's frozen centroid
+    import spark.implicits._
+    src.upsert(src.scan().filter(col("vec_id") % 11 === 3)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> cast(-x as float))")))
+    src.insert(Seq((2000L, Array.tabulate(64)(d => ((d * 13) % 23 - 11).toFloat)))
+      .toDF("vec_id", "embedding"))
+    assert(VectorIndex.refresh(spark, idx))
+    val cents = VectorIndex.centroids(spark, idx)
+      .select(col("cell"), col("cv"))
+    val stale = idx.scan().join(cents, "cell")
+      .withColumn("want",
+        graft.functions.TextFunctions.pqCode(col("v"), col("cv")))
+      .filter(!(col("code") <=> col("want")))
+    assert(stale.count() == 0,
+      s"refresh must keep PQ codes current: ${stale.take(3).mkString(";")}")
+    // and the probe still serves post-refresh
+    assert(VectorIndex.probePq(spark, idx, queries, nProbe = 2, k = 3)
+      .count() == 6)
+  }
+
   test("refresh is incremental: one txn version, moved cells, dead rows gone") {
     val (src, idx) = freshPair()
     val v0 = idx.meta.version
