@@ -522,18 +522,21 @@ private[v2] object GraftProcedures {
             str(r.properties(graft.tools.MaterializedRollup.SrcLocKey))))
         })
       case "build_secondary_index" => Some(proc("build_secondary_index",
-        "build a maintained secondary index on a non-key column: an engine " +
-          "table keyed (value, pk) hash-partitioned on the value, so " +
-          "equality/IN probes prune to the value's buckets; " +
-          "refresh_secondary_index keeps it current from the change stream",
+        "build a maintained secondary index on non-key columns (comma-" +
+          "separated, lead first): an engine table keyed (lead, pk) " +
+          "hash-partitioned on the lead — equality/IN probes prune to the " +
+          "lead's buckets, trailing columns ride as payload for composite " +
+          "conjunctions; refresh_secondary_index keeps it current from " +
+          "the change stream",
         Array(tableParam,
           ProcedureParameter.in("col", StringType).build(),
           ProcedureParameter.in("index_location", StringType).build(),
           ProcedureParameter.in("buckets", IntegerType).defaultValue("16").build()),
         new StructType().add("location", StringType).add("entries", LongType)) { in =>
+          val cols = in.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
           val idx = graft.tools.SecondaryIndex.build(spark, locate(in),
-            in.getUTF8String(1).toString, in.getUTF8String(2).toString,
-            in.getInt(3))
+            cols, in.getUTF8String(2).toString, in.getInt(3))
           Seq(InternalRow(str(idx.location), idx.scan().count()))
         })
       case "refresh_secondary_index" => Some(proc("refresh_secondary_index",

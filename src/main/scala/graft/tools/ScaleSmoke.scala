@@ -237,6 +237,24 @@ object ScaleSmoke {
         nProbe = 2, k = 3, assertPrune = true).collect()
       require(got.length == 18, s"probe must rank 3 per query, got ${got.length}")
     }
+    // PQ probe at the same scale: the candidate ranking reads ONLY the
+    // stored 1-byte-per-dim codes (the RAM-resident posture — raw vectors
+    // are 8x the bytes and load for the top-R survivors' exact re-rank
+    // alone); recall vs the exact probe is recorded as a stat, the same
+    // assertPrune cell contract applies
+    timed("ann_pq_probe") {
+      val queries = annIdx.scan().filter(col("id") < 6)
+        .select(col("id").as("query_id"), col("v").as("qv"))
+      val exact = VectorIndex.probe(spark, annIdx, queries,
+        nProbe = 2, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pq = VectorIndex.probePq(spark, annIdx, queries,
+        nProbe = 2, k = 3, rerank = 4, assertPrune = true).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(pq.size == exact.size, s"pq probe must rank k per query")
+      stats += "ann_pq_recall_pct" ->
+        (exact.intersect(pq).size * 100L / exact.size)
+    }
     timed("ann_refresh") {
       annSrc.upsert(vecs.filter(pmod(col("id"), lit(100)) === 7)
         .withColumn("emb", expr("transform(emb, x -> cast(-x as float))")))
@@ -311,6 +329,27 @@ object ScaleSmoke {
         "the before-image entry must tombstone")
       require(SecondaryIndex.lookup(spark, sidx, Seq(-1L)).collect()
         .exists(_.getLong(1) == 12345L), "the fresh entry must serve")
+    }
+    // RANGE lookup through the index at scale: under the hash(value)
+    // layout a bucket's files each span the FULL value domain (the
+    // intra-tablet writer splits by key hash), so range probes need the
+    // index Z-CLUSTERED on (value, pk) first — then every index file
+    // covers a tight value slab and a narrow BETWEEN opens only the
+    // overlapping slice of each bucket (assertPrune: ≤ half). This is the
+    // deployment recipe COVERAGE documents for range-heavy workloads; the
+    // point-probe path above needs none of it (hash buckets prune).
+    timed("sindex_range_lookup") {
+      // 256 files / 16 buckets = 16 z-files per bucket → ~4 value slabs
+      // per bucket (z interleaves v and id bits), so a narrow range keeps
+      // ~1/4 of the files — comfortably inside the ≤-half assert
+      sidx.cluster(Seq("v", "id"), nFiles = 256)
+      stats += "sindex_clustered_files" -> sidx.meta.baseFiles.length.toLong
+      val hits = SecondaryIndex.lookupWhere(spark, sidx,
+        Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("v", probeV - 20L),
+          org.apache.spark.sql.sources.LessThanOrEqual("v", probeV + 20L)),
+        col("v") >= (probeV - 20L) && col("v") <= (probeV + 20L),
+        assertPrune = true).collect()
+      require(hits.nonEmpty, s"range lookup around $probeV must find rows")
     }
     timed("sindex_rewrite_point") {
       // the TRANSPARENT path at scale: a plain equality filter on the

@@ -22,12 +22,17 @@ import graft.table.GraftTable
  *     probe further (trailing equalities evaluate on the pruned index rows
  *     and their zone maps prune files within the lead's buckets);
  *   - RANGE and PREFIX probes on the lead column serve through the index's
- *     per-file zone maps: within a hash bucket the index rows are PK-sorted,
- *     i.e. VALUE-sorted, so at scale each bucket's many files each cover a
- *     narrow value interval and a `BETWEEN`/`>=`/`startsWith` probe opens
- *     only the overlapping slice of every bucket (the reference can range-
- *     scan key columns only — tablet/cfile_set.cc:396
- *     PushdownRangeScanPredicate; this extends that to non-key columns);
+ *     per-file zone maps. How much the probe prunes depends on whether the
+ *     index files are VALUE-clustered: the default writer splits a
+ *     bucket's files by key hash (full-domain files — a range probe scans
+ *     the index, still bounded by the lookup contract and still far
+ *     cheaper than scanning the base), while `cluster(Seq(value, pk…))`
+ *     on the index table rewrites every file into a tight value slab and
+ *     a narrow `BETWEEN`/`>=`/`startsWith` then opens only the
+ *     overlapping slice of each bucket (ScaleSmoke's sindex_range_lookup
+ *     rung asserts it). The reference can range-scan key columns only —
+ *     tablet/cfile_set.cc:396 PushdownRangeScanPredicate; this extends
+ *     that to non-key columns;
  *   - a lookup probes the index for the matching primary keys (a bounded,
  *     point-read-sized set by contract), then reads the base through its
  *     OWN key layout — PK hash/range pruning + zone maps (S8) — so both
