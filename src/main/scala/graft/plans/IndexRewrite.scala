@@ -350,10 +350,17 @@ object IndexRewrite extends Rule[LogicalPlan] {
       case e: Exception =>
         // never block the query — but never silently either: a
         // persistently sick index degrading every point query to a full
-        // scan must leave a trail (contract declines like the maxKeys
-        // bound land here too; they are cheap and rare by construction)
-        logWarning(s"index rewrite via $indexLoc declined after error; " +
-          s"keeping the scan plan: ${e.getMessage}")
+        // scan must leave a trail. The lookup contract's own decline (a
+        // predicate matching more than rewriteMaxKeys keys is a scan, not
+        // a point read) is expected planner traffic and logs at info;
+        // everything else (corrupt index, lost executor) warns.
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        if (msg.contains("matched more than"))
+          logInfo(s"index rewrite via $indexLoc declined (probe over " +
+            s"rewriteMaxKeys); keeping the scan plan")
+        else
+          logWarning(s"index rewrite via $indexLoc declined after error; " +
+            s"keeping the scan plan: $msg")
         None
     } finally busy.set(false)
   }

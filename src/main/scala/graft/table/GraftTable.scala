@@ -905,11 +905,24 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       // tick (session down, index in another warehouse) turns the next
       // refresh into a forced full rebuild. Registrations whose table is
       // gone or re-pointed are dead: drop the marker, ignore the floor.
+      val regNowMs = System.currentTimeMillis()
       val derivedFloor = graft.tools.DerivedTables.registered(location)
         .flatMap { d =>
-          val w = graft.tools.DerivedTables.watermarkFor(d, location)
-          if (w.isEmpty) graft.tools.DerivedTables.deregister(location, d)
-          w
+          graft.tools.DerivedTables.watermarkFor(d, location).orElse {
+            // no answerable watermark: a dropped derived table, a foreign
+            // rebuild — or a build IN FLIGHT that registered its marker
+            // but has not committed its watermark property yet. The
+            // marker's recorded registration-time version floors while
+            // the marker is younger than this tick's own age grace
+            // (versions younger than olderThanMs never expire anyway, so
+            // the same clock bounds a build's protection window); past
+            // the grace the registration is dead and cleans.
+            val floor = graft.tools.DerivedTables.markerFloor(location, d)
+              .collect { case (v, mtime)
+                  if regNowMs - mtime <= math.max(0L, olderThanMs) => v }
+            if (floor.isEmpty) graft.tools.DerivedTables.deregister(location, d)
+            floor
+          }
         }.foldLeft(Long.MaxValue)(math.min)
       val keep = onDisk.takeRight(math.max(1, retainLast)).toSet + m.version
       val cutoffTs = System.currentTimeMillis() - math.max(0L, olderThanMs)

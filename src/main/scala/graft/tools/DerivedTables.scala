@@ -36,11 +36,33 @@ object DerivedTables {
     java.nio.file.Paths.get(sourceLoc, RegDir,
       java.net.URLEncoder.encode(derivedLoc, "UTF-8"))
 
-  /** Record `derivedLoc` as a derived table of `source` (idempotent). */
+  /** Record `derivedLoc` as a derived table of `source` (idempotent). The
+    * marker also records the source version current AT REGISTRATION: until
+    * the build commits its watermark property, the derived table cannot
+    * answer [[watermarkFor]], and a long build racing an aggressive
+    * retention tick would otherwise lose the very version it is about to
+    * record — the GC honors this recorded floor while the marker is
+    * younger than the tick's own age grace (see GraftTable.expireVersions). */
   private[graft] def register(source: GraftTable, derivedLoc: String): Unit = {
     val f = regFile(source.location, derivedLoc)
     java.nio.file.Files.createDirectories(f.getParent)
-    java.nio.file.Files.write(f, derivedLoc.getBytes("UTF-8"))
+    java.nio.file.Files.write(f,
+      s"$derivedLoc\n${source.meta.version}".getBytes("UTF-8"))
+  }
+
+  /** The floor version recorded in the marker at registration time (absent
+    * for markers written before this field existed). */
+  private[graft] def markerFloor(sourceLoc: String,
+      derivedLoc: String): Option[(Long, Long)] = {
+    val f = regFile(sourceLoc, derivedLoc)
+    if (!java.nio.file.Files.exists(f)) return None
+    val lines = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      .split("\n")
+    for {
+      v <- lines.lift(1).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      mtime <- scala.util.Try(
+        java.nio.file.Files.getLastModifiedTime(f).toMillis).toOption
+    } yield (v, mtime)
   }
 
   /** The derived-table locations registered beside `sourceLoc`. */

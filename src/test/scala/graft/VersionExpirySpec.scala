@@ -122,6 +122,47 @@ class VersionExpirySpec extends AnyFunSuite {
     } finally GraftTable.drop(idx.location, force = true)
   }
 
+  test("a build in flight (marker without watermark yet) floors retention for its grace window") {
+    val loc = Files.createTempDirectory("graft-expbuild-").toString
+    val df = (1L to 50L).map(i => (i, i * 2)).toDF("k", "v")
+    val t = GraftTable.create(spark, loc, "expbuild", df.schema, Seq("k"),
+      data = Some(df)) // v1
+    t.upsert(Seq((1L, 100L)).toDF("k", "v")) // v2
+    t.compact() // v3
+    // an index build starts HERE: it registers its marker (recording the
+    // current version 3) and will scan v3 — but its watermark property
+    // does not exist until the build finishes, maybe much later
+    val pendingIdx = Files.createTempDirectory("graft-expbuild-i-").toString + "/idx"
+    graft.tools.DerivedTables.register(t, pendingIdx)
+    t.upsert(Seq((2L, 200L)).toDF("k", "v")) // v4
+    t.upsert(Seq((3L, 300L)).toDF("k", "v")) // v5
+    // age every manifest 2h so the retention's age gate passes everywhere
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.list(Paths.get(loc, "_graft"))) { s =>
+      s.iterator().asScala.filter(_.getFileName.toString.matches("v\\d+\\.json"))
+        .foreach { p =>
+          val aged = Files.readString(p).replaceAll(
+            "\"timestampMs\"\\s*:\\s*\\d+",
+            s""""timestampMs":${System.currentTimeMillis() - 7200_000L}""")
+          Files.writeString(p, aged)
+        }
+    }
+    // a retention tick with a 1h grace: the young marker's recorded floor
+    // (v3) must survive even though every manifest is old enough
+    t.expireVersions(retainLast = 1, olderThanMs = 3600_000L)
+    assert(Files.exists(Paths.get(loc, "_graft", "v3.json")),
+      "an in-flight build's registration-time version must survive")
+    assert(!Files.exists(Paths.get(loc, "_graft", "v1.json")),
+      "versions below the marker floor still expire")
+    // a zero-grace tick treats the (older-than-grace) marker as dead:
+    // it cleans, and the floor lifts
+    t.expireVersions(retainLast = 1, olderThanMs = 0L)
+    assert(!Files.exists(Paths.get(loc, "_graft", "v3.json")),
+      "past the grace a watermark-less marker is dead and expiry proceeds")
+    assert(scala.util.Using.resource(Files.list(Paths.get(loc, "_derived")))(
+      s => !s.iterator().hasNext), "the dead marker must clean up")
+  }
+
   test("scheduler runs history GC when a retention is configured") {
     val wh = Files.createTempDirectory("graft-expire3-").toString
     val df = (1 to 80).map(i => (i.toLong, i)).toDF("k", "v")
