@@ -1470,6 +1470,31 @@ object Pipeline {
         .orderBy("query_id", "rank")
     }),
 
+    "p48_ann_pq_serve" -> ((s, dir) => {
+      // The persisted index's PQ SERVING path end to end (p38 proves the
+      // exact probe; this proves the production one): candidates rank by
+      // the integer-exact ADC score over the STORED 65 B/vector codes —
+      // the scan reads (cell, id, code) only, raw vectors stay on disk —
+      // then the top k·rerank survivors re-rank by exact dot. Probe-cell
+      // choice is integer too (p15's contract), so every stage is
+      // deterministic and the oracle replicates it stage for stage:
+      // double-dot cell ASSIGNMENT (what build persisted), integer
+      // probe/ADC, exact re-rank. Shares p38's memoized index build.
+      val loc = annIndexLoc.computeIfAbsent(dir, _ => {
+        graft.tools.VectorIndex.build(s,
+          Tables.readonly(s, dir, "embeddings"), "vec_id", "embedding",
+          java.nio.file.Files.createTempDirectory("graft-p38-").toString
+            + "/idx").location
+      })
+      val idx = graft.table.GraftTable.load(s, loc)
+      val queries = cachedNormVecs(s, dir).filter(col("vec_id") < 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      graft.tools.VectorIndex
+        .probePq(s, idx, queries, nProbe = 2, k = 3, rerank = 4,
+          assertPrune = true)
+        .orderBy("query_id", "rank")
+    }),
+
     "p42_knn_join" -> ((s, dir) => {
       // Batch k-NN JOIN — every vector's nearest neighbor within its IVF
       // cell (the SemDeDup cluster-local 1-NN that drives keep/drop
@@ -2103,6 +2128,38 @@ object Pipeline {
         "FROM probe JOIN asg a USING (cell) WHERE query_id <> a.vec_id) " +
         "SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank FROM (" +
         "SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn FROM p) " +
+        "WHERE rn <= 3 ORDER BY query_id, rank"),
+
+    // the PQ serving path stage for stage: double-dot cell assignment
+    // (what VectorIndex.build persisted — p38's asg), integer probe-cell
+    // choice and ADC candidate scoring over the stored residual codes
+    // (p15's quantizer), exact-dot re-rank of the top k*rerank=12
+    // survivors. Every stage deterministic → hash-exact.
+    "p48_ann_pq_serve" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 FROM embeddings),\n" +
+        "n AS (SELECT vec_id, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e),\n" +
+        s"z AS (SELECT vec_id, v, ${quantSql("v")} AS z FROM n),\n" +
+        "mm AS (SELECT greatest(CAST(ceil(sqrt(count(*))) AS BIGINT), " +
+        "CAST(ceil(count(*) / 4096.0) AS BIGINT), CAST(1 AS BIGINT)) AS m FROM embeddings),\n" +
+        "c AS (SELECT vec_id AS cell, v AS cv, z AS cz FROM z, mm WHERE vec_id % mm.m = 5 % mm.m),\n" +
+        "asg AS (SELECT vec_id, v, cell, cv FROM (" +
+        "SELECT n.vec_id, n.v, c.cell, c.cv, row_number() OVER (PARTITION BY n.vec_id " +
+        "ORDER BY list_dot_product(n.v, c.cv) DESC, c.cell) AS rn FROM n CROSS JOIN c) WHERE rn = 1),\n" +
+        "codes AS (SELECT vec_id, cell, v, list_transform(generate_series(1, 64), " +
+        "i -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), " +
+        "CAST(floor((v[i] - cv[i]) * 64.0) AS BIGINT)))) AS code FROM asg),\n" +
+        "probe AS (SELECT query_id, qv, qz, cell, qc FROM (" +
+        s"SELECT z.vec_id AS query_id, z.v AS qv, z.z AS qz, c.cell, " +
+        s"${idotSql("z.z", "c.cz")} AS qc, row_number() OVER (PARTITION BY z.vec_id " +
+        s"ORDER BY ${idotSql("z.z", "c.cz")} DESC, c.cell) AS rn FROM z CROSS JOIN c WHERE z.vec_id < 2) WHERE rn <= 2),\n" +
+        "cand AS (SELECT query_id, neighbor_id, qv, nv FROM (" +
+        "SELECT query_id, codes.vec_id AS neighbor_id, probe.qv, codes.v AS nv, " +
+        s"row_number() OVER (PARTITION BY query_id ORDER BY " +
+        s"probe.qc + ${idotSql("probe.qz", "codes.code")} * 16384 DESC, codes.vec_id) AS rn " +
+        "FROM probe JOIN codes USING (cell) WHERE query_id <> codes.vec_id) WHERE rn <= 12) " +
+        "SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank FROM (" +
+        "SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY list_dot_product(qv, nv) DESC, neighbor_id) AS rn FROM cand) " +
         "WHERE rn <= 3 ORDER BY query_id, rank"),
 
     "p42_knn_join" ->

@@ -773,8 +773,12 @@ class FuzzSpec extends AnyFunSuite {
   /** Derived-table chaos: a materialized ROLLUP and a SECONDARY INDEX over
     * one mutating base, maintained by explicit refresh calls RACING the
     * real background scheduler (25 ms per-table ticks running
-    * DerivedTables.refreshIfStale) across random upserts, deletes, and
-    * base compactions (the changesSince snapshot-diff fallback boundary).
+    * DerivedTables.refreshIfStale) across random upserts, deletes, base
+    * compactions (the changesSince snapshot-diff fallback boundary), and
+    * MAXIMALLY AGGRESSIVE history retention (expireVersions(1, 0) — the
+    * GC floor at registered derived watermarks is what keeps every
+    * refresh viable; without it this mix throws "expired" into the ticks
+    * and the quiesced drain crashes into a rebuild).
     * The invariant is watermark-relative, so it holds mid-storm: each
     * derived table equals a from-scratch derivation of the base AT ITS
     * RECORDED WATERMARK. A refresh between its data commit and its
@@ -832,7 +836,7 @@ class FuzzSpec extends AnyFunSuite {
         val g = s"g${rnd.nextInt(4)}"
         val k = rnd.nextInt(40).toLong + 1
         val v = rnd.nextInt(1000).toLong
-        rnd.nextInt(10) match {
+        rnd.nextInt(11) match {
           case 0 | 1 | 2 | 3 =>
             base.upsert(Seq((g, k, v)).toDF("g", "k", "v"))
             model((g, k)) = v
@@ -845,6 +849,10 @@ class FuzzSpec extends AnyFunSuite {
           case 8 => graft.tools.SecondaryIndex.refresh(spark,
             GraftTable.load(spark, sidx.location))
           case 9 => invariant(s"mid-storm op $i")
+          case 10 =>
+            // zero-grace retention mid-storm: the derived-watermark floor
+            // must keep every version a lagging refresh still needs
+            base.expireVersions(retainLast = 1, olderThanMs = 0L)
         }
       }
       invariant("post-storm")
