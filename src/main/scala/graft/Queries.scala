@@ -1097,6 +1097,65 @@ object Queries {
       } finally graft.plans.IndexRewrite.disable(s, idx.location)
     }),
 
+    "q74_index_topn" -> ((s, dir) => {
+      // TOP-K served through the secondary index (IndexRewrite on
+      // GlobalLimit/LocalLimit/Sort): `ORDER BY c_name DESC LIMIT 3` on an
+      // indexed NON-key column reads the 3 extreme entries off the index
+      // and point-fetches their base rows — at 100 TB a corpus sort
+      // becomes an index read plus a 3-row fetch, the non-key analog of
+      // the engine's zone TOP-N cut (S9/q52). Same in-query asserts as
+      // q71/q72: fresh serves (strict subset of base files read), stale
+      // NEVER serves, a refresh restores serving through the V2 path.
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val raw = Tables.raw(s, dir, "customer")
+      val t = GraftTable.create(s, tmpLoc("graft-q74b-"), "customer_q74",
+        raw.schema, Seq("c_custkey"),
+        Seq(HashComponent(Seq("c_custkey"), 4)), data = Some(raw))
+      val idx = graft.tools.SecondaryIndex.build(s, t, "c_name",
+        tmpLoc("graft-q74i-"), buckets = 16)
+      try {
+        def servedSubset(df: DataFrame): Boolean = {
+          val baseFiles = t.meta.baseFiles.map(f =>
+            new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+          val read = df.queryExecution.optimizedPlan.collect {
+            case lr: LogicalRelation => lr.relation match {
+              case fs: HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toUri.getPath)
+                  .filter(baseFiles.contains)
+              case _ => Nil
+            }
+          }.flatten.toSet
+          read.nonEmpty && read.size < baseFiles.size
+        }
+        def q1 = t.scan().orderBy(col("c_name").desc).limit(3)
+        if (!servedSubset(q1))
+          throw new IllegalStateException(
+            "a fresh index must serve ORDER BY .. LIMIT k through a pruned read")
+        // rename the TOP row (max name == max custkey for fixed-width
+        // TPC-H names) out of the ordering — SF-agnostic
+        val maxKey = t.scan().agg(max(col("c_custkey"))).head().getLong(0)
+        withShufflePartitions(s, 4) {
+          t.upsert(t.scan().filter(col("c_custkey") === maxKey)
+            .withColumn("c_name", lit("AAA#RENAMED")))
+        }
+        if (servedSubset(q1))
+          throw new IllegalStateException("a STALE index must never serve a top-k")
+        if (!graft.tools.SecondaryIndex.refresh(s, idx))
+          throw new IllegalStateException("refresh must apply the mutation")
+        val f = new java.io.File(t.location)
+        s.conf.set("spark.sql.catalog.gq74",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq74.warehouse", f.getParent)
+        val v2 = s.table(s"gq74.`${f.getName}`")
+          .orderBy(col("c_name").desc).limit(3)
+        if (!servedSubset(v2))
+          throw new IllegalStateException(
+            "a refreshed index must serve the top-k on the V2 path of a dirty base")
+        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+          .orderBy(col("c_name").desc)
+      } finally graft.plans.IndexRewrite.disable(s, idx.location)
+    }),
+
     "q70_mv_rewrite" -> ((s, dir) => {
       // Materialized-view QUERY REWRITE (RollupRewrite): a GROUP BY over
       // the base is answered from the maintained rollup — at 100 TB this
@@ -2630,6 +2689,17 @@ object Queries {
         "c_nationkey, c_acctbal, c_mktsegment FROM customer) " +
         "SELECT * FROM final WHERE c_name >= 'Customer#000000010' " +
         "AND c_name <= 'Customer#000000012' ORDER BY c_custkey"),
+
+    // the top-3 names over the mutated base: the old maximum renamed
+    // out of the ordering (its index entry moved), the next three serve
+    // off the index's extreme entries — plan asserts prove the index
+    // path, the hash match proves the rows
+    "q74_index_topn" ->
+      ("WITH final AS (SELECT c_custkey, CASE WHEN c_custkey = " +
+        "(SELECT max(c_custkey) FROM customer) THEN 'AAA#RENAMED' " +
+        "ELSE c_name END AS c_name, c_nationkey, c_acctbal, c_mktsegment " +
+        "FROM customer) " +
+        "SELECT * FROM final ORDER BY c_name DESC LIMIT 3"),
 
     // the composite point query over the mutated base: only customer 20
     // carries the synthetic segment after the trailing-only payload

@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{col, lit}
 
@@ -298,7 +298,76 @@ object IndexRewrite extends Rule[LogicalPlan] {
             }
           }.nextOption()
         } yield rewritten).getOrElse(f)
+
+      // ORDER BY <indexed col> LIMIT k: the k extreme values come off the
+      // index (one entry per base row at the watermark), the k matched
+      // keys fetch through PK pruning, and the ORIGINAL Sort/Limit nodes
+      // re-apply over those k rows — at 100 TB a corpus sort becomes an
+      // index read plus a point fetch. NULLS LAST only (the index never
+      // holds null leads, so a nulls-first top-k could need rows the index
+      // cannot see; DESC defaults to nulls-last, ASC needs it explicit),
+      // and the index must carry at least k entries (fewer → null rows
+      // might pad the true answer → keep the scan).
+      case gl @ GlobalLimit(IntegerLiteral(k),
+          ll @ LocalLimit(_, inner)) if k > 0 && k <= maxKeys =>
+        val (projOpt, sortOpt) = inner match {
+          case p @ Project(ps, s: Sort)
+              if ps.forall(_.isInstanceOf[AttributeReference]) =>
+            (Some(p), Some(s))
+          case s: Sort => (None, Some(s))
+          case _ => (None, None)
+        }
+        (for {
+          s <- sortOpt
+          if s.global
+          so <- s.order match { case Seq(one) => Some(one); case _ => None }
+          attr <- so.child match {
+            case a: AttributeReference => Some(a); case _ => None }
+          if so.nullOrdering == NullsLast
+          (baseLoc, baseV) <- ScanRoots.baseLocation(
+            ScanRoots.stripProjects(s.child))
+          indexLoc <- indexes.collectFirst {
+            case (loc, (src, cols))
+                if src == baseLoc &&
+                  cols.headOption.contains(attr.name.toLowerCase) => loc
+          }
+          rewritten <- tryTopK(spark, gl, ll, projOpt, s, indexLoc, baseV, k,
+            desc = so.direction == Descending)
+        } yield rewritten).getOrElse(gl)
     }
+  }
+
+  private def tryTopK(spark: SparkSession, gl: GlobalLimit, ll: LocalLimit,
+      projOpt: Option[Project], sort: Sort, indexLoc: String, baseV: Long,
+      k: Int, desc: Boolean): Option[LogicalPlan] = {
+    busy.set(true)
+    try {
+      val idx = GraftTable.load(spark, indexLoc)
+      val im = idx.meta // one snapshot: version + watermark (see tryRewrite)
+      if (im.propsMap(SecondaryIndex.SrcVersionKey).toLong != baseV) return None
+      val looked = SecondaryIndex.topK(spark, idx, k, desc,
+        pinned = Some((im.version, baseV))).getOrElse(return None)
+      val lp = looked.queryExecution.optimizedPlan
+      val byName = lp.output.map(a => a.name.toLowerCase -> a).toMap
+      val mapped = sort.child.output.map { a =>
+        byName.get(a.name.toLowerCase).filter(_.dataType == a.dataType)
+          .map(r => Alias(r, a.name)(exprId = a.exprId))
+      }
+      if (mapped.exists(_.isEmpty)) return None
+      // the ORIGINAL Sort re-applies over the k fetched rows (they are A
+      // valid top-k set; re-sorting orders them; ties beyond k never
+      // change the set the original plan was free to pick) — and the
+      // original Limit nodes stay, so parent operators see an identical
+      // contract
+      val newSort = sort.copy(child = Project(mapped.map(_.get), lp))
+      val newInner = projOpt.map(p => p.copy(child = newSort)).getOrElse(newSort)
+      Some(gl.copy(child = ll.copy(child = newInner)))
+    } catch {
+      case e: Exception =>
+        logWarning(s"index top-k rewrite via $indexLoc declined after " +
+          s"error; keeping the scan plan: ${e.getMessage}")
+        None
+    } finally busy.set(false)
   }
 
   private def tryRewrite(spark: SparkSession, f: Filter, indexLoc: String,

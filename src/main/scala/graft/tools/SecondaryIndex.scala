@@ -189,6 +189,15 @@ object SecondaryIndex {
     require(hits.length <= maxKeys,
       s"lookup matched more than $maxKeys rows — not a point read; scan " +
         "the base table instead")
+    fetchByKeys(spark, src, pkCols, hits, baseV)
+  }
+
+  /** The base rows for a collected (bounded) PK set: an IN-list over the
+    * leading PK column prunes base tablets at the manifest, an exact key
+    * semi-join lands behind it. Empty keys → an empty scan-shaped frame. */
+  private def fetchByKeys(spark: SparkSession, src: GraftTable,
+      pkCols: Seq[String], hits: Array[org.apache.spark.sql.Row],
+      baseV: Option[Long]): DataFrame = {
     if (hits.isEmpty)
       return src.scan(baseV).limit(0)
     val baseFilters: Seq[org.apache.spark.sql.sources.Filter] =
@@ -199,6 +208,32 @@ object SecondaryIndex {
       StructType(src.scan().select(pkCols.map(col): _*).schema
         .fields.map(_.copy(nullable = true)))))
     src.scanPruned(baseFilters, baseV).join(keyDf, pkCols, "left_semi")
+  }
+
+  /**
+   * TOP-K by the LEAD indexed value: the base rows carrying the k extreme
+   * non-null values (`desc` picks the direction; ties break by the index
+   * key, any valid top-k set). At 100 TB this turns `ORDER BY value
+   * LIMIT k` on a non-key column from a corpus sort into an index read
+   * plus a k-row point fetch — the non-key analog of the engine's zone
+   * TOP-N cut (S9), and serving stays EXACT because the index holds one
+   * entry per base row at the watermark. Returns None when fewer than `k`
+   * non-null entries exist — the caller may need null-lead rows the index
+   * never holds, so it must keep the scan. `pinned` as in [[lookupWhere]].
+   */
+  def topK(spark: SparkSession, index: GraftTable, k: Int, desc: Boolean,
+      pinned: Option[(Long, Long)] = None): Option[DataFrame] = {
+    require(k > 0, "topK needs k > 0")
+    val lead = indexedCols(index.properties).head
+    val src = GraftTable.load(spark, index.properties(SrcLocKey))
+    val pkCols = src.meta.keyCols
+    val ord = if (desc) col(lead).desc else col(lead).asc
+    val hits = index.scanPruned(Nil, pinned.map(_._1))
+      .orderBy(ord +: pkCols.map(col(_).asc): _*)
+      .select(pkCols.map(col): _*)
+      .limit(k).collect()
+    if (hits.length < k) return None
+    Some(fetchByKeys(spark, src, pkCols, hits, pinned.map(_._2)))
   }
 
   /**

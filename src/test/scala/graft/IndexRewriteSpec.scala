@@ -297,6 +297,56 @@ class IndexRewriteSpec extends AnyFunSuite {
     } finally IndexRewrite.disable(spark, idx.location)
   }
 
+  test("ORDER BY indexed column LIMIT k serves through the index; nulls-first, short-index, and big-k decline") {
+    val (t, idx) = mk()
+    try {
+      // lexicographic: name_9 > name_8 > name_7 > name_64 > ...
+      def qd = t.scan().orderBy(col("name").desc).limit(3)
+      assert(served(qd, t),
+        s"DESC top-k must serve through the index:\n${qd.queryExecution.optimizedPlan}")
+      assert(qd.collect().map(_.getLong(0)).toSeq == Seq(9L, 8L, 7L))
+      // ASC defaults to NULLS FIRST — the index never holds null leads,
+      // so the conservative rule keeps the scan; explicit NULLS LAST serves
+      assert(!served(t.scan().orderBy(col("name").asc).limit(3), t))
+      def qa = t.scan().orderBy(col("name").asc_nulls_last).limit(2)
+      assert(served(qa, t), "ASC NULLS LAST top-k must serve")
+      assert(qa.collect().map(_.getLong(0)).toSeq == Seq(1L, 10L))
+      // k past rewriteMaxKeys keeps the scan
+      spark.conf.set("graft.sindex.rewriteMaxKeys", "2")
+      try assert(!served(t.scan().orderBy(col("name").desc).limit(3), t))
+      finally spark.conf.unset("graft.sindex.rewriteMaxKeys")
+      // stale declines; refresh + compact (clean snapshot) + catch-up serves
+      t.upsert(Seq((9L, "aaa_renamed", 4L)).toDF("id", "name", "v"))
+      assert(!served(qd, t), "a STALE index must never serve a top-k")
+      assert(SecondaryIndex.refresh(spark, idx))
+      t.compact()
+      assert(SecondaryIndex.refresh(spark, idx))
+      assert(served(qd, t))
+      assert(qd.collect().map(_.getLong(0)).toSeq == Seq(8L, 7L, 64L),
+        "the renamed row must leave the top-k")
+    } finally IndexRewrite.disable(spark, idx.location)
+  }
+
+  test("top-k never serves past the index's non-null entries (null rows could pad the true answer)") {
+    import spark.implicits._
+    val data = Seq((1L, "a"), (2L, "b"), (3L, null), (4L, "c"))
+      .toDF("id", "name")
+    val t = GraftTable.create(spark, tmp(), "idxrw_null", data.schema,
+      Seq("id"), Seq(HashComponent(Seq("id"), 2)), data = Some(data))
+    val idx = SecondaryIndex.build(spark, t, "name", tmp(), buckets = 4)
+    try {
+      // k=4 > 3 non-null entries: a DESC NULLS LAST top-4 must include the
+      // null row the index cannot see — keep the scan
+      def q4 = t.scan().orderBy(col("name").desc).limit(4)
+      assert(!served(q4, t), "top-k past the non-null count must decline")
+      assert(q4.collect().length == 4)
+      // k=2 fits: serves, and the null row never appears
+      def q2 = t.scan().orderBy(col("name").desc).limit(2)
+      assert(served(q2, t))
+      assert(q2.collect().map(_.getLong(0)).toSeq == Seq(4L, 2L))
+    } finally IndexRewrite.disable(spark, idx.location)
+  }
+
   test("an index built in one session serves in a NEW session with zero explicit enables") {
     val (t, idx) = mk()
     try {
