@@ -324,6 +324,10 @@ object IndexRewrite extends Rule[LogicalPlan] {
           attr <- so.child match {
             case a: AttributeReference => Some(a); case _ => None }
           if so.nullOrdering == NullsLast
+          // name check BEFORE the scan-root match: baseLocation stats the
+          // filesystem, and one armed index must not tax every unrelated
+          // ORDER BY .. LIMIT in the session (same guard order as Filter)
+          if indexes.exists(_._2._2.headOption.contains(attr.name.toLowerCase))
           (baseLoc, baseV) <- ScanRoots.baseLocation(
             ScanRoots.stripProjects(s.child))
           indexLoc <- indexes.collectFirst {
