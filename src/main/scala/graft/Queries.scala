@@ -1156,6 +1156,67 @@ object Queries {
       } finally graft.plans.IndexRewrite.disable(s, idx.location)
     }),
 
+    "q75_functional_index" -> ((s, dir) => {
+      // FUNCTIONAL secondary index (SecondaryIndex.buildExpression): the
+      // indexed value is an EXPRESSION over source columns — here
+      // lower(c_name), the canonical case-insensitive-lookup shape — and
+      // a plain `WHERE lower(c_name) = '…'` serves through the index with
+      // no explicit call: the predicate's key canonicalizes to the
+      // persisted expression, the probe prunes the computed-value hash
+      // buckets, the matched keys read the base through PK pruning. The
+      // reference has no functional-index analog at all; at 100 TB a
+      // case-folded lookup is otherwise a corpus scan with expression
+      // evaluation. Refresh re-derives mutated keys through the same
+      // expression (in-query asserts: fresh serves via a strict-subset
+      // read, stale never serves, the refreshed index serves the V2 path).
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val raw = Tables.raw(s, dir, "customer")
+      val t = GraftTable.create(s, tmpLoc("graft-q75b-"), "customer_q75",
+        raw.schema, Seq("c_custkey"),
+        Seq(HashComponent(Seq("c_custkey"), 4)), data = Some(raw))
+      val idx = graft.tools.SecondaryIndex.buildExpression(s, t,
+        "lower(c_name)", tmpLoc("graft-q75i-"), buckets = 16)
+      try {
+        def servedSubset(df: DataFrame): Boolean = {
+          val baseFiles = t.meta.baseFiles.map(f =>
+            new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+          val read = df.queryExecution.optimizedPlan.collect {
+            case lr: LogicalRelation => lr.relation match {
+              case fs: HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toUri.getPath)
+                  .filter(baseFiles.contains)
+              case _ => Nil
+            }
+          }.flatten.toSet
+          read.nonEmpty && read.size < baseFiles.size
+        }
+        def q1 = t.scan().filter(lower(col("c_name")) === "customer#000000033")
+        if (!servedSubset(q1))
+          throw new IllegalStateException(
+            "a fresh functional index must serve its expression predicate")
+        withShufflePartitions(s, 4) {
+          t.upsert(t.scan().filter(col("c_custkey") === 33)
+            .withColumn("c_name", lit("MIXEDcase#000000033")))
+        }
+        if (servedSubset(q1))
+          throw new IllegalStateException("a STALE functional index must never serve")
+        if (!graft.tools.SecondaryIndex.refresh(s, idx))
+          throw new IllegalStateException("refresh must apply the mutation")
+        val f = new java.io.File(t.location)
+        s.conf.set("spark.sql.catalog.gq75",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq75.warehouse", f.getParent)
+        val v2 = s.table(s"gq75.`${f.getName}`").filter(
+          lower(col("c_name")).isin("mixedcase#000000033",
+            "customer#000000033", "customer#000000044"))
+        if (!servedSubset(v2))
+          throw new IllegalStateException(
+            "a refreshed functional index must serve the V2 path")
+        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+          .orderBy("c_custkey")
+      } finally graft.plans.IndexRewrite.disable(s, idx.location)
+    }),
+
     "q70_mv_rewrite" -> ((s, dir) => {
       // Materialized-view QUERY REWRITE (RollupRewrite): a GROUP BY over
       // the base is answered from the maintained rollup — at 100 TB this
@@ -2700,6 +2761,17 @@ object Queries {
         "ELSE c_name END AS c_name, c_nationkey, c_acctbal, c_mktsegment " +
         "FROM customer) " +
         "SELECT * FROM final ORDER BY c_name DESC LIMIT 3"),
+
+    // the case-folded point query over the mutated base: the re-cased
+    // name serves under its NEW lower() value (the old computed entry
+    // tombstoned), the pre-rename value matches nothing, 44 rides along
+    // untouched — all through the functional-index path (plan-asserted)
+    "q75_functional_index" ->
+      ("WITH final AS (SELECT c_custkey, CASE WHEN c_custkey = 33 " +
+        "THEN 'MIXEDcase#000000033' ELSE c_name END AS c_name, " +
+        "c_nationkey, c_acctbal, c_mktsegment FROM customer) " +
+        "SELECT * FROM final WHERE lower(c_name) IN ('mixedcase#000000033', " +
+        "'customer#000000033', 'customer#000000044') ORDER BY c_custkey"),
 
     // the composite point query over the mutated base: only customer 20
     // carries the synthetic segment after the trailing-only payload

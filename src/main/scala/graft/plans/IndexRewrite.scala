@@ -101,7 +101,13 @@ object IndexRewrite extends Rule[LogicalPlan] {
     val srcLoc = p.getOrElse(SecondaryIndex.SrcLocKey,
       throw new IllegalArgumentException(
         s"${index.location} is not a secondary index"))
-    val cols = SecondaryIndex.indexedCols(p).map(_.toLowerCase)
+    // the registry keys on CANONICAL forms: a plain index's lead canon is
+    // its column name, a functional index's is its persisted expression
+    // canon — one matching mechanism for both
+    val cols = p.get(SecondaryIndex.ExprKey) match {
+      case Some(canon) => Seq(canon)
+      case None => SecondaryIndex.indexedCols(p).map(_.toLowerCase)
+    }
     registry.synchronized {
       registry.computeIfAbsent(spark,
         _ => new ConcurrentHashMap[String, (String, Seq[String])]())
@@ -146,55 +152,95 @@ object IndexRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /**
+   * Canonical string of a servable INDEX KEY expression — the shared
+   * language between what a functional index persists
+   * (SecondaryIndex.buildExpression) and what a query predicate computes.
+   * A bare column canonicalizes to its lowercased name (so plain and
+   * functional indexes match through one mechanism); beyond that the
+   * language is a small set of DETERMINISTIC, timezone-free scalar
+   * functions whose rendered form is valid Spark SQL (the refresh path
+   * re-parses it to derive entries). Anything outside the language yields
+   * None and the conjunct simply never serves.
+   */
+  private[graft] def canonScalar(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name.toLowerCase)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      Some(u.name.toLowerCase)
+    case Lower(c) => canonScalar(c).map(x => s"lower($x)")
+    case Upper(c) => canonScalar(c).map(x => s"upper($x)")
+    case StringTrim(c, None) => canonScalar(c).map(x => s"trim($x)")
+    case Length(c) => canonScalar(c).map(x => s"length($x)")
+    case Substring(c, Literal(p: Int, _), Literal(l: Int, _)) =>
+      canonScalar(c).map(x => s"substring($x, $p, $l)")
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if u.nameParts.length == 1 && !u.isDistinct && u.filter.isEmpty =>
+      (u.nameParts.head.toLowerCase, u.arguments) match {
+        case ("lower", Seq(c)) => canonScalar(c).map(x => s"lower($x)")
+        case ("upper", Seq(c)) => canonScalar(c).map(x => s"upper($x)")
+        case ("trim", Seq(c)) => canonScalar(c).map(x => s"trim($x)")
+        case ("length", Seq(c)) => canonScalar(c).map(x => s"length($x)")
+        case ("substring" | "substr",
+            Seq(c, Literal(p: Int, _), Literal(l: Int, _))) =>
+          canonScalar(c).map(x => s"substring($x, $p, $l)")
+        case _ => None
+      }
+    case _ => None
+  }
+
   /** One servable probe: probe builders parameterized by the index's
-    * PHYSICAL column name (the attribute name modulo case). `positions`
-    * are the conjunct indices the probe consumes (a merged range interval
-    * consumes both its bounds); `nLiterals` bounds the plan-time probe an
-    * IN-list would build; `isRange` orders candidates (point probes are
-    * selective by construction, so they try first). */
-  private final case class Servable(attr: AttributeReference,
+    * PHYSICAL lead column name (the source column for a plain index, the
+    * synthesized value column for a functional one). `canon` is the key's
+    * canonical form (what matches the armed index); `positions` are the
+    * conjunct indices the probe consumes (a merged range interval consumes
+    * both its bounds); `nLiterals` bounds the plan-time probe an IN-list
+    * would build; `isRange` orders candidates (point probes are selective
+    * by construction, so they try first). */
+  private final case class Servable(canon: String,
       positions: Seq[Int], nLiterals: Int, isRange: Boolean,
       filters: String => Seq[org.apache.spark.sql.sources.Filter],
       cond: String => Column)
 
   /** Literal-only, null-free, type-exact equality/IN values of `e` over a
-    * single attribute — Scala-converted. Shared by candidate extraction
-    * and trailing-column folding. */
-  private def eqValues(e: Expression): Option[(AttributeReference, Seq[Any])] = {
-    def ext(a: AttributeReference, internal: Seq[Any]): Option[(AttributeReference, Seq[Any])] = {
+    * single canonical key — Scala-converted. Shared by candidate
+    * extraction and trailing-column folding. */
+  private def eqValues(e: Expression): Option[(String, Seq[Any])] = {
+    def ext(k: Expression, internal: Seq[Any]): Option[(String, Seq[Any])] = {
       if (internal.isEmpty || internal.exists(_ == null)) return None
-      val conv = CatalystTypeConverters.createToScalaConverter(a.dataType)
-      Some((a, internal.map(conv)))
+      canonScalar(k).map { c =>
+        val conv = CatalystTypeConverters.createToScalaConverter(k.dataType)
+        (c, internal.map(conv))
+      }
     }
     e match {
-      case EqualTo(a: AttributeReference, l: Literal)
-          if l.dataType == a.dataType => ext(a, Seq(l.value))
-      case EqualTo(l: Literal, a: AttributeReference)
-          if l.dataType == a.dataType => ext(a, Seq(l.value))
-      case In(a: AttributeReference, vs)
+      case EqualTo(k, l: Literal) if l.dataType == k.dataType &&
+          !k.isInstanceOf[Literal] => ext(k, Seq(l.value))
+      case EqualTo(l: Literal, k) if l.dataType == k.dataType => ext(k, Seq(l.value))
+      case In(k, vs)
           if vs.nonEmpty && vs.forall {
-            case l: Literal => l.dataType == a.dataType
+            case l: Literal => l.dataType == k.dataType
             case _ => false
-          } => ext(a, vs.map(_.asInstanceOf[Literal].value))
-      case InSet(a: AttributeReference, hset) => ext(a, hset.toSeq)
-      // a disjunction of point predicates over ONE attribute is an IN —
-      // vanilla Catalyst has no a='x' OR a='y' → IN rule, so users who
-      // write the OR form would otherwise never serve
+          } => ext(k, vs.map(_.asInstanceOf[Literal].value))
+      case InSet(k, hset) => ext(k, hset.toSeq)
+      // a disjunction of point predicates over ONE key is an IN — vanilla
+      // Catalyst has no a='x' OR a='y' → IN rule, so users who write the
+      // OR form would otherwise never serve
       case o: Or =>
-        def flat(x: Expression): Option[Seq[(AttributeReference, Any)]] = x match {
+        def flat(x: Expression): Option[Seq[(String, Any)]] = x match {
           case Or(l, r) => for { a <- flat(l); b <- flat(r) } yield a ++ b
-          case other => eqValues(other).map { case (a, vs) => vs.map(a -> _) }
+          case other => eqValues(other).map { case (c, vs) => vs.map(c -> _) }
         }
-        flat(o).filter(_.map(_._1.exprId).distinct.size == 1)
+        flat(o).filter(_.map(_._1).distinct.size == 1)
           .map(ps => (ps.head._1, ps.map(_._2)))
       case _ => None
     }
   }
 
-  /** A single Scala-converted literal bound paired with its attribute. */
-  private def bound(a: AttributeReference, l: Literal): Option[(AttributeReference, Any)] =
-    if (l.value == null || l.dataType != a.dataType) None
-    else Some((a, CatalystTypeConverters.createToScalaConverter(a.dataType)(l.value)))
+  /** A single Scala-converted literal bound paired with its key's canon. */
+  private def bound(k: Expression, l: Literal): Option[(String, Any)] =
+    if (l.value == null || l.dataType != k.dataType) None
+    else canonScalar(k).map(c =>
+      (c, CatalystTypeConverters.createToScalaConverter(k.dataType)(l.value)))
 
   import org.apache.spark.sql.{sources => sf}
 
@@ -211,37 +257,37 @@ object IndexRewrite extends Rule[LogicalPlan] {
     }
     val conjuncts = split(cond)
     if (conjuncts.exists(!_.deterministic)) return (conjuncts, Nil)
-    def rangeOne(a: AttributeReference, i: Int, v: Any,
+    def rangeOne(canon: String, i: Int, v: Any,
         f: (String, Any) => org.apache.spark.sql.sources.Filter,
         c: (Column, Any) => Column): Servable =
-      Servable(a, Seq(i), 1, isRange = true,
+      Servable(canon, Seq(i), 1, isRange = true,
         n => Seq(f(n, v)), n => c(col(n), v))
     val raw = conjuncts.zipWithIndex.flatMap { case (c, i) =>
-      val eq = eqValues(c).map { case (a, vs) =>
-        Servable(a, Seq(i), vs.length, isRange = false,
+      val eq = eqValues(c).map { case (canon, vs) =>
+        Servable(canon, Seq(i), vs.length, isRange = false,
           n => Seq(sf.In(n, vs.toArray)),
           n => col(n).isin(vs: _*))
       }
       def range: Option[Servable] = c match {
-        case GreaterThan(a: AttributeReference, l: Literal) =>
-          bound(a, l).map { case (a2, v) => rangeOne(a2, i, v, sf.GreaterThan, _ > _) }
-        case GreaterThan(l: Literal, a: AttributeReference) =>
-          bound(a, l).map { case (a2, v) => rangeOne(a2, i, v, sf.LessThan, _ < _) }
-        case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-          bound(a, l).map { case (a2, v) => rangeOne(a2, i, v, sf.GreaterThanOrEqual, _ >= _) }
-        case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-          bound(a, l).map { case (a2, v) => rangeOne(a2, i, v, sf.LessThanOrEqual, _ <= _) }
-        case LessThan(a: AttributeReference, l: Literal) =>
-          bound(a, l).map { case (a2, v) => rangeOne(a2, i, v, sf.LessThan, _ < _) }
-        case LessThan(l: Literal, a: AttributeReference) =>
-          bound(a, l).map { case (a2, v) => rangeOne(a2, i, v, sf.GreaterThan, _ > _) }
-        case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-          bound(a, l).map { case (a2, v) => rangeOne(a2, i, v, sf.LessThanOrEqual, _ <= _) }
-        case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-          bound(a, l).map { case (a2, v) => rangeOne(a2, i, v, sf.GreaterThanOrEqual, _ >= _) }
-        case StartsWith(a: AttributeReference, l: Literal) =>
-          bound(a, l).collect { case (a2, v: String) =>
-            Servable(a2, Seq(i), 1, isRange = true,
+        case GreaterThan(k, l: Literal) =>
+          bound(k, l).map { case (cn, v) => rangeOne(cn, i, v, sf.GreaterThan, _ > _) }
+        case GreaterThan(l: Literal, k) =>
+          bound(k, l).map { case (cn, v) => rangeOne(cn, i, v, sf.LessThan, _ < _) }
+        case GreaterThanOrEqual(k, l: Literal) =>
+          bound(k, l).map { case (cn, v) => rangeOne(cn, i, v, sf.GreaterThanOrEqual, _ >= _) }
+        case GreaterThanOrEqual(l: Literal, k) =>
+          bound(k, l).map { case (cn, v) => rangeOne(cn, i, v, sf.LessThanOrEqual, _ <= _) }
+        case LessThan(k, l: Literal) =>
+          bound(k, l).map { case (cn, v) => rangeOne(cn, i, v, sf.LessThan, _ < _) }
+        case LessThan(l: Literal, k) =>
+          bound(k, l).map { case (cn, v) => rangeOne(cn, i, v, sf.GreaterThan, _ > _) }
+        case LessThanOrEqual(k, l: Literal) =>
+          bound(k, l).map { case (cn, v) => rangeOne(cn, i, v, sf.LessThanOrEqual, _ <= _) }
+        case LessThanOrEqual(l: Literal, k) =>
+          bound(k, l).map { case (cn, v) => rangeOne(cn, i, v, sf.GreaterThanOrEqual, _ >= _) }
+        case StartsWith(k, l: Literal) =>
+          bound(k, l).collect { case (cn, v: String) =>
+            Servable(cn, Seq(i), 1, isRange = true,
               n => Seq(sf.StringStartsWith(n, v)),
               n => col(n).startsWith(v)) }
         case _ => None
@@ -249,13 +295,13 @@ object IndexRewrite extends Rule[LogicalPlan] {
       eq.orElse(range)
     }
     val (ranges, points) = raw.partition(_.isRange)
-    // merge every range/prefix bound over one attribute into ONE interval
-    // probe (filters concatenate, conditions AND) — the unit of a range
-    // scan is the interval, and probing a half-open bound when the other
-    // half sits one conjunct over would over-match for nothing
-    val merged = ranges.groupBy(_.attr.exprId).values.map { g =>
+    // merge every range/prefix bound over one key into ONE interval probe
+    // (filters concatenate, conditions AND) — the unit of a range scan is
+    // the interval, and probing a half-open bound when the other half sits
+    // one conjunct over would over-match for nothing
+    val merged = ranges.groupBy(_.canon).values.map { g =>
       g.reduce { (x, y) =>
-        Servable(x.attr, x.positions ++ y.positions, 1, isRange = true,
+        Servable(x.canon, x.positions ++ y.positions, 1, isRange = true,
           n => x.filters(n) ++ y.filters(n), n => x.cond(n) && y.cond(n))
       }
     }.toSeq.sortBy(_.positions.min)
@@ -279,7 +325,7 @@ object IndexRewrite extends Rule[LogicalPlan] {
         val usable = cands.filter { c =>
           c.nLiterals <= maxKeys && // an IN-list that big is a scan — never
                                     // plan a probe filter of 100k literals
-            indexes.exists(_._2._2.headOption.contains(c.attr.name.toLowerCase))
+            indexes.exists(_._2._2.headOption.contains(c.canon))
         }
         if (usable.isEmpty) f
         else (for {
@@ -287,8 +333,7 @@ object IndexRewrite extends Rule[LogicalPlan] {
           rewritten <- usable.iterator.flatMap { c =>
             indexes.collectFirst {
               case (indexLoc, (src, cols))
-                  if src == baseLoc &&
-                    cols.headOption.contains(c.attr.name.toLowerCase) =>
+                  if src == baseLoc && cols.headOption.contains(c.canon) =>
                 indexLoc
             }.flatMap { indexLoc =>
               val residual = conjuncts.zipWithIndex
@@ -321,19 +366,17 @@ object IndexRewrite extends Rule[LogicalPlan] {
           s <- sortOpt
           if s.global
           so <- s.order match { case Seq(one) => Some(one); case _ => None }
-          attr <- so.child match {
-            case a: AttributeReference => Some(a); case _ => None }
+          keyCanon <- canonScalar(so.child)
           if so.nullOrdering == NullsLast
-          // name check BEFORE the scan-root match: baseLocation stats the
+          // canon check BEFORE the scan-root match: baseLocation stats the
           // filesystem, and one armed index must not tax every unrelated
           // ORDER BY .. LIMIT in the session (same guard order as Filter)
-          if indexes.exists(_._2._2.headOption.contains(attr.name.toLowerCase))
+          if indexes.exists(_._2._2.headOption.contains(keyCanon))
           (baseLoc, baseV) <- ScanRoots.baseLocation(
             ScanRoots.stripProjects(s.child))
           indexLoc <- indexes.collectFirst {
             case (loc, (src, cols))
-                if src == baseLoc &&
-                  cols.headOption.contains(attr.name.toLowerCase) => loc
+                if src == baseLoc && cols.headOption.contains(keyCanon) => loc
           }
           rewritten <- tryTopK(spark, gl, ll, projOpt, s, indexLoc, baseV, k,
             desc = so.direction == Descending)
@@ -395,8 +438,8 @@ object IndexRewrite extends Rule[LogicalPlan] {
       // residual too — re-applying an equality is free and keeps the
       // exactness argument one line
       val byTrail = physCols.tail.map(n => n.toLowerCase -> n).toMap
-      val trailing = residual.flatMap(eqValues).flatMap { case (a, vs) =>
-        byTrail.get(a.name.toLowerCase).map { phys =>
+      val trailing = residual.flatMap(eqValues).flatMap { case (canon, vs) =>
+        byTrail.get(canon).map { phys =>
           (Seq(sf.In(phys, vs.toArray)): Seq[org.apache.spark.sql.sources.Filter],
             col(phys).isin(vs: _*))
         }

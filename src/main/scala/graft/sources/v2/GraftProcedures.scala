@@ -523,20 +523,25 @@ private[v2] object GraftProcedures {
         })
       case "build_secondary_index" => Some(proc("build_secondary_index",
         "build a maintained secondary index on non-key columns (comma-" +
-          "separated, lead first): an engine table keyed (lead, pk) " +
-          "hash-partitioned on the lead — equality/IN probes prune to the " +
-          "lead's buckets, trailing columns ride as payload for composite " +
-          "conjunctions; refresh_secondary_index keeps it current from " +
-          "the change stream",
+          "separated, lead first) OR on a deterministic scalar expression " +
+          "(e.g. 'lower(c_name)' — a functional index): an engine table " +
+          "keyed (lead, pk) hash-partitioned on the lead — equality/IN " +
+          "probes prune to the lead's buckets, trailing columns ride as " +
+          "payload for composite conjunctions; refresh_secondary_index " +
+          "keeps it current from the change stream",
         Array(tableParam,
           ProcedureParameter.in("col", StringType).build(),
           ProcedureParameter.in("index_location", StringType).build(),
           ProcedureParameter.in("buckets", IntegerType).defaultValue("16").build()),
         new StructType().add("location", StringType).add("entries", LongType)) { in =>
-          val cols = in.getUTF8String(1).toString.split(",")
-            .map(_.trim).filter(_.nonEmpty).toSeq
-          val idx = graft.tools.SecondaryIndex.build(spark, locate(in),
-            cols, in.getUTF8String(2).toString, in.getInt(3))
+          val spec = in.getUTF8String(1).toString
+          val idx =
+            if (spec.contains("(")) // an expression, not a column list
+              graft.tools.SecondaryIndex.buildExpression(spark, locate(in),
+                spec, in.getUTF8String(2).toString, in.getInt(3))
+            else graft.tools.SecondaryIndex.build(spark, locate(in),
+              spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+              in.getUTF8String(2).toString, in.getInt(3))
           Seq(InternalRow(str(idx.location), idx.scan().count()))
         })
       case "refresh_secondary_index" => Some(proc("refresh_secondary_index",

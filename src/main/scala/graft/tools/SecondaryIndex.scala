@@ -55,6 +55,15 @@ object SecondaryIndex {
   val SrcLocKey = "graft.sindex.source"
   val ColKey = "graft.sindex.col"
   val SrcVersionKey = "graft.sindex.sourceVersion"
+  /** Present on FUNCTIONAL indexes: the canonical SQL of the indexed
+    * expression over source columns (plans/IndexRewrite.canonScalar's
+    * language — deterministic, timezone-free scalars). The index stores
+    * the computed value under [[ExprCol]] and serves predicates whose key
+    * canonicalizes to the same string. */
+  val ExprKey = "graft.sindex.expr"
+  /** The synthesized lead column a functional index stores its computed
+    * values under. */
+  val ExprCol = "_v"
 
   /** The indexed columns recorded in `props` — lead first. (Single-column
     * indexes persist a bare name; composite ones a comma-joined list.) */
@@ -126,6 +135,60 @@ object SecondaryIndex {
     // default (exact-predicate-only and freshness-gated, so it can never
     // change results — see plans/IndexRewrite). Opt out per session by
     // setting graft.sindex.autoRewrite to anything but "true".
+    graft.plans.IndexRewrite.autoArm(spark, idx)
+    idx
+  }
+
+  /**
+   * Build a FUNCTIONAL index: the indexed value is a deterministic scalar
+   * EXPRESSION over source columns (`lower(c_name)`, `substring(url, 1,
+   * 8)`, `length(text)` — the canonical language in
+   * plans/IndexRewrite.canonScalar; anything outside it refuses up front,
+   * which is also what keeps serving sound: timezone-dependent functions
+   * never canonicalize). The index table stores the computed value under
+   * [[ExprCol]], keyed `(_v, pk…)` and hash-partitioned on it; refresh
+   * re-derives mutated keys' values through the same expression, and the
+   * rewrite serves any predicate whose key canonicalizes identically —
+   * `WHERE lower(c_name) = '…'` rides the index exactly like a plain
+   * column predicate. The reference has no functional-index analog at
+   * all; at 100 TB a case-folded or prefix-bucketed lookup is otherwise a
+   * corpus scan with expression evaluation.
+   */
+  def buildExpression(spark: SparkSession, source: GraftTable,
+      exprSql: String, location: String, buckets: Int = 16): GraftTable = {
+    // marker first — same posture as build()
+    DerivedTables.register(source, location)
+    val m = source.meta
+    require(!m.hasAutoInc,
+      s"${m.name} has a hidden auto-increment key — non-unique-PK tables " +
+        "are not secondary-indexable")
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(exprSql)
+    val canon = graft.plans.IndexRewrite.canonScalar(parsed).getOrElse(
+      throw new IllegalArgumentException(
+        s"unsupported index expression '$exprSql' — supported: a column, " +
+          "or lower/upper/trim/length/substring over one"))
+    val pkCols = m.keyCols
+    val srcVersion = m.version
+    // resolution against the source validates the referenced columns
+    val data = source.scan()
+      .select(expr(canon).as(ExprCol) +: pkCols.map(col): _*)
+      .filter(col(ExprCol).isNotNull)
+    val dt = data.schema(ExprCol).dataType
+    require(!Seq("array", "map", "struct").contains(dt.typeName),
+      s"index expression must be an atomic type, got ${dt.catalogString}")
+    val keyCols = ExprCol +: pkCols
+    val idx = GraftTable.create(spark, location, s"${m.name}_expr_sidx",
+      StructType(data.schema.fields.map(f =>
+        if (keyCols.contains(f.name)) f.copy(nullable = false) else f)),
+      keyCols,
+      hash = Seq(HashComponent(Seq(ExprCol), buckets)),
+      data = Some(data))
+    idx.setProperties(Map(
+      SrcLocKey -> Some(m.location),
+      ColKey -> Some(ExprCol),
+      ExprKey -> Some(canon),
+      SrcVersionKey -> Some(srcVersion.toString)))
     graft.plans.IndexRewrite.autoArm(spark, idx)
     idx
   }
@@ -272,11 +335,24 @@ object SecondaryIndex {
     if (v1 == v0) return false
     val colNames = indexedCols(p)
     val lead = colNames.head
+    val exprCanon = p.get(ExprKey)
     val pkCols = src.meta.keyCols
-    val changed = src.changesSince(v0, v1)
-      .select((colNames ++ pkCols).distinct.map(col) :+
-        col(GraftTable.DeletedCol): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a FUNCTIONAL index derives its entries by re-evaluating the persisted
+    // expression over source rows; a plain one projects its columns
+    def derive(rows: DataFrame): DataFrame = exprCanon match {
+      case Some(sql) => rows
+        .select(expr(sql).as(ExprCol) +: pkCols.map(col): _*)
+        .filter(col(ExprCol).isNotNull)
+      case None => entries(rows, colNames, pkCols)
+    }
+    val changed = (exprCanon match {
+      // the expression may reference any source column — keep them all
+      // (the changed set is O(changed) small); plain indexes project narrow
+      case Some(_) => src.changesSince(v0, v1)
+      case None => src.changesSince(v0, v1)
+        .select((colNames ++ pkCols).distinct.map(col) :+
+          col(GraftTable.DeletedCol): _*)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val keys = changed.select(pkCols.map(col): _*).distinct()
       val rows = keys.limit(maxPruneKeys + 1).collect()
@@ -286,8 +362,8 @@ object SecondaryIndex {
         index.setProperties(Map(SrcVersionKey -> Some(v1.toString)))
         return true
       }
-      val fresh = entries(changed.filter(!col(GraftTable.DeletedCol))
-        .drop(GraftTable.DeletedCol), colNames, pkCols)
+      val fresh = derive(changed.filter(!col(GraftTable.DeletedCol))
+        .drop(GraftTable.DeletedCol))
       // the IN-list carries CURRENT-typed key values and prunes against
       // the v0 manifest's recorded bounds — sound because PK column types
       // can never change (widenColumnType refuses key and partition
@@ -322,7 +398,7 @@ object SecondaryIndex {
       // key); the anti-join is on the INDEX KEY (lead, pk…) — a trailing
       // composite column changing value keeps the same key, so upsert
       // alone covers it — and the txn allows one op per key
-      val stale = entries(oldRows, colNames, pkCols)
+      val stale = derive(oldRows)
         .join(fresh, lead +: pkCols, "left_anti")
       // the watermark rides the SAME atomic commit as the rows: the
       // before-image derivation above is only sound when index state and

@@ -347,6 +347,47 @@ class IndexRewriteSpec extends AnyFunSuite {
     } finally IndexRewrite.disable(spark, idx.location)
   }
 
+  test("functional index: lower(col) predicates serve, refresh re-derives, unsupported exprs refuse") {
+    val data = (1L to 64L).map(i => (i, s"Name_$i", i % 5)).toDF("id", "name", "v")
+    val t = GraftTable.create(spark, tmp(), "idxrw_fn", data.schema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 4)), data = Some(data))
+    val idx = SecondaryIndex.buildExpression(spark, t, "LOWER(name)", tmp(),
+      buckets = 8)
+    try {
+      assert(idx.properties(SecondaryIndex.ExprKey) == "lower(name)")
+      def q = t.scan().filter(lower(col("name")) === "name_7")
+      assert(served(q, t),
+        s"a functional index must serve its expression predicate:\n${q.queryExecution.optimizedPlan}")
+      assert(rows(q).map(_(0)) == Set(7L))
+      // IN over the expression serves too; a DIFFERENT expression keeps
+      // the scan (upper does not canonicalize to lower)
+      assert(served(t.scan().filter(
+        lower(col("name")).isin("name_3", "name_9")), t))
+      assert(!served(t.scan().filter(upper(col("name")) === "NAME_7"), t))
+      // ... and so does the bare column (the index holds lower() values)
+      assert(!served(t.scan().filter(col("name") === "Name_7"), t))
+      // refresh re-derives the expression for mutated keys
+      t.upsert(Seq((7L, "RENAMED_7", 0L)).toDF("id", "name", "v"))
+      assert(!served(q, t), "a STALE functional index must never serve")
+      assert(SecondaryIndex.refresh(spark, idx))
+      t.compact()
+      assert(SecondaryIndex.refresh(spark, idx))
+      def q2 = t.scan().filter(lower(col("name")) === "renamed_7")
+      assert(served(q2, t))
+      assert(rows(q2).map(_(0)) == Set(7L))
+      assert(rows(t.scan().filter(lower(col("name")) === "name_7")).isEmpty)
+      // top-k on the expression serves through the same canon matching
+      def qt = t.scan().orderBy(lower(col("name")).desc).limit(2)
+      assert(served(qt, t), "top-k on the indexed expression must serve")
+      // lower: renamed_7 > name_9 lexicographically ('r' > 'n')
+      assert(qt.collect().map(_.getLong(0)).toSeq == Seq(7L, 9L))
+      // out-of-language expressions refuse up front
+      intercept[IllegalArgumentException] {
+        SecondaryIndex.buildExpression(spark, t, "name || 'x'", tmp())
+      }
+    } finally IndexRewrite.disable(spark, idx.location)
+  }
+
   test("an index built in one session serves in a NEW session with zero explicit enables") {
     val (t, idx) = mk()
     try {
