@@ -801,11 +801,17 @@ class FuzzSpec extends AnyFunSuite {
       s"$root/roll", buckets = 2)
     val sidx = graft.tools.SecondaryIndex.build(spark, base, "v",
       s"$root/sidx", buckets = 4)
+    // a FUNCTIONAL index rides the same storm: its refresh re-derives
+    // mutated keys through the persisted expression, and its invariant is
+    // the same watermark-relative derivation
+    val fidx = graft.tools.SecondaryIndex.buildExpression(spark, base,
+      "upper(g)", s"$root/fidx", buckets = 4)
     def schedule(loc: String) = graft.table.MaintenanceScheduler.schedule(
       spark, loc, intervalMs = 25, ioBudgetBytes = 64L << 20, minScore = 0.0,
       maxDeltaRatio = 0.5, maxDeltaFiles = 64)
     val eR = schedule(rollup.location)
     val eI = schedule(sidx.location)
+    val eF = schedule(fidx.location)
     def checkOnce(): Option[String] = try {
       val rt = GraftTable.load(spark, rollup.location)
       val wR = rt.properties(graft.tools.MaterializedRollup.SrcVersionKey).toLong
@@ -819,7 +825,14 @@ class FuzzSpec extends AnyFunSuite {
       val wantI = base.scan(Some(wI)).select("v", "g", "k")
         .collect().map(_.toSeq).toSet
       val gotI = it.scan().collect().map(_.toSeq).toSet
-      if (gotI != wantI) Some(s"sindex != entries(base@v$wI)") else None
+      if (gotI != wantI) return Some(s"sindex != entries(base@v$wI)")
+      val ft = GraftTable.load(spark, fidx.location)
+      val wF = ft.properties(graft.tools.SecondaryIndex.SrcVersionKey).toLong
+      val wantF = base.scan(Some(wF))
+        .select(upper(col("g")).as("_v"), col("g"), col("k"))
+        .collect().map(_.toSeq).toSet
+      val gotF = ft.scan().collect().map(_.toSeq).toSet
+      if (gotF != wantF) Some(s"functional index != expr(base@v$wF)") else None
     } catch { case e: Exception =>
       Some(Option(e.getMessage).getOrElse(e.getClass.getName))
     } // a read racing an in-flight commit retries like any other skew
@@ -836,7 +849,7 @@ class FuzzSpec extends AnyFunSuite {
         val g = s"g${rnd.nextInt(4)}"
         val k = rnd.nextInt(40).toLong + 1
         val v = rnd.nextInt(1000).toLong
-        rnd.nextInt(11) match {
+        rnd.nextInt(12) match {
           case 0 | 1 | 2 | 3 =>
             base.upsert(Seq((g, k, v)).toDF("g", "k", "v"))
             model((g, k)) = v
@@ -853,25 +866,30 @@ class FuzzSpec extends AnyFunSuite {
             // zero-grace retention mid-storm: the derived-watermark floor
             // must keep every version a lagging refresh still needs
             base.expireVersions(retainLast = 1, olderThanMs = 0L)
+          case 11 => graft.tools.SecondaryIndex.refresh(spark,
+            GraftTable.load(spark, fidx.location))
         }
       }
       invariant("post-storm")
       // the scheduler is still alive after the storm
-      val t0 = eR.ticks.get() + eI.ticks.get()
+      val t0 = eR.ticks.get() + eI.ticks.get() + eF.ticks.get()
       val deadline = System.currentTimeMillis() + 10000
-      while (eR.ticks.get() + eI.ticks.get() == t0 &&
+      while (eR.ticks.get() + eI.ticks.get() + eF.ticks.get() == t0 &&
         System.currentTimeMillis() < deadline) Thread.sleep(20)
-      assert(eR.ticks.get() + eI.ticks.get() > t0,
+      assert(eR.ticks.get() + eI.ticks.get() + eF.ticks.get() > t0,
         s"derived-table scheduler stopped ticking seed=$seed")
     } finally {
       graft.table.MaintenanceScheduler.unschedule(rollup.location)
       graft.table.MaintenanceScheduler.unschedule(sidx.location)
+      graft.table.MaintenanceScheduler.unschedule(fidx.location)
     }
-    // quiesced: drain both to the head, then strict equality vs the model
+    // quiesced: drain all three to the head, then strict equality vs the model
     while (graft.tools.MaterializedRollup.refresh(spark,
       GraftTable.load(spark, rollup.location))) ()
     while (graft.tools.SecondaryIndex.refresh(spark,
       GraftTable.load(spark, sidx.location))) ()
+    while (graft.tools.SecondaryIndex.refresh(spark,
+      GraftTable.load(spark, fidx.location))) ()
     val got = base.scan().collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == model.toMap, s"base state mismatch seed=$seed")
