@@ -50,14 +50,18 @@ object ServingRewrites {
     * cap still arm lazily on first load/refresh/build. */
   def armFromWarehouse(spark: SparkSession, warehouseDir: String): Int = {
     val cap = 1024
-    val tables = graft.tools.GraftTools
-      .listWarehouseTables(java.nio.file.Paths.get(warehouseDir),
+    val (tables, depthPruned) = graft.tools.GraftTools
+      .listWarehouseTablesEx(java.nio.file.Paths.get(warehouseDir),
         includeHidden = true, // SQL faces park derived tables in dot-dirs
         maxDepth = 4, maxTables = cap)
     if (tables.size >= cap)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"armFromWarehouse($warehouseDir) hit the $cap-table walk cap; " +
           "remaining derived tables arm lazily on first load")
+    if (depthPruned)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"armFromWarehouse($warehouseDir) pruned directories deeper than " +
+          "4 levels; derived tables nested below arm lazily on first load")
     tables.count { p =>
       try autoArm(spark, GraftTable.load(spark, p.toString))
       catch { case _: Exception => false }

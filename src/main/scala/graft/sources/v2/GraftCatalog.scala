@@ -498,11 +498,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     // path first (unschedules maintenance, fenced deletion — zero-copy
     // registered raw files outside the dir survive), then the remaining
     // directory skeleton goes
+    // force = true: the intent is wholesale removal (the directory
+    // skeleton is deleted right after), and the refusing drop() would
+    // otherwise make the cascade walk-order-dependent — a parent visited
+    // before its forked child throws mid-walk and strands a half-dropped
+    // namespace, while the child-first order happens to succeed
     scala.util.Using.resource(java.nio.file.Files.walk(dir)) { s =>
       s.iterator().asScala
         .filter(p => java.nio.file.Files.isDirectory(p) &&
           GraftTable.exists(p.toString)).toSeq
-    }.foreach(p => GraftTable.drop(p.toString))
+    }.foreach(p => GraftTable.drop(p.toString, force = true))
     java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
       .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
     true

@@ -906,6 +906,19 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       // refresh into a forced full rebuild. Registrations whose table is
       // gone or re-pointed are dead: drop the marker, ignore the floor.
       val regNowMs = System.currentTimeMillis()
+      // a watermark-less marker's protection window is floored at a FIXED
+      // build grace, independent of the caller's olderThanMs: retainLast-
+      // only retention (olderThanMs = 0) would otherwise give a
+      // registered-but-not-yet-committed build ZERO grace — a concurrent
+      // commit plus one expiry tick expires the very version the build is
+      // reading and deregisters its marker mid-build. Five minutes default
+      // (conf graft.derived.buildGraceMs) bounds how long a dead marker
+      // (crashed build) can stall retention; a completed build re-writes
+      // its marker at commit, so liveness never depends on the grace alone.
+      val buildGraceMs = math.max(
+        spark.conf.getOption("graft.derived.buildGraceMs")
+          .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(300_000L),
+        math.max(0L, olderThanMs))
       val derivedFloor = graft.tools.DerivedTables.registered(location)
         .flatMap { d =>
           graft.tools.DerivedTables.watermarkFor(d, location).orElse {
@@ -913,13 +926,11 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
             // rebuild — or a build IN FLIGHT that registered its marker
             // but has not committed its watermark property yet. The
             // marker's recorded registration-time version floors while
-            // the marker is younger than this tick's own age grace
-            // (versions younger than olderThanMs never expire anyway, so
-            // the same clock bounds a build's protection window); past
-            // the grace the registration is dead and cleans.
+            // the marker is younger than the build grace; past it the
+            // registration is dead and cleans.
             val floor = graft.tools.DerivedTables.markerFloor(location, d)
               .collect { case (v, mtime)
-                  if regNowMs - mtime <= math.max(0L, olderThanMs) => v }
+                  if regNowMs - mtime <= buildGraceMs => v }
             if (floor.isEmpty) graft.tools.DerivedTables.deregister(location, d)
             floor
           }
@@ -3312,6 +3323,18 @@ object GraftTable {
             "drop(location, force = true) to orphan them")
     }
     MaintenanceScheduler.unschedule(location)
+    // a derived table (rollup/secondary/vector index) leaves a _derived
+    // marker on its SOURCE; clear it now — with the fixed build grace a
+    // dangling marker would otherwise floor the source's history retention
+    // for the whole grace window after the drop
+    try {
+      val p = TableMeta.readCurrent(location).propsMap
+      Seq(graft.tools.MaterializedRollup.SrcLocKey,
+          graft.tools.SecondaryIndex.SrcLocKey,
+          graft.tools.VectorIndex.SrcLocKey)
+        .flatMap(p.get).foreach(src =>
+          graft.tools.DerivedTables.deregister(src, location))
+    } catch { case _: Exception => () } // unreadable meta: the lazy GC cleans
     val root = Paths.get(location)
     Files.walk(root).sorted(java.util.Comparator.reverseOrder())
       .iterator().asScala.foreach(Files.deleteIfExists(_))

@@ -335,16 +335,27 @@ object GraftTools {
     * table in any later session. */
   private[graft] def listWarehouseTables(root: java.nio.file.Path,
       includeHidden: Boolean = false, maxDepth: Int = 32,
-      maxTables: Int = Int.MaxValue): Seq[java.nio.file.Path] = {
+      maxTables: Int = Int.MaxValue): Seq[java.nio.file.Path] =
+    listWarehouseTablesEx(root, includeHidden, maxDepth, maxTables)._1
+
+  /** As [[listWarehouseTables]], also reporting whether the DEPTH cap
+    * pruned any directory (true = subtrees deeper than `maxDepth` were
+    * never visited, so tables may have been silently skipped — callers
+    * with user-facing coverage claims should surface it). */
+  private[graft] def listWarehouseTablesEx(root: java.nio.file.Path,
+      includeHidden: Boolean = false, maxDepth: Int = 32,
+      maxTables: Int = Int.MaxValue): (Seq[java.nio.file.Path], Boolean) = {
     import scala.jdk.CollectionConverters._
     val out = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    var depthPruned = false
     // depth/count caps: a warehouse mis-rooted at a shared directory
     // (tests pointing it at a temp dir's PARENT, i.e. /tmp) must not make
     // every catalog open recurse unbounded unrelated trees. Real
     // warehouses are shallow (namespaces) and finite; callers on hot
     // open paths pass tighter caps (ServingRewrites.armFromWarehouse).
     def walk(dir: java.nio.file.Path, depth: Int): Unit = {
-      if (depth > maxDepth || out.size >= maxTables) return
+      if (depth > maxDepth) { depthPruned = true; return }
+      if (out.size >= maxTables) return
       if (!java.nio.file.Files.isDirectory(dir)) return
       val children = scala.util.Using.resource(java.nio.file.Files.list(dir)) {
         s => s.iterator().asScala
@@ -367,7 +378,7 @@ object GraftTools {
       }
     }
     walk(root, 0)
-    out.toSeq
+    (out.toSeq, depthPruned)
   }
 
   /**

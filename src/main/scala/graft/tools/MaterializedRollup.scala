@@ -86,7 +86,9 @@ object MaterializedRollup {
       groupCols.contains(a) || a.contains(FieldSep) || a.contains(RecSep))
     require(badAlias.isEmpty, s"bad aggregate alias: ${badAlias.getOrElse("")}")
     val srcVersion = m.version
-    val df = grouped(source.scan(), groupCols, aggs)
+    // pinned to the watermark version: an unpinned scan could read a later
+    // commit than the recorded watermark (see SecondaryIndex.build)
+    val df = grouped(source.scan(Some(srcVersion)), groupCols, aggs)
     val rollup = GraftTable.create(spark, location, s"${m.name}_rollup",
       df.schema, groupCols,
       hash = Seq(HashComponent(groupCols, buckets)),
@@ -97,6 +99,10 @@ object MaterializedRollup {
       AggsKey -> Some(aggs.map { case (a, e) => a + FieldSep + e }
         .mkString(RecSep)),
       SrcVersionKey -> Some(srcVersion.toString)))
+    // marker re-write after the watermark commit: an expiry tick outlasting
+    // the build grace mid-build deregisters the marker; re-registering here
+    // restores the GC floor for the finished rollup
+    DerivedTables.register(source, location)
     // a materialized view's whole point is transparent serving: arm the
     // query rewrite by default (exact-only and freshness-gated, so it can
     // never change results — see plans/RollupRewrite). Same ambient-wiring

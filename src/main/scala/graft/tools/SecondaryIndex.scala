@@ -119,7 +119,13 @@ object SecondaryIndex {
     val lead = colNames.head
     val pkCols = m.keyCols
     val srcVersion = m.version
-    val data = entries(source.scan(), colNames, pkCols)
+    // PIN the build scan to the recorded watermark: an unpinned scan reads
+    // whatever version is current at execution, and a commit landing
+    // between the meta read and the job would leave index rows one version
+    // ahead of the recorded watermark — refresh would then tombstone the
+    // wrong before-image (the build-vs-storm chaos in FuzzSpec exercises
+    // exactly this window)
+    val data = entries(source.scan(Some(srcVersion)), colNames, pkCols)
     val keyCols = lead +: pkCols
     val idx = GraftTable.create(spark, location, s"${m.name}_${lead}_sidx",
       StructType(data.schema.fields.map(f =>
@@ -131,6 +137,12 @@ object SecondaryIndex {
       SrcLocKey -> Some(m.location),
       ColKey -> Some(colNames.mkString(",")),
       SrcVersionKey -> Some(srcVersion.toString)))
+    // re-write the marker now that the watermark property exists: an
+    // aggressive expiry tick during a LONG build can pass the build grace
+    // and deregister the marker — the finished index would then be
+    // forever excluded from the GC floor, and one missed refresh would
+    // force the full rebuild the marker exists to prevent
+    DerivedTables.register(source, location)
     // transparent serving: arm the point-predicate query rewrite by
     // default (exact-predicate-only and freshness-gated, so it can never
     // change results — see plans/IndexRewrite). Opt out per session by
@@ -170,8 +182,9 @@ object SecondaryIndex {
           "or lower/upper/trim/length/substring over one"))
     val pkCols = m.keyCols
     val srcVersion = m.version
-    // resolution against the source validates the referenced columns
-    val data = source.scan()
+    // resolution against the source validates the referenced columns;
+    // pinned to the watermark version like build() (see there)
+    val data = source.scan(Some(srcVersion))
       .select(expr(canon).as(ExprCol) +: pkCols.map(col): _*)
       .filter(col(ExprCol).isNotNull)
     val dt = data.schema(ExprCol).dataType
@@ -189,6 +202,8 @@ object SecondaryIndex {
       ColKey -> Some(ExprCol),
       ExprKey -> Some(canon),
       SrcVersionKey -> Some(srcVersion.toString)))
+    // marker re-write after the watermark commit — same healing as build()
+    DerivedTables.register(source, location)
     graft.plans.IndexRewrite.autoArm(spark, idx)
     idx
   }

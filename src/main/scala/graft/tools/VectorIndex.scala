@@ -89,7 +89,9 @@ object VectorIndex {
     require(m.column(idCol).dataType == LongType,
       s"vector index id column must be LONG, got ${m.column(idCol).dataType}")
     val srcVersion = m.version
-    val vecs = normalized(source.scan(), idCol, vecCol)
+    // pinned to the watermark version: an unpinned scan could read a later
+    // commit than the recorded watermark (see SecondaryIndex.build)
+    val vecs = normalized(source.scan(Some(srcVersion)), idCol, vecCol)
     val n = vecs.count()
     require(n > 0, s"${m.name} has no vectors in $vecCol")
     val mMod = math.max(1L, math.max(
@@ -127,6 +129,9 @@ object VectorIndex {
       SrcVersionKey -> Some(srcVersion.toString),
       CentsLocKey -> Some(centsLoc),
       ModulusKey -> Some(mMod.toString)))
+    // marker re-write after the watermark commit — heals a marker an
+    // expiry tick deregistered mid-build (see SecondaryIndex.build)
+    DerivedTables.register(source, location)
     idx
   }
 
@@ -240,14 +245,47 @@ object VectorIndex {
         col("score"))
       .withColumn("r", row_number().over(wAdc)).filter(col("r") <= topR)
       .select("query_id", "neighbor_id", "cell")
-    // survivors' raw vectors load through a second pruned read (semi-join
-    // on the index key) and re-rank by exact dot
+    if (assertPrune) {
+      // the candidate stage's contract: its scan reads the 65 B/vector
+      // codes WITHOUT the raw vectors (column pruning reaches the parquet
+      // scan). The stage executes eagerly below, so the check lives here
+      // where its plan is still visible.
+      val schemas = cand.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .linesIterator.filter(_.contains("ReadSchema")).toSeq
+      if (!schemas.exists(l => l.contains("code:") && !l.contains("v:array")))
+        throw new IllegalStateException(
+          s"candidate stage must scan codes without raw vectors:\n" +
+            schemas.mkString("\n"))
+    }
+    // the survivor set is plan-time-sized by construction (≤ queries ×
+    // k·rerank rows) — collect it so the re-rank scan below pushes an id
+    // IN-list, reading only the survivors' raw vectors (row-group pruning
+    // within the probed cells) instead of every raw vector in every probed
+    // cell; the collected frame also stops the whole ADC candidate subplan
+    // from re-executing inside the re-rank job
+    val candRows = cand.collect()
+    val candDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(candRows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(
+        cand.schema.fields.map(_.copy(nullable = true)))))
+    val survivorIds = candRows.map(_.get(1)).distinct
+    val rerankFilters = filters :+ (org.apache.spark.sql.sources.In(idCol,
+      survivorIds) : org.apache.spark.sql.sources.Filter)
+    // survivors' raw vectors load through a second pruned read (exact
+    // key join on the broadcast survivor set) and re-rank by exact dot.
+    // The id IN-list rides twice: as a source filter (manifest/zone file
+    // pruning inside the probed cells) and as a Catalyst predicate (parquet
+    // row-group pruning inside surviving files) — both bounded by the
+    // plan-time survivor count.
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("c").desc, col("neighbor_id"))
-    index.scanPruned(filters)
+    index.scanPruned(rerankFilters)
+      .filter(col(idCol).isin(survivorIds.toSeq: _*))
       .select(col("cell"), col(idCol).as("neighbor_id"), col("v"))
-      .join(broadcast(cand), Seq("cell", "neighbor_id"))
-      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+      .join(candDf, Seq("cell", "neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qv"))),
+        "query_id")
       .withColumn("c", dot(col("qv"), col("v")))
       .select(col("query_id"), col("neighbor_id"), col("c"))
       .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)

@@ -905,4 +905,68 @@ class FuzzSpec extends AnyFunSuite {
   test("derived-table chaos: refreshes race scheduler ticks and compactions (seed 53)") {
     runDerivedCase(53L, 30)
   }
+
+  test("derived-table chaos: index BUILDS race zero-grace retention (seed 71)") {
+    // Round-15 advice (medium): a zero/short-grace expireVersions tick
+    // DURING an in-flight build could expire the source version the build
+    // is reading and deregister its marker before the watermark property
+    // exists — the build crashes and the finished index loses GC
+    // protection forever. The fix is two-sided: the marker's protection
+    // window floors at graft.derived.buildGraceMs regardless of the
+    // caller's olderThanMs, and a completed build RE-WRITES its marker at
+    // commit. This storm races whole BUILDS (not just refreshes) against
+    // commits + expireVersions(1, 0): every build must land without ever
+    // observing a deleted version, and every finished index must floor
+    // later retention at its watermark.
+    val rnd = new Random(71L)
+    val root = Files.createTempDirectory("graft-bfuzz-71-")
+    val init = (1L to 40L).map(k => (k, s"n$k", k * 3L)).toDF("k", "name", "v")
+    val base = GraftTable.create(spark, s"$root/base", "bbase", init.schema,
+      Seq("k"), Seq(HashComponent(Seq("k"), 2)), data = Some(init))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val mutErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    // the mutator: commits + compactions + MAXIMALLY AGGRESSIVE retention,
+    // concurrent with every build below
+    val mut = new Thread(() => {
+      val r = new Random(72L)
+      try {
+        while (!stop.get()) {
+          val k = r.nextInt(40).toLong + 1
+          base.upsert(Seq((k, s"m$k", r.nextInt(1000).toLong))
+            .toDF("k", "name", "v"))
+          if (r.nextInt(4) == 0) base.compact()
+          base.expireVersions(retainLast = 1, olderThanMs = 0L)
+        }
+      } catch { case t: Throwable => mutErr.set(t) }
+    }, "bfuzz-mutator")
+    mut.start()
+    try {
+      for (i <- 0 until 3) {
+        // each build races the storm; the build grace floors the GC at the
+        // marker's registration version, so the build's snapshot survives
+        val idx = graft.tools.SecondaryIndex.build(spark, base, "v",
+          s"$root/sidx$i", buckets = 4)
+        val w = idx.properties(graft.tools.SecondaryIndex.SrcVersionKey).toLong
+        // the invariant is watermark-relative (the storm keeps moving):
+        // index rows == entries(base@watermark) — and base@watermark must
+        // still be READABLE (the GC floored at it, storm notwithstanding)
+        val want = base.scan(Some(w)).select("v", "k")
+          .collect().map(_.toSeq).toSet
+        val got = GraftTable.load(spark, idx.location).scan()
+          .select("v", "k").collect().map(_.toSeq).toSet
+        assert(got == want, s"build $i != entries(base@v$w)")
+        // a refresh mid-storm still lands (its CDC read needs the
+        // watermark version — the floor must have kept it)
+        graft.tools.SecondaryIndex.refresh(spark,
+          GraftTable.load(spark, idx.location))
+        GraftTable.drop(idx.location, force = true)
+        base.expireVersions(retainLast = 1, olderThanMs = 0L)
+      }
+    } finally {
+      stop.set(true)
+      mut.join(30000)
+    }
+    assert(mutErr.get() == null,
+      s"mutator must survive the storm: ${Option(mutErr.get()).map(_.getMessage)}")
+  }
 }

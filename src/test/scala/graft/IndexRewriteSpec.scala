@@ -182,8 +182,10 @@ class IndexRewriteSpec extends AnyFunSuite {
   test("range and prefix predicates on the indexed column serve through the index") {
     val (t, idx) = mk()
     try {
-      // BETWEEN (two conjuncts): the >= serves as the probe, the <= rides
-      // as residual; lexicographic on name_NN strings
+      // BETWEEN (two conjuncts): both bounds MERGE into ONE interval probe
+      // (IndexRewrite.servables) and both drop from the residual — probing
+      // a half-open `>= lo` alone would over-match for nothing;
+      // lexicographic on name_NN strings
       def qr = t.scan().filter(col("name") >= "name_60" && col("name") <= "name_62")
       assert(served(qr, t),
         s"a range predicate on an indexed column must serve:\n${qr.queryExecution.optimizedPlan}")

@@ -65,17 +65,21 @@ class VectorIndexSpec extends AnyFunSuite {
     val pq = VectorIndex.probePq(spark, idx, queries, nProbe = 2, k = 3,
       rerank = 4, assertPrune = true)
     val got = pq.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // the candidate stage's index scan must read the 65 B/vector codes
-    // WITHOUT the raw vectors (column pruning reaches the parquet scan);
-    // the re-rank stage reads `v` for survivors only — both visible as
-    // distinct ReadSchema lines in the executed plan
+    // the candidate stage executes eagerly inside probePq (its survivors
+    // collect so the re-rank can push them as an IN-list) — its
+    // codes-without-vectors ReadSchema contract is checked INSIDE probePq
+    // under assertPrune (which this call sets). The returned plan holds
+    // the re-rank: it must read `v` without codes, and its scan must
+    // carry the pushed survivor id IN-list (round-15 advice: the re-rank
+    // previously read every raw vector in every probed cell).
     val ex = pq.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     val schemas = ex.linesIterator.filter(_.contains("ReadSchema")).toSeq
-    assert(schemas.exists(l => l.contains("code:binary") && !l.contains("v:array")),
-      s"candidate stage must scan codes without raw vectors:\n${schemas.mkString("\n")}")
     assert(schemas.exists(l => l.contains("v:array") && !l.contains("code:binary")),
       s"re-rank stage must scan raw vectors without codes:\n${schemas.mkString("\n")}")
+    val pushed = ex.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(_.contains("In(vec_id")),
+      s"re-rank scan must push the survivor id IN-list:\n${pushed.mkString("\n")}")
     // recall vs the exact-within-cells top-k: the exact re-rank of the
     // top-R quantized survivors loses a neighbor only when its ADC score
     // falls outside R — gate well above chance, expect near-1.0

@@ -154,8 +154,20 @@ class VersionExpirySpec extends AnyFunSuite {
       "an in-flight build's registration-time version must survive")
     assert(!Files.exists(Paths.get(loc, "_graft", "v1.json")),
       "versions below the marker floor still expire")
-    // a zero-grace tick treats the (older-than-grace) marker as dead:
-    // it cleans, and the floor lifts
+    // a ZERO-grace tick (retainLast-only retention) still protects the
+    // young marker: the protection window floors at the fixed build grace
+    // (graft.derived.buildGraceMs, default 5 min), never at the caller's
+    // olderThanMs — the round-15 hole where expireVersions(1, 0) killed an
+    // in-flight build's registration instantly
+    t.expireVersions(retainLast = 1, olderThanMs = 0L)
+    assert(Files.exists(Paths.get(loc, "_graft", "v3.json")),
+      "retainLast-only retention must still honor the build grace")
+    // age the marker past the build grace: NOW the watermark-less marker
+    // is a dead registration (crashed build) — it cleans, the floor lifts
+    val marker = scala.util.Using.resource(
+      Files.list(Paths.get(loc, "_derived")))(s => s.iterator().next())
+    Files.setLastModifiedTime(marker, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 600_000L))
     t.expireVersions(retainLast = 1, olderThanMs = 0L)
     assert(!Files.exists(Paths.get(loc, "_graft", "v3.json")),
       "past the grace a watermark-less marker is dead and expiry proceeds")
