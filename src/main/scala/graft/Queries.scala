@@ -1217,6 +1217,138 @@ object Queries {
       } finally graft.plans.IndexRewrite.disable(s, idx.location)
     }),
 
+    "q76_covering_index" -> ((s, dir) => {
+      // INDEX-ONLY (covering) serving: when the query's output is covered
+      // by the index's own columns — above all `count(*)` / grouped
+      // aggregates under a served predicate — the plan answers from ONE
+      // bucket-pruned index read with ZERO base files anywhere in it.
+      // This is the reference's count-only scan posture
+      // (docs/whitepaper/kudu.tex:979-983, S10) extended to NON-key
+      // predicates: at 100 TB a dashboard count over an indexed column
+      // goes from keys-probe + PK-pruned base fan-out to one index read.
+      // In-query asserts: (1) the fresh index covers the count — no base
+      // relation in the plan, index files read; (2) the instant the base
+      // mutates, covering declines; (3) after an incremental refresh the
+      // V2 path covers again on the still-dirty base (the covering read
+      // never touches the base, so MOR state is irrelevant to it).
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val raw = Tables.raw(s, dir, "customer")
+      val t = GraftTable.create(s, tmpLoc("graft-q76b-"), "customer_q76",
+        raw.schema, Seq("c_custkey"),
+        Seq(HashComponent(Seq("c_custkey"), 4)), data = Some(raw))
+      val idx = graft.tools.SecondaryIndex.build(s, t,
+        Seq("c_mktsegment", "c_nationkey"), tmpLoc("graft-q76i-"),
+        buckets = 8)
+      try {
+        def readFrom(df: DataFrame, files: Set[String]): Set[String] =
+          df.queryExecution.optimizedPlan.collect {
+            case lr: LogicalRelation => lr.relation match {
+              case fs: HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toUri.getPath)
+                  .filter(files.contains)
+              case _ => Nil
+            }
+          }.flatten.toSet
+        def filesOf(tbl: GraftTable): Set[String] = tbl.meta.baseFiles
+          .map(f => new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+        def covering(df: DataFrame): Boolean =
+          readFrom(df, filesOf(t)).isEmpty && readFrom(df, filesOf(idx)).nonEmpty
+        def qCount = t.scan().filter(col("c_mktsegment") === "BUILDING")
+          .agg(count(lit(1)).as("n"))
+        if (!covering(qCount))
+          throw new IllegalStateException("a fresh index must cover " +
+            s"count(*):\n${qCount.queryExecution.optimizedPlan}")
+        withShufflePartitions(s, 4) {
+          t.upsert(t.scan().filter(col("c_custkey") === 5)
+            .withColumn("c_mktsegment", lit("GRAFTSEG")))
+        }
+        if (covering(qCount))
+          throw new IllegalStateException("a STALE index must never cover")
+        if (!graft.tools.SecondaryIndex.refresh(s, idx))
+          throw new IllegalStateException("refresh must apply the mutation")
+        val f = new java.io.File(t.location)
+        s.conf.set("spark.sql.catalog.gq76",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq76.warehouse", f.getParent)
+        val v2 = s.table(s"gq76.`${f.getName}`")
+          .filter(col("c_mktsegment").isin("BUILDING", "GRAFTSEG"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum("c_nationkey").as("sum_nat"))
+        if (!covering(v2))
+          throw new IllegalStateException("a refreshed index must cover " +
+            s"the V2 grouped count on a dirty base:\n${v2.queryExecution.optimizedPlan}")
+        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+          .orderBy("c_mktsegment")
+      } finally graft.plans.IndexRewrite.disable(s, idx.location)
+    }),
+
+    "q77_date_index" -> ((s, dir) => {
+      // DATE-FAMILY functional index: year(<date col>) is deterministic
+      // and timezone-free (a date has no instant), so it joins the
+      // functional-index expression language — `WHERE year(o_odate) =
+      // 1995`, the most common derived predicate on time-ish columns,
+      // serves through the index instead of a corpus scan with expression
+      // evaluation. year over a TIMESTAMP stays REFUSED (session-timezone
+      // read — never sound to serve), which is why this gate derives a
+      // DATE column up front. In-query asserts: fresh point predicate
+      // COVERS a count (zero base files), stale declines after a date
+      // mutation, and after the refresh the V2 path covers the IN and
+      // RANGE shapes on the dirty base.
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val raw = Tables.raw(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_odate"))
+      val t = GraftTable.create(s, tmpLoc("graft-q77b-"), "orders_q77",
+        raw.schema, Seq("o_orderkey"),
+        Seq(HashComponent(Seq("o_orderkey"), 4)), data = Some(raw))
+      val idx = graft.tools.SecondaryIndex.buildExpression(s, t,
+        "year(o_odate)", tmpLoc("graft-q77i-"), buckets = 8)
+      try {
+        def readFrom(df: DataFrame, files: Set[String]): Set[String] =
+          df.queryExecution.optimizedPlan.collect {
+            case lr: LogicalRelation => lr.relation match {
+              case fs: HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toUri.getPath)
+                  .filter(files.contains)
+              case _ => Nil
+            }
+          }.flatten.toSet
+        def filesOf(tbl: GraftTable): Set[String] = tbl.meta.baseFiles
+          .map(f => new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+        def covering(df: DataFrame): Boolean =
+          readFrom(df, filesOf(t)).isEmpty && readFrom(df, filesOf(idx)).nonEmpty
+        def qPoint = t.scan().filter(year(col("o_odate")) === 1995)
+          .agg(count(lit(1)).as("n"))
+        if (!covering(qPoint))
+          throw new IllegalStateException("a fresh year(date) index must " +
+            s"cover the point count:\n${qPoint.queryExecution.optimizedPlan}")
+        withShufflePartitions(s, 4) {
+          t.upsert(t.scan().filter(col("o_orderkey") === 7)
+            .withColumn("o_odate", lit(java.sql.Date.valueOf("2032-01-01"))))
+        }
+        if (covering(qPoint))
+          throw new IllegalStateException("a STALE index must never cover")
+        if (!graft.tools.SecondaryIndex.refresh(s, idx))
+          throw new IllegalStateException("refresh must apply the mutation")
+        val f = new java.io.File(t.location)
+        s.conf.set("spark.sql.catalog.gq77",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq77.warehouse", f.getParent)
+        val v2 = s.table(s"gq77.`${f.getName}`")
+        val qIn = v2.filter(year(col("o_odate")).isin(1998, 2032))
+          .agg(count(lit(1)).as("n")).withColumn("tag", lit("in"))
+        val qRange = v2.filter(year(col("o_odate")) >= 1998)
+          .agg(count(lit(1)).as("n")).withColumn("tag", lit("range"))
+        if (!covering(qIn) || !covering(qRange))
+          throw new IllegalStateException("a refreshed year(date) index " +
+            "must cover IN and RANGE through V2 on a dirty base:\n" +
+            qIn.queryExecution.optimizedPlan + "\n" +
+            qRange.queryExecution.optimizedPlan)
+        withShufflePartitions(s, 4) {
+          qIn.union(qRange).select("tag", "n").localCheckpoint(true)
+        }.orderBy("tag")
+      } finally graft.plans.IndexRewrite.disable(s, idx.location)
+    }),
+
     "q70_mv_rewrite" -> ((s, dir) => {
       // Materialized-view QUERY REWRITE (RollupRewrite): a GROUP BY over
       // the base is answered from the maintained rollup — at 100 TB this
@@ -2783,6 +2915,34 @@ object Queries {
         "SELECT * FROM final WHERE c_name IN ('Customer#000000020', " +
         "'Customer#000000021', 'Customer#000000022') " +
         "AND c_mktsegment = 'GRAFTSEG' ORDER BY c_custkey"),
+
+    // the covered grouped count over the mutated base: customer 5 moved
+    // into the synthetic segment, and both groups answer from the index
+    // alone — the in-query plan asserts prove ZERO base files were read,
+    // the hash match proves the counts are true
+    "q76_covering_index" ->
+      ("WITH final AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, " +
+        "CASE WHEN c_custkey = 5 THEN 'GRAFTSEG' ELSE c_mktsegment END " +
+        "AS c_mktsegment FROM customer) " +
+        "SELECT c_mktsegment, count(*) AS n, " +
+        "CAST(sum(c_nationkey) AS BIGINT) AS sum_nat FROM final " +
+        "WHERE c_mktsegment IN ('BUILDING', 'GRAFTSEG') " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+
+    // the year-derived counts over the mutated base: order 7 moved to
+    // 2032, both the IN and the RANGE shapes answer from the functional
+    // index alone (zero-base-read plan asserts in-query); the hash match
+    // proves the counts
+    "q77_date_index" ->
+      ("WITH base AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS " +
+        "o_odate FROM orders), " +
+        "final AS (SELECT o_orderkey, CASE WHEN o_orderkey = 7 THEN " +
+        "DATE '2032-01-01' ELSE o_odate END AS o_odate FROM base) " +
+        "SELECT 'in' AS tag, count(*) AS n FROM final " +
+        "WHERE year(o_odate) IN (1998, 2032) " +
+        "UNION ALL " +
+        "SELECT 'range' AS tag, count(*) AS n FROM final " +
+        "WHERE year(o_odate) >= 1998 ORDER BY tag"),
 
     // lookups by current names return the live rows; the two STALE names
     // (pre-rename, deleted) must return nothing — a refresh that failed to

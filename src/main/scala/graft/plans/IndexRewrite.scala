@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{col, lit}
 
@@ -173,6 +173,20 @@ object IndexRewrite extends Rule[LogicalPlan] {
     case Length(c) => canonScalar(c).map(x => s"length($x)")
     case Substring(c, Literal(p: Int, _), Literal(l: Int, _)) =>
       canonScalar(c).map(x => s"substring($x, $p, $l)")
+    // date family — DateType ONLY: year/month/day over a DATE are
+    // deterministic and timezone-free (a date has no instant to shift),
+    // while the same functions over a TIMESTAMP read through the SESSION
+    // zone and must never canonicalize — a serve would depend on the
+    // reader's timezone. The guards bind on RESOLVED expressions (query
+    // side and buildExpression's post-resolution validation); an analyzer-
+    // inserted Cast under the function falls outside the language and
+    // refuses by construction.
+    case Year(c) if c.dataType == org.apache.spark.sql.types.DateType =>
+      canonScalar(c).map(x => s"year($x)")
+    case Month(c) if c.dataType == org.apache.spark.sql.types.DateType =>
+      canonScalar(c).map(x => s"month($x)")
+    case DayOfMonth(c) if c.dataType == org.apache.spark.sql.types.DateType =>
+      canonScalar(c).map(x => s"day($x)")
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
         if u.nameParts.length == 1 && !u.isDistinct && u.filter.isEmpty =>
       (u.nameParts.head.toLowerCase, u.arguments) match {
@@ -183,6 +197,13 @@ object IndexRewrite extends Rule[LogicalPlan] {
         case ("substring" | "substr",
             Seq(c, Literal(p: Int, _), Literal(l: Int, _))) =>
           canonScalar(c).map(x => s"substring($x, $p, $l)")
+        // unresolved trees carry no types; buildExpression re-validates
+        // the canon on the RESOLVED expression, where the DateType guards
+        // above apply (a timestamp argument refuses there)
+        case ("year", Seq(c)) => canonScalar(c).map(x => s"year($x)")
+        case ("month", Seq(c)) => canonScalar(c).map(x => s"month($x)")
+        case ("day" | "dayofmonth", Seq(c)) =>
+          canonScalar(c).map(x => s"day($x)")
         case _ => None
       }
     case _ => None
@@ -315,6 +336,24 @@ object IndexRewrite extends Rule[LogicalPlan] {
     if (indexes.isEmpty) return plan
     val maxKeys = rewriteMaxKeys(spark)
     plan.transform {
+      // INDEX-ONLY (covering) serve first: when the PARENT above a served
+      // Filter needs only columns the index itself carries (the indexed
+      // columns plus the base PK every entry holds), the query answers
+      // from ONE bucket/zone-pruned index read with NO base fetch at all —
+      // the reference's count-only-scan posture (docs/whitepaper/
+      // kudu.tex:979-983) extended to non-key predicates. Above all this
+      // turns `SELECT count(*) WHERE <indexed> = v` from a keys-probe +
+      // PK-pruned base fan-out into a single index read, and unlike the
+      // point-fetch path below it needs NO key bound: nothing collects,
+      // so an unselective predicate is still one bounded scan. Declines
+      // fall through to the point-fetch rewrite on the inner Filter.
+      case agg @ Aggregate(_, _, f @ Filter(_, _), _) =>
+        tryCoveringFor(spark, indexes, maxKeys, f, agg.references.toSeq)
+          .map(nc => agg.copy(child = nc)).getOrElse(agg)
+      case p @ Project(_, f @ Filter(_, _)) =>
+        tryCoveringFor(spark, indexes, maxKeys, f, p.references.toSeq)
+          .map(nc => p.copy(child = nc)).getOrElse(p)
+
       case f @ Filter(cond, child) =>
         // guard order matters for PLANNING cost: the predicate match and
         // the index-column name check are pure in-memory tests, while
@@ -344,15 +383,23 @@ object IndexRewrite extends Rule[LogicalPlan] {
           }.nextOption()
         } yield rewritten).getOrElse(f)
 
-      // ORDER BY <indexed col> LIMIT k: the k extreme values come off the
-      // index (one entry per base row at the watermark), the k matched
-      // keys fetch through PK pruning, and the ORIGINAL Sort/Limit nodes
-      // re-apply over those k rows — at 100 TB a corpus sort becomes an
-      // index read plus a point fetch. NULLS LAST only (the index never
-      // holds null leads, so a nulls-first top-k could need rows the index
-      // cannot see; DESC defaults to nulls-last, ASC needs it explicit),
-      // and the index must carry at least k entries (fewer → null rows
-      // might pad the true answer → keep the scan).
+      // ORDER BY <indexed col> [, tiebreaks…] LIMIT k: the k extreme lead
+      // values come off the index (one entry per base row at the
+      // watermark), the matched keys fetch through PK pruning, and the
+      // ORIGINAL Sort/Limit nodes re-apply over those rows — at 100 TB a
+      // corpus sort becomes an index read plus a point fetch. A single
+      // sort key fetches exactly k entries (any valid top-k set); with
+      // TIEBREAK keys the fetch completes the k-th lead value's tie set
+      // first (SecondaryIndex.topKTies), so the re-applied multi-key sort
+      // is exact — declining when the tie set exceeds the key bound.
+      // Null admission: NULLS LAST serves outright (the index never holds
+      // null leads; DESC defaults to nulls-last). Spark's DEFAULT
+      // `ORDER BY col LIMIT k` — ASC NULLS FIRST — serves when the key is
+      // provably null-free, i.e. the sort expression is NON-NULLABLE in
+      // the scan schema (NullsFirst ≡ NullsLast on a null-free key); a
+      // nullable key under nulls-first keeps the scan. The index must
+      // carry at least k entries either way (fewer → null rows might pad
+      // the true answer → keep the scan).
       case gl @ GlobalLimit(IntegerLiteral(k),
           ll @ LocalLimit(_, inner)) if k > 0 && k <= maxKeys =>
         val (projOpt, sortOpt) = inner match {
@@ -364,10 +411,12 @@ object IndexRewrite extends Rule[LogicalPlan] {
         }
         (for {
           s <- sortOpt
-          if s.global
-          so <- s.order match { case Seq(one) => Some(one); case _ => None }
+          if s.global && s.order.nonEmpty
+          so = s.order.head
           keyCanon <- canonScalar(so.child)
-          if so.nullOrdering == NullsLast
+          // tiebreaks re-apply over FULL fetched base rows — they only
+          // need to be deterministic
+          if s.order.tail.forall(_.child.deterministic)
           // canon check BEFORE the scan-root match: baseLocation stats the
           // filesystem, and one armed index must not tax every unrelated
           // ORDER BY .. LIMIT in the session (same guard order as Filter)
@@ -379,21 +428,50 @@ object IndexRewrite extends Rule[LogicalPlan] {
                 if src == baseLoc && cols.headOption.contains(keyCanon) => loc
           }
           rewritten <- tryTopK(spark, gl, ll, projOpt, s, indexLoc, baseV, k,
-            desc = so.direction == Descending)
+            desc = so.direction == Descending,
+            ties = s.order.length > 1, maxKeys = maxKeys,
+            // NullsFirst only serves on a provably null-free key: the
+            // attribute non-nullable in the plan, or (checked in tryTopK
+            // against the DECLARED schema at the pinned version — the
+            // parquet relation reports everything nullable) every column
+            // the key references declared NOT NULL; the canonical
+            // expression language is null-preserving, so null-free inputs
+            // make the key null-free
+            needNullFree = so.nullOrdering == NullsFirst && so.child.nullable,
+            keyRefs = so.child.references.toSeq.map(_.name))
         } yield rewritten).getOrElse(gl)
     }
   }
 
   private def tryTopK(spark: SparkSession, gl: GlobalLimit, ll: LocalLimit,
       projOpt: Option[Project], sort: Sort, indexLoc: String, baseV: Long,
-      k: Int, desc: Boolean): Option[LogicalPlan] = {
+      k: Int, desc: Boolean, ties: Boolean, maxKeys: Int,
+      needNullFree: Boolean = false,
+      keyRefs: Seq[String] = Nil): Option[LogicalPlan] = {
     busy.set(true)
     try {
       val idx = GraftTable.load(spark, indexLoc)
       val im = idx.meta // one snapshot: version + watermark (see tryRewrite)
       if (im.propsMap(SecondaryIndex.SrcVersionKey).toLong != baseV) return None
-      val looked = SecondaryIndex.topK(spark, idx, k, desc,
-        pinned = Some((im.version, baseV))).getOrElse(return None)
+      if (needNullFree) {
+        // prove the key null-free from the DECLARED schema at the pinned
+        // version: every referenced column NOT NULL — otherwise a
+        // nulls-first top-k could need null-lead rows the index never holds
+        val sm = GraftTable.load(spark,
+          im.propsMap(SecondaryIndex.SrcLocKey)).metaAt(baseV)
+        val ok = keyRefs.nonEmpty && keyRefs.forall(r =>
+          sm.columns.exists(c => c.name.equalsIgnoreCase(r) && !c.nullable))
+        if (!ok) return None
+      }
+      // multi-key ORDER BY fetches the k-th lead value's FULL tie set so
+      // the re-applied sort can order ties by the trailing keys exactly;
+      // single-key fetches exactly k (ties interchangeable there)
+      val looked = (if (ties)
+        SecondaryIndex.topKTies(spark, idx, k, desc, maxKeys,
+          pinned = Some((im.version, baseV)))
+      else
+        SecondaryIndex.topK(spark, idx, k, desc,
+          pinned = Some((im.version, baseV)))).getOrElse(return None)
       val lp = looked.queryExecution.optimizedPlan
       val byName = lp.output.map(a => a.name.toLowerCase -> a).toMap
       val mapped = sort.child.output.map { a =>
@@ -413,6 +491,116 @@ object IndexRewrite extends Rule[LogicalPlan] {
       case e: Exception =>
         logWarning(s"index top-k rewrite via $indexLoc declined after " +
           s"error; keeping the scan plan: ${e.getMessage}")
+        None
+    } finally busy.set(false)
+  }
+
+  /** Candidate extraction + index match for the covering serve: same
+    * servable/residual split as the Filter case, but instead of a bounded
+    * key probe + base fetch the plan splices [[coveringPlan]]. `needed` is
+    * what the parent node references — coverage of it (and of every
+    * residual conjunct) is what makes the base read unnecessary. */
+  private def tryCoveringFor(spark: SparkSession,
+      indexes: Map[String, (String, Seq[String])], maxKeys: Int,
+      f: Filter, needed: Seq[Attribute]): Option[LogicalPlan] = {
+    if (indexes.isEmpty) return None
+    val (conjuncts, cands) = servables(f.condition)
+    val usable = cands.filter { c =>
+      c.nLiterals <= maxKeys && // same IN-list sanity bound as the probe path
+        indexes.exists(_._2._2.headOption.contains(c.canon))
+    }
+    if (usable.isEmpty) return None
+    for {
+      (baseLoc, baseV) <- ScanRoots.baseLocation(ScanRoots.stripProjects(f.child))
+      out <- usable.iterator.flatMap { c =>
+        indexes.collectFirst {
+          case (indexLoc, (src, cols))
+              if src == baseLoc && cols.headOption.contains(c.canon) =>
+            indexLoc
+        }.flatMap { indexLoc =>
+          // drop inferred IsNotNull residuals over attributes the SERVED
+          // conjunct itself references: the probe never matches a null
+          // index value, and every function in the canonical expression
+          // language is null-preserving, so the served rows' source
+          // attributes are provably non-null — while the attribute itself
+          // (e.g. the argument of a functional index's expression) may
+          // not be covered, which would otherwise veto the covering serve
+          // for every functional predicate (InferFiltersFromConstraints
+          // plants one beside each of them)
+          val servedRefs = AttributeSet(
+            c.positions.map(conjuncts).flatMap(_.references))
+          val residual = conjuncts.zipWithIndex.collect {
+            case (e, i) if !c.positions.contains(i) &&
+              !(e match {
+                case IsNotNull(a: Attribute) => servedRefs.contains(a)
+                case _ => false
+              }) => e
+          }
+          coveringPlan(spark, indexLoc, baseV, c, residual, needed)
+        }
+      }.nextOption()
+    } yield out
+  }
+
+  /** The covering replacement for a served Filter: ONE version-pinned,
+    * bucket/zone-pruned scan of the index table, residual conjuncts
+    * re-applied, output aliased to the original attribute ids — and no
+    * base read anywhere in the subtree. Sound because the index holds
+    * exactly one entry per base row whose LEAD value is non-null, and the
+    * served conjunct (equality/IN/range/prefix) never matches null, so
+    * the index rows under the probe ARE the base rows under the filter,
+    * restricted to the covered columns. Declines (None) when the index is
+    * stale, a needed/residual column is not covered, or types diverge. */
+  private def coveringPlan(spark: SparkSession, indexLoc: String,
+      baseV: Long, served: Servable, residual: Seq[Expression],
+      needed: Seq[Attribute]): Option[LogicalPlan] = {
+    busy.set(true)
+    try {
+      val idx = GraftTable.load(spark, indexLoc)
+      val im = idx.meta // one snapshot: watermark + version (see tryRewrite)
+      if (im.propsMap(SecondaryIndex.SrcVersionKey).toLong != baseV) return None
+      val functional = im.propsMap.contains(SecondaryIndex.ExprKey)
+      // the index table's columns ARE base columns (the indexed columns
+      // plus the base PK its entries carry) — except a functional index's
+      // synthesized value column, which no base attribute names
+      val idxCols = im.columns.map(_.name.toLowerCase)
+        .filterNot(n => functional && n == SecondaryIndex.ExprCol).toSet
+      val residualRefs = residual.flatMap(_.references.toSeq)
+      val want = (needed ++ residualRefs)
+        .foldLeft(Vector.empty[Attribute])((acc, a) =>
+          if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a)
+      if (!want.forall(a => idxCols.contains(a.name.toLowerCase))) return None
+      val physCols = SecondaryIndex.indexedCols(im.propsMap)
+      val lead = physCols.head
+      // trailing composite equalities narrow the probe exactly like the
+      // point-fetch path; they stay in the residual too (re-applying an
+      // equality is free and keeps the exactness argument one line)
+      val byTrail = physCols.tail.map(n => n.toLowerCase -> n).toMap
+      val trailing = residual.flatMap(eqValues).flatMap { case (canon, vs) =>
+        byTrail.get(canon).map { phys =>
+          (Seq(sf.In(phys, vs.toArray)): Seq[org.apache.spark.sql.sources.Filter],
+            col(phys).isin(vs: _*))
+        }
+      }
+      val probeFilters = served.filters(lead) ++ trailing.flatMap(_._1)
+      val probeCond = trailing.map(_._2).foldLeft(served.cond(lead))(_ && _)
+      val looked = idx.scanPruned(probeFilters, Some(im.version))
+        .filter(probeCond)
+      val lp = looked.queryExecution.optimizedPlan
+      val byName = lp.output.map(a => a.name.toLowerCase -> a).toMap
+      val mapped = want.map { a =>
+        byName.get(a.name.toLowerCase).filter(_.dataType == a.dataType)
+          .map(r => Alias(r, a.name)(exprId = a.exprId))
+      }
+      if (mapped.exists(_.isEmpty)) return None
+      val projected = Project(mapped.map(_.get), lp)
+      Some(residual.reduceOption(And).map(Filter(_, projected))
+        .getOrElse(projected))
+    } catch {
+      case e: Exception =>
+        logWarning(s"covering index rewrite via $indexLoc declined after " +
+          "error; keeping the scan plan: " +
+          Option(e.getMessage).getOrElse(e.getClass.getName))
         None
     } finally busy.set(false)
   }

@@ -154,10 +154,11 @@ object SecondaryIndex {
   /**
    * Build a FUNCTIONAL index: the indexed value is a deterministic scalar
    * EXPRESSION over source columns (`lower(c_name)`, `substring(url, 1,
-   * 8)`, `length(text)` — the canonical language in
+   * 8)`, `length(text)`, `year(o_orderdate)` — the canonical language in
    * plans/IndexRewrite.canonScalar; anything outside it refuses up front,
    * which is also what keeps serving sound: timezone-dependent functions
-   * never canonicalize). The index table stores the computed value under
+   * never canonicalize — the date family admits DATE columns only, a
+   * timestamp argument refuses at the post-resolution type check). The index table stores the computed value under
    * [[ExprCol]], keyed `(_v, pk…)` and hash-partitioned on it; refresh
    * re-derives mutated keys' values through the same expression, and the
    * rewrite serves any predicate whose key canonicalizes identically —
@@ -176,13 +177,30 @@ object SecondaryIndex {
         "are not secondary-indexable")
     val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(exprSql)
-    val canon = graft.plans.IndexRewrite.canonScalar(parsed).getOrElse(
+    val canon0 = graft.plans.IndexRewrite.canonScalar(parsed).getOrElse(
       throw new IllegalArgumentException(
-        s"unsupported index expression '$exprSql' — supported: a column, " +
-          "or lower/upper/trim/length/substring over one"))
+        s"unsupported index expression '$exprSql' — supported: a column; " +
+          "lower/upper/trim/length/substring over one; year/month/day " +
+          "over a DATE column"))
     val pkCols = m.keyCols
     val srcVersion = m.version
-    // resolution against the source validates the referenced columns;
+    // resolution against the source validates the referenced columns AND
+    // re-applies the language's TYPE guards on the resolved tree — the
+    // parsed expression carries no types, so e.g. year(<timestamp>) (a
+    // session-timezone read that must never serve) only refuses here:
+    // either the resolved function's DateType guard fails, or the
+    // analyzer inserted a Cast, which falls outside the language
+    val probe = source.scan(Some(srcVersion)).select(expr(canon0).as(ExprCol))
+    val resolvedExpr = probe.queryExecution.analyzed.expressions.collectFirst {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias
+          if a.name == ExprCol => a.child
+    }.getOrElse(parsed)
+    val canon = graft.plans.IndexRewrite.canonScalar(resolvedExpr).getOrElse(
+      throw new IllegalArgumentException(
+        s"unsupported index expression '$exprSql' after resolution — " +
+          "date functions (year/month/day) admit DATE columns only " +
+          "(timestamps read through the session timezone and cannot " +
+          "serve soundly)"))
     // pinned to the watermark version like build() (see there)
     val data = source.scan(Some(srcVersion))
       .select(expr(canon).as(ExprCol) +: pkCols.map(col): _*)
@@ -311,6 +329,50 @@ object SecondaryIndex {
       .select(pkCols.map(col): _*)
       .limit(k).collect()
     if (hits.length < k) return None
+    Some(fetchByKeys(spark, src, pkCols, hits, pinned.map(_._2)))
+  }
+
+  /**
+   * TOP-K by the LEAD indexed value WITH TIE COMPLETION: the base rows
+   * whose lead value is strictly better than — or EQUAL to — the k-th
+   * extreme value. Unlike [[topK]] (any valid top-k set, ties broken by
+   * index key), the returned superset lets a caller re-apply a MULTI-key
+   * `ORDER BY lead [DESC], tiebreak… LIMIT k` exactly: the true top-k
+   * rows all carry one of the k extreme lead values (ties only rearrange
+   * equal-lead rows), so sorting the candidates by the full key list and
+   * cutting at k reproduces the corpus sort's answer. The candidate set
+   * is bounded by `maxKeys` — tie-heavy data (more than maxKeys rows
+   * sharing the k-th value) returns None and the caller keeps the scan.
+   * Returns None too when fewer than `k` non-null entries exist (the
+   * caller may need null-lead rows the index never holds). `pinned` as
+   * in [[lookupWhere]].
+   */
+  def topKTies(spark: SparkSession, index: GraftTable, k: Int,
+      desc: Boolean, maxKeys: Int,
+      pinned: Option[(Long, Long)] = None): Option[DataFrame] = {
+    require(k > 0, "topKTies needs k > 0")
+    val lead = indexedCols(index.properties).head
+    val src = GraftTable.load(spark, index.properties(SrcLocKey))
+    val pkCols = src.meta.keyCols
+    val ord = if (desc) col(lead).desc else col(lead).asc
+    // pass 1: the k-th extreme lead value (ties beyond k irrelevant —
+    // any row tied at vk joins the candidate set in pass 2)
+    val leadVals = index.scanPruned(Nil, pinned.map(_._1))
+      .orderBy(ord).select(col(lead)).limit(k).collect()
+    if (leadVals.length < k) return None
+    val vk = leadVals.last.get(0)
+    // pass 2: every entry at-or-better than vk — zone maps prune a
+    // value-clustered index to the extreme slabs; the bound keeps the
+    // collect point-read-sized either way
+    val candFilter: Seq[org.apache.spark.sql.sources.Filter] =
+      Seq(if (desc) org.apache.spark.sql.sources.GreaterThanOrEqual(lead, vk)
+          else org.apache.spark.sql.sources.LessThanOrEqual(lead, vk))
+    val candCond = if (desc) col(lead) >= lit(vk) else col(lead) <= lit(vk)
+    val hits = index.scanPruned(candFilter, pinned.map(_._1))
+      .filter(candCond)
+      .select(pkCols.map(col): _*)
+      .limit(maxKeys + 1).collect()
+    if (hits.length > maxKeys) return None // tie set too big — scan instead
     Some(fetchByKeys(spark, src, pkCols, hits, pinned.map(_._2)))
   }
 

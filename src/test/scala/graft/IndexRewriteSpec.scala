@@ -408,4 +408,250 @@ class IndexRewriteSpec extends AnyFunSuite {
         .filter(col("name") === "name_5"), t))
     } finally IndexRewrite.disable(spark, idx.location)
   }
+
+  test("default-ASC top-k serves when the sort key is non-nullable; nullable keeps the scan") {
+    // Spark's default `ORDER BY col LIMIT k` is ASC NULLS FIRST — the
+    // single most common top-k shape. The index holds no null leads, so
+    // nulls-first only serves when the key is provably null-free:
+    // non-nullable in the schema. Two tables, same data — one declares
+    // `name` NOT NULL, one leaves it nullable.
+    val data = (1L to 64L).map(i => (i, f"name_$i%02d", i % 5))
+      .toDF("id", "name", "v")
+    val nnSchema = org.apache.spark.sql.types.StructType(
+      data.schema.fields.map(f =>
+        if (f.name == "name") f.copy(nullable = false) else f))
+    val tnn = GraftTable.create(spark, tmp(), "idxnn", nnSchema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 4)), data = Some(data))
+    val idxNn = SecondaryIndex.build(spark, tnn, "name", tmp(), buckets = 8)
+    val (tn, idxN) = mk() // nullable name
+    try {
+      def qnn = tnn.scan().orderBy(col("name")).limit(3) // ASC NULLS FIRST
+      assert(served(qnn, tnn),
+        s"default ASC on a NON-NULLABLE key must serve:\n${qnn.queryExecution.optimizedPlan}")
+      assert(qnn.collect().map(_.getString(1)).toSeq ==
+        Seq("name_01", "name_02", "name_03"))
+      def qn = tn.scan().orderBy(col("name")).limit(3)
+      assert(!served(qn, tn),
+        "default ASC on a NULLABLE key must keep the scan (nulls could lead)")
+      // explicit NULLS LAST on the nullable key still serves (existing path)
+      def qe = tn.scan().orderBy(col("name").asc_nulls_last).limit(3)
+      assert(served(qe, tn), "explicit NULLS LAST serves regardless of nullability")
+    } finally {
+      IndexRewrite.disable(spark, idxNn.location)
+      IndexRewrite.disable(spark, idxN.location)
+    }
+  }
+
+  test("multi-key ORDER BY top-k completes the tie set; an over-bound tie set keeps the scan") {
+    // v = id % 4: four values, 16 rows each — maximally tie-heavy. A
+    // single-key fetch of k entries would pick arbitrary ties; the
+    // tie-completion path fetches EVERY row at the k-th lead value so the
+    // re-applied (v DESC, id ASC) sort is exact.
+    val data = (1L to 64L).map(i => (i, s"name_$i", i % 4)).toDF("id", "name", "v")
+    val t = GraftTable.create(spark, tmp(), "idxties", data.schema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 4)), data = Some(data))
+    val idx = SecondaryIndex.build(spark, t, "v", tmp(), buckets = 4)
+    try {
+      // the 16-key tie set spreads over every PK bucket, so the strict-
+      // subset detector cannot discriminate — the fetch plan's signature
+      // is the spliced broadcast key frame (LogicalRDD) instead
+      def fetchServed(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.LogicalRDD => r
+        }.nonEmpty
+      def q = t.scan().orderBy(col("v").desc, col("id").asc).limit(5)
+      assert(fetchServed(q),
+        s"multi-key top-k must serve through the index:\n${q.queryExecution.optimizedPlan}")
+      // v=3 rows are ids 3,7,11,…; the exact top-5 under (v desc, id asc)
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(3L, 7L, 11L, 15L, 19L))
+      // tiebreak DIRECTION is honored by the re-applied sort
+      def qd = t.scan().orderBy(col("v").desc, col("id").desc).limit(3)
+      assert(fetchServed(qd))
+      assert(qd.collect().map(_.getLong(0)).toSeq == Seq(63L, 59L, 55L))
+      // a tie set bigger than the key bound declines: 16 rows share v=3
+      spark.conf.set("graft.sindex.rewriteMaxKeys", "10")
+      try {
+        def qb = t.scan().orderBy(col("v").desc, col("id").asc).limit(3)
+        assert(!fetchServed(qb),
+          "an over-bound tie set must keep the scan plan")
+        assert(qb.collect().map(_.getLong(0)).toSeq == Seq(3L, 7L, 11L))
+      } finally spark.conf.unset("graft.sindex.rewriteMaxKeys")
+    } finally IndexRewrite.disable(spark, idx.location)
+  }
+
+  /** Base files the plan reads (0 = no base relation at all). */
+  private def baseFilesRead(df: DataFrame, t: GraftTable): Int = {
+    val baseFiles = t.meta.baseFiles.map(f =>
+      new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+              .filter(baseFiles.contains)
+          case _ => Nil
+        }
+    }.flatten.toSet.size
+  }
+
+  /** Whether the plan reads any of the INDEX table's files. */
+  private def readsIndex(df: DataFrame, idx: GraftTable): Boolean = {
+    val idxFiles = idx.meta.baseFiles.map(f =>
+      new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+              .filter(idxFiles.contains)
+          case _ => Nil
+        }
+    }.flatten.nonEmpty
+  }
+
+  test("covering serve: counts, grouped aggregates, and covered projections read ZERO base files") {
+    // table carries a 4th column `w` the composite index does NOT cover,
+    // so the non-covered fallback is observable
+    val data = (1L to 64L).map(i => (i, s"name_${i % 8}", i % 5, i * 10))
+      .toDF("id", "name", "v", "w")
+    val t = GraftTable.create(spark, tmp(), "idxcov", data.schema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 4)), data = Some(data))
+    val idx = SecondaryIndex.build(spark, t, Seq("name", "v"), tmp(),
+      buckets = 8)
+    def covered(df: DataFrame): Boolean =
+      baseFilesRead(df, t) == 0 && readsIndex(df, idx)
+    try {
+      // the dashboard count: zero base files, one bucket-pruned index read
+      def qc = t.scan().filter(col("name") === "name_3")
+        .agg(count(lit(1)).as("n"))
+      assert(covered(qc),
+        s"count(*) under a served predicate must be index-only:\n${qc.queryExecution.optimizedPlan}")
+      assert(qc.collect().head.getLong(0) == 8L) // 64 / 8 names
+      // grouped aggregate over covered columns
+      def qg = t.scan().filter(col("name") === "name_3")
+        .groupBy("v").agg(count(lit(1)).as("n"))
+      assert(covered(qg), "grouped agg over covered columns must be index-only")
+      // name_3 ids {3,11,19,27,35,43,51,59}; v = id % 5
+      assert(rows(qg) == Set(Seq(0L, 1L), Seq(1L, 2L), Seq(2L, 1L),
+        Seq(3L, 2L), Seq(4L, 2L)))
+      // covered projection: id and v ride the index entries
+      def qp = t.scan()
+        .filter(col("name") === "name_3" && col("v") === 3)
+        .select("id", "v")
+      assert(covered(qp), "a covered projection must be index-only")
+      assert(rows(qp) == Set(Seq(3L, 3L), Seq(43L, 3L))) // i%8==3 && i%5==3
+      // residual over a covered column re-applies on index rows
+      def qr = t.scan().filter(col("name") === "name_3" && col("id") > 40L)
+        .agg(count(lit(1)).as("n"))
+      assert(covered(qr), "covered residuals must not force a base read")
+      assert(qr.collect().head.getLong(0) == 3L) // 43, 51, 59
+      // a NON-covered output column falls back to the point-fetch serve:
+      // the base IS read (the 8 matched keys spread over all 4 PK
+      // buckets here, so no strict-subset claim — the point is covered
+      // vs not, i.e. zero base files vs some)
+      def qw = t.scan().filter(col("name") === "name_3").select("id", "w")
+      val readW = baseFilesRead(qw, t)
+      assert(readW > 0 && !covered(qw),
+        s"non-covered projection must fetch the base ($readW files)")
+      assert(rows(qw).map(_(0)).toSet ==
+        Set(3L, 11L, 19L, 27L, 35L, 43L, 51L, 59L))
+      // a NON-covered residual must not cover either
+      def qwr = t.scan().filter(col("name") === "name_3" && col("w") > 100L)
+        .agg(count(lit(1)).as("n"))
+      assert(!covered(qwr), "a non-covered residual needs the base")
+      assert(qwr.collect().head.getLong(0) == 7L)
+      // stale: a base commit kills the covering serve like every serve
+      t.upsert(Seq((3L, "name_3", 9L, 30L)).toDF("id", "name", "v", "w"))
+      assert(!covered(qc), "a STALE index must never cover")
+      // refresh restores covering on the V2 path (dirty base is fine —
+      // the covering read never touches the base at all)
+      assert(SecondaryIndex.refresh(spark, idx))
+      val wh = new java.io.File(t.location)
+      spark.conf.set("spark.sql.catalog.gidxcov",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gidxcov.warehouse", wh.getParent)
+      def qv2 = spark.table(s"gidxcov.`${wh.getName}`")
+        .filter(col("name") === "name_3").agg(count(lit(1)).as("n"))
+      assert(covered(qv2),
+        s"a refreshed index must cover through V2 on a dirty base:\n${qv2.queryExecution.optimizedPlan}")
+      assert(qv2.collect().head.getLong(0) == 8L)
+    } finally IndexRewrite.disable(spark, idx.location)
+  }
+
+  test("covering serve: a functional index covers PK-only outputs (count under the expression predicate)") {
+    val (t, nameIdx) = mk() // plain index on name — disable it, test the functional one
+    IndexRewrite.disable(spark, nameIdx.location)
+    val fidx = SecondaryIndex.buildExpression(spark, t, "length(name)", tmp(),
+      buckets = 8)
+    def coveredF(df: DataFrame): Boolean =
+      baseFilesRead(df, t) == 0 && readsIndex(df, fidx)
+    try {
+      // names are name_1..name_64: length 6 covers ids 1..9, length 7 the rest
+      def qc = t.scan().filter(length(col("name")) === 6)
+        .agg(count(lit(1)).as("n"))
+      assert(coveredF(qc),
+        s"count under a functional predicate must be index-only:\n${qc.queryExecution.optimizedPlan}")
+      assert(qc.collect().head.getLong(0) == 9L)
+      // PK output covers; the SOURCE of the expression does NOT (the
+      // index stores length(name), not name)
+      def qid = t.scan().filter(length(col("name")) === 6).select("id")
+      assert(coveredF(qid), "PK projection covers on a functional index")
+      assert(rows(qid).map(_(0)) == (1L to 9L).toSet)
+      def qn = t.scan().filter(length(col("name")) === 6).select("name")
+      assert(!coveredF(qn),
+        "the expression's source column is NOT covered — base fetch required")
+      assert(rows(qn).size == 9)
+    } finally IndexRewrite.disable(spark, fidx.location)
+  }
+
+  test("date-family functional index: year(date) serves point/IN/range; timestamps refuse") {
+    // 96 rows over 1994-01..1997-12 (one per month, id = month ordinal ×2)
+    val data = (0 until 96).map { i =>
+      (i.toLong, java.sql.Date.valueOf(f"${1994 + i / 24}-${i % 12 + 1}%02d-15"),
+        java.sql.Timestamp.valueOf(f"${1994 + i / 24}-${i % 12 + 1}%02d-15 12:00:00"))
+    }.toDF("id", "d", "ts")
+    val t = GraftTable.create(spark, tmp(), "idxdate", data.schema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 4)), data = Some(data))
+    val fidx = SecondaryIndex.buildExpression(spark, t, "year(d)", tmp(),
+      buckets = 4)
+    def coveredF(df: DataFrame): Boolean =
+      baseFilesRead(df, t) == 0 && readsIndex(df, fidx)
+    try {
+      // point, IN, and range predicates over the derived year all serve —
+      // covering (count needs nothing beyond the index)
+      def qp = t.scan().filter(year(col("d")) === 1995).agg(count(lit(1)).as("n"))
+      assert(coveredF(qp),
+        s"year(date) point predicate must serve:\n${qp.queryExecution.optimizedPlan}")
+      assert(qp.collect().head.getLong(0) == 24L)
+      def qi = t.scan().filter(year(col("d")).isin(1994, 1997))
+        .agg(count(lit(1)).as("n"))
+      assert(coveredF(qi), "year(date) IN must serve")
+      assert(qi.collect().head.getLong(0) == 48L)
+      def qr = t.scan().filter(year(col("d")) >= 1996).agg(count(lit(1)).as("n"))
+      assert(coveredF(qr), "year(date) range must serve")
+      assert(qr.collect().head.getLong(0) == 48L)
+      // a different date function over the same column never matches
+      assert(!coveredF(t.scan().filter(month(col("d")) === 3)
+        .agg(count(lit(1)).as("n"))))
+      // dayofmonth canonicalizes to day(): a day-index serves both spellings
+      val didx = SecondaryIndex.buildExpression(spark, t, "day(d)", tmp(),
+        buckets = 4)
+      try {
+        def qd = t.scan().filter(dayofmonth(col("d")) === 15)
+          .agg(count(lit(1)).as("n"))
+        assert(baseFilesRead(qd, t) == 0 && readsIndex(qd, didx),
+          "dayofmonth() must canonicalize to the day() index")
+        assert(qd.collect().head.getLong(0) == 96L)
+      } finally IndexRewrite.disable(spark, didx.location)
+      // year over a TIMESTAMP is session-timezone-dependent — refuse
+      val e = intercept[IllegalArgumentException] {
+        SecondaryIndex.buildExpression(spark, t, "year(ts)", tmp())
+      }
+      assert(e.getMessage.contains("DATE columns only"), e.getMessage)
+      // …and a query-side year(timestamp) predicate never serves the
+      // year(date) index (different canon — guards on the resolved type)
+      assert(!coveredF(t.scan().filter(year(col("ts")) === 1995)
+        .agg(count(lit(1)).as("n"))))
+    } finally IndexRewrite.disable(spark, fidx.location)
+  }
 }
