@@ -126,16 +126,45 @@ object Bench {
     val suiteStartMs = System.currentTimeMillis()
     val suiteLoad0 = loadAvg
     val suiteGc0 = gcTotalMs
-    val (pBlock, qBlock) = selected.partition(_._1.startsWith("p"))
-    def runBlock(block: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Seq[QResult] = {
+    // STREAMING gates run FIRST and behind a LOAD GATE (round-15 verdict:
+    // q18 measured 5.2→7.5 s on unchanged code with its iterations under
+    // loadavg 7-8, while q54/q55/q57 recovered at loadavg ~2 — streaming
+    // replay floors are pure job-scheduling cost and drown under
+    // machine-wide load). Running them at suite start, while the 1-min
+    // loadavg still shows the machine's baseline, plus a bounded wait for
+    // loadavg < SPARK_GRAFT_LOADGATE (default 4), makes their numbers
+    // load-clean and attributable; the per-iteration `loads` stamps in
+    // the sidecar prove it either way.
+    val streamingNames = Set("q18_stream_upsert", "q26_stream_window",
+      "q38_stream_read", "q57_stream_dedup", "q58_stream_enrich",
+      "q63_stream_join")
+    val loadGateMax = sys.env.get("SPARK_GRAFT_LOADGATE")
+      .map(_.toDouble).getOrElse(4.0)
+    // ONE shared wait budget across the suite: a machine that never goes
+    // quiet must not stall the bench for gates × cap
+    var loadGateBudgetMs = sys.env.get("SPARK_GRAFT_LOADGATE_BUDGET_MS")
+      .map(_.toLong).getOrElse(240_000L)
+    def loadGate(name: String): Unit =
+      while (loadAvg > loadGateMax && loadGateBudgetMs > 0) {
+        System.err.println(f"[bench] loadgate $name: loadavg $loadAvg%.1f > " +
+          f"$loadGateMax%.1f — waiting (budget ${loadGateBudgetMs / 1000}s)")
+        Thread.sleep(5000)
+        loadGateBudgetMs -= 5000
+      }
+    val (sBlock, rest) = selected.partition(r => streamingNames(r._1))
+    val (pBlock, qBlock) = rest.partition(_._1.startsWith("p"))
+    def runBlock(block: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+        gated: Boolean = false): Seq[QResult] = {
       var prev = "-"
       block.map { case (n, f) =>
+        if (gated) loadGate(n)
         val r = runQuery(n, f, prev); prev = n; r }
     }
+    val sResults = runBlock(sBlock, gated = true)
     val pResults = runBlock(pBlock)
     Pipeline.releaseCaches()
     val qResults = runBlock(qBlock)
-    val results = pResults ++ qResults
+    val results = sResults ++ pResults ++ qResults
     // ---- tail recheck, now for EVERY measurable query (round-12 verdict
     // defect: p30 at 1.68 s escaped both the [0.05, 1.5] cheap window and
     // the top-6 expensive net, so a 4x flat in-suite inflation went
@@ -177,6 +206,10 @@ object Bench {
     pResults.foreach(tailCheck)
     Pipeline.releaseCaches()
     qResults.foreach(tailCheck)
+    // streaming tails run LAST (suite-end load is the worst case, and the
+    // headline takes min(in-suite, tail) — a loud tail never hurts, a
+    // quiet one still catches an in-suite inflation)
+    sResults.foreach(tailCheck)
     // headline = min(in-suite, tail); the in-suite statistic survives in
     // the sidecar as "insuite" (and med/min stay raw). A failed tail (-1)
     // never touches the headline.

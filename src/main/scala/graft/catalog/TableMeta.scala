@@ -272,6 +272,14 @@ case class TableMeta(
     // balloon a 16-file layout to spark.sql.shuffle.partitions files.
     clusterBy: Option[Seq[Int]] = None,
     clusterFiles: Option[Int] = None,
+    // How the clustered rewrite combines the clusterBy columns' bins:
+    // None/"z" = Morton interleave (multi-dimensional predicates);
+    // "lead" = lexicographic on the FIRST column's bins alone (pure value
+    // slabs — what single-dimension range/top-k serving wants, e.g. a
+    // secondary index clustered on its lead value). Persisted so
+    // compactions rebuild the same layout. Optional: older manifests read
+    // as None = "z".
+    clusterMode: Option[String] = None,
     // Free-form table properties (the reference's extra_configs —
     // AlterTableOptions.alterExtraConfigs, master.proto AlterTable
     // NEW_EXTRA_CONFIGS): engine components persist small state here

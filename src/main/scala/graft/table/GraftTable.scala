@@ -1506,8 +1506,10 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       case Some(zc) =>
         rewriteBase(m, "compact",
           Some(buildClusterSpec(m, zc, m.clusterFiles.getOrElse(0))),
-          m.clusterBy, m.clusterFiles)
-      case None => rewriteBase(m, "compact", None, m.clusterBy, m.clusterFiles)
+          m.clusterBy, m.clusterFiles, m.clusterMode)
+      case None =>
+        rewriteBase(m, "compact", None, m.clusterBy, m.clusterFiles,
+          m.clusterMode)
     }
   }
 
@@ -1533,8 +1535,12 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     * The reference has no counterpart (its rowsets are PK-ordered by
     * construction); this is the Spark-native answer to the same
     * scan-pruning goal its key-bounds rowset tree serves. */
-  def cluster(zcols: Seq[String], nFiles: Int = 0): Unit = {
+  def cluster(zcols: Seq[String], nFiles: Int = 0,
+      mode: String = "z"): Unit = {
     val m = meta
+    require(mode == "z" || mode == "lead",
+      s"cluster mode must be 'z' (Morton interleave) or 'lead' " +
+        s"(lexicographic value slabs on the first column), got '$mode'")
     require(zcols.size >= 2 && zcols.size <= 8,
       s"cluster needs 2..8 columns, got ${zcols.size} (one column wants a " +
         "plain sorted rewrite, not an interleave)")
@@ -1546,13 +1552,16 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
           "preserving zone-map encoding; float/double refuse — parquet " +
           "min/max are undefined under NaN)")
     }
-    rewriteBase(m, "cluster", Some(buildClusterSpec(m, zcols, nFiles)),
-      Some(zcols.map(c => m.column(c).id)), Some(nFiles).filter(_ > 0))
+    val modeOpt = Some(mode).filter(_ != "z")
+    rewriteBase(m, "cluster",
+      Some(buildClusterSpec(m.copy(clusterMode = modeOpt), zcols, nFiles)),
+      Some(zcols.map(c => m.column(c).id)), Some(nFiles).filter(_ > 0),
+      modeOpt)
   }
 
   /** Clear the persisted clustering spec with a plain PK-sorted rewrite —
     * later compactions stop re-clustering. */
-  def uncluster(): Unit = rewriteBase(meta, "uncluster", None, None, None)
+  def uncluster(): Unit = rewriteBase(meta, "uncluster", None, None, None, None)
 
   /** Equi-depth cut points per cluster column (bounded driver work at any
     * table size) folded into the Morton-code spec writeBase applies. Row
@@ -1607,8 +1616,16 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       .filter(pmod(xxhash64(m.keyCols.map(col): _*), lit(mod)) < lit(thresh))
       .select(zAlias.map(col): _*)
       .collect()
+    // "lead" mode: only the FIRST column bins — the combined code is then
+    // monotone in the lead alone (zorderExpr spreads a lone non-zero bin
+    // order-preservingly), so repartitionByRange cuts pure lead-value
+    // slabs. The trailing columns still order rows WITHIN a slab file
+    // (sortWithinPartitions appends the PK), they just claim no bits.
+    val leadOnly = m.clusterMode.contains("lead")
     val cuts: Map[String, Seq[String]] = zcols.zipWithIndex.map { case (c, i) =>
-      val vs = sampled.flatMap(r => Option(r.getString(i))).sorted
+      val vs =
+        if (leadOnly && i > 0) Array.empty[String]
+        else sampled.flatMap(r => Option(r.getString(i))).sorted
       // 255 evenly-spaced quantile indices — a floor(len/256) stride would
       // overshoot and truncate separators from the TOP of the domain,
       // collapsing up to half the range into the highest bin
@@ -1624,7 +1641,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
   private def rewriteBase(m: TableMeta, op: String,
       spec: Option[GraftTable.ZCluster],
       newClusterBy: Option[Seq[Int]],
-      newClusterFiles: Option[Int]): Unit = {
+      newClusterFiles: Option[Int],
+      newClusterMode: Option[String]): Unit = {
     val v = m.version + 1
     val snapshot = scanMeta(m)
     // the write must see the clusterBy being COMMITTED (the first
@@ -1635,7 +1653,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // (uncovered ranges stay uncovered for writes)
     try TableMeta.write(m.copy(version = v, timestampMs = now(), operation = op,
       baseFiles = files, deltaFiles = Nil, droppedRanges = None,
-      clusterBy = newClusterBy, clusterFiles = newClusterFiles))
+      clusterBy = newClusterBy, clusterFiles = newClusterFiles,
+      clusterMode = newClusterMode))
     catch {
       case e: Throwable =>
         // lost the metadata race — sweep the rewritten base attempt (walk up

@@ -264,8 +264,14 @@ object MaintenanceScheduler {
             includeHidden = true)
           .foreach { p =>
             try {
-              if (graft.tools.DerivedTables.refreshIfStale(spark,
-                  GraftTable.load(spark, p.toString))) acted += 1
+              val dt = GraftTable.load(spark, p.toString)
+              if (graft.tools.DerivedTables.refreshIfStale(spark, dt))
+                acted += 1
+              // hash-layout secondary indexes value-cluster ONCE (the spec
+              // persists, compactions keep it) — range/top-k probes prune
+              // to value slabs forever after; cheap no-op when ineligible
+              if (graft.tools.SecondaryIndex.maybeCluster(spark, dt))
+                acted += 1
             } catch { case _: Exception => () } // one sick view ≠ a dead sweep
           }
       } else {
@@ -303,6 +309,13 @@ object MaintenanceScheduler {
             m0.propsMap.contains(graft.tools.SecondaryIndex.SrcLocKey) ||
             m0.propsMap.contains(graft.tools.VectorIndex.SrcLocKey)) {
           if (graft.tools.DerivedTables.refreshIfStale(spark, t)) {
+            acted += 1
+            m0 = t.meta
+          }
+          // one-time value-clustering for hash-layout secondary indexes
+          // (persisted spec — later compactions keep the slab layout, so
+          // this can fire at most once per index); see SecondaryIndex
+          if (graft.tools.SecondaryIndex.maybeCluster(spark, t)) {
             acted += 1
             m0 = t.meta
           }

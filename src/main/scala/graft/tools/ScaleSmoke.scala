@@ -335,21 +335,36 @@ object ScaleSmoke {
     // intra-tablet writer splits by key hash), so range probes need the
     // index Z-CLUSTERED on (value, pk) first — then every index file
     // covers a tight value slab and a narrow BETWEEN opens only the
-    // overlapping slice of each bucket (assertPrune: ≤ half). This is the
-    // deployment recipe COVERAGE documents for range-heavy workloads; the
-    // point-probe path above needs none of it (hash buckets prune).
-    timed("sindex_range_lookup") {
+    // overlapping slice of each bucket (assertPrune: ≤ half). In a real
+    // deployment the MaintenanceScheduler's tick runs this clustering
+    // automatically (SecondaryIndex.maybeCluster — the hash-layout
+    // overlap signature fires once, the persisted spec keeps the layout);
+    // here the same policy call is TIMED SEPARATELY from the probe, so
+    // the serve cost is visible and a probe regression cannot hide
+    // inside the one-time rewrite (round-15 verdict item 2/4).
+    timed("sindex_cluster") {
       // 256 files / 16 buckets = 16 z-files per bucket → ~4 value slabs
       // per bucket (z interleaves v and id bits), so a narrow range keeps
       // ~1/4 of the files — comfortably inside the ≤-half assert
       sidx.cluster(Seq("v", "id"), nFiles = 256)
       stats += "sindex_clustered_files" -> sidx.meta.baseFiles.length.toLong
+    }
+    timed("sindex_range_lookup") {
       val hits = SecondaryIndex.lookupWhere(spark, sidx,
         Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("v", probeV - 20L),
           org.apache.spark.sql.sources.LessThanOrEqual("v", probeV + 20L)),
         col("v") >= (probeV - 20L) && col("v") <= (probeV + 20L),
         assertPrune = true).collect()
       require(hits.nonEmpty, s"range lookup around $probeV must find rows")
+    }
+    timed("sindex_topk") {
+      // TOP-K walks the clustered index's extreme slabs (the zone TOP-N
+      // cut inside SecondaryIndex.topK orders files by recorded max and
+      // pushes the k-th threshold) instead of sorting the whole index
+      val top = SecondaryIndex.topK(spark, sidx, k = 5, desc = true)
+        .getOrElse(throw new IllegalStateException("topK must serve"))
+        .collect()
+      require(top.length == 5, s"topK must fetch 5 rows, got ${top.length}")
     }
     timed("sindex_rewrite_point") {
       // the TRANSPARENT path at scale: a plain equality filter on the

@@ -91,9 +91,21 @@ object SecondaryIndex {
    * table is keyed `(lead, pk…)` (one entry per base row), hash-partitioned
    * on the lead across `buckets`, with any trailing indexed columns carried
    * as payload.
+   *
+   * `clustered = true` additionally VALUE-CLUSTERS the index files at
+   * build time (z-order on (lead, pk-head) within each hash bucket): the
+   * default writer splits a bucket's files by key hash, so every file
+   * spans the lead's full value domain and RANGE/top-k probes must scan
+   * the whole (bounded) index; clustered, each file covers a tight value
+   * slab and a BETWEEN or extreme-slab walk opens only the overlapping
+   * slice. The clustering spec persists (TableMeta.clusterBy), so later
+   * compactions KEEP the layout — pay the rewrite once, serve ranges
+   * forever. Range-heavy workloads should build with it; point-only
+   * workloads need none of it (hash buckets already prune).
    */
   def build(spark: SparkSession, source: GraftTable, colNames: Seq[String],
-      location: String, buckets: Int = 16): GraftTable = {
+      location: String, buckets: Int = 16,
+      clustered: Boolean = false): GraftTable = {
     require(colNames.nonEmpty, "index needs at least one column")
     require(colNames.distinct == colNames,
       s"duplicate index columns in ${colNames.mkString(",")}")
@@ -143,6 +155,7 @@ object SecondaryIndex {
     // forever excluded from the GC floor, and one missed refresh would
     // force the full rebuild the marker exists to prevent
     DerivedTables.register(source, location)
+    if (clustered) clusterIndex(idx)
     // transparent serving: arm the point-predicate query rewrite by
     // default (exact-predicate-only and freshness-gated, so it can never
     // change results — see plans/IndexRewrite). Opt out per session by
@@ -168,7 +181,8 @@ object SecondaryIndex {
    * corpus scan with expression evaluation.
    */
   def buildExpression(spark: SparkSession, source: GraftTable,
-      exprSql: String, location: String, buckets: Int = 16): GraftTable = {
+      exprSql: String, location: String, buckets: Int = 16,
+      clustered: Boolean = false): GraftTable = {
     // marker first — same posture as build()
     DerivedTables.register(source, location)
     val m = source.meta
@@ -222,8 +236,73 @@ object SecondaryIndex {
       SrcVersionKey -> Some(srcVersion.toString)))
     // marker re-write after the watermark commit — same healing as build()
     DerivedTables.register(source, location)
+    if (clustered) clusterIndex(idx)
     graft.plans.IndexRewrite.autoArm(spark, idx)
     idx
+  }
+
+  /** Value-cluster the index on its lead value (mode "lead": pure
+    * lexicographic value slabs — a z-interleave would hand half the bits
+    * to the PK and leave each file spanning half the value domain). File
+    * count targets ≥ 8 files per hash bucket so each bucket carries real
+    * slab structure; rows within a slab file stay (value, pk)-sorted. */
+  private def clusterIndex(idx: GraftTable): Unit = {
+    val m = idx.meta
+    val zcols = m.keyCols.take(2)
+    require(zcols.length == 2 &&
+      zcols.forall(c => GraftTable.zClusterable(m.column(c).dataType)),
+      s"cannot value-cluster index on ${zcols.mkString(",")}: both the " +
+        "lead value and the first PK column need an order-preserving " +
+        "zone-map encoding (float/double refuse)")
+    val buckets = m.hash.headOption.map(_.buckets).getOrElse(1)
+    idx.cluster(zcols, nFiles = math.max(m.baseFiles.length, buckets * 8),
+      mode = "lead")
+  }
+
+  /**
+   * Maintenance policy: value-cluster an index whose file layout carries
+   * the HASH SIGNATURE — nearly every file spanning the lead's full value
+   * domain (max zone-interval overlap depth over half the file count).
+   * That is the layout the default writer produces and the one that makes
+   * range probes scan the whole index; one clustering rewrite fixes it
+   * permanently (the spec persists, compactions preserve it), so the
+   * policy fires at most once per index: an already-clustered index
+   * (TableMeta.clusterBy set) never re-enters. Called by the maintenance
+   * scheduler's ticks; cheap when ineligible (one manifest read, a
+   * driver-side sweep over recorded bounds). Returns whether it clustered.
+   */
+  def maybeCluster(spark: SparkSession, index: GraftTable,
+      minFiles: Int = 8): Boolean = {
+    val m = index.meta
+    if (!m.propsMap.contains(SrcLocKey)) return false
+    if (m.clusterBy.nonEmpty) return false // already clustered (idempotence)
+    if (m.deltaFiles.nonEmpty) return false // fold first; next tick re-sees
+    if (m.baseFiles.length < minFiles) return false
+    val zcols = m.keyCols.take(2)
+    if (zcols.length < 2 ||
+      !zcols.forall(c => GraftTable.zClusterable(m.column(c).dataType)))
+      return false
+    val cid = m.column(indexedCols(m.propsMap).head).id.toString
+    val iv = m.baseFiles.map { f =>
+      for {
+        lo <- f.colLo.flatMap(_.get(cid))
+        hi <- f.colHi.flatMap(_.get(cid))
+      } yield (lo, hi)
+    }
+    if (iv.exists(_.isEmpty)) return false
+    // max overlap depth by boundary sweep — encoded bounds compare
+    // lexicographically; starts order before ends at equal values, so
+    // touching intervals count as overlapping (conservative)
+    var depth = 0
+    var maxDepth = 0
+    iv.flatten.flatMap { case (lo, hi) => Seq((lo, 0), (hi, 1)) }
+      .sorted.foreach { case (_, t) =>
+        if (t == 0) { depth += 1; maxDepth = math.max(maxDepth, depth) }
+        else depth -= 1
+      }
+    if (maxDepth * 2 <= m.baseFiles.length) return false // slab-ish already
+    clusterIndex(index)
+    true
   }
 
   /**
@@ -307,13 +386,78 @@ object SecondaryIndex {
   }
 
   /**
+   * Zone TOP-N cut over the INDEX's own files — the manifest-level
+   * threshold that lets [[topK]]/[[topKTies]] walk only the extreme
+   * value slabs of a CLUSTERED index instead of sorting the whole index:
+   * order files by their recorded lead max (desc; min for asc), take the
+   * smallest prefix whose row count covers `k`, and return a pushed
+   * bound at θ = the prefix's weakest recorded opposite bound. Sound for
+   * ANY layout: the prefix holds ≥ k rows, each ≥ its file's recorded
+   * min ≥ θ (bounds are conservative — parquet stat truncation only
+   * widens them), so the true k-th value is ≥ θ and every top-k row
+   * passes `lead >= θ`. Under a hash layout every file spans the full
+   * domain, θ degrades to the global min and the cut keeps everything —
+   * exactly today's full sort, nothing lost. No cut (empty) when deltas
+   * exist (delta values carry no zone maps), any file lacks lead bounds
+   * or a row count, the index is a single file, or θ's type cannot
+   * round-trip the bound encoding.
+   */
+  private def topCut(index: GraftTable, k: Int, desc: Boolean,
+      version: Option[Long]): (Seq[org.apache.spark.sql.sources.Filter],
+      Option[Column]) = {
+    val m = version.map(index.metaAt).getOrElse(index.meta)
+    if (m.deltaFiles.nonEmpty || m.baseFiles.length < 2) return (Nil, None)
+    val lead = indexedCols(m.propsMap).head
+    val cmeta = m.column(lead)
+    val cid = cmeta.id.toString
+    val stats = m.baseFiles.map { f =>
+      for {
+        lo <- f.colLo.flatMap(_.get(cid))
+        hi <- f.colHi.flatMap(_.get(cid))
+        if f.rows >= 0
+      } yield (lo, hi, f.rows)
+    }
+    if (stats.exists(_.isEmpty)) return (Nil, None)
+    val fs = stats.flatten
+    val ordered =
+      if (desc) fs.sortBy(_._2)(Ordering[String].reverse) else fs.sortBy(_._1)
+    var acc = 0L
+    var i = 0
+    while (i < ordered.length && acc < k) { acc += ordered(i)._3; i += 1 }
+    if (acc < k) return (Nil, None) // fewer than k entries: caller declines
+    val prefix = ordered.take(i)
+    val thetaEnc = if (desc) prefix.map(_._1).min else prefix.map(_._2).max
+    val internal = GraftTable.decodeBound(cmeta.dataType, thetaEnc)
+      .getOrElse(return (Nil, None))
+    val v = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(cmeta.dataType)(internal)
+    if (desc)
+      (Seq(org.apache.spark.sql.sources.GreaterThanOrEqual(lead, v)),
+        Some(col(lead) >= lit(v)))
+    else
+      (Seq(org.apache.spark.sql.sources.LessThanOrEqual(lead, v)),
+        Some(col(lead) <= lit(v)))
+  }
+
+  /** The index scan for a top-k pass: zone-cut-pruned when the manifest
+    * affords it, the full index otherwise. */
+  private def topScan(index: GraftTable, k: Int, desc: Boolean,
+      version: Option[Long]): DataFrame = {
+    val (cutFilters, cutCond) = topCut(index, k, desc, version)
+    val scan0 = index.scanPruned(cutFilters, version)
+    cutCond.map(scan0.filter).getOrElse(scan0)
+  }
+
+  /**
    * TOP-K by the LEAD indexed value: the base rows carrying the k extreme
    * non-null values (`desc` picks the direction; ties break by the index
    * key, any valid top-k set). At 100 TB this turns `ORDER BY value
    * LIMIT k` on a non-key column from a corpus sort into an index read
    * plus a k-row point fetch — the non-key analog of the engine's zone
    * TOP-N cut (S9), and serving stays EXACT because the index holds one
-   * entry per base row at the watermark. Returns None when fewer than `k`
+   * entry per base row at the watermark. On a value-CLUSTERED index the
+   * [[topCut]] prunes the sort to the extreme slabs (a handful of files)
+   * instead of the whole index. Returns None when fewer than `k`
    * non-null entries exist — the caller may need null-lead rows the index
    * never holds, so it must keep the scan. `pinned` as in [[lookupWhere]].
    */
@@ -324,7 +468,7 @@ object SecondaryIndex {
     val src = GraftTable.load(spark, index.properties(SrcLocKey))
     val pkCols = src.meta.keyCols
     val ord = if (desc) col(lead).desc else col(lead).asc
-    val hits = index.scanPruned(Nil, pinned.map(_._1))
+    val hits = topScan(index, k, desc, pinned.map(_._1))
       .orderBy(ord +: pkCols.map(col(_).asc): _*)
       .select(pkCols.map(col): _*)
       .limit(k).collect()
@@ -356,8 +500,9 @@ object SecondaryIndex {
     val pkCols = src.meta.keyCols
     val ord = if (desc) col(lead).desc else col(lead).asc
     // pass 1: the k-th extreme lead value (ties beyond k irrelevant —
-    // any row tied at vk joins the candidate set in pass 2)
-    val leadVals = index.scanPruned(Nil, pinned.map(_._1))
+    // any row tied at vk joins the candidate set in pass 2); zone-cut-
+    // pruned like topK
+    val leadVals = topScan(index, k, desc, pinned.map(_._1))
       .orderBy(ord).select(col(lead)).limit(k).collect()
     if (leadVals.length < k) return None
     val vk = leadVals.last.get(0)

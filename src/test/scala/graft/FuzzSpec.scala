@@ -932,10 +932,20 @@ class FuzzSpec extends AnyFunSuite {
       try {
         while (!stop.get()) {
           val k = r.nextInt(40).toLong + 1
+          // compact()/expireVersions surface commit-guard conflicts BY
+          // DESIGN (maintenance yields to racing writers — the main
+          // thread's builds and expiry ticks commit too); a benign
+          // conflict is expected storm traffic, not a failure
+          def tolerant(op: => Unit): Unit =
+            try op catch {
+              case e: IllegalStateException
+                  if Option(e.getMessage).exists(
+                    _.contains("concurrent commit")) => ()
+            }
           base.upsert(Seq((k, s"m$k", r.nextInt(1000).toLong))
             .toDF("k", "name", "v"))
-          if (r.nextInt(4) == 0) base.compact()
-          base.expireVersions(retainLast = 1, olderThanMs = 0L)
+          if (r.nextInt(4) == 0) tolerant(base.compact())
+          tolerant(base.expireVersions(retainLast = 1, olderThanMs = 0L))
         }
       } catch { case t: Throwable => mutErr.set(t) }
     }, "bfuzz-mutator")

@@ -241,4 +241,97 @@ class RollupSecondaryIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
     assert(SecondaryIndex.lookup(spark, idx, Seq("name_2")).collect().isEmpty)
   }
+
+  private def mkWide(): GraftTable = {
+    // 4096 rows, v uniformly 0..4095 — wide enough that 4-bucket ×
+    // multi-file layouts carry real per-file value spans
+    val data = (1L to 4096L).map(i => (i, (i * 2654435761L) % 4096L))
+      .toDF("id", "v")
+    GraftTable.create(spark, tmp(), "rsi_range", data.schema, Seq("id"),
+      Seq(HashComponent(Seq("id"), 4)), data = Some(data))
+  }
+
+  test("clustered build: a BETWEEN probe prunes to the value slabs with NO manual cluster call") {
+    val t = mkWide()
+    val idx = SecondaryIndex.build(spark, t, Seq("v"), tmp(), buckets = 4,
+      clustered = true)
+    try {
+      assert(idx.meta.clusterBy.nonEmpty, "clustered build must persist the spec")
+      assert(idx.meta.baseFiles.length >= 32, // 4 buckets × ≥8 files
+        s"clustered build must split slabs: ${idx.meta.baseFiles.length} files")
+      // assertPrune: the narrow BETWEEN must open ≤ half the index files —
+      // the contract a hash layout cannot meet without clustering
+      val hits = SecondaryIndex.lookupWhere(spark, idx,
+        Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("v", 100L),
+          org.apache.spark.sql.sources.LessThanOrEqual("v", 140L)),
+        col("v") >= 100L && col("v") <= 140L, assertPrune = true).collect()
+      assert(hits.length == 41, s"BETWEEN must find all 41 rows: ${hits.length}")
+    } finally graft.plans.IndexRewrite.disable(spark, idx.location)
+  }
+
+  test("maybeCluster: the scheduler policy clusters a hash-layout index once, then never again") {
+    val t = mkWide()
+    // force a multi-file hash layout (the signature the policy detects)
+    spark.conf.set("graft.base.filesPerTablet", "8")
+    val idx = try SecondaryIndex.build(spark, t, Seq("v"), tmp(), buckets = 4)
+    finally spark.conf.unset("graft.base.filesPerTablet")
+    try {
+      assert(idx.meta.baseFiles.length >= 8)
+      assert(idx.meta.clusterBy.isEmpty)
+      // the policy detects the overlap signature and clusters ONCE
+      assert(SecondaryIndex.maybeCluster(spark, idx),
+        "a hash-layout index must trigger the clustering policy")
+      assert(idx.meta.clusterBy.nonEmpty, "the policy must persist the spec")
+      assert(!SecondaryIndex.maybeCluster(spark, idx),
+        "an already-clustered index must never re-cluster")
+      // the clustered layout now passes the range-prune contract
+      SecondaryIndex.lookupWhere(spark, idx,
+        Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("v", 100L),
+          org.apache.spark.sql.sources.LessThanOrEqual("v", 140L)),
+        col("v") >= 100L && col("v") <= 140L, assertPrune = true).collect()
+      // and the scheduler tick path drives the same policy end-to-end:
+      // rebuild an un-clustered twin, tick it, expect the spec persisted
+      spark.conf.set("graft.base.filesPerTablet", "8")
+      val idx2 = try SecondaryIndex.build(spark, t, Seq("v"), tmp(),
+        buckets = 4)
+      finally spark.conf.unset("graft.base.filesPerTablet")
+      try {
+        val e = graft.table.MaintenanceScheduler.schedule(spark,
+          idx2.location, intervalMs = 3600_000L)
+        try {
+          graft.table.MaintenanceScheduler.tick(spark, e)
+          assert(e.lastError.isEmpty, e.lastError.toString)
+          assert(idx2.meta.clusterBy.nonEmpty,
+            "a maintenance tick must value-cluster a hash-layout index")
+        } finally graft.table.MaintenanceScheduler.unschedule(idx2.location)
+      } finally graft.plans.IndexRewrite.disable(spark, idx2.location)
+    } finally graft.plans.IndexRewrite.disable(spark, idx.location)
+  }
+
+  test("topK walks the extreme slabs of a clustered index (zone cut), exact either layout") {
+    val t = mkWide()
+    val idx = SecondaryIndex.build(spark, t, Seq("v"), tmp(), buckets = 4,
+      clustered = true)
+    try {
+      val expect = t.scan().orderBy(col("v").desc, col("id").asc)
+        .limit(5).collect().map(_.getLong(0)).toSet
+      val got = SecondaryIndex.topK(spark, idx, k = 5, desc = true)
+        .getOrElse(fail("topK must serve")).collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"got $got want $expect") // v unique → one valid set
+      // the zone cut shows in the probe plan: pass-1's index scan keeps
+      // at most half the files (extreme slabs only). Reconstruct the
+      // pass-1 pruning the same way lookupWhere's assertPrune does.
+      val m = idx.meta
+      val kept = graft.sources.PartitionPruner.pruneFiles(m, m.baseFiles,
+        Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("v", 4091L)))
+      assert(kept.length * 2 <= m.baseFiles.length,
+        s"a clustered index must prune the top-k scan: ${kept.length} of ${m.baseFiles.length}")
+      // ascending works symmetrically
+      val gotAsc = SecondaryIndex.topK(spark, idx, k = 3, desc = false)
+        .getOrElse(fail("topK asc must serve")).collect().map(_.getLong(0)).toSet
+      val expAsc = t.scan().orderBy(col("v").asc).limit(3).collect()
+        .map(_.getLong(0)).toSet
+      assert(gotAsc == expAsc)
+    } finally graft.plans.IndexRewrite.disable(spark, idx.location)
+  }
 }
