@@ -463,6 +463,43 @@ object IndexRewrite extends Rule[LogicalPlan] {
           sm.columns.exists(c => c.name.equalsIgnoreCase(r) && !c.nullable))
         if (!ok) return None
       }
+      // COVERING top-k first: an attribute-only Project above the Sort
+      // whose references (plus the sort key's) are all index-carried
+      // columns serves with NO base fetch and NO plan-time collect — one
+      // zone-cut-pruned index scan, ordered and limited, spliced under
+      // the re-applied Sort. Needs a delta-free index at the pinned
+      // version (manifest row counts are then exact, proving ≥ k entries
+      // — fewer could need null-lead rows the index never holds) and
+      // single-key sorts (tie sets need the fetch path's completion).
+      if (!ties) {
+        // what the plan above consumes is the Sort's own output — a
+        // column-pruned query leaves an attribute-only Project UNDER the
+        // Sort, so `SELECT id, v … ORDER BY v LIMIT k` needs exactly
+        // (id, v) here, not the full row
+        val needs = sort.child.output
+        val functional = im.propsMap.contains(SecondaryIndex.ExprKey)
+        val idxCols = im.columns.map(_.name.toLowerCase)
+          .filterNot(n => functional && n == SecondaryIndex.ExprCol).toSet
+        val eligible = im.deltaFiles.isEmpty &&
+          im.baseFiles.forall(_.rows >= 0) &&
+          im.baseFiles.map(_.rows).sum >= k &&
+          needs.forall(a => idxCols.contains(a.name.toLowerCase))
+        if (eligible) {
+          val entries = SecondaryIndex.topEntries(spark, idx, k, desc,
+            Some(im.version))
+          val lp = entries.queryExecution.optimizedPlan
+          val byName = lp.output.map(a => a.name.toLowerCase -> a).toMap
+          val mapped = needs.map(a =>
+            byName.get(a.name.toLowerCase).filter(_.dataType == a.dataType)
+              .map(r => Alias(r, a.name)(exprId = a.exprId)))
+          if (mapped.forall(_.isDefined)) {
+            val newSort = sort.copy(child = Project(mapped.map(_.get), lp))
+            val newInner =
+              projOpt.map(p => p.copy(child = newSort)).getOrElse(newSort)
+            return Some(gl.copy(child = ll.copy(child = newInner)))
+          }
+        }
+      }
       // multi-key ORDER BY fetches the k-th lead value's FULL tie set so
       // the re-applied sort can order ties by the trailing keys exactly;
       // single-key fetches exactly k (ties interchangeable there)

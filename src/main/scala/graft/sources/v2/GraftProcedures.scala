@@ -532,16 +532,25 @@ private[v2] object GraftProcedures {
         Array(tableParam,
           ProcedureParameter.in("col", StringType).build(),
           ProcedureParameter.in("index_location", StringType).build(),
-          ProcedureParameter.in("buckets", IntegerType).defaultValue("16").build()),
+          ProcedureParameter.in("buckets", IntegerType).defaultValue("16").build(),
+          // range-heavy workloads: value-cluster at build time (lead-mode
+          // slabs, persisted — compactions keep the layout; the
+          // maintenance policy would get there anyway, this skips the
+          // interim hash-layout window)
+          ProcedureParameter.in("clustered", BooleanType)
+            .defaultValue("false").build()),
         new StructType().add("location", StringType).add("entries", LongType)) { in =>
           val spec = in.getUTF8String(1).toString
+          val clustered = !in.isNullAt(4) && in.getBoolean(4)
           val idx =
             if (spec.contains("(")) // an expression, not a column list
               graft.tools.SecondaryIndex.buildExpression(spark, locate(in),
-                spec, in.getUTF8String(2).toString, in.getInt(3))
+                spec, in.getUTF8String(2).toString, in.getInt(3),
+                clustered = clustered)
             else graft.tools.SecondaryIndex.build(spark, locate(in),
               spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-              in.getUTF8String(2).toString, in.getInt(3))
+              in.getUTF8String(2).toString, in.getInt(3),
+              clustered = clustered)
           Seq(InternalRow(str(idx.location), idx.scan().count()))
         })
       case "refresh_secondary_index" => Some(proc("refresh_secondary_index",

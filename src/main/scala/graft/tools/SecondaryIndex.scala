@@ -477,6 +477,27 @@ object SecondaryIndex {
   }
 
   /**
+   * The INDEX ROWS of the k extreme lead values — the COVERING top-k
+   * primitive: no base fetch, no collect; one zone-cut-pruned index scan
+   * with the ordering and limit applied. Callers (the covering branch of
+   * the top-k rewrite) must verify separately that the index holds at
+   * least k entries (manifest row counts on a delta-free index — fewer
+   * entries could need null-lead rows the index never holds) and that
+   * every column they need rides the index. Ties break by the index key
+   * — any valid top-k set, single-sort-key semantics only.
+   */
+  def topEntries(spark: SparkSession, index: GraftTable, k: Int,
+      desc: Boolean, indexVersion: Option[Long] = None): DataFrame = {
+    require(k > 0, "topEntries needs k > 0")
+    val m = indexVersion.map(index.metaAt).getOrElse(index.meta)
+    val keys = m.keyCols // (lead, pk…)
+    val ord = if (desc) col(keys.head).desc else col(keys.head).asc
+    topScan(index, k, desc, indexVersion)
+      .orderBy(ord +: keys.tail.map(col(_).asc): _*)
+      .limit(k)
+  }
+
+  /**
    * TOP-K by the LEAD indexed value WITH TIE COMPLETION: the base rows
    * whose lead value is strictly better than — or EQUAL to — the k-th
    * extreme value. Unlike [[topK]] (any valid top-k set, ties broken by

@@ -342,9 +342,12 @@ class IndexRewriteSpec extends AnyFunSuite {
       def q4 = t.scan().orderBy(col("name").desc).limit(4)
       assert(!served(q4, t), "top-k past the non-null count must decline")
       assert(q4.collect().length == 4)
-      // k=2 fits: serves, and the null row never appears
+      // k=2 fits: serves, and the null row never appears. The index
+      // carries (name, id) — this table's WHOLE row — so the serve is
+      // the COVERING one: zero base files, index files read
       def q2 = t.scan().orderBy(col("name").desc).limit(2)
-      assert(served(q2, t))
+      assert(baseFilesRead(q2, t) == 0 && readsIndex(q2, idx),
+        s"a fully-covered top-k must be index-only:\n${q2.queryExecution.optimizedPlan}")
       assert(q2.collect().map(_.getLong(0)).toSeq == Seq(4L, 2L))
     } finally IndexRewrite.disable(spark, idx.location)
   }
@@ -560,6 +563,20 @@ class IndexRewriteSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n"))
       assert(!covered(qwr), "a non-covered residual needs the base")
       assert(qwr.collect().head.getLong(0) == 7L)
+      // COVERING top-k: a covered projection under ORDER BY <indexed>
+      // LIMIT k serves with no base fetch and no plan-time collect
+      def qtk = t.scan().select("id", "name", "v")
+        .orderBy(col("name").desc).limit(3)
+      assert(covered(qtk),
+        s"covered top-k must be index-only:\n${qtk.queryExecution.optimizedPlan}")
+      // name_7 is the max (8 ids each), ties break arbitrarily — compare
+      // the name multiset, which is tie-proof
+      assert(qtk.collect().map(_.getString(1)).toSeq == Seq.fill(3)("name_7"))
+      // a sort over the FULL row is not covered (w rides only the base) —
+      // the point-fetch top-k serves instead
+      def qtw = t.scan().orderBy(col("name").desc).limit(3)
+      assert(!covered(qtw) && qtw.collect().length == 3)
+
       // stale: a base commit kills the covering serve like every serve
       t.upsert(Seq((3L, "name_3", 9L, 30L)).toDF("id", "name", "v", "w"))
       assert(!covered(qc), "a STALE index must never cover")
