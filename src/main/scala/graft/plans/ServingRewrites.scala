@@ -49,6 +49,15 @@ object ServingRewrites {
     * not turn session start into a filesystem crawl — tables beyond the
     * cap still arm lazily on first load/refresh/build. */
   def armFromWarehouse(spark: SparkSession, warehouseDir: String): Int = {
+    // never walk the system temp root: harness catalogs point their
+    // warehouse at a table dir's PARENT (often /tmp itself), and arming
+    // would crawl 1024 unrelated scratch tables on EVERY catalog open —
+    // same refusal as MaintenanceScheduler.autoScheduleWarehouse. Derived
+    // tables under such a catalog still arm on build/load/refresh.
+    val tmpRoot = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp")).toAbsolutePath.normalize
+    if (java.nio.file.Paths.get(warehouseDir).toAbsolutePath.normalize == tmpRoot)
+      return 0
     val cap = 1024
     val (tables, depthPruned) = graft.tools.GraftTools
       .listWarehouseTablesEx(java.nio.file.Paths.get(warehouseDir),

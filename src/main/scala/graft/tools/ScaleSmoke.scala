@@ -343,10 +343,12 @@ object ScaleSmoke {
     // the serve cost is visible and a probe regression cannot hide
     // inside the one-time rewrite (round-15 verdict item 2/4).
     timed("sindex_cluster") {
-      // 256 files / 16 buckets = 16 z-files per bucket → ~4 value slabs
-      // per bucket (z interleaves v and id bits), so a narrow range keeps
-      // ~1/4 of the files — comfortably inside the ≤-half assert
-      sidx.cluster(Seq("v", "id"), nFiles = 256)
+      // the REAL policy call the scheduler tick runs: detects the
+      // hash-layout overlap signature and rewrites into lead-mode value
+      // slabs (pure lexicographic on v — a narrow range then keeps ~1-2
+      // files per bucket), persisting the spec so compactions keep it
+      require(SecondaryIndex.maybeCluster(spark, sidx),
+        "the hash-layout index must trigger the clustering policy")
       stats += "sindex_clustered_files" -> sidx.meta.baseFiles.length.toLong
     }
     timed("sindex_range_lookup") {

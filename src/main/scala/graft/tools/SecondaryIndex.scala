@@ -276,7 +276,9 @@ object SecondaryIndex {
     val m = index.meta
     if (!m.propsMap.contains(SrcLocKey)) return false
     if (m.clusterBy.nonEmpty) return false // already clustered (idempotence)
-    if (m.deltaFiles.nonEmpty) return false // fold first; next tick re-sees
+    // delta files don't block: the clustering rewrite folds merge-on-read
+    // state itself (one rewrite beats fold-then-cluster), and the
+    // signature below reads BASE zone maps, which deltas never carry
     if (m.baseFiles.length < minFiles) return false
     val zcols = m.keyCols.take(2)
     if (zcols.length < 2 ||
