@@ -1470,6 +1470,48 @@ object Pipeline {
         .orderBy("query_id", "rank")
     }),
 
+    "p49_boilerplate" -> ((s, dir) => {
+      // CCNet/RefinedWeb-style BOILERPLATE removal — distinct from p32's
+      // keep-FIRST chunk dedup: a chunk whose corpus-wide frequency
+      // reaches the threshold is dropped EVERYWHERE (headers, footers,
+      // license blocks repeat verbatim across many documents; keeping one
+      // copy is dedup, keeping none is boilerplate hygiene — the standard
+      // pre-training pipeline runs BOTH). 8-word chunks stand in for
+      // lines (this corpus carries no line breaks); threshold 3.
+      // Scale shape: chunk text never leaves its doc row — the frequency
+      // shuffle carries (sha256(chunk), doc_id, idx) rows only, the
+      // freq attach is a plain shuffle equi-join on the hash (an
+      // O(corpus) side — never broadcast), and the rewrite is p25/p32's
+      // pattern: tiny per-doc survivor index lists join back and the
+      // reassembly is a pure map.
+      val cw = 8
+      val thr = 3
+      val t = docs(s, dir).repartition(parallelism(s))
+        .select(col("doc_id"), words(col("text")).as("w"))
+      val g = t
+        .select(col("doc_id"), col("w"), explode(expr(
+          s"sequence(cast(0 as bigint), cast(size(w) - 1 as bigint) div $cw)"))
+          .as("ci"))
+        .select(col("doc_id"), col("ci"),
+          sha2(array_join(expr(s"slice(w, cast(ci * $cw + 1 as int), $cw)"),
+            " "), 256).as("ch"))
+      val freq = g.groupBy("ch").agg(count(lit(1)).as("n"))
+      val kept = g.join(freq, "ch").filter(col("n") < thr)
+        .groupBy("doc_id").agg(sort_array(collect_list(col("ci"))).as("kept"))
+      t.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("kept"), expr("cast(array() as array<bigint>)")).as("kept"),
+          col("w"))
+        .select(col("doc_id"),
+          expr(s"cast(size(w) - 1 as bigint) div $cw + 1").as("n_chunks"),
+          (expr(s"cast(size(w) - 1 as bigint) div $cw + 1") -
+            size(col("kept")).cast("long")).as("n_dropped"),
+          sha2(array_join(flatten(expr(
+            s"transform(kept, ci -> slice(w, cast(ci * $cw + 1 as int), $cw))")),
+            " "), 256).as("out_sha"))
+        .orderBy("doc_id")
+    }),
+
     "p48_ann_pq_serve" -> ((s, dir) => {
       // The persisted index's PQ SERVING path end to end (p38 proves the
       // exact probe; this proves the production one): candidates rank by
@@ -2129,6 +2171,26 @@ object Pipeline {
         "SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank FROM (" +
         "SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn FROM p) " +
         "WHERE rn <= 3 ORDER BY query_id, rank"),
+
+    // boilerplate removal drops EVERY occurrence of a chunk whose corpus
+    // frequency reaches 3 (p32 keeps the first); reassembly sha proves
+    // the rewrite, counts carry the shape
+    "p49_boilerplate" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g0 AS (SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // 8)) AS ci FROM t), " +
+        "g AS (SELECT doc_id, CAST(ci AS BIGINT) AS ci, " +
+        "array_to_string(w[ci*8+1:ci*8+8], ' ') AS chunk FROM g0), " +
+        "f AS (SELECT chunk, count(*) AS n FROM g GROUP BY chunk), " +
+        "k AS (SELECT doc_id, list(ci ORDER BY ci) AS kept FROM g " +
+        "JOIN f USING (chunk) WHERE f.n < 3 GROUP BY doc_id), " +
+        "x AS (SELECT t.doc_id, t.w, COALESCE(k.kept, []) AS kept " +
+        "FROM t LEFT JOIN k USING (doc_id)) " +
+        "SELECT doc_id, CAST((len(w) - 1) // 8 + 1 AS BIGINT) AS n_chunks, " +
+        "CAST((len(w) - 1) // 8 + 1 - len(kept) AS BIGINT) AS n_dropped, " +
+        // COALESCE: DuckDB array_to_string([]) is NULL, Spark array_join is ''
+        "sha256(COALESCE(array_to_string(flatten(list_transform(kept, " +
+        "ci -> w[ci*8+1:ci*8+8])), ' '), '')) AS out_sha " +
+        "FROM x ORDER BY doc_id"),
 
     // the PQ serving path stage for stage: double-dot cell assignment
     // (what VectorIndex.build persisted — p38's asg), integer probe-cell
