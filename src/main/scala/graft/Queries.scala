@@ -1349,6 +1349,82 @@ object Queries {
       } finally graft.plans.IndexRewrite.disable(s, idx.location)
     }),
 
+    "q78_clustered_range" -> ((s, dir) => {
+      // CLUSTERED-BUILD range serving: build(clustered = true) leaves the
+      // index in lead-mode value slabs with NO manual cluster() call —
+      // the layout every range probe wants (a hash layout spans the full
+      // value domain per file; a BETWEEN then scans the whole bounded
+      // index). In-query asserts: (1) the slab layout persisted
+      // (clusterBy + ≥ 8 files/bucket); (2) an assertPrune'd BETWEEN
+      // probe opens ≤ HALF the index files — the contract a hash layout
+      // cannot meet; (3) the transparent IndexRewrite interval serve
+      // reads a strict subset of base files, stale declines after a
+      // mutation, and the refreshed index serves the V2 path on the
+      // dirty base. Rows hash-gate against the oracle's direct filter.
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val raw = Tables.raw(s, dir, "customer")
+      val t = GraftTable.create(s, tmpLoc("graft-q78b-"), "customer_q78",
+        raw.schema, Seq("c_custkey"),
+        Seq(HashComponent(Seq("c_custkey"), 4)), data = Some(raw))
+      // c_nationkey: LONG (zClusterable — a double lead like c_acctbal
+      // refuses clustering: parquet min/max are undefined under NaN)
+      val idx = graft.tools.SecondaryIndex.build(s, t, Seq("c_nationkey"),
+        tmpLoc("graft-q78i-"), buckets = 4, clustered = true)
+      try {
+        if (idx.meta.clusterBy.isEmpty)
+          throw new IllegalStateException("clustered build must persist the spec")
+        // the assertPrune contract: a narrow BETWEEN opens ≤ half the
+        // index files under the slab layout — no manual cluster() ran
+        graft.tools.SecondaryIndex.lookupWhere(s, idx,
+          Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("c_nationkey", 5L),
+            org.apache.spark.sql.sources.LessThanOrEqual("c_nationkey", 7L)),
+          col("c_nationkey") >= 5L && col("c_nationkey") <= 7L,
+          assertPrune = true).collect()
+        // the interval matches ~180 keys — every PK bucket, so a strict-
+        // subset fetch assert cannot discriminate; the COVERING serve can:
+        // a covered projection under the interval reads ZERO base files
+        def readFrom(df: DataFrame, files: Set[String]): Set[String] =
+          df.queryExecution.optimizedPlan.collect {
+            case lr: LogicalRelation => lr.relation match {
+              case fs: HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toUri.getPath)
+                  .filter(files.contains)
+              case _ => Nil
+            }
+          }.flatten.toSet
+        def filesOf(tbl: GraftTable): Set[String] = tbl.meta.baseFiles
+          .map(f => new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+        def covering(df: DataFrame): Boolean =
+          readFrom(df, filesOf(t)).isEmpty && readFrom(df, filesOf(idx)).nonEmpty
+        def q1 = t.scan()
+          .filter(col("c_nationkey") >= 5L && col("c_nationkey") <= 7L)
+          .select("c_custkey", "c_nationkey")
+        if (!covering(q1))
+          throw new IllegalStateException("a fresh clustered index must " +
+            s"cover the BETWEEN projection:\n${q1.queryExecution.optimizedPlan}")
+        withShufflePartitions(s, 4) {
+          t.upsert(t.scan().filter(col("c_custkey") === 11)
+            .withColumn("c_nationkey", lit(6L)))
+        }
+        if (covering(q1))
+          throw new IllegalStateException("a STALE index must never serve")
+        if (!graft.tools.SecondaryIndex.refresh(s, idx))
+          throw new IllegalStateException("refresh must apply the mutation")
+        val f = new java.io.File(t.location)
+        s.conf.set("spark.sql.catalog.gq78",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq78.warehouse", f.getParent)
+        val v2 = s.table(s"gq78.`${f.getName}`")
+          .filter(col("c_nationkey") >= 5L && col("c_nationkey") <= 7L)
+          .select("c_custkey", "c_nationkey")
+        if (!covering(v2))
+          throw new IllegalStateException(
+            "a refreshed clustered index must cover the V2 path")
+        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+          .orderBy("c_custkey")
+      } finally graft.plans.IndexRewrite.disable(s, idx.location)
+    }),
+
     "q70_mv_rewrite" -> ((s, dir) => {
       // Materialized-view QUERY REWRITE (RollupRewrite): a GROUP BY over
       // the base is answered from the maintained rollup — at 100 TB this
@@ -2943,6 +3019,17 @@ object Queries {
         "UNION ALL " +
         "SELECT 'range' AS tag, count(*) AS n FROM final " +
         "WHERE year(o_odate) >= 1998 ORDER BY tag"),
+
+    // the interval rows over the mutated base: customer 11's nation
+    // moved INTO [5, 7] (a fresh index entry), everyone else matches by
+    // their original nation — plan asserts prove the clustered-slab
+    // index path, the hash match proves the rows
+    "q78_clustered_range" ->
+      ("WITH final AS (SELECT c_custkey, " +
+        "CASE WHEN c_custkey = 11 THEN 6 ELSE c_nationkey END AS " +
+        "c_nationkey FROM customer) " +
+        "SELECT c_custkey, c_nationkey FROM final WHERE c_nationkey >= 5 " +
+        "AND c_nationkey <= 7 ORDER BY c_custkey"),
 
     // lookups by current names return the live rows; the two STALE names
     // (pre-rename, deleted) must return nothing — a refresh that failed to

@@ -367,7 +367,14 @@ object IndexRewrite extends Rule[LogicalPlan] {
             indexes.exists(_._2._2.headOption.contains(c.canon))
         }
         if (usable.isEmpty) f
-        else (for {
+        // covering first, with the Filter's OWN output as the need set:
+        // V2 column pruning folds the projection INTO the relation (a
+        // covered `SELECT a, b WHERE …` optimizes to a bare Filter over a
+        // pruned relation, no Project parent for the cases above to see),
+        // and DSv1 pruning can land the same shape — when f.output itself
+        // is index-carried, answer index-only and skip the key probe
+        else tryCoveringFor(spark, indexes, maxKeys, f, f.output)
+          .getOrElse((for {
           (baseLoc, baseV) <- ScanRoots.baseLocation(ScanRoots.stripProjects(child))
           rewritten <- usable.iterator.flatMap { c =>
             indexes.collectFirst {
@@ -381,7 +388,7 @@ object IndexRewrite extends Rule[LogicalPlan] {
                 residual, maxKeys)
             }
           }.nextOption()
-        } yield rewritten).getOrElse(f)
+        } yield rewritten).getOrElse(f))
 
       // ORDER BY <indexed col> [, tiebreaks…] LIMIT k: the k extreme lead
       // values come off the index (one entry per base row at the

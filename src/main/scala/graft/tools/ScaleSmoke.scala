@@ -372,23 +372,30 @@ object ScaleSmoke {
       // the TRANSPARENT path at scale: a plain equality filter on the
       // indexed column rides IndexRewrite (build armed it; the index is
       // fresh after the refresh above) — through the V2 relation, since
-      // the base carries deltas. The served plan must read a STRICT
-      // SUBSET of the base files (the PK-pruned read behind the probe).
+      // the base carries deltas. scale_roll's whole row (grp, id, v)
+      // rides the (v, grp, id) index, so the serve is the COVERING one:
+      // the plan reads ZERO base files and ONLY index files — at 100 TB
+      // a dashboard point query never touches the corpus at all.
       val q = spark.table(s"$cat.scale_roll").filter(col("v") === -1L)
+      def readFrom(files: Set[String]): Set[String] =
+        q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toUri.getPath)
+                  .filter(files.contains)
+              case _ => Nil
+            }
+        }.flatten.toSet
       val baseFiles = rbase.meta.baseFiles.map(f =>
         new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
-      val read = q.queryExecution.optimizedPlan.collect {
-        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          lr.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.map(_.toUri.getPath)
-                .filter(baseFiles.contains)
-            case _ => Nil
-          }
-      }.flatten.toSet
-      require(read.nonEmpty && read.size < baseFiles.size,
-        s"a point filter on the indexed column must ride the index " +
-          s"(read ${read.size} of ${baseFiles.size} base files)")
+      val sm = sidx.meta
+      val idxFiles = (sm.baseFiles ++ sm.deltaFiles).map(f =>
+        new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+      val baseRead = readFrom(baseFiles)
+      require(baseRead.isEmpty && readFrom(idxFiles).nonEmpty,
+        s"a fully-covered point filter must serve index-only " +
+          s"(read ${baseRead.size} of ${baseFiles.size} base files)")
       require(q.collect().exists(_.getLong(1) == 12345L),
         "the index-served point query must find the mutated row")
     }

@@ -265,17 +265,22 @@ class IndexRewriteSpec extends AnyFunSuite {
       Seq("id"), Seq(HashComponent(Seq("id"), 4)), data = Some(data))
     val idx = SecondaryIndex.build(spark, t, Seq("name", "grp"), tmp(),
       buckets = 8)
+    // this table's whole row (name, grp, id) rides the composite index,
+    // so filters serve INDEX-ONLY (zero base files) — accept either the
+    // covering or the point-fetch signature
+    def idxServed(df: DataFrame): Boolean =
+      served(df, t) || (baseFilesRead(df, t) == 0 && readsIndex(df, idx))
     try {
       // lead-only equality serves (trailing columns are payload, so a
       // lead probe is complete — no prefix-soundness hazard)
       def q1 = t.scan().filter(col("name") === "name_9")
-      assert(served(q1, t), "lead-only equality must serve")
+      assert(idxServed(q1), "lead-only equality must serve")
       assert(rows(q1).map(_(0)) == Set(9L))
       // lead + trailing equality: the trailing conjunct pushes into the
       // probe AND re-applies as residual — exact either way
       def q2 = t.scan().filter(
         col("name").isin("name_8", "name_16") && col("grp") === "grp_0")
-      assert(served(q2, t), "lead+trailing conjunction must serve")
+      assert(idxServed(q2), "lead+trailing conjunction must serve")
       assert(rows(q2).map(_(0)) == Set(8L, 16L))
       def q3 = t.scan().filter(
         col("name").isin("name_8", "name_16") && col("grp") === "grp_1")
@@ -292,7 +297,7 @@ class IndexRewriteSpec extends AnyFunSuite {
       t.compact()
       assert(SecondaryIndex.refresh(spark, idx)) // watermark catch-up
       def q4 = t.scan().filter(col("name") === "name_8" && col("grp") === "grp_X")
-      assert(served(q4, t), "a refreshed composite index must serve")
+      assert(idxServed(q4), "a refreshed composite index must serve")
       assert(rows(q4).map(_(0)) == Set(8L))
       assert(rows(t.scan().filter(
         col("name") === "name_8" && col("grp") === "grp_0")).isEmpty)
@@ -497,9 +502,12 @@ class IndexRewriteSpec extends AnyFunSuite {
     }.flatten.toSet.size
   }
 
-  /** Whether the plan reads any of the INDEX table's files. */
+  /** Whether the plan reads any of the INDEX table's files — base OR
+    * delta (a selective probe can prune every index base file and serve
+    * entirely from the delta tail holding the fresh entries). */
   private def readsIndex(df: DataFrame, idx: GraftTable): Boolean = {
-    val idxFiles = idx.meta.baseFiles.map(f =>
+    val im = idx.meta
+    val idxFiles = (im.baseFiles ++ im.deltaFiles).map(f =>
       new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
     df.queryExecution.optimizedPlan.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
