@@ -1241,14 +1241,7 @@ object Queries {
         buckets = 8)
       try {
         def readFrom(df: DataFrame, files: Set[String]): Set[String] =
-          df.queryExecution.optimizedPlan.collect {
-            case lr: LogicalRelation => lr.relation match {
-              case fs: HadoopFsRelation =>
-                fs.location.rootPaths.map(_.toUri.getPath)
-                  .filter(files.contains)
-              case _ => Nil
-            }
-          }.flatten.toSet
+          graft.plans.ScanRoots.filesRead(df.queryExecution.optimizedPlan, files)
         def filesOf(tbl: GraftTable): Set[String] = tbl.meta.baseFiles
           .map(f => new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
         def covering(df: DataFrame): Boolean =
@@ -1304,14 +1297,7 @@ object Queries {
         "year(o_odate)", tmpLoc("graft-q77i-"), buckets = 8)
       try {
         def readFrom(df: DataFrame, files: Set[String]): Set[String] =
-          df.queryExecution.optimizedPlan.collect {
-            case lr: LogicalRelation => lr.relation match {
-              case fs: HadoopFsRelation =>
-                fs.location.rootPaths.map(_.toUri.getPath)
-                  .filter(files.contains)
-              case _ => Nil
-            }
-          }.flatten.toSet
+          graft.plans.ScanRoots.filesRead(df.queryExecution.optimizedPlan, files)
         def filesOf(tbl: GraftTable): Set[String] = tbl.meta.baseFiles
           .map(f => new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
         def covering(df: DataFrame): Boolean =
@@ -1384,14 +1370,7 @@ object Queries {
         // subset fetch assert cannot discriminate; the COVERING serve can:
         // a covered projection under the interval reads ZERO base files
         def readFrom(df: DataFrame, files: Set[String]): Set[String] =
-          df.queryExecution.optimizedPlan.collect {
-            case lr: LogicalRelation => lr.relation match {
-              case fs: HadoopFsRelation =>
-                fs.location.rootPaths.map(_.toUri.getPath)
-                  .filter(files.contains)
-              case _ => Nil
-            }
-          }.flatten.toSet
+          graft.plans.ScanRoots.filesRead(df.queryExecution.optimizedPlan, files)
         def filesOf(tbl: GraftTable): Set[String] = tbl.meta.baseFiles
           .map(f => new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
         def covering(df: DataFrame): Boolean =

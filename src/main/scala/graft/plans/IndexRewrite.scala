@@ -367,28 +367,34 @@ object IndexRewrite extends Rule[LogicalPlan] {
             indexes.exists(_._2._2.headOption.contains(c.canon))
         }
         if (usable.isEmpty) f
-        // covering first, with the Filter's OWN output as the need set:
-        // V2 column pruning folds the projection INTO the relation (a
-        // covered `SELECT a, b WHERE …` optimizes to a bare Filter over a
-        // pruned relation, no Project parent for the cases above to see),
-        // and DSv1 pruning can land the same shape — when f.output itself
-        // is index-carried, answer index-only and skip the key probe
-        else tryCoveringFor(spark, indexes, maxKeys, f, f.output)
-          .getOrElse((for {
-          (baseLoc, baseV) <- ScanRoots.baseLocation(ScanRoots.stripProjects(child))
-          rewritten <- usable.iterator.flatMap { c =>
-            indexes.collectFirst {
-              case (indexLoc, (src, cols))
-                  if src == baseLoc && cols.headOption.contains(c.canon) =>
-                indexLoc
-            }.flatMap { indexLoc =>
-              val residual = conjuncts.zipWithIndex
-                .collect { case (e, i) if !c.positions.contains(i) => e }
-              tryRewrite(spark, f, indexLoc, baseLoc, baseV, c,
-                residual, maxKeys)
-            }
-          }.nextOption()
-        } yield rewritten).getOrElse(f))
+        else ScanRoots.baseLocation(ScanRoots.stripProjects(child)) match {
+          case None => f
+          case Some((baseLoc, baseV)) =>
+            // covering first, with the Filter's OWN output as the need
+            // set: V2 column pruning folds the projection INTO the
+            // relation (a covered `SELECT a, b WHERE …` optimizes to a
+            // bare Filter over a pruned relation, no Project parent for
+            // the cases above to see), and DSv1 pruning can land the same
+            // shape — when f.output itself is index-carried, answer
+            // index-only and skip the key probe. The conjunct parse and
+            // the filesystem-statting scan-root match above run ONCE and
+            // feed both attempts.
+            coveringFor(spark, indexes, maxKeys, conjuncts, usable,
+              baseLoc, baseV, f.output)
+              .orElse(usable.iterator.flatMap { c =>
+                indexes.collectFirst {
+                  case (indexLoc, (src, cols))
+                      if src == baseLoc && cols.headOption.contains(c.canon) =>
+                    indexLoc
+                }.flatMap { indexLoc =>
+                  val residual = conjuncts.zipWithIndex
+                    .collect { case (e, i) if !c.positions.contains(i) => e }
+                  tryRewrite(spark, f, indexLoc, baseLoc, baseV, c,
+                    residual, maxKeys)
+                }
+              }.nextOption())
+              .getOrElse(f)
+        }
 
       // ORDER BY <indexed col> [, tiebreaks…] LIMIT k: the k extreme lead
       // values come off the index (one entry per base row at the
@@ -554,37 +560,49 @@ object IndexRewrite extends Rule[LogicalPlan] {
         indexes.exists(_._2._2.headOption.contains(c.canon))
     }
     if (usable.isEmpty) return None
-    for {
-      (baseLoc, baseV) <- ScanRoots.baseLocation(ScanRoots.stripProjects(f.child))
-      out <- usable.iterator.flatMap { c =>
-        indexes.collectFirst {
-          case (indexLoc, (src, cols))
-              if src == baseLoc && cols.headOption.contains(c.canon) =>
-            indexLoc
-        }.flatMap { indexLoc =>
-          // drop inferred IsNotNull residuals over attributes the SERVED
-          // conjunct itself references: the probe never matches a null
-          // index value, and every function in the canonical expression
-          // language is null-preserving, so the served rows' source
-          // attributes are provably non-null — while the attribute itself
-          // (e.g. the argument of a functional index's expression) may
-          // not be covered, which would otherwise veto the covering serve
-          // for every functional predicate (InferFiltersFromConstraints
-          // plants one beside each of them)
-          val servedRefs = AttributeSet(
-            c.positions.map(conjuncts).flatMap(_.references))
-          val residual = conjuncts.zipWithIndex.collect {
-            case (e, i) if !c.positions.contains(i) &&
-              !(e match {
-                case IsNotNull(a: Attribute) => servedRefs.contains(a)
-                case _ => false
-              }) => e
-          }
-          coveringPlan(spark, indexLoc, baseV, c, residual, needed)
-        }
-      }.nextOption()
-    } yield out
+    ScanRoots.baseLocation(ScanRoots.stripProjects(f.child)).flatMap {
+      case (baseLoc, baseV) =>
+        coveringFor(spark, indexes, maxKeys, conjuncts, usable,
+          baseLoc, baseV, needed)
+    }
   }
+
+  /** The covering candidate loop over a pre-parsed conjunct split and a
+    * pre-matched scan root (the Filter case computes both ONCE and feeds
+    * this and the probe path — the parse and the filesystem stat must not
+    * run twice per planned Filter). */
+  private def coveringFor(spark: SparkSession,
+      indexes: Map[String, (String, Seq[String])], maxKeys: Int,
+      conjuncts: Seq[Expression], usable: Seq[Servable],
+      baseLoc: String, baseV: Long,
+      needed: Seq[Attribute]): Option[LogicalPlan] =
+    usable.iterator.flatMap { c =>
+      indexes.collectFirst {
+        case (indexLoc, (src, cols))
+            if src == baseLoc && cols.headOption.contains(c.canon) =>
+          indexLoc
+      }.flatMap { indexLoc =>
+        // drop inferred IsNotNull residuals over attributes the SERVED
+        // conjunct itself references: the probe never matches a null
+        // index value, and every function in the canonical expression
+        // language is null-preserving, so the served rows' source
+        // attributes are provably non-null — while the attribute itself
+        // (e.g. the argument of a functional index's expression) may
+        // not be covered, which would otherwise veto the covering serve
+        // for every functional predicate (InferFiltersFromConstraints
+        // plants one beside each of them)
+        val servedRefs = AttributeSet(
+          c.positions.map(conjuncts).flatMap(_.references))
+        val residual = conjuncts.zipWithIndex.collect {
+          case (e, i) if !c.positions.contains(i) &&
+            !(e match {
+              case IsNotNull(a: Attribute) => servedRefs.contains(a)
+              case _ => false
+            }) => e
+        }
+        coveringPlan(spark, indexLoc, baseV, c, residual, needed)
+      }
+    }.nextOption()
 
   /** The covering replacement for a served Filter: ONE version-pinned,
     * bucket/zone-pruned scan of the index table, residual conjuncts

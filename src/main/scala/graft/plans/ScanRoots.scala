@@ -25,7 +25,22 @@ import graft.sources.GraftRelation
  * probe must decline (or serve the matched version exactly), never serve
  * v+1 rows through a plan whose matched scan would have read v.
  */
-private[plans] object ScanRoots {
+private[graft] object ScanRoots {
+
+  /** The subset of `files` (URI paths) the plan's file relations read —
+    * the plan-shape observable the serving gates and specs assert their
+    * contracts with (strict-subset point-fetch reads, zero-base covering
+    * reads, index-file reads). ONE implementation so a change to how scan
+    * relations expose their file sets cannot silently diverge the five
+    * call sites that used to carry private copies. */
+  def filesRead(plan: LogicalPlan, files: Set[String]): Set[String] =
+    plan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toUri.getPath).filter(files.contains)
+        case _ => Nil
+      }
+    }.flatten.toSet
 
   /** Strip attribute-only Projects (column pruning interposes them). */
   def stripProjects(p: LogicalPlan): LogicalPlan = p match {

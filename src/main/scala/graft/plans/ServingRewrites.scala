@@ -54,10 +54,7 @@ object ServingRewrites {
     // would crawl 1024 unrelated scratch tables on EVERY catalog open —
     // same refusal as MaintenanceScheduler.autoScheduleWarehouse. Derived
     // tables under such a catalog still arm on build/load/refresh.
-    val tmpRoot = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir", "/tmp")).toAbsolutePath.normalize
-    if (java.nio.file.Paths.get(warehouseDir).toAbsolutePath.normalize == tmpRoot)
-      return 0
+    if (graft.tools.GraftTools.isTmpRoot(warehouseDir)) return 0
     val cap = 1024
     val (tables, depthPruned) = graft.tools.GraftTools
       .listWarehouseTablesEx(java.nio.file.Paths.get(warehouseDir),

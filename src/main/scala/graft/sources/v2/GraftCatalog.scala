@@ -498,16 +498,37 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     // path first (unschedules maintenance, fenced deletion — zero-copy
     // registered raw files outside the dir survive), then the remaining
     // directory skeleton goes
-    // force = true: the intent is wholesale removal (the directory
-    // skeleton is deleted right after), and the refusing drop() would
-    // otherwise make the cascade walk-order-dependent — a parent visited
-    // before its forked child throws mid-walk and strands a half-dropped
-    // namespace, while the child-first order happens to succeed
-    scala.util.Using.resource(java.nio.file.Files.walk(dir)) { s =>
+    // force = true for the cascade WITHIN the namespace: the intent is
+    // wholesale removal (the directory skeleton is deleted right after),
+    // and the refusing drop() would otherwise make it walk-order-dependent
+    // — a parent visited before its forked child throws mid-walk and
+    // strands a half-dropped namespace. But a live fork child OUTSIDE the
+    // namespace still referencing a contained parent's files must refuse
+    // UP FRONT, before anything is deleted: force-dropping the parent
+    // would silently corrupt every later read of that child (the loud
+    // refusal is the whole point of the fork guard).
+    val contained = scala.util.Using.resource(java.nio.file.Files.walk(dir)) { s =>
       s.iterator().asScala
         .filter(p => java.nio.file.Files.isDirectory(p) &&
           GraftTable.exists(p.toString)).toSeq
-    }.foreach(p => GraftTable.drop(p.toString, force = true))
+    }
+    val dirRoot = dir.toAbsolutePath.normalize
+    contained.foreach { p =>
+      val root = java.nio.file.Paths.get(p.toString).normalize.toString + "/"
+      val outside = GraftTable.forkChildren(p.toString).filter { child =>
+        !java.nio.file.Paths.get(child).toAbsolutePath.normalize
+          .startsWith(dirRoot) &&
+          graft.catalog.TableMeta.exists(child) &&
+          GraftTable.manifestFilePaths(child).exists(_.startsWith(root))
+      }
+      if (outside.nonEmpty)
+        throw new IllegalStateException(
+          s"cannot drop namespace ${namespace.mkString(".")}: forked " +
+            s"children outside it still reference $p's files: " +
+            s"${outside.mkString(", ")} — compact() each child to make it " +
+            "self-contained first")
+    }
+    contained.foreach(p => GraftTable.drop(p.toString, force = true))
     java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
       .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
     true

@@ -141,10 +141,7 @@ object MaintenanceScheduler {
     // deployment's warehouse is a dedicated directory; an operator who
     // genuinely wants the temp root can still CALL
     // maintain_schedule_warehouse explicitly.
-    val tmpRoot = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir", "/tmp")).toAbsolutePath.normalize
-    if (java.nio.file.Paths.get(warehouseDir).toAbsolutePath.normalize == tmpRoot)
-      return
+    if (graft.tools.GraftTools.isTmpRoot(warehouseDir)) return
     if (spark.conf.getOption("graft.maintain.auto").forall(_.toBoolean))
       registerLock.synchronized {
         if (!entries.containsKey(warehouseDir))

@@ -333,6 +333,17 @@ object GraftTools {
     * freshness sweep, a serving-rewrite arming pass, or a status report
     * that cannot see them would silently uncover every SQL-built derived
     * table in any later session. */
+  /** True when `dir` IS the system temp root — with symlinks RESOLVED
+    * (macOS /tmp -> /private/tmp: a warehouse set to one spelling while
+    * java.io.tmpdir reports the other must still match, or the crawl
+    * guards in armFromWarehouse/autoScheduleWarehouse silently lapse). */
+  private[graft] def isTmpRoot(dir: String): Boolean = {
+    def real(p: java.nio.file.Path): java.nio.file.Path =
+      try p.toRealPath() catch { case _: Exception => p.toAbsolutePath.normalize }
+    real(java.nio.file.Paths.get(dir)) ==
+      real(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir", "/tmp")))
+  }
+
   private[graft] def listWarehouseTables(root: java.nio.file.Path,
       includeHidden: Boolean = false, maxDepth: Int = 32,
       maxTables: Int = Int.MaxValue): Seq[java.nio.file.Path] =

@@ -378,15 +378,7 @@ object ScaleSmoke {
       // a dashboard point query never touches the corpus at all.
       val q = spark.table(s"$cat.scale_roll").filter(col("v") === -1L)
       def readFrom(files: Set[String]): Set[String] =
-        q.queryExecution.optimizedPlan.collect {
-          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            lr.relation match {
-              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                fs.location.rootPaths.map(_.toUri.getPath)
-                  .filter(files.contains)
-              case _ => Nil
-            }
-        }.flatten.toSet
+        graft.plans.ScanRoots.filesRead(q.queryExecution.optimizedPlan, files)
       val baseFiles = rbase.meta.baseFiles.map(f =>
         new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
       val sm = sidx.meta

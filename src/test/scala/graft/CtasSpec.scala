@@ -140,6 +140,56 @@ class CtasSpec extends AnyFunSuite {
     assert(spark.table("gctasns.solo").count() == 3, "the table must be untouched")
   }
 
+  test("DROP NAMESPACE CASCADE: out-of-namespace fork children refuse UP FRONT; in-namespace ones drop") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ctasfk-").toString
+    spark.conf.set("spark.sql.catalog.gctasfk",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gctasfk.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gctasfk.ns3")
+    spark.sql(
+      "CREATE TABLE gctasfk.ns3.p TBLPROPERTIES ('graft.keys' = 'id') " +
+        "AS SELECT CAST(id AS BIGINT) AS id FROM range(20)")
+    val parent = GraftTable.load(spark, s"$wh/ns3/p")
+    // a live fork OUTSIDE the namespace still reads the parent's files by
+    // path: the cascade must refuse BEFORE deleting anything (force-
+    // dropping the parent would corrupt every later read of the child)
+    val childLoc = java.nio.file.Files
+      .createTempDirectory("graft-ctasfk-child-").toString + "/child"
+    val child = GraftTable.fork(spark, parent, childLoc)
+    val e = intercept[Exception](
+      spark.sql("DROP NAMESPACE gctasfk.ns3 CASCADE"))
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(rootCause(e).getMessage.contains("forked children outside"),
+      rootCause(e).getMessage)
+    // up-front means NOTHING was deleted: the namespace, the parent table,
+    // and the child all still read exactly
+    assert(spark.table("gctasfk.ns3.p").count() == 20,
+      "refused cascade must leave the namespace fully intact")
+    assert(child.scan().count() == 20)
+    // self-contained child releases the parent; the cascade then succeeds
+    // and the child keeps working off its own files (the upsert gives
+    // compact() a delta to fold — a delta-free compact is a no-op and
+    // would leave the parent-referencing manifest as the only one)
+    import spark.implicits._
+    child.upsert(Seq(100L).toDF("id"))
+    child.compact()
+    child.expireVersions(retainLast = 1, olderThanMs = 0L)
+    spark.sql("DROP NAMESPACE gctasfk.ns3 CASCADE")
+    assert(!new java.io.File(s"$wh/ns3").exists())
+    assert(child.scan().count() == 21)
+    GraftTable.drop(childLoc, force = true)
+    // a fork WHOSE PARENT AND CHILD are both inside the namespace is
+    // wholesale-removed by the cascade in any walk order (force path)
+    spark.sql("CREATE NAMESPACE gctasfk.ns4")
+    spark.sql(
+      "CREATE TABLE gctasfk.ns4.q TBLPROPERTIES ('graft.keys' = 'id') " +
+        "AS SELECT CAST(id AS BIGINT) AS id FROM range(5)")
+    GraftTable.fork(spark, GraftTable.load(spark, s"$wh/ns4/q"), s"$wh/ns4/qc")
+    spark.sql("DROP NAMESPACE gctasfk.ns4 CASCADE")
+    assert(!new java.io.File(s"$wh/ns4").exists())
+  }
+
   test("sweepStaging reclaims stranded staged tables; fresh ones survive the grace") {
     import org.apache.spark.sql.SparkSession
     implicit val s: SparkSession = spark

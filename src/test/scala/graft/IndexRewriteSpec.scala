@@ -491,15 +491,8 @@ class IndexRewriteSpec extends AnyFunSuite {
   private def baseFilesRead(df: DataFrame, t: GraftTable): Int = {
     val baseFiles = t.meta.baseFiles.map(f =>
       new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
-    df.queryExecution.optimizedPlan.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.map(_.toUri.getPath)
-              .filter(baseFiles.contains)
-          case _ => Nil
-        }
-    }.flatten.toSet.size
+    graft.plans.ScanRoots.filesRead(
+      df.queryExecution.optimizedPlan, baseFiles).size
   }
 
   /** Whether the plan reads any of the INDEX table's files — base OR
@@ -509,15 +502,8 @@ class IndexRewriteSpec extends AnyFunSuite {
     val im = idx.meta
     val idxFiles = (im.baseFiles ++ im.deltaFiles).map(f =>
       new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
-    df.queryExecution.optimizedPlan.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.map(_.toUri.getPath)
-              .filter(idxFiles.contains)
-          case _ => Nil
-        }
-    }.flatten.nonEmpty
+    graft.plans.ScanRoots.filesRead(
+      df.queryExecution.optimizedPlan, idxFiles).nonEmpty
   }
 
   test("covering serve: counts, grouped aggregates, and covered projections read ZERO base files") {
