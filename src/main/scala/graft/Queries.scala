@@ -1404,6 +1404,86 @@ object Queries {
       } finally graft.plans.IndexRewrite.disable(s, idx.location)
     }),
 
+    "q79_index_union" -> ((s, dir) => {
+      // INDEX UNION (OR serving): `WHERE a = x OR b = y` with an index on
+      // `a` and a DIFFERENT index on `b` — unservable by any single-probe
+      // rewrite — probes each disjunct's index, unions the bounded key
+      // sets, and fetches the base ONCE through PK pruning
+      // (IndexRewrite.tryUnionRewrite + SecondaryIndex.lookupUnionWhere).
+      // At 100 TB an OR across two indexed columns is the classic
+      // dashboard shape that silently degrades to a corpus scan; here it
+      // is two point reads. In-query asserts pin the contract: (1) the
+      // fresh union serves (strict subset of base files read); (2) with
+      // one index disarmed the OR has an uncovered disjunct and the whole
+      // union declines — a half-covered OR must never serve; (3) a base
+      // mutation declines BOTH-stale and HALF-refreshed states (every
+      // involved index's watermark must equal the matched base version);
+      // (4) both refreshed, the union serves the V2 path on the dirty
+      // base. The emitted rows hash-gate against the oracle's direct OR
+      // filter over the mutated base, with the renamed row serving under
+      // its NEW name through the union.
+      val raw = Tables.raw(s, dir, "customer")
+      val t = GraftTable.create(s, tmpLoc("graft-q79b-"), "customer_q79",
+        raw.schema, Seq("c_custkey"),
+        Seq(HashComponent(Seq("c_custkey"), 4)), data = Some(raw))
+      val ia = graft.tools.SecondaryIndex.build(s, t, "c_name",
+        tmpLoc("graft-q79i-"), buckets = 16)
+      val ib = graft.tools.SecondaryIndex.build(s, t, "c_acctbal",
+        tmpLoc("graft-q79j-"), buckets = 16)
+      try {
+        def servedSubset(df: DataFrame): Boolean = {
+          val baseFiles = t.meta.baseFiles.map(f =>
+            new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+          val read = graft.plans.ScanRoots.filesRead(
+            df.queryExecution.optimizedPlan, baseFiles)
+          read.nonEmpty && read.size < baseFiles.size
+        }
+        // the OTHER index's probe value comes off the data (c_acctbal is
+        // generated, never stable across SFs); the oracle derives the
+        // same literal with a scalar subquery. TWO matched keys over 4
+        // PK buckets keep the strict-subset assert deterministic.
+        val bal42 = t.scan().filter(col("c_custkey") === 42)
+          .select("c_acctbal").collect().head.getDouble(0)
+        def q1 = t.scan().filter(
+          col("c_name") === "Customer#000000007" || col("c_acctbal") === bal42)
+        if (!servedSubset(q1))
+          throw new IllegalStateException("a fresh index pair must serve " +
+            s"the OR as a union:\n${q1.queryExecution.optimizedPlan}")
+        graft.plans.IndexRewrite.disable(s, ib.location)
+        if (servedSubset(q1))
+          throw new IllegalStateException(
+            "an OR with an uncovered disjunct must keep the scan")
+        graft.plans.IndexRewrite.enable(s, ib)
+        withShufflePartitions(s, 4) {
+          t.upsert(t.scan().filter(col("c_custkey") === 7)
+            .withColumn("c_name", lit("RENAMED#000000007")))
+        }
+        if (servedSubset(q1))
+          throw new IllegalStateException("STALE indexes must never serve")
+        if (!graft.tools.SecondaryIndex.refresh(s, ia))
+          throw new IllegalStateException("refresh must apply the mutation")
+        if (servedSubset(q1))
+          throw new IllegalStateException(
+            "a HALF-refreshed union must decline whole")
+        if (!graft.tools.SecondaryIndex.refresh(s, ib))
+          throw new IllegalStateException("refresh must advance the watermark")
+        val f = new java.io.File(t.location)
+        s.conf.set("spark.sql.catalog.gq79",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq79.warehouse", f.getParent)
+        val v2 = s.table(s"gq79.`${f.getName}`").filter(
+          col("c_name") === "RENAMED#000000007" || col("c_acctbal") === bal42)
+        if (!servedSubset(v2))
+          throw new IllegalStateException("refreshed indexes must serve " +
+            s"the union on the dirty base via V2:\n${v2.queryExecution.optimizedPlan}")
+        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+          .orderBy("c_custkey")
+      } finally {
+        graft.plans.IndexRewrite.disable(s, ia.location)
+        graft.plans.IndexRewrite.disable(s, ib.location)
+      }
+    }),
+
     "q70_mv_rewrite" -> ((s, dir) => {
       // Materialized-view QUERY REWRITE (RollupRewrite): a GROUP BY over
       // the base is answered from the maintained rollup — at 100 TB this
@@ -3009,6 +3089,19 @@ object Queries {
         "c_nationkey FROM customer) " +
         "SELECT c_custkey, c_nationkey FROM final WHERE c_nationkey >= 5 " +
         "AND c_nationkey <= 7 ORDER BY c_custkey"),
+
+    // the OR over the mutated base: the renamed row serves under its NEW
+    // name through one probe, customer 42 through the OTHER index's
+    // acctbal probe (scalar subquery derives the same literal the gate
+    // read off the data), one base fetch behind the union — the in-query
+    // plan asserts prove the union path, the hash match proves the rows
+    "q79_index_union" ->
+      ("WITH final AS (SELECT c_custkey, CASE WHEN c_custkey = 7 " +
+        "THEN 'RENAMED#000000007' ELSE c_name END AS c_name, " +
+        "c_nationkey, c_acctbal, c_mktsegment FROM customer) " +
+        "SELECT * FROM final WHERE c_name = 'RENAMED#000000007' OR " +
+        "c_acctbal = (SELECT c_acctbal FROM customer WHERE c_custkey = 42) " +
+        "ORDER BY c_custkey"),
 
     // lookups by current names return the live rows; the two STALE names
     // (pre-rename, deleted) must return nothing — a refresh that failed to

@@ -329,6 +329,102 @@ object IndexRewrite extends Rule[LogicalPlan] {
     (conjuncts, points ++ merged)
   }
 
+  /** OR conjuncts servable as an INDEX UNION: a deterministic `Or`
+    * conjunct whose EVERY disjunct carries at least one servable
+    * predicate over an ARMED index canon qualifies — the rewrite probes
+    * each disjunct's pick, unions the bounded key sets, and fetches the
+    * base once. Sound because a servable predicate never matches a null
+    * index value and each disjunct IMPLIES its pick (the pick is one of
+    * the disjunct's conjuncts), so every row satisfying the Or is found
+    * by at least one probe; the full original predicate re-applies above
+    * the fetch, which makes the over-match (a probe matching rows the
+    * rest of its disjunct rejects) exact. Returns one pick list per
+    * servable Or conjunct. Disjuncts over ONE canon never reach here —
+    * eqValues already folds `a = x OR a = y` into a plain IN probe. */
+  private def orCandidates(conjuncts: Seq[Expression],
+      indexes: Map[String, (String, Seq[String])],
+      maxKeys: Int): Seq[Seq[Servable]] = {
+    if (conjuncts.exists(!_.deterministic)) return Nil
+    def disjuncts(e: Expression): Seq[Expression] = e match {
+      case Or(l, r) => disjuncts(l) ++ disjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts.collect { case o: Or =>
+      val picks = disjuncts(o).map { d =>
+        servables(d)._2.find(c => c.nLiterals <= maxKeys &&
+          indexes.exists(_._2._2.headOption.contains(c.canon)))
+      }
+      if (picks.forall(_.isDefined) &&
+          picks.flatten.map(_.nLiterals.toLong).sum <= maxKeys)
+        Some(picks.map(_.get))
+      else None
+    }.flatten
+  }
+
+  /** The index-union replacement for a served Filter: one bounded probe
+    * per disjunct pick (each possibly a different index of the base),
+    * matched keys unioned, ONE base fetch, and the FULL original
+    * predicate re-applied above it — `WHERE a = x OR b = y` with indexes
+    * on `a` and `b` becomes two point probes plus a PK-pruned fetch
+    * instead of a corpus scan. Version-pinned exactly like [[tryRewrite]]:
+    * EVERY involved index's watermark must equal the base version the
+    * scan-root match observed, or the union declines whole. */
+  private def tryUnionRewrite(spark: SparkSession, f: Filter,
+      indexes: Map[String, (String, Seq[String])], baseLoc: String,
+      baseV: Long, picks: Seq[Servable], maxKeys: Int): Option[LogicalPlan] = {
+    busy.set(true)
+    try {
+      // one meta snapshot per DISTINCT index (two disjuncts over one
+      // column share a probe target), watermark-checked against the
+      // matched base version — same TOCTOU posture as tryRewrite
+      val metaCache = scala.collection.mutable.Map
+        .empty[String, Option[(GraftTable, TableMeta)]]
+      def indexFor(canon: String): Option[(GraftTable, TableMeta)] =
+        indexes.collectFirst {
+          case (loc, (src, cols))
+              if src == baseLoc && cols.headOption.contains(canon) => loc
+        }.flatMap { loc =>
+          metaCache.getOrElseUpdate(loc, {
+            val idx = GraftTable.load(spark, loc)
+            val im = idx.meta
+            if (im.propsMap(SecondaryIndex.SrcVersionKey).toLong == baseV)
+              Some((idx, im))
+            else None
+          })
+        }
+      val probes = picks.map { c =>
+        indexFor(c.canon).map { case (idx, im) =>
+          val lead = SecondaryIndex.indexedCols(im.propsMap).head
+          (idx, c.filters(lead), c.cond(lead), im.version)
+        }
+      }
+      if (probes.exists(_.isEmpty)) return None
+      val looked = SecondaryIndex.lookupUnionWhere(spark, probes.flatten,
+        baseV, maxKeys)
+      val lp = looked.queryExecution.optimizedPlan
+      val byName = lp.output.map(a => a.name.toLowerCase -> a).toMap
+      val mapped = f.output.map { a =>
+        byName.get(a.name.toLowerCase).filter(_.dataType == a.dataType)
+          .map(r => Alias(r, a.name)(exprId = a.exprId))
+      }
+      if (mapped.exists(_.isEmpty)) return None
+      // the whole ORIGINAL predicate re-applies over the fetched rows:
+      // the union is a superset (each probe over-matches its disjunct's
+      // other conjuncts), and re-filtering a bounded fetch is free
+      Some(Filter(f.condition, Project(mapped.map(_.get), lp)))
+    } catch {
+      case e: Exception =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        if (msg.contains("matched more than"))
+          logInfo("index union rewrite declined (probe over " +
+            "rewriteMaxKeys); keeping the scan plan")
+        else
+          logWarning("index union rewrite declined after error; " +
+            s"keeping the scan plan: $msg")
+        None
+    } finally busy.set(false)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (busy.get()) return plan
     val spark = SparkSession.active
@@ -366,7 +462,10 @@ object IndexRewrite extends Rule[LogicalPlan] {
                                     // plan a probe filter of 100k literals
             indexes.exists(_._2._2.headOption.contains(c.canon))
         }
-        if (usable.isEmpty) f
+        // OR conjuncts servable as a UNION of probes — still a pure
+        // in-memory parse, so it too runs before the filesystem stat
+        lazy val orCands = orCandidates(conjuncts, indexes, maxKeys)
+        if (usable.isEmpty && orCands.isEmpty) f
         else ScanRoots.baseLocation(ScanRoots.stripProjects(child)) match {
           case None => f
           case Some((baseLoc, baseV)) =>
@@ -393,6 +492,11 @@ object IndexRewrite extends Rule[LogicalPlan] {
                     residual, maxKeys)
                 }
               }.nextOption())
+              .orElse(orCands.iterator
+                .flatMap(picks =>
+                  tryUnionRewrite(spark, f, indexes, baseLoc, baseV,
+                    picks, maxKeys))
+                .nextOption())
               .getOrElse(f)
         }
 

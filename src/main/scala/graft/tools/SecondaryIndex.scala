@@ -369,6 +369,49 @@ object SecondaryIndex {
     fetchByKeys(spark, src, pkCols, hits, baseV)
   }
 
+  /**
+   * OR-serving primitive: the base rows matched by the UNION of several
+   * bounded index probes — each probe possibly against a DIFFERENT index
+   * of the SAME source table (`WHERE a = x OR b = y` with an index on `a`
+   * and an index on `b`). Every per-probe key set is bounded by `maxKeys`
+   * and so is the deduplicated union (a union that big is a scan, not a
+   * point read — the caller keeps the scan plan); the matched keys then
+   * read the base ONCE through its own PK layout, not once per probe.
+   *
+   * Each probe tuple is `(index, probeFilters, probeCond, indexVersion)`
+   * — the version pins that index's scan to the manifest whose watermark
+   * the caller already validated against `baseV`, so a refresh landing
+   * mid-plan can never mix snapshots across the probes.
+   */
+  def lookupUnionWhere(spark: SparkSession,
+      probes: Seq[(GraftTable, Seq[org.apache.spark.sql.sources.Filter],
+        Column, Long)],
+      baseV: Long, maxKeys: Int = 100000): DataFrame = {
+    require(probes.nonEmpty, "union lookup needs at least one probe")
+    val srcLocs = probes.map(_._1.properties(SrcLocKey)).distinct
+    require(srcLocs.size == 1,
+      s"union probes must share one source table, got: ${srcLocs.mkString(", ")}")
+    val src = GraftTable.load(spark, srcLocs.head)
+    val pkCols = src.meta.keyCols
+    // dedupe across probes by PK value tuple (a row matching two disjuncts
+    // must fetch once); LinkedHashMap keeps first-seen order deterministic
+    val seen = scala.collection.mutable.LinkedHashMap[Seq[Any], org.apache.spark.sql.Row]()
+    probes.foreach { case (idx, probeFilters, probeCond, indexV) =>
+      val hits = idx.scanPruned(probeFilters, Some(indexV))
+        .filter(probeCond)
+        .select(pkCols.map(col): _*)
+        .limit(maxKeys + 1).collect()
+      require(hits.length <= maxKeys,
+        s"union probe matched more than $maxKeys rows — not a point " +
+          "read; scan the base table instead")
+      hits.foreach(r => seen.getOrElseUpdate(r.toSeq, r))
+      require(seen.size <= maxKeys,
+        s"union matched more than $maxKeys rows — not a point read; " +
+          "scan the base table instead")
+    }
+    fetchByKeys(spark, src, pkCols, seen.values.toArray, Some(baseV))
+  }
+
   /** The base rows for a collected (bounded) PK set: an IN-list over the
     * leading PK column prunes base tablets at the manifest, an exact key
     * semi-join lands behind it. Empty keys → an empty scan-shaped frame. */

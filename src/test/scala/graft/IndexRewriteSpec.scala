@@ -84,7 +84,9 @@ class IndexRewriteSpec extends AnyFunSuite {
         col("name") === "name_4" || col("name") === "name_40")
       assert(served(qor, t), "OR of equalities must serve as an IN")
       assert(rows(qor).map(_(0)) == Set(4L, 40L))
-      // ... but an OR spanning TWO columns keeps the scan
+      // ... but an OR with a disjunct over a NON-indexed column keeps
+      // the scan — no probe can cover the v side (an OR whose every
+      // disjunct rides SOME armed index unions instead; separate test)
       assert(!served(t.scan().filter(
         col("name") === "name_4" || col("v") === 2), t))
 
@@ -122,6 +124,74 @@ class IndexRewriteSpec extends AnyFunSuite {
       assert(rows(spark.table(s"gidxrw.`${wh.getName}`")
         .filter(col("name") === "name_7")).isEmpty)
     } finally IndexRewrite.disable(spark, idx.location)
+  }
+
+  test("OR across two indexed columns serves as a UNION of probes; exact; declines while any index is stale") {
+    val data = (1L to 64L).map(i => (i, s"name_$i", s"grp_${i % 32}"))
+      .toDF("id", "name", "g")
+    val t = GraftTable.create(spark, tmp(), "idxrw_or", data.schema,
+      Seq("id"), Seq(HashComponent(Seq("id"), 4)), data = Some(data))
+    val ia = SecondaryIndex.build(spark, t, "name", tmp(), buckets = 8)
+    val ib = SecondaryIndex.build(spark, t, "g", tmp(), buckets = 8)
+    try {
+      // grp_3 = {3, 35}: keep the matched key set below the 4 PK buckets
+      // so the strict-subset detector can discriminate
+      def q = t.scan().filter(col("name") === "name_6" || col("g") === "grp_3")
+      assert(served(q, t),
+        s"a union of two index probes must serve:\n${q.queryExecution.optimizedPlan}")
+      assert(rows(q).map(_(0)) == Set(3L, 35L, 6L))
+      // without the name index one disjunct has no probe — whole union
+      // declines (a half-covered OR can never serve soundly)
+      IndexRewrite.disable(spark, ia.location)
+      assert(!served(q, t),
+        "an OR with an uncovered disjunct must keep the scan")
+      IndexRewrite.enable(spark, ia)
+
+      // a point disjunct unions with a RANGE disjunct
+      def qr = t.scan().filter(col("name") === "name_6" ||
+        (col("g") >= "grp_30" && col("g") <= "grp_30"))
+      assert(served(qr, t), "a range disjunct must union with a point probe")
+      assert(rows(qr).map(_(0)) == Set(30L, 62L, 6L))
+
+      // a disjunct carrying EXTRA conjuncts over-matches its probe; the
+      // re-applied full predicate makes the result exact
+      def qc = t.scan().filter(
+        (col("name") === "name_6" && col("id") > 100L) || col("g") === "grp_3")
+      assert(served(qc, t))
+      assert(rows(qc).map(_(0)) == Set(3L, 35L),
+        "the full predicate must re-filter the union's over-match")
+
+      // two non-IN-foldable disjuncts over ONE index still union (point
+      // + prefix share the name index; eqValues can't fold a startsWith)
+      def q1 = t.scan().filter(col("name") === "name_5" ||
+        col("name").startsWith("name_61"))
+      assert(served(q1, t))
+      assert(rows(q1).map(_(0)) == Set(5L, 61L))
+
+      // stale: the base moved past BOTH watermarks — never serve; a
+      // HALF-refreshed union (one index current, one stale) still
+      // declines whole; both refreshed serves again through V2 (the
+      // base is delta-dirty, so the DSv1 clean-snapshot match declines)
+      t.upsert(Seq((6L, "RENAMED_6", "grp_0")).toDF("id", "name", "g"))
+      assert(!served(q, t), "stale indexes must never serve a union")
+      assert(SecondaryIndex.refresh(spark, ia))
+      assert(!served(q, t),
+        "the union must decline while ANY involved index is stale")
+      assert(SecondaryIndex.refresh(spark, ib))
+      val wh = new java.io.File(t.location)
+      spark.conf.set("spark.sql.catalog.gidxor",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gidxor.warehouse", wh.getParent)
+      def qv2 = spark.table(s"gidxor.`${wh.getName}`")
+        .filter(col("name") === "name_6" || col("g") === "grp_3")
+      assert(served(qv2, t),
+        s"refreshed indexes must serve the union on the dirty base via V2:\n${qv2.queryExecution.optimizedPlan}")
+      // id 6 renamed AND regrouped: neither disjunct matches it now
+      assert(rows(qv2).map(_(0)) == Set(3L, 35L))
+    } finally {
+      IndexRewrite.disable(spark, ia.location)
+      IndexRewrite.disable(spark, ib.location)
+    }
   }
 
   test("scan-sized predicates decline: the bounded probe keeps the scan plan") {
