@@ -1484,6 +1484,65 @@ object Queries {
       }
     }),
 
+    "q80_filtered_topk" -> ((s, dir) => {
+      // FILTERED top-k through the index: `WHERE c_mktsegment = '…'
+      // ORDER BY c_name DESC LIMIT 3` — the per-group leaderboard shape —
+      // served from a composite index (c_name, c_mktsegment): the
+      // TRAILING column evaluates the predicate ON the index entries, the
+      // lead orders them, and exactly three matched keys fetch through PK
+      // pruning (IndexRewrite filtered top-k + SecondaryIndex.topK where).
+      // At 100 TB this turns a filtered corpus sort into one bounded
+      // index read plus a 3-row point fetch. In-query asserts: (1) fresh
+      // serves (strict subset of base files read — 3 keys < 4 PK
+      // buckets); (2) the segment's top name renamed OUT declines the
+      // stale index; (3) the refreshed index serves the V2 path on the
+      // dirty base, and the NEW top-3 excludes the renamed row. Hash-
+      // gated against the oracle's direct filter+sort over the mutated
+      // base (unique names make the top-3 set deterministic).
+      val raw = Tables.raw(s, dir, "customer")
+      val t = GraftTable.create(s, tmpLoc("graft-q80b-"), "customer_q80",
+        raw.schema, Seq("c_custkey"),
+        Seq(HashComponent(Seq("c_custkey"), 4)), data = Some(raw))
+      val idx = graft.tools.SecondaryIndex.build(s, t,
+        Seq("c_name", "c_mktsegment"), tmpLoc("graft-q80i-"), buckets = 16)
+      try {
+        def servedSubset(df: DataFrame): Boolean = {
+          val baseFiles = t.meta.baseFiles.map(f =>
+            new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+          val read = graft.plans.ScanRoots.filesRead(
+            df.queryExecution.optimizedPlan, baseFiles)
+          read.nonEmpty && read.size < baseFiles.size
+        }
+        def leaderboard(base: DataFrame) = base
+          .filter(col("c_mktsegment") === "BUILDING")
+          .orderBy(col("c_name").desc).limit(3)
+        def q1 = leaderboard(t.scan())
+        if (!servedSubset(q1))
+          throw new IllegalStateException("a fresh composite index must " +
+            s"serve the filtered top-k:\n${q1.queryExecution.optimizedPlan}")
+        // the segment's current top name, read through the serve itself
+        val topKey = q1.select("c_custkey").collect().head.getLong(0)
+        withShufflePartitions(s, 4) {
+          t.upsert(t.scan().filter(col("c_custkey") === topKey)
+            .withColumn("c_name", lit("AAA#RENAMED")))
+        }
+        if (servedSubset(q1))
+          throw new IllegalStateException("a STALE index must never serve")
+        if (!graft.tools.SecondaryIndex.refresh(s, idx))
+          throw new IllegalStateException("refresh must apply the mutation")
+        val f = new java.io.File(t.location)
+        s.conf.set("spark.sql.catalog.gq80",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq80.warehouse", f.getParent)
+        val v2 = leaderboard(s.table(s"gq80.`${f.getName}`"))
+        if (!servedSubset(v2))
+          throw new IllegalStateException("a refreshed index must serve " +
+            s"the filtered top-k via V2 on the dirty base:\n${v2.queryExecution.optimizedPlan}")
+        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+          .orderBy("c_custkey")
+      } finally graft.plans.IndexRewrite.disable(s, idx.location)
+    }),
+
     "q70_mv_rewrite" -> ((s, dir) => {
       // Materialized-view QUERY REWRITE (RollupRewrite): a GROUP BY over
       // the base is answered from the maintained rollup — at 100 TB this
@@ -3102,6 +3161,19 @@ object Queries {
         "SELECT * FROM final WHERE c_name = 'RENAMED#000000007' OR " +
         "c_acctbal = (SELECT c_acctbal FROM customer WHERE c_custkey = 42) " +
         "ORDER BY c_custkey"),
+
+    // the filtered top-3 over the mutated base: the segment's old top
+    // name renamed out of the ordering (its index entry moved), the next
+    // three serve off the filtered index walk — plan asserts prove the
+    // index path, the hash match proves the rows; the final ORDER BY
+    // c_custkey makes row order deterministic either way
+    "q80_filtered_topk" ->
+      ("WITH final AS (SELECT c_custkey, CASE WHEN c_custkey = " +
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "ORDER BY c_name DESC LIMIT 1) THEN 'AAA#RENAMED' ELSE c_name END " +
+        "AS c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer) " +
+        "SELECT * FROM (SELECT * FROM final WHERE c_mktsegment = " +
+        "'BUILDING' ORDER BY c_name DESC LIMIT 3) ORDER BY c_custkey"),
 
     // lookups by current names return the live rows; the two STALE names
     // (pre-rename, deleted) must return nothing — a refresh that failed to

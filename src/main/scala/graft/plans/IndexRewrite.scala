@@ -425,6 +425,52 @@ object IndexRewrite extends Rule[LogicalPlan] {
     } finally busy.set(false)
   }
 
+  /** Translate a Filter condition under a top-k Sort into an INDEX-ENTRY
+    * probe: every conjunct must either be servable over a column THIS
+    * index carries (the lead — by registered canon, functional included —
+    * or a trailing composite column), or be an inferred IsNotNull that a
+    * covered conjunct already implies (the servable language is
+    * null-preserving) or that a carried column can evaluate directly.
+    * Anything else returns None and the filtered top-k declines. Sound
+    * because an entry's columns EQUAL its base row's at the watermark, so
+    * the entries satisfying the translated probe are exactly the
+    * matching non-null-lead base rows. */
+  private def entryProbe(cond: Expression, leadCanon: String,
+      physCols: Seq[String], maxKeys: Int)
+      : Option[(Seq[org.apache.spark.sql.sources.Filter], Column)] = {
+    val (conjuncts, cands) = servables(cond)
+    val byTrail = physCols.tail.map(n => n.toLowerCase -> n).toMap
+    val parts = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[org.apache.spark.sql.sources.Filter], Column)]
+    var covered = Set.empty[Int]
+    cands.foreach { c =>
+      val phys = if (c.canon == leadCanon) Some(physCols.head)
+                 else byTrail.get(c.canon)
+      if (phys.isDefined && c.nLiterals <= maxKeys &&
+          !c.positions.exists(covered)) {
+        parts += ((c.filters(phys.get), c.cond(phys.get)))
+        covered ++= c.positions
+      }
+    }
+    val servedRefs = AttributeSet(conjuncts.zipWithIndex
+      .collect { case (e, i) if covered(i) => e }.flatMap(_.references))
+    conjuncts.zipWithIndex.foreach { case (e, i) =>
+      if (!covered(i)) e match {
+        case IsNotNull(a: Attribute) if servedRefs.contains(a) =>
+          covered += i // implied: the served conjuncts never match null
+        case IsNotNull(a: Attribute)
+            if physCols.exists(_.equalsIgnoreCase(a.name)) =>
+          val phys = physCols.find(_.equalsIgnoreCase(a.name)).get
+          parts += ((Seq(sf.IsNotNull(phys)), col(phys).isNotNull))
+          covered += i
+        case _ => ()
+      }
+    }
+    if (covered.size != conjuncts.length) None
+    else Some((parts.toSeq.flatMap(_._1),
+      parts.toSeq.map(_._2).foldLeft(lit(true))(_ && _)))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (busy.get()) return plan
     val spark = SparkSession.active
@@ -538,8 +584,18 @@ object IndexRewrite extends Rule[LogicalPlan] {
           // filesystem, and one armed index must not tax every unrelated
           // ORDER BY .. LIMIT in the session (same guard order as Filter)
           if indexes.exists(_._2._2.headOption.contains(keyCanon))
-          (baseLoc, baseV) <- ScanRoots.baseLocation(
-            ScanRoots.stripProjects(s.child))
+          // a Filter between the Sort and the scan makes this a FILTERED
+          // top-k — `WHERE g = 'x' ORDER BY v LIMIT k`, the per-group
+          // leaderboard shape. The condition must translate to an
+          // index-entry probe (entryProbe in tryTopK) or the serve
+          // declines; column pruning interposes attribute-only Projects
+          // on both sides of the Filter, stripped here like everywhere
+          (filtOpt, scanChild) = ScanRoots.stripProjects(s.child) match {
+            case fc: Filter => (Some(fc), ScanRoots.stripProjects(fc.child))
+            case other => (None, other)
+          }
+          if filtOpt.forall(_.condition.deterministic)
+          (baseLoc, baseV) <- ScanRoots.baseLocation(scanChild)
           indexLoc <- indexes.collectFirst {
             case (loc, (src, cols))
                 if src == baseLoc && cols.headOption.contains(keyCanon) => loc
@@ -547,6 +603,7 @@ object IndexRewrite extends Rule[LogicalPlan] {
           rewritten <- tryTopK(spark, gl, ll, projOpt, s, indexLoc, baseV, k,
             desc = so.direction == Descending,
             ties = s.order.length > 1, maxKeys = maxKeys,
+            filtOpt = filtOpt,
             // NullsFirst only serves on a provably null-free key: the
             // attribute non-nullable in the plan, or (checked in tryTopK
             // against the DECLARED schema at the pinned version — the
@@ -564,12 +621,30 @@ object IndexRewrite extends Rule[LogicalPlan] {
       projOpt: Option[Project], sort: Sort, indexLoc: String, baseV: Long,
       k: Int, desc: Boolean, ties: Boolean, maxKeys: Int,
       needNullFree: Boolean = false,
-      keyRefs: Seq[String] = Nil): Option[LogicalPlan] = {
+      keyRefs: Seq[String] = Nil,
+      filtOpt: Option[Filter] = None): Option[LogicalPlan] = {
     busy.set(true)
     try {
       val idx = GraftTable.load(spark, indexLoc)
       val im = idx.meta // one snapshot: version + watermark (see tryRewrite)
       if (im.propsMap(SecondaryIndex.SrcVersionKey).toLong != baseV) return None
+      // FILTERED top-k: the condition between the Sort and the scan must
+      // translate whole into an index-entry probe, or the serve declines
+      // (a conjunct the entries cannot evaluate would make the k fetched
+      // rows the wrong k). The fetched rows then need no residual — they
+      // satisfy the predicate by the entry-equals-base-row invariant.
+      val physCols = SecondaryIndex.indexedCols(im.propsMap)
+      val leadCanon = im.propsMap.get(SecondaryIndex.ExprKey)
+        .getOrElse(physCols.head.toLowerCase)
+      val whereOpt: Option[(Seq[org.apache.spark.sql.sources.Filter],
+        org.apache.spark.sql.Column)] = filtOpt match {
+        case None => None
+        case Some(fc) =>
+          entryProbe(fc.condition, leadCanon, physCols, maxKeys) match {
+            case Some(p) => Some(p)
+            case None => return None
+          }
+      }
       if (needNullFree) {
         // prove the key null-free from the DECLARED schema at the pinned
         // version: every referenced column NOT NULL — otherwise a
@@ -588,11 +663,14 @@ object IndexRewrite extends Rule[LogicalPlan] {
       // version (manifest row counts are then exact, proving ≥ k entries
       // — fewer could need null-lead rows the index never holds) and
       // single-key sorts (tie sets need the fetch path's completion).
-      if (!ties) {
+      if (!ties && whereOpt.isEmpty) {
         // what the plan above consumes is the Sort's own output — a
         // column-pruned query leaves an attribute-only Project UNDER the
         // Sort, so `SELECT id, v … ORDER BY v LIMIT k` needs exactly
-        // (id, v) here, not the full row
+        // (id, v) here, not the full row. (A FILTERED top-k skips the
+        // covering branch: manifest row counts prove ≥ k entries for the
+        // unfiltered population only — the fetch path proves it by
+        // fetching k matching entries instead.)
         val needs = sort.child.output
         val functional = im.propsMap.contains(SecondaryIndex.ExprKey)
         val idxCols = im.columns.map(_.name.toLowerCase)
@@ -622,10 +700,11 @@ object IndexRewrite extends Rule[LogicalPlan] {
       // single-key fetches exactly k (ties interchangeable there)
       val looked = (if (ties)
         SecondaryIndex.topKTies(spark, idx, k, desc, maxKeys,
-          pinned = Some((im.version, baseV)))
+          pinned = Some((im.version, baseV)), where = whereOpt)
       else
         SecondaryIndex.topK(spark, idx, k, desc,
-          pinned = Some((im.version, baseV)))).getOrElse(return None)
+          pinned = Some((im.version, baseV)),
+          where = whereOpt)).getOrElse(return None)
       val lp = looked.queryExecution.optimizedPlan
       val byName = lp.output.map(a => a.name.toLowerCase -> a).toMap
       val mapped = sort.child.output.map { a =>

@@ -505,15 +505,34 @@ object SecondaryIndex {
    * instead of the whole index. Returns None when fewer than `k`
    * non-null entries exist — the caller may need null-lead rows the index
    * never holds, so it must keep the scan. `pinned` as in [[lookupWhere]].
+   *
+   * `where = Some((filters, cond))` makes this a FILTERED top-k: the k
+   * extreme entries AMONG those satisfying `cond` (a predicate over the
+   * index's carried columns — entry values equal the base row's at the
+   * watermark, so matching entries ARE the matching non-null-lead base
+   * rows). The [[topCut]] is BYPASSED under a filter — its θ bound is
+   * derived from the unfiltered population, and cutting files below it
+   * could drop matching rows that belong to the filtered answer; the
+   * probe filters themselves prune instead (trailing-column zone maps,
+   * lead ranges). Fewer than `k` matching entries returns None — a
+   * null-lead row satisfying the predicate could then pad the true
+   * answer.
    */
   def topK(spark: SparkSession, index: GraftTable, k: Int, desc: Boolean,
-      pinned: Option[(Long, Long)] = None): Option[DataFrame] = {
+      pinned: Option[(Long, Long)] = None,
+      where: Option[(Seq[org.apache.spark.sql.sources.Filter], Column)] = None)
+      : Option[DataFrame] = {
     require(k > 0, "topK needs k > 0")
     val lead = indexedCols(index.properties).head
     val src = GraftTable.load(spark, index.properties(SrcLocKey))
     val pkCols = src.meta.keyCols
     val ord = if (desc) col(lead).desc else col(lead).asc
-    val hits = topScan(index, k, desc, pinned.map(_._1))
+    val scan0 = where match {
+      case Some((pf, pc)) =>
+        index.scanPruned(pf, pinned.map(_._1)).filter(pc)
+      case None => topScan(index, k, desc, pinned.map(_._1))
+    }
+    val hits = scan0
       .orderBy(ord +: pkCols.map(col(_).asc): _*)
       .select(pkCols.map(col): _*)
       .limit(k).collect()
@@ -555,11 +574,15 @@ object SecondaryIndex {
    * sharing the k-th value) returns None and the caller keeps the scan.
    * Returns None too when fewer than `k` non-null entries exist (the
    * caller may need null-lead rows the index never holds). `pinned` as
-   * in [[lookupWhere]].
+   * in [[lookupWhere]]; `where` as in [[topK]] (filtered tie completion:
+   * both passes apply the predicate, and the topCut is bypassed — its
+   * bound comes from the unfiltered population).
    */
   def topKTies(spark: SparkSession, index: GraftTable, k: Int,
       desc: Boolean, maxKeys: Int,
-      pinned: Option[(Long, Long)] = None): Option[DataFrame] = {
+      pinned: Option[(Long, Long)] = None,
+      where: Option[(Seq[org.apache.spark.sql.sources.Filter], Column)] = None)
+      : Option[DataFrame] = {
     require(k > 0, "topKTies needs k > 0")
     val lead = indexedCols(index.properties).head
     val src = GraftTable.load(spark, index.properties(SrcLocKey))
@@ -567,8 +590,13 @@ object SecondaryIndex {
     val ord = if (desc) col(lead).desc else col(lead).asc
     // pass 1: the k-th extreme lead value (ties beyond k irrelevant —
     // any row tied at vk joins the candidate set in pass 2); zone-cut-
-    // pruned like topK
-    val leadVals = topScan(index, k, desc, pinned.map(_._1))
+    // pruned like topK when unfiltered
+    val scan0 = where match {
+      case Some((pf, pc)) =>
+        index.scanPruned(pf, pinned.map(_._1)).filter(pc)
+      case None => topScan(index, k, desc, pinned.map(_._1))
+    }
+    val leadVals = scan0
       .orderBy(ord).select(col(lead)).limit(k).collect()
     if (leadVals.length < k) return None
     val vk = leadVals.last.get(0)
@@ -576,9 +604,11 @@ object SecondaryIndex {
     // value-clustered index to the extreme slabs; the bound keeps the
     // collect point-read-sized either way
     val candFilter: Seq[org.apache.spark.sql.sources.Filter] =
-      Seq(if (desc) org.apache.spark.sql.sources.GreaterThanOrEqual(lead, vk)
-          else org.apache.spark.sql.sources.LessThanOrEqual(lead, vk))
-    val candCond = if (desc) col(lead) >= lit(vk) else col(lead) <= lit(vk)
+      (if (desc) org.apache.spark.sql.sources.GreaterThanOrEqual(lead, vk)
+       else org.apache.spark.sql.sources.LessThanOrEqual(lead, vk)) +:
+        where.map(_._1).getOrElse(Nil)
+    val candCond0 = if (desc) col(lead) >= lit(vk) else col(lead) <= lit(vk)
+    val candCond = where.map(_._2).map(candCond0 && _).getOrElse(candCond0)
     val hits = index.scanPruned(candFilter, pinned.map(_._1))
       .filter(candCond)
       .select(pkCols.map(col): _*)

@@ -194,6 +194,63 @@ class IndexRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered top-k: WHERE over carried columns + ORDER BY lead LIMIT k serves; foreign columns decline") {
+    // v = i*37 % 101 is a permutation for i in 1..64 — distinct values,
+    // so single-key top-k sets are unique and comparable
+    val data = (1L to 64L).map(i =>
+      (i, i * 37 % 101, s"grp_${i % 4}", s"x_$i"))
+      .toDF("id", "v", "g", "other")
+    val t = GraftTable.create(spark, tmp(), "idxrw_ftk", data.schema,
+      Seq("id"), Seq(HashComponent(Seq("id"), 4)), data = Some(data))
+    val idx = SecondaryIndex.build(spark, t, Seq("v", "g"), tmp(), buckets = 8)
+    try {
+      def grp1 = (1L to 64L).filter(_ % 4 == 1).map(i => (i, i * 37 % 101))
+      // the per-group leaderboard: top-3 v inside grp_1 — the trailing
+      // composite column evaluates the filter ON the index entries, the
+      // lead orders them, three keys fetch
+      def q = t.scan().filter(col("g") === "grp_1")
+        .orderBy(col("v").desc).limit(3)
+      assert(served(q, t),
+        s"a filtered top-k over carried columns must serve:\n${q.queryExecution.optimizedPlan}")
+      assert(rows(q).map(_(0)).toSet ==
+        grp1.sortBy(-_._2).take(3).map(_._1).toSet)
+
+      // multi-key ORDER BY with a filter rides the tie-completion path
+      def qt = t.scan().filter(col("g") === "grp_1")
+        .orderBy(col("v").desc, col("id").asc).limit(3)
+      assert(served(qt, t), "filtered multi-key top-k must serve")
+      assert(rows(qt).map(_(0)).toSet ==
+        grp1.sortBy(-_._2).take(3).map(_._1).toSet)
+
+      // a RANGE filter on the LEAD itself composes with the ordering
+      // (nulls-last ASC — the default NULLS FIRST needs a null-free proof
+      // this nullable schema cannot give)
+      def qr = t.scan().filter(col("v") >= 50L)
+        .orderBy(col("v").asc_nulls_last).limit(5)
+      assert(served(qr, t), "a lead-range filtered top-k must serve")
+      assert(rows(qr).map(_(0)).toSet ==
+        (1L to 64L).map(i => (i, i * 37 % 101)).filter(_._2 >= 50)
+          .sortBy(_._2).take(5).map(_._1).toSet)
+
+      // a filter conjunct over a column the index does NOT carry cannot
+      // evaluate on the entries — the whole serve declines
+      assert(!served(t.scan().filter(col("other") === "x_1")
+        .orderBy(col("v").desc).limit(3), t),
+        "a foreign filter column must keep the scan")
+
+      // fewer than k matching entries decline (a null-lead row passing
+      // the filter could pad the true answer); rows agree regardless
+      def qe = t.scan().filter(col("g") === "nope")
+        .orderBy(col("v").desc).limit(3)
+      assert(!served(qe, t))
+      assert(rows(qe).isEmpty)
+
+      // stale declines like every serve
+      t.upsert(Seq((5L, 999L, "grp_1", "x_5")).toDF("id", "v", "g", "other"))
+      assert(!served(q, t), "a stale index must never serve a filtered top-k")
+    } finally IndexRewrite.disable(spark, idx.location)
+  }
+
   test("scan-sized predicates decline: the bounded probe keeps the scan plan") {
     val data = (1L to 40L).map(i => (i, "same", i)).toDF("id", "name", "v")
     val t = GraftTable.create(spark, tmp(), "idxrw_wide", data.schema,
