@@ -428,24 +428,23 @@ object IndexRewrite extends Rule[LogicalPlan] {
   /** Translate a Filter condition under a top-k Sort into an INDEX-ENTRY
     * probe: every conjunct must either be servable over a column THIS
     * index carries (the lead — by registered canon, functional included —
-    * or a trailing composite column), or be an inferred IsNotNull that a
-    * covered conjunct already implies (the servable language is
-    * null-preserving) or that a carried column can evaluate directly.
-    * Anything else returns None and the filtered top-k declines. Sound
-    * because an entry's columns EQUAL its base row's at the watermark, so
-    * the entries satisfying the translated probe are exactly the
-    * matching non-null-lead base rows. */
+    * a trailing composite column, or a base PK column every entry holds),
+    * or be an inferred IsNotNull that a covered conjunct already implies
+    * (the servable language is null-preserving) or that a carried column
+    * can evaluate directly. Anything else returns None and the filtered
+    * top-k declines. Sound because an entry's columns EQUAL its base
+    * row's at the watermark, so the entries satisfying the translated
+    * probe are exactly the matching non-null-lead base rows. */
   private def entryProbe(cond: Expression, leadCanon: String,
-      physCols: Seq[String], maxKeys: Int)
+      lead: String, carried: Seq[String], maxKeys: Int)
       : Option[(Seq[org.apache.spark.sql.sources.Filter], Column)] = {
     val (conjuncts, cands) = servables(cond)
-    val byTrail = physCols.tail.map(n => n.toLowerCase -> n).toMap
+    val byName = carried.map(n => n.toLowerCase -> n).toMap
     val parts = scala.collection.mutable.ArrayBuffer
       .empty[(Seq[org.apache.spark.sql.sources.Filter], Column)]
     var covered = Set.empty[Int]
     cands.foreach { c =>
-      val phys = if (c.canon == leadCanon) Some(physCols.head)
-                 else byTrail.get(c.canon)
+      val phys = if (c.canon == leadCanon) Some(lead) else byName.get(c.canon)
       if (phys.isDefined && c.nLiterals <= maxKeys &&
           !c.positions.exists(covered)) {
         parts += ((c.filters(phys.get), c.cond(phys.get)))
@@ -458,9 +457,8 @@ object IndexRewrite extends Rule[LogicalPlan] {
       if (!covered(i)) e match {
         case IsNotNull(a: Attribute) if servedRefs.contains(a) =>
           covered += i // implied: the served conjuncts never match null
-        case IsNotNull(a: Attribute)
-            if physCols.exists(_.equalsIgnoreCase(a.name)) =>
-          val phys = physCols.find(_.equalsIgnoreCase(a.name)).get
+        case IsNotNull(a: Attribute) if byName.contains(a.name.toLowerCase) =>
+          val phys = byName(a.name.toLowerCase)
           parts += ((Seq(sf.IsNotNull(phys)), col(phys).isNotNull))
           covered += i
         case _ => ()
@@ -636,11 +634,19 @@ object IndexRewrite extends Rule[LogicalPlan] {
       val physCols = SecondaryIndex.indexedCols(im.propsMap)
       val leadCanon = im.propsMap.get(SecondaryIndex.ExprKey)
         .getOrElse(physCols.head.toLowerCase)
+      val functional0 = im.propsMap.contains(SecondaryIndex.ExprKey)
+      // every column the index table carries (the indexed columns plus
+      // the base PK each entry holds) can evaluate filter conjuncts on
+      // entries — minus a functional index's synthesized value column,
+      // which no base attribute names
+      val carried = im.columns.map(_.name)
+        .filterNot(n => functional0 && n == SecondaryIndex.ExprCol)
       val whereOpt: Option[(Seq[org.apache.spark.sql.sources.Filter],
         org.apache.spark.sql.Column)] = filtOpt match {
         case None => None
         case Some(fc) =>
-          entryProbe(fc.condition, leadCanon, physCols, maxKeys) match {
+          entryProbe(fc.condition, leadCanon, physCols.head, carried,
+            maxKeys) match {
             case Some(p) => Some(p)
             case None => return None
           }

@@ -368,6 +368,37 @@ object ScaleSmoke {
         .collect()
       require(top.length == 5, s"topK must fetch 5 rows, got ${top.length}")
     }
+    timed("sindex_union_lookup") {
+      // OR-serving primitive at scale: a point probe UNIONS with a range
+      // probe (the OR a single-probe lookup cannot express), matched
+      // keys dedupe, ONE base fetch serves both disjuncts — on the
+      // clustered index the range side opens only its value slabs
+      val iv = sidx.meta.version
+      val hits = SecondaryIndex.lookupUnionWhere(spark, Seq(
+        (sidx, Seq(org.apache.spark.sql.sources.In("v", Array(-1L))),
+          col("v") === -1L, iv),
+        (sidx,
+          Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("v", probeV + 5L),
+            org.apache.spark.sql.sources.LessThanOrEqual("v", probeV + 15L)),
+          col("v") >= (probeV + 5L) && col("v") <= (probeV + 15L), iv)),
+        baseV = rbase.currentVersion).collect()
+      require(hits.exists(_.getLong(1) == 12345L),
+        "the union's point disjunct must find the mutated row")
+      require(hits.exists(r => r.getLong(2) >= probeV + 5L),
+        "the union's range disjunct must contribute rows")
+    }
+    timed("sindex_filtered_topk") {
+      // FILTERED top-k at scale: top-5 values within ONE group — the
+      // filter evaluates on the entries' carried PK column, the lead
+      // orders them, five keys fetch; no corpus sort anywhere
+      val top = SecondaryIndex.topK(spark, sidx, k = 5, desc = true,
+        where = Some((Seq(org.apache.spark.sql.sources.In("grp",
+          Array(7L))), col("grp") === 7L)))
+        .getOrElse(throw new IllegalStateException("filtered topK must serve"))
+        .collect()
+      require(top.length == 5 && top.forall(_.getLong(0) == 7L),
+        s"filtered topK must fetch 5 group-7 rows, got ${top.length}")
+    }
     timed("sindex_rewrite_point") {
       // the TRANSPARENT path at scale: a plain equality filter on the
       // indexed column rides IndexRewrite (build armed it; the index is

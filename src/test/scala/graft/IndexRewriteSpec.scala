@@ -232,6 +232,15 @@ class IndexRewriteSpec extends AnyFunSuite {
         (1L to 64L).map(i => (i, i * 37 % 101)).filter(_._2 >= 50)
           .sortBy(_._2).take(5).map(_._1).toSet)
 
+      // a filter on a base PK column also evaluates on the entries
+      // (every entry carries the PK) — `id <= 32 ORDER BY v DESC LIMIT 3`
+      def qpk = t.scan().filter(col("id") <= 32L)
+        .orderBy(col("v").desc).limit(3)
+      assert(served(qpk, t), "a PK-column filter must serve the top-k")
+      assert(rows(qpk).map(_(0)).toSet ==
+        (1L to 32L).map(i => (i, i * 37 % 101)).sortBy(-_._2)
+          .take(3).map(_._1).toSet)
+
       // a filter conjunct over a column the index does NOT carry cannot
       // evaluate on the entries — the whole serve declines
       assert(!served(t.scan().filter(col("other") === "x_1")
