@@ -1543,6 +1543,66 @@ object Queries {
       } finally graft.plans.IndexRewrite.disable(s, idx.location)
     }),
 
+    "q81_index_join" -> ((s, dir) => {
+      // INDEX JOIN (DPP through the secondary index): `fact JOIN tiny_dim
+      // ON fact.c_name = dim.k` — the dim side is broadcast-small, its
+      // DISTINCT join keys collect at plan time (the dynamic-partition-
+      // pruning posture, bounded by rewriteMaxKeys), the index probes
+      // them, and the fact side reads ONLY the matched keys' tablets; the
+      // Join node and its full condition stay above, so exactness is the
+      // equality's own (a dropped fact row's key is outside the dim key
+      // set — it could never join). At 100 TB this is the difference
+      // between a corpus scan and |dim| point reads for every enrichment
+      // join on a non-key column, which the fact's PARTITIONING cannot
+      // prune. In-query asserts: fresh serves (strict subset of base
+      // files read), a base mutation declines, the refreshed index
+      // serves the V2 path on the dirty base — where the renamed
+      // customer joins under its NEW name.
+      import s.implicits._
+      val raw = Tables.raw(s, dir, "customer")
+      val t = GraftTable.create(s, tmpLoc("graft-q81b-"), "customer_q81",
+        raw.schema, Seq("c_custkey"),
+        Seq(HashComponent(Seq("c_custkey"), 4)), data = Some(raw))
+      val idx = graft.tools.SecondaryIndex.build(s, t, "c_name",
+        tmpLoc("graft-q81i-"), buckets = 16)
+      try {
+        def servedSubset(df: DataFrame): Boolean = {
+          val baseFiles = t.meta.baseFiles.map(f =>
+            new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+          val read = graft.plans.ScanRoots.filesRead(
+            df.queryExecution.optimizedPlan, baseFiles)
+          read.nonEmpty && read.size < baseFiles.size
+        }
+        val dim = Seq(("RENAMED#000000007", "A"),
+          ("Customer#000000042", "B"), ("nope", "C")).toDF("k", "tag")
+        def joined(base: DataFrame) = base
+          .join(dim, col("c_name") === col("k"))
+          .select(col("c_custkey"), col("c_name"), col("tag"))
+        def q1 = joined(t.scan())
+        if (!servedSubset(q1))
+          throw new IllegalStateException("a fresh index must serve the " +
+            s"join probe:\n${q1.queryExecution.optimizedPlan}")
+        withShufflePartitions(s, 4) {
+          t.upsert(t.scan().filter(col("c_custkey") === 7)
+            .withColumn("c_name", lit("RENAMED#000000007")))
+        }
+        if (servedSubset(q1))
+          throw new IllegalStateException("a STALE index must never serve")
+        if (!graft.tools.SecondaryIndex.refresh(s, idx))
+          throw new IllegalStateException("refresh must apply the mutation")
+        val f = new java.io.File(t.location)
+        s.conf.set("spark.sql.catalog.gq81",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq81.warehouse", f.getParent)
+        val v2 = joined(s.table(s"gq81.`${f.getName}`"))
+        if (!servedSubset(v2))
+          throw new IllegalStateException("a refreshed index must serve " +
+            s"the join via V2 on the dirty base:\n${v2.queryExecution.optimizedPlan}")
+        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+          .orderBy("c_custkey")
+      } finally graft.plans.IndexRewrite.disable(s, idx.location)
+    }),
+
     "q70_mv_rewrite" -> ((s, dir) => {
       // Materialized-view QUERY REWRITE (RollupRewrite): a GROUP BY over
       // the base is answered from the maintained rollup — at 100 TB this
@@ -3174,6 +3234,20 @@ object Queries {
         "AS c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer) " +
         "SELECT * FROM (SELECT * FROM final WHERE c_mktsegment = " +
         "'BUILDING' ORDER BY c_name DESC LIMIT 3) ORDER BY c_custkey"),
+
+    // the enrichment join over the mutated base: the renamed customer
+    // joins under its NEW name through its refreshed index entry, 42
+    // under its untouched one, the 'nope' key matches nothing — the
+    // in-query plan asserts prove the fact side read only the probed
+    // tablets, the hash match proves the join rows
+    "q81_index_join" ->
+      ("WITH final AS (SELECT c_custkey, CASE WHEN c_custkey = 7 " +
+        "THEN 'RENAMED#000000007' ELSE c_name END AS c_name, " +
+        "c_nationkey, c_acctbal, c_mktsegment FROM customer), " +
+        "dim(k, tag) AS (VALUES ('RENAMED#000000007','A')," +
+        "('Customer#000000042','B'),('nope','C')) " +
+        "SELECT c_custkey, c_name, tag FROM final JOIN dim ON c_name = k " +
+        "ORDER BY c_custkey"),
 
     // lookups by current names return the live rows; the two STALE names
     // (pre-rename, deleted) must return nothing — a refresh that failed to

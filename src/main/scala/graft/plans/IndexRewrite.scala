@@ -5,7 +5,8 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{col, lit}
 
@@ -612,7 +613,154 @@ object IndexRewrite extends Rule[LogicalPlan] {
             needNullFree = so.nullOrdering == NullsFirst && so.child.nullable,
             keyRefs = so.child.references.toSeq.map(_.name))
         } yield rewritten).getOrElse(gl)
+
+      // INDEX JOIN (dynamic pruning through the secondary index): an
+      // equi-join whose ONE side is a bare scan of an indexed base and
+      // whose OTHER side is broadcast-small rewrites the fact side into
+      // a bounded plan-time probe — collect the dim side's distinct join
+      // keys (DPP posture: a driver-side subquery execution, bounded by
+      // rewriteMaxKeys), probe the index for the matching base keys, and
+      // fetch only those tablets. The Join node and its FULL condition
+      // stay, so the rewrite is exact: every dropped base row has a join
+      // key outside the dim's key set (or null), and no such row can
+      // satisfy the equality. At 100 TB this turns `fact JOIN tiny_dim
+      // ON fact.v = dim.k` from a corpus scan into |dim| point reads —
+      // the DPP the fact's PARTITIONING cannot give on a non-key column.
+      case j @ Join(_, _, jt, Some(_), _) if jt == Inner || jt == LeftSemi =>
+        tryIndexJoin(spark, indexes, maxKeys, j).getOrElse(j)
     }
+  }
+
+  /** Candidate extraction for the index join: an equality conjunct whose
+    * one side canonicalizes onto an armed index of the FACT child's base
+    * and whose other side references only the DIM child. Guard order as
+    * everywhere: pure in-memory tests (canon, references, the broadcast-
+    * small stats check by Catalyst's own yardstick) run before the
+    * filesystem-statting scan-root match. LeftSemi pins the fact to the
+    * LEFT child (semi output is left rows); Inner tries both
+    * orientations. */
+  private def tryIndexJoin(spark: SparkSession,
+      indexes: Map[String, (String, Seq[String])], maxKeys: Int,
+      j: Join): Option[LogicalPlan] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    val conjs = j.condition.map(split).getOrElse(Nil)
+    if (conjs.exists(!_.deterministic)) return None
+    val bcBytes = org.apache.spark.sql.internal.SQLConf.get
+      .autoBroadcastJoinThreshold
+    if (bcBytes <= 0) return None
+    def attempt(fact: LogicalPlan, dim: LogicalPlan, factExpr: Expression,
+        dimExpr: Expression, factIsLeft: Boolean): Option[LogicalPlan] =
+      for {
+        canon <- canonScalar(factExpr)
+        if factExpr.references.nonEmpty &&
+          factExpr.references.subsetOf(fact.outputSet)
+        if dimExpr.references.nonEmpty &&
+          dimExpr.references.subsetOf(dim.outputSet)
+        if dimExpr.deterministic
+        // the dim subtree executes TWICE (once for the plan-time key
+        // probe, once in the join itself) — any non-determinism anywhere
+        // in it could change the key set between the two and drop fact
+        // rows the join deserves; streaming dims cannot execute at plan
+        // time at all
+        if !dim.isStreaming
+        if dim.find(p => p.expressions.exists(!_.deterministic)).isEmpty
+        if indexes.exists(_._2._2.headOption.contains(canon))
+        if dim.stats.sizeInBytes <= bcBytes
+        // a Filter on the fact side (InferFiltersFromConstraints plants
+        // an isnotnull beside every join key; users write their own WHERE
+        // too) re-applies ABOVE the spliced fetch — exact, because the
+        // fetch is keyed on the join column alone and
+        // Filter(C, rows with key ∈ K) ≡ (Filter(C, rows)) with key ∈ K
+        // for deterministic C
+        (factFilter, factCore) = ScanRoots.stripProjects(fact) match {
+          case fl @ Filter(c, _) if c.deterministic =>
+            (Some(fl), ScanRoots.stripProjects(fl.child))
+          case other => (None, other)
+        }
+        (baseLoc, baseV) <- ScanRoots.baseLocation(factCore)
+        indexLoc <- indexes.collectFirst {
+          case (loc, (src, cols))
+              if src == baseLoc && cols.headOption.contains(canon) => loc
+        }
+        spliced <- probeJoin(spark, fact, factFilter, indexLoc, baseV, dim,
+          dimExpr, maxKeys)
+      } yield if (factIsLeft) j.copy(left = spliced)
+              else j.copy(right = spliced)
+    conjs.iterator.flatMap {
+      case EqualTo(x, y) =>
+        attempt(j.left, j.right, x, y, factIsLeft = true)
+          .orElse(attempt(j.left, j.right, y, x, factIsLeft = true))
+          .orElse(if (j.joinType == Inner)
+            attempt(j.right, j.left, x, y, factIsLeft = false)
+              .orElse(attempt(j.right, j.left, y, x, factIsLeft = false))
+          else None)
+      case _ => None
+    }.nextOption()
+  }
+
+  /** The fact-side replacement for an index join: evaluate the dim
+    * side's DISTINCT non-null join keys at plan time (bounded — more
+    * than rewriteMaxKeys distinct keys is a shuffled join's job, not a
+    * point read's), probe the index with the IN-list, and alias the
+    * fetched base rows to the fact child's attribute ids so the Join
+    * condition above resolves untouched. Version-pinned end to end like
+    * every serve. */
+  private def probeJoin(spark: SparkSession, fact: LogicalPlan,
+      factFilter: Option[Filter], indexLoc: String, baseV: Long,
+      dim: LogicalPlan, dimExpr: Expression,
+      maxKeys: Int): Option[LogicalPlan] = {
+    busy.set(true)
+    try {
+      val idx = GraftTable.load(spark, indexLoc)
+      val im = idx.meta // one snapshot: version + watermark (see tryRewrite)
+      if (im.propsMap(SecondaryIndex.SrcVersionKey).toLong != baseV) return None
+      val keyAlias = Alias(dimExpr, "__graft_join_key")()
+      val vals = org.apache.spark.sql.GraftSqlBridge
+        .ofRows(spark, Project(Seq(keyAlias), dim))
+        .filter(col("__graft_join_key").isNotNull)
+        .distinct().limit(maxKeys + 1).collect().map(_.get(0))
+      // over the bound: the dim is key-rich enough that this IS a join,
+      // not a point-read fan — keep the scan plan. Empty: the join is
+      // empty anyway; the scan plan handles it without a probe.
+      if (vals.isEmpty || vals.length > maxKeys) return None
+      val lead = SecondaryIndex.indexedCols(im.propsMap).head
+      val looked = SecondaryIndex.lookupWhere(spark, idx,
+        Seq(sf.In(lead, vals)), col(lead).isin(vals.toIndexedSeq: _*),
+        maxKeys = maxKeys, pinned = Some((im.version, baseV)))
+      val lp = looked.queryExecution.optimizedPlan
+      val byName = lp.output.map(a => a.name.toLowerCase -> a).toMap
+      // the re-applied fact Filter may reference columns a pruning
+      // Project above it dropped from fact.output — alias the union,
+      // filter, then project back down to the attrs the Join expects
+      val want = (fact.output ++
+        factFilter.map(_.condition.references.toSeq).getOrElse(Nil))
+        .foldLeft(Vector.empty[Attribute])((acc, a) =>
+          if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a)
+      val mapped = want.map { a =>
+        byName.get(a.name.toLowerCase).filter(_.dataType == a.dataType)
+          .map(r => Alias(r, a.name)(exprId = a.exprId))
+      }
+      if (mapped.exists(_.isEmpty)) return None
+      val projected = Project(mapped.map(_.get), lp)
+      val filtered = factFilter
+        .map(fl => Filter(fl.condition, projected): LogicalPlan)
+        .getOrElse(projected)
+      Some(if (want.size == fact.output.size) filtered
+           else Project(fact.output, filtered))
+    } catch {
+      case e: Exception =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        if (msg.contains("matched more than"))
+          logInfo(s"index join rewrite via $indexLoc declined (probe over " +
+            "rewriteMaxKeys); keeping the scan plan")
+        else
+          logWarning(s"index join rewrite via $indexLoc declined after " +
+            s"error; keeping the scan plan: $msg")
+        None
+    } finally busy.set(false)
   }
 
   private def tryTopK(spark: SparkSession, gl: GlobalLimit, ll: LocalLimit,

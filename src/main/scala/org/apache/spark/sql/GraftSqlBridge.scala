@@ -73,6 +73,15 @@ object GraftSqlBridge {
     finally reader.close()
   }
 
+  /** A DataFrame over an arbitrary logical plan (Dataset.ofRows is
+    * private[sql]) — the serving rewrites use it to evaluate a BOUNDED
+    * plan-time probe over a plan subtree they matched (e.g. a join's
+    * small dimension side), the same posture as dynamic partition
+    * pruning's subquery execution. */
+  def ofRows(session: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
+
   /** Catalyst data filter → public sources.Filter (for metadata pruning). */
   def translateFilter(e: Expression): Option[sources.Filter] =
     org.apache.spark.sql.execution.datasources.DataSourceStrategy

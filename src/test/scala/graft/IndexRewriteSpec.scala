@@ -260,6 +260,54 @@ class IndexRewriteSpec extends AnyFunSuite {
     } finally IndexRewrite.disable(spark, idx.location)
   }
 
+  test("index join: an equi-join with a broadcast-small dim probes the index instead of scanning the fact") {
+    val (t, idx) = mk() // (id PK, name indexed, v) — 64 rows, 4 PK buckets
+    try {
+      val dim = Seq(("name_7", "A"), ("name_21", "B"), ("nope", "C"),
+        (null.asInstanceOf[String], "D")).toDF("k", "tag")
+      def q = t.scan().join(dim, col("name") === col("k"))
+      assert(served(q, t),
+        s"the fact side must splice an index probe:\n${q.queryExecution.optimizedPlan}")
+      assert(rows(q).map(_(0)) == Set(7L, 21L))
+      // exactness under the join itself: duplicate dim keys duplicate
+      // output rows, the null dim key matches nothing
+      val dup = Seq(("name_7", "A"), ("name_7", "B")).toDF("k", "tag")
+      def qd = t.scan().join(dup, col("name") === col("k"))
+      assert(served(qd, t))
+      assert(qd.collect().length == 2,
+        "duplicate dim keys must still produce one join row each")
+
+      // LEFT SEMI serves (fact pinned to the left child)
+      def qs = t.scan().join(dim, col("name") === col("k"), "left_semi")
+      assert(served(qs, t), "left-semi joins must serve")
+      assert(rows(qs).map(_(0)) == Set(7L, 21L))
+
+      // the fact side serves from the RIGHT of an inner join too
+      def qr = dim.join(t.scan(), col("k") === col("name"))
+      assert(served(qr, t), "a right-side fact must serve")
+      assert(rows(qr).map(_(2)) == Set(7L, 21L))
+
+      // a dim with more distinct keys than the bound is a JOIN, not a
+      // point-read fan — decline
+      spark.conf.set("graft.sindex.rewriteMaxKeys", "2")
+      try assert(!served(q, t), "an over-bound dim key set must keep the scan")
+      finally spark.conf.unset("graft.sindex.rewriteMaxKeys")
+      assert(served(q, t))
+
+      // broadcast disabled disables the probe gate too (the smallness
+      // yardstick is Catalyst's own)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try assert(!served(q, t),
+        "no broadcast threshold -> no smallness proof -> keep the scan")
+      finally spark.conf
+        .set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+      // stale declines like every serve
+      t.upsert(Seq((7L, "renamed_7", 0L)).toDF("id", "name", "v"))
+      assert(!served(q, t), "a stale index must never serve a join probe")
+    } finally IndexRewrite.disable(spark, idx.location)
+  }
+
   test("scan-sized predicates decline: the bounded probe keeps the scan plan") {
     val data = (1L to 40L).map(i => (i, "same", i)).toDF("id", "name", "v")
     val t = GraftTable.create(spark, tmp(), "idxrw_wide", data.schema,
