@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{col, lit}
@@ -626,7 +626,14 @@ object IndexRewrite extends Rule[LogicalPlan] {
       // satisfy the equality. At 100 TB this turns `fact JOIN tiny_dim
       // ON fact.v = dim.k` from a corpus scan into |dim| point reads —
       // the DPP the fact's PARTITIONING cannot give on a non-key column.
-      case j @ Join(_, _, jt, Some(_), _) if jt == Inner || jt == LeftSemi =>
+      // Join types: Inner splices either side; a PRESERVED side can never
+      // splice (its non-matching rows are output), so LeftSemi/RightOuter
+      // pin the fact to the LEFT child and LeftOuter/LeftAnti to the
+      // RIGHT — an anti-join's right side only needs rows that COULD
+      // match, which is exactly what the probe fetches.
+      case j @ Join(_, _, jt, Some(_), _)
+          if jt == Inner || jt == LeftSemi || jt == LeftOuter ||
+            jt == RightOuter || jt == LeftAnti =>
         tryIndexJoin(spark, indexes, maxKeys, j).getOrElse(j)
     }
   }
@@ -689,11 +696,21 @@ object IndexRewrite extends Rule[LogicalPlan] {
           dimExpr, maxKeys)
       } yield if (factIsLeft) j.copy(left = spliced)
               else j.copy(right = spliced)
+    // which child may splice: never a PRESERVED side (its non-matching
+    // rows are part of the output)
+    val (tryLeftFact, tryRightFact) = j.joinType match {
+      case Inner => (true, true)
+      case LeftSemi | RightOuter => (true, false)
+      case LeftOuter | LeftAnti => (false, true)
+      case _ => (false, false)
+    }
     conjs.iterator.flatMap {
       case EqualTo(x, y) =>
-        attempt(j.left, j.right, x, y, factIsLeft = true)
-          .orElse(attempt(j.left, j.right, y, x, factIsLeft = true))
-          .orElse(if (j.joinType == Inner)
+        (if (tryLeftFact)
+          attempt(j.left, j.right, x, y, factIsLeft = true)
+            .orElse(attempt(j.left, j.right, y, x, factIsLeft = true))
+        else None)
+          .orElse(if (tryRightFact)
             attempt(j.right, j.left, x, y, factIsLeft = false)
               .orElse(attempt(j.right, j.left, y, x, factIsLeft = false))
           else None)

@@ -287,6 +287,29 @@ class IndexRewriteSpec extends AnyFunSuite {
       assert(served(qr, t), "a right-side fact must serve")
       assert(rows(qr).map(_(2)) == Set(7L, 21L))
 
+      // LEFT OUTER with the fact on the RIGHT: the preserved dim rows
+      // all survive (the 'nope'/null keys with nulls on the fact side),
+      // while the fact side reads only the probed tablets
+      def qo = dim.join(t.scan(), col("k") === col("name"), "left_outer")
+      assert(served(qo, t), "a right-side fact must serve under LEFT OUTER")
+      val outRows = qo.collect()
+      assert(outRows.length == 4, "LEFT OUTER must preserve every dim row")
+      assert(outRows.count(_.isNullAt(2)) == 2,
+        "the unmatched dim rows must carry nulls on the fact side")
+
+      // LEFT ANTI with the fact on the RIGHT: the right side only needs
+      // rows that COULD match — exactly what the probe fetches
+      def qa = dim.join(t.scan(), col("k") === col("name"), "left_anti")
+      assert(served(qa, t), "a right-side fact must serve under LEFT ANTI")
+      assert(qa.collect().map(_.getString(1)).toSet == Set("C", "D"),
+        "anti output = dim rows with no fact match")
+
+      // the PRESERVED side never splices: LEFT OUTER with the fact on
+      // the LEFT keeps the scan (non-matching fact rows are output)
+      assert(!served(t.scan().join(dim, col("name") === col("k"),
+        "left_outer"), t),
+        "a preserved fact side must never splice")
+
       // a dim with more distinct keys than the bound is a JOIN, not a
       // point-read fan — decline
       spark.conf.set("graft.sindex.rewriteMaxKeys", "2")
