@@ -373,6 +373,9 @@ object IndexRewrite extends Rule[LogicalPlan] {
   private def tryUnionRewrite(spark: SparkSession, f: Filter,
       indexes: Map[String, (String, Seq[String])], baseLoc: String,
       baseV: Long, picks: Seq[Servable], maxKeys: Int): Option[LogicalPlan] = {
+    // the DISTINCT indexes the union involves — for the stats hooks,
+    // visible to the catch too
+    val involved = scala.collection.mutable.LinkedHashSet.empty[String]
     busy.set(true)
     try {
       // one meta snapshot per DISTINCT index (two disjuncts over one
@@ -388,9 +391,10 @@ object IndexRewrite extends Rule[LogicalPlan] {
           metaCache.getOrElseUpdate(loc, {
             val idx = GraftTable.load(spark, loc)
             val im = idx.meta
-            if (im.propsMap(SecondaryIndex.SrcVersionKey).toLong == baseV)
+            if (im.propsMap(SecondaryIndex.SrcVersionKey).toLong == baseV) {
+              involved += loc
               Some((idx, im))
-            else None
+            } else { ServingStats.stale(spark, loc); None }
           })
         }
       val probes = picks.map { c =>
@@ -412,16 +416,20 @@ object IndexRewrite extends Rule[LogicalPlan] {
       // the whole ORIGINAL predicate re-applies over the fetched rows:
       // the union is a superset (each probe over-matches its disjunct's
       // other conjuncts), and re-filtering a bounded fetch is free
+      involved.foreach(ServingStats.serve(spark, _, "union"))
       Some(Filter(f.condition, Project(mapped.map(_.get), lp)))
     } catch {
       case e: Exception =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-        if (msg.contains("matched more than"))
+        if (msg.contains("matched more than")) {
+          involved.foreach(ServingStats.bound(spark, _))
           logInfo("index union rewrite declined (probe over " +
             "rewriteMaxKeys); keeping the scan plan")
-        else
+        } else {
+          involved.foreach(ServingStats.error(spark, _))
           logWarning("index union rewrite declined after error; " +
             s"keeping the scan plan: $msg")
+        }
         None
     } finally busy.set(false)
   }
@@ -733,7 +741,9 @@ object IndexRewrite extends Rule[LogicalPlan] {
     try {
       val idx = GraftTable.load(spark, indexLoc)
       val im = idx.meta // one snapshot: version + watermark (see tryRewrite)
-      if (im.propsMap(SecondaryIndex.SrcVersionKey).toLong != baseV) return None
+      if (im.propsMap(SecondaryIndex.SrcVersionKey).toLong != baseV) {
+        ServingStats.stale(spark, indexLoc); return None
+      }
       val keyAlias = Alias(dimExpr, "__graft_join_key")()
       val vals = org.apache.spark.sql.GraftSqlBridge
         .ofRows(spark, Project(Seq(keyAlias), dim))
@@ -765,17 +775,21 @@ object IndexRewrite extends Rule[LogicalPlan] {
       val filtered = factFilter
         .map(fl => Filter(fl.condition, projected): LogicalPlan)
         .getOrElse(projected)
+      ServingStats.serve(spark, indexLoc, "join")
       Some(if (want.size == fact.output.size) filtered
            else Project(fact.output, filtered))
     } catch {
       case e: Exception =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-        if (msg.contains("matched more than"))
+        if (msg.contains("matched more than")) {
+          ServingStats.bound(spark, indexLoc)
           logInfo(s"index join rewrite via $indexLoc declined (probe over " +
             "rewriteMaxKeys); keeping the scan plan")
-        else
+        } else {
+          ServingStats.error(spark, indexLoc)
           logWarning(s"index join rewrite via $indexLoc declined after " +
             s"error; keeping the scan plan: $msg")
+        }
         None
     } finally busy.set(false)
   }
@@ -790,7 +804,9 @@ object IndexRewrite extends Rule[LogicalPlan] {
     try {
       val idx = GraftTable.load(spark, indexLoc)
       val im = idx.meta // one snapshot: version + watermark (see tryRewrite)
-      if (im.propsMap(SecondaryIndex.SrcVersionKey).toLong != baseV) return None
+      if (im.propsMap(SecondaryIndex.SrcVersionKey).toLong != baseV) {
+        ServingStats.stale(spark, indexLoc); return None
+      }
       // FILTERED top-k: the condition between the Sort and the scan must
       // translate whole into an index-entry probe, or the serve declines
       // (a conjunct the entries cannot evaluate would make the k fetched
@@ -862,6 +878,7 @@ object IndexRewrite extends Rule[LogicalPlan] {
             val newSort = sort.copy(child = Project(mapped.map(_.get), lp))
             val newInner =
               projOpt.map(p => p.copy(child = newSort)).getOrElse(newSort)
+            ServingStats.serve(spark, indexLoc, "topk_covering")
             return Some(gl.copy(child = ll.copy(child = newInner)))
           }
         }
@@ -890,11 +907,16 @@ object IndexRewrite extends Rule[LogicalPlan] {
       // contract
       val newSort = sort.copy(child = Project(mapped.map(_.get), lp))
       val newInner = projOpt.map(p => p.copy(child = newSort)).getOrElse(newSort)
+      ServingStats.serve(spark, indexLoc,
+        if (filtOpt.isDefined) "topk_filtered" else "topk")
       Some(gl.copy(child = ll.copy(child = newInner)))
     } catch {
       case e: Exception =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        if (msg.contains("matched more than")) ServingStats.bound(spark, indexLoc)
+        else ServingStats.error(spark, indexLoc)
         logWarning(s"index top-k rewrite via $indexLoc declined after " +
-          s"error; keeping the scan plan: ${e.getMessage}")
+          s"error; keeping the scan plan: $msg")
         None
     } finally busy.set(false)
   }
@@ -974,7 +996,9 @@ object IndexRewrite extends Rule[LogicalPlan] {
     try {
       val idx = GraftTable.load(spark, indexLoc)
       val im = idx.meta // one snapshot: watermark + version (see tryRewrite)
-      if (im.propsMap(SecondaryIndex.SrcVersionKey).toLong != baseV) return None
+      if (im.propsMap(SecondaryIndex.SrcVersionKey).toLong != baseV) {
+        ServingStats.stale(spark, indexLoc); return None
+      }
       val functional = im.propsMap.contains(SecondaryIndex.ExprKey)
       // the index table's columns ARE base columns (the indexed columns
       // plus the base PK its entries carry) — except a functional index's
@@ -1010,10 +1034,12 @@ object IndexRewrite extends Rule[LogicalPlan] {
       }
       if (mapped.exists(_.isEmpty)) return None
       val projected = Project(mapped.map(_.get), lp)
+      ServingStats.serve(spark, indexLoc, "covering")
       Some(residual.reduceOption(And).map(Filter(_, projected))
         .getOrElse(projected))
     } catch {
       case e: Exception =>
+        ServingStats.error(spark, indexLoc)
         logWarning(s"covering index rewrite via $indexLoc declined after " +
           "error; keeping the scan plan: " +
           Option(e.getMessage).getOrElse(e.getClass.getName))
@@ -1033,7 +1059,9 @@ object IndexRewrite extends Rule[LogicalPlan] {
       // MATCH observed (not a later re-read of "current"), and the probe
       // below pins this index version and that base version
       val im = idx.meta
-      if (im.propsMap(SecondaryIndex.SrcVersionKey).toLong != baseV) return None
+      if (im.propsMap(SecondaryIndex.SrcVersionKey).toLong != baseV) {
+        ServingStats.stale(spark, indexLoc); return None
+      }
       val physCols = SecondaryIndex.indexedCols(im.propsMap)
       val lead = physCols.head
       // residual equalities over a composite index's trailing columns
@@ -1064,6 +1092,8 @@ object IndexRewrite extends Rule[LogicalPlan] {
       // the Project restores the ORIGINAL attribute ids, so the residual
       // conjuncts re-apply above it unchanged (they reference f's attrs)
       val projected = Project(mapped.map(_.get), lp)
+      ServingStats.serve(spark, indexLoc,
+        if (served.isRange) "range" else "point")
       Some(residual.reduceOption(And).map(Filter(_, projected))
         .getOrElse(projected))
     } catch {
@@ -1075,12 +1105,15 @@ object IndexRewrite extends Rule[LogicalPlan] {
         // a point read) is expected planner traffic and logs at info;
         // everything else (corrupt index, lost executor) warns.
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-        if (msg.contains("matched more than"))
+        if (msg.contains("matched more than")) {
+          ServingStats.bound(spark, indexLoc)
           logInfo(s"index rewrite via $indexLoc declined (probe over " +
             s"rewriteMaxKeys); keeping the scan plan")
-        else
+        } else {
+          ServingStats.error(spark, indexLoc)
           logWarning(s"index rewrite via $indexLoc declined after error; " +
             s"keeping the scan plan: $msg")
+        }
         None
     } finally busy.set(false)
   }

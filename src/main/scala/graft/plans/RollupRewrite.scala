@@ -247,7 +247,9 @@ object RollupRewrite extends Rule[LogicalPlan] {
     // spliced scan below pins this same rollup version.
     val rm = rollup.meta
     val p = rm.propsMap
-    if (p(MaterializedRollup.SrcVersionKey).toLong != baseV) return None
+    if (p(MaterializedRollup.SrcVersionKey).toLong != baseV) {
+      ServingStats.stale(spark, rollupLoc); return None
+    }
     val groupCols = p(MaterializedRollup.GroupColsKey)
       .split(MaterializedRollup.FieldSep).toSeq.map(_.toLowerCase)
     val gNames = groupExprs.map {
@@ -329,12 +331,18 @@ object RollupRewrite extends Rule[LogicalPlan] {
         if (!ok) return None
         Filter(rebased, rollupPlan)
     }
-    if (exact) Some(Project(mapped.map(_.get), src))
-    else {
+    if (exact) {
+      ServingStats.serve(spark, rollupLoc, "rollup")
+      Some(Project(mapped.map(_.get), src))
+    } else {
       val subGroup = groupExprs.map { case a: AttributeReference =>
         byName(a.name.toLowerCase): Expression
       }
+      ServingStats.serve(spark, rollupLoc, "rollup_reagg")
       Some(Aggregate(subGroup, mapped.map(_.get), src))
     }
-  } catch { case _: Exception => None } // a sick rollup never blocks the query
+  } catch {
+    // a sick rollup never blocks the query — but it counts
+    case _: Exception => ServingStats.error(spark, rollupLoc); None
+  }
 }

@@ -56,7 +56,8 @@ private[v2] object GraftProcedures {
     "txn_begin", "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort",
     "build_vector_index", "refresh_vector_index",
     "build_rollup", "refresh_rollup", "enable_rollup_rewrite", "rollup_status",
-    "build_secondary_index", "refresh_secondary_index", "derived_status")
+    "build_secondary_index", "refresh_secondary_index", "derived_status",
+    "serving_stats")
 
   private def spark = SparkSession.active
 
@@ -505,6 +506,26 @@ private[v2] object GraftProcedures {
                   }
               } catch { case _: Exception => None } // a sick table ≠ a dead report
             }
+        })
+      case "serving_stats" => Some(proc("serving_stats",
+        "usage counters for THIS session's transparent serving rewrites " +
+          "(indexes and rollups): how many queries each derived table " +
+          "actually served (and through which path — point/range/" +
+          "covering/topk/union/join/rollup), how many times it declined " +
+          "STALE (refresh lag — the number to watch), declined over the " +
+          "key BOUND (the workload outgrew the point-read posture), or " +
+          "declined on a real probe ERROR (a sick index degrading " +
+          "observably). An index that never serves is a candidate for " +
+          "dropping; counters are session-scoped, like the arming itself",
+        Array.empty,
+        new StructType().add("location", StringType)
+          .add("serves", LongType).add("stale_declines", LongType)
+          .add("bound_declines", LongType).add("error_declines", LongType)
+          .add("last_path", StringType)) { _ =>
+          graft.plans.ServingStats.snapshot(spark).map { case (loc, c) =>
+            InternalRow(str(loc), c.serves, c.staleDeclines,
+              c.boundDeclines, c.errorDeclines, str(c.lastPath))
+          }
         })
       case "enable_rollup_rewrite" => Some(proc("enable_rollup_rewrite",
         "arm the materialized-view query rewrite for an EXISTING rollup in " +

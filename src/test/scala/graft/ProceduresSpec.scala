@@ -233,6 +233,43 @@ class ProceduresSpec extends AnyFunSuite {
     assert(st2(rollLoc)._4 && st2(idxLoc)._4, st2.toString)
   }
 
+  test("CALL serving_stats counts serves and stale declines per derived table") {
+    graft.plans.ServingStats.reset(spark)
+    // three columns so the whole row does NOT ride the (n, id) index —
+    // the serve is the point-FETCH path, not covering
+    val data = (1L to 40L).map(i => (i, s"n$i", i * 2)).toDF("id", "n", "x")
+    val src = GraftTable.create(spark, s"$wh/svsrc", "svsrc", data.schema,
+      keys = Seq("id"), hash = Seq(HashComponent(Seq("id"), 4)),
+      data = Some(data))
+    val idxLoc = s"$wh/.sidx/svsrc_n"
+    val idx = graft.tools.SecondaryIndex.build(spark, src, "n", idxLoc,
+      buckets = 4)
+    try {
+      def stats(): Map[String, (Long, Long, String)] =
+        spark.sql(s"CALL $cat.system.serving_stats()").collect()
+          .map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getString(5))).toMap
+      // a transparently served point query counts as a serve
+      src.scan().filter(col("n") === "n7").collect()
+      val s1 = stats()
+      assert(s1.get(idxLoc).exists { case (serves, _, path) =>
+        serves >= 1 && path == "point" }, s1.toString)
+      // a mutation + a V2 read: the scan-root matches the CURRENT
+      // version, the watermark lags — a STALE decline, counted
+      src.upsert(Seq((7L, "renamed", 99L)).toDF("id", "n", "x"))
+      spark.table(s"$cat.svsrc").filter(col("n") === "renamed").collect()
+      val s2 = stats()
+      assert(s2(idxLoc)._2 >= 1,
+        s"the stale decline must be counted: $s2")
+      // refreshed, the V2 read serves again and the counter moves
+      assert(graft.tools.SecondaryIndex.refresh(spark, idx))
+      val before = stats()(idxLoc)._1
+      spark.table(s"$cat.svsrc").filter(col("n") === "renamed").collect()
+      val s3 = stats()
+      assert(s3(idxLoc)._1 > before, s3.toString)
+    } finally graft.plans.IndexRewrite.disable(spark, idx.location)
+  }
+
   test("SHOW PROCEDURES lists the surface; DESCRIBE PROCEDURE documents it") {
     mkTable("m5")
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
@@ -249,7 +286,8 @@ class ProceduresSpec extends AnyFunSuite {
       "txn_insert", "txn_upsert", "txn_delete", "txn_commit", "txn_abort",
       "build_vector_index", "refresh_vector_index",
       "build_rollup", "refresh_rollup", "enable_rollup_rewrite", "rollup_status",
-      "build_secondary_index", "refresh_secondary_index", "derived_status"),
+      "build_secondary_index", "refresh_secondary_index", "derived_status",
+      "serving_stats"),
       listed.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.compact_tablet")
       .collect().map(_.getString(0)).mkString("\n")
