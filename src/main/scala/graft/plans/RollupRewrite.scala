@@ -163,11 +163,17 @@ object RollupRewrite extends Rule[LogicalPlan] {
     case c: Count => c.children match {
       case Seq(l: Literal) if l.value != null => Some("count(*)")
       case Seq(_: UnresolvedStar) => Some("count(*)")
+      // count(col): null-skipping per-column count — folds by SUM like
+      // count(*), and the avg derivation's denominator
+      case Seq(one) => canon(one).map(x => s"count($x)")
       case _ => None
     }
     case s: Sum => canon(s.child).map(x => s"sum($x)")
     case m: Min => canon(m.child).map(x => s"min($x)")
     case m: Max => canon(m.child).map(x => s"max($x)")
+    // avg never matches a stored column directly — the serve DERIVES it
+    // from sum(x) and count(x) when the rollup carries both (see mapped)
+    case a: Average => canon(a.child).map(x => s"avg($x)")
     case c: Cast =>
       canon(c.child).map(x => s"cast($x as ${c.dataType.sql.toLowerCase})")
     case a: AttributeReference => Some(a.name.toLowerCase)
@@ -183,10 +189,15 @@ object RollupRewrite extends Rule[LogicalPlan] {
         case "count" => f.arguments match {
           case Seq(l: Literal) if l.value != null => Some("count(*)")
           case Seq(_: UnresolvedStar) => Some("count(*)")
+          case Seq(arg) => canon(arg).map(x => s"count($x)")
           case _ => None
         }
-        case n @ ("sum" | "min" | "max") => f.arguments match {
+        case n @ ("sum" | "min" | "max" | "avg") => f.arguments match {
           case Seq(arg) => canon(arg).map(x => s"$n($x)")
+          case _ => None
+        }
+        case "mean" => f.arguments match {
+          case Seq(arg) => canon(arg).map(x => s"avg($x)")
           case _ => None
         }
         case _ => None
@@ -301,6 +312,29 @@ object RollupRewrite extends Rule[LogicalPlan] {
       else if (canonical.startsWith("min(")) Some(Min(r).toAggregateExpression())
       else if (canonical.startsWith("max(")) Some(Max(r).toAggregateExpression())
       else None)
+    // AVG derives from sum(x) + count(x) when the rollup carries BOTH
+    // (avg itself is never stored — group averages do not re-aggregate):
+    // avg(x) = sum(x) / count(x), null when the count is 0 (an all-null
+    // group), folding both by SUM under subset grouping. The division
+    // runs in doubles, so only double-typed avg outputs serve (a decimal
+    // avg's scale arithmetic would not match and declines on the type
+    // check); the rollup's exact sum cast once is at least as precise as
+    // the direct path's running double sum.
+    def avgDerive(c: String): Option[Expression] = {
+      val inner = c.substring("avg(".length, c.length - 1)
+      for {
+        s <- specs.get(s"sum($inner)").flatMap(byName.get)
+        n <- specs.get(s"count($inner)").flatMap(byName.get)
+      } yield {
+        val (sE, nE): (Expression, Expression) =
+          if (exact) (s, n)
+          else (Sum(s).toAggregateExpression(), Sum(n).toAggregateExpression())
+        val dbl = org.apache.spark.sql.types.DoubleType
+        val nD = Cast(nE, dbl)
+        If(EqualTo(nD, Literal(0.0d)), Literal(null, dbl),
+          Divide(Cast(sE, dbl), nD))
+      }
+    }
     val mapped = resultExprs.map {
       case a: AttributeReference if gNames.contains(a.name.toLowerCase) =>
         byName.get(a.name.toLowerCase).filter(_.dataType == a.dataType)
@@ -309,7 +343,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
         canon(al).flatMap { c =>
           specs.get(c).flatMap(byName.get(_)).flatMap { r =>
             if (exact) Some(r: Expression) else reAgg(c, r)
-          }
+          }.orElse(if (c.startsWith("avg(")) avgDerive(c) else None)
         }.filter(_.dataType == al.dataType)
           .map(e => Alias(e, al.name)(exprId = al.exprId))
       case _ => None

@@ -125,6 +125,74 @@ class RollupRewriteSpec extends AnyFunSuite {
     } finally RollupRewrite.disable(spark, rollup.location)
   }
 
+  test("avg derives from sum+count; count(col) skips nulls; HAVING rides above the serve") {
+    val wh = Files.createTempDirectory("graft-mvavg-").toString
+    // x nullable, group 4 ALL-null: avg must be null there and count(x) 0
+    val df = (1 to 200).map { i =>
+      (i.toLong, i % 5,
+        if (i % 5 == 4 || i % 7 == 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(i.toLong))
+    }.toDF("k", "g", "x")
+    val t = GraftTable.create(spark, s"$wh/base", "mvavg", df.schema,
+      Seq("g", "k"), Seq(HashComponent(Seq("k"), 2)), data = Some(df))
+    val rollup = MaterializedRollup.build(spark, t, Seq("g"),
+      Seq("n" -> "count(*)", "sx" -> "sum(x)", "cx" -> "count(x)"),
+      s"$wh/roll", buckets = 2)
+    RollupRewrite.enable(spark, rollup)
+    try {
+      // count(col) serves on exact grouping AND folds by SUM on subset
+      def qc = t.scan().groupBy("g").agg(count(col("x")).as("cx"))
+      assert(readsRollup(qc, rollup.location),
+        s"count(col) must serve:\n${qc.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark, rollup.location)
+      val wantC = rows(qc)
+      RollupRewrite.enable(spark, rollup)
+      assert(rows(qc) == wantC)
+
+      // avg on exact grouping: sum(x)/count(x) off the rollup — the
+      // all-null group serves NULL, exactly like the direct plan
+      def qa = t.scan().groupBy("g").agg(avg(col("x")).as("ax"))
+      assert(readsRollup(qa, rollup.location),
+        s"avg must derive from sum+count:\n${qa.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark, rollup.location)
+      val wantA = rows(qa)
+      RollupRewrite.enable(spark, rollup)
+      assert(rows(qa) == wantA, "derived avg must equal direct compute")
+      assert(wantA.exists(r => r(1) == null), "the all-null group is the null-avg case")
+
+      // avg under SUBSET grouping: sum(sum)/sum(count) — the global mean
+      def qg = t.scan().agg(avg(col("x")).as("ax"))
+      assert(readsRollup(qg, rollup.location),
+        s"global avg must re-derive:\n${qg.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark, rollup.location)
+      val wantP = rows(qg)
+      RollupRewrite.enable(spark, rollup)
+      assert(rows(qg) == wantP)
+
+      // HAVING is a Filter ABOVE the aggregate — it applies over the
+      // rollup-served groups untouched
+      def qh = t.scan().groupBy("g").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 35)
+      assert(readsRollup(qh, rollup.location),
+        s"HAVING must ride above the serve:\n${qh.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark, rollup.location)
+      val wantH = rows(qh)
+      RollupRewrite.enable(spark, rollup)
+      assert(rows(qh) == wantH && wantH.nonEmpty)
+
+      // a rollup WITHOUT count(x) cannot derive avg — declines, stays exact
+      val r2 = MaterializedRollup.build(spark, t, Seq("g"),
+        Seq("sx" -> "sum(x)"), s"$wh/roll2", buckets = 2)
+      RollupRewrite.disable(spark, rollup.location)
+      RollupRewrite.enable(spark, r2)
+      try assert(!readsRollup(qa, r2.location),
+        "avg must NOT serve without a count(x) column")
+      finally RollupRewrite.disable(spark, r2.location)
+    } finally {
+      RollupRewrite.disable(spark, rollup.location)
+    }
+  }
+
   test("two rollups on one base: each grouping serves from ITS rollup (registry fall-through)") {
     val wh = Files.createTempDirectory("graft-mvrw5-").toString
     val df = (1 to 240).map(i => (i.toLong, i % 4, i % 10, i * 2L))
