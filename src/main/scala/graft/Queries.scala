@@ -34,6 +34,7 @@ object Queries {
     * NAME, so gq64 must always resolve to one warehouse. */
   private val q64Wh = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q70Wh = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q82Wh = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q46's warehouse (3 loaded+ANALYZEd dims), one per (JVM, sfDir). */
   private val q46Wh = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1688,6 +1689,83 @@ object Queries {
       } finally graft.plans.RollupRewrite.disable(s, rollup.location)
     }),
 
+    "q82_mv_avg" -> ((s, dir) => {
+      // AVG through the MV rewrite (derived aggregates): avg is never
+      // STORED in a rollup — group averages do not re-aggregate — but it
+      // DERIVES from sum(x)+count(x), exact: sum/count per group, and
+      // sum(sums)/sum(counts) for the global mean. The gate groups
+      // orders by priority over a rollup carrying (count(*),
+      // sum(o_custkey), count(o_custkey)) and asserts the ladder: fresh
+      // serves both scan shapes, a base mutation declines, the refreshed
+      // rollup serves the V2 path on the dirty base; the emitted rows are
+      // the served per-group averages plus the re-derived '__ALL__'
+      // global mean, hash-exact vs DuckDB (integer sums below 2^53 are
+      // double-exact, so the division is bitwise identical — no rounding
+      // house rule needed).
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val wh = q82Wh.computeIfAbsent(dir, _ => tmpLoc("graft-q82-wh-"))
+      s.conf.set("spark.sql.catalog.gq82",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq82.warehouse", wh)
+      val name = s"orda${System.nanoTime()}"
+      val raw = Tables.raw(s, dir, "orders")
+      val t = GraftTable.create(s, s"$wh/$name", name,
+        raw.schema, Seq("o_orderpriority", "o_orderkey"),
+        Seq(HashComponent(Seq("o_orderkey"), 2)), data = Some(raw))
+      val rollup = graft.tools.MaterializedRollup.build(s, t,
+        Seq("o_orderpriority"), Seq(
+          "n" -> "count(*)",
+          "sc" -> "sum(o_custkey)",
+          "cc" -> "count(o_custkey)"),
+        tmpLoc("graft-q82r-"), buckets = 4)
+      graft.plans.RollupRewrite.enable(s, rollup)
+      try {
+        def agg(base: DataFrame) = base.groupBy("o_orderpriority").agg(
+          avg("o_custkey").as("avg_cust"),
+          count(col("o_custkey")).as("n_cust"))
+        def served(df: DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.collect {
+            case lr: LogicalRelation => lr.relation match {
+              case fs: HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toUri.getPath)
+              case _ => Nil
+            }
+          }.flatten.exists(_.startsWith(rollup.location))
+        def v2 = agg(s.table(s"gq82.`$name`"))
+        if (!served(agg(t.scan())))
+          throw new IllegalStateException(
+            "fresh rollup must derive avg on the DSv1 aggregate")
+        if (!served(v2))
+          throw new IllegalStateException(
+            "fresh rollup must derive avg on the V2 aggregate")
+        withShufflePartitions(s, 4) {
+          t.upsert(t.scan()
+            .filter(col("o_orderpriority") === "1-URGENT" &&
+              col("o_orderkey") % 11 === 0)
+            .withColumn("o_custkey", col("o_custkey") + lit(1000000L)))
+        }
+        if (served(v2))
+          throw new IllegalStateException("a STALE rollup must never serve")
+        if (!graft.tools.MaterializedRollup.refresh(s, rollup))
+          throw new IllegalStateException("refresh must apply the mutation")
+        if (!served(v2))
+          throw new IllegalStateException(
+            "a refreshed rollup must derive avg on the dirty base via V2")
+        // the global mean re-derives: sum(sums)/sum(counts)
+        def vg = s.table(s"gq82.`$name`").agg(
+          avg("o_custkey").as("avg_cust"),
+          count(col("o_custkey")).as("n_cust"))
+        if (!served(vg))
+          throw new IllegalStateException(
+            "the global avg must re-derive from the rollup")
+        withShufflePartitions(s, 4) {
+          v2.unionByName(vg.select(lit("__ALL__").as("o_orderpriority"),
+            col("avg_cust"), col("n_cust")))
+            .localCheckpoint(true)
+        }.orderBy("o_orderpriority")
+      } finally graft.plans.RollupRewrite.disable(s, rollup.location)
+    }),
+
     "q63_stream_join" -> ((s, dir) => {
       // Stream-stream event-time join, END TO END THROUGH THE ENGINE:
       // the one stream feeds from the engine's change-stream source
@@ -3248,6 +3326,20 @@ object Queries {
         "('Customer#000000042','B'),('nope','C')) " +
         "SELECT c_custkey, c_name, tag FROM final JOIN dim ON c_name = k " +
         "ORDER BY c_custkey"),
+
+    // the served averages over the mutated base: per-priority avg/count of
+    // o_custkey (the urgent %11 orders shifted by +1e6) plus the global
+    // '__ALL__' re-derivation — integer sums stay below 2^53, so the
+    // double division is bitwise-exact on both engines, no rounding rule
+    "q82_mv_avg" ->
+      ("WITH final AS (SELECT o_orderpriority, CASE WHEN o_orderpriority " +
+        "= '1-URGENT' AND o_orderkey % 11 = 0 THEN o_custkey + 1000000 " +
+        "ELSE o_custkey END AS o_custkey FROM orders) " +
+        "SELECT * FROM (" +
+        "SELECT o_orderpriority, avg(o_custkey) AS avg_cust, " +
+        "count(o_custkey) AS n_cust FROM final GROUP BY 1 " +
+        "UNION ALL SELECT '__ALL__', avg(o_custkey), count(o_custkey) " +
+        "FROM final) ORDER BY o_orderpriority"),
 
     // lookups by current names return the live rows; the two STALE names
     // (pre-rename, deleted) must return nothing — a refresh that failed to
