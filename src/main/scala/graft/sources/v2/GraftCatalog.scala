@@ -695,7 +695,8 @@ class StagedGraftTable(inner: GraftV2Table, stagedLoc: String,
 
 class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
     with SupportsWrite with SupportsDelete with TruncatableTable
-    with SupportsRowLevelOperations with SupportsPartitionManagement {
+    with SupportsRowLevelOperations with SupportsPartitionManagement
+    with org.apache.spark.sql.connector.catalog.index.SupportsIndex {
 
   /** Engine location behind this V2 handle (plan rewrites key on it). */
   private[graft] def graftLocation: String = meta.location
@@ -714,6 +715,96 @@ class GraftV2Table(meta: TableMeta) extends Table with SupportsRead
   // Partition identifiers are RANGE KEYS ("1996", a bounds key), one
   // string field named after the range column. Multi-column range
   // components keep their tuple-bounds API engine-side.
+
+  // ---- SQL secondary-index lifecycle (SupportsIndex): CREATE INDEX /
+  // DROP INDEX through the V2 catalog drive graft.tools.SecondaryIndex —
+  // the DDL face of the maintained-index machinery. The index table
+  // parks under the established warehouse-side `.sidx` dot-dir
+  // convention (`<parent>/.sidx/<table>_<index>`): invisible to table
+  // listings, refreshed by warehouse maintenance ticks, re-armed for
+  // transparent serving by any catalog open; CREATE arms THIS session
+  // (build does). OPTIONS: buckets (hash buckets on the lead value,
+  // default 16), clustered (lead-mode value slabs at build — the layout
+  // range probes and top-k walks want). Multi-column lists build a
+  // COMPOSITE index (lead first, trailing as payload). DROP INDEX drops
+  // the index table, deregisters its GC marker from the source, and
+  // disarms the serving rewrite.
+
+  private def sidxBase: java.nio.file.Path = java.nio.file.Paths
+    .get(meta.location).toAbsolutePath.normalize.getParent.resolve(".sidx")
+
+  private def sidxLoc(indexName: String): String =
+    sidxBase.resolve(s"${meta.name}_$indexName").toString
+
+  override def indexExists(indexName: String): Boolean =
+    TableMeta.exists(sidxLoc(indexName))
+
+  override def createIndex(indexName: String,
+      columns: Array[org.apache.spark.sql.connector.expressions.NamedReference],
+      columnsProperties: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        java.util.Map[String, String]],
+      properties: java.util.Map[String, String]): Unit = {
+    if (indexExists(indexName))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .IndexAlreadyExistsException(indexName, meta.name, None)
+    val cols = columns.toSeq.map { nr =>
+      require(nr.fieldNames.length == 1,
+        s"nested index columns are not supported: ${nr.describe}")
+      nr.fieldNames.head
+    }
+    require(cols.nonEmpty, "CREATE INDEX needs at least one column")
+    val buckets = Option(properties.get("buckets")).map(_.trim.toInt)
+      .getOrElse(16)
+    val clustered = Option(properties.get("clustered"))
+      .exists(_.trim.equalsIgnoreCase("true"))
+    val spark = SparkSession.active
+    val src = GraftTable.load(spark, meta.location)
+    graft.tools.SecondaryIndex.build(spark, src, cols,
+      sidxLoc(indexName), buckets = buckets, clustered = clustered)
+  }
+
+  override def dropIndex(indexName: String): Unit = {
+    if (!indexExists(indexName))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchIndexException(indexName, meta.name, None)
+    val loc = sidxLoc(indexName)
+    graft.plans.IndexRewrite.disable(SparkSession.active, loc)
+    GraftTable.drop(loc)
+  }
+
+  override def listIndexes()
+      : Array[org.apache.spark.sql.connector.catalog.index.TableIndex] = {
+    import scala.jdk.CollectionConverters._
+    val dir = sidxBase
+    if (!java.nio.file.Files.isDirectory(dir))
+      return Array.empty
+    val myLoc = java.nio.file.Paths.get(meta.location).toAbsolutePath
+      .normalize.toString
+    scala.util.Using.resource(java.nio.file.Files.list(dir)) { s =>
+      s.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+        .filter(p => p.getFileName.toString.startsWith(meta.name + "_") &&
+          TableMeta.exists(p.toString))
+        .flatMap { p =>
+          try {
+            val props = TableMeta.readCurrent(p.toString).propsMap
+            val srcOk = props.get(graft.tools.SecondaryIndex.SrcLocKey)
+              .map(l => java.nio.file.Paths.get(l).toAbsolutePath
+                .normalize.toString).contains(myLoc)
+            if (!srcOk) None
+            else Some(new org.apache.spark.sql.connector.catalog.index
+              .TableIndex(
+                p.getFileName.toString.stripPrefix(meta.name + "_"),
+                "secondary",
+                graft.tools.SecondaryIndex.indexedCols(props).map(c =>
+                  org.apache.spark.sql.connector.expressions.Expressions
+                    .column(c): org.apache.spark.sql.connector
+                    .expressions.NamedReference).toArray,
+                java.util.Collections.emptyMap(), new java.util.Properties()))
+          } catch { case _: Exception => None }
+        }.toArray
+    }
+  }
 
   private def rangeComp: graft.catalog.RangeComponent = {
     val r = meta.range.getOrElse(throw new UnsupportedOperationException(

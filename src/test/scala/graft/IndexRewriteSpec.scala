@@ -331,6 +331,69 @@ class IndexRewriteSpec extends AnyFunSuite {
     } finally IndexRewrite.disable(spark, idx.location)
   }
 
+  test("SQL CREATE INDEX builds and arms the serving index; DROP INDEX disarms and removes it") {
+    val wh = Files.createTempDirectory("graft-idxddl-").toString
+    spark.conf.set("spark.sql.catalog.gidxddl",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gidxddl.warehouse", wh)
+    // three columns so the row does not fully ride the index (fetch path,
+    // strict-subset detectable); v near-unique so probes stay tiny
+    spark.sql(
+      "CREATE TABLE gidxddl.t PARTITIONED BY (bucket(4, id)) " +
+        "TBLPROPERTIES ('graft.keys' = 'id') AS " +
+        "SELECT CAST(id AS BIGINT) AS id, CAST(id % 97 AS BIGINT) AS v, " +
+        "CAST(id AS STRING) AS w FROM range(200)")
+    // fold the CTAS deltas into per-bucket base files FIRST: the strict-
+    // subset detector below watches base-file reads, and a delta-only
+    // table has none to watch
+    val t = GraftTable.load(spark, s"$wh/t")
+    t.compact()
+    spark.sql("CREATE INDEX vidx ON TABLE gidxddl.t (v)")
+    val idxLoc = s"$wh/.sidx/t_vidx"
+    assert(GraftTable.exists(idxLoc), "the index parks under .sidx")
+    try {
+      def q = spark.table("gidxddl.t").filter(col("v") === 3L)
+      assert(served(q, t),
+        s"a DDL-built index must serve transparently:\n${q.queryExecution.optimizedPlan}")
+      assert(rows(q).map(_(0)) == Set(3L, 100L, 197L))
+
+      // the connector face: indexExists / listIndexes report it
+      val h = new graft.sources.v2.GraftV2Table(
+        graft.catalog.TableMeta.readCurrent(t.location))
+      assert(h.indexExists("vidx"))
+      val listed = h.listIndexes()
+      assert(listed.map(_.indexName()).toSeq == Seq("vidx"), listed.mkString(","))
+      assert(listed.head.columns().map(_.describe()).toSeq == Seq("v"))
+      assert(listed.head.indexType() == "secondary")
+
+      // double-create refuses loudly
+      val e = intercept[Exception](
+        spark.sql("CREATE INDEX vidx ON TABLE gidxddl.t (v)"))
+      assert(e.getMessage.toLowerCase.contains("already exists"), e.getMessage)
+
+      // composite + options through DDL
+      spark.sql("CREATE INDEX widx ON TABLE gidxddl.t (w, v) " +
+        "OPTIONS (buckets=4)")
+      assert(h.listIndexes().map(_.indexName()).toSeq == Seq("vidx", "widx"))
+      assert(GraftTable.load(spark, s"$wh/.sidx/t_widx")
+        .meta.hash.exists(_.buckets == 4))
+
+      // DROP INDEX removes the table and the serve
+      spark.sql("DROP INDEX vidx ON TABLE gidxddl.t")
+      assert(!GraftTable.exists(idxLoc))
+      assert(!h.indexExists("vidx"))
+      assert(!served(q, t), "a dropped index must stop serving")
+      val e2 = intercept[Exception](
+        spark.sql("DROP INDEX vidx ON TABLE gidxddl.t"))
+      assert(e2.getMessage.toLowerCase.contains("index_not_found") ||
+        e2.getMessage.toLowerCase.contains("cannot find the index"),
+        e2.getMessage)
+    } finally {
+      IndexRewrite.disable(spark, idxLoc)
+      IndexRewrite.disable(spark, s"$wh/.sidx/t_widx")
+    }
+  }
+
   test("scan-sized predicates decline: the bounded probe keeps the scan plan") {
     val data = (1L to 40L).map(i => (i, "same", i)).toDF("id", "name", "v")
     val t = GraftTable.create(spark, tmp(), "idxrw_wide", data.schema,
