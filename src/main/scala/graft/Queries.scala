@@ -1689,6 +1689,56 @@ object Queries {
       } finally graft.plans.RollupRewrite.disable(s, rollup.location)
     }),
 
+    "q83_sql_index" -> ((s, dir) => {
+      // SQL index DDL (DSv2 SupportsIndex): CREATE INDEX builds the
+      // maintained secondary index and arms the serving session in one
+      // statement — no API call anywhere — and DROP INDEX disarms it.
+      // The gate creates the engine table, indexes c_name through SQL,
+      // asserts the point predicate serves through the V2 relation
+      // (strict subset of base files read), drops the index through SQL
+      // and asserts the SAME query keeps the scan, then re-creates the
+      // index with OPTIONS and hash-gates the served rows against the
+      // oracle's direct filter.
+      val raw = Tables.raw(s, dir, "customer")
+      val wh = tmpLoc("graft-q83-wh-")
+      val name = s"cust${System.nanoTime()}"
+      val t = GraftTable.create(s, s"$wh/$name", name,
+        raw.schema, Seq("c_custkey"),
+        Seq(HashComponent(Seq("c_custkey"), 4)), data = Some(raw))
+      val catName = s"gq83${System.nanoTime() % 1000}"
+      s.conf.set(s"spark.sql.catalog.$catName",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+      val idxLoc = s"$wh/.sidx/${name}_nameidx"
+      try {
+        def servedSubset(df: DataFrame): Boolean = {
+          val baseFiles = t.meta.baseFiles.map(f =>
+            new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+          val read = graft.plans.ScanRoots.filesRead(
+            df.queryExecution.optimizedPlan, baseFiles)
+          read.nonEmpty && read.size < baseFiles.size
+        }
+        def q = s.table(s"$catName.`$name`").filter(
+          col("c_name").isin("Customer#000000019", "Customer#000000036"))
+        s.sql(s"CREATE INDEX nameidx ON TABLE $catName.`$name` (c_name)")
+        if (!servedSubset(q))
+          throw new IllegalStateException("a SQL-created index must serve " +
+            s"transparently:\n${q.queryExecution.optimizedPlan}")
+        s.sql(s"DROP INDEX nameidx ON TABLE $catName.`$name`")
+        if (servedSubset(q))
+          throw new IllegalStateException(
+            "a SQL-dropped index must stop serving")
+        if (graft.catalog.TableMeta.exists(idxLoc))
+          throw new IllegalStateException("DROP INDEX must remove the table")
+        s.sql(s"CREATE INDEX nameidx ON TABLE $catName.`$name` (c_name) " +
+          "OPTIONS (buckets=8)")
+        if (!servedSubset(q))
+          throw new IllegalStateException("the re-created index must serve")
+        withShufflePartitions(s, 4) { q.localCheckpoint(true) }
+          .orderBy("c_custkey")
+      } finally graft.plans.IndexRewrite.disable(s, idxLoc)
+    }),
+
     "q82_mv_avg" -> ((s, dir) => {
       // AVG through the MV rewrite (derived aggregates): avg is never
       // STORED in a rollup — group averages do not re-aggregate — but it
@@ -3326,6 +3376,13 @@ object Queries {
         "('Customer#000000042','B'),('nope','C')) " +
         "SELECT c_custkey, c_name, tag FROM final JOIN dim ON c_name = k " +
         "ORDER BY c_custkey"),
+
+    // the two point rows served through the SQL-created index — the
+    // in-query plan asserts prove the create-serve/drop-scan lifecycle,
+    // the hash match proves the served rows
+    "q83_sql_index" ->
+      ("SELECT * FROM customer WHERE c_name IN ('Customer#000000019', " +
+        "'Customer#000000036') ORDER BY c_custkey"),
 
     // the served averages over the mutated base: per-priority avg/count of
     // o_custkey (the urgent %11 orders shifted by +1e6) plus the global
