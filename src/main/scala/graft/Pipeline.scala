@@ -760,6 +760,30 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    "p50_source_cap" -> ((s, dir) => {
+      // Per-source frequency capping (the C4/RefinedWeb-style domain
+      // cap): keep at most CAP documents per source, best-first by a
+      // quality proxy (n_chars desc, doc_id tiebreak) — over-represented
+      // domains are down-weighted before training, not at the sampler.
+      // Shape: one shuffle by source + a per-source window rank. At
+      // 100 TB the skew risk is the hot domain; the mitigation is a
+      // first aggregate pass computing each source's approximate rank-CAP
+      // quality THRESHOLD, so the exact window only ranks the docs near
+      // it — the emitted per-source accounting here is what that pass
+      // gates against. Integer outputs, hash-exact.
+      val cap = 15
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+      docs(s, dir).select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("rk") <= cap, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rk") <= cap, col("n_chars"))).as("kept_chars"),
+          min(when(col("rk") <= cap, col("n_chars"))).as("min_kept_chars"))
+        .orderBy("source")
+    }),
+
     "p22_dedup_keep_longest" -> ((s, dir) => {
       // The SELECTION step a real dedup pipeline ends with: within each
       // near-dup component (p14's clusters), keep the best representative
@@ -2028,6 +2052,16 @@ object Pipeline {
         "CAST(sum(toks) AS BIGINT) AS n_tokens, " +
         "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
         "FROM c GROUP BY 1 ORDER BY shard"),
+
+    "p50_source_cap" ->
+      ("WITH r AS (SELECT source, doc_id, n_chars, row_number() OVER " +
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk " +
+        "FROM documents) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_total, " +
+        "CAST(sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(sum(CASE WHEN rk <= 15 THEN n_chars END) AS BIGINT) AS kept_chars, " +
+        "CAST(min(CASE WHEN rk <= 15 THEN n_chars END) AS BIGINT) AS min_kept_chars " +
+        "FROM r GROUP BY source ORDER BY source"),
 
     "p22_dedup_keep_longest" ->
       ("WITH RECURSIVE " + shingleSqlCte.stripPrefix("WITH ") + minhashPairCtes + ",\n" +
