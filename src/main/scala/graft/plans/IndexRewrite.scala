@@ -84,6 +84,16 @@ object IndexRewrite extends Rule[LogicalPlan] {
     override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
   }
 
+  /** Run `body` with this THREAD's re-entrancy guard set — for probe
+    * work a serve farms out to other threads (the union's parallel
+    * probes): their query planning must not re-enter the rule any more
+    * than the planning thread's own would. */
+  private[graft] def guarded[T](body: => T): T = {
+    val was = busy.get()
+    busy.set(true)
+    try body finally busy.set(was)
+  }
+
   private[plans] def autoRewriteEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption("graft.sindex.autoRewrite")
       .forall(_.equalsIgnoreCase("true"))

@@ -393,17 +393,30 @@ object SecondaryIndex {
       s"union probes must share one source table, got: ${srcLocs.mkString(", ")}")
     val src = GraftTable.load(spark, srcLocs.head)
     val pkCols = src.meta.keyCols
+    // the probes are independent bounded jobs — run them CONCURRENTLY
+    // (Spark's scheduler is thread-safe): an OR of N disjuncts pays one
+    // probe latency, not N sequential job floors. Each probe thread
+    // carries the rewrite's re-entrancy guard, exactly like the planning
+    // thread that farmed it out would.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val hitArrays = Await.result(
+      Future.traverse(probes.toList) { case (idx, probeFilters, probeCond, indexV) =>
+        Future(graft.plans.IndexRewrite.guarded {
+          val hits = idx.scanPruned(probeFilters, Some(indexV))
+            .filter(probeCond)
+            .select(pkCols.map(col): _*)
+            .limit(maxKeys + 1).collect()
+          require(hits.length <= maxKeys,
+            s"union probe matched more than $maxKeys rows — not a point " +
+              "read; scan the base table instead")
+          hits
+        })
+      }, scala.concurrent.duration.Duration.Inf)
     // dedupe across probes by PK value tuple (a row matching two disjuncts
     // must fetch once); LinkedHashMap keeps first-seen order deterministic
     val seen = scala.collection.mutable.LinkedHashMap[Seq[Any], org.apache.spark.sql.Row]()
-    probes.foreach { case (idx, probeFilters, probeCond, indexV) =>
-      val hits = idx.scanPruned(probeFilters, Some(indexV))
-        .filter(probeCond)
-        .select(pkCols.map(col): _*)
-        .limit(maxKeys + 1).collect()
-      require(hits.length <= maxKeys,
-        s"union probe matched more than $maxKeys rows — not a point " +
-          "read; scan the base table instead")
+    hitArrays.foreach { hits =>
       hits.foreach(r => seen.getOrElseUpdate(r.toSeq, r))
       require(seen.size <= maxKeys,
         s"union matched more than $maxKeys rows — not a point read; " +
