@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
 
 import graft.catalog.{HashComponent, RangeComponent}
 import graft.table.GraftTable
@@ -146,18 +146,36 @@ object Tables {
     * conf) and is truncated ns→µs matching DuckDB; a plain µs TIMESTAMP —
     * with or without UTC adjustment — casts directly (the session timezone
     * is UTC, so NTZ→TZ preserves the stored micros). */
+  // Memoized PHYSICAL schema per source file identity: parquet schema
+  // inference runs a footer-reading Spark job at read() construction time,
+  // and raw() is called by nearly every declared query (gate scripts read
+  // their fixture source per iteration). The schema is a pure function of
+  // the file bytes, so it is keyed on (path, size, mtime) — a driver
+  // regenerating the test file mid-run (it happened in round 8) misses the
+  // memo and re-infers instead of reading with a stale schema.
+  private val rawSchemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), StructType]()
+
+  private def rawRead(spark: SparkSession, path: String): DataFrame = {
+    val f = new java.io.File(path)
+    val key = (f.getAbsolutePath, f.length(), f.lastModified())
+    val st = rawSchemaMemo.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(st).parquet(path)
+  }
+
   def raw(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     if (table == "events") {
       // Lets TIMESTAMP(NANOS) files load (as LongType) instead of throwing;
       // has no effect on µs-typed files.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$sfDir/$table.parquet")
+      val df = rawRead(spark, s"$sfDir/$table.parquet")
       df.schema("ts").dataType match {
         case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         case TimestampType => df
         case _ => df.withColumn("ts", col("ts").cast(TimestampType))
       }
-    } else spark.read.parquet(s"$sfDir/$table.parquet")
+    } else rawRead(spark, s"$sfDir/$table.parquet")
   }
 
   /** Scan through the engine's Catalyst-integrated read path: filters the

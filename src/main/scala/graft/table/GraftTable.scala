@@ -246,8 +246,25 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     }
     val groups = files.groupBy(_.colIds)
     val dfs = groups.map { case (colIds, fs) =>
-      val raw = spark.read.parquet(fs.map(_.path): _*)
       val present = colIds.toSet
+      // Provide the physical schema instead of letting the parquet source
+      // infer it: inference runs a footer-reading Spark JOB at DataFrame
+      // CONSTRUCTION time — one per readFileGroup call, i.e. per scan plan,
+      // per MOR branch, per micro-batch replan. The physical schema is
+      // fully determined by the manifest already: every committed file
+      // carries exactly the physNames of the column ids it records (writeBase
+      // casts to the declared type before writing; register derives the
+      // ColumnMeta FROM the footer; prior generations keep their recorded
+      // type), so the provided schema matches the footer field-for-field
+      // and the job disappears. At 100 TB the same call otherwise pays a
+      // driver-side footer read per plan on top of the job-scheduling floor.
+      val physFields = m.columns.flatMap(c =>
+        physGenOf(c, present).map { case (n, dt) => StructField(n, dt) })
+      val extraFields =
+        if (delta) Seq(StructField(OpCol, StringType), StructField(SeqCol, LongType))
+        else Nil
+      val raw = spark.read.schema(StructType(physFields ++ extraFields))
+        .parquet(fs.map(_.path): _*)
       val dataCols = m.columns.map { c =>
         physGenOf(c, present) match {
           case Some((n, _)) => col(n).cast(c.dataType).as(c.name)
@@ -329,19 +346,73 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(m2.visibleColumns.map(_.toField.copy(nullable = true)) :+
           StructField(DeletedCol, BooleanType, nullable = false)))
+    // Size the per-key fold's exchange by the DELTA bytes actually in
+    // range, not the session's shuffle-partition constant: a CDC window is
+    // usually a sliver of the table (often one commit), and the window fold
+    // below otherwise shuffles into spark.sql.shuffle.partitions tasks —
+    // which a caller's persist() then pins for every downstream pass
+    // (AQE does not re-coalesce cached plans). The explicit hash
+    // repartition on the key columns satisfies the window's required
+    // distribution, so this changes the exchange's partition COUNT, never
+    // adds one; capped at the session setting so a backfill-sized window
+    // still spreads cluster-wide.
+    val deltaBytes = inRange.map(f => fileSize(f.path)).sum
+    val foldParts = math.max(1L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
+      (deltaBytes + GraftTable.CdcFoldTargetBytes - 1) /
+        GraftTable.CdcFoldTargetBytes)).toInt
     val deltas = readFileGroup(m2, inRange, delta = true)
+      .repartition(foldParts, m2.keyCols.map(col): _*)
     val w = Window.partitionBy(m2.keyCols.map(col): _*)
       .orderBy(col(SeqCol).desc, col(OpCol).desc) // same tie-break as latestDeltas
     val latest = deltas.withColumn(RnCol, row_number().over(w))
       .filter(col(RnCol) === 1)
-    // ghost dedup: only emit deletes for keys that existed at v1
-    val v1Keys = scanWithHidden(Some(v1)).select(m2.keyCols.map(col): _*)
+    // ghost dedup: only emit deletes for keys that existed at v1 — through
+    // a scan PRUNED to the key interval the in-range delta files record
+    // (every touched key lies within some delta file's [keyLo, keyHi], so
+    // v1 files outside the union interval cannot hold a matching key; the
+    // semi-join re-applies exact equality). Without this the ghost check
+    // reads the ENTIRE v1 snapshot for a one-key delete — at 100 TB the
+    // difference between a tablet read and a table read.
+    val v1Keys = {
+      val ivFilters = keyIntervalFilters(m2, inRange)
+      val v1Scan =
+        if (ivFilters.isEmpty) scanWithHidden(Some(v1))
+        else scanFiles(m1,
+          graft.sources.PartitionPruner.pruneFiles(m1, m1.baseFiles, ivFilters),
+          graft.sources.PartitionPruner.pruneFiles(m1, m1.deltaFiles, ivFilters))
+      v1Scan.select(m2.keyCols.map(col): _*)
+    }
     val dels = latest.filter(col(OpCol) === OpDelete)
       .join(v1Keys, m2.keyCols, "left_semi")
     val ups = latest.filter(col(OpCol) =!= OpDelete)
     ups.unionByName(dels)
       .select(m2.visibleColumns.map(c => col(c.name)) :+
         (col(OpCol) === OpDelete).as(DeletedCol): _*)
+  }
+
+  /** Conservative leading-PK interval filters covering every key the given
+    * delta files can touch, from their recorded per-file key bounds
+    * ([min keyLo, max keyHi] — encoded bounds are order-preserving, so
+    * min/max over the encodings IS the value interval). Empty when any
+    * file lacks bounds (older manifests) or the bound does not round-trip
+    * the encoding — callers must then scan unpruned. */
+  private def keyIntervalFilters(m: TableMeta, files: Seq[DataFileMeta])
+      : Seq[org.apache.spark.sql.sources.Filter] = {
+    val lead = m.keyCols.head
+    val dt = m.column(lead).dataType
+    val bounds = files.map(f => (f.keyLo, f.keyHi))
+    if (bounds.isEmpty || bounds.exists(b => b._1.isEmpty || b._2.isEmpty))
+      return Nil
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(dt)
+    (for {
+      lo <- GraftTable.decodeBound(dt, bounds.map(_._1.get).min)
+      hi <- GraftTable.decodeBound(dt, bounds.map(_._2.get).max)
+    } yield Seq[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual(lead, conv(lo)),
+      org.apache.spark.sql.sources.LessThanOrEqual(lead, conv(hi))))
+      .getOrElse(Nil)
   }
 
   /** Distinct `cols` projections (key columns only — delta tombstones
@@ -370,7 +441,17 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(cols.map(n =>
           m2.column(n).toField.copy(nullable = true))))
-    readFileGroup(m2, inRange, delta = true).select(cols.map(col): _*).distinct()
+    // same delta-byte-derived exchange sizing as [[changesSince]]: the
+    // distinct's exchange inherits the session shuffle-partition constant
+    // otherwise, and callers persist() this frame (pinning the count for
+    // every downstream pass over a usually-tiny touched-key set)
+    val deltaBytes = inRange.map(f => fileSize(f.path)).sum
+    val nParts = math.max(1L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
+      (deltaBytes + GraftTable.CdcFoldTargetBytes - 1) /
+        GraftTable.CdcFoldTargetBytes)).toInt
+    readFileGroup(m2, inRange, delta = true).select(cols.map(col): _*)
+      .repartition(nParts, cols.map(col): _*).distinct()
   }
 
   // --------------------------------------------------------------- write
@@ -2526,6 +2607,12 @@ object GraftTable {
     * scanning them outright is cheaper than the extra probe job. */
   val PresencePruneMinBytes: Long = 64L * 1024 * 1024
   val DeltaWritePartitions = 4
+  /** Target bytes per task for the CDC per-key fold ([[GraftTable.changesSince]]):
+    * the fold's exchange sizes itself from the in-range delta bytes
+    * (ceil(bytes / this), capped at the session's shuffle partitions)
+    * instead of inheriting the session constant — a one-commit CDC window
+    * folds in one task, a backfill window still spreads cluster-wide. */
+  val CdcFoldTargetBytes: Long = 64L * 1024 * 1024
 
   private[table] def now(): Long = System.currentTimeMillis()
 

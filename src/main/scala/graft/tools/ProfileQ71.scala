@@ -23,13 +23,26 @@ object ProfileQ71 {
     val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
     val jobMs = new java.util.concurrent.atomic.AtomicLong(0L)
     val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val verbose = sys.env.get("PROF_JOBS").contains("1")
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobCount.incrementAndGet(); jobStarts.put(j.jobId, j.time)
+          if (verbose) {
+            val desc = Option(j.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+              .getOrElse("")
+            val stages = j.stageInfos.map(si =>
+              s"${si.name.takeWhile(_ != '\n').take(90)}/${si.numTasks}t")
+              .mkString(" | ")
+            System.err.println(s"[prof]   job ${j.jobId}: $desc  [$stages]")
+          }
         }
         override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          Option(jobStarts.remove(j.jobId)).foreach(t0 => jobMs.addAndGet(j.time - t0))
+          Option(jobStarts.remove(j.jobId)).foreach { t0 =>
+            jobMs.addAndGet(j.time - t0)
+            if (verbose) System.err.println(s"[prof]   job ${j.jobId} end ${j.time - t0} ms")
+          }
         }
       })
     def t[A](name: String)(body: => A): A = {

@@ -139,4 +139,41 @@ class DeltaStatsSpec extends AnyFunSuite {
     val r = spark.read.format("graft").load(t.location)
     assert(r.filter(col("k") === 305L).head().getLong(1) == 3L)
   }
+
+  test("changesSince ghost-dedup prunes the v1 snapshot by delta key bounds") {
+    // the CDC fast path's delete-ghost check semi-joins against the v1
+    // snapshot; the in-range delta files' recorded [keyLo, keyHi] bound
+    // every touched key, so on a layout whose base files are disjoint PK
+    // slabs the v1 scan must open only the overlapping slab — at 100 TB
+    // the difference between a tablet read and a table read per refresh
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val wh = Files.createTempDirectory("graft-dstats4-").toString
+    val df = (1 to 2000).map(i => (i.toLong, i * 2L)).toDF("k", "v")
+    val t = GraftTable.create(spark, s"$wh/gd", "gd", df.schema, Seq("k"),
+      Nil, data = Some(df))
+    t.cluster(Seq("k", "v"), nFiles = 4, mode = "lead") // disjoint PK slabs
+    val v1 = t.currentVersion
+    val v1Files = t.metaAt(v1).baseFiles.map(f =>
+      new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+    assert(v1Files.size >= 4, s"need a multi-slab base, got ${v1Files.size}")
+    onePerCommit {
+      t.upsert(Seq((5L, 99L)).toDF("k", "v"))
+      t.delete(Seq(Tuple1(7L)).toDF("k"))
+    }
+    val cs = t.changesSince(v1, t.currentVersion)
+    val read = cs.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toUri.getPath).filter(v1Files.contains)
+        case _ => Nil
+      }
+    }.flatten.toSet
+    assert(read.nonEmpty && read.size < v1Files.size,
+      s"ghost-dedup must scan a strict subset of the v1 slabs " +
+        s"(read ${read.size} of ${v1Files.size})")
+    // exactness: the upsert surfaces, the delete of an existing key surfaces
+    val rows = cs.orderBy("k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getBoolean(2))).toSeq ==
+      Seq((5L, false), (7L, true)), rows.mkString(", "))
+  }
 }
