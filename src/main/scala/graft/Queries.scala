@@ -99,6 +99,21 @@ object Queries {
   private def scan(s: SparkSession, dir: String, t: String): DataFrame =
     Tables.scan(s, dir, t)
 
+  /** Eagerly materialize a gate's FINAL (bounded) result as a local
+    * relation: the rows compute NOW — under whatever conf scope / serving
+    * registration the caller holds, exactly like the localCheckpoint(true)
+    * this replaces — but without localCheckpoint's extra caching pass and
+    * without pinning RDD blocks across bench iterations (round-12 saw a
+    * pinned checkpoint inflate a later query). Gate results are
+    * contract-bounded (point reads, group rows, small diffs), so the
+    * collect is driver-safe. Only for RETURNED results — never for frames
+    * a gate keeps processing distributed (a LocalRelation would change
+    * downstream plan shapes that in-query asserts pin). */
+  private def materialized(s: SparkSession, df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scan-side operators -------------------------------------------
     "q1_scan_project" -> ((s, dir) => {
@@ -627,7 +642,7 @@ object Queries {
       // materialize INSIDE the 4-partition scope (the lambda's return is
       // lazy — unmaterialized, the final probe would shuffle at the
       // restored session default); 90 rows, leak-free
-      restored.scan().localCheckpoint(true).orderBy("s_suppkey")
+      materialized(s, restored.scan()).orderBy("s_suppkey")
       } // withShufflePartitions
     }),
 
@@ -663,7 +678,7 @@ object Queries {
       }
       GraftTools.replicate(src, dest, h1)
       // materialized inside the scope, as q54
-      dest.scan().localCheckpoint(true).orderBy("c_custkey")
+      materialized(s, dest.scan()).orderBy("c_custkey")
       } // withShufflePartitions
     }),
 
@@ -956,7 +971,7 @@ object Queries {
         if (!servedSubset(v2))
           throw new IllegalStateException(
             "a refreshed index must serve the V2 path on a dirty base")
-        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+        withShufflePartitions(s, 4) { materialized(s, v2) }
           .orderBy("c_custkey")
       } finally graft.plans.IndexRewrite.disable(s, idx.location)
     }),
@@ -1020,7 +1035,7 @@ object Queries {
         if (!servedSubset(v2))
           throw new IllegalStateException(
             "a refreshed index must serve the range on the V2 path of a dirty base")
-        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+        withShufflePartitions(s, 4) { materialized(s, v2) }
           .orderBy("c_custkey")
       } finally graft.plans.IndexRewrite.disable(s, idx.location)
     }),
@@ -1093,7 +1108,7 @@ object Queries {
         if (!servedSubset(v2))
           throw new IllegalStateException(
             "a refreshed composite index must serve the V2 path")
-        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+        withShufflePartitions(s, 4) { materialized(s, v2) }
           .orderBy("c_custkey")
       } finally graft.plans.IndexRewrite.disable(s, idx.location)
     }),
@@ -1152,7 +1167,7 @@ object Queries {
         if (!servedSubset(v2))
           throw new IllegalStateException(
             "a refreshed index must serve the top-k on the V2 path of a dirty base")
-        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+        withShufflePartitions(s, 4) { materialized(s, v2) }
           .orderBy(col("c_name").desc)
       } finally graft.plans.IndexRewrite.disable(s, idx.location)
     }),
@@ -1213,7 +1228,7 @@ object Queries {
         if (!servedSubset(v2))
           throw new IllegalStateException(
             "a refreshed functional index must serve the V2 path")
-        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+        withShufflePartitions(s, 4) { materialized(s, v2) }
           .orderBy("c_custkey")
       } finally graft.plans.IndexRewrite.disable(s, idx.location)
     }),
@@ -1271,7 +1286,7 @@ object Queries {
         if (!covering(v2))
           throw new IllegalStateException("a refreshed index must cover " +
             s"the V2 grouped count on a dirty base:\n${v2.queryExecution.optimizedPlan}")
-        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+        withShufflePartitions(s, 4) { materialized(s, v2) }
           .orderBy("c_mktsegment")
       } finally graft.plans.IndexRewrite.disable(s, idx.location)
     }),
@@ -1331,7 +1346,7 @@ object Queries {
             qIn.queryExecution.optimizedPlan + "\n" +
             qRange.queryExecution.optimizedPlan)
         withShufflePartitions(s, 4) {
-          qIn.union(qRange).select("tag", "n").localCheckpoint(true)
+          materialized(s, qIn.union(qRange).select("tag", "n"))
         }.orderBy("tag")
       } finally graft.plans.IndexRewrite.disable(s, idx.location)
     }),
@@ -1400,7 +1415,7 @@ object Queries {
         if (!covering(v2))
           throw new IllegalStateException(
             "a refreshed clustered index must cover the V2 path")
-        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+        withShufflePartitions(s, 4) { materialized(s, v2) }
           .orderBy("c_custkey")
       } finally graft.plans.IndexRewrite.disable(s, idx.location)
     }),
@@ -1477,7 +1492,7 @@ object Queries {
         if (!servedSubset(v2))
           throw new IllegalStateException("refreshed indexes must serve " +
             s"the union on the dirty base via V2:\n${v2.queryExecution.optimizedPlan}")
-        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+        withShufflePartitions(s, 4) { materialized(s, v2) }
           .orderBy("c_custkey")
       } finally {
         graft.plans.IndexRewrite.disable(s, ia.location)
@@ -1539,7 +1554,7 @@ object Queries {
         if (!servedSubset(v2))
           throw new IllegalStateException("a refreshed index must serve " +
             s"the filtered top-k via V2 on the dirty base:\n${v2.queryExecution.optimizedPlan}")
-        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+        withShufflePartitions(s, 4) { materialized(s, v2) }
           .orderBy("c_custkey")
       } finally graft.plans.IndexRewrite.disable(s, idx.location)
     }),
@@ -1599,7 +1614,7 @@ object Queries {
         if (!servedSubset(v2))
           throw new IllegalStateException("a refreshed index must serve " +
             s"the join via V2 on the dirty base:\n${v2.queryExecution.optimizedPlan}")
-        withShufflePartitions(s, 4) { v2.localCheckpoint(true) }
+        withShufflePartitions(s, 4) { materialized(s, v2) }
           .orderBy("c_custkey")
       } finally graft.plans.IndexRewrite.disable(s, idx.location)
     }),
@@ -1679,9 +1694,9 @@ object Queries {
           throw new IllegalStateException(
             "the global aggregate must re-aggregate the rollup")
         withShufflePartitions(s, 4) {
-          q.unionByName(vg.select(lit("__ALL__").as("o_orderpriority"),
-            col("n_rows"), col("sum_price"), col("max_key")))
-            .localCheckpoint(true) // materialize WHILE the rewrite serves
+          materialized(s, // materialize WHILE the rewrite serves
+            q.unionByName(vg.select(lit("__ALL__").as("o_orderpriority"),
+              col("n_rows"), col("sum_price"), col("max_key"))))
         } // house rule (see q21): gate money as round(CAST(d), 2), applied
           // AFTER the checkpoint so the served aggregate stays rewrite-shaped
           .withColumn("sum_price", round(col("sum_price").cast("double"), 2))
@@ -1734,7 +1749,7 @@ object Queries {
           "OPTIONS (buckets=8)")
         if (!servedSubset(q))
           throw new IllegalStateException("the re-created index must serve")
-        withShufflePartitions(s, 4) { q.localCheckpoint(true) }
+        withShufflePartitions(s, 4) { materialized(s, q) }
           .orderBy("c_custkey")
       } finally graft.plans.IndexRewrite.disable(s, idxLoc)
     }),
@@ -1809,9 +1824,9 @@ object Queries {
           throw new IllegalStateException(
             "the global avg must re-derive from the rollup")
         withShufflePartitions(s, 4) {
-          v2.unionByName(vg.select(lit("__ALL__").as("o_orderpriority"),
-            col("avg_cust"), col("n_cust")))
-            .localCheckpoint(true)
+          materialized(s,
+            v2.unionByName(vg.select(lit("__ALL__").as("o_orderpriority"),
+              col("avg_cust"), col("n_cust"))))
         }.orderBy("o_orderpriority")
       } finally graft.plans.RollupRewrite.disable(s, rollup.location)
     }),
@@ -1865,8 +1880,11 @@ object Queries {
       val ckpt = ckptLoc("graft-q63-ckpt-")
       // stream-stream joins run FOUR state stores per partition per batch;
       // at this key cardinality one partition minimizes the fixed per-batch
-      // store overhead that dominates a replay
-      try withShufflePartitions(s, 1) {
+      // store overhead that dominates a replay (dev A/B knob: the r16
+      // re-measure at 2/4 partitions confirmed 1 still wins — store
+      // create+commit overhead beats the 66k-row join's parallelism gain)
+      val q63p = sys.props.getOrElse("graft.q63.partitions", "1").toInt
+      try withShufflePartitions(s, q63p) {
         val st = s.readStream.option("graft.startingVersion", "1")
           .table(s"gq63.`${f.getName}`")
         val l = st.filter(pmod(col("event_id"), lit(2)) === 0)
@@ -2896,7 +2914,7 @@ object Queries {
           throw new IllegalStateException(
             "CBO must join the filtered dimension first; innermost join " +
               s"reads: ${inLeaves.mkString(", ")}")
-        q.localCheckpoint(true)
+        materialized(s, q)
       } finally {
         restore("spark.sql.cbo.enabled", cboPrev)
         restore("spark.sql.cbo.joinReorder.enabled", reorderPrev)

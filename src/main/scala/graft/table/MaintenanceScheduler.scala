@@ -46,6 +46,7 @@ object MaintenanceScheduler {
       val analyzeEveryVersions: Option[Long] = None,
       val auto: Boolean = false) {
     private[MaintenanceScheduler] var future: ScheduledFuture[_] = _
+    @volatile private[MaintenanceScheduler] var running = false
     val ticks = new AtomicLong(0)
     val actions = new AtomicLong(0)
     @volatile var lastError: Option[String] = None
@@ -187,12 +188,25 @@ object MaintenanceScheduler {
 
   /** Stop scheduling `location`; returns whether it was scheduled. An
     * in-flight tick finishes (cancel(false)) — interrupting a Spark job
-    * mid-commit buys nothing, the commit guard already owns atomicity. */
-  def unschedule(location: String): Boolean = registerLock.synchronized {
-    Option(entries.remove(location)) match {
-      case Some(e) => e.future.cancel(false); true
-      case None => false
+    * mid-commit buys nothing, the commit guard already owns atomicity —
+    * and unschedule WAITS (bounded) for it to drain: callers follow the
+    * quiesce-then-sweep sequence (`unschedule(); fsckRepair(grace = 0)`),
+    * and a straggling tick's compaction mid-commit is exactly the live
+    * writer a grace-0 sweep must never race (FuzzSpec scheduler seed 19
+    * caught the window: the sweep reclaimed a tick's just-written fileset
+    * an instant before its version published — missing-file manifest).
+    * The wait happens OUTSIDE registerLock (the tick's self-clean path
+    * takes it) and is bounded so a wedged job can never hang a caller. */
+  def unschedule(location: String): Boolean = {
+    val removed = registerLock.synchronized {
+      Option(entries.remove(location)).map { e => e.future.cancel(false); e }
     }
+    removed.foreach { e =>
+      val deadline = System.currentTimeMillis() + 30_000
+      while (e.running && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+    }
+    removed.isDefined
   }
 
   def status(location: String): Option[Entry] = Option(entries.get(location))
@@ -206,6 +220,11 @@ object MaintenanceScheduler {
     * drive it synchronously without the timer. Returns the number of
     * maintenance actions that ran. */
   def tick(spark: SparkSession, e: Entry): Int = {
+    e.running = true
+    try tickBody(spark, e) finally e.running = false
+  }
+
+  private def tickBody(spark: SparkSession, e: Entry): Int = {
     // self-clean: a dropped/trashed table or a stopped session can never
     // act again — remove the entry instead of erroring every interval
     // (auto-scheduling registers every created table, so a long session

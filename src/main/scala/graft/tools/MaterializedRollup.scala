@@ -147,9 +147,12 @@ object MaterializedRollup {
     // distinct touched group keys — tiny in steady state (bounded by the
     // mutation count, then by group cardinality). touchedKeys reads only
     // the delta files in range: no per-key fold, no v1 snapshot scan —
-    // ghost/superseded keys recompute to the same result below.
+    // ghost/superseded keys recompute to the same result below. The
+    // common small window drives everything from the ONE bounded collect;
+    // only the over-bound fallback (a second pass over the CDC subtree)
+    // pays a persist.
     val touched = src.touchedKeys(v0, v1, groupCols)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var persisted: Option[DataFrame] = None
     try {
       val rows = touched.limit(maxPruneKeys + 1).collect()
       if (rows.isEmpty) {
@@ -187,7 +190,10 @@ object MaterializedRollup {
           if (assertPrune) throw new IllegalStateException(
             s"rollup refresh fell back to the semi-join path " +
               s"(> $maxPruneKeys touched groups)")
-          (src.scan(), touched.toDF(groupCols: _*))
+          val p = touched.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persisted = Some(p)
+          (src.scan(), p.toDF(groupCols: _*))
         }
       val freshRaw = grouped(base.join(keys, groupCols, "left_semi"),
         groupCols, aggs)
@@ -203,6 +209,6 @@ object MaterializedRollup {
       RefreshCommit(rollup, fresh, stale,
         watermark = Map(SrcVersionKey -> Some(v1.toString)))
       true
-    } finally touched.unpersist(blocking = false)
+    } finally persisted.foreach(_.unpersist(blocking = false))
   }
 }

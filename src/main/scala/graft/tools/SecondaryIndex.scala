@@ -676,17 +676,36 @@ object SecondaryIndex {
         .filter(col(ExprCol).isNotNull)
       case None => entries(rows, colNames, pkCols)
     }
-    val changed = (exprCanon match {
+    val changed0 = exprCanon match {
       // the expression may reference any source column — keep them all
       // (the changed set is O(changed) small); plain indexes project narrow
       case Some(_) => src.changesSince(v0, v1)
       case None => src.changesSince(v0, v1)
         .select((colNames ++ pkCols).distinct.map(col) :+
           col(GraftTable.DeletedCol): _*)
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    // ONE bounded probe collects the changed ROWS themselves (changesSince
+    // emits latest-per-key, so row count == key count): the common small
+    // refresh window then derives keys and fresh entries from a LOCAL
+    // relation — no persist, no distributed distinct, no second pass over
+    // the CDC subtree — and the refresh's distributed work shrinks to the
+    // before-image scan plus the commit. An over-bound window keeps the
+    // distributed derivation (no driver risk at backfill sizes).
+    val changedRows = changed0.limit(maxPruneKeys + 1).collect()
+    val small = changedRows.length <= maxPruneKeys
+    val changed =
+      if (small) spark.createDataFrame(
+        spark.sparkContext.parallelize(changedRows.toSeq, 1),
+        StructType(changed0.schema.fields.map(_.copy(nullable = true))))
+      else changed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val keys = changed.select(pkCols.map(col): _*).distinct()
-      val rows = keys.limit(maxPruneKeys + 1).collect()
+      val rows =
+        if (small) {
+          val idx = pkCols.map(changed0.schema.fieldIndex)
+          changedRows.map(r => org.apache.spark.sql.Row.fromSeq(
+            idx.map(r.get))).distinct
+        } else keys.limit(maxPruneKeys + 1).collect()
       if (rows.isEmpty) {
         // version moved with no logical row change (e.g. a compaction):
         // just advance the watermark
@@ -739,6 +758,6 @@ object SecondaryIndex {
       RefreshCommit(index, fresh, stale,
         watermark = Map(SrcVersionKey -> Some(v1.toString)))
       true
-    } finally changed.unpersist(blocking = false)
+    } finally if (!small) changed.unpersist(blocking = false)
   }
 }

@@ -328,12 +328,27 @@ object VectorIndex {
     val idCol = p(IdColKey)
     val vecCol = p(VecColKey)
     val cents = centroids(spark, index)
-    val changed = src.changesSince(v0, v1)
+    val changed0 = src.changesSince(v0, v1)
       .select(col(idCol), col(vecCol), col(GraftTable.DeletedCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE bounded probe collects the changed rows (latest-per-key, so row
+    // count == id count); the common small window then derives ids and the
+    // fresh assignment from a LOCAL relation — no persist, no distributed
+    // distinct, no second CDC pass (see SecondaryIndex.refresh). Over-bound
+    // windows keep the distributed derivation.
+    val changedRows = changed0.limit(maxPruneKeys + 1).collect()
+    val small = changedRows.length <= maxPruneKeys
+    val changed =
+      if (small) spark.createDataFrame(
+        spark.sparkContext.parallelize(changedRows.toSeq, 1),
+        StructType(changed0.schema.fields.map(_.copy(nullable = true))))
+      else changed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val ids = changed.select(col(idCol)).distinct()
-      val rows = ids.limit(maxPruneKeys + 1).collect()
+      val rows =
+        if (small) {
+          val i = changed0.schema.fieldIndex(idCol)
+          changedRows.map(r => org.apache.spark.sql.Row(r.get(i))).distinct
+        } else ids.limit(maxPruneKeys + 1).collect()
       if (rows.isEmpty) {
         // version moved with no logical row change (e.g. a compaction):
         // just advance the watermark
@@ -382,6 +397,6 @@ object VectorIndex {
       RefreshCommit(index, fresh, stale,
         watermark = Map(SrcVersionKey -> Some(v1.toString)))
       true
-    } finally changed.unpersist(blocking = false)
+    } finally if (!small) changed.unpersist(blocking = false)
   }
 }
