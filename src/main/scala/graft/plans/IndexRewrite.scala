@@ -755,10 +755,17 @@ object IndexRewrite extends Rule[LogicalPlan] {
         ServingStats.stale(spark, indexLoc); return None
       }
       val keyAlias = Alias(dimExpr, "__graft_join_key")()
-      val vals = org.apache.spark.sql.GraftSqlBridge
+      val dimKeys = org.apache.spark.sql.GraftSqlBridge
         .ofRows(spark, Project(Seq(keyAlias), dim))
         .filter(col("__graft_join_key").isNotNull)
-        .distinct().limit(maxKeys + 1).collect().map(_.get(0))
+        .distinct().limit(maxKeys + 1)
+      // plan-estimated-small dim → one static-planned probe job (the
+      // output is bounded either way; only the dim's own scan size decides
+      // whether AQE's runtime coalescing is worth its per-stage jobs)
+      val vals = GraftTable.withStaticPlan(spark,
+        GraftTable.planBytes(dimKeys) <= GraftTable.staticPlanMaxBytes) {
+        dimKeys.collect()
+      }.map(_.get(0))
       // over the bound: the dim is key-rich enough that this IS a join,
       // not a point-read fan — keep the scan plan. Empty: the join is
       // empty anyway; the scan plan handles it without a probe.

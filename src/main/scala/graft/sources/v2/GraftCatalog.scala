@@ -1989,10 +1989,15 @@ class GraftV2Scan(meta: TableMeta, requiredSchema: StructType,
       val routeDerivable = routeRefCols.subsetOf(m.keyCols.toSet)
       val dirty = scala.collection.mutable.Set[String]()
       if (keepTail.nonEmpty) { // a fully-flushed table plans with NO driver job
-        val sel = tbl.latestDeltas(m, keepTail)
-          .select(internalSchema.fieldNames.toSeq.map(col) ++
-            Seq(col(GraftTable.OpCol), routeCol): _*)
-        val rows = sel.queryExecution.toRdd.map(_.copy()).collect()
+        // bounded by the broadcast byte check above → one static-planned
+        // collect (the latest-fold's exchange is delta-byte-sized; AQE
+        // would split this plan-time job into one per stage)
+        val rows = GraftTable.withStaticPlan(spark, tiny = true) {
+          val sel = tbl.latestDeltas(m, keepTail)
+            .select(internalSchema.fieldNames.toSeq.map(col) ++
+              Seq(col(GraftTable.OpCol), routeCol): _*)
+          sel.queryExecution.toRdd.map(_.copy()).collect()
+        }
         rows.foreach { r =>
           dead.add(MorOverlay.keyOf(r, keyIdx, types))
           val r0 = if (r.isNullAt(routeIdx)) null

@@ -227,12 +227,23 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     * reader, sources/v2/MorOverlay.scala). */
   private[graft] def latestDeltas(m: TableMeta, deltaFiles: Seq[DataFileMeta]): DataFrame = {
     val deltas = dropMaskDelta(m, readFileGroup(m, deltaFiles, delta = true))
+    // size the fold's exchange by the delta bytes actually read (same
+    // derivation as changesSince): the window otherwise shuffles into the
+    // session constant — wasteful width for the usual small tail whether
+    // or not AQE is on to re-coalesce it. The explicit hash repartition
+    // satisfies the window's required distribution, so the exchange COUNT
+    // is unchanged.
+    val foldParts = math.max(1L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
+      (GraftTable.deltaBytes(deltaFiles) + GraftTable.CdcFoldTargetBytes - 1) /
+        GraftTable.CdcFoldTargetBytes)).toInt
     // OpCol breaks same-seq ties deterministically ("U" > "D": the upsert
     // wins) — reachable only when one commit carries both a tombstone and
     // an upsert for a key (SQL MERGE deleting key A while inserting A)
     val w = Window.partitionBy(m.keyCols.map(col): _*)
       .orderBy(col(SeqCol).desc, col(OpCol).desc)
-    deltas.withColumn(RnCol, row_number().over(w))
+    deltas.repartition(foldParts, m.keyCols.map(col): _*)
+      .withColumn(RnCol, row_number().over(w))
       .filter(col(RnCol) === 1).drop(RnCol)
   }
 
@@ -329,12 +340,30 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
    * mutation); a row inserted and deleted entirely within the window is NOT
    * (ghost dedup via an existence check against v1).
    */
+  /** True when `(v1, v2]` is a pure delta tail — the [[changesSince]] /
+    * [[touchedKeys]] fast path. False (compaction, a minor fold, or a
+    * range drop in range) forces the two-snapshot logical diff. */
+  private def cdcFastPath(m1: TableMeta, m2: TableMeta): Boolean =
+    m1.baseFiles.map(_.path).toSet == m2.baseFiles.map(_.path).toSet &&
+      m1.deltaFiles.map(_.path).toSet.subsetOf(m2.deltaFiles.map(_.path).toSet) &&
+      m1.rangeDrops == m2.rangeDrops
+
+  /** Manifest-derived size in bytes of the CDC window `(v1, v2]` when it is
+    * a pure delta tail; None when the window needs the two-snapshot diff —
+    * callers sizing work from this must then assume snapshot-scale. Pure
+    * driver-side metadata (two manifest reads + file stats). */
+  def cdcWindowBytes(v1: Long, v2: Long): Option[Long] = {
+    val m1 = readVersion(v1)
+    val m2 = readVersion(v2)
+    if (!cdcFastPath(m1, m2)) None
+    else Some(m2.deltaFiles.filter(f => f.seq > v1 && f.seq <= v2)
+      .map(f => GraftTable.fileSize(f.path)).sum)
+  }
+
   def changesSince(v1: Long, v2: Long): DataFrame = {
     val m1 = readVersion(v1)
     val m2 = readVersion(v2)
-    if (m1.baseFiles.map(_.path).toSet != m2.baseFiles.map(_.path).toSet ||
-        !m1.deltaFiles.map(_.path).toSet.subsetOf(m2.deltaFiles.map(_.path).toSet) ||
-        m1.rangeDrops != m2.rangeDrops)
+    if (!cdcFastPath(m1, m2))
       // compaction, a minor delta fold (v1's delta files no longer all
       // live — their per-commit history was collapsed), or a
       // range-partition drop in range → logical diff (a drop is a mass
@@ -432,9 +461,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     require(cols.nonEmpty && cols.forall(keySet.contains),
       s"touchedKeys serves key columns only (asked ${cols.mkString(",")}; " +
         s"keys ${m2.keyCols.mkString(",")})")
-    if (m1.baseFiles.map(_.path).toSet != m2.baseFiles.map(_.path).toSet ||
-        !m1.deltaFiles.map(_.path).toSet.subsetOf(m2.deltaFiles.map(_.path).toSet) ||
-        m1.rangeDrops != m2.rangeDrops)
+    if (!cdcFastPath(m1, m2))
       return changes(v1, v2).select(cols.map(col): _*).distinct()
     val inRange = m2.deltaFiles.filter(f => f.seq > v1 && f.seq <= v2)
     if (inRange.isEmpty)
@@ -767,7 +794,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     * checks, so the apply trusts them — deletes never require presence,
     * upserts never re-check immutables. */
   def applyChanges(changes: DataFrame,
-      propsUpdate: Map[String, Option[String]] = Map.empty): Unit = withCommitRetry {
+      propsUpdate: Map[String, Option[String]] = Map.empty,
+      sizeHintBytes: Option[Long] = None): Unit = withCommitRetry {
     val m = meta
     require(changes.columns.contains(DeletedCol),
       s"applyChanges expects the CDC shape (columns..., $DeletedCol)")
@@ -796,7 +824,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // no crash window can leave the table marked behind (or ahead of)
     // what its rows actually reflect
     commitDelta(m, ups.unionByName(tombstones), "apply_changes",
-      guardDupKeys = true, propsUpdate = propsUpdate)
+      guardDupKeys = true, propsUpdate = propsUpdate,
+      sizeHintBytes = sizeHintBytes)
   }
 
   /** DELETE WHERE — resolves matching PKs at current snapshot then deletes. */
@@ -1165,7 +1194,16 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       if (!tailOnly) (Nil, m.deltaFiles)
       else m.deltaFiles.partition(f => f.bucket.isDefined || f.rangeKey.isDefined)
     if (fold.size <= 1) return
+    // fold-width from the manifest bytes actually folded (same derivation
+    // as latestDeltas); the explicit hash repartition satisfies the
+    // window's required distribution — exchange count unchanged
+    val foldBytes = GraftTable.deltaBytes(fold)
+    val foldParts = math.max(1L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
+      (foldBytes + GraftTable.CdcFoldTargetBytes - 1) /
+        GraftTable.CdcFoldTargetBytes)).toInt
     val deltas = dropMaskDelta(m, readFileGroup(m, fold, delta = true))
+      .repartition(foldParts, m.keyCols.map(col): _*)
     val w = Window.partitionBy(m.keyCols.map(col): _*)
       .orderBy(col(SeqCol).desc, col(OpCol).desc) // same tie-break as latestDeltas
     val latest = deltas.withColumn(RnCol, row_number().over(w))
@@ -1189,6 +1227,8 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         GraftTable.rangeKeyExprM(m, r, n => col(m.column(n).physName)))
       partCols += RangeCol
     }
+    GraftTable.withStaticPlan(spark,
+      foldBytes <= GraftTable.staticPlanMaxBytes) {
     withMicrosTimestamps {
       if (partCols.isEmpty)
         projected.repartition(DeltaWritePartitions)
@@ -1215,6 +1255,7 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
           .write.mode("overwrite").parquet(Paths.get(dir, "tomb").toString)
       }
     }
+    } // withStaticPlan
     // the merged fileset's manifest seq is the HIGHEST folded commit — CDC
     // range selection (changesSince file filter) stays conservative and the
     // row-level _graft_seq filter inside it restores exactness
@@ -1248,7 +1289,15 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     val m = meta
     val tail = m.deltaFiles.filter(f => f.bucket.isEmpty && f.rangeKey.isEmpty)
     if (tail.size < math.max(2, minFiles)) return false
+    // the streaming tail is small — collapse to one file per ~128 MB, and
+    // size the fold window's exchange by the same bytes
+    val tailBytes = tail.map(f => GraftTable.fileSize(f.path)).sum
+    val foldParts = math.max(1L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
+      (tailBytes + GraftTable.CdcFoldTargetBytes - 1) /
+        GraftTable.CdcFoldTargetBytes)).toInt
     val deltas = dropMaskDelta(m, readFileGroup(m, tail, delta = true))
+      .repartition(foldParts, m.keyCols.map(col): _*)
     val w = Window.partitionBy(m.keyCols.map(col): _*)
       .orderBy(col(SeqCol).desc, col(OpCol).desc) // latestDeltas tie-break
     val latest = deltas.withColumn(RnCol, row_number().over(w))
@@ -1259,14 +1308,15 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     val physCols = m.columns.map(c => col(c.name).cast(c.dataType).as(c.physName)) ++
       Seq(col(OpCol), col(SeqCol))
     val keysPhys = m.columns.filter(_.isKey).map(c => col(c.physName))
-    // the streaming tail is small — collapse to one file per ~128 MB
-    val tailBytes = tail.map(f => GraftTable.fileSize(f.path)).sum
     val parts = math.max(1, math.min(DeltaWritePartitions,
       (tailBytes / (128L * 1024 * 1024)).toInt))
-    withMicrosTimestamps {
-      latest.select(physCols: _*).repartition(parts)
-        .sortWithinPartitions(keysPhys: _*)
-        .write.mode("overwrite").parquet(dir)
+    GraftTable.withStaticPlan(spark,
+      tailBytes <= GraftTable.staticPlanMaxBytes) {
+      withMicrosTimestamps {
+        latest.select(physCols: _*).repartition(parts)
+          .sortWithinPartitions(keysPhys: _*)
+          .write.mode("overwrite").parquet(dir)
+      }
     }
     val maxSeq = tail.map(_.seq).max
     val files = deltaFileMetas(m, GraftTable.listParquet(dir), maxSeq)
@@ -1508,7 +1558,10 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       else None
     val newBase = writeBaseWith(m, live, v,
       clusterColsOf(m).map(zc =>
-        buildClusterSpecFrom(m, zc, perTabletFiles, live, tabletRows)))
+        buildClusterSpecFrom(m, zc, perTabletFiles, live, tabletRows)),
+      // tablet bytes from the manifest: the fold reads exactly these files
+      sizeHintBytes = Some((inTablet ++ touch)
+        .map(f => GraftTable.fileSize(f.path)).sum))
     val restDir = Paths.get(location, "data",
       s"c${v}_deltamerge_${java.util.UUID.randomUUID().toString.take(8)}").toString
     try {
@@ -1729,7 +1782,11 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     // the write must see the clusterBy being COMMITTED (the first
     // cluster() rewrite happens before the ids land in the manifest) so
     // boundsColumns prioritizes the cluster columns inside the zone-map cap
-    val files = writeBaseWith(m.copy(clusterBy = newClusterBy), snapshot, v, spec)
+    val files = writeBaseWith(m.copy(clusterBy = newClusterBy), snapshot, v, spec,
+      // snapshot bytes from the manifest — never run the optimizer over
+      // the MOR fold just to size the write
+      sizeHintBytes = Some((m.baseFiles ++ m.deltaFiles)
+        .map(f => GraftTable.fileSize(f.path)).sum))
     // the rewritten base has no dropped-range rows → the masks retire
     // (uncovered ranges stay uncovered for writes)
     try TableMeta.write(m.copy(version = v, timestampMs = now(), operation = op,
@@ -2197,7 +2254,26 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
 
   private def commitDelta(m: TableMeta, rows: DataFrame, op: String,
       guardDupKeys: Boolean = false,
-      propsUpdate: Map[String, Option[String]] = Map.empty): Unit = {
+      propsUpdate: Map[String, Option[String]] = Map.empty,
+      sizeHintBytes: Option[Long] = None): Unit =
+    // a known-tiny batch (point mutations, maintenance refreshes,
+    // streaming micro-batches) commits as ONE static-planned job with a
+    // byte-sized guard-window exchange; big batches keep AQE. The size
+    // comes from the caller's manifest-derived hint when it has one
+    // (refresh commits join pruned base reads, whose optimizer estimate
+    // is garbage-large), else from the plan estimate.
+    {
+      val estBytes = sizeHintBytes.map(BigInt(_))
+        .getOrElse(GraftTable.planBytes(rows))
+      GraftTable.withStaticPlan(spark,
+        estBytes <= GraftTable.staticPlanMaxBytes) {
+        commitDeltaImpl(m, rows, op, guardDupKeys, propsUpdate, estBytes)
+      }
+    }
+
+  private def commitDeltaImpl(m: TableMeta, rows: DataFrame, op: String,
+      guardDupKeys: Boolean,
+      propsUpdate: Map[String, Option[String]], estBytes: BigInt): Unit = {
     requireCovered(m, rows)
     requireVarcharFits(m, rows)
     val v = m.version + 1
@@ -2240,8 +2316,15 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
           "unordered; use upsert(df, lastWinsBy = <orderCol>) for defined " +
           "last-wins")
     val out = if (guardDupKeys && !keysAllFoldable) {
+      // size the guard window's exchange by the batch's estimated bytes —
+      // the same derivation as the CDC fold; AQE previously re-coalesced
+      // this width at runtime, the explicit width is right either way
+      val guardParts = ((estBytes + GraftTable.CdcFoldTargetBytes - 1) /
+        GraftTable.CdcFoldTargetBytes)
+        .min(BigInt(spark.conf.get("spark.sql.shuffle.partitions").toInt))
+        .max(BigInt(1)).toInt
       val w = Window.partitionBy(m.keyCols.map(col): _*)
-      out0.withColumn(SeqCol,
+      out0.repartition(guardParts, m.keyCols.map(col): _*).withColumn(SeqCol,
         when(count(lit(1)).over(w) > 1,
           raise_error(concat(
             lit(s"duplicate key within one $op batch on ${m.name}: ("),
@@ -2368,7 +2451,26 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     writeBaseWith(m, df, v, None)
 
   private[table] def writeBaseWith(m: TableMeta, df: DataFrame, v: Long,
-      clusterSpec: Option[GraftTable.ZCluster]): Seq[DataFileMeta] = {
+      clusterSpec: Option[GraftTable.ZCluster],
+      sizeHintBytes: Option[Long] = None): Seq[DataFileMeta] =
+    // small loads/rewrites (scratch tables, small-table compactions) write
+    // in one static-planned job; the exchanges here are all explicit
+    // (bucket/range repartition, z-range, salt), so AQE adds only
+    // per-stage jobs. Big loads keep AQE (runtime coalescing matters).
+    // Compaction callers pass manifest-derived bytes — running the
+    // optimizer over a MOR-fold plan just to estimate would cost more
+    // than it saves and estimate garbage anyway.
+    {
+      val estBytes = sizeHintBytes.map(BigInt(_))
+        .getOrElse(GraftTable.planBytes(df))
+      GraftTable.withStaticPlan(spark,
+        estBytes <= GraftTable.staticPlanMaxBytes) {
+        writeBaseWithImpl(m, df, v, clusterSpec, estBytes)
+      }
+    }
+
+  private def writeBaseWithImpl(m: TableMeta, df: DataFrame, v: Long,
+      clusterSpec: Option[GraftTable.ZCluster], estBytes: BigInt): Seq[DataFileMeta] = {
     // unique per attempt — same clobber-avoidance as commitDelta (racing
     // compactions must not share a data path)
     val dir = Paths.get(location, "data",
@@ -2421,6 +2523,10 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
         if (partCols.nonEmpty) ranged.write.partitionBy(partCols.toSeq: _*)
         else ranged.write
       case None if partCols.nonEmpty =>
+        // width deliberately unsized: one task per tablet coordinate is
+        // the write parallelism that matters (each tablet's rows hash to
+        // ONE task regardless), and a bytes-derived narrow width here
+        // would SERIALIZE the per-tablet file writes into few tasks
         val repartitioned =
           if (filesPerTablet > 1)
             out.repartition(nShuffle,
@@ -2432,7 +2538,14 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       case None if filesPerTablet > 1 =>
         out.repartition(nShuffle, pmod(hash(keysPhys: _*), lit(filesPerTablet)))
           .sortWithinPartitions(keysPhys: _*).write
-      case None => out.sort(keysPhys: _*).write
+      case None =>
+        // global PK sort with a bytes-derived range-partition width — a
+        // small unpartitioned load writes one PK-sorted file instead of a
+        // session-constant-wide range exchange's worth
+        val sortParts = ((estBytes + GraftTable.CdcFoldTargetBytes - 1) /
+          GraftTable.CdcFoldTargetBytes).min(BigInt(nShuffle)).max(BigInt(1)).toInt
+        out.repartitionByRange(sortParts, keysPhys: _*)
+          .sortWithinPartitions(keysPhys: _*).write
     }
     // Parquet bloom filters on key columns: the base-file analog of the
     // reference's per-rowset bloom files for PK presence checks/point
@@ -2613,6 +2726,48 @@ object GraftTable {
     * instead of inheriting the session constant — a one-commit CDC window
     * folds in one task, a backfill window still spreads cluster-wide. */
   val CdcFoldTargetBytes: Long = 64L * 1024 * 1024
+
+  /** Input-bytes ceiling under which an engine-internal operation plans
+    * STATICALLY (adaptive execution off for that one query) — override with
+    * `graft.staticPlan.maxBytes`, 0 disables. AQE materializes every
+    * exchange as its own job plus a driver replan; on the engine's
+    * maintenance/commit paths every exchange is already explicitly sized
+    * from manifest bytes and every small join side explicitly
+    * broadcast/local, so for a manifest-known-tiny input those per-stage
+    * round-trips are the dominant cost of the whole operation (a 1-row
+    * index refresh ran 11 jobs) with nothing left for AQE to decide. The
+    * gate is the operation's INPUT BYTES, never a core count: a 100 TB
+    * table's 1-row maintenance tick plans statically, a backfill keeps
+    * AQE. */
+  def staticPlanMaxBytes: Long =
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption("graft.staticPlan.maxBytes").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+
+  /** Runs `body` with adaptive execution OFF when `tiny` (see
+    * [[staticPlanMaxBytes]]); set-and-restore on the session conf, the
+    * same scoping as `withMicrosTimestamps`. Queries PLANNED inside `body`
+    * get one job per action instead of one per query stage. */
+  private[graft] def withStaticPlan[A](spark: org.apache.spark.sql.SparkSession,
+      tiny: Boolean)(body: => A): A = {
+    if (!tiny || staticPlanMaxBytes <= 0) return body
+    val k = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(k)
+    if (prev.contains("false")) return body
+    spark.conf.set(k, "false")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  /** Optimizer size estimate of a frame's input (scan estimates are file
+    * bytes post-prune; LocalRelations are exact). Plans whose estimate is
+    * unavailable or inflated (windows, joins) return a huge number — the
+    * conservative direction for a "is this tiny?" gate. */
+  private[graft] def planBytes(df: org.apache.spark.sql.DataFrame): BigInt =
+    try df.queryExecution.optimizedPlan.stats.sizeInBytes
+    catch { case _: Exception => BigInt(Long.MaxValue) }
 
   private[table] def now(): Long = System.currentTimeMillis()
 

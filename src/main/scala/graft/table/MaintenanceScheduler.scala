@@ -46,7 +46,16 @@ object MaintenanceScheduler {
       val analyzeEveryVersions: Option[Long] = None,
       val auto: Boolean = false) {
     private[MaintenanceScheduler] var future: ScheduledFuture[_] = _
-    @volatile private[MaintenanceScheduler] var running = false
+    // held for the whole duration of a tick; unschedule() acquires it to
+    // drain an in-flight tick — a volatile "running" flag polled with
+    // sleep left two windows (a tick dequeued by the executor but not yet
+    // flagged, and a legitimately-slow tick outliving the bounded wait)
+    private[MaintenanceScheduler] val tickLock =
+      new java.util.concurrent.locks.ReentrantLock()
+    // set under registerLock by unschedule(): a timer tick that dequeued
+    // BEFORE the cancel but acquires tickLock AFTER the drain must not
+    // start work — the caller has already moved on to its grace-0 sweep
+    @volatile private[MaintenanceScheduler] var cancelled = false
     val ticks = new AtomicLong(0)
     val actions = new AtomicLong(0)
     @volatile var lastError: Option[String] = None
@@ -158,10 +167,19 @@ object MaintenanceScheduler {
   /** Unschedule every AUTO-registered entry; explicit schedules survive.
     * Measurement harnesses (Bench) isolate background daemons between
     * timed runs the same way they isolate caches — per-run scratch tables
-    * auto-register and would otherwise tick into later measurements. */
-  def clearAuto(): Int = registerLock.synchronized {
+    * auto-register and would otherwise tick into later measurements.
+    * The snapshot is taken under registerLock but each drain runs OUTSIDE
+    * it (a tick's self-clean path takes registerLock while holding its
+    * tick lock — draining under registerLock would deadlock against it);
+    * identity-guarded removal keeps the never-clobber rule: an explicit
+    * schedule() replacing an auto entry between snapshot and removal
+    * survives. */
+  def clearAuto(): Int = {
     import scala.jdk.CollectionConverters._
-    entries.asScala.filter(_._2.auto).keys.toSeq.count(unschedule)
+    val autos = registerLock.synchronized {
+      entries.asScala.filter(_._2.auto).toSeq
+    }
+    autos.count { case (loc, e) => unscheduleEntry(loc, e) }
   }
 
   // registration lock: the future must exist before the entry is visible,
@@ -180,7 +198,14 @@ object MaintenanceScheduler {
       require(e.historyRetentionMs.forall(_ >= 0),
         "historyRetentionMs must be non-negative")
       e.future = timer.scheduleWithFixedDelay(new Runnable {
-        override def run(): Unit = tick(spark, e)
+        override def run(): Unit = {
+          // cancelled-check UNDER the tick lock: a tick dequeued before
+          // unschedule's cancel must either complete before the drain
+          // returns (it holds the lock) or never start (it sees cancelled)
+          e.tickLock.lock()
+          try { if (!e.cancelled) tickBody(spark, e) }
+          finally e.tickLock.unlock()
+        }
       }, e.intervalMs, e.intervalMs, TimeUnit.MILLISECONDS)
       Option(entries.put(e.location, e)).foreach(_.future.cancel(false))
       e
@@ -199,15 +224,42 @@ object MaintenanceScheduler {
     * takes it) and is bounded so a wedged job can never hang a caller. */
   def unschedule(location: String): Boolean = {
     val removed = registerLock.synchronized {
-      Option(entries.remove(location)).map { e => e.future.cancel(false); e }
+      Option(entries.remove(location)).map { e =>
+        e.cancelled = true; e.future.cancel(false); e
+      }
     }
-    removed.foreach { e =>
-      val deadline = System.currentTimeMillis() + 30_000
-      while (e.running && System.currentTimeMillis() < deadline)
-        Thread.sleep(10)
-    }
+    removed.foreach(drain)
     removed.isDefined
   }
+
+  /** Identity-guarded unschedule: removes `location` only while it still
+    * maps to `expect` — [[clearAuto]]'s race guard. */
+  private def unscheduleEntry(location: String, expect: Entry): Boolean = {
+    val removed = registerLock.synchronized {
+      if (entries.get(location) eq expect) {
+        entries.remove(location)
+        expect.cancelled = true
+        expect.future.cancel(false)
+        true
+      } else false
+    }
+    if (removed) drain(expect)
+    removed
+  }
+
+  /** Waits (bounded) for an in-flight tick by acquiring its lock — the
+    * tick either completed before this returns or will see `cancelled`
+    * and never start. The bound only guards against a wedged Spark job;
+    * hitting it is logged loudly because the caller's quiesce-then-sweep
+    * contract is then NOT satisfied. */
+  private def drain(e: Entry): Unit =
+    try {
+      if (e.tickLock.tryLock(120, TimeUnit.SECONDS)) e.tickLock.unlock()
+      else System.err.println(
+        s"[graft] WARN unschedule(${e.location}): in-flight maintenance " +
+          "tick did not drain within 120s — a following grace-0 sweep may " +
+          "race its commit")
+    } catch { case _: InterruptedException => Thread.currentThread().interrupt() }
 
   def status(location: String): Option[Entry] = Option(entries.get(location))
 
@@ -220,8 +272,11 @@ object MaintenanceScheduler {
     * drive it synchronously without the timer. Returns the number of
     * maintenance actions that ran. */
   def tick(spark: SparkSession, e: Entry): Int = {
-    e.running = true
-    try tickBody(spark, e) finally e.running = false
+    // same lock as the timer path, so a direct tick in flight also drains
+    // under unschedule(); no cancelled-check — a synchronous caller asked
+    // for exactly this work unit
+    e.tickLock.lock()
+    try tickBody(spark, e) finally e.tickLock.unlock()
   }
 
   private def tickBody(spark: SparkSession, e: Entry): Int = {

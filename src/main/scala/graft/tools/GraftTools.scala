@@ -134,8 +134,14 @@ object GraftTools {
 
   /** Full backup: snapshot export to plain parquet (our storage IS parquet,
     * so backup = materialized snapshot; E3). */
-  def backup(table: GraftTable, outPath: String, version: Option[Long] = None): Unit =
-    table.scan(version).write.mode("overwrite").parquet(outPath)
+  def backup(table: GraftTable, outPath: String, version: Option[Long] = None): Unit = {
+    val snap = table.scan(version)
+    // small snapshot → one static-planned export job; big ones keep AQE
+    GraftTable.withStaticPlan(table.spark,
+      GraftTable.planBytes(snap) <= GraftTable.staticPlanMaxBytes) {
+      snap.write.mode("overwrite").parquet(outPath)
+    }
+  }
 
   /**
    * Incremental backup (E3 — the reference exports diff-scan rows with a
@@ -177,10 +183,17 @@ object GraftTools {
     // internally when a compaction separates the versions). It may emit an
     // upsert whose value never changed — a mutation the physical diff saw —
     // which replays idempotently, so the chain's end state is identical.
-    table.changesSince(fromVersion, head)
-      .withColumn("_action", when(col("_deleted"), "DELETE").otherwise("UPSERT"))
-      .drop("_deleted")
-      .write.mode("overwrite").parquet(outPath)
+    // a manifest-known-tiny window exports under ONE static plan (the CDC
+    // fold exchange is delta-byte-sized; AQE only splits the export into
+    // per-stage jobs); snapshot-diff or backfill windows keep AQE
+    GraftTable.withStaticPlan(table.spark,
+      table.cdcWindowBytes(fromVersion, head)
+        .exists(_ <= GraftTable.staticPlanMaxBytes)) {
+      table.changesSince(fromVersion, head)
+        .withColumn("_action", when(col("_deleted"), "DELETE").otherwise("UPSERT"))
+        .drop("_deleted")
+        .write.mode("overwrite").parquet(outPath)
+    }
     head
   }
 
@@ -226,6 +239,18 @@ object GraftTools {
     val withSchemas = incrementPaths.zipWithIndex
       .flatMap { case (p, i) => incSchema(p).map(sc => (p, i, sc)) }
     if (withSchemas.isEmpty) return t // every increment was empty
+    // total on-disk increment bytes, driver-side: a small chain folds and
+    // applies under ONE static plan per action (the fold window's exchange
+    // is sized below; AQE only splits the replay into per-stage jobs)
+    val incBytes = withSchemas.map { case (p, _, _) =>
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.list(
+        java.nio.file.Paths.get(p))) { s =>
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(f => try java.nio.file.Files.size(f) catch { case _: Exception => 0L })
+          .sum
+      }
+    }.sum
     val finalSchema = withSchemas.last._3
     val tagged = withSchemas.map { case (p, i, sc) =>
       spark.read.schema(sc).parquet(p)
@@ -235,24 +260,35 @@ object GraftTools {
         }: _*)
         .withColumn("_ord", lit(i))
     }.reduce(_ unionByName _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*).orderBy(col("_ord").desc)
-    // cached across its two consumers (upsert + delete branches would each
-    // recompute the union + window), released before returning — a pinned
-    // localCheckpoint here leaked blocks across bench iterations
-    val last = tagged
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .drop("_rn", "_ord")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // one atomic apply: upserts + ignore-tombstones in a single commit
-      // (deletes are never strict — a key born in one increment and dead in
-      // a later one folds to DELETE yet never existed in the full backup)
-      val folded = last
-        .withColumn("_deleted", col("_action") === "DELETE").drop("_action")
-      if (folded.limit(1).count() > 0) t.applyChanges(folded)
-      t
-    } finally last.unpersist(blocking = false)
+    GraftTable.withStaticPlan(spark,
+      incBytes <= GraftTable.staticPlanMaxBytes) {
+      // size the chain fold's exchange by the increments' on-disk bytes —
+      // same derivation as the CDC fold; the explicit hash repartition
+      // satisfies the window's required distribution (exchange count
+      // unchanged, width byte-derived instead of the session constant)
+      val foldParts = math.max(1L, math.min(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
+        (incBytes + (64L << 20) - 1) / (64L << 20))).toInt
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(col("_ord").desc)
+      // cached across its two consumers (upsert + delete branches would each
+      // recompute the union + window), released before returning — a pinned
+      // localCheckpoint here leaked blocks across bench iterations
+      val last = tagged.repartition(foldParts, keys.map(col): _*)
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .drop("_rn", "_ord")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // one atomic apply: upserts + ignore-tombstones in a single commit
+        // (deletes are never strict — a key born in one increment and dead in
+        // a later one folds to DELETE yet never existed in the full backup)
+        val folded = last
+          .withColumn("_deleted", col("_action") === "DELETE").drop("_action")
+        if (folded.limit(1).count() > 0)
+          t.applyChanges(folded, sizeHintBytes = Some(incBytes))
+        t
+      } finally last.unpersist(blocking = false)
+    }
   }
 
   /** One-shot replication: apply all changes between the destination's
@@ -266,11 +302,19 @@ object GraftTools {
       // ONE emptiness probe + ONE atomic apply (upserts + ignore-tombstones
       // in a single commit) — the relay's former per-op-kind commits cost
       // job floors, not data; the persist spans the probe and the apply.
-      val delta = src.changesSince(sinceVersion, head)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        if (delta.limit(1).count() > 0) dest.applyChanges(delta)
-      } finally delta.unpersist(blocking = false)
+      // A manifest-known-tiny window (the steady-state relay tick) runs
+      // probe + apply under ONE static plan per action (see
+      // backupIncremental).
+      val winBytes = src.cdcWindowBytes(sinceVersion, head)
+      GraftTable.withStaticPlan(src.spark,
+        winBytes.exists(_ <= GraftTable.staticPlanMaxBytes)) {
+        val delta = src.changesSince(sinceVersion, head)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (delta.limit(1).count() > 0)
+            dest.applyChanges(delta, sizeHintBytes = winBytes)
+        } finally delta.unpersist(blocking = false)
+      }
     }
     head
   }

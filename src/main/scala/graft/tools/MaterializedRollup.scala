@@ -139,6 +139,21 @@ object MaterializedRollup {
     val v0 = p(SrcVersionKey).toLong
     val v1 = src.meta.version
     if (v1 == v0) return false
+    // tiny CDC window → one static plan per action (see
+    // SecondaryIndex.refresh: same explicit-exchange posture)
+    val winBytes = src.cdcWindowBytes(v0, v1)
+    GraftTable.withStaticPlan(spark,
+      winBytes.exists(_ <= GraftTable.staticPlanMaxBytes)) {
+      refreshImpl(spark, rollup, src, v0, v1, maxPruneKeys, assertPrune,
+        winBytes)
+    }
+  }
+
+  private def refreshImpl(spark: SparkSession, rollup: GraftTable,
+      src: GraftTable, v0: Long, v1: Long,
+      maxPruneKeys: Int, assertPrune: Boolean,
+      winBytes: Option[Long]): Boolean = {
+    val p = rollup.properties
     val groupCols = p(GroupColsKey).split(FieldSep).toSeq
     val aggs = p(AggsKey).split(RecSep).toSeq.map { r =>
       val i = r.indexOf(FieldSep)
@@ -181,10 +196,13 @@ object MaterializedRollup {
                   s"${kept.length} of $total files for ${rows.length} " +
                   "touched groups")
           }
-          val local = spark.createDataFrame(
-            spark.sparkContext.parallelize(rows.toSeq, 1),
-            org.apache.spark.sql.types.StructType(
-              touched.schema.fields.map(_.copy(nullable = true))))
+          // LocalRelation (exact tiny stats) — see SecondaryIndex.refresh
+          val local = {
+            import scala.jdk.CollectionConverters._
+            spark.createDataFrame(rows.toSeq.asJava,
+              org.apache.spark.sql.types.StructType(
+                touched.schema.fields.map(_.copy(nullable = true))))
+          }
           (src.scanPruned(filters), broadcast(local))
         } else {
           if (assertPrune) throw new IllegalStateException(
@@ -201,13 +219,25 @@ object MaterializedRollup {
       // result type can widen — e.g. sum(DECIMAL(28,2)) is DECIMAL(38,2))
       val fresh = freshRaw.select(rollup.meta.visibleColumns.map(c =>
         col(c.name).cast(c.dataType).as(c.name)): _*)
-      // groups whose recompute came back empty vanished from the base
+      // groups whose recompute came back empty vanished from the base.
+      // In the small path fresh is bounded by the touched-group count but
+      // its optimizer estimate flows through a join + aggregate —
+      // broadcast it explicitly so a static plan never turns this into a
+      // session-width sort-merge join; the over-bound path (backfill)
+      // must NOT broadcast (fresh can be group-cardinality huge)
+      val freshKeys = fresh.select(groupCols.map(col): _*)
       val stale = rollup.scan().select(groupCols.map(col): _*)
         .join(keys, groupCols, "left_semi")
-        .join(fresh.select(groupCols.map(col): _*), groupCols, "left_anti")
+        .join(if (rows.length <= maxPruneKeys) broadcast(freshKeys)
+              else freshKeys,
+          groupCols, "left_anti")
       // the watermark rides the SAME atomic commit as the rows
       RefreshCommit(rollup, fresh, stale,
-        watermark = Map(SrcVersionKey -> Some(v1.toString)))
+        watermark = Map(SrcVersionKey -> Some(v1.toString)),
+        // one row per touched group (plus the stale keys) — bounded by
+        // the window itself; manifest-derived size for the commit's
+        // guard-window exchange
+        sizeHintBytes = winBytes.map(b => b * 2 + 1024))
       true
     } finally persisted.foreach(_.unpersist(blocking = false))
   }

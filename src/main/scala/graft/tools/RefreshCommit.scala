@@ -27,7 +27,8 @@ private[tools] object RefreshCommit {
     * before-image refresh paths derive state from `source@watermark`, so
     * a torn pair would corrupt the next refresh, not just mislabel). */
   def apply(t: GraftTable, fresh: DataFrame, staleKeys: DataFrame,
-      watermark: Map[String, Option[String]] = Map.empty): Unit = {
+      watermark: Map[String, Option[String]] = Map.empty,
+      sizeHintBytes: Option[Long] = None): Unit = {
     val cols = t.meta.visibleColumns
     val have = staleKeys.columns.toSet
     val staleFull = staleKeys.select(cols.map { c =>
@@ -39,6 +40,6 @@ private[tools] object RefreshCommit {
     t.applyChanges(
       freshFull.withColumn(GraftTable.DeletedCol, lit(false))
         .unionByName(staleFull.withColumn(GraftTable.DeletedCol, lit(true))),
-      propsUpdate = watermark)
+      propsUpdate = watermark, sizeHintBytes = sizeHintBytes)
   }
 }

@@ -359,10 +359,16 @@ object SecondaryIndex {
           s"index probe must prune: kept ${kept.length} of $total files " +
             s"for ${probeFilters.mkString(", ")}")
     }
-    val hits = index.scanPruned(probeFilters, indexV)
-      .filter(probeCond)
-      .select(pkCols.map(col): _*)
-      .limit(maxKeys + 1).collect()
+    // contract-bounded probe (limit + the require below) over a scan whose
+    // exchanges are byte-sized → one static-planned job instead of one per
+    // AQE stage; this runs at PLAN time for the serving rewrite, so the
+    // job floor here is pure query latency
+    val hits = GraftTable.withStaticPlan(spark, tiny = true) {
+      index.scanPruned(probeFilters, indexV)
+        .filter(probeCond)
+        .select(pkCols.map(col): _*)
+        .limit(maxKeys + 1).collect()
+    }
     require(hits.length <= maxKeys,
       s"lookup matched more than $maxKeys rows — not a point read; scan " +
         "the base table instead")
@@ -400,7 +406,11 @@ object SecondaryIndex {
     // thread that farmed it out would.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    val hitArrays = Await.result(
+    // static plans for every probe (bounded, no joins): set ONCE here in
+    // the planning thread — session conf is shared, so the probe futures
+    // inherit it; each future flipping it itself would race the restore
+    val hitArrays = GraftTable.withStaticPlan(spark, tiny = true) {
+      Await.result(
       Future.traverse(probes.toList) { case (idx, probeFilters, probeCond, indexV) =>
         Future(graft.plans.IndexRewrite.guarded {
           val hits = idx.scanPruned(probeFilters, Some(indexV))
@@ -413,6 +423,7 @@ object SecondaryIndex {
           hits
         })
       }, scala.concurrent.duration.Duration.Inf)
+    }
     // dedupe across probes by PK value tuple (a row matching two disjuncts
     // must fetch once); LinkedHashMap keeps first-seen order deterministic
     val seen = scala.collection.mutable.LinkedHashMap[Seq[Any], org.apache.spark.sql.Row]()
@@ -545,10 +556,13 @@ object SecondaryIndex {
         index.scanPruned(pf, pinned.map(_._1)).filter(pc)
       case None => topScan(index, k, desc, pinned.map(_._1))
     }
-    val hits = scan0
-      .orderBy(ord +: pkCols.map(col(_).asc): _*)
-      .select(pkCols.map(col): _*)
-      .limit(k).collect()
+    // bounded top-k probe (TakeOrderedAndProject) → one static-planned job
+    val hits = GraftTable.withStaticPlan(spark, tiny = true) {
+      scan0
+        .orderBy(ord +: pkCols.map(col(_).asc): _*)
+        .select(pkCols.map(col): _*)
+        .limit(k).collect()
+    }
     if (hits.length < k) return None
     Some(fetchByKeys(spark, src, pkCols, hits, pinned.map(_._2)))
   }
@@ -609,8 +623,9 @@ object SecondaryIndex {
         index.scanPruned(pf, pinned.map(_._1)).filter(pc)
       case None => topScan(index, k, desc, pinned.map(_._1))
     }
-    val leadVals = scan0
-      .orderBy(ord).select(col(lead)).limit(k).collect()
+    val leadVals = GraftTable.withStaticPlan(spark, tiny = true) {
+      scan0.orderBy(ord).select(col(lead)).limit(k).collect()
+    }
     if (leadVals.length < k) return None
     val vk = leadVals.last.get(0)
     // pass 2: every entry at-or-better than vk — zone maps prune a
@@ -622,10 +637,12 @@ object SecondaryIndex {
         where.map(_._1).getOrElse(Nil)
     val candCond0 = if (desc) col(lead) >= lit(vk) else col(lead) <= lit(vk)
     val candCond = where.map(_._2).map(candCond0 && _).getOrElse(candCond0)
-    val hits = index.scanPruned(candFilter, pinned.map(_._1))
-      .filter(candCond)
-      .select(pkCols.map(col): _*)
-      .limit(maxKeys + 1).collect()
+    val hits = GraftTable.withStaticPlan(spark, tiny = true) {
+      index.scanPruned(candFilter, pinned.map(_._1))
+        .filter(candCond)
+        .select(pkCols.map(col): _*)
+        .limit(maxKeys + 1).collect()
+    }
     if (hits.length > maxKeys) return None // tie set too big — scan instead
     Some(fetchByKeys(spark, src, pkCols, hits, pinned.map(_._2)))
   }
@@ -664,6 +681,25 @@ object SecondaryIndex {
     val v0 = p(SrcVersionKey).toLong
     val v1 = src.meta.version
     if (v1 == v0) return false
+    // a manifest-known-tiny CDC window (the steady-state maintenance tick)
+    // refreshes under ONE static plan per action: the CDC fold exchange is
+    // delta-byte-sized, the before-image semi-join explicitly broadcast,
+    // the anti-join's fresh side a LocalRelation — AQE's per-stage jobs
+    // were most of a 1-row refresh's cost. Snapshot-diff or backfill
+    // windows keep AQE.
+    val winBytes = src.cdcWindowBytes(v0, v1)
+    GraftTable.withStaticPlan(spark,
+      winBytes.exists(_ <= GraftTable.staticPlanMaxBytes)) {
+      refreshImpl(spark, index, src, v0, v1, maxPruneKeys, assertPrune,
+        winBytes)
+    }
+  }
+
+  private def refreshImpl(spark: SparkSession, index: GraftTable,
+      src: GraftTable, v0: Long, v1: Long,
+      maxPruneKeys: Int, assertPrune: Boolean,
+      winBytes: Option[Long]): Boolean = {
+    val p = index.properties
     val colNames = indexedCols(p)
     val lead = colNames.head
     val exprCanon = p.get(ExprKey)
@@ -694,10 +730,16 @@ object SecondaryIndex {
     val changedRows = changed0.limit(maxPruneKeys + 1).collect()
     val small = changedRows.length <= maxPruneKeys
     val changed =
-      if (small) spark.createDataFrame(
-        spark.sparkContext.parallelize(changedRows.toSeq, 1),
-        StructType(changed0.schema.fields.map(_.copy(nullable = true))))
-      else changed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // a true LocalRelation (createDataFrame over a java List), NOT an
+      // RDD-backed frame: the RDD form reports UNKNOWN stats, which under
+      // a static plan turns the stale anti-join below into a
+      // session-width sort-merge join; the LocalRelation's exact tiny
+      // size keeps it a broadcast at plan time
+      if (small) {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(changedRows.toSeq.asJava,
+          StructType(changed0.schema.fields.map(_.copy(nullable = true))))
+      } else changed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val keys = changed.select(pkCols.map(col): _*).distinct()
       val rows =
@@ -756,7 +798,11 @@ object SecondaryIndex {
       // separate commits would leave v1 rows labeled v0 — the re-run
       // would then tombstone v0 entries instead of the v1 ones)
       RefreshCommit(index, fresh, stale,
-        watermark = Map(SrcVersionKey -> Some(v1.toString)))
+        watermark = Map(SrcVersionKey -> Some(v1.toString)),
+        // the commit rows are ~2x the window (fresh + stale per changed
+        // key): a manifest-derived size for its guard-window exchange —
+        // the optimizer's own estimate through the anti-join is useless
+        sizeHintBytes = winBytes.map(b => b * 2 + 1024))
       true
     } finally if (!small) changed.unpersist(blocking = false)
   }

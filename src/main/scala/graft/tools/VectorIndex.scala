@@ -325,6 +325,21 @@ object VectorIndex {
     val v0 = p(SrcVersionKey).toLong
     val v1 = src.meta.version
     if (v1 == v0) return false
+    // tiny CDC window → one static plan per action (see
+    // SecondaryIndex.refresh: same explicit-exchange posture)
+    val winBytes = src.cdcWindowBytes(v0, v1)
+    GraftTable.withStaticPlan(spark,
+      winBytes.exists(_ <= GraftTable.staticPlanMaxBytes)) {
+      refreshImpl(spark, index, src, v0, v1, maxPruneKeys, assertPrune,
+        winBytes)
+    }
+  }
+
+  private def refreshImpl(spark: SparkSession, index: GraftTable,
+      src: GraftTable, v0: Long, v1: Long,
+      maxPruneKeys: Int, assertPrune: Boolean,
+      winBytes: Option[Long]): Boolean = {
+    val p = index.properties
     val idCol = p(IdColKey)
     val vecCol = p(VecColKey)
     val cents = centroids(spark, index)
@@ -338,10 +353,14 @@ object VectorIndex {
     val changedRows = changed0.limit(maxPruneKeys + 1).collect()
     val small = changedRows.length <= maxPruneKeys
     val changed =
-      if (small) spark.createDataFrame(
-        spark.sparkContext.parallelize(changedRows.toSeq, 1),
-        StructType(changed0.schema.fields.map(_.copy(nullable = true))))
-      else changed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // LocalRelation, not an RDD-backed frame — exact tiny stats keep
+      // the downstream joins broadcast under a static plan (see
+      // SecondaryIndex.refresh)
+      if (small) {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(changedRows.toSeq.asJava,
+          StructType(changed0.schema.fields.map(_.copy(nullable = true))))
+      } else changed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val ids = changed.select(col(idCol)).distinct()
       val rows =
@@ -388,14 +407,22 @@ object VectorIndex {
       // before-image (cell, id) rows the fresh assignment does not
       // re-assert are stale (moved cell, deleted id); the txn allows one
       // op per key, and upsert already covers re-asserted rows
+      // small path: fresh is window-bounded but its estimate flows through
+      // a crossJoin + window — broadcast explicitly so a static plan never
+      // picks a session-width sort-merge join; over-bound keeps AQE's call
+      val freshKeys = fresh.select(col("cell"), col(idCol))
       val stale = assigned(normalized(oldSrc, idCol, vecCol), idCol, cents)
         .select(col("cell"), col(idCol))
-        .join(fresh.select(col("cell"), col(idCol)), Seq("cell", idCol), "left_anti")
+        .join(if (small) broadcast(freshKeys) else freshKeys,
+          Seq("cell", idCol), "left_anti")
       // watermark rides the SAME atomic commit as the rows (see
       // SecondaryIndex.refresh — the before-image derivation requires
       // index state and watermark to move together)
       RefreshCommit(index, fresh, stale,
-        watermark = Map(SrcVersionKey -> Some(v1.toString)))
+        watermark = Map(SrcVersionKey -> Some(v1.toString)),
+        // ~2x the window per changed id (fresh + stale) — manifest-derived
+        // size for the commit's guard-window exchange
+        sizeHintBytes = winBytes.map(b => b * 2 + 1024))
       true
     } finally if (!small) changed.unpersist(blocking = false)
   }
