@@ -53,6 +53,25 @@ class GraftTxn private[table] (t: GraftTable, m: TableMeta) {
     val keys = m.keyCols
     val all = staged.map { case (op, rows, _) => rows.withColumn(OpCol, lit(op)) }
       .reduce(_ unionByName _)
+    // plan-estimated-tiny transactions validate and commit under static
+    // plans (one job per action instead of one per AQE stage); the
+    // validation probes' joins are estimate-driven either way, and big
+    // transactions keep AQE.
+    // The staged union is computed TWICE otherwise — once by the
+    // validation collect, once by the commit write — and the staged ops
+    // commonly re-read the base table (UPDATE-shaped upserts), so persist
+    // it across the two actions (spills for big batches; strictly one
+    // materialization instead of two computations either way).
+    GraftTable.withStaticPlan(t.spark,
+      GraftTable.planBytes(all) <= GraftTable.staticPlanMaxBytes) {
+      val cached = all.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try commitValidated(keys, cached)
+      finally cached.unpersist(blocking = false)
+    }
+  }
+
+  private def commitValidated(keys: Seq[String],
+      all: DataFrame): Unit = {
     // Validation runs as ONE job: the duplicate-key check, the strict-insert
     // presence clash, and the strict-delete absence check are independent
     // probes of the txn-start snapshot, so they union into a single action

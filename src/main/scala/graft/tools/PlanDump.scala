@@ -41,6 +41,20 @@ object PlanDump {
       f.delete(); f.getAbsolutePath
     }
     names.foreach {
+      case n @ "latest_deltas" =>
+        // the MOR overlay / plan-time collect fold: exchange width is the
+        // round-17 diff (byte-derived vs the session constant)
+        import org.apache.spark.sql.functions._
+        val raw = graft.Tables.raw(spark, dir, "supplier")
+        val t = graft.table.GraftTable.create(spark, tmpLoc("graft-plandump-"),
+          s"supplier_ld_$suffix", raw.schema, Seq("s_suppkey"),
+          Seq(graft.catalog.HashComponent(Seq("s_suppkey"), 4)),
+          data = Some(raw))
+        t.upsert(t.scan().filter(col("s_suppkey") === 7)
+          .withColumn("s_acctbal", col("s_acctbal") + 1))
+        t.deleteWhere(col("s_suppkey") === 11)
+        val m = t.meta
+        dump(n, t.latestDeltas(m, m.deltaFiles))
       case n @ ("changes_since" | "touched_keys") =>
         import org.apache.spark.sql.functions._
         // UNPARTITIONED layout: writeBase PK-sorts, so base files are

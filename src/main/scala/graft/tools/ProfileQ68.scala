@@ -17,9 +17,32 @@ object ProfileQ68 {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
     graft.SparkEntry.queries("q68_incr_rollup")(spark, dir).collect() // warm
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val verbose = sys.env.get("PROF_JOBS").contains("1")
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); jobStarts.put(j.jobId, j.time)
+          if (verbose) {
+            val stages = j.stageInfos.map(si =>
+              s"${si.name.takeWhile(_ != '\n').take(60)}/${si.numTasks}t").mkString(" | ")
+            System.err.println(s"[prof]   job ${j.jobId}: [$stages]")
+          }
+        }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          Option(jobStarts.remove(j.jobId)).foreach { t0 =>
+            jobMs.addAndGet(j.time - t0)
+            if (verbose) System.err.println(s"[prof]   job ${j.jobId} end ${j.time - t0} ms")
+          }
+      })
     def t[A](label: String)(f: => A): A = {
-      val s = System.nanoTime; val r = f
-      println(f"[prof] $label%-18s ${(System.nanoTime - s) / 1e9}%.2f s"); r
+      val s = System.nanoTime; val j0 = jobCount.get(); val m0 = jobMs.get()
+      val r = f
+      Thread.sleep(30)
+      println(f"[prof] $label%-18s ${(System.nanoTime - s) / 1e9}%.2f s" +
+        f"  jobs ${jobCount.get() - j0}%3d  jobMs ${jobMs.get() - m0}%6d"); r
     }
     def few[A](f: => A): A = {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
