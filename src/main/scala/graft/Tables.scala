@@ -153,12 +153,20 @@ object Tables {
   // the file bytes, so it is keyed on (path, size, mtime) — a driver
   // regenerating the test file mid-run (it happened in round 8) misses the
   // memo and re-infers instead of reading with a stale schema.
+  // Bounded (harness sources are a handful of fixture files; a runaway
+  // path set must not grow the map forever) and restricted to REGULAR
+  // FILES: a directory-shaped parquet source's size/mtime do not reflect
+  // part-file rewrites, so memoizing it could serve a stale schema after
+  // a regeneration — directories just re-infer.
+  private val RawSchemaMemoMax = 256
   private val rawSchemaMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), StructType]()
 
   private def rawRead(spark: SparkSession, path: String): DataFrame = {
     val f = new java.io.File(path)
+    if (!f.isFile) return spark.read.parquet(path) // dir inputs: no memo
     val key = (f.getAbsolutePath, f.length(), f.lastModified())
+    if (rawSchemaMemo.size > RawSchemaMemoMax) rawSchemaMemo.clear()
     val st = rawSchemaMemo.computeIfAbsent(key,
       _ => spark.read.parquet(path).schema)
     spark.read.schema(st).parquet(path)

@@ -302,6 +302,50 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
     StructType(m.schema.fields.map(_.copy(nullable = true)) ++
       Seq(StructField(OpCol, StringType), StructField(SeqCol, LongType)))
 
+  /** Footer-vs-manifest schema audit (`fsck(verifySchemas = true)`):
+    * [[readFileGroup]] reads every committed file under the PHYSICAL
+    * schema the manifest implies — sound for every engine writer
+    * (writeBase casts before writing, register derives ColumnMeta FROM
+    * the footer) — so a foreign or hand-edited file whose footer
+    * disagrees would otherwise surface as an opaque vectorized-reader
+    * type error (or silent nulls) at scan time. This names the file and
+    * field instead. One driver-side footer read per file: diagnostic,
+    * not a scan-path cost. */
+  def verifyFileSchemas(): Seq[String] = {
+    val m = meta
+    val issues = scala.collection.mutable.ArrayBuffer[String]()
+    (m.baseFiles ++ m.deltaFiles).foreach { f =>
+      val present = f.colIds.toSet
+      val expect: Map[String, DataType] =
+        m.columns.flatMap(c => physGenOf(c, present)).toMap ++
+          (if (f.kind == "delta")
+            Map(OpCol -> (StringType: DataType), SeqCol -> (LongType: DataType))
+          else Map.empty[String, DataType])
+      val footer =
+        try Some(org.apache.spark.sql.GraftSqlBridge.parquetFileSchema(spark, f.path))
+        catch { case e: Exception =>
+          issues += s"unreadable footer: ${f.path}: ${e.getMessage}"; None }
+      footer.foreach { ft =>
+        val byName = ft.fields.map(x => x.name -> x.dataType).toMap
+        expect.foreach { case (n, dt) =>
+          byName.get(n) match {
+            case None => issues += s"manifest/file schema mismatch: " +
+              s"column '$n' recorded in manifest but absent from footer: ${f.path}"
+            case Some(have) if have != dt => issues +=
+              s"manifest/file schema mismatch: column '$n' is $have in the " +
+                s"footer but the manifest records $dt: ${f.path}"
+            case _ => ()
+          }
+        }
+        ft.fieldNames.filterNot(expect.contains).foreach { n =>
+          issues += s"manifest/file schema mismatch: footer column '$n' " +
+            s"not recorded in the manifest: ${f.path}"
+        }
+      }
+    }
+    issues.toSeq
+  }
+
   /**
    * Diff scan: logical changes between snapshot v1 (exclusive) and v2
    * (inclusive) — latest state of each changed PK plus a `_deleted` flag

@@ -587,12 +587,21 @@ object GraftTools {
     out.result()
   }
 
-  def fsck(location: String): Seq[String] = {
+  def fsck(location: String, verifySchemas: Boolean = false): Seq[String] = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     import graft.catalog.TableMeta
     val issues = scala.collection.mutable.ArrayBuffer[String]()
     if (!TableMeta.exists(location)) return Seq(s"no graft table at $location")
+    // opt-in (one footer read per file): reports a foreign/hand-edited
+    // file whose parquet schema disagrees with the manifest's recorded
+    // physical types as a manifest/file inconsistency HERE, instead of an
+    // opaque vectorized-reader failure at scan time
+    if (verifySchemas)
+      try issues ++= GraftTable.load(
+        org.apache.spark.sql.SparkSession.active, location).verifyFileSchemas()
+      catch { case e: Exception =>
+        issues += s"schema audit failed: ${e.getMessage}" }
     val cur =
       try TableMeta.currentVersion(location)
       catch { case e: Exception => return Seq(s"corrupt current pointer: ${e.getMessage}") }

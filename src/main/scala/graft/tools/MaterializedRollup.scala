@@ -166,8 +166,15 @@ object MaterializedRollup {
     // common small window drives everything from the ONE bounded collect;
     // only the over-bound fallback (a second pass over the CDC subtree)
     // pays a persist.
-    val touched = src.touchedKeys(v0, v1, groupCols)
-    var persisted: Option[DataFrame] = None
+    val touched0 = src.touchedKeys(v0, v1, groupCols)
+    // manifest-big (or unknown-size) window → persist BEFORE the bounded
+    // probe so the over-bound fallback reuses the materialized partitions
+    // (see SecondaryIndex.refresh)
+    val winBig = winBytes.forall(_ > GraftTable.staticPlanMaxBytes)
+    val touched =
+      if (winBig) touched0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else touched0
+    var persisted: Option[DataFrame] = if (winBig) Some(touched) else None
     try {
       val rows = touched.limit(maxPruneKeys + 1).collect()
       if (rows.isEmpty) {
@@ -208,7 +215,7 @@ object MaterializedRollup {
           if (assertPrune) throw new IllegalStateException(
             s"rollup refresh fell back to the semi-join path " +
               s"(> $maxPruneKeys touched groups)")
-          val p = touched.persist(
+          val p = if (winBig) touched else touched.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           persisted = Some(p)
           (src.scan(), p.toDF(groupCols: _*))

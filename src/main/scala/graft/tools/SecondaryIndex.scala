@@ -727,8 +727,17 @@ object SecondaryIndex {
     // the CDC subtree — and the refresh's distributed work shrinks to the
     // before-image scan plus the commit. An over-bound window keeps the
     // distributed derivation (no driver risk at backfill sizes).
-    val changedRows = changed0.limit(maxPruneKeys + 1).collect()
+    // a manifest-big window (or a snapshot-diff fallback, bytes unknown)
+    // persists the CDC frame BEFORE the bounded probe, so the over-bound
+    // path's distributed derivation reuses the materialized partitions
+    // instead of recomputing the whole CDC subtree after the probe
+    val winBig = winBytes.forall(_ > GraftTable.staticPlanMaxBytes)
+    val probed =
+      if (winBig) changed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else changed0
+    val changedRows = probed.limit(maxPruneKeys + 1).collect()
     val small = changedRows.length <= maxPruneKeys
+    if (small && winBig) probed.unpersist(blocking = false)
     val changed =
       // a true LocalRelation (createDataFrame over a java List), NOT an
       // RDD-backed frame: the RDD form reports UNKNOWN stats, which under
@@ -739,7 +748,8 @@ object SecondaryIndex {
         import scala.jdk.CollectionConverters._
         spark.createDataFrame(changedRows.toSeq.asJava,
           StructType(changed0.schema.fields.map(_.copy(nullable = true))))
-      } else changed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else if (winBig) probed
+      else changed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val keys = changed.select(pkCols.map(col): _*).distinct()
       val rows =

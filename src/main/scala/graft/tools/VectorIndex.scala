@@ -350,8 +350,16 @@ object VectorIndex {
     // fresh assignment from a LOCAL relation — no persist, no distributed
     // distinct, no second CDC pass (see SecondaryIndex.refresh). Over-bound
     // windows keep the distributed derivation.
-    val changedRows = changed0.limit(maxPruneKeys + 1).collect()
+    // manifest-big (or unknown-size) window → persist BEFORE the bounded
+    // probe so the over-bound fallback reuses the materialized CDC
+    // partitions (see SecondaryIndex.refresh)
+    val winBig = winBytes.forall(_ > GraftTable.staticPlanMaxBytes)
+    val probed =
+      if (winBig) changed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else changed0
+    val changedRows = probed.limit(maxPruneKeys + 1).collect()
     val small = changedRows.length <= maxPruneKeys
+    if (small && winBig) probed.unpersist(blocking = false)
     val changed =
       // LocalRelation, not an RDD-backed frame — exact tiny stats keep
       // the downstream joins broadcast under a static plan (see
@@ -360,7 +368,8 @@ object VectorIndex {
         import scala.jdk.CollectionConverters._
         spark.createDataFrame(changedRows.toSeq.asJava,
           StructType(changed0.schema.fields.map(_.copy(nullable = true))))
-      } else changed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else if (winBig) probed
+      else changed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val ids = changed.select(col(idCol)).distinct()
       val rows =
