@@ -2585,9 +2585,14 @@ class GraftTable private[table] (val spark: SparkSession, val location: String) 
       case None =>
         // global PK sort with a bytes-derived range-partition width — a
         // small unpartitioned load writes one PK-sorted file instead of a
-        // session-constant-wide range exchange's worth
-        val sortParts = ((estBytes + GraftTable.CdcFoldTargetBytes - 1) /
-          GraftTable.CdcFoldTargetBytes).min(BigInt(nShuffle)).max(BigInt(1)).toInt
+        // session-constant-wide range exchange's worth of tiny files.
+        // ~16 MB of PLAN-estimated bytes per task: estimates are
+        // uncompressed-leaning, so real files land near the 50–150 MB
+        // range, and mid-size loads keep enough write parallelism (the
+        // estimate-blind session constant remains the cap / cluster knob).
+        val target = 16L * 1024 * 1024
+        val sortParts = ((estBytes + target - 1) / target)
+          .min(BigInt(nShuffle)).max(BigInt(1)).toInt
         out.repartitionByRange(sortParts, keysPhys: _*)
           .sortWithinPartitions(keysPhys: _*).write
     }

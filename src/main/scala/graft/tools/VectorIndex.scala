@@ -91,13 +91,22 @@ object VectorIndex {
     val srcVersion = m.version
     // pinned to the watermark version: an unpinned scan could read a later
     // commit than the recorded watermark (see SecondaryIndex.build)
-    val vecs = normalized(source.scan(Some(srcVersion)), idCol, vecCol)
-    val n = vecs.count()
+    val vecs0 = normalized(source.scan(Some(srcVersion)), idCol, vecCol)
+    val n = vecs0.count()
     require(n > 0, s"${m.name} has no vectors in $vecCol")
+    // The assignment below is the build's dominant term (~n·√n pair dots)
+    // and is CPU-bound, so its parallelism must come from the ROW COUNT,
+    // not from however many files the source happens to occupy — a small
+    // table written as one PK-sorted file would otherwise assign on one
+    // core. ~4096 vectors per task, capped at the session width.
+    val spreadParts = math.max(1L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
+      math.ceil(n / 4096.0).toLong)).toInt
+    val vecs = vecs0.repartition(spreadParts)
     val mMod = math.max(1L, math.max(
       math.ceil(math.sqrt(n.toDouble)).toLong,
       math.ceil(n / 4096.0).toLong))
-    val cents = vecs.filter(col(idCol) % mMod === lit(5L % mMod))
+    val cents = vecs0.filter(col(idCol) % mMod === lit(5L % mMod))
       .select(col(idCol).as("cell"), col("v").as("cv"))
     val centsLoc = location + "_cents"
     GraftTable.create(spark, centsLoc, s"${m.name}_${vecCol}_cents",
