@@ -2810,13 +2810,22 @@ object GraftTable {
     }
   }
 
-  /** Optimizer size estimate of a frame's input (scan estimates are file
-    * bytes post-prune; LocalRelations are exact). Plans whose estimate is
-    * unavailable or inflated (windows, joins) return a huge number — the
-    * conservative direction for a "is this tiny?" gate. */
+  /** Size estimate of a frame's input for the tiny-gate. The ANALYZED
+    * plan's estimate decides when it already fits — running the optimizer
+    * just to size a commit costs real driver time (Catalyst folds
+    * projections over LocalRelations eagerly, re-evaluating a streaming
+    * batch's rows), and analysis-time estimates only shrink under
+    * optimization (pushdown prunes scans), so "analyzed says tiny" is
+    * final. Bigger analyzed estimates consult the optimized plan (a
+    * point mutation over a huge table is tiny only after file pruning).
+    * Unavailable/inflated estimates (windows, joins) return huge — the
+    * conservative direction. */
   private[graft] def planBytes(df: org.apache.spark.sql.DataFrame): BigInt =
-    try df.queryExecution.optimizedPlan.stats.sizeInBytes
-    catch { case _: Exception => BigInt(Long.MaxValue) }
+    try {
+      val a = df.queryExecution.analyzed.stats.sizeInBytes
+      if (a <= BigInt(staticPlanMaxBytes)) a
+      else df.queryExecution.optimizedPlan.stats.sizeInBytes
+    } catch { case _: Exception => BigInt(Long.MaxValue) }
 
   private[table] def now(): Long = System.currentTimeMillis()
 

@@ -15,9 +15,23 @@ object ProfileQ18 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); jobStarts.put(j.jobId, j.time)
+        }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          Option(jobStarts.remove(j.jobId)).foreach(t0 => jobMs.addAndGet(j.time - t0))
+      })
     def t[A](tag: String)(body: => A): A = {
-      val t0 = System.nanoTime(); val r = body
-      System.err.println(f"[prof] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s"); r
+      val t0 = System.nanoTime(); val j0 = jobCount.get(); val m0 = jobMs.get()
+      val r = body
+      Thread.sleep(20)
+      System.err.println(f"[prof] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s" +
+        f"  jobs ${jobCount.get() - j0}%2d jobMs ${jobMs.get() - m0}%5d"); r
     }
     val raw = Tables.raw(spark, sfDir, "events")
     val tbl = t("create") { GraftTable.create(spark, java.nio.file.Files.createTempDirectory("prof-q18-").toString,
